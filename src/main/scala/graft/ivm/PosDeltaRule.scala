@@ -1,0 +1,142 @@
+package graft.ivm
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{BinaryOperator, Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Delta-propagation rewrite: pushes a [[PosDelta]] marker down through the
+  * relational operators using the textbook delta-rule algebra, terminating
+  * at base-table scans with [[PosDeltaScan]].
+  *
+  * Re-expression of the reference's `PosDelta` optimizer rule
+  * (`src/optimizer_rules/mod.rs:8-196`): where the reference manually
+  * recurses (`mod.rs:23-32`), Catalyst's `transformDown` revisits the
+  * freshly synthesized child markers, so one rule application fully rewrites
+  * the tree. Case analysis (same envelope as the reference):
+  *
+  *   - δ⁺(π_e(R))  = π_e(δ⁺R)                       (`mod.rs:22-37`)
+  *   - δ⁺(σ_p(R))  = σ_p(δ⁺R)                       (`mod.rs:38-53`)
+  *   - δ⁺(R ⋈ S)   = (δR⋈δS) ∪ (R⋈δS) ∪ (δR⋈S)     (`mod.rs:54-158`,
+  *     cross + inner equi-join; the 3-term expansion is only algebraically
+  *     sound for inner/cross, which is all the reference exercises —
+  *     anything else is rejected, not silently mis-rewritten)
+  *   - δ⁺(R ∪all S…) = δR ∪all δS…  (n-ary)          (`mod.rs:159-180`)
+  *   - δ⁺(scan T)  = PosDeltaScan(T)                 (`mod.rs:181-186`)
+  *
+  * Unsupported operators under the marker fail fast with the operator name
+  * (the reference leaves the marker in place, `mod.rs:187`, which would die
+  * opaquely at physical planning — same capability envelope, better
+  * diagnostics).
+  *
+  * At scale: the rewrite itself is plan-only (driver-side, O(plan size));
+  * the plans it emits are ordinary scans/joins/unions, so Catalyst's
+  * pushdown, pruning and join-strategy selection (and AQE) apply to every
+  * arm. The delta-side scans carry a selective filter that reaches the
+  * parquet reader, which is exactly what makes delta maintenance cheap at
+  * 100 TB — the δ arms read a small fraction of the data.
+  */
+object PosDeltaRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case PosDelta(child) => rewrite(child)
+  }
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    // δ(π(R)) = π(δR): rebuild with original expressions verbatim
+    case Project(exprs, child) =>
+      Project(exprs, PosDelta(child))
+
+    // δ(σ(R)) = σ(δR): predicate preserved verbatim
+    case Filter(cond, child) =>
+      Filter(cond, PosDelta(child))
+
+    // δ(R ⋈ S): 3-arm union, join condition/type/hint cloned into all arms.
+    // Arm order matches the reference: [δR⋈δS, R⋈δS, δR⋈S] (mod.rs:90-97).
+    case j @ Join(left, right, Inner | Cross, _, _) =>
+      Union(Seq(
+        j.copy(left = PosDelta(left), right = PosDelta(right)),
+        j.copy(right = PosDelta(right)),
+        j.copy(left = PosDelta(left))))
+
+    // δ(R ∪all S…) = δR ∪all δS… (n-ary, bag semantics)
+    case u: Union =>
+      u.copy(children = u.children.map(PosDelta(_)))
+
+    // Named views/aliases are transparent to delta propagation, but keep the
+    // alias on top so downstream name resolution still works.
+    case a @ SubqueryAlias(_, child: LeafNode) =>
+      PosDeltaScan(a)
+    case a: SubqueryAlias =>
+      a.copy(child = PosDelta(a.child))
+
+    // Base case: the marker reached a table scan.
+    case leaf: LeafNode =>
+      PosDeltaScan(leaf)
+
+    case other =>
+      throw new UnsupportedOperationException(
+        s"PosDelta: no delta rule for operator ${other.nodeName}; " +
+          "supported: Project, Filter, inner/cross Join, Union, table scans")
+  }
+}
+
+/** Resolves [[PosDeltaScan]] markers to concrete incremental sources:
+  * `Filter(delta-partition predicate, scan)` per [[DeltaSources]].
+  *
+  * Kept separate from [[PosDeltaRule]] so the rewrite output can be
+  * inspected/tested at the marker level (as the reference's tests do) and so
+  * the source model (parquet split vs. change-data-feed) is swappable.
+  */
+object ResolvePosDeltaScan extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case PosDeltaScan(scan) =>
+      val table = tableNameOf(scan).getOrElse(
+        throw new UnsupportedOperationException(
+          s"PosDeltaScan: cannot identify base table for ${scan.nodeName}"))
+      val pred = DeltaSources.predicateFor(table).getOrElse(
+        throw new UnsupportedOperationException(
+          s"PosDeltaScan: no delta source registered for table '$table'"))
+      Filter(resolveAgainst(pred, scan), scan)
+  }
+
+  /** Resolve the registered predicate's attributes against the scan output
+    * and coerce literal operands, so the rule is usable both pre-analysis
+    * (Ivm.delta eager path — analyzer would do this anyway) and inside the
+    * optimizer (IvmExtensions path — plans there must already be resolved).
+    */
+  private def resolveAgainst(pred: Expression, scan: LogicalPlan): Expression = {
+    val named = pred.transformUp {
+      case u: UnresolvedAttribute =>
+        scan.output.find(a => conf.resolver(a.name, u.name)).getOrElse(
+          throw new UnsupportedOperationException(
+            s"PosDeltaScan: delta predicate column '${u.name}' not in scan " +
+              s"output ${scan.output.map(_.name).mkString("[", ",", "]")}"))
+    }
+    named.transformUp {
+      case b: BinaryOperator if b.left.dataType != b.right.dataType =>
+        (b.left, b.right) match {
+          case (lit: Literal, other) if Cast.canCast(lit.dataType, other.dataType) =>
+            b.withNewChildren(Seq(Cast(lit, other.dataType), other))
+          case (other, lit: Literal) if Cast.canCast(lit.dataType, other.dataType) =>
+            b.withNewChildren(Seq(other, Cast(lit, other.dataType)))
+          case _ => b
+        }
+    }
+  }
+
+  /** Base-table identity: explicit alias first, else parquet path basename. */
+  private def tableNameOf(scan: LogicalPlan): Option[String] = scan match {
+    case SubqueryAlias(ident, _) => Some(ident.name)
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.headOption.map(_.getName.stripSuffix(".parquet"))
+        case _ => None
+      }
+    case _ => None
+  }
+}
