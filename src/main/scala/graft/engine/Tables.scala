@@ -13,6 +13,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+    // read it as raw INT64 epoch-nanos instead. Deliberately NOT converted
+    // to a timestamp column here: keeping the physical long means range
+    // predicates (the events delta split) push down to parquet row-group
+    // stats — a cast/expr wrapper would defeat pruning at scale. Queries
+    // derive timestamps via timestamp_micros(ts div 1000) (floor to µs,
+    // same truncation Spark applies when reading µs parquet).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events.ts (epoch nanos, see above) as a µs-precision timestamp.
+    * `div` is exact integer floor-division — a double-rounding `/` could be
+    * off by 1µs on epoch-sized longs.
+    */
+  def tsMicros: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
 }

@@ -20,15 +20,28 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * against the scan's own output, so registration needs no schema access.
   */
 object DeltaSources {
+  /** Default split predicates.
+    *
+    * Fact tables (`orders`, `lineitem`, `events`) use RANGE predicates on a
+    * time column: "the delta is everything appended after the snapshot
+    * timestamp". Ranges reach the parquet reader as min/max-stat row-group
+    * pruning (and partition pruning on a date-partitioned layout), so at
+    * 100 TB a δ arm touches only the recent files — a modulo split would
+    * full-scan every arm and defeat IVM. Dimension tables are
+    * broadcast-sized at any realistic scale, so a key-modulo split there is
+    * harmless and keeps the deltas non-empty for tests.
+    */
   private val registry = TrieMap[String, String](
     "region"     -> "r_regionkey % 2 = 0",
     "nation"     -> "n_nationkey % 5 = 0",
     "customer"   -> "c_custkey % 10 = 0",
     "supplier"   -> "s_suppkey % 3 = 0",
     "part"       -> "p_partkey % 10 = 0",
-    "orders"     -> "o_orderkey % 10 = 0",
-    "lineitem"   -> "l_orderkey % 10 = 0",
-    "events"     -> "event_id % 10 = 0",
+    "orders"     -> "o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'",
+    "lineitem"   -> "l_shipdate >= TIMESTAMP '2001-06-01 00:00:00'",
+    // events.ts is epoch-nanos INT64 (see graft.engine.Tables): the long
+    // literal is 2024-01-28T00:00:00Z and min/max-prunes like any range.
+    "events"     -> "ts >= 1706400000000000000",
     "documents"  -> "doc_id % 10 = 0",
     "embeddings" -> "vec_id % 10 = 0"
   )

@@ -1,6 +1,6 @@
 package graft.ivm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.graft.GraftSql
 
 /** Public API for incremental view maintenance (the reference's novel
@@ -16,7 +16,17 @@ import org.apache.spark.sql.graft.GraftSql
 object Ivm {
 
   /** Inserts-only delta of the given query, per the registered
-    * [[DeltaSources]] split model.
+    * [[DeltaSources]] split model, satisfying the algebraic identity
+    * `delta(Q) == Q(full) − Q(base)` as multisets (pinned by
+    * `DeltaIdentitySpec`).
+    *
+    * The rewrite clones subtrees into multiple Union/Join arms, so identical
+    * attribute ExprIds appear across arms; re-wrapping through
+    * [[GraftSql.ofRows]] re-runs the analyzer, whose `DeduplicateRelations`
+    * re-instances the clones. That analyzer pass is load-bearing — which is
+    * why the rules are applied eagerly here rather than injected as
+    * optimizer rules via `SparkSessionExtensions` (post-analysis, no dedup
+    * would run and the duplicated ExprIds could mis-bind).
     */
   def delta(df: Dataset[_]): DataFrame = {
     val spark = df.sparkSession
@@ -27,17 +37,4 @@ object Ivm {
 
   /** Mark only (no rewrite) — for plan-shape tests mirroring the reference. */
   def mark(df: Dataset[_]): PosDelta = PosDelta(GraftSql.analyzed(df))
-}
-
-/** Session-extension registration, the idiomatic deployment path:
-  * `SparkSession.builder().withExtensions(new IvmExtensions)` (or config
-  * `spark.sql.extensions=graft.ivm.IvmExtensions`). Both rules are injected
-  * as optimizer rules; they are idempotent (markers are consumed) so the
-  * fixed-point optimizer batch terminates.
-  */
-class IvmExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectOptimizerRule(_ => PosDeltaRule)
-    ext.injectOptimizerRule(_ => ResolvePosDeltaScan)
-  }
 }

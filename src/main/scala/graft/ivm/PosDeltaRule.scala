@@ -1,7 +1,7 @@
 package graft.ivm
 
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{BinaryOperator, Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryOperator, Cast, Expression, Literal, Not}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -19,12 +19,20 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *
   *   - δ⁺(π_e(R))  = π_e(δ⁺R)                       (`mod.rs:22-37`)
   *   - δ⁺(σ_p(R))  = σ_p(δ⁺R)                       (`mod.rs:38-53`)
-  *   - δ⁺(R ⋈ S)   = (δR⋈δS) ∪ (R⋈δS) ∪ (δR⋈S)     (`mod.rs:54-158`,
+  *   - δ⁺(R ⋈ S)   = (δR⋈δS) ∪ (base R⋈δS) ∪ (δR⋈base S)  (`mod.rs:54-158`,
   *     cross + inner equi-join; the 3-term expansion is only algebraically
   *     sound for inner/cross, which is all the reference exercises —
   *     anything else is rejected, not silently mis-rewritten)
   *   - δ⁺(R ∪all S…) = δR ∪all δS…  (n-ary)          (`mod.rs:159-180`)
   *   - δ⁺(scan T)  = PosDeltaScan(T)                 (`mod.rs:181-186`)
+  *
+  * Semantics note vs. the reference: the reference clones the *unmarked*
+  * child into the mixed join arms (`mod.rs:120-157`) because there a
+  * TableScan denotes the prior snapshot. Here an unmarked scan reads the
+  * current (full) table, so the mixed arms use an explicit [[BaseRel]]
+  * marker (pushed down by the same algebra: base commutes with π, σ, ⋈, ∪)
+  * resolving to the pre-delta partition — this is what makes the identity
+  * δQ == Q(full) − Q(base) hold (see `DeltaIdentitySpec`).
   *
   * Unsupported operators under the marker fail fast with the operator name
   * (the reference leaves the marker in place, `mod.rs:187`, which would die
@@ -42,6 +50,7 @@ object PosDeltaRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case PosDelta(child) => rewrite(child)
+    case BaseRel(child)  => rewriteBase(child)
   }
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
@@ -54,12 +63,16 @@ object PosDeltaRule extends Rule[LogicalPlan] {
       Filter(cond, PosDelta(child))
 
     // δ(R ⋈ S): 3-arm union, join condition/type/hint cloned into all arms.
-    // Arm order matches the reference: [δR⋈δS, R⋈δS, δR⋈S] (mod.rs:90-97).
+    // Arm order matches the reference: [δ⋈δ, mixed-right-δ, mixed-left-δ]
+    // (mod.rs:90-97), with the mixed arms' unmarked sides reading the base
+    // snapshot (see class doc). At scale the δ/base split predicates reach
+    // the parquet reader in every arm, so AQE sees small δ arms and
+    // broadcast-joins them against the big base side.
     case j @ Join(left, right, Inner | Cross, _, _) =>
       Union(Seq(
         j.copy(left = PosDelta(left), right = PosDelta(right)),
-        j.copy(right = PosDelta(right)),
-        j.copy(left = PosDelta(left))))
+        j.copy(left = BaseRel(left), right = PosDelta(right)),
+        j.copy(left = PosDelta(left), right = BaseRel(right))))
 
     // δ(R ∪all S…) = δR ∪all δS… (n-ary, bag semantics)
     case u: Union =>
@@ -67,7 +80,7 @@ object PosDeltaRule extends Rule[LogicalPlan] {
 
     // Named views/aliases are transparent to delta propagation, but keep the
     // alias on top so downstream name resolution still works.
-    case a @ SubqueryAlias(_, child: LeafNode) =>
+    case a @ SubqueryAlias(_, _: LeafNode) =>
       PosDeltaScan(a)
     case a: SubqueryAlias =>
       a.copy(child = PosDelta(a.child))
@@ -79,6 +92,31 @@ object PosDeltaRule extends Rule[LogicalPlan] {
     case other =>
       throw new UnsupportedOperationException(
         s"PosDelta: no delta rule for operator ${other.nodeName}; " +
+          "supported: Project, Filter, inner/cross Join, Union, table scans")
+  }
+
+  /** base(T) propagation: base commutes with every operator the delta
+    * envelope supports, so the structure mirrors [[rewrite]] exactly —
+    * including the fail-fast envelope.
+    */
+  private def rewriteBase(plan: LogicalPlan): LogicalPlan = plan match {
+    case Project(exprs, child) =>
+      Project(exprs, BaseRel(child))
+    case Filter(cond, child) =>
+      Filter(cond, BaseRel(child))
+    case j @ Join(left, right, Inner | Cross, _, _) =>
+      j.copy(left = BaseRel(left), right = BaseRel(right))
+    case u: Union =>
+      u.copy(children = u.children.map(BaseRel(_)))
+    case a @ SubqueryAlias(_, _: LeafNode) =>
+      BaseScan(a)
+    case a: SubqueryAlias =>
+      a.copy(child = BaseRel(a.child))
+    case leaf: LeafNode =>
+      BaseScan(leaf)
+    case other =>
+      throw new UnsupportedOperationException(
+        s"PosDelta: no base-snapshot rule for operator ${other.nodeName}; " +
           "supported: Project, Filter, inner/cross Join, Union, table scans")
   }
 }
@@ -94,13 +132,18 @@ object ResolvePosDeltaScan extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case PosDeltaScan(scan) =>
-      val table = tableNameOf(scan).getOrElse(
-        throw new UnsupportedOperationException(
-          s"PosDeltaScan: cannot identify base table for ${scan.nodeName}"))
-      val pred = DeltaSources.predicateFor(table).getOrElse(
-        throw new UnsupportedOperationException(
-          s"PosDeltaScan: no delta source registered for table '$table'"))
-      Filter(resolveAgainst(pred, scan), scan)
+      Filter(resolveAgainst(deltaPredicate(scan), scan), scan)
+    case BaseScan(scan) =>
+      Filter(Not(resolveAgainst(deltaPredicate(scan), scan)), scan)
+  }
+
+  private def deltaPredicate(scan: LogicalPlan): Expression = {
+    val table = tableNameOf(scan).getOrElse(
+      throw new UnsupportedOperationException(
+        s"PosDeltaScan: cannot identify base table for ${scan.nodeName}"))
+    DeltaSources.predicateFor(table).getOrElse(
+      throw new UnsupportedOperationException(
+        s"PosDeltaScan: no delta source registered for table '$table'"))
   }
 
   /** Resolve the registered predicate's attributes against the scan output
@@ -128,9 +171,14 @@ object ResolvePosDeltaScan extends Rule[LogicalPlan] {
     }
   }
 
-  /** Base-table identity: explicit alias first, else parquet path basename. */
+  /** Base-table identity: a *registered* alias first, else the parquet path
+    * basename — so `orders AS o` still resolves to the `orders` delta source
+    * instead of failing on the unregistered alias `o`.
+    */
   private def tableNameOf(scan: LogicalPlan): Option[String] = scan match {
-    case SubqueryAlias(ident, _) => Some(ident.name)
+    case SubqueryAlias(ident, child) =>
+      if (DeltaSources.tables.contains(ident.name)) Some(ident.name)
+      else tableNameOf(child).orElse(Some(ident.name))
     case lr: LogicalRelation =>
       lr.relation match {
         case fs: HadoopFsRelation =>

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.engine.{QueryDef, Tables}
+
+/** LLM-training-data pipeline operators over the `documents` / `embeddings`
+  * / `events` tables (SURVEY.md §2D north-star extensions).
+  *
+  * Design-for-100TB notes:
+  *   - everything is hash-partitioned groupBy/window work — no driver-side
+  *     collect, no all-pairs cross joins;
+  *   - dedup survivor selection is a single groupBy(text) with map-side
+  *     partial min/count (text-hash pre-aggregation would halve the shuffle
+  *     for long docs; see Dedup.scala for the near-dup family);
+  *   - word/char counts are pure arithmetic on codegen'd string built-ins
+  *     (`length`/`replace`), no UDFs, so whole-stage codegen spans the scan.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Whitespace word count as pure arithmetic (identical in both engines,
+    * immune to split() trailing-empty dialect differences).
+    */
+  private def wordCount(c: Column): Column =
+    (length(c) - length(regexp_replace(c, lit(" "), lit(""))) + 1).cast("long")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // D1 — exact dedup: one survivor (min doc_id) per distinct text, with
+    // the duplicate count. groupBy on the text itself; at scale group on
+    // xxhash64(text) first so the shuffle carries 8-byte keys, then verify.
+    QueryDef("dedup_exact",
+      (s, d) => t(s, d, "documents")
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+        .select("doc_id", "dup_count")
+        .orderBy("doc_id"),
+      Some("""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+             |FROM documents GROUP BY text
+             |ORDER BY doc_id""".stripMargin)),
+
+    // D2 — per-language corpus stats.
+    QueryDef("text_stats",
+      (s, d) => t(s, d, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("total_chars"),
+          sum(wordCount(col("text"))).as("total_words"),
+          (dsum(length(col("text"))) / count(lit(1)).cast("double"))
+            .as("avg_chars"))
+        .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+             |  CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS total_words,
+             |  CAST(SUM(CAST(LENGTH(text) AS DECIMAL(18,2))) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+             |FROM documents GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    // D4 — hourly event rollup. Output DATE + BIGINT hour (never raw ns ts,
+    // SURVEY §7.5). At scale: partial agg then a (day,hr,type) shuffle.
+    QueryDef("events_hourly",
+      (s, d) => t(s, d, "events")
+        .groupBy(
+          to_date(Tables.tsMicros).as("day"),
+          hour(Tables.tsMicros).cast("long").as("hr"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .orderBy("day", "hr", "event_type"),
+      Some("""SELECT CAST(ts AS DATE) AS day,
+             |  CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr, event_type,
+             |  COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2, 3
+             |ORDER BY day, hr, event_type""".stripMargin))
+  )
+}

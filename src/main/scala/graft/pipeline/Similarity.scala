@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{QueryDef, Tables}
+
+/** Similarity search over `embeddings.embedding: array<float>` — cosine
+  * top-k, expressed with codegen'd higher-order functions (`zip_with` +
+  * `aggregate`), never per-row UDFs (SURVEY.md §2D D3).
+  *
+  * Two paths:
+  *   - [[bruteTopK]]: query-set × corpus with the small query side
+  *     broadcast — exact, one corpus scan, no shuffle of the big side. The
+  *     right baseline whenever |queries| is broadcast-sized.
+  *   - [[lshTopK]]: random-hyperplane (SimHash) LSH — sign-bit signatures,
+  *     banded into buckets; candidates meet only within a bucket, then exact
+  *     cosine + windowed top-k. At 100 TB this replaces the |Q|×|C| expansion
+  *     with a bucket-local join whose fan-in AQE handles (skewed buckets
+  *     split by the band key salt).
+  *
+  * Hyperplanes are deterministic (seeded PRNG, embedded as literals) so
+  * results are stable run-to-run — required by the driver's hash compare.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ via zip_with + aggregate: stays inside whole-stage codegen. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector (self excluded). */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("n_id").asc)
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "n_id", "rk")
+  }
+
+  /** Deterministic unit-free hyperplanes: `planes(p)(i)` in [-1, 1). */
+  private def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+  }
+
+  /** Sign-bit LSH signature as one BIGINT per band (`bandBits` planes per
+    * band). Rows sharing any band value become candidates.
+    */
+  def withBands(df: DataFrame, nBands: Int, bandBits: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nBands * bandBits, dim)
+    val bandCols = (0 until nBands).map { b =>
+      val bits = (0 until bandBits).map { i =>
+        val plane = typedLit(planes(b * bandBits + i))
+        when(dot(col("embedding"), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      bits.reduce(_.bitwiseOR(_)).as(s"band_$b")
+    }
+    df.select(col("*") +: bandCols: _*)
+  }
+
+  /** Approximate top-k: candidates = pairs agreeing on ≥1 LSH band, then
+    * exact cosine re-rank within each query's candidate set.
+    */
+  def lshTopK(emb: DataFrame, k: Int, nBands: Int = 4, bandBits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val banded = withBands(emb, nBands, bandBits, dim)
+    val bandIdx = explode(array((0 until nBands).map(b =>
+      struct(lit(b).as("band"), col(s"band_$b").as("sig"))): _*)).as("bs")
+    val keyed = banded.select(col("vec_id"), col("embedding"), bandIdx)
+      .select(col("vec_id"), col("embedding"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val left = keyed.select(col("band"), col("sig"),
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val right = keyed.select(col("band"), col("sig"),
+      col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val cand = left.join(right, Seq("band", "sig"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "q_emb", "n_id", "n_emb")
+      .dropDuplicates("q_id", "n_id") // pairs can agree on several bands
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("n_id").asc)
+    cand.withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "n_id", "rk")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    // Exact cosine top-5 for the first 10 vectors. No oracle (fp cosine
+    // ordering is not DuckDB-stable) → driver records rows-only.
+    QueryDef("similarity_topk",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        bruteTopK(emb.filter(col("vec_id") < 10), emb, 5)
+          .orderBy("q_id", "rk")
+      },
+      None),
+
+    // LSH-bucketed ANN over the whole corpus — the 100 TB-shaped variant.
+    QueryDef("ann_lsh",
+      (s, d) => lshTopK(Tables(s, d, "embeddings"), 5).orderBy("q_id", "rk"),
+      None)
+  )
+}
