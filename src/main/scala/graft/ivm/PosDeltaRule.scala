@@ -78,12 +78,16 @@ object PosDeltaRule extends Rule[LogicalPlan] {
     case u: Union =>
       u.copy(children = u.children.map(PosDelta(_)))
 
-    // Named views/aliases are transparent to delta propagation, but keep the
-    // alias on top so downstream name resolution still works.
-    case a @ SubqueryAlias(_, _: LeafNode) =>
+    // Aliases/views: a catalog-resolved named relation (a [[View]] wrapper,
+    // or an alias registered in [[DeltaSources]]) is a delta-source boundary
+    // — it mirrors the reference's registered-table TableScan (mod.rs:221),
+    // so the marker stops here and the whole wrapper becomes the incremental
+    // scan. A bare alias over a computed subplan (`df.alias("x")` over a
+    // join) stays transparent: the delta propagates into the definition.
+    case a: SubqueryAlias if isDeltaSource(a) || isScanLike(a) =>
       PosDeltaScan(a)
-    case a: SubqueryAlias =>
-      a.copy(child = PosDelta(a.child))
+    case a: SubqueryAlias => a.copy(child = PosDelta(a.child))
+    case v: View => PosDeltaScan(v)
 
     // Base case: the marker reached a table scan.
     case leaf: LeafNode =>
@@ -94,6 +98,21 @@ object PosDeltaRule extends Rule[LogicalPlan] {
         s"PosDelta: no delta rule for operator ${other.nodeName}; " +
           "supported: Project, Filter, inner/cross Join, Union, table scans")
   }
+
+  /** A named-relation scan: a leaf or a catalog [[View]], possibly under
+    * alias wrappers (e.g. `spark.table` of a temp view yields
+    * `SubqueryAlias(View(storedPlan))` — the stored plan is the view's
+    * *definition*, not query structure, so the whole wrapper is the scan).
+    */
+  private def isScanLike(p: LogicalPlan): Boolean = p match {
+    case _: LeafNode => true
+    case _: View => true
+    case SubqueryAlias(_, c) => isScanLike(c)
+    case _ => false
+  }
+
+  private def isDeltaSource(a: SubqueryAlias): Boolean =
+    DeltaSources.tables.contains(a.identifier.name)
 
   /** base(T) propagation: base commutes with every operator the delta
     * envelope supports, so the structure mirrors [[rewrite]] exactly —
@@ -108,10 +127,10 @@ object PosDeltaRule extends Rule[LogicalPlan] {
       j.copy(left = BaseRel(left), right = BaseRel(right))
     case u: Union =>
       u.copy(children = u.children.map(BaseRel(_)))
-    case a @ SubqueryAlias(_, _: LeafNode) =>
+    case a: SubqueryAlias if isDeltaSource(a) || isScanLike(a) =>
       BaseScan(a)
-    case a: SubqueryAlias =>
-      a.copy(child = BaseRel(a.child))
+    case a: SubqueryAlias => a.copy(child = BaseRel(a.child))
+    case v: View => BaseScan(v)
     case leaf: LeafNode =>
       BaseScan(leaf)
     case other =>

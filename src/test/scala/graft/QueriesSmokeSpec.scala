@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query runs at sf0.001 and returns rows; every oracle key
+  * refers to a declared query; the flagship entry is non-empty. (The
+  * value-level check is the driver's DuckDB compare — scripts/local_verify.py
+  * mirrors it for local runs.)
+  */
+class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
+
+  test("oracleSql keys are a subset of queries keys") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
+  }
+
+  test("the 20 declared operator queries are all present") {
+    val declared = Set(
+      "scan", "projection", "filter", "join_inner", "cross_join",
+      "union_all", "agg_group", "distinct", "sort_limit", "window_rank",
+      "scalar_funcs", "delta_scan", "delta_projection", "delta_filter",
+      "delta_join", "delta_cross_join", "delta_union", "dedup_exact",
+      "text_stats", "events_hourly")
+    val missing = declared -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"missing declared queries: $missing")
+    val missingOracle = (declared - "similarity_topk") -- SparkEntry.oracleSql.keySet
+    assert(missingOracle.isEmpty, s"missing oracles: $missingOracle")
+  }
+
+  test("entry (flagship delta_join) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query '$name' runs non-empty at sf0.001") {
+      assert(fn(spark, sfDir).count() > 0, s"$name returned 0 rows")
+    }
+  }
+}

@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.Suite
+
+/** One shared local session per JVM test run (Test / fork := true). */
+trait SparkFixture { self: Suite =>
+  lazy val spark: SparkSession = SparkFixture.session
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+object SparkFixture {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ivm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Property-style test (SURVEY.md §5.4): the delta algebra identity
+  * `delta(Q) == Q(full) − Q(base)` on randomized small tables for
+  * filter/join/union, with randomized key-modulo splits — so the identity
+  * isn't an artifact of the fixed testdata distribution. Seeded PRNG keeps
+  * runs deterministic.
+  */
+class DeltaAlgebraPropSpec extends AnyFunSuite with SparkFixture {
+
+  private val Cases = 8
+
+  private def randTable(rnd: scala.util.Random): List[(Int, Int)] =
+    List.fill(rnd.nextInt(30))((rnd.nextInt(13), rnd.nextInt(6)))
+
+  private def df(data: List[(Int, Int)], kCol: String, vCol: String): DataFrame = {
+    import spark.implicits._
+    data.toDF(kCol, vCol)
+  }
+
+  private def multisetEqual(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  /** Check delta(Q) == Q(full) − Q(base) with tables registered as temp
+    * views (the delta source registry resolves view names) and a random
+    * modulo split per side.
+    */
+  private def checkIdentity(
+      t1: List[(Int, Int)], t2: List[(Int, Int)], m1: Int, m2: Int,
+      q: (DataFrame, DataFrame) => DataFrame): Unit = {
+    df(t1, "k1", "v1").createOrReplaceTempView("prop_t1")
+    df(t2, "k2", "v2").createOrReplaceTempView("prop_t2")
+    DeltaSources.register("prop_t1", s"k1 % $m1 = 0")
+    DeltaSources.register("prop_t2", s"k2 % $m2 = 0")
+    val v1 = spark.table("prop_t1"); val v2 = spark.table("prop_t2")
+    val base1 = v1.filter(expr(s"NOT (k1 % $m1 = 0)"))
+    val base2 = v2.filter(expr(s"NOT (k2 % $m2 = 0)"))
+    val dq = Ivm.delta(q(v1, v2))
+    val expected = q(v1, v2).exceptAll(q(base1, base2))
+    assert(multisetEqual(dq, expected),
+      s"identity failed for m1=$m1 m2=$m2 t1=$t1 t2=$t2")
+  }
+
+  test("property: filter+projection delta identity") {
+    val rnd = new scala.util.Random(1)
+    (1 to Cases).foreach { _ =>
+      checkIdentity(randTable(rnd), Nil, 2 + rnd.nextInt(3), 2,
+        (a, _) => a.filter(col("v1") > 2).select("k1"))
+    }
+  }
+
+  test("property: inner equi-join delta identity") {
+    val rnd = new scala.util.Random(2)
+    (1 to Cases).foreach { _ =>
+      checkIdentity(randTable(rnd), randTable(rnd),
+        2 + rnd.nextInt(3), 2 + rnd.nextInt(3),
+        (a, b) => a.join(b, col("v1") === col("v2"), "inner")
+          .select("k1", "k2"))
+    }
+  }
+
+  test("property: union-all delta identity") {
+    val rnd = new scala.util.Random(3)
+    (1 to Cases).foreach { _ =>
+      checkIdentity(randTable(rnd), randTable(rnd),
+        2 + rnd.nextInt(3), 2 + rnd.nextInt(3),
+        (a, b) => a.select(col("k1").as("k"))
+          .union(b.select(col("k2").as("k"))))
+    }
+  }
+}

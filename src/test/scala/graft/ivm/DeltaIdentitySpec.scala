@@ -1,0 +1,82 @@
+package graft.ivm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.engine.Tables
+
+/** Executed-delta identity: `delta(Q) == Q(full) − Q(base)` as MULTISETS,
+  * for every rewrite case, on real data (sf0.001 parquet). This is the
+  * acceptance criterion the reference could never test (it has no physical
+  * delta source) — SURVEY.md §5.2, pinned here per VERDICT r1 #2.
+  */
+class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
+
+  private def t(n: String): DataFrame = Tables(spark, sfDir, n)
+
+  private def base(n: String): DataFrame = {
+    val pred = DeltaSources.predicateFor(n).get.sql
+    t(n).filter(expr(s"NOT ($pred)"))
+  }
+
+  /** Multiset equality via two-sided exceptAll. */
+  private def assertMultisetEqual(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.exceptAll(b).isEmpty, "delta(Q) has rows not in Q(full)−Q(base)")
+    assert(b.exceptAll(a).isEmpty, "Q(full)−Q(base) has rows not in delta(Q)")
+  }
+
+  private def check(full: DataFrame, baseQ: DataFrame): Unit =
+    assertMultisetEqual(Ivm.delta(full), full.exceptAll(baseQ))
+
+  test("identity: scan") {
+    check(t("orders"), base("orders"))
+  }
+
+  test("identity: projection") {
+    check(
+      t("orders").select("o_orderkey", "o_totalprice"),
+      base("orders").select("o_orderkey", "o_totalprice"))
+  }
+
+  test("identity: filter") {
+    check(
+      t("orders").filter(col("o_orderstatus") === "O").select("o_orderkey"),
+      base("orders").filter(col("o_orderstatus") === "O").select("o_orderkey"))
+  }
+
+  // Overlapping deltas on both sides — exactly the over-count scenario from
+  // ADVICE r1 #1: with full-side mixed arms, δ⋈δ matches are emitted 3×.
+  test("identity: inner join with overlapping deltas") {
+    val cond = col("c_nationkey") === col("n_nationkey")
+    check(
+      t("customer").join(t("nation"), cond, "inner")
+        .select("c_custkey", "n_name"),
+      base("customer").join(base("nation"), cond, "inner")
+        .select("c_custkey", "n_name"))
+  }
+
+  test("identity: cross join") {
+    check(
+      t("region").crossJoin(t("nation")).select("r_name", "n_name"),
+      base("region").crossJoin(base("nation")).select("r_name", "n_name"))
+  }
+
+  test("identity: union all") {
+    val f = (df: DataFrame) =>
+      df.filter(col("o_totalprice") > 150000).select("o_orderkey")
+        .union(df.filter(col("o_orderstatus") === "F").select("o_orderkey"))
+    check(f(t("orders")), f(base("orders")))
+  }
+
+  test("identity: composed query (filter over join under projection)") {
+    val f = (c: DataFrame, n: DataFrame) =>
+      c.join(n, col("c_nationkey") === col("n_nationkey"), "inner")
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_custkey"), col("n_name"))
+    check(
+      f(t("customer"), t("nation")),
+      f(base("customer"), base("nation")))
+  }
+}
