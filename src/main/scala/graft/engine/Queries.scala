@@ -252,7 +252,147 @@ object Queries {
              |SELECT o_orderkey, 'F' AS band FROM orders
              |WHERE o_orderstatus = 'F'
              |  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
-             |ORDER BY o_orderkey, band""".stripMargin))
+             |ORDER BY o_orderkey, band""".stripMargin)),
+
+    // ---- broader inherited SQL surface (outer/semi/anti/multi joins,
+    // having, subqueries, conditional expressions, JSON) ----
+
+    // LEFT OUTER: customers against only their big orders; null-extended
+    // rows kept. Spark's asc = NULLS FIRST; oracle says so explicitly
+    // (DuckDB defaults to NULLS LAST).
+    QueryDef("join_left",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc),
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice
+             |FROM customer LEFT JOIN
+             |  (SELECT * FROM orders WHERE o_totalprice > 400000) o
+             |  ON c_custkey = o_custkey
+             |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin)),
+
+    // LEFT SEMI: customers with ≥1 big order — plans as a semi join (one
+    // probe, no row multiplication), the shape IN/EXISTS decorrelate to.
+    QueryDef("join_semi",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // LEFT ANTI: customers with no completed ('F') order.
+    QueryDef("join_anti",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // 3-way dim join on the fact table (TPC-H Q5 shape): lineitem ⋈ part ⋈
+    // supplier ⋈ nation, revenue per (nation, brand). The three dims are
+    // broadcast; lineitem is scanned once; the only shuffle is the final
+    // 2-key aggregate — the canonical star-join plan at any scale.
+    QueryDef("multi_join",
+      (s, d) => {
+        val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(BigDecimal(1)).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2))))
+        t(s, d, "lineitem")
+          .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name", "p_brand")
+          .agg(sum(rev).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("n_name", "p_brand")
+      },
+      Some("""SELECT n_name, p_brand,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             |    AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name, p_brand
+             |ORDER BY n_name, p_brand""".stripMargin)),
+
+    // GROUP BY + HAVING: market segments per nation with enough customers.
+    QueryDef("agg_having",
+      (s, d) => t(s, d, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"))
+        .filter(col("n_cust") >= 3)
+        .orderBy("c_nationkey", "c_mktsegment"),
+      Some("""SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_cust
+             |FROM customer GROUP BY c_nationkey, c_mktsegment
+             |HAVING COUNT(*) >= 3
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
+    // Scalar subquery: orders above the global average price. The average is
+    // computed exactly (decimal sum / count, double division) so both
+    // engines compare against bit-identical thresholds. Plans as a broadcast
+    // of the 1-row aggregate — no per-row subquery execution.
+    QueryDef("scalar_subquery",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val avgP = o.agg((dsum(col("o_totalprice")) /
+          count(lit(1)).cast("double")).as("avg_price"))
+        o.join(broadcast(avgP))
+          .filter(col("o_totalprice") > col("avg_price"))
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice > (
+             |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // CASE WHEN banding + conditional aggregation.
+    QueryDef("case_when",
+      (s, d) => t(s, d, "orders")
+        .select(
+          when(col("o_totalprice") > 300000, lit("high"))
+            .when(col("o_totalprice") > 150000, lit("mid"))
+            .otherwise(lit("low")).as("band"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .groupBy("band", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("band", "o_orderstatus"),
+      Some("""SELECT CASE WHEN o_totalprice > 300000 THEN 'high'
+             |            WHEN o_totalprice > 150000 THEN 'mid'
+             |            ELSE 'low' END AS band,
+             |  o_orderstatus, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY 1, 2
+             |ORDER BY band, o_orderstatus""".stripMargin)),
+
+    // JSON extraction from the events.props payload column.
+    QueryDef("events_json",
+      (s, d) => t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
   )
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
