@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` shape
+  * (event_id, ts, user_id, event_type, value): the streaming counterpart of
+  * the batch `events_hourly` rollup, plus stateful sessionization.
+  *
+  * The reference is a batch plan-rewrite prototype with no streaming runtime
+  * (SURVEY.md §2C); this module supplies the Spark-native streaming surface
+  * a user of the inherited engine would reach for — `readStream` in,
+  * watermark + windowed aggregation, `flatMapGroupsWithState` for custom
+  * session state, `writeStream` out.
+  *
+  * Scale notes: state is partitioned by grouping key across executors
+  * (hash shuffle), the watermark bounds state size (late rows beyond it are
+  * dropped and their state evicted), and each micro-batch is an ordinary
+  * Catalyst plan — pushdown/codegen apply to the stateless prefix.
+  */
+/** One raw event (a typed row of the `events` stream). */
+final case class Event(ts: java.sql.Timestamp, userId: Long,
+    eventType: String, value: Double)
+
+/** One closed user session emitted by [[EventStreams.sessionize]]. */
+final case class Session(userId: Long, nEvents: Long, totalValue: Double,
+    startTs: java.sql.Timestamp, endTs: java.sql.Timestamp)
+
+/** Per-user in-flight session state (top-level: state-store encoders
+  * codegen against the class, which must be publicly constructible).
+  */
+final case class SessionState(nEvents: Long, totalValue: Double,
+    startMs: Long, lastMs: Long)
+
+object EventStreams {
+
+  /** Tumbling-window event counts with a watermark: the streaming twin of
+    * the batch `events_hourly` query. `ts` must be a TimestampType column.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Gap-based sessionization: a user's session closes after `gapMs` of
+    * event-time inactivity (enforced via event-time timeout against the
+    * watermark). Emits one row per closed session.
+    *
+    * State per user is O(1) (four numbers), so total state is bounded by
+    * |active users| — the design that survives 100 TB/day event volumes.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      watermark: String = "30 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.nEvents, s.totalValue,
+              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs)))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(SessionState(s.nEvents + 1, s.totalValue + e.value,
+                    s.startMs, math.max(s.lastMs, t)))
+                case Some(s) =>
+                  closed ::= Session(userId, s.nEvents, s.totalValue,
+                    new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs))
+                  cur = Some(SessionState(1L, e.value, t, t))
+                case None =>
+                  cur = Some(SessionState(1L, e.value, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the session once the watermark passes last event + gap
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

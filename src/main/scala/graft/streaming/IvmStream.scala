@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ivm.{DeltaSources, Ivm}
+
+/** Incremental view maintenance over an append-only stream: the runtime
+  * loop the reference's plan rewrite exists for, driven by Structured
+  * Streaming micro-batches.
+  *
+  * Model (SURVEY.md §7.4): the base table only ever receives appends, with a
+  * monotonically increasing id column; "delta since snapshot k" is the range
+  * predicate `id > k` — exactly the registered-predicate contract
+  * [[DeltaSources]] resolves [[graft.ivm.PosDeltaScan]] against, and the
+  * form that parquet min/max stats prune at scale.
+  *
+  * Per micro-batch: advance the snapshot point, re-register the delta
+  * predicate, run the SAME batch delta rewrite (`Ivm.delta`) over the
+  * query, and append δQ to the materialized-view sink (a parquet table —
+  * no driver-side collect anywhere). Because the rewrite's identity is
+  * `δQ == Q(full) − Q(base)` (DeltaIdentitySpec), the accumulated sink
+  * always equals a full recompute — pinned by `IncrementalViewSpec`.
+  *
+  * The query must be inside the delta envelope (Project/Filter/inner-cross
+  * Join/Union — no aggregates), mirroring the reference's rewrite coverage.
+  */
+final class IncrementalView(
+    spark: SparkSession,
+    table: String,
+    idCol: String,
+    query: DataFrame => DataFrame,
+    sinkPath: String) {
+
+  private var highMark: Long = Long.MinValue
+
+  /** Fold the current full table state (previous rows + newly appended
+    * rows); every row with `idCol` > the previous high mark is the delta.
+    * δQ for the batch is appended to the sink, executor-side.
+    */
+  def update(fullTable: DataFrame): Unit = {
+    val newHigh = fullTable.agg(max(col(idCol))).head() match {
+      case r if r.isNullAt(0) => highMark
+      case r => r.getLong(0)
+    }
+    if (newHigh > highMark) {
+      DeltaSources.register(table, s"$idCol > $highMark")
+      fullTable.createOrReplaceTempView(table)
+      Ivm.delta(query(spark.table(table)))
+        .write.mode("append").parquet(sinkPath)
+      highMark = newHigh
+    }
+  }
+
+  /** The maintained view: the sink table all δQ batches were appended to. */
+  def result: DataFrame = spark.read.parquet(sinkPath)
+}
+
+object IvmStream {
+
+  /** Attach an [[IncrementalView]] to a streaming source of appends: each
+    * micro-batch is folded into the accumulated base table (caller-supplied
+    * `accumulate`, e.g. append-to-parquet + re-read) and run through the
+    * delta rewrite. Call `.start()` on the returned writer.
+    */
+  def maintain(
+      view: IncrementalView,
+      appends: DataFrame,
+      accumulate: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    appends.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      view.update(accumulate(batch))
+    }
+}

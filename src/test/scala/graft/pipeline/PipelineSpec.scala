@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.engine.Tables
+
+/** Library-level behavior of the dedup / multimodal APIs (beyond the
+  * oracle-checked query surface): LSH candidate recall against the exact
+  * Jaccard pairs, SimHash distance pairing, and the decode harness.
+  */
+class PipelineSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val docs: DataFrame = Tables(spark, sfDir, "documents")
+
+  /** The exact near-dup pairs (trigram Jaccard ≥ 0.5, df-cutoff as in the
+    * dedup_ngram query) — ground truth for the sketch-based paths.
+    */
+  private lazy val exactPairs: Set[(Long, Long)] =
+    graft.SparkEntry.queries("dedup_ngram")(spark, sfDir)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH candidates recall the exact near-dup pairs") {
+    val cand = Dedup.minhashCandidates(docs, bands = 3, rows = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "fixture has no planted near-dups")
+    val recalled = exactPairs.intersect(cand)
+    val recall = recalled.size.toDouble / exactPairs.size
+    assert(recall >= 0.8,
+      s"LSH recall $recall: missed ${exactPairs -- cand}")
+    // precision sanity: candidates are a small fraction of all pairs
+    val nDocs = docs.count()
+    assert(cand.size < nDocs * nDocs / 20,
+      s"candidate set degenerate: ${cand.size} pairs")
+  }
+
+  test("simhash signatures are 16-bit and near-dups land close") {
+    val sigs = Dedup.simhash(docs)
+    val range = sigs.agg(min("simhash"), max("simhash")).head()
+    assert(range.getLong(0) >= 0L && range.getLong(1) < (1L << 16))
+    // planted near-dups should sit within a small Hamming distance
+    val pairs = Dedup.simhashPairs(docs, maxDist = 3)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = exactPairs.intersect(pairs)
+    assert(hit.size.toDouble / exactPairs.size >= 0.5,
+      s"simhash caught only ${hit.size}/${exactPairs.size} planted pairs")
+  }
+
+  test("decodeAll: one decoded row per media blob, deterministic stub values") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val decoded = Multimodal.decodeAll(media).cache()
+    assert(decoded.count() == media.count())
+    // cross-check one row against the stub arithmetic
+    val sample = docs.select("doc_id", "text").orderBy("doc_id").head()
+    val bytes = sample.getString(1).getBytes("UTF-8")
+    val expect = Multimodal.StubDecoder.decode(sample.getLong(0), bytes)
+    val got = decoded.filter(col("media_id") === sample.getLong(0)).head()
+    assert(got == expect, s"stub decode mismatch: $got vs $expect")
+    decoded.unpersist()
+  }
+
+  test("embedding near-dups: LSH path agrees with brute-force at threshold") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val lsh = Dedup.embeddingNearDups(emb, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the (small) fixture: all pairs above threshold
+    val brute = emb.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+      .join(emb.select(col("vec_id").as("d2"), col("embedding").as("e2")),
+        col("d1") < col("d2"))
+      .withColumn("cos", Similarity.cosine(col("e1"), col("e2")))
+      .filter(col("cos") >= 0.45)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "LSH produced a pair below threshold")
+    assert(brute.isEmpty || lsh.size.toDouble / brute.size >= 0.5,
+      s"LSH recall ${lsh.size}/${brute.size}")
+  }
+}

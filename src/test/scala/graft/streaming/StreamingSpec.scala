@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.streaming.Event
+
+/** Structured-Streaming surface: windowed counts, stateful sessionization,
+  * and the streaming IVM loop, all driven through MemoryStream micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("hourlyCounts: tumbling-window counts over a watermarked stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.hourlyCounts(
+        in.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      in.addData((ts(5), "click", 1.0), (ts(10), "click", 2.0),
+        (ts(20), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select("event_type", "cnt", "sum_value")
+        .orderBy("event_type").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap-based sessions close via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS(), gapMs = 5 * 60 * 1000,
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 2min apart (one session), then 20min silence
+      in.addData(Event(ts(0), 1L, "click", 1.0), Event(ts(2), 1L, "view", 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past user 1's gap so the timeout fires
+      in.addData(Event(ts(40), 2L, "click", 7.0))
+      q.processAllAvailable()
+      in.addData(Event(ts(59), 3L, "click", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .select("userId", "nEvents", "totalValue").orderBy("userId").collect()
+      assert(sessions.nonEmpty, "no session closed")
+      val u1 = sessions.find(_.getLong(0) == 1L)
+      assert(u1.isDefined, s"user 1 session missing: ${sessions.mkString}")
+      assert(u1.get.getLong(1) == 2L && u1.get.getDouble(2) == 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming IVM: maintained view equals full recompute after N batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val dir = Files.createTempDirectory("ivm_stream").toString
+    val basePath = s"$dir/base"
+    val sinkPath = s"$dir/sink"
+
+    // envelope-limited query: filter + projection over the streamed table
+    val view = new IncrementalView(spark, "sev", "event_id",
+      df => df.filter(col("value") > 0.5).select("event_id", "value"),
+      sinkPath)
+
+    val in = MemoryStream[(Long, Double)]
+    val accumulate: DataFrame => DataFrame = { batch =>
+      batch.toDF("event_id", "value").write.mode("append").parquet(basePath)
+      spark.read.parquet(basePath)
+    }
+    val q = IvmStream.maintain(view, in.toDF(), accumulate).start()
+    try {
+      in.addData((1L, 0.9), (2L, 0.1), (3L, 0.7))
+      q.processAllAvailable()
+      in.addData((4L, 0.2), (5L, 0.8))
+      q.processAllAvailable()
+      in.addData((6L, 0.95))
+      q.processAllAvailable()
+
+      val maintained = view.result.orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val recomputed = spark.read.parquet(basePath)
+        .filter(col("value") > 0.5).select("event_id", "value")
+        .orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(maintained == recomputed,
+        s"maintained=$maintained recomputed=$recomputed")
+      assert(maintained == Seq((1L, 0.9), (3L, 0.7), (5L, 0.8), (6L, 0.95)))
+    } finally q.stop()
+  }
+}
