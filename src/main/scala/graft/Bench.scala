@@ -21,6 +21,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up before timing: session/codegen machinery + file listing and
+    // parquet footers of every table, so the first measured query reflects
+    // steady state rather than JVM startup.
+    import graft.engine.Tables
+    Tables.names.foreach { t =>
+      try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
     var failed = List.empty[String]
     val results = names.map { name =>

@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.sqrt
+import org.apache.spark.sql.graft.VecColumns
+
+/** Public API over the native float-vector kernels
+  * ([[org.apache.spark.sql.graft.FloatVecDot]] — a fused codegen loop).
+  */
+object VecFunctions {
+
+  /** Σ aᵢ·bᵢ (doubles accumulate float products). */
+  def vecDot(a: Column, b: Column): Column = VecColumns.vecDot(a, b)
+
+  def vecNorm(a: Column): Column = sqrt(vecDot(a, a))
+
+  def vecCosine(a: Column, b: Column): Column =
+    vecDot(a, b) / (vecNorm(a) * vecNorm(b))
+}

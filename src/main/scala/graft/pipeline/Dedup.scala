@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{QueryDef, Tables}
+import graft.engine.{Par, QueryDef, Tables}
 
 /** Near-duplicate detection for an LLM-training-data corpus: MinHash+LSH,
   * SimHash, and exact n-gram Jaccard — the standard web-scale dedup ladder
@@ -47,23 +47,48 @@ object Dedup {
         .otherwise(array().cast("array<string>")))
   }
 
-  /** One MinHash value: lexicographic min over md5("h<seed>|" + shingle). */
-  def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(s"h$seed|"), s).cast("binary"))))
+  /** Exploded DISTINCT trigram rows (doc_id, s) — the relational/codegen
+    * form of [[shingles]]: posexplode + windowed `lead` + concat, all
+    * compiled expressions. The array-HOF form (`transform`/`array_distinct`)
+    * is interpreted per element (LambdaFunction has no codegen) and measured
+    * ~5× slower on the sf0.1 corpus; this is the form every downstream
+    * dedup stage builds on.
+    */
+  def shingleRows(docs: DataFrame): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    Par.spread(docs)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "w")
+      .select(col("doc_id"), col("w"),
+        lead("w", 1).over(win).as("w1"), lead("w", 2).over(win).as("w2"))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
+      .distinct()
+  }
 
-  /** doc_id + H minhash signature columns mh0..mh{H-1}. */
+  /** doc_id + H minhash signature columns mh0..mh{H-1}: per-doc minima of
+    * seed-prefixed md5 digests, one codegen'd hash aggregate.
+    */
   def signatures(docs: DataFrame, h: Int): DataFrame =
-    docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-      .select(
-        col("doc_id") +:
-          (0 until h).map(i => minhash(col("sh"), i).as(s"mh$i")): _*)
+    signaturesFromRows(shingleRows(docs), h)
+
+  def signaturesFromRows(rows: DataFrame, h: Int): DataFrame =
+    rows.groupBy("doc_id")
+      .agg(
+        min(md5(concat(lit("h0|"), col("s")).cast("binary"))).as("mh0"),
+        (1 until h).map(i =>
+          min(md5(concat(lit(s"h$i|"), col("s")).cast("binary"))).as(s"mh$i")): _*)
 
   /** LSH candidate pairs: documents agreeing on ≥1 band of `rows` minhashes
     * (P[candidate] ≈ 1-(1-j^rows)^bands). Band-key equality join — inverted
     * index, never cross join; at scale AQE splits skewed bands.
     */
-  def minhashCandidates(docs: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val sigs = signatures(docs, bands * rows)
+  def minhashCandidates(docs: DataFrame, bands: Int, rows: Int): DataFrame =
+    candidatesFromSignatures(signatures(docs, bands * rows), bands, rows)
+
+  def candidatesFromSignatures(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
     val banded = sigs.select(
         col("doc_id"),
         explode(array((0 until bands).map(b =>
@@ -87,7 +112,7 @@ object Dedup {
     * signature sets bits with a positive vote sum.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val hashed = docs
+    val hashed = Par.spread(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), md5(col("w").cast("binary")).as("m"))
     // vote for bit b (0..15): nibble b/4 of the digest, bit 3-b%4 within it
@@ -139,17 +164,44 @@ object Dedup {
       col("vec_id").as("d1"), col("embedding").as("e1"))
     val r = keyed.select(col("band"), col("sig"),
       col("vec_id").as("d2"), col("embedding").as("e2"))
+    // cosine + threshold INSIDE the join's output pipeline (codegen, no
+    // exchange), so embedding arrays never shuffle; the distinct that
+    // collapses band-duplicate pairs sees only the few surviving id pairs
     l.join(r, Seq("band", "sig"))
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2", "e1", "e2").dropDuplicates("d1", "d2")
-      .withColumn("cos", Similarity.cosine(col("e1"), col("e2")))
-      .filter(col("cos") >= minCos)
+      .filter(Similarity.cosine(col("e1"), col("e2")) >= minCos)
       .select("d1", "d2")
+      .distinct()
   }
 
-  /** Shingle document-frequency cutoff for the exact-Jaccard query. */
+  /** Shingle document-frequency cutoff for the exact all-pairs API. */
   private val DfCutoff = 50
   private val JaccardMin = 0.5
+
+  /** Exact all-pairs trigram Jaccard via inverted-index join, with a
+    * hot-shingle df cutoff. Ground truth for the sketch paths (specs) —
+    * inherently Σdf² pair rows, so NOT the declared query at scale; the
+    * `dedup_ngram` query runs the candidates-then-verify ladder instead.
+    */
+  def exactJaccardPairs(docs: DataFrame, dfCutoff: Int = DfCutoff,
+      minJ: Double = JaccardMin): DataFrame = {
+    val ws = shingleRows(docs)
+    val keep = ws.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCutoff).select("s")
+    val ws2 = ws.join(keep, "s")
+    val sz = ws2.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = ws2.as("a").join(ws2.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    val j = col("i").cast("double") /
+      (col("n1") + col("n2") - col("i")).cast("double")
+    inter
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"), j.as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+  }
 
   private val ShinglesCte =
     """WITH ws AS (
@@ -192,20 +244,22 @@ object Dedup {
            |FROM v ORDER BY doc_id""".stripMargin
       }),
 
-    // Exact trigram-Jaccard near-dup pairs via inverted-index join, with the
-    // hot-shingle document-frequency cutoff.
+    // Trigram-Jaccard near-dup pairs via the full dedup ladder: minhash
+    // sketch → LSH banding candidates → exact Jaccard verify on candidates
+    // only. The all-pairs inverted-index form (exactJaccardPairs) is Σdf²
+    // in pair rows — quadratic in co-occurring docs — while this pipeline
+    // is |candidates| × shingles: the shape that survives 100 TB.
     QueryDef("dedup_ngram",
       (s, d) => {
-        val ws = t(s, d, "documents")
-          .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-        val keep = ws.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= DfCutoff).select("s")
-        val ws2 = ws.join(keep, "s")
-        val sz = ws2.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = ws2.as("a").join(ws2.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .agg(count(lit(1)).as("i"))
+        val ws = shingleRows(t(s, d, "documents"))
+        val cand = candidatesFromSignatures(
+          signaturesFromRows(ws, 6), bands = 3, rows = 2)
+        val sz = ws.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(ws.as("w1"), col("w1.doc_id") === col("d1"))
+          .join(ws.as("w2"),
+            col("w2.doc_id") === col("d2") && col("w2.s") === col("w1.s"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
         val j = col("i").cast("double") /
           (col("n1") + col("n2") - col("i")).cast("double")
         inter
@@ -216,12 +270,21 @@ object Dedup {
           .orderBy("d1", "d2")
       },
       Some(s"""$ShinglesCte,
-             |keep AS (SELECT s FROM ws GROUP BY s HAVING COUNT(*) <= $DfCutoff),
-             |ws2 AS (SELECT ws.doc_id, ws.s FROM ws JOIN keep USING (s)),
-             |sz AS (SELECT doc_id, COUNT(*) AS n FROM ws2 GROUP BY doc_id),
+             |sig AS (SELECT doc_id,
+             |${(0 until 6).map(i => s"  min(md5('h$i|' || s)) AS mh$i")
+                 .mkString(",\n")}
+             |  FROM ws GROUP BY doc_id),
+             |bands AS (SELECT doc_id, mh0 || mh1 AS b0, mh2 || mh3 AS b1,
+             |    mh4 || mh5 AS b2 FROM sig),
+             |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             |  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+             |    AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2)),
+             |sz AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
              |inter AS (
-             |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-             |  FROM ws2 a JOIN ws2 b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  SELECT c.d1, c.d2, COUNT(*) AS i
+             |  FROM cand c
+             |  JOIN ws w1 ON w1.doc_id = c.d1
+             |  JOIN ws w2 ON w2.doc_id = c.d2 AND w2.s = w1.s
              |  GROUP BY 1, 2)
              |SELECT d1, d2,
              |  CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) AS jaccard

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.engine.{QueryDef, Tables}
+import graft.engine.{Par, QueryDef, Tables}
 
 /** Multimodal-column plumbing: media (image/audio/video) modeled as opaque
   * `binary` columns with typed metadata, plus a decode/feature-extract stage.
@@ -66,7 +66,7 @@ object Multimodal {
   def decodeAll(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val enc = RowEncoder.encoderFor(decodedSchema)
-    media.select("media_id", "media").mapPartitions { rows =>
+    Par.spread(media.select("media_id", "media")).mapPartitions { rows =>
       // real path: val codec = Codec.open(); rows.map(... codec.decode ...)
       rows.map(r => StubDecoder.decode(r.getLong(0), r.getAs[Array[Byte]](1)))
     }(enc)

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{QueryDef, Tables}
+import graft.engine.{Par, QueryDef, Tables}
 
 /** Text-analysis operators for an LLM-training-data pipeline over the
   * `documents` table: token counting, quality scoring, language-ID and
@@ -19,7 +19,7 @@ import graft.engine.{QueryDef, Tables}
 object TextOps {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
-    Tables(s, dir, n)
+    Par.spread(Tables(s, dir, n))  // regex-heavy per-row stages: see Par
 
   /** Whitespace word count as pure arithmetic (dialect-safe, see
     * PipelineQueries.wordCount).

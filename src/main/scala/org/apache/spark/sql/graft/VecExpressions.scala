@@ -1,0 +1,75 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native float-vector dot product as a codegen'd Catalyst expression.
+  *
+  * Spark's higher-order functions (`zip_with` + `aggregate`) express a dot
+  * product declaratively but are CodegenFallback: every row pays lambda-
+  * variable binding and an intermediate array allocation, and the enclosing
+  * operator drops out of whole-stage codegen. For the similarity/ANN path —
+  * O(|pairs| × dim) dot products in the hot loop — a fused loop over the
+  * underlying `ArrayData` keeps the whole stage codegen'd. This is the one
+  * place the engine needs a custom `Expression`; everything else uses
+  * built-ins (extension-preference order per the builder brief).
+  *
+  * Lives in the `org.apache.spark.sql` namespace because the expression API
+  * surface it extends (`AbstractDataType`, `ExpressionUtils`) is
+  * `private[sql]` — the standard shim idiom, see [[GraftSql]].
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level constructors for the native kernels (Expression → Column
+  * wrapping needs `private[sql]` ExpressionUtils, hence here; the public
+  * user-facing API is `graft.functions.VecFunctions`).
+  */
+object VecColumns {
+  def vecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      FloatVecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

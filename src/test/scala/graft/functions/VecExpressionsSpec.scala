@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** The native vec_dot kernel: interpreted vs codegen agreement, null
+  * handling, and mixed-type (double-literal) operands.
+  */
+class VecExpressionsSpec extends AnyFunSuite with SparkFixture {
+
+  private def mkDf = {
+    import spark.implicits._
+    Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+      (2L, Seq(0.0f, 0.0f), Seq(1.0f, 1.0f)),
+      (3L, null, Seq(1.0f))
+    ).toDF("id", "a", "b")
+  }
+
+  test("vec_dot computes the dot product (interpreted and codegen paths)") {
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try {
+        val rows = mkDf.select(col("id"), VecFunctions.vecDot(col("a"), col("b")))
+          .orderBy("id").collect()
+        assert(rows(0).getDouble(1) == 32.0, s"mode=$codegen")
+        assert(rows(1).getDouble(1) == 0.0)
+        assert(rows(2).isNullAt(1), "null input must yield null")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("vec_cosine of identical vectors is 1.0") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val c = df.select(VecFunctions.vecCosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("double-array literals implicit-cast into the float kernel") {
+    import spark.implicits._
+    val df = Seq(Seq(1.0f, 1.0f)).toDF("a")
+    val v = df.select(
+        VecFunctions.vecDot(col("a"), typedLit(Seq(2.0, 3.0))).as("d"))
+      .head().getDouble(0)
+    assert(v == 5.0)
+  }
+}

@@ -15,13 +15,24 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
 
   private lazy val docs: DataFrame = Tables(spark, sfDir, "documents")
 
-  /** The exact near-dup pairs (trigram Jaccard ≥ 0.5, df-cutoff as in the
-    * dedup_ngram query) — ground truth for the sketch-based paths.
+  /** The exact all-pairs near-dups (trigram Jaccard ≥ 0.5) — ground truth
+    * for the sketch-based paths (the declared dedup_ngram query is the
+    * LSH-accelerated ladder, so it can't serve as its own ground truth).
     */
   private lazy val exactPairs: Set[(Long, Long)] =
-    graft.SparkEntry.queries("dedup_ngram")(spark, sfDir)
+    Dedup.exactJaccardPairs(docs)
       .select("d1", "d2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("dedup_ngram ladder recalls the exact all-pairs near-dups") {
+    val ladder = graft.SparkEntry.queries("dedup_ngram")(spark, sfDir)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ladder.subsetOf(exactPairs.union(ladder)), "sanity")
+    val recall = exactPairs.intersect(ladder).size.toDouble /
+      math.max(exactPairs.size, 1)
+    assert(recall >= 0.8, s"ladder recall $recall vs ${exactPairs.size} exact")
+  }
 
   test("minhash LSH candidates recall the exact near-dup pairs") {
     val cand = Dedup.minhashCandidates(docs, bands = 3, rows = 2)
