@@ -166,9 +166,10 @@ object ResolvePosDeltaScan extends Rule[LogicalPlan] {
   }
 
   /** Resolve the registered predicate's attributes against the scan output
-    * and coerce literal operands, so the rule is usable both pre-analysis
-    * (Ivm.delta eager path — analyzer would do this anyway) and inside the
-    * optimizer (IvmExtensions path — plans there must already be resolved).
+    * and coerce literal operands. The eager `Ivm.delta` path re-runs the
+    * analyzer anyway; resolving here as well keeps the rule self-contained
+    * so it could also run post-analysis (e.g. from an injected optimizer
+    * rule) where nothing would resolve the names for us.
     */
   private def resolveAgainst(pred: Expression, scan: LogicalPlan): Expression = {
     val named = pred.transformUp {
