@@ -254,6 +254,35 @@ object Queries {
              |  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
              |ORDER BY o_orderkey, band""".stripMargin)),
 
+    // Aggregate view maintenance (extension beyond the reference envelope,
+    // graft.ivm.IvmAgg): the Spark side computes merge(Q(base), δpartial) —
+    // a genuinely different plan from a direct aggregate — while the oracle
+    // aggregates the full table directly; equality pins the merge algebra
+    // against an independent engine. Sums stay DECIMAL through the merge and
+    // cast to DOUBLE only at the end, so fp association cannot differ.
+    QueryDef("delta_agg",
+      (s, d) => {
+        import graft.ivm.{DeltaSources, IvmAgg}
+        val q = (df: DataFrame) => df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_price"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+        val full = t(s, d, "orders")
+        val basePred = DeltaSources.predicateFor("orders").get.sql
+        val baseView = q(full.filter(expr(s"NOT ($basePred)")))
+        IvmAgg.merge(baseView, IvmAgg.deltaPartial(q(full)))
+          .select(col("o_orderstatus"), col("cnt"),
+            col("sum_price").cast("double").as("sum_price"),
+            col("min_key"), col("max_key"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
     // ---- broader inherited SQL surface (outer/semi/anti/multi joins,
     // having, subqueries, conditional expressions, JSON) ----
 

@@ -1,0 +1,120 @@
+package graft.ivm
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftSql
+
+/** Incremental maintenance for GROUPED AGGREGATES under insert-only deltas —
+  * an extension beyond the reference's rewrite envelope (which declines
+  * aggregates, `src/optimizer_rules/mod.rs:187`; [[PosDeltaRule]] keeps that
+  * fail-fast contract at the marker level).
+  *
+  * An aggregate's delta is not a row multiset (existing groups change
+  * value), so `δQ == Q(full) − Q(base)` cannot hold; the correct contract is
+  * a MERGEABLE PARTIAL: apply the same aggregation to the delta rows only
+  * (child rewritten through the standard delta algebra), then combine into
+  * the materialized aggregate group-wise:
+  *
+  *   SUM/COUNT → add, MIN → least, MAX → greatest
+  *   (AVG is maintained as SUM+COUNT by the caller)
+  *
+  * which is exactly Spark's own partial-aggregation combine semantics lifted
+  * to view maintenance. `merge(Q(base), deltaPartial(Q)) ≡ Q(full)` is
+  * pinned by `IvmAggSpec`, including delta-only (previously unseen) groups.
+  *
+  * At scale: the partial is aggregated over the (pruned, small) δ scan and
+  * the merge is a key-equality outer join against the materialized view —
+  * in production an upsert/MERGE INTO on the view's key (Delta Lake/Iceberg
+  * sinks); here expressed as a join so the algebra is engine-checkable.
+  */
+object IvmAgg {
+
+  /** One mergeable output column of a grouped aggregate. */
+  final case class MergeSpec(name: String, combine: (Column, Column) => Column)
+
+  /** A delta partial plus the recipe to fold it into the materialized view. */
+  final case class AggDelta(partial: DataFrame, keys: Seq[String],
+      specs: Seq[MergeSpec])
+
+  /** Decompose an Aggregate-rooted query: rewrite its child through the
+    * delta algebra and re-aggregate, yielding the mergeable partial.
+    * Fails fast (like the marker rule) on non-decomposable aggregates:
+    * DISTINCT, FILTER clauses, or functions outside SUM/COUNT/MIN/MAX.
+    */
+  def deltaPartial(df: Dataset[_]): AggDelta = {
+    val spark = df.sparkSession
+    GraftSql.analyzed(df) match {
+      case Aggregate(groupExprs, aggExprs, child, _) =>
+        val keys = groupExprs.map {
+          case a: Attribute => a.name
+          case Alias(_, name) => name
+          case other => throw new UnsupportedOperationException(
+            s"IvmAgg: group expression must be a column or alias, got $other")
+        }
+        val specs = aggExprs.flatMap(mergeSpecOf(_, keys.toSet))
+        val deltaChild = ResolvePosDeltaScan(PosDeltaRule(PosDelta(child)))
+        val partial = GraftSql.ofRows(spark,
+          Aggregate(groupExprs, aggExprs, deltaChild))
+        AggDelta(partial, keys, specs)
+      case other => throw new UnsupportedOperationException(
+        s"IvmAgg: root operator must be Aggregate, got ${other.nodeName}")
+    }
+  }
+
+  private def mergeSpecOf(ne: NamedExpression, keys: Set[String]): Option[MergeSpec] = {
+    def combineOf(e: Expression): (Column, Column) => Column = e match {
+      case ae: AggregateExpression =>
+        if (ae.isDistinct) throw new UnsupportedOperationException(
+          s"IvmAgg: DISTINCT aggregate '${ne.name}' is not insert-mergeable")
+        if (ae.filter.isDefined) throw new UnsupportedOperationException(
+          s"IvmAgg: FILTER clause on '${ne.name}' is not supported")
+        ae.aggregateFunction match {
+          case _: Sum | _: Count =>
+            (m, d) => when(m.isNull, d).when(d.isNull, m).otherwise(m + d)
+          case _: Min => (m, d) => least(m, d)
+          case _: Max => (m, d) => greatest(m, d)
+          case f => throw new UnsupportedOperationException(
+            s"IvmAgg: aggregate function ${f.prettyName} on '${ne.name}' is " +
+              "not insert-mergeable; supported: sum, count, min, max " +
+              "(maintain avg as sum + count)")
+        }
+      case Alias(inner, _) => combineOf(inner)
+      case other => throw new UnsupportedOperationException(
+        s"IvmAgg: output '${ne.name}' mixes aggregate and scalar expressions " +
+          s"($other); supported shape: plain columns and aliased aggregates")
+    }
+    ne match {
+      case a: AttributeReference if keys.contains(a.name) => None
+      case Alias(_: Attribute, name) if keys.contains(name) => None
+      case _ => Some(MergeSpec(ne.name, combineOf(ne match {
+        case Alias(inner, _) => inner
+        case other => other
+      })))
+    }
+  }
+
+  /** Fold a delta partial into the materialized aggregate: full-outer join
+    * on the group keys, column-wise combine. Null-safe key equality keeps
+    * NULL group values as one group (SQL GROUP BY semantics).
+    */
+  def merge(view: DataFrame, delta: AggDelta): DataFrame = {
+    val keys = delta.keys
+    val m = view.select(view.columns.map(c => col(c).as(s"m_$c")).toSeq: _*)
+    val d = delta.partial.select(
+      delta.partial.columns.map(c => col(c).as(s"d_$c")).toSeq: _*)
+    val cond = keys.map(k => col(s"m_$k") <=> col(s"d_$k")).reduce(_ && _)
+    m.join(d, cond, "full_outer").select(
+      keys.map(k => coalesce(col(s"m_$k"), col(s"d_$k")).as(k)) ++
+        delta.specs.map(sp =>
+          sp.combine(col(s"m_${sp.name}"), col(s"d_${sp.name}")).as(sp.name)): _*)
+  }
+
+  /** One-shot convenience: the maintained result of an aggregate query
+    * given its materialized base state — `merge(baseView, deltaPartial(q))`.
+    */
+  def maintain(baseView: DataFrame, q: Dataset[_]): DataFrame =
+    merge(baseView, deltaPartial(q))
+}

@@ -1,0 +1,83 @@
+package graft.ivm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.engine.Tables
+
+/** Aggregate view maintenance: `merge(Q(base), deltaPartial(Q)) ≡ Q(full)`
+  * for sum/count/min/max — the insert-only aggregate-delta contract
+  * (extension beyond the reference envelope; [[IvmAgg]]).
+  */
+class IvmAggSpec extends AnyFunSuite with SparkFixture {
+
+  private def t(n: String): DataFrame = Tables(spark, sfDir, n)
+
+  private def base(n: String): DataFrame = {
+    val pred = DeltaSources.predicateFor(n).get.sql
+    t(n).filter(expr(s"NOT ($pred)"))
+  }
+
+  private def assertSetEqual(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.exceptAll(b).isEmpty, "maintained has rows recompute lacks")
+    assert(b.exceptAll(a).isEmpty, "recompute has rows maintained lacks")
+  }
+
+  private def q(df: DataFrame): DataFrame =
+    df.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("o_totalprice")).as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+
+  test("maintained aggregate equals full recompute (sum/count/min/max)") {
+    val maintained = IvmAgg.maintain(q(base("orders")), q(t("orders")))
+    // double SUM is order-sensitive; compare through a decimal round so the
+    // algebraic identity (not fp association) is what's under test
+    def canon(df: DataFrame): DataFrame = df.select(
+      col("o_orderstatus"), col("o_orderpriority"), col("cnt"),
+      round(col("sum_price"), 2).as("sum_price"),
+      col("min_key"), col("max_key"))
+    assertSetEqual(canon(maintained), canon(q(t("orders"))))
+  }
+
+  test("delta-only groups (unseen in base) appear after merge") {
+    // group by delta membership itself: base view has only the base group
+    val full = t("orders").withColumn("is_delta",
+      expr(DeltaSources.predicateFor("orders").get.sql))
+    // register a standalone table for the delta source: reuse orders split
+    val g = (df: DataFrame) => df.groupBy("is_delta")
+      .agg(count(lit(1)).as("cnt"))
+    val baseDf = base("orders").withColumn("is_delta", lit(false))
+    val delta = IvmAgg.deltaPartial(g(full))
+    val merged = IvmAgg.merge(g(baseDf), delta)
+    val got = merged.orderBy("is_delta").collect()
+      .map(r => (r.getBoolean(0), r.getLong(1))).toMap
+    val expect = g(full).orderBy("is_delta").collect()
+      .map(r => (r.getBoolean(0), r.getLong(1))).toMap
+    assert(got == expect, s"got $got expect $expect")
+  }
+
+  test("fails fast on non-mergeable aggregates with a clear message") {
+    val avgQ = t("orders").groupBy("o_orderstatus")
+      .agg(avg(col("o_totalprice")).as("avg_price"))
+    val e1 = intercept[UnsupportedOperationException](IvmAgg.deltaPartial(avgQ))
+    assert(e1.getMessage.contains("avg") || e1.getMessage.contains("average"),
+      e1.getMessage)
+
+    val distinctQ = t("orders").groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("nd"))
+    val e2 = intercept[UnsupportedOperationException](
+      IvmAgg.deltaPartial(distinctQ))
+    assert(e2.getMessage.toLowerCase.contains("distinct"), e2.getMessage)
+  }
+
+  test("non-aggregate root fails fast") {
+    val e = intercept[UnsupportedOperationException](
+      IvmAgg.deltaPartial(t("orders").select("o_orderkey")))
+    assert(e.getMessage.contains("Aggregate"), e.getMessage)
+  }
+}
