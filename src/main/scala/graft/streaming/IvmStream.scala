@@ -25,12 +25,17 @@ import graft.ivm.{DeltaSources, Ivm}
   * The query must be inside the delta envelope (Project/Filter/inner-cross
   * Join/Union — no aggregates), mirroring the reference's rewrite coverage.
   */
+/** Anything foldable one full-table snapshot at a time. */
+trait MaintainedView {
+  def update(fullTable: DataFrame): Unit
+}
+
 final class IncrementalView(
     spark: SparkSession,
     table: String,
     idCol: String,
     query: DataFrame => DataFrame,
-    sinkPath: String) {
+    sinkPath: String) extends MaintainedView {
 
   private var highMark: Long = Long.MinValue
 
@@ -56,6 +61,47 @@ final class IncrementalView(
   def result: DataFrame = spark.read.parquet(sinkPath)
 }
 
+/** Incremental maintenance of a GROUPED AGGREGATE over an append-only
+  * stream, via [[graft.ivm.IvmAgg]]: per micro-batch, aggregate the delta
+  * rows into a mergeable partial and fold it into the materialized view.
+  *
+  * The view is kept in alternating parquet generations (merge is an
+  * update-in-place, not an append — production sinks use an upsert/MERGE
+  * INTO on the group key; dual generations express the same thing on plain
+  * parquet without read-overwrite conflicts).
+  */
+final class IncrementalAggView(
+    spark: SparkSession,
+    table: String,
+    idCol: String,
+    query: DataFrame => DataFrame,
+    sinkPath: String) extends MaintainedView {
+
+  private var highMark: Long = Long.MinValue
+  private var gen: Int = -1
+
+  def update(fullTable: DataFrame): Unit = {
+    val newHigh = fullTable.agg(max(col(idCol))).head() match {
+      case r if r.isNullAt(0) => highMark
+      case r => r.getLong(0)
+    }
+    if (newHigh > highMark) {
+      DeltaSources.register(table, s"$idCol > $highMark")
+      fullTable.createOrReplaceTempView(table)
+      val delta = graft.ivm.IvmAgg.deltaPartial(query(spark.table(table)))
+      val next =
+        if (gen < 0) delta.partial
+        else graft.ivm.IvmAgg.merge(spark.read.parquet(s"$sinkPath/g$gen"), delta)
+      next.write.mode("overwrite").parquet(s"$sinkPath/g${(gen + 1) % 2}")
+      gen = (gen + 1) % 2
+      highMark = newHigh
+    }
+  }
+
+  /** The maintained aggregate (current generation). */
+  def result: DataFrame = spark.read.parquet(s"$sinkPath/g$gen")
+}
+
 object IvmStream {
 
   /** Attach an [[IncrementalView]] to a streaming source of appends: each
@@ -64,7 +110,7 @@ object IvmStream {
     * delta rewrite. Call `.start()` on the returned writer.
     */
   def maintain(
-      view: IncrementalView,
+      view: MaintainedView,
       appends: DataFrame,
       accumulate: DataFrame => DataFrame)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

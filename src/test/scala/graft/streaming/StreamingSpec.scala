@@ -103,4 +103,41 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(maintained == Seq((1L, 0.9), (3L, 0.7), (5L, 0.8), (6L, 0.95)))
     } finally q.stop()
   }
+
+  test("streaming aggregate IVM: maintained rollup equals full recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val dir = Files.createTempDirectory("ivm_agg_stream").toString
+    val basePath = s"$dir/base"
+
+    val aggQ = (df: DataFrame) => df.groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"),
+        max(col("v")).as("max_v"))
+    val view = new IncrementalAggView(spark, "sav", "event_id", aggQ,
+      s"$dir/sink")
+
+    val in = MemoryStream[(Long, String, Long)]
+    val accumulate: DataFrame => DataFrame = { batch =>
+      batch.toDF("event_id", "k", "v").write.mode("append").parquet(basePath)
+      spark.read.parquet(basePath)
+    }
+    val q = IvmStream.maintain(view, in.toDF(), accumulate).start()
+    try {
+      in.addData((1L, "a", 10L), (2L, "b", 5L))
+      q.processAllAvailable()
+      in.addData((3L, "a", 7L), (4L, "c", 1L)) // "c": delta-only group
+      q.processAllAvailable()
+      in.addData((5L, "b", 100L))
+      q.processAllAvailable()
+
+      val got = view.result.orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val expect = aggQ(spark.read.parquet(basePath)).orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == expect, s"got $got expect $expect")
+      assert(got == Seq(("a", 2L, 17L, 10L), ("b", 2L, 105L, 100L),
+        ("c", 1L, 1L, 1L)))
+    } finally q.stop()
+  }
 }
