@@ -16,4 +16,9 @@ object VecFunctions {
 
   def vecCosine(a: Column, b: Column): Column =
     vecDot(a, b) / (vecNorm(a) * vecNorm(b))
+
+  /** Karp–Rabin polynomial rolling hash (mult 31, mod 1e9+7) over UTF-8
+    * bytes — see [[org.apache.spark.sql.graft.RollingHash]].
+    */
+  def rollingHash(s: Column): Column = VecColumns.rollingHash(s)
 }

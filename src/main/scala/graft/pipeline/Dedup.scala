@@ -32,21 +32,6 @@ object Dedup {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
-  /** Distinct word-trigram shingles of `text` (empty below 3 words —
-    * `sequence(1, n-2)` would count DOWNWARD on a negative range, hence the
-    * guard).
-    */
-  def shingles(text: Column): Column = {
-    val w = split(text, " ")
-    val n = size(w)
-    array_distinct(
-      when(n >= 3,
-        transform(sequence(lit(1), n - 2), i =>
-          concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-            element_at(w, i + 2))))
-        .otherwise(array().cast("array<string>")))
-  }
-
   /** Exploded DISTINCT trigram rows (doc_id, s) — the relational/codegen
     * form of [[shingles]]: posexplode + windowed `lead` + concat, all
     * compiled expressions. The array-HOF form (`transform`/`array_distinct`)

@@ -134,22 +134,35 @@ object TextOps {
            |ORDER BY lang, pred_lang""".stripMargin
       }),
 
-    // Document fingerprint: md5 over the normalized text (lowercase, strip
-    // punctuation, collapse whitespace) — the cheap exact-after-normalization
-    // dedup key; at scale it shuffles 16-byte digests instead of documents.
+    // Document fingerprints over the normalized text (lowercase, strip
+    // punctuation, collapse whitespace): an md5 digest and a Karp–Rabin
+    // polynomial rolling hash (native codegen'd expression) — the cheap
+    // exact-after-normalization dedup keys; at scale they shuffle 8–16-byte
+    // digests instead of documents.
     QueryDef("fingerprint",
       (s, d) => {
         val norm = trim(regexp_replace(
           regexp_replace(lower(col("text")), lit("[^a-z0-9 ]"), lit("")),
           lit(" +"), lit(" ")))
         t(s, d, "documents")
-          .select(col("doc_id"), md5(norm.cast("binary")).as("fp"))
+          .select(col("doc_id"), md5(norm.cast("binary")).as("fp"),
+            graft.functions.VecFunctions.rollingHash(norm).as("fp_roll"))
           .orderBy("doc_id")
       },
+      // the oracle replays the byte fold with list_reduce (text is ASCII,
+      // so ascii(char) == utf-8 byte)
       Some("""SELECT doc_id,
-             |  md5(trim(regexp_replace(
+             |  md5(norm) AS fp,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT), list_transform(
+             |      generate_series(1, length(norm)),
+             |      i -> ascii(substr(norm, i, 1)))),
+             |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
+             |FROM (
+             |  SELECT doc_id, trim(regexp_replace(
              |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-             |    ' +', ' ', 'g'))) AS fp
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |    ' +', ' ', 'g')) AS norm
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

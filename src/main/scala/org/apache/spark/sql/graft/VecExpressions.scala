@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native float-vector dot product as a codegen'd Catalyst expression.
   *
@@ -64,6 +65,62 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Karp–Rabin polynomial rolling hash over a string's UTF-8 bytes:
+  * `h = Σ bᵢ·mult^(n-1-i) mod modulus`, folded left-to-right as
+  * `h = (h·mult + bᵢ) mod modulus`.
+  *
+  * The classic streaming document fingerprint — cheaper than a
+  * cryptographic digest and windowable for chunk-level fingerprints. A
+  * native codegen'd loop for the same reason as [[FloatVecDot]]: the
+  * `aggregate(split(text,''))` HOF form is interpreted per character.
+  * Parameters are fixed (mult 31, modulus 1e9+7) so the DuckDB oracle can
+  * replay the fold exactly in 64-bit integer arithmetic.
+  */
+case class RollingHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * RollingHash.Mult + (bytes(i) & 0xff)) % RollingHash.Mod
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.RollingHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  val Mult = 31L
+  val Mod = 1000000007L
+
+  /** Called from generated code. */
+  def hash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * Mult + (bytes(i) & 0xff)) % Mod
+      i += 1
+    }
+    h
+  }
+}
+
 /** Column-level constructors for the native kernels (Expression → Column
   * wrapping needs `private[sql]` ExpressionUtils, hence here; the public
   * user-facing API is `graft.functions.VecFunctions`).
@@ -72,4 +129,7 @@ object VecColumns {
   def vecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       FloatVecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def rollingHash(s: Column): Column =
+    ExpressionUtils.column(RollingHash(ExpressionUtils.expression(s)))
 }

@@ -48,4 +48,19 @@ class VecExpressionsSpec extends AnyFunSuite with SparkFixture {
       .head().getDouble(0)
     assert(v == 5.0)
   }
+
+  test("rolling_hash matches the reference fold (both execution paths)") {
+    import spark.implicits._
+    // h("ab") = ((0*31+97)%M*31+98)%M = 3105
+    val df = Seq(("ab"), (""), (null: String)).toDF("s")
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try {
+        val rows = df.select(VecFunctions.rollingHash(col("s"))).collect()
+        assert(rows(0).getLong(0) == 3105L, s"mode=$codegen")
+        assert(rows(1).getLong(0) == 0L)
+        assert(rows(2).isNullAt(0))
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
