@@ -407,6 +407,46 @@ object Queries {
              |FROM orders GROUP BY 1, 2
              |ORDER BY band, o_orderstatus""".stripMargin)),
 
+    // Set operations: INTERSECT / EXCEPT (set semantics — Spark's
+    // intersect/except == SQL INTERSECT/EXCEPT DISTINCT).
+    QueryDef("set_intersect",
+      (s, d) => t(s, d, "orders").filter(col("o_totalprice") > 100000)
+        .select("o_custkey")
+        .intersect(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_custkey"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef("set_except",
+      (s, d) => t(s, d, "customer").select("c_custkey")
+        .except(t(s, d, "orders").filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+             |EXCEPT
+             |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ROLLUP with an explicit grouping-level column (grouping() is engine-
+    // portable; raw NULL group keys order the same under NULLS FIRST).
+    QueryDef("rollup_agg",
+      (s, d) => t(s, d, "customer")
+        .rollup("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          grouping(col("c_nationkey")).cast("long").as("g_nat"),
+          grouping(col("c_mktsegment")).cast("long").as("g_seg"))
+        .orderBy(col("g_nat"), col("g_seg"), col("c_nationkey").asc,
+          col("c_mktsegment").asc),
+      Some("""SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_cust,
+             |  CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nat,
+             |  CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg
+             |FROM customer GROUP BY ROLLUP (c_nationkey, c_mktsegment)
+             |ORDER BY g_nat, g_seg, c_nationkey ASC NULLS FIRST,
+             |  c_mktsegment ASC NULLS FIRST""".stripMargin)),
+
     // JSON extraction from the events.props payload column.
     QueryDef("events_json",
       (s, d) => t(s, d, "events")

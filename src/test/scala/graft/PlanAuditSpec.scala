@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the perf-critical physical-plan shapes (the `.explain` audits the
+  * builder brief asks for, as assertions): pushdown reaching parquet,
+  * broadcast join selection, no CodegenFallback in similarity hot paths,
+  * single-scan star joins. A regression here is a scale bug even when
+  * results stay correct.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkFixture {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan.toString
+  }
+
+  test("delta_scan: range delta predicate is pushed to the parquet scan") {
+    val p = planOf("delta_scan")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"range pushdown missing:\n$p")
+  }
+
+  test("delta_union: delta predicate pushed in every union arm") {
+    val p = planOf("delta_union")
+    val pushes = "GreaterThanOrEqual\\(o_orderdate".r.findAllIn(p).size
+    assert(pushes >= 2, s"expected pushdown in both arms, got $pushes:\n$p")
+  }
+
+  test("delta_join: 3-arm union of broadcast joins") {
+    val p = planOf("delta_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3,
+      s"expected 3 broadcast arms:\n$p")
+    assert(p.contains("Union"), s"union missing:\n$p")
+  }
+
+  test("multi_join: star join broadcasts all three dims, scans fact once") {
+    val p = planOf("multi_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3,
+      s"expected 3 broadcast dim joins:\n$p")
+    assert("lineitem".r.findAllIn(p).size == 1,
+      s"fact table must be scanned exactly once:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("similarity paths contain no CodegenFallback lambdas") {
+    for (q <- Seq("similarity_topk", "ann_lsh", "neardup_embedding")) {
+      val p = planOf(q)
+      assert(!p.contains("zip_with") && !p.contains("aggregate(lambda"),
+        s"$q fell back to interpreted HOFs:\n$p")
+      assert(p.contains("vec_dot"), s"$q lost the native kernel:\n$p")
+    }
+  }
+
+  test("projection: scan reads only the projected columns") {
+    val p = planOf("projection")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),
+      s"column pruning failed:\n$p")
+  }
+
+  test("filter: predicates are pushed to the lineitem scan") {
+    // PushedFilters prints truncated; DataFilters carries the full list
+    val p = planOf("filter")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,30.0)") &&
+      p.contains("= R)"),
+      s"filter pushdown missing:\n$p")
+  }
+
+  test("sort_limit plans as TakeOrderedAndProject (no full sort)") {
+    val p = planOf("sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k plan missing:\n$p")
+  }
+}

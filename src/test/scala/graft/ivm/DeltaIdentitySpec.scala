@@ -70,6 +70,17 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
     check(f(t("orders")), f(base("orders")))
   }
 
+  test("identity: self-join (same table, same delta, both sides)") {
+    val f = (a: DataFrame, b: DataFrame) =>
+      a.select(col("n_nationkey").as("k1"), col("n_regionkey").as("r1"))
+        .join(b.select(col("n_nationkey").as("k2"), col("n_regionkey").as("r2")),
+          col("r1") === col("r2"), "inner")
+        .select("k1", "k2")
+    check(
+      f(t("nation"), t("nation")),
+      f(base("nation"), base("nation")))
+  }
+
   test("identity: composed query (filter over join under projection)") {
     val f = (c: DataFrame, n: DataFrame) =>
       c.join(n, col("c_nationkey") === col("n_nationkey"), "inner")
