@@ -14,16 +14,29 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 20 declared operator queries are all present") {
+  test("the 44 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
+      // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
       "union_all", "agg_group", "distinct", "sort_limit", "window_rank",
       "scalar_funcs", "delta_scan", "delta_projection", "delta_filter",
       "delta_join", "delta_cross_join", "delta_union", "dedup_exact",
-      "text_stats", "events_hourly")
+      "text_stats", "events_hourly",
+      // round-2 surface
+      "join_left", "join_semi", "join_anti", "multi_join", "agg_having",
+      "scalar_subquery", "case_when", "events_json", "set_intersect",
+      "set_except", "rollup_agg", "delta_agg",
+      "dedup_minhash", "dedup_simhash", "dedup_ngram", "neardup_embedding",
+      "token_count", "quality_score", "lang_id", "fingerprint",
+      "multimodal_meta", "multimodal_decode", "similarity_topk", "ann_lsh")
+    assert(declared.size == 44)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
-    val missingOracle = (declared - "similarity_topk") -- SparkEntry.oracleSql.keySet
+    val undeclared = SparkEntry.queries.keySet -- declared
+    assert(undeclared.isEmpty,
+      s"queries not in the declared inventory (update SURVEY §2): $undeclared")
+    val rowsOnly = Set("similarity_topk", "ann_lsh", "neardup_embedding")
+    val missingOracle = (declared -- rowsOnly) -- SparkEntry.oracleSql.keySet
     assert(missingOracle.isEmpty, s"missing oracles: $missingOracle")
   }
 

@@ -39,6 +39,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("hourlyCounts: events older than the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.hourlyCounts(
+        in.toDF().toDF("ts", "event_type", "value"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(30), "click", 1.0))
+      q.processAllAvailable()
+      // advance event time far enough to close the 10:00 window + watermark
+      in.addData((Timestamp.valueOf("2024-01-01 12:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // this event is hours behind the watermark → must be dropped
+      in.addData((ts(31), "click", 99.0))
+      q.processAllAvailable()
+      val rows = spark.table("late").collect()
+      val hour10 = rows.filter(_.getTimestamp(0) ==
+        Timestamp.valueOf("2024-01-01 10:00:00"))
+      assert(hour10.length == 1 && hour10.head.getLong(2) == 1L,
+        s"late event leaked into a closed window: ${rows.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("sessionize: gap-based sessions close via event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
