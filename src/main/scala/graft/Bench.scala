@@ -22,12 +22,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up before timing: session/codegen machinery + file listing and
-    // parquet footers of every table, so the first measured query reflects
+    // parquet footers of every table, plus one pass through the agg/join/
+    // window/decimal codegen paths, so the first measured query reflects
     // steady state rather than JVM startup.
     import graft.engine.Tables
+    import org.apache.spark.sql.functions._
     Tables.names.foreach { t =>
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
+    try {
+      val warm = spark.range(100000).toDF("id")
+        .withColumn("k", col("id") % 7)
+        .withColumn("v", (col("id") % 100).cast("double"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("id")
+      warm.groupBy("k")
+        .agg(sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2))),
+          count(lit(1)))
+        .join(warm.limit(7).select(col("k").as("k2")), col("k") === col("k2"))
+        .count()
+      warm.select(rank().over(w).as("rk")).filter(col("rk") <= 2).count()
+      ()
+    } catch { case _: Throwable => () }
     val names = SparkEntry.queries.keys.toSeq.sorted
     var failed = List.empty[String]
     val results = names.map { name =>

@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Scale-headroom probe (dev tool, NOT part of the declared query surface):
+  * runs the core query shapes on a lineitem inflated by a key-shifted
+  * self-union — 10× rows through the same plans — and reports per-shape
+  * throughput, to show the plans scale linearly rather than hitting a
+  * choke point right past the bench scale factor.
+  *
+  * (Derived data is used ONLY here, as a load generator; every declared
+  * query reads the driver-generated parquet unchanged.)
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.engine.Tables
+
+    val li0 = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part")
+    val supplier = Tables(spark, dir, "supplier")
+    val nation = Tables(spark, dir, "nation")
+
+    // key-shifted copies: same value distributions, distinct order keys
+    val copies = (0 until mult).map { i =>
+      li0.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+    }
+    val li = copies.reduce(_ union _)
+    val n = li.count()
+    println(f"rows: $n%,d (${mult}x lineitem)")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-22s ${sec}%6.2f s  ${n / sec / 1e6}%6.1f M rows/s  ($rows result rows)")
+    }
+
+    time("agg (TPC-H Q1 shape)") {
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))), count(lit(1)))
+        .count()
+    }
+    time("star join + agg") {
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .join(supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "p_brand").agg(count(lit(1)))
+        .count()
+    }
+    time("filter + scan") {
+      li.filter(col("l_quantity") >= 30 && col("l_returnflag") === "R")
+        .select("l_orderkey").count()
+    }
+    time("window top-k/key") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy(col("l_extendedprice").desc)
+      li.select(col("l_returnflag"), col("l_linestatus"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 10).count()
+    }
+    spark.stop()
+  }
+}
