@@ -66,6 +66,52 @@ object PipelineQueries {
              |FROM documents GROUP BY lang
              |ORDER BY lang""".stripMargin)),
 
+    // Gap-based sessionization, batch form (the streaming twin lives in
+    // graft.streaming.EventStreams.sessionize): break when a user is idle
+    // > 30 min, session id = running count of breaks. All arithmetic on the
+    // raw int64 epoch-nanos ts (exact in both engines; DuckDB recovers the
+    // same value via epoch_ns). One shuffle by user_id serves both windows
+    // and the final aggregate — at scale this is the sessionization plan:
+    // state never materializes, it's a sort within user partitions.
+    QueryDef("sessions_gap",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // µs precision on BOTH sides: Spark floors the raw ns long, DuckDB's
+        // TIMESTAMP is µs natively — identical int64s end to end
+        val byUser = Window.partitionBy("user_id").orderBy("tus")
+        val gapUs = 30L * 60 * 1000000L
+        val brk = when(
+          col("tus") - lag(col("tus"), 1).over(byUser) > gapUs ||
+            lag(col("tus"), 1).over(byUser).isNull, lit(1L)).otherwise(lit(0L))
+        t(s, d, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+          .select(col("user_id"), col("tus"), col("value"), brk.as("brk"))
+          .select(col("user_id"), col("tus"), col("value"),
+            sum(col("brk")).over(byUser).as("sid"))
+          .groupBy("user_id", "sid")
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"),
+            min(col("tus")).as("start_us"), max(col("tus")).as("end_us"))
+          .orderBy("user_id", "sid")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+             |m AS (
+             |  SELECT user_id, tus, value,
+             |    CASE WHEN lag(tus) OVER w IS NULL
+             |           OR tus - lag(tus) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+             |s AS (
+             |  SELECT user_id, tus, value,
+             |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tus)
+             |      AS BIGINT) AS sid
+             |  FROM m)
+             |SELECT user_id, sid, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |  MIN(tus) AS start_us, MAX(tus) AS end_us
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, sid""".stripMargin)),
+
     // D4 — hourly event rollup. Output DATE + BIGINT hour (never raw ns ts,
     // SURVEY §7.5). At scale: partial agg then a (day,hr,type) shuffle.
     QueryDef("events_hourly",
