@@ -48,6 +48,22 @@ object IvmDemo {
     // 3. alias transparency: `customer AS c` resolves the customer source
     println(s"ALIAS OK: rows=${Ivm.delta(customer.as("c")).count()}")
 
+    // 4. SQL entry point (the reference's own path, mod.rs:225): delta of a
+    // plan produced by the SQL parser/analyzer rather than the DataFrame API
+    customer.createOrReplaceTempView("customer")
+    val sqlDelta = Ivm.delta(
+      spark.sql("SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0"))
+    println(s"SQL OK: rows=${sqlDelta.count()}")
+
+    // 5. aggregate maintenance (IvmAgg): merge(Q(base), δpartial) == Q(full)
+    val aggQ = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("c_nationkey").agg(count(lit(1)).as("cnt"))
+    val baseCust = customer.filter(expr("NOT (c_custkey % 10 = 0)"))
+    val maintained = graft.ivm.IvmAgg.maintain(aggQ(baseCust), aggQ(customer))
+    val aggOk = maintained.exceptAll(aggQ(customer)).isEmpty &&
+      aggQ(customer).exceptAll(maintained).isEmpty
+    println(s"AGG OK: groups=${maintained.count()} ok=$aggOk")
+
     spark.stop()
   }
 }

@@ -81,6 +81,15 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
       f(base("nation"), base("nation")))
   }
 
+  test("identity: SQL entry point (plan from the SQL parser, mod.rs:225)") {
+    t("orders").createOrReplaceTempView("orders")
+    val full = spark.sql(
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'")
+    val baseQ = base("orders").filter(col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_totalprice")
+    check(full, baseQ)
+  }
+
   test("identity: composed query (filter over join under projection)") {
     val f = (c: DataFrame, n: DataFrame) =>
       c.join(n, col("c_nationkey") === col("n_nationkey"), "inner")
