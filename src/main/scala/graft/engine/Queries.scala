@@ -254,6 +254,26 @@ object Queries {
              |  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
              |ORDER BY o_orderkey, band""".stripMargin)),
 
+    // δ(DISTINCT): (year, status) combinations the delta orders introduce
+    // that no base order ever had (envelope extension; oracle = EXCEPT of
+    // the same split; delta years are ≥ the split date so the result is
+    // non-empty at every scale factor).
+    QueryDef("delta_distinct",
+      (s, d) => Ivm.delta(
+          t(s, d, "orders")
+            .select(year(col("o_orderdate")).cast("long").as("o_year"),
+              col("o_orderstatus"))
+            .distinct())
+        .orderBy("o_year", "o_orderstatus"),
+      Some("""SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             |  o_orderstatus FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+             |EXCEPT
+             |SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             |  o_orderstatus FROM orders
+             |WHERE NOT (o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+             |ORDER BY o_year, o_orderstatus""".stripMargin)),
+
     // Aggregate view maintenance (extension beyond the reference envelope,
     // graft.ivm.IvmAgg): the Spark side computes merge(Q(base), δpartial) —
     // a genuinely different plan from a direct aggregate — while the oracle

@@ -29,11 +29,26 @@ object Ivm {
     * would run and the duplicated ExprIds could mis-bind).
     */
   def delta(df: Dataset[_]): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Deduplicate, Distinct, LogicalPlan}
     val spark = df.sparkSession
-    val marked = PosDelta(GraftSql.analyzed(df))
-    val rewritten = ResolvePosDeltaScan(PosDeltaRule(marked))
-    GraftSql.ofRows(spark, rewritten)
+    GraftSql.analyzed(df) match {
+      // δ(DISTINCT R) = δR ∖set baseR — the distinct values the delta
+      // introduces that the base never had (envelope extension; the two
+      // sides are analyzed independently, then composed with the DataFrame
+      // `except`, so no ExprIds are shared between the arms)
+      case Distinct(child) =>
+        rewriteDf(spark, PosDelta(child)).except(rewriteDf(spark, BaseRel(child)))
+      case Deduplicate(keys, child) if keys.map(_.exprId).toSet ==
+          child.output.map(_.exprId).toSet =>
+        rewriteDf(spark, PosDelta(child)).except(rewriteDf(spark, BaseRel(child)))
+      case plan =>
+        rewriteDf(spark, PosDelta(plan))
+    }
   }
+
+  private def rewriteDf(spark: org.apache.spark.sql.SparkSession,
+      marked: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    GraftSql.ofRows(spark, ResolvePosDeltaScan(PosDeltaRule(marked)))
 
   /** Mark only (no rewrite) — for plan-shape tests mirroring the reference. */
   def mark(df: Dataset[_]): PosDelta = PosDelta(GraftSql.analyzed(df))

@@ -78,6 +78,13 @@ object PosDeltaRule extends Rule[LogicalPlan] {
     case u: Union =>
       u.copy(children = u.children.map(PosDelta(_)))
 
+    // δ(DISTINCT R) is handled at the API level (Ivm.delta intercepts a
+    // Distinct/Deduplicate ROOT and composes δR ∖set baseR from two
+    // independently analyzed plans — cloning one subtree into both arms of
+    // an Except here would duplicate ExprIds in a way re-analysis cannot
+    // untangle). Mid-tree Distinct stays fail-fast: δ does not commute
+    // through Distinct under joins in insert-only algebra.
+
     // Aliases/views: a catalog-resolved named relation (a [[View]] wrapper,
     // or an alias registered in [[DeltaSources]]) is a delta-source boundary
     // — it mirrors the reference's registered-table TableScan (mod.rs:221),
@@ -96,7 +103,9 @@ object PosDeltaRule extends Rule[LogicalPlan] {
     case other =>
       throw new UnsupportedOperationException(
         s"PosDelta: no delta rule for operator ${other.nodeName}; " +
-          "supported: Project, Filter, inner/cross Join, Union, table scans")
+          "supported: Project, Filter, inner/cross Join, Union, table scans, " +
+          "plus Distinct at the query root (Ivm.delta); for grouped " +
+          "aggregates use graft.ivm.IvmAgg")
   }
 
   /** A named-relation scan: a leaf or a catalog [[View]], possibly under
@@ -127,6 +136,10 @@ object PosDeltaRule extends Rule[LogicalPlan] {
       j.copy(left = BaseRel(left), right = BaseRel(right))
     case u: Union =>
       u.copy(children = u.children.map(BaseRel(_)))
+    case Distinct(child) =>
+      Distinct(BaseRel(child))
+    case d @ Deduplicate(_, child) =>
+      d.copy(child = BaseRel(child))
     case a: SubqueryAlias if isDeltaSource(a) || isScanLike(a) =>
       BaseScan(a)
     case a: SubqueryAlias => a.copy(child = BaseRel(a.child))

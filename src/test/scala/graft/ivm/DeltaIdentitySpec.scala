@@ -81,6 +81,18 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
       f(base("nation"), base("nation")))
   }
 
+  test("identity: distinct (envelope extension)") {
+    check(
+      t("orders").select("o_custkey").distinct(),
+      base("orders").select("o_custkey").distinct())
+  }
+
+  test("identity: dropDuplicates over all columns (Deduplicate node)") {
+    check(
+      t("orders").select("o_custkey", "o_orderstatus").dropDuplicates(),
+      base("orders").select("o_custkey", "o_orderstatus").dropDuplicates())
+  }
+
   test("identity: SQL entry point (plan from the SQL parser, mod.rs:225)") {
     t("orders").createOrReplaceTempView("orders")
     val full = spark.sql(
