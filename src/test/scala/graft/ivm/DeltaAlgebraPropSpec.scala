@@ -74,4 +74,22 @@ class DeltaAlgebraPropSpec extends AnyFunSuite with SparkFixture {
           .union(b.select(col("k2").as("k"))))
     }
   }
+
+  test("property: aggregate maintenance identity (IvmAgg)") {
+    val rnd = new scala.util.Random(4)
+    (1 to Cases).foreach { _ =>
+      val data = (1, 1) :: randTable(rnd) // ≥1 row so max() groups exist
+      val m = 2 + rnd.nextInt(3)
+      df(data, "k1", "v1").createOrReplaceTempView("prop_agg")
+      DeltaSources.register("prop_agg", s"k1 % $m = 0")
+      val v = spark.table("prop_agg")
+      val q = (d: DataFrame) => d.groupBy("k1")
+        .agg(count(lit(1)).as("cnt"), sum(col("v1")).as("s"),
+          min(col("v1")).as("mn"), max(col("v1")).as("mx"))
+      val baseDf = v.filter(expr(s"NOT (k1 % $m = 0)"))
+      val maintained = IvmAgg.maintain(q(baseDf), q(v))
+      assert(multisetEqual(maintained, q(v)),
+        s"agg maintenance failed for m=$m data=$data")
+    }
+  }
 }
