@@ -106,6 +106,57 @@ object Similarity {
       .select("q_id", "n_id", "rk")
   }
 
+  /** IVF-style ANN: a coarse quantizer (MLlib k-means, fixed seed) assigns
+    * every vector to a centroid cell; a query probes only its `nProbe`
+    * nearest cells and re-ranks exactly within them. Complementary to
+    * [[lshTopK]]: IVF adapts to the data distribution (cells follow
+    * density), LSH is data-independent. At 100 TB the assignment is one
+    * pass, cells are the partitioning key, and the probe join touches
+    * nProbe/k of the corpus.
+    */
+  def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4)
+      : DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+
+    val spark = emb.sparkSession
+    val withVec = emb.select(col("vec_id"), col("embedding"),
+      org.apache.spark.ml.functions.array_to_vector(
+        col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+
+    // centroid table (tiny): cell id + centroid as float array
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cell", "centroid")
+
+    // each query vector probes its nProbe nearest centroid cells
+    val w = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell").asc)
+    val probes = assigned.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))
+      .join(broadcast(centroids))
+      .withColumn("ccos", cosine(col("q_emb"), col("centroid")))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= nProbe)
+      .select("q_id", "q_emb", "cell")
+
+    // exact re-rank within probed cells; cosine before any exchange
+    val cand = probes.join(assigned.select(col("cell"),
+        col("vec_id").as("n_id"), col("embedding").as("n_emb")), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cos"))
+      .groupBy("q_id", "n_id").agg(max(col("cos")).as("cos"))
+    val wk = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("n_id").asc)
+    cand.withColumn("rk", row_number().over(wk).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "n_id", "rk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     // Exact cosine top-5 for the first 10 vectors. No oracle (fp cosine
     // ordering is not DuckDB-stable) → driver records rows-only.
@@ -120,6 +171,11 @@ object Similarity {
     // LSH-bucketed ANN over the whole corpus — the 100 TB-shaped variant.
     QueryDef("ann_lsh",
       (s, d) => lshTopK(Tables(s, d, "embeddings"), 5).orderBy("q_id", "rk"),
+      None),
+
+    // IVF-bucketed ANN (k-means cells + probe). No oracle: fp/iterative.
+    QueryDef("ann_ivf",
+      (s, d) => ivfTopK(Tables(s, d, "embeddings"), 5).orderBy("q_id", "rk"),
       None)
   )
 }

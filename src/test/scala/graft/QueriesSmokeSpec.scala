@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 46 declared operator queries are all present (SURVEY §2)") {
+  test("the 47 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -29,14 +29,15 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "dedup_minhash", "dedup_simhash", "dedup_ngram", "neardup_embedding",
       "token_count", "quality_score", "lang_id", "fingerprint",
       "multimodal_meta", "multimodal_decode", "similarity_topk", "ann_lsh",
-      "sessions_gap", "delta_distinct")
-    assert(declared.size == 46)
+      "ann_ivf", "sessions_gap", "delta_distinct")
+    assert(declared.size == 47)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
     assert(undeclared.isEmpty,
       s"queries not in the declared inventory (update SURVEY §2): $undeclared")
-    val rowsOnly = Set("similarity_topk", "ann_lsh", "neardup_embedding")
+    val rowsOnly = Set("similarity_topk", "ann_lsh", "ann_ivf",
+      "neardup_embedding")
     val missingOracle = (declared -- rowsOnly) -- SparkEntry.oracleSql.keySet
     assert(missingOracle.isEmpty, s"missing oracles: $missingOracle")
   }

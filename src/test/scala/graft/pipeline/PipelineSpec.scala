@@ -74,6 +74,17 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     decoded.unpersist()
   }
 
+  test("IVF ANN recalls a reasonable share of exact top-5 neighbors") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val brute = Similarity.bruteTopK(emb.filter(col("vec_id") < 10), emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, 5)
+      .filter(col("q_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall@5 = $recall (nProbe=4 of 16 cells)")
+  }
+
   test("embedding near-dups: LSH path agrees with brute-force at threshold") {
     val emb = Tables(spark, sfDir, "embeddings")
     val lsh = Dedup.embeddingNearDups(emb, 0.45)
