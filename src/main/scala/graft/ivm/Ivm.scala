@@ -50,6 +50,22 @@ object Ivm {
       marked: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     GraftSql.ofRows(spark, ResolvePosDeltaScan(PosDeltaRule(marked)))
 
+  /** The query evaluated against the pre-delta base snapshot: every
+    * delta-source scan reads its base partition; all operators (including
+    * aggregates/windows/sorts) pass through unchanged.
+    */
+  def baseOf(df: Dataset[_]): DataFrame =
+    rewriteDf(df.sparkSession, BaseRel(GraftSql.analyzed(df)))
+
+  /** Delta by differencing: `δQ = Q(full) ∖all Q(base)` for ARBITRARY
+    * queries — a full recompute, so no incremental speedup, but a
+    * correctness-preserving fallback when the algebraic rewrite does not
+    * apply (e.g. windows, sorts, non-mergeable aggregates). Prefer
+    * [[delta]] / [[IvmAgg]] whenever the query fits their envelopes.
+    */
+  def deltaByDiff(df: Dataset[_]): DataFrame =
+    df.toDF().exceptAll(baseOf(df))
+
   /** Mark only (no rewrite) — for plan-shape tests mirroring the reference. */
   def mark(df: Dataset[_]): PosDelta = PosDelta(GraftSql.analyzed(df))
 }

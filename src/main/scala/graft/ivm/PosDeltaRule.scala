@@ -123,33 +123,21 @@ object PosDeltaRule extends Rule[LogicalPlan] {
   private def isDeltaSource(a: SubqueryAlias): Boolean =
     DeltaSources.tables.contains(a.identifier.name)
 
-  /** base(T) propagation: base commutes with every operator the delta
-    * envelope supports, so the structure mirrors [[rewrite]] exactly —
-    * including the fail-fast envelope.
+  /** base(T) propagation: "as of the pre-delta snapshot" only changes what
+    * the SCANS read, so — unlike the delta rewrite — it commutes with
+    * EVERY deterministic operator (aggregates, windows, sorts included):
+    * replace each delta-source scan with its base partition and pass
+    * everything else through unchanged. This both serves the mixed join
+    * arms of the delta rewrite and powers the generic differencing
+    * fallback [[Ivm.deltaByDiff]].
     */
   private def rewriteBase(plan: LogicalPlan): LogicalPlan = plan match {
-    case Project(exprs, child) =>
-      Project(exprs, BaseRel(child))
-    case Filter(cond, child) =>
-      Filter(cond, BaseRel(child))
-    case j @ Join(left, right, Inner | Cross, _, _) =>
-      j.copy(left = BaseRel(left), right = BaseRel(right))
-    case u: Union =>
-      u.copy(children = u.children.map(BaseRel(_)))
-    case Distinct(child) =>
-      Distinct(BaseRel(child))
-    case d @ Deduplicate(_, child) =>
-      d.copy(child = BaseRel(child))
     case a: SubqueryAlias if isDeltaSource(a) || isScanLike(a) =>
       BaseScan(a)
-    case a: SubqueryAlias => a.copy(child = BaseRel(a.child))
     case v: View => BaseScan(v)
     case leaf: LeafNode =>
       BaseScan(leaf)
-    case other =>
-      throw new UnsupportedOperationException(
-        s"PosDelta: no base-snapshot rule for operator ${other.nodeName}; " +
-          "supported: Project, Filter, inner/cross Join, Union, table scans")
+    case other => other.mapChildren(rewriteBase)
   }
 }
 

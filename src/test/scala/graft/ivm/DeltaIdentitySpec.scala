@@ -102,6 +102,26 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
     check(full, baseQ)
   }
 
+  test("deltaByDiff: arbitrary query (window + aggregate) differencing") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val q = (df: DataFrame) => df
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 5)
+    // out of the incremental envelope (window) — differencing still holds
+    assertMultisetEqual(
+      Ivm.deltaByDiff(q(t("orders"))),
+      q(t("orders")).exceptAll(q(base("orders"))))
+  }
+
+  test("baseOf routes every scan to the base partition, operators untouched") {
+    val q = (df: DataFrame) => df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+    assertMultisetEqual(Ivm.baseOf(q(t("orders"))), q(base("orders")))
+  }
+
   test("identity: composed query (filter over join under projection)") {
     val f = (c: DataFrame, n: DataFrame) =>
       c.join(n, col("c_nationkey") === col("n_nationkey"), "inner")
