@@ -467,6 +467,36 @@ object Queries {
              |ORDER BY g_nat, g_seg, c_nationkey ASC NULLS FIRST,
              |  c_mktsegment ASC NULLS FIRST""".stripMargin)),
 
+    // SQL-string entry point: CTE + LIKE + BETWEEN + IN through spark.sql
+    // (every other declared query builds its plan with the DataFrame API;
+    // this one pins the parser path end-to-end in the oracle surface).
+    QueryDef("sql_cte",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_v")
+        t(s, d, "customer").createOrReplaceTempView("customer_v")
+        s.sql("""
+          WITH urgent AS (
+            SELECT o_custkey, COUNT(*) AS n_urgent
+            FROM orders_v
+            WHERE o_totalprice BETWEEN 150000 AND 400000
+              AND o_orderpriority LIKE '%URGENT%'
+              AND o_orderstatus IN ('O', 'F')
+            GROUP BY o_custkey)
+          SELECT c.c_custkey, c.c_mktsegment, u.n_urgent
+          FROM customer_v c JOIN urgent u ON c.c_custkey = u.o_custkey
+          ORDER BY c.c_custkey""")
+      },
+      Some("""WITH urgent AS (
+             |  SELECT o_custkey, COUNT(*) AS n_urgent
+             |  FROM orders
+             |  WHERE o_totalprice BETWEEN 150000 AND 400000
+             |    AND o_orderpriority LIKE '%URGENT%'
+             |    AND o_orderstatus IN ('O', 'F')
+             |  GROUP BY o_custkey)
+             |SELECT c.c_custkey, c.c_mktsegment, u.n_urgent
+             |FROM customer c JOIN urgent u ON c.c_custkey = u.o_custkey
+             |ORDER BY c.c_custkey""".stripMargin)),
+
     // JSON extraction from the events.props payload column.
     QueryDef("events_json",
       (s, d) => t(s, d, "events")

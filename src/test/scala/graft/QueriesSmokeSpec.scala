@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 47 declared operator queries are all present (SURVEY §2)") {
+  test("the 48 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -25,12 +25,12 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       // round-2 surface
       "join_left", "join_semi", "join_anti", "multi_join", "agg_having",
       "scalar_subquery", "case_when", "events_json", "set_intersect",
-      "set_except", "rollup_agg", "delta_agg",
+      "set_except", "rollup_agg", "delta_agg", "sql_cte",
       "dedup_minhash", "dedup_simhash", "dedup_ngram", "neardup_embedding",
       "token_count", "quality_score", "lang_id", "fingerprint",
       "multimodal_meta", "multimodal_decode", "similarity_topk", "ann_lsh",
       "ann_ivf", "sessions_gap", "delta_distinct")
-    assert(declared.size == 47)
+    assert(declared.size == 48)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
