@@ -158,6 +158,30 @@ object Queries {
              |  FROM customer) WHERE rk <= 3
              |ORDER BY c_nationkey, rk, c_custkey""".stripMargin)),
 
+    // Analytic window functions beyond rank: lag/lead/ntile over per-nation
+    // account-balance ordering (single window spec → one shuffle+sort
+    // serves all three functions).
+    QueryDef("window_funcs",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        t(s, d, "customer")
+          .select(col("c_nationkey"), col("c_custkey"),
+            lag(col("c_custkey"), 1).over(w).as("prev_cust"),
+            lead(col("c_custkey"), 1).over(w).as("next_cust"),
+            ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy("c_nationkey", "c_custkey")
+      },
+      Some("""SELECT c_nationkey, c_custkey,
+             |  lag(c_custkey, 1) OVER w AS prev_cust,
+             |  lead(c_custkey, 1) OVER w AS next_cust,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_nationkey
+             |  ORDER BY c_acctbal DESC, c_custkey ASC)
+             |ORDER BY c_nationkey, c_custkey""".stripMargin)),
+
     // String/date/decimal scalar mix — all codegen'd built-ins, no UDFs.
     QueryDef("scalar_funcs",
       (s, d) => t(s, d, "orders")

@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 48 declared operator queries are all present (SURVEY §2)") {
+  test("the 49 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -29,8 +29,8 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "dedup_minhash", "dedup_simhash", "dedup_ngram", "neardup_embedding",
       "token_count", "quality_score", "lang_id", "fingerprint",
       "multimodal_meta", "multimodal_decode", "similarity_topk", "ann_lsh",
-      "ann_ivf", "sessions_gap", "delta_distinct")
-    assert(declared.size == 48)
+      "ann_ivf", "sessions_gap", "delta_distinct", "window_funcs")
+    assert(declared.size == 49)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
