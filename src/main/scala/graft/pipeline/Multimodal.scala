@@ -72,6 +72,15 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame sampling: every `everyK`-th frame index of each decoded media
+    * row — the standard video pre-processing step (a real pipeline would
+    * hand each sampled index back to the codec for extraction).
+    */
+  def sampleFrames(decoded: DataFrame, everyK: Int): DataFrame =
+    decoded.select(col("media_id"), col("n_frames"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(everyK)))
+        .as("frame_idx"))
+
   val all: Seq[QueryDef] = Seq(
     // Metadata-only rollup over the media blobs: byte sizes per source.
     // Never touches the decoder — stays codegen'd, scans only 3 columns.
@@ -114,6 +123,19 @@ object Multimodal {
              |      i -> ascii(substr(text, i, 1))), 'sum')
              |      // least(16, length(text)) AS luma
              |  FROM documents)
-             |GROUP BY 1 ORDER BY n_frames""".stripMargin))
+             |GROUP BY 1 ORDER BY n_frames""".stripMargin)),
+
+    // Frame sampling (every 4th frame) through the decode harness: one row
+    // per sampled frame, rolled up per media. Oracle replays the stub's
+    // frame count and the stepped sequence.
+    QueryDef("multimodal_frames",
+      (s, d) => sampleFrames(decodeAll(mediaTable(s, d)), everyK = 4)
+        .groupBy("media_id", "n_frames")
+        .agg(count(lit(1)).as("sampled"), max(col("frame_idx")).as("last_idx"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id, CAST(1 + doc_id % 24 AS INT) AS n_frames,
+             |  CAST(len(generate_series(0, doc_id % 24, 4)) AS BIGINT) AS sampled,
+             |  CAST(list_max(generate_series(0, doc_id % 24, 4)) AS INT) AS last_idx
+             |FROM documents ORDER BY media_id""".stripMargin))
   )
 }

@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 49 declared operator queries are all present (SURVEY §2)") {
+  test("the 50 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -28,9 +28,10 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "set_except", "rollup_agg", "delta_agg", "sql_cte",
       "dedup_minhash", "dedup_simhash", "dedup_ngram", "neardup_embedding",
       "token_count", "quality_score", "lang_id", "fingerprint",
-      "multimodal_meta", "multimodal_decode", "similarity_topk", "ann_lsh",
+      "multimodal_meta", "multimodal_decode", "multimodal_frames",
+      "similarity_topk", "ann_lsh",
       "ann_ivf", "sessions_gap", "delta_distinct", "window_funcs")
-    assert(declared.size == 49)
+    assert(declared.size == 50)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
