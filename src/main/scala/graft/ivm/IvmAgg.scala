@@ -2,7 +2,7 @@ package graft.ivm
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.Aggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftSql
@@ -117,4 +117,56 @@ object IvmAgg {
     */
   def maintain(baseView: DataFrame, q: Dataset[_]): DataFrame =
     merge(baseView, deltaPartial(q))
+
+  // ---- AVG support: storage-form decomposition ----------------------------
+  //
+  // AVG is not insert-mergeable directly, but (SUM, COUNT) is. The
+  // maintained VIEW therefore stores the decomposed pair ("storage form");
+  // readers recompute the average on the way out ("display form"). This is
+  // the same split every warehouse's incremental matview performs.
+
+  private val SumSuffix = "__avg_sum"
+  private val CntSuffix = "__avg_cnt"
+
+  /** The query with every `avg(x) AS name` replaced by the mergeable pair
+    * `sum(x) AS name__avg_sum, count(x) AS name__avg_cnt`. Materialize and
+    * maintain THIS; read through [[present]].
+    */
+  def mergeableForm(df: Dataset[_]): DataFrame = {
+    val spark = df.sparkSession
+    GraftSql.analyzed(df) match {
+      case Aggregate(groupExprs, aggExprs, child, hint) =>
+        val decomposed = aggExprs.flatMap {
+          case a @ Alias(ae: AggregateExpression, name)
+              if ae.aggregateFunction.isInstanceOf[Average] =>
+            if (ae.isDistinct) throw new UnsupportedOperationException(
+              s"IvmAgg: DISTINCT avg '$name' is not insert-mergeable")
+            val c = ae.aggregateFunction.asInstanceOf[Average].child
+            Seq(
+              Alias(Sum(c).toAggregateExpression(), s"$name$SumSuffix")(),
+              Alias(Count(c).toAggregateExpression(), s"$name$CntSuffix")())
+          case other => Seq(other)
+        }
+        GraftSql.ofRows(spark, Aggregate(groupExprs, decomposed, child, hint))
+      case other => throw new UnsupportedOperationException(
+        s"IvmAgg: root operator must be Aggregate, got ${other.nodeName}")
+    }
+  }
+
+  /** Display form of a storage-form view: recompute each decomposed average
+    * and drop the internal pair columns.
+    */
+  def present(view: DataFrame): DataFrame = {
+    val cols = view.columns
+    val avgNames = cols.collect {
+      case c if c.endsWith(SumSuffix) => c.stripSuffix(SumSuffix)
+    }.filter(n => cols.contains(s"$n$CntSuffix"))
+    val out = cols.filterNot(c =>
+        c.endsWith(SumSuffix) || c.endsWith(CntSuffix))
+      .map(col).toSeq ++
+      avgNames.map(n =>
+        (col(s"$n$SumSuffix").cast("double") /
+          col(s"$n$CntSuffix").cast("double")).as(n))
+    view.select(out: _*)
+  }
 }

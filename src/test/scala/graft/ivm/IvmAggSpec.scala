@@ -61,6 +61,28 @@ class IvmAggSpec extends AnyFunSuite with SparkFixture {
     assert(got == expect, s"got $got expect $expect")
   }
 
+  test("avg maintenance through the storage form (sum+count decomposition)") {
+    val q = (df: DataFrame) => df.groupBy("o_orderstatus")
+      .agg(avg(col("o_totalprice")).as("avg_price"),
+        count(lit(1)).as("cnt"))
+    // materialize and maintain the MERGEABLE form; read through present()
+    val storageQ = (df: DataFrame) => IvmAgg.mergeableForm(q(df))
+    val maintained = IvmAgg.present(
+      IvmAgg.maintain(storageQ(base("orders")), storageQ(t("orders"))))
+    val expect = q(t("orders"))
+      .select("o_orderstatus", "cnt", "avg_price")
+      .orderBy("o_orderstatus").collect()
+    val got = maintained
+      .select("o_orderstatus", "cnt", "avg_price")
+      .orderBy("o_orderstatus").collect()
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g.getString(0) == e.getString(0) && g.getLong(1) == e.getLong(1))
+      assert(math.abs(g.getDouble(2) - e.getDouble(2)) < 1e-6,
+        s"avg mismatch for ${g.getString(0)}: ${g.getDouble(2)} vs ${e.getDouble(2)}")
+    }
+  }
+
   test("fails fast on non-mergeable aggregates with a clear message") {
     val avgQ = t("orders").groupBy("o_orderstatus")
       .agg(avg(col("o_totalprice")).as("avg_price"))
