@@ -122,14 +122,15 @@ object Similarity {
     val withVec = emb.select(col("vec_id"), col("embedding"),
       org.apache.spark.ml.functions.array_to_vector(
         col("embedding").cast("array<double>")).as("features"))
-    // 2 Lloyd iterations: cell QUALITY barely moves recall (re-rank is
-    // exact), and in production the quantizer is trained once offline and
-    // reused — the per-query fit here exists only to keep the declared
-    // query self-contained
-    // random init (one sampling pass) instead of k-means|| (several passes)
+    // 2 Lloyd iterations, random init (one sampling pass, not k-means||),
+    // trained on a deterministic subsample: cell QUALITY barely moves
+    // recall (the re-rank is exact), and in production the quantizer is
+    // trained once offline and reused — the per-query fit exists only to
+    // keep the declared query self-contained
+    val trainSet = withVec.orderBy("vec_id").limit(32 * nCells)
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(2)
       .setInitMode("random")
-      .fit(withVec)
+      .fit(trainSet)
     val assigned = model.transform(withVec)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
 
