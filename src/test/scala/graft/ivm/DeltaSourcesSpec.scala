@@ -39,6 +39,18 @@ class DeltaSourcesSpec extends AnyFunSuite with SparkFixture {
     assert(DeltaSources.predicateFor("never_registered_xyz").isEmpty)
   }
 
+  test("empty delta: predicate matching nothing yields empty delta, full base") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    df.createOrReplaceTempView("empty_delta_t")
+    DeltaSources.register("empty_delta_t", "k > 1000000")
+    assert(Ivm.delta(spark.table("empty_delta_t")).count() == 0)
+    assert(Ivm.baseOf(spark.table("empty_delta_t")).count() == 2)
+    // identity trivially holds: Q(full) − Q(base) = ∅
+    val q = spark.table("empty_delta_t").select("k")
+    assert(Ivm.delta(q).count() == 0)
+  }
+
   test("delta of a registered table under a user alias still resolves") {
     import spark.implicits._
     val df = Seq((2L, "a"), (3L, "b"), (4L, "c")).toDF("k", "v")
