@@ -90,6 +90,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("file-stream source: windowed counts over parquet files arriving") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("file_stream").toString
+    val in = s"$dir/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+
+    def writeBatch(name: String, rows: Seq[(Timestamp, String, Double)]): Unit =
+      rows.toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+
+    writeBatch("b1", Seq((ts(5), "click", 1.0), (ts(10), "view", 2.0)))
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .parquet(in)
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("filehourly")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      writeBatch("b2", Seq((ts(20), "click", 3.0)))
+      q.processAllAvailable()
+      val clicks = spark.table("filehourly")
+        .filter(col("event_type") === "click").collect()
+      assert(clicks.length == 1 && clicks.head.getAs[Long]("cnt") == 2L,
+        s"expected 2 clicks in one window: ${clicks.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("streaming IVM: maintained view equals full recompute after N batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
