@@ -47,6 +47,29 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Stream–stream inner join with an event-time correlation bound: pair
+    * each right-stream event with left-stream events of the same user that
+    * happened in the `withinSeconds` window before it (attribution-style
+    * "purchase follows click"). Watermarks on BOTH sides + the time-range
+    * predicate let Spark expire join state — without them stream-stream
+    * join state grows forever; with them state is bounded by
+    * watermark × arrival rate.
+    */
+  def correlate(left: DataFrame, right: DataFrame,
+      withinSeconds: Long, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("l_ts") <= col("r_ts") &&
+        col("l_ts") >= col("r_ts") - expr(s"INTERVAL $withinSeconds SECONDS"),
+      "inner")
+  }
+
   /** Gap-based sessionization: a user's session closes after `gapMs` of
     * event-time inactivity (enforced via event-time timeout against the
     * watermark). Emits one row per closed session.

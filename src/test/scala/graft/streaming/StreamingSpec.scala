@@ -90,6 +90,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-stream join: purchases correlate with clicks within bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val buys = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.correlate(
+        clicks.toDF().toDF("ts", "user_id", "event_type"),
+        buys.toDF().toDF("ts", "user_id", "event_type"),
+        withinSeconds = 10 * 60)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts(0), 1L, "click"), (ts(45), 1L, "click"),
+        (ts(0), 2L, "click"))
+      buys.addData((ts(5), 1L, "purchase")) // 5 min after user 1's click
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select("l_user", "l_type", "r_type").collect()
+      assert(rows.length == 1, s"expected one attribution: ${rows.mkString}")
+      assert(rows.head.getLong(0) == 1L)
+    } finally q.stop()
+  }
+
   test("file-stream source: windowed counts over parquet files arriving") {
     import spark.implicits._
     val dir = Files.createTempDirectory("file_stream").toString
