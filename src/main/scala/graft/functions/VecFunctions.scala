@@ -21,4 +21,10 @@ object VecFunctions {
     * bytes — see [[org.apache.spark.sql.graft.RollingHash]].
     */
   def rollingHash(s: Column): Column = VecColumns.rollingHash(s)
+
+  /** Make `vec_dot` / `rolling_hash` callable from SQL text in this
+    * session (`SELECT vec_dot(a, b) FROM ...`).
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    VecColumns.registerAll(spark)
 }

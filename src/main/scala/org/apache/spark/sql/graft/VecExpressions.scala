@@ -132,4 +132,16 @@ object VecColumns {
 
   def rollingHash(s: Column): Column =
     ExpressionUtils.column(RollingHash(ExpressionUtils.expression(s)))
+
+  /** Register the native kernels in the session's function registry so SQL
+    * text can call them: `SELECT vec_dot(a, b)`, `rolling_hash(s)`.
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot",
+      exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_hash",
+      exprs => RollingHash(exprs.head), "scala_udf")
+  }
 }

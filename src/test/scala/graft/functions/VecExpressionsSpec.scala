@@ -49,6 +49,16 @@ class VecExpressionsSpec extends AnyFunSuite with SparkFixture {
     assert(v == 5.0)
   }
 
+  test("kernels are callable from SQL text after registration") {
+    import spark.implicits._
+    VecFunctions.registerSql(spark)
+    Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f), "ab"))
+      .toDF("a", "b", "s").createOrReplaceTempView("vec_sql_t")
+    val r = spark.sql(
+      "SELECT vec_dot(a, b) AS d, rolling_hash(s) AS h FROM vec_sql_t").head()
+    assert(r.getDouble(0) == 11.0 && r.getLong(1) == 3105L)
+  }
+
   test("rolling_hash matches the reference fold (both execution paths)") {
     import spark.implicits._
     // h("ab") = ((0*31+97)%M*31+98)%M = 3105
