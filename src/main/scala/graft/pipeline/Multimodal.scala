@@ -81,6 +81,25 @@ object Multimodal {
       explode(sequence(lit(0), col("n_frames") - 1, lit(everyK)))
         .as("frame_idx"))
 
+  /** Resize metadata: fit (width, height) into a `maxW`×`maxH` box
+    * preserving aspect ratio — integer arithmetic only (scale by the
+    * limiting dimension; never upscale). The pixel resample itself belongs
+    * to the stubbed codec; this computes the target geometry every
+    * downstream stage needs.
+    */
+  def resizeMeta(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val w = col("width")
+    val h = col("height")
+    // scale numerator/denominator: min(maxW/w, maxH/h, 1) as a rational
+    val byWidth = w * maxH <= h * maxW // width is NOT the limiting side?
+    val (num, den) = (when(byWidth, lit(maxH)).otherwise(lit(maxW)),
+      when(byWidth, h).otherwise(w))
+    val noShrink = w <= maxW && h <= maxH
+    decoded.select(col("media_id"), w.as("width"), h.as("height"),
+      when(noShrink, w).otherwise((w * num) / den).cast("int").as("out_w"),
+      when(noShrink, h).otherwise((h * num) / den).cast("int").as("out_h"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     // Metadata-only rollup over the media blobs: byte sizes per source.
     // Never touches the decoder — stays codegen'd, scans only 3 columns.

@@ -85,6 +85,24 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.4, s"IVF recall@5 = $recall (nProbe=4 of 16 cells)")
   }
 
+  test("resizeMeta fits into the box, preserves aspect, never upscales") {
+    val decoded = Multimodal.decodeAll(Multimodal.mediaTable(spark, sfDir))
+    val out = Multimodal.resizeMeta(decoded, 320, 240).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(ow <= 320 && oh <= 240, s"out of box: $w x $h -> $ow x $oh")
+      assert(ow <= w && oh <= h, s"upscaled: $w x $h -> $ow x $oh")
+      if (w > 320 || h > 240) {
+        // aspect preserved within integer truncation (relative tolerance —
+        // extreme aspect ratios amplify the absolute error of flooring)
+        val (a0, a1) = (w.toDouble / h, ow.toDouble / oh)
+        assert(math.abs(a1 - a0) / a0 < 0.05,
+          s"aspect drift: $w x $h -> $ow x $oh")
+      } else assert(ow == w && oh == h)
+    }
+  }
+
   test("embedding near-dups: LSH path agrees with brute-force at threshold") {
     val emb = Tables(spark, sfDir, "embeddings")
     val lsh = Dedup.embeddingNearDups(emb, 0.45)
