@@ -22,6 +22,12 @@ object VecFunctions {
     */
   def rollingHash(s: Column): Column = VecColumns.rollingHash(s)
 
+  /** Distinct consecutive word `n`-grams of a space-separated string as
+    * `array<string>` — partition-local shingling with no token shuffle,
+    * see [[org.apache.spark.sql.graft.WordShingles]].
+    */
+  def wordShingles(s: Column, n: Int): Column = VecColumns.wordShingles(s, n)
+
   /** Make `vec_dot` / `rolling_hash` callable from SQL text in this
     * session (`SELECT vec_dot(a, b) FROM ...`).
     */

@@ -32,26 +32,21 @@ object Dedup {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
-  /** Exploded DISTINCT trigram rows (doc_id, s) — the relational/codegen
-    * form of [[shingles]]: posexplode + windowed `lead` + concat, all
-    * compiled expressions. The array-HOF form (`transform`/`array_distinct`)
-    * is interpreted per element (LambdaFunction has no codegen) and measured
-    * ~5× slower on the sf0.1 corpus; this is the form every downstream
-    * dedup stage builds on.
+  /** Exploded DISTINCT trigram rows (doc_id, s), generated PARTITION-LOCALLY
+    * by the native [[org.apache.spark.sql.graft.WordShingles]] kernel +
+    * built-in `explode` — no shuffle at all between the scan and whatever
+    * aggregation consumes the rows. Shingling is per-document local; the
+    * earlier relational form (posexplode + windowed `lead` + global
+    * `distinct`) hash-shuffled and sorted every TOKEN row of the corpus,
+    * which at 100 TB is the dedup bottleneck. (The array-HOF form
+    * (`transform`/`array_distinct`) is also wrong here: LambdaFunction has
+    * no codegen, measured ~5× slower.) The per-document distinct lives
+    * inside the kernel, so no downstream `.distinct()` is needed.
     */
-  def shingleRows(docs: DataFrame): DataFrame = {
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
+  def shingleRows(docs: DataFrame): DataFrame =
     Par.spread(docs)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .toDF("doc_id", "pos", "w")
-      .select(col("doc_id"), col("w"),
-        lead("w", 1).over(win).as("w1"), lead("w", 2).over(win).as("w2"))
-      .filter(col("w2").isNotNull)
       .select(col("doc_id"),
-        concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
-      .distinct()
-  }
+        explode(graft.functions.VecFunctions.wordShingles(col("text"), 3)).as("s"))
 
   /** doc_id + H minhash signature columns mh0..mh{H-1}: per-doc minima of
     * seed-prefixed md5 digests, one codegen'd hash aggregate.
@@ -236,10 +231,10 @@ object Dedup {
     // is |candidates| × shingles: the shape that survives 100 TB.
     QueryDef("dedup_ngram",
       (s, d) => {
-        // the shingle rows feed four subtrees; measured: recomputing the
-        // (fully pipelined, codegen'd) shingle stage per subtree beats
-        // persist() here — materializing 850k rows serializes the stages
-        // and costs more than the recompute (3.2s vs 5.1s at sf0.1)
+        // the shingle rows feed four subtrees; since the WordShingles
+        // rewrite the stage is shuffle-free scan→generate codegen, so
+        // recomputing it per subtree is a pipelined re-scan, cheaper than
+        // persist (which serializes the stages and spends memory)
         val ws = shingleRows(t(s, d, "documents"))
         val cand = candidatesFromSignatures(
           signaturesFromRows(ws, 6), bands = 3, rows = 2)

@@ -121,6 +121,63 @@ object RollingHash {
   }
 }
 
+/** Distinct consecutive word n-grams ("shingles") of a space-separated
+  * string, as one `array<string>` per row.
+  *
+  * The relational form (posexplode + windowed `lead` + concat + distinct)
+  * computes the same set but pays a hash-shuffle + sort of EVERY TOKEN ROW
+  * of the corpus — at 100 TB that token exchange is the dedup pipeline's
+  * bottleneck, for an operation that is per-document local. This kernel
+  * generates the shingle set inside the scan's codegen stage; the only
+  * exchange left in the dedup path is the per-document aggregation of
+  * 16-byte digests. Tokenization matches `split(text, ' ')` / DuckDB
+  * `string_split` exactly (single-space split, empty tokens kept) so the
+  * oracle CTE replays it; the per-document distinct lives here too
+  * (first-occurrence order, deterministic).
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.shingle(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.WordShingles.shingle($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  /** Called from generated code. */
+  def shingle(s: UTF8String, n: Int): ArrayData = {
+    val words = s.toString.split(" ", -1)
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i + n <= words.length) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
 /** Column-level constructors for the native kernels (Expression → Column
   * wrapping needs `private[sql]` ExpressionUtils, hence here; the public
   * user-facing API is `graft.functions.VecFunctions`).
@@ -133,6 +190,9 @@ object VecColumns {
   def rollingHash(s: Column): Column =
     ExpressionUtils.column(RollingHash(ExpressionUtils.expression(s)))
 
+  def wordShingles(s: Column, n: Int): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(s), n))
+
   /** Register the native kernels in the session's function registry so SQL
     * text can call them: `SELECT vec_dot(a, b)`, `rolling_hash(s)`.
     */
@@ -143,5 +203,13 @@ object VecColumns {
       exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash",
       exprs => RollingHash(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShingles(exprs(0),
+        exprs(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"word_shingles(text, n): n must be an integer literal, got $other")
+        }), "scala_udf")
   }
 }

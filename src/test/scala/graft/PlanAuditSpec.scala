@@ -54,6 +54,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dedup_minhash: shingling is shuffle-free up to the signature agg") {
+    // trigram generation must stay partition-local (WordShingles + explode):
+    // no token-level Window, and the ONLY hash exchange in the whole query
+    // is the per-document signature aggregation
+    val p = planOf("dedup_minhash")
+    assert(!p.contains("Window"), s"token-level window shuffle came back:\n$p")
+    assert(p.contains("word_shingles"), s"native shingle kernel missing:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the signature-agg exchange:\n$p")
+  }
+
   test("projection: scan reads only the projected columns") {
     val p = planOf("projection")
     assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),
