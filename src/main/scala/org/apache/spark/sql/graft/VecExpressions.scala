@@ -178,6 +178,78 @@ object WordShingles {
   }
 }
 
+/** Indices of the `k` centroids with the highest dot product against the
+  * row's embedding, as `array<int>` (dot desc, index asc tiebreak).
+  *
+  * The IVF quantizer's inner loop: with unit-normalized centroids the dot
+  * ranking IS the cosine ranking, so `k = 1` is cell assignment and
+  * `k = nProbe` is probe selection — both pure codegen over a centroid
+  * matrix shipped once per task as a reference object (the
+  * `ctx.addReferenceObj` mechanism Spark itself uses for literals too large
+  * to inline). This replaces an MLlib `model.transform` prediction UDF,
+  * which at 100 TB would glue a black-box non-codegen UDF into every
+  * corpus scan.
+  */
+case class VecTopCells(child: Expression, centroids: Array[Array[Float]], k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  require(k >= 1 && centroids.nonEmpty, "need k >= 1 and at least one centroid")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_top_cells"
+
+  override def nullSafeEval(input: Any): Any =
+    VecTopCells.topCells(input.asInstanceOf[ArrayData], centroids, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.VecTopCells.topCells($c, $ref, $k)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecTopCells =
+    copy(child = newChild)
+}
+
+object VecTopCells {
+  /** Called from generated code. */
+  def topCells(v: ArrayData, cents: Array[Array[Float]], k: Int): ArrayData = {
+    val n = cents.length
+    val dots = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val cent = cents(c)
+      val d = math.min(v.numElements(), cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += v.getFloat(i).toDouble * cent(i); i += 1 }
+      dots(c) = s
+      c += 1
+    }
+    val kk = math.min(k, n)
+    val out = new Array[Any](kk)
+    val taken = new Array[Boolean](n)
+    var r = 0
+    while (r < kk) {
+      var best = -1
+      var bestDot = Double.NegativeInfinity
+      var j = 0
+      while (j < n) {
+        if (!taken(j) && dots(j) > bestDot) { best = j; bestDot = dots(j) }
+        j += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Column-level constructors for the native kernels (Expression → Column
   * wrapping needs `private[sql]` ExpressionUtils, hence here; the public
   * user-facing API is `graft.functions.VecFunctions`).
@@ -192,6 +264,10 @@ object VecColumns {
 
   def wordShingles(s: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(s), n))
+
+  def topCells(v: Column, centroids: Array[Array[Float]], k: Int): Column =
+    ExpressionUtils.column(
+      VecTopCells(ExpressionUtils.expression(v), centroids, k))
 
   /** Register the native kernels in the session's function registry so SQL
     * text can call them: `SELECT vec_dot(a, b)`, `rolling_hash(s)`.

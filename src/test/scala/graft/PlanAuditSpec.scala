@@ -54,6 +54,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ann_ivf: codegen'd quantizer kernel, no MLlib prediction UDF") {
+    val p = planOf("ann_ivf")
+    assert(p.contains("vec_top_cells"), s"native IVF kernel missing:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF("),
+      s"ann_ivf regressed to a prediction UDF:\n$p")
+  }
+
   test("dedup_minhash: shingling is shuffle-free up to the signature agg") {
     // trigram generation must stay partition-local (WordShingles + explode):
     // no token-level Window, and the ONLY hash exchange in the whole query
