@@ -109,21 +109,42 @@ object Dedup {
     votes.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs within Hamming distance `maxDist`, bucketed by
-    * exact signature equality first (distance 0) or compared within minhash
-    * candidates — here exposed as an API for the spec; the oracle-checked
-    * query surface uses the per-doc signature.
+  /** SimHash near-dup pairs within Hamming distance `maxDist` — EXACT, via
+    * pigeonhole banding: split the signature into `maxDist + 1` disjoint
+    * bit-bands; a pair differing in ≤ `maxDist` bits must agree exactly on
+    * at least one band, so a band-key equality self-join (inverted index,
+    * Σ|bucket|² — never all-pairs) finds every qualifying pair, and the
+    * codegen'd `bit_count(xor)` verify discards band-collisions beyond the
+    * distance. Same output as the brute cross-join (pinned by PipelineSpec
+    * against the corpus ground truth) with the join shape that survives
+    * 100 TB.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
-    val sig = simhash(docs)
-    val l = sig.select(col("doc_id").as("d1"), col("simhash").as("h1"))
-    val r = sig.select(col("doc_id").as("d2"), col("simhash").as("h2"))
-    // bit_count(xor) is codegen'd; the join is brute within-corpus here —
-    // production path buckets by rotated bands first (same shape as minhash)
-    l.join(r, col("d1") < col("d2"))
+    require(maxDist >= 0 && maxDist < simhashBits,
+      s"maxDist must be in [0, $simhashBits)")
+    val nBands = maxDist + 1
+    // contiguous bit ranges covering all simhashBits bits, widths within 1
+    val bounds = (0 to nBands).map(b => b * simhashBits / nBands)
+    def bandKey(b: Int): Column = {
+      val lo = bounds(b)
+      val width = bounds(b + 1) - lo
+      shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1))
+    }
+    val banded = simhash(docs).select(col("doc_id"), col("simhash"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = banded.select(col("band"), col("key"),
+      col("doc_id").as("d1"), col("simhash").as("h1"))
+    val r = banded.select(col("band"), col("key"),
+      col("doc_id").as("d2"), col("simhash").as("h2"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("d1") < col("d2"))
       .withColumn("dist", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .filter(col("dist") <= maxDist)
       .select("d1", "d2", "dist")
+      .distinct()
   }
 
   /** Near-duplicate embedding pairs: LSH-bucketed (reusing [[Similarity]]
@@ -134,24 +155,28 @@ object Dedup {
     */
   def embeddingNearDups(emb: DataFrame, minCos: Double,
       nBands: Int = 8, bandBits: Int = 3): DataFrame = {
+    // candidate ID pairs first, embeddings re-joined after: the band join
+    // and the band-duplicate-collapsing distinct see only (vec_id, band,
+    // sig) scalars, so each embedding array crosses the wire exactly once
+    // per join side (by vec_id) instead of once per band replica — at
+    // 100 TB the nBands× embedding amplification is the dominant shuffle
     val keyed = Similarity.withBands(emb, nBands, bandBits, 64)
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"), col(s"band_$b").as("sig"))): _*)).as("bs"))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val l = keyed.select(col("band"), col("sig"),
-      col("vec_id").as("d1"), col("embedding").as("e1"))
-    val r = keyed.select(col("band"), col("sig"),
-      col("vec_id").as("d2"), col("embedding").as("e2"))
-    // cosine + threshold INSIDE the join's output pipeline (codegen, no
-    // exchange), so embedding arrays never shuffle; the distinct that
-    // collapses band-duplicate pairs sees only the few surviving id pairs
-    l.join(r, Seq("band", "sig"))
+    val pairs = keyed.select(col("band"), col("sig"), col("vec_id").as("d1"))
+      .join(keyed.select(col("band"), col("sig"), col("vec_id").as("d2")),
+        Seq("band", "sig"))
       .filter(col("d1") < col("d2"))
-      .filter(Similarity.cosine(col("e1"), col("e2")) >= minCos)
       .select("d1", "d2")
       .distinct()
+    pairs
+      .join(emb.select(col("vec_id").as("d1"), col("embedding").as("e1")), "d1")
+      .join(emb.select(col("vec_id").as("d2"), col("embedding").as("e2")), "d2")
+      .filter(Similarity.cosine(col("e1"), col("e2")) >= minCos)
+      .select("d1", "d2")
   }
 
   /** Shingle document-frequency cutoff for the exact all-pairs API. */

@@ -75,29 +75,37 @@ object Similarity {
   /** Approximate top-k: candidates = pairs agreeing on ≥1 LSH band, then
     * exact cosine re-rank within each query's candidate set.
     *
-    * Shuffle discipline (the thing that matters at scale): cosine is
-    * computed IN the band join's codegen'd output pipeline — before any
-    * exchange — so the embedding arrays never shuffle. Band-duplicate pairs
-    * recompute the (cheap, fused-loop) cosine and collapse in a
-    * scalar-only groupBy; only (q_id, n_id, cos) rows ever hit the wire.
+    * Shuffle discipline (the thing that matters at scale): the band join
+    * and the band-duplicate-collapsing distinct run over (vec_id, band,
+    * sig) scalars ONLY — candidate ID pairs come out, and the embedding
+    * arrays are re-joined by vec_id afterwards for the exact cosine
+    * re-rank. Each embedding therefore crosses the wire once per join
+    * side, not once per band replica (the nBands× amplification the
+    * banded-join-with-payload plan pays); the cosine is computed in the
+    * re-join's codegen'd output pipeline so only (q_id, n_id, cos) rows
+    * reach the top-k window's exchange.
     */
   def lshTopK(emb: DataFrame, k: Int, nBands: Int = 4, bandBits: Int = 8,
       dim: Int = 64): DataFrame = {
-    val banded = withBands(emb, nBands, bandBits, dim)
-    val bandIdx = explode(array((0 until nBands).map(b =>
-      struct(lit(b).as("band"), col(s"band_$b").as("sig"))): _*)).as("bs")
-    val keyed = banded.select(col("vec_id"), col("embedding"), bandIdx)
-      .select(col("vec_id"), col("embedding"),
+    val keyed = withBands(emb, nBands, bandBits, dim)
+      .select(col("vec_id"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"), col(s"band_$b").as("sig"))): _*)).as("bs"))
+      .select(col("vec_id"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val left = keyed.select(col("band"), col("sig"),
-      col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val right = keyed.select(col("band"), col("sig"),
-      col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-    val scored = left.join(right, Seq("band", "sig"))
+    val pairs = keyed.select(col("band"), col("sig"), col("vec_id").as("q_id"))
+      .join(keyed.select(col("band"), col("sig"), col("vec_id").as("n_id")),
+        Seq("band", "sig"))
       .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id")
+      .distinct()
+    val scored = pairs
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        "q_id")
+      .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        "n_id")
       .select(col("q_id"), col("n_id"),
         cosine(col("q_emb"), col("n_emb")).as("cos"))
-      .groupBy("q_id", "n_id").agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("n_id").asc)
     scored
