@@ -21,6 +21,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.engine.Tables.init(spark)
     // Warm up before timing: session/codegen machinery + file listing and
     // parquet footers of every table, plus one pass through the agg/join/
     // window/decimal codegen paths, so the first measured query reflects
@@ -49,8 +50,12 @@ object Bench {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
+      // noop-sink write executes the FULL physical plan, final ORDER BY
+      // included — a count() would let EliminateSorts drop each query's
+      // top-level sort under the count aggregate, excluding real cost the
+      // Verify/oracle path pays
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed ::= name

@@ -25,9 +25,16 @@ object Joins {
   def saltedJoin(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String, salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
-    // the shard assignment only needs to spread rows, not be stable across
-    // runs — spark_partition_id ⊕ a per-row counter does, without a shuffle
-    val shard = pmod(monotonically_increasing_id(), lit(salt.toLong))
+    // the shard must be DETERMINISTIC PER ROW CONTENT, not per arrival
+    // order: monotonically_increasing_id would reassign shards when a task
+    // retry or speculative attempt replays an upstream shuffle partition in
+    // a different order, duplicating or losing join rows under the exact
+    // fault model salting targets (hot keys at cluster scale). Hashing all
+    // big-side columns is stable across recomputation; fully identical
+    // duplicate rows share a shard, which only matters if the hot key's
+    // rows are all byte-identical — spreading those requires an explicit
+    // disambiguating column from the caller.
+    val shard = pmod(xxhash64(big.columns.map(col): _*), lit(salt.toLong))
     val b = big.withColumn("__salt", shard)
     val s = small.withColumn("__salt",
       explode(array((0 until salt).map(i => lit(i.toLong)): _*)))

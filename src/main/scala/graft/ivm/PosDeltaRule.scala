@@ -1,7 +1,7 @@
 package graft.ivm
 
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{BinaryOperator, Cast, Expression, Literal, Not}
+import org.apache.spark.sql.catalyst.expressions.{BinaryOperator, Cast, Expression, IsNull, Literal, Not, Or}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -154,7 +154,13 @@ object ResolvePosDeltaScan extends Rule[LogicalPlan] {
     case PosDeltaScan(scan) =>
       Filter(resolveAgainst(deltaPredicate(scan), scan), scan)
     case BaseScan(scan) =>
-      Filter(Not(resolveAgainst(deltaPredicate(scan), scan)), scan)
+      // NOT(pred) OR ISNULL(pred): rows where the delta predicate evaluates
+      // to NULL belong to the BASE snapshot (the delta arm's Filter(pred)
+      // already drops them), preserving scan = base ∪all delta — without the
+      // IsNull arm a nullable predicate column would silently drop rows
+      // from both arms and break δQ == Q(full) − Q(base)
+      val pred = resolveAgainst(deltaPredicate(scan), scan)
+      Filter(Or(Not(pred), IsNull(pred)), scan)
   }
 
   private def deltaPredicate(scan: LogicalPlan): Expression = {

@@ -38,6 +38,10 @@ final class IncrementalView(
     sinkPath: String) extends MaintainedView {
 
   private var highMark: Long = Long.MinValue
+  // registry + temp-view entries are per-INSTANCE, so two views maintained
+  // over the same logical table never clobber each other's high-mark
+  // predicates (the registered name is what the delta rewrite resolves)
+  private val scopedName = s"${table}__mv${IvmStream.nextViewId()}"
 
   /** Fold the current full table state (previous rows + newly appended
     * rows); every row with `idCol` > the previous high mark is the delta.
@@ -49,16 +53,20 @@ final class IncrementalView(
       case r => r.getLong(0)
     }
     if (newHigh > highMark) {
-      DeltaSources.register(table, s"$idCol > $highMark")
-      fullTable.createOrReplaceTempView(table)
-      Ivm.delta(query(spark.table(table)))
+      DeltaSources.register(scopedName, s"$idCol > $highMark")
+      fullTable.createOrReplaceTempView(scopedName)
+      Ivm.delta(query(spark.table(scopedName)))
         .write.mode("append").parquet(sinkPath)
       highMark = newHigh
     }
   }
 
   /** The maintained view: the sink table all δQ batches were appended to. */
-  def result: DataFrame = spark.read.parquet(sinkPath)
+  def result: DataFrame = {
+    require(highMark > Long.MinValue,
+      s"IncrementalView($table): result read before the first update()")
+    spark.read.parquet(sinkPath)
+  }
 }
 
 /** Incremental maintenance of a GROUPED AGGREGATE over an append-only
@@ -79,6 +87,7 @@ final class IncrementalAggView(
 
   private var highMark: Long = Long.MinValue
   private var gen: Int = -1
+  private val scopedName = s"${table}__mv${IvmStream.nextViewId()}"
 
   def update(fullTable: DataFrame): Unit = {
     val newHigh = fullTable.agg(max(col(idCol))).head() match {
@@ -86,9 +95,9 @@ final class IncrementalAggView(
       case r => r.getLong(0)
     }
     if (newHigh > highMark) {
-      DeltaSources.register(table, s"$idCol > $highMark")
-      fullTable.createOrReplaceTempView(table)
-      val delta = graft.ivm.IvmAgg.deltaPartial(query(spark.table(table)))
+      DeltaSources.register(scopedName, s"$idCol > $highMark")
+      fullTable.createOrReplaceTempView(scopedName)
+      val delta = graft.ivm.IvmAgg.deltaPartial(query(spark.table(scopedName)))
       val next =
         if (gen < 0) delta.partial
         else graft.ivm.IvmAgg.merge(spark.read.parquet(s"$sinkPath/g$gen"), delta)
@@ -99,10 +108,17 @@ final class IncrementalAggView(
   }
 
   /** The maintained aggregate (current generation). */
-  def result: DataFrame = spark.read.parquet(s"$sinkPath/g$gen")
+  def result: DataFrame = {
+    require(gen >= 0,
+      s"IncrementalAggView($table): result read before the first update()")
+    spark.read.parquet(s"$sinkPath/g$gen")
+  }
 }
 
 object IvmStream {
+
+  private val viewIds = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[streaming] def nextViewId(): Long = viewIds.incrementAndGet()
 
   /** Attach an [[IncrementalView]] to a streaming source of appends: each
     * micro-batch is folded into the accumulated base table (caller-supplied

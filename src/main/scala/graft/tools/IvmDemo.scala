@@ -20,6 +20,7 @@ object IvmDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.engine.Tables.init(spark)
 
     val customer = Tables(spark, sfDir, "customer")
     val nation = Tables(spark, sfDir, "nation")

@@ -14,6 +14,7 @@ object ProbeNgram {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.engine.Tables.init(spark)
     val docs = Tables(spark, dir, "documents")
     docs.count()
 

@@ -16,6 +16,7 @@ object ProbeQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.engine.Tables.init(spark)
     names.foreach { n =>
       for (round <- Seq("cold", "warm")) {
         val t0 = System.nanoTime()

@@ -21,6 +21,7 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.engine.Tables.init(spark)
     import graft.engine.Tables
 
     val li0 = Tables(spark, dir, "lineitem")

@@ -29,13 +29,21 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
+  // NOT nullIntolerant: the mismatch case below returns null for non-null
+  // inputs, so optimizer rules must not assume null-in ⇔ null-out
+  override def nullIntolerant: Boolean = false
   override def prettyName: String = "vec_dot"
+
+  // mismatched dimensions yield NULL, never a silently truncated partial
+  // dot product (a ragged embedding would otherwise skew ann/neardup
+  // rankings undetectably)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -51,12 +59,16 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -72,6 +72,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"expected exactly the signature-agg exchange:\n$p")
   }
 
+  test("base-snapshot arm still reaches parquet pushdown with the null arm") {
+    // base arm = NOT(pred) OR ISNULL(pred): the optimizer must simplify the
+    // IsNull-of-comparison and push Or(LessThan, IsNull) to the scan —
+    // otherwise every mixed δ-join arm full-scans the base table at 100 TB
+    val df = graft.ivm.Ivm.baseOf(
+      graft.engine.Tables(spark, sfDir, "orders").select("o_orderkey", "o_orderdate"))
+    val p = df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan.toString
+    assert(p.contains("LessThan(o_orderdate") && p.contains("IsNull(o_orderdate"),
+      s"base-arm pushdown missing:\n$p")
+  }
+
   test("projection: scan reads only the projected columns") {
     val p = planOf("projection")
     assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),

@@ -19,6 +19,7 @@ object SparkFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.engine.Tables.init(s)
     s
   }
 }

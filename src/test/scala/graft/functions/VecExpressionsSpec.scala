@@ -33,6 +33,48 @@ class VecExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("vec_dot of mismatched dimensions is null, not a truncated partial") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try {
+        val r = df.select(VecFunctions.vecDot(col("a"), col("b"))).head()
+        assert(r.isNullAt(0), s"mode=$codegen: ragged dims must yield null")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("word_shingles: distinct consecutive n-grams, codegen and interpreted") {
+    import spark.implicits._
+    val df = Seq(("a b c a b c d"), ("a b"), (null: String)).toDF("s")
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try {
+        val rows = df.select(VecFunctions.wordShingles(col("s"), 3)).collect()
+        assert(rows(0).getSeq[String](0) ==
+          Seq("a b c", "b c a", "c a b", "b c d"), s"mode=$codegen")
+        assert(rows(1).getSeq[String](0).isEmpty, "short doc: no trigrams")
+        assert(rows(2).isNullAt(0))
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("vec_top_cells ranks centroids by dot, desc, index tiebreak") {
+    import spark.implicits._
+    val cents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(0.7f, 0.7f))
+    val df = Seq(Seq(1.0f, 0.1f)).toDF("v")
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try {
+        val r = df.select(org.apache.spark.sql.graft.VecColumns
+          .topCells(col("v"), cents, 3)).head().getSeq[Int](0)
+        // dots: 1.0, 0.1, 0.77 → order 0, 2, 1
+        assert(r == Seq(0, 2, 1), s"mode=$codegen")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("vec_cosine of identical vectors is 1.0") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")

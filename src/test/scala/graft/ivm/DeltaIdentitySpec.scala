@@ -122,6 +122,25 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
     assertMultisetEqual(Ivm.baseOf(q(t("orders"))), q(base("orders")))
   }
 
+  test("identity: nullable delta-predicate column (NULL rows are base)") {
+    // ADVICE r2: rows where the registered predicate evaluates to NULL must
+    // land in the BASE snapshot, not vanish from both arms — otherwise
+    // scan != base ∪all delta and maintained views silently drop rows
+    import spark.implicits._
+    Seq((1L, Option(5L)), (2L, Option.empty[Long]), (3L, Option(12L)),
+        (4L, Option(20L)), (5L, Option.empty[Long]))
+      .toDF("id", "v").createOrReplaceTempView("nullable_src")
+    DeltaSources.register("nullable_src", "v > 10")
+    val q = spark.table("nullable_src").select("id")
+    val delta = Ivm.delta(q)
+    assert(delta.collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    val baseArm = Ivm.baseOf(q)
+    assert(baseArm.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
+    // scan = base ∪all delta, and the executed identity
+    assertMultisetEqual(baseArm.unionAll(delta), q)
+    assertMultisetEqual(delta, q.exceptAll(baseArm))
+  }
+
   test("identity: composed query (filter over join under projection)") {
     val f = (c: DataFrame, n: DataFrame) =>
       c.join(n, col("c_nationkey") === col("n_nationkey"), "inner")
