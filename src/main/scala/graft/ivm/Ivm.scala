@@ -68,4 +68,44 @@ object Ivm {
 
   /** Mark only (no rewrite) — for plan-shape tests mirroring the reference. */
   def mark(df: Dataset[_]): PosDelta = PosDelta(GraftSql.analyzed(df))
+
+  // ---- self-serve maintenance ladder ----------------------------------
+
+  /** What [[maintainAuto]] chose, and what to do with it. */
+  sealed trait AutoMaintenance
+
+  /** The algebraic delta applied (envelope queries): `rows` are δQ — append
+    * them to the materialized view. The cheap path: δ arms read only the
+    * pruned delta partitions.
+    */
+  final case class AppendDelta(rows: DataFrame) extends AutoMaintenance
+
+  /** A mergeable-aggregate partial (Aggregate-rooted queries): fold into
+    * the materialized view with [[IvmAgg.merge]] (an upsert on the group
+    * keys in production sinks). Aggregated over the pruned delta scan only.
+    */
+  final case class MergePartial(delta: IvmAgg.AggDelta) extends AutoMaintenance
+
+  /** Differencing fallback (windows, sorts, outer joins, non-mergeable
+    * aggregates): `rows` are `Q(full) ∖all Q(base)` from a full recompute —
+    * correct for ANY deterministic query, with no incremental speedup.
+    */
+  final case class DiffRows(rows: DataFrame) extends AutoMaintenance
+
+  /** Route a query down the maintenance ladder instead of throwing:
+    * algebraic delta → mergeable-aggregate partial → differencing. Every
+    * query the engine can run is maintainable through this entry point;
+    * the returned case tells the caller how to apply the result (append /
+    * merge / diff-apply), and WHICH rung it got — so the cost cliff
+    * between the incremental rungs and the recompute rung stays visible.
+    */
+  def maintainAuto(df: Dataset[_]): AutoMaintenance =
+    try AppendDelta(delta(df))
+    catch {
+      case _: UnsupportedOperationException =>
+        try MergePartial(IvmAgg.deltaPartial(df))
+        catch {
+          case _: UnsupportedOperationException => DiffRows(deltaByDiff(df))
+        }
+    }
 }

@@ -100,12 +100,27 @@ object PosDeltaRule extends Rule[LogicalPlan] {
     case leaf: LeafNode =>
       PosDeltaScan(leaf)
 
+    // Outer/semi/anti joins are OUTSIDE insert-only delta algebra by
+    // construction, not omission: a new right-side row can match an old
+    // left row, which must RETRACT that row's previously emitted
+    // null-extended form — an insert-only delta cannot express the
+    // retraction. (The reference would clone the join type into the three
+    // arms and silently over/under-count, mod.rs:126; failing fast with
+    // the escape hatch named is the correct envelope.)
+    case j: Join =>
+      throw new UnsupportedOperationException(
+        s"PosDelta: no insert-only delta rule for ${j.joinType} join — " +
+          "new rows on one side retract previously null-extended (or " +
+          "existence-dependent) rows of the other, which insert-only " +
+          "deltas cannot express; use Ivm.deltaByDiff, or Ivm.maintainAuto " +
+          "which routes here automatically")
+
     case other =>
       throw new UnsupportedOperationException(
         s"PosDelta: no delta rule for operator ${other.nodeName}; " +
           "supported: Project, Filter, inner/cross Join, Union, table scans, " +
           "plus Distinct at the query root (Ivm.delta); for grouped " +
-          "aggregates use graft.ivm.IvmAgg")
+          "aggregates use graft.ivm.IvmAgg or Ivm.maintainAuto")
   }
 
   /** A named-relation scan: a leaf or a catalog [[View]], possibly under

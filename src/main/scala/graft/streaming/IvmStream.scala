@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ivm.{DeltaSources, Ivm}
+import graft.ivm.{Ivm, Snapshots}
 
 /** Incremental view maintenance over an append-only stream: the runtime
   * loop the reference's plan rewrite exists for, driven by Structured
@@ -37,33 +37,32 @@ final class IncrementalView(
     query: DataFrame => DataFrame,
     sinkPath: String) extends MaintainedView {
 
-  private var highMark: Long = Long.MinValue
-  // registry + temp-view entries are per-INSTANCE, so two views maintained
-  // over the same logical table never clobber each other's high-mark
-  // predicates (the registered name is what the delta rewrite resolves)
+  private var highMark: Option[Long] = None
+  // snapshot registry + temp-view entries are per-INSTANCE, so two views
+  // maintained over the same logical table never clobber each other's
+  // high-water predicates (the registered name is what the rewrite resolves)
   private val scopedName = s"${table}__mv${IvmStream.nextViewId()}"
+  Snapshots.track(scopedName, idCol)
 
   /** Fold the current full table state (previous rows + newly appended
-    * rows); every row with `idCol` > the previous high mark is the delta.
-    * δQ for the batch is appended to the sink, executor-side.
+    * rows); every row with `idCol` past the snapshot watermark is the
+    * delta. δQ for the batch is appended to the sink, executor-side.
     */
   def update(fullTable: DataFrame): Unit = {
-    val newHigh = fullTable.agg(max(col(idCol))).head() match {
-      case r if r.isNullAt(0) => highMark
-      case r => r.getLong(0)
-    }
-    if (newHigh > highMark) {
-      DeltaSources.register(scopedName, s"$idCol > $highMark")
+    val row = fullTable.agg(max(col(idCol))).head()
+    val newHigh = if (row.isNullAt(0)) None else Some(row.getLong(0))
+    newHigh.filter(h => highMark.forall(h > _)).foreach { h =>
       fullTable.createOrReplaceTempView(scopedName)
       Ivm.delta(query(spark.table(scopedName)))
         .write.mode("append").parquet(sinkPath)
-      highMark = newHigh
+      Snapshots.advanceTo(scopedName, h)
+      highMark = Some(h)
     }
   }
 
   /** The maintained view: the sink table all δQ batches were appended to. */
   def result: DataFrame = {
-    require(highMark > Long.MinValue,
+    require(highMark.nonEmpty,
       s"IncrementalView($table): result read before the first update()")
     spark.read.parquet(sinkPath)
   }
@@ -85,17 +84,15 @@ final class IncrementalAggView(
     query: DataFrame => DataFrame,
     sinkPath: String) extends MaintainedView {
 
-  private var highMark: Long = Long.MinValue
+  private var highMark: Option[Long] = None
   private var gen: Int = -1
   private val scopedName = s"${table}__mv${IvmStream.nextViewId()}"
+  Snapshots.track(scopedName, idCol)
 
   def update(fullTable: DataFrame): Unit = {
-    val newHigh = fullTable.agg(max(col(idCol))).head() match {
-      case r if r.isNullAt(0) => highMark
-      case r => r.getLong(0)
-    }
-    if (newHigh > highMark) {
-      DeltaSources.register(scopedName, s"$idCol > $highMark")
+    val row = fullTable.agg(max(col(idCol))).head()
+    val newHigh = if (row.isNullAt(0)) None else Some(row.getLong(0))
+    newHigh.filter(h => highMark.forall(h > _)).foreach { h =>
       fullTable.createOrReplaceTempView(scopedName)
       val delta = graft.ivm.IvmAgg.deltaPartial(query(spark.table(scopedName)))
       val next =
@@ -103,7 +100,8 @@ final class IncrementalAggView(
         else graft.ivm.IvmAgg.merge(spark.read.parquet(s"$sinkPath/g$gen"), delta)
       next.write.mode("overwrite").parquet(s"$sinkPath/g${(gen + 1) % 2}")
       gen = (gen + 1) % 2
-      highMark = newHigh
+      Snapshots.advanceTo(scopedName, h)
+      highMark = Some(h)
     }
   }
 

@@ -65,6 +65,27 @@ object IvmDemo {
       aggQ(customer).exceptAll(maintained).isEmpty
     println(s"AGG OK: groups=${maintained.count()} ok=$aggOk")
 
+    // 6. self-serve ladder: maintainAuto routes by query shape
+    val routes = Seq(
+      "envelope" -> Ivm.maintainAuto(customer.select("c_custkey")),
+      "aggregate" -> Ivm.maintainAuto(aggQ(customer)),
+      "left-join" -> Ivm.maintainAuto(
+        customer.join(nation, col("c_nationkey") === col("n_nationkey"),
+          "left").select("c_custkey", "n_name")))
+      .map {
+        case (n, Ivm.AppendDelta(_))  => s"$n->delta"
+        case (n, Ivm.MergePartial(_)) => s"$n->merge"
+        case (n, Ivm.DiffRows(_))     => s"$n->diff"
+      }
+    println(s"AUTO OK: ${routes.mkString(" ")}")
+
+    // 7. snapshot watermark: advance the cut, the delta empties
+    graft.ivm.Snapshots.track("customer", "c_custkey")
+    val before = Ivm.delta(spark.table("customer")).count()
+    graft.ivm.Snapshots.advance("customer", customer)
+    val after = Ivm.delta(spark.table("customer")).count()
+    println(s"SNAPSHOT OK: before=$before after=$after ok=${after == 0}")
+
     spark.stop()
   }
 }

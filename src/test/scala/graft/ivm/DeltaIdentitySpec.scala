@@ -150,4 +150,69 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
       f(t("customer"), t("nation")),
       f(base("customer"), base("nation")))
   }
+
+  // ---- maintainAuto: the self-serve ladder ------------------------------
+
+  test("maintainAuto: envelope query routes to the algebraic delta") {
+    val q = t("orders").filter(col("o_orderstatus") === "O")
+      .select("o_orderkey")
+    Ivm.maintainAuto(q) match {
+      case Ivm.AppendDelta(rows) =>
+        assertMultisetEqual(rows,
+          q.exceptAll(base("orders").filter(col("o_orderstatus") === "O")
+            .select("o_orderkey")))
+      case other => fail(s"expected AppendDelta, got $other")
+    }
+  }
+
+  test("maintainAuto: mergeable aggregate routes to the partial") {
+    // decimal sum: fp addition is not associative, so a double sum would
+    // differ between merge(base, partial) and the one-pass full aggregate
+    val q = (df: DataFrame) => df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+    Ivm.maintainAuto(q(t("orders"))) match {
+      case Ivm.MergePartial(delta) =>
+        // folding the partial into the base view reproduces the full result
+        assertMultisetEqual(
+          IvmAgg.merge(q(base("orders")), delta),
+          q(t("orders")))
+      case other => fail(s"expected MergePartial, got $other")
+    }
+  }
+
+  test("maintainAuto: window query silently routes to differencing") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val q = (df: DataFrame) => df
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 5)
+    Ivm.maintainAuto(q(t("orders"))) match {
+      case Ivm.DiffRows(rows) =>
+        assertMultisetEqual(rows, q(t("orders")).exceptAll(q(base("orders"))))
+      case other => fail(s"expected DiffRows, got $other")
+    }
+  }
+
+  test("maintainAuto: left outer join silently routes to differencing") {
+    val q = (c: DataFrame, o: DataFrame) =>
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .select("c_custkey", "o_orderkey")
+    // the direct rewrite refuses with the escape hatch named...
+    val e = intercept[UnsupportedOperationException] {
+      Ivm.delta(q(t("customer"), t("orders")))
+    }
+    assert(e.getMessage.contains("deltaByDiff") &&
+      e.getMessage.contains("retract"), e.getMessage)
+    // ...and maintainAuto takes it automatically
+    Ivm.maintainAuto(q(t("customer"), t("orders"))) match {
+      case Ivm.DiffRows(rows) =>
+        assertMultisetEqual(rows,
+          q(t("customer"), t("orders"))
+            .exceptAll(q(base("customer"), base("orders"))))
+      case other => fail(s"expected DiffRows, got $other")
+    }
+  }
 }

@@ -51,6 +51,54 @@ class DeltaSourcesSpec extends AnyFunSuite with SparkFixture {
     assert(Ivm.delta(q).count() == 0)
   }
 
+  test("snapshot watermark: two maintenance cycles over parquet appends") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val src = s"$dir/src"
+    val sink = s"$dir/sink"
+    def refresh(): Unit =
+      spark.read.parquet(src).createOrReplaceTempView("snap_t")
+    def maintained(): org.apache.spark.sql.DataFrame =
+      Ivm.delta(spark.table("snap_t").filter(col("v") =!= "skip")
+        .select("id", "v"))
+
+    // cycle 0: initial state — everything is delta (the initial full load)
+    Seq((1L, "a"), (2L, "b"), (3L, "skip")).toDF("id", "v")
+      .write.mode("append").parquet(src)
+    refresh()
+    Snapshots.track("snap_t", "id")
+    maintained().write.mode("append").parquet(sink)
+    assert(Snapshots.advance("snap_t", spark.table("snap_t")))
+
+    // cycle 1: append a batch; only the new rows flow
+    Seq((4L, "c"), (5L, "skip"), (6L, "d")).toDF("id", "v")
+      .write.mode("append").parquet(src)
+    refresh()
+    val d1 = maintained()
+    assert(d1.collect().map(_.getLong(0)).toSet == Set(4L, 6L))
+    d1.write.mode("append").parquet(sink)
+    assert(Snapshots.advance("snap_t", spark.table("snap_t")))
+
+    // cycle 2: another append
+    Seq((7L, "e")).toDF("id", "v").write.mode("append").parquet(src)
+    refresh()
+    val d2 = maintained()
+    assert(d2.collect().map(_.getLong(0)).toSet == Set(7L))
+    d2.write.mode("append").parquet(sink)
+    assert(Snapshots.advance("snap_t", spark.table("snap_t")))
+
+    // no appends → idempotent: the mark doesn't move, the delta is empty
+    assert(!Snapshots.advance("snap_t", spark.table("snap_t")))
+    assert(maintained().count() == 0)
+
+    // the accumulated sink equals a full recompute of the view
+    val full = spark.table("snap_t").filter(col("v") =!= "skip")
+      .select("id", "v")
+    assert(spark.read.parquet(sink).exceptAll(full).isEmpty &&
+      full.exceptAll(spark.read.parquet(sink)).isEmpty,
+      "maintained sink diverged from the full recompute")
+  }
+
   test("delta of a registered table under a user alias still resolves") {
     import spark.implicits._
     val df = Seq((2L, "a"), (3L, "b"), (4L, "c")).toDF("k", "v")
