@@ -92,6 +92,44 @@ object Ivm {
     */
   final case class DiffRows(rows: DataFrame) extends AutoMaintenance
 
+  /** A signed delta: `inserts` to append, `retracts` to remove (one
+    * instance per row, multiset semantics). The maintained view identity:
+    * `Q(full) == (Q(base) ∪all inserts) ∖all retracts` — pinned by
+    * `DeltaIdentitySpec`.
+    */
+  final case class SignedDelta(inserts: DataFrame, retracts: DataFrame)
+
+  /** Signed delta of a LEFT OUTER join under insert-only source deltas —
+    * the case the append-only rewrite correctly refuses (see
+    * [[PosDeltaRule]]): a new right-side row matching a previously
+    * UNMATCHED left row must RETRACT the null-extended row the view
+    * already holds. The signed algebra:
+    *
+    *   inserts  =  δA ⟕ (B ∪ δB)          — new left rows, matched or null-extended
+    *            ∪  baseA ⋈ δB             — old left rows gaining new matches
+    *   retracts =  null-extend( (baseA ▷ baseB) ⋉ δB )
+    *               — formerly matchless left rows that δB now matches
+    *
+    * Each side may be any query inside the delta envelope (δ/base
+    * propagate through it). `cond` must reference columns BY NAME and the
+    * two sides' column names must be disjoint. At scale every term is a
+    * keyed join whose δ side reads only the pruned delta partition; the
+    * anti/semi pair in `retracts` shares the base-A scan.
+    */
+  def deltaLeftJoin(left: Dataset[_], right: Dataset[_],
+      cond: org.apache.spark.sql.Column): SignedDelta = {
+    val rFull = right.toDF()
+    val inserts = delta(left).join(rFull, cond, "left")
+      .unionByName(baseOf(left).join(delta(right), cond, "inner"))
+    val nullRight = rFull.schema.fields.toSeq.map(f =>
+      org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name))
+    val retracts = baseOf(left)
+      .join(baseOf(right), cond, "left_anti")
+      .join(delta(right), cond, "left_semi")
+      .select(org.apache.spark.sql.functions.col("*") +: nullRight: _*)
+    SignedDelta(inserts, retracts)
+  }
+
   /** Route a query down the maintenance ladder instead of throwing:
     * algebraic delta → mergeable-aggregate partial → differencing. Every
     * query the engine can run is maintainable through this entry point;

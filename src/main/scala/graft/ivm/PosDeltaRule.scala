@@ -112,8 +112,9 @@ object PosDeltaRule extends Rule[LogicalPlan] {
         s"PosDelta: no insert-only delta rule for ${j.joinType} join — " +
           "new rows on one side retract previously null-extended (or " +
           "existence-dependent) rows of the other, which insert-only " +
-          "deltas cannot express; use Ivm.deltaByDiff, or Ivm.maintainAuto " +
-          "which routes here automatically")
+          "deltas cannot express; use Ivm.deltaLeftJoin (signed " +
+          "insert/retract delta, LEFT OUTER), Ivm.deltaByDiff, or " +
+          "Ivm.maintainAuto which routes to differencing automatically")
 
     case other =>
       throw new UnsupportedOperationException(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.engine.{QueryDef, Tables}
+import graft.engine.{AsofJoin, QueryDef, Tables}
 
 /** LLM-training-data pipeline operators over the `documents` / `embeddings`
   * / `events` tables (SURVEY.md §2D north-star extensions).
@@ -113,6 +113,44 @@ object PipelineQueries {
              |  MIN(tus) AS start_us, MAX(tus) AS end_us
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, sid""".stripMargin)),
+
+    // As-of join (graft.engine.AsofJoin): each click event annotated with
+    // the user's latest purchase at-or-before it — one shuffle by user_id,
+    // merge-form carry-forward, never a per-row range probe. The oracle
+    // replays the identical union-tag + last_value(IGNORE NULLS) plan;
+    // ordering by the raw ns long (Spark) and µs TIMESTAMP (DuckDB) is
+    // order-isomorphic, and the output carries only ids/doubles (§7.5).
+    QueryDef("events_asof",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("p_event_id"), col("value").as("p_value"))
+        AsofJoin.asof(clicks, purchases, "user_id", "ts", "ts",
+            Seq("p_event_id", "p_value"), rightOrd = Some("p_event_id"))
+          .select("event_id", "user_id", "p_event_id", "p_value")
+          .orderBy("event_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT event_id, user_id, ts,
+             |    CAST(NULL AS BIGINT) AS p_event_id,
+             |    CAST(NULL AS DOUBLE) AS p_value, 1 AS side
+             |  FROM events WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT event_id, user_id, ts, event_id, value, 0
+             |  FROM events WHERE event_type = 'purchase'),
+             |w AS (
+             |  SELECT event_id, user_id, side,
+             |    last_value(p_event_id IGNORE NULLS) OVER win AS p_event_id,
+             |    last_value(p_value IGNORE NULLS) OVER win AS p_value
+             |  FROM u
+             |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, event_id
+             |                 ROWS UNBOUNDED PRECEDING))
+             |SELECT event_id, user_id, p_event_id, p_value FROM w
+             |WHERE side = 1
+             |ORDER BY event_id""".stripMargin)),
 
     // D4 — hourly event rollup. Output DATE + BIGINT hour (never raw ns ts,
     // SURVEY §7.5). At scale: partial agg then a (day,hr,type) shuffle.

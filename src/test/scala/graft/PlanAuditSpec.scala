@@ -83,6 +83,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"base-arm pushdown missing:\n$p")
   }
 
+  test("events_asof: merge-form as-of join shuffles exactly once by key") {
+    // the carry-forward window is the ONLY hash exchange — the as-of match
+    // must never become a per-row range probe or an interval cross join
+    val p = planOf("events_asof")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected the single by-key exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"as-of join degenerated to a product:\n$p")
+  }
+
   test("projection: scan reads only the projected columns") {
     val p = planOf("projection")
     assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),

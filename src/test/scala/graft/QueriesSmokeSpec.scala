@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 50 declared operator queries are all present (SURVEY §2)") {
+  test("the 51 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -30,8 +30,10 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "token_count", "quality_score", "lang_id", "fingerprint",
       "multimodal_meta", "multimodal_decode", "multimodal_frames",
       "similarity_topk", "ann_lsh",
-      "ann_ivf", "sessions_gap", "delta_distinct", "window_funcs")
-    assert(declared.size == 50)
+      "ann_ivf", "sessions_gap", "delta_distinct", "window_funcs",
+      // round-3 surface
+      "events_asof")
+    assert(declared.size == 51)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

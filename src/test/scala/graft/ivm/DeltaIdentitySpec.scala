@@ -196,6 +196,35 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("deltaLeftJoin: signed delta retracts null-extended rows") {
+    import spark.implicits._
+    // baseA = k 1..4, δA = k 5..6; baseB = (2,10), δB = (3,100), (5,200):
+    // row (3, null) in the base view must be RETRACTED when δB brings 3 a
+    // match — the exact case the append-only rewrite refuses
+    Seq((1L, "a1"), (2L, "a2"), (3L, "a3"), (4L, "a4"), (5L, "a5"), (6L, "a6"))
+      .toDF("k", "av").createOrReplaceTempView("sd_a")
+    Seq((2L, 10L), (3L, 100L), (5L, 200L))
+      .toDF("k2", "bv").createOrReplaceTempView("sd_b")
+    DeltaSources.register("sd_a", "k >= 5")
+    DeltaSources.register("sd_b", "bv >= 100")
+
+    val cond = col("k") === col("k2")
+    val q = (a: DataFrame, b: DataFrame) => a.join(b, cond, "left")
+    val full = q(spark.table("sd_a"), spark.table("sd_b"))
+    val baseView = q(
+      spark.table("sd_a").filter(col("k") < 5),
+      spark.table("sd_b").filter(col("bv") < 100))
+
+    val sd = Ivm.deltaLeftJoin(spark.table("sd_a"), spark.table("sd_b"), cond)
+    // the retraction is real and exact: (3, a3, null, null)
+    val r = sd.retracts.collect()
+    assert(r.length == 1 && r.head.getLong(0) == 3L && r.head.isNullAt(2),
+      s"expected the formerly matchless row 3 retracted, got ${r.toSeq}")
+    // maintained identity: Q(full) == (Q(base) ∪all inserts) ∖all retracts
+    assertMultisetEqual(full,
+      baseView.unionByName(sd.inserts).exceptAll(sd.retracts))
+  }
+
   test("maintainAuto: left outer join silently routes to differencing") {
     val q = (c: DataFrame, o: DataFrame) =>
       c.join(o, col("c_custkey") === col("o_custkey"), "left")
