@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.engine.{AsofJoin, QueryDef, Tables}
+import graft.engine.{AsofJoin, Par, QueryDef, Tables}
 
 /** LLM-training-data pipeline operators over the `documents` / `embeddings`
   * / `events` tables (SURVEY.md §2D north-star extensions).
@@ -151,6 +151,80 @@ object PipelineQueries {
              |SELECT event_id, user_id, p_event_id, p_value FROM w
              |WHERE side = 1
              |ORDER BY event_id""".stripMargin)),
+
+    // Training-sample prep: split each document into fixed 50-word windows
+    // (stride = width, no overlap). explode(sequence) + slice + array_join
+    // are all per-row compiled expressions over the already-split array —
+    // embarrassingly parallel, no shuffle before the final presentation
+    // sort. 1-based inclusive slice clamps at the tail in both engines.
+    QueryDef("doc_chunks",
+      (s, d) => {
+        val width = 50
+        val w = split(col("text"), " ")
+        Par.spread(t(s, d, "documents"))
+          .select(col("doc_id"), w.as("w"))
+          .select(col("doc_id"), col("w"),
+            explode(sequence(lit(0L),
+              ceil(size(col("w")) / lit(width.toDouble)).cast("long") - 1))
+              .as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id"),
+            array_join(slice(col("w"),
+              (col("chunk_id") * width + 1).cast("int"), lit(width)), " ")
+              .as("chunk"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+             |            FROM documents),
+             |e AS (SELECT doc_id, w,
+             |        unnest(generate_series(0,
+             |          CAST(ceil(len(w) / 50.0) AS BIGINT) - 1)) AS i
+             |      FROM d)
+             |SELECT doc_id, i AS chunk_id,
+             |  array_to_string(w[(i*50+1):(i*50+50)], ' ') AS chunk
+             |FROM e
+             |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Deterministic stratified sampling: per-language keep rates driven by
+    // an md5 hash of the doc id — reproducible across engines and runs
+    // (the property a 100 TB corpus build needs: re-running the pipeline
+    // selects the SAME sample, no RNG state to ship). en is downsampled
+    // harder than the tail languages, the usual rebalancing shape.
+    QueryDef("sample_stratified",
+      (s, d) => {
+        val bucket = (conv(substring(
+            md5(col("doc_id").cast("string").cast("binary")), 1, 2), 16, 10)
+          .cast("long") % 100)
+        val rate = when(col("lang") === "en", lit(20)).otherwise(lit(40))
+        t(s, d, "documents")
+          .filter(bucket < rate)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE ((instr('0123456789abcdef',
+             |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             |     + (instr('0123456789abcdef',
+             |          substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100
+             |      < CASE WHEN lang = 'en' THEN 20 ELSE 40 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Sketch-based corpus stats: HLL distinct texts + t-digest length
+    // quantiles per language. At 100 TB exact COUNT(DISTINCT text) is a
+    // full-text shuffle; the sketches are fixed-size mergeable state with
+    // map-side partial aggregation. No oracle (sketch internals differ
+    // across engines) — PipelineSpec pins both against exact ground truth
+    // within tolerance instead.
+    QueryDef("approx_stats",
+      (s, d) => t(s, d, "documents")
+        .groupBy("lang")
+        .agg(
+          approx_count_distinct(col("text"), rsd = 0.01).as("approx_texts"),
+          percentile_approx(length(col("text")), lit(0.5), lit(10000))
+            .cast("long").as("p50_chars"),
+          percentile_approx(length(col("text")), lit(0.9), lit(10000))
+            .cast("long").as("p90_chars"))
+        .orderBy("lang"),
+      None),
 
     // D4 — hourly event rollup. Output DATE + BIGINT hour (never raw ns ts,
     // SURVEY §7.5). At scale: partial agg then a (day,hr,type) shuffle.

@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 51 declared operator queries are all present (SURVEY §2)") {
+  test("the 54 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -32,15 +32,15 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "similarity_topk", "ann_lsh",
       "ann_ivf", "sessions_gap", "delta_distinct", "window_funcs",
       // round-3 surface
-      "events_asof")
-    assert(declared.size == 51)
+      "events_asof", "doc_chunks", "sample_stratified", "approx_stats")
+    assert(declared.size == 54)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
     assert(undeclared.isEmpty,
       s"queries not in the declared inventory (update SURVEY §2): $undeclared")
     val rowsOnly = Set("similarity_topk", "ann_lsh", "ann_ivf",
-      "neardup_embedding")
+      "neardup_embedding", "approx_stats")
     val missingOracle = (declared -- rowsOnly) -- SparkEntry.oracleSql.keySet
     assert(missingOracle.isEmpty, s"missing oracles: $missingOracle")
   }

@@ -85,6 +85,28 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.4, s"IVF recall@5 = $recall (nProbe=4 of 16 cells)")
   }
 
+  test("approx_stats sketches land within tolerance of exact ground truth") {
+    val approx = graft.SparkEntry.queries("approx_stats")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exact = docs.groupBy("lang")
+      .agg(countDistinct(col("text")).as("n"),
+        expr("percentile(length(text), 0.5)").as("p50"),
+        expr("percentile(length(text), 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (lang, (n, p50, p90)) =>
+      val (an, ap50, ap90) = approx(lang)
+      assert(math.abs(an - n).toDouble / n <= 0.05,
+        s"$lang: HLL distinct $an vs exact $n")
+      // percentile_approx returns an element of the dataset near the
+      // quantile; exact percentile interpolates — allow a small band
+      assert(math.abs(ap50 - p50) / p50 <= 0.1, s"$lang: p50 $ap50 vs $p50")
+      assert(math.abs(ap90 - p90) / p90 <= 0.1, s"$lang: p90 $ap90 vs $p90")
+    }
+  }
+
   test("resizeMeta fits into the box, preserves aspect, never upscales") {
     val decoded = Multimodal.decodeAll(Multimodal.mediaTable(spark, sfDir))
     val out = Multimodal.resizeMeta(decoded, 320, 240).collect()
