@@ -130,6 +130,26 @@ object Ivm {
     SignedDelta(inserts, retracts)
   }
 
+  /** Signed delta of a LEFT ANTI join ("A rows with NO match in B") under
+    * insert-only source deltas. Anti joins are anti-monotone on the right:
+    * a new right row RETRACTS previously emitted left rows it matches.
+    *
+    *   inserts  =  δA ▷ (B ∪ δB)       — new left rows that match nothing
+    *   retracts =  (baseA ▷ baseB) ⋉ δB — old no-match rows δB now matches
+    *
+    * Identity: `Q(full) == (Q(base) ∪all inserts) ∖all retracts`
+    * (DeltaIdentitySpec). Same naming/condition contract as
+    * [[deltaLeftJoin]].
+    */
+  def deltaAntiJoin(left: Dataset[_], right: Dataset[_],
+      cond: org.apache.spark.sql.Column): SignedDelta = {
+    val inserts = delta(left).join(right.toDF(), cond, "left_anti")
+    val retracts = baseOf(left)
+      .join(baseOf(right), cond, "left_anti")
+      .join(delta(right), cond, "left_semi")
+    SignedDelta(inserts, retracts)
+  }
+
   /** Route a query down the maintenance ladder instead of throwing:
     * algebraic delta → mergeable-aggregate partial → differencing. Every
     * query the engine can run is maintainable through this entry point;

@@ -1,8 +1,8 @@
 package graft.ivm
 
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{BinaryOperator, Cast, Expression, IsNull, Literal, Not, Or}
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.analysis.{MultiInstanceRelation, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BinaryOperator, Cast, ExprId, Expression, IsNull, Literal, Not, Or}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -74,6 +74,28 @@ object PosDeltaRule extends Rule[LogicalPlan] {
         j.copy(left = BaseRel(left), right = PosDelta(right)),
         j.copy(left = PosDelta(left), right = BaseRel(right))))
 
+    // δ(A ⋉ B) — LEFT SEMI joins the envelope (an extension past the
+    // reference's inner/cross coverage): unlike outer/anti, a semi row is
+    // never RETRACTED by new right rows — existence is monotone under
+    // inserts — so the delta is expressible append-only:
+    //   δ(A ⋉ B) = (δA ⋉ (B ∪ δB))  ∪all  ((base A ▷ base B) ⋉ δB)
+    // (new left rows with any match; old matchless left rows δB matches).
+    // The unmarked right in the first arm reads the FULL table (this
+    // engine's scan semantics — see the class doc). The second arm nests
+    // TWO clones of B (base B in the anti, δB in the semi) — a shape the
+    // analyzer's DeduplicateRelations cannot untangle (it disambiguates
+    // duplicates across branches, not same-ExprId clones inside one arm) —
+    // so the whole arm is re-instanced by [[freshInstance]] before
+    // analysis: tree order rewrites the anti's condition against the base
+    // clone before the δ clone re-maps the ids for the outer semi.
+    case j @ Join(left, right, LeftSemi, _, _) =>
+      Union(Seq(
+        j.copy(left = PosDelta(left)),
+        freshInstance(j.copy(
+          left = j.copy(left = BaseRel(left), right = BaseRel(right),
+            joinType = LeftAnti),
+          right = PosDelta(right)))))
+
     // δ(R ∪all S…) = δR ∪all δS… (n-ary, bag semantics)
     case u: Union =>
       u.copy(children = u.children.map(PosDelta(_)))
@@ -100,20 +122,22 @@ object PosDeltaRule extends Rule[LogicalPlan] {
     case leaf: LeafNode =>
       PosDeltaScan(leaf)
 
-    // Outer/semi/anti joins are OUTSIDE insert-only delta algebra by
+    // Outer/anti joins are OUTSIDE insert-only delta algebra by
     // construction, not omission: a new right-side row can match an old
     // left row, which must RETRACT that row's previously emitted
-    // null-extended form — an insert-only delta cannot express the
-    // retraction. (The reference would clone the join type into the three
-    // arms and silently over/under-count, mod.rs:126; failing fast with
-    // the escape hatch named is the correct envelope.)
+    // null-extended (outer) or existence-negated (anti) form — an
+    // insert-only delta cannot express the retraction. (The reference
+    // would clone the join type into the three arms and silently
+    // over/under-count, mod.rs:126; failing fast with the escape hatch
+    // named is the correct envelope. LEFT SEMI is monotone and handled
+    // above.)
     case j: Join =>
       throw new UnsupportedOperationException(
         s"PosDelta: no insert-only delta rule for ${j.joinType} join — " +
           "new rows on one side retract previously null-extended (or " +
           "existence-dependent) rows of the other, which insert-only " +
-          "deltas cannot express; use Ivm.deltaLeftJoin (signed " +
-          "insert/retract delta, LEFT OUTER), Ivm.deltaByDiff, or " +
+          "deltas cannot express; use the signed insert/retract APIs " +
+          "Ivm.deltaLeftJoin / Ivm.deltaAntiJoin, Ivm.deltaByDiff, or " +
           "Ivm.maintainAuto which routes to differencing automatically")
 
     case other =>
@@ -122,6 +146,37 @@ object PosDeltaRule extends Rule[LogicalPlan] {
           "supported: Project, Filter, inner/cross Join, Union, table scans, " +
           "plus Distinct at the query root (Ivm.delta); for grouped " +
           "aggregates use graft.ivm.IvmAgg or Ivm.maintainAuto")
+  }
+
+  /** A copy of `plan` with every relation re-instanced (fresh ExprIds),
+    * every alias re-minted, and every expression rewritten against the
+    * accumulated old→new mapping IN TREE ORDER (children before parents,
+    * siblings left to right). When one source subtree appears twice inside
+    * the copied arm — δ(semi)'s base B and δB — the first clone's
+    * consumers (the anti condition) are rewritten before the second clone
+    * overwrites the mapping, so each condition binds to the clone at its
+    * own nesting level. This is the arm-internal disambiguation the
+    * analyzer's DeduplicateRelations does not perform (it untangles
+    * duplicates across branches, not within one).
+    */
+  private def freshInstance(plan: LogicalPlan): LogicalPlan = {
+    val mapping = scala.collection.mutable.HashMap[ExprId, Attribute]()
+    plan.transformUp {
+      case m: MultiInstanceRelation =>
+        val before = m.asInstanceOf[LogicalPlan].output
+        val ni = m.newInstance().asInstanceOf[LogicalPlan]
+        before.zip(ni.output).foreach { case (o, n) => mapping(o.exprId) = n }
+        ni
+      case other => other.transformExpressionsUp {
+        case a: AttributeReference if mapping.contains(a.exprId) =>
+          mapping(a.exprId)
+        case al: Alias =>
+          val fresh = Alias(al.child, al.name)(
+            qualifier = al.qualifier, explicitMetadata = al.explicitMetadata)
+          mapping(al.exprId) = fresh.toAttribute
+          fresh
+      }
+    }
   }
 
   /** A named-relation scan: a leaf or a catalog [[View]], possibly under

@@ -69,6 +69,61 @@ object ScaleProbe {
           row_number().over(w).as("rk"))
         .filter(col("rk") <= 10).count()
     }
+
+    // dedup ladder on an inflated corpus: id-shifted document copies are
+    // EXACT duplicates of their originals — the minhash signature stage
+    // (the shuffle-free WordShingles path) and the banding join both see
+    // mult× rows with mult× duplicate density, the worst direction for
+    // bucket fan-in
+    val docs0 = Tables(spark, dir, "documents")
+    val docs = (0 until mult).map { i =>
+      docs0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+    }.reduce(_ union _)
+    val nd = docs.count()
+    println(f"docs: $nd%,d (${mult}x documents)")
+    def timeD(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-22s ${sec}%6.2f s  ${nd / sec / 1e3}%6.1f K docs/s  ($rows result rows)")
+    }
+    timeD("minhash signatures") {
+      graft.pipeline.Dedup.signatures(docs, 6).count()
+    }
+    timeD("LSH band candidates") {
+      graft.pipeline.Dedup.minhashCandidates(docs, bands = 3, rows = 2).count()
+    }
+    timeD("LSH cand (cached sigs)") {
+      val sigs = graft.pipeline.Dedup.signatures(docs, 6).persist()
+      sigs.count()
+      val n = graft.pipeline.Dedup
+        .candidatesFromSignatures(sigs, bands = 3, rows = 2).count()
+      sigs.unpersist()
+      n
+    }
+
+    // as-of join on inflated events: one by-key exchange regardless of mult
+    val ev0 = Tables(spark, dir, "events")
+    val ev = (0 until mult).map { i =>
+      ev0.withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 1000L))
+    }.reduce(_ union _)
+    val ne = ev.count()
+    def timeE(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-22s ${sec}%6.2f s  ${ne / sec / 1e6}%6.2f M events/s  ($rows result rows)")
+    }
+    timeE("as-of join") {
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      graft.engine.AsofJoin.asof(clicks, purchases, "user_id", "ts", "ts",
+        Seq("p_event_id", "p_value"), Some("p_event_id")).count()
+    }
     spark.stop()
   }
 }

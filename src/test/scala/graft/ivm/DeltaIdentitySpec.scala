@@ -81,6 +81,28 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
       f(base("nation"), base("nation")))
   }
 
+  test("identity: left semi join (envelope extension past the reference)") {
+    // semi is monotone under inserts — δ is append-only expressible:
+    // δ(A ⋉ B) = (δA ⋉ B∪δB) ∪ ((baseA ▷ baseB) ⋉ δB)
+    val f = (c: DataFrame, o: DataFrame) =>
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    check(
+      f(t("customer"), t("orders")),
+      f(base("customer"), base("orders")))
+  }
+
+  test("identity: semi join under projection and filter") {
+    val f = (c: DataFrame, o: DataFrame) =>
+      c.join(o.filter(col("o_totalprice") > 100000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .filter(col("c_acctbal") > 0)
+        .select("c_custkey")
+    check(
+      f(t("customer"), t("orders")),
+      f(base("customer"), base("orders")))
+  }
+
   test("identity: distinct (envelope extension)") {
     check(
       t("orders").select("o_custkey").distinct(),
@@ -221,6 +243,31 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
     assert(r.length == 1 && r.head.getLong(0) == 3L && r.head.isNullAt(2),
       s"expected the formerly matchless row 3 retracted, got ${r.toSeq}")
     // maintained identity: Q(full) == (Q(base) ∪all inserts) ∖all retracts
+    assertMultisetEqual(full,
+      baseView.unionByName(sd.inserts).exceptAll(sd.retracts))
+  }
+
+  test("deltaAntiJoin: signed delta retracts newly matched no-match rows") {
+    import spark.implicits._
+    // same fixture as deltaLeftJoin: baseB={2}, δB={3,5}; base anti view
+    // = {1,3,4}; δB matching 3 must retract it; δA row 6 matches nothing
+    Seq((1L, "a1"), (2L, "a2"), (3L, "a3"), (4L, "a4"), (5L, "a5"), (6L, "a6"))
+      .toDF("k", "av").createOrReplaceTempView("sd_a")
+    Seq((2L, 10L), (3L, 100L), (5L, 200L))
+      .toDF("k2", "bv").createOrReplaceTempView("sd_b")
+    DeltaSources.register("sd_a", "k >= 5")
+    DeltaSources.register("sd_b", "bv >= 100")
+
+    val cond = col("k") === col("k2")
+    val q = (a: DataFrame, b: DataFrame) => a.join(b, cond, "left_anti")
+    val full = q(spark.table("sd_a"), spark.table("sd_b"))
+    val baseView = q(
+      spark.table("sd_a").filter(col("k") < 5),
+      spark.table("sd_b").filter(col("bv") < 100))
+
+    val sd = Ivm.deltaAntiJoin(spark.table("sd_a"), spark.table("sd_b"), cond)
+    assert(sd.inserts.collect().map(_.getLong(0)).toSet == Set(6L))
+    assert(sd.retracts.collect().map(_.getLong(0)).toSet == Set(3L))
     assertMultisetEqual(full,
       baseView.unionByName(sd.inserts).exceptAll(sd.retracts))
   }
