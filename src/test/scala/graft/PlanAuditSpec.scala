@@ -93,6 +93,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"as-of join degenerated to a product:\n$p")
   }
 
+  test("no declared query degenerates to an unintended product join") {
+    // global scale-safety net: the ONLY plans allowed to contain a
+    // cartesian/nested-loop product are the declared cross joins and the
+    // deliberately-broadcast brute-force similarity baseline
+    val expectedProducts = Set(
+      "cross_join", "delta_cross_join",     // declared cross joins
+      "similarity_topk",                    // broadcast query side × corpus, by design
+      "scalar_subquery")                    // broadcast 1-row aggregate
+    for (name <- SparkEntry.queries.keys.toSeq.sorted
+         if !expectedProducts.contains(name)) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name contains a product join:\n$p")
+    }
+  }
+
   test("projection: scan reads only the projected columns") {
     val p = planOf("projection")
     assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),
