@@ -33,6 +33,26 @@ final case class Session(userId: Long, nEvents: Long, totalValue: Double,
 final case class SessionState(nEvents: Long, totalValue: Double,
     startMs: Long, lastMs: Long)
 
+/** One side-tagged input row for [[EventStreams.asofMatch]]: `isLeft` rows
+  * are probes (clicks), the rest are the matched side (purchases).
+  */
+final case class AsofIn(userId: Long, ts: java.sql.Timestamp,
+    isLeft: Boolean, id: Long, value: Double)
+
+/** One finalized as-of match: the probe row plus the latest at-or-before
+  * right row, or None when nothing preceded it.
+  */
+final case class AsofMatched(userId: Long, clickId: Long, clickMs: Long,
+    matchId: Option[Long], matchValue: Option[Double])
+
+/** Per-user as-of buffer: pending probes (finalized when the watermark
+  * passes their timestamp) and candidate right rows (all above the
+  * watermark, plus the single latest at-or-below — older ones are
+  * dominated for every future probe).
+  */
+final case class AsofBuf(purchases: List[(Long, Long, Double)],
+    clicks: List[(Long, Long)])
+
 object EventStreams {
 
   /** Tumbling-window event counts with a watermark: the streaming twin of
@@ -68,6 +88,68 @@ object EventStreams {
         col("l_ts") <= col("r_ts") &&
         col("l_ts") >= col("r_ts") - expr(s"INTERVAL $withinSeconds SECONDS"),
       "inner")
+  }
+
+  /** Streaming as-of join (the twin of [[graft.engine.AsofJoin]]): each
+    * probe row is matched to the LATEST right row at-or-before its event
+    * time within the same user, with out-of-order arrival handled by
+    * buffering until the watermark passes the probe's timestamp — only
+    * then is "no earlier right row can still arrive" guaranteed, so the
+    * emitted match is FINAL (correctness over latency; the emission delay
+    * is exactly the watermark).
+    *
+    * State per user is bounded: pending probes live only inside the
+    * watermark window, and buffered right rows are pruned to those above
+    * the watermark plus the single latest at-or-below it (any older row is
+    * dominated for every future probe, whose timestamp must exceed the
+    * watermark). Users idle past `retentionMs` are evicted wholesale.
+    */
+  def asofMatch(events: Dataset[AsofIn], watermark: String = "30 minutes",
+      retentionMs: Long = 60L * 60 * 1000): Dataset[AsofMatched] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[AsofBuf, AsofMatched](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[AsofIn], state: GroupState[AsofBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var buf = state.getOption.getOrElse(AsofBuf(Nil, Nil))
+          rows.foreach { e =>
+            val t = e.ts.getTime
+            buf =
+              if (e.isLeft) buf.copy(clicks = (t, e.id) :: buf.clicks)
+              else buf.copy(purchases = (t, e.id, e.value) :: buf.purchases)
+          }
+          // probes at-or-below the watermark are final: no right row with a
+          // smaller timestamp can still arrive
+          val (ready, pending) = buf.clicks.partition(_._1 <= wm)
+          val out = ready.sortBy(c => (c._1, c._2)).map { case (cMs, cId) =>
+            val m = buf.purchases.filter(_._1 <= cMs)
+              .sortBy(p => (p._1, p._2)).lastOption
+            AsofMatched(userId, cId, cMs, m.map(_._2), m.map(_._3))
+          }
+          // prune dominated right rows; keep the boundary candidate
+          val boundary = buf.purchases.filter(_._1 <= wm)
+            .sortBy(p => (p._1, p._2)).lastOption
+          buf = AsofBuf(
+            buf.purchases.filter(_._1 > wm) ++ boundary, pending)
+          if (state.hasTimedOut && pending.isEmpty) {
+            state.remove()
+          } else if (buf.purchases.isEmpty && buf.clicks.isEmpty) {
+            state.remove()
+          } else {
+            state.update(buf)
+            // wake when the earliest pending probe finalizes, or (probe-less
+            // buffers) when the retention horizon passes for eviction
+            val wake =
+              if (pending.nonEmpty) pending.map(_._1).min
+              else buf.purchases.map(_._1).max + retentionMs
+            state.setTimeoutTimestamp(math.max(wake, wm + 1))
+          }
+          out.iterator
+      }
   }
 
   /** Gap-based sessionization: a user's session closes after `gapMs` of

@@ -75,6 +75,41 @@ class DeltaAlgebraPropSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("property: left semi join delta identity (r3 envelope extension)") {
+    val rnd = new scala.util.Random(5)
+    (1 to Cases).foreach { _ =>
+      checkIdentity(randTable(rnd), randTable(rnd),
+        2 + rnd.nextInt(3), 2 + rnd.nextInt(3),
+        (a, b) => a.join(b, col("v1") === col("v2"), "left_semi")
+          .select("k1", "v1"))
+    }
+  }
+
+  test("property: signed left outer / anti join deltas") {
+    val rnd = new scala.util.Random(6)
+    (1 to Cases).foreach { _ =>
+      df(randTable(rnd), "k1", "v1").createOrReplaceTempView("prop_t1")
+      df(randTable(rnd), "k2", "v2").createOrReplaceTempView("prop_t2")
+      val m1 = 2 + rnd.nextInt(3); val m2 = 2 + rnd.nextInt(3)
+      DeltaSources.register("prop_t1", s"k1 % $m1 = 0")
+      DeltaSources.register("prop_t2", s"k2 % $m2 = 0")
+      val v1 = spark.table("prop_t1"); val v2 = spark.table("prop_t2")
+      val base1 = v1.filter(expr(s"NOT (k1 % $m1 = 0)"))
+      val base2 = v2.filter(expr(s"NOT (k2 % $m2 = 0)"))
+      val cond = col("v1") === col("v2")
+      for ((jt, signed) <- Seq(
+          "left" -> Ivm.deltaLeftJoin(v1, v2, cond),
+          "left_anti" -> Ivm.deltaAntiJoin(v1, v2, cond))) {
+        val full = v1.join(v2, cond, jt)
+        val baseView = base1.join(base2, cond, jt)
+        val applied = baseView.unionByName(signed.inserts)
+          .exceptAll(signed.retracts)
+        assert(multisetEqual(full, applied),
+          s"signed $jt identity failed for m1=$m1 m2=$m2")
+      }
+    }
+  }
+
   test("property: aggregate maintenance identity (IvmAgg)") {
     val rnd = new scala.util.Random(4)
     (1 to Cases).foreach { _ =>

@@ -113,6 +113,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("asofMatch: streaming as-of finalizes after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[AsofIn]
+    val q = EventStreams.asofMatch(in.toDS(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("asof")
+      .outputMode("append").start()
+    try {
+      // out-of-order arrival: the 10:05 purchase lands AFTER the 10:10
+      // click; matches must still be correct because nothing finalizes
+      // until the watermark passes the click
+      in.addData(
+        AsofIn(1L, ts(10), isLeft = true, 1000L, 0.0),   // click c1 @10:10
+        AsofIn(1L, ts(15), isLeft = false, 101L, 2.0))   // purchase @10:15
+      q.processAllAvailable()
+      in.addData(
+        AsofIn(1L, ts(5), isLeft = false, 100L, 1.0),    // purchase @10:05 (late)
+        AsofIn(1L, ts(20), isLeft = true, 1001L, 0.0),   // click c2 @10:20
+        AsofIn(1L, ts(2), isLeft = true, 1002L, 0.0))    // click c0 @10:02
+      q.processAllAvailable()
+      assert(spark.table("asof").isEmpty,
+        "matches emitted before the watermark finalized them")
+      // push the watermark past every click (12:00 − 30min = 11:30)
+      in.addData(AsofIn(99L, Timestamp.valueOf("2024-01-01 12:00:00"),
+        isLeft = false, 9L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof")
+        .select("clickId", "matchId", "matchValue")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(got == Set(
+        (1000L, Some(100L), Some(1.0)),   // c1 @10:10 → purchase @10:05
+        (1001L, Some(101L), Some(2.0)),   // c2 @10:20 → purchase @10:15
+        (1002L, None, None)),             // c0 @10:02 → nothing precedes
+        s"wrong as-of matches: $got")
+    } finally q.stop()
+  }
+
   test("file-stream source: windowed counts over parquet files arriving") {
     import spark.implicits._
     val dir = Files.createTempDirectory("file_stream").toString
