@@ -208,12 +208,111 @@ object Dedup {
       .filter(col("jaccard") >= minJ)
   }
 
+  /** Connected components of an undirected pair graph by iterative
+    * min-label propagation: every node starts as its own label; each round
+    * takes the min over neighbors; fixpoint = components labeled by their
+    * minimum member. O(graph diameter) rounds, each one keyed join +
+    * map-side-combined min aggregate — the distributed CC shape (the
+    * large-star/small-star family) that survives 100 TB, where duplicate
+    * clusters are many, small, and shallow (diameter is small in practice;
+    * `maxIter` bounds the pathological chain). The per-round convergence
+    * check is one count() action — driver-coordinated ITERATION, never
+    * driver-side data.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("nid")).agg(min(col("label")).as("nl"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(labels("id"),
+          least(labels("label"), coalesce(col("nl"), labels("label")))
+            .as("label"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   private val ShinglesCte =
     """WITH ws AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |           generate_series(1, len(w)-2),
       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin
+
+  /** The full dedup ladder as a reusable DataFrame: minhash sketch → LSH
+    * banding candidates → exact Jaccard ≥ [[JaccardMin]] verified on the
+    * candidates only. Columns (d1, d2, jaccard). The shingle stage feeds
+    * four subtrees; since the WordShingles rewrite it is shuffle-free
+    * scan→generate codegen, so recomputing it per subtree is a pipelined
+    * re-scan, cheaper than persist (which serializes the stages).
+    */
+  def ngramLadderPairs(docs: DataFrame): DataFrame = {
+    val ws = shingleRows(docs)
+    val cand = candidatesFromSignatures(
+      signaturesFromRows(ws, 6), bands = 3, rows = 2)
+    val sz = ws.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(ws.as("w1"), col("w1.doc_id") === col("d1"))
+      .join(ws.as("w2"),
+        col("w2.doc_id") === col("d2") && col("w2.s") === col("w1.s"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    val j = col("i").cast("double") /
+      (col("n1") + col("n2") - col("i")).cast("double")
+    inter
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"), j.as("jaccard"))
+      .filter(col("jaccard") >= JaccardMin)
+  }
+
+  /** The ladder as oracle SQL ending in a `pairs(d1, d2, jaccard)` CTE. */
+  private def ngramPairsSql(withRecursive: Boolean): String = {
+    val head =
+      if (withRecursive) ShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+      else ShinglesCte
+    s"""$head,
+       |sig AS (SELECT doc_id,
+       |${(0 until 6).map(i => s"  min(md5('h$i|' || s)) AS mh$i")
+           .mkString(",\n")}
+       |  FROM ws GROUP BY doc_id),
+       |bands AS (SELECT doc_id, mh0 || mh1 AS b0, mh2 || mh3 AS b1,
+       |    mh4 || mh5 AS b2 FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+       |    AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN ws w1 ON w1.doc_id = c.d1
+       |  JOIN ws w2 ON w2.doc_id = c.d2 AND w2.s = w1.s
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2,
+       |    CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) AS jaccard
+       |  FROM inter
+       |  JOIN sz s1 ON s1.doc_id = d1
+       |  JOIN sz s2 ON s2.doc_id = d2
+       |  WHERE CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE)
+       |        >= $JaccardMin)""".stripMargin
+  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -255,53 +354,32 @@ object Dedup {
     // in pair rows — quadratic in co-occurring docs — while this pipeline
     // is |candidates| × shingles: the shape that survives 100 TB.
     QueryDef("dedup_ngram",
-      (s, d) => {
-        // the shingle rows feed four subtrees; since the WordShingles
-        // rewrite the stage is shuffle-free scan→generate codegen, so
-        // recomputing it per subtree is a pipelined re-scan, cheaper than
-        // persist (which serializes the stages and spends memory)
-        val ws = shingleRows(t(s, d, "documents"))
-        val cand = candidatesFromSignatures(
-          signaturesFromRows(ws, 6), bands = 3, rows = 2)
-        val sz = ws.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = cand
-          .join(ws.as("w1"), col("w1.doc_id") === col("d1"))
-          .join(ws.as("w2"),
-            col("w2.doc_id") === col("d2") && col("w2.s") === col("w1.s"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
-        val j = col("i").cast("double") /
-          (col("n1") + col("n2") - col("i")).cast("double")
-        inter
-          .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-          .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-          .select(col("d1"), col("d2"), j.as("jaccard"))
-          .filter(col("jaccard") >= JaccardMin)
-          .orderBy("d1", "d2")
-      },
-      Some(s"""$ShinglesCte,
-             |sig AS (SELECT doc_id,
-             |${(0 until 6).map(i => s"  min(md5('h$i|' || s)) AS mh$i")
-                 .mkString(",\n")}
-             |  FROM ws GROUP BY doc_id),
-             |bands AS (SELECT doc_id, mh0 || mh1 AS b0, mh2 || mh3 AS b1,
-             |    mh4 || mh5 AS b2 FROM sig),
-             |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-             |  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
-             |    AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2)),
-             |sz AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
-             |inter AS (
-             |  SELECT c.d1, c.d2, COUNT(*) AS i
-             |  FROM cand c
-             |  JOIN ws w1 ON w1.doc_id = c.d1
-             |  JOIN ws w2 ON w2.doc_id = c.d2 AND w2.s = w1.s
-             |  GROUP BY 1, 2)
-             |SELECT d1, d2,
-             |  CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) AS jaccard
-             |FROM inter
-             |JOIN sz s1 ON s1.doc_id = d1
-             |JOIN sz s2 ON s2.doc_id = d2
-             |WHERE CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) >= $JaccardMin
+      (s, d) => ngramLadderPairs(t(s, d, "documents")).orderBy("d1", "d2"),
+      Some(s"""${ngramPairsSql(withRecursive = false)}
+             |SELECT d1, d2, jaccard FROM pairs
              |ORDER BY d1, d2""".stripMargin)),
+
+    // Survivor selection — the step that turns near-dup PAIRS into an
+    // actionable keep/drop decision: connected components of the near-dup
+    // graph, survivor = min doc_id per component. The oracle replays the
+    // same closure with a recursive CTE (tiny graphs at oracle scale; the
+    // Spark side iterates min-label propagation, the shape that scales).
+    QueryDef("dedup_survivors",
+      (s, d) => connectedComponents(
+          ngramLadderPairs(t(s, d, "documents")).select("d1", "d2"))
+        .select(col("id").as("doc_id"), col("label").as("survivor"))
+        .orderBy("doc_id"),
+      Some(s"""${ngramPairsSql(withRecursive = true)},
+             |nodes AS (SELECT d1 AS id FROM pairs
+             |  UNION SELECT d2 FROM pairs),
+             |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+             |  UNION ALL SELECT d2, d1 FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT id, id FROM nodes
+             |  UNION
+             |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+             |SELECT id AS doc_id, MIN(r) AS survivor FROM reach
+             |GROUP BY id ORDER BY doc_id""".stripMargin)),
 
     // Embedding-cosine near-dups (LSH-bucketed). No oracle: fp threshold.
     // 0.45 is calibrated to the synthetic embeddings (max pair cos ≈ 0.51 —

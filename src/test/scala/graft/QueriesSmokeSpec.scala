@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 54 declared operator queries are all present (SURVEY §2)") {
+  test("the 55 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -32,8 +32,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "similarity_topk", "ann_lsh",
       "ann_ivf", "sessions_gap", "delta_distinct", "window_funcs",
       // round-3 surface
-      "events_asof", "doc_chunks", "sample_stratified", "approx_stats")
-    assert(declared.size == 54)
+      "events_asof", "doc_chunks", "sample_stratified", "approx_stats",
+      "dedup_survivors")
+    assert(declared.size == 55)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
