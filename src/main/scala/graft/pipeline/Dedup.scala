@@ -223,8 +223,12 @@ object Dedup {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .persist()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // round 0 fused into initialization: label = min(self, direct
+    // neighbors) — one aggregation replaces the distinct AND the first
+    // propagation round (plus its convergence check)
+    var labels = edges.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("label"))
+      .select(col("a").as("id"), col("label"))
       .persist()
     var iter = 0
     var converged = false

@@ -99,6 +99,39 @@ class DeltaSourcesSpec extends AnyFunSuite with SparkFixture {
       "maintained sink diverged from the full recompute")
   }
 
+  test("snapshot advanceAll: one consistent cut across a two-table join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap2").toString
+    def refresh(): Unit = {
+      spark.read.parquet(s"$dir/a").createOrReplaceTempView("snap_a")
+      spark.read.parquet(s"$dir/b").createOrReplaceTempView("snap_b")
+    }
+    Seq((1L, 10L)).toDF("ak", "bk").write.mode("append").parquet(s"$dir/a")
+    Seq((10L, "x")).toDF("bk2", "bv").write.mode("append").parquet(s"$dir/b")
+    refresh()
+    Snapshots.track("snap_a", "ak")
+    Snapshots.track("snap_b", "bk2")
+    val q = () => Ivm.delta(
+      spark.table("snap_a").join(spark.table("snap_b"),
+        col("bk") === col("bk2"), "inner").select("ak", "bv"))
+    assert(q().count() == 1)                          // initial load: all delta
+    Snapshots.advanceAll(Map(
+      "snap_a" -> spark.table("snap_a"), "snap_b" -> spark.table("snap_b")))
+    assert(q().count() == 0)                          // cut advanced: empty δ
+
+    // appends on BOTH tables; one cycle sees the cross terms exactly once
+    Seq((2L, 10L), (3L, 20L)).toDF("ak", "bk")
+      .write.mode("append").parquet(s"$dir/a")
+    Seq((20L, "y")).toDF("bk2", "bv").write.mode("append").parquet(s"$dir/b")
+    refresh()
+    val d = q().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // δ = (new a=2 × old b=10) ∪ (new a=3 × new b=20); old×old excluded
+    assert(d == Set((2L, "x"), (3L, "y")), s"wrong cycle delta: $d")
+    Snapshots.advanceAll(Map(
+      "snap_a" -> spark.table("snap_a"), "snap_b" -> spark.table("snap_b")))
+    assert(q().count() == 0)
+  }
+
   test("delta of a registered table under a user alias still resolves") {
     import spark.implicits._
     val df = Seq((2L, "a"), (3L, "b"), (4L, "c")).toDF("k", "v")
