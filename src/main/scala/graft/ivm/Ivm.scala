@@ -86,9 +86,16 @@ object Ivm {
     */
   final case class MergePartial(delta: IvmAgg.AggDelta) extends AutoMaintenance
 
-  /** Differencing fallback (windows, sorts, outer joins, non-mergeable
-    * aggregates): `rows` are `Q(full) ∖all Q(base)` from a full recompute —
-    * correct for ANY deterministic query, with no incremental speedup.
+  /** A signed insert/retract pair for a LEFT OUTER / LEFT ANTI join root:
+    * apply as `view' = (view ∪all inserts) ∖all retracts` (an upsert +
+    * delete in production sinks). Incremental: every term keys on the
+    * pruned delta partitions, no full recompute.
+    */
+  final case class ApplySigned(delta: SignedDelta) extends AutoMaintenance
+
+  /** Differencing fallback (windows, sorts, non-mergeable aggregates):
+    * `rows` are `Q(full) ∖all Q(base)` from a full recompute — correct for
+    * ANY deterministic query, with no incremental speedup.
     */
   final case class DiffRows(rows: DataFrame) extends AutoMaintenance
 
@@ -151,10 +158,11 @@ object Ivm {
   }
 
   /** Route a query down the maintenance ladder instead of throwing:
-    * algebraic delta → mergeable-aggregate partial → differencing. Every
-    * query the engine can run is maintainable through this entry point;
-    * the returned case tells the caller how to apply the result (append /
-    * merge / diff-apply), and WHICH rung it got — so the cost cliff
+    * algebraic delta → mergeable-aggregate partial → signed delta (LEFT
+    * OUTER / LEFT ANTI join roots) → differencing. Every query the engine
+    * can run is maintainable through this entry point; the returned case
+    * tells the caller how to apply the result (append / merge / signed
+    * upsert / diff-apply), and WHICH rung it got — so the cost cliff
     * between the incremental rungs and the recompute rung stays visible.
     */
   def maintainAuto(df: Dataset[_]): AutoMaintenance =
@@ -163,7 +171,24 @@ object Ivm {
       case _: UnsupportedOperationException =>
         try MergePartial(IvmAgg.deltaPartial(df))
         catch {
-          case _: UnsupportedOperationException => DiffRows(deltaByDiff(df))
+          case _: UnsupportedOperationException => signedOrDiff(df)
         }
     }
+
+  private def signedOrDiff(df: Dataset[_]): AutoMaintenance = {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter}
+    val spark = df.sparkSession
+    GraftSql.analyzed(df) match {
+      case Join(l, r, LeftOuter, Some(cond), _) =>
+        ApplySigned(deltaLeftJoin(
+          GraftSql.ofRows(spark, l), GraftSql.ofRows(spark, r),
+          GraftSql.column(cond)))
+      case Join(l, r, LeftAnti, Some(cond), _) =>
+        ApplySigned(deltaAntiJoin(
+          GraftSql.ofRows(spark, l), GraftSql.ofRows(spark, r),
+          GraftSql.column(cond)))
+      case _ => DiffRows(deltaByDiff(df))
+    }
+  }
 }

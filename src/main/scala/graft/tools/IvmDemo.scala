@@ -71,10 +71,16 @@ object IvmDemo {
       "aggregate" -> Ivm.maintainAuto(aggQ(customer)),
       "left-join" -> Ivm.maintainAuto(
         customer.join(nation, col("c_nationkey") === col("n_nationkey"),
-          "left").select("c_custkey", "n_name")))
+          "left")),
+      "window" -> Ivm.maintainAuto(
+        customer.select(col("c_custkey"),
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("c_nationkey").orderBy("c_custkey")).as("rk"))))
       .map {
         case (n, Ivm.AppendDelta(_))  => s"$n->delta"
         case (n, Ivm.MergePartial(_)) => s"$n->merge"
+        case (n, Ivm.ApplySigned(_))  => s"$n->signed"
         case (n, Ivm.DiffRows(_))     => s"$n->diff"
       }
     println(s"AUTO OK: ${routes.mkString(" ")}")

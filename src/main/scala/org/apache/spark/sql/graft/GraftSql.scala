@@ -25,4 +25,9 @@ object GraftSql {
   /** The optimized plan (post-Catalyst-optimizer) — used in plan assertions. */
   def optimized(df: Dataset[_]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.optimizedPlan
+
+  /** Wrap a (resolved) Catalyst expression as a user-facing Column. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -272,23 +272,37 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
       baseView.unionByName(sd.inserts).exceptAll(sd.retracts))
   }
 
-  test("maintainAuto: left outer join silently routes to differencing") {
+  test("maintainAuto: left outer join routes to the SIGNED delta") {
     val q = (c: DataFrame, o: DataFrame) =>
       c.join(o, col("c_custkey") === col("o_custkey"), "left")
-        .select("c_custkey", "o_orderkey")
-    // the direct rewrite refuses with the escape hatch named...
+    // the direct rewrite refuses with the escape hatches named...
     val e = intercept[UnsupportedOperationException] {
       Ivm.delta(q(t("customer"), t("orders")))
     }
     assert(e.getMessage.contains("deltaByDiff") &&
       e.getMessage.contains("retract"), e.getMessage)
-    // ...and maintainAuto takes it automatically
+    // ...and maintainAuto picks the signed incremental rung, whose
+    // insert/retract application reproduces the full view
     Ivm.maintainAuto(q(t("customer"), t("orders"))) match {
-      case Ivm.DiffRows(rows) =>
-        assertMultisetEqual(rows,
-          q(t("customer"), t("orders"))
-            .exceptAll(q(base("customer"), base("orders"))))
-      case other => fail(s"expected DiffRows, got $other")
+      case Ivm.ApplySigned(sd) =>
+        assertMultisetEqual(
+          q(t("customer"), t("orders")),
+          q(base("customer"), base("orders"))
+            .unionByName(sd.inserts).exceptAll(sd.retracts))
+      case other => fail(s"expected ApplySigned, got $other")
+    }
+  }
+
+  test("maintainAuto: left anti join routes to the SIGNED delta") {
+    val q = (c: DataFrame, o: DataFrame) =>
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+    Ivm.maintainAuto(q(t("customer"), t("orders"))) match {
+      case Ivm.ApplySigned(sd) =>
+        assertMultisetEqual(
+          q(t("customer"), t("orders")),
+          q(base("customer"), base("orders"))
+            .unionByName(sd.inserts).exceptAll(sd.retracts))
+      case other => fail(s"expected ApplySigned, got $other")
     }
   }
 }
