@@ -113,6 +113,64 @@ final class IncrementalAggView(
   }
 }
 
+/** Incremental maintenance of a LEFT OUTER / LEFT ANTI join view over TWO
+  * append-only tables, via the signed delta ([[Ivm.deltaLeftJoin]] /
+  * [[Ivm.deltaAntiJoin]]): per cycle, `view' = (view ∪all inserts) ∖all
+  * retracts` — the retracts being exactly the null-extended (outer) or
+  * no-match (anti) rows that new right-side rows invalidate, which a pure
+  * append model cannot express. Alternating parquet generations like
+  * [[IncrementalAggView]]; production sinks apply the pair as upsert +
+  * delete. `cond` must reference columns by name and the two sides'
+  * column names must be disjoint (the [[Ivm.SignedDelta]] contract).
+  */
+final class IncrementalSignedView(
+    spark: SparkSession,
+    leftTable: String, leftId: String,
+    rightTable: String, rightId: String,
+    joinType: String,
+    cond: org.apache.spark.sql.Column,
+    sinkPath: String) {
+
+  require(joinType == "left" || joinType == "left_anti",
+    s"signed view supports left / left_anti, got $joinType")
+
+  private var gen: Int = -1
+  private val scopedL = s"${leftTable}__sv${IvmStream.nextViewId()}"
+  private val scopedR = s"${rightTable}__sv${IvmStream.nextViewId()}"
+  Snapshots.track(scopedL, leftId)
+  Snapshots.track(scopedR, rightId)
+
+  /** One maintenance cycle over the current full state of both tables:
+    * everything past each side's watermark is its delta; the signed pair
+    * is applied to the previous generation and both watermarks advance.
+    */
+  def update(leftFull: DataFrame, rightFull: DataFrame): Unit = {
+    leftFull.createOrReplaceTempView(scopedL)
+    rightFull.createOrReplaceTempView(scopedR)
+    val l = spark.table(scopedL)
+    val r = spark.table(scopedR)
+    val sd =
+      if (joinType == "left") Ivm.deltaLeftJoin(l, r, cond)
+      else Ivm.deltaAntiJoin(l, r, cond)
+    val prev =
+      if (gen < 0) sd.inserts.limit(0)
+      else spark.read.parquet(s"$sinkPath/g$gen")
+    prev.unionByName(sd.inserts).exceptAll(sd.retracts)
+      .write.mode("overwrite").parquet(s"$sinkPath/g${(gen + 1) % 2}")
+    gen = (gen + 1) % 2
+    Snapshots.advance(scopedL, l)
+    Snapshots.advance(scopedR, r)
+  }
+
+  /** The maintained join view (current generation). */
+  def result: DataFrame = {
+    require(gen >= 0,
+      s"IncrementalSignedView($leftTable/$rightTable): result read before " +
+        "the first update()")
+    spark.read.parquet(s"$sinkPath/g$gen")
+  }
+}
+
 object IvmStream {
 
   private val viewIds = new java.util.concurrent.atomic.AtomicLong(0L)

@@ -219,6 +219,50 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("signed view: left-join view survives retractions over append cycles") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("signed_view").toString
+    def writeL(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("k", "av").write.mode("append").parquet(s"$dir/l")
+    def writeR(rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("rid", "k2", "bv").write.mode("append").parquet(s"$dir/r")
+    def l() = spark.read.parquet(s"$dir/l")
+    def r() = spark.read.parquet(s"$dir/r")
+
+    val view = new IncrementalSignedView(spark,
+      "svl", "k", "svr", "rid", "left",
+      col("k") === col("k2"), s"$dir/sink")
+    def checkAgainstRecompute(): Unit = {
+      val full = l().join(r(), col("k") === col("k2"), "left")
+      assert(view.result.exceptAll(full).isEmpty &&
+        full.exceptAll(view.result).isEmpty,
+        "signed view diverged from the full recompute")
+    }
+
+    // cycle 0: initial load — rows 1..3, only row 2 matched
+    writeL(Seq((1L, "a1"), (2L, "a2"), (3L, "a3")))
+    writeR(Seq((100L, 2L, 10L)))
+    view.update(l(), r())
+    checkAgainstRecompute()
+    assert(view.result.count() == 3)
+
+    // cycle 1: new right row matches OLD matchless row 3 — its
+    // null-extended form must be RETRACTED, not duplicated alongside
+    writeL(Seq((4L, "a4")))
+    writeR(Seq((101L, 3L, 20L)))
+    view.update(l(), r())
+    checkAgainstRecompute()
+    val row3 = view.result.filter(col("k") === 3L).collect()
+    assert(row3.length == 1 && !row3.head.isNullAt(3),
+      s"retraction failed: ${row3.mkString(",")}")
+
+    // cycle 2: second match for an already-matched row (pure insert)
+    writeR(Seq((102L, 2L, 30L)))
+    view.update(l(), r())
+    checkAgainstRecompute()
+    assert(view.result.filter(col("k") === 2L).count() == 2)
+  }
+
   test("streaming aggregate IVM: maintained rollup equals full recompute") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
