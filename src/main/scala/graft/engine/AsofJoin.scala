@@ -34,25 +34,30 @@ object AsofJoin {
       s"payload columns collide with left columns: ${collisions.mkString(",")}")
 
     val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
-    val lRow = left.select(
+    val nullLeft = lit(null).cast(left.schema.sql)
+    // the payload travels as ONE struct (non-null exactly for right rows)
+    // so the carry-forward is ATOMIC: last(ignoreNulls) over independent
+    // payload columns would stitch fields from DIFFERENT right rows
+    // whenever the matched row holds a NULL in one of them
+    val pStruct = struct(payload.map(col).toIndexedSeq: _*)
+    val nullPayload = lit(null).cast(
+      org.apache.spark.sql.types.StructType(payload.map(right.schema(_))).sql)
+    val lTagged = left.select(
       col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
-      lit(0L).cast("long").as("__ord"), lStruct.as("__l"))
-    val nullStruct = lit(null).cast(left.schema.sql)
-    val lTagged = lRow.select(
-      (lRow.columns.map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p))).toIndexedSeq: _*)
+      lit(0L).cast("long").as("__ord"), lStruct.as("__l"),
+      nullPayload.as("__p"))
     val rTagged = right.select(
-      (Seq(col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
-        rightOrd.map(o => col(o).cast("long")).getOrElse(lit(0L)).as("__ord"),
-        nullStruct.as("__l")) ++ payload.map(col)).toIndexedSeq: _*)
+      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+      rightOrd.map(o => col(o).cast("long")).getOrElse(lit(0L)).as("__ord"),
+      nullLeft.as("__l"), pStruct.as("__p"))
 
     val w = Window.partitionBy("__k").orderBy("__ts", "__side", "__ord")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
-      .select(
-        (Seq(col("__side"), col("__l")) ++
-          payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p))).toIndexedSeq: _*)
+      .select(col("__side"), col("__l"),
+        last(col("__p"), ignoreNulls = true).over(w).as("__m"))
       .filter(col("__side") === 1)
-      .select((left.columns.map(c => col(s"__l.$c")) ++ payload.map(col)).toIndexedSeq: _*)
+      .select((left.columns.map(c => col(s"__l.$c")) ++
+        payload.map(p => col(s"__m.$p").as(p))).toIndexedSeq: _*)
   }
 }

@@ -29,16 +29,31 @@ object Joins {
     // order: monotonically_increasing_id would reassign shards when a task
     // retry or speculative attempt replays an upstream shuffle partition in
     // a different order, duplicating or losing join rows under the exact
-    // fault model salting targets (hot keys at cluster scale). Hashing all
-    // big-side columns is stable across recomputation; fully identical
-    // duplicate rows share a shard, which only matters if the hot key's
-    // rows are all byte-identical — spreading those requires an explicit
-    // disambiguating column from the caller.
-    val shard = pmod(xxhash64(big.columns.map(col): _*), lit(salt.toLong))
+    // fault model salting targets (hot keys at cluster scale). Hashing the
+    // big side's hashable columns (xxhash64 rejects MapType) is stable
+    // across recomputation; rows identical in every hashed column share a
+    // shard, so a hot key whose rows differ only in a map column (or not
+    // at all) needs an explicit disambiguating column from the caller.
+    val hashable = big.schema.fields.filterNot(f =>
+      hasMapType(f.dataType)).map(f => col(f.name))
+    require(hashable.nonEmpty,
+      "saltedJoin: big side has no hashable (non-map) columns to derive a " +
+        "deterministic shard from")
+    val shard = pmod(xxhash64(hashable.toIndexedSeq: _*), lit(salt.toLong))
     val b = big.withColumn("__salt", shard)
     val s = small.withColumn("__salt",
       explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
     b.join(s, b(bigKey) === s(smallKey) && b("__salt") === s("__salt"), "inner")
       .drop("__salt")
+  }
+
+  private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case ArrayType(e, _) => hasMapType(e)
+      case StructType(fields) => fields.exists(f => hasMapType(f.dataType))
+      case _ => false
+    }
   }
 }

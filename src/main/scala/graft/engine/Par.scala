@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.classic
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.internal.SQLConf
 
@@ -10,35 +11,47 @@ import org.apache.spark.sql.internal.SQLConf
   * Scan parallelism equals input split count; a small single-file parquet
   * table therefore runs per-row compute on ONE core no matter how many the
   * executor has (measured: the sf0.1 shingle pipeline was 1-core-bound).
-  * `spread` repartitions ONLY when the scan has fewer splits than the
+  * `spread` repartitions ONLY when the input has fewer partitions than the
   * cluster has slots — a 100 TB table with thousands of splits passes
   * through untouched, so this never adds a shuffle at scale.
   *
-  * The split count is estimated from the scan relation's file footprint
-  * (bytes / `spark.sql.files.maxPartitionBytes`, the same arithmetic file
-  * partition planning uses) rather than `df.rdd.getNumPartitions`, which
-  * would force a full extra physical planning of the query per call.
-  * Non-file leaves (local relations, views over computed plans) count as
-  * already-parallel, so `spread` stays a no-op for them.
+  * For a plain scan (optionally under Project/Filter/alias wrappers) the
+  * split count is estimated from the relation's file footprint — bytes /
+  * `spark.sql.files.maxPartitionBytes`, the same arithmetic file partition
+  * planning uses — with NO extra physical planning. Any other plan shape
+  * (post-shuffle, coalesced, local) falls back to the accurate
+  * `rdd.getNumPartitions`, paying one planning pass: a 1-partition
+  * post-aggregation frame must still be caught, which a leaf-bytes
+  * estimate alone would miss.
   */
 object Par {
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (estimatedSplits(df) < p) df.repartition(p) else df
+    if (partitionEstimate(df) < p) df.repartition(p) else df
   }
 
-  private def estimatedSplits(df: DataFrame): Long = {
-    val maxSplit = math.max(1L, SQLConf.get.filesMaxPartitionBytes)
-    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.collectLeaves()
-      .map {
-        case lr: LogicalRelation =>
-          lr.relation match {
-            case fs: HadoopFsRelation =>
-              fs.location.sizeInBytes / maxSplit + 1
-            case _ => Long.MaxValue / 4
-          }
-        case _ => Long.MaxValue / 4
-      }
-      .foldLeft(0L)((a, b) => math.min(Long.MaxValue / 2, a + b))
+  private def partitionEstimate(df: DataFrame): Long = {
+    val plan = df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+    scanRelation(plan) match {
+      case Some(fs) =>
+        val maxSplit = math.max(1L, SQLConf.get.filesMaxPartitionBytes)
+        fs.location.sizeInBytes / maxSplit + 1
+      case None =>
+        df.rdd.getNumPartitions.toLong
+    }
   }
+
+  /** The file relation of a pure scan plan, if that is what `plan` is. */
+  private def scanRelation(plan: LogicalPlan): Option[HadoopFsRelation] =
+    plan match {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation => Some(fs)
+          case _ => None
+        }
+      case Project(_, child) => scanRelation(child)
+      case Filter(_, child) => scanRelation(child)
+      case SubqueryAlias(_, child) => scanRelation(child)
+      case _ => None
+    }
 }

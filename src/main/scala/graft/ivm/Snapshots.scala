@@ -110,12 +110,23 @@ object Snapshots {
     case d: java.math.BigDecimal => d.toPlainString
     case d: Double => d.toString
     case f: Float => f.toString
-    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
-    case t: java.time.Instant => s"TIMESTAMP '${java.sql.Timestamp.from(t)}'"
-    case d: java.sql.Date => s"DATE '$d'"
+    // rendered in UTC explicitly: java.sql.Timestamp.toString uses the
+    // JVM-default timezone while the literal is re-parsed in the SESSION
+    // timezone (pinned UTC by every graft session builder) — on a non-UTC
+    // host the default rendering would shift the snapshot cut by the
+    // host offset, re-emitting or skipping hours of rows each cycle
+    case t: java.sql.Timestamp => s"TIMESTAMP '${utc(t.toInstant)}'"
+    case t: java.time.Instant => s"TIMESTAMP '${utc(t)}'"
+    case d: java.sql.Date => s"DATE '${d.toLocalDate}'"
     case d: java.time.LocalDate => s"DATE '$d'"
     case s: String => "'" + s.replace("'", "''") + "'"
     case other => throw new UnsupportedOperationException(
       s"Snapshots: unsupported watermark type ${other.getClass.getName}")
   }
+
+  private val UtcFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSSSSS")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  private def utc(i: java.time.Instant): String = UtcFmt.format(i)
 }

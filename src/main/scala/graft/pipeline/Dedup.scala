@@ -254,6 +254,17 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged) {
+      labels.unpersist()
+      // silent truncation would report multiple "survivors" per component
+      // (and diverge from any exact closure) while LOOKING successful
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — the " +
+          "pair graph has a longer chain than expected; raise maxIter")
+    }
+    // NOTE: the returned frame is persisted (the convergence check
+    // materialized it); callers running many CC jobs in one session should
+    // unpersist() it after consuming the result
     labels
   }
 

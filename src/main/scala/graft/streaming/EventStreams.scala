@@ -135,9 +135,14 @@ object EventStreams {
             .sortBy(p => (p._1, p._2)).lastOption
           buf = AsofBuf(
             buf.purchases.filter(_._1 > wm) ++ boundary, pending)
-          if (state.hasTimedOut && pending.isEmpty) {
-            state.remove()
-          } else if (buf.purchases.isEmpty && buf.clicks.isEmpty) {
+          // evict only when nothing is buffered, or when a probe-less
+          // buffer has sat past the retention horizon — a probe-wake
+          // timeout must NOT drop buffered right rows: they are the match
+          // candidates for the user's future probes
+          val retentionExpired = pending.isEmpty && buf.purchases.nonEmpty &&
+            wm >= buf.purchases.map(_._1).max + retentionMs
+          if ((buf.purchases.isEmpty && buf.clicks.isEmpty) ||
+              retentionExpired) {
             state.remove()
           } else {
             state.update(buf)

@@ -247,11 +247,17 @@ object VecTopCells {
     val taken = new Array[Boolean](n)
     var r = 0
     while (r < kk) {
+      // `best == -1` seeds with the first untaken index, so NaN dots (a
+      // NaN element in a dirty embedding makes every product NaN, and
+      // NaN > x is always false) rank deterministically last instead of
+      // leaving best at -1 and crashing the stage
       var best = -1
       var bestDot = Double.NegativeInfinity
       var j = 0
       while (j < n) {
-        if (!taken(j) && dots(j) > bestDot) { best = j; bestDot = dots(j) }
+        if (!taken(j) && (best == -1 || dots(j) > bestDot)) {
+          best = j; bestDot = dots(j)
+        }
         j += 1
       }
       taken(best) = true

@@ -39,6 +39,20 @@ class AsofJoinSpec extends AnyFunSuite with SparkFixture {
     assert(out.head.getLong(2) == 9L && out.head.getString(3) == "second")
   }
 
+  test("asof: payload fields never mix across right rows (atomic carry)") {
+    import spark.implicits._
+    // the matched (latest) right row has a NULL payload field; per-column
+    // carry-forward would stitch rv=5.0 from the OLDER row onto rid=101
+    val left = Seq((1L, 30L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, Option(100L), Option(5.0)),
+        (1L, 20L, Option(101L), Option.empty[Double]))
+      .toDF("k", "ts", "rid", "rv")
+    val out = AsofJoin.asof(left, right, "k", "ts", "ts",
+      Seq("rid", "rv")).collect()
+    assert(out.head.getLong(2) == 101L && out.head.isNullAt(3),
+      s"payload stitched across rows: ${out.head}")
+  }
+
   test("asof: payload name collision is rejected") {
     import spark.implicits._
     val df = Seq((1L, 1L)).toDF("k", "ts")

@@ -75,6 +75,15 @@ class VecExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("vec_top_cells tolerates NaN embeddings (deterministic, no crash)") {
+    import spark.implicits._
+    val cents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    val df = Seq(Seq(Float.NaN, 1.0f)).toDF("v")
+    val r = df.select(org.apache.spark.sql.graft.VecColumns
+      .topCells(col("v"), cents, 2)).head().getSeq[Int](0)
+    assert(r == Seq(0, 1), s"NaN ranking must fall back to index order: $r")
+  }
+
   test("vec_cosine of identical vectors is 1.0") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")

@@ -152,6 +152,43 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("asofMatch: buffered right rows survive a probe-finalizing timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[AsofIn]
+    val q = EventStreams.asofMatch(in.toDS(), watermark = "30 minutes",
+        retentionMs = 24L * 3600 * 1000)
+      .writeStream.format("memory").queryName("asof_keep")
+      .outputMode("append").start()
+    try {
+      // click + a purchase ABOVE the eventual watermark
+      in.addData(
+        AsofIn(1L, ts(0), isLeft = true, 1L, 0.0),
+        AsofIn(1L, Timestamp.valueOf("2024-01-01 11:10:00"),
+          isLeft = false, 500L, 9.0))
+      q.processAllAvailable()
+      // advance the watermark past the click (11:00) but below the
+      // purchase — the click finalizes (no match), and the purchase must
+      // STAY buffered for future probes
+      in.addData(AsofIn(2L, Timestamp.valueOf("2024-01-01 11:30:00"),
+        isLeft = false, 9L, 0.0))
+      q.processAllAvailable()
+      // a later click must still find the buffered 11:10 purchase
+      in.addData(AsofIn(1L, Timestamp.valueOf("2024-01-01 11:40:00"),
+        isLeft = true, 2L, 0.0))
+      q.processAllAvailable()
+      in.addData(AsofIn(3L, Timestamp.valueOf("2024-01-01 13:00:00"),
+        isLeft = false, 10L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_keep")
+        .select("clickId", "matchId").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(got == Set((1L, None), (2L, Some(500L))),
+        s"buffered purchase was evicted: $got")
+    } finally q.stop()
+  }
+
   test("file-stream source: windowed counts over parquet files arriving") {
     import spark.implicits._
     val dir = Files.createTempDirectory("file_stream").toString
