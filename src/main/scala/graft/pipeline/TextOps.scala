@@ -163,6 +163,77 @@ object TextOps {
              |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
              |    ' +', ' ', 'g')) AS norm
              |  FROM documents)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Per-language vocabulary head: top-10 tokens by frequency (corpus
+    // profiling / stopword discovery). Token explosion is partition-local
+    // (WordShingles-free: explode over split), then ONE hash agg by
+    // (lang, token) with map-side combine carries 2-column rows — at
+    // 100 TB the shuffle is vocabulary-sized per language, not corpus-
+    // sized. Integer counts + lexical tie-break keep the ranking exact in
+    // both engines.
+    QueryDef("top_tokens",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang")
+          .orderBy(col("cnt").desc, col("token").asc)
+        t(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 10)
+          .select("lang", "rk", "token", "cnt")
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH tok AS (
+             |  SELECT lang, unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |cnt AS (
+             |  SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+             |rk AS (
+             |  SELECT lang, token, cnt,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY cnt DESC, token ASC) AS rk
+             |  FROM cnt)
+             |SELECT lang, rk, token, cnt FROM rk WHERE rk <= 10
+             |ORDER BY lang, rk""".stripMargin)),
+
+    // Per-document keyword extraction: top-3 tokens ranked by term
+    // frequency, breaking ties toward RARER corpus-wide tokens (lower
+    // document frequency — the tf-idf ordering with integer-only keys, so
+    // the ranking is bit-exact in both engines where a floating ln(N/df)
+    // score could diverge in the last ulp and flip ties). The df table is
+    // vocabulary-sized → broadcast; the tf agg is the only corpus shuffle.
+    QueryDef("keywords",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df = tok.select("doc_id", "token").distinct()
+          .groupBy("token").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+        tf.join(broadcast(df), "token")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "rk", "token", "tf", "df")
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (
+             |  SELECT token, COUNT(*) AS df
+             |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+             |rk AS (
+             |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rk
+             |  FROM tf JOIN df ON tf.token = df.token)
+             |SELECT doc_id, rk, token, tf, df FROM rk WHERE rk <= 3
+             |ORDER BY doc_id, rk""".stripMargin))
   )
 }
