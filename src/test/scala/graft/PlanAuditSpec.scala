@@ -110,6 +110,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("keywords: vocabulary df table broadcasts, no corpus-side SMJ") {
+    val p = planOf("keywords")
+    assert(p.contains("BroadcastHashJoin"), s"df join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+  }
+
   test("projection: scan reads only the projected columns") {
     val p = planOf("projection")
     assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),
