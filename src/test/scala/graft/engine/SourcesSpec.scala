@@ -36,6 +36,19 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(back.exceptAll(nation).isEmpty && nation.exceptAll(back).isEmpty)
   }
 
+  test("ORC sink/source round-trip preserves rows and pushes filters") {
+    val path = s"$dir/orders_orc"
+    val orders = Tables(spark, sfDir, "orders")
+    orders.write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path)
+    assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+    // predicate pushdown reaches the ORC reader like parquet's
+    val p = back.filter(col("o_totalprice") > 200000)
+      .asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(o_totalprice"),
+      s"ORC pushdown missing:\n$p")
+  }
+
   test("partitioned parquet write prunes partitions at read time") {
     val path = s"$dir/orders_part"
     val orders = Tables(spark, sfDir, "orders")
