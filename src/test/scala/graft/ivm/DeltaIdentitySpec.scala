@@ -103,6 +103,21 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
       f(base("customer"), base("orders")))
   }
 
+  test("identity: semi join against a computed right side (alias re-mint)") {
+    // the right subtree carries an Alias (computed column used by its own
+    // filter) — exercises freshInstance's alias re-minting in the second
+    // δ(semi) arm, not just relation re-instancing
+    val f = (c: DataFrame, o: DataFrame) =>
+      c.join(
+        o.select(col("o_custkey"), (col("o_totalprice") * 2).as("dbl"))
+          .filter(col("dbl") > 200000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey")
+    check(
+      f(t("customer"), t("orders")),
+      f(base("customer"), base("orders")))
+  }
+
   test("identity: distinct (envelope extension)") {
     check(
       t("orders").select("o_custkey").distinct(),
