@@ -2,14 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.engine.{Queries, QueryDef}
+import graft.engine.{Olap, Queries, QueryDef}
 import graft.pipeline.{Dedup, Multimodal, PipelineQueries, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   private val defs: Seq[QueryDef] =
-    Queries.all ++ PipelineQueries.all ++ Similarity.all ++
+    Queries.all ++ Olap.all ++ PipelineQueries.all ++ Similarity.all ++
       TextOps.all ++ Dedup.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

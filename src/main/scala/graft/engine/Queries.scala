@@ -327,6 +327,76 @@ object Queries {
              |FROM orders GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
 
+    // δ(LEFT SEMI): customers newly having a big order — either the
+    // customer is itself in the δ partition (and has any qualifying order),
+    // or a base customer with no qualifying BASE order gains one from δ
+    // orders. Runs through the algebraic rewrite (PosDeltaRule's semi-join
+    // envelope, G12); the oracle states the identity δQ = Q(full) ∖all
+    // Q(base) directly — an independent derivation, so the hash compare
+    // pins the rewrite's two-arm expansion against first principles.
+    QueryDef("delta_semi_join",
+      (s, d) => Ivm.delta(
+          t(s, d, "customer")
+            .join(t(s, d, "orders").filter(col("o_totalprice") > 100000),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+            .select("c_custkey", "c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN
+             |  (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+             |EXCEPT ALL
+             |SELECT c_custkey, c_name FROM customer
+             |WHERE NOT (c_custkey % 10 = 0)
+             |  AND c_custkey IN
+             |  (SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+             |     AND NOT (o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // SIGNED delta of a LEFT OUTER join (Ivm.deltaLeftJoin, G7), declared
+    // end-to-end: +1 rows to append, -1 rows to retract (null-extended
+    // customers whose first big order arrives in δ). The oracle derives
+    // both sides independently as Q(full) ∖all Q(base) and Q(base) ∖all
+    // Q(full) — hash equality proves the three-term signed algebra
+    // (δA⟕(B∪δB) ∪ baseA⋈δB; retract (baseA▷baseB)⋉δB) produces EXACTLY
+    // the multiset difference, retraction multiplicities included.
+    QueryDef("delta_left_signed",
+      (s, d) => {
+        val cust = t(s, d, "customer").select("c_custkey", "c_name")
+        val big = t(s, d, "orders").filter(col("o_totalprice") > 400000)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val sd = Ivm.deltaLeftJoin(cust, big,
+          col("c_custkey") === col("o_custkey"))
+        sd.inserts.withColumn("sign", lit(1L))
+          .unionByName(sd.retracts.withColumn("sign", lit(-1L)))
+          .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sign")
+          .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first,
+            col("sign"))
+      },
+      Some("""WITH ofull AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |  WHERE o_totalprice > 400000),
+             |obase AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |  WHERE o_totalprice > 400000
+             |    AND NOT (o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')),
+             |cfull AS (SELECT c_custkey, c_name FROM customer),
+             |cbase AS (SELECT c_custkey, c_name FROM customer
+             |          WHERE NOT (c_custkey % 10 = 0)),
+             |qfull AS (
+             |  SELECT c_custkey, c_name, o_orderkey, o_totalprice
+             |  FROM cfull LEFT JOIN ofull ON c_custkey = o_custkey),
+             |qbase AS (
+             |  SELECT c_custkey, c_name, o_orderkey, o_totalprice
+             |  FROM cbase LEFT JOIN obase ON c_custkey = o_custkey),
+             |ins AS (SELECT * FROM qfull EXCEPT ALL SELECT * FROM qbase),
+             |ret AS (SELECT * FROM qbase EXCEPT ALL SELECT * FROM qfull)
+             |SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+             |  CAST(1 AS BIGINT) AS sign FROM ins
+             |UNION ALL
+             |SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+             |  CAST(-1 AS BIGINT) AS sign FROM ret
+             |ORDER BY c_custkey, o_orderkey NULLS FIRST, sign""".stripMargin)),
+
     // ---- broader inherited SQL surface (outer/semi/anti/multi joins,
     // having, subqueries, conditional expressions, JSON) ----
 

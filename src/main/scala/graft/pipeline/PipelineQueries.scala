@@ -226,6 +226,87 @@ object PipelineQueries {
         .orderBy("lang"),
       None),
 
+    // Time-window range join (interval self-join): pairs of events from
+    // the same user within 6 hours of each other — the co-occurrence /
+    // session-neighborhood primitive. A naive `t2 BETWEEN t1 AND t1+W`
+    // theta join has no equality key, so Spark would plan a (broadcast)
+    // nested-loop join — quadratic per user, a 100 TB non-starter. Instead
+    // BIN-BUCKET the time axis: key both sides by (user, ts div W), expand
+    // the probe side to its OWN bin and the next (any pair within W spans
+    // at most adjacent bins, and lands in exactly ONE of the two probe
+    // copies — no post-join distinct), equi-join, then verify the exact
+    // interval. 2× replication of scalar probe rows buys an all-equi-key
+    // shuffle join; AQE splits skewed (user, bin) buckets.
+    QueryDef("range_join",
+      (s, d) => {
+        // µs domain on both sides: Spark floors the raw ns long, DuckDB's
+        // epoch_us floors its TIMESTAMP — identical int64s (§7.5)
+        val W = 21600000000L // 6 h in µs
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("tus"))
+        val probe = ev.select(col("user_id"), col("event_id").as("e1"),
+          col("tus").as("t1"),
+          explode(array(expr(s"tus div ${W}L"), expr(s"tus div ${W}L + 1L")))
+            .as("bin"))
+        val build = ev.select(col("user_id"), col("event_id").as("e2"),
+          col("tus").as("t2"), expr(s"tus div ${W}L").as("bin"))
+        probe.join(build, Seq("user_id", "bin"))
+          .filter((col("t1") < col("t2") ||
+              (col("t1") === col("t2") && col("e1") < col("e2"))) &&
+            col("t2") <= col("t1") + W)
+          .select(col("user_id"), col("e1"), col("e2"),
+            (col("t2") - col("t1")).as("dt"))
+          .orderBy("e1", "e2")
+      },
+      Some("""WITH u AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS tus FROM events)
+             |SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+             |  b.tus - a.tus AS dt
+             |FROM u a JOIN u b ON a.user_id = b.user_id
+             |  AND (a.tus < b.tus OR (a.tus = b.tus AND a.event_id < b.event_id))
+             |  AND b.tus <= a.tus + 21600000000
+             |ORDER BY e1, e2""".stripMargin)),
+
+    // Ordered funnel: per user, first 'view', then first 'click' AFTER it,
+    // then first 'purchase' after that — the sequential-pattern primitive
+    // behind conversion analysis. Three chained keyed joins + min
+    // aggregates, all hash-partitioned by user_id (one logical key, so at
+    // scale the exchanges reuse the same partitioning); later stages left-
+    // join so partial funnels surface with NULL step times.
+    QueryDef("events_funnel",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("tus")) // µs domain, §7.5
+        def step(typ: String) = ev.filter(col("event_type") === typ)
+        val s1 = step("view").groupBy("user_id").agg(min("tus").as("t1"))
+        val s2 = step("click").join(s1, "user_id")
+          .filter(col("tus") > col("t1"))
+          .groupBy("user_id").agg(min("tus").as("t2"))
+        val s3 = step("purchase").join(s2, "user_id")
+          .filter(col("tus") > col("t2"))
+          .groupBy("user_id").agg(min("tus").as("t3"))
+        s1.join(s2, Seq("user_id"), "left")
+          .join(s3, Seq("user_id"), "left")
+          .orderBy("user_id")
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |s2 AS (
+             |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e
+             |  JOIN s1 ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t1
+             |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+             |s3 AS (
+             |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e
+             |  JOIN s2 ON e.user_id = s2.user_id AND epoch_us(e.ts) > s2.t2
+             |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+             |SELECT s1.user_id, t1, t2, t3 FROM s1
+             |LEFT JOIN s2 ON s1.user_id = s2.user_id
+             |LEFT JOIN s3 ON s1.user_id = s3.user_id
+             |ORDER BY s1.user_id""".stripMargin)),
+
     // D4 — hourly event rollup. Output DATE + BIGINT hour (never raw ns ts,
     // SURVEY §7.5). At scale: partial agg then a (day,hr,type) shuffle.
     QueryDef("events_hourly",

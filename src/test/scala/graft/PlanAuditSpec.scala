@@ -110,6 +110,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("range_join: bin-bucketed interval join stays an equi-key join") {
+    // the BETWEEN theta join has no equality key and would plan as a
+    // nested-loop product; binning must restore a hash-joinable key
+    val p = planOf("range_join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"interval join lost its equi-key form:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"interval join degenerated to a product:\n$p")
+  }
+
   test("keywords: vocabulary df table broadcasts, no corpus-side SMJ") {
     val p = planOf("keywords")
     assert(p.contains("BroadcastHashJoin"), s"df join must broadcast:\n$p")

@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 57 declared operator queries are all present (SURVEY §2)") {
+  test("the 65 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -33,8 +33,11 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "ann_ivf", "sessions_gap", "delta_distinct", "window_funcs",
       // round-3 surface
       "events_asof", "doc_chunks", "sample_stratified", "approx_stats",
-      "dedup_survivors", "top_tokens", "keywords")
-    assert(declared.size == 57)
+      "dedup_survivors", "top_tokens", "keywords",
+      // round-4 surface
+      "pivot_agg", "cube_agg", "unpivot_long", "agg_quantiles",
+      "range_join", "events_funnel", "delta_semi_join", "delta_left_signed")
+    assert(declared.size == 65)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
