@@ -1,0 +1,44 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-interval (range) join: pairs of rows sharing a key whose times
+  * are within a fixed window of each other — the temporal-neighborhood
+  * primitive behind co-occurrence, attribution, and proximity features.
+  *
+  * A naive `rTime BETWEEN lTime AND lTime + W` theta join has no equality
+  * key, so Spark plans a (broadcast) nested-loop join — quadratic per key
+  * and a 100 TB non-starter. This operator restores an equi-join by
+  * BUCKETING the time axis into window-width bins: both sides are keyed by
+  * `(key, time div W)`, the left side is expanded to its own bin and the
+  * next one (a pair within W spans at most adjacent bins, and lands in
+  * exactly ONE of the two left copies — so no post-join de-duplication is
+  * needed), and the exact interval predicate is verified after the join.
+  * Cost: 2× replication of the left rows buys an all-equi-key shuffle join
+  * that AQE can split on skewed (key, bin) buckets.
+  *
+  * Contract: `lTime`/`rTime` are non-negative numeric columns in the same
+  * unit (`div` truncates toward zero, which is floor only for non-negative
+  * values), named differently; all other column names must be disjoint
+  * between the two sides; `key` is the shared equality column name.
+  */
+object RangeJoin {
+
+  /** Rows of `left` × `right` with `right.rTime` in `[lTime, lTime + window]`
+    * and equal `key`, as one row per qualifying pair carrying both sides'
+    * columns (the shared `key` column once).
+    */
+  def within(left: DataFrame, right: DataFrame, key: String,
+      lTime: String, rTime: String, window: Long): DataFrame = {
+    require(window > 0, "window must be positive")
+    val probe = left.withColumn("__bin",
+      explode(array(expr(s"$lTime div ${window}L"),
+        expr(s"$lTime div ${window}L + 1L"))))
+    val build = right.withColumn("__bin", expr(s"$rTime div ${window}L"))
+    probe.join(build, Seq(key, "__bin"))
+      .filter(col(rTime) >= col(lTime) &&
+        col(rTime) <= col(lTime) + lit(window))
+      .drop("__bin")
+  }
+}

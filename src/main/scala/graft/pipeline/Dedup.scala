@@ -239,15 +239,18 @@ object Dedup {
       // clusters are shallow, so rounds ≈ 4-5 either way
       val nbrMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("nid")).agg(min(col("label")).as("nl"))
+      // the chg flag rides along in the iterate so ONE aggregate action both
+      // materializes the round's cache and answers the convergence check —
+      // a separate old-vs-new join per round would double the loop's jobs
       val next = labels
         .join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(labels("id"),
           least(labels("label"), coalesce(col("nl"), labels("label")))
-            .as("label"))
+            .as("label"),
+          (coalesce(col("nl"), labels("label")) < labels("label"))
+            .cast("long").as("chg"))
         .persist()
-      val changed = next
-        .join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      val changed = next.agg(sum(col("chg"))).head().getLong(0)
       labels.unpersist()
       labels = next
       converged = changed == 0
@@ -262,10 +265,12 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — the " +
           "pair graph has a longer chain than expected; raise maxIter")
     }
-    // NOTE: the returned frame is persisted (the convergence check
-    // materialized it); callers running many CC jobs in one session should
-    // unpersist() it after consuming the result
-    labels
+    // NOTE: the returned frame projects the persisted iterate (the
+    // convergence check materialized it); callers running many CC jobs in
+    // one session should unpersist() the result's cached parent after
+    // consuming it (drop of a missing column is a no-op: round-0 labels
+    // carry no chg flag)
+    labels.drop("chg")
   }
 
   private val ShinglesCte =

@@ -228,15 +228,10 @@ object PipelineQueries {
 
     // Time-window range join (interval self-join): pairs of events from
     // the same user within 6 hours of each other — the co-occurrence /
-    // session-neighborhood primitive. A naive `t2 BETWEEN t1 AND t1+W`
-    // theta join has no equality key, so Spark would plan a (broadcast)
-    // nested-loop join — quadratic per user, a 100 TB non-starter. Instead
-    // BIN-BUCKET the time axis: key both sides by (user, ts div W), expand
-    // the probe side to its OWN bin and the next (any pair within W spans
-    // at most adjacent bins, and lands in exactly ONE of the two probe
-    // copies — no post-join distinct), equi-join, then verify the exact
-    // interval. 2× replication of scalar probe rows buys an all-equi-key
-    // shuffle join; AQE splits skewed (user, bin) buckets.
+    // session-neighborhood primitive, via graft.engine.RangeJoin's
+    // bin-bucketed equi-join (see its scaladoc for why the naive BETWEEN
+    // theta join is a 100 TB non-starter). The ordered-pair tie-break
+    // (t1 < t2, event_id on equal times) de-mirrors the symmetric match.
     QueryDef("range_join",
       (s, d) => {
         // µs domain on both sides: Spark floors the raw ns long, DuckDB's
@@ -245,16 +240,14 @@ object PipelineQueries {
         val ev = t(s, d, "events")
           .select(col("event_id"), col("user_id"),
             expr("ts div 1000").as("tus"))
-        val probe = ev.select(col("user_id"), col("event_id").as("e1"),
-          col("tus").as("t1"),
-          explode(array(expr(s"tus div ${W}L"), expr(s"tus div ${W}L + 1L")))
-            .as("bin"))
-        val build = ev.select(col("user_id"), col("event_id").as("e2"),
-          col("tus").as("t2"), expr(s"tus div ${W}L").as("bin"))
-        probe.join(build, Seq("user_id", "bin"))
-          .filter((col("t1") < col("t2") ||
-              (col("t1") === col("t2") && col("e1") < col("e2"))) &&
-            col("t2") <= col("t1") + W)
+        graft.engine.RangeJoin.within(
+            ev.select(col("user_id"), col("event_id").as("e1"),
+              col("tus").as("t1")),
+            ev.select(col("user_id"), col("event_id").as("e2"),
+              col("tus").as("t2")),
+            "user_id", "t1", "t2", W)
+          .filter(col("t1") < col("t2") ||
+            (col("t1") === col("t2") && col("e1") < col("e2")))
           .select(col("user_id"), col("e1"), col("e2"),
             (col("t2") - col("t1")).as("dt"))
           .orderBy("e1", "e2")

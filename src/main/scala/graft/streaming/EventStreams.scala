@@ -67,6 +67,34 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming twin of the batch `dedup_exact`
+    * query: drop re-deliveries/duplicates of the same content within the
+    * watermark horizon, keyed on the md5 DIGEST of the dedup columns (16
+    * bytes of state per distinct key, never the content itself — the same
+    * shuffle-the-digest design as the batch path).
+    *
+    * Uses `dropDuplicatesWithinWatermark`, whose key state is EVICTED once
+    * the watermark passes it — bounded state (watermark window × arrival
+    * rate), unlike plain `dropDuplicates`, whose state grows with all keys
+    * ever seen and cannot survive an unbounded stream. The documented
+    * trade-off: a duplicate arriving after its key was evicted is emitted
+    * again — at-least-once dedup, exactly what a corpus-ingest pipeline
+    * wants when the upstream redelivery window is known.
+    *
+    * `rows` must carry an event-time `ts` column; `keyCols` are the content
+    * identity (e.g. `text` for documents, `event_id` for an event feed).
+    */
+  def dedupWithinWatermark(rows: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    rows
+      // to_json(struct(...)) is an unambiguous multi-column serialization
+      // (a separator-join would collide when values contain the separator)
+      .withColumn("dedup_digest",
+        md5(to_json(struct(keyCols.map(col): _*)).cast("binary")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("dedup_digest")
+      .drop("dedup_digest")
+
   /** Stream–stream inner join with an event-time correlation bound: pair
     * each right-stream event with left-stream events of the same user that
     * happened in the `withinSeconds` window before it (attribution-style

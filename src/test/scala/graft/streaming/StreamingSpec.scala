@@ -90,6 +90,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark: duplicate content emits once, state is bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.dedupWithinWatermark(
+        in.toDF().toDF("ts", "doc_id", "text"), keyCols = Seq("text"),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      // same-batch duplicate (doc 3) and cross-batch duplicate (doc 4)
+      in.addData((ts(5), 1L, "the quick brown fox"),
+        (ts(6), 2L, "a different document"),
+        (ts(7), 3L, "the quick brown fox"))
+      q.processAllAvailable()
+      in.addData((ts(9), 4L, "the quick brown fox"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L),
+        s"duplicates leaked or originals dropped: $ids")
+    } finally q.stop()
+  }
+
   test("stream-stream join: purchases correlate with clicks within bound") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
