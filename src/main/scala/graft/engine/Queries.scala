@@ -440,6 +440,24 @@ object Queries {
              |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
              |ORDER BY c_custkey""".stripMargin)),
 
+    // FULL OUTER: both null-extension directions exercised — the left side
+    // is filtered to every-third customer, so big orders of the filtered-out
+    // customers null-extend leftward while orderless kept customers
+    // null-extend rightward. NULLS FIRST stated on both engines.
+    QueryDef("join_full",
+      (s, d) => t(s, d, "customer").filter(col("c_custkey") % 3 === 0)
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "full")
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(col("c_custkey").asc_nulls_first,
+          col("o_orderkey").asc_nulls_first),
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice
+             |FROM (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
+             |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+             |  ON c_custkey = o_custkey
+             |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST"""
+        .stripMargin)),
+
     // 3-way dim join on the fact table (TPC-H Q5 shape): lineitem ⋈ part ⋈
     // supplier ⋈ nation, revenue per (nation, brand). The three dims are
     // broadcast; lineitem is scanned once; the only shuffle is the final

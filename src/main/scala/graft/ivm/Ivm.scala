@@ -137,6 +137,61 @@ object Ivm {
     SignedDelta(inserts, retracts)
   }
 
+  /** Signed delta of a FULL OUTER join under insert-only source deltas —
+    * the join type with retractions on BOTH sides: a new right row can
+    * invalidate a left row's null extension AND a new left row can
+    * invalidate a right row's null extension. The signed algebra extends
+    * [[deltaLeftJoin]] symmetrically:
+    *
+    *   inserts  =  δA ⟕ (B ∪ δB)             — new left rows, matched or null-extended
+    *            ∪  baseA ⋈ δB                — old left rows gaining new matches
+    *            ∪  null-left( δB ▷ (A ∪ δA) ) — new right rows matching nothing
+    *   retracts =  null-right( (baseA ▷ baseB) ⋉ δB )
+    *            ∪  null-left( (baseB ▷ baseA) ⋉ δA )
+    *
+    * Identity: `Q(full) == (Q(base) ∪all inserts) ∖all retracts`
+    * (DeltaIdentitySpec). Same naming/condition contract as
+    * [[deltaLeftJoin]]. At scale all five terms are keyed joins whose δ
+    * sides read only the pruned delta partitions.
+    */
+  def deltaFullJoin(left: Dataset[_], right: Dataset[_],
+      cond: org.apache.spark.sql.Column): SignedDelta = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val lFull = left.toDF()
+    val rFull = right.toDF()
+    val nullLeft = lFull.schema.fields.toSeq.map(f =>
+      lit(null).cast(f.dataType).as(f.name))
+    val nullRight = rFull.schema.fields.toSeq.map(f =>
+      lit(null).cast(f.dataType).as(f.name))
+    val lCols = lFull.columns.toSeq.map(col)
+    val rCols = rFull.columns.toSeq.map(col)
+    val inserts = delta(left).join(rFull, cond, "left")
+      .unionByName(baseOf(left).join(delta(right), cond, "inner"))
+      .unionByName(delta(right).join(lFull, cond, "left_anti")
+        .select(nullLeft ++ rCols: _*))
+    val retracts = baseOf(left)
+      .join(baseOf(right), cond, "left_anti")
+      .join(delta(right), cond, "left_semi")
+      .select(lCols ++ nullRight: _*)
+      .unionByName(baseOf(right)
+        .join(baseOf(left), cond, "left_anti")
+        .join(delta(left), cond, "left_semi")
+        .select(nullLeft ++ rCols: _*))
+    SignedDelta(inserts, retracts)
+  }
+
+  /** Signed delta of a RIGHT OUTER join: the mirror of [[deltaLeftJoin]]
+    * (swap the sides, then restore Spark's left-columns-first output
+    * layout).
+    */
+  def deltaRightJoin(left: Dataset[_], right: Dataset[_],
+      cond: org.apache.spark.sql.Column): SignedDelta = {
+    import org.apache.spark.sql.functions.col
+    val sd = deltaLeftJoin(right, left, cond)
+    val order = (left.toDF().columns ++ right.toDF().columns).toSeq.map(col)
+    SignedDelta(sd.inserts.select(order: _*), sd.retracts.select(order: _*))
+  }
+
   /** Signed delta of a LEFT ANTI join ("A rows with NO match in B") under
     * insert-only source deltas. Anti joins are anti-monotone on the right:
     * a new right row RETRACTS previously emitted left rows it matches.
@@ -177,11 +232,19 @@ object Ivm {
 
   private def signedOrDiff(df: Dataset[_]): AutoMaintenance = {
     import org.apache.spark.sql.catalyst.plans.logical.Join
-    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter}
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftAnti, LeftOuter, RightOuter}
     val spark = df.sparkSession
     GraftSql.analyzed(df) match {
       case Join(l, r, LeftOuter, Some(cond), _) =>
         ApplySigned(deltaLeftJoin(
+          GraftSql.ofRows(spark, l), GraftSql.ofRows(spark, r),
+          GraftSql.column(cond)))
+      case Join(l, r, RightOuter, Some(cond), _) =>
+        ApplySigned(deltaRightJoin(
+          GraftSql.ofRows(spark, l), GraftSql.ofRows(spark, r),
+          GraftSql.column(cond)))
+      case Join(l, r, FullOuter, Some(cond), _) =>
+        ApplySigned(deltaFullJoin(
           GraftSql.ofRows(spark, l), GraftSql.ofRows(spark, r),
           GraftSql.column(cond)))
       case Join(l, r, LeftAnti, Some(cond), _) =>

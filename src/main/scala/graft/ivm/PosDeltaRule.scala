@@ -137,8 +137,9 @@ object PosDeltaRule extends Rule[LogicalPlan] {
           "new rows on one side retract previously null-extended (or " +
           "existence-dependent) rows of the other, which insert-only " +
           "deltas cannot express; use the signed insert/retract APIs " +
-          "Ivm.deltaLeftJoin / Ivm.deltaAntiJoin, Ivm.deltaByDiff, or " +
-          "Ivm.maintainAuto which routes to differencing automatically")
+          "Ivm.deltaLeftJoin / deltaRightJoin / deltaFullJoin / " +
+          "deltaAntiJoin, Ivm.deltaByDiff, or Ivm.maintainAuto which " +
+          "routes to the signed or differencing rung automatically")
 
     case other =>
       throw new UnsupportedOperationException(

@@ -287,6 +287,76 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
       baseView.unionByName(sd.inserts).exceptAll(sd.retracts))
   }
 
+  test("deltaFullJoin: signed delta retracts null extensions on BOTH sides") {
+    import spark.implicits._
+    // baseA = k 1..4, δA = k 5..6; baseB = (2,10),(6,20), δB = (3,100),(5,200)
+    //   left-side retraction: (3, a3, null, null) — δB newly matches base
+    //     row 3, invalidating its null extension
+    //   right-side retraction: (null, null, 6, 20) — δA row 6 newly matches
+    //     base B row 6, invalidating ITS null extension (the case
+    //     deltaLeftJoin structurally cannot produce)
+    Seq((1L, "a1"), (2L, "a2"), (3L, "a3"), (4L, "a4"), (5L, "a5"), (6L, "a6"))
+      .toDF("k", "av").createOrReplaceTempView("sd_a")
+    Seq((2L, 10L), (6L, 20L), (3L, 100L), (5L, 200L))
+      .toDF("k2", "bv").createOrReplaceTempView("sd_b")
+    DeltaSources.register("sd_a", "k >= 5")
+    DeltaSources.register("sd_b", "bv >= 100")
+
+    val cond = col("k") === col("k2")
+    val q = (a: DataFrame, b: DataFrame) => a.join(b, cond, "full")
+    val full = q(spark.table("sd_a"), spark.table("sd_b"))
+    val baseView = q(
+      spark.table("sd_a").filter(col("k") < 5),
+      spark.table("sd_b").filter(col("bv") < 100))
+
+    val sd = Ivm.deltaFullJoin(spark.table("sd_a"), spark.table("sd_b"), cond)
+    val r = sd.retracts.collect()
+    // (3, a3, null, null): base row 3 newly matched by δB (left-side)
+    // (null, null, 6, 20): base B row 6 newly matched by δA (right-side)
+    assert(r.length == 2, s"expected one retraction per side, got ${r.toSeq}")
+    assert(r.exists(x => !x.isNullAt(0) && x.getLong(0) == 3L && x.isNullAt(2)))
+    assert(r.exists(x => x.isNullAt(0) && x.getLong(2) == 6L))
+    assertMultisetEqual(full,
+      baseView.unionByName(sd.inserts).exceptAll(sd.retracts))
+  }
+
+  test("deltaRightJoin: mirror of the signed left form, layout preserved") {
+    import spark.implicits._
+    Seq((1L, "a1"), (2L, "a2"), (3L, "a3"), (5L, "a5"))
+      .toDF("k", "av").createOrReplaceTempView("sd_a")
+    Seq((2L, 10L), (3L, 100L), (7L, 110L))
+      .toDF("k2", "bv").createOrReplaceTempView("sd_b")
+    DeltaSources.register("sd_a", "k >= 5")
+    DeltaSources.register("sd_b", "bv >= 100")
+
+    val cond = col("k") === col("k2")
+    val q = (a: DataFrame, b: DataFrame) => a.join(b, cond, "right")
+    val full = q(spark.table("sd_a"), spark.table("sd_b"))
+    val baseView = q(
+      spark.table("sd_a").filter(col("k") < 5),
+      spark.table("sd_b").filter(col("bv") < 100))
+
+    val sd = Ivm.deltaRightJoin(spark.table("sd_a"), spark.table("sd_b"), cond)
+    assert(sd.inserts.columns.toSeq == full.columns.toSeq &&
+      sd.retracts.columns.toSeq == full.columns.toSeq,
+      "signed frames must keep the right join's left-columns-first layout")
+    assertMultisetEqual(full,
+      baseView.unionByName(sd.inserts).exceptAll(sd.retracts))
+  }
+
+  test("maintainAuto: full outer join routes to the SIGNED delta") {
+    val q = (c: DataFrame, o: DataFrame) =>
+      c.join(o, col("c_custkey") === col("o_custkey"), "full")
+    Ivm.maintainAuto(q(t("customer"), t("orders"))) match {
+      case Ivm.ApplySigned(sd) =>
+        assertMultisetEqual(
+          q(t("customer"), t("orders")),
+          Ivm.baseOf(q(t("customer"), t("orders")))
+            .unionByName(sd.inserts).exceptAll(sd.retracts))
+      case other => fail(s"expected ApplySigned, got $other")
+    }
+  }
+
   test("maintainAuto: left outer join routes to the SIGNED delta") {
     val q = (c: DataFrame, o: DataFrame) =>
       c.join(o, col("c_custkey") === col("o_custkey"), "left")
