@@ -51,8 +51,15 @@ object IvmAgg {
         val keys = groupExprs.map {
           case a: Attribute => a.name
           case Alias(_, name) => name
-          case other => throw new UnsupportedOperationException(
-            s"IvmAgg: group expression must be a column or alias, got $other")
+          // computed group key (e.g. groupBy(md5(text).as("digest")),
+          // groupBy(year(d).as("y"))): the bare expression sits in the
+          // grouping list while its Alias lives in the output list — take
+          // the name of the semantically matching named output
+          case e => aggExprs.collectFirst {
+            case Alias(child, name) if child.semanticEquals(e) => name
+          }.getOrElse(throw new UnsupportedOperationException(
+            s"IvmAgg: group expression $e has no named output column; " +
+              "alias it in the aggregate's select list"))
         }
         val specs = aggExprs.flatMap(mergeSpecOf(_, keys.toSet))
         val deltaChild = ResolvePosDeltaScan(PosDeltaRule(PosDelta(child)))
@@ -88,7 +95,9 @@ object IvmAgg {
     }
     ne match {
       case a: AttributeReference if keys.contains(a.name) => None
-      case Alias(_: Attribute, name) if keys.contains(name) => None
+      // any alias named like a key is the key's output form — plain column
+      // rename or a computed group expression (md5(text) AS digest)
+      case Alias(_, name) if keys.contains(name) => None
       case _ => Some(MergeSpec(ne.name, combineOf(ne match {
         case Alias(inner, _) => inner
         case other => other

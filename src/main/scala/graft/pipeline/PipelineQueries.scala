@@ -49,6 +49,32 @@ object PipelineQueries {
              |FROM documents GROUP BY md5(text)
              |ORDER BY doc_id""".stripMargin)),
 
+    // IVM × pipeline cross-feature: the dedup_exact VIEW maintained
+    // incrementally — base-corpus digest groups merged with the mergeable
+    // partial aggregated over ONLY the delta documents (IvmAgg: min →
+    // least, count → add). Proves the maintenance ladder composes with the
+    // pipeline operators, not just the TPC-H surface; the oracle aggregates
+    // the full corpus directly, so hash equality pins the merge algebra.
+    // At 100 TB each maintenance cycle shuffles 16-byte digests of the NEW
+    // documents only; the merge is an upsert on the view's digest key.
+    QueryDef("delta_dedup",
+      (s, d) => {
+        import graft.ivm.{DeltaSources, IvmAgg}
+        val q = (df: DataFrame) => df
+          .groupBy(md5(col("text").cast("binary")).as("digest"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("dup_count"))
+        val full = t(s, d, "documents")
+        val basePred = DeltaSources.predicateFor("documents").get.sql
+        val baseView = q(full.filter(expr(s"NOT ($basePred)")))
+        IvmAgg.merge(baseView, IvmAgg.deltaPartial(q(full)))
+          .select("doc_id", "dup_count")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+             |FROM documents GROUP BY md5(text)
+             |ORDER BY doc_id""".stripMargin)),
+
     // D2 — per-language corpus stats.
     QueryDef("text_stats",
       (s, d) => t(s, d, "documents")

@@ -165,6 +165,49 @@ object TextOps {
              |  FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Corpus-fluency quality signal with INTEGER-ONLY arithmetic: the
+    // fraction of a document's distinct word bigrams that appear in the
+    // corpus's top-100 bigrams by document frequency — a language-model-
+    // free perplexity proxy (a log-prob score would sum irrational doubles
+    // in engine-dependent order and break the hash compare). The top-K
+    // table is TakeOrdered over the vocabulary-sized df aggregate and
+    // BROADCAST; bigram generation is the shuffle-free WordShingles(2)
+    // kernel, so the only corpus-sized exchange is the per-doc aggregate
+    // of (1-bit membership, count) pairs. Boundary ties break lexically —
+    // deterministic top-K in both engines.
+    QueryDef("bigram_coverage",
+      (s, d) => {
+        val bgr = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.VecFunctions.wordShingles(col("text"), 2))
+              .as("bg"))
+        val top = bgr.groupBy("bg").agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("bg").asc).limit(100)
+          .select(col("bg"), lit(1L).as("is_top"))
+        bgr.join(broadcast(top), Seq("bg"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(coalesce(col("is_top"), lit(0L))).as("n_common"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_common"),
+            expr("n_common * 100 div n_bigrams").as("pct"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |bgr AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(w)-1),
+             |    i -> w[i] || ' ' || w[i+1]))) AS bg
+             |  FROM d),
+             |top AS (SELECT bg FROM (
+             |  SELECT bg, COUNT(*) AS df FROM bgr GROUP BY bg
+             |  ORDER BY df DESC, bg ASC LIMIT 100))
+             |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+             |  CAST(COUNT(t.bg) AS BIGINT) AS n_common,
+             |  CAST(COUNT(t.bg) * 100 // COUNT(*) AS BIGINT) AS pct
+             |FROM bgr b LEFT JOIN top t ON b.bg = t.bg
+             |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin)),
+
     // Per-language vocabulary head: top-10 tokens by frequency (corpus
     // profiling / stopword discovery). Token explosion is partition-local
     // (WordShingles-free: explode over split), then ONE hash agg by

@@ -85,7 +85,7 @@ class DeltaAlgebraPropSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("property: signed left outer / anti join deltas") {
+  test("property: signed left/right/full outer and anti join deltas") {
     val rnd = new scala.util.Random(6)
     (1 to Cases).foreach { _ =>
       df(randTable(rnd), "k1", "v1").createOrReplaceTempView("prop_t1")
@@ -99,6 +99,8 @@ class DeltaAlgebraPropSpec extends AnyFunSuite with SparkFixture {
       val cond = col("v1") === col("v2")
       for ((jt, signed) <- Seq(
           "left" -> Ivm.deltaLeftJoin(v1, v2, cond),
+          "right" -> Ivm.deltaRightJoin(v1, v2, cond),
+          "full" -> Ivm.deltaFullJoin(v1, v2, cond),
           "left_anti" -> Ivm.deltaAntiJoin(v1, v2, cond))) {
         val full = v1.join(v2, cond, jt)
         val baseView = base1.join(base2, cond, jt)

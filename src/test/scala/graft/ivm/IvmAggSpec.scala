@@ -44,6 +44,17 @@ class IvmAggSpec extends AnyFunSuite with SparkFixture {
     assertSetEqual(canon(maintained), canon(q(t("orders"))))
   }
 
+  test("computed group key (expression aliased in the select list)") {
+    // groupBy(year(date).as("y")) puts the bare expression in the grouping
+    // list and its Alias in the output list — the key must resolve by
+    // semantic match, and the maintained view must equal the recompute
+    val qy = (df: DataFrame) => df
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("cnt"), max(col("o_orderkey")).as("max_key"))
+    val maintained = IvmAgg.maintain(qy(base("orders")), qy(t("orders")))
+    assertSetEqual(maintained, qy(t("orders")))
+  }
+
   test("delta-only groups (unseen in base) appear after merge") {
     // group by delta membership itself: base view has only the base group
     val full = t("orders").withColumn("is_delta",
