@@ -124,6 +124,32 @@ object ScaleProbe {
       graft.engine.AsofJoin.asof(clicks, purchases, "user_id", "ts", "ts",
         Seq("p_event_id", "p_value"), Some("p_event_id")).count()
     }
+    // bin-bucketed range join: user copies keep per-user event density
+    // constant, so the pair count (and the (user, bin) bucket sizes) scale
+    // linearly with mult — the design claim under test
+    timeE("range join (1h window)") {
+      val e = ev.select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tus"))
+      graft.engine.RangeJoin.within(
+          e.select(col("user_id"), col("event_id").as("e1"),
+            col("tus").as("t1")),
+          e.select(col("user_id"), col("event_id").as("e2"),
+            col("tus").as("t2")),
+          "user_id", "t1", "t2", 3600000000L)
+        .filter(col("t1") < col("t2")).count()
+    }
+    // connected components over the inflated near-dup graph: mult× exact
+    // duplicate copies make components mult× larger (every copy of a pair's
+    // docs lands in one cluster via its own pair edges) — the iterative
+    // min-label loop must converge in the same few rounds on a graph with
+    // mult× nodes/edges
+    timeD("connected components") {
+      val pairs = graft.pipeline.Dedup.ngramLadderPairs(docs).select("d1", "d2")
+      val labels = graft.pipeline.Dedup.connectedComponents(pairs)
+      val n = labels.count()
+      labels.unpersist()
+      n
+    }
     spark.stop()
   }
 }
