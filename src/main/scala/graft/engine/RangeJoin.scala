@@ -32,6 +32,13 @@ object RangeJoin {
   def within(left: DataFrame, right: DataFrame, key: String,
       lTime: String, rTime: String, window: Long): DataFrame = {
     require(window > 0, "window must be positive")
+    require(lTime != rTime,
+      "lTime and rTime must be named differently (both survive the join)")
+    val overlap = (left.columns.toSet & right.columns.toSet) - key
+    require(overlap.isEmpty,
+      s"non-key columns must be disjoint between the sides, overlap: $overlap")
+    require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
+      "__bin is reserved by RangeJoin")
     val probe = left.withColumn("__bin",
       explode(array(expr(s"$lTime div ${window}L"),
         expr(s"$lTime div ${window}L + 1L"))))

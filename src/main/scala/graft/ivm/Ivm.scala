@@ -106,6 +106,24 @@ object Ivm {
     */
   final case class SignedDelta(inserts: DataFrame, retracts: DataFrame)
 
+  /** Construct a [[SignedDelta]] with every ExprId in both plans re-minted
+    * tree-order ([[PosDeltaRule.freshInstance]]). The signed constructors
+    * build plans whose union/join arms REPEAT subtrees (the same scan under
+    * δ and base, the affected-key set under both restrictions); a plan with
+    * internally repeated ExprIds composes wrongly once a caller duplicates
+    * it again — `view ∪all inserts ∖all retracts` puts several copies in
+    * one query, and the analyzer's DeduplicateRelations untangles
+    * cross-branch duplicates only when each branch is internally
+    * duplicate-free (observed concretely: without this,
+    * `inserts.exceptAll(inserts)` on a key-scoped delta returned rows).
+    */
+  private def signed(inserts: DataFrame, retracts: DataFrame): SignedDelta = {
+    def reMint(df: DataFrame): DataFrame =
+      GraftSql.ofRows(df.sparkSession,
+        PosDeltaRule.freshInstance(GraftSql.analyzed(df)))
+    SignedDelta(reMint(inserts), reMint(retracts))
+  }
+
   /** Signed delta of a LEFT OUTER join under insert-only source deltas —
     * the case the append-only rewrite correctly refuses (see
     * [[PosDeltaRule]]): a new right-side row matching a previously
@@ -134,7 +152,7 @@ object Ivm {
       .join(baseOf(right), cond, "left_anti")
       .join(delta(right), cond, "left_semi")
       .select(org.apache.spark.sql.functions.col("*") +: nullRight: _*)
-    SignedDelta(inserts, retracts)
+    signed(inserts, retracts)
   }
 
   /** Signed delta of a FULL OUTER join under insert-only source deltas —
@@ -177,7 +195,7 @@ object Ivm {
         .join(baseOf(left), cond, "left_anti")
         .join(delta(left), cond, "left_semi")
         .select(nullLeft ++ rCols: _*))
-    SignedDelta(inserts, retracts)
+    signed(inserts, retracts)
   }
 
   /** Signed delta of a RIGHT OUTER join: the mirror of [[deltaLeftJoin]]
@@ -209,7 +227,113 @@ object Ivm {
     val retracts = baseOf(left)
       .join(baseOf(right), cond, "left_anti")
       .join(delta(right), cond, "left_semi")
-    SignedDelta(inserts, retracts)
+    signed(inserts, retracts)
+  }
+
+  /** Key-scoped differencing — the rung between the signed deltas and full
+    * [[deltaByDiff]]: when a query DECOMPOSES PER KEY (every window is
+    * partitioned by ⊇ `keys`, every aggregate grouped by ⊇ `keys`, no
+    * joins, no global limit), rows for keys untouched by the delta cannot
+    * change, so the view is maintainable by recomputing ONLY the affected
+    * key partitions:
+    *
+    *   aff      = distinct `keys` of δ(source)          — small, broadcast
+    *   inserts  = Q(source ⋉ aff) ∖all Q(base ⋉ aff)
+    *   retracts = Q(base ⋉ aff) ∖all Q(source ⋉ aff)
+    *
+    * The canonical use is sessionization/window maintenance: a day's new
+    * events touch a sliver of users; this recomputes those users' sessions
+    * and leaves every other user's rows untouched — at 100 TB the
+    * difference between a full-corpus window shuffle and a broadcast-
+    * semi-join-pruned one. The semi joins push the affected-key filter to
+    * the scans, so both recomputes read only the affected rows.
+    *
+    * `q` must be deterministic and key-decomposable — validated against
+    * the analyzed plan of `q(source)`, rejecting windows/aggregates not
+    * keyed by `keys`, joins, and global limits (a Sort is allowed: the
+    * signed contract is multiset-level). Identity (DeltaIdentitySpec):
+    * `Q(full) == (Q(base) ∪all inserts) ∖all retracts`.
+    */
+  def deltaKeyScoped(q: DataFrame => DataFrame, source: Dataset[_],
+      keys: Seq[String]): SignedDelta = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(keys.nonEmpty, "need at least one partition key")
+    val src = source.toDF()
+    requireKeyDecomposable(GraftSql.analyzed(q(src)), keys)
+    val aff = delta(src).select(keys.map(col): _*).distinct()
+    def restrict(t: DataFrame): DataFrame =
+      t.join(broadcast(aff), keys, "left_semi")
+    signedNet(q(restrict(src)), q(restrict(baseOf(src))))
+  }
+
+  /** The signed multiset difference of two same-schema frames — inserts =
+    * plus ∖all minus, retracts = minus ∖all plus — computed as ONE
+    * signed-count aggregation (±1 tags, group by every column, replicate
+    * by the net count) instead of two `exceptAll`s. Besides halving the
+    * shuffles, this avoids nesting Except nodes: Spark's EXCEPT ALL
+    * rewrite mis-binds when one Except subtree appears inside another with
+    * shared lineage (even `d.exceptAll(d)` on an exceptAll-built `d`
+    * returns rows), which is exactly how callers compose a SignedDelta —
+    * `view.unionByName(inserts).exceptAll(retracts)`.
+    */
+  private def signedNet(plus: DataFrame, minus: DataFrame): SignedDelta = {
+    import org.apache.spark.sql.{Column, functions => F}
+    val cols = plus.columns.toSeq
+    require(!cols.exists(_.startsWith("__graft_")),
+      "__graft_ column names are reserved")
+    def tag(df: DataFrame, s: Long): DataFrame =
+      df.select(cols.map(F.col) :+ F.lit(s).as("__graft_sign"): _*)
+    val net = tag(plus, 1L).unionByName(tag(minus, -1L))
+      .groupBy(cols.map(F.col): _*)
+      .agg(F.sum(F.col("__graft_sign")).as("__graft_net"))
+    def replicate(df: DataFrame, times: Column): DataFrame =
+      df.withColumn("__graft_i",
+          F.explode(F.sequence(F.lit(1L), times)))
+        .select(cols.map(F.col): _*)
+    signed(
+      replicate(net.filter(F.col("__graft_net") > 0), F.col("__graft_net")),
+      replicate(net.filter(F.col("__graft_net") < 0), -F.col("__graft_net")))
+  }
+
+  private def requireKeyDecomposable(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, GlobalLimit, Join, Window}
+    def names(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      exprs.collect {
+        case a: Attribute => a.name
+        case Alias(a: Attribute, name) => name
+      }.toSet
+    val need = keys.toSet
+    plan.foreach {
+      case w: Window =>
+        if (!need.subsetOf(names(w.partitionSpec)))
+          throw new UnsupportedOperationException(
+            s"deltaKeyScoped: window partitioned by ${names(w.partitionSpec)} " +
+              s"does not cover keys $need — rows of one key could depend on " +
+              "another key's rows; use Ivm.deltaByDiff")
+      case a: Aggregate =>
+        if (!need.subsetOf(names(a.groupingExpressions)))
+          throw new UnsupportedOperationException(
+            s"deltaKeyScoped: aggregate grouped by " +
+              s"${names(a.groupingExpressions)} does not cover keys $need; " +
+              "use IvmAgg (mergeable) or Ivm.deltaByDiff")
+      case d: Deduplicate =>
+        if (!need.subsetOf(names(d.keys)))
+          throw new UnsupportedOperationException(
+            "deltaKeyScoped: deduplication keys do not cover the partition " +
+              "keys; use Ivm.deltaByDiff")
+      case _: Join =>
+        throw new UnsupportedOperationException(
+          "deltaKeyScoped: single-source queries only (a join can correlate " +
+            "keys across rows); use the signed join deltas or Ivm.deltaByDiff")
+      case _: GlobalLimit =>
+        throw new UnsupportedOperationException(
+          "deltaKeyScoped: a global limit is not per-key decomposable; " +
+            "use Ivm.deltaByDiff")
+      case _ => ()
+    }
   }
 
   /** Route a query down the maintenance ladder instead of throwing:

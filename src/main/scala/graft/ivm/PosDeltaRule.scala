@@ -160,7 +160,7 @@ object PosDeltaRule extends Rule[LogicalPlan] {
     * analyzer's DeduplicateRelations does not perform (it untangles
     * duplicates across branches, not within one).
     */
-  private def freshInstance(plan: LogicalPlan): LogicalPlan = {
+  private[ivm] def freshInstance(plan: LogicalPlan): LogicalPlan = {
     val mapping = scala.collection.mutable.HashMap[ExprId, Attribute]()
     plan.transformUp {
       case m: MultiInstanceRelation =>

@@ -56,4 +56,19 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture {
       RangeJoin.within(df, df.toDF("k", "rid", "t2"), "k", "t1", "t2", 0L)
     }
   }
+
+  test("column-name contract is enforced, not silently broken") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 1L)).toDF("k", "lid", "t1")
+    // overlapping non-key column name
+    intercept[IllegalArgumentException] {
+      RangeJoin.within(df, Seq((1L, 2L, 2L)).toDF("k", "lid", "t2"),
+        "k", "t1", "t2", 10L)
+    }
+    // same time-column name on both sides
+    intercept[IllegalArgumentException] {
+      RangeJoin.within(df, Seq((1L, 2L, 2L)).toDF("k", "rid", "t1"),
+        "k", "t1", "t1", 10L)
+    }
+  }
 }

@@ -344,6 +344,89 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
       baseView.unionByName(sd.inserts).exceptAll(sd.retracts))
   }
 
+  test("deltaKeyScoped: windowed view maintained by affected keys only") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // users 1..4; delta = ts >= 100 touches only users 2 and 3 — users 1
+    // and 4's window rows must come through unchanged via the identity
+    Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 30L, 3.0), (2L, 110L, 4.0),
+        (3L, 120L, 5.0), (4L, 40L, 6.0), (4L, 50L, 7.0))
+      .toDF("user", "ts", "v").createOrReplaceTempView("ks_ev")
+    DeltaSources.register("ks_ev", "ts >= 100")
+    val src = spark.table("ks_ev")
+    val q = (df: DataFrame) => {
+      val w = Window.partitionBy("user").orderBy("ts")
+      df.select(col("user"), col("ts"),
+        sum(col("v")).over(w).as("running"))
+    }
+    val sd = Ivm.deltaKeyScoped(q, src, Seq("user"))
+    // affected keys are {2, 3}: no insert/retract may mention user 1 or 4
+    val touched = (sd.inserts.select("user").collect() ++
+      sd.retracts.select("user").collect()).map(_.getLong(0)).toSet
+    assert(touched == Set(2L, 3L), s"unaffected keys recomputed: $touched")
+    val base = src.filter(col("ts") < 100)
+    assertMultisetEqual(q(src),
+      q(base).unionByName(sd.inserts).exceptAll(sd.retracts))
+  }
+
+  test("signed frames compose safely (no internally repeated ExprIds)") {
+    // regression for the re-minting factory: every signed constructor's
+    // plans repeat subtrees internally (same scan under δ and base, the
+    // affected-key set under both restrictions); without tree-order ExprId
+    // re-minting, DUPLICATING such a plan in one query mis-binds — even
+    // the self-difference came back non-empty
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Seq((1L, 10L, 1.0), (2L, 110L, 2.0)).toDF("user", "ts", "v")
+      .createOrReplaceTempView("ks_ev")
+    DeltaSources.register("ks_ev", "ts >= 100")
+    val src = spark.table("ks_ev")
+    val qw = (df: DataFrame) => df.select(col("user"), col("ts"),
+      sum(col("v")).over(Window.partitionBy("user").orderBy("ts")).as("r"))
+    val cond = col("c_custkey") === col("o_custkey")
+    val all = Seq(
+      "keyScoped" -> Ivm.deltaKeyScoped(qw, src, Seq("user")),
+      "left" -> Ivm.deltaLeftJoin(
+        t("customer").select("c_custkey"), t("orders")
+          .select("o_orderkey", "o_custkey"), cond),
+      "full" -> Ivm.deltaFullJoin(
+        t("customer").select("c_custkey"), t("orders")
+          .select("o_orderkey", "o_custkey"), cond))
+    for ((name, sd) <- all) {
+      assert(sd.inserts.exceptAll(sd.inserts).isEmpty,
+        s"$name inserts mis-compose with themselves")
+      assert(sd.retracts.exceptAll(sd.retracts).isEmpty,
+        s"$name retracts mis-compose with themselves")
+    }
+  }
+
+  test("deltaKeyScoped: non-decomposable shapes are rejected with the hatch named") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Seq((1L, 10L, 1.0)).toDF("user", "ts", "v")
+      .createOrReplaceTempView("ks_ev")
+    DeltaSources.register("ks_ev", "ts >= 100")
+    val src = spark.table("ks_ev")
+    // window partitioned by a DIFFERENT column
+    val eWin = intercept[UnsupportedOperationException] {
+      Ivm.deltaKeyScoped(df => df.select(col("user"),
+        sum(col("v")).over(Window.partitionBy("ts")).as("s")), src, Seq("user"))
+    }
+    assert(eWin.getMessage.contains("deltaByDiff"))
+    // global limit
+    val eLim = intercept[UnsupportedOperationException] {
+      Ivm.deltaKeyScoped(df => df.orderBy("ts").limit(3), src, Seq("user"))
+    }
+    assert(eLim.getMessage.contains("deltaByDiff"))
+    // aggregate grouped by a non-covering set
+    val eAgg = intercept[UnsupportedOperationException] {
+      Ivm.deltaKeyScoped(df => df.groupBy("ts")
+        .agg(count(lit(1)).as("c")), src, Seq("user"))
+    }
+    assert(eAgg.getMessage.contains("deltaByDiff") ||
+      eAgg.getMessage.contains("IvmAgg"))
+  }
+
   test("maintainAuto: full outer join routes to the SIGNED delta") {
     val q = (c: DataFrame, o: DataFrame) =>
       c.join(o, col("c_custkey") === col("o_custkey"), "full")
