@@ -375,7 +375,76 @@ object Ivm {
         ApplySigned(deltaAntiJoin(
           GraftSql.ofRows(spark, l), GraftSql.ofRows(spark, r),
           GraftSql.column(cond)))
-      case _ => DiffRows(deltaByDiff(df))
+      case _ =>
+        keyScopedAuto(df).map(ApplySigned(_))
+          .getOrElse(DiffRows(deltaByDiff(df)))
+    }
+  }
+
+  /** Auto-detected [[deltaKeyScoped]]: when the plan reads ONE delta-source
+    * scan, contains no joins/global limits, and every window / aggregate /
+    * dedup keys on a common non-empty set of that scan's columns, maintain
+    * by recomputing only the affected key partitions. The restriction is
+    * grafted at the SCAN, as a broadcast semi join against the delta's
+    * distinct keys — a LEFT SEMI preserves the scan's output attributes
+    * exactly, so every operator above rebinds unchanged. Returns None
+    * (→ differencing) when any precondition fails.
+    */
+  private def keyScopedAuto(df: Dataset[_]): Option[SignedDelta] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val plan = GraftSql.analyzed(df)
+    def attrNames(exprs: Seq[Expression]): Set[String] = exprs.collect {
+      case a: Attribute => a.name
+      case Alias(a: Attribute, n) => n
+    }.toSet
+    val keySets = plan.collect {
+      case w: Window => attrNames(w.partitionSpec)
+      case a: Aggregate => attrNames(a.groupingExpressions)
+      case d: Deduplicate => attrNames(d.keys)
+    }
+    if (keySets.isEmpty || keySets.exists(_.isEmpty)) return None
+    val keys = keySets.reduce(_ intersect _)
+    if (keys.isEmpty) return None
+    val blocked = plan.collectFirst {
+      case j: Join => j
+      case l: GlobalLimit => l
+    }
+    if (blocked.nonEmpty) return None
+    val scans = PosDeltaRule.deltaSourceScans(plan)
+    if (scans.size != 1) return None
+    val scan = scans.head
+    if (!keys.subsetOf(scan.output.map(_.name).toSet)) return None
+    try {
+      val aff = delta(GraftSql.ofRows(spark, scan))
+        .select(keys.toSeq.sorted.map(col): _*).distinct()
+      // each use gets its own re-minted aff instance: the scan subtree
+      // inside aff shares ExprIds with `scan` itself, and the two
+      // restrictions must not share ids with each other either
+      def affJoin(child: LogicalPlan): LogicalPlan = {
+        val affPlan = ResolvedHint(
+          PosDeltaRule.freshInstance(GraftSql.analyzed(aff)),
+          HintInfo(strategy = Some(BROADCAST)))
+        val cond = keys.toSeq.sorted.map { k =>
+          EqualTo(child.output.find(_.name == k).get,
+            affPlan.output.find(_.name == k).get): Expression
+        }.reduce(And(_, _))
+        Join(child, affPlan, LeftSemi, Some(cond), JoinHint.NONE)
+      }
+      val fullR = plan.transformUp {
+        case s if s eq scan => affJoin(s)
+      }
+      val baseR = ResolvePosDeltaScan(plan.transformUp {
+        case s if s eq scan => affJoin(BaseScan(s))
+      })
+      Some(signedNet(GraftSql.ofRows(spark, fullR),
+        GraftSql.ofRows(spark, baseR)))
+    } catch {
+      // unregistered source, unresolvable predicate, … → differencing
+      case _: UnsupportedOperationException => None
     }
   }
 }

@@ -180,6 +180,18 @@ object PosDeltaRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** The scan-boundary subtrees of `plan` — the nodes the delta rewrite
+    * would terminate at (descent stops at each boundary). Used by
+    * [[Ivm]]'s key-scoped auto-routing to find the (single) source scan.
+    */
+  private[ivm] def deltaSourceScans(plan: LogicalPlan): Seq[LogicalPlan] =
+    plan match {
+      case a: SubqueryAlias if isDeltaSource(a) || isScanLike(a) => Seq(a)
+      case v: View => Seq(v)
+      case l: LeafNode => Seq(l)
+      case other => other.children.flatMap(deltaSourceScans)
+    }
+
   /** A named-relation scan: a leaf or a catalog [[View]], possibly under
     * alias wrappers (e.g. `spark.table` of a temp view yields
     * `SubqueryAlias(View(storedPlan))` — the stored plan is the view's

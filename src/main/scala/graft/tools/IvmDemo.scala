@@ -72,11 +72,16 @@ object IvmDemo {
       "left-join" -> Ivm.maintainAuto(
         customer.join(nation, col("c_nationkey") === col("n_nationkey"),
           "left")),
-      "window" -> Ivm.maintainAuto(
+      "window-keyed" -> Ivm.maintainAuto(
         customer.select(col("c_custkey"),
           org.apache.spark.sql.functions.row_number().over(
             org.apache.spark.sql.expressions.Window
-              .partitionBy("c_nationkey").orderBy("c_custkey")).as("rk"))))
+              .partitionBy("c_nationkey").orderBy("c_custkey")).as("rk"))),
+      "window-global" -> Ivm.maintainAuto(
+        customer.select(col("c_custkey"),
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy("c_custkey")).as("rk"))))
       .map {
         case (n, Ivm.AppendDelta(_))  => s"$n->delta"
         case (n, Ivm.MergePartial(_)) => s"$n->merge"

@@ -218,13 +218,30 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("maintainAuto: window query silently routes to differencing") {
+  test("maintainAuto: partitioned window routes to KEY-SCOPED signed delta") {
     import org.apache.spark.sql.expressions.Window
+    // per-status top-5 by price: key-decomposable by o_orderstatus, so the
+    // auto rung recomputes only the statuses the delta touches (here the
+    // delta spans all statuses — the identity is still the contract)
     val w = Window.partitionBy("o_orderstatus")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     val q = (df: DataFrame) => df
       .select(col("o_orderstatus"), col("o_orderkey"),
         row_number().over(w).as("rk"))
+      .filter(col("rk") <= 5)
+    Ivm.maintainAuto(q(t("orders"))) match {
+      case Ivm.ApplySigned(sd) =>
+        assertMultisetEqual(q(t("orders")),
+          q(base("orders")).unionByName(sd.inserts).exceptAll(sd.retracts))
+      case other => fail(s"expected ApplySigned (key-scoped), got $other")
+    }
+  }
+
+  test("maintainAuto: GLOBAL window (no partition keys) routes to differencing") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val q = (df: DataFrame) => df
+      .select(col("o_orderkey"), row_number().over(w).as("rk"))
       .filter(col("rk") <= 5)
     Ivm.maintainAuto(q(t("orders"))) match {
       case Ivm.DiffRows(rows) =>
