@@ -104,7 +104,28 @@ object Ivm {
     * `Q(full) == (Q(base) ∪all inserts) ∖all retracts` — pinned by
     * `DeltaIdentitySpec`.
     */
-  final case class SignedDelta(inserts: DataFrame, retracts: DataFrame)
+  final case class SignedDelta(inserts: DataFrame, retracts: DataFrame) {
+
+    /** The blessed application: `(view ∪all inserts) ∖all retracts`, with
+      * BOTH delta frames pinned (eager `localCheckpoint`) first.
+      *
+      * Composing the two lazy frames directly into one query can return
+      * wrong results on Spark 4.1: with `spark.sql.exchange.reuse` (default
+      * on), a query containing several canonically-identical
+      * window-over-semi-join exchange subtrees from the two frames
+      * mis-evaluates one copy (observed concretely: a key-scoped delta's
+      * `inserts ∪ retracts` emitted base rows that net to zero; disabling
+      * exchange reuse fixed it, and the analyzed AND optimized plans were
+      * both correct). Checkpointing cuts the shared plan shapes out of the
+      * composed query — and matches production behavior, where a sink
+      * applies materialized deltas as upsert + delete anyway. The deltas
+      * are small by design (that is the point of incremental maintenance),
+      * so the materialization cost is the delta's own size.
+      */
+    def applyTo(view: DataFrame): DataFrame =
+      view.unionByName(inserts.localCheckpoint())
+        .exceptAll(retracts.localCheckpoint())
+  }
 
   /** Construct a [[SignedDelta]] with every ExprId in both plans re-minted
     * tree-order ([[PosDeltaRule.freshInstance]]). The signed constructors
@@ -259,11 +280,22 @@ object Ivm {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(keys.nonEmpty, "need at least one partition key")
     val src = source.toDF()
+    val spark = src.sparkSession
     requireKeyDecomposable(GraftSql.analyzed(q(src)), keys)
     val aff = delta(src).select(keys.map(col): _*).distinct()
+    // each restriction gets its OWN re-minted aff instance (and the base
+    // side its own re-minted plan): aff's inner scan shares ExprIds with
+    // `src` itself, and same-ExprId clones nested INSIDE one join arm are
+    // the analyzer blind spot — without this the semi join conflated with
+    // the delta filter and the "full" restriction silently read only the
+    // delta rows (caught by the parquet-backed IncrementalKeyScopedView
+    // spec; LocalRelation-backed views mask it)
+    def reMinted(df: DataFrame): DataFrame =
+      GraftSql.ofRows(spark,
+        PosDeltaRule.freshInstance(GraftSql.analyzed(df)))
     def restrict(t: DataFrame): DataFrame =
-      t.join(broadcast(aff), keys, "left_semi")
-    signedNet(q(restrict(src)), q(restrict(baseOf(src))))
+      t.join(broadcast(reMinted(aff)), keys, "left_semi")
+    signedNet(q(restrict(src)), q(restrict(reMinted(baseOf(src)))))
   }
 
   /** The signed multiset difference of two same-schema frames — inserts =
@@ -283,16 +315,25 @@ object Ivm {
       "__graft_ column names are reserved")
     def tag(df: DataFrame, s: Long): DataFrame =
       df.select(cols.map(F.col) :+ F.lit(s).as("__graft_sign"): _*)
-    val net = tag(plus, 1L).unionByName(tag(minus, -1L))
-      .groupBy(cols.map(F.col): _*)
-      .agg(F.sum(F.col("__graft_sign")).as("__graft_net"))
-    def replicate(df: DataFrame, times: Column): DataFrame =
+    // each direction gets its OWN net aggregation with its own sign
+    // orientation and an identical `> 0` consumer — so the inserts and
+    // retracts plans are NOT canonicalization-equal. With one shared
+    // orientation and `> 0` / `< 0` filters, Spark's exchange reuse
+    // (spark.sql.exchange.reuse, default on) collided the two arms'
+    // canonically identical aggregate subtrees when a caller composed both
+    // frames into one query, and the retract side returned the wrong rows
+    // (observed: a windowed key-scoped delta's `inserts ∪ retracts` emitted
+    // base rows that net to zero; disabling exchange reuse fixed it).
+    def net(pos: DataFrame, neg: DataFrame): DataFrame =
+      tag(pos, 1L).unionByName(tag(neg, -1L))
+        .groupBy(cols.map(F.col): _*)
+        .agg(F.sum(F.col("__graft_sign")).as("__graft_net"))
+        .filter(F.col("__graft_net") > 0)
+    def replicate(df: DataFrame): DataFrame =
       df.withColumn("__graft_i",
-          F.explode(F.sequence(F.lit(1L), times)))
+          F.explode(F.sequence(F.lit(1L), F.col("__graft_net"))))
         .select(cols.map(F.col): _*)
-    signed(
-      replicate(net.filter(F.col("__graft_net") > 0), F.col("__graft_net")),
-      replicate(net.filter(F.col("__graft_net") < 0), -F.col("__graft_net")))
+    signed(replicate(net(plus, minus)), replicate(net(minus, plus)))
   }
 
   private def requireKeyDecomposable(

@@ -155,7 +155,7 @@ final class IncrementalSignedView(
     val prev =
       if (gen < 0) sd.inserts.limit(0)
       else spark.read.parquet(s"$sinkPath/g$gen")
-    prev.unionByName(sd.inserts).exceptAll(sd.retracts)
+    sd.applyTo(prev)
       .write.mode("overwrite").parquet(s"$sinkPath/g${(gen + 1) % 2}")
     gen = (gen + 1) % 2
     Snapshots.advance(scopedL, l)
@@ -167,6 +167,54 @@ final class IncrementalSignedView(
     require(gen >= 0,
       s"IncrementalSignedView($leftTable/$rightTable): result read before " +
         "the first update()")
+    spark.read.parquet(s"$sinkPath/g$gen")
+  }
+}
+
+/** A windowed/sessionized view maintained across append cycles by
+  * KEY-SCOPED recompute ([[Ivm.deltaKeyScoped]]): each cycle recomputes
+  * ONLY the key partitions the new rows touch (a day's events → a sliver
+  * of users) and applies the signed result to the previous generation.
+  * Completes the streaming maintenance family: [[IncrementalView]]
+  * (envelope appends), [[IncrementalAggView]] (mergeable aggregates),
+  * [[IncrementalSignedView]] (outer/anti joins), this (windows/sessions).
+  *
+  * `q` must be key-decomposable over `keys` (validated per cycle by
+  * `deltaKeyScoped`); alternating parquet generations like the other
+  * views; production sinks apply the pair as upsert + delete on the keys.
+  */
+final class IncrementalKeyScopedView(
+    spark: SparkSession,
+    table: String, idCol: String,
+    q: DataFrame => DataFrame,
+    keys: Seq[String],
+    sinkPath: String) {
+
+  private var gen: Int = -1
+  private val scoped = s"${table}__kv${IvmStream.nextViewId()}"
+  Snapshots.track(scoped, idCol)
+
+  /** One maintenance cycle over the table's current full state: rows past
+    * the watermark are the delta; only their key partitions recompute.
+    */
+  def update(full: DataFrame): Unit = {
+    full.createOrReplaceTempView(scoped)
+    val t = spark.table(scoped)
+    val sd = Ivm.deltaKeyScoped(q, t, keys)
+    val prev =
+      if (gen < 0) sd.inserts.limit(0)
+      else spark.read.parquet(s"$sinkPath/g$gen")
+    sd.applyTo(prev)
+      .write.mode("overwrite").parquet(s"$sinkPath/g${(gen + 1) % 2}")
+    gen = (gen + 1) % 2
+    Snapshots.advance(scoped, t)
+  }
+
+  /** The maintained view (current generation). */
+  def result: DataFrame = {
+    require(gen >= 0,
+      s"IncrementalKeyScopedView($table): result read before the first " +
+        "update()")
     spark.read.parquet(s"$sinkPath/g$gen")
   }
 }

@@ -324,6 +324,48 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(view.result.filter(col("k") === 2L).count() == 2)
   }
 
+  test("key-scoped view: windowed view maintained across append cycles") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dir = Files.createTempDirectory("ks_view").toString
+    def write(rows: Seq[(Long, Long, Double)]): Unit =
+      rows.toDF("user", "eid", "v").write.mode("append").parquet(s"$dir/ev")
+    def ev() = spark.read.parquet(s"$dir/ev")
+    val q = (df: DataFrame) => {
+      val w = Window.partitionBy("user").orderBy("eid")
+      df.select(col("user"), col("eid"),
+        sum(col("v")).over(w).as("running"))
+    }
+    val view = new IncrementalKeyScopedView(spark,
+      "ksv", "eid", q, Seq("user"), s"$dir/sink")
+    def checkAgainstRecompute(): Unit = {
+      val full = q(ev())
+      assert(view.result.exceptAll(full).isEmpty &&
+        full.exceptAll(view.result).isEmpty,
+        "key-scoped view diverged from the full recompute")
+    }
+
+    // cycle 0: initial load, two users
+    write(Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (2L, 3L, 3.0)))
+    view.update(ev())
+    checkAgainstRecompute()
+    assert(view.result.count() == 3)
+
+    // cycle 1: new events for user 1 only — user 1's running sums extend,
+    // user 2's rows must carry through UNTOUCHED (no recompute of its key)
+    write(Seq((1L, 4L, 10.0)))
+    view.update(ev())
+    checkAgainstRecompute()
+    assert(view.result.filter(col("user") === 1L).count() == 3)
+
+    // cycle 2: a new user appears — delta-only key partition
+    write(Seq((3L, 5L, 5.0)))
+    view.update(ev())
+    checkAgainstRecompute()
+    assert(view.result.filter(col("user") === 3L)
+      .collect().map(_.getDouble(2)).toSeq == Seq(5.0))
+  }
+
   test("streaming aggregate IVM: maintained rollup equals full recompute") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
