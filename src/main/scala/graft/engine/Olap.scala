@@ -111,6 +111,29 @@ object Olap {
              |  SELECT l_returnflag, 'sum_disc', sum_disc FROM wide)
              |ORDER BY l_returnflag, metric""".stripMargin)),
 
+    // Distribution window functions: quartile bucket, percent_rank,
+    // cume_dist — exact integer-ratio doubles (same operands, same IEEE
+    // division in both engines; the unique order key removes tie
+    // ambiguity). One window shuffle over the filtered rows.
+    QueryDef("window_dist",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+        t(s, d, "orders").filter(col("o_totalprice") > 450000)
+          .select(col("o_orderstatus"), col("o_orderkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("o_orderstatus", "o_orderkey")
+      },
+      Some("""SELECT o_orderstatus, o_orderkey,
+             |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+             |  PERCENT_RANK() OVER w AS pr,
+             |  CUME_DIST() OVER w AS cd
+             |FROM orders WHERE o_totalprice > 450000
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+             |ORDER BY o_orderstatus, o_orderkey""".stripMargin)),
+
     // Exact per-group quantiles of l_quantity (integer-valued, so the
     // linear interpolation at .25/.5/.75 is bit-exact in both engines —
     // a continuous-valued measure could differ in the last ulp between

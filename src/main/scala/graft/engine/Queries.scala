@@ -397,6 +397,61 @@ object Queries {
              |  CAST(-1 AS BIGINT) AS sign FROM ret
              |ORDER BY c_custkey, o_orderkey NULLS FIRST, sign""".stripMargin)),
 
+    // KEY-SCOPED signed delta as a DECLARED query (Ivm.deltaKeyScoped, the
+    // window-maintenance rung): per-user running sums ordered by VALUE — an
+    // order deliberately uncorrelated with the time-based delta split, so
+    // delta events INTERLEAVE into each user's sequence and genuinely
+    // retract downstream running sums (an order correlated with the split
+    // would make every delta a pure tail-append and leave the retract path
+    // unexercised). Only the users with delta events are recomputed. The
+    // oracle derives inserts/retracts independently as the two-directional
+    // EXCEPT ALL of the windowed full/base views; running sums go through
+    // DECIMAL so the interleaved accumulation is bit-exact in both engines.
+    // This query is also the standing canary for the exchange-reuse
+    // mitigation (SignedDelta application composes checkpointed deltas —
+    // see Ivm.SignedDelta.applyTo).
+    QueryDef("delta_keyscoped",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val q = (df: DataFrame) => {
+          val w = Window.partitionBy("user_id").orderBy("value", "event_id")
+          df.select(col("user_id"), col("event_id"),
+            sum(col("value").cast(DecimalType(18, 2))).over(w)
+              .cast("double").as("running"))
+        }
+        val ev = t(s, d, "events")
+          .select("user_id", "event_id", "ts", "value")
+        val sd = Ivm.deltaKeyScoped(q, ev, Seq("user_id"))
+        sd.inserts.localCheckpoint().withColumn("sign", lit(1L))
+          .unionByName(
+            sd.retracts.localCheckpoint().withColumn("sign", lit(-1L)))
+          .orderBy("user_id", "event_id", "sign")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, value,
+             |    (ts >= TIMESTAMP '2024-01-28 00:00:00') AS isdelta
+             |  FROM events),
+             |qf AS (
+             |  SELECT user_id, event_id,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             |      OVER (PARTITION BY user_id ORDER BY value, event_id)
+             |      AS DOUBLE) AS running
+             |  FROM e),
+             |qb AS (
+             |  SELECT user_id, event_id,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             |      OVER (PARTITION BY user_id ORDER BY value, event_id)
+             |      AS DOUBLE) AS running
+             |  FROM e WHERE NOT isdelta),
+             |ins AS (SELECT * FROM qf EXCEPT ALL SELECT * FROM qb),
+             |ret AS (SELECT * FROM qb EXCEPT ALL SELECT * FROM qf)
+             |SELECT user_id, event_id, running, CAST(1 AS BIGINT) AS sign
+             |FROM ins
+             |UNION ALL
+             |SELECT user_id, event_id, running, CAST(-1 AS BIGINT) AS sign
+             |FROM ret
+             |ORDER BY user_id, event_id, sign""".stripMargin)),
+
     // ---- broader inherited SQL surface (outer/semi/anti/multi joins,
     // having, subqueries, conditional expressions, JSON) ----
 

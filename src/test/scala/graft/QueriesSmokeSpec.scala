@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 68 declared operator queries are all present (SURVEY §2)") {
+  test("the 70 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -37,8 +37,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       // round-4 surface
       "pivot_agg", "cube_agg", "unpivot_long", "agg_quantiles",
       "range_join", "events_funnel", "delta_semi_join", "delta_left_signed",
-      "join_full", "delta_dedup", "bigram_coverage")
-    assert(declared.size == 68)
+      "join_full", "delta_dedup", "bigram_coverage",
+      "window_dist", "delta_keyscoped")
+    assert(declared.size == 70)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
