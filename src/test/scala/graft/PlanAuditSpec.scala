@@ -110,6 +110,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("delta_keyscoped: affected keys broadcast, delta filter pushed") {
+    // audited pre-checkpoint (the declared query pins correctness; this
+    // pins the SCALE shape): both window recomputes must semi-join against
+    // a BROADCAST affected-key set, and the key set's scan must push the
+    // delta range to parquet — that pruning is what makes the rung cheap
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val q = (df: org.apache.spark.sql.DataFrame) => {
+      val w = Window.partitionBy("user_id").orderBy("value", "event_id")
+      df.select(col("user_id"), col("event_id"),
+        fsum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("running"))
+    }
+    val ev = graft.engine.Tables(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts", "value")
+    val sd = graft.ivm.Ivm.deltaKeyScoped(q, ev, Seq("user_id"))
+    val p = sd.inserts.asInstanceOf[classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    // an AQE plan string prints current + initial plan, so count >= 2
+    assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(p).size >= 2,
+      s"expected both restrictions as broadcast semi joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"restriction must not shuffle the corpus side:\n$p")
+    assert(p.contains("GreaterThanOrEqual(ts,"),
+      s"delta range must reach the affected-key scan's PushedFilters:\n$p")
+  }
+
   test("range_join: bin-bucketed interval join stays an equi-key join") {
     // the BETWEEN theta join has no equality key and would plan as a
     // nested-loop product; binning must restore a hash-joinable key
