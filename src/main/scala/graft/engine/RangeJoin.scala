@@ -27,7 +27,9 @@ object RangeJoin {
 
   /** Rows of `left` × `right` with `right.rTime` in `[lTime, lTime + window]`
     * and equal `key`, as one row per qualifying pair carrying both sides'
-    * columns (the shared `key` column once).
+    * columns (the shared `key` column once). Null keys and null times
+    * produce no pairs (equi-join / comparison semantics), matching the
+    * naive theta join.
     */
   def within(left: DataFrame, right: DataFrame, key: String,
       lTime: String, rTime: String, window: Long): DataFrame = {

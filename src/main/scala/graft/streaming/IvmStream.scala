@@ -188,7 +188,7 @@ final class IncrementalKeyScopedView(
     table: String, idCol: String,
     q: DataFrame => DataFrame,
     keys: Seq[String],
-    sinkPath: String) {
+    sinkPath: String) extends MaintainedView {
 
   private var gen: Int = -1
   private val scoped = s"${table}__kv${IvmStream.nextViewId()}"

@@ -138,6 +138,49 @@ object ScaleProbe {
           "user_id", "t1", "t2", 3600000000L)
         .filter(col("t1") < col("t2")).count()
     }
+    // key-scoped maintenance vs full differencing on the inflated events:
+    // the delta is the last ~1k appended events (an id-range sliver that
+    // touches ~1% of users); key-scoped recomputes only those users'
+    // windows while differencing recomputes the whole corpus TWICE — the
+    // measured gap is the rung's reason to exist. (A delta spanning MOST
+    // keys makes the rung pointless by construction — then differencing
+    // is the right rung, which is why maintainAuto keeps both.)
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val evt = ev.select(col("user_id"), col("event_id"),
+        col("ts"), col("value"))
+      evt.createOrReplaceTempView("probe_ks_ev")
+      // delta = the last ~1k appended ids of the last copy
+      val cut = (mult - 1).toLong * 100000000L + 99000L
+      graft.ivm.DeltaSources.register("probe_ks_ev", s"event_id >= $cut")
+      val src = spark.table("probe_ks_ev")
+      val q = (df: org.apache.spark.sql.DataFrame) => {
+        val w = Window.partitionBy("user_id").orderBy("value", "event_id")
+        df.select(col("user_id"), col("event_id"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("running"))
+      }
+      timeE("key-scoped maintenance") {
+        val sd = graft.ivm.Ivm.deltaKeyScoped(q, src, Seq("user_id"))
+        sd.inserts.count() + sd.retracts.count()
+      }
+      timeE("differencing (same view)") {
+        val full = q(src)
+        val base = q(src.filter(expr(s"NOT (event_id >= $cut)")))
+        full.exceptAll(base).count() + base.exceptAll(full).count()
+      }
+      // wall-clock parity at this scale is scan-bound (local RAM shuffles
+      // are ~free); the 100 TB-relevant number is rows THROUGH the window
+      // exchange per maintenance cycle — the network shuffle key-scoped
+      // avoids
+      val aff = spark.table("probe_ks_ev")
+        .filter(expr(s"event_id >= $cut")).select("user_id").distinct()
+      val affRows = src.join(aff, Seq("user_id"), "left_semi").count()
+      println(f"  window-exchange rows/cycle: key-scoped ${2 * affRows}%,d " +
+        f"(full+base of affected users) vs differencing ${2 * ne}%,d " +
+        f"— ${2.0 * ne / (2 * affRows)}%.0fx less shuffle")
+    }
+
     // connected components over the inflated near-dup graph: mult× exact
     // duplicate copies make components mult× larger (every copy of a pair's
     // docs lands in one cluster via its own pair edges) — the iterative
