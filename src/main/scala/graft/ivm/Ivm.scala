@@ -138,12 +138,15 @@ object Ivm {
     * duplicate-free (observed concretely: without this,
     * `inserts.exceptAll(inserts)` on a key-scoped delta returned rows).
     */
-  private def signed(inserts: DataFrame, retracts: DataFrame): SignedDelta = {
-    def reMint(df: DataFrame): DataFrame =
-      GraftSql.ofRows(df.sparkSession,
-        PosDeltaRule.freshInstance(GraftSql.analyzed(df)))
+  private def signed(inserts: DataFrame, retracts: DataFrame): SignedDelta =
     SignedDelta(reMint(inserts), reMint(retracts))
-  }
+
+  /** `df` with every ExprId re-minted tree-order (see [[signed]]'s doc for
+    * why internally repeated ids are a composition hazard).
+    */
+  private def reMint(df: DataFrame): DataFrame =
+    GraftSql.ofRows(df.sparkSession,
+      PosDeltaRule.freshInstance(GraftSql.analyzed(df)))
 
   /** Signed delta of a LEFT OUTER join under insert-only source deltas —
     * the case the append-only rewrite correctly refuses (see
@@ -280,7 +283,6 @@ object Ivm {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(keys.nonEmpty, "need at least one partition key")
     val src = source.toDF()
-    val spark = src.sparkSession
     requireKeyDecomposable(GraftSql.analyzed(q(src)), keys)
     val aff = delta(src).select(keys.map(col): _*).distinct()
     // each restriction gets its OWN re-minted aff instance (and the base
@@ -289,13 +291,19 @@ object Ivm {
     // the analyzer blind spot — without this the semi join conflated with
     // the delta filter and the "full" restriction silently read only the
     // delta rows (caught by the parquet-backed IncrementalKeyScopedView
-    // spec; LocalRelation-backed views mask it)
-    def reMinted(df: DataFrame): DataFrame =
-      GraftSql.ofRows(spark,
-        PosDeltaRule.freshInstance(GraftSql.analyzed(df)))
-    def restrict(t: DataFrame): DataFrame =
-      t.join(broadcast(reMinted(aff)), keys, "left_semi")
-    signedNet(q(restrict(src)), q(restrict(reMinted(baseOf(src)))))
+    // spec; LocalRelation-backed views mask it).
+    // The semi condition is NULL-SAFE (<=>): windows/aggregates treat a
+    // NULL key as a real partition, so a delta row with a null key must
+    // select the null partition for recompute — plain equality would
+    // silently leave it stale.
+    def restrict(t: DataFrame): DataFrame = {
+      val a = reMint(aff).select(
+        keys.map(k => col(k).as(s"__graft_k_$k")): _*)
+      val cond = keys.map(k => col(k) <=> col(s"__graft_k_$k"))
+        .reduce(_ && _)
+      t.join(broadcast(a), cond, "left_semi")
+    }
+    signedNet(q(restrict(src)), q(restrict(reMint(baseOf(src)))))
   }
 
   /** The signed multiset difference of two same-schema frames — inserts =
@@ -340,14 +348,40 @@ object Ivm {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       keys: Seq[String]): Unit = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, GlobalLimit, Join, Window}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, GlobalLimit, Join, Project, Window}
     def names(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
       exprs.collect {
         case a: Attribute => a.name
         case Alias(a: Attribute, name) => name
       }.toSet
     val need = keys.toSet
-    plan.foreach {
+    // the walk stops at the source-scan boundary: renames INSIDE the
+    // source's own definition (a temp view's stored plan, toDF tuple
+    // aliases) define what the source's columns ARE; only the operators
+    // q adds ABOVE the scan can illegally re-bind a key name
+    val boundaries = PosDeltaRule.deltaSourceScans(plan)
+    def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
+      if (boundaries.exists(_ eq p)) return
+      check(p)
+      p.children.foreach(walk)
+    }
+    def check(node: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = node match {
+      // key identity is tracked BY NAME, so a projection must not re-bind
+      // a key name to a different column/expression — the window would
+      // then partition by something the scan-level key restriction does
+      // not select, silently recomputing over partial partitions
+      case p: Project =>
+        p.projectList.foreach {
+          case Alias(child, name) if need.contains(name) =>
+            child match {
+              case a: Attribute if a.name == name => ()
+              case other => throw new UnsupportedOperationException(
+                s"deltaKeyScoped: projection re-binds key column '$name' " +
+                  s"to $other — the key name no longer traces to the " +
+                  "source column; use Ivm.deltaByDiff")
+            }
+          case _ => ()
+        }
       case w: Window =>
         if (!need.subsetOf(names(w.partitionSpec)))
           throw new UnsupportedOperationException(
@@ -375,6 +409,7 @@ object Ivm {
             "use Ivm.deltaByDiff")
       case _ => ()
     }
+    walk(plan)
   }
 
   /** Route a query down the maintenance ladder instead of throwing:
@@ -432,7 +467,7 @@ object Ivm {
     * (→ differencing) when any precondition fails.
     */
   private def keyScopedAuto(df: Dataset[_]): Option[SignedDelta] = {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualNullSafe, Expression}
     import org.apache.spark.sql.catalyst.plans.LeftSemi
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.functions.col
@@ -450,27 +485,27 @@ object Ivm {
     if (keySets.isEmpty || keySets.exists(_.isEmpty)) return None
     val keys = keySets.reduce(_ intersect _)
     if (keys.isEmpty) return None
-    val blocked = plan.collectFirst {
-      case j: Join => j
-      case l: GlobalLimit => l
-    }
-    if (blocked.nonEmpty) return None
     val scans = PosDeltaRule.deltaSourceScans(plan)
     if (scans.size != 1) return None
     val scan = scans.head
     if (!keys.subsetOf(scan.output.map(_.name).toSet)) return None
     try {
+      // the SAME validator the explicit API uses (joins, global limits,
+      // key-shadowing projections all reject) — one walk, no drift
+      requireKeyDecomposable(plan, keys.toSeq)
       val aff = delta(GraftSql.ofRows(spark, scan))
         .select(keys.toSeq.sorted.map(col): _*).distinct()
       // each use gets its own re-minted aff instance: the scan subtree
       // inside aff shares ExprIds with `scan` itself, and the two
-      // restrictions must not share ids with each other either
+      // restrictions must not share ids with each other either. The
+      // condition is null-safe: a delta row with a NULL key must select
+      // the null partition for recompute (windows group nulls together).
       def affJoin(child: LogicalPlan): LogicalPlan = {
         val affPlan = ResolvedHint(
           PosDeltaRule.freshInstance(GraftSql.analyzed(aff)),
           HintInfo(strategy = Some(BROADCAST)))
         val cond = keys.toSeq.sorted.map { k =>
-          EqualTo(child.output.find(_.name == k).get,
+          EqualNullSafe(child.output.find(_.name == k).get,
             affPlan.output.find(_.name == k).get): Expression
         }.reduce(And(_, _))
         Join(child, affPlan, LeftSemi, Some(cond), JoinHint.NONE)
@@ -484,7 +519,8 @@ object Ivm {
       Some(signedNet(GraftSql.ofRows(spark, fullR),
         GraftSql.ofRows(spark, baseR)))
     } catch {
-      // unregistered source, unresolvable predicate, … → differencing
+      // unregistered source, unresolvable predicate, non-decomposable
+      // shape … → differencing
       case _: UnsupportedOperationException => None
     }
   }

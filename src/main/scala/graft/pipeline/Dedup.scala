@@ -250,7 +250,10 @@ object Dedup {
           (coalesce(col("nl"), labels("label")) < labels("label"))
             .cast("long").as("chg"))
         .persist()
-      val changed = next.agg(sum(col("chg"))).head().getLong(0)
+      // sum over an EMPTY frame is NULL, not 0 — an empty pair graph must
+      // converge, not NPE
+      val row = next.agg(sum(col("chg"))).head()
+      val changed = if (row.isNullAt(0)) 0L else row.getLong(0)
       labels.unpersist()
       labels = next
       converged = changed == 0
@@ -265,12 +268,14 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — the " +
           "pair graph has a longer chain than expected; raise maxIter")
     }
-    // NOTE: the returned frame projects the persisted iterate (the
-    // convergence check materialized it); callers running many CC jobs in
-    // one session should unpersist() the result's cached parent after
-    // consuming it (drop of a missing column is a no-op: round-0 labels
-    // carry no chg flag)
-    labels.drop("chg")
+    // swap the cache onto the (id, label)-only result so the returned
+    // frame IS the cached one — a caller's unpersist() then actually frees
+    // it (unpersisting a projection of the iterate would not match the
+    // cached plan and the per-round cache would leak for the session)
+    val out = labels.drop("chg").persist()
+    out.count()
+    labels.unpersist()
+    out
   }
 
   private val ShinglesCte =

@@ -85,7 +85,9 @@ object EventStreams {
     * identity (e.g. `text` for documents, `event_id` for an event feed).
     */
   def dedupWithinWatermark(rows: DataFrame, keyCols: Seq[String],
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour"): DataFrame = {
+    require(!rows.columns.contains("dedup_digest"),
+      "dedup_digest is reserved by dedupWithinWatermark")
     rows
       // to_json(struct(...)) is an unambiguous multi-column serialization
       // (a separator-join would collide when values contain the separator)
@@ -94,6 +96,7 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("dedup_digest")
       .drop("dedup_digest")
+  }
 
   /** Stream–stream inner join with an event-time correlation bound: pair
     * each right-stream event with left-stream events of the same user that

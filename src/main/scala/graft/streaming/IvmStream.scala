@@ -191,23 +191,32 @@ final class IncrementalKeyScopedView(
     sinkPath: String) extends MaintainedView {
 
   private var gen: Int = -1
+  private var highMark: Option[Long] = None
   private val scoped = s"${table}__kv${IvmStream.nextViewId()}"
   Snapshots.track(scoped, idCol)
 
   /** One maintenance cycle over the table's current full state: rows past
     * the watermark are the delta; only their key partitions recompute.
+    * Idle cycles (no id past the high-water mark) are skipped entirely —
+    * no recompute, no generation rewrite (same guard as the sibling
+    * views).
     */
   def update(full: DataFrame): Unit = {
-    full.createOrReplaceTempView(scoped)
-    val t = spark.table(scoped)
-    val sd = Ivm.deltaKeyScoped(q, t, keys)
-    val prev =
-      if (gen < 0) sd.inserts.limit(0)
-      else spark.read.parquet(s"$sinkPath/g$gen")
-    sd.applyTo(prev)
-      .write.mode("overwrite").parquet(s"$sinkPath/g${(gen + 1) % 2}")
-    gen = (gen + 1) % 2
-    Snapshots.advance(scoped, t)
+    val row = full.agg(max(col(idCol))).head()
+    val newHigh = if (row.isNullAt(0)) None else Some(row.getLong(0))
+    newHigh.filter(h => highMark.forall(h > _)).foreach { h =>
+      full.createOrReplaceTempView(scoped)
+      val t = spark.table(scoped)
+      val sd = Ivm.deltaKeyScoped(q, t, keys)
+      val prev =
+        if (gen < 0) sd.inserts.limit(0)
+        else spark.read.parquet(s"$sinkPath/g$gen")
+      sd.applyTo(prev)
+        .write.mode("overwrite").parquet(s"$sinkPath/g${(gen + 1) % 2}")
+      gen = (gen + 1) % 2
+      Snapshots.advanceTo(scoped, h)
+      highMark = Some(h)
+    }
   }
 
   /** The maintained view (current generation). */

@@ -417,6 +417,51 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("deltaKeyScoped: NULL-keyed partition is restricted and maintained") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // windows treat NULL as a real partition; a delta row with a null key
+    // must select that partition for recompute — a plain-equality semi
+    // join would drop it from both restrictions and leave the view stale
+    Seq((Some(1L), 10L, 1.0), (Option.empty[Long], 20L, 2.0),
+        (Option.empty[Long], 120L, 5.0), (Some(2L), 30L, 3.0))
+      .toDF("user", "ts", "v").createOrReplaceTempView("ks_null")
+    DeltaSources.register("ks_null", "ts >= 100")
+    val src = spark.table("ks_null")
+    val q = (df: DataFrame) => {
+      val w = Window.partitionBy("user").orderBy("ts")
+      df.select(col("user"), col("ts"), sum(col("v")).over(w).as("running"))
+    }
+    val sd = Ivm.deltaKeyScoped(q, src, Seq("user"))
+    // the null partition gains (null, 120, 7.0)
+    val ins = sd.inserts.collect()
+    assert(ins.exists(r => r.isNullAt(0) && r.getLong(1) == 120L &&
+      r.getDouble(2) == 7.0), s"null partition not maintained: ${ins.toSeq}")
+    val base = src.filter(col("ts") < 100)
+    assertMultisetEqual(q(src),
+      q(base).unionByName(sd.inserts).exceptAll(sd.retracts))
+  }
+
+  test("deltaKeyScoped: key-shadowing projection is rejected, not mis-scoped") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Seq((1L, 10L, 3L)).toDF("user", "ts", "v")
+      .createOrReplaceTempView("ks_ev")
+    DeltaSources.register("ks_ev", "ts >= 100")
+    val src = spark.table("ks_ev")
+    // the projection re-binds the key NAME to a different column: the
+    // window would partition by v while the scan restriction selects by
+    // the real user — must reject, not silently maintain partial partitions
+    val e = intercept[UnsupportedOperationException] {
+      Ivm.deltaKeyScoped(df => df
+        .select(col("v").as("user"), col("ts"))
+        .select(col("user"), col("ts"),
+          count(lit(1)).over(Window.partitionBy("user")).as("c")),
+        src, Seq("user"))
+    }
+    assert(e.getMessage.contains("re-binds key column"), e.getMessage)
+  }
+
   test("deltaKeyScoped: non-decomposable shapes are rejected with the hatch named") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -141,4 +141,32 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(brute.isEmpty || lsh.size.toDouble / brute.size >= 0.5,
       s"LSH recall ${lsh.size}/${brute.size}")
   }
+
+  test("connectedComponents: empty pair graph converges to an empty result") {
+    // sum(chg) over an empty frame is NULL — must read as converged, not NPE
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    val labels = Dedup.connectedComponents(empty)
+    assert(labels.columns.toSeq == Seq("id", "label"))
+    assert(labels.isEmpty)
+    labels.unpersist()
+  }
+
+  test("connectedComponents: caller's unpersist frees the returned cache") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val labels = Dedup.connectedComponents(pairs)
+    assert(labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    // the returned frame IS the cached one: unpersist must actually drop it
+    import org.apache.spark.sql.classic
+    val ds = labels.asInstanceOf[classic.Dataset[_]]
+    assert(ds.sparkSession.sharedState.cacheManager
+      .lookupCachedData(ds).nonEmpty,
+      "returned frame should be cached")
+    labels.unpersist()
+    assert(ds.sparkSession.sharedState.cacheManager
+      .lookupCachedData(ds).isEmpty,
+      "unpersist on the returned frame must free the cache")
+  }
 }
