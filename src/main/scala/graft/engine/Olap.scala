@@ -151,6 +151,32 @@ object Olap {
              |  quantile_cont(l_quantity, 0.5) AS q50,
              |  quantile_cont(l_quantity, 0.75) AS q75
              |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Arbitrary GROUPING SETS — two DISJOINT single-key sets, the shape
+    // neither rollup (prefix lattice) nor cube (full lattice) can express.
+    // Same Expand-under-partial-agg plan as cube: the exchange carries
+    // |sets| × group states, never |sets| × corpus rows. grouping_id over
+    // (returnflag, linestatus) disambiguates which set a row belongs to
+    // (bit set ⇔ key rolled up; same encoding both engines).
+    QueryDef("grouping_sets",
+      (s, d) => t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("cnt"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_qty")
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             |  COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin))
   )
 }

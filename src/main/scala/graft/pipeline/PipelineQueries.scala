@@ -140,6 +140,38 @@ object PipelineQueries {
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, sid""".stripMargin)),
 
+    // Time-RANGE window frame: per user, each event carries the count and
+    // exact decimal sum of the user's events in the trailing hour —
+    // `RANGE BETWEEN 3600e6 µs PRECEDING AND CURRENT ROW` over the µs
+    // epoch (both engines floor ns→µs; §7.5). One shuffle by user_id, the
+    // frame is a sliding bound over the partition sort — no self-join, no
+    // per-row probe (the naive correlated form is quadratic per user).
+    // Equal-timestamp peers aggregate identically in both engines (RANGE
+    // frames include peers), so ties don't break determinism.
+    QueryDef("window_range",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("tus")
+          .rangeBetween(-3600L * 1000000L, 0L)
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("tus"), col("value"))
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(col("value").cast(DecimalType(18, 2))).over(w)
+              .cast("double").as("sum_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  COUNT(*) OVER w AS n_1h,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             |    AS sum_1h
+             |FROM (SELECT event_id, user_id, epoch_us(ts) AS tus, value
+             |      FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
     // As-of join (graft.engine.AsofJoin): each click event annotated with
     // the user's latest purchase at-or-before it — one shuffle by user_id,
     // merge-form carry-forward, never a per-row range probe. The oracle
