@@ -327,6 +327,27 @@ object Queries {
              |FROM orders GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
 
+    // TOP-K maintenance rung (Ivm.topKMerge / deltaTopK): the top-25
+    // orders by price, maintained as merge(topk(base), topk(δ)) — the base
+    // corpus is never rescanned and both inputs plan as
+    // TakeOrderedAndProject (per-partition heap, never a full sort). The
+    // oracle computes top-25 over the FULL table, so the hash compare pins
+    // the monoid identity topk(T ∪ δ) = topk(topk(T) ∪ topk(δ)) against
+    // an independent derivation. o_orderkey breaks price ties — the order
+    // is total (§7.5).
+    QueryDef("delta_topk",
+      (s, d) => {
+        import graft.ivm.Ivm
+        val ord = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+        val full = t(s, d, "orders").select("o_orderkey", "o_totalprice")
+        val prev = Ivm.baseOf(full).orderBy(ord: _*).limit(25)
+        Ivm.topKMerge(prev, Ivm.delta(full), ord, 25)
+          .orderBy(ord: _*)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey
+             |LIMIT 25""".stripMargin)),
+
     // δ(LEFT SEMI): customers newly having a big order — either the
     // customer is itself in the δ partition (and has any qualifying order),
     // or a base customer with no qualifying BASE order gains one from δ

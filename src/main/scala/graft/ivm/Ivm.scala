@@ -1,6 +1,6 @@
 package graft.ivm
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.graft.GraftSql
 
 /** Public API for incremental view maintenance (the reference's novel
@@ -254,6 +254,42 @@ object Ivm {
     signed(inserts, retracts)
   }
 
+  /** One maintenance step of a TOP-K view (`ORDER BY … LIMIT k`): top-k
+    * over a total order is a monoid under insert-only deltas —
+    * `topk(T ∪ δ) = topk(topk(T) ∪ topk(δ))` — so a stored k-row view
+    * absorbs a delta by merging with the delta's OWN top-k. The base
+    * corpus is never rescanned: both top-k's plan as TakeOrderedAndProject
+    * (per-partition heap of k, driver merge of k per partition — no full
+    * sort anywhere), and the merge input is ≤ 2k rows.
+    *
+    * `order` must be a TOTAL order (include a unique tiebreak column):
+    * with ties at the k-th position the view's content is nondeterministic
+    * in any engine, and maintenance would be chasing an unpinned target
+    * (same determinism rule the declared `sort_limit` query follows).
+    */
+  def topKMerge(prev: DataFrame, deltaRows: DataFrame, order: Seq[Column],
+      k: Int): DataFrame = {
+    require(k > 0, s"top-k needs k > 0, got $k")
+    prev.unionByName(deltaRows.orderBy(order: _*).limit(k))
+      .orderBy(order: _*).limit(k)
+  }
+
+  /** Signed delta of a TOP-K view under the registered source split:
+    * inserts = delta rows entering the view, retracts = previous rows
+    * falling out. Derived entirely from the k-row base view and the
+    * delta's own top-k (see [[topKMerge]]) — both frames are ≤ k rows.
+    * `maintainAuto` routes `orderBy(total order).limit(k)` roots here when
+    * every sort key is a plain column and the query below the sort is
+    * delta-rewritable.
+    */
+  def deltaTopK(source: Dataset[_], order: Seq[Column], k: Int): SignedDelta = {
+    val src = source.toDF()
+    val prev = baseOf(src).orderBy(order: _*).limit(k)
+    // prev appears under both signedNet arms — the second use gets its own
+    // ExprIds (cross-branch dedup only untangles internally-clean branches)
+    signedNet(topKMerge(prev, delta(src), order, k), reMint(prev))
+  }
+
   /** Key-scoped differencing — the rung between the signed deltas and full
     * [[deltaByDiff]]: when a query DECOMPOSES PER KEY (every window is
     * partitioned by ⊇ `keys`, every aggregate grouped by ⊇ `keys`, no
@@ -413,8 +449,9 @@ object Ivm {
   }
 
   /** Route a query down the maintenance ladder instead of throwing:
-    * algebraic delta → mergeable-aggregate partial → signed delta (LEFT
-    * OUTER / LEFT ANTI join roots) → differencing. Every query the engine
+    * algebraic delta → mergeable-aggregate partial → signed delta (outer /
+    * anti join roots; top-k roots; key-scoped decomposable queries) →
+    * differencing. Every query the engine
     * can run is maintainable through this entry point; the returned case
     * tells the caller how to apply the result (append / merge / signed
     * upsert / diff-apply), and WHICH rung it got — so the cost cliff
@@ -452,8 +489,46 @@ object Ivm {
           GraftSql.ofRows(spark, l), GraftSql.ofRows(spark, r),
           GraftSql.column(cond)))
       case _ =>
-        keyScopedAuto(df).map(ApplySigned(_))
+        topKAuto(df).orElse(keyScopedAuto(df)).map(ApplySigned(_))
           .getOrElse(DiffRows(deltaByDiff(df)))
+    }
+  }
+
+  /** Auto-detected [[deltaTopK]]: a root `orderBy(…).limit(k)` whose sort
+    * keys are all plain columns and whose input query is delta-rewritable
+    * maintains as a top-k view. Expression sort keys or a non-rewritable
+    * input → None (→ key-scoped / differencing). The caller owns the
+    * total-order requirement ([[topKMerge]]) — it is not statically
+    * checkable, and a tie-ambiguous ORDER BY is equally ill-defined under
+    * recompute.
+    */
+  private def topKAuto(df: Dataset[_]): Option[SignedDelta] = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, IntegerLiteral, NullsFirst, NullsLast}
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Sort}
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    GraftSql.analyzed(df) match {
+      case GlobalLimit(IntegerLiteral(k),
+          LocalLimit(_, Sort(order, true, child, _))) if k > 0 =>
+        // re-express each sort key BY NAME: the rewritten delta/base plans
+        // re-mint attribute ExprIds, so the original resolved SortOrder
+        // expressions would not bind against them
+        val ord = order.map { so =>
+          so.child match {
+            case a: Attribute => Some((so.direction, so.nullOrdering) match {
+              case (Ascending, NullsFirst)  => col(a.name).asc_nulls_first
+              case (Ascending, NullsLast)   => col(a.name).asc_nulls_last
+              case (Descending, NullsFirst) => col(a.name).desc_nulls_first
+              case (Descending, NullsLast)  => col(a.name).desc_nulls_last
+            })
+            case _ => None
+          }
+        }
+        if (ord.exists(_.isEmpty)) None
+        else try Some(deltaTopK(GraftSql.ofRows(spark, child),
+          ord.flatten, k))
+        catch { case _: UnsupportedOperationException => None }
+      case _ => None
     }
   }
 

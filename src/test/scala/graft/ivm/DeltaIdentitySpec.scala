@@ -250,6 +250,51 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("deltaTopK: merged view equals top-k over the full table") {
+    val ord = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+    val full = t("orders").select("o_orderkey", "o_totalprice")
+    val prev = Ivm.baseOf(full).orderBy(ord: _*).limit(10)
+    // the monoid identity: merge(topk(base), topk(δ)) == topk(full)
+    val merged = Ivm.topKMerge(prev, Ivm.delta(full), ord, 10)
+    assertMultisetEqual(merged, full.orderBy(ord: _*).limit(10))
+    // the signed form applies onto the stored view and is bounded by k
+    val sd = Ivm.deltaTopK(full, ord, 10)
+    assertMultisetEqual(sd.applyTo(prev), merged)
+    assert(sd.inserts.count() <= 10 && sd.retracts.count() <= 10,
+      "top-k deltas must be bounded by k")
+    assert(sd.retracts.exceptAll(prev).isEmpty,
+      "retracts may only remove rows the previous view held")
+  }
+
+  test("maintainAuto: ORDER BY + LIMIT root routes to the top-k signed delta") {
+    val ord = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+    val q = t("orders").select("o_orderkey", "o_totalprice")
+      .orderBy(ord: _*).limit(7)
+    Ivm.maintainAuto(q) match {
+      case Ivm.ApplySigned(sd) =>
+        val prevView = base("orders").select("o_orderkey", "o_totalprice")
+          .orderBy(ord: _*).limit(7)
+        assertMultisetEqual(sd.applyTo(prevView), q)
+      case other => fail(s"expected ApplySigned (top-k), got $other")
+    }
+  }
+
+  test("maintainAuto: EXPRESSION sort key under LIMIT falls through to differencing") {
+    // a computed sort key can't be re-expressed by name against the
+    // rewritten plans — the router must not mis-route it to the top-k rung
+    val q = t("orders").select("o_orderkey", "o_totalprice")
+      .orderBy((col("o_totalprice") * lit(-1)).asc, col("o_orderkey").asc)
+      .limit(5)
+    Ivm.maintainAuto(q) match {
+      case Ivm.DiffRows(rows) =>
+        assertMultisetEqual(rows,
+          q.exceptAll(base("orders").select("o_orderkey", "o_totalprice")
+            .orderBy((col("o_totalprice") * lit(-1)).asc,
+              col("o_orderkey").asc).limit(5)))
+      case other => fail(s"expected DiffRows, got $other")
+    }
+  }
+
   test("deltaLeftJoin: signed delta retracts null-extended rows") {
     import spark.implicits._
     // baseA = k 1..4, δA = k 5..6; baseB = (2,10), δB = (3,100), (5,200):
