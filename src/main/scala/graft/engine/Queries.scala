@@ -327,6 +327,31 @@ object Queries {
              |FROM orders GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
 
+    // COUNT/SUM DISTINCT maintenance (IvmAgg new-pair partial): the view
+    // advances by counting only (status, custkey) pairs the base never had
+    // — δ of the distinct pair set, which is itself delta-rewritable (the
+    // root-Distinct rule), then merged by addition; a distinct value seen
+    // in BOTH base and delta must not recount, which the full-table oracle
+    // catches (custkeys repeat across the date split at sf0.01). The mixed
+    // plain count pins the full-outer composition of the two partials.
+    QueryDef("delta_count_distinct",
+      (s, d) => {
+        import graft.ivm.{DeltaSources, IvmAgg}
+        val q = (df: DataFrame) => df.groupBy("o_orderstatus")
+          .agg(countDistinct(col("o_custkey")).as("n_cust"),
+            count(lit(1)).as("n_orders"))
+        val full = t(s, d, "orders")
+        val basePred = DeltaSources.predicateFor("orders").get.sql
+        val baseView = q(full.filter(expr(s"NOT ($basePred)")))
+        IvmAgg.merge(baseView, IvmAgg.deltaPartial(q(full)))
+          .select(col("o_orderstatus"), col("n_cust"), col("n_orders"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
     // TOP-K maintenance rung (Ivm.topKMerge / deltaTopK): the top-25
     // orders by price, maintained as merge(topk(base), topk(δ)) — the base
     // corpus is never rescanned and both inputs plan as

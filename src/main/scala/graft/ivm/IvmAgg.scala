@@ -3,7 +3,7 @@ package graft.ivm
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Project}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftSql
 
@@ -19,7 +19,8 @@ import org.apache.spark.sql.graft.GraftSql
   * the materialized aggregate group-wise:
   *
   *   SUM/COUNT → add, MIN → least, MAX → greatest
-  *   (AVG is maintained as SUM+COUNT by the caller)
+  *   (AVG is maintained as SUM+COUNT by the caller;
+  *    COUNT/SUM DISTINCT → add of the new-distinct-pair partial)
   *
   * which is exactly Spark's own partial-aggregation combine semantics lifted
   * to view maintenance. `merge(Q(base), deltaPartial(Q)) ≡ Q(full)` is
@@ -41,8 +42,21 @@ object IvmAgg {
 
   /** Decompose an Aggregate-rooted query: rewrite its child through the
     * delta algebra and re-aggregate, yielding the mergeable partial.
+    *
+    * `COUNT(DISTINCT x)` / `SUM(DISTINCT x)` are insert-mergeable through a
+    * NEW-PAIR partial: the distinct `(keys, x)` pair set is itself a
+    * delta-rewritable view (δ = distinct pairs of the pruned δ scan, set-
+    * minus the base's pairs — the root-Distinct rule in [[Ivm.delta]]), and
+    * the view column advances by counting/summing ONLY pairs the base never
+    * had, merged by addition. `MIN/MAX(DISTINCT x)` ≡ `MIN/MAX(x)` and take
+    * the plain path. At 100 TB the pair set is a materialized view of its
+    * own (its δ IS this rewrite), making count-distinct maintenance two
+    * chained incremental views instead of an anti-join against a full base
+    * scan per cycle.
+    *
     * Fails fast (like the marker rule) on non-decomposable aggregates:
-    * DISTINCT, FILTER clauses, or functions outside SUM/COUNT/MIN/MAX.
+    * DISTINCT avg, multi-column DISTINCT, FILTER clauses, or functions
+    * outside SUM/COUNT/MIN/MAX.
     */
   def deltaPartial(df: Dataset[_]): AggDelta = {
     val spark = df.sparkSession
@@ -61,32 +75,123 @@ object IvmAgg {
             s"IvmAgg: group expression $e has no named output column; " +
               "alias it in the aggregate's select list"))
         }
-        val specs = aggExprs.flatMap(mergeSpecOf(_, keys.toSet))
-        val deltaChild = ResolvePosDeltaScan(PosDeltaRule(PosDelta(child)))
-        val partial = GraftSql.ofRows(spark,
-          Aggregate(groupExprs, aggExprs, deltaChild))
+        // count/sum DISTINCT route through the new-pair partial; distinct
+        // min/max is the same function as plain min/max (stays plain)
+        val distinctTargets = aggExprs.collect {
+          case a @ Alias(ae: AggregateExpression, _) if ae.isDistinct &&
+              (ae.aggregateFunction match {
+                case _: Count | _: Sum => true
+                case _ => false
+              }) => a
+        }
+        val plainExprs = aggExprs.filterNot(ne => distinctTargets.exists(_ eq ne))
+        val plainSpecs = plainExprs.flatMap(mergeSpecOf(_, keys.toSet))
+        val specs = aggExprs.flatMap { ne =>
+          if (distinctTargets.exists(_ eq ne))
+            Some(MergeSpec(ne.name,
+              (m, d) => when(m.isNull, d).when(d.isNull, m).otherwise(m + d)))
+          else mergeSpecOf(ne, keys.toSet)
+        }
+        val plainPartial =
+          if (plainSpecs.nonEmpty || distinctTargets.isEmpty) {
+            val deltaChild = ResolvePosDeltaScan(PosDeltaRule(PosDelta(child)))
+            Some(GraftSql.ofRows(spark,
+              Aggregate(groupExprs, plainExprs, deltaChild)))
+          } else None
+        val partial = (plainPartial.toSeq ++
+            distinctPartials(spark, groupExprs, keys, distinctTargets, child))
+          .reduce(outerJoinOnKeys(_, _, keys))
         AggDelta(partial, keys, specs)
       case other => throw new UnsupportedOperationException(
         s"IvmAgg: root operator must be Aggregate, got ${other.nodeName}")
     }
   }
 
+  /** One partial per distinct-aggregated EXPRESSION (targets sharing a
+    * child share one pair set): new distinct `(keys, x)` pairs beyond the
+    * base — `Ivm.delta` of the Distinct-rooted pair view — counted/summed
+    * per group. Null `x` pairs survive the set algebra but are ignored by
+    * `count(x)`/`sum(x)`, matching SQL's null-excluding DISTINCT aggregates
+    * (a brand-new group whose `x` are all NULL still surfaces, with 0).
+    */
+  private def distinctPartials(
+      spark: org.apache.spark.sql.SparkSession,
+      groupExprs: Seq[Expression], keys: Seq[String],
+      targets: Seq[Alias],
+      child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[DataFrame] = {
+    if (targets.isEmpty) return Seq.empty
+    val pairKeys: Seq[NamedExpression] = groupExprs.zip(keys).map {
+      case (a: Attribute, k) if a.name == k => a
+      case (al: Alias, _) => Alias(al.child, al.name)()
+      case (e, k) => Alias(e, k)()
+    }
+    def childOf(a: Alias): Expression =
+      a.child.asInstanceOf[AggregateExpression].aggregateFunction.children match {
+        case Seq(one) => one
+        case _ => throw new UnsupportedOperationException(
+          s"IvmAgg: multi-column DISTINCT aggregate '${a.name}' is not " +
+            "insert-mergeable; combine the columns into one expression")
+      }
+    val grouped = targets.foldLeft(Seq.empty[(Expression, Seq[Alias])]) {
+      (acc, a) =>
+        val ch = childOf(a)
+        if (acc.exists(_._1.semanticEquals(ch)))
+          acc.map { case (e, as) =>
+            if (e.semanticEquals(ch)) (e, as :+ a) else (e, as) }
+        else acc :+ (ch -> Seq(a))
+    }
+    grouped.zipWithIndex.map { case ((dchild, as), i) =>
+      val vcol = s"__dx$i"
+      val newPairs = Ivm.delta(GraftSql.ofRows(spark,
+        Distinct(Project(pairKeys :+ Alias(dchild, vcol)(), child))))
+      val aggCols = as.map { a =>
+        a.child.asInstanceOf[AggregateExpression].aggregateFunction match {
+          case _: Count => count(col(vcol)).as(a.name)
+          case _: Sum => sum(col(vcol)).as(a.name)
+          case f => throw new IllegalStateException(s"unreachable: $f")
+        }
+      }
+      newPairs.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    }
+  }
+
+  /** Key-equality full-outer composition of partial frames (null-safe keys,
+    * key columns coalesced). Ungrouped (global) aggregates compose as a
+    * cross join of their single rows.
+    */
+  private def outerJoinOnKeys(l: DataFrame, r: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    if (keys.isEmpty) return l.crossJoin(r)
+    val lr = l.select(l.columns.map(c => col(c).as(s"__jl_$c")).toSeq: _*)
+    val rr = r.select(r.columns.map(c => col(c).as(s"__jr_$c")).toSeq: _*)
+    val cond = keys.map(k => col(s"__jl_$k") <=> col(s"__jr_$k")).reduce(_ && _)
+    lr.join(rr, cond, "full_outer").select(
+      keys.map(k => coalesce(col(s"__jl_$k"), col(s"__jr_$k")).as(k)) ++
+        l.columns.filterNot(keys.contains).map(c => col(s"__jl_$c").as(c)) ++
+        r.columns.filterNot(keys.contains).map(c => col(s"__jr_$c").as(c)): _*)
+  }
+
   private def mergeSpecOf(ne: NamedExpression, keys: Set[String]): Option[MergeSpec] = {
     def combineOf(e: Expression): (Column, Column) => Column = e match {
       case ae: AggregateExpression =>
-        if (ae.isDistinct) throw new UnsupportedOperationException(
-          s"IvmAgg: DISTINCT aggregate '${ne.name}' is not insert-mergeable")
         if (ae.filter.isDefined) throw new UnsupportedOperationException(
           s"IvmAgg: FILTER clause on '${ne.name}' is not supported")
         ae.aggregateFunction match {
           case _: Sum | _: Count =>
+            // distinct sum/count never reach here — deltaPartial routes
+            // them through the new-pair partial before spec extraction
+            if (ae.isDistinct) throw new UnsupportedOperationException(
+              s"IvmAgg: DISTINCT aggregate '${ne.name}' requires the " +
+                "new-pair partial (use deltaPartial)")
             (m, d) => when(m.isNull, d).when(d.isNull, m).otherwise(m + d)
+          // DISTINCT is a no-op for min/max — plain combine is exact
           case _: Min => (m, d) => least(m, d)
           case _: Max => (m, d) => greatest(m, d)
           case f => throw new UnsupportedOperationException(
-            s"IvmAgg: aggregate function ${f.prettyName} on '${ne.name}' is " +
-              "not insert-mergeable; supported: sum, count, min, max " +
-              "(maintain avg as sum + count)")
+            s"IvmAgg: aggregate function ${f.prettyName}" +
+              (if (ae.isDistinct) " (DISTINCT)" else "") +
+              s" on '${ne.name}' is not insert-mergeable; supported: sum, " +
+              "count, min, max, count/sum DISTINCT (maintain avg as sum + count)")
         }
       case Alias(inner, _) => combineOf(inner)
       case other => throw new UnsupportedOperationException(

@@ -94,6 +94,40 @@ class IvmAggSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("count/sum DISTINCT maintained through the new-pair partial") {
+    // identity incl. the recount hazard: a custkey seen in BOTH base and
+    // delta must advance the count by 0, not 1 — only pairs the base never
+    // had may contribute. Mixed with a plain count to pin the full-outer
+    // composition of the two partials, and sum(DISTINCT) shares the
+    // custkey pair set with the count (one pair-set delta, two outputs).
+    val qd = (df: DataFrame) => df.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        sum_distinct(col("o_custkey")).as("sum_cust"),
+        count(lit(1)).as("n_orders"))
+    val maintained = IvmAgg.maintain(qd(base("orders")), qd(t("orders")))
+    assertSetEqual(maintained, qd(t("orders")))
+  }
+
+  test("maintainAuto routes DISTINCT aggregates to the merge-partial rung") {
+    val qd = t("orders").groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"))
+    Ivm.maintainAuto(qd) match {
+      case Ivm.MergePartial(delta) =>
+        val baseView = base("orders").groupBy("o_orderstatus")
+          .agg(countDistinct(col("o_custkey")).as("n_cust"))
+        assertSetEqual(IvmAgg.merge(baseView, delta), qd)
+      case other => fail(s"expected MergePartial, got $other")
+    }
+  }
+
+  test("DISTINCT min/max degrades to the plain combine (exact)") {
+    val qm = (df: DataFrame) => df.groupBy("o_orderstatus")
+      .agg(expr("min(DISTINCT o_orderkey)").as("min_key"),
+        expr("max(DISTINCT o_orderkey)").as("max_key"))
+    val maintained = IvmAgg.maintain(qm(base("orders")), qm(t("orders")))
+    assertSetEqual(maintained, qm(t("orders")))
+  }
+
   test("fails fast on non-mergeable aggregates with a clear message") {
     val avgQ = t("orders").groupBy("o_orderstatus")
       .agg(avg(col("o_totalprice")).as("avg_price"))
@@ -101,11 +135,18 @@ class IvmAggSpec extends AnyFunSuite with SparkFixture {
     assert(e1.getMessage.contains("avg") || e1.getMessage.contains("average"),
       e1.getMessage)
 
-    val distinctQ = t("orders").groupBy("o_orderstatus")
-      .agg(countDistinct(col("o_custkey")).as("nd"))
-    val e2 = intercept[UnsupportedOperationException](
-      IvmAgg.deltaPartial(distinctQ))
+    // DISTINCT avg has no insert-mergeable partial (sum+count storage form
+    // does not decompose under distinct) — must still fail fast
+    val e2 = intercept[UnsupportedOperationException](IvmAgg.deltaPartial(
+      t("orders").groupBy("o_orderstatus")
+        .agg(expr("avg(DISTINCT o_totalprice)").as("ad"))))
     assert(e2.getMessage.toLowerCase.contains("distinct"), e2.getMessage)
+
+    // multi-column DISTINCT count: one pair column can't express the tuple
+    val e3 = intercept[UnsupportedOperationException](IvmAgg.deltaPartial(
+      t("orders").groupBy("o_orderstatus")
+        .agg(expr("count(DISTINCT o_custkey, o_orderpriority)").as("nd2"))))
+    assert(e3.getMessage.contains("multi-column"), e3.getMessage)
   }
 
   test("non-aggregate root fails fast") {
