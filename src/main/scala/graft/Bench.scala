@@ -70,6 +70,13 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
+    // The full per-query line outgrew the driver's tail-capture window at
+    // 74 queries (BENCH_r04 parsed as null) — also print a compact summary
+    // LAST so a bounded tail always contains a complete JSON object; the
+    // full line lives in bench_out.json either way.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${names.size},"failed":$failedJson,"sf":"$sfDir"}"""
+    println(summary)
     Files.writeString(Paths.get("bench_out.json"), line)
     spark.stop()
   }

@@ -16,10 +16,13 @@ import org.apache.spark.sql.types.DecimalType
   *     (`pivot(col)` with no list) first runs a full distinct job over the
   *     corpus and collects to the driver, which at 100 TB is a full
   *     shuffle + a driver OOM hazard.
-  *   - `cube` over (k₁,k₂) expands each input row into the 4 grouping-set
-  *     combinations BEFORE the shuffle but AFTER partial aggregation
-  *     (Spark's Expand sits under the partial hash agg), so the exchange
-  *     carries ~4× group states, not 4× corpus rows.
+  *   - `cube`/`grouping sets` run TWO-PHASE: a plain hash aggregate to the
+  *     finest grouping set first, then the lattice Expand over that tiny
+  *     partial. Spark's direct cube puts Expand UNDER the partial agg —
+  *     the exchange only carries |sets| × group states, but every corpus
+  *     row is still materialized |sets|× map-side before combining, ~4×
+  *     the CPU of the plain agg. Re-aggregating partials is exact because
+  *     the measures are decomposable (COUNT→SUM, decimal SUM→SUM).
   *   - `unpivot` runs on the already-aggregated (tiny) wide frame — free.
   *   - exact percentiles need per-group sorted values: Spark's `percentile`
   *     aggregate buffers each group's value multiset — fine for bounded
@@ -67,16 +70,29 @@ object Olap {
 
     // Full cube lattice over (returnflag, linestatus); grouping_id
     // disambiguates subtotal rows (same bit encoding in both engines:
-    // bit set ⇔ that key is rolled up).
+    // bit set ⇔ that key is rolled up). Two-phase plan: aggregate to the
+    // finest grouping set FIRST (6 groups — one plain hash agg, map-side
+    // combined), then cube the TINY partial. Spark's direct cube puts
+    // Expand under the partial agg, materializing every corpus row
+    // |sets|× map-side before combining — 4× the CPU of agg_group on the
+    // same table; here Expand runs over 6 rows. Decomposability is the
+    // same partial-merge algebra IvmAgg uses: COUNT → SUM of partial
+    // counts, decimal SUM → SUM of partial sums (exact; cast to double
+    // only at the end).
     QueryDef("cube_agg",
-      (s, d) => t(s, d, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(grouping_id().cast("long").as("gid"),
-          count(lit(1)).as("cnt"),
-          dsum(col("l_quantity")).as("sum_qty"))
-        .select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_qty")
-        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first),
+      (s, d) => {
+        val base = t(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("pcnt"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).as("pqty"))
+        base.cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().cast("long").as("gid"),
+            sum(col("pcnt")).as("cnt"),
+            sum(col("pqty")).cast("double").as("sum_qty"))
+          .select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_qty")
+          .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+      },
       Some("""SELECT l_returnflag, l_linestatus,
              |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
              |  COUNT(*) AS cnt,
@@ -155,21 +171,27 @@ object Olap {
 
     // Arbitrary GROUPING SETS — two DISJOINT single-key sets, the shape
     // neither rollup (prefix lattice) nor cube (full lattice) can express.
-    // Same Expand-under-partial-agg plan as cube: the exchange carries
-    // |sets| × group states, never |sets| × corpus rows. grouping_id over
+    // Same two-phase plan as cube_agg: one plain hash agg to the finest
+    // (returnflag, linestatus) partial, then the grouping-sets Expand over
+    // the 6-row partial instead of the corpus. grouping_id over
     // (returnflag, linestatus) disambiguates which set a row belongs to
     // (bit set ⇔ key rolled up; same encoding both engines).
     QueryDef("grouping_sets",
-      (s, d) => t(s, d, "lineitem")
-        .groupingSets(
-          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
-          col("l_returnflag"), col("l_linestatus"))
-        .agg(grouping_id().cast("long").as("gid"),
-          count(lit(1)).as("cnt"),
-          dsum(col("l_quantity")).as("sum_qty"))
-        .select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_qty")
-        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first),
+      (s, d) => {
+        val base = t(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("pcnt"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).as("pqty"))
+        base.groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().cast("long").as("gid"),
+            sum(col("pcnt")).as("cnt"),
+            sum(col("pqty")).cast("double").as("sum_qty"))
+          .select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_qty")
+          .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+      },
       Some("""SELECT l_returnflag, l_linestatus,
              |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
              |  COUNT(*) AS cnt,

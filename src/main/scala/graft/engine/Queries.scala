@@ -666,9 +666,14 @@ object Queries {
     // ROLLUP with an explicit grouping-level column (grouping() is engine-
     // portable; raw NULL group keys order the same under NULLS FIRST).
     QueryDef("rollup_agg",
+      // two-phase like cube_agg: plain agg to the finest (nation, segment)
+      // partial, then the rollup Expand over ~125 partial rows instead of
+      // the corpus (COUNT re-aggregates as SUM of partial counts)
       (s, d) => t(s, d, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("pn"))
         .rollup("c_nationkey", "c_mktsegment")
-        .agg(count(lit(1)).as("n_cust"),
+        .agg(sum(col("pn")).as("n_cust"),
           grouping(col("c_nationkey")).cast("long").as("g_nat"),
           grouping(col("c_mktsegment")).cast("long").as("g_seg"))
         .orderBy(col("g_nat"), col("g_seg"), col("c_nationkey").asc,

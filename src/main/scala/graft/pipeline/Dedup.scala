@@ -208,74 +208,101 @@ object Dedup {
       .filter(col("jaccard") >= minJ)
   }
 
-  /** Connected components of an undirected pair graph by iterative
-    * min-label propagation: every node starts as its own label; each round
-    * takes the min over neighbors; fixpoint = components labeled by their
-    * minimum member. O(graph diameter) rounds, each one keyed join +
-    * map-side-combined min aggregate — the distributed CC shape (the
-    * large-star/small-star family) that survives 100 TB, where duplicate
-    * clusters are many, small, and shallow (diameter is small in practice;
-    * `maxIter` bounds the pathological chain). The per-round convergence
-    * check is one count() action — driver-coordinated ITERATION, never
-    * driver-side data.
+  /** Connected components of an undirected pair graph by min-label STAR
+    * CONTRACTION: every node starts as its own label; each round takes
+    * the min label within one hop (propagate) and then merges every
+    * label-group into the smallest group any of its members touched
+    * (reverse step, one groupBy(label) min) — so label-groups per
+    * component at least halve each round: O(log diameter)
+    * driver-coordinated rounds instead of O(diameter), the property that
+    * matters at 100 TB where one long duplicate chain would otherwise
+    * serialize the whole job into d global rounds. Each round works over
+    * the (id, label) frame only — never a growing edge set (the
+    * large-star/small-star edge-rewriting family re-materializes edges
+    * per round; the label frame here is strictly smaller). The per-round
+    * convergence check is one 1-row aggregate action —
+    * driver-coordinated ITERATION, never driver-side data.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    ccWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] also reporting the number of rounds taken —
+    * the spec pins the pointer-doubling bound (≈log₂ d) on a planted
+    * chain, so a regression to linear rounds can't land silently.
+    */
+  private[graft] def ccWithRounds(pairs: DataFrame,
+      maxIter: Int = 25): (DataFrame, Int) = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .persist()
     // round 0 fused into initialization: label = min(self, direct
     // neighbors) — one aggregation replaces the distinct AND the first
-    // propagation round (plus its convergence check)
+    // propagation round (plus its convergence check).
+    // Each round's frame is materialized by an EAGER localCheckpoint, not
+    // persist: the label frame is referenced THREE times per round (self,
+    // neighbor-min, pointer lookup), so a lazy cached lineage would grow
+    // 3^rounds plan nodes — checkpointing truncates to a LogicalRDD and
+    // keeps the per-round plan (and codegen time) constant. Superseded
+    // rounds' blocks are freed by the ContextCleaner once unreferenced;
+    // the returned frame is re-persisted explicitly so the caller's
+    // unpersist has its usual effect.
     var labels = edges.groupBy(col("a"))
       .agg(least(col("a"), min(col("b"))).as("label"))
       .select(col("a").as("id"), col("label"))
-      .persist()
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // one hop per round; measured faster end-to-end than label-link
-      // shortcutting, whose 3-way edge union grows each round's plan (and
-      // codegen time) more than the saved rounds repay — duplicate
-      // clusters are shallow, so rounds ≈ 4-5 either way
-      val nbrMin = edges.join(labels, edges("b") === labels("id"))
-        .groupBy(edges("a").as("nid")).agg(min(col("label")).as("nl"))
-      // the chg flag rides along in the iterate so ONE aggregate action both
-      // materializes the round's cache and answers the convergence check —
-      // a separate old-vs-new join per round would double the loop's jobs
-      val next = labels
-        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(labels("id"),
-          least(labels("label"), coalesce(col("nl"), labels("label")))
-            .as("label"),
-          (coalesce(col("nl"), labels("label")) < labels("label"))
-            .cast("long").as("chg"))
-        .persist()
-      // sum over an EMPTY frame is NULL, not 0 — an empty pair graph must
-      // converge, not NPE
+      // star contraction, two half-steps per round:
+      //   nm(v)  = min label within one hop (self included) — propagate
+      //   gm(m)  = min nm over the members of label-group m — the REVERSE
+      //            step: a group's representative learns the smallest id
+      //            ANY member saw, and every member jumps there via the
+      //            gm(label(v)) lookup. Pull-only pointer doubling
+      //            (label ← label(label)) is NOT enough: on a chain with
+      //            shuffled ids the label's own neighborhood is elsewhere
+      //            on the chain, and rounds degrade back to O(d). With the
+      //            reverse step adjacent label-groups merge into their
+      //            smaller neighbor every round — group count per
+      //            component at least halves ⇒ O(log d) rounds.
+      val nm = labels
+        .join(edges.join(labels, edges("b") === labels("id"))
+            .groupBy(edges("a").as("nid")).agg(min(col("label")).as("nbl")),
+          labels("id") === col("nid"), "left")
+        .select(labels("id"), labels("label"),
+          least(labels("label"), coalesce(col("nbl"), labels("label")))
+            .as("nm"))
+        .localCheckpoint()
+      val gm = nm.groupBy(col("label").as("gl")).agg(min(col("nm")).as("gm"))
+      val merged = least(col("nm"), coalesce(col("gm"), col("nm")))
+      val next = nm
+        .join(gm, nm("label") === gm("gl"), "left")
+        .select(nm("id"), merged.as("label"),
+          (merged < nm("label")).cast("long").as("chg"))
+        .localCheckpoint()
+      // the convergence check reads the already-materialized checkpoint —
+      // a 1-row aggregate over local blocks, not a recompute. sum over an
+      // EMPTY frame is NULL, not 0 — an empty pair graph must converge,
+      // not NPE
       val row = next.agg(sum(col("chg"))).head()
       val changed = if (row.isNullAt(0)) 0L else row.getLong(0)
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
     if (!converged) {
-      labels.unpersist()
       // silent truncation would report multiple "survivors" per component
       // (and diverge from any exact closure) while LOOKING successful
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — the " +
           "pair graph has a longer chain than expected; raise maxIter")
     }
-    // swap the cache onto the (id, label)-only result so the returned
-    // frame IS the cached one — a caller's unpersist() then actually frees
-    // it (unpersisting a projection of the iterate would not match the
-    // cached plan and the per-round cache would leak for the session)
+    // the returned frame carries its own persist over the final checkpoint
+    // so the caller's unpersist() frees it the usual way
     val out = labels.drop("chg").persist()
     out.count()
-    labels.unpersist()
-    out
+    (out, iter)
   }
 
   private val ShinglesCte =

@@ -152,6 +152,28 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     labels.unpersist()
   }
 
+  test("connectedComponents: star contraction converges in O(log d) rounds " +
+      "on a planted chain") {
+    import spark.implicits._
+    // a 96-edge path is the adversarial shape for plain min-label
+    // propagation (one hop per round ⇒ ~d rounds); star contraction must
+    // close it in ≈log₂ d. Node ids are a deterministic shuffle so the
+    // minimum is NOT adjacent to most of the chain in id space.
+    val n = 97
+    val perm = (0 until n).map(i => ((i.toLong * 37) % n, i))
+      .sortBy(_._1).map(_._2.toLong)
+    val pairs = (0 until n - 1)
+      .map(i => (perm(i), perm(i + 1))).toDF("d1", "d2")
+    val (labels, rounds) = Dedup.ccWithRounds(pairs)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L until n).map(i => (i, 0L)).toSet,
+      "single chain component must all label to the min id")
+    // ⌈log₂ 96⌉ = 7; allow constant slack for the propagate/shortcut
+    // interleave, but 12 is far below the ~48 a one-hop loop would need
+    assert(rounds <= 12, s"expected O(log d) rounds on a chain, got $rounds")
+    labels.unpersist()
+  }
+
   test("connectedComponents: caller's unpersist frees the returned cache") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
