@@ -352,6 +352,37 @@ object Queries {
              |FROM orders GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
 
+    // Rollup-lattice view maintenance (IvmAgg over grouping analytics):
+    // the delta commutes through the analyzer's Expand (δ(Expand R) =
+    // Expand δR) and the merge keys on (status, priority, grouping_id) —
+    // every lattice level maintains as an independent plain group-by,
+    // including the grand-total row every delta row contributes to. The
+    // oracle rolls up the full table directly, pinning the per-set merge
+    // against an independent engine; sums stay DECIMAL through the merge.
+    QueryDef("delta_rollup",
+      (s, d) => {
+        import graft.ivm.{DeltaSources, IvmAgg}
+        val q = (df: DataFrame) => df.rollup("o_orderstatus", "o_orderpriority")
+          .agg(grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_price"))
+        val full = t(s, d, "orders")
+        val basePred = DeltaSources.predicateFor("orders").get.sql
+        val baseView = q(full.filter(expr(s"NOT ($basePred)")))
+        IvmAgg.merge(baseView, IvmAgg.deltaPartial(q(full)))
+          .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+            col("cnt"), col("sum_price").cast("double").as("sum_price"))
+          .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             |  COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+        .stripMargin)),
+
     // TOP-K maintenance rung (Ivm.topKMerge / deltaTopK): the top-25
     // orders by price, maintained as merge(topk(base), topk(δ)) — the base
     // corpus is never rescanned and both inputs plan as

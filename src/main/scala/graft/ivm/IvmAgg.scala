@@ -1,9 +1,9 @@
 package graft.ivm
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Expand, Project}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftSql
 
@@ -63,7 +63,18 @@ object IvmAgg {
     GraftSql.analyzed(df) match {
       case Aggregate(groupExprs, aggExprs, child, _) =>
         val keys = groupExprs.map {
-          case a: Attribute => a.name
+          // a grouping ATTRIBUTE keys the merge through whichever output
+          // exposes it — bare, renamed, or under injective casts. The cast
+          // form is what cube/rollup/grouping-sets roots produce: the
+          // analyzer's `spark_grouping_id` attribute never surfaces
+          // directly, only as e.g. `grouping_id().cast("long").as("gid")`.
+          case a: Attribute => aggExprs.collectFirst {
+            case ne if castRefOf(ne).exists(_.exprId == a.exprId) => ne.name
+          }.getOrElse(throw new UnsupportedOperationException(
+            s"IvmAgg: group key '${a.name}' (or a cast of it) must appear " +
+              "in the aggregate's select list to key the merge" +
+              (if (a.name == "spark_grouping_id")
+                " — select grouping_id() as an output column" else "")))
           case Alias(_, name) => name
           // computed group key (e.g. groupBy(md5(text).as("digest")),
           // groupBy(year(d).as("y"))): the bare expression sits in the
@@ -84,6 +95,12 @@ object IvmAgg {
                 case _ => false
               }) => a
         }
+        if (distinctTargets.nonEmpty && child.isInstanceOf[Expand])
+          throw new UnsupportedOperationException(
+            "IvmAgg: COUNT/SUM DISTINCT under cube/rollup/GROUPING SETS is " +
+              "not insert-mergeable per grouping set (each set needs its own " +
+              "distinct-pair view); maintain the finest grouping set and " +
+              "derive the lattice by re-aggregation")
         val plainExprs = aggExprs.filterNot(ne => distinctTargets.exists(_ eq ne))
         val plainSpecs = plainExprs.flatMap(mergeSpecOf(_, keys.toSet))
         val specs = aggExprs.flatMap { ne =>
@@ -104,6 +121,24 @@ object IvmAgg {
         AggDelta(partial, keys, specs)
       case other => throw new UnsupportedOperationException(
         s"IvmAgg: root operator must be Aggregate, got ${other.nodeName}")
+    }
+  }
+
+  /** The attribute a named output exposes as-is or under a chain of casts
+    * (widening casts are injective over grouping values in practice —
+    * `grouping_id().cast("long")` is the canonical case), or None if the
+    * output is any other computation.
+    */
+  private def castRefOf(ne: NamedExpression): Option[Attribute] = {
+    def ref(e: Expression): Option[Attribute] = e match {
+      case a: Attribute => Some(a)
+      case c: Cast => ref(c.child)
+      case _ => None
+    }
+    ne match {
+      case Alias(c, _) => ref(c)
+      case a: Attribute => Some(a)
+      case _ => None
     }
   }
 

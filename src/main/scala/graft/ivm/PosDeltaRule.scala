@@ -100,6 +100,15 @@ object PosDeltaRule extends Rule[LogicalPlan] {
     case u: Union =>
       u.copy(children = u.children.map(PosDelta(_)))
 
+    // δ(Expand(R)) = Expand(δR): Expand replicates each input row into a
+    // fixed per-row set of projections (the grouping-set lattice the
+    // analyzer plants under cube/rollup/GROUPING SETS aggregates) —
+    // row-wise linear like Project, so delta commutes. The copy keeps the
+    // node's explicit output attributes, so the enclosing Aggregate's
+    // grouping/aggregate expressions still bind.
+    case e: Expand =>
+      e.copy(child = PosDelta(e.child))
+
     // δ(DISTINCT R) is handled at the API level (Ivm.delta intercepts a
     // Distinct/Deduplicate ROOT and composes δR ∖set baseR from two
     // independently analyzed plans — cloning one subtree into both arms of

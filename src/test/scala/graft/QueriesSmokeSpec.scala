@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 74 declared operator queries are all present (SURVEY §2)") {
+  test("the 75 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -39,8 +39,10 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "range_join", "events_funnel", "delta_semi_join", "delta_left_signed",
       "join_full", "delta_dedup", "bigram_coverage",
       "window_dist", "delta_keyscoped", "delta_topk", "delta_count_distinct",
-      "window_range", "grouping_sets")
-    assert(declared.size == 74)
+      "window_range", "grouping_sets",
+      // round-5 surface
+      "delta_rollup")
+    assert(declared.size == 75)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

@@ -120,6 +120,46 @@ class IvmAggSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("rollup view maintains per grouping set (merge keyed by grouping_id)") {
+    // the analyzer plants Expand under the Aggregate; the delta commutes
+    // through it (δ(Expand(R)) = Expand(δR)) and the merge keys on
+    // (status, priority, gid) — each lattice level is independently a
+    // plain group-by, so partial-merge is exact per level, including the
+    // grand-total row (gid=3) that every delta row contributes to
+    val qr = (df: DataFrame) => df.rollup("o_orderstatus", "o_orderpriority")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"),
+        max(col("o_orderkey")).as("max_key"))
+    val maintained = IvmAgg.maintain(qr(base("orders")), qr(t("orders")))
+    assertSetEqual(maintained, qr(t("orders")))
+  }
+
+  test("maintainAuto routes a cube root to the merge-partial rung") {
+    val qc = (df: DataFrame) => df.cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("cnt"))
+    Ivm.maintainAuto(qc(t("orders"))) match {
+      case Ivm.MergePartial(delta) =>
+        assertSetEqual(IvmAgg.merge(qc(base("orders")), delta),
+          qc(t("orders")))
+      case other => fail(s"expected MergePartial for a cube root, got $other")
+    }
+  }
+
+  test("grouping-analytics roots fail fast on DISTINCT and a missing gid") {
+    // COUNT DISTINCT per grouping set would need one pair view per set
+    val e1 = intercept[UnsupportedOperationException](IvmAgg.deltaPartial(
+      t("orders").cube("o_orderstatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          countDistinct(col("o_custkey")).as("nd"))))
+    assert(e1.getMessage.contains("GROUPING SETS"), e1.getMessage)
+    // without grouping_id() in the output the merge cannot key the lattice
+    val e2 = intercept[UnsupportedOperationException](IvmAgg.deltaPartial(
+      t("orders").cube("o_orderstatus").agg(count(lit(1)).as("cnt"))))
+    assert(e2.getMessage.contains("grouping_id"), e2.getMessage)
+  }
+
   test("DISTINCT min/max degrades to the plain combine (exact)") {
     val qm = (df: DataFrame) => df.groupBy("o_orderstatus")
       .agg(expr("min(DISTINCT o_orderkey)").as("min_key"),
