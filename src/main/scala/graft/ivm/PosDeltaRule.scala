@@ -68,11 +68,17 @@ object PosDeltaRule extends Rule[LogicalPlan] {
     // snapshot (see class doc). At scale the δ/base split predicates reach
     // the parquet reader in every arm, so AQE sees small δ arms and
     // broadcast-joins them against the big base side.
+    // The cloned arms are re-instanced ([[freshInstance]]) so no two union
+    // arms share ExprIds: the analyzer's DeduplicateRelations handles the
+    // common cross-branch clones but fails to rewrite join conditions when
+    // a clone is a view whose definition carries a Project (e.g. an
+    // append-log view exposing `_metadata` — see DeltaSourcesSpec) —
+    // re-minting at construction removes the dependency on its coverage.
     case j @ Join(left, right, Inner | Cross, _, _) =>
       Union(Seq(
         j.copy(left = PosDelta(left), right = PosDelta(right)),
-        j.copy(left = BaseRel(left), right = PosDelta(right)),
-        j.copy(left = PosDelta(left), right = BaseRel(right))))
+        freshInstance(j.copy(left = BaseRel(left), right = PosDelta(right))),
+        freshInstance(j.copy(left = PosDelta(left), right = BaseRel(right)))))
 
     // δ(A ⋉ B) — LEFT SEMI joins the envelope (an extension past the
     // reference's inner/cross coverage): unlike outer/anti, a semi row is
@@ -273,6 +279,14 @@ object ResolvePosDeltaScan extends Rule[LogicalPlan] {
     */
   private def resolveAgainst(pred: Expression, scan: LogicalPlan): Expression = {
     val named = pred.transformUp {
+      // hidden file-source metadata columns ([[FileSnapshots]]'s
+      // `_metadata.file_modification_time` cut) are not in the scan's data
+      // output — leave them unresolved for the analyzer, whose
+      // AddMetadataColumns rule materializes them from the relation's
+      // metadataOutput (this one predicate shape therefore requires the
+      // eager re-analyzed path, which every Ivm entry point uses)
+      case u: UnresolvedAttribute if u.nameParts.length > 1 &&
+          conf.resolver(u.nameParts.head, "_metadata") => u
       case u: UnresolvedAttribute =>
         scan.output.find(a => conf.resolver(a.name, u.name)).getOrElse(
           throw new UnsupportedOperationException(
@@ -280,7 +294,8 @@ object ResolvePosDeltaScan extends Rule[LogicalPlan] {
               s"output ${scan.output.map(_.name).mkString("[", ",", "]")}"))
     }
     named.transformUp {
-      case b: BinaryOperator if b.left.dataType != b.right.dataType =>
+      case b: BinaryOperator if b.childrenResolved &&
+          b.left.dataType != b.right.dataType =>
         (b.left, b.right) match {
           case (lit: Literal, other) if Cast.canCast(lit.dataType, other.dataType) =>
             b.withNewChildren(Seq(Cast(lit, other.dataType), other))

@@ -97,6 +97,56 @@ object IvmDemo {
     val after = Ivm.delta(spark.table("customer")).count()
     println(s"SNAPSHOT OK: before=$before after=$after ok=${after == 0}")
 
+    // 8. file-append log (FileSnapshots): the delta is appended FILES —
+    // no data column consulted — and the mtime cut prunes the δ arm's
+    // scan at file-listing time (numFiles < total files in the log)
+    val logDir = java.nio.file.Files.createTempDirectory("ivmdemo_flog")
+      .toString + "/log"
+    def readLog() = spark.read.parquet(logDir)
+    customer.limit(50).write.mode("append").parquet(logDir)
+    stampDir(logDir, 1000000L)
+    graft.ivm.FileSnapshots.track("log", logDir)
+    graft.ivm.FileSnapshots.advance(spark, "log")
+    customer.limit(7).write.mode("append").parquet(logDir)
+    stampDir(logDir, 2000000L)
+    val dlog = Ivm.delta(readLog().select("c_custkey"))
+    val dRows = dlog.count()
+    val (dFiles, allFiles) = scannedFiles(dlog)
+    println(s"FILELOG OK: deltaRows=$dRows ok=${dRows == 7} " +
+      s"filesScanned=$dFiles/$allFiles pruned=${dFiles < allFiles}")
+
     spark.stop()
+  }
+
+  /** Stamp every data file currently newer than `millis` down to it —
+    * deterministic mtime ticks for the append-log demo.
+    */
+  private def stampDir(dir: String, millis: Long): Unit = {
+    val it = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator()
+    while (it.hasNext) {
+      val f = it.next()
+      if (java.nio.file.Files.getLastModifiedTime(f).toMillis >= millis)
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(millis))
+    }
+  }
+
+  /** (files planned by the frame's parquet scans, files in the source) —
+    * after executing the frame, so AQE has finalized the plan.
+    */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    df.collect()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case f: FileSourceScanExec => Seq(f)
+      }.flatten
+    val fs = scans(df.queryExecution.executedPlan)
+    val planned = fs.map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+    val total = fs.headOption
+      .map(_.relation.location.inputFiles.length.toLong).getOrElse(0L)
+    (planned, total)
   }
 }

@@ -99,6 +99,90 @@ class DeltaSourcesSpec extends AnyFunSuite with SparkFixture {
       "maintained sink diverged from the full recompute")
   }
 
+  test("file-append log: maintenance cycles select appended FILES, no data " +
+      "predicate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_flog").toString
+    val src = s"$dir/src"
+    // a temp VIEW hides file metadata columns, so an append-log view must
+    // expose `_metadata` in its definition (FileSnapshots scaladoc); a
+    // bare spark.read.parquet frame needs nothing
+    def refresh(): Unit =
+      spark.read.parquet(src).select(col("*"), col("_metadata"))
+        .createOrReplaceTempView("flog_t")
+    def maintained(): org.apache.spark.sql.DataFrame =
+      Ivm.delta(spark.table("flog_t").filter(col("v") =!= "skip")
+        .select("id", "v"))
+    // distinct filesystem mtime ticks per batch: the strict `>` cut means
+    // an append inside the SAME tick as an advance would be missed (see
+    // FileSnapshots scaladoc — production logs cut on commit versions)
+    def stampAll(millis: Long): Unit = {
+      val d = java.nio.file.Paths.get(src)
+      val it = java.nio.file.Files.list(d).iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (java.nio.file.Files.getLastModifiedTime(f).toMillis >= millis)
+          java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(millis))
+      }
+    }
+
+    // cycle 0: initial files — everything is delta (the initial load)
+    Seq((1L, "a"), (2L, "b"), (3L, "skip")).toDF("id", "v")
+      .write.mode("append").parquet(src)
+    stampAll(1000000L)
+    refresh()
+    FileSnapshots.track("flog_t", src)
+    assert(maintained().collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(FileSnapshots.advance(spark, "flog_t"))
+    val predAfterCut = DeltaSources.predicateFor("flog_t").get.sql
+    assert(predAfterCut.contains("file_modification_time"),
+      s"cut must be file-level, got: $predAfterCut")
+    assert(maintained().count() == 0, "advanced cut must empty the delta")
+
+    // cycle 1: append NEW FILES (ids overlap nothing; the data columns are
+    // untouched by the cut — including an id LOWER than everything in the
+    // base, which any data-column watermark would misclassify)
+    Seq((0L, "z"), (9L, "c")).toDF("id", "v").write.mode("append").parquet(src)
+    stampAll(2000000L)
+    refresh()
+    // the registered predicate text is UNCHANGED by the append — new files
+    // are selected purely by listing against the existing cut
+    assert(DeltaSources.predicateFor("flog_t").get.sql == predAfterCut,
+      "append must not require re-registration")
+    val d1 = maintained()
+    assert(d1.collect().map(_.getLong(0)).toSet == Set(0L, 9L))
+    // base arm = the complement: exactly the pre-append view
+    val b1 = Ivm.baseOf(spark.table("flog_t").filter(col("v") =!= "skip")
+      .select("id", "v"))
+    assert(b1.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(FileSnapshots.advance(spark, "flog_t"))
+
+    // cycle 2: no appends → advance is a no-op and the delta stays empty
+    assert(!FileSnapshots.advance(spark, "flog_t"))
+    assert(maintained().count() == 0)
+
+    // δQ == Q(full) − Q(base) through a join: the file-level source
+    // composes with the standard algebra (mixed arms read the base files)
+    Seq((7L, "e")).toDF("id", "v").write.mode("append").parquet(src)
+    stampAll(3000000L)
+    refresh()
+    // a static dimension: registered with an empty delta ("1 = 0"), so its
+    // base arm is the full table and its δ arm contributes nothing.
+    // Parquet-backed like every real dim — a LocalRelation-backed view's
+    // alias Project trips the DeduplicateRelations alias limitation when
+    // cloned across the rewrite's union arms (SURVEY §7.3 / memory note)
+    Seq((0L, "small"), (7L, "big")).toDF("k", "sz")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    spark.read.parquet(s"$dir/dim").createOrReplaceTempView("flog_dim")
+    DeltaSources.register("flog_dim", "1 = 0")
+    val joined = spark.table("flog_t")
+      .join(spark.table("flog_dim"), col("id") === col("k"), "inner")
+      .select("id", "sz")
+    val dj = Ivm.delta(joined).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(dj.toSet == Set((7L, "big")), s"join delta wrong: ${dj.toSet}")
+  }
+
   test("snapshot advanceAll: one consistent cut across a two-table join") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_snap2").toString
