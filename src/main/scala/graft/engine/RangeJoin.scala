@@ -1,7 +1,10 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftSql
+import org.apache.spark.sql.types.LongType
 
 /** Bounded-interval (range) join: pairs of rows sharing a key whose times
   * are within a fixed window of each other — the temporal-neighborhood
@@ -19,9 +22,10 @@ import org.apache.spark.sql.functions._
   * that AQE can split on skewed (key, bin) buckets.
   *
   * Contract: `lTime`/`rTime` are non-negative numeric columns in the same
-  * unit (`div` truncates toward zero, which is floor only for non-negative
-  * values), named differently; all other column names must be disjoint
-  * between the two sides; `key` is the shared equality column name.
+  * unit (binning casts to long, and truncation toward zero is floor only
+  * for non-negative values), named differently; all other column names must
+  * be disjoint between the two sides; `key` is the shared equality column
+  * name.
   */
 object RangeJoin {
 
@@ -42,12 +46,22 @@ object RangeJoin {
     require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
       "__bin is reserved by RangeJoin")
     val probe = left.withColumn("__bin",
-      explode(array(expr(s"$lTime div ${window}L"),
-        expr(s"$lTime div ${window}L + 1L"))))
-    val build = right.withColumn("__bin", expr(s"$rTime div ${window}L"))
+      explode(array(bin(col(lTime), window), bin(col(lTime), window) + lit(1L))))
+    val build = right.withColumn("__bin", bin(col(rTime), window))
     probe.join(build, Seq(key, "__bin"))
       .filter(col(rTime) >= col(lTime) &&
         col(rTime) <= col(lTime) + lit(window))
       .drop("__bin")
   }
+
+  /** `time div window` as a Column-API expression — no string
+    * interpolation, so column names needing backquotes are safe, and the
+    * explicit long cast keeps the integral-divide operand contract for
+    * fractional time columns (truncation toward zero = floor for the
+    * documented non-negative domain, and the exact interval predicate is
+    * re-verified on the original values after the join either way).
+    */
+  private def bin(time: Column, window: Long): Column =
+    GraftSql.column(IntegralDivide(
+      GraftSql.expression(time.cast(LongType)), Literal(window)))
 }

@@ -310,36 +310,21 @@ object Ivm {
     *
     * `q` must be deterministic and key-decomposable — validated against
     * the analyzed plan of `q(source)`, rejecting windows/aggregates not
-    * keyed by `keys`, joins, and global limits (a Sort is allowed: the
-    * signed contract is multiset-level). Identity (DeltaIdentitySpec):
+    * keyed by `keys`, joins that do not equate every key between their
+    * sides, and global limits (a Sort is allowed: the signed contract is
+    * multiset-level). Key-co-partitioned equi-joins ARE decomposable —
+    * each output row for key k derives only from both sides' key-k rows —
+    * so `q` may join the source with dimension tables (or other delta
+    * sources) ON the scoping keys; every registered delta-source scan in
+    * the plan is base/full-split and every scan is restricted to the
+    * union of the affected keys. Identity (DeltaIdentitySpec):
     * `Q(full) == (Q(base) ∪all inserts) ∖all retracts`.
     */
   def deltaKeyScoped(q: DataFrame => DataFrame, source: Dataset[_],
       keys: Seq[String]): SignedDelta = {
-    import org.apache.spark.sql.functions.{broadcast, col}
     require(keys.nonEmpty, "need at least one partition key")
-    val src = source.toDF()
-    requireKeyDecomposable(GraftSql.analyzed(q(src)), keys)
-    val aff = delta(src).select(keys.map(col): _*).distinct()
-    // each restriction gets its OWN re-minted aff instance (and the base
-    // side its own re-minted plan): aff's inner scan shares ExprIds with
-    // `src` itself, and same-ExprId clones nested INSIDE one join arm are
-    // the analyzer blind spot — without this the semi join conflated with
-    // the delta filter and the "full" restriction silently read only the
-    // delta rows (caught by the parquet-backed IncrementalKeyScopedView
-    // spec; LocalRelation-backed views mask it).
-    // The semi condition is NULL-SAFE (<=>): windows/aggregates treat a
-    // NULL key as a real partition, so a delta row with a null key must
-    // select the null partition for recompute — plain equality would
-    // silently leave it stale.
-    def restrict(t: DataFrame): DataFrame = {
-      val a = reMint(aff).select(
-        keys.map(k => col(k).as(s"__graft_k_$k")): _*)
-      val cond = keys.map(k => col(k) <=> col(s"__graft_k_$k"))
-        .reduce(_ && _)
-      t.join(broadcast(a), cond, "left_semi")
-    }
-    signedNet(q(restrict(src)), q(restrict(reMint(baseOf(src)))))
+    keyScopedSigned(source.sparkSession,
+      GraftSql.analyzed(q(source.toDF())), keys)
   }
 
   /** The signed multiset difference of two same-schema frames — inserts =
@@ -383,7 +368,8 @@ object Ivm {
   private def requireKeyDecomposable(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       keys: Seq[String]): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualNullSafe, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, GlobalLimit, Join, Project, Window}
     def names(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
       exprs.collect {
@@ -398,6 +384,17 @@ object Ivm {
     val boundaries = PosDeltaRule.deltaSourceScans(plan)
     def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
       if (boundaries.exists(_ eq p)) return
+      // the signed difference runs TWO independent restricted recomputes;
+      // a nondeterministic expression (rand()/uuid()/sample) makes them
+      // disagree on untouched partitions, surfacing as spurious
+      // insert/retract pairs with no error — same rejection the join/limit
+      // cases get
+      p.expressions.filterNot(_.deterministic).foreach { e =>
+        throw new UnsupportedOperationException(
+          s"deltaKeyScoped: nondeterministic expression $e — two " +
+            "independent restricted recomputes would disagree on untouched " +
+            "key partitions; use Ivm.deltaByDiff over a materialized input")
+      }
       check(p)
       p.children.foreach(walk)
     }
@@ -435,10 +432,39 @@ object Ivm {
           throw new UnsupportedOperationException(
             "deltaKeyScoped: deduplication keys do not cover the partition " +
               "keys; use Ivm.deltaByDiff")
-      case _: Join =>
-        throw new UnsupportedOperationException(
-          "deltaKeyScoped: single-source queries only (a join can correlate " +
-            "keys across rows); use the signed join deltas or Ivm.deltaByDiff")
+      // a join is per-key decomposable iff its condition EQUATES every
+      // scoping key between the two sides (then an output row for key k
+      // derives only from both sides' key-k rows, and restricting every
+      // scan to the affected keys restricts the output to those keys);
+      // extra conjuncts only narrow within a key partition, so they are
+      // fine. Anything else can correlate one key's rows with another's.
+      case j: Join =>
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case And(l, r) => conjuncts(l) ++ conjuncts(r)
+          case other => Seq(other)
+        }
+        def acrossSides(a: Attribute, b: Attribute): Boolean =
+          (j.left.outputSet.contains(a) && j.right.outputSet.contains(b)) ||
+            (j.right.outputSet.contains(a) && j.left.outputSet.contains(b))
+        def equated(k: String): Boolean =
+          j.condition.toSeq.flatMap(conjuncts).exists {
+            case EqualTo(a: Attribute, b: Attribute) =>
+              a.name == k && b.name == k && acrossSides(a, b)
+            case EqualNullSafe(a: Attribute, b: Attribute) =>
+              a.name == k && b.name == k && acrossSides(a, b)
+            case _ => false
+          }
+        val typeOk = j.joinType match {
+          case Inner | LeftOuter | RightOuter | FullOuter |
+               LeftSemi | LeftAnti => true
+          case _ => false
+        }
+        if (!typeOk || !need.forall(equated))
+          throw new UnsupportedOperationException(
+            s"deltaKeyScoped: ${j.joinType} join does not equate every " +
+              s"scoping key $need between its sides (only key-co-" +
+              "partitioned equi-joins are per-key decomposable); use the " +
+              "signed join deltas or Ivm.deltaByDiff")
       case _: GlobalLimit =>
         throw new UnsupportedOperationException(
           "deltaKeyScoped: a global limit is not per-key decomposable; " +
@@ -456,6 +482,16 @@ object Ivm {
     * tells the caller how to apply the result (append / merge / signed
     * upsert / diff-apply), and WHICH rung it got — so the cost cliff
     * between the incremental rungs and the recompute rung stays visible.
+    *
+    * Top-k caveat: a root `ORDER BY plain columns LIMIT k` routes to the
+    * top-k merge rung, whose correctness needs a TOTAL order (include a
+    * unique tiebreak column — see [[topKMerge]]). Uniqueness is not
+    * statically checkable, so the auto path cannot validate it; a
+    * tie-ambiguous ORDER BY at the k-th position is equally ill-defined
+    * under full recompute (any engine may return either tie), but a
+    * maintained view can additionally DRIFT from what a recompute would
+    * pick. Callers with non-total sort keys should maintain via
+    * [[deltaByDiff]] instead.
     */
   def maintainAuto(df: Dataset[_]): AutoMaintenance =
     try AppendDelta(delta(df))
@@ -532,21 +568,16 @@ object Ivm {
     }
   }
 
-  /** Auto-detected [[deltaKeyScoped]]: when the plan reads ONE delta-source
-    * scan, contains no joins/global limits, and every window / aggregate /
-    * dedup keys on a common non-empty set of that scan's columns, maintain
-    * by recomputing only the affected key partitions. The restriction is
-    * grafted at the SCAN, as a broadcast semi join against the delta's
-    * distinct keys — a LEFT SEMI preserves the scan's output attributes
-    * exactly, so every operator above rebinds unchanged. Returns None
-    * (→ differencing) when any precondition fails.
+  /** Auto-detected [[deltaKeyScoped]]: when every window / aggregate /
+    * dedup in the plan keys on a common non-empty column set, maintain by
+    * recomputing only the affected key partitions. Returns None
+    * (→ differencing) when any precondition fails — no joins off the keys,
+    * no global limits, no key-shadowing projections, at least one
+    * registered delta source (see [[keyScopedSigned]]).
     */
   private def keyScopedAuto(df: Dataset[_]): Option[SignedDelta] = {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualNullSafe, Expression}
-    import org.apache.spark.sql.catalyst.plans.LeftSemi
-    import org.apache.spark.sql.catalyst.plans.logical._
-    import org.apache.spark.sql.functions.col
-    val spark = df.sparkSession
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Window}
     val plan = GraftSql.analyzed(df)
     def attrNames(exprs: Seq[Expression]): Set[String] = exprs.collect {
       case a: Attribute => a.name
@@ -560,43 +591,81 @@ object Ivm {
     if (keySets.isEmpty || keySets.exists(_.isEmpty)) return None
     val keys = keySets.reduce(_ intersect _)
     if (keys.isEmpty) return None
-    val scans = PosDeltaRule.deltaSourceScans(plan)
-    if (scans.size != 1) return None
-    val scan = scans.head
-    if (!keys.subsetOf(scan.output.map(_.name).toSet)) return None
-    try {
-      // the SAME validator the explicit API uses (joins, global limits,
-      // key-shadowing projections all reject) — one walk, no drift
-      requireKeyDecomposable(plan, keys.toSeq)
-      val aff = delta(GraftSql.ofRows(spark, scan))
-        .select(keys.toSeq.sorted.map(col): _*).distinct()
-      // each use gets its own re-minted aff instance: the scan subtree
-      // inside aff shares ExprIds with `scan` itself, and the two
-      // restrictions must not share ids with each other either. The
-      // condition is null-safe: a delta row with a NULL key must select
-      // the null partition for recompute (windows group nulls together).
-      def affJoin(child: LogicalPlan): LogicalPlan = {
-        val affPlan = ResolvedHint(
-          PosDeltaRule.freshInstance(GraftSql.analyzed(aff)),
-          HintInfo(strategy = Some(BROADCAST)))
-        val cond = keys.toSeq.sorted.map { k =>
-          EqualNullSafe(child.output.find(_.name == k).get,
-            affPlan.output.find(_.name == k).get): Expression
-        }.reduce(And(_, _))
-        Join(child, affPlan, LeftSemi, Some(cond), JoinHint.NONE)
-      }
-      val fullR = plan.transformUp {
-        case s if s eq scan => affJoin(s)
-      }
-      val baseR = ResolvePosDeltaScan(plan.transformUp {
-        case s if s eq scan => affJoin(BaseScan(s))
-      })
-      Some(signedNet(GraftSql.ofRows(spark, fullR),
-        GraftSql.ofRows(spark, baseR)))
-    } catch {
+    try Some(keyScopedSigned(df.sparkSession, plan, keys.toSeq.sorted))
+    catch {
       // unregistered source, unresolvable predicate, non-decomposable
       // shape … → differencing
       case _: UnsupportedOperationException => None
     }
+  }
+
+  /** The key-scoped core shared by [[deltaKeyScoped]] and the auto route:
+    * validate per-key decomposability, then rewrite the plan twice — a
+    * "full" and a "base" instance — with EVERY scan restricted to the
+    * affected keys and every REGISTERED delta-source scan base/full-split.
+    * The signed difference of the two restricted recomputes is the delta.
+    *
+    * Multi-source: the affected-key set is the UNION of each registered
+    * scan's delta keys, so a delta on any side selects that key's
+    * partitions for recompute everywhere. Static scans (not registered in
+    * [[DeltaSources]]) read the same rows in both instances — restricting
+    * them is not needed for correctness (their non-affected rows cancel in
+    * the difference) but prunes both recomputes AND the net aggregation to
+    * the affected keys, which is the rung's whole point at scale.
+    *
+    * The restriction is grafted at the SCAN, as a broadcast semi join
+    * against the affected-key set — a LEFT SEMI preserves the scan's
+    * output attributes exactly, so every operator above rebinds unchanged.
+    * Each graft gets its own re-minted aff instance: aff's inner scan
+    * shares ExprIds with the restricted scan itself, and same-ExprId
+    * clones nested INSIDE one join arm are the analyzer blind spot
+    * (without this the semi join conflated with the delta filter and the
+    * "full" restriction silently read only the delta rows — caught by the
+    * parquet-backed IncrementalKeyScopedView spec; LocalRelation-backed
+    * views mask it). The semi condition is NULL-SAFE (<=>): windows and
+    * aggregates treat a NULL key as a real partition, so a delta row with
+    * a null key must select the null partition for recompute.
+    */
+  private def keyScopedSigned(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      keys: Seq[String]): SignedDelta = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, Expression}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.functions.col
+    requireKeyDecomposable(plan, keys)
+    val scans = PosDeltaRule.deltaSourceScans(plan)
+    val deltaScans = scans.filter(ResolvePosDeltaScan.isRegistered)
+    if (deltaScans.isEmpty)
+      throw new UnsupportedOperationException(
+        "deltaKeyScoped: no registered delta source in the plan — " +
+          "register the table in DeltaSources or use Ivm.deltaByDiff")
+    for (s <- scans if !keys.toSet.subsetOf(s.output.map(_.name).toSet))
+      throw new UnsupportedOperationException(
+        s"deltaKeyScoped: scan of ${s.nodeName} does not output the " +
+          s"scoping keys $keys — the affected-key restriction cannot " +
+          "graft there; use Ivm.deltaByDiff")
+    val aff = deltaScans.map(s => delta(GraftSql.ofRows(spark, s))
+        .select(keys.map(col): _*))
+      .reduce(_ unionByName _).distinct()
+    def affJoin(child: LogicalPlan): LogicalPlan = {
+      val affPlan = ResolvedHint(
+        PosDeltaRule.freshInstance(GraftSql.analyzed(aff)),
+        HintInfo(strategy = Some(BROADCAST)))
+      val cond = keys.map { k =>
+        EqualNullSafe(child.output.find(_.name == k).get,
+          affPlan.output.find(_.name == k).get): Expression
+      }.reduce(And(_, _))
+      Join(child, affPlan, LeftSemi, Some(cond), JoinHint.NONE)
+    }
+    def isIn(set: Seq[LogicalPlan])(s: LogicalPlan) = set.exists(_ eq s)
+    val fullR = plan.transformUp {
+      case s if isIn(scans)(s) => affJoin(s)
+    }
+    val baseR = ResolvePosDeltaScan(plan.transformUp {
+      case s if isIn(deltaScans)(s) => affJoin(BaseScan(s))
+      case s if isIn(scans)(s) => affJoin(s)
+    })
+    signedNet(GraftSql.ofRows(spark, fullR), GraftSql.ofRows(spark, baseR))
   }
 }

@@ -54,6 +54,20 @@ object PosDeltaRule extends Rule[LogicalPlan] {
   }
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    // δ(π(R)) = π(δR) and δ(σ(R)) = σ(δR) require the expressions to be
+    // STATIC between snapshots: a subquery expression reading a registered
+    // delta source changes value when the source grows, so pushing δ
+    // through while preserving the expression verbatim would evaluate the
+    // FULL-snapshot subquery against delta rows — neither Q(full) − Q(base)
+    // nor anything else well-defined. Fail fast to the differencing rung
+    // (whose base propagation rewrites subquery plans too).
+    case p if p.expressions.exists(containsDeltaSubquery) =>
+      throw new UnsupportedOperationException(
+        s"PosDelta: ${p.nodeName} carries a subquery over a registered " +
+          "delta source — the subquery's value changes between snapshots, " +
+          "so the delta does not commute; use Ivm.deltaByDiff (subqueries " +
+          "over static tables are fine)")
+
     // δ(π(R)) = π(δR): rebuild with original expressions verbatim
     case Project(exprs, child) =>
       Project(exprs, PosDelta(child))
@@ -222,6 +236,17 @@ object PosDeltaRule extends Rule[LogicalPlan] {
   private def isDeltaSource(a: SubqueryAlias): Boolean =
     DeltaSources.tables.contains(a.identifier.name)
 
+  /** Whether an expression nests a subquery plan that reads a registered
+    * delta source — the shape whose value CHANGES between the base and
+    * full snapshots (a subquery over a static table is snapshot-invariant
+    * and safe to preserve verbatim).
+    */
+  private def containsDeltaSubquery(e: Expression): Boolean = e.exists {
+    case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+      deltaSourceScans(s.plan).exists(ResolvePosDeltaScan.isRegistered)
+    case _ => false
+  }
+
   /** base(T) propagation: "as of the pre-delta snapshot" only changes what
     * the SCANS read, so — unlike the delta rewrite — it commutes with
     * EVERY deterministic operator (aggregates, windows, sorts included):
@@ -236,7 +261,15 @@ object PosDeltaRule extends Rule[LogicalPlan] {
     case v: View => BaseScan(v)
     case leaf: LeafNode =>
       BaseScan(leaf)
-    case other => other.mapChildren(rewriteBase)
+    case other =>
+      // subquery plans live inside EXPRESSIONS, not children — without
+      // this, `baseOf` of a query with a scalar/IN subquery over a delta
+      // source would evaluate the subquery against the FULL table and the
+      // differencing identity δQ == Q(full) ∖ Q(base) would silently break
+      other.mapChildren(rewriteBase).transformExpressionsUp {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          s.withNewPlan(rewriteBase(s.plan))
+      }
   }
 }
 
@@ -261,6 +294,14 @@ object ResolvePosDeltaScan extends Rule[LogicalPlan] {
       val pred = resolveAgainst(deltaPredicate(scan), scan)
       Filter(Or(Not(pred), IsNull(pred)), scan)
   }
+
+  /** Whether `scan` resolves to a table registered in [[DeltaSources]] —
+    * i.e. a scan the base/full split applies to, as opposed to a STATIC
+    * table that reads identically in both snapshots. Used by the
+    * key-scoped rung to decide which scans get a [[BaseScan]] twin.
+    */
+  private[ivm] def isRegistered(scan: LogicalPlan): Boolean =
+    tableNameOf(scan).exists(DeltaSources.tables.contains)
 
   private def deltaPredicate(scan: LogicalPlan): Expression = {
     val table = tableNameOf(scan).getOrElse(

@@ -30,4 +30,11 @@ object GraftSql {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The Catalyst expression behind a user-facing Column (possibly
+    * unresolved — the analyzer resolves it when the plan is analyzed).
+    */
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

@@ -57,6 +57,20 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("backquote-needing names and fractional times bin correctly") {
+    import spark.implicits._
+    // column names with spaces/dots would break a string-interpolated bin
+    // expression; fractional times exercise the explicit long cast
+    // (truncation = floor on the non-negative domain)
+    val l = Seq((1L, 0L, 199.5)).toDF("k", "lid", "l time")
+    val r = Seq((1L, 10L, 199.5), (1L, 11L, 299.5), (1L, 12L, 300.0))
+      .toDF("k", "rid", "r time")
+    val got = RangeJoin.within(l, r, "k", "l time", "r time", 100L)
+      .select("rid").collect().map(_.getLong(0)).sorted.toSeq
+    // dt = 0 and dt = 100 qualify; dt = 100.5 does not
+    assert(got == Seq(10L, 11L), s"got $got")
+  }
+
   test("column-name contract is enforced, not silently broken") {
     import spark.implicits._
     val df = Seq((1L, 1L, 1L)).toDF("k", "lid", "t1")
