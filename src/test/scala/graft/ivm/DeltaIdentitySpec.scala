@@ -580,4 +580,113 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
       case other => fail(s"expected ApplySigned, got $other")
     }
   }
+
+  test("deltaKeyScoped: join-then-window with a static dimension table") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // a key-co-partitioned equi-join is per-key decomposable: each output
+    // row for user k derives only from both sides' user-k rows, so the
+    // rung may enrich the delta source with a dimension BEFORE windowing
+    Seq((1L, 10L, 1.0), (2L, 20L, 2.0), (2L, 110L, 3.0), (3L, 30L, 4.0))
+      .toDF("user", "ts", "v").createOrReplaceTempView("ksj_ev")
+    Seq((1L, "gold"), (2L, "silver"), (3L, "bronze"))
+      .toDF("user", "tier").createOrReplaceTempView("ksj_dim")
+    DeltaSources.register("ksj_ev", "ts >= 100")
+    val src = spark.table("ksj_ev")
+    val q = (df: DataFrame) => {
+      val w = Window.partitionBy("user").orderBy("ts")
+      df.join(spark.table("ksj_dim"), Seq("user"))
+        .select(col("user"), col("ts"), col("tier"),
+          sum(col("v")).over(w).as("running"))
+    }
+    val sd = Ivm.deltaKeyScoped(q, src, Seq("user"))
+    // the delta touches only user 2 — users 1/3 must not be recomputed
+    val touched = (sd.inserts.select("user").collect() ++
+      sd.retracts.select("user").collect()).map(_.getLong(0)).toSet
+    assert(touched == Set(2L), s"unaffected keys recomputed: $touched")
+    val baseQ = {
+      val w = Window.partitionBy("user").orderBy("ts")
+      src.filter(col("ts") < 100).join(spark.table("ksj_dim"), Seq("user"))
+        .select(col("user"), col("ts"), col("tier"),
+          sum(col("v")).over(w).as("running"))
+    }
+    assertMultisetEqual(q(src),
+      baseQ.unionByName(sd.inserts).exceptAll(sd.retracts))
+  }
+
+  test("deltaKeyScoped: TWO delta sources joined on the key (multi-source)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deltas land on BOTH sides; the affected-key set is their union, so a
+    // new dim row (user 3) recomputes that user's windows even though no
+    // event for it is in the event delta
+    Seq((1L, 10L, 1.0), (2L, 20L, 2.0), (2L, 110L, 3.0), (3L, 30L, 4.0))
+      .toDF("user", "ts", "v").createOrReplaceTempView("ksm_ev")
+    Seq((1L, 5L, "x"), (2L, 6L, "y"), (3L, 200L, "z"), (4L, 210L, "w"))
+      .toDF("user", "rts", "tag").createOrReplaceTempView("ksm_dim")
+    DeltaSources.register("ksm_ev", "ts >= 100")
+    DeltaSources.register("ksm_dim", "rts >= 100")
+    val src = spark.table("ksm_ev")
+    def view(ev: DataFrame, dim: DataFrame): DataFrame = {
+      val w = Window.partitionBy("user").orderBy("ts")
+      ev.join(dim, Seq("user"))
+        .select(col("user"), col("ts"), col("tag"),
+          sum(col("v")).over(w).as("running"))
+    }
+    val sd = Ivm.deltaKeyScoped(
+      df => view(df, spark.table("ksm_dim")), src, Seq("user"))
+    // event delta touches {2}, dim delta touches {3, 4}; user 1 untouched
+    val touched = (sd.inserts.select("user").collect() ++
+      sd.retracts.select("user").collect()).map(_.getLong(0)).toSet
+    assert(!touched.contains(1L), s"unaffected key recomputed: $touched")
+    assert(touched.contains(2L) && touched.contains(3L),
+      s"both sides' delta keys must be maintained: $touched")
+    val baseQ = view(src.filter(col("ts") < 100),
+      spark.table("ksm_dim").filter(col("rts") < 100))
+    assertMultisetEqual(view(src, spark.table("ksm_dim")),
+      baseQ.unionByName(sd.inserts).exceptAll(sd.retracts))
+  }
+
+  test("deltaKeyScoped: a join OFF the scoping key is rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Seq((1L, 10L, 1.0)).toDF("user", "ts", "v")
+      .createOrReplaceTempView("ksr_ev")
+    Seq((10L, "x")).toDF("rts", "tag").createOrReplaceTempView("ksr_dim")
+    DeltaSources.register("ksr_ev", "ts >= 100")
+    val src = spark.table("ksr_ev")
+    // joining on ts correlates one user's rows with another's — the scan
+    // restriction by user would silently change the join's matches
+    val e = intercept[UnsupportedOperationException] {
+      Ivm.deltaKeyScoped(df => df
+        .join(spark.table("ksr_dim"), col("ts") === col("rts"))
+        .select(col("user"), col("ts"),
+          sum(col("v")).over(Window.partitionBy("user")).as("s")),
+        src, Seq("user"))
+    }
+    assert(e.getMessage.contains("equate"), e.getMessage)
+  }
+
+  test("maintainAuto: key-equated join under a window routes to KEY-SCOPED") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Seq((1L, 10L, 1.0), (2L, 20L, 2.0), (2L, 110L, 3.0))
+      .toDF("user", "ts", "v").createOrReplaceTempView("ksa_ev")
+    Seq((1L, "gold"), (2L, "silver"))
+      .toDF("user", "tier").createOrReplaceTempView("ksa_dim")
+    DeltaSources.register("ksa_ev", "ts >= 100")
+    def view(ev: DataFrame): DataFrame = {
+      val w = Window.partitionBy("user").orderBy("ts")
+      ev.join(spark.table("ksa_dim"), Seq("user"))
+        .select(col("user"), col("ts"), col("tier"),
+          sum(col("v")).over(w).as("running"))
+    }
+    Ivm.maintainAuto(view(spark.table("ksa_ev"))) match {
+      case Ivm.ApplySigned(sd) =>
+        val baseQ = view(spark.table("ksa_ev").filter(col("ts") < 100))
+        assertMultisetEqual(view(spark.table("ksa_ev")),
+          baseQ.unionByName(sd.inserts).exceptAll(sd.retracts))
+      case other => fail(s"expected ApplySigned (key-scoped), got $other")
+    }
+  }
 }
