@@ -4,13 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.engine.{Olap, Queries, QueryDef}
 import graft.pipeline.{Dedup, Multimodal, PipelineQueries, Similarity, TextOps}
+import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   private val defs: Seq[QueryDef] =
     Queries.all ++ Olap.all ++ PipelineQueries.all ++ Similarity.all ++
-      TextOps.all ++ Dedup.all ++ Multimodal.all
+      TextOps.all ++ Dedup.all ++ Multimodal.all ++ StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * `delta_join` exercises the whole novel surface in one query: custom
