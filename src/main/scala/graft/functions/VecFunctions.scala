@@ -28,6 +28,13 @@ object VecFunctions {
     */
   def wordShingles(s: Column, n: Int): Column = VecColumns.wordShingles(s, n)
 
+  /** Elementwise vector-sum AGGREGATE over integer-scaled components —
+    * fixed dim-sized long state, map-side combinable; see
+    * [[org.apache.spark.sql.graft.VecSumScaled]].
+    */
+  def vecSumScaled(v: Column, scale: Long): Column =
+    VecColumns.vecSumScaled(v, scale)
+
   /** Make `vec_dot` / `rolling_hash` callable from SQL text in this
     * session (`SELECT vec_dot(a, b) FROM ...`).
     */

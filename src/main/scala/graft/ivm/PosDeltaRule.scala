@@ -129,6 +129,24 @@ object PosDeltaRule extends Rule[LogicalPlan] {
     case e: Expand =>
       e.copy(child = PosDelta(e.child))
 
+    // δ(Generate(g, R)) = Generate(g, δR): a deterministic generator
+    // (explode/posexplode/inline — the node behind the shingle and band
+    // explodes in the dedup path) emits a per-row set computed from that
+    // row alone — row-wise linear like Project, so delta commutes. The
+    // copy keeps the generator's output attributes so parents rebind.
+    // A nondeterministic generator falls through to fail-fast: the delta
+    // arm would re-draw different rows than the full run did.
+    case g: Generate if g.generator.deterministic =>
+      g.copy(child = PosDelta(g.child))
+
+    // Repartitioning only moves rows — δ passes through, keeping the
+    // layout hint (a delta arm repartitioned like its full query keeps
+    // Par.spread's parallelism guard working under maintenance).
+    case r: Repartition =>
+      r.copy(child = PosDelta(r.child))
+    case r: RepartitionByExpression =>
+      r.copy(child = PosDelta(r.child))
+
     // δ(DISTINCT R) is handled at the API level (Ivm.delta intercepts a
     // Distinct/Deduplicate ROOT and composes δR ∖set baseR from two
     // independently analyzed plans — cloning one subtree into both arms of
@@ -173,7 +191,8 @@ object PosDeltaRule extends Rule[LogicalPlan] {
     case other =>
       throw new UnsupportedOperationException(
         s"PosDelta: no delta rule for operator ${other.nodeName}; " +
-          "supported: Project, Filter, inner/cross Join, Union, table scans, " +
+          "supported: Project, Filter, inner/cross/semi Join, Union, " +
+          "Expand, deterministic Generate, repartitioning, table scans, " +
           "plus Distinct at the query root (Ivm.delta); for grouped " +
           "aggregates use graft.ivm.IvmAgg or Ivm.maintainAuto")
   }

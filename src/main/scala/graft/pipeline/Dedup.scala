@@ -68,7 +68,19 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, bands: Int, rows: Int): DataFrame =
     candidatesFromSignatures(signatures(docs, bands * rows), bands, rows)
 
-  def candidatesFromSignatures(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+  def candidatesFromSignatures(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    candidatePairsRaw(sigs, bands, rows).distinct()
+
+  /** The banding join WITHOUT the final distinct: one output row per
+    * agreeing (pair, band). Exposed so incremental maintenance can push
+    * the delta through the join algebra (Project/Generate/inner Join are
+    * all in the rewrite envelope; a Distinct root would route through the
+    * generic δ∖base interception, which recomputes the base×base join the
+    * banding delta provably never needs — band keys don't change under
+    * appends, so delta-arm pairs are disjoint from base pairs and a
+    * post-delta `distinct()` suffices).
+    */
+  def candidatePairsRaw(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
     val banded = sigs.select(
         col("doc_id"),
         explode(array((0 until bands).map(b =>
@@ -80,7 +92,6 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
-      .distinct()
   }
 
   /** 16 bits keeps the loop-generated oracle SQL reviewable; widening to 64
@@ -383,6 +394,33 @@ object Dedup {
              |FROM ws GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // IVM × pipeline cross-feature #2 (after delta_dedup): the MINHASH
+    // SIGNATURE view maintained incrementally. The delta arm runs the full
+    // shingle→min pipeline over ONLY the new documents — the rewrite
+    // commutes δ through the Generate (shingle explode) and repartition
+    // nodes, and IvmAgg merges the per-doc minima (min = semilattice,
+    // insert-only). At 100 TB a maintenance cycle shingles the new docs
+    // and upserts their H digests; the corpus is never re-shingled. The
+    // oracle replays the full-table signature build, so hash equality pins
+    // merge(base view, δ partial) == recompute.
+    QueryDef("delta_minhash",
+      (s, d) => {
+        import graft.ivm.{DeltaSources, IvmAgg}
+        import org.apache.spark.sql.functions.expr
+        val q = (df: DataFrame) => signatures(df, 6)
+        val full = t(s, d, "documents")
+        val basePred = DeltaSources.predicateFor("documents").get.sql
+        val baseView = q(full.filter(expr(s"NOT ($basePred)")))
+        IvmAgg.merge(baseView, IvmAgg.deltaPartial(q(full)))
+          .orderBy("doc_id")
+      },
+      Some(s"""$ShinglesCte
+             |SELECT doc_id,
+             |${(0 until 6).map(i => s"  min(md5('h$i|' || s)) AS mh$i")
+                 .mkString(",\n")}
+             |FROM ws GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // 16-bit SimHash per document.
     QueryDef("dedup_simhash",
       (s, d) => simhash(t(s, d, "documents")).orderBy("doc_id"),
@@ -413,6 +451,40 @@ object Dedup {
       (s, d) => ngramLadderPairs(t(s, d, "documents")).orderBy("d1", "d2"),
       Some(s"""${ngramPairsSql(withRecursive = false)}
              |SELECT d1, d2, jaccard FROM pairs
+             |ORDER BY d1, d2""".stripMargin)),
+
+    // IVM × pipeline cross-feature #3: incremental CANDIDATE discovery —
+    // the banding self-join maintained through the delta rewrite. The
+    // signature table (itself maintainable, delta_minhash) is registered
+    // as a delta source; δ of the raw band join expands to the three
+    // delta-involving arms (δ⋈δ, base⋈δ, δ⋈base) — every output pair
+    // touches a new document, and since band keys never change under
+    // appends these are disjoint from the known base pairs, so a
+    // post-delta distinct IS the new-pair set. The base×base join — the
+    // corpus-quadratic part — appears in NO arm: at 100 TB a maintenance
+    // cycle's candidate work is δsigs × sigs bucket-local, not sigs²
+    // (pinned by PlanAuditSpec).
+    QueryDef("delta_lsh_candidates",
+      (s, d) => {
+        import graft.ivm.{DeltaSources, Ivm}
+        signatures(t(s, d, "documents"), 6)
+          .createOrReplaceTempView("sig_delta_src")
+        DeltaSources.register("sig_delta_src", "doc_id % 10 = 0")
+        Ivm.delta(candidatePairsRaw(s.table("sig_delta_src"), 3, 2))
+          .distinct()
+          .orderBy("d1", "d2")
+      },
+      Some(s"""$ShinglesCte,
+             |sig AS (SELECT doc_id,
+             |${(0 until 6).map(i => s"  min(md5('h$i|' || s)) AS mh$i")
+                 .mkString(",\n")}
+             |  FROM ws GROUP BY doc_id),
+             |bands AS (SELECT doc_id, mh0 || mh1 AS b0, mh2 || mh3 AS b1,
+             |    mh4 || mh5 AS b2 FROM sig),
+             |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             |  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+             |    AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2))
+             |SELECT d1, d2 FROM cand WHERE d1 % 10 = 0 OR d2 % 10 = 0
              |ORDER BY d1, d2""".stripMargin)),
 
     // Survivor selection — the step that turns near-dup PAIRS into an

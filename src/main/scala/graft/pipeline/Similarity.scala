@@ -247,6 +247,44 @@ object Similarity {
     // IVF-bucketed ANN (k-means cells + probe). No oracle: fp/iterative.
     QueryDef("ann_ivf",
       (s, d) => ivfTopK(Tables(s, d, "embeddings"), 5).orderBy("q_id", "rk"),
-      None)
+      None),
+
+    // Per-label centroid (mean embedding) — the distributed primitive
+    // behind IVF training, cluster summarization, and class prototypes.
+    // One hash aggregate with the native VecSumScaled state: each map task
+    // combines its rows into ONE dim-sized long buffer per label, so the
+    // exchange carries |labels| × dim longs — the posexplode alternative
+    // shuffles |corpus| × dim rows, a dim× amplification that is the
+    // difference between kilobytes and the corpus itself at 100 TB.
+    // Integer-scaled components (floor(x·1e6)) make the sum exact and
+    // merge-order-independent, so the centroid is bit-deterministic and
+    // DuckDB-checkable; the tiny |labels|-row result explodes to long form
+    // only for the hash compare. (The oracle casts each float component to
+    // DOUBLE before scaling — DuckDB otherwise multiplies in single
+    // precision and floors a different integer.)
+    QueryDef("embedding_centroids",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        emb.groupBy(col("label").cast("long").as("label"))
+          .agg(VecFunctions.vecSumScaled(col("embedding"), 1000000L).as("sv"),
+            count(lit(1)).as("n"))
+          .select(col("label"), col("n"),
+            posexplode(col("sv")).as(Seq("pos", "s")))
+          .select(col("label"), col("n"), (col("pos") + 1).cast("long").as("pos"),
+            (col("s").cast("double") / (lit(1000000.0) * col("n"))).as("c"))
+          .orderBy("label", "pos")
+      },
+      Some("""WITH ex AS (
+             |  SELECT label,
+             |         unnest(embedding) AS e,
+             |         unnest(generate_series(1, len(embedding))) AS ord
+             |  FROM embeddings)
+             |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+             |  CAST(ord AS BIGINT) AS pos,
+             |  CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT))
+             |       AS DOUBLE)
+             |    / (1000000.0 * COUNT(*)) AS c
+             |FROM ex GROUP BY label, ord
+             |ORDER BY label, pos""".stripMargin))
   )
 }

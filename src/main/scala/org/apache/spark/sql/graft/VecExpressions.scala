@@ -1,6 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -272,6 +273,92 @@ object VecTopCells {
   * wrapping needs `private[sql]` ExpressionUtils, hence here; the public
   * user-facing API is `graft.functions.VecFunctions`).
   */
+/** Fixed-size elementwise vector-sum aggregate over integer-SCALED float
+  * components: each input array contributes `floor(x * scale)` per
+  * position, accumulated into one `Array[Long]` buffer of the embedding
+  * dimension.
+  *
+  * Why this shape at 100 TB: summing embeddings per group with
+  * posexplode + groupBy(key, pos) shuffles |corpus| × dim rows — a dim×
+  * amplification of the exchange. A TypedImperativeAggregate gets Spark's
+  * PARTIAL aggregation for free, so each map task combines its rows into
+  * one dim-sized long buffer and the shuffle carries |groups| × dim longs.
+  * Integer scaling makes the sum EXACT and associative — merge order across
+  * partitions cannot change the result (a double sum would be fp-order-
+  * dependent, and therefore nondeterministic under shuffle), which also
+  * makes the derived centroid oracle-checkable bit-for-bit.
+  *
+  * Mismatched dimensions throw (a ragged embedding corrupting a centroid
+  * silently is worse than a failed job); NULL arrays are skipped.
+  */
+case class VecSumScaled(
+    child: Expression,
+    scale: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sum_scaled"
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc = if (buf.length == 0) new Array[Long](n) else buf
+    if (acc.length != n)
+      throw new IllegalArgumentException(
+        s"vec_sum_scaled: ragged input — expected dim ${acc.length}, got $n")
+    var i = 0
+    while (i < n) {
+      acc(i) += math.floor(arr.getFloat(i).toDouble * scale).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.length == 0) return b
+    if (b.length == 0) return a
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"vec_sum_scaled: ragged partials — dims ${a.length} vs ${b.length}")
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    if (buf.length == 0) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VecSumScaled =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecSumScaled =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): VecSumScaled =
+    copy(child = c)
+}
+
 object VecColumns {
   def vecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -286,6 +373,11 @@ object VecColumns {
   def topCells(v: Column, centroids: Array[Array[Float]], k: Int): Column =
     ExpressionUtils.column(
       VecTopCells(ExpressionUtils.expression(v), centroids, k))
+
+  def vecSumScaled(v: Column, scale: Long): Column =
+    ExpressionUtils.column(
+      VecSumScaled(ExpressionUtils.expression(v), scale)
+        .toAggregateExpression())
 
   /** Register the native kernels in the session's function registry so SQL
     * text can call them: `SELECT vec_dot(a, b)`, `rolling_hash(s)`.

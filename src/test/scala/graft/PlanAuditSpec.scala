@@ -172,4 +172,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     val p = planOf("sort_limit")
     assert(p.contains("TakeOrderedAndProject"), s"top-k plan missing:\n$p")
   }
+
+  test("embedding_centroids: vector sum is partially aggregated map-side") {
+    // the exchange must carry |labels| dim-sized long buffers, not corpus
+    // rows: a partial vec_sum_scaled below the shuffle is the whole point
+    // of the TypedImperativeAggregate (vs posexplode's dim× amplification)
+    val p = planOf("embedding_centroids")
+    assert(p.contains("partial_vec_sum_scaled"),
+      s"map-side partial aggregation missing:\n$p")
+    // explain prints parents first: the posexplode Generate must sit ABOVE
+    // (print before) the aggregate, i.e. explode the |labels|-row result,
+    // never the corpus
+    assert(p.indexOf("Generate") < p.indexOf("partial_vec_sum_scaled"),
+      s"explode must run on the aggregated result, not the corpus:\n$p")
+  }
+
+  test("delta_lsh_candidates: no arm re-joins base x base") {
+    // the incremental candidate plan is the 3-arm algebraic expansion —
+    // every band join has a DELTA side; the corpus-quadratic base×base
+    // join must appear in no arm (and no LeftAnti fallback to the generic
+    // δ∖base distinct interception, which would recompute it)
+    val p = planOf("delta_lsh_candidates")
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(p).size
+    assert(joins == 3,
+      s"expected exactly the 3 delta-involving band-join arms, got $joins:\n$p")
+    assert(!p.contains("LeftAnti"),
+      s"generic distinct interception (base recompute) came back:\n$p")
+    assert(p.contains("word_shingles"), s"native shingle kernel missing:\n$p")
+  }
 }

@@ -124,4 +124,34 @@ class VecExpressionsSpec extends AnyFunSuite with SparkFixture {
       } finally spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("vec_sum_scaled agrees with the posexplode reference across partitions") {
+    import spark.implicits._
+    // 64 rows spread over 8 partitions exercises partial buffers + merge;
+    // NULL rows are skipped, not zero-contributing
+    val rows = (0 until 64).map(i =>
+      (i % 3, Seq(i * 0.25f, -i * 0.5f, 1.0f / (i + 1)))) :+ (0, null)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8)).toDF("k", "v")
+    val fast = df.groupBy("k")
+      .agg(VecFunctions.vecSumScaled(col("v"), 1000000L).as("s"))
+      .select(col("k"), posexplode(col("s")).as(Seq("pos", "s")))
+    val ref = df.filter(col("v").isNotNull)
+      .select(col("k"), posexplode(col("v")).as(Seq("pos", "e")))
+      .groupBy("k", "pos")
+      .agg(sum(floor(col("e").cast("double") * 1000000L).cast("long")).as("s"))
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
+  }
+
+  test("vec_sum_scaled: all-null group yields NULL; ragged input throws") {
+    import spark.implicits._
+    val allNull = Seq((1, null: Seq[Float])).toDF("k", "v")
+      .groupBy("k").agg(VecFunctions.vecSumScaled(col("v"), 1000L).as("s"))
+      .head()
+    assert(allNull.isNullAt(1))
+    val ragged = Seq((1, Seq(1.0f)), (1, Seq(1.0f, 2.0f))).toDF("k", "v")
+      .groupBy("k").agg(VecFunctions.vecSumScaled(col("v"), 1000L).as("s"))
+    val e = intercept[Exception] { ragged.collect() }
+    assert(e.getMessage != null)
+  }
 }

@@ -118,6 +118,17 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
       f(base("customer"), base("orders")))
   }
 
+  test("identity: explode (Generate) under the delta marker") {
+    // δ commutes through a deterministic generator: the delta arm
+    // re-derives each new row's exploded set locally — the rewrite case
+    // behind incremental shingling (delta_minhash)
+    val q = (df: DataFrame) => df
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val full = q(t("documents"))
+    val baseQ = q(base("documents"))
+    check(full, baseQ)
+  }
+
   test("identity: distinct (envelope extension)") {
     check(
       t("orders").select("o_custkey").distinct(),
