@@ -28,23 +28,8 @@ object Ivm {
     * optimizer rules via `SparkSessionExtensions` (post-analysis, no dedup
     * would run and the duplicated ExprIds could mis-bind).
     */
-  def delta(df: Dataset[_]): DataFrame = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Deduplicate, Distinct, LogicalPlan}
-    val spark = df.sparkSession
-    GraftSql.analyzed(df) match {
-      // δ(DISTINCT R) = δR ∖set baseR — the distinct values the delta
-      // introduces that the base never had (envelope extension; the two
-      // sides are analyzed independently, then composed with the DataFrame
-      // `except`, so no ExprIds are shared between the arms)
-      case Distinct(child) =>
-        rewriteDf(spark, PosDelta(child)).except(rewriteDf(spark, BaseRel(child)))
-      case Deduplicate(keys, child) if keys.map(_.exprId).toSet ==
-          child.output.map(_.exprId).toSet =>
-        rewriteDf(spark, PosDelta(child)).except(rewriteDf(spark, BaseRel(child)))
-      case plan =>
-        rewriteDf(spark, PosDelta(plan))
-    }
-  }
+  def delta(df: Dataset[_]): DataFrame =
+    rewriteDf(df.sparkSession, PosDelta(GraftSql.analyzed(df)))
 
   private def rewriteDf(spark: org.apache.spark.sql.SparkSession,
       marked: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
@@ -251,6 +236,59 @@ object Ivm {
     val retracts = baseOf(left)
       .join(baseOf(right), cond, "left_anti")
       .join(delta(right), cond, "left_semi")
+    signed(inserts, retracts)
+  }
+
+  /** Insert-only delta of a set INTERSECT view (`A ∩ B`, distinct
+    * semantics). Intersect is MONOTONE under inserts — a value once in
+    * both sides never leaves — so the delta is append-only: the values
+    * newly present in both sides that were not in both bases. Derivation:
+    *
+    *   candidates = distinct(δA ∪ δB) ∩ A_full ∩ B_full
+    *   δ⁺(A ∩ B)  = candidates ∖ (baseA ∩ baseB)
+    *              = (candidates ∖ baseA) ∪set (candidates ∖ baseB)
+    *
+    * (the last step distributes the difference so each term plans as an
+    * anti join of the SMALL candidate set against one base side — never a
+    * base×base intersect materialization). Column names are aligned
+    * positionally to `left`'s, as `Dataset.intersect` does. At scale every
+    * term keys on the delta partitions; the full/base sides are probed,
+    * not re-shuffled against each other.
+    */
+  def deltaIntersect(left: Dataset[_], right: Dataset[_]): DataFrame = {
+    val l = left.toDF()
+    val align = (df: DataFrame) => df.toDF(l.columns.toSeq: _*)
+    val r = align(right.toDF())
+    val cands = delta(l).union(align(delta(right))).distinct()
+      .intersect(l).intersect(r)
+    // cands appears in both union arms: re-mint the second use so the
+    // composed plan has no internally repeated ExprIds (see [[signed]])
+    cands.except(baseOf(l))
+      .union(reMint(cands).except(align(baseOf(right))))
+      .distinct()
+  }
+
+  /** Signed delta of a set EXCEPT view (`A ∖set B`): anti-monotone on the
+    * right — an insert into B RETRACTS a value A previously kept. The
+    * signed set algebra (each term verified against the full/base
+    * membership definitions):
+    *
+    *   inserts  = (distinct(δA) ∖ baseA) ∖ B_full — genuinely new A values
+    *              no B row cancels
+    *   retracts = ((distinct(δB) ∩ baseA) ∖ baseB) — old result values δB
+    *              now cancels
+    *
+    * Identity: `Q(full) == (Q(base) ∪all inserts) ∖all retracts`
+    * (DeltaIdentitySpec). Both frames are delta-keyed: each plans as the
+    * small distinct-δ set anti/semi-joined against the bases — the result
+    * view is never rescanned. Column names align positionally to `left`'s.
+    */
+  def deltaExcept(left: Dataset[_], right: Dataset[_]): SignedDelta = {
+    val l = left.toDF()
+    val align = (df: DataFrame) => df.toDF(l.columns.toSeq: _*)
+    val inserts = delta(l).distinct().except(baseOf(l)).except(align(right.toDF()))
+    val retracts = align(delta(right)).distinct()
+      .intersect(baseOf(l)).except(align(baseOf(right)))
     signed(inserts, retracts)
   }
 
@@ -475,8 +513,9 @@ object Ivm {
   }
 
   /** Route a query down the maintenance ladder instead of throwing:
-    * algebraic delta → mergeable-aggregate partial → signed delta (outer /
-    * anti join roots; top-k roots; key-scoped decomposable queries) →
+    * algebraic delta → mergeable-aggregate partial → append-only
+    * INTERSECT rung → signed delta (outer / anti join and EXCEPT roots;
+    * top-k roots; key-scoped decomposable queries) →
     * differencing. Every query the engine
     * can run is maintainable through this entry point; the returned case
     * tells the caller how to apply the result (append / merge / signed
@@ -504,10 +543,18 @@ object Ivm {
     }
 
   private def signedOrDiff(df: Dataset[_]): AutoMaintenance = {
-    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.logical.{Except, Intersect, Join}
     import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftAnti, LeftOuter, RightOuter}
     val spark = df.sparkSession
     GraftSql.analyzed(df) match {
+      // set ops at the root: INTERSECT is monotone (append-only rung),
+      // EXCEPT is anti-monotone on the right (signed rung)
+      case Intersect(l, r, false) =>
+        AppendDelta(deltaIntersect(
+          GraftSql.ofRows(spark, l), GraftSql.ofRows(spark, r)))
+      case Except(l, r, false) =>
+        ApplySigned(deltaExcept(
+          GraftSql.ofRows(spark, l), GraftSql.ofRows(spark, r)))
       case Join(l, r, LeftOuter, Some(cond), _) =>
         ApplySigned(deltaLeftJoin(
           GraftSql.ofRows(spark, l), GraftSql.ofRows(spark, r),

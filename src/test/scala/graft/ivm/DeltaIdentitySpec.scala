@@ -141,6 +141,35 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
       base("orders").select("o_custkey", "o_orderstatus").dropDuplicates())
   }
 
+  test("identity: MID-TREE distinct under a join (r4 'missing' #3)") {
+    // distinct().join(dim) — both sides delta sources, so the 3-arm join
+    // expansion nests δ(Distinct) and base(Distinct) inside its arms
+    val f = (o: DataFrame, c: DataFrame) =>
+      o.select("o_custkey", "o_orderstatus").distinct()
+        .join(c, col("o_custkey") === col("c_custkey"), "inner")
+        .select("o_custkey", "o_orderstatus", "c_mktsegment")
+    check(
+      f(t("orders"), t("customer")),
+      f(base("orders"), base("customer")))
+  }
+
+  test("identity: mid-tree distinct under filter and projection") {
+    val f = (o: DataFrame) =>
+      o.select("o_custkey", "o_orderpriority").distinct()
+        .filter(col("o_custkey") % 3 === 0)
+        .select(col("o_custkey"), col("o_orderpriority").as("prio"))
+    check(f(t("orders")), f(base("orders")))
+  }
+
+  test("identity: mid-tree dropDuplicates feeding a union arm") {
+    val f = (o: DataFrame) => {
+      val d = o.select("o_custkey").dropDuplicates()
+      d.filter(col("o_custkey") % 2 === 0)
+        .union(d.filter(col("o_custkey") % 2 === 1))
+    }
+    check(f(t("orders")), f(base("orders")))
+  }
+
   test("identity: SQL entry point (plan from the SQL parser, mod.rs:225)") {
     t("orders").createOrReplaceTempView("orders")
     val full = spark.sql(
@@ -303,6 +332,75 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
             .orderBy((col("o_totalprice") * lit(-1)).asc,
               col("o_orderkey").asc).limit(5)))
       case other => fail(s"expected DiffRows, got $other")
+    }
+  }
+
+  test("deltaIntersect: append-only delta of a set intersection") {
+    import spark.implicits._
+    // A: base {1,2,3}, δ {4,5};  B: base {2,4}, δ {3,9}
+    //   base view = {2}; full view = {2,3,4}; δ⁺ = {3,4}
+    //   3: old A value whose B-side membership arrives in δB
+    //   4: old B value whose A-side membership arrives in δA
+    //   5/9: one-sided inserts that must NOT surface
+    Seq(1L, 2L, 3L, 4L, 5L).toDF("v").createOrReplaceTempView("si_a")
+    Seq((2L, 1L), (4L, 1L), (3L, 100L), (9L, 100L)).toDF("v", "m")
+      .createOrReplaceTempView("si_b")
+    DeltaSources.register("si_a", "v >= 4")
+    DeltaSources.register("si_b", "m >= 100")
+    val a = spark.table("si_a")
+    val b = spark.table("si_b").select("v")
+    val d = Ivm.deltaIntersect(a, b)
+    assert(d.collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    val baseView = a.filter(col("v") < 4)
+      .intersect(spark.table("si_b").filter(col("m") < 100).select("v"))
+    assertMultisetEqual(a.intersect(b), baseView.unionByName(d))
+  }
+
+  test("deltaExcept: signed delta retracts values the right side cancels") {
+    import spark.implicits._
+    // A: base {1,2,3}, δ {4};  B: base {2}, δ {3}
+    //   base view = {1,3}; full view = {1,4}
+    //   inserts = {4} (new A value B never cancels)
+    //   retracts = {3} (old view value δB now cancels)
+    Seq(1L, 2L, 3L, 4L).toDF("v").createOrReplaceTempView("se_a")
+    Seq((2L, 1L), (3L, 100L)).toDF("v", "m").createOrReplaceTempView("se_b")
+    DeltaSources.register("se_a", "v >= 4")
+    DeltaSources.register("se_b", "m >= 100")
+    val a = spark.table("se_a")
+    val b = spark.table("se_b").select("v")
+    val sd = Ivm.deltaExcept(a, b)
+    assert(sd.inserts.collect().map(_.getLong(0)).toSet == Set(4L))
+    assert(sd.retracts.collect().map(_.getLong(0)).toSet == Set(3L))
+    val baseView = a.filter(col("v") < 4)
+      .except(spark.table("se_b").filter(col("m") < 100).select("v"))
+    assertMultisetEqual(a.except(b),
+      baseView.unionByName(sd.inserts).exceptAll(sd.retracts))
+  }
+
+  test("maintainAuto: INTERSECT root routes to the append-only set rung") {
+    val a = t("orders").filter(col("o_totalprice") > 100000)
+      .select("o_custkey")
+    val b = t("orders").filter(col("o_orderstatus") === "F")
+      .select("o_custkey")
+    Ivm.maintainAuto(a.intersect(b)) match {
+      case Ivm.AppendDelta(rows) =>
+        assertMultisetEqual(rows, Ivm.deltaIntersect(a, b))
+      case other => fail(s"expected AppendDelta, got $other")
+    }
+  }
+
+  test("maintainAuto: EXCEPT root routes to the SIGNED set rung") {
+    val a = t("customer").select("c_custkey")
+    val b = t("orders").filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("c_custkey"))
+    Ivm.maintainAuto(a.except(b)) match {
+      case Ivm.ApplySigned(sd) =>
+        val baseA = base("customer").select("c_custkey")
+        val baseB = base("orders").filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("c_custkey"))
+        assertMultisetEqual(a.except(b),
+          baseA.except(baseB).unionByName(sd.inserts).exceptAll(sd.retracts))
+      case other => fail(s"expected ApplySigned, got $other")
     }
   }
 
