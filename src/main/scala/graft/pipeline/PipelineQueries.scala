@@ -319,6 +319,111 @@ object PipelineQueries {
              |  AND b.tus <= a.tus + 21600000000
              |ORDER BY e1, e2""".stripMargin)),
 
+    // IVM × pipeline cross-feature #4 (round 5): the RANGE JOIN view
+    // maintained through the delta rewrite. RangeJoin.within desugars to
+    // Generate(explode of 2 bins) → inner equi-join on (key, bin) →
+    // exact-interval Filter — every node in the algebraic envelope, so
+    // δ(range join) expands to the 3 disjoint arms (δ×δ, base×δ, δ×base)
+    // with NO new engine code: a day's new events pair against the base
+    // corpus bucket-locally, the base×base arm — the quadratic bulk — is
+    // never re-joined. The oracle derives the same delta from first
+    // principles: pairs with at least one side in the δ partition.
+    QueryDef("delta_range_join",
+      (s, d) => {
+        val W = 21600000000L // 6 h in µs
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("tus"))
+        graft.ivm.Ivm.delta(
+            graft.engine.RangeJoin.within(
+                ev.select(col("user_id"), col("event_id").as("e1"),
+                  col("tus").as("t1")),
+                ev.select(col("user_id"), col("event_id").as("e2"),
+                  col("tus").as("t2")),
+                "user_id", "t1", "t2", W)
+              .filter(col("t1") < col("t2") ||
+                (col("t1") === col("t2") && col("e1") < col("e2")))
+              .select(col("user_id"), col("e1"), col("e2"),
+                (col("t2") - col("t1")).as("dt")))
+          .orderBy("e1", "e2")
+      },
+      Some("""WITH u AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS tus,
+             |    (ts >= TIMESTAMP '2024-01-28 00:00:00') AS isdelta
+             |  FROM events)
+             |SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+             |  b.tus - a.tus AS dt
+             |FROM u a JOIN u b ON a.user_id = b.user_id
+             |  AND (a.tus < b.tus OR (a.tus = b.tus AND a.event_id < b.event_id))
+             |  AND b.tus <= a.tus + 21600000000
+             |  AND (a.isdelta OR b.isdelta)
+             |ORDER BY e1, e2""".stripMargin)),
+
+    // SEQUENCE PACKING (round 5) — the causal-LM pretraining batching op:
+    // concatenate each source's documents (doc_id order) into one token
+    // stream, chunk every B tokens, and report where each document lands —
+    // its sequence id, the offset inside that sequence, and how many
+    // sequences it straddles. All integer window arithmetic (running token
+    // sum per source), so it is bit-deterministic and oracle-checkable.
+    // Scale shape: the window partitions by SOURCE (per-domain shards —
+    // a production packer's natural unit), so the plan is one hash
+    // shuffle + per-partition sort, no global single-partition window; at
+    // 100 TB each source's stream packs independently and in parallel.
+    QueryDef("seq_pack",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val B = 2048L
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            wordCount(col("text")).as("tok"))
+          .withColumn("cum", sum(col("tok")).over(w))
+          .select(col("doc_id"), col("source"), col("tok"),
+            expr(s"(cum - tok) div $B").as("seq_id"),
+            ((col("cum") - col("tok")) % B).as("seq_offset"),
+            expr(s"(cum - 1) div $B - (cum - tok) div $B + 1").as("n_seqs"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, source,
+             |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+             |      AS BIGINT) AS tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, tok,
+             |    CAST(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id)
+             |      AS BIGINT) AS cum
+             |  FROM p)
+             |SELECT doc_id, source, tok,
+             |  CAST((cum - tok) // 2048 AS BIGINT) AS seq_id,
+             |  CAST((cum - tok) % 2048 AS BIGINT) AS seq_offset,
+             |  CAST((cum - 1) // 2048 - (cum - tok) // 2048 + 1 AS BIGINT)
+             |    AS n_seqs
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Corpus composition report (round 5): docs × tokens by source and
+    // integer length bucket — the shard-level summary a data curator reads
+    // before mixing. Integer-division buckets (512-char steps) are exact
+    // in both engines; one map-side-combined aggregate, scan-dominated.
+    QueryDef("corpus_stats",
+      (s, d) => t(s, d, "documents")
+        .groupBy(col("source"),
+          expr("cast(length(text) as bigint) div 512").as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(wordCount(col("text"))).as("total_tokens"),
+          min(length(col("text")).cast("long")).as("min_chars"),
+          max(length(col("text")).cast("long")).as("max_chars"))
+        .orderBy("source", "len_bucket"),
+      Some("""SELECT source,
+             |  CAST(LENGTH(text) AS BIGINT) // 512 AS len_bucket,
+             |  COUNT(*) AS n_docs,
+             |  CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+             |    AS BIGINT) AS total_tokens,
+             |  CAST(MIN(LENGTH(text)) AS BIGINT) AS min_chars,
+             |  CAST(MAX(LENGTH(text)) AS BIGINT) AS max_chars
+             |FROM documents GROUP BY 1, 2
+             |ORDER BY source, len_bucket""".stripMargin)),
+
     // Ordered funnel: per user, first 'view', then first 'click' AFTER it,
     // then first 'purchase' after that — the sequential-pattern primitive
     // behind conversion analysis. Three chained keyed joins + min

@@ -80,6 +80,79 @@ object StreamQueries {
              |  COUNT(*) AS cnt,
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2, 3
-             |ORDER BY day, hr, event_type""".stripMargin))
+             |ORDER BY day, hr, event_type""".stripMargin)),
+
+    // STATEFUL sessionization through the runtime (round 5): native
+    // session_window aggregation — the state store holds per-user OPEN
+    // session intervals that micro-batches extend or MERGE (an event
+    // bridging two stored sessions collapses them). Interval merging is
+    // associative and order-independent, so the complete-mode final
+    // generation is schedule-independent and hash-checkable against the
+    // batch derivation. Session semantics: a gap >= 30 min starts a new
+    // session (Spark's session window is [ts, ts+gap) exclusive — the
+    // oracle's break condition says >= to match). Emitted bounds are
+    // min/max EVENT times (plain aggregates riding the session state), not
+    // the gap-padded window.end, keeping the oracle engine-portable.
+    QueryDef("stream_sessions",
+      (s, d) => {
+        val stage = Files.createTempDirectory("graft_stream_stage")
+          .toFile.getAbsolutePath
+        val sink = Files.createTempDirectory("graft_stream_sink")
+          .toFile.getAbsolutePath
+        Tables(s, d, "events")
+          .select(Tables.tsMicros.as("tsm"), col("user_id"), col("value"))
+          .repartitionByRange(4, col("tsm"))
+          .write.mode("overwrite").parquet(stage)
+        val src = s.readStream
+          .schema("tsm TIMESTAMP, user_id BIGINT, value DOUBLE")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage)
+        // NO watermark: session_window's pre-merge LATE-ROW FILTER applies
+        // even under complete mode (unlike plain windowed aggregation), and
+        // the replay harness does not pin file arrival order — a
+        // later-time file processed first would silently drop every
+        // earlier event (observed: 4944/10000 events survived). Complete
+        // mode needs no eviction; a production deployment with an
+        // append/update sink is where the watermark belongs (the
+        // stream_hourly twin above exercises that machinery).
+        val sessions = src
+          .groupBy(session_window(col("tsm"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 2))).as("dec_sum"),
+            min(col("tsm")).as("first_ts"), max(col("tsm")).as("last_ts"))
+        val q = sessions.writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", s"$sink-ckpt")
+          .foreachBatch { (b: Dataset[Row], _: Long) =>
+            b.write.mode("overwrite").parquet(sink); ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .select(col("user_id"),
+            unix_micros(col("first_ts")).as("start_us"),
+            unix_micros(col("last_ts")).as("end_us"),
+            col("n_events"),
+            col("dec_sum").cast("double").as("sum_value"))
+          .orderBy("user_id", "start_us")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+             |m AS (
+             |  SELECT user_id, tus, value,
+             |    CASE WHEN lag(tus) OVER w IS NULL
+             |           OR tus - lag(tus) OVER w >= 1800000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+             |s AS (
+             |  SELECT user_id, tus, value,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tus) AS sid
+             |  FROM m)
+             |SELECT user_id, MIN(tus) AS start_us, MAX(tus) AS end_us,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, start_us""".stripMargin))
   )
 }

@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 82 declared operator queries are all present (SURVEY §2)") {
+  test("the 86 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -43,8 +43,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       // round-5 surface
       "delta_rollup", "stream_hourly", "delta_minhash",
       "embedding_centroids", "delta_lsh_candidates", "delta_distinct_join",
-      "delta_intersect", "delta_except_signed")
-    assert(declared.size == 82)
+      "delta_intersect", "delta_except_signed", "delta_range_join",
+      "stream_sessions", "seq_pack", "corpus_stats")
+    assert(declared.size == 86)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
