@@ -35,6 +35,13 @@ object VecFunctions {
   def vecSumScaled(v: Column, scale: Long): Column =
     VecColumns.vecSumScaled(v, scale)
 
+  /** Σ floor(aᵢ·scaleA)·floor(bᵢ·scaleB) as an exact LONG — the
+    * deterministic (oracle-checkable) similarity score; see
+    * [[org.apache.spark.sql.graft.FloatVecDotScaled]].
+    */
+  def vecDotScaled(a: Column, b: Column, scaleA: Long, scaleB: Long): Column =
+    VecColumns.vecDotScaled(a, b, scaleA, scaleB)
+
   /** Make `vec_dot` / `rolling_hash` callable from SQL text in this
     * session (`SELECT vec_dot(a, b) FROM ...`).
     */

@@ -183,11 +183,17 @@ object Dedup {
       .filter(col("d1") < col("d2"))
       .select("d1", "d2")
       .distinct()
+    // threshold on the integer-quantized score (minCos·Scale² as a long):
+    // for the unit-norm embeddings this is the cosine threshold to within
+    // dim·1e-6, and it makes the verify step — like the banding above —
+    // exact int64 arithmetic the DuckDB oracle replays bit-for-bit
+    val minSdot = math.round(minCos * Similarity.Scale * Similarity.Scale)
     pairs
       .join(emb.select(col("vec_id").as("d1"), col("embedding").as("e1")), "d1")
       .join(emb.select(col("vec_id").as("d2"), col("embedding").as("e2")), "d2")
-      .filter(Similarity.cosine(col("e1"), col("e2")) >= minCos)
-      .select("d1", "d2")
+      .select(col("d1"), col("d2"),
+        Similarity.sdot(col("e1"), col("e2")).as("sdot"))
+      .filter(col("sdot") >= minSdot)
   }
 
   /** Shingle document-frequency cutoff for the exact all-pairs API. */
@@ -509,12 +515,31 @@ object Dedup {
              |SELECT id AS doc_id, MIN(r) AS survivor FROM reach
              |GROUP BY id ORDER BY doc_id""".stripMargin)),
 
-    // Embedding-cosine near-dups (LSH-bucketed). No oracle: fp threshold.
-    // 0.45 is calibrated to the synthetic embeddings (max pair cos ≈ 0.51 —
-    // no true near-dups are planted); real corpora use ≥0.95 + wider bands.
+    // Embedding near-dups (LSH-bucketed, integer-quantized score
+    // threshold). 0.45 is calibrated to the synthetic embeddings (max pair
+    // cos ≈ 0.51 — no true near-dups are planted); real corpora use ≥0.95
+    // + wider bands. Hash-checked: band signatures, candidate set, and the
+    // threshold score are all exact int64 on both engines.
     QueryDef("neardup_embedding",
       (s, d) => embeddingNearDups(t(s, d, "embeddings"), 0.45)
         .orderBy("d1", "d2"),
-      None)
+      Some {
+        val minSdot =
+          math.round(0.45 * Similarity.Scale * Similarity.Scale)
+        s"""WITH ${Similarity.SqlOracle.quantCte},
+           |${Similarity.SqlOracle.planesCte(8, 3, 64)},
+           |${Similarity.SqlOracle.sigCte},
+           |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+           |  FROM sig a JOIN sig b
+           |    ON a.band = b.band AND a.sig = b.sig
+           |   AND a.vec_id < b.vec_id),
+           |d AS (SELECT c.d1, c.d2, CAST(SUM(ea.q * eb.q) AS BIGINT) AS sdot
+           |  FROM cand c
+           |  JOIN e ea ON ea.vec_id = c.d1
+           |  JOIN e eb ON eb.vec_id = c.d2 AND eb.pos = ea.pos
+           |  GROUP BY c.d1, c.d2)
+           |SELECT d1, d2, sdot FROM d WHERE sdot >= $minSdot
+           |ORDER BY d1, d2""".stripMargin
+      })
   )
 }

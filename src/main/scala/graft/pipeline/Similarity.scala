@@ -23,8 +23,26 @@ import graft.functions.VecFunctions
   *
   * Hyperplanes are deterministic (seeded PRNG, embedded as literals) so
   * results are stable run-to-run — required by the driver's hash compare.
+  *
+  * Determinism upgrade (round 6): the DECLARED ranking queries score with
+  * [[graft.functions.VecFunctions.vecDotScaled]] — the exact integer
+  * quantized dot `Σ floor(aᵢ·1e6)·floor(bᵢ·1e6)` — instead of a double
+  * cosine, and the LSH hyperplanes carry small INTEGER coefficients. Every
+  * arithmetic step (band signatures, candidate sets, scores, top-k order)
+  * is then exact int64 on both engines, so DuckDB replays the full pipeline
+  * bit-for-bit and the driver hash-checks rows it previously could only
+  * count. For the unit-norm embeddings table the quantized score is the
+  * cosine to within dim·1e-6; the float cosine path ([[bruteTopK]],
+  * [[ivfTopK]]) remains the recall-spec ground truth.
   */
 object Similarity {
+
+  /** Component quantization scale for the oracle-checkable score path. */
+  val Scale = 1000000L
+
+  /** Exact integer similarity score (quantized inner product). */
+  def sdot(a: Column, b: Column): Column =
+    VecFunctions.vecDotScaled(a, b, Scale, Scale)
 
   /** Σ aᵢ·bᵢ via the native [[graft.functions.FloatVecDot]] kernel — a fused
     * codegen loop. (The declarative `zip_with` + `aggregate` form computes
@@ -51,21 +69,49 @@ object Similarity {
       .select("q_id", "n_id", "rk")
   }
 
-  /** Deterministic unit-free hyperplanes: `planes(p)(i)` in [-1, 1). */
-  private def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+  /** Exact top-k under the integer-quantized score — same plan shape as
+    * [[bruteTopK]] (broadcast query side, one corpus scan), but every score
+    * and the rank order are exact int64, so the result is hash-checkable.
+    */
+  def bruteTopKScaled(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sdot").desc, col("n_id").asc)
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("sdot", sdot(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "n_id", "sdot", "rk")
+  }
+
+  /** Deterministic random hyperplanes with INTEGER coefficients in
+    * [-1000, 1000] (seeded PRNG). Integer coefficients keep the sign test
+    * `Σ floor(eᵢ·1e6)·pᵢ ≥ 0` exact int64 arithmetic — the bit that makes
+    * band signatures replayable in the DuckDB oracle — while the direction
+    * distribution stays as uniform as the double version for LSH purposes
+    * (2001 quantization levels per axis).
+    */
+  private[pipeline] def quantPlanes(nPlanes: Int, dim: Int): Seq[Seq[Int]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextInt(2001) - 1000))
   }
 
   /** Sign-bit LSH signature as one BIGINT per band (`bandBits` planes per
-    * band). Rows sharing any band value become candidates.
+    * band). Rows sharing any band value become candidates. Signatures are
+    * exact-integer (see [[quantPlanes]]): the plane ships as an
+    * integer-valued float literal (|c| ≤ 1000, float-exact), scaleRight = 1
+    * floors it back to the same integer.
     */
   def withBands(df: DataFrame, nBands: Int, bandBits: Int, dim: Int): DataFrame = {
-    val planes = hyperplanes(nBands * bandBits, dim)
+    val planes = quantPlanes(nBands * bandBits, dim)
     val bandCols = (0 until nBands).map { b =>
       val bits = (0 until bandBits).map { i =>
-        val plane = typedLit(planes(b * bandBits + i))
-        when(dot(col("embedding"), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+        val plane = typedLit(planes(b * bandBits + i).map(_.toFloat))
+        when(VecFunctions.vecDotScaled(col("embedding"), plane, Scale, 1L) >= 0,
+          lit(1L << i)).otherwise(lit(0L))
       }
       bits.reduce(_.bitwiseOR(_)).as(s"band_$b")
     }
@@ -105,13 +151,13 @@ object Similarity {
       .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
         "n_id")
       .select(col("q_id"), col("n_id"),
-        cosine(col("q_emb"), col("n_emb")).as("cos"))
+        sdot(col("q_emb"), col("n_emb")).as("sdot"))
     val w = Window.partitionBy("q_id")
-      .orderBy(col("cos").desc, col("n_id").asc)
+      .orderBy(col("sdot").desc, col("n_id").asc)
     scored
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
-      .select("q_id", "n_id", "rk")
+      .select("q_id", "n_id", "sdot", "rk")
   }
 
   /** IVF-style ANN: a coarse quantizer assigns every vector to a centroid
@@ -158,6 +204,75 @@ object Similarity {
     cand.withColumn("rk", row_number().over(wk).cast("long"))
       .filter(col("rk") <= k)
       .select("q_id", "n_id", "rk")
+  }
+
+  /** Oracle-checkable IVF: the coarse quantizer is a SAMPLED quantizer —
+    * the `nCells` strided rows of the vec_id-ordered 512-row sample, with
+    * components quantized to scaled longs — and cell assignment/probing is
+    * argmin of the exact integer squared distance
+    * (`vec_near_cells_scaled`). A sampled quantizer is the standard
+    * cheap-training IVF variant (cells follow data density because seeds
+    * ARE data points); recall is marginally below Lloyd's (re-rank is exact
+    * either way), and in exchange every step — seed choice, assignment,
+    * probe order, score, rank — is integer-deterministic, so DuckDB replays
+    * the whole query and the driver hash-checks it. [[ivfTopK]] (Lloyd,
+    * float) stays as the quality path, pinned by the recall spec.
+    *
+    * Scale shape is identical to [[ivfTopK]]: quantizer fit once per corpus
+    * from a bounded O(nCells)-row sample, shipped per task as a reference
+    * object; the probe join shuffles by cell, nProbe/nCells of the corpus.
+    */
+  def ivfTopKSampled(emb: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4)
+      : DataFrame = {
+    import org.apache.spark.sql.graft.VecColumns
+    val cents = QuantCentroids.forFrame(emb, nCells)
+    val base = emb.filter(col("embedding").isNotNull)
+    val assigned = base.select(
+      col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      element_at(VecColumns.nearCellsScaled(col("embedding"), cents, 1, Scale), 1)
+        .as("cell"))
+    val probes = base.select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      explode(VecColumns.nearCellsScaled(col("embedding"), cents, nProbe, Scale))
+        .as("cell"))
+    val cand = probes.join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        sdot(col("q_emb"), col("n_emb")).as("sdot"))
+    val wk = Window.partitionBy("q_id")
+      .orderBy(col("sdot").desc, col("n_id").asc)
+    cand.withColumn("rk", row_number().over(wk).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "n_id", "sdot", "rk")
+  }
+
+  /** Sampled-quantizer centroids for [[ivfTopKSampled]]: the strided
+    * `nCells` rows of the vec_id-ordered (≤512-row) sample, quantized to
+    * scaled longs. Same bounded-collect + per-corpus cache discipline as
+    * [[IvfCentroids]]; `SampleN` and the stride `⌊c·n/nCells⌋` are part of
+    * the declared query's contract (the oracle replays them).
+    */
+  object QuantCentroids {
+    val SampleN = 512
+    private val cache =
+      new scala.collection.concurrent.TrieMap[(String, Int), Array[Array[Long]]]
+
+    def forFrame(emb: DataFrame, nCells: Int): Array[Array[Long]] = {
+      val files = emb.inputFiles.sorted.mkString(",")
+      def fitNow(): Array[Array[Long]] = {
+        val pts = emb.filter(col("embedding").isNotNull)
+          .orderBy("vec_id").limit(SampleN)         // TakeOrderedAndProject
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).toArray)
+        require(pts.nonEmpty, "cannot seed IVF cells on an empty corpus")
+        Array.tabulate(nCells) { c =>
+          pts((c.toLong * pts.length / nCells).toInt)
+            .map(x => math.floor(x.toDouble * Scale).toLong)
+        }
+      }
+      if (files.isEmpty) fitNow()
+      else cache.getOrElseUpdate((files, nCells), fitNow())
+    }
   }
 
   /** The IVF coarse quantizer: plain Lloyd k-means over a BOUNDED
@@ -228,26 +343,119 @@ object Similarity {
     }
   }
 
+  /** DuckDB oracle fragments for the integer-quantized ANN family. Every
+    * fragment replays the EXACT arithmetic of the Spark kernels in int64 —
+    * `FLOOR(CAST(x AS DOUBLE)·S)` matches the kernels' quantization
+    * (the explicit DOUBLE cast matters: DuckDB would otherwise multiply in
+    * single precision and floor a different integer — same gotcha the
+    * embedding_centroids oracle documents), `SUM` of products is exact, and
+    * every rank is `row_number()` over a total integer order.
+    */
+  private[pipeline] object SqlOracle {
+    /** Long-form quantized embeddings: (vec_id, pos, q). */
+    val quantCte: String =
+      s"""e AS (SELECT vec_id,
+         |  CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * $Scale) AS BIGINT)
+         |    AS q,
+         |  unnest(generate_series(1, len(embedding))) AS pos
+         |  FROM embeddings WHERE embedding IS NOT NULL)""".stripMargin
+
+    /** The [[quantPlanes]] coefficients as a VALUES table
+      * (band, pw = 1<<bit, pos, c) — the single source of truth is the same
+      * seeded generator the Spark side embeds as literals.
+      */
+    def planesCte(nBands: Int, bandBits: Int, dim: Int): String = {
+      val ps = quantPlanes(nBands * bandBits, dim)
+      val rows = for {
+        b <- 0 until nBands; i <- 0 until bandBits; p <- 0 until dim
+      } yield s"($b,${1L << i},${p + 1},${ps(b * bandBits + i)(p)})"
+      s"planes(band, pw, pos, c) AS (VALUES ${rows.mkString(",")})"
+    }
+
+    /** Per-(vec_id, band) signature from the plane sign bits. */
+    val sigCte: String =
+      """sig AS (SELECT vec_id, band,
+        |    CAST(SUM(CASE WHEN pd >= 0 THEN pw ELSE 0 END) AS BIGINT) AS sig
+        |  FROM (SELECT e.vec_id, p.band, p.pw, SUM(e.q * p.c) AS pd
+        |        FROM e JOIN planes p ON e.pos = p.pos
+        |        GROUP BY e.vec_id, p.band, p.pw) bits
+        |  GROUP BY vec_id, band)""".stripMargin
+
+    /** Exact re-rank of `cand(q_id, n_id)`: score, top-k, total order. */
+    def rerank(k: Int): String =
+      s"""d AS (SELECT c.q_id, c.n_id, CAST(SUM(ea.q * eb.q) AS BIGINT) AS sdot
+         |  FROM cand c
+         |  JOIN e ea ON ea.vec_id = c.q_id
+         |  JOIN e eb ON eb.vec_id = c.n_id AND eb.pos = ea.pos
+         |  GROUP BY c.q_id, c.n_id),
+         |r AS (SELECT q_id, n_id, sdot,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY sdot DESC, n_id) AS BIGINT) AS rk
+         |  FROM d)
+         |SELECT q_id, n_id, sdot, rk FROM r WHERE rk <= $k
+         |ORDER BY q_id, rk""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
-    // Exact cosine top-5 for the first 10 vectors. No oracle (fp cosine
-    // ordering is not DuckDB-stable) → driver records rows-only.
+    // Exact top-5 for the first 10 vectors under the integer-quantized
+    // score — brute-force baseline, hash-checked end to end.
     QueryDef("similarity_topk",
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        bruteTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        bruteTopKScaled(emb.filter(col("vec_id") < 10), emb, 5)
           .orderBy("q_id", "rk")
       },
-      None),
+      Some(s"""WITH ${SqlOracle.quantCte},
+             |cand AS (SELECT a.q_id, b.n_id
+             |  FROM (SELECT DISTINCT vec_id AS q_id FROM e WHERE vec_id < 10) a
+             |  CROSS JOIN (SELECT DISTINCT vec_id AS n_id FROM e) b
+             |  WHERE a.q_id <> b.n_id),
+             |${SqlOracle.rerank(5)}""".stripMargin)),
 
     // LSH-bucketed ANN over the whole corpus — the 100 TB-shaped variant.
+    // Integer band signatures + integer re-rank ⇒ the full candidate
+    // pipeline (banding, bucket join, dedup, score, top-k) hash-checks.
     QueryDef("ann_lsh",
       (s, d) => lshTopK(Tables(s, d, "embeddings"), 5).orderBy("q_id", "rk"),
-      None),
+      Some(s"""WITH ${SqlOracle.quantCte},
+             |${SqlOracle.planesCte(4, 8, 64)},
+             |${SqlOracle.sigCte},
+             |cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
+             |  FROM sig a JOIN sig b
+             |    ON a.band = b.band AND a.sig = b.sig
+             |   AND a.vec_id <> b.vec_id),
+             |${SqlOracle.rerank(5)}""".stripMargin)),
 
-    // IVF-bucketed ANN (k-means cells + probe). No oracle: fp/iterative.
+    // IVF ANN with the sampled quantizer (strided seed rows, integer
+    // distances) — cells, probes, and re-rank all replayed by the oracle.
     QueryDef("ann_ivf",
-      (s, d) => ivfTopK(Tables(s, d, "embeddings"), 5).orderBy("q_id", "rk"),
-      None),
+      (s, d) => ivfTopKSampled(Tables(s, d, "embeddings"), 5)
+        .orderBy("q_id", "rk"),
+      Some(s"""WITH ${SqlOracle.quantCte},
+             |samp AS (SELECT vec_id,
+             |    row_number() OVER (ORDER BY vec_id) - 1 AS rn
+             |  FROM embeddings WHERE embedding IS NOT NULL
+             |  ORDER BY vec_id LIMIT ${QuantCentroids.SampleN}),
+             |cidx AS (SELECT CAST(g.c AS INT) AS cell,
+             |    CAST(FLOOR(g.c * (SELECT COUNT(*) FROM samp) / 16.0)
+             |         AS BIGINT) AS rn
+             |  FROM (SELECT unnest(generate_series(0, 15)) AS c) g),
+             |cents AS (SELECT cidx.cell, e.pos, e.q AS cq
+             |  FROM cidx JOIN samp ON samp.rn = cidx.rn
+             |  JOIN e ON e.vec_id = samp.vec_id),
+             |dist AS (SELECT e.vec_id, c.cell,
+             |    SUM((e.q - c.cq) * (e.q - c.cq)) AS d2
+             |  FROM e JOIN cents c ON e.pos = c.pos
+             |  GROUP BY e.vec_id, c.cell),
+             |ranked AS (SELECT vec_id, cell,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell)
+             |      AS cr
+             |  FROM dist),
+             |cand AS (SELECT p.vec_id AS q_id, a.vec_id AS n_id
+             |  FROM (SELECT vec_id, cell FROM ranked WHERE cr <= 4) p
+             |  JOIN (SELECT vec_id, cell FROM ranked WHERE cr = 1) a
+             |    ON p.cell = a.cell AND p.vec_id <> a.vec_id),
+             |${SqlOracle.rerank(5)}""".stripMargin)),
 
     // Per-label centroid (mean embedding) — the distributed primitive
     // behind IVF training, cluster summarization, and class prototypes.

@@ -78,6 +78,76 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer-quantized dot product: Σ floor(aᵢ·scaleA) · floor(bᵢ·scaleB),
+  * accumulated in exact 64-bit integer arithmetic, as LONG.
+  *
+  * The determinism kernel behind the oracle-checkable ANN family. A double
+  * cosine is fp-order-dependent and DuckDB floors a different last bit, so
+  * ranking queries built on it can only ever be rows-only checked. Quantizing
+  * each component to a scaled long FIRST makes the whole score integer: the
+  * sum is exact and associative, Spark and DuckDB (`SUM(floor(x·S)·floor(y·S))`
+  * over zipped unnests) compute bit-identical values, and top-k becomes a
+  * total integer order (score desc, id asc). For unit-norm embeddings at
+  * scale 1e6 the quantized score differs from the true cosine by < dim·1e-6
+  * — far below any meaningful similarity resolution, and the recall specs
+  * keep pinning the float path.
+  *
+  * Overflow bounds: |floor(x·S)| ≤ S·max|x|; the product sum needs
+  * dim·(S·max|x|)·(S'·max|y|) < 2⁶³ — at S=S'=1e6, dim=64, |x|≤1 the worst
+  * case is 6.4e13, five orders under the limit. Mismatched dims → NULL
+  * (same contract as [[FloatVecDot]]).
+  */
+case class FloatVecDotScaled(
+    left: Expression, right: Expression, scaleLeft: Long, scaleRight: Long)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = false
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot_scaled"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.floor(x.getFloat(i).toDouble * scaleLeft).toLong *
+        math.floor(y.getFloat(i).toDouble * scaleRight).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (long) Math.floor(((double) $a.getFloat($i)) * ${scaleLeft}L)
+         |        * (long) Math.floor(((double) $b.getFloat($i)) * ${scaleRight}L);
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecDotScaled =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Karp–Rabin polynomial rolling hash over a string's UTF-8 bytes:
   * `h = Σ bᵢ·mult^(n-1-i) mod modulus`, folded left-to-right as
   * `h = (h·mult + bᵢ) mod modulus`.
@@ -269,6 +339,95 @@ object VecTopCells {
   }
 }
 
+/** Indices of the `k` centroids NEAREST to the row's embedding under
+  * integer-quantized squared euclidean distance:
+  * `d(v,c) = Σ (floor(vᵢ·scale) − cᵢ)²` with `cᵢ` already-scaled longs
+  * (distance asc, index asc tiebreak), as `array<int>`.
+  *
+  * The exact-arithmetic twin of [[VecTopCells]]: where that kernel ranks by
+  * double dot products (fine for the float IVF path, not oracle-stable),
+  * this one is pure int64, so cell assignment (`k = 1`) and probe selection
+  * (`k = nProbe`) are bit-reproducible in DuckDB as a
+  * `row_number() OVER (ORDER BY d2, cell)` over a summed quantized-diff
+  * join. Overflow: dim·(2·S·max|x|)² < 2⁶³ — at S=1e6, dim=64, |x|≤1 the
+  * worst case is 2.6e14. Centroid matrix ships once per task via
+  * `addReferenceObj`, same as [[VecTopCells]].
+  */
+case class VecNearCellsScaled(
+    child: Expression, centroids: Array[Array[Long]], k: Int, scale: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  require(k >= 1 && centroids.nonEmpty, "need k >= 1 and at least one centroid")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_near_cells_scaled"
+
+  override def nullSafeEval(input: Any): Any =
+    VecNearCellsScaled.nearCells(
+      input.asInstanceOf[ArrayData], centroids, k, scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qcentroids", centroids, "long[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.VecNearCellsScaled.nearCells($c, $ref, $k, ${scale}L)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VecNearCellsScaled =
+    copy(child = newChild)
+}
+
+object VecNearCellsScaled {
+  /** Called from generated code. */
+  def nearCells(v: ArrayData, cents: Array[Array[Long]], k: Int, scale: Long)
+      : ArrayData = {
+    val dim = v.numElements()
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      q(i) = math.floor(v.getFloat(i).toDouble * scale).toLong
+      i += 1
+    }
+    val n = cents.length
+    val dists = new Array[Long](n)
+    var c = 0
+    while (c < n) {
+      val cent = cents(c)
+      val d = math.min(dim, cent.length)
+      var s = 0L
+      var j = 0
+      while (j < d) { val t = q(j) - cent(j); s += t * t; j += 1 }
+      dists(c) = s
+      c += 1
+    }
+    val kk = math.min(k, n)
+    val out = new Array[Any](kk)
+    val taken = new Array[Boolean](n)
+    var r = 0
+    while (r < kk) {
+      // strict `<` with ascending j ⇒ lowest index wins ties — the same
+      // total order as the oracle's ORDER BY d2, cell
+      var best = -1
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        if (!taken(j) && (best == -1 || dists(j) < bestD)) {
+          best = j; bestD = dists(j)
+        }
+        j += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Column-level constructors for the native kernels (Expression → Column
   * wrapping needs `private[sql]` ExpressionUtils, hence here; the public
   * user-facing API is `graft.functions.VecFunctions`).
@@ -373,6 +532,16 @@ object VecColumns {
   def topCells(v: Column, centroids: Array[Array[Float]], k: Int): Column =
     ExpressionUtils.column(
       VecTopCells(ExpressionUtils.expression(v), centroids, k))
+
+  def vecDotScaled(a: Column, b: Column, scaleA: Long, scaleB: Long): Column =
+    ExpressionUtils.column(
+      FloatVecDotScaled(ExpressionUtils.expression(a),
+        ExpressionUtils.expression(b), scaleA, scaleB))
+
+  def nearCellsScaled(v: Column, centroids: Array[Array[Long]], k: Int,
+      scale: Long): Column =
+    ExpressionUtils.column(
+      VecNearCellsScaled(ExpressionUtils.expression(v), centroids, k, scale))
 
   def vecSumScaled(v: Column, scale: Long): Column =
     ExpressionUtils.column(

@@ -56,7 +56,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
 
   test("ann_ivf: codegen'd quantizer kernel, no MLlib prediction UDF") {
     val p = planOf("ann_ivf")
-    assert(p.contains("vec_top_cells"), s"native IVF kernel missing:\n$p")
+    assert(p.contains("vec_near_cells_scaled"),
+      s"native IVF kernel missing:\n$p")
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF("),
       s"ann_ivf regressed to a prediction UDF:\n$p")
   }

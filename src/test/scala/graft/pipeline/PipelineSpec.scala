@@ -129,17 +129,48 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     val emb = Tables(spark, sfDir, "embeddings")
     val lsh = Dedup.embeddingNearDups(emb, 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // brute force over the (small) fixture: all pairs above threshold
+    // brute force over the (small) fixture: all pairs above the SAME
+    // quantized-score threshold the LSH path declares
+    val minSdot = math.round(0.45 * Similarity.Scale * Similarity.Scale)
     val brute = emb.select(col("vec_id").as("d1"), col("embedding").as("e1"))
       .join(emb.select(col("vec_id").as("d2"), col("embedding").as("e2")),
         col("d1") < col("d2"))
-      .withColumn("cos", Similarity.cosine(col("e1"), col("e2")))
-      .filter(col("cos") >= 0.45)
+      .withColumn("sdot", Similarity.sdot(col("e1"), col("e2")))
+      .filter(col("sdot") >= minSdot)
       .select("d1", "d2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(brute), "LSH produced a pair below threshold")
     assert(brute.isEmpty || lsh.size.toDouble / brute.size >= 0.5,
       s"LSH recall ${lsh.size}/${brute.size}")
+  }
+
+  test("quantized score tracks the float cosine within dim·quantization") {
+    // the declared ANN family ranks by sdot/Scale² — pin that it is the
+    // cosine to within the documented 64·1e-6 band on real pairs
+    val emb = Tables(spark, sfDir, "embeddings")
+    val rows = emb.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+      .join(emb.select(col("vec_id").as("d2"), col("embedding").as("e2")),
+        col("d1") + 1 === col("d2"))
+      .select(Similarity.sdot(col("e1"), col("e2")).as("sdot"),
+        Similarity.cosine(col("e1"), col("e2")).as("cos"))
+      .limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(0).toDouble / (Similarity.Scale * Similarity.Scale)
+      assert(math.abs(approx - r.getDouble(1)) <= 64 * 2e-6 + 1e-7,
+        s"quantized score drifted: $approx vs ${r.getDouble(1)}")
+    }
+  }
+
+  test("sampled-quantizer IVF recalls a reasonable share of exact top-5") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val brute = Similarity.bruteTopK(emb.filter(col("vec_id") < 10), emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopKSampled(emb, 5)
+      .filter(col("q_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"sampled IVF recall@5 = $recall")
   }
 
   test("connectedComponents: empty pair graph converges to an empty result") {
