@@ -410,6 +410,67 @@ object Queries {
              |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
         .stripMargin)),
 
+    // MID-TREE aggregate maintenance (Ivm.deltaAgg + the aggJoinAuto
+    // route, r6): a per-customer order rollup FEEDING an inner join with
+    // the customer dim — the shape the insert-only rewrite correctly
+    // refuses (changed groups retract their old rows) and the key-scoped
+    // rung would re-aggregate. maintainAuto routes it to the signed
+    // merge algebra: inserts = changed-group merges ⋈ base dim ∪
+    // merged view ⋈ δ dim, retracts = old group rows ⋈ base dim — both
+    // sides of the join carry deltas here (orders by date, customer by
+    // key), exercising every term. The oracle derives the signed pair
+    // from first principles as Q(full) ∖all Q(base) / Q(base) ∖all
+    // Q(full); hash equality proves the merge-and-propagate algebra
+    // emits EXACTLY the multiset difference, retractions included.
+    QueryDef("delta_agg_join",
+      (s, d) => {
+        import graft.ivm.Ivm
+        val q = t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_price"))
+          .join(t(s, d, "customer").select("c_custkey", "c_name"),
+            col("o_custkey") === col("c_custkey"), "inner")
+        val sd = Ivm.maintainAuto(q) match {
+          case Ivm.ApplySigned(sd) => sd
+          case other => throw new IllegalStateException(
+            s"delta_agg_join must route to the signed agg-join rung, got $other")
+        }
+        sd.inserts.withColumn("sign", lit(1L))
+          .unionByName(sd.retracts.withColumn("sign", lit(-1L)))
+          .select(col("o_custkey"), col("cnt"),
+            col("sum_price").cast("double").as("sum_price"),
+            col("c_custkey"), col("c_name"), col("sign"))
+          .orderBy("o_custkey", "sign")
+      },
+      Some("""WITH afull AS (
+             |  SELECT o_custkey, COUNT(*) AS cnt,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |      AS sum_price
+             |  FROM orders GROUP BY o_custkey),
+             |abase AS (
+             |  SELECT o_custkey, COUNT(*) AS cnt,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |      AS sum_price
+             |  FROM orders
+             |  WHERE NOT (o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+             |  GROUP BY o_custkey),
+             |qfull AS (
+             |  SELECT o_custkey, cnt, sum_price, c_custkey, c_name
+             |  FROM afull JOIN customer ON o_custkey = c_custkey),
+             |qbase AS (
+             |  SELECT o_custkey, cnt, sum_price, c_custkey, c_name
+             |  FROM abase JOIN
+             |    (SELECT * FROM customer WHERE NOT (c_custkey % 10 = 0)) cb
+             |    ON o_custkey = c_custkey),
+             |ins AS (SELECT * FROM qfull EXCEPT ALL SELECT * FROM qbase),
+             |ret AS (SELECT * FROM qbase EXCEPT ALL SELECT * FROM qfull)
+             |SELECT o_custkey, cnt, sum_price, c_custkey, c_name,
+             |  CAST(1 AS BIGINT) AS sign FROM ins
+             |UNION ALL
+             |SELECT o_custkey, cnt, sum_price, c_custkey, c_name,
+             |  CAST(-1 AS BIGINT) AS sign FROM ret
+             |ORDER BY o_custkey, sign""".stripMargin)),
+
     // TOP-K maintenance rung (Ivm.topKMerge / deltaTopK): the top-25
     // orders by price, maintained as merge(topk(base), topk(δ)) — the base
     // corpus is never rescanned and both inputs plan as

@@ -328,6 +328,43 @@ object Ivm {
     signedNet(topKMerge(prev, delta(src), order, k), reMint(prev))
   }
 
+  /** Signed delta of a GROUPED-AGGREGATE view computed from its
+    * MATERIALIZED state plus the delta partial — the merge rung
+    * ([[IvmAgg]]) lifted to a signed insert/retract pair so aggregates can
+    * sit MID-TREE (feeding joins) instead of only at the root:
+    *
+    *   affected = view ⋉ (distinct group keys of the δ partial)   — old rows
+    *   inserts  = IvmAgg.merge(affected, δ partial)                — new rows
+    *   retracts = affected
+    *
+    * netted ([[signedNet]]) so groups whose value did not change (a min
+    * the delta never beat, a sum advanced by zero) produce no traffic.
+    * Unlike the key-scoped rung this NEVER re-aggregates source rows:
+    * the δ partial aggregates only the pruned delta scan and `affected` is
+    * a keyed lookup into the materialized view (here expressed as a
+    * broadcast-semi-join against the δ partial's keys; an index lookup in
+    * a production view store). Identity (DeltaIdentitySpec):
+    * `Q(full) == (view ∪all inserts) ∖all retracts` for `view == Q(base)`.
+    *
+    * Same envelope as [[IvmAgg.deltaPartial]] (sum/count/min/max,
+    * count/sum DISTINCT; avg via [[IvmAgg.mergeableForm]]); the group keys
+    * must surface in the select list to key the lookup.
+    */
+  def deltaAgg(view: DataFrame, q: Dataset[_]): SignedDelta = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val ad = IvmAgg.deltaPartial(q)
+    val affected =
+      if (ad.keys.isEmpty) view // global aggregate: the single row
+      else {
+        val affKeys = reMint(ad.partial.select(ad.keys.map(k =>
+          col(k).as(s"__aff_$k")): _*).distinct())
+        val cond = ad.keys.map(k => col(k) <=> col(s"__aff_$k"))
+          .reduce(_ && _)
+        view.join(broadcast(affKeys), cond, "left_semi")
+      }
+    signedNet(IvmAgg.merge(affected, ad), reMint(affected))
+  }
+
   /** Key-scoped differencing — the rung between the signed deltas and full
     * [[deltaByDiff]]: when a query DECOMPOSES PER KEY (every window is
     * partitioned by ⊇ `keys`, every aggregate grouped by ⊇ `keys`, no
@@ -572,8 +609,87 @@ object Ivm {
           GraftSql.ofRows(spark, l), GraftSql.ofRows(spark, r),
           GraftSql.column(cond)))
       case _ =>
-        topKAuto(df).orElse(keyScopedAuto(df)).map(ApplySigned(_))
+        aggJoinAuto(df).orElse(topKAuto(df)).orElse(keyScopedAuto(df))
+          .map(ApplySigned(_))
           .getOrElse(DiffRows(deltaByDiff(df)))
+    }
+  }
+
+  /** Auto-detected signed maintenance of an `Aggregate ⋈ other` INNER-join
+    * root — the mid-tree-aggregate promotion (VERDICT r5 #2): the
+    * aggregate side maintains through [[deltaAgg]] (merge algebra, no
+    * source re-aggregation) and the signed pair propagates through the
+    * join. For A' = A − R + I (the aggregate side's signed step) and
+    * B' = B ∪all δB (the other side, inside the insert-only envelope):
+    *
+    *   A'⋈B' − A⋈B = I⋈B − R⋈B + A'⋈δB
+    *
+    * so  inserts  = I ⋈ baseB  ∪all  merged-view ⋈ δB
+    *     retracts = R ⋈ baseB
+    *
+    * — every term is delta-keyed: I/R are the changed-group rows, δB is
+    * the pruned other-side delta, and the only base-side reads are the
+    * view lookup inside [[deltaAgg]] and baseB probed BY the small I/R
+    * sides (at 100 TB: broadcast I/R against the dim, never a corpus
+    * shuffle). A static (unregistered) other side degenerates to
+    * `I⋈B ∪ ∅ / R⋈B`. Unlike the key-scoped rung this does not require
+    * the join to be ON the group keys. Requirements for the auto route:
+    * INNER join with a condition, disjoint+unique column names across the
+    * sides (the signed frames re-join by name), mergeable aggregate
+    * ([[IvmAgg]] envelope), other side inside the delta envelope; anything
+    * else falls through to the next rung. The aggregate may sit on either
+    * side (output column order is preserved).
+    */
+  private def aggJoinAuto(df: Dataset[_]): Option[SignedDelta] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+
+    def build(agg: Aggregate, other: LogicalPlan,
+        cond: org.apache.spark.sql.catalyst.expressions.Expression,
+        aggLeft: Boolean): Option[SignedDelta] = {
+      val aNames = agg.output.map(_.name)
+      val oNames = other.output.map(_.name)
+      val outOrder =
+        (if (aggLeft) aNames ++ oNames else oNames ++ aNames).map(col)
+      if (aNames.intersect(oNames).nonEmpty ||
+          aNames.distinct.size != aNames.size ||
+          oNames.distinct.size != oNames.size) return None
+      try {
+        val aggDf = GraftSql.ofRows(spark, agg)
+        val oDf = GraftSql.ofRows(spark, other)
+        // the analyzed condition binds to the original plan's ExprIds; the
+        // signed frames are re-minted, so the join must re-resolve BY NAME
+        // (names are disjoint and unique — checked above)
+        val byName = GraftSql.column(cond.transform {
+          case a: AttributeReference => UnresolvedAttribute(a.name)
+        })
+        val sd = deltaAgg(baseOf(aggDf), aggDf)
+        val oHasDelta = PosDeltaRule.deltaSourceScans(other)
+          .exists(ResolvePosDeltaScan.isRegistered)
+        val oBase = if (oHasDelta) baseOf(oDf) else oDf
+        val inserts0 = sd.inserts.join(oBase, byName, "inner")
+        val inserts =
+          if (!oHasDelta) inserts0
+          else {
+            val aFull = IvmAgg.merge(baseOf(aggDf), IvmAgg.deltaPartial(aggDf))
+            inserts0.unionByName(aFull.join(delta(oDf), byName, "inner"))
+          }
+        val retracts = sd.retracts.join(reMint(oBase), byName, "inner")
+        Some(signed(inserts.select(outOrder: _*),
+          retracts.select(outOrder: _*)))
+      } catch { case _: UnsupportedOperationException => None }
+    }
+
+    GraftSql.analyzed(df) match {
+      case Join(l: Aggregate, r, Inner, Some(cond), _) =>
+        build(l, r, cond, aggLeft = true)
+      case Join(l, r: Aggregate, Inner, Some(cond), _) =>
+        build(r, l, cond, aggLeft = false)
+      case _ => None
     }
   }
 

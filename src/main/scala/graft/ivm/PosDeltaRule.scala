@@ -213,8 +213,9 @@ object PosDeltaRule extends Rule[LogicalPlan] {
           "supported: Project, Filter, inner/cross/semi Join, Union, " +
           "Expand, deterministic Generate, repartitioning, table scans, " +
           "DISTINCT / dropDuplicates over all columns (anywhere in the " +
-          "tree); for grouped aggregates use graft.ivm.IvmAgg or " +
-          "Ivm.maintainAuto")
+          "tree); for grouped aggregates use graft.ivm.IvmAgg, the signed " +
+          "Ivm.deltaAgg (mid-tree aggregate-join shapes route there via " +
+          "Ivm.maintainAuto), or Ivm.maintainAuto")
   }
 
   /** A copy of `plan` with every relation re-instanced (fresh ExprIds),

@@ -643,6 +643,68 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
       eAgg.getMessage.contains("IvmAgg"))
   }
 
+  test("deltaAgg: signed merge retracts the CHANGED group's old row") {
+    val q = t("orders").groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), max(col("o_totalprice")).as("mx"))
+    val view = Ivm.baseOf(q)
+    val sd = Ivm.deltaAgg(view, q)
+    // changed-group retraction is real: every status gains δ orders at the
+    // date split, so each old (status, cnt, mx) row must leave the view
+    assert(sd.retracts.count() > 0, "expected changed-group retractions")
+    // identity: Q(full) == (view ∪all inserts) ∖all retracts
+    assertMultisetEqual(q, sd.applyTo(view))
+    // netting: a group untouched by the delta produces NO traffic — pin
+    // via a group key disjoint from the delta partition
+    val qUntouched = t("orders")
+      .filter(col("o_orderdate") < "1995-01-01")   // all-base slice
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt"))
+    val sdU = Ivm.deltaAgg(Ivm.baseOf(qUntouched), qUntouched)
+    assert(sdU.inserts.isEmpty && sdU.retracts.isEmpty,
+      "untouched groups must not produce signed traffic")
+  }
+
+  test("maintainAuto: aggregate FEEDING a join routes to the signed merge rung") {
+    // the mid-tree-aggregate promotion (r6): groupBy().agg().join(dim) —
+    // the insert-only rewrite refuses (changed groups retract), IvmAgg is
+    // root-only, and BOTH sides carry deltas here, so every term of the
+    // agg-join algebra (I⋈B, A'⋈δB, R⋈B) is exercised
+    // the sum goes through DECIMAL (the engine-wide determinism rule,
+    // QueryDef doc): a DOUBLE sum is fp-order-dependent, so the merged
+    // value and a full recompute would differ in the last bits and the
+    // multiset identity could not hold under ANY maintenance strategy
+    val q = (o: DataFrame, c: DataFrame) =>
+      o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("sp"))
+        .join(c.select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"), "inner")
+    Ivm.maintainAuto(q(t("orders"), t("customer"))) match {
+      case Ivm.ApplySigned(sd) =>
+        assert(sd.retracts.count() > 0, "expected changed-group retractions")
+        assertMultisetEqual(
+          q(t("orders"), t("customer")),
+          sd.applyTo(q(base("orders"), base("customer"))))
+      case other => fail(s"expected the signed agg-join rung, got $other")
+    }
+  }
+
+  test("maintainAuto: aggregate on the RIGHT side of the join, layout kept") {
+    val q = (o: DataFrame, c: DataFrame) =>
+      c.select("c_custkey", "c_name")
+        .join(o.groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt")),
+          col("c_custkey") === col("o_custkey"), "inner")
+    Ivm.maintainAuto(q(t("orders"), t("customer"))) match {
+      case Ivm.ApplySigned(sd) =>
+        assert(sd.inserts.columns.toSeq ==
+          Seq("c_custkey", "c_name", "o_custkey", "cnt"))
+        assertMultisetEqual(
+          q(t("orders"), t("customer")),
+          sd.applyTo(q(base("orders"), base("customer"))))
+      case other => fail(s"expected the signed agg-join rung, got $other")
+    }
+  }
+
   test("maintainAuto: full outer join routes to the SIGNED delta") {
     val q = (c: DataFrame, o: DataFrame) =>
       c.join(o, col("c_custkey") === col("o_custkey"), "full")
