@@ -47,35 +47,49 @@ object Bench {
     } catch { case _: Throwable => () }
     val names = SparkEntry.queries.keys.toSeq.sorted
     var failed = List.empty[String]
+    // Each query is timed TWICE, back to back: the cold pass carries
+    // first-execution costs that vary with box load (codegen compilation,
+    // file-listing, page-cache misses), the warm pass is the steady-state
+    // plan cost. Three rounds of driver-box contention have produced cold
+    // totals up to 2.4x apart on unchanged code (r3: 132s vs 50.9s re-run;
+    // r5: 175.9s vs 107.8s) while warm times stay stable — so the warm
+    // total is the cross-round comparison number, and the cold total keeps
+    // continuity with BENCH_r01..r05.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      // noop-sink write executes the FULL physical plan, final ORDER BY
-      // included — a count() would let EliminateSorts drop each query's
-      // top-level sort under the count aggregate, excluding real cost the
-      // Verify/oracle path pays
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        // noop-sink write executes the FULL physical plan, final ORDER BY
+        // included — a count() would let EliminateSorts drop each query's
+        // top-level sort under the count aggregate, excluding real cost the
+        // Verify/oracle path pays
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed ::= name
-          false
+          if (!failed.contains(name)) failed ::= name
+          -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      val cold = run()
+      val warmT = if (cold >= 0) run() else -1.0
+      name -> (cold, warmT)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    def qjson(sel: ((Double, Double)) => Double) = results
+      .map { case (k, v) => "\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
+    def totalOf(sel: ((Double, Double)) => Double) = results
+      .collect { case (_, v) if sel(v) >= 0 => sel(v) }.sum
+    val (total, totalWarm) = (totalOf(_._1), totalOf(_._2))
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_cold":$total,"value_warm":$totalWarm,"unit":"sec","queries":${qjson(_._1)},"queries_warm":${qjson(_._2)},"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // The full per-query line outgrew the driver's tail-capture window at
     // 74 queries (BENCH_r04 parsed as null) — also print a compact summary
     // LAST so a bounded tail always contains a complete JSON object; the
     // full line lives in bench_out.json either way.
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${names.size},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_cold":$total,"value_warm":$totalWarm,"unit":"sec","n":${names.size},"failed":$failedJson,"sf":"$sfDir"}"""
     println(summary)
     Files.writeString(Paths.get("bench_out.json"), line)
     spark.stop()

@@ -104,16 +104,21 @@ object EventStreams {
     * "purchase follows click"). Watermarks on BOTH sides + the time-range
     * predicate let Spark expire join state — without them stream-stream
     * join state grows forever; with them state is bounded by
-    * watermark × arrival rate.
+    * watermark × arrival rate. `carry` names extra columns to pass through
+    * from both sides (as `l_<name>` / `r_<name>`) — e.g. event ids, so a
+    * downstream sink has a stable pair identity.
     */
   def correlate(left: DataFrame, right: DataFrame,
-      withinSeconds: Long, watermark: String = "1 hour"): DataFrame = {
+      withinSeconds: Long, watermark: String = "1 hour",
+      carry: Seq[String] = Nil): DataFrame = {
     val l = left.withWatermark("ts", watermark)
-      .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
-        col("event_type").as("l_type"))
+      .select(col("user_id").as("l_user") +: col("ts").as("l_ts") +:
+        col("event_type").as("l_type") +:
+        carry.map(c => col(c).as(s"l_$c")): _*)
     val r = right.withWatermark("ts", watermark)
-      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
-        col("event_type").as("r_type"))
+      .select(col("user_id").as("r_user") +: col("ts").as("r_ts") +:
+        col("event_type").as("r_type") +:
+        carry.map(c => col(c).as(s"r_$c")): _*)
     l.join(r,
       col("l_user") === col("r_user") &&
         col("l_ts") <= col("r_ts") &&
