@@ -91,7 +91,17 @@ object StreamQueries {
     val sink = new java.io.File(work, "sink").getAbsolutePath
     val ckpt = new java.io.File(work, "ckpt").getAbsolutePath
     val sinkMode = if (mode == "complete") "overwrite" else "append"
-    val q = build.writeStream
+    // stateful operators keep one state store per shuffle partition (a
+    // stream-stream join keeps FOUR), each check-pointed every micro-batch
+    // — with the batch default of 32 partitions the replay cost is pure
+    // state-file I/O (measured: the correlate query 22s -> ~6s at sf0.1
+    // with 8). State here is aggregate-/pair-sized, so 8 partitions is
+    // plenty; the partition count is pinned by the (per-run) checkpoint at
+    // first start, making this a state-layout choice scoped to the stream:
+    // set for planning, restore after.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try build.writeStream
       .outputMode(mode)
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: Dataset[Row], _: Long) =>
@@ -99,6 +109,7 @@ object StreamQueries {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     val out = s.read.parquet(sink).localCheckpoint(true)
     deleteRec(work)

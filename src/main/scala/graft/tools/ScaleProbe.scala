@@ -102,6 +102,60 @@ object ScaleProbe {
       n
     }
 
+    // incremental dedup MAINTENANCE CYCLE at mult× (round-6 probe): the
+    // signature view and candidate discovery maintained through the delta
+    // rewrite, with the delta a ~1%-of-corpus appended sliver. The design
+    // claim under test: a maintenance cycle's cost tracks the DELTA — the
+    // δ arms re-shingle only appended docs, and the candidate rewrite
+    // joins δsigs × sigs bucket-locally, never sigs × sigs — so the cycle
+    // should cost a small fraction of the full-recompute rows above
+    // ("minhash signatures" / "LSH band candidates") at every mult.
+    locally {
+      val nd0 = docs0.count()
+      docs.select("doc_id", "text")
+        .createOrReplaceTempView("probe_docs")
+      val dcut = (mult - 1).toLong * 10000000L + nd0 * 99L / 100L
+      graft.ivm.DeltaSources.register("probe_docs", s"doc_id >= $dcut")
+      // the signature view maintains through the IvmAgg partial (min is a
+      // semilattice): the cycle cost is the δ-rows shingle+min partial —
+      // the merge itself is an upsert of |δ docs| rows into the view store
+      timeD("δ minhash cycle (1%)") {
+        graft.ivm.IvmAgg.deltaPartial(
+          graft.pipeline.Dedup.signatures(spark.table("probe_docs"), 6))
+          .partial.count()
+      }
+      // chained maintained views (the delta_lsh_candidates design): the
+      // signature view — MATERIALIZED, as a maintained view is at scale —
+      // is itself the registered source of the band join; the δ rewrite's
+      // base arms then probe the stored view instead of re-deriving it
+      val sigsMat = graft.pipeline.Dedup
+        .signatures(spark.table("probe_docs"), 6).persist()
+      sigsMat.count()
+      sigsMat.createOrReplaceTempView("probe_sigs")
+      graft.ivm.DeltaSources.register("probe_sigs", s"doc_id >= $dcut")
+      timeD("δ LSH cand cycle (1%)") {
+        graft.ivm.Ivm.delta(graft.pipeline.Dedup
+            .candidatePairsRaw(spark.table("probe_sigs"), 3, 2))
+          .distinct().count()
+      }
+      sigsMat.unpersist()
+    }
+
+    // sequence packing at mult×: the window is partitioned BY SOURCE, so
+    // mult× rows mean mult×-longer per-source partitions (20 sources —
+    // the worst direction for a partitioned running sum: same parallelism,
+    // longer chains); linear scaling here shows no global-window choke
+    timeD("seq_pack (by source)") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      docs.select(col("doc_id"), col("source"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+            + 1).cast("long").as("tok"))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .select(col("doc_id"), expr("(cum - tok) div 2048").as("seq_id"))
+        .count()
+    }
+
     // as-of join on inflated events: one by-key exchange regardless of mult
     val ev0 = Tables(spark, dir, "events")
     val ev = (0 until mult).map { i =>
@@ -109,6 +163,7 @@ object ScaleProbe {
         .withColumn("user_id", col("user_id") + lit(i.toLong * 1000L))
     }.reduce(_ union _)
     val ne = ev.count()
+    val ne0 = ne / mult
     def timeE(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
@@ -150,8 +205,9 @@ object ScaleProbe {
       val evt = ev.select(col("user_id"), col("event_id"),
         col("ts"), col("value"))
       evt.createOrReplaceTempView("probe_ks_ev")
-      // delta = the last ~1k appended ids of the last copy
-      val cut = (mult - 1).toLong * 100000000L + 99000L
+      // delta = the last ~1% of appended ids of the last copy (scaled to
+      // the actual per-copy event count, so the probe works at every sf)
+      val cut = (mult - 1).toLong * 100000000L + ne0 * 99L / 100L
       graft.ivm.DeltaSources.register("probe_ks_ev", s"event_id >= $cut")
       val src = spark.table("probe_ks_ev")
       val q = (df: org.apache.spark.sql.DataFrame) => {
