@@ -154,4 +154,58 @@ class VecExpressionsSpec extends AnyFunSuite with SparkFixture {
     val e = intercept[Exception] { ragged.collect() }
     assert(e.getMessage != null)
   }
+
+  test("vec_dot_scaled: exact quantized products, floor semantics, both paths") {
+    import spark.implicits._
+    // floor(-1.5·10)·floor(2.5·10) + floor(0.25·10)·floor(4.0·10)
+    //   = (-15)·25 + 2·40 = -295  — floor (not truncation) on negatives
+    val df = Seq((Seq(-1.5f, 0.25f), Seq(2.5f, 4.0f))).toDF("a", "b")
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try {
+        val r = df.select(VecFunctions.vecDotScaled(col("a"), col("b"), 10L, 10L))
+          .head()
+        assert(r.getLong(0) == -295L, s"mode=$codegen: got ${r.getLong(0)}")
+        // asymmetric scales: floor(x·10)·floor(y·1)
+        val r2 = df.select(VecFunctions.vecDotScaled(col("a"), col("b"), 10L, 1L))
+          .head()
+        assert(r2.getLong(0) == (-15L * 2 + 2L * 4), s"mode=$codegen")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("vec_dot_scaled: ragged dims null; null input null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(1.0f)),
+      (2L, null: Seq[Float], Seq(1.0f))
+    ).toDF("id", "a", "b")
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try {
+        val rows = df.select(col("id"),
+          VecFunctions.vecDotScaled(col("a"), col("b"), 10L, 10L))
+          .orderBy("id").collect()
+        assert(rows(0).isNullAt(1), s"mode=$codegen: ragged must be null")
+        assert(rows(1).isNullAt(1), s"mode=$codegen: null input must be null")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("vec_near_cells_scaled: integer-distance order, index tiebreak, both paths") {
+    import spark.implicits._
+    // quantized v = (10, 1); distances: c0=(10,0)→1, c1=(0,10)→181,
+    // c2=(10,2)→1 (tie with c0 → lower index first), c3=(9,1)→1 (3-way tie)
+    val cents = Array(Array(10L, 0L), Array(0L, 10L), Array(10L, 2L),
+      Array(9L, 1L))
+    val df = Seq(Seq(1.0f, 0.1f)).toDF("v")
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try {
+        val r = df.select(org.apache.spark.sql.graft.VecColumns
+          .nearCellsScaled(col("v"), cents, 4, 10L)).head().getSeq[Int](0)
+        assert(r == Seq(0, 2, 3, 1), s"mode=$codegen: got $r")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
