@@ -638,15 +638,50 @@ object Ivm {
     * sides (the signed frames re-join by name), mergeable aggregate
     * ([[IvmAgg]] envelope), other side inside the delta envelope; anything
     * else falls through to the next rung. The aggregate may sit on either
-    * side (output column order is preserved).
+    * side (output column order is preserved). Deterministic Project/Filter
+    * tops above the join — `agg.join(dim).select(...)`, HAVING-style
+    * `agg.filter(...)`, including over a BARE aggregate root — are peeled
+    * and re-applied to both signed frames (row-wise operators commute with
+    * the insert/retract pair).
     */
   private def aggJoinAuto(df: Dataset[_]): Option[SignedDelta] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression => CExpr, SubqueryExpression}
     import org.apache.spark.sql.catalyst.plans.Inner
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
+
+    // Row-wise operators ABOVE the aggregate/join commute with the signed
+    // pair — A' = A − R + I implies f(A') = f(A) − f(R) + f(I) for any
+    // deterministic per-row f — so deterministic Project/Filter tops are
+    // PEELED here and re-applied (by name) to both signed frames. This is
+    // what routes `agg.join(dim).select(...)` and HAVING-style
+    // `agg.filter(...)` through the merge rung instead of differencing.
+    def strip(e: CExpr): CExpr = e.transform {
+      case a: AttributeReference => UnresolvedAttribute(a.name)
+    }
+    def peelable(exprs: Seq[CExpr], child: LogicalPlan): Boolean =
+      exprs.forall(e => e.deterministic &&
+        !e.exists(_.isInstanceOf[SubqueryExpression])) &&
+        child.output.map(_.name).distinct.size == child.output.size
+    def peel(p: LogicalPlan): (LogicalPlan, List[DataFrame => DataFrame]) =
+      p match {
+        case Project(exprs, child) if peelable(exprs, child) =>
+          val cols = exprs.map(ne => GraftSql.column(strip(ne)))
+          val (inner, fs) = peel(child)
+          (inner, fs :+ ((d: DataFrame) => d.select(cols: _*)))
+        case Filter(cond, child) if peelable(Seq(cond), child) =>
+          val c = GraftSql.column(strip(cond))
+          val (inner, fs) = peel(child)
+          (inner, fs :+ ((d: DataFrame) => d.filter(c)))
+        case other => (other, Nil)
+      }
+    def applyPost(sd: SignedDelta,
+        post: List[DataFrame => DataFrame]): SignedDelta =
+      SignedDelta(
+        post.foldLeft(sd.inserts)((d, f) => f(d)),
+        post.foldLeft(sd.retracts)((d, f) => f(d)))
 
     def build(agg: Aggregate, other: LogicalPlan,
         cond: org.apache.spark.sql.catalyst.expressions.Expression,
@@ -684,13 +719,22 @@ object Ivm {
       } catch { case _: UnsupportedOperationException => None }
     }
 
-    GraftSql.analyzed(df) match {
+    val (core, post) = peel(GraftSql.analyzed(df))
+    val sd = core match {
       case Join(l: Aggregate, r, Inner, Some(cond), _) =>
         build(l, r, cond, aggLeft = true)
       case Join(l, r: Aggregate, Inner, Some(cond), _) =>
         build(r, l, cond, aggLeft = false)
+      // a bare aggregate under the peeled tops (HAVING / projected view):
+      // the signed merge pair, filtered/projected per row
+      case agg: Aggregate if post.nonEmpty =>
+        try {
+          val aggDf = GraftSql.ofRows(spark, agg)
+          Some(deltaAgg(baseOf(aggDf), aggDf))
+        } catch { case _: UnsupportedOperationException => None }
       case _ => None
     }
+    sd.map(applyPost(_, post))
   }
 
   /** Auto-detected [[deltaTopK]]: a root `orderBy(…).limit(k)` whose sort

@@ -222,6 +222,14 @@ object IvmAgg {
           // DISTINCT is a no-op for min/max — plain combine is exact
           case _: Min => (m, d) => least(m, d)
           case _: Max => (m, d) => greatest(m, d)
+          // the native vector-sum aggregate is elementwise-addition
+          // mergeable by construction (exact integer-scaled components,
+          // fixed dim) — merging views is a |groups|-row zip_with, so the
+          // per-label centroid view maintains without re-scanning the
+          // corpus (declared as `delta_centroids`)
+          case _: org.apache.spark.sql.graft.VecSumScaled =>
+            (m, d) => when(m.isNull, d).when(d.isNull, m)
+              .otherwise(zip_with(m, d, (a, b) => a + b))
           case f => throw new UnsupportedOperationException(
             s"IvmAgg: aggregate function ${f.prettyName}" +
               (if (ae.isDistinct) " (DISTINCT)" else "") +

@@ -457,6 +457,45 @@ object Similarity {
              |    ON p.cell = a.cell AND p.vec_id <> a.vec_id),
              |${SqlOracle.rerank(5)}""".stripMargin)),
 
+    // MAINTAINED ANN VIEW (round 6): per-query top-k under corpus appends
+    // via the top-k monoid — topk(corpus ∪ δ) = topk(topk(corpus) ∪
+    // topk(δ)) per query, exact because the integer-quantized score order
+    // is total (sdot desc, n_id asc). A maintenance cycle scores queries
+    // against ONLY the delta embeddings (broadcast query side × pruned δ
+    // scan) and merges ≤ 2k rows per query against the stored view — the
+    // base corpus is never re-scored, which is the difference between a
+    // per-cycle brute sweep and an incremental similarity index at 100 TB.
+    // The oracle ranks against the FULL corpus from first principles, so
+    // hash equality pins the monoid merge against an independent
+    // derivation (the embedding twin of delta_topk).
+    QueryDef("delta_ann_topk",
+      (s, d) => {
+        import graft.ivm.DeltaSources
+        val emb = Tables(s, d, "embeddings")
+        val basePred = DeltaSources.predicateFor("embeddings").get.sql
+        val base = emb.filter(expr(s"NOT ($basePred)"))
+        val deltaE = emb.filter(expr(basePred))
+        // static query set: base vectors with vec_id < 10 (membership must
+        // not change between snapshots — new queries are a view rebuild)
+        val queries = base.filter(col("vec_id") < 10)
+        val prev = bruteTopKScaled(queries, base, 5)   // the stored view
+        val dTop = bruteTopKScaled(queries, deltaE, 5) // δ's own top-k
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sdot").desc, col("n_id").asc)
+        prev.select("q_id", "n_id", "sdot")
+          .unionByName(dTop.select("q_id", "n_id", "sdot"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""WITH ${SqlOracle.quantCte},
+             |cand AS (SELECT a.q_id, b.n_id
+             |  FROM (SELECT DISTINCT vec_id AS q_id FROM e
+             |        WHERE vec_id < 10 AND NOT (vec_id % 10 = 0)) a
+             |  CROSS JOIN (SELECT DISTINCT vec_id AS n_id FROM e) b
+             |  WHERE a.q_id <> b.n_id),
+             |${SqlOracle.rerank(5)}""".stripMargin)),
+
     // Per-label centroid (mean embedding) — the distributed primitive
     // behind IVF training, cluster summarization, and class prototypes.
     // One hash aggregate with the native VecSumScaled state: each map task
@@ -470,6 +509,44 @@ object Similarity {
     // only for the hash compare. (The oracle casts each float component to
     // DOUBLE before scaling — DuckDB otherwise multiplies in single
     // precision and floors a different integer.)
+    // INCREMENTAL centroid maintenance (round 6): the same per-label
+    // centroid view maintained through the IvmAgg merge — VecSumScaled is
+    // elementwise-addition mergeable (exact integer-scaled components), so
+    // a maintenance cycle aggregates ONLY the delta embeddings and the
+    // merge is a |labels|-row zip_with against the stored view; the corpus
+    // is never re-scanned. The oracle recomputes the centroid from the
+    // full table, so hash equality pins merge(base view, δ partial) ==
+    // recompute — the same independent-derivation pattern as delta_minhash.
+    QueryDef("delta_centroids",
+      (s, d) => {
+        import graft.ivm.{DeltaSources, IvmAgg}
+        val q = (df: DataFrame) => df
+          .groupBy(col("label").cast("long").as("label"))
+          .agg(VecFunctions.vecSumScaled(col("embedding"), 1000000L).as("sv"),
+            count(lit(1)).as("n"))
+        val full = Tables(s, d, "embeddings")
+        val basePred = DeltaSources.predicateFor("embeddings").get.sql
+        val baseView = q(full.filter(expr(s"NOT ($basePred)")))
+        IvmAgg.merge(baseView, IvmAgg.deltaPartial(q(full)))
+          .select(col("label"), col("n"),
+            posexplode(col("sv")).as(Seq("pos", "s")))
+          .select(col("label"), col("n"), (col("pos") + 1).cast("long").as("pos"),
+            (col("s").cast("double") / (lit(1000000.0) * col("n"))).as("c"))
+          .orderBy("label", "pos")
+      },
+      Some("""WITH ex AS (
+             |  SELECT label,
+             |         unnest(embedding) AS e,
+             |         unnest(generate_series(1, len(embedding))) AS ord
+             |  FROM embeddings)
+             |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+             |  CAST(ord AS BIGINT) AS pos,
+             |  CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT))
+             |       AS DOUBLE)
+             |    / (1000000.0 * COUNT(*)) AS c
+             |FROM ex GROUP BY label, ord
+             |ORDER BY label, pos""".stripMargin)),
+
     QueryDef("embedding_centroids",
       (s, d) => {
         val emb = Tables(s, d, "embeddings")

@@ -101,6 +101,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     val expectedProducts = Set(
       "cross_join", "delta_cross_join",     // declared cross joins
       "similarity_topk",                    // broadcast query side × corpus, by design
+      "delta_ann_topk",                     // broadcast query side × pruned δ corpus
       "scalar_subquery")                    // broadcast 1-row aggregate
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !expectedProducts.contains(name)) {

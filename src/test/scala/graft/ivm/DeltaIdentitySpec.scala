@@ -689,6 +689,39 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("maintainAuto: Project/Filter ABOVE the agg-join peel onto the signed pair") {
+    // `groupBy().agg().join(dim).select(...).filter(...)` — row-wise tops
+    // commute with the insert/retract pair, so the whole shape routes to
+    // the merge rung, not differencing
+    val q = (o: DataFrame, c: DataFrame) =>
+      o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(c.select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .select(col("c_name"), col("cnt"), (col("cnt") * 2).as("cnt2"))
+        .filter(col("cnt") >= 5)
+    Ivm.maintainAuto(q(t("orders"), t("customer"))) match {
+      case Ivm.ApplySigned(sd) =>
+        assert(sd.inserts.columns.toSeq == Seq("c_name", "cnt", "cnt2"))
+        assertMultisetEqual(
+          q(t("orders"), t("customer")),
+          sd.applyTo(q(base("orders"), base("customer"))))
+      case other => fail(s"expected the signed agg-join rung, got $other")
+    }
+  }
+
+  test("maintainAuto: HAVING over a bare aggregate routes to the signed merge") {
+    val q = (o: DataFrame) =>
+      o.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), max(col("o_orderkey")).as("mx"))
+        .filter(col("cnt") >= 10)
+    Ivm.maintainAuto(q(t("orders"))) match {
+      case Ivm.ApplySigned(sd) =>
+        assertMultisetEqual(q(t("orders")), sd.applyTo(q(base("orders"))))
+      case other => fail(s"expected the signed merge rung, got $other")
+    }
+  }
+
   test("maintainAuto: aggregate on the RIGHT side of the join, layout kept") {
     val q = (o: DataFrame, c: DataFrame) =>
       c.select("c_custkey", "c_name")
