@@ -36,6 +36,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("Union"), s"union missing:\n$p")
   }
 
+  test("delta_agg_join: broadcast keyed lookups, δ pruning, no product") {
+    // the signed merge rung's scale properties: the affected-key view
+    // lookup and the δ-keys restriction plan as BROADCAST semi joins (the
+    // delta-group set is small by design), every δ arm's range predicate
+    // reaches the parquet scan, and nothing degenerates to a product
+    val p = planOf("delta_agg_join")
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).nonEmpty,
+      s"affected-key lookup must broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"delta pruning missing from the orders scans:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"product join leaked into the signed agg plan:\n$p")
+  }
+
+  test("delta_ann_topk: maintenance arm scores only the pruned δ corpus") {
+    // the monoid-merge design: the δ-side brute scorer's corpus scan must
+    // carry the registered delta predicate (vec_id % 10 = 0 is not a
+    // parquet-pushable filter shape, but the Filter sits directly on the
+    // scan), and the stored-view side scans the base partition — no arm
+    // scores base × base and δ × base together (that would be a full
+    // re-rank, not maintenance)
+    val p = planOf("delta_ann_topk")
+    assert(p.contains("vec_dot_scaled"), s"quantized scorer missing:\n$p")
+    assert("% 10\\)".r.findAllIn(p).nonEmpty,
+      s"delta split predicate missing from the maintenance arm:\n$p")
+  }
+
   test("multi_join: star join broadcasts all three dims, scans fact once") {
     val p = planOf("multi_join")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 3,
