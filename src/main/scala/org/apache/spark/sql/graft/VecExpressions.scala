@@ -566,5 +566,19 @@ object VecColumns {
           case other => throw new IllegalArgumentException(
             s"word_shingles(text, n): n must be an integer literal, got $other")
         }), "scala_udf")
+    def longLit(e: Expression, fn: String): Long = e.eval(null) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"$fn: scale must be an integer literal, got $other")
+    }
+    reg.createOrReplaceTempFunction("vec_dot_scaled",
+      exprs => FloatVecDotScaled(exprs(0), exprs(1),
+        longLit(exprs(2), "vec_dot_scaled"),
+        longLit(exprs(3), "vec_dot_scaled")), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_sum_scaled",
+      exprs => VecSumScaled(exprs(0),
+        longLit(exprs(1), "vec_sum_scaled")).toAggregateExpression(),
+      "scala_udf")
   }
 }

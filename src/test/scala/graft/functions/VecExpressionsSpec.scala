@@ -108,6 +108,13 @@ class VecExpressionsSpec extends AnyFunSuite with SparkFixture {
     val r = spark.sql(
       "SELECT vec_dot(a, b) AS d, rolling_hash(s) AS h FROM vec_sql_t").head()
     assert(r.getDouble(0) == 11.0 && r.getLong(1) == 3105L)
+    // the round-6 kernels: scalar quantized dot and the vector-sum AGGREGATE
+    val r2 = spark.sql(
+      "SELECT vec_dot_scaled(a, b, 10, 10) AS sd FROM vec_sql_t").head()
+    assert(r2.getLong(0) == 10L * 30 + 20L * 40)
+    val r3 = spark.sql(
+      "SELECT vec_sum_scaled(a, 10) AS sv FROM vec_sql_t").head()
+    assert(r3.getSeq[Long](0) == Seq(10L, 20L))
   }
 
   test("rolling_hash matches the reference fold (both execution paths)") {

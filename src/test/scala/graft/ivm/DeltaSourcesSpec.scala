@@ -183,6 +183,58 @@ class DeltaSourcesSpec extends AnyFunSuite with SparkFixture {
     assert(dj.toSet == Set((7L, "big")), s"join delta wrong: ${dj.toSet}")
   }
 
+  test("file-append log × IvmAgg: aggregate view maintains from appended files") {
+    import spark.implicits._
+    // the production-shaped combo: a STORED aggregate view (parquet) plus
+    // a file-append source — a maintenance cycle aggregates only the
+    // appended files' rows and merges/upserts into the store; the signed
+    // form (deltaAgg) additionally retracts the changed groups' old rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_flog_agg").toString
+    val src = s"$dir/src"
+    def refresh(): Unit =
+      spark.read.parquet(src).select(col("*"), col("_metadata"))
+        .createOrReplaceTempView("flog_agg_t")
+    def stampAll(millis: Long): Unit = {
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(src)).iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (java.nio.file.Files.getLastModifiedTime(f).toMillis >= millis)
+          java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(millis))
+      }
+    }
+    val q = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("k").agg(count(lit(1)).as("cnt"), sum(col("x")).as("sx"))
+    def current() = q(spark.table("flog_agg_t").select("k", "x"))
+
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "x").write.mode("append").parquet(src)
+    stampAll(1000000L); refresh()
+    FileSnapshots.track("flog_agg_t", src)
+    assert(FileSnapshots.advance(spark, "flog_agg_t"))
+    current().write.parquet(s"$dir/view")         // the stored view
+    def view() = spark.read.parquet(s"$dir/view")
+
+    // appended files touch group a and introduce group c
+    Seq(("a", 10L), ("c", 5L)).toDF("k", "x").write.mode("append").parquet(src)
+    stampAll(2000000L); refresh()
+
+    // merge rung: stored view + δ-files partial == full recompute
+    val merged = IvmAgg.merge(view(), IvmAgg.deltaPartial(current()))
+    assert(merged.exceptAll(current()).isEmpty &&
+      current().exceptAll(merged).isEmpty,
+      "file-log aggregate merge must equal the recompute")
+
+    // signed rung: retracts exactly group a's old row, applies to the view
+    val sd = Ivm.deltaAgg(view(), current())
+    val r = sd.retracts.collect()
+    assert(r.length == 1 && r.head.getString(0) == "a" &&
+      r.head.getLong(2) == 1L, s"expected group a's old row, got ${r.toSeq}")
+    val applied = sd.applyTo(view())
+    assert(applied.exceptAll(current()).isEmpty &&
+      current().exceptAll(applied).isEmpty,
+      "signed aggregate delta must reproduce the full view")
+  }
+
   test("snapshot advanceAll: one consistent cut across a two-table join") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_snap2").toString
