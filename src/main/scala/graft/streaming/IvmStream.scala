@@ -228,6 +228,74 @@ final class IncrementalKeyScopedView(
   }
 }
 
+/** A view maintained by whatever rung [[graft.ivm.Ivm.maintainAuto]]
+  * picks each cycle — the generic member of the streaming maintenance
+  * family: envelope queries append δQ, mergeable aggregates fold the
+  * partial, signed shapes (outer/anti joins, EXCEPT, top-k, key-scoped,
+  * and the r6 aggregate-join merge rung) apply insert/retract pairs, and
+  * anything else falls back to an honest full recompute (`DiffRows` —
+  * the rung choice is exposed via [[lastRoute]] so callers/specs can pin
+  * that a view they expect to be incremental actually is).
+  *
+  * Same contract as the sibling views: one tracked append-only source
+  * (rows with `idCol` past the snapshot watermark are the delta); other
+  * tables inside `query` are static or registered by the caller;
+  * alternating parquet generations (the general apply is an update, not
+  * an append).
+  */
+final class IncrementalAutoView(
+    spark: SparkSession,
+    table: String,
+    idCol: String,
+    query: DataFrame => DataFrame,
+    sinkPath: String) extends MaintainedView {
+
+  private var highMark: Option[Long] = None
+  private var gen: Int = -1
+  private var route: Option[String] = None
+  private val scopedName = s"${table}__av${IvmStream.nextViewId()}"
+  Snapshots.track(scopedName, idCol)
+
+  /** The rung the last cycle used: append / merge / signed / diff. */
+  def lastRoute: Option[String] = route
+
+  def update(fullTable: DataFrame): Unit = {
+    val row = fullTable.agg(max(col(idCol))).head()
+    val newHigh = if (row.isNullAt(0)) None else Some(row.getLong(0))
+    newHigh.filter(h => highMark.forall(h > _)).foreach { h =>
+      fullTable.createOrReplaceTempView(scopedName)
+      val q = query(spark.table(scopedName))
+      def prev(empty: => DataFrame): DataFrame =
+        if (gen < 0) empty.limit(0)
+        else spark.read.parquet(s"$sinkPath/g$gen")
+      val next = graft.ivm.Ivm.maintainAuto(q) match {
+        case graft.ivm.Ivm.AppendDelta(rows) =>
+          route = Some("append"); prev(rows).unionByName(rows)
+        case graft.ivm.Ivm.MergePartial(ad) =>
+          route = Some("merge")
+          if (gen < 0) ad.partial
+          else graft.ivm.IvmAgg.merge(
+            spark.read.parquet(s"$sinkPath/g$gen"), ad)
+        case graft.ivm.Ivm.ApplySigned(sd) =>
+          route = Some("signed"); sd.applyTo(prev(sd.inserts))
+        case graft.ivm.Ivm.DiffRows(_) =>
+          route = Some("diff"); q.toDF() // recompute: the honest fallback
+      }
+      next.write.mode("overwrite").parquet(s"$sinkPath/g${(gen + 1) % 2}")
+      gen = (gen + 1) % 2
+      Snapshots.advanceTo(scopedName, h)
+      highMark = Some(h)
+    }
+  }
+
+  /** The maintained view (current generation). */
+  def result: DataFrame = {
+    require(gen >= 0,
+      s"IncrementalAutoView($table): result read before the first update()")
+    spark.read.parquet(s"$sinkPath/g$gen")
+  }
+}
+
 object IvmStream {
 
   private val viewIds = new java.util.concurrent.atomic.AtomicLong(0L)

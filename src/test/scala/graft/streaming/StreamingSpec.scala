@@ -402,4 +402,48 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         ("c", 1L, 1L, 1L)))
     } finally q.stop()
   }
+
+  test("streaming auto view: agg-join shape maintains on the SIGNED rung") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val dir = Files.createTempDirectory("ivm_auto_stream").toString
+    val basePath = s"$dir/base"
+    // static dimension (parquet-backed like every real dim)
+    Seq(("a", "alpha"), ("b", "beta"), ("c", "gamma")).toDF("dk", "dn")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = () => spark.read.parquet(s"$dir/dim")
+
+    // the r6 merge-rung shape: rollup feeding an inner dim join with a
+    // row-wise top — the streaming twin of delta_agg_join
+    val q = (df: DataFrame) => df.groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+      .join(dim(), col("k") === col("dk"), "inner")
+      .select(col("dn"), col("cnt"), col("sum_v"))
+    val view = new IncrementalAutoView(spark, "sauto", "event_id", q,
+      s"$dir/sink")
+
+    val in = MemoryStream[(Long, String, Long)]
+    val accumulate: DataFrame => DataFrame = { batch =>
+      batch.toDF("event_id", "k", "v").write.mode("append").parquet(basePath)
+      spark.read.parquet(basePath)
+    }
+    val s = IvmStream.maintain(view, in.toDF(), accumulate).start()
+    try {
+      in.addData((1L, "a", 10L), (2L, "b", 5L))
+      s.processAllAvailable()
+      in.addData((3L, "a", 7L), (4L, "c", 1L)) // changes a, introduces c
+      s.processAllAvailable()
+
+      assert(view.lastRoute.contains("signed"),
+        s"agg-join must take the signed merge rung, got ${view.lastRoute}")
+      val got = view.result.orderBy("dn").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val expect = q(spark.read.parquet(basePath)).orderBy("dn").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expect, s"got $got expect $expect")
+      assert(got == Seq(("alpha", 2L, 17L), ("beta", 1L, 5L),
+        ("gamma", 1L, 1L)))
+    } finally s.stop()
+  }
 }
