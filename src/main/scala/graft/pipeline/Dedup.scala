@@ -315,11 +315,15 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — the " +
           "pair graph has a longer chain than expected; raise maxIter")
     }
-    // the returned frame carries its own persist over the final checkpoint
-    // so the caller's unpersist() frees it the usual way
-    val out = labels.drop("chg").persist()
-    out.count()
-    (out, iter)
+    // the final round's frame is ALREADY materialized (eager
+    // localCheckpoint) — returning it directly avoids a second cached
+    // copy. (The previous extra persist() was a per-execution block leak
+    // for callers that never unpersist — e.g. the declared query run
+    // repeatedly by the bench — and showed up as multi-second run-to-run
+    // variance while the ContextCleaner caught up. Checkpoint blocks are
+    // freed when the frame is garbage-collected, same as every other
+    // localCheckpoint in the engine; a caller's unpersist() is a no-op.)
+    (labels.drop("chg"), iter)
   }
 
   private val ShinglesCte =

@@ -205,21 +205,23 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     labels.unpersist()
   }
 
-  test("connectedComponents: caller's unpersist frees the returned cache") {
+  test("connectedComponents: result is materialized, not cache-registered") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
     val labels = Dedup.connectedComponents(pairs)
     assert(labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
-    // the returned frame IS the cached one: unpersist must actually drop it
+    // the returned frame is an eager localCheckpoint (already-computed
+    // blocks, freed on GC) and must NOT also sit in the cache manager —
+    // the previous extra persist() leaked one cached copy per execution
+    // for callers that never unpersist (e.g. the bench re-running the
+    // declared query), surfacing as multi-second run-to-run variance
     import org.apache.spark.sql.classic
     val ds = labels.asInstanceOf[classic.Dataset[_]]
     assert(ds.sparkSession.sharedState.cacheManager
-      .lookupCachedData(ds).nonEmpty,
-      "returned frame should be cached")
-    labels.unpersist()
-    assert(ds.sparkSession.sharedState.cacheManager
       .lookupCachedData(ds).isEmpty,
-      "unpersist on the returned frame must free the cache")
+      "returned frame must not be registered in the cache manager")
+    labels.unpersist() // contract: a harmless no-op
+    assert(labels.count() == 5, "frame must stay readable after unpersist")
   }
 }
