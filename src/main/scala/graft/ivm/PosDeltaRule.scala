@@ -147,6 +147,19 @@ object PosDeltaRule extends Rule[LogicalPlan] {
     case r: RepartitionByExpression =>
       r.copy(child = PosDelta(r.child))
 
+    // δ(Sort(R)) = δ(R): the delta contract is MULTISET-level
+    // (δQ == Q(full) − Q(base) as multisets, like every Except/identity in
+    // this engine), and a mid-tree sort does not change the multiset — so
+    // the marker passes through and the sort is simply dropped from the
+    // delta plan (Catalyst's EliminateSorts removes non-top-level sorts
+    // from the full plan for the same reason). Row ORDER of a delta batch
+    // was never part of the contract; a consumer needing ordered output
+    // sorts the maintained view, not the delta. (Direct recursion rather
+    // than re-marking: transformDown does not re-apply the rule to the
+    // node it just produced, so a returned bare marker would survive.)
+    case s: Sort =>
+      rewrite(s.child)
+
     // δ(DISTINCT R) = Distinct(δR) ∖set Distinct(base R): distinct is
     // MONOTONE under inserts (a value once present never leaves), so
     // insert-only algebra covers it — the delta is exactly the values the
@@ -161,6 +174,7 @@ object PosDeltaRule extends Rule[LogicalPlan] {
     // join probing the base-distinct side — no corpus re-shuffle beyond
     // the one distinct the view definition already pays.
     case Distinct(child) =>
+      requireDeterministicSubtree(child, "DISTINCT")
       Except(Distinct(PosDelta(child)),
         freshInstance(Distinct(BaseRel(child))), isAll = false)
 
@@ -170,6 +184,7 @@ object PosDeltaRule extends Rule[LogicalPlan] {
     // so no delta identity can hold; it falls through to fail-fast.
     case Deduplicate(keys, child) if keys.map(_.exprId).toSet ==
         child.output.map(_.exprId).toSet =>
+      requireDeterministicSubtree(child, "dropDuplicates")
       Except(Deduplicate(keys, PosDelta(child)),
         freshInstance(Deduplicate(keys, BaseRel(child))), isAll = false)
 
@@ -213,10 +228,32 @@ object PosDeltaRule extends Rule[LogicalPlan] {
           "supported: Project, Filter, inner/cross/semi Join, Union, " +
           "Expand, deterministic Generate, repartitioning, table scans, " +
           "DISTINCT / dropDuplicates over all columns (anywhere in the " +
-          "tree); for grouped aggregates use graft.ivm.IvmAgg, the signed " +
+          "tree), mid-tree sorts (dropped: deltas are multisets); for " +
+          "grouped aggregates use graft.ivm.IvmAgg, the signed " +
           "Ivm.deltaAgg (mid-tree aggregate-join shapes route there via " +
           "Ivm.maintainAuto), or Ivm.maintainAuto")
   }
+
+  /** The Distinct/Deduplicate rungs evaluate the SAME base rows twice (the
+    * δ arm's Distinct and the base arm's, subtracted) — a nondeterministic
+    * expression anywhere below makes the two evaluations draw different
+    * values, so the set difference emits garbage rows that LOOK like a
+    * delta. Insert-only pass-through cases (Project/Filter/joins) are not
+    * double-evaluating and stay permissive (new rows drawing fresh values
+    * is the ordinary Spark semantic, e.g. salting); only the
+    * difference-based rungs must reject.
+    */
+  private def requireDeterministicSubtree(plan: LogicalPlan,
+      rung: String): Unit =
+    plan.foreach { p =>
+      p.expressions.filterNot(_.deterministic).foreach { e =>
+        throw new UnsupportedOperationException(
+          s"PosDelta: $rung maintenance evaluates the base subtree twice " +
+            s"and subtracts, so the nondeterministic expression $e would " +
+            "produce spurious delta rows; materialize the nondeterministic " +
+            "stage first, or use Ivm.deltaByDiff over a materialized input")
+      }
+    }
 
   /** A copy of `plan` with every relation re-instanced (fresh ExprIds),
     * every alias re-minted, and every expression rewritten against the

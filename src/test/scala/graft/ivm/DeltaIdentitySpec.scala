@@ -170,6 +170,36 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
     check(f(t("orders")), f(base("orders")))
   }
 
+  test("identity: mid-tree sort is dropped (deltas are multisets)") {
+    // orderBy below a filter: the delta contract is multiset-level, so the
+    // sort passes through (and disappears from the delta plan) instead of
+    // failing fast
+    check(
+      t("orders").orderBy(col("o_totalprice").desc)
+        .filter(col("o_orderstatus") === "O").select("o_orderkey"),
+      base("orders").filter(col("o_orderstatus") === "O")
+        .select("o_orderkey"))
+  }
+
+  test("nondeterministic expression under the DISTINCT rung is rejected") {
+    // the Distinct rung subtracts two evaluations of the base subtree — a
+    // rand() below would draw different values in each and emit garbage
+    // rows that LOOK like a delta; the rewrite must refuse, naming the
+    // hatch (insert-only pass-through shapes stay permissive)
+    val e = intercept[UnsupportedOperationException] {
+      Ivm.delta(t("orders")
+        .select(col("o_orderkey"), (rand(7) * 10).cast("long").as("bucket"))
+        .distinct())
+    }
+    assert(e.getMessage.contains("nondeterministic") &&
+      e.getMessage.contains("deltaByDiff"), e.getMessage)
+    // ...while the same projection WITHOUT the distinct goes through (new
+    // rows drawing fresh values is the ordinary Spark semantic)
+    assert(Ivm.delta(t("orders")
+      .select(col("o_orderkey"), (rand(7) * 10).cast("long").as("bucket")))
+      .count() > 0)
+  }
+
   test("identity: SQL entry point (plan from the SQL parser, mod.rs:225)") {
     t("orders").createOrReplaceTempView("orders")
     val full = spark.sql(
