@@ -61,6 +61,31 @@ object Dedup {
         (1 until h).map(i =>
           min(md5(concat(lit(s"h$i|"), col("s")).cast("binary"))).as(s"mh$i")): _*)
 
+  /** Benchmark DECONTAMINATION — the train/test-overlap gate every serious
+    * pretraining pipeline runs before training: training documents sharing
+    * at least `minOverlap` distinct trigram shingles with ANY benchmark
+    * document are flagged (a real pipeline drops or documents them; exact
+    * and near duplicates of benchmark items both surface, since near-dups
+    * share most shingles).
+    *
+    * Scale shape: the benchmark shingle SET is deduplicated and joined by
+    * equality — benchmarks are small (thousands of items), so the set
+    * broadcasts and the corpus-side cost is one codegen'd shingle scan +
+    * a per-document count aggregate; the corpus is never shuffled by
+    * shingle. Shingling is the same [[shingleRows]] kernel as the dedup
+    * ladder (per-document distinct inside the kernel), so `count(*)` after
+    * the join IS the distinct-overlap count.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+      minOverlap: Int): DataFrame = {
+    val benchSet = shingleRows(bench).select("s").distinct()
+    shingleRows(train)
+      .join(benchSet, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** LSH candidate pairs: documents agreeing on ≥1 band of `rows` minhashes
     * (P[candidate] ≈ 1-(1-j^rows)^bands). Band-key equality join — inverted
     * index, never cross join; at scale AQE splits skewed bands.
@@ -518,6 +543,29 @@ object Dedup {
              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
              |SELECT id AS doc_id, MIN(r) AS survivor FROM reach
              |GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination over a synthetic split: docs with
+    // doc_id % 10 = 3 play the benchmark, the rest the training corpus;
+    // flagged = >= 10 distinct shared trigrams (catches the planted
+    // duplicates/near-duplicates of benchmark docs plus heavy phrase
+    // overlap). The oracle replays the shingle CTE + set join, so the
+    // hash compare pins tokenization, per-doc distinct, and the overlap
+    // count end to end.
+    QueryDef("decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        decontaminate(
+          docs.filter(col("doc_id") % 10 =!= 3),
+          docs.filter(col("doc_id") % 10 === 3), 10)
+          .orderBy("doc_id")
+      },
+      Some(s"""$ShinglesCte,
+             |bs AS (SELECT DISTINCT s FROM ws WHERE doc_id % 10 = 3),
+             |tr AS (SELECT doc_id, s FROM ws WHERE doc_id % 10 <> 3)
+             |SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
+             |FROM tr JOIN bs ON tr.s = bs.s
+             |GROUP BY tr.doc_id HAVING COUNT(*) >= 10
+             |ORDER BY doc_id""".stripMargin)),
 
     // Embedding near-dups (LSH-bucketed, integer-quantized score
     // threshold). 0.45 is calibrated to the synthetic embeddings (max pair

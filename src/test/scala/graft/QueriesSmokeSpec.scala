@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 90 declared operator queries are all present (SURVEY §2)") {
+  test("the 91 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -47,8 +47,8 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "stream_sessions", "seq_pack", "corpus_stats",
       // round-6 surface
       "delta_agg_join", "stream_correlate", "delta_centroids",
-      "delta_ann_topk")
-    assert(declared.size == 90)
+      "delta_ann_topk", "decontaminate")
+    assert(declared.size == 91)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
