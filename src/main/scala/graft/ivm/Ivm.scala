@@ -552,6 +552,7 @@ object Ivm {
   /** Route a query down the maintenance ladder instead of throwing:
     * algebraic delta → mergeable-aggregate partial → append-only
     * INTERSECT rung → signed delta (outer / anti join and EXCEPT roots;
+    * aggregate ⋈ other inner joins incl. row-wise tops, [[deltaAgg]];
     * top-k roots; key-scoped decomposable queries) →
     * differencing. Every query the engine
     * can run is maintainable through this entry point; the returned case

@@ -199,6 +199,28 @@ class VecExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("vec_dot_scaled: property — matches a BigInt reference on random vectors") {
+    import spark.implicits._
+    // randomized vectors (seeded), checked against an exact BigInt fold —
+    // so the kernel's long arithmetic (floor on negatives included) can't
+    // drift from the declared quantized-dot semantics the oracles replay
+    val rnd = new scala.util.Random(1234)
+    val S = 1000000L
+    val cases = List.fill(40)(
+      (Seq.fill(16)(rnd.nextFloat() * 2 - 1f),
+        Seq.fill(16)(rnd.nextFloat() * 2 - 1f)))
+    def ref(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        BigInt(math.floor(x.toDouble * S).toLong) *
+          BigInt(math.floor(y.toDouble * S).toLong)
+      }.sum.toLong
+    val got = cases.toDF("a", "b")
+      .select(VecFunctions.vecDotScaled(col("a"), col("b"), S, S))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map { case (a, b) => ref(a, b) },
+      "kernel diverged from the BigInt reference")
+  }
+
   test("vec_near_cells_scaled: integer-distance order, index tiebreak, both paths") {
     import spark.implicits._
     // quantized v = (10, 1); distances: c0=(10,0)→1, c1=(0,10)→181,
