@@ -684,10 +684,19 @@ object Ivm {
         post.foldLeft(sd.inserts)((d, f) => f(d)),
         post.foldLeft(sd.retracts)((d, f) => f(d)))
 
-    def build(agg: Aggregate, other: LogicalPlan,
+    def build(aggSide: LogicalPlan, other: LogicalPlan,
         cond: org.apache.spark.sql.catalyst.expressions.Expression,
         aggLeft: Boolean): Option[SignedDelta] = {
-      val aNames = agg.output.map(_.name)
+      // the aggregate side may itself carry row-wise tops
+      // (`agg.filter(having).join(dim)`): peel them side-locally — the
+      // signed pair commutes, and the peeled transforms restore exactly
+      // the output names the join condition references
+      val (sideCore, sideFs) = peel(aggSide)
+      val agg = sideCore match {
+        case a: Aggregate => a
+        case _ => return None
+      }
+      val aNames = aggSide.output.map(_.name)
       val oNames = other.output.map(_.name)
       val outOrder =
         (if (aggLeft) aNames ++ oNames else oNames ++ aNames).map(col)
@@ -703,7 +712,7 @@ object Ivm {
         val byName = GraftSql.column(cond.transform {
           case a: AttributeReference => UnresolvedAttribute(a.name)
         })
-        val sd = deltaAgg(baseOf(aggDf), aggDf)
+        val sd = applyPost(deltaAgg(baseOf(aggDf), aggDf), sideFs)
         val oHasDelta = PosDeltaRule.deltaSourceScans(other)
           .exists(ResolvePosDeltaScan.isRegistered)
         val oBase = if (oHasDelta) baseOf(oDf) else oDf
@@ -711,7 +720,9 @@ object Ivm {
         val inserts =
           if (!oHasDelta) inserts0
           else {
-            val aFull = IvmAgg.merge(baseOf(aggDf), IvmAgg.deltaPartial(aggDf))
+            val aFull = sideFs.foldLeft(
+              IvmAgg.merge(baseOf(aggDf), IvmAgg.deltaPartial(aggDf)))(
+              (d, f) => f(d))
             inserts0.unionByName(aFull.join(delta(oDf), byName, "inner"))
           }
         val retracts = sd.retracts.join(reMint(oBase), byName, "inner")
@@ -722,10 +733,9 @@ object Ivm {
 
     val (core, post) = peel(GraftSql.analyzed(df))
     val sd = core match {
-      case Join(l: Aggregate, r, Inner, Some(cond), _) =>
+      case Join(l, r, Inner, Some(cond), _) =>
         build(l, r, cond, aggLeft = true)
-      case Join(l, r: Aggregate, Inner, Some(cond), _) =>
-        build(r, l, cond, aggLeft = false)
+          .orElse(build(r, l, cond, aggLeft = false))
       // a bare aggregate under the peeled tops (HAVING / projected view):
       // the signed merge pair, filtered/projected per row
       case agg: Aggregate if post.nonEmpty =>

@@ -129,4 +129,56 @@ class DeltaAlgebraPropSpec extends AnyFunSuite with SparkFixture {
         s"agg maintenance failed for m=$m data=$data")
     }
   }
+
+  test("property: SIGNED aggregate delta identity (deltaAgg, r6)") {
+    val rnd = new scala.util.Random(7)
+    (1 to Cases).foreach { _ =>
+      val data = (1, 1) :: randTable(rnd)
+      val m = 2 + rnd.nextInt(3)
+      df(data, "k1", "v1").createOrReplaceTempView("prop_sagg")
+      DeltaSources.register("prop_sagg", s"k1 % $m = 0")
+      val v = spark.table("prop_sagg")
+      val q = (d: DataFrame) => d.groupBy("k1")
+        .agg(count(lit(1)).as("cnt"), sum(col("v1")).as("s"),
+          min(col("v1")).as("mn"), max(col("v1")).as("mx"))
+      val view = q(v.filter(expr(s"NOT (k1 % $m = 0)")))
+      val sd = Ivm.deltaAgg(view, q(v))
+      assert(multisetEqual(sd.applyTo(view), q(v)),
+        s"signed agg identity failed for m=$m data=$data")
+      // netting: retracts never mention groups the delta did not touch
+      val touched = v.filter(expr(s"k1 % $m = 0"))
+        .select("k1").distinct().collect().map(_.getInt(0)).toSet
+      val retracted = sd.retracts.select("k1").collect()
+        .map(_.getInt(0)).toSet
+      assert(retracted.subsetOf(touched),
+        s"retracted untouched groups: ${retracted -- touched} (m=$m)")
+    }
+  }
+
+  test("property: agg-join signed route identity (maintainAuto, r6)") {
+    val rnd = new scala.util.Random(8)
+    (1 to Cases).foreach { _ =>
+      val data = (1, 1) :: randTable(rnd)
+      val dim = randTable(rnd).map { case (k, v) => (k, s"n$v") }.distinct
+      val m = 2 + rnd.nextInt(3); val md = 2 + rnd.nextInt(3)
+      df(data, "k1", "v1").createOrReplaceTempView("prop_aj_f")
+      import spark.implicits._
+      dim.toDF("k2", "nm").createOrReplaceTempView("prop_aj_d")
+      DeltaSources.register("prop_aj_f", s"k1 % $m = 0")
+      DeltaSources.register("prop_aj_d", s"k2 % $md = 0")
+      val q = (f: DataFrame, d: DataFrame) =>
+        f.groupBy("k1").agg(count(lit(1)).as("cnt"), sum(col("v1")).as("s"))
+          .join(d, col("k1") === col("k2"), "inner")
+      val full = q(spark.table("prop_aj_f"), spark.table("prop_aj_d"))
+      val baseView = q(
+        spark.table("prop_aj_f").filter(expr(s"NOT (k1 % $m = 0)")),
+        spark.table("prop_aj_d").filter(expr(s"NOT (k2 % $md = 0)")))
+      Ivm.maintainAuto(full) match {
+        case Ivm.ApplySigned(sd) =>
+          assert(multisetEqual(sd.applyTo(baseView), full),
+            s"agg-join identity failed for m=$m md=$md data=$data dim=$dim")
+        case other => fail(s"expected the signed agg-join rung, got $other")
+      }
+    }
+  }
 }

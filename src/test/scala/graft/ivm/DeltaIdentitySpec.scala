@@ -752,6 +752,25 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("maintainAuto: HAVING between the aggregate and the join peels too") {
+    // agg.filter(having).join(dim): the row-wise top sits on the AGG SIDE
+    // below the join — peeled side-locally, so the shape still routes to
+    // the signed merge rung
+    val q = (o: DataFrame, c: DataFrame) =>
+      o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 8)
+        .join(c.select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"), "inner")
+    Ivm.maintainAuto(q(t("orders"), t("customer"))) match {
+      case Ivm.ApplySigned(sd) =>
+        assertMultisetEqual(
+          q(t("orders"), t("customer")),
+          sd.applyTo(q(base("orders"), base("customer"))))
+      case other => fail(s"expected the signed agg-join rung, got $other")
+    }
+  }
+
   test("maintainAuto: aggregate on the RIGHT side of the join, layout kept") {
     val q = (o: DataFrame, c: DataFrame) =>
       c.select("c_custkey", "c_name")
