@@ -471,6 +471,71 @@ object Queries {
              |  CAST(-1 AS BIGINT) AS sign FROM ret
              |ORDER BY o_custkey, sign""".stripMargin)),
 
+    // AGG-JOIN-AGG maintenance (r6): BOTH inner-join sides are grouped
+    // aggregates over delta sources — per-nation customer rollup ⋈
+    // per-nation supplier rollup. Each side steps signed (changed groups
+    // retract their old row and insert the merged one), and the rung
+    // composes them as Δ(A⋈B) = δA⋈B + A'⋈δB with a SIGNED δB, so the
+    // retract union carries both sides' retractions through the join.
+    // Neither base corpus is re-aggregated: each side's step comes from
+    // its materialized view + the pruned δ partial (Ivm.deltaAgg), and the
+    // join terms probe by the small changed-group frames. The oracle
+    // derives the signed pair from first principles (Q(full)/Q(base)
+    // EXCEPT ALL both ways); hash equality pins the two-sided composition.
+    QueryDef("delta_agg_agg",
+      (s, d) => {
+        import graft.ivm.Ivm
+        val q = t(s, d, "customer").groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("c_cnt"),
+            sum(col("c_acctbal").cast(DecimalType(18, 2))).as("c_bal"))
+          .join(
+            t(s, d, "supplier").groupBy(col("s_nationkey"))
+              .agg(count(lit(1)).as("s_cnt"),
+                max(col("s_acctbal")).as("s_mx")),
+            col("c_nationkey") === col("s_nationkey"), "inner")
+        val sd = Ivm.maintainAuto(q) match {
+          case Ivm.ApplySigned(sd) => sd
+          case other => throw new IllegalStateException(
+            s"delta_agg_agg must route to the signed agg-join rung, got $other")
+        }
+        sd.inserts.withColumn("sign", lit(1L))
+          .unionByName(sd.retracts.withColumn("sign", lit(-1L)))
+          .select(col("c_nationkey"), col("c_cnt"),
+            col("c_bal").cast("double").as("c_bal"),
+            col("s_nationkey"), col("s_cnt"), col("s_mx"), col("sign"))
+          .orderBy("c_nationkey", "sign")
+      },
+      Some("""WITH cfull AS (
+             |  SELECT c_nationkey, COUNT(*) AS c_cnt,
+             |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS c_bal
+             |  FROM customer GROUP BY c_nationkey),
+             |cbase AS (
+             |  SELECT c_nationkey, COUNT(*) AS c_cnt,
+             |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS c_bal
+             |  FROM customer WHERE NOT (c_custkey % 10 = 0)
+             |  GROUP BY c_nationkey),
+             |sfull AS (
+             |  SELECT s_nationkey, COUNT(*) AS s_cnt, MAX(s_acctbal) AS s_mx
+             |  FROM supplier GROUP BY s_nationkey),
+             |sbase AS (
+             |  SELECT s_nationkey, COUNT(*) AS s_cnt, MAX(s_acctbal) AS s_mx
+             |  FROM supplier WHERE NOT (s_suppkey % 3 = 0)
+             |  GROUP BY s_nationkey),
+             |qfull AS (
+             |  SELECT c_nationkey, c_cnt, c_bal, s_nationkey, s_cnt, s_mx
+             |  FROM cfull JOIN sfull ON c_nationkey = s_nationkey),
+             |qbase AS (
+             |  SELECT c_nationkey, c_cnt, c_bal, s_nationkey, s_cnt, s_mx
+             |  FROM cbase JOIN sbase ON c_nationkey = s_nationkey),
+             |ins AS (SELECT * FROM qfull EXCEPT ALL SELECT * FROM qbase),
+             |ret AS (SELECT * FROM qbase EXCEPT ALL SELECT * FROM qfull)
+             |SELECT c_nationkey, c_cnt, c_bal, s_nationkey, s_cnt, s_mx,
+             |  CAST(1 AS BIGINT) AS sign FROM ins
+             |UNION ALL
+             |SELECT c_nationkey, c_cnt, c_bal, s_nationkey, s_cnt, s_mx,
+             |  CAST(-1 AS BIGINT) AS sign FROM ret
+             |ORDER BY c_nationkey, sign""".stripMargin)),
+
     // TOP-K maintenance rung (Ivm.topKMerge / deltaTopK): the top-25
     // orders by price, maintained as merge(topk(base), topk(δ)) — the base
     // corpus is never rescanned and both inputs plan as

@@ -716,18 +716,59 @@ object Ivm {
         val oHasDelta = PosDeltaRule.deltaSourceScans(other)
           .exists(ResolvePosDeltaScan.isRegistered)
         val oBase = if (oHasDelta) baseOf(oDf) else oDf
-        val inserts0 = sd.inserts.join(oBase, byName, "inner")
-        val inserts =
-          if (!oHasDelta) inserts0
-          else {
-            val aFull = sideFs.foldLeft(
-              IvmAgg.merge(baseOf(aggDf), IvmAgg.deltaPartial(aggDf)))(
-              (d, f) => f(d))
-            inserts0.unionByName(aFull.join(delta(oDf), byName, "inner"))
+        lazy val aFull = sideFs.foldLeft(
+          IvmAgg.merge(baseOf(aggDf), IvmAgg.deltaPartial(aggDf)))(
+          (d, f) => f(d))
+        // the other side's own step, three ways: STATIC (no registered
+        // source below it — the A'⋈δB term vanishes), INSERT-ONLY (the
+        // envelope rewrite applies — one extra insert arm), or SIGNED
+        // (the other side is ITSELF a peeled mergeable aggregate — the
+        // agg⋈agg case; its insert/retract pair both propagate through
+        // A'). Anything else aborts the rung (→ key-scoped/differencing).
+        sealed trait OtherStep
+        object Static extends OtherStep
+        final case class InsertOnly(rows: DataFrame) extends OtherStep
+        final case class Signed(osd: SignedDelta) extends OtherStep
+        val oStep: OtherStep =
+          if (!oHasDelta) Static
+          else try InsertOnly(delta(oDf))
+          catch {
+            case _: UnsupportedOperationException =>
+              val (oCore, oFs) = peel(other)
+              val oAgg = oCore match {
+                case a: Aggregate => a
+                case _ => return None
+              }
+              val oCoreDf = GraftSql.ofRows(spark, oAgg)
+              Signed(applyPost(deltaAgg(baseOf(oCoreDf), oCoreDf), oFs))
           }
-        val retracts = sd.retracts.join(reMint(oBase), byName, "inner")
-        Some(signed(inserts.select(outOrder: _*),
-          retracts.select(outOrder: _*)))
+        val inserts0 = sd.inserts.join(oBase, byName, "inner")
+        val retracts0 = sd.retracts.join(reMint(oBase), byName, "inner")
+        // Δ(A⋈B) = δA⋈B + A'⋈δB  (A' = the merged full agg view): with a
+        // signed δB = Ib − Rb the second term splits by sign, so Rb rows
+        // retract their A'-joined tuples — exactly the agg⋈agg algebra
+        oStep match {
+          case Static =>
+            Some(signed(inserts0.select(outOrder: _*),
+              retracts0.select(outOrder: _*)))
+          case InsertOnly(rows) =>
+            // arms are disjoint by construction (I vs R groups net inside
+            // deltaAgg; δB rows exist in no base-joined arm) — no netting
+            Some(signed(
+              inserts0.unionByName(aFull.join(rows, byName, "inner"))
+                .select(outOrder: _*),
+              retracts0.select(outOrder: _*)))
+          case Signed(osd) =>
+            // a key changed on BOTH sides emits cancelling pairs across
+            // arms (Ia⋈B also appears as A'⋈Rb): net the final pair so
+            // the delta is the minimal signed difference
+            Some(signedNet(
+              inserts0.unionByName(aFull.join(osd.inserts, byName, "inner"))
+                .select(outOrder: _*),
+              retracts0.unionByName(
+                reMint(aFull).join(osd.retracts, byName, "inner"))
+                .select(outOrder: _*)))
+        }
       } catch { case _: UnsupportedOperationException => None }
     }
 

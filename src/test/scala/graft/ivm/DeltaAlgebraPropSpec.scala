@@ -181,4 +181,36 @@ class DeltaAlgebraPropSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("property: agg-JOIN-agg signed route identity (both sides aggregate, r6)") {
+    val rnd = new scala.util.Random(9)
+    (1 to Cases).foreach { _ =>
+      // (1,1) on both sides guarantees a non-empty join; random splits on
+      // both sides exercise every term of δA⋈B + A'⋈δB (Ib AND Rb arms)
+      val dataL = (1, 1) :: randTable(rnd)
+      val dataR = (1, 1) :: randTable(rnd)
+      val mL = 2 + rnd.nextInt(3); val mR = 2 + rnd.nextInt(3)
+      df(dataL, "k1", "v1").createOrReplaceTempView("prop_aa_l")
+      df(dataR, "k2", "v2").createOrReplaceTempView("prop_aa_r")
+      DeltaSources.register("prop_aa_l", s"k1 % $mL = 0")
+      DeltaSources.register("prop_aa_r", s"k2 % $mR = 0")
+      val q = (l: DataFrame, r: DataFrame) =>
+        l.groupBy("k1").agg(count(lit(1)).as("lcnt"), sum(col("v1")).as("ls"))
+          .join(
+            r.groupBy("k2").agg(count(lit(1)).as("rcnt"),
+              max(col("v2")).as("rmx")),
+            col("k1") === col("k2"), "inner")
+      val full = q(spark.table("prop_aa_l"), spark.table("prop_aa_r"))
+      val baseView = q(
+        spark.table("prop_aa_l").filter(expr(s"NOT (k1 % $mL = 0)")),
+        spark.table("prop_aa_r").filter(expr(s"NOT (k2 % $mR = 0)")))
+      Ivm.maintainAuto(full) match {
+        case Ivm.ApplySigned(sd) =>
+          assert(multisetEqual(sd.applyTo(baseView), full),
+            s"agg-join-agg identity failed for mL=$mL mR=$mR " +
+              s"dataL=$dataL dataR=$dataR")
+        case other => fail(s"expected the signed agg-join rung, got $other")
+      }
+    }
+  }
 }

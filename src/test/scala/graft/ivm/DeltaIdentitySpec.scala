@@ -752,6 +752,28 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("maintainAuto: BOTH join sides aggregates (agg-join-agg, signed route)") {
+    // per-nation customer rollup ⋈ per-nation supplier rollup: both sides
+    // carry deltas and both retract their changed groups — the full
+    // δA⋈B + A'⋈δB algebra with a signed δB. The supplier side also
+    // carries a HAVING top, exercising the other-side peel.
+    val q = (c: DataFrame, s: DataFrame) =>
+      c.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("c_cnt"))
+        .join(
+          s.groupBy(col("s_nationkey"))
+            .agg(count(lit(1)).as("s_cnt"), max(col("s_acctbal")).as("s_mx"))
+            .filter(col("s_cnt") >= 1),
+          col("c_nationkey") === col("s_nationkey"), "inner")
+    Ivm.maintainAuto(q(t("customer"), t("supplier"))) match {
+      case Ivm.ApplySigned(sd) =>
+        assertMultisetEqual(
+          q(t("customer"), t("supplier")),
+          sd.applyTo(q(base("customer"), base("supplier"))))
+      case other => fail(s"expected the signed agg-join rung, got $other")
+    }
+  }
+
   test("maintainAuto: HAVING between the aggregate and the join peels too") {
     // agg.filter(having).join(dim): the row-wise top sits on the AGG SIDE
     // below the join — peeled side-locally, so the shape still routes to
