@@ -266,6 +266,43 @@ object PipelineQueries {
              |      < CASE WHEN lang = 'en' THEN 20 ELSE 40 END
              |ORDER BY doc_id""".stripMargin)),
 
+    // Domain remixing (r6): rebalance the corpus toward target per-domain
+    // weights with DETERMINISTIC hash-threshold sampling — keep doc iff
+    // the first 8 md5 hex chars of its id compare below the domain's
+    // threshold (lexicographic compare of fixed-width lowercase hex ==
+    // the uint32 compare, and it replays in any engine byte-for-byte; no
+    // rand(), so the sample is stable across retries/stragglers — the
+    // property that makes a 100 TB resample reproducible). Even-numbered
+    // sources keep 1/2, odd keep 1/4. The report pins the exact kept SET,
+    // not just its size, via the kept-doc_id checksum.
+    QueryDef("domain_mix",
+      (s, d) => {
+        val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8)
+        val srcNum = regexp_replace(col("source"), lit("src"), lit(""))
+          .cast("int")
+        val thr = when(srcNum % 2 === 0, lit("80000000"))
+          .otherwise(lit("40000000"))
+        t(s, d, "documents")
+          .select(col("source"), col("doc_id"), (h < thr).as("keep"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), col("doc_id"))).as("kept_id_sum"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_kept,
+             |  CAST(SUM(CASE WHEN keep THEN doc_id END) AS BIGINT)
+             |    AS kept_id_sum
+             |FROM (
+             |  SELECT source, doc_id,
+             |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+             |      CASE WHEN CAST(REPLACE(source, 'src', '') AS INT) % 2 = 0
+             |        THEN '80000000' ELSE '40000000' END AS keep
+             |  FROM documents)
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
     // Sketch-based corpus stats: HLL distinct texts + t-digest length
     // quantiles per language. At 100 TB exact COUNT(DISTINCT text) is a
     // full-text shuffle; the sketches are fixed-size mergeable state with

@@ -277,6 +277,69 @@ object TextOps {
              |      ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rk
              |  FROM tf JOIN df ON tf.token = df.token)
              |SELECT doc_id, rk, token, tf, df FROM rk WHERE rk <= 3
-             |ORDER BY doc_id, rk""".stripMargin))
+             |ORDER BY doc_id, rk""".stripMargin)),
+
+    // Gopher-style rule filter report (r6): the published pre-training
+    // corpus gates — word-count bounds, mean-word-length bounds,
+    // type-token ratio (the single-line corpus's analog of the
+    // repetition rules), stopword presence — evaluated per document and
+    // rolled up per source as independent drop counters + the kept count.
+    // Thresholds are part of the declared contract. Everything is
+    // codegen'd built-ins on a (source, text)-pruned scan; the only
+    // shuffle is the |sources|-row rollup, so at 100 TB this is one
+    // embarrassingly-parallel pass. The oracle recomputes every rule in
+    // DuckDB (same regexes, same double arithmetic).
+    QueryDef("gopher_quality",
+      (s, d) => {
+        val nw = words(col("text"))
+        val ns = length(regexp_replace(col("text"), lit(" "), lit("")))
+        val mwl = ns.cast("double") / nw.cast("double")
+        val ttr = size(array_distinct(split(col("text"), " ")))
+          .cast("double") / nw.cast("double")
+        val stops = regexp_count(col("text"), lit(StopPat)).cast("long")
+        val kept = (c: Column) => sum(when(c, 1L).otherwise(0L))
+        t(s, d, "documents")
+          .select(col("source"),
+            nw.between(30, 1000).as("r_len"),
+            mwl.between(3.0, 10.0).as("r_mwl"),
+            (ttr >= 0.45).as("r_ttr"),
+            (stops >= 2).as("r_stop"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            kept(!col("r_len")).as("drop_len"),
+            kept(!col("r_mwl")).as("drop_mwl"),
+            kept(!col("r_ttr")).as("drop_ttr"),
+            kept(!col("r_stop")).as("drop_stop"),
+            kept(col("r_len") && col("r_mwl") && col("r_ttr") &&
+              col("r_stop")).as("kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH f AS (
+             |  SELECT source,
+             |    (LENGTH(text) - LENGTH(REPLACE(text,' ','')) + 1) AS nw,
+             |    LENGTH(REPLACE(text,' ','')) AS ns,
+             |    len(list_distinct(string_split(text, ' '))) AS nd,
+             |    len(regexp_extract_all(text, '$StopPat')) AS stops
+             |  FROM documents),
+             |r AS (
+             |  SELECT source,
+             |    (nw BETWEEN 30 AND 1000) AS r_len,
+             |    (CAST(ns AS DOUBLE)/CAST(nw AS DOUBLE)
+             |       BETWEEN 3.0 AND 10.0) AS r_mwl,
+             |    (CAST(nd AS DOUBLE)/CAST(nw AS DOUBLE) >= 0.45) AS r_ttr,
+             |    (stops >= 2) AS r_stop
+             |  FROM f)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN NOT r_len THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS drop_len,
+             |  CAST(SUM(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS drop_mwl,
+             |  CAST(SUM(CASE WHEN NOT r_ttr THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS drop_ttr,
+             |  CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS drop_stop,
+             |  CAST(SUM(CASE WHEN r_len AND r_mwl AND r_ttr AND r_stop
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS kept
+             |FROM r GROUP BY source ORDER BY source""".stripMargin))
   )
 }

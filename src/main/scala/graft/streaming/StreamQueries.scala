@@ -274,6 +274,39 @@ object StreamQueries {
              |  ON l.user_id = r.user_id
              | AND l.ts <= r.ts AND l.ts >= r.ts - INTERVAL 3600 SECONDS
              |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
-             |ORDER BY 1, 2, 3""".stripMargin))
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // STREAMING EXACT DEDUP through the runtime (r6): the digest-keyed
+    // survivor view — state holds (digest) -> (min doc_id, count), every
+    // micro-batch folds its documents in, and the complete-mode final
+    // generation is the full dedup ledger (min/count merge associatively,
+    // so the result is schedule-independent). The digest is computed
+    // IN-STREAM from the text (the corpus-side work a live deployment
+    // does), only the 16-byte digest enters the shuffle/state. State is
+    // distinct-digest-sized — the production trade is the same one batch
+    // dedup_exact makes (a digest-keyed ledger IS the dedup index); with
+    // an append/update sink + watermark the state bounds to the dedup
+    // horizon instead. Oracle = the batch digest group-by.
+    QueryDef("stream_dedup",
+      (s, d) => {
+        val stage = stagedSource(s, d, "dedup") { p =>
+          Tables(s, d, "documents")
+            .select(col("doc_id"), col("text"))
+            .repartitionByRange(4, col("doc_id"))
+            .write.mode("overwrite").parquet(p)
+        }
+        replay(s, stage, "doc_id BIGINT, text STRING") { src =>
+          src
+            .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+            .groupBy("digest")
+            .agg(min(col("doc_id")).as("survivor_id"),
+              count(lit(1)).as("n_copies"))
+        }
+          .select(col("digest"), col("survivor_id"), col("n_copies"))
+          .orderBy("digest")
+      },
+      Some("""SELECT md5(text) AS digest, MIN(doc_id) AS survivor_id,
+             |  COUNT(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin))
   )
 }

@@ -47,8 +47,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "stream_sessions", "seq_pack", "corpus_stats",
       // round-6 surface
       "delta_agg_join", "stream_correlate", "delta_centroids",
-      "delta_ann_topk", "decontaminate", "delta_agg_agg")
-    assert(declared.size == 92)
+      "delta_ann_topk", "decontaminate", "delta_agg_agg",
+      "gopher_quality", "domain_mix", "stream_dedup")
+    assert(declared.size == 95)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
