@@ -210,6 +210,85 @@ object PipelineQueries {
              |WHERE side = 1
              |ORDER BY event_id""".stripMargin)),
 
+    // MAINTAINED AS-OF VIEW (r6): the events_asof temporal lookup kept
+    // incremental under event appends via the key-scoped rung — new
+    // events touch a sliver of users, and an appended purchase RETRACTS
+    // every later click's old match for that user (as-of is not
+    // append-monotone, so this genuinely needs the signed recompute, not
+    // the envelope). deltaKeyScoped recomputes ONLY the affected users'
+    // merge-windows — both restricted recomputes read
+    // broadcast-semi-join-pruned scans — the difference at 100 TB between
+    // re-sorting the corpus and re-sorting the touched users. The union+
+    // window form keeps `user_id` name-traceable for the validator; the
+    // oracle derives the signed pair from first principles.
+    QueryDef("delta_asof",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.ivm.Ivm
+        val q = (ev: DataFrame) => {
+          val u = ev.filter(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts"),
+              lit(null).cast("long").as("pin_event_id"),
+              lit(null).cast("double").as("pin_value"), lit(1).as("side"))
+            .unionByName(ev.filter(col("event_type") === "purchase")
+              .select(col("event_id"), col("user_id"), col("ts"),
+                col("event_id").as("pin_event_id"),
+                col("value").as("pin_value"), lit(0).as("side")))
+          val w = Window.partitionBy("user_id")
+            .orderBy(col("ts"), col("side"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          u.select(col("event_id"), col("user_id"), col("side"),
+              last(col("pin_event_id"), ignoreNulls = true).over(w)
+                .as("p_event_id"),
+              last(col("pin_value"), ignoreNulls = true).over(w)
+                .as("p_value"))
+            .filter(col("side") === 1)
+            .select("event_id", "user_id", "p_event_id", "p_value")
+        }
+        val sd = Ivm.deltaKeyScoped(q, t(s, d, "events"), Seq("user_id"))
+        sd.inserts.withColumn("sign", lit(1L))
+          .unionByName(sd.retracts.withColumn("sign", lit(-1L)))
+          .orderBy("event_id", "sign")
+      },
+      Some("""WITH u AS (
+             |  SELECT event_id, user_id, ts,
+             |    CAST(NULL AS BIGINT) AS pin_event_id,
+             |    CAST(NULL AS DOUBLE) AS pin_value, 1 AS side,
+             |    (ts >= TIMESTAMP '2024-01-28 00:00:00') AS isdelta
+             |  FROM events WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT event_id, user_id, ts, event_id, value, 0,
+             |    (ts >= TIMESTAMP '2024-01-28 00:00:00')
+             |  FROM events WHERE event_type = 'purchase'),
+             |qfull AS (
+             |  SELECT event_id, user_id, p_event_id, p_value FROM (
+             |    SELECT event_id, user_id, side,
+             |      last_value(pin_event_id IGNORE NULLS) OVER win
+             |        AS p_event_id,
+             |      last_value(pin_value IGNORE NULLS) OVER win AS p_value
+             |    FROM u
+             |    WINDOW win AS (PARTITION BY user_id
+             |      ORDER BY ts, side, event_id ROWS UNBOUNDED PRECEDING))
+             |  WHERE side = 1),
+             |qbase AS (
+             |  SELECT event_id, user_id, p_event_id, p_value FROM (
+             |    SELECT event_id, user_id, side,
+             |      last_value(pin_event_id IGNORE NULLS) OVER win
+             |        AS p_event_id,
+             |      last_value(pin_value IGNORE NULLS) OVER win AS p_value
+             |    FROM u WHERE NOT isdelta
+             |    WINDOW win AS (PARTITION BY user_id
+             |      ORDER BY ts, side, event_id ROWS UNBOUNDED PRECEDING))
+             |  WHERE side = 1),
+             |ins AS (SELECT * FROM qfull EXCEPT ALL SELECT * FROM qbase),
+             |ret AS (SELECT * FROM qbase EXCEPT ALL SELECT * FROM qfull)
+             |SELECT event_id, user_id, p_event_id, p_value,
+             |  CAST(1 AS BIGINT) AS sign FROM ins
+             |UNION ALL
+             |SELECT event_id, user_id, p_event_id, p_value,
+             |  CAST(-1 AS BIGINT) AS sign FROM ret
+             |ORDER BY event_id, sign""".stripMargin)),
+
     // Training-sample prep: split each document into fixed 50-word windows
     // (stride = width, no overlap). explode(sequence) + slice + array_join
     // are all per-row compiled expressions over the already-split array —

@@ -340,6 +340,42 @@ object TextOps {
              |    AS drop_stop,
              |  CAST(SUM(CASE WHEN r_len AND r_mwl AND r_ttr AND r_stop
              |    THEN 1 ELSE 0 END) AS BIGINT) AS kept
-             |FROM r GROUP BY source ORDER BY source""".stripMargin))
+             |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Intra-document repetition (r6): EXACT adjacent-duplicate-word count
+    // per document (the within-doc analog of Gopher's duplicate-line
+    // rules, computed exactly rather than via a heuristic regex — RE2 has
+    // no backreferences, so the portable form is index arithmetic over
+    // the split array with higher-order filter, identical semantics in
+    // both engines). Per-row array work, no shuffle beyond the final
+    // sort; at 100 TB this rides the same single corpus pass as the
+    // other per-doc features.
+    QueryDef("word_repetition",
+      (s, d) => {
+        val w = split(col("text"), " ")
+        val nw = size(w).cast("long")
+        val rep = when(size(w) >= 2,
+          size(filter(sequence(lit(2), size(w)),
+            i => element_at(w, i) === element_at(w, i - 1))))
+          .otherwise(0).cast("long")
+        val ratio = rep.cast("double") / (nw - 1).cast("double")
+        t(s, d, "documents")
+          .select(col("doc_id"), nw.as("n_words"), rep.as("rep_adj"),
+            ratio.as("rep_ratio"), (ratio > 0.05).as("repetitive"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |r AS (
+             |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             |    CAST(len(list_filter(generate_series(2, len(w)),
+             |      i -> w[i] = w[i-1])) AS BIGINT) AS rep_adj
+             |  FROM f)
+             |SELECT doc_id, n_words, rep_adj,
+             |  CAST(rep_adj AS DOUBLE) / CAST(n_words - 1 AS DOUBLE)
+             |    AS rep_ratio,
+             |  (CAST(rep_adj AS DOUBLE) / CAST(n_words - 1 AS DOUBLE) > 0.05)
+             |    AS repetitive
+             |FROM r ORDER BY doc_id""".stripMargin))
   )
 }

@@ -48,8 +48,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       // round-6 surface
       "delta_agg_join", "stream_correlate", "delta_centroids",
       "delta_ann_topk", "decontaminate", "delta_agg_agg",
-      "gopher_quality", "domain_mix", "stream_dedup")
-    assert(declared.size == 95)
+      "gopher_quality", "domain_mix", "stream_dedup",
+      "word_repetition", "delta_asof")
+    assert(declared.size == 97)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
