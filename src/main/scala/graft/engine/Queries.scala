@@ -536,6 +536,77 @@ object Queries {
              |  CAST(-1 AS BIGINT) AS sign FROM ret
              |ORDER BY c_nationkey, sign""".stripMargin)),
 
+    // TWO-LEVEL aggregate maintenance (r6): a per-nation re-aggregation
+    // OVER the maintained (per-customer rollup ⋈ customer) view — the
+    // aggOverSignedAuto rung. The child steps signed through the agg-join
+    // algebra; the outer sums/counts advance by ONE sign-weighted partial
+    // over those frames and the view merges groupwise (count(*) tracks
+    // liveness; summed columns are coalesce-wrapped per the non-nullable
+    // contract). Neither level ever re-aggregates the base corpus. The
+    // oracle derives the signed pair of the two-level view from first
+    // principles, pinning the composed algebra end to end.
+    QueryDef("delta_two_level",
+      (s, d) => {
+        import graft.ivm.Ivm
+        val zero = lit(0).cast(DecimalType(18, 2))
+        val inner = t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(coalesce(col("o_totalprice").cast(DecimalType(18, 2)), zero))
+              .as("spend"))
+          .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"), "inner")
+        val q = inner.groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("cnt")).as("n_orders"),
+            sum(coalesce(col("spend"), lit(0).cast(DecimalType(28, 2))))
+              .as("nation_spend"))
+        val sd = Ivm.maintainAuto(q) match {
+          case Ivm.ApplySigned(sd) => sd
+          case other => throw new IllegalStateException(
+            s"delta_two_level must route to the two-level rung, got $other")
+        }
+        sd.inserts.withColumn("sign", lit(1L))
+          .unionByName(sd.retracts.withColumn("sign", lit(-1L)))
+          .select(col("c_nationkey"), col("n_cust"), col("n_orders"),
+            col("nation_spend").cast("double").as("nation_spend"),
+            col("sign"))
+          .orderBy("c_nationkey", "sign")
+      },
+      Some("""WITH ifull AS (
+             |  SELECT o_custkey, COUNT(*) AS cnt,
+             |    SUM(COALESCE(CAST(o_totalprice AS DECIMAL(18,2)), 0))
+             |      AS spend
+             |  FROM orders GROUP BY o_custkey),
+             |ibase AS (
+             |  SELECT o_custkey, COUNT(*) AS cnt,
+             |    SUM(COALESCE(CAST(o_totalprice AS DECIMAL(18,2)), 0))
+             |      AS spend
+             |  FROM orders
+             |  WHERE NOT (o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+             |  GROUP BY o_custkey),
+             |qfull AS (
+             |  SELECT c_nationkey, COUNT(*) AS n_cust,
+             |    CAST(SUM(cnt) AS BIGINT) AS n_orders,
+             |    CAST(SUM(COALESCE(spend, 0)) AS DOUBLE) AS nation_spend
+             |  FROM ifull JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY c_nationkey),
+             |qbase AS (
+             |  SELECT c_nationkey, COUNT(*) AS n_cust,
+             |    CAST(SUM(cnt) AS BIGINT) AS n_orders,
+             |    CAST(SUM(COALESCE(spend, 0)) AS DOUBLE) AS nation_spend
+             |  FROM ibase JOIN
+             |    (SELECT * FROM customer WHERE NOT (c_custkey % 10 = 0)) cb
+             |    ON o_custkey = c_custkey
+             |  GROUP BY c_nationkey),
+             |ins AS (SELECT * FROM qfull EXCEPT ALL SELECT * FROM qbase),
+             |ret AS (SELECT * FROM qbase EXCEPT ALL SELECT * FROM qfull)
+             |SELECT c_nationkey, n_cust, n_orders, nation_spend,
+             |  CAST(1 AS BIGINT) AS sign FROM ins
+             |UNION ALL
+             |SELECT c_nationkey, n_cust, n_orders, nation_spend,
+             |  CAST(-1 AS BIGINT) AS sign FROM ret
+             |ORDER BY c_nationkey, sign""".stripMargin)),
+
     // TOP-K maintenance rung (Ivm.topKMerge / deltaTopK): the top-25
     // orders by price, maintained as merge(topk(base), topk(δ)) — the base
     // corpus is never rescanned and both inputs plan as

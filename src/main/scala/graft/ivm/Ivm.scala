@@ -610,9 +610,141 @@ object Ivm {
           GraftSql.ofRows(spark, l), GraftSql.ofRows(spark, r),
           GraftSql.column(cond)))
       case _ =>
-        aggJoinAuto(df).orElse(topKAuto(df)).orElse(keyScopedAuto(df))
+        aggJoinAuto(df).orElse(aggOverSignedAuto(df)).orElse(topKAuto(df))
+          .orElse(keyScopedAuto(df))
           .map(ApplySigned(_))
           .getOrElse(DiffRows(deltaByDiff(df)))
+    }
+  }
+
+  /** TWO-LEVEL maintenance (r6): a SUBTRACTABLE grouped aggregate whose
+    * child maintains through any SIGNED rung — aggregate over agg-join,
+    * over set difference, over top-k — the F-IVM-style composition one
+    * level above [[aggJoinAuto]]. For child' = child − R + I, every
+    * group's counts and sums advance by ONE sign-weighted partial
+    *
+    *   P = γ_keys( (I × +1) ⊎ (R × −1) ):
+    *     count(x) → Σ sign·[x IS NOT NULL],   sum(x) → Σ sign·x
+    *
+    * and view' = view ⊕ P groupwise (plain addition — the weighted
+    * partial already nets inserts against retracts); groups whose
+    * count(*) tracker reaches 0 drop. The envelope is enforced honestly:
+    *   - sum/count only (min/max are NOT subtractable — a retracted max
+    *     needs the runner-up the view no longer has), no DISTINCT, no
+    *     FILTER, grouped only (a global aggregate's empty-input row has
+    *     NULL sums the subtract algebra cannot produce);
+    *   - one count(*) output is REQUIRED as the group-liveness tracker;
+    *   - every summed expression must be NON-NULLABLE (wrap in
+    *     coalesce(x, 0)): a nullable sum cannot distinguish "every
+    *     non-null contributor retracted" (NULL) from "values cancel to 0"
+    *     without a per-column non-null count the view does not carry —
+    *     the classic higher-order-IVM caveat, rejected statically here.
+    * Scale shape matches [[deltaAgg]]: P aggregates only the child's
+    * (small) signed frames, the view lookup is a broadcast-semi keyed
+    * probe, and the base corpus is never re-aggregated at either level.
+    */
+  private def aggOverSignedAuto(df: Dataset[_]): Option[SignedDelta] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression => CExpr}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, sum, when}
+
+    val spark = df.sparkSession
+    def strip(e: CExpr): Column = GraftSql.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute(a.name)
+    })
+
+    GraftSql.analyzed(df) match {
+      case Aggregate(groupExprs, aggExprs, child, _) if groupExprs.nonEmpty =>
+        val cNames = child.output.map(_.name)
+        if (cNames.distinct.size != cNames.size) return None
+
+        // each grouping expression must surface as a named output (the
+        // merge and the signed frames key by NAME)
+        val keyNames: Seq[String] = groupExprs.map {
+          case a: Attribute => aggExprs.collectFirst {
+            case o: Attribute if o.exprId == a.exprId => o.name
+            case Alias(o: Attribute, name) if o.exprId == a.exprId => name
+          }.getOrElse(return None)
+          case e => aggExprs.collectFirst {
+            case Alias(c, name) if c.semanticEquals(e) => name
+          }.getOrElse(return None)
+        }
+
+        // classify outputs: group keys pass through; everything else must
+        // be a subtractable aggregate, re-expressed sign-weighted
+        var tracker: Option[String] = None
+        val weighted: Seq[Column] = aggExprs.flatMap {
+          case ne if keyNames.contains(ne.name) => None
+          case Alias(ae: AggregateExpression, name)
+              if !ae.isDistinct && ae.filter.isEmpty =>
+            ae.aggregateFunction match {
+              case c: Count =>
+                if (c.children.forall(!_.nullable) && tracker.isEmpty)
+                  tracker = Some(name)
+                val live = c.children.map(ch => strip(ch).isNotNull)
+                  .reduceOption(_ && _).getOrElse(lit(true))
+                Some(sum(when(live, col("__graft_w")).otherwise(lit(0L)))
+                  .cast("long").as(name))
+              case s: Sum if !s.child.nullable =>
+                Some(sum(strip(s.child) * col("__graft_w")).as(name))
+              case _ => return None // min/max/avg/nullable sum: not here
+            }
+          case _ => return None
+        }
+        if (tracker.isEmpty) return None // need a count(*) liveness column
+
+        val childDf = GraftSql.ofRows(spark, child)
+        val childSd: SignedDelta =
+          (try Some(SignedDelta(delta(childDf), childDf.limit(0).toDF()))
+          catch {
+            case _: UnsupportedOperationException =>
+              (try Some(deltaAgg(baseOf(childDf), childDf))
+              catch { case _: UnsupportedOperationException => None })
+                .orElse(aggJoinAuto(childDf))
+                .orElse(topKAuto(childDf))
+                .orElse(keyScopedAuto(childDf))
+          }).getOrElse(return None)
+
+        val keyCols = groupExprs.zip(keyNames).map { case (e, n) =>
+          strip(e).as(n)
+        }
+        val partial = childSd.inserts.withColumn("__graft_w", lit(1L))
+          .unionByName(childSd.retracts.withColumn("__graft_w", lit(-1L)))
+          .groupBy(keyCols: _*)
+          .agg(weighted.head, weighted.tail: _*)
+
+        // the maintained view (base recompute stands in for the stored
+        // view, as in deltaAgg) probed by the touched-group keys
+        val view = baseOf(df)
+        val pKeys = reMint(partial.select(keyNames.map(k =>
+          col(k).as(s"__aff_$k")): _*))
+        val affCond = keyNames.map(k => col(k) <=> col(s"__aff_$k"))
+          .reduce(_ && _)
+        val affected = view.join(broadcast(pKeys), affCond, "left_semi")
+
+        val av = affected.select(affected.columns.map(c =>
+          col(c).as(s"__m_$c")).toIndexedSeq: _*)
+        val pv = reMint(partial).select(partial.columns.map(c =>
+          col(c).as(s"__p_$c")).toIndexedSeq: _*)
+        val mCond = keyNames.map(k => col(s"__m_$k") <=> col(s"__p_$k"))
+          .reduce(_ && _)
+        val outCols = df.toDF().schema.map { f =>
+          if (keyNames.contains(f.name))
+            coalesce(col(s"__m_${f.name}"), col(s"__p_${f.name}"))
+              .as(f.name)
+          else
+            (coalesce(col(s"__m_${f.name}"), lit(0)) +
+              coalesce(col(s"__p_${f.name}"), lit(0)))
+              .cast(f.dataType).as(f.name)
+        }
+        val merged = av.join(pv, mCond, "full_outer")
+          .select(outCols: _*)
+        Some(signedNet(
+          merged.filter(col(tracker.get) > 0),
+          reMint(affected)))
+      case _ => None
     }
   }
 

@@ -51,6 +51,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"product join leaked into the signed agg plan:\n$p")
   }
 
+  test("delta_two_level: weighted partial, broadcast lookups, no product") {
+    // the two-level rung composes the agg-join signed frames under ONE
+    // weighted re-aggregation: the affected-group view probe must
+    // broadcast, the orders δ arms must carry the range predicate at the
+    // scans, and no term may degenerate to a product
+    val p = planOf("delta_two_level")
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).nonEmpty,
+      s"affected-group lookup must broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"delta pruning missing from the orders scans:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"product join leaked into the two-level plan:\n$p")
+  }
+
   test("delta_ann_topk: maintenance arm scores only the pruned δ corpus") {
     // the monoid-merge design: the δ-side brute scorer's corpus scan must
     // carry the registered delta predicate (vec_id % 10 = 0 is not a

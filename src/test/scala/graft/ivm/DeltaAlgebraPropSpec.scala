@@ -213,4 +213,39 @@ class DeltaAlgebraPropSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("property: TWO-LEVEL aggregate identity (agg over agg-join, r6)") {
+    val rnd = new scala.util.Random(10)
+    (1 to Cases).foreach { _ =>
+      val fact = (1, 1) :: randTable(rnd)
+      val dim = randTable(rnd).map { case (k, v) => (k, k % 4, s"g$v") }
+        .distinctBy(_._1)
+      val m = 2 + rnd.nextInt(3); val md = 2 + rnd.nextInt(3)
+      df(fact, "k1", "v1").createOrReplaceTempView("prop_tl_f")
+      import spark.implicits._
+      dim.toDF("k2", "grp", "nm").createOrReplaceTempView("prop_tl_d")
+      DeltaSources.register("prop_tl_f", s"k1 % $m = 0")
+      DeltaSources.register("prop_tl_d", s"k2 % $md = 0")
+      // inner: per-key rollup joined to the dim; outer: per-dim-group
+      // re-aggregation — count(*) tracker + subtractable sums
+      val q = (f: DataFrame, d: DataFrame) =>
+        f.groupBy("k1").agg(count(lit(1)).as("cnt"), sum(col("v1")).as("s"))
+          .join(d, col("k1") === col("k2"), "inner")
+          .groupBy("grp")
+          .agg(count(lit(1)).as("n_keys"),
+            sum(coalesce(col("cnt"), lit(0L))).as("n_rows"),
+            sum(coalesce(col("s"), lit(0L))).as("tot"))
+      val full = q(spark.table("prop_tl_f"), spark.table("prop_tl_d"))
+      val baseView = q(
+        spark.table("prop_tl_f").filter(expr(s"NOT (k1 % $m = 0)")),
+        spark.table("prop_tl_d").filter(expr(s"NOT (k2 % $md = 0)")))
+      Ivm.maintainAuto(full) match {
+        case Ivm.ApplySigned(sd) =>
+          assert(multisetEqual(sd.applyTo(baseView), full),
+            s"two-level identity failed for m=$m md=$md " +
+              s"fact=$fact dim=$dim")
+        case other => fail(s"expected the two-level signed rung, got $other")
+      }
+    }
+  }
 }
