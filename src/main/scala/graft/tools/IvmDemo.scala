@@ -81,7 +81,16 @@ object IvmDemo {
         customer.select(col("c_custkey"),
           org.apache.spark.sql.functions.row_number().over(
             org.apache.spark.sql.expressions.Window
-              .orderBy("c_custkey")).as("rk"))))
+              .orderBy("c_custkey")).as("rk"))),
+      "agg-join" -> Ivm.maintainAuto(
+        aggQ(customer).join(nation,
+          col("c_nationkey") === col("n_nationkey"), "inner")),
+      "two-level" -> Ivm.maintainAuto(
+        aggQ(customer).join(nation,
+            col("c_nationkey") === col("n_nationkey"), "inner")
+          .groupBy("n_regionkey")
+          .agg(count(lit(1)).as("n_nations"),
+            sum(coalesce(col("cnt"), lit(0L))).as("n_cust"))))
       .map {
         case (n, Ivm.AppendDelta(_))  => s"$n->delta"
         case (n, Ivm.MergePartial(_)) => s"$n->merge"
