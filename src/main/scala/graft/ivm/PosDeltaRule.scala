@@ -362,6 +362,13 @@ object ResolvePosDeltaScan extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case PosDeltaScan(scan) =>
       Filter(resolveAgainst(deltaPredicate(scan), scan), scan)
+    // a STATIC (unregistered) table reads identically in both snapshots,
+    // so its base arm is the scan itself — this is what lets baseOf /
+    // deltaByDiff / the signed rungs handle queries joining unregistered
+    // dimension tables (the DELTA arm stays fail-fast above: an
+    // incremental scan of an unregistered source is a likely user error,
+    // while "the base of a static table is the table" is unambiguous)
+    case BaseScan(scan) if !isRegistered(scan) => scan
     case BaseScan(scan) =>
       // NOT(pred) OR ISNULL(pred): rows where the delta predicate evaluates
       // to NULL belong to the BASE snapshot (the delta arm's Filter(pred)

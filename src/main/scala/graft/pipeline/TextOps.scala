@@ -46,6 +46,66 @@ object TextOps {
     "es" -> "\\b(el|la|los|y|es)\\b",
     "zh" -> "\\b(de|le|shi|he|zai)\\b")
 
+  /** The Gopher-rule per-source filter report (shared by the batch query
+    * and its maintained twin): every column is a count/sum, so the report
+    * is an [[graft.ivm.IvmAgg]]-mergeable view keyed by `source`.
+    */
+  private def gopherReport(docs: DataFrame): DataFrame = {
+    val nw = words(col("text"))
+    val ns = length(regexp_replace(col("text"), lit(" "), lit("")))
+    val mwl = ns.cast("double") / nw.cast("double")
+    val ttr = size(array_distinct(split(col("text"), " ")))
+      .cast("double") / nw.cast("double")
+    val stops = regexp_count(col("text"), lit(StopPat)).cast("long")
+    val kept = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    docs
+      .select(col("source"),
+        nw.between(30, 1000).as("r_len"),
+        mwl.between(3.0, 10.0).as("r_mwl"),
+        (ttr >= 0.45).as("r_ttr"),
+        (stops >= 2).as("r_stop"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        kept(!col("r_len")).as("drop_len"),
+        kept(!col("r_mwl")).as("drop_mwl"),
+        kept(!col("r_ttr")).as("drop_ttr"),
+        kept(!col("r_stop")).as("drop_stop"),
+        kept(col("r_len") && col("r_mwl") && col("r_ttr") &&
+          col("r_stop")).as("kept"))
+  }
+
+  /** DuckDB recompute of [[gopherReport]] over the full table — the oracle
+    * for both the batch query and the maintained twin (merge identity).
+    */
+  private val GopherOracle: String =
+    s"""WITH f AS (
+       |  SELECT source,
+       |    (LENGTH(text) - LENGTH(REPLACE(text,' ','')) + 1) AS nw,
+       |    LENGTH(REPLACE(text,' ','')) AS ns,
+       |    len(list_distinct(string_split(text, ' '))) AS nd,
+       |    len(regexp_extract_all(text, '$StopPat')) AS stops
+       |  FROM documents),
+       |r AS (
+       |  SELECT source,
+       |    (nw BETWEEN 30 AND 1000) AS r_len,
+       |    (CAST(ns AS DOUBLE)/CAST(nw AS DOUBLE)
+       |       BETWEEN 3.0 AND 10.0) AS r_mwl,
+       |    (CAST(nd AS DOUBLE)/CAST(nw AS DOUBLE) >= 0.45) AS r_ttr,
+       |    (stops >= 2) AS r_stop
+       |  FROM f)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN NOT r_len THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS drop_len,
+       |  CAST(SUM(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS drop_mwl,
+       |  CAST(SUM(CASE WHEN NOT r_ttr THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS drop_ttr,
+       |  CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS drop_stop,
+       |  CAST(SUM(CASE WHEN r_len AND r_mwl AND r_ttr AND r_stop
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS kept
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // Token counting per source: whitespace tokens + BPE-ish regex tokens.
@@ -290,57 +350,25 @@ object TextOps {
     // embarrassingly-parallel pass. The oracle recomputes every rule in
     // DuckDB (same regexes, same double arithmetic).
     QueryDef("gopher_quality",
+      (s, d) => gopherReport(t(s, d, "documents")).orderBy("source"),
+      Some(GopherOracle)),
+
+    // MAINTAINED quality report (r6): the same Gopher gate kept
+    // incremental under document appends — every report column is a
+    // count/sum, so the per-source view merges by addition (IvmAgg): a
+    // maintenance cycle scores ONLY the appended documents and upserts
+    // |sources| rows; the corpus is never re-scored. The oracle is the
+    // full-table recompute, pinning the merge identity.
+    QueryDef("delta_gopher",
       (s, d) => {
-        val nw = words(col("text"))
-        val ns = length(regexp_replace(col("text"), lit(" "), lit("")))
-        val mwl = ns.cast("double") / nw.cast("double")
-        val ttr = size(array_distinct(split(col("text"), " ")))
-          .cast("double") / nw.cast("double")
-        val stops = regexp_count(col("text"), lit(StopPat)).cast("long")
-        val kept = (c: Column) => sum(when(c, 1L).otherwise(0L))
-        t(s, d, "documents")
-          .select(col("source"),
-            nw.between(30, 1000).as("r_len"),
-            mwl.between(3.0, 10.0).as("r_mwl"),
-            (ttr >= 0.45).as("r_ttr"),
-            (stops >= 2).as("r_stop"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            kept(!col("r_len")).as("drop_len"),
-            kept(!col("r_mwl")).as("drop_mwl"),
-            kept(!col("r_ttr")).as("drop_ttr"),
-            kept(!col("r_stop")).as("drop_stop"),
-            kept(col("r_len") && col("r_mwl") && col("r_ttr") &&
-              col("r_stop")).as("kept"))
+        import graft.ivm.{DeltaSources, IvmAgg}
+        val full = t(s, d, "documents")
+        val basePred = DeltaSources.predicateFor("documents").get.sql
+        val baseView = gopherReport(full.filter(expr(s"NOT ($basePred)")))
+        IvmAgg.merge(baseView, IvmAgg.deltaPartial(gopherReport(full)))
           .orderBy("source")
       },
-      Some(s"""WITH f AS (
-             |  SELECT source,
-             |    (LENGTH(text) - LENGTH(REPLACE(text,' ','')) + 1) AS nw,
-             |    LENGTH(REPLACE(text,' ','')) AS ns,
-             |    len(list_distinct(string_split(text, ' '))) AS nd,
-             |    len(regexp_extract_all(text, '$StopPat')) AS stops
-             |  FROM documents),
-             |r AS (
-             |  SELECT source,
-             |    (nw BETWEEN 30 AND 1000) AS r_len,
-             |    (CAST(ns AS DOUBLE)/CAST(nw AS DOUBLE)
-             |       BETWEEN 3.0 AND 10.0) AS r_mwl,
-             |    (CAST(nd AS DOUBLE)/CAST(nw AS DOUBLE) >= 0.45) AS r_ttr,
-             |    (stops >= 2) AS r_stop
-             |  FROM f)
-             |SELECT source, COUNT(*) AS n_docs,
-             |  CAST(SUM(CASE WHEN NOT r_len THEN 1 ELSE 0 END) AS BIGINT)
-             |    AS drop_len,
-             |  CAST(SUM(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT)
-             |    AS drop_mwl,
-             |  CAST(SUM(CASE WHEN NOT r_ttr THEN 1 ELSE 0 END) AS BIGINT)
-             |    AS drop_ttr,
-             |  CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT)
-             |    AS drop_stop,
-             |  CAST(SUM(CASE WHEN r_len AND r_mwl AND r_ttr AND r_stop
-             |    THEN 1 ELSE 0 END) AS BIGINT) AS kept
-             |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+      Some(GopherOracle)),
 
     // Intra-document repetition (r6): EXACT adjacent-duplicate-word count
     // per document (the within-doc analog of Gopher's duplicate-line

@@ -752,6 +752,22 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("baseOf/deltaByDiff: UNREGISTERED static tables pass through (r6)") {
+    // a static dim with no DeltaSources registration reads identically in
+    // both snapshots — baseOf must treat it as identity, not fail, so the
+    // differencing rung (and every signed rung probing a base view) works
+    // for queries joining caller-provided static frames
+    import spark.implicits._
+    val dim = Seq((0, "even"), (1, "odd")).toDF("par", "label")
+    val q = (o: DataFrame) => o.select(col("o_orderkey"),
+        (col("o_orderkey") % 2).cast("int").as("par"))
+      .join(dim, Seq("par"), "inner")
+      .select("o_orderkey", "label")
+    assertMultisetEqual(
+      Ivm.deltaByDiff(q(t("orders"))),
+      q(t("orders")).exceptAll(q(base("orders"))))
+  }
+
   test("maintainAuto: BOTH join sides aggregates (agg-join-agg, signed route)") {
     // per-nation customer rollup ⋈ per-nation supplier rollup: both sides
     // carry deltas and both retract their changed groups — the full

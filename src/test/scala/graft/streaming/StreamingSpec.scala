@@ -446,4 +446,51 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         ("gamma", 1L, 1L)))
     } finally s.stop()
   }
+
+  test("streaming auto view: TWO-LEVEL aggregate maintains on the SIGNED rung") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val dir = Files.createTempDirectory("ivm_auto_stream2").toString
+    val basePath = s"$dir/base"
+    Seq(("a", "g1"), ("b", "g1"), ("c", "g2")).toDF("dk", "grp")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = () => spark.read.parquet(s"$dir/dim")
+
+    // per-key rollup ⋈ dim, re-aggregated per dim GROUP — the r6
+    // aggOverSignedAuto shape, driven through the streaming view
+    val q = (df: DataFrame) => df.groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum(coalesce(col("v"), lit(0L))).as("sum_v"))
+      .join(dim(), col("k") === col("dk"), "inner")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        sum(coalesce(col("sum_v"), lit(0L))).as("tot"))
+    val view = new IncrementalAutoView(spark, "sauto2", "event_id", q,
+      s"$dir/sink")
+
+    val in = MemoryStream[(Long, String, Long)]
+    val accumulate: DataFrame => DataFrame = { batch =>
+      batch.toDF("event_id", "k", "v").write.mode("append").parquet(basePath)
+      spark.read.parquet(basePath)
+    }
+    val s = IvmStream.maintain(view, in.toDF(), accumulate).start()
+    try {
+      in.addData((1L, "a", 10L), (2L, "b", 5L))
+      s.processAllAvailable()
+      in.addData((3L, "a", 7L), (4L, "c", 1L)) // changes g1, introduces g2
+      s.processAllAvailable()
+
+      assert(view.lastRoute.contains("signed"),
+        s"two-level must take the signed rung, got ${view.lastRoute}")
+      val got = view.result.orderBy("grp").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      val expect = q(spark.read.parquet(basePath)).orderBy("grp").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == expect, s"got $got expect $expect")
+      assert(got == Seq(("g1", 2L, 3L, 22L), ("g2", 1L, 1L, 1L)))
+    } finally s.stop()
+  }
 }
