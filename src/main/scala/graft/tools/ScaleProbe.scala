@@ -237,6 +237,49 @@ object ScaleProbe {
         f"— ${2.0 * ne / (2 * affRows)}%.0fx less shuffle")
     }
 
+    // SIGNED AGGREGATE maintenance cycle at mult× (round-6 L3/L14/L19
+    // probe): the per-customer rollup view MATERIALIZED (persisted, as a
+    // maintained view is at scale), a ~1% appended sliver registered as
+    // the delta — the cycle cost is deltaAgg's δ-pruned partial plus the
+    // broadcast-keyed view probe, versus re-aggregating the corpus. This
+    // is the building block the agg-join / agg⋈agg / two-level rungs
+    // compose, measured with a REAL stored view rather than the declared
+    // queries' base-recompute stand-in.
+    locally {
+      val ord0 = Tables(spark, dir, "orders")
+      // identical copies (groups get mult× counts) so the delta predicate
+      // stays on the RAW key column and parquet-prunes in every union arm
+      // — a shifted-key copy would put arithmetic above the scan and
+      // defeat pushdown, a probe artifact a real append log doesn't have
+      val ord = (0 until mult)
+        .map(_ => ord0.select("o_orderkey", "o_custkey", "o_totalprice"))
+        .reduce(_ union _)
+      val no = ord.count()
+      val maxK0 = ord0.agg(max(col("o_orderkey"))).head().getLong(0)
+      val ocut = maxK0 * 99L / 100L
+      ord.createOrReplaceTempView("probe_ord")
+      graft.ivm.DeltaSources.register("probe_ord", s"o_orderkey >= $ocut")
+      val q = spark.table("probe_ord").groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
+      val viewMat = graft.ivm.Ivm.baseOf(q).persist()
+      viewMat.count()
+      def timeO(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val rows = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"$label%-22s ${sec}%6.2f s  ${no / sec / 1e6}%6.2f M rows/s  ($rows result rows)")
+      }
+      timeO("δ agg cycle (1%)") {
+        val sd = graft.ivm.Ivm.deltaAgg(viewMat, q)
+        sd.inserts.unionByName(sd.retracts).count()
+      }
+      timeO("full re-aggregation") { q.count() }
+      val dRows = graft.ivm.Ivm.delta(spark.table("probe_ord")).count()
+      println(f"  agg-cycle aggregated rows: δ partial $dRows%,d vs full " +
+        f"$no%,d (${no.toDouble / dRows}%.0fx less scan+combine)")
+      viewMat.unpersist()
+    }
+
     // connected components over the inflated near-dup graph: mult× exact
     // duplicate copies make components mult× larger (every copy of a pair's
     // docs lands in one cluster via its own pair edges) — the iterative
