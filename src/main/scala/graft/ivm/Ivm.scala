@@ -609,10 +609,44 @@ object Ivm {
         ApplySigned(deltaAntiJoin(
           GraftSql.ofRows(spark, l), GraftSql.ofRows(spark, r),
           GraftSql.column(cond)))
-      case _ =>
-        aggJoinAuto(df).orElse(aggOverSignedAuto(df)).orElse(topKAuto(df))
-          .orElse(keyScopedAuto(df))
-          .map(ApplySigned(_))
+      case plan =>
+        // deterministic row-wise tops over a signed-rung core commute
+        // with the insert/retract pair — peel them so projected/filtered
+        // outer-join and set-difference VIEWS maintain signed instead of
+        // differencing (the condition re-resolves BY NAME against the
+        // peeled core's frames, so it needs unique names — peelRowwise
+        // already requires that)
+        lazy val peeled: Option[AutoMaintenance] = {
+          val (core, post) = peelRowwise(plan)
+          if (post.isEmpty) None
+          else core match {
+            case Join(l, r, LeftOuter, Some(cond), _) =>
+              Some(ApplySigned(applyPost(deltaLeftJoin(
+                GraftSql.ofRows(spark, l), GraftSql.ofRows(spark, r),
+                GraftSql.column(cond)), post)))
+            case Join(l, r, RightOuter, Some(cond), _) =>
+              Some(ApplySigned(applyPost(deltaRightJoin(
+                GraftSql.ofRows(spark, l), GraftSql.ofRows(spark, r),
+                GraftSql.column(cond)), post)))
+            case Join(l, r, FullOuter, Some(cond), _) =>
+              Some(ApplySigned(applyPost(deltaFullJoin(
+                GraftSql.ofRows(spark, l), GraftSql.ofRows(spark, r),
+                GraftSql.column(cond)), post)))
+            case Join(l, r, LeftAnti, Some(cond), _) =>
+              Some(ApplySigned(applyPost(deltaAntiJoin(
+                GraftSql.ofRows(spark, l), GraftSql.ofRows(spark, r),
+                GraftSql.column(cond)), post)))
+            case Except(l, r, false) =>
+              Some(ApplySigned(applyPost(deltaExcept(
+                GraftSql.ofRows(spark, l), GraftSql.ofRows(spark, r)), post)))
+            case _ => None
+          }
+        }
+        aggJoinAuto(df).map(ApplySigned(_))
+          .orElse(peeled)
+          .orElse(aggOverSignedAuto(df).map(ApplySigned(_)))
+          .orElse(topKAuto(df).map(ApplySigned(_)))
+          .orElse(keyScopedAuto(df).map(ApplySigned(_)))
           .getOrElse(DiffRows(deltaByDiff(df)))
     }
   }
@@ -777,6 +811,53 @@ object Ivm {
     * and re-applied to both signed frames (row-wise operators commute with
     * the insert/retract pair).
     */
+  // ---- row-wise-top peeling (shared by the signed rungs) ---------------
+  //
+  // Row-wise operators ABOVE a maintainable core commute with the signed
+  // pair — A' = A − R + I implies f(A') = f(A) − f(R) + f(I) for any
+  // deterministic per-row f — so deterministic Project/Filter tops are
+  // PEELED and re-applied (by name) to both signed frames. This is what
+  // routes `agg.join(dim).select(...)`, HAVING-style `agg.filter(...)`,
+  // and projected/filtered outer-join views through their signed rungs
+  // instead of differencing.
+
+  private def stripRefs(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    e.transform { case a: AttributeReference => UnresolvedAttribute(a.name) }
+  }
+
+  private def peelRowwise(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        List[DataFrame => DataFrame]) = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression => CExpr, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+    def peelable(exprs: Seq[CExpr], child: LogicalPlan): Boolean =
+      exprs.forall(e => e.deterministic &&
+        !e.exists(_.isInstanceOf[SubqueryExpression])) &&
+        child.output.map(_.name).distinct.size == child.output.size
+    p match {
+      case Project(exprs, child) if peelable(exprs, child) =>
+        val cols = exprs.map(ne => GraftSql.column(stripRefs(ne)))
+        val (inner, fs) = peelRowwise(child)
+        (inner, fs :+ ((d: DataFrame) => d.select(cols: _*)))
+      case Filter(cond, child) if peelable(Seq(cond), child) =>
+        val c = GraftSql.column(stripRefs(cond))
+        val (inner, fs) = peelRowwise(child)
+        (inner, fs :+ ((d: DataFrame) => d.filter(c)))
+      case other => (other, Nil)
+    }
+  }
+
+  private def applyPost(sd: SignedDelta,
+      post: List[DataFrame => DataFrame]): SignedDelta =
+    SignedDelta(
+      post.foldLeft(sd.inserts)((d, f) => f(d)),
+      post.foldLeft(sd.retracts)((d, f) => f(d)))
+
   private def aggJoinAuto(df: Dataset[_]): Option[SignedDelta] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression => CExpr, SubqueryExpression}
@@ -784,37 +865,7 @@ object Ivm {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
-
-    // Row-wise operators ABOVE the aggregate/join commute with the signed
-    // pair — A' = A − R + I implies f(A') = f(A) − f(R) + f(I) for any
-    // deterministic per-row f — so deterministic Project/Filter tops are
-    // PEELED here and re-applied (by name) to both signed frames. This is
-    // what routes `agg.join(dim).select(...)` and HAVING-style
-    // `agg.filter(...)` through the merge rung instead of differencing.
-    def strip(e: CExpr): CExpr = e.transform {
-      case a: AttributeReference => UnresolvedAttribute(a.name)
-    }
-    def peelable(exprs: Seq[CExpr], child: LogicalPlan): Boolean =
-      exprs.forall(e => e.deterministic &&
-        !e.exists(_.isInstanceOf[SubqueryExpression])) &&
-        child.output.map(_.name).distinct.size == child.output.size
-    def peel(p: LogicalPlan): (LogicalPlan, List[DataFrame => DataFrame]) =
-      p match {
-        case Project(exprs, child) if peelable(exprs, child) =>
-          val cols = exprs.map(ne => GraftSql.column(strip(ne)))
-          val (inner, fs) = peel(child)
-          (inner, fs :+ ((d: DataFrame) => d.select(cols: _*)))
-        case Filter(cond, child) if peelable(Seq(cond), child) =>
-          val c = GraftSql.column(strip(cond))
-          val (inner, fs) = peel(child)
-          (inner, fs :+ ((d: DataFrame) => d.filter(c)))
-        case other => (other, Nil)
-      }
-    def applyPost(sd: SignedDelta,
-        post: List[DataFrame => DataFrame]): SignedDelta =
-      SignedDelta(
-        post.foldLeft(sd.inserts)((d, f) => f(d)),
-        post.foldLeft(sd.retracts)((d, f) => f(d)))
+    def peel(p: LogicalPlan) = peelRowwise(p)
 
     def build(aggSide: LogicalPlan, other: LogicalPlan,
         cond: org.apache.spark.sql.catalyst.expressions.Expression,

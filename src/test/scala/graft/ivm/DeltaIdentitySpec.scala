@@ -752,6 +752,26 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("maintainAuto: projected LEFT OUTER join view peels to the signed rung") {
+    // a select/filter top above an outer join previously fell to
+    // differencing; the peel re-applies the row-wise tops to both signed
+    // frames (f(A − R + I) = f(A) − f(R) + f(I))
+    val q = (c: DataFrame, o: DataFrame) =>
+      c.select("c_custkey", "c_name")
+        .join(o.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")), col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          (col("o_totalprice") > 100.0).as("big"))
+        .filter(col("c_custkey") % 3 =!= 1)
+    Ivm.maintainAuto(q(t("customer"), t("orders"))) match {
+      case Ivm.ApplySigned(sd) =>
+        assertMultisetEqual(
+          q(t("customer"), t("orders")),
+          sd.applyTo(q(base("customer"), base("orders"))))
+      case other => fail(s"expected the peeled signed outer rung, got $other")
+    }
+  }
+
   test("baseOf/deltaByDiff: UNREGISTERED static tables pass through (r6)") {
     // a static dim with no DeltaSources registration reads identically in
     // both snapshots — baseOf must treat it as identity, not fail, so the
