@@ -607,6 +607,33 @@ object Queries {
              |  CAST(-1 AS BIGINT) AS sign FROM ret
              |ORDER BY c_nationkey, sign""".stripMargin)),
 
+    // STATIC-DIM star delta (r6): δ(fact ⋈ static dim) through the
+    // ALGEBRAIC rewrite — the unregistered dim's delta arm resolves to
+    // the empty relation, the optimizer prunes the mixed-δdim and δ×δ
+    // arms, and the surviving arm is the pruned δfact scan broadcast-
+    // joined to the dim (plan-pinned: ONE parquet scan, range predicate
+    // pushed). The canonical star-schema maintenance query: at 100 TB
+    // the cycle reads only appended fact files, never the dim-joined
+    // corpus. The oracle states δF⋈D from first principles.
+    QueryDef("delta_static_dim",
+      (s, d) => {
+        import graft.ivm.Ivm
+        import s.implicits._
+        val dim = Seq(("O", "open"), ("F", "filled"), ("P", "pending"))
+          .toDF("st", "st_name")
+        Ivm.delta(
+            t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+              .join(dim, col("o_orderstatus") === col("st"), "inner")
+              .select(col("o_orderkey"), col("st_name")))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH dim(st, st_name) AS (
+             |  VALUES ('O','open'),('F','filled'),('P','pending'))
+             |SELECT o.o_orderkey, d.st_name
+             |FROM orders o JOIN dim d ON o.o_orderstatus = d.st
+             |WHERE o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // TOP-K maintenance rung (Ivm.topKMerge / deltaTopK): the top-25
     // orders by price, maintained as merge(topk(base), topk(δ)) — the base
     // corpus is never rescanned and both inputs plan as

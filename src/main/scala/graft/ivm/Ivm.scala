@@ -28,8 +28,22 @@ object Ivm {
     * optimizer rules via `SparkSessionExtensions` (post-analysis, no dedup
     * would run and the duplicated ExprIds could mis-bind).
     */
-  def delta(df: Dataset[_]): DataFrame =
-    rewriteDf(df.sparkSession, PosDelta(GraftSql.analyzed(df)))
+  def delta(df: Dataset[_]): DataFrame = {
+    val plan = GraftSql.analyzed(df)
+    // static (unregistered) tables inside the query contribute EMPTY
+    // deltas — δ(fact ⋈ static dim) = δfact ⋈ dim — but a query with NO
+    // registered source anywhere has an identically-empty delta, which is
+    // far more likely a forgot-to-register mistake than intent: fail with
+    // the fix named rather than silently returning zero rows forever
+    if (!PosDeltaRule.deltaSourceScans(plan)
+        .exists(ResolvePosDeltaScan.isRegistered))
+      throw new UnsupportedOperationException(
+        "delta: no registered delta source anywhere in the query — " +
+          "register the fact table in DeltaSources (or Snapshots.track / " +
+          "FileSnapshots.track); static tables joined to a registered " +
+          "source contribute empty deltas automatically")
+    rewriteDf(df.sparkSession, PosDelta(plan))
+  }
 
   private def rewriteDf(spark: org.apache.spark.sql.SparkSession,
       marked: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =

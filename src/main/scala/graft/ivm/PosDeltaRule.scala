@@ -360,6 +360,15 @@ object PosDeltaRule extends Rule[LogicalPlan] {
 object ResolvePosDeltaScan extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // a STATIC (unregistered) table's delta is EMPTY — δ(F ⋈ D) with a
+    // static dimension D reduces to δF ⋈ D because the mixed-δD and δ×δ
+    // arms join against this empty relation and the optimizer's
+    // PropagateEmptyRelation prunes them. [[Ivm.delta]] guards the
+    // all-static case (surely a forgot-to-register error) up front, so an
+    // empty delta here always means "static table inside a query that has
+    // a real delta source elsewhere"
+    case PosDeltaScan(scan) if !isRegistered(scan) =>
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(scan.output)
     case PosDeltaScan(scan) =>
       Filter(resolveAgainst(deltaPredicate(scan), scan), scan)
     // a STATIC (unregistered) table reads identically in both snapshots,
@@ -435,7 +444,7 @@ object ResolvePosDeltaScan extends Rule[LogicalPlan] {
     * basename — so `orders AS o` still resolves to the `orders` delta source
     * instead of failing on the unregistered alias `o`.
     */
-  private def tableNameOf(scan: LogicalPlan): Option[String] = scan match {
+  private[ivm] def tableNameOf(scan: LogicalPlan): Option[String] = scan match {
     case SubqueryAlias(ident, child) =>
       if (DeltaSources.tables.contains(ident.name)) Some(ident.name)
       else tableNameOf(child).orElse(Some(ident.name))

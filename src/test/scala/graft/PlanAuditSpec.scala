@@ -51,6 +51,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"product join leaked into the signed agg plan:\n$p")
   }
 
+  test("delta_static_dim: one pruned fact scan, empty dim arms pruned away") {
+    // δ(fact ⋈ static dim) must reduce to δfact ⋈ dim: the dim's empty
+    // delta arm (and the δ×δ arm) are pruned by PropagateEmptyRelation,
+    // leaving exactly ONE parquet scan carrying the range predicate
+    val p = planOf("delta_static_dim")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly one fact scan (empty arms pruned):\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"delta pruning missing from the fact scan:\n$p")
+    assert(!p.contains("Union"),
+      s"the 3-arm union must collapse to the single surviving arm:\n$p")
+  }
+
   test("delta_two_level: weighted partial, broadcast lookups, no product") {
     // the two-level rung composes the agg-join signed frames under ONE
     // weighted re-aggregation: the affected-group view probe must

@@ -49,8 +49,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "delta_agg_join", "stream_correlate", "delta_centroids",
       "delta_ann_topk", "decontaminate", "delta_agg_agg",
       "gopher_quality", "domain_mix", "stream_dedup",
-      "word_repetition", "delta_asof", "delta_two_level", "delta_gopher")
-    assert(declared.size == 99)
+      "word_repetition", "delta_asof", "delta_two_level", "delta_gopher",
+      "delta_static_dim")
+    assert(declared.size == 100)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

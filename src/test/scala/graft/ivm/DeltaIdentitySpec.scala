@@ -772,6 +772,29 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("delta: static unregistered dim joins take the ALGEBRAIC route (r6)") {
+    // δ(F ⋈ D) with a static dim D = δF ⋈ D: the dim's delta arm is the
+    // empty relation and the optimizer prunes the mixed/δ×δ arms — the
+    // star-schema query maintains through Ivm.delta, not differencing
+    import spark.implicits._
+    val dim = Seq(("O", "open"), ("F", "filled"), ("P", "pending"))
+      .toDF("st", "st_name")
+    val q = (o: DataFrame) => o.select("o_orderkey", "o_orderstatus")
+      .join(dim, col("o_orderstatus") === col("st"), "inner")
+      .select("o_orderkey", "st_name")
+    check(q(t("orders")), q(base("orders")))
+  }
+
+  test("delta: a query with NO registered source anywhere fails fast (r6)") {
+    import spark.implicits._
+    val loose = Seq((1, "x")).toDF("id", "v")
+    val e = intercept[UnsupportedOperationException] {
+      Ivm.delta(loose.select("id"))
+    }
+    assert(e.getMessage.contains("no registered delta source"),
+      s"unexpected message: ${e.getMessage}")
+  }
+
   test("baseOf/deltaByDiff: UNREGISTERED static tables pass through (r6)") {
     // a static dim with no DeltaSources registration reads identically in
     // both snapshots — baseOf must treat it as identity, not fail, so the
