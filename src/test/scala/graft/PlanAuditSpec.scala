@@ -64,6 +64,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"the 3-arm union must collapse to the single surviving arm:\n$p")
   }
 
+  test("delta_decontaminate: two corpus scans only, empty bench-δ arms pruned") {
+    // the maintained gate's scale property: the bench shingle set is a
+    // materialized static leaf (empty delta), so δ(train ⋈ bench) keeps
+    // exactly TWO parquet scans — the base view's and the δ arm's — and
+    // the base×δbench / δ×δ arms prune away; nothing degenerates to a
+    // product and the corpus is never re-shingled in the cycle
+    val p = planOf("delta_decontaminate")
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"expected exactly two corpus scans (base view + delta arm):\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"product join leaked into the maintained gate:\n$p")
+  }
+
+  test("dedup_passage: digest-keyed passes, no product join") {
+    // passage dedup must stay two linear corpus passes joined by digest
+    // equality — any product join here is corpus-quadratic at scale
+    val p = planOf("dedup_passage")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"product join leaked into passage dedup:\n$p")
+  }
+
   test("delta_two_level: weighted partial, broadcast lookups, no product") {
     // the two-level rung composes the agg-join signed frames under ONE
     // weighted re-aggregation: the affected-group view probe must
