@@ -35,13 +35,16 @@ object Ivm {
     // registered source anywhere has an identically-empty delta, which is
     // far more likely a forgot-to-register mistake than intent: fail with
     // the fix named rather than silently returning zero rows forever
-    if (!PosDeltaRule.deltaSourceScans(plan)
-        .exists(ResolvePosDeltaScan.isRegistered))
+    val scans = PosDeltaRule.deltaSourceScans(plan)
+    if (!scans.exists(ResolvePosDeltaScan.isRegistered)) {
+      val names = scans.flatMap(ResolvePosDeltaScan.tableNameOf).distinct
       throw new UnsupportedOperationException(
-        "delta: no registered delta source anywhere in the query — " +
-          "register the fact table in DeltaSources (or Snapshots.track / " +
-          "FileSnapshots.track); static tables joined to a registered " +
-          "source contribute empty deltas automatically")
+        "delta: no registered delta source anywhere in the query " +
+          s"(scanned: ${names.mkString(", ")}) — register the fact table " +
+          "in DeltaSources (or Snapshots.track / FileSnapshots.track); " +
+          "static tables joined to a registered source contribute empty " +
+          "deltas automatically")
+    }
     rewriteDf(df.sparkSession, PosDelta(plan))
   }
 
@@ -146,6 +149,26 @@ object Ivm {
   private def reMint(df: DataFrame): DataFrame =
     GraftSql.ofRows(df.sparkSession,
       PosDeltaRule.freshInstance(GraftSql.analyzed(df)))
+
+  /** Eagerly pin a DELTA-SIZED intermediate (δ partials, affected-group
+    * views, signed net inputs) so frames the rungs reference several times
+    * execute ONCE instead of once per plan occurrence — exchange reuse is
+    * deliberately not trusted here (see [[signedNet]]'s netting comment),
+    * so without pinning the maintenance cycle's cost is multiplicative in
+    * how often a subplan is inlined (measured 2–4× on the agg-join and
+    * two-level rungs). Every pinned frame is |touched-groups|- or
+    * |delta|-sized by design — the materialization is the delta's own
+    * size, the same rationale as [[SignedDelta.applyTo]], and matches
+    * production, where partials and view probes are materialized state.
+    * Tests set `spark.graft.ivm.pinSignedNet=false` to audit the full
+    * LAZY maintenance plan (pinning would execute the interesting
+    * subtrees at construction time, leaving only RDD scans to inspect).
+    */
+  private def pinSmall(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf
+        .get("spark.graft.ivm.pinSignedNet", "true").toBoolean)
+      df.localCheckpoint()
+    else df
 
   /** Signed delta of a LEFT OUTER join under insert-only source deltas —
     * the case the append-only rewrite correctly refuses (see
@@ -366,8 +389,11 @@ object Ivm {
     */
   def deltaAgg(view: DataFrame, q: Dataset[_]): SignedDelta = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val ad = IvmAgg.deltaPartial(q)
-    val affected =
+    val ad0 = IvmAgg.deltaPartial(q)
+    // the δ partial feeds both the affected-key probe and the merge; the
+    // affected view feeds both signed frames — pin each once
+    val ad = ad0.copy(partial = pinSmall(ad0.partial))
+    val affected = pinSmall(
       if (ad.keys.isEmpty) view // global aggregate: the single row
       else {
         val affKeys = reMint(ad.partial.select(ad.keys.map(k =>
@@ -375,7 +401,7 @@ object Ivm {
         val cond = ad.keys.map(k => col(k) <=> col(s"__aff_$k"))
           .reduce(_ && _)
         view.join(broadcast(affKeys), cond, "left_semi")
-      }
+      })
     signedNet(IvmAgg.merge(affected, ad), reMint(affected))
   }
 
@@ -451,7 +477,9 @@ object Ivm {
       df.withColumn("__graft_i",
           F.explode(F.sequence(F.lit(1L), F.col("__graft_net"))))
         .select(cols.map(F.col): _*)
-    signed(replicate(net(plus, minus)), replicate(net(minus, plus)))
+    // both inputs appear under BOTH net orientations — pin each once
+    val (p, m) = (pinSmall(plus), pinSmall(minus))
+    signed(replicate(net(p, m)), replicate(net(m, p)))
   }
 
   private def requireKeyDecomposable(
@@ -758,10 +786,14 @@ object Ivm {
         val keyCols = groupExprs.zip(keyNames).map { case (e, n) =>
           strip(e).as(n)
         }
-        val partial = childSd.inserts.withColumn("__graft_w", lit(1L))
-          .unionByName(childSd.retracts.withColumn("__graft_w", lit(-1L)))
-          .groupBy(keyCols: _*)
-          .agg(weighted.head, weighted.tail: _*)
+        // the sign-weighted partial feeds the affected-key probe, the
+        // merge, and (via pKeys) the retract frame — pin once; it is
+        // |touched-groups|-sized by construction
+        val partial = pinSmall(
+          childSd.inserts.withColumn("__graft_w", lit(1L))
+            .unionByName(childSd.retracts.withColumn("__graft_w", lit(-1L)))
+            .groupBy(keyCols: _*)
+            .agg(weighted.head, weighted.tail: _*))
 
         // the maintained view (base recompute stands in for the stored
         // view, as in deltaAgg) probed by the touched-group keys
@@ -770,7 +802,8 @@ object Ivm {
           col(k).as(s"__aff_$k")): _*))
         val affCond = keyNames.map(k => col(k) <=> col(s"__aff_$k"))
           .reduce(_ && _)
-        val affected = view.join(broadcast(pKeys), affCond, "left_semi")
+        val affected =
+          pinSmall(view.join(broadcast(pKeys), affCond, "left_semi"))
 
         val av = affected.select(affected.columns.map(c =>
           col(c).as(s"__m_$c")).toIndexedSeq: _*)
@@ -913,9 +946,11 @@ object Ivm {
         val oHasDelta = PosDeltaRule.deltaSourceScans(other)
           .exists(ResolvePosDeltaScan.isRegistered)
         val oBase = if (oHasDelta) baseOf(oDf) else oDf
-        lazy val aFull = sideFs.foldLeft(
+        // referenced up to twice (insert + retract arms of the Signed
+        // case) and |groups|-sized — pin once
+        lazy val aFull = pinSmall(sideFs.foldLeft(
           IvmAgg.merge(baseOf(aggDf), IvmAgg.deltaPartial(aggDf)))(
-          (d, f) => f(d))
+          (d, f) => f(d)))
         // the other side's own step, three ways: STATIC (no registered
         // source below it — the A'⋈δB term vanishes), INSERT-ONLY (the
         // envelope rewrite applies — one extra insert arm), or SIGNED

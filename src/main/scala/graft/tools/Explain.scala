@@ -22,6 +22,9 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // show the LAZY maintenance plans (signed-rung pinning would execute
+    // the interesting subtrees at construction and print RDD scans)
+    spark.conf.set("spark.graft.ivm.pinSignedNet", "false")
     graft.engine.Tables.init(spark)
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -12,7 +12,17 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanAuditSpec extends AnyFunSuite with SparkFixture {
 
-  private def planOf(name: String): String = {
+  // audit the LAZY maintenance plans: signed-rung pinning (eager
+  // localCheckpoint of delta-sized frames, the default) executes the
+  // interesting subtrees at construction time and leaves only RDD
+  // scans to inspect
+  private def lazyPlans[A](body: => A): A = {
+    spark.conf.set("spark.graft.ivm.pinSignedNet", "false")
+    try body
+    finally spark.conf.unset("spark.graft.ivm.pinSignedNet")
+  }
+
+  private def planOf(name: String): String = lazyPlans {
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan.toString
   }
@@ -207,9 +217,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
     val ev = graft.engine.Tables(spark, sfDir, "events")
       .select("user_id", "event_id", "ts", "value")
-    val sd = graft.ivm.Ivm.deltaKeyScoped(q, ev, Seq("user_id"))
-    val p = sd.inserts.asInstanceOf[classic.Dataset[_]]
-      .queryExecution.executedPlan.toString
+    val p = lazyPlans {
+      val sd = graft.ivm.Ivm.deltaKeyScoped(q, ev, Seq("user_id"))
+      sd.inserts.asInstanceOf[classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+    }
     // an AQE plan string prints current + initial plan, so count >= 2
     assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(p).size >= 2,
       s"expected both restrictions as broadcast semi joins:\n$p")
