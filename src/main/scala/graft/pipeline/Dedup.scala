@@ -101,7 +101,14 @@ object Dedup {
     * corpus passes, nothing quadratic, no cross join.
     */
   def passageStats(docs: DataFrame, words: Int = 8): DataFrame = {
-    val w = split(col("text"), " ")
+    // The split array is PROJECTED once: slice(w, …) sits inside the
+    // transform lambda, which evaluates per element with no cross-lambda
+    // CSE — an inlined split() would re-run once per passage, O(doc_len²/8)
+    // per document. As a projected attribute it evaluates once per row,
+    // and CollapseProject keeps it projected (multiply-referenced,
+    // non-cheap expressions are never inlined back).
+    val withW = docs.withColumn("w", split(col("text"), " "))
+    val w = col("w")
     // int division floors; sequence() would count DOWN for np = 0, so the
     // no-full-window case gets an explicit empty array
     val np = (size(w) / lit(words)).cast("int")
@@ -109,12 +116,12 @@ object Dedup {
       transform(sequence(lit(1), np),
         i => md5(array_join(slice(w, (i - 1) * words + 1, lit(words)), " "))))
       .otherwise(array().cast("array<string>"))
-    val p = Par.spread(docs).select(col("doc_id"), explode(passages).as("pd"))
+    val p = Par.spread(withW).select(col("doc_id"), explode(passages).as("pd"))
     val dup = p.groupBy("pd").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select("pd")
     val perDoc = p.join(dup, "pd")
       .groupBy("doc_id").agg(count(lit(1)).as("dup_passages"))
-    docs.select(col("doc_id"), np.cast("long").as("n_passages"))
+    withW.select(col("doc_id"), np.cast("long").as("n_passages"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_passages"),
         coalesce(col("dup_passages"), lit(0L)).as("dup_passages"),

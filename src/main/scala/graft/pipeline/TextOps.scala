@@ -378,16 +378,25 @@ object TextOps {
     // both engines). Per-row array work, no shuffle beyond the final
     // sort; at 100 TB this rides the same single corpus pass as the
     // other per-doc features.
+    // The split array is PROJECTED once (`withColumn`) rather than inlined
+    // into the higher-order lambda: ArrayFilter evaluates its lambda body
+    // per element with no cross-lambda CSE, so an inlined split() re-runs
+    // twice per word — O(doc_len²) per document (measured 200× on
+    // 2000-word docs). An attribute reference evaluates once per row.
+    // Single-word docs get rep_ratio 0.0 on both sides (the unguarded
+    // 0/0 diverges: IEEE NaN in DuckDB vs NULL-on-cast corners in Spark).
     QueryDef("word_repetition",
       (s, d) => {
-        val w = split(col("text"), " ")
+        val w = col("w")
         val nw = size(w).cast("long")
         val rep = when(size(w) >= 2,
           size(filter(sequence(lit(2), size(w)),
             i => element_at(w, i) === element_at(w, i - 1))))
           .otherwise(0).cast("long")
-        val ratio = rep.cast("double") / (nw - 1).cast("double")
+        val ratio = when(nw > 1,
+          rep.cast("double") / (nw - 1).cast("double")).otherwise(lit(0.0))
         t(s, d, "documents")
+          .withColumn("w", split(col("text"), " "))
           .select(col("doc_id"), nw.as("n_words"), rep.as("rep_adj"),
             ratio.as("rep_ratio"), (ratio > 0.05).as("repetitive"))
           .orderBy("doc_id")
@@ -398,12 +407,15 @@ object TextOps {
              |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
              |    CAST(len(list_filter(generate_series(2, len(w)),
              |      i -> w[i] = w[i-1])) AS BIGINT) AS rep_adj
-             |  FROM f)
-             |SELECT doc_id, n_words, rep_adj,
-             |  CAST(rep_adj AS DOUBLE) / CAST(n_words - 1 AS DOUBLE)
-             |    AS rep_ratio,
-             |  (CAST(rep_adj AS DOUBLE) / CAST(n_words - 1 AS DOUBLE) > 0.05)
-             |    AS repetitive
-             |FROM r ORDER BY doc_id""".stripMargin))
+             |  FROM f),
+             |g AS (
+             |  SELECT doc_id, n_words, rep_adj,
+             |    CASE WHEN n_words > 1
+             |      THEN CAST(rep_adj AS DOUBLE) / CAST(n_words - 1 AS DOUBLE)
+             |      ELSE 0.0 END AS rep_ratio
+             |  FROM r)
+             |SELECT doc_id, n_words, rep_adj, rep_ratio,
+             |  (rep_ratio > 0.05) AS repetitive
+             |FROM g ORDER BY doc_id""".stripMargin))
   )
 }
