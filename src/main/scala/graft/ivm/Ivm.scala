@@ -30,22 +30,33 @@ object Ivm {
     */
   def delta(df: Dataset[_]): DataFrame = {
     val plan = GraftSql.analyzed(df)
-    // static (unregistered) tables inside the query contribute EMPTY
-    // deltas — δ(fact ⋈ static dim) = δfact ⋈ dim — but a query with NO
-    // registered source anywhere has an identically-empty delta, which is
-    // far more likely a forgot-to-register mistake than intent: fail with
-    // the fix named rather than silently returning zero rows forever
+    requireRegisteredSource(plan, "delta")
+    rewriteDf(df.sparkSession, PosDelta(plan))
+  }
+
+  /** Guard for every public delta-rewrite entry point: static
+    * (unregistered) tables inside a query contribute EMPTY deltas —
+    * δ(fact ⋈ static dim) = δfact ⋈ dim — but a query with NO registered
+    * source anywhere has an identically-empty delta, which is far more
+    * likely a forgot-to-register mistake than intent (the maintained view
+    * would go silently, permanently stale): fail with the fix named
+    * rather than returning zero rows forever. Shared with
+    * [[IvmAgg.deltaPartial]], which builds its `PosDelta` directly and
+    * would otherwise bypass [[delta]]'s check.
+    */
+  private[ivm] def requireRegisteredSource(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      api: String): Unit = {
     val scans = PosDeltaRule.deltaSourceScans(plan)
     if (!scans.exists(ResolvePosDeltaScan.isRegistered)) {
       val names = scans.flatMap(ResolvePosDeltaScan.tableNameOf).distinct
       throw new UnsupportedOperationException(
-        "delta: no registered delta source anywhere in the query " +
+        s"$api: no registered delta source anywhere in the query " +
           s"(scanned: ${names.mkString(", ")}) — register the fact table " +
           "in DeltaSources (or Snapshots.track / FileSnapshots.track); " +
           "static tables joined to a registered source contribute empty " +
           "deltas automatically")
     }
-    rewriteDf(df.sparkSession, PosDelta(plan))
   }
 
   private def rewriteDf(spark: org.apache.spark.sql.SparkSession,

@@ -62,6 +62,11 @@ object IvmAgg {
     val spark = df.sparkSession
     GraftSql.analyzed(df) match {
       case Aggregate(groupExprs, aggExprs, child, _) =>
+        // same forgot-to-register guard as Ivm.delta: this entry point
+        // builds PosDelta(child) directly, so without it an all-static
+        // query would yield a silently EMPTY partial — a permanently
+        // stale maintained view with no error
+        Ivm.requireRegisteredSource(child, "IvmAgg.deltaPartial")
         val keys = groupExprs.map {
           // a grouping ATTRIBUTE keys the merge through whichever output
           // exposes it — bare, renamed, or under injective casts. The cast

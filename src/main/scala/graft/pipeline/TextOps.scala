@@ -50,7 +50,7 @@ object TextOps {
     * and its maintained twin): every column is a count/sum, so the report
     * is an [[graft.ivm.IvmAgg]]-mergeable view keyed by `source`.
     */
-  private def gopherReport(docs: DataFrame): DataFrame = {
+  private[graft] def gopherReport(docs: DataFrame): DataFrame = {
     val nw = words(col("text"))
     val ns = length(regexp_replace(col("text"), lit(" "), lit("")))
     val mwl = ns.cast("double") / nw.cast("double")
@@ -386,21 +386,7 @@ object TextOps {
     // Single-word docs get rep_ratio 0.0 on both sides (the unguarded
     // 0/0 diverges: IEEE NaN in DuckDB vs NULL-on-cast corners in Spark).
     QueryDef("word_repetition",
-      (s, d) => {
-        val w = col("w")
-        val nw = size(w).cast("long")
-        val rep = when(size(w) >= 2,
-          size(filter(sequence(lit(2), size(w)),
-            i => element_at(w, i) === element_at(w, i - 1))))
-          .otherwise(0).cast("long")
-        val ratio = when(nw > 1,
-          rep.cast("double") / (nw - 1).cast("double")).otherwise(lit(0.0))
-        t(s, d, "documents")
-          .withColumn("w", split(col("text"), " "))
-          .select(col("doc_id"), nw.as("n_words"), rep.as("rep_adj"),
-            ratio.as("rep_ratio"), (ratio > 0.05).as("repetitive"))
-          .orderBy("doc_id")
-      },
+      (s, d) => wordRepetition(t(s, d, "documents")).orderBy("doc_id"),
       Some("""WITH f AS (
              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |r AS (
@@ -418,4 +404,23 @@ object TextOps {
              |  (rep_ratio > 0.05) AS repetitive
              |FROM g ORDER BY doc_id""".stripMargin))
   )
+
+  /** Per-document adjacent-duplicate-word stats (the `word_repetition`
+    * query body, shared with the doc-length scale probe). Unordered —
+    * the declared query adds its total ORDER BY.
+    */
+  def wordRepetition(docs: DataFrame): DataFrame = {
+    val w = col("w")
+    val nw = size(w).cast("long")
+    val rep = when(size(w) >= 2,
+      size(filter(sequence(lit(2), size(w)),
+        i => element_at(w, i) === element_at(w, i - 1))))
+      .otherwise(0).cast("long")
+    val ratio = when(nw > 1,
+      rep.cast("double") / (nw - 1).cast("double")).otherwise(lit(0.0))
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), nw.as("n_words"), rep.as("rep_adj"),
+        ratio.as("rep_ratio"), (ratio > 0.05).as("repetitive"))
+  }
 }

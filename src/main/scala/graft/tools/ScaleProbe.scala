@@ -280,6 +280,57 @@ object ScaleProbe {
       viewMat.unpersist()
     }
 
+    // DOC-LENGTH axis (round-7): every probe above scales doc COUNT,
+    // which is blind to per-document quadratics — round 6 shipped two
+    // O(len²) higher-order lambdas that a 10×-count probe could not see
+    // (cost per doc was constant across the probe, only the corpus grew).
+    // Here the doc count is FIXED and the text length is multiplied, so a
+    // per-doc operator must show ~linear cost in doc length: elapsed
+    // ratio ≈ length multiple, not its square. Both frames are persisted
+    // and pre-counted so the synthesis (array_repeat) is off the clock.
+    locally {
+      // baseline docs are themselves pre-inflated (4×) so per-doc work
+      // dominates task overhead at BOTH points; the 40× point lands near
+      // real pretraining-doc lengths (~2000 words), where the r6
+      // quadratic measured 200× — it could not hide here.
+      val lenMult = 10
+      val rep = (k: Int) =>
+        array_join(array_repeat(col("text"), k), " ").as("text")
+      val base1 = docs0.select(col("doc_id"), col("source"), rep(4))
+        .persist()
+      val baseK = docs0.select(col("doc_id"), col("source"), rep(40))
+        .persist()
+      val (n1, nk) = (base1.count(), baseK.count())
+      val wc = (d: DataFrame) => d.select(sum(size(split(col("text"), " "))
+        .cast("long"))).head().getLong(0)
+      val (w1, wk) = (wc(base1), wc(baseK))
+      println(f"doc-length axis: $n1%,d docs, $w1%,d words → $nk%,d docs, " +
+        f"$wk%,d words (${lenMult}x length, fixed count)")
+      // force EVERY output column through a checksum: a bare count()
+      // lets Catalyst prune the computed columns and skip the per-doc
+      // work entirely (measured: 10x-length runs "faster" than 1x)
+      def force(df: DataFrame): Long =
+        df.select(bit_xor(xxhash64(struct(df.columns.map(col): _*))))
+          .head().getLong(0)
+      def timeOn(df: DataFrame)(f: DataFrame => DataFrame): Double = {
+        val t0 = System.nanoTime(); force(f(df))
+        (System.nanoTime() - t0) / 1e9
+      }
+      def probe(label: String)(f: DataFrame => DataFrame): Unit = {
+        val s1 = timeOn(base1)(f)
+        val sk = timeOn(baseK)(f)
+        val ratio = sk / s1
+        val verdict = if (ratio <= lenMult * 2.5) "~linear" else "SUPERLINEAR"
+        println(f"$label%-22s 1x ${s1}%6.2f s  ${lenMult}x ${sk}%6.2f s  " +
+          f"ratio ${ratio}%5.1f  ($verdict, linear≈$lenMult)")
+      }
+      probe("word_repetition")(graft.pipeline.TextOps.wordRepetition)
+      probe("passage dedup")(graft.pipeline.Dedup.passageStats(_))
+      probe("gopher report")(graft.pipeline.TextOps.gopherReport)
+      probe("minhash signatures")(graft.pipeline.Dedup.signatures(_, 6))
+      base1.unpersist(); baseK.unpersist()
+    }
+
     // connected components over the inflated near-dup graph: mult× exact
     // duplicate copies make components mult× larger (every copy of a pair's
     // docs lands in one cluster via its own pair edges) — the iterative

@@ -194,4 +194,16 @@ class IvmAggSpec extends AnyFunSuite with SparkFixture {
       IvmAgg.deltaPartial(t("orders").select("o_orderkey")))
     assert(e.getMessage.contains("Aggregate"), e.getMessage)
   }
+
+  test("deltaPartial with NO registered source fails fast (r7)") {
+    // same forgot-to-register guard as Ivm.delta: without it an
+    // all-static aggregate yields a silently EMPTY partial and the
+    // maintained view goes permanently stale with no error
+    import spark.implicits._
+    val loose = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    val e = intercept[UnsupportedOperationException](
+      IvmAgg.deltaPartial(loose.groupBy("v").agg(count(lit(1)).as("cnt"))))
+    assert(e.getMessage.contains("no registered delta source"), e.getMessage)
+    assert(e.getMessage.contains("IvmAgg.deltaPartial"), e.getMessage)
+  }
 }
