@@ -45,7 +45,11 @@ object Bench {
       warm.select(rank().over(w).as("rk")).filter(col("rk") <= 2).count()
       ()
     } catch { case _: Throwable => () }
+    // driver contract: no args; extra args (dev use) restrict the run to
+    // the named queries for a fast single-query timing probe
+    val only = args.toSet
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     var failed = List.empty[String]
     // Each query is timed TWICE, back to back: the cold pass carries
     // first-execution costs that vary with box load (codegen compilation,
@@ -72,7 +76,14 @@ object Bench {
         }
       }
       val cold = run()
-      val warmT = if (cold >= 0) run() else -1.0
+      // median of THREE warm passes (r7): a single warm pass still
+      // inherits JIT/contention spikes (BENCH_r06 had a warm time above
+      // its own cold on a contended box); the median is stable to one
+      // outlier pass in either direction
+      val warmT = if (cold >= 0) {
+        val ok = Seq.fill(3)(run()).filter(_ >= 0).sorted
+        if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      } else -1.0
       name -> (cold, warmT)
     }
     def qjson(sel: ((Double, Double)) => Double) = results

@@ -352,6 +352,14 @@ object Dedup {
       //            reverse step adjacent label-groups merge into their
       //            smaller neighbor every round — group count per
       //            component at least halves ⇒ O(log d) rounds.
+      // nm stays LAZY (round-7): both of its consumers — the gm aggregate
+      // and the final join — shuffle it on `label`, so the planner's
+      // exchange reuse computes the nm subtree once within the single
+      // round job; a separate eager checkpoint here was one more full
+      // driver barrier per round (~3 barriers × ~8 rounds was the shape
+      // that turned shared-box contention into multi-second bench rows).
+      // Per-round lineage still truncates at `next`'s checkpoint below,
+      // so plan size (and codegen time) stays constant across rounds.
       val nm = labels
         .join(edges.join(labels, edges("b") === labels("id"))
             .groupBy(edges("a").as("nid")).agg(min(col("label")).as("nbl")),
@@ -359,7 +367,6 @@ object Dedup {
         .select(labels("id"), labels("label"),
           least(labels("label"), coalesce(col("nbl"), labels("label")))
             .as("nm"))
-        .localCheckpoint()
       val gm = nm.groupBy(col("label").as("gl")).agg(min(col("nm")).as("gm"))
       val merged = least(col("nm"), coalesce(col("gm"), col("nm")))
       val next = nm
