@@ -607,6 +607,73 @@ object Queries {
              |  CAST(-1 AS BIGINT) AS sign FROM ret
              |ORDER BY c_nationkey, sign""".stripMargin)),
 
+    // GROUPED MIN/MAX maintenance (r7): the outer aggregate carries
+    // min/max over a signed child — the shape every merge algebra must
+    // honestly refuse (a retracted max needs the runner-up the view no
+    // longer has; Ivm.scala aggOverSignedAuto rejects it statically) and
+    // key-scoping can't reach (no common key across the two aggregates).
+    // maintainAuto routes it to the GROUP-SCOPED recompute rung: touched
+    // groups from the child's signed step, the stored view probed (and
+    // retracted) only at those keys, and the aggregate recomputed over
+    // only those groups' child rows — value-stable groups net away. The
+    // oracle derives the signed pair from first principles; hash equality
+    // pins that the scoped recompute emits EXACTLY the multiset
+    // difference, runner-up promotions included.
+    QueryDef("delta_minmax",
+      (s, d) => {
+        import graft.ivm.Ivm
+        val q = t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sp"))
+          .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"), "inner")
+          .groupBy(col("c_nationkey"))
+          .agg(max(col("sp")).as("max_spend"),
+            min(col("cnt")).as("min_orders"),
+            count(lit(1)).as("n_cust"))
+        val sd = Ivm.maintainAuto(q) match {
+          case Ivm.ApplySigned(sd) => sd
+          case other => throw new IllegalStateException(
+            s"delta_minmax must route to the group-scoped rung, got $other")
+        }
+        sd.inserts.withColumn("sign", lit(1L))
+          .unionByName(sd.retracts.withColumn("sign", lit(-1L)))
+          .select(col("c_nationkey"),
+            col("max_spend").cast("double").as("max_spend"),
+            col("min_orders"), col("n_cust"), col("sign"))
+          .orderBy("c_nationkey", "sign")
+      },
+      Some("""WITH ifull AS (
+             |  SELECT o_custkey, COUNT(*) AS cnt,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+             |  FROM orders GROUP BY o_custkey),
+             |ibase AS (
+             |  SELECT o_custkey, COUNT(*) AS cnt,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+             |  FROM orders
+             |  WHERE NOT (o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+             |  GROUP BY o_custkey),
+             |qfull AS (
+             |  SELECT c_nationkey, CAST(MAX(sp) AS DOUBLE) AS max_spend,
+             |    CAST(MIN(cnt) AS BIGINT) AS min_orders, COUNT(*) AS n_cust
+             |  FROM ifull JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY c_nationkey),
+             |qbase AS (
+             |  SELECT c_nationkey, CAST(MAX(sp) AS DOUBLE) AS max_spend,
+             |    CAST(MIN(cnt) AS BIGINT) AS min_orders, COUNT(*) AS n_cust
+             |  FROM ibase JOIN
+             |    (SELECT * FROM customer WHERE NOT (c_custkey % 10 = 0)) cb
+             |    ON o_custkey = c_custkey
+             |  GROUP BY c_nationkey),
+             |ins AS (SELECT * FROM qfull EXCEPT ALL SELECT * FROM qbase),
+             |ret AS (SELECT * FROM qbase EXCEPT ALL SELECT * FROM qfull)
+             |SELECT c_nationkey, max_spend, min_orders, n_cust,
+             |  CAST(1 AS BIGINT) AS sign FROM ins
+             |UNION ALL
+             |SELECT c_nationkey, max_spend, min_orders, n_cust,
+             |  CAST(-1 AS BIGINT) AS sign FROM ret
+             |ORDER BY c_nationkey, sign""".stripMargin)),
+
     // STATIC-DIM star delta (r6): δ(fact ⋈ static dim) through the
     // ALGEBRAIC rewrite — the unregistered dim's delta arm resolves to
     // the empty relation, the optimizer prunes the mixed-δdim and δ×δ

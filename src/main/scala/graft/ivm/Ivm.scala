@@ -700,6 +700,7 @@ object Ivm {
           .orElse(aggOverSignedAuto(df).map(ApplySigned(_)))
           .orElse(topKAuto(df).map(ApplySigned(_)))
           .orElse(keyScopedAuto(df).map(ApplySigned(_)))
+          .orElse(aggGroupScopedAuto(df).map(ApplySigned(_)))
           .getOrElse(DiffRows(deltaByDiff(df)))
     }
   }
@@ -836,6 +837,123 @@ object Ivm {
         Some(signedNet(
           merged.filter(col(tracker.get) > 0),
           reMint(affected)))
+      case _ => None
+    }
+  }
+
+  /** GROUP-SCOPED recompute (r7): grouped aggregates OUTSIDE the
+    * subtractable envelope — min/max (a retracted max needs the runner-up
+    * the view no longer has), avg, DISTINCT, FILTER clauses — over a
+    * child that maintains through any signed rung. Where
+    * [[aggOverSignedAuto]] must honestly refuse, this rung applies the
+    * [[keyScopedSigned]] restriction idea AT THE GROUP LEVEL:
+    *
+    *   touched  = group keys present in the child's insert/retract frames
+    *   retracts = stored view ⋉ touched    (broadcast semi probe)
+    *   inserts  = γ( child' ⋉ touched )    (recompute ONLY touched groups)
+    *
+    * then net the pair, so value-stable groups vanish from the delta.
+    * Recompute is exact for ANY deterministic aggregate — no per-function
+    * algebra, which is exactly why it sits BELOW the subtractable rung
+    * (cheap partials win when they apply) and below scan-level key
+    * scoping (restriction at the parquet scan prunes more than
+    * restriction above the child). At 100 TB the semi joins broadcast the
+    * |touched-groups|-sized key frame; only touched groups' rows flow
+    * through the aggregate exchange, and the view is probed, never
+    * re-aggregated. (The child recompute under the restriction reads the
+    * child's inputs — in production the child of a second-level aggregate
+    * is itself a materialized view, making that read |touched|-sized
+    * too.)
+    */
+  private def aggGroupScopedAuto(df: Dataset[_]): Option[SignedDelta] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualNullSafe, SubqueryExpression, Expression => CExpr}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, HintInfo, Join, JoinHint, ResolvedHint}
+    import org.apache.spark.sql.functions.{broadcast, col}
+
+    val spark = df.sparkSession
+    def strip(e: CExpr): Column = GraftSql.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute(a.name)
+    })
+
+    GraftSql.analyzed(df) match {
+      case agg @ Aggregate(groupExprs, aggExprs, child, _)
+          if groupExprs.nonEmpty =>
+        val cNames = child.output.map(_.name)
+        if (cNames.distinct.size != cNames.size) return None
+        // recompute is exact for any DETERMINISTIC aggregate; reject
+        // nondeterminism and correlated subqueries outright
+        if (!(groupExprs ++ aggExprs).forall(e => e.deterministic &&
+            !e.exists(_.isInstanceOf[SubqueryExpression]))) return None
+        // each grouping expression must surface as a named output: the
+        // touched-key frame, the view probe, and the net key by NAME
+        val keyNames: Seq[String] = groupExprs.map {
+          case a: Attribute => aggExprs.collectFirst {
+            case o: Attribute if o.exprId == a.exprId => o.name
+            case Alias(o: Attribute, name) if o.exprId == a.exprId => name
+          }.getOrElse(return None)
+          case e => aggExprs.collectFirst {
+            case Alias(c, name) if c.semanticEquals(e) => name
+          }.getOrElse(return None)
+        }
+        if (keyNames.distinct.size != keyNames.size) return None
+
+        // the child's own signed step, through whichever rung fits:
+        // append-only envelope, merge-partial aggregate, then the whole
+        // signed ladder (set ops, outer joins, agg-join, top-k,
+        // key-scoped — signedOrDiff's dispatch). A child that itself
+        // falls to differencing gives this rung nothing to scope by —
+        // decline and let the root difference once.
+        val childDf = GraftSql.ofRows(spark, child)
+        val childSd: SignedDelta =
+          (try Some(SignedDelta(delta(childDf), childDf.limit(0).toDF()))
+          catch {
+            case _: UnsupportedOperationException =>
+              (try Some(deltaAgg(baseOf(childDf), childDf))
+              catch { case _: UnsupportedOperationException => None })
+                .orElse(signedOrDiff(childDf) match {
+                  case ApplySigned(sd) => Some(sd)
+                  case _ => None
+                })
+          }).getOrElse(return None)
+
+        // δ-touched groups: key values present in either signed frame —
+        // |touched|-sized by construction, feeds three probes: pin once
+        val keyCols = groupExprs.zip(keyNames).map { case (e, n) =>
+          strip(e).as(n)
+        }
+        val touched = pinSmall(
+          childSd.inserts.select(keyCols: _*)
+            .unionByName(childSd.retracts.select(keyCols: _*))
+            .distinct())
+        val affOf = () => reMint(touched.select(keyNames.map(k =>
+          col(k).as(s"__aff_$k")): _*))
+
+        // insert side: the aggregate recomputed over ONLY the touched
+        // groups' child rows. The broadcast semi join grafts UNDER the
+        // Aggregate node — a LEFT SEMI preserves the child's output
+        // attributes exactly, so the grouping/aggregate expressions
+        // rebind unchanged (the keyScopedSigned graft, one level up).
+        // Null-safe equality: a NULL group key is a real group.
+        val affPlan = ResolvedHint(
+          PosDeltaRule.freshInstance(GraftSql.analyzed(affOf())),
+          HintInfo(strategy = Some(BROADCAST)))
+        val cond = groupExprs.zip(keyNames).map { case (e, n) =>
+          val ge = e match { case al: Alias => al.child; case x => x }
+          EqualNullSafe(ge,
+            affPlan.output.find(_.name == s"__aff_$n").get): CExpr
+        }.reduce(And(_, _))
+        val inserts = GraftSql.ofRows(spark, agg.copy(child =
+          Join(child, affPlan, LeftSemi, Some(cond), JoinHint.NONE)))
+
+        // retract side: the stored view probed by the touched keys (base
+        // recompute stands in for the stored view, as in deltaAgg)
+        val vCond = keyNames.map(k => col(k) <=> col(s"__aff_$k"))
+          .reduce(_ && _)
+        val retracts = baseOf(df).join(broadcast(affOf()), vCond, "left_semi")
+        try Some(signedNet(inserts, retracts))
+        catch { case _: UnsupportedOperationException => None }
       case _ => None
     }
   }

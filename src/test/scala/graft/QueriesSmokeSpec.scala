@@ -50,8 +50,10 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "delta_ann_topk", "decontaminate", "delta_agg_agg",
       "gopher_quality", "domain_mix", "stream_dedup",
       "word_repetition", "delta_asof", "delta_two_level", "delta_gopher",
-      "delta_static_dim", "delta_decontaminate", "dedup_passage")
-    assert(declared.size == 102)
+      "delta_static_dim", "delta_decontaminate", "dedup_passage",
+      // round-7 surface
+      "delta_minmax")
+    assert(declared.size == 103)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

@@ -1023,4 +1023,62 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
       case other => fail(s"expected ApplySigned (key-scoped), got $other")
     }
   }
+
+  test("maintainAuto: grouped MIN/MAX over a signed child routes to " +
+      "group-scoped recompute (r7)") {
+    import org.apache.spark.sql.types.DecimalType
+    // two-level view whose OUTER aggregate carries min/max — the
+    // subtractable rung must refuse (a retracted max needs the runner-up)
+    // and key-scoping finds no common key across the two aggregates;
+    // before r7 this differenced the whole view
+    val q = (o: DataFrame, c: DataFrame) =>
+      o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sp"))
+        .join(c.select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy(col("c_nationkey"))
+        .agg(max(col("sp")).as("max_spend"),
+          min(col("cnt")).as("min_orders"),
+          count(lit(1)).as("n_cust"))
+    Ivm.maintainAuto(q(t("orders"), t("customer"))) match {
+      case Ivm.ApplySigned(sd) =>
+        assert(sd.retracts.count() > 0, "expected changed-group retractions")
+        assertMultisetEqual(
+          q(t("orders"), t("customer")),
+          sd.applyTo(q(base("orders"), base("customer"))))
+      case other => fail(s"expected ApplySigned (group-scoped), got $other")
+    }
+  }
+
+  test("group-scoped recompute surfaces the RUNNER-UP after the max row " +
+      "retracts (r7)") {
+    import spark.implicits._
+    // A: static {(1,10),(1,7),(2,5)}; B: base ∅, δ cancels (1,10) —
+    // the EXCEPT child retracts group 1's max, and the recompute must
+    // surface the runner-up 7 (no merge algebra can — the view lost it)
+    Seq((1L, 10L), (1L, 7L), (2L, 5L)).toDF("k", "v")
+      .createOrReplaceTempView("gs_a")
+    Seq((1L, 10L, 100L)).toDF("k", "v", "m")
+      .createOrReplaceTempView("gs_b")
+    DeltaSources.register("gs_a", "v >= 999")   // registered, empty δ
+    DeltaSources.register("gs_b", "m >= 100")
+    val q = spark.table("gs_a")
+      .except(spark.table("gs_b").select("k", "v"))
+      .groupBy("k").agg(max(col("v")).as("mx"))
+    Ivm.maintainAuto(q) match {
+      case Ivm.ApplySigned(sd) =>
+        assert(sd.retracts.collect().map(r => (r.getLong(0), r.getLong(1)))
+          .toSet == Set((1L, 10L)), "old max must retract")
+        assert(sd.inserts.collect().map(r => (r.getLong(0), r.getLong(1)))
+          .toSet == Set((1L, 7L)), "runner-up must surface")
+        // untouched group 2 nets away entirely
+        val baseView = spark.table("gs_a")
+          .except(spark.table("gs_b").filter(col("m") < 100)
+            .select("k", "v"))
+          .groupBy("k").agg(max(col("v")).as("mx"))
+        assertMultisetEqual(q, sd.applyTo(baseView))
+      case other => fail(s"expected ApplySigned (group-scoped), got $other")
+    }
+  }
 }
