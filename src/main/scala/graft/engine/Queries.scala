@@ -1139,6 +1139,46 @@ object Queries {
              |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
              |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // CSV SOURCE scan (r7): the inherited engine reads CSV at the same
+    // entry point as parquet; this pins that path under the oracle (the
+    // one source SourcesSpec round-tripped but no declared query read).
+    // The events table is staged to CSV once per box+content
+    // (sources.Staging), then scanned via the CSV reader with an explicit
+    // schema and aggregated; the oracle reads the logically identical
+    // parquet table, so hash equality proves the CSV write/parse
+    // round-trip — quoted-JSON escaping and double formatting included —
+    // plus the aggregate on top. At scale the same scan reads a CSV
+    // directory; schema-explicit (no inference pass), splittable files.
+    QueryDef("events_csv",
+      (s, d) => {
+        val stage = graft.sources.Staging.stageOnce(d, "events_csv",
+          Seq(s"$d/events.parquet")) { p =>
+          t(s, d, "events")
+            .select("event_id", "user_id", "event_type", "value", "props")
+            .write.mode("overwrite").csv(p)
+        }
+        s.read
+          .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+            "value DOUBLE, props STRING")
+          .csv(stage)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast("double").as("sum_value"),
+            sum(get_json_object(col("props"), "$.k").cast("long"))
+              .as("sum_k"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             |    AS BIGINT) AS sum_k,
+             |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+             |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin))
   )
 

@@ -1,0 +1,77 @@
+package graft.sources
+
+/** Stage-once materialization of a deterministic selection to a
+  * content-addressed /tmp cache slot — shared by the streaming replay
+  * harness (parquet staging) and the non-parquet source queries (CSV/JSON
+  * staging). The driver's testdata is read-only, so exercising the CSV
+  * and streaming scan paths requires a derived copy; staging it once per
+  * box (not once per execution) keeps the per-run cost at the scan
+  * itself.
+  *
+  * The cache slot is keyed by (sfDir, name, CONTENT FINGERPRINT of the
+  * input files): if the testdata at sfDir is ever regenerated in place —
+  * new seed, new schema — the fingerprint changes and the stale slot is
+  * simply ignored (and reclaimed lazily), instead of silently replaying
+  * old data against an oracle reading the fresh table. A `_STAGED`
+  * marker gates reuse so a half-written slot from a crashed run is
+  * discarded; Spark's file sources ignore underscore files (the
+  * `_SUCCESS` convention).
+  */
+object Staging {
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(); ()
+  }
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Cheap recursive content fingerprint: relative path, size, and mtime
+    * of every file under each input root, sorted. Mirrors what Spark's
+    * own file-source cache invalidation keys on — content hashing would
+    * re-read the corpus to save a re-stage, the wrong trade.
+    */
+  private def fingerprint(inputs: Seq[String]): String = {
+    def walk(root: java.io.File, f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName)
+          .flatMap(walk(root, _))
+      else Seq(s"${root.toPath.relativize(f.toPath)}|${f.length}|${f.lastModified}")
+    md5(inputs.flatMap { p =>
+      val f = new java.io.File(p)
+      s"ROOT:$p" +: walk(f, f)
+    }.mkString("\n"))
+  }
+
+  /** Materialize `write(tmpPath)` once per (sfDir, name, input content):
+    * the temp dir is atomically renamed into the cache slot; concurrent
+    * stagers race benignly (the loser deletes its copy and reuses the
+    * winner's slot). Returns the slot path.
+    */
+  def stageOnce(sfDir: String, name: String, inputs: Seq[String])
+      (write: String => Unit): String = {
+    val id = md5(s"$sfDir|$name|${fingerprint(inputs)}")
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_stage")
+    root.mkdirs()
+    val dir = new java.io.File(root, id)
+    val marker = new java.io.File(dir, "_STAGED")
+    if (!marker.exists()) {
+      if (dir.exists()) deleteRec(dir) // crashed staging: no marker
+      val tmp = new java.io.File(root,
+        s"$id.tmp-${ProcessHandle.current().pid()}")
+      deleteRec(tmp)
+      write(tmp.getAbsolutePath)
+      new java.io.File(tmp, "_STAGED").createNewFile()
+      if (!tmp.renameTo(dir)) {
+        deleteRec(tmp) // lost a cross-process race: the winner's slot stands
+        if (!marker.exists())
+          throw new IllegalStateException(
+            s"staging failed for $name at $dir")
+      }
+    }
+    dir.getAbsolutePath
+  }
+}

@@ -43,39 +43,15 @@ object StreamQueries {
     f.delete(); ()
   }
 
-  /** Stage-once replay source: `write` materializes the (deterministic)
-    * selection to a temp path, which is then atomically renamed to the
-    * content-addressed cache slot keyed by (sfDir, query). A `_STAGED`
-    * marker gates reuse — a half-written slot from a crashed run is
-    * discarded, and the parquet source ignores the underscore file (the
-    * `_SUCCESS` convention). Re-staging therefore happens once per box,
-    * not once per execution (it was ~half of the two stream queries' cost).
+  /** Stage-once replay source — [[graft.sources.Staging.stageOnce]],
+    * fingerprint-keyed on the events table all four stream queries stage
+    * from (regenerated testdata invalidates the slot instead of silently
+    * replaying stale data against a fresh-table oracle).
     */
   private def stagedSource(s: SparkSession, sfDir: String, name: String)
-      (write: String => Unit): String = {
-    val id = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sfDir|$name".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_stream_stage")
-    root.mkdirs()
-    val dir = new java.io.File(root, id)
-    val marker = new java.io.File(dir, "_STAGED")
-    if (!marker.exists()) {
-      if (dir.exists()) deleteRec(dir) // crashed staging: no marker
-      val tmp = new java.io.File(root,
-        s"$id.tmp-${ProcessHandle.current().pid()}")
-      deleteRec(tmp)
-      write(tmp.getAbsolutePath)
-      new java.io.File(tmp, "_STAGED").createNewFile()
-      if (!tmp.renameTo(dir)) {
-        deleteRec(tmp) // lost a cross-process race: the winner's slot stands
-        if (!marker.exists())
-          throw new IllegalStateException(
-            s"stream staging failed for $name at $dir")
-      }
-    }
-    dir.getAbsolutePath
-  }
+      (write: String => Unit): String =
+    graft.sources.Staging.stageOnce(sfDir, s"stream_$name",
+      Seq(s"$sfDir/events.parquet"))(write)
 
   /** Run one replay to a per-run sink and hand back the sink contents,
     * PINNED (eager localCheckpoint — the frame is aggregate-sized) so the
