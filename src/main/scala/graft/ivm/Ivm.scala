@@ -171,8 +171,17 @@ object Ivm {
     * |delta|-sized by design — the materialization is the delta's own
     * size, the same rationale as [[SignedDelta.applyTo]], and matches
     * production, where partials and view probes are materialized state.
-    * Tests set `spark.graft.ivm.pinSignedNet=false` to audit the full
-    * LAZY maintenance plan (pinning would execute the interesting
+    * ONE caller stretches the "delta-sized" rationale: the key-scoped
+    * rung's [[signedNet]] inputs are affected-KEY restricted full/base
+    * recomputes, which under broad-key churn (a delta touching most
+    * keys) approach corpus size — there the pin trades memory for the
+    * guaranteed-once execution, and the rung itself is the wrong choice
+    * anyway (differencing wins when the delta spans most keys, which is
+    * why maintainAuto keeps both). Note also that pinning makes the
+    * rung-building APIs (deltaKeyScoped/maintainAuto) run cluster jobs
+    * at CONSTRUCTION time, not first consumption. Callers can disable
+    * via `spark.graft.ivm.pinSignedNet=false` — tests do, to audit the
+    * full LAZY maintenance plan (pinning would execute the interesting
     * subtrees at construction time, leaving only RDD scans to inspect).
     */
   private def pinSmall(df: DataFrame): DataFrame =
@@ -769,6 +778,13 @@ object Ivm {
               if !ae.isDistinct && ae.filter.isEmpty =>
             ae.aggregateFunction match {
               case c: Count =>
+                // tracker soundness rides the no-FILTER invariant checked
+                // above (ae.filter.isEmpty): count over NON-NULLABLE
+                // children ≡ count(*) ≡ group row count ONLY while no
+                // FILTER clause can thin it. If the envelope ever admits
+                // FILTER, the tracker must be restricted to a literal
+                // count(*)/count(lit) — a filtered count(nonnull_x) would
+                // mis-track group liveness and drop live groups at 0.
                 if (c.children.forall(!_.nullable) && tracker.isEmpty)
                   tracker = Some(name)
                 val live = c.children.map(ch => strip(ch).isNotNull)
