@@ -674,6 +674,81 @@ object Queries {
              |  CAST(-1 AS BIGINT) AS sign FROM ret
              |ORDER BY c_nationkey, sign""".stripMargin)),
 
+    // GROUP-SCOPED rung × DISTINCT/FILTER (r7): the OTHER two shapes the
+    // merge algebra must statically refuse — count(DISTINCT x) (the view
+    // stores no per-group value multiset to subtract from) and a FILTER
+    // clause (which breaks the count-tracker ≡ row-count invariant the
+    // subtractable rung rides on) — plus an exact-arithmetic average,
+    // all over the same signed agg-join child as delta_minmax. The
+    // group-scoped recompute is aggregate-agnostic (exact for any
+    // deterministic function), so one rung covers every refusal; the
+    // first-principles EXCEPT ALL oracle pins that the scoped recompute
+    // emits exactly the multiset difference, distinct-set and
+    // filtered-count changes included. At 100 TB: touched groups
+    // broadcast, only their child rows re-aggregate, value-stable
+    // groups net away.
+    QueryDef("delta_group_distinct",
+      (s, d) => {
+        import graft.ivm.Ivm
+        val q = t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sp"))
+          .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"), "inner")
+          .groupBy(col("c_nationkey"))
+          .agg(countDistinct(col("cnt")).as("n_distinct_cnt"),
+            expr("count(*) FILTER (WHERE cnt >= 2)").as("n_repeat"),
+            (sum(col("sp")).cast("double") /
+              count(lit(1)).cast("double")).as("avg_spend"))
+        val sd = Ivm.maintainAuto(q) match {
+          case Ivm.ApplySigned(sd) => sd
+          case other => throw new IllegalStateException(
+            s"delta_group_distinct must route to the group-scoped rung, " +
+              s"got $other")
+        }
+        sd.inserts.withColumn("sign", lit(1L))
+          .unionByName(sd.retracts.withColumn("sign", lit(-1L)))
+          .select(col("c_nationkey"), col("n_distinct_cnt"),
+            col("n_repeat"), col("avg_spend"), col("sign"))
+          .orderBy("c_nationkey", "sign")
+      },
+      Some("""WITH ifull AS (
+             |  SELECT o_custkey, COUNT(*) AS cnt,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+             |  FROM orders GROUP BY o_custkey),
+             |ibase AS (
+             |  SELECT o_custkey, COUNT(*) AS cnt,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+             |  FROM orders
+             |  WHERE NOT (o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+             |  GROUP BY o_custkey),
+             |qfull AS (
+             |  SELECT c_nationkey,
+             |    COUNT(DISTINCT cnt) AS n_distinct_cnt,
+             |    COUNT(*) FILTER (WHERE cnt >= 2) AS n_repeat,
+             |    CAST(SUM(sp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             |      AS avg_spend
+             |  FROM ifull JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY c_nationkey),
+             |qbase AS (
+             |  SELECT c_nationkey,
+             |    COUNT(DISTINCT cnt) AS n_distinct_cnt,
+             |    COUNT(*) FILTER (WHERE cnt >= 2) AS n_repeat,
+             |    CAST(SUM(sp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             |      AS avg_spend
+             |  FROM ibase JOIN
+             |    (SELECT * FROM customer WHERE NOT (c_custkey % 10 = 0)) cb
+             |    ON o_custkey = c_custkey
+             |  GROUP BY c_nationkey),
+             |ins AS (SELECT * FROM qfull EXCEPT ALL SELECT * FROM qbase),
+             |ret AS (SELECT * FROM qbase EXCEPT ALL SELECT * FROM qfull)
+             |SELECT c_nationkey, n_distinct_cnt, n_repeat, avg_spend,
+             |  CAST(1 AS BIGINT) AS sign FROM ins
+             |UNION ALL
+             |SELECT c_nationkey, n_distinct_cnt, n_repeat, avg_spend,
+             |  CAST(-1 AS BIGINT) AS sign FROM ret
+             |ORDER BY c_nationkey, sign""".stripMargin)),
+
     // STATIC-DIM star delta (r6): δ(fact ⋈ static dim) through the
     // ALGEBRAIC rewrite — the unregistered dim's delta arm resolves to
     // the empty relation, the optimizer prunes the mixed-δdim and δ×δ
@@ -1178,6 +1253,46 @@ object Queries {
              |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
              |    AS BIGINT) AS sum_k,
              |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // JSON-LINES SOURCE scan (r7): the other non-parquet source the
+    // inherited engine reads at the same entry point. Staged once per
+    // box+content (sources.Staging, same slot discipline as events_csv),
+    // then read back SCHEMA-EXPLICIT — at 100 TB schema inference is a
+    // full extra pass over the corpus, so production JSON scans always
+    // carry the schema; line-delimited files stay splittable. The props
+    // column is itself a JSON string INSIDE each JSON line, so hash
+    // equality additionally pins the writer's string escaping and the
+    // reader's unescaping round-trip (the nastiest part of JSON
+    // interchange), plus double formatting and the aggregate on top.
+    QueryDef("events_jsonl",
+      (s, d) => {
+        val stage = graft.sources.Staging.stageOnce(d, "events_jsonl",
+          Seq(s"$d/events.parquet")) { p =>
+          t(s, d, "events")
+            .select("event_id", "user_id", "event_type", "value", "props")
+            .write.mode("overwrite").json(p)
+        }
+        s.read
+          .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+            "value DOUBLE, props STRING")
+          .json(stage)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("user_id")).as("n_users"),
+            (dsum(col("value")) / count(lit(1)).cast("double"))
+              .as("avg_value"),
+            max(get_json_object(col("props"), "$.k").cast("long"))
+              .as("max_k"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+             |  COUNT(DISTINCT user_id) AS n_users,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS avg_value,
+             |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             |    AS BIGINT) AS max_k
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin))
   )
