@@ -36,6 +36,34 @@ object TextOps {
   /** English-y function words for stopword-ratio quality scoring. */
   private val StopPat = "\\b(the|a|of|and|to|in)\\b"
 
+  /** PII scrubbing rules (name, pattern, replacement tag), applied
+    * SPECIFIC → GENERIC so a phone number is not first mangled by the
+    * digit rule (tags carry no digits, so later rules never re-match
+    * inside an earlier tag). Every pattern is written in the common
+    * Java-regex ∩ RE2 dialect — no backreferences, no lookaround — so the
+    * SAME string drives Spark's codegen'd `regexp_replace`/`regexp_count`
+    * and the DuckDB oracle's RE2. Known (documented) overlaps: a bare
+    * digit run of ≥8 classifies as a phone (conservative,
+    * PII-positive), and per-rule counts are taken on the RAW text, so an
+    * email's local digits also count under `num`.
+    * (Defined before `all`: the generated oracle SQL reads these at
+    * object-init time.)
+    */
+  private[graft] val PiiRules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"),
+    ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("num", "[0-9]+", "<NUM>"))
+
+  /** `c` with every [[PiiRules]] rule applied in order — a single
+    * codegen'd projection (regexp_replace composes; no intermediate
+    * columns, no UDF).
+    */
+  private[graft] def piiScrub(c: Column): Column =
+    PiiRules.foldLeft(c) { case (acc, (_, re, tag)) =>
+      regexp_replace(acc, lit(re), lit(tag))
+    }
+
   /** Per-language marker-word profiles for the language-ID heuristic.
     * Priority order = tie-break order (first max wins).
     */
@@ -402,7 +430,43 @@ object TextOps {
              |  FROM r)
              |SELECT doc_id, n_words, rep_adj, rep_ratio,
              |  (rep_ratio > 0.05) AS repetitive
-             |FROM g ORDER BY doc_id""".stripMargin))
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // PII / IDENTIFIER SCRUBBING (r7): the redaction pass every training
+    // pipeline runs before packing, as chained codegen'd regexp_replace —
+    // one projection per row, no UDFs, no shuffle before the (result)
+    // sort; at 100 TB this is the embarrassingly parallel scan→project
+    // shape. The synthetic documents plant no PII, so the declared query
+    // runs the rules over events.props (JSON payloads, digit-bearing):
+    // the generic digit rule scrubs every numeric identifier
+    // (non-vacuous, hash-pinned) and the email/phone/IP counts pin a
+    // ZERO false-positive rate across the corpus's JSON strings —
+    // redaction that mangles clean text is as much a bug as redaction
+    // that misses. The rules themselves are behavior-pinned on planted
+    // emails/phones/IPs by PipelineSpec. Both engines run the SAME
+    // pattern strings (PiiRules, shared with the generated oracle SQL).
+    QueryDef("pii_scrub",
+      (s, d) => {
+        val counts = PiiRules.map { case (n, re, _) =>
+          regexp_count(col("props"), lit(re)).cast("long").as(s"n_$n")
+        }
+        t(s, d, "events")
+          .select(Seq(col("event_id"),
+            piiScrub(col("props")).as("scrubbed")) ++ counts: _*)
+          .orderBy("event_id")
+      },
+      Some {
+        val scrubbed = PiiRules.foldLeft("props") {
+          case (acc, (_, re, tag)) =>
+            s"regexp_replace($acc, '$re', '$tag', 'g')"
+        }
+        val counts = PiiRules.map { case (n, re, _) =>
+          s"  CAST(len(regexp_extract_all(props, '$re')) AS BIGINT) AS n_$n"
+        }.mkString(",\n")
+        s"""SELECT event_id, $scrubbed AS scrubbed,
+           |$counts
+           |FROM events ORDER BY event_id""".stripMargin
+      })
   )
 
   /** Per-document adjacent-duplicate-word stats (the `word_repetition`

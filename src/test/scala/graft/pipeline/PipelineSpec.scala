@@ -224,4 +224,29 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     labels.unpersist() // contract: a harmless no-op
     assert(labels.count() == 5, "frame must stay readable after unpersist")
   }
+
+  test("pii scrub redacts planted emails/phones/IPs and counts per rule") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or +1 (555) 123-4567 now"),
+      (2L, "server at 192.168.0.1 port 8080, order id 1234567890"),
+      (3L, "no identifiers here at all")).toDF("id", "text")
+    val counts = TextOps.PiiRules.map { case (n, re, _) =>
+      regexp_count(col("text"), lit(re)).cast("long").as(s"n_$n")
+    }
+    val out = rows
+      .select(Seq(col("id"), TextOps.piiScrub(col("text")).as("s")) ++
+        counts: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "contact <EMAIL> or <PHONE> now")
+    assert(out(2L).getString(1) ==
+      "server at <IP> port <NUM>, order id <PHONE>")
+    assert(out(3L).getString(1) == "no identifiers here at all")
+    // counts are per rule on the RAW text (documented overlap: the email's
+    // and phone's digit runs also count under num)
+    def c(id: Long) = (2 to 5).map(out(id).getLong(_))
+    assert(c(1L) == Seq(1L, 1L, 0L, 4L), s"row 1 counts ${c(1L)}")
+    assert(c(2L) == Seq(0L, 1L, 1L, 6L), s"row 2 counts ${c(2L)}")
+    assert(c(3L) == Seq(0L, 0L, 0L, 0L), s"row 3 counts ${c(3L)}")
+  }
 }
