@@ -432,8 +432,16 @@ object Dedup {
     */
   def ngramLadderPairs(docs: DataFrame): DataFrame = {
     val ws = shingleRows(docs)
-    val cand = candidatesFromSignatures(
-      signaturesFromRows(ws, 6), bands = 3, rows = 2)
+    jaccardVerify(ws,
+      candidatesFromSignatures(signaturesFromRows(ws, 6), bands = 3, rows = 2))
+  }
+
+  /** Exact-Jaccard verification of an EXPLICIT candidate-pair set — the
+    * ladder's last stage, factored so the incremental path can verify only
+    * a maintenance cycle's new candidates against (restricted) shingle
+    * rows. Work is |cand| × shingles-per-doc, never corpus².
+    */
+  private[graft] def jaccardVerify(ws: DataFrame, cand: DataFrame): DataFrame = {
     val sz = ws.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(ws.as("w1"), col("w1.doc_id") === col("d1"))
@@ -447,6 +455,57 @@ object Dedup {
       .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .select(col("d1"), col("d2"), j.as("jaccard"))
       .filter(col("jaccard") >= JaccardMin)
+  }
+
+  /** INCREMENTAL SURVIVOR MAINTENANCE (r7): update the connected-component
+    * survivor view under appends WITHOUT re-running CC over the base
+    * graph. Near-dup pairs are append-stable (band keys and pairwise
+    * Jaccard never change when unrelated docs arrive), so the full-corpus
+    * pair set is exactly `base pairs ⊎ new pairs` — and CC over it equals
+    * CC over the CONTRACTED micrograph: every stored component collapses
+    * to its label (= the component's min id, the survivor), each new edge
+    * maps its endpoints through that contraction, and micro-CC runs over
+    * |new pairs| edges only. Because contracted node ids are themselves
+    * min-doc-ids (stored labels) or fresh doc ids, the micro labels are
+    * directly the merged components' global min ids.
+    *
+    * Scale shape: the stored view is PROBED, never shuffled — one
+    * broadcast-semi restriction to the touched endpoints (`rel`,
+    * |δ|-sized) feeds the contraction, and the final remap is a broadcast
+    * left join of the tiny micro-label frame against the view. A cycle's
+    * cost is the micro-CC (O(log) rounds over |new edges|) plus two
+    * pipelined passes over the stored view; the base pair graph is never
+    * recomputed. Intra-component new edges contract to self-loops and are
+    * dropped before the micro-CC, so a cycle that discovers nothing new
+    * costs one empty CC and an identity remap.
+    */
+  def incrementalSurvivors(baseLabels: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    val ends = newPairs.select(col("d1").as("id"))
+      .union(newPairs.select(col("d2").as("id"))).distinct()
+    // stored rows for touched endpoints only — |δ|-sized by construction
+    val rel = baseLabels.join(broadcast(ends), Seq("id"), "left_semi")
+    val l1 = rel.select(col("id").as("d1"), col("label").as("l1"))
+    val l2 = rel.select(col("id").as("d2"), col("label").as("l2"))
+    val contracted = newPairs
+      .join(broadcast(l1), Seq("d1"), "left")
+      .join(broadcast(l2), Seq("d2"), "left")
+      .select(coalesce(col("l1"), col("d1")).as("d1"),
+        coalesce(col("l2"), col("d2")).as("d2"))
+      .filter(col("d1") =!= col("d2"))
+    val micro = connectedComponents(contracted)
+      .select(col("id").as("mid"), col("label").as("mlabel"))
+    // components untouched by any surviving edge are absent from micro
+    // and keep their stored label via the coalesce
+    val remapped = baseLabels
+      .join(broadcast(micro), col("label") === col("mid"), "left")
+      .select(col("id"), coalesce(col("mlabel"), col("label")).as("label"))
+    // graph entrants (endpoints with no stored row): contracted id = own
+    // id, so their label reads straight off the micro frame
+    val entrants = ends.join(broadcast(rel.select("id")), Seq("id"), "left_anti")
+      .join(broadcast(micro), col("id") === col("mid"))
+      .select(col("id"), col("mlabel").as("label"))
+    remapped.unionByName(entrants)
   }
 
   /** The ladder as oracle SQL ending in a `pairs(d1, d2, jaccard)` CTE. */
@@ -480,6 +539,25 @@ object Dedup {
        |  WHERE CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE)
        |        >= $JaccardMin)""".stripMargin
   }
+
+  /** Full-corpus survivor closure (recursive CTE) — shared by the batch
+    * `dedup_survivors` query and its maintained twin `delta_survivors`
+    * (merge identity: the incrementally maintained view must equal this
+    * recompute). Tiny graphs at oracle scale; the Spark side iterates
+    * min-label star contraction, the shape that scales.
+    */
+  private def survivorsOracle: String =
+    s"""${ngramPairsSql(withRecursive = true)},
+       |nodes AS (SELECT d1 AS id FROM pairs
+       |  UNION SELECT d2 FROM pairs),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |  UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+       |SELECT id AS doc_id, MIN(r) AS survivor FROM reach
+       |GROUP BY id ORDER BY doc_id""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
 
@@ -597,17 +675,44 @@ object Dedup {
           ngramLadderPairs(t(s, d, "documents")).select("d1", "d2"))
         .select(col("id").as("doc_id"), col("label").as("survivor"))
         .orderBy("doc_id"),
-      Some(s"""${ngramPairsSql(withRecursive = true)},
-             |nodes AS (SELECT d1 AS id FROM pairs
-             |  UNION SELECT d2 FROM pairs),
-             |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-             |  UNION ALL SELECT d2, d1 FROM pairs),
-             |reach(id, r) AS (
-             |  SELECT id, id FROM nodes
-             |  UNION
-             |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
-             |SELECT id AS doc_id, MIN(r) AS survivor FROM reach
-             |GROUP BY id ORDER BY doc_id""".stripMargin)),
+      Some(survivorsOracle)),
+
+    // IVM × pipeline CAPSTONE (r7): the survivor view MAINTAINED under
+    // appends, end to end. Cycle inputs: δ of the banding self-join over
+    // the signature view (delta_lsh_candidates' plan — the base×base arm
+    // appears nowhere; band keys are append-stable so a post-delta
+    // distinct IS the new-candidate set), exact Jaccard verified on those
+    // candidates only against endpoint-restricted shingle rows, then
+    // [[incrementalSurvivors]] contracts the stored components and
+    // micro-CCs just the new edges. The oracle is the FULL-corpus
+    // recursive-CTE closure — the merge identity: maintained view ==
+    // recompute, runner-less merges and component bridging included. At
+    // 100 TB a cycle costs δ shingling + bucket-local candidate join +
+    // an O(log) micro-CC over |new pairs|; the corpus pair graph is never
+    // rebuilt and the stored view is probed (broadcast semi), never
+    // shuffled.
+    QueryDef("delta_survivors",
+      (s, d) => {
+        import graft.ivm.{DeltaSources, Ivm}
+        val docs = t(s, d, "documents")
+        val isNew = col("doc_id") % 10 === 0
+        // stored view stand-in: CC over the base corpus's pair graph
+        val baseLabels = connectedComponents(
+          ngramLadderPairs(docs.filter(!isNew)).select("d1", "d2"))
+        signatures(docs, 6).createOrReplaceTempView("surv_sig_src")
+        DeltaSources.register("surv_sig_src", "doc_id % 10 = 0")
+        val newCand = Ivm.delta(
+          candidatePairsRaw(s.table("surv_sig_src"), 3, 2)).distinct()
+        val ends = newCand.select(col("d1").as("doc_id"))
+          .union(newCand.select(col("d2").as("doc_id"))).distinct()
+        val ws = shingleRows(
+          docs.join(broadcast(ends), Seq("doc_id"), "left_semi"))
+        val newPairs = jaccardVerify(ws, newCand).select("d1", "d2")
+        incrementalSurvivors(baseLabels, newPairs)
+          .select(col("id").as("doc_id"), col("label").as("survivor"))
+          .orderBy("doc_id")
+      },
+      Some(survivorsOracle)),
 
     // Benchmark decontamination over a synthetic split: docs with
     // doc_id % 10 = 3 play the benchmark, the rest the training corpus;

@@ -225,6 +225,38 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(labels.count() == 5, "frame must stay readable after unpersist")
   }
 
+  test("incrementalSurvivors equals full CC over base ∪ new edges") {
+    import spark.implicits._
+    // base components {1,2,3} and {10,11}; base doc 30 is NOT in the base
+    // graph (isolated); 20 and 40 are appended docs
+    val basePairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val baseLabels = Dedup.connectedComponents(basePairs)
+    // a bridge merging both base components through new doc 20, a fresh
+    // component pulling isolated base doc 30 in with new doc 40, and an
+    // intra-component edge (1,3) that must contract to a dropped self-loop
+    val newPairs = Seq((3L, 20L), (20L, 10L), (30L, 40L), (1L, 3L))
+      .toDF("d1", "d2")
+    val got = Dedup.incrementalSurvivors(baseLabels, newPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.connectedComponents(basePairs.unionByName(newPairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == full, s"incremental $got vs full recompute $full")
+    // the merged component's survivor is the global min across both base
+    // components and the bridge; the entrant pair keeps the base doc's id
+    assert(got.contains((20L, 1L)) && got.contains((11L, 1L)))
+    assert(got.contains((40L, 30L)) && got.contains((30L, 30L)))
+  }
+
+  test("incrementalSurvivors with an empty cycle is the identity") {
+    import spark.implicits._
+    val baseLabels = Dedup.connectedComponents(
+      Seq((1L, 2L)).toDF("d1", "d2"))
+    val got = Dedup.incrementalSurvivors(baseLabels,
+        Seq.empty[(Long, Long)].toDF("d1", "d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 1L)))
+  }
+
   test("pii scrub redacts planted emails/phones/IPs and counts per rule") {
     import spark.implicits._
     val rows = Seq(
