@@ -983,6 +983,39 @@ object Queries {
              |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST"""
         .stripMargin)),
 
+    // SALTED JOIN under the oracle (r7): Joins.saltedJoin is the explicit
+    // fallback for the ONE skew case AQE's skew split can't fix — a key so
+    // hot that every split of its partition still holds only that key.
+    // Declared so the salted path is oracle-checked end to end, not just
+    // spec-pinned: lineitem sharded into 8 deterministic sub-keys
+    // (xxhash64 of the row — stable across task retries), part replicated
+    // 8×, the standard brand rollup on top. The oracle is the PLAIN join:
+    // hash equality proves salting changes the distribution and nothing
+    // else. Use at 100 TB: only when a profiled hot key beats AQE — the
+    // cost is salt× the small side's shuffle volume.
+    QueryDef("join_salted",
+      (s, d) => {
+        val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(BigDecimal(1)).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2))))
+        Joins.saltedJoin(
+            t(s, d, "lineitem")
+              .select("l_partkey", "l_extendedprice", "l_discount"),
+            t(s, d, "part").select("p_partkey", "p_brand"),
+            "l_partkey", "p_partkey", 8)
+          .groupBy("p_brand")
+          .agg(sum(rev).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             |    AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
     // 3-way dim join on the fact table (TPC-H Q5 shape): lineitem ⋈ part ⋈
     // supplier ⋈ nation, revenue per (nation, brand). The three dims are
     // broadcast; lineitem is scanned once; the only shuffle is the final

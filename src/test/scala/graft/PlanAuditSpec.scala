@@ -280,6 +280,49 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"explode must run on the aggregated result, not the corpus:\n$p")
   }
 
+  test("delta_survivors: stored view remaps via broadcast, never shuffled") {
+    // the cycle's final remap joins the (corpus-sized) stored label frame
+    // against the (|new edges|-sized) micro-CC labels: every join in the
+    // plan must build a broadcast side — a SortMergeJoin here would
+    // shuffle the whole survivor view once per maintenance cycle
+    val p = planOf("delta_survivors")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast remap:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"stored view shuffled in the remap path:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"product join leaked into the survivor remap:\n$p")
+  }
+
+  test("pii_scrub: one scan, codegen'd regex projection, sort-only shuffle") {
+    // the scrub is a single projection over a single corpus scan; the only
+    // exchanges are the deliberate Par.spread round-robin (fan the
+    // regex-heavy rows over cores when the input has few files) and the
+    // declared query's total-order range sort — a HASH exchange (join or
+    // aggregate shuffle) or a fallback out of codegen would break the
+    // embarrassingly parallel shape that makes redaction free at 100 TB
+    val p = planOf("pii_scrub")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly one events scan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected keyed shuffle in a pure projection:\n$p")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1,
+      s"more than the final total-order sort:\n$p")
+    assert(!p.contains("CodegenFallback"),
+      s"regex projection fell out of codegen:\n$p")
+  }
+
+  test("join_salted: salt spreads the fact side, result plan stays keyed") {
+    // the salted join must remain a hash equi-join on (key, salt) — no
+    // product — and the replicated small side must come from ONE part scan
+    val p = planOf("join_salted")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"salting degenerated to a product join:\n$p")
+    assert("part.parquet".r.findAllIn(p).size <= 1,
+      s"small side must be scanned once and replicated by explode:\n$p")
+  }
+
   test("delta_lsh_candidates: no arm re-joins base x base") {
     // the incremental candidate plan is the 3-arm algebraic expansion —
     // every band join has a DELTA side; the corpus-quadratic base×base

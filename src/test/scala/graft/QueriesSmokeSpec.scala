@@ -52,8 +52,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "word_repetition", "delta_asof", "delta_two_level", "delta_gopher",
       "delta_static_dim", "delta_decontaminate", "dedup_passage",
       // round-7 surface
-      "delta_minmax", "events_csv")
-    assert(declared.size == 104)
+      "delta_minmax", "events_csv", "events_jsonl", "delta_group_distinct",
+      "pii_scrub", "delta_survivors", "join_salted")
+    assert(declared.size == 109)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
