@@ -481,13 +481,22 @@ object Dedup {
     */
   def incrementalSurvivors(baseLabels: DataFrame,
       newPairs: DataFrame): DataFrame = {
-    val ends = newPairs.select(col("d1").as("id"))
-      .union(newPairs.select(col("d2").as("id"))).distinct()
-    // stored rows for touched endpoints only — |δ|-sized by construction
+    // Pin the |δ|-sized inputs ONCE (same idiom as Ivm's pinSmall): the
+    // new-pair frame feeds `ends`, the contraction, and (through `rel`)
+    // both remap arms, and a caller's lazy lineage — e.g. the full
+    // δ-candidate + Jaccard pipeline in `delta_survivors` — would
+    // otherwise re-execute at EVERY reuse, including once per micro-CC
+    // round (measured 67s warm vs ~3s pinned at sf0.1).
+    val np = newPairs.localCheckpoint()
+    val ends = np.select(col("d1").as("id"))
+      .union(np.select(col("d2").as("id"))).distinct()
+    // stored rows for touched endpoints only — |δ|-sized by construction;
+    // pinned for the same reason (read by l1, l2, and the entrant anti).
     val rel = baseLabels.join(broadcast(ends), Seq("id"), "left_semi")
+      .localCheckpoint()
     val l1 = rel.select(col("id").as("d1"), col("label").as("l1"))
     val l2 = rel.select(col("id").as("d2"), col("label").as("l2"))
-    val contracted = newPairs
+    val contracted = np
       .join(broadcast(l1), Seq("d1"), "left")
       .join(broadcast(l2), Seq("d2"), "left")
       .select(coalesce(col("l1"), col("d1")).as("d1"),
@@ -701,8 +710,14 @@ object Dedup {
           ngramLadderPairs(docs.filter(!isNew)).select("d1", "d2"))
         signatures(docs, 6).createOrReplaceTempView("surv_sig_src")
         DeltaSources.register("surv_sig_src", "doc_id % 10 = 0")
+        // pinned once: the δ-candidate plan (3-arm band join over the
+        // full-corpus signature build) feeds `ends` (→ 3 shingle-scan
+        // evaluations inside jaccardVerify) and the verify's cand side —
+        // |δ-candidates|-sized, so the pin is cheap and saves ~4 full
+        // signature rebuilds
         val newCand = Ivm.delta(
           candidatePairsRaw(s.table("surv_sig_src"), 3, 2)).distinct()
+          .localCheckpoint()
         val ends = newCand.select(col("d1").as("doc_id"))
           .union(newCand.select(col("d2").as("doc_id"))).distinct()
         val ws = shingleRows(
