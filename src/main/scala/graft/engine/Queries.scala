@@ -797,6 +797,34 @@ object Queries {
              |ORDER BY o_totalprice DESC, o_orderkey
              |LIMIT 25""".stripMargin)),
 
+    // GROUPED top-k view maintenance (r7): "best 3 documents per
+    // (lang, source) by length" — the per-group sibling of delta_topk and
+    // the shape a training pipeline keeps per domain. Per-group top-k is a
+    // monoid per group (topk_g(T∪δ) = topk_g(topk_g T ∪ topk_g δ)), so the
+    // stored view absorbs a delta by semi/anti-splitting on the δ top-k's
+    // touched groups (broadcast) and re-ranking ≤ 2k rows per touched
+    // group; untouched groups pass through verbatim and the base corpus is
+    // never rescanned. Oracle = the full-table ROW_NUMBER recompute — hash
+    // equality pins the merge identity against an independent derivation.
+    // (doc_id tiebreak ⇒ total order per group, same rule as sort_limit.)
+    QueryDef("delta_group_topk",
+      (s, d) => {
+        import graft.ivm.Ivm
+        val keys = Seq("lang", "source")
+        val ord = Seq(col("n_chars").desc, col("doc_id").asc)
+        val full = t(s, d, "documents")
+          .select("doc_id", "lang", "source", "n_chars")
+        val prev = Ivm.groupTopK(Ivm.baseOf(full), keys, ord, 3)
+        Ivm.groupTopKMerge(prev, Ivm.delta(full), keys, ord, 3)
+          .orderBy("lang", "source", "doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars FROM (
+             |  SELECT doc_id, lang, source, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY lang, source
+             |      ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents) t WHERE rn <= 3
+             |ORDER BY lang, source, doc_id""".stripMargin)),
+
     // δ(LEFT SEMI): customers newly having a big order — either the
     // customer is itself in the δ partition (and has any qualifying order),
     // or a base customer with no qualifying BASE order gains one from δ

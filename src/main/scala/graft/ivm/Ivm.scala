@@ -385,6 +385,73 @@ object Ivm {
     signedNet(topKMerge(prev, delta(src), order, k), reMint(prev))
   }
 
+  /** Per-group top-k (`ROW_NUMBER() OVER (PARTITION BY keys ORDER BY …)
+    * <= k`) — the grouped sibling of `ORDER BY … LIMIT k`, and the shape a
+    * training pipeline uses for "keep the best k documents per
+    * language/domain". One shuffle on `keys`; the rank filter runs inside
+    * the window operator's per-partition sort, so no group ever
+    * materializes more than its frame. `order` must totally order rows
+    * WITHIN a group (same tiebreak rule as [[topKMerge]]).
+    */
+  def groupTopK(df: Dataset[_], keys: Seq[String], order: Seq[Column],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{functions => F}
+    require(k > 0, s"group top-k needs k > 0, got $k")
+    require(keys.nonEmpty, "group top-k needs at least one key (use " +
+      "topKMerge/deltaTopK for the global form)")
+    val w = Window.partitionBy(keys.map(F.col): _*).orderBy(order: _*)
+    df.toDF().withColumn("__graft_rn", F.row_number().over(w))
+      .filter(F.col("__graft_rn") <= k).drop("__graft_rn")
+  }
+
+  /** One maintenance step of a GROUPED top-k view: per-group top-k is a
+    * monoid per group under insert-only deltas —
+    * `topk_g(T ∪ δ) = topk_g(topk_g(T) ∪ topk_g(δ))` for every group g —
+    * and groups the delta never touches keep their stored rows verbatim.
+    * The stored view is PROBED, never re-ranked wholesale: the δ top-k's
+    * group keys (|touched-groups|-sized, broadcast) split `prev` with a
+    * semi/anti pair, and only `affected ∪ δ-topk` (≤ 2k rows per touched
+    * group) re-ranks. The base corpus is never rescanned.
+    */
+  def groupTopKMerge(prev: DataFrame, deltaRows: DataFrame,
+      keys: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val dTop = pinSmall(groupTopK(deltaRows, keys, order, k))
+    // every reuse beyond the first gets its own ExprIds ([[signed]]'s
+    // hazard): prev feeds both split arms and dTop feeds both touched-key
+    // sets plus the merge union — with pinning disabled (or a lazy caller
+    // frame) the repeated non-leaf subtrees otherwise mis-bind
+    def touched(df: DataFrame): DataFrame =
+      F.broadcast(df.select(keys.map(F.col): _*).distinct())
+    val untouched = prev.join(touched(reMint(dTop)), keys, "left_anti")
+    val affected = reMint(prev).join(touched(reMint(dTop)), keys, "left_semi")
+    untouched.unionByName(
+      groupTopK(affected.unionByName(dTop), keys, order, k))
+  }
+
+  /** Signed delta of a GROUPED top-k view under the registered source
+    * split: inserts = delta rows entering some group's top-k, retracts =
+    * stored rows they push out. Both arms are restricted to the δ top-k's
+    * touched groups BEFORE ranking (restriction commutes with per-group
+    * top-k), so the signed pair is |touched-groups × k|-sized and the
+    * netting ([[signedNet]]) erases groups whose membership didn't change.
+    * The affected-view probe is recomputed from base here (declared-query
+    * harness); a production store reads those ≤ k·|touched| rows by key.
+    */
+  def deltaGroupTopK(source: Dataset[_], keys: Seq[String],
+      order: Seq[Column], k: Int): SignedDelta = {
+    import org.apache.spark.sql.{functions => F}
+    val src = source.toDF()
+    val dTop = pinSmall(groupTopK(delta(src), keys, order, k))
+    val touched =
+      F.broadcast(reMint(dTop).select(keys.map(F.col): _*).distinct())
+    val affected = pinSmall(groupTopK(
+      baseOf(src).join(touched, keys, "left_semi"), keys, order, k))
+    val merged = groupTopK(reMint(affected).unionByName(dTop), keys, order, k)
+    signedNet(merged, reMint(affected))
+  }
+
   /** Signed delta of a GROUPED-AGGREGATE view computed from its
     * MATERIALIZED state plus the delta partial — the merge rung
     * ([[IvmAgg]]) lifted to a signed insert/retract pair so aggregates can

@@ -336,6 +336,41 @@ class DeltaIdentitySpec extends AnyFunSuite with SparkFixture {
       "retracts may only remove rows the previous view held")
   }
 
+  test("deltaGroupTopK: merged view equals per-group top-k over the full table") {
+    val keys = Seq("o_orderstatus")
+    val ord = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+    val full = t("orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val prev = Ivm.groupTopK(Ivm.baseOf(full), keys, ord, 4)
+    // per-group monoid identity: merge(topk_g(base), δ) == topk_g(full)
+    val merged = Ivm.groupTopKMerge(prev, Ivm.delta(full), keys, ord, 4)
+    assertMultisetEqual(merged, Ivm.groupTopK(full, keys, ord, 4))
+    // the signed form applies onto the stored view; retracts only remove
+    // rows the view held
+    val sd = Ivm.deltaGroupTopK(full, keys, ord, 4)
+    assertMultisetEqual(sd.applyTo(prev), merged)
+    assert(sd.retracts.exceptAll(prev).isEmpty,
+      "retracts may only remove rows the previous view held")
+  }
+
+  test("deltaGroupTopK: untouched groups produce no signed traffic") {
+    import spark.implicits._
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L),
+      (5L, "a", 50L)).toDF("id", "g", "v")
+      .createOrReplaceTempView("gtk_src")
+    DeltaSources.register("gtk_src", "id >= 5") // δ touches group a only
+    val full = spark.table("gtk_src")
+    val ord = Seq(col("v").desc, col("id").asc)
+    val sd = Ivm.deltaGroupTopK(full, Seq("g"), ord, 1)
+    assert(sd.inserts.filter(col("g") === "b").isEmpty &&
+      sd.retracts.filter(col("g") === "b").isEmpty,
+      "groups the delta never touches must stay silent")
+    // k=1 over group a: (5,a,50) enters, (2,a,20) falls out
+    assert(sd.inserts.select("id").collect().map(_.getLong(0)).toSet == Set(5L))
+    assert(sd.retracts.select("id").collect().map(_.getLong(0)).toSet == Set(2L))
+    val prev = Ivm.groupTopK(Ivm.baseOf(full), Seq("g"), ord, 1)
+    assertMultisetEqual(sd.applyTo(prev), Ivm.groupTopK(full, Seq("g"), ord, 1))
+  }
+
   test("maintainAuto: ORDER BY + LIMIT root routes to the top-k signed delta") {
     val ord = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
     val q = t("orders").select("o_orderkey", "o_totalprice")
