@@ -39,9 +39,13 @@ object DeltaSources {
     "part"       -> "p_partkey % 10 = 0",
     "orders"     -> "o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'",
     "lineitem"   -> "l_shipdate >= TIMESTAMP '2001-06-01 00:00:00'",
-    // events.ts is epoch-nanos INT64 (see graft.engine.Tables): the long
-    // literal is 2024-01-28T00:00:00Z and min/max-prunes like any range.
-    "events"     -> "ts >= 1706400000000000000",
+    // events.ts has shipped as both µs TIMESTAMP_NTZ and legacy INT64
+    // epoch-nanos (see graft.engine.Tables): the zone-free literal is
+    // 2024-01-28T00:00:00 and min/max-prunes like any range. On the
+    // legacy long encoding, PosDeltaRule's literal coercion rewrites the
+    // timestamp literal to its epoch-nanos long, so ONE registered
+    // predicate serves both physical layouts.
+    "events"     -> "ts >= TIMESTAMP_NTZ '2024-01-28 00:00:00'",
     "documents"  -> "doc_id % 10 = 0",
     "embeddings" -> "vec_id % 10 = 0"
   )

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Delta-propagation rewrite: pushes a [[PosDelta]] marker down through the
   * relational operators using the textbook delta-rule algebra, terminating
@@ -431,6 +432,18 @@ object ResolvePosDeltaScan extends Rule[LogicalPlan] {
       case b: BinaryOperator if b.childrenResolved &&
           b.left.dataType != b.right.dataType =>
         (b.left, b.right) match {
+          // timestamp literal against an INT64 epoch-NANOS column (the
+          // legacy `nanosAsLong` events encoding — graft.engine.Tables):
+          // a Cast would yield SECONDS, so reinterpret the literal's
+          // internal µs value as nanos directly. Zone-free by
+          // construction for TIMESTAMP_NTZ; TimestampType literals carry
+          // UTC-adjusted µs, matching the UTC-generated testdata.
+          case (lit: Literal, other) if isTsLiteral(lit) &&
+              other.dataType == LongType =>
+            b.withNewChildren(Seq(nanosOf(lit), other))
+          case (other, lit: Literal) if isTsLiteral(lit) &&
+              other.dataType == LongType =>
+            b.withNewChildren(Seq(other, nanosOf(lit)))
           case (lit: Literal, other) if Cast.canCast(lit.dataType, other.dataType) =>
             b.withNewChildren(Seq(Cast(lit, other.dataType), other))
           case (other, lit: Literal) if Cast.canCast(lit.dataType, other.dataType) =>
@@ -439,6 +452,16 @@ object ResolvePosDeltaScan extends Rule[LogicalPlan] {
         }
     }
   }
+
+  private def isTsLiteral(lit: Literal): Boolean = lit.dataType match {
+    case TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Both timestamp types store epoch/wall-clock MICROS as a Long
+    * internally; ×1000 is the exact nanos reinterpretation. */
+  private def nanosOf(lit: Literal): Literal =
+    Literal(lit.value.asInstanceOf[Long] * 1000L, LongType)
 
   /** Base-table identity: a *registered* alias first, else the parquet path
     * basename — so `orders AS o` still resolves to the `orders` delta source

@@ -111,8 +111,8 @@ object PipelineQueries {
         val brk = when(
           col("tus") - lag(col("tus"), 1).over(byUser) > gapUs ||
             lag(col("tus"), 1).over(byUser).isNull, lit(1L)).otherwise(lit(0L))
-        t(s, d, "events")
-          .select(col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+        val ev = t(s, d, "events")
+        ev.select(col("user_id"), Tables.tsUs(ev).as("tus"), col("value"))
           .select(col("user_id"), col("tus"), col("value"), brk.as("brk"))
           .select(col("user_id"), col("tus"), col("value"),
             sum(col("brk")).over(byUser).as("sid"))
@@ -153,9 +153,9 @@ object PipelineQueries {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("user_id").orderBy("tus")
           .rangeBetween(-3600L * 1000000L, 0L)
-        t(s, d, "events")
-          .select(col("event_id"), col("user_id"),
-            expr("ts div 1000").as("tus"), col("value"))
+        val ev = t(s, d, "events")
+        ev.select(col("event_id"), col("user_id"),
+            Tables.tsUs(ev).as("tus"), col("value"))
           .select(col("event_id"), col("user_id"),
             count(lit(1)).over(w).as("n_1h"),
             sum(col("value").cast(DecimalType(18, 2))).over(w)
@@ -411,9 +411,9 @@ object PipelineQueries {
         // µs domain on both sides: Spark floors the raw ns long, DuckDB's
         // epoch_us floors its TIMESTAMP — identical int64s (§7.5)
         val W = 21600000000L // 6 h in µs
-        val ev = t(s, d, "events")
-          .select(col("event_id"), col("user_id"),
-            expr("ts div 1000").as("tus"))
+        val raw = t(s, d, "events")
+        val ev = raw.select(col("event_id"), col("user_id"),
+          Tables.tsUs(raw).as("tus"))
         graft.engine.RangeJoin.within(
             ev.select(col("user_id"), col("event_id").as("e1"),
               col("tus").as("t1")),
@@ -447,9 +447,9 @@ object PipelineQueries {
     QueryDef("delta_range_join",
       (s, d) => {
         val W = 21600000000L // 6 h in µs
-        val ev = t(s, d, "events")
-          .select(col("event_id"), col("user_id"),
-            expr("ts div 1000").as("tus"))
+        val raw = t(s, d, "events")
+        val ev = raw.select(col("event_id"), col("user_id"),
+          Tables.tsUs(raw).as("tus"))
         graft.ivm.Ivm.delta(
             graft.engine.RangeJoin.within(
                 ev.select(col("user_id"), col("event_id").as("e1"),
@@ -548,9 +548,9 @@ object PipelineQueries {
     // join so partial funnels surface with NULL step times.
     QueryDef("events_funnel",
       (s, d) => {
-        val ev = t(s, d, "events")
-          .select(col("user_id"), col("event_type"),
-            expr("ts div 1000").as("tus")) // µs domain, §7.5
+        val raw = t(s, d, "events")
+        val ev = raw.select(col("user_id"), col("event_type"),
+          Tables.tsUs(raw).as("tus")) // µs domain, §7.5
         def step(typ: String) = ev.filter(col("event_type") === typ)
         val s1 = step("view").groupBy("user_id").agg(min("tus").as("t1"))
         val s2 = step("click").join(s1, "user_id")
@@ -582,13 +582,15 @@ object PipelineQueries {
     // D4 — hourly event rollup. Output DATE + BIGINT hour (never raw ns ts,
     // SURVEY §7.5). At scale: partial agg then a (day,hr,type) shuffle.
     QueryDef("events_hourly",
-      (s, d) => t(s, d, "events")
-        .groupBy(
-          to_date(Tables.tsMicros).as("day"),
-          hour(Tables.tsMicros).cast("long").as("hr"),
-          col("event_type"))
-        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
-        .orderBy("day", "hr", "event_type"),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        ev.groupBy(
+            to_date(Tables.tsMicros(ev)).as("day"),
+            hour(Tables.tsMicros(ev)).cast("long").as("hr"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+          .orderBy("day", "hr", "event_type")
+      },
       Some("""SELECT CAST(ts AS DATE) AS day,
              |  CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr, event_type,
              |  COUNT(*) AS cnt,

@@ -110,12 +110,12 @@ object StreamQueries {
     // batch and the last generation equals the full-table aggregate
     QueryDef("stream_hourly",
       (s, d) => {
-        // stage with the ns->µs conversion applied so the stream schema is
-        // a plain TIMESTAMP(MICROS) parquet column (the nanosAsLong flag
-        // only concerns the raw testdata layout)
+        // stage with the ts normalization applied so the stream schema is
+        // a plain TIMESTAMP(MICROS) parquet column whatever the testdata's
+        // physical encoding (Tables.tsMicros adapts ns-long / NTZ / µs)
         val stage = stagedSource(s, d, "hourly") { p =>
-          Tables(s, d, "events")
-            .select(Tables.tsMicros.as("tsm"), col("event_type"), col("value"))
+          val ev = Tables(s, d, "events")
+          ev.select(Tables.tsMicros(ev).as("tsm"), col("event_type"), col("value"))
             .repartitionByRange(4, col("tsm"))
             .write.mode("overwrite").parquet(p)
         }
@@ -153,8 +153,8 @@ object StreamQueries {
     QueryDef("stream_sessions",
       (s, d) => {
         val stage = stagedSource(s, d, "sessions") { p =>
-          Tables(s, d, "events")
-            .select(Tables.tsMicros.as("tsm"), col("user_id"), col("value"))
+          val ev = Tables(s, d, "events")
+          ev.select(Tables.tsMicros(ev).as("tsm"), col("user_id"), col("value"))
             .repartitionByRange(4, col("tsm"))
             .write.mode("overwrite").parquet(p)
         }
@@ -218,9 +218,9 @@ object StreamQueries {
     QueryDef("stream_correlate",
       (s, d) => {
         val stage = stagedSource(s, d, "correlate") { p =>
-          Tables(s, d, "events")
-            .filter(col("event_type").isin("click", "purchase"))
-            .select(Tables.tsMicros.as("ts"), col("event_id"),
+          val ev = Tables(s, d, "events")
+          ev.filter(col("event_type").isin("click", "purchase"))
+            .select(Tables.tsMicros(ev).as("ts"), col("event_id"),
               col("user_id"), col("event_type"))
             .repartitionByRange(4, col("ts"))
             .write.mode("overwrite").parquet(p)

@@ -184,7 +184,7 @@ object ScaleProbe {
     // linearly with mult — the design claim under test
     timeE("range join (1h window)") {
       val e = ev.select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("tus"))
+        graft.engine.Tables.tsUs(ev).as("tus"))
       graft.engine.RangeJoin.within(
           e.select(col("user_id"), col("event_id").as("e1"),
             col("tus").as("t1")),
