@@ -135,9 +135,15 @@ object Ivm {
       * are small by design (that is the point of incremental maintenance),
       * so the materialization cost is the delta's own size.
       */
-    def applyTo(view: DataFrame): DataFrame =
-      view.unionByName(inserts.localCheckpoint())
-        .exceptAll(retracts.localCheckpoint())
+    def applyTo(view: DataFrame): DataFrame = {
+      // exceptAll matches columns by POSITION: re-project both frames to
+      // the view's column order first (rungs built over using-column
+      // joins emit key-first order, which need not match the view's)
+      val cols = view.columns.toSeq
+        .map(org.apache.spark.sql.functions.col)
+      view.unionByName(inserts.localCheckpoint().select(cols: _*))
+        .exceptAll(retracts.localCheckpoint().select(cols: _*))
+    }
   }
 
   /** Construct a [[SignedDelta]] with every ExprId in both plans re-minted
@@ -187,7 +193,10 @@ object Ivm {
   private def pinSmall(df: DataFrame): DataFrame =
     if (df.sparkSession.conf
         .get("spark.graft.ivm.pinSignedNet", "true").toBoolean)
-      df.localCheckpoint()
+      // constraint normalization: a raw checkpoint leaf re-minted by
+      // [[reMint]] can carry STALE constraint ExprIds into a Union and
+      // blow up its constraint rewrite (see GraftSql.normalizeRddConstraints)
+      GraftSql.normalizeRddConstraints(df.localCheckpoint())
     else df
 
   /** Signed delta of a LEFT OUTER join under insert-only source deltas —
@@ -424,8 +433,14 @@ object Ivm {
     // frame) the repeated non-leaf subtrees otherwise mis-bind
     def touched(df: DataFrame): DataFrame =
       F.broadcast(df.select(keys.map(F.col): _*).distinct())
+    // using-column joins emit the keys FIRST: re-project both split arms
+    // back to the stored view's column order, so the merged view keeps it
+    // (downstream appliers difference positionally)
+    val outCols = prev.columns.toSeq.map(F.col)
     val untouched = prev.join(touched(reMint(dTop)), keys, "left_anti")
+      .select(outCols: _*)
     val affected = reMint(prev).join(touched(reMint(dTop)), keys, "left_semi")
+      .select(outCols: _*)
     untouched.unionByName(
       groupTopK(affected.unionByName(dTop), keys, order, k))
   }
@@ -446,8 +461,13 @@ object Ivm {
     val dTop = pinSmall(groupTopK(delta(src), keys, order, k))
     val touched =
       F.broadcast(reMint(dTop).select(keys.map(F.col): _*).distinct())
+    // re-project the semi-join's key-first column order back to the
+    // source's, so the signed frames difference positionally against any
+    // view derived from the source (applyTo / the identity spec)
+    val outCols = src.columns.toSeq.map(F.col)
     val affected = pinSmall(groupTopK(
-      baseOf(src).join(touched, keys, "left_semi"), keys, order, k))
+      baseOf(src).join(touched, keys, "left_semi"), keys, order, k)
+      .select(outCols: _*))
     val merged = groupTopK(reMint(affected).unionByName(dTop), keys, order, k)
     signedNet(merged, reMint(affected))
   }

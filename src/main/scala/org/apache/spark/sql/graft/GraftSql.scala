@@ -26,6 +26,40 @@ object GraftSql {
   def optimized(df: Dataset[_]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.optimizedPlan
 
+  /** Re-home a checkpoint-produced [[LogicalRDD]]'s constraints onto its
+    * own output attributes.
+    *
+    * `Dataset.localCheckpoint` carries the origin plan's constraints into
+    * the resulting leaf, but the constraint ATTRIBUTE OBJECTS can differ
+    * from the leaf's output attributes in qualifier even when the ExprIds
+    * match (they were rewritten from the optimized plan). That breaks
+    * `LogicalRDD.newInstance`, whose rewrite map is keyed by full
+    * attribute equality: un-rewritten constraint attrs survive re-minting
+    * with STALE ExprIds, and the first Union over the re-minted leaf
+    * throws `key not found` from its constraint rewrite (observed on the
+    * grouped-top-k rung). Rewriting every constraint attr to the output
+    * attr with the same ExprId — and dropping constraints referencing
+    * foreign ExprIds outright — restores the invariant every other node
+    * maintains: constraints ⊆ functions of output.
+    */
+  def normalizeRddConstraints(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, ExpressionSet}
+    import org.apache.spark.sql.execution.LogicalRDD
+    analyzed(df) match {
+      case lr: LogicalRDD if lr.constraints.nonEmpty =>
+        val byId = lr.output.map(a => a.exprId -> a).toMap
+        val sane = lr.constraints.toSeq
+          .map(_.transform { case a: Attribute => byId.getOrElse(a.exprId, a) })
+          .filter(_.references.forall(r => byId.contains(r.exprId)))
+        val rebuilt = LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+          lr.outputOrdering, lr.isStreaming, lr.stream)(
+          df.sparkSession.asInstanceOf[classic.SparkSession],
+          Some(lr.computeStats()), Some(ExpressionSet(sane)))
+        ofRows(df.sparkSession, rebuilt)
+      case _ => df
+    }
+  }
+
   /** Wrap a (resolved) Catalyst expression as a user-facing Column. */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =

@@ -53,8 +53,10 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "delta_static_dim", "delta_decontaminate", "dedup_passage",
       // round-7 surface
       "delta_minmax", "events_csv", "events_jsonl", "delta_group_distinct",
-      "pii_scrub", "delta_survivors", "join_salted")
-    assert(declared.size == 109)
+      "pii_scrub", "delta_survivors", "join_salted",
+      // round-8 surface
+      "delta_group_topk")
+    assert(declared.size == 110)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

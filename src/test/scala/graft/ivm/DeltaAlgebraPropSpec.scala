@@ -248,4 +248,43 @@ class DeltaAlgebraPropSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("property: grouped top-k signed identity, STRING and NUMERIC keys (r8)") {
+    // the round-7 regression class: a STRING group key must never be
+    // wired into a numeric slot by the rung's re-mint/pin composition
+    // (positional mis-binding casts the key and throws), and untouched
+    // groups must stay silent — checked across random tables, random
+    // splits, and both key types
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to Cases).foreach { i =>
+      val rows = (1, 1) :: randTable(rnd)
+      val m = 2 + rnd.nextInt(3)
+      val k = 1 + rnd.nextInt(3)
+      val useStringKey = i % 2 == 0
+      val data = rows.zipWithIndex.map { case ((g, v), ix) =>
+        (ix.toLong, if (useStringKey) s"s$g" else g.toString, v.toLong)
+      }
+      val src = data.toDF("id", "gk", "v")
+      val frame = if (useStringKey) src
+        else src.select(col("id"), col("gk").cast("int").as("gk"), col("v"))
+      frame.createOrReplaceTempView("prop_gtk")
+      DeltaSources.register("prop_gtk", s"id % $m = 0")
+      val ord = Seq(col("v").desc, col("id").asc)
+      val full = spark.table("prop_gtk")
+      val prev = Ivm.groupTopK(Ivm.baseOf(full), Seq("gk"), ord, k)
+      val want = Ivm.groupTopK(full, Seq("gk"), ord, k)
+      // merge-rung identity
+      assert(multisetEqual(
+        Ivm.groupTopKMerge(prev, Ivm.delta(full), Seq("gk"), ord, k), want),
+        s"groupTopKMerge identity failed m=$m k=$k str=$useStringKey rows=$rows")
+      // signed identity + retract containment
+      val sd = Ivm.deltaGroupTopK(full, Seq("gk"), ord, k)
+      assert(multisetEqual(sd.applyTo(prev), want),
+        s"deltaGroupTopK identity failed m=$m k=$k str=$useStringKey rows=$rows")
+      assert(sd.retracts.select(prev.columns.map(col): _*)
+        .exceptAll(prev).isEmpty,
+        s"retracts outside the stored view m=$m k=$k str=$useStringKey")
+    }
+  }
 }
