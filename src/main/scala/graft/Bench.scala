@@ -51,6 +51,11 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
     var failed = List.empty[String]
+    // first line of each failure's message, keyed by query — so a broken
+    // query is diagnosable from the committed bench artifact alone (the
+    // round-7 testdata regeneration broke 11 queries and the driver
+    // artifacts carried no exception text at all)
+    var errors = Map.empty[String, String]
     // Each query is timed TWICE, back to back: the cold pass carries
     // first-execution costs that vary with box load (codegen compilation,
     // file-listing, page-cache misses), the warm pass is the steady-state
@@ -72,6 +77,9 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           if (!failed.contains(name)) failed ::= name
+          if (!errors.contains(name)) errors += name ->
+            String.valueOf(e.getMessage).linesIterator.take(1)
+              .mkString.take(300)
           -1.0
         }
       }
@@ -92,15 +100,23 @@ object Bench {
       .collect { case (_, v) if sel(v) >= 0 => sel(v) }.sum
     val (total, totalWarm) = (totalOf(_._1), totalOf(_._2))
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errorsJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"value_cold":$total,"value_warm":$totalWarm,"unit":"sec","queries":${qjson(_._1)},"queries_warm":${qjson(_._2)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_cold":$total,"value_warm":$totalWarm,"unit":"sec","queries":${qjson(_._1)},"queries_warm":${qjson(_._2)},"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
     println(line)
     // The full per-query line outgrew the driver's tail-capture window at
     // 74 queries (BENCH_r04 parsed as null) — also print a compact summary
     // LAST so a bounded tail always contains a complete JSON object; the
     // full line lives in bench_out.json either way.
     val summary =
-      s"""{"metric":"total","value":$total,"value_cold":$total,"value_warm":$totalWarm,"unit":"sec","n":${names.size},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_cold":$total,"value_warm":$totalWarm,"unit":"sec","n":${names.size},"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
     println(summary)
     Files.writeString(Paths.get("bench_out.json"), line)
     spark.stop()

@@ -19,6 +19,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.engine.Tables.init(spark)
     new java.io.File(outDir).mkdirs()
+    var errors = Map.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -26,6 +27,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors += name -> String.valueOf(e.getMessage)
+          .linesIterator.take(1).mkString.take(300)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +46,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // per-query exception text for broken queries (a failed query has no
+    // result dir, so without this the artifact carries no diagnosis)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }
