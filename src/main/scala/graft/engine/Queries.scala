@@ -1355,7 +1355,80 @@ object Queries {
              |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
              |    AS BIGINT) AS max_k
              |FROM events GROUP BY event_type
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ORC SOURCE scan (r8): the third non-parquet file source, on Spark's
+    // native ORC reader (columnar, predicate-pushdown-capable — unlike
+    // CSV/JSON the FILTER here reaches the ORC stripe stats, so the scan
+    // shape matches parquet's at 100 TB). Event time is staged as the
+    // type-adaptive epoch-µs BIGINT (Tables.tsUs), so the slot is stable
+    // across ts physical encodings and the hash compare pins the ORC
+    // write/read round-trip of longs, doubles, and strings plus the
+    // filtered aggregate on top. Staged once per box+content with the
+    // same fingerprinted slot discipline as events_csv/events_jsonl.
+    QueryDef("events_orc",
+      (s, d) => {
+        val stage = graft.sources.Staging.stageOnce(d, "events_orc",
+          Seq(s"$d/events.parquet")) { p =>
+          val ev = t(s, d, "events")
+          ev.select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"), graft.engine.Tables.tsUs(ev).as("tsus"))
+            .write.mode("overwrite").orc(p)
+        }
+        s.read.orc(stage)
+          .filter(col("value") > 5.0)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast("double").as("sum_value"),
+            min(col("tsus")).as("min_ts"),
+            max(col("tsus")).as("max_ts"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |  MIN(epoch_us(ts)) AS min_ts, MAX(epoch_us(ts)) AS max_ts,
+             |  COUNT(DISTINCT user_id) AS n_users
+             |FROM events WHERE value > 5.0 GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // BUCKETED CO-LOCATED JOIN (r8): the table-LAYOUT answer to the
+    // shuffle budget — both sides staged bucketed+sorted by the join key
+    // (sources.Bucketed: written once per box+content, re-registered per
+    // session as external bucketed tables), so the merge-hinted join
+    // reads co-located buckets with NO exchange under the join: at
+    // 100 TB the fact table stops re-shuffling on every join against an
+    // equally-bucketed side. The merge hint makes the demonstration
+    // deterministic across SFs (a broadcast would also skip the shuffle,
+    // but only while the dim fits in memory — bucketing is the layout
+    // that scales past that). AQE cannot re-plan the join (no shuffle
+    // stage below it). Hash equality vs the plain-parquet oracle proves
+    // the layout changes distribution only; PlanAuditSpec pins the
+    // exchange-free join subtree and the bucketed scans.
+    QueryDef("join_bucketed",
+      (s, d) => {
+        val ord = t(s, d, "orders")
+          .select("o_custkey", "o_totalprice", "o_orderpriority")
+        val cust = t(s, d, "customer").select("c_custkey", "c_mktsegment")
+        val ot = graft.sources.Bucketed.table(s, d, "bucketed_orders",
+          s"$d/orders.parquet", ord, "o_custkey", 8)
+        val ct = graft.sources.Bucketed.table(s, d, "bucketed_customer",
+          s"$d/customer.parquet", cust, "c_custkey", 8)
+        s.table(ot).hint("merge")
+          .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin))
   )
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

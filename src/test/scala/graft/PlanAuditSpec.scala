@@ -337,4 +337,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"generic distinct interception (base recompute) came back:\n$p")
     assert(p.contains("word_shingles"), s"native shingle kernel missing:\n$p")
   }
+
+  test("join_bucketed: co-located merge join, no exchange under the join") {
+    // the layout demonstration: both scans read the staged bucketed
+    // tables (Bucketed: true) and the merge join consumes them with NO
+    // shuffle — the only exchanges in the whole plan are the post-join
+    // aggregate's and the final sort's. A third exchange means the
+    // bucket metadata was lost (e.g. the session read raw parquet
+    // instead of the registered table) and the fact side re-shuffles on
+    // every join at scale.
+    val p = planOf("join_bucketed")
+    assert(p.contains("SortMergeJoin"), s"merge join missing:\n$p")
+    assert("Bucketed: true".r.findAllIn(p).size == 2,
+      s"both sides must scan as bucketed tables:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"expected only the aggregate + sort exchanges:\n$p")
+  }
 }

@@ -55,8 +55,8 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "delta_minmax", "events_csv", "events_jsonl", "delta_group_distinct",
       "pii_scrub", "delta_survivors", "join_salted",
       // round-8 surface
-      "delta_group_topk")
-    assert(declared.size == 110)
+      "delta_group_topk", "events_orc", "join_bucketed")
+    assert(declared.size == 112)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
