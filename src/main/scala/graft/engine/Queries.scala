@@ -1428,8 +1428,133 @@ object Queries {
              |    AS total
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment
-             |ORDER BY c_mktsegment""".stripMargin))
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // DELTA LAKE SNAPSHOT READ (r8): the north star's "Spark SQL + Delta
+    // Lake reader" (BASELINE.json), on the native log reader
+    // (sources.DeltaLake — open protocol, no connector jars). The staged
+    // fixture is a REAL two-commit Delta table partitioned by
+    // o_orderpriority (commit 0 = the first 90% of the order-key range,
+    // commit 1 = the appended tail; partition values live in the LOG,
+    // not the data files). The snapshot read folds the commit log —
+    // never listing the store — and reconstructs partition columns as
+    // per-group literals. Hash equality vs the plain parquet oracle over
+    // the SAME rows pins the whole chain: log fold, multi-commit union,
+    // partition-value injection, and the aggregate on top.
+    QueryDef("deltalake_scan",
+      (s, d) => graft.sources.DeltaLake.snapshot(s, deltaLakeOrders(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // DELTA LAKE TIME TRAVEL (r8): the same table read AS OF version 0 —
+    // the snapshot-isolation contract a lakehouse pipeline leans on
+    // (reproducible training runs pin a table version). The fold replays
+    // the log only up to the requested cut; the oracle recomputes the
+    // commit-0 membership from first principles (the deterministic
+    // 90%-of-key-range split), so hash equality proves version selection
+    // is exact, not approximate.
+    QueryDef("deltalake_time_travel",
+      (s, d) => graft.sources.DeltaLake
+        .snapshot(s, deltaLakeOrders(s, d), version = Some(0L))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  MAX(o_orderkey) AS max_key
+             |FROM orders
+             |WHERE o_orderkey < (SELECT (MAX(o_orderkey)*9)//10 FROM orders)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // DELTA LAKE COMMIT-LOG DELTA (r8): the rows added after version 0 —
+    // the transactional replacement for FileSnapshots' mtime cut (its
+    // scaladoc's own caveat): an incremental maintenance cycle reads
+    // EXACTLY the files of the commits since its last version, no data
+    // predicate, no listing, no same-tick ambiguity. Files added and
+    // removed inside the window cancel, so compaction rewrites never
+    // replay as inserts. The oracle recomputes the appended membership
+    // from the split's first principles.
+    QueryDef("deltalake_appends",
+      (s, d) => graft.sources.DeltaLake
+        .appended(s, deltaLakeOrders(s, d), afterVersion = 0L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  MIN(o_orderkey) AS min_key
+             |FROM orders
+             |WHERE o_orderkey >= (SELECT (MAX(o_orderkey)*9)//10 FROM orders)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // δ OVER A DELTA TABLE (r8) — the reference's literal composition:
+    // "datafusion-delta-queries" IS the PosDelta rewrite over Delta
+    // sources. The staged table is tracked by ivm.DeltaLakeSnapshots
+    // with the cut at version 0, so the rewrite's incremental scan
+    // resolves through the VERSION-cut predicate (_metadata.file_name ∉
+    // the v0 snapshot's file set — commits after the cut are delta by
+    // construction, no same-tick mtime ambiguity). The query runs
+    // envelope ops (filter+projection) through Ivm.delta, so the oracle
+    // — the commit-1 membership from the split's first principles —
+    // pins the whole chain: log fold, view registration, predicate
+    // resolution at the PosDeltaScan seam, and the rewrite itself.
+    QueryDef("delta_deltalake",
+      (s, d) => {
+        import graft.ivm.DeltaLakeSnapshots
+        val dir = deltaLakeOrders(s, d)
+        DeltaLakeSnapshots.track(s, "dl_orders", dir, at = Some(0L))
+        DeltaLakeSnapshots.view(s, "dl_orders")
+        val q = s.table("dl_orders")
+          .filter(col("o_totalprice") > 50000)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority"),
+            col("o_totalprice").cast(DecimalType(18, 2))
+              .cast("double").as("price"))
+        Ivm.delta(q).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderpriority,
+             |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+             |FROM orders
+             |WHERE o_orderkey >= (SELECT (MAX(o_orderkey)*9)//10 FROM orders)
+             |  AND o_totalprice > 50000
+             |ORDER BY o_orderkey""".stripMargin))
   )
+
+  /** The staged two-commit Delta table the `deltalake_*` queries read:
+    * orders split at 90% of the key range (commit 0 = below, commit 1 =
+    * the appended tail), partitioned by `o_orderpriority`, built once per
+    * box+content in a fingerprinted [[graft.sources.Staging]] slot.
+    */
+  private def deltaLakeOrders(s: SparkSession, d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val cut = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_orderkey") < cut), Seq("o_orderpriority"), 0L)
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_orderkey") >= cut), Seq("o_orderpriority"), 1L)
+    }
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

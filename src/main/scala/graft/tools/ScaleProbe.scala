@@ -291,8 +291,14 @@ object ScaleProbe {
       // recompute still scans its own inputs in this view-less harness;
       // in production that child is itself a materialized view).
       locally {
+        // the dim must be STATIC for the locality claim (localCheckpoint
+        // → static leaf, empty delta): the registry's default customer
+        // split (c_custkey % 10 = 0) would otherwise contribute one δ
+        // customer to EVERY 10-key bucket — a dim-delta touching all
+        // groups, where recomputing everything is the honest answer
         val cust = Tables(spark, dir, "customer")
           .select(col("c_custkey"), expr("c_custkey div 10").as("cbucket"))
+          .localCheckpoint()
         // delta = new orders from the top-1% customer-key range (the
         // append pattern the rung exists for: a delta CORRELATED with
         // the outer key — new customers' orders — touches few buckets;

@@ -55,8 +55,10 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "delta_minmax", "events_csv", "events_jsonl", "delta_group_distinct",
       "pii_scrub", "delta_survivors", "join_salted",
       // round-8 surface
-      "delta_group_topk", "events_orc", "join_bucketed")
-    assert(declared.size == 112)
+      "delta_group_topk", "events_orc", "join_bucketed",
+      "deltalake_scan", "deltalake_time_travel", "deltalake_appends",
+      "delta_deltalake")
+    assert(declared.size == 116)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

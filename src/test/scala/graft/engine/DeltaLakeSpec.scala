@@ -1,0 +1,158 @@
+package graft.engine
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.sources.DeltaLake
+
+/** Pins the native Delta-log reader against the protocol behaviors the
+  * declared `deltalake_*` queries don't reach: remove-action replay,
+  * checkpoint resume (with the pre-checkpoint JSON commits DELETED, so the
+  * checkpoint path is proven, not optional), add/remove cancellation in
+  * the commit-window diff, log-level partition pruning, and the
+  * fail-fast on reader features the fold would silently mis-read.
+  */
+class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_dl_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("multi-commit fold: adds accumulate, removes drop, time travel replays") {
+    val dir = freshDir("fold")
+    val a = Seq((1L, "a"), (2L, "a")).toDF("id", "v").coalesce(1)
+    val b = Seq((3L, "b")).toDF("id", "v").coalesce(1)
+    DeltaLake.stageCommit(spark, dir, a, Seq.empty, 0L)
+    DeltaLake.stageCommit(spark, dir, b, Seq.empty, 1L)
+    // remove commit 0's file (single-file commits make membership exact)
+    val f0 = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    assert(f0.length == 2)
+    val commit0File = rows(spark.read.parquet(s"$dir/${f0.head}")) match {
+      case s if s == Set((1L, "a"), (2L, "a")) => f0.head
+      case _ => f0.last
+    }
+    DeltaLake.stageRemoveCommit(dir, Seq(commit0File), 2L)
+
+    assert(DeltaLake.latestVersion(spark, dir) == 2L)
+    assert(rows(DeltaLake.snapshot(spark, dir)) == Set((3L, "b")))
+    assert(rows(DeltaLake.snapshot(spark, dir, Some(1L))) ==
+      Set((1L, "a"), (2L, "a"), (3L, "b")))
+    assert(rows(DeltaLake.snapshot(spark, dir, Some(0L))) ==
+      Set((1L, "a"), (2L, "a")))
+    // commit-window diff: adds after v0 still live at the end
+    assert(rows(DeltaLake.appended(spark, dir, 0L)) == Set((3L, "b")))
+    // a file added AND removed inside the window cancels
+    assert(rows(DeltaLake.appended(spark, dir, 0L, Some(2L))) ==
+      Set((3L, "b")))
+    val dir2 = freshDir("cancel")
+    DeltaLake.stageCommit(spark, dir2, a, Seq.empty, 0L)
+    DeltaLake.stageCommit(spark, dir2, b, Seq.empty, 1L)
+    val added = new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName)
+      .filter(n => rows(spark.read.parquet(s"$dir2/$n")) == Set((3L, "b")))
+    DeltaLake.stageRemoveCommit(dir2, added.toSeq, 2L)
+    assert(DeltaLake.appended(spark, dir2, 0L).isEmpty)
+  }
+
+  test("checkpoint resume: fold continues from the checkpoint when pre-checkpoint commits are gone") {
+    val dir = freshDir("cp")
+    val a = Seq((1L, "a")).toDF("id", "v").coalesce(1)
+    val b = Seq((2L, "b")).toDF("id", "v").coalesce(1)
+    val c = Seq((3L, "c")).toDF("id", "v").coalesce(1)
+    DeltaLake.stageCommit(spark, dir, a, Seq.empty, 0L)
+    DeltaLake.stageCommit(spark, dir, b, Seq.empty, 1L)
+
+    // hand-build the v1 checkpoint: one row per live action
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq
+    val cpRows =
+      CpRow(None, Some(CpMeta("cp-meta", CpFormat("parquet"),
+        a.schema.json, Seq.empty)), None) +:
+      CpRow(None, None, Some(CpProtocol(1, 2))) +:
+      files.map(f => CpRow(Some(CpAdd(f, Map.empty, 1L, 1L, true)),
+        None, None))
+    val tmp = freshDir("cpbuild")
+    cpRows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val log = new java.io.File(dir, "_delta_log")
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(log, f"${1L}%020d.checkpoint.parquet").toPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(log, "_last_checkpoint").toPath,
+      """{"version":1,"size":4}""")
+    // prove the checkpoint path: the JSON commits it subsumes are GONE
+    assert(new java.io.File(log, f"${0L}%020d.json").delete())
+    assert(new java.io.File(log, f"${1L}%020d.json").delete())
+
+    assert(rows(DeltaLake.snapshot(spark, dir)) ==
+      Set((1L, "a"), (2L, "b")))
+    DeltaLake.stageCommit(spark, dir, c, Seq.empty, 2L)
+    assert(rows(DeltaLake.snapshot(spark, dir)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("partitioned table: values injected from the log, filters prune whole partitions") {
+    val dir = freshDir("part")
+    val df = Seq((1L, "x", "p1"), (2L, "y", "p1"), (3L, "z", "p2"))
+      .toDF("id", "v", "p")
+    DeltaLake.stageCommit(spark, dir, df, Seq("p"), 0L)
+    val snap = DeltaLake.snapshot(spark, dir)
+    assert(snap.columns.toSeq == Seq("id", "v", "p"))
+    assert(snap.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      Set((1L, "x", "p1"), (2L, "y", "p1"), (3L, "z", "p2")))
+    // the data files must NOT carry the partition column (it lives in
+    // the log) — the protocol's layout, and what makes injection real
+    val dataFile = new java.io.File(dir, "p=p1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(!spark.read.parquet(dataFile.getAbsolutePath)
+      .columns.contains("p"))
+    // log-level pruning: a partition predicate constant-folds per group
+    // and the empty arms vanish — exactly one file scan survives
+    import org.apache.spark.sql.classic
+    val plan = snap.filter(org.apache.spark.sql.functions.col("p") === "p2")
+      .asInstanceOf[classic.Dataset[Row]]
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"expected the p!=p2 arms pruned before any file is opened:\n$plan")
+  }
+
+  test("fail-fast on unsupported reader protocol") {
+    val dir = freshDir("proto")
+    val a = Seq((1L, "a")).toDF("id", "v").coalesce(1)
+    DeltaLake.stageCommit(spark, dir, a, Seq.empty, 0L)
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "_delta_log/00000000000000000001.json").toPath,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"]}}""" + "\n")
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.snapshot(spark, dir)
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+    // the pre-feature version still reads
+    assert(rows(DeltaLake.snapshot(spark, dir, Some(0L))) == Set((1L, "a")))
+  }
+}
+
+// checkpoint-action shapes (file-scope: Spark encoders need stable types)
+private[engine] case class CpFormat(provider: String)
+private[engine] case class CpMeta(id: String, format: CpFormat,
+    schemaString: String, partitionColumns: Seq[String])
+private[engine] case class CpProtocol(minReaderVersion: Int,
+    minWriterVersion: Int)
+private[engine] case class CpAdd(path: String,
+    partitionValues: Map[String, String], size: Long,
+    modificationTime: Long, dataChange: Boolean)
+private[engine] case class CpRow(add: Option[CpAdd],
+    metaData: Option[CpMeta], protocol: Option[CpProtocol])

@@ -276,4 +276,61 @@ class DeltaSourcesSpec extends AnyFunSuite with SparkFixture {
     val n = Ivm.delta(spark.table("alias_base").alias("ab")).count()
     assert(n == 2, s"expected the two even-key delta rows, got $n")
   }
+
+  test("delta-lake log: maintenance cycles select COMMITTED files by " +
+      "version cut") {
+    import spark.implicits._
+    import graft.sources.DeltaLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_dlsnap")
+      .toString
+
+    def maintained(): org.apache.spark.sql.DataFrame = {
+      DeltaLakeSnapshots.view(spark, "dlsnap_t")
+      Ivm.delta(spark.table("dlsnap_t").filter(col("v") =!= "skip")
+        .select("id", "v"))
+    }
+
+    // cycle 0: initial commit — everything is delta (the initial load)
+    DeltaLake.stageCommit(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "skip")).toDF("id", "v"),
+      Seq.empty, 0L)
+    DeltaLakeSnapshots.track(spark, "dlsnap_t", dir)
+    assert(maintained().collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(DeltaLakeSnapshots.advance(spark, "dlsnap_t"))
+    assert(DeltaLakeSnapshots.cut("dlsnap_t").contains(0L))
+    val predAfterCut = DeltaSources.predicateFor("dlsnap_t").get.sql
+    assert(predAfterCut.contains("file_name"),
+      s"cut must be file-level, got: $predAfterCut")
+    assert(maintained().count() == 0, "advanced cut must empty the delta")
+
+    // cycle 1: a new COMMIT — including an id BELOW the base range,
+    // which any data-column watermark would misclassify; the registered
+    // predicate text is unchanged (new files are delta by construction)
+    DeltaLake.stageCommit(spark, dir,
+      Seq((0L, "z"), (9L, "c")).toDF("id", "v"), Seq.empty, 1L)
+    assert(DeltaSources.predicateFor("dlsnap_t").get.sql == predAfterCut,
+      "a commit must not require re-registration")
+    assert(maintained().collect().map(_.getLong(0)).toSet == Set(0L, 9L))
+    val b1 = Ivm.baseOf(spark.table("dlsnap_t").filter(col("v") =!= "skip")
+      .select("id", "v"))
+    assert(b1.collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "base arm must be exactly the cut snapshot")
+    assert(DeltaLakeSnapshots.advance(spark, "dlsnap_t"))
+
+    // cycle 2: no commits → advance no-ops, delta stays empty
+    assert(!DeltaLakeSnapshots.advance(spark, "dlsnap_t"))
+    assert(maintained().count() == 0)
+
+    // δQ through a join with a static dim: the version-cut source
+    // composes with the standard algebra (mixed arms read base files)
+    DeltaLake.stageCommit(spark, dir, Seq((7L, "a")).toDF("id", "v"),
+      Seq.empty, 2L)
+    val dim = Seq(("a", 10L), ("b", 20L), ("z", 30L), ("c", 40L))
+      .toDF("v", "w").localCheckpoint()
+    DeltaLakeSnapshots.view(spark, "dlsnap_t")
+    val dj = Ivm.delta(spark.table("dlsnap_t").select("id", "v")
+      .join(dim, "v").select("id", "w"))
+    assert(dj.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((7L, 10L)), "join delta must be the new commit's rows only")
+  }
 }
