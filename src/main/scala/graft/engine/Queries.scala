@@ -1537,7 +1537,40 @@ object Queries {
              |FROM orders
              |WHERE o_orderkey >= (SELECT (MAX(o_orderkey)*9)//10 FROM orders)
              |  AND o_totalprice > 50000
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // DELTA LAKE DATA SKIPPING (r8): the log's add.stats (numRecords +
+    // per-column min/max, written by the staging commits) lets the
+    // reader drop files whose range provably misses the predicate —
+    // driver-side, before any footer is read. Partition pruning cuts
+    // directories; stats skipping cuts files WITHIN partitions: this
+    // key-range query plans only the commit-1 files (every commit-0
+    // file's max key sits below the cut — spec-pinned via inputFiles).
+    // Skipping is conservative and the predicate is re-applied as a
+    // normal filter, so the oracle's hash equality pins that dropped
+    // files never held a matching row.
+    QueryDef("deltalake_skipping",
+      (s, d) => {
+        val dir = deltaLakeOrders(s, d)
+        val cut = t(s, d, "orders")
+          .agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+        graft.sources.DeltaLake
+          .snapshotWhere(s, dir, col("o_orderkey") >= cut)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  MAX(o_orderkey) AS max_key
+             |FROM orders
+             |WHERE o_orderkey >= (SELECT (MAX(o_orderkey)*9)//10 FROM orders)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 
   /** The staged two-commit Delta table the `deltalake_*` queries read:
@@ -1546,7 +1579,8 @@ object Queries {
     * box+content in a fingerprinted [[graft.sources.Staging]] slot.
     */
   private def deltaLakeOrders(s: SparkSession, d: String): String =
-    graft.sources.Staging.stageOnce(d, "deltalake_orders",
+    // slot name versioned: _s1 slots carry per-file add.stats
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_s1",
       Seq(s"$d/orders.parquet")) { p =>
       val ord = t(s, d, "orders")
       val cut = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L

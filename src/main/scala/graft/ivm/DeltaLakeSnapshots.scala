@@ -70,9 +70,26 @@ object DeltaLakeSnapshots {
   /** (Re-)derive the snapshot view for this cycle: the CURRENT latest
     * snapshot with `_metadata` exposed (the registered predicate selects
     * on it), registered as the temp view `table`.
+    *
+    * Guarded: the file-set complement is only a correct delta while the
+    * commits since the cut are PURE APPENDS — a compaction's rewritten
+    * files (`dataChange=false`) are not in the cut's file set and would
+    * replay their rows as inserts; a delete would silently drop retracts
+    * the inserts-only model can't express. Fail fast with the rebase
+    * instruction instead (the [[Ivm]] guard philosophy: never a silently
+    * wrong maintained view).
     */
   def view(spark: SparkSession, table: String): DataFrame = {
-    val df = DeltaLake.snapshotWithMeta(spark, stateOf(table).dir)
+    val s = stateOf(table)
+    s.cutVersion.foreach { cv =>
+      val latest = DeltaLake.latestVersion(spark, s.dir)
+      require(DeltaLake.isAppendOnly(s.dir, cv, latest),
+        s"DeltaLakeSnapshots: commits ($cv, $latest] of ${s.dir} are not " +
+          "pure appends (a delete or compaction landed): the file-set " +
+          "cut would replay rewritten rows — advance the cut and rebase " +
+          "the maintained view from the current snapshot")
+    }
+    val df = DeltaLake.snapshotWithMeta(spark, s.dir)
     df.createOrReplaceTempView(table)
     df
   }

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, count, lit, max, min}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Native Delta Lake TABLE READER — the north star's "Spark SQL + Delta
@@ -43,7 +43,7 @@ object DeltaLake {
   private val M = new ObjectMapper()
 
   private final case class AddFile(path: String,
-      partitionValues: Map[String, String])
+      partitionValues: Map[String, String], stats: Option[String] = None)
 
   private final case class LogState(
       version: Long,
@@ -90,19 +90,152 @@ object DeltaLake {
     replay(spark, path, Some(version)).adds
       .map(a => new java.io.File(resolve(path, a.path)).getName)
 
+  /** Snapshot restricted by `predicate`, with LOG-LEVEL DATA SKIPPING:
+    * each add action carries per-file column stats (`numRecords`,
+    * `minValues`, `maxValues` — written by [[stageCommit]], exactly the
+    * protocol's stats shape), and a file whose stats PROVE the predicate
+    * false for every row is dropped from the plan driver-side — no
+    * footer read, no task. This is the other half of Delta's scale
+    * story: partition pruning cuts directories, stats skipping cuts
+    * files WITHIN a partition (a key-range query over a 100 TB table
+    * plans only the files whose [min,max] intersect it). Skipping is
+    * conservative — unsupported predicate shapes, missing stats, or
+    * non-primitive columns keep the file — and the predicate is ALSO
+    * applied as a normal filter, so semantics never depend on it.
+    */
+  def snapshotWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      version: Option[Long] = None): DataFrame = {
+    val st = replay(spark, path, version)
+    val pred = org.apache.spark.sql.graft.GraftSql.predicateTree(predicate)
+    val kept = st.adds.filter(a => mayMatch(pred, a, st))
+    readFiles(spark, path, st, kept).filter(predicate)
+  }
+
+  /** Conservative three-valued stats check: false ONLY when the file
+    * provably holds no matching row. Handles AND/OR and binary
+    * comparisons between a column and a literal (either side), numeric
+    * and string orderings; anything else keeps the file. Partition
+    * columns check against the log's partitionValues (exact), data
+    * columns against minValues/maxValues.
+    */
+  private def mayMatch(n: org.apache.spark.sql.graft.GraftSql.PredNode,
+      add: AddFile, state: LogState): Boolean = {
+    import org.apache.spark.sql.graft.GraftSql._
+    import org.apache.spark.sql.types._
+
+    def cmp(a: Any, b: Any, dt: DataType): Option[Int] = dt match {
+      case _: LongType | _: IntegerType | _: ShortType | _: ByteType =>
+        Some(java.lang.Long.compare(a.toString.toLong, b.toString.toLong))
+      case _: DoubleType | _: FloatType | _: DecimalType =>
+        Some(java.lang.Double.compare(a.toString.toDouble,
+          b.toString.toDouble))
+      case _: StringType => Some(a.toString.compareTo(b.toString))
+      case _ => None
+    }
+
+    // op with the column on the LEFT
+    def check(name: String, v: Any, op: String): Boolean = {
+      val dt = state.schema.find(_.name == name).map(_.dataType)
+        .getOrElse(return true)
+      // partition column: the log value is exact for every row
+      if (state.partitionColumns.contains(name))
+        return add.partitionValues.get(name) match {
+          case Some(pv) if pv != null =>
+            cmp(pv, v, dt).forall(c => op match {
+              case "EQ" => c == 0
+              case "GT" => c > 0
+              case "GE" => c >= 0
+              case "LT" => c < 0
+              case "LE" => c <= 0
+            })
+          case _ => true
+        }
+      val stats = add.stats.map(M.readTree).getOrElse(return true)
+      def stat(kind: String): Option[JsonNode] =
+        Option(stats.get(kind)).flatMap(m => Option(m.get(name)))
+          .filterNot(_.isNull)
+      def c(j: JsonNode): Option[Int] = cmp(j.asText, v, dt)
+      val (mn, mx) = (stat("minValues"), stat("maxValues"))
+      op match {
+        case "EQ" =>
+          mn.flatMap(c).forall(_ <= 0) && mx.flatMap(c).forall(_ >= 0)
+        case "GT" => mx.flatMap(c).forall(_ > 0)
+        case "GE" => mx.flatMap(c).forall(_ >= 0)
+        case "LT" => mn.flatMap(c).forall(_ < 0)
+        case "LE" => mn.flatMap(c).forall(_ <= 0)
+      }
+    }
+
+    n match {
+      case PredAnd(l, r) => mayMatch(l, add, state) && mayMatch(r, add, state)
+      case PredOr(l, r) => mayMatch(l, add, state) || mayMatch(r, add, state)
+      case PredCmp(name, v, op) => check(name, v, op)
+      case PredUnknown => true
+    }
+  }
+
   /** The rows ADDED strictly after `afterVersion` (up to `toVersion`,
-    * default latest) that are still live at the end cut — the commit-log
-    * delta: at scale an incremental maintenance cycle reads exactly the
-    * appended files of the commits since its last cut, no data predicate
-    * and no listing. (Files both added and removed inside the window
-    * cancel — compaction rewrites don't replay as inserts.)
+    * default latest) — the commit-log delta: at scale an incremental
+    * maintenance cycle reads exactly the data-changing files of the
+    * commits since its last cut, no data predicate and no listing.
+    *
+    * `dataChange` is honored per the protocol: a compaction/OPTIMIZE
+    * rewrite (add+remove with `dataChange=false`) neither replays as
+    * inserts NOR hides earlier commits' rows — those are read from their
+    * original files, which a rewrite leaves on disk until VACUUM (the
+    * documented retention contract: don't vacuum past your oldest
+    * consumer's cut). A `dataChange=true` remove (a real delete) drops
+    * the file from the window.
     */
   def appended(spark: SparkSession, path: String, afterVersion: Long,
       toVersion: Option[Long] = None): DataFrame = {
-    val before = replay(spark, path, Some(afterVersion))
-    val after = replay(spark, path, toVersion)
-    val old = before.adds.map(_.path).toSet
-    readFiles(spark, path, after, after.adds.filterNot(a => old(a.path)))
+    val st = replay(spark, path, toVersion) // end-cut schema + protocol
+    val adds = mutable.LinkedHashMap.empty[String, AddFile]
+    (afterVersion + 1 to st.version).foreach { v =>
+      foreachCommitAction(path, v) { n =>
+        Option(n.get("add")).filter(dataChange).foreach(a =>
+          adds.put(a.get("path").asText,
+            AddFile(a.get("path").asText, pvMap(a.get("partitionValues")),
+              Option(a.get("stats")).filterNot(_.isNull).map(_.asText))))
+        Option(n.get("remove")).filter(dataChange)
+          .foreach(r => adds.remove(r.get("path").asText))
+      }
+    }
+    readFiles(spark, path, st, adds.values.toSeq)
+  }
+
+  /** Whether every commit in `(afterVersion, toVersion]` is pure append
+    * (adds with `dataChange=true` only). The version-cut incremental
+    * source ([[graft.ivm.DeltaLakeSnapshots]]) requires this between
+    * cuts: a compaction's rewritten files are not in the cut's file set,
+    * so a file-set complement would replay their rows as inserts.
+    */
+  def isAppendOnly(path: String, afterVersion: Long,
+      toVersion: Long): Boolean = {
+    var ok = true
+    (afterVersion + 1 to toVersion).foreach { v =>
+      foreachCommitAction(path, v) { n =>
+        if (Option(n.get("remove")).nonEmpty) ok = false
+        if (Option(n.get("add")).exists(a => !dataChange(a))) ok = false
+      }
+    }
+    ok
+  }
+
+  private def dataChange(n: JsonNode): Boolean =
+    Option(n.get("dataChange")).forall(_.asBoolean)
+
+  /** Parse commit `v`'s JSON actions (the commit must exist — the
+    * version-window walkers read history, which checkpoints don't keep).
+    */
+  private def foreachCommitAction(path: String, v: Long)
+      (f: JsonNode => Unit): Unit = {
+    val file = new java.io.File(logDir(path), f"$v%020d.json")
+    require(file.exists(), s"missing Delta commit $v in $path (log " +
+      "cleaned? version-window reads need the JSON commits)")
+    java.nio.file.Files.readAllLines(file.toPath).asScala
+      .filter(_.nonEmpty).foreach(line => f(M.readTree(line)))
   }
 
   // ---- log fold ----------------------------------------------------------
@@ -132,8 +265,9 @@ object DeltaLake {
     var schemaString: String = null
     var partCols: Seq[String] = Seq.empty
 
-    def applyAdd(p: String, pv: Map[String, String]): Unit =
-      adds.put(p, AddFile(p, pv))
+    def applyAdd(p: String, pv: Map[String, String],
+        stats: Option[String] = None): Unit =
+      adds.put(p, AddFile(p, pv, stats))
     def applyRemove(p: String): Unit = adds.remove(p)
     def applyMeta(ss: String, pc: Seq[String]): Unit = {
       schemaString = ss; partCols = pc
@@ -177,7 +311,8 @@ object DeltaLake {
         .filter(_.nonEmpty).foreach { line =>
           val n = M.readTree(line)
           Option(n.get("add")).foreach(a =>
-            applyAdd(a.get("path").asText, pvMap(a.get("partitionValues"))))
+            applyAdd(a.get("path").asText, pvMap(a.get("partitionValues")),
+              Option(a.get("stats")).filterNot(_.isNull).map(_.asText)))
           Option(n.get("remove")).foreach(r =>
             applyRemove(r.get("path").asText))
           Option(n.get("metaData")).foreach { m =>
@@ -312,6 +447,52 @@ object DeltaLake {
     }
     deleteRec(tmp)
 
+    // per-file column stats → the protocol's add.stats JSON (numRecords
+    // + min/maxValues over orderable primitive data columns), computed
+    // in ONE job over the just-written files grouped by the hidden file
+    // name — this is what log-level data skipping reads
+    val statsByFile: Map[String, String] = {
+      import org.apache.spark.sql.types._
+      val dataSchema = StructType(
+        df.schema.filterNot(f => partitionBy.contains(f.name)))
+      val statCols = dataSchema.fields.filter(_.dataType match {
+        case _: LongType | _: IntegerType | _: DoubleType | _: FloatType |
+             _: StringType => true
+        case _ => false
+      }).toSeq
+      if (moved.isEmpty) Map.empty
+      else {
+        val paths = moved.map { case (rel, _) =>
+          new java.io.File(root, rel).getAbsolutePath }
+        val aggs = count(lit(1)).as("__n") +: statCols.flatMap(f => Seq(
+          min(col(f.name)).as(s"__mn_${f.name}"),
+          max(col(f.name)).as(s"__mx_${f.name}")))
+        spark.read.schema(dataSchema).parquet(paths.toSeq: _*)
+          .groupBy(col("_metadata.file_name").as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            val o = M.createObjectNode()
+            o.put("numRecords", r.getLong(r.fieldIndex("__n")))
+            val mn = o.putObject("minValues")
+            val mx = o.putObject("maxValues")
+            statCols.foreach { f =>
+              for ((node, pfx) <- Seq((mn, "__mn_"), (mx, "__mx_"))) {
+                val i = r.fieldIndex(s"$pfx${f.name}")
+                if (!r.isNullAt(i)) f.dataType match {
+                  case _: LongType => node.put(f.name, r.getLong(i))
+                  case _: IntegerType => node.put(f.name, r.getInt(i))
+                  case _: DoubleType => node.put(f.name, r.getDouble(i))
+                  case _: FloatType => node.put(f.name, r.getFloat(i))
+                  case _: StringType => node.put(f.name, r.getString(i))
+                  case _ => ()
+                }
+              }
+            }
+            r.getString(0) -> M.writeValueAsString(o)
+          }.toMap
+      }
+    }
+
     val actions = mutable.Buffer.empty[String]
     if (version == 0L) {
       actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
@@ -335,8 +516,47 @@ object DeltaLake {
       add.put("size", f.length())
       add.put("modificationTime", f.lastModified())
       add.put("dataChange", true)
+      statsByFile.get(f.getName).foreach(s => add.put("stats", s))
       actions += s"""{"add":${M.writeValueAsString(add)}}"""
     }
+    writeCommit(tableDir, version, actions.toSeq)
+  }
+
+  /** Compact the current snapshot into ONE file as commit `version` —
+    * the OPTIMIZE shape: every live file removed and the rewritten file
+    * added, all with `dataChange=false` (a metadata-only change to
+    * readers; fixture for the protocol behaviors [[appended]] and
+    * [[isAppendOnly]] honor). Unpartitioned fixtures only.
+    */
+  def stageCompactCommit(spark: SparkSession, tableDir: String,
+      version: Long): Unit = {
+    val st = replay(spark, tableDir, None)
+    require(st.partitionColumns.isEmpty,
+      "fixture compaction supports unpartitioned tables only")
+    val root = new java.io.File(tableDir)
+    val tmp = new java.io.File(root, s"_compact_tmp_$version")
+    snapshot(spark, tableDir).coalesce(1).write.mode("overwrite")
+      .parquet(tmp.getAbsolutePath)
+    val part = Option(tmp.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).head
+    val dest = new java.io.File(root, part.getName)
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
+    val actions = mutable.Buffer.empty[String]
+    st.adds.foreach { a =>
+      val r = M.createObjectNode()
+      r.put("path", a.path)
+      r.put("deletionTimestamp", 0L)
+      r.put("dataChange", false)
+      actions += s"""{"remove":${M.writeValueAsString(r)}}"""
+    }
+    val add = M.createObjectNode()
+    add.put("path", new java.net.URI(null, null, dest.getName, null).toString)
+    add.putObject("partitionValues")
+    add.put("size", dest.length())
+    add.put("modificationTime", dest.lastModified())
+    add.put("dataChange", false)
+    actions += s"""{"add":${M.writeValueAsString(add)}}"""
     writeCommit(tableDir, version, actions.toSeq)
   }
 

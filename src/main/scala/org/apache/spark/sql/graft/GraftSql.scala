@@ -71,4 +71,42 @@ object GraftSql {
   def expression(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** A Column predicate lowered to a small public comparison tree — the
+    * shape file-stats skipping evaluates against per-file min/max
+    * (`graft.sources.DeltaLake`). Spark 4 Columns carry a `ColumnNode`
+    * AST (`private[sql]`, hence this bridge living here): comparison
+    * operators surface as `UnresolvedFunction("=", ">=", ...)` over
+    * attribute/literal nodes. Anything outside the supported shapes maps
+    * to [[PredUnknown]] — the caller must treat that as "may match".
+    */
+  sealed trait PredNode
+  final case class PredCmp(name: String, value: Any, op: String)
+      extends PredNode // op ∈ {EQ,GT,GE,LT,LE}, column on the LEFT
+  final case class PredAnd(l: PredNode, r: PredNode) extends PredNode
+  final case class PredOr(l: PredNode, r: PredNode) extends PredNode
+  case object PredUnknown extends PredNode
+
+  def predicateTree(c: org.apache.spark.sql.Column): PredNode = {
+    import org.apache.spark.sql.internal.{Literal => NodeLit, UnresolvedAttribute => NodeAttr, UnresolvedFunction => NodeFn}
+    val ops = Map("=" -> "EQ", "==" -> "EQ", ">" -> "GT", ">=" -> "GE",
+      "<" -> "LT", "<=" -> "LE")
+    val flip = Map("EQ" -> "EQ", "GT" -> "LT", "GE" -> "LE",
+      "LT" -> "GT", "LE" -> "GE")
+    def walk(n: org.apache.spark.sql.internal.ColumnNode): PredNode =
+      n match {
+        case NodeFn("and", Seq(l, r), _, _, _, _) =>
+          PredAnd(walk(l), walk(r))
+        case NodeFn("or", Seq(l, r), _, _, _, _) =>
+          PredOr(walk(l), walk(r))
+        case NodeFn(fn, Seq(NodeAttr(parts, _, _, _), NodeLit(v, _, _)),
+            _, _, _, _) if ops.contains(fn) =>
+          PredCmp(parts.mkString("."), v, ops(fn))
+        case NodeFn(fn, Seq(NodeLit(v, _, _), NodeAttr(parts, _, _, _)),
+            _, _, _, _) if ops.contains(fn) =>
+          PredCmp(parts.mkString("."), v, flip(ops(fn)))
+        case _ => PredUnknown
+      }
+    walk(c.node)
+  }
 }

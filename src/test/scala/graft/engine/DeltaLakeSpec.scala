@@ -128,6 +128,65 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
       s"expected the p!=p2 arms pruned before any file is opened:\n$plan")
   }
 
+  test("stats skipping: only files whose [min,max] intersects the predicate are planned") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = freshDir("skip")
+    val lo = Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+    val hi = Seq((100L, "c"), (200L, "d")).toDF("id", "v").coalesce(1)
+    DeltaLake.stageCommit(spark, dir, lo, Seq.empty, 0L)
+    DeltaLake.stageCommit(spark, dir, hi, Seq.empty, 1L)
+    assert(DeltaLake.snapshot(spark, dir).inputFiles.length == 2)
+    // range predicate: the lo file's max (2) proves no match
+    val skipped = DeltaLake.snapshotWhere(spark, dir, col("id") >= 100L)
+    assert(skipped.inputFiles.length == 1,
+      "the lo file must be skipped on its stats, not scanned")
+    assert(rows(skipped) == Set((100L, "c"), (200L, "d")))
+    // literal-on-the-left flips the comparison
+    assert(DeltaLake.snapshotWhere(spark, dir, lit(5L) > col("id"))
+      .inputFiles.length == 1)
+    // equality needs min <= v <= max
+    assert(DeltaLake.snapshotWhere(spark, dir, col("id") === 2L)
+      .inputFiles.length == 1)
+    // string stats order lexicographically
+    assert(rows(DeltaLake.snapshotWhere(spark, dir, col("v") === "c")) ==
+      Set((100L, "c")))
+    // OR keeps either side's candidates; AND intersects
+    assert(DeltaLake.snapshotWhere(spark, dir,
+      col("id") === 1L || col("id") === 100L).inputFiles.length == 2)
+    // AND intersects to provably-empty: NO file is planned (and the
+    // empty snapshot still carries the schema)
+    val none = DeltaLake.snapshotWhere(spark, dir,
+      col("id") >= 100L && col("v") === "zz")
+    assert(none.inputFiles.isEmpty && none.isEmpty)
+    assert(DeltaLake.snapshotWhere(spark, dir,
+      col("id") >= 100L && col("v") === "c").inputFiles.length == 1)
+    // conservative: an unsupported shape keeps every file, and the
+    // re-applied filter keeps semantics exact
+    val weird = DeltaLake.snapshotWhere(spark, dir, col("id") % 2 === 0L)
+    assert(weird.inputFiles.length == 2)
+    assert(rows(weird) == Set((2L, "b"), (100L, "c"), (200L, "d")))
+  }
+
+  test("compaction (dataChange=false) neither replays as inserts nor hides prior rows") {
+    val dir = freshDir("compact")
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+    val b = Seq((3L, "c")).toDF("id", "v").coalesce(1)
+    DeltaLake.stageCommit(spark, dir, a, Seq.empty, 0L)
+    DeltaLake.stageCommit(spark, dir, b, Seq.empty, 1L)
+    DeltaLake.stageCompactCommit(spark, dir, 2L)
+    // the snapshot reads the ONE rewritten file
+    val snap = DeltaLake.snapshot(spark, dir)
+    assert(snap.inputFiles.length == 1)
+    assert(rows(snap) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the commit-log delta since v0 is commit 1's rows, read from the
+    // ORIGINAL file the rewrite left on disk (VACUUM retention contract)
+    assert(rows(DeltaLake.appended(spark, dir, 0L)) == Set((3L, "c")))
+    // nothing data-changing landed after v1
+    assert(DeltaLake.appended(spark, dir, 1L).isEmpty)
+    assert(DeltaLake.isAppendOnly(dir, 0L, 1L))
+    assert(!DeltaLake.isAppendOnly(dir, 1L, 2L))
+  }
+
   test("fail-fast on unsupported reader protocol") {
     val dir = freshDir("proto")
     val a = Seq((1L, "a")).toDF("id", "v").coalesce(1)

@@ -332,5 +332,17 @@ class DeltaSourcesSpec extends AnyFunSuite with SparkFixture {
       .join(dim, "v").select("id", "w"))
     assert(dj.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((7L, 10L)), "join delta must be the new commit's rows only")
+
+    // a compaction between cuts breaks the pure-append assumption: the
+    // guard must refuse (rewritten files would replay as inserts), and
+    // advancing the cut rebases cleanly
+    DeltaLake.stageCompactCommit(spark, dir, 3L)
+    val err = intercept[IllegalArgumentException] {
+      DeltaLakeSnapshots.view(spark, "dlsnap_t")
+    }
+    assert(err.getMessage.contains("pure appends"))
+    assert(DeltaLakeSnapshots.advance(spark, "dlsnap_t"))
+    assert(maintained().count() == 0,
+      "rebased cut over the compacted snapshot must have an empty delta")
   }
 }
