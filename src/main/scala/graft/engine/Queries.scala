@@ -1578,7 +1578,7 @@ object Queries {
     * the appended tail), partitioned by `o_orderpriority`, built once per
     * box+content in a fingerprinted [[graft.sources.Staging]] slot.
     */
-  private def deltaLakeOrders(s: SparkSession, d: String): String =
+  private[graft] def deltaLakeOrders(s: SparkSession, d: String): String =
     // slot name versioned: _s1 slots carry per-file add.stats
     graft.sources.Staging.stageOnce(d, "deltalake_orders_s1",
       Seq(s"$d/orders.parquet")) { p =>

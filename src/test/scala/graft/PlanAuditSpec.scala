@@ -338,6 +338,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("word_shingles"), s"native shingle kernel missing:\n$p")
   }
 
+  test("deltalake: partition predicate prunes log groups before any file opens") {
+    // the reader reconstructs partition columns as per-group literals;
+    // a partition predicate must constant-fold the non-matching groups
+    // away (PropagateEmptyRelation), leaving ONE scan — log-level
+    // partition pruning on the real staged table, not just the fixture
+    import org.apache.spark.sql.classic
+    import org.apache.spark.sql.functions.col
+    val dir = graft.engine.Queries.deltaLakeOrders(spark, sfDir)
+    val df = graft.sources.DeltaLake.snapshot(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val p = df.asInstanceOf[classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"expected the four non-matching priority groups pruned:\n$p")
+  }
+
+  test("deltalake_skipping: stats drop the pre-cut files from the plan") {
+    // the declared query's range predicate must plan ONLY the commit-1
+    // (appended-tail) files: every commit-0 file's max key sits below
+    // the cut. inputFiles is the planned file set.
+    import org.apache.spark.sql.functions.{col, max}
+    val dir = graft.engine.Queries.deltaLakeOrders(spark, sfDir)
+    val cut = graft.engine.Tables(spark, sfDir, "orders")
+      .agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+    val all = graft.sources.DeltaLake.snapshot(spark, dir)
+      .inputFiles.length
+    val kept = graft.sources.DeltaLake
+      .snapshotWhere(spark, dir, col("o_orderkey") >= cut)
+      .inputFiles.length
+    assert(kept < all,
+      s"stats skipping planned $kept of $all files — nothing was skipped")
+  }
+
   test("join_bucketed: co-located merge join, no exchange under the join") {
     // the layout demonstration: both scans read the staged bucketed
     // tables (Bucketed: true) and the merge join consumes them with NO
