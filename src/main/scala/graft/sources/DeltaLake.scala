@@ -494,8 +494,15 @@ object DeltaLake {
     }
 
     val actions = mutable.Buffer.empty[String]
-    if (version == 0L) {
+    // metaData on commit 0, and again whenever the written schema
+    // differs from the log's current one — the protocol's SCHEMA
+    // EVOLUTION shape (readers resolve a snapshot with its version's
+    // metaData; pre-evolution files surface the new columns as null)
+    val emitMeta = version == 0L ||
+      replay(spark, tableDir, None).schema.json != df.schema.json
+    if (version == 0L)
       actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    if (emitMeta) {
       val meta = M.createObjectNode()
       meta.put("id", java.util.UUID.nameUUIDFromBytes(
         tableDir.getBytes("UTF-8")).toString)

@@ -187,6 +187,43 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(!DeltaLake.isAppendOnly(dir, 1L, 2L))
   }
 
+  test("schema evolution: pre-evolution files surface the new column as null") {
+    val dir = freshDir("evolve")
+    DeltaLake.stageCommit(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), Seq.empty, 0L)
+    DeltaLake.stageCommit(spark, dir,
+      Seq((3L, "c", 30L)).toDF("id", "v", "w").coalesce(1), Seq.empty, 1L)
+    val snap = DeltaLake.snapshot(spark, dir)
+    assert(snap.columns.toSeq == Seq("id", "v", "w"))
+    val got = snap.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got == Set((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(30L))))
+    // time travel resolves with THAT version's metaData: the old schema
+    val v0 = DeltaLake.snapshot(spark, dir, Some(0L))
+    assert(v0.columns.toSeq == Seq("id", "v"))
+    assert(rows(v0) == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("range-clustered layout makes stats skipping effective") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshDir("cluster")
+    // the layout half of skipping: range-repartition by the key before
+    // the bucketed write, so per-file [min,max] are DISJOINT — a range
+    // query then plans only the intersecting files. Unclustered writes
+    // give every file the full key range and skipping can prove nothing.
+    val df = spark.range(0L, 1000L).toDF("id")
+      .withColumn("x", col("id") % 7)
+      .repartitionByRange(4, col("id"))
+    DeltaLake.stageCommit(spark, dir, df, Seq.empty, 0L)
+    assert(DeltaLake.snapshot(spark, dir).inputFiles.length == 4)
+    val kept = DeltaLake.snapshotWhere(spark, dir,
+      col("id") >= 300L && col("id") < 420L)
+    assert(kept.inputFiles.length <= 2,
+      s"disjoint ranges must skip non-intersecting files, planned ${kept.inputFiles.length}")
+    assert(kept.count() == 120L)
+  }
+
   test("fail-fast on unsupported reader protocol") {
     val dir = freshDir("proto")
     val a = Seq((1L, "a")).toDF("id", "v").coalesce(1)

@@ -345,4 +345,41 @@ class DeltaSourcesSpec extends AnyFunSuite with SparkFixture {
     assert(maintained().count() == 0,
       "rebased cut over the compacted snapshot must have an empty delta")
   }
+
+  test("delta-lake log × IvmAgg: aggregate view maintains from commits") {
+    import spark.implicits._
+    import graft.sources.DeltaLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_dlagg")
+      .toString
+    val q = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("k").agg(count(lit(1)).as("cnt"), sum(col("x")).as("sx"))
+    def current() = {
+      DeltaLakeSnapshots.view(spark, "dlagg_t")
+      q(spark.table("dlagg_t").select("k", "x"))
+    }
+    DeltaLake.stageCommit(spark, dir,
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "x"), Seq.empty, 0L)
+    DeltaLakeSnapshots.track(spark, "dlagg_t", dir)
+    assert(DeltaLakeSnapshots.advance(spark, "dlagg_t"))
+    val viewDir = java.nio.file.Files
+      .createTempDirectory("graft_dlagg_view").toString
+    current().write.mode("overwrite").parquet(viewDir)
+    def view() = spark.read.parquet(viewDir)
+
+    // the next commit touches group a and introduces group c
+    DeltaLake.stageCommit(spark, dir,
+      Seq(("a", 10L), ("c", 5L)).toDF("k", "x"), Seq.empty, 1L)
+
+    // merge rung: stored view + δ-commit partial == full recompute
+    val merged = IvmAgg.merge(view(), IvmAgg.deltaPartial(current()))
+    assert(merged.exceptAll(current()).isEmpty &&
+      current().exceptAll(merged).isEmpty,
+      "commit-log aggregate merge must equal the recompute")
+    // signed rung applies to the stored view
+    val sd = Ivm.deltaAgg(view(), current())
+    val applied = sd.applyTo(view())
+    assert(applied.exceptAll(current()).isEmpty &&
+      current().exceptAll(applied).isEmpty,
+      "signed aggregate delta over commits must reproduce the view")
+  }
 }
