@@ -1570,7 +1570,54 @@ object Queries {
              |FROM orders
              |WHERE o_orderkey >= (SELECT (MAX(o_orderkey)*9)//10 FROM orders)
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // DELTA LAKE SCHEMA EVOLUTION (r8): the staged table's second commit
+    // WIDENS the schema (a derived o_prio column) and re-emits metaData;
+    // the snapshot resolves with the latest schema and the pre-evolution
+    // files surface the new column as NULL — exactly the protocol's
+    // evolution contract, here under the full hash oracle (the NULL
+    // group is the entire commit-0 population; the oracle derives the
+    // same membership from the split's first principles). At 100 TB this
+    // is how a pipeline adds a column without rewriting history.
+    QueryDef("deltalake_evolution",
+      (s, d) => {
+        val dir = graft.sources.Staging.stageOnce(d,
+          "deltalake_orders_evo", Seq(s"$d/orders.parquet")) { p =>
+          val ord = t(s, d, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice",
+              "o_orderpriority")
+          val cut = ord.agg(max(col("o_orderkey"))).head()
+            .getLong(0) * 9L / 10L
+          graft.sources.DeltaLake.stageCommit(s, p,
+            ord.filter(col("o_orderkey") < cut)
+              .select("o_orderkey", "o_custkey", "o_totalprice"),
+            Seq.empty, 0L)
+          graft.sources.DeltaLake.stageCommit(s, p,
+            ord.filter(col("o_orderkey") >= cut)
+              .select(col("o_orderkey"), col("o_custkey"),
+                col("o_totalprice"),
+                substring(col("o_orderpriority"), 1, 1).as("o_prio")),
+            Seq.empty, 1L)
+        }
+        graft.sources.DeltaLake.snapshot(s, dir)
+          .groupBy("o_prio")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"),
+            min(col("o_orderkey")).as("min_key"))
+          .orderBy("o_prio") // Spark asc = NULLS FIRST; oracle says so
+      },
+      Some("""SELECT CASE WHEN o_orderkey >=
+             |    (SELECT (MAX(o_orderkey)*9)//10 FROM orders)
+             |  THEN substr(o_orderpriority, 1, 1) END AS o_prio,
+             |  COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  MIN(o_orderkey) AS min_key
+             |FROM orders
+             |GROUP BY 1
+             |ORDER BY o_prio NULLS FIRST""".stripMargin))
   )
 
   /** The staged two-commit Delta table the `deltalake_*` queries read:
