@@ -124,15 +124,19 @@ object DeltaLake {
     import org.apache.spark.sql.graft.GraftSql._
     import org.apache.spark.sql.types._
 
-    def cmp(a: Any, b: Any, dt: DataType): Option[Int] = dt match {
-      case _: LongType | _: IntegerType | _: ShortType | _: ByteType =>
-        Some(java.lang.Long.compare(a.toString.toLong, b.toString.toLong))
-      case _: DoubleType | _: FloatType | _: DecimalType =>
-        Some(java.lang.Double.compare(a.toString.toDouble,
-          b.toString.toDouble))
-      case _: StringType => Some(a.toString.compareTo(b.toString))
-      case _ => None
-    }
+    // None = not comparable (keep the file): unsupported type, a
+    // literal that doesn't parse as the column's type, or null
+    def cmp(a: Any, b: Any, dt: DataType): Option[Int] =
+      if (a == null || b == null) None
+      else try dt match {
+        case _: LongType | _: IntegerType | _: ShortType | _: ByteType =>
+          Some(java.lang.Long.compare(a.toString.toLong, b.toString.toLong))
+        case _: DoubleType | _: FloatType | _: DecimalType =>
+          Some(java.lang.Double.compare(a.toString.toDouble,
+            b.toString.toDouble))
+        case _: StringType => Some(a.toString.compareTo(b.toString))
+        case _ => None
+      } catch { case _: NumberFormatException => None }
 
     // op with the column on the LEFT
     def check(name: String, v: Any, op: String): Boolean = {

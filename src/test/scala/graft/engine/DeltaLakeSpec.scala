@@ -165,6 +165,21 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     val weird = DeltaLake.snapshotWhere(spark, dir, col("id") % 2 === 0L)
     assert(weird.inputFiles.length == 2)
     assert(rows(weird) == Set((2L, "b"), (100L, "c"), (200L, "d")))
+    // corrupt / foreign-writer stats degrade to keep-the-file, never a
+    // planner crash: break the lo file's min stat to a non-number
+    val log0 = new java.io.File(dir, "_delta_log/00000000000000000000.json")
+    val txt = java.nio.file.Files.readString(log0.toPath)
+    val munged = txt.replace("""\"minValues\":{\"id\":1""",
+      """\"minValues\":{\"id\":\"oops\"""")
+    assert(munged != txt, "fixture drift: expected the lo min stat")
+    java.nio.file.Files.writeString(log0.toPath, munged)
+    // max survives, so the >= cut still skips the lo file on max alone
+    assert(DeltaLake.snapshotWhere(spark, dir, col("id") >= 100L)
+      .inputFiles.length == 1)
+    // a predicate that NEEDS the corrupted min keeps the file (hi file
+    // still skips on its intact min) instead of NumberFormatException
+    assert(DeltaLake.snapshotWhere(spark, dir, col("id") < 1L)
+      .inputFiles.length == 1)
   }
 
   test("compaction (dataChange=false) neither replays as inserts nor hides prior rows") {
