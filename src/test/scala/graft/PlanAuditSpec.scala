@@ -338,6 +338,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("word_shingles"), s"native shingle kernel missing:\n$p")
   }
 
+  test("events_orc: the filter reaches the ORC scan as a pushed filter") {
+    // the point of the ORC source row (§2N N4): unlike CSV/JSON, the
+    // columnar reader takes predicates to stripe/row-group stats — the
+    // value filter must appear as a pushed filter on the scan, not as a
+    // post-scan Filter only
+    val p = planOf("events_orc")
+    assert(p.contains("Scan orc"), s"expected an ORC scan:\n$p")
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(value".r
+      .findFirstIn(p).nonEmpty,
+      s"value filter must be pushed to the ORC reader:\n$p")
+  }
+
   test("deltalake: partition predicate prunes log groups before any file opens") {
     // the reader reconstructs partition columns as per-group literals;
     // a partition predicate must constant-fold the non-matching groups
