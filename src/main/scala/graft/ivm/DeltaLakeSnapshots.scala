@@ -81,15 +81,20 @@ object DeltaLakeSnapshots {
     */
   def view(spark: SparkSession, table: String): DataFrame = {
     val s = stateOf(table)
+    // resolve `latest` ONCE and snapshot at exactly that version: a commit
+    // landing between the guard and the snapshot resolution would
+    // otherwise bypass the guard (TOCTOU) — its rewritten files, absent
+    // from the cut's file set, would replay as inserts
+    val latest = DeltaLake.latestVersion(spark, s.dir)
     s.cutVersion.foreach { cv =>
-      val latest = DeltaLake.latestVersion(spark, s.dir)
       require(DeltaLake.isAppendOnly(s.dir, cv, latest),
         s"DeltaLakeSnapshots: commits ($cv, $latest] of ${s.dir} are not " +
-          "pure appends (a delete or compaction landed): the file-set " +
-          "cut would replay rewritten rows — advance the cut and rebase " +
+          "pure appends (a delete, compaction, or schema change landed): " +
+          "the file-set cut would replay rewritten rows — use signedRows " +
+          "for delete-aware maintenance, or advance the cut and rebase " +
           "the maintained view from the current snapshot")
     }
-    val df = DeltaLake.snapshotWithMeta(spark, s.dir)
+    val df = DeltaLake.snapshotWithMeta(spark, s.dir, version = Some(latest))
     df.createOrReplaceTempView(table)
     df
   }

@@ -131,10 +131,20 @@ object DeltaLake {
       else try dt match {
         case _: LongType | _: IntegerType | _: ShortType | _: ByteType =>
           Some(java.lang.Long.compare(a.toString.toLong, b.toString.toLong))
-        case _: DoubleType | _: FloatType | _: DecimalType =>
+        case _: DoubleType | _: FloatType =>
           Some(java.lang.Double.compare(a.toString.toDouble,
             b.toString.toDouble))
-        case _: StringType => Some(a.toString.compareTo(b.toString))
+        // exact compare: a double round-trip loses precision past ~15-16
+        // significant digits, and a WRONG proof here silently drops a
+        // file the re-applied filter can never recover
+        case _: DecimalType =>
+          Some(new java.math.BigDecimal(a.toString)
+            .compareTo(new java.math.BigDecimal(b.toString)))
+        // Spark orders strings by Unicode CODE POINT (UTF-8 byte order);
+        // Java String.compareTo is UTF-16 code-UNIT order, which diverges
+        // for supplementary characters (surrogates sort above U+E000)
+        case _: StringType =>
+          Some(compareCodePoints(a.toString, b.toString))
         case _ => None
       } catch { case _: NumberFormatException => None }
 
@@ -179,6 +189,22 @@ object DeltaLake {
     }
   }
 
+  /** Code-point string comparison — matches Spark's binary (UTF-8 byte)
+    * string ordering, which UTF-16 `String.compareTo` does not for
+    * supplementary characters.
+    */
+  private[sources] def compareCodePoints(x: String, y: String): Int = {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(i)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+    }
+    Integer.compare(x.length, y.length)
+  }
+
   /** The rows ADDED strictly after `afterVersion` (up to `toVersion`,
     * default latest) — the commit-log delta: at scale an incremental
     * maintenance cycle reads exactly the data-changing files of the
@@ -210,10 +236,14 @@ object DeltaLake {
   }
 
   /** Whether every commit in `(afterVersion, toVersion]` is pure append
-    * (adds with `dataChange=true` only). The version-cut incremental
-    * source ([[graft.ivm.DeltaLakeSnapshots]]) requires this between
-    * cuts: a compaction's rewritten files are not in the cut's file set,
-    * so a file-set complement would replay their rows as inserts.
+    * (adds with `dataChange=true` only, no schema change). The version-cut
+    * incremental source ([[graft.ivm.DeltaLakeSnapshots]]) requires this
+    * between cuts: a compaction's rewritten files are not in the cut's
+    * file set, so a file-set complement would replay their rows as
+    * inserts. A `metaData` action in the window also disqualifies — the
+    * re-derived view would carry the EVOLVED schema while the stored
+    * maintained view was built on the old one, silently drifting the δ
+    * arm's shape from the view it patches.
     */
   def isAppendOnly(path: String, afterVersion: Long,
       toVersion: Long): Boolean = {
@@ -222,6 +252,7 @@ object DeltaLake {
       foreachCommitAction(path, v) { n =>
         if (Option(n.get("remove")).nonEmpty) ok = false
         if (Option(n.get("add")).exists(a => !dataChange(a))) ok = false
+        if (Option(n.get("metaData")).nonEmpty) ok = false
       }
     }
     ok
@@ -282,13 +313,26 @@ object DeltaLake {
           s"readerFeatures=$features): this reader folds plain add/remove " +
           "actions and would mis-read deletion vectors / column mapping")
 
-    // checkpoint: resume the fold from the newest one at/below `want`
-    val cpVersion = lastCheckpointVersion(path).filter(_ <= want)
+    // checkpoint: resume the fold from the newest one at/below `want` —
+    // `_last_checkpoint` is only a HINT to the latest; time-traveling
+    // below it (or reading a log whose hint write lagged) falls back to
+    // the on-disk checkpoint enumeration, so an older checkpoint still
+    // serves a cut whose pre-checkpoint JSON commits were cleaned
+    val cpVersion = (lastCheckpointVersion(path).filter(_ <= want).toSeq ++
+      checkpointVersions(path).filter(_ <= want)).maxOption
     cpVersion.foreach { cv =>
       val cp = new java.io.File(logDir(path), f"$cv%020d.checkpoint.parquet")
       spark.read.parquet(cp.getAbsolutePath).collect().foreach { row =>
         struct(row, "add").foreach { a =>
-          applyAdd(str(a, "path"), pvMap(a))
+          // stats survive the checkpoint (add.stats is part of the
+          // checkpoint schema): at 100 TB most files live at or before a
+          // checkpoint, so dropping them here would turn data skipping
+          // off exactly where it matters
+          val stats =
+            if (a.schema.fieldNames.contains("stats"))
+              Option(a.getString(a.fieldIndex("stats")))
+            else None
+          applyAdd(str(a, "path"), pvMap(a), stats)
         }
         struct(row, "remove").foreach(r => applyRemove(str(r, "path")))
         struct(row, "metaData").foreach { m =>
@@ -388,10 +432,38 @@ object DeltaLake {
     * absolute (PROTOCOL.md "Add File and Remove File").
     */
   private def resolve(table: String, p: String): String = {
-    val decoded = java.net.URLDecoder.decode(p, "UTF-8")
+    val decoded = percentDecode(p)
     if (decoded.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") ||
         decoded.startsWith("/")) decoded
     else new java.io.File(table, decoded).getAbsolutePath
+  }
+
+  /** Percent-decode with URI semantics: `%XX` decodes, `+` stays a LITERAL
+    * plus. `URLDecoder` alone implements application/x-www-form-urlencoded,
+    * where `+` means space — but the protocol encodes paths as URIs, so a
+    * path or partition value containing `+` (tz-offset partition values
+    * like `ts=2020-01-01 00:00+00:00` are the canonical case) would
+    * resolve to a nonexistent file. Escaping `+` before handing off keeps
+    * URLDecoder's correct multi-byte UTF-8 `%XX` handling.
+    */
+  private[sources] def percentDecode(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+
+  /** The inverse for the staging writer: percent-encode everything outside
+    * the unreserved set (keeping `/` as the segment separator). Encoding
+    * `:` too sidesteps the JDK's relative-URI quirk (a `:` in the first
+    * path segment parses as a scheme separator), and `+` encodes to `%2B`
+    * so the decode side's literal-plus rule round-trips.
+    */
+  private[sources] def percentEncode(s: String): String = {
+    val sb = new StringBuilder
+    s.getBytes("UTF-8").foreach { b =>
+      val i = b & 0xFF
+      val c = i.toChar
+      if (i < 128 && (c.isLetterOrDigit || "-._~/".contains(c))) sb.append(c)
+      else sb.append(f"%%$i%02X")
+    }
+    sb.toString
   }
 
   private def struct(row: Row, field: String): Option[Row] =
@@ -434,7 +506,7 @@ object DeltaLake {
       Option(dir.listFiles()).toSeq.flatten.sortBy(_.getName).foreach { f =>
         if (f.isDirectory && f.getName.contains("=")) {
           val Array(k, v) = f.getName.split("=", 2)
-          walk(f, pv + (k -> java.net.URLDecoder.decode(v, "UTF-8")))
+          walk(f, pv + (k -> percentDecode(v)))
         } else if (f.getName.endsWith(".parquet")) {
           val rel = (pv.map { case (k, v) => s"$k=$v" }.toSeq :+ f.getName)
             .mkString("/")
@@ -520,7 +592,7 @@ object DeltaLake {
     }
     moved.foreach { case (rel, pv) =>
       val add = M.createObjectNode()
-      add.put("path", new java.net.URI(null, null, rel, null).toString)
+      add.put("path", percentEncode(rel))
       val pvNode = add.putObject("partitionValues")
       pv.foreach { case (k, v) => pvNode.put(k, v) }
       val f = new java.io.File(root, rel)
@@ -562,13 +634,54 @@ object DeltaLake {
       actions += s"""{"remove":${M.writeValueAsString(r)}}"""
     }
     val add = M.createObjectNode()
-    add.put("path", new java.net.URI(null, null, dest.getName, null).toString)
+    add.put("path", percentEncode(dest.getName))
     add.putObject("partitionValues")
     add.put("size", dest.length())
     add.put("modificationTime", dest.lastModified())
     add.put("dataChange", false)
     actions += s"""{"add":${M.writeValueAsString(add)}}"""
     writeCommit(tableDir, version, actions.toSeq)
+  }
+
+  /** Write the single-part parquet checkpoint for `version` (default:
+    * latest) plus the `_last_checkpoint` hint — the protocol's log-
+    * compaction shape: one row per live action, so a reader resumes the
+    * fold from here and the subsumed JSON commits can be cleaned.
+    * `add.stats` is carried into the checkpoint rows (the protocol keeps
+    * it in the checkpoint schema) so data skipping keeps working for
+    * files at or before the checkpoint.
+    */
+  def stageCheckpoint(spark: SparkSession, tableDir: String,
+      version: Long): Unit = {
+    val st = replay(spark, tableDir, Some(version))
+    val root = new java.io.File(tableDir)
+    val meta = CkMeta(
+      java.util.UUID.nameUUIDFromBytes(tableDir.getBytes("UTF-8")).toString,
+      CkFormat("parquet"), st.schema.json, st.partitionColumns)
+    val rows =
+      CkRow(None, Some(meta), None) +:
+      CkRow(None, None, Some(CkProtocol(1, 2))) +:
+      st.adds.map { a =>
+        val f = new java.io.File(resolve(tableDir, a.path))
+        CkRow(Some(CkAdd(a.path, a.partitionValues, f.length(),
+          f.lastModified(), dataChange = true, a.stats)), None, None)
+      }
+    import spark.implicits._
+    val tmp = new java.io.File(root, s"_checkpoint_tmp_$version")
+    rows.toDS().coalesce(1).write.mode("overwrite")
+      .parquet(tmp.getAbsolutePath)
+    val part = Option(tmp.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).head
+    val ld = logDir(tableDir)
+    ld.mkdirs()
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(ld, f"$version%020d.checkpoint.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
+    java.nio.file.Files.writeString(
+      new java.io.File(ld, "_last_checkpoint").toPath,
+      s"""{"version":$version,"size":${rows.size}}""")
+    ()
   }
 
   /** Append a commit that REMOVES the given log-relative paths (fixture
@@ -578,7 +691,7 @@ object DeltaLake {
       version: Long): Unit =
     writeCommit(tableDir, version, removeRelPaths.map { p =>
       val r = M.createObjectNode()
-      r.put("path", new java.net.URI(null, null, p, null).toString)
+      r.put("path", percentEncode(p))
       r.put("deletionTimestamp", 0L)
       r.put("dataChange", true)
       s"""{"remove":${M.writeValueAsString(r)}}"""
@@ -594,3 +707,16 @@ object DeltaLake {
     ()
   }
 }
+
+// checkpoint-action row shapes (file scope: Spark encoders need stable
+// types); `stats` is part of the protocol's checkpoint schema
+private[sources] case class CkFormat(provider: String)
+private[sources] case class CkMeta(id: String, format: CkFormat,
+    schemaString: String, partitionColumns: Seq[String])
+private[sources] case class CkProtocol(minReaderVersion: Int,
+    minWriterVersion: Int)
+private[sources] case class CkAdd(path: String,
+    partitionValues: Map[String, String], size: Long,
+    modificationTime: Long, dataChange: Boolean, stats: Option[String])
+private[sources] case class CkRow(add: Option[CkAdd],
+    metaData: Option[CkMeta], protocol: Option[CkProtocol])
