@@ -22,12 +22,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * the object store (the killer cost of plain parquet directories at
   * 100 TB — one LIST per prefix per query); it reads a few KB of JSON
   * (driver-side, exactly how production Delta clients resolve snapshots)
-  * and plans a parquet scan over the named files. Partition values live
-  * in the LOG, not the files: the reader reconstructs partition columns
-  * as per-file-group literals, so a filter on a partition column constant-
-  * folds per group and [[org.apache.spark.sql.catalyst.optimizer.PropagateEmptyRelation]]
-  * prunes whole partitions before any file is opened — log-level
-  * partition pruning, declaratively. Time travel (`version = Some(v)`)
+  * and plans ONE parquet scan over the named files through a log-backed
+  * [[LogFileIndex]]. Partition values live in the LOG, not the files:
+  * the index evaluates them per value group, so a filter on a partition
+  * column reaches the scan as a `PartitionFilters` entry and prunes
+  * whole partitions before any file is opened — log-level partition
+  * pruning with O(1) plan size in partition cardinality. Pushed data
+  * filters additionally stats-skip files inside the index's `listFiles`
+  * (see [[snapshotWhere]]). Time travel (`version = Some(v)`)
   * replays the same fold to an earlier cut, and [[appended]] exposes the
   * version-to-version file diff — the commit-log delta source that
   * replaces [[graft.ivm.FileSnapshots]]' mtime cut for transactional
@@ -108,7 +110,8 @@ object DeltaLake {
       version: Option[Long] = None): DataFrame = {
     val st = replay(spark, path, version)
     val pred = org.apache.spark.sql.graft.GraftSql.predicateTree(predicate)
-    val kept = st.adds.filter(a => mayMatch(pred, a, st))
+    val kept = st.adds.filter(a =>
+      mayMatch(pred, a.partitionValues, a.stats, st))
     readFiles(spark, path, st, kept).filter(predicate)
   }
 
@@ -120,7 +123,8 @@ object DeltaLake {
     * columns against minValues/maxValues.
     */
   private def mayMatch(n: org.apache.spark.sql.graft.GraftSql.PredNode,
-      add: AddFile, state: LogState): Boolean = {
+      partitionValues: Map[String, String], fileStats: Option[String],
+      state: LogState): Boolean = {
     import org.apache.spark.sql.graft.GraftSql._
     import org.apache.spark.sql.types._
 
@@ -154,7 +158,7 @@ object DeltaLake {
         .getOrElse(return true)
       // partition column: the log value is exact for every row
       if (state.partitionColumns.contains(name))
-        return add.partitionValues.get(name) match {
+        return partitionValues.get(name) match {
           case Some(pv) if pv != null =>
             cmp(pv, v, dt).forall(c => op match {
               case "EQ" => c == 0
@@ -165,7 +169,7 @@ object DeltaLake {
             })
           case _ => true
         }
-      val stats = add.stats.map(M.readTree).getOrElse(return true)
+      val stats = fileStats.map(M.readTree).getOrElse(return true)
       def stat(kind: String): Option[JsonNode] =
         Option(stats.get(kind)).flatMap(m => Option(m.get(name)))
           .filterNot(_.isNull)
@@ -182,8 +186,8 @@ object DeltaLake {
     }
 
     n match {
-      case PredAnd(l, r) => mayMatch(l, add, state) && mayMatch(r, add, state)
-      case PredOr(l, r) => mayMatch(l, add, state) || mayMatch(r, add, state)
+      case PredAnd(l, r) => mayMatch(l, partitionValues, fileStats, state) && mayMatch(r, partitionValues, fileStats, state)
+      case PredOr(l, r) => mayMatch(l, partitionValues, fileStats, state) || mayMatch(r, partitionValues, fileStats, state)
       case PredCmp(name, v, op) => check(name, v, op)
       case PredUnknown => true
     }
@@ -389,12 +393,18 @@ object DeltaLake {
 
   // ---- snapshot reconstruction ------------------------------------------
 
-  /** One parquet scan per partition-value group, partition columns
-    * injected as LITERALS (data files do not carry them — the protocol
-    * stores them in the log), unioned in the metadata schema's column
-    * order. A predicate on a partition column folds to false on
-    * non-matching groups and the empty arms prune away — no file of a
-    * pruned partition is ever opened.
+  /** ONE parquet scan over a log-backed [[LogFileIndex]]: the file list,
+    * partition values, and per-file stats all come from the LOG (data
+    * files do not carry partition columns — the protocol stores them in
+    * the log), and the scan is a single `FileSourceScanExec` whose
+    * `PartitionFilters` prune value groups and whose pushed data filters
+    * stats-skip files inside `listFiles`. Plan size is O(1) in partition
+    * cardinality — the r8 shape (one scan arm per partition-value group,
+    * unioned) grew the PLAN linearly with partitions, a planning
+    * bottleneck for a 3650-partition date-partitioned table at 100 TB.
+    * Schema evolution rides the parquet reader's missing-column
+    * semantics: files older than the latest metaData surface the new
+    * columns as null under the requested (latest) data schema.
     */
   private def readFiles(spark: SparkSession, path: String, st: LogState,
       files: Seq[AddFile], withMeta: Boolean = false): DataFrame = {
@@ -409,23 +419,45 @@ object DeltaLake {
       else empty.withColumn("_metadata",
         lit(null).cast("struct<file_path:string,file_name:string>"))
     }
-    val byPv = files.groupBy(_.partitionValues).toSeq
-    val parts = byPv.map { case (pv, group) =>
-      val paths = group.map(a => resolve(path, a.path))
-      val df0 = spark.read.schema(dataSchema).parquet(paths: _*)
-      val df = if (withMeta) df0.select(col("*"), col("_metadata")) else df0
-      st.partitionColumns.foldLeft(df) { (d, c) =>
-        val dt = st.schema(c).dataType
-        val v = pv.get(c).filter(_ != null) match {
-          case Some(s) => lit(s).cast(dt)
-          case None => lit(null).cast(dt)
-        }
-        d.withColumn(c, v)
-      }
+    // force nullability like DataFrameReader.schema() does: a metaData
+    // schema written from a non-nullable frame would otherwise make the
+    // vectorized reader REJECT pre-evolution files missing the column
+    // ("Required column is missing") instead of surfacing nulls
+    def asNullable(t: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = t match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = asNullable(a.elementType), containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(valueType = asNullable(m.valueType), valueContainsNull = true)
+      case other => other
     }
+    val partitionSchema = asNullable(StructType(
+      st.schema.filter(f => st.partitionColumns.contains(f.name))))
+      .asInstanceOf[StructType]
+    val logFiles = files.map { a =>
+      val p = resolve(path, a.path)
+      val f = new java.io.File(p)
+      LogFile(p, f.length(), f.lastModified(), a.partitionValues, a.stats)
+    }
+    val keep = (filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        lf: LogFile) =>
+      filters.forall(e => mayMatch(
+        org.apache.spark.sql.graft.GraftSql.predicateTreeOf(e),
+        lf.partitionValues, lf.stats, st))
+    val index = new LogFileIndex(spark,
+      new org.apache.hadoop.fs.Path(path), logFiles, partitionSchema, keep)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, partitionSchema,
+      asNullable(dataSchema).asInstanceOf[StructType], None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty[String, String])(spark)
+    val df = org.apache.spark.sql.graft.GraftSql.ofRows(spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
     val cols = st.schema.fieldNames.toIndexedSeq ++
       (if (withMeta) Seq("_metadata") else Seq.empty)
-    parts.reduce(_ unionByName _).select(cols.map(col): _*)
+    df.select(cols.map(col): _*)
   }
 
   /** Paths in the log are percent-encoded, relative to the table root or

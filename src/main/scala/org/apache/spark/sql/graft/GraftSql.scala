@@ -87,6 +87,41 @@ object GraftSql {
   final case class PredOr(l: PredNode, r: PredNode) extends PredNode
   case object PredUnknown extends PredNode
 
+  /** The same lowering for a RESOLVED Catalyst expression — the shape a
+    * `FileIndex.listFiles` receives as pushed data filters. Literal
+    * values are converted to their external Scala forms so the caller's
+    * comparison logic sees the same value space as the Column path
+    * (UTF8String → String, Decimal → java BigDecimal).
+    */
+  def predicateTreeOf(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): PredNode = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.expressions._
+    def lit(l: Literal): Any =
+      CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    e match {
+      case And(l, r) => PredAnd(predicateTreeOf(l), predicateTreeOf(r))
+      case Or(l, r) => PredOr(predicateTreeOf(l), predicateTreeOf(r))
+      case EqualTo(a: Attribute, l: Literal) => PredCmp(a.name, lit(l), "EQ")
+      case EqualTo(l: Literal, a: Attribute) => PredCmp(a.name, lit(l), "EQ")
+      case GreaterThan(a: Attribute, l: Literal) =>
+        PredCmp(a.name, lit(l), "GT")
+      case GreaterThan(l: Literal, a: Attribute) =>
+        PredCmp(a.name, lit(l), "LT")
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        PredCmp(a.name, lit(l), "GE")
+      case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+        PredCmp(a.name, lit(l), "LE")
+      case LessThan(a: Attribute, l: Literal) => PredCmp(a.name, lit(l), "LT")
+      case LessThan(l: Literal, a: Attribute) => PredCmp(a.name, lit(l), "GT")
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        PredCmp(a.name, lit(l), "LE")
+      case LessThanOrEqual(l: Literal, a: Attribute) =>
+        PredCmp(a.name, lit(l), "GE")
+      case _ => PredUnknown
+    }
+  }
+
   def predicateTree(c: org.apache.spark.sql.Column): PredNode = {
     import org.apache.spark.sql.internal.{Literal => NodeLit, UnresolvedAttribute => NodeAttr, UnresolvedFunction => NodeFn}
     val ops = Map("=" -> "EQ", "==" -> "EQ", ">" -> "GT", ">=" -> "GE",

@@ -351,10 +351,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("deltalake: partition predicate prunes log groups before any file opens") {
-    // the reader reconstructs partition columns as per-group literals;
-    // a partition predicate must constant-fold the non-matching groups
-    // away (PropagateEmptyRelation), leaving ONE scan — log-level
-    // partition pruning on the real staged table, not just the fixture
+    // r9 shape: the snapshot is ONE FileSourceScanExec over the
+    // log-backed FileIndex, and a partition predicate reaches it as a
+    // PartitionFilters entry (not a per-group constant fold) — on the
+    // real staged table, not just the fixture
     import org.apache.spark.sql.classic
     import org.apache.spark.sql.functions.col
     val dir = graft.engine.Queries.deltaLakeOrders(spark, sfDir)
@@ -363,7 +363,45 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     val p = df.asInstanceOf[classic.Dataset[_]]
       .queryExecution.executedPlan.toString
     assert("Scan parquet".r.findAllIn(p).size == 1,
-      s"expected the four non-matching priority groups pruned:\n$p")
+      s"expected exactly one scan over the log-backed index:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*o_orderpriority".r
+      .findFirstIn(p).nonEmpty,
+      s"partition predicate must reach the scan as a PartitionFilters entry:\n$p")
+  }
+
+  test("deltalake: plan stays one scan at high partition cardinality, runtime-pruned") {
+    // the r8 per-partition-group union grew a scan arm per partition —
+    // plan-linear in partition cardinality. The log-backed FileIndex
+    // must plan ONE scan for a 60-partition table and actually open
+    // only the matching partition's files (numFiles metric after run).
+    import org.apache.spark.sql.classic
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dl_manyparts").toFile
+    dir.deleteOnExit()
+    val df = spark.range(0L, 600L).toDF("id")
+      .withColumn("p", (col("id") % 60).cast("long"))
+      .repartition(col("p"))
+    graft.sources.DeltaLake.stageCommit(spark, dir.getAbsolutePath, df,
+      Seq("p"), 0L)
+    val snap = graft.sources.DeltaLake
+      .snapshot(spark, dir.getAbsolutePath)
+    assert(snap.inputFiles.length >= 60, "fixture: one file per partition")
+    val q = snap.filter(col("p") === 7L)
+    val qe = q.asInstanceOf[classic.Dataset[_]].queryExecution
+    val p = qe.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"one scan regardless of partition count:\n$p")
+    assert(q.collect().map(_.getLong(0)).toSet ==
+      (0L until 600L).filter(_ % 60 == 7).toSet)
+    // runtime file pruning: only the p=7 partition's files were opened
+    val scan = qe.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles >= 1 && numFiles <= 2,
+      s"expected ~1 of 60 partition files planned, got $numFiles")
   }
 
   test("deltalake_skipping: stats drop the pre-cut files from the plan") {

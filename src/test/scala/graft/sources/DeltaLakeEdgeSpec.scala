@@ -136,6 +136,28 @@ class DeltaLakeEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(skipped.count() == 2L)
   }
 
+  test("pushed data filters stats-skip files inside the log-backed FileIndex") {
+    // r9: skipping is also wired into LogFileIndex.listFiles, so a plain
+    // snapshot().filter(...) — or any predicate Spark pushes onto the
+    // scan (version cuts, join pushdowns) — prunes files WITHOUT going
+    // through snapshotWhere. numFiles is the runtime-planned file count.
+    import org.apache.spark.sql.classic
+    val dir = freshDir("pushskip")
+    val lo = Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+    val hi = Seq((100L, "c"), (200L, "d")).toDF("id", "v").coalesce(1)
+    DeltaLake.stageCommit(spark, dir, lo, Seq.empty, 0L)
+    DeltaLake.stageCommit(spark, dir, hi, Seq.empty, 1L)
+    val q = DeltaLake.snapshot(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("id") >= 100L)
+    assert(q.collect().map(_.getLong(0)).toSet == Set(100L, 200L))
+    val scan = q.asInstanceOf[classic.Dataset[_]].queryExecution
+      .executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+    assert(scan.metrics("numFiles").value == 1L,
+      "the lo file must be stats-skipped at the FileIndex, not scanned")
+  }
+
   test("isAppendOnly rejects a window containing a schema-evolution commit") {
     val dir = freshDir("evoguard")
     DeltaLake.stageCommit(spark, dir,
