@@ -50,6 +50,18 @@ object Bench {
     val only = args.toSet
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
+    // Pre-stage fixtures before timing (r9): building each query's frame
+    // runs the stage-once materializations (CSV/JSON/ORC copies, bucketed
+    // layouts, Delta tables) without executing the query, so a cold slot
+    // no longer bills one-time staging to whichever query touches it
+    // first — the r8 artifact read 6.1 s for events_csv (0.2 s steady)
+    // purely from staging. Construction-time maintenance jobs (signed-rung
+    // pins) re-run in every timed pass either way, so nothing
+    // query-shaped is warmed here.
+    names.foreach { n =>
+      try { SparkEntry.queries(n)(spark, sfDir); () }
+      catch { case _: Throwable => () } // timed passes report the failure
+    }
     var failed = List.empty[String]
     // first line of each failure's message, keyed by query — so a broken
     // query is diagnosable from the committed bench artifact alone (the

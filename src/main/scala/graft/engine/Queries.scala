@@ -1617,7 +1617,99 @@ object Queries {
              |  MIN(o_orderkey) AS min_key
              |FROM orders
              |GROUP BY 1
-             |ORDER BY o_prio NULLS FIRST""".stripMargin))
+             |ORDER BY o_prio NULLS FIRST""".stripMargin)),
+
+    // DELETE-AWARE SIGNED MAINTENANCE THROUGH THE DELTA LOG (r9): the
+    // capability the r8 fail-fast pointed at — a real lakehouse DELETE
+    // (GDPR/retention: remove(file) + add(survivors), dataChange=true)
+    // lands in the tracked window, and instead of rebasing, the stored
+    // aggregate view maintains through it: DeltaLake.changes surfaces the
+    // removed files' rows as retracts and the rewritten survivors as
+    // inserts; the group-scoped splice recomputes ONLY the touched
+    // groups from the new snapshot (exact for ANY deterministic
+    // aggregate — countDistinct here, which subtraction-merging cannot
+    // retract). The delete predicate hits two of the five priority
+    // partitions, so three groups ride the stored view untouched and the
+    // recompute arm's scan partition-prunes to the two touched ones
+    // (keys ARE the partition columns). Hash equality vs the
+    // first-principles full-recompute oracle pins the whole chain: the
+    // staged delete rewrite, the signed file diff, and the splice.
+    QueryDef("delta_deltalake_delete",
+      (s, d) => {
+        import graft.ivm.DeltaLakeSnapshots
+        val dir = deltaLakeOrdersDeleted(s, d)
+        val aggOf = (df: org.apache.spark.sql.DataFrame) => df
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+        // the stored view: built at version 1 (before the delete landed)
+        DeltaLakeSnapshots.track(s, "dl_orders_del", dir, at = Some(1L))
+        val stored = aggOf(
+          graft.sources.DeltaLake.snapshot(s, dir, version = Some(1L)))
+        DeltaLakeSnapshots.maintainAgg(s, "dl_orders_del", stored,
+          Seq("o_orderpriority"), aggOf)
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE NOT (o_custkey % 7 = 0
+             |  AND o_orderpriority IN ('1-URGENT', '3-MEDIUM'))
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // VERSION CUT ∘ STATS SKIPPING ∘ MERGE (r9): the two log-level
+    // predicates COMPOSE on the same δ-arm scan. The staged table has
+    // three commits split on DIFFERENT axes (commit 0 = three quarters
+    // of customers across the whole key range; commits 1/2 = the rest,
+    // below/at-or-above the 95% key threshold): the tracked cut (at
+    // version 0) excludes the commit-0 files by the file-set complement,
+    // and the view's key-range filter stats-skips the commit-1 files
+    // (every one's max key sits below the threshold), so the δ partial
+    // plans ONLY the commit-2 files. The maintained result is IvmAgg's
+    // mergeable-partial fold into the base view (built from the
+    // version-0 snapshot under the same filter — non-empty: commit 0
+    // spans the key range). Hash equality vs the full-recompute oracle
+    // pins that merge(base, partial) ≡ full; PlanAuditSpec pins that the
+    // δ arm's single scan carries both predicates and plans only
+    // commit-2 files.
+    QueryDef("delta_deltalake_skipping",
+      (s, d) => {
+        import graft.ivm.{DeltaLakeSnapshots, IvmAgg}
+        val dir = deltaLakeOrders3c(s, d)
+        val c2 = t(s, d, "orders")
+          .agg(max(col("o_orderkey"))).head().getLong(0) * 19L / 20L
+        DeltaLakeSnapshots.track(s, "dl_orders_3c", dir, at = Some(0L))
+        DeltaLakeSnapshots.view(s, "dl_orders_3c")
+        // storage form: the sum stays DECIMAL so the partial is
+        // mergeable (IvmAgg's sum-add combine); display-cast on the way
+        // out, like the avg storage/display split
+        val aggOf = (df: org.apache.spark.sql.DataFrame) => df
+          .filter(col("o_orderkey") >= c2)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"),
+            max(col("o_orderkey")).as("max_key"))
+        val base = aggOf(
+          graft.sources.DeltaLake.snapshot(s, dir, version = Some(0L)))
+        IvmAgg.maintain(base, aggOf(s.table("dl_orders_3c")))
+          .select(col("o_orderpriority"), col("cnt"),
+            col("total").cast("double").as("total"), col("max_key"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  MAX(o_orderkey) AS max_key
+             |FROM orders
+             |WHERE o_orderkey >= (SELECT (MAX(o_orderkey)*19)//20
+             |  FROM orders)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 
   /** The staged two-commit Delta table the `deltalake_*` queries read:
@@ -1635,6 +1727,48 @@ object Queries {
         ord.filter(col("o_orderkey") < cut), Seq("o_orderpriority"), 0L)
       graft.sources.DeltaLake.stageCommit(s, p,
         ord.filter(col("o_orderkey") >= cut), Seq("o_orderpriority"), 1L)
+    }
+
+  /** The staged table with a REAL row-level DELETE at version 2 (the
+    * lakehouse rewrite shape: hit files removed, survivors re-added, all
+    * `dataChange=true`) — the `delta_deltalake_delete` fixture. The
+    * delete predicate is deterministic so the DuckDB oracle recomputes
+    * the final membership from first principles.
+    */
+  private[graft] def deltaLakeOrdersDeleted(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_del_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_orderkey") < c1), Seq("o_orderpriority"), 0L)
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_orderkey") >= c1), Seq("o_orderpriority"), 1L)
+      graft.sources.DeltaLake.stageDeleteCommit(s, p,
+        col("o_custkey") % 7 === 0 &&
+          col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"), 2L)
+    }
+
+  /** The three-commit staged table for `delta_deltalake_skipping`:
+    * commit 0 = customers with `o_custkey % 4 != 3` over the WHOLE key
+    * range (so a key-range base view is non-empty), commits 1/2 = the
+    * remaining customers below / at-or-above the 95% key threshold (so
+    * the threshold filter stats-skips commit 1 entirely).
+    */
+  private[graft] def deltaLakeOrders3c(s: SparkSession, d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_3c_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val c2 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 19L / 20L
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_custkey") % 4 =!= 3), Seq("o_orderpriority"), 0L)
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_custkey") % 4 === 3 && col("o_orderkey") < c2),
+        Seq("o_orderpriority"), 1L)
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_custkey") % 4 === 3 && col("o_orderkey") >= c2),
+        Seq("o_orderpriority"), 2L)
     }
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -18,10 +18,14 @@ import graft.sources.DeltaLake
   * after [[advance]] add files the predicate has never seen, so they are
   * delta by construction — no re-registration per query, same as the
   * mtime `>` cut. File NAMES, not paths: part names are globally unique
-  * (task UUIDs) while path rendering is scheme-dependent. At 100 TB the
-  * literal set is the snapshot's file count; a production integration
-  * pushes the same version cut into the format's own file index instead
-  * of an IN-list — the seam (predicate behind
+  * (task UUIDs) while path rendering is scheme-dependent. The predicate
+  * is not a row filter in practice: pushed onto the log-backed scan, it
+  * references only the `file_name` file constant, so [[DeltaLake]]'s
+  * index evaluates it PER FILE and plans exactly the post-cut files
+  * (plan-audited: a δ arm opens no pre-cut file). At 100 TB the literal
+  * set is still the snapshot's file count in the PLAN — a production
+  * integration carries the cut as a version number into the file index
+  * and diffs file lists there; the seam (predicate behind
   * [[DeltaSources]]/`ResolvePosDeltaScan`) is unchanged, which was the
   * point of modeling sources this way since r5.
   *
@@ -97,6 +101,81 @@ object DeltaLakeSnapshots {
     val df = DeltaLake.snapshotWithMeta(spark, s.dir, version = Some(latest))
     df.createOrReplaceTempView(table)
     df
+  }
+
+  /** The DELETE-AWARE maintenance seam: the signed row-level diff of the
+    * tracked table across `(cut, latest]` — inserts = rows of files added
+    * with `dataChange=true`, retracts = rows of cut-live files removed
+    * with `dataChange=true` (a lakehouse DELETE's rewrite nets to exactly
+    * the deleted rows; see [[DeltaLake.changes]]). This is what [[view]]'s
+    * fail-fast points at: where the insert-only file-set cut must rebase,
+    * the signed pair turns the same window into a normal signed
+    * maintenance cycle through the [[Ivm.SignedDelta]] ladder. Both
+    * frames read ONLY the window's changed files — delta-sized, never a
+    * snapshot scan. `advance` afterwards as usual.
+    */
+  def signedRows(spark: SparkSession, table: String): Ivm.SignedDelta = {
+    val s = stateOf(table)
+    val ch = DeltaLake.changes(spark, s.dir, s.cutVersion.getOrElse(-1L))
+    Ivm.SignedDelta(ch.inserts, ch.retracts)
+  }
+
+  /** The signed delta of a ROW-WISE view `q` (deterministic
+    * projection/filter — the operators that commute with the signed
+    * pair: `f(A − R + I) = f(A) − f(R) + f(I)`) over the tracked table,
+    * through a delete window: apply `q` to each signed frame. Apply with
+    * [[Ivm.SignedDelta.applyTo]].
+    */
+  def signedThrough(spark: SparkSession, table: String)
+      (q: DataFrame => DataFrame): Ivm.SignedDelta = {
+    val sd = signedRows(spark, table)
+    Ivm.SignedDelta(q(sd.inserts), q(sd.retracts))
+  }
+
+  /** Maintain a stored GROUPED-AGGREGATE view through a delete window by
+    * GROUP-SCOPED SPLICE — the rung shape that is exact for ANY
+    * deterministic aggregate (min/max/count-distinct included, which
+    * subtraction-merging can't retract):
+    *
+    *   touched  = distinct `keys` of (inserts ∪ retracts)   — δ-sized
+    *   view'    = view ∖ touched  ∪  agg(snapshot ⋉ touched)
+    *
+    * `keys` must be raw table columns that are also the view's group-key
+    * output columns (the common case: `groupBy("k")`); `agg` maps raw
+    * snapshot rows to the view's shape. At 100 TB: `touched` is bounded
+    * by the window's churn and broadcast into both probes, so the only
+    * base-side read is the recompute arm — snapshot rows of the touched
+    * groups only, partition-pruned/stats-skipped when the keys align
+    * with the layout (here: keys ARE the partition columns, so the
+    * recompute arm plans only the touched partitions' files). The
+    * snapshot and the window resolve at ONE latest version (no TOCTOU
+    * between the diff and the recompute arm). Advances the cut to that
+    * version on success.
+    */
+  def maintainAgg(spark: SparkSession, table: String, view: DataFrame,
+      keys: Seq[String], agg: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val s = stateOf(table)
+    val latest = DeltaLake.latestVersion(spark, s.dir)
+    val ch = DeltaLake.changes(spark, s.dir, s.cutVersion.getOrElse(-1L),
+      Some(latest))
+    val kc = keys.map(col)
+    // pin: δ-sized by construction, probed twice (anti + semi)
+    val touched = ch.inserts.select(kc: _*)
+      .unionByName(ch.retracts.select(kc: _*))
+      .distinct().localCheckpoint()
+    // null-safe key equality: a NULL group value is a real group (SQL
+    // GROUP BY semantics — and partition values can be null)
+    val tRen = touched.select(
+      keys.map(k => col(k).as(s"__touched_$k")): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__touched_$k"))
+      .reduce(_ && _)
+    val snap = DeltaLake.snapshot(spark, s.dir, version = Some(latest))
+    val repaired = agg(snap.join(broadcast(tRen), cond, "left_semi"))
+    val kept = view.join(broadcast(tRen), cond, "left_anti")
+    states.put(table, s.copy(cutVersion = Some(latest)))
+    sync(spark, table)
+    kept.unionByName(repaired)
   }
 
   private def stateOf(table: String): State =

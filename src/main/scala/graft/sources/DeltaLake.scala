@@ -47,6 +47,11 @@ object DeltaLake {
   private final case class AddFile(path: String,
       partitionValues: Map[String, String], stats: Option[String] = None)
 
+  /** A signed row-level table diff (see [[changes]]): both frames carry
+    * the table schema; apply as insert/retract under the signed algebra.
+    */
+  final case class Changes(inserts: DataFrame, retracts: DataFrame)
+
   private final case class LogState(
       version: Long,
       schema: StructType,
@@ -239,6 +244,88 @@ object DeltaLake {
     readFiles(spark, path, st, adds.values.toSeq)
   }
 
+  /** Signed row-level diff of the table across `(afterVersion, toVersion]`
+    * — the DELETE-AWARE sibling of [[appended]]: `inserts` are the rows of
+    * files added with `dataChange=true` (net of in-window cancels),
+    * `retracts` the rows of files LIVE AT THE CUT removed with
+    * `dataChange=true`. A real lakehouse DELETE is a file rewrite
+    * (remove(f) + add(f') where f' holds f's survivors, both
+    * `dataChange=true`), so the pair nets to exactly the deleted rows —
+    * surviving rows appear in both frames and cancel under the signed
+    * algebra ([[graft.ivm.Ivm.SignedDelta]]); same shape for UPDATE/MERGE.
+    * This is what turns "a delete landed → rebase the maintained view"
+    * into a normal signed maintenance cycle
+    * ([[graft.ivm.DeltaLakeSnapshots.signedRows]]).
+    *
+    * At scale both frames read only the window's changed files — no
+    * snapshot scan, no listing; the retract arm's files are on disk until
+    * VACUUM (the same retention contract [[appended]] documents).
+    *
+    * Fail-fast guards (never a silently wrong signed pair):
+    *   - a `metaData` action in the window: the frames would carry a
+    *     schema the stored view never saw — rebase instead;
+    *   - a `dataChange=true` remove of a COMPACTION REWRITE (a file added
+    *     with `dataChange=false` in the window): its rows' provenance
+    *     straddles the cut, so per-file retraction can't attribute them;
+    *   - a `dataChange=true` remove of a file that is neither cut-live
+    *     nor window-added: the log contradicts itself.
+    */
+  def changes(spark: SparkSession, path: String, afterVersion: Long,
+      toVersion: Option[Long] = None): Changes = {
+    val end = toVersion.getOrElse(latestVersion(spark, path))
+    val endState = replay(spark, path, Some(end))
+    val cutLive: Map[String, AddFile] =
+      if (afterVersion < 0) Map.empty
+      else replay(spark, path, Some(afterVersion)).adds
+        .map(a => a.path -> a).toMap
+    val ins = mutable.LinkedHashMap.empty[String, AddFile]
+    val rets = mutable.LinkedHashMap.empty[String, AddFile]
+    val rewrites = mutable.Set.empty[String]
+    (afterVersion.max(-1L) + 1 to end).foreach { v =>
+      foreachCommitAction(path, v) { n =>
+        // schema drift only matters against a STORED view built at the
+        // cut; a from-scratch window (afterVersion < 0) has none, and its
+        // frames resolve at the end schema like any snapshot
+        if (afterVersion >= 0) Option(n.get("metaData")).foreach { _ =>
+          throw new IllegalStateException(
+            s"DeltaLake.changes: commit $v of $path changes the schema " +
+              "(metaData action): a signed diff under an evolved schema " +
+              "would drift from the view it patches — rebase the " +
+              "maintained view from the current snapshot")
+        }
+        Option(n.get("add")).foreach { a =>
+          val p = a.get("path").asText
+          if (dataChange(a))
+            ins.put(p, AddFile(p, pvMap(a.get("partitionValues")),
+              Option(a.get("stats")).filterNot(_.isNull).map(_.asText)))
+          else rewrites += p
+        }
+        Option(n.get("remove")).foreach { r =>
+          val p = r.get("path").asText
+          if (dataChange(r)) {
+            if (ins.remove(p).isEmpty) cutLive.get(p) match {
+              case Some(a) => rets.put(p, a)
+              case None =>
+                if (rewrites.contains(p)) throw new IllegalStateException(
+                  s"DeltaLake.changes: commit $v of $path deletes " +
+                    s"compaction-rewritten file $p whose rows straddle the " +
+                    "cut — per-file retraction can't attribute them; " +
+                    "rebase the maintained view from the current snapshot")
+                throw new IllegalStateException(
+                  s"DeltaLake.changes: commit $v of $path removes file $p " +
+                    "that is neither live at the cut nor added in the " +
+                    "window — inconsistent log")
+            }
+          }
+          // dataChange=false remove (compaction): the rows re-live in the
+          // paired rewrite file; content-wise a no-op for the diff
+        }
+      }
+    }
+    Changes(readFiles(spark, path, endState, ins.values.toSeq),
+      readFiles(spark, path, endState, rets.values.toSeq))
+  }
+
   /** Whether every commit in `(afterVersion, toVersion]` is pure append
     * (adds with `dataChange=true` only, no schema change). The version-cut
     * incremental source ([[graft.ivm.DeltaLakeSnapshots]]) requires this
@@ -408,34 +495,6 @@ object DeltaLake {
     */
   private def readFiles(spark: SparkSession, path: String, st: LogState,
       files: Seq[AddFile], withMeta: Boolean = false): DataFrame = {
-    val dataSchema = StructType(
-      st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
-    if (files.isEmpty) {
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], st.schema)
-      // no scan → no hidden metadata; an all-null stand-in keeps the
-      // withMeta shape stable for the empty-table edge
-      return if (!withMeta) empty
-      else empty.withColumn("_metadata",
-        lit(null).cast("struct<file_path:string,file_name:string>"))
-    }
-    // force nullability like DataFrameReader.schema() does: a metaData
-    // schema written from a non-nullable frame would otherwise make the
-    // vectorized reader REJECT pre-evolution files missing the column
-    // ("Required column is missing") instead of surfacing nulls
-    def asNullable(t: org.apache.spark.sql.types.DataType)
-        : org.apache.spark.sql.types.DataType = t match {
-      case s: StructType => StructType(s.fields.map(f =>
-        f.copy(dataType = asNullable(f.dataType), nullable = true)))
-      case a: org.apache.spark.sql.types.ArrayType =>
-        a.copy(elementType = asNullable(a.elementType), containsNull = true)
-      case m: org.apache.spark.sql.types.MapType =>
-        m.copy(valueType = asNullable(m.valueType), valueContainsNull = true)
-      case other => other
-    }
-    val partitionSchema = asNullable(StructType(
-      st.schema.filter(f => st.partitionColumns.contains(f.name))))
-      .asInstanceOf[StructType]
     val logFiles = files.map { a =>
       val p = resolve(path, a.path)
       val f = new java.io.File(p)
@@ -443,21 +502,42 @@ object DeltaLake {
     }
     val keep = (filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
         lf: LogFile) =>
-      filters.forall(e => mayMatch(
-        org.apache.spark.sql.graft.GraftSql.predicateTreeOf(e),
-        lf.partitionValues, lf.stats, st))
-    val index = new LogFileIndex(spark,
-      new org.apache.hadoop.fs.Path(path), logFiles, partitionSchema, keep)
-    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      index, partitionSchema,
-      asNullable(dataSchema).asInstanceOf[StructType], None,
-      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      Map.empty[String, String])(spark)
-    val df = org.apache.spark.sql.graft.GraftSql.ofRows(spark,
-      org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
-    val cols = st.schema.fieldNames.toIndexedSeq ++
-      (if (withMeta) Seq("_metadata") else Seq.empty)
-    df.select(cols.map(col): _*)
+      filters.forall { e =>
+        // a predicate over the _metadata file constants (the version-cut
+        // seam's `file_name NOT IN (...)` shape) holds one value for
+        // EVERY row of a file: evaluate it per file and PRUNE — this is
+        // what turns the incremental cut into a file-list difference at
+        // the index instead of a row filter over the whole snapshot
+        fileNameEval(e, new java.io.File(lf.path).getName, st)
+          .getOrElse(mayMatch(
+            org.apache.spark.sql.graft.GraftSql.predicateTreeOf(e),
+            lf.partitionValues, lf.stats, st))
+      }
+    LakeScan.scan(spark, path, st.schema, st.partitionColumns, logFiles,
+      keep, withMeta)
+  }
+
+  /** Evaluate a pushed filter that references ONLY the `file_name`
+    * metadata constant against this file's own name: `Some(keep)` when
+    * decidable, `None` otherwise (falls through to stats skipping).
+    * Guarded against a DATA column that happens to be named `file_name`
+    * (then the value is per-row, not per-file — never constant-fold it).
+    * A null/false constant predicate admits no row, so the file prunes.
+    */
+  private def fileNameEval(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      name: String, st: LogState): Option[Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    import org.apache.spark.sql.types.StringType
+    if (st.schema.fieldNames.contains("file_name")) return None
+    val refs = e.references.toSeq
+    if (refs.isEmpty || !refs.forall(_.name == "file_name")) return None
+    val sub = e.transform {
+      case a: AttributeReference if a.name == "file_name" =>
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(name),
+          StringType)
+    }
+    Some(java.lang.Boolean.TRUE == sub.eval(null))
   }
 
   /** Paths in the log are percent-encoded, relative to the table root or
@@ -555,51 +635,10 @@ object DeltaLake {
     }
     deleteRec(tmp)
 
-    // per-file column stats → the protocol's add.stats JSON (numRecords
-    // + min/maxValues over orderable primitive data columns), computed
-    // in ONE job over the just-written files grouped by the hidden file
-    // name — this is what log-level data skipping reads
-    val statsByFile: Map[String, String] = {
-      import org.apache.spark.sql.types._
-      val dataSchema = StructType(
-        df.schema.filterNot(f => partitionBy.contains(f.name)))
-      val statCols = dataSchema.fields.filter(_.dataType match {
-        case _: LongType | _: IntegerType | _: DoubleType | _: FloatType |
-             _: StringType => true
-        case _ => false
-      }).toSeq
-      if (moved.isEmpty) Map.empty
-      else {
-        val paths = moved.map { case (rel, _) =>
-          new java.io.File(root, rel).getAbsolutePath }
-        val aggs = count(lit(1)).as("__n") +: statCols.flatMap(f => Seq(
-          min(col(f.name)).as(s"__mn_${f.name}"),
-          max(col(f.name)).as(s"__mx_${f.name}")))
-        spark.read.schema(dataSchema).parquet(paths.toSeq: _*)
-          .groupBy(col("_metadata.file_name").as("__f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect().map { r =>
-            val o = M.createObjectNode()
-            o.put("numRecords", r.getLong(r.fieldIndex("__n")))
-            val mn = o.putObject("minValues")
-            val mx = o.putObject("maxValues")
-            statCols.foreach { f =>
-              for ((node, pfx) <- Seq((mn, "__mn_"), (mx, "__mx_"))) {
-                val i = r.fieldIndex(s"$pfx${f.name}")
-                if (!r.isNullAt(i)) f.dataType match {
-                  case _: LongType => node.put(f.name, r.getLong(i))
-                  case _: IntegerType => node.put(f.name, r.getInt(i))
-                  case _: DoubleType => node.put(f.name, r.getDouble(i))
-                  case _: FloatType => node.put(f.name, r.getFloat(i))
-                  case _: StringType => node.put(f.name, r.getString(i))
-                  case _ => ()
-                }
-              }
-            }
-            r.getString(0) -> M.writeValueAsString(o)
-          }.toMap
-      }
-    }
+    val statsByFile: Map[String, String] = fileStats(spark,
+      StructType(df.schema.filterNot(f => partitionBy.contains(f.name))),
+      moved.map { case (rel, _) =>
+        new java.io.File(root, rel).getAbsolutePath }.toSeq)
 
     val actions = mutable.Buffer.empty[String]
     // metaData on commit 0, and again whenever the written schema
@@ -633,6 +672,122 @@ object DeltaLake {
       add.put("dataChange", true)
       statsByFile.get(f.getName).foreach(s => add.put("stats", s))
       actions += s"""{"add":${M.writeValueAsString(add)}}"""
+    }
+    writeCommit(tableDir, version, actions.toSeq)
+  }
+
+  /** Per-file column stats → the protocol's add.stats JSON (numRecords +
+    * min/maxValues over orderable primitive data columns), computed in
+    * ONE job over the given files grouped by the hidden file name — this
+    * is what log-level data skipping reads. Keyed by file NAME.
+    */
+  private def fileStats(spark: SparkSession, dataSchema: StructType,
+      paths: Seq[String]): Map[String, String] = {
+    import org.apache.spark.sql.types._
+    val statCols = dataSchema.fields.filter(_.dataType match {
+      case _: LongType | _: IntegerType | _: DoubleType | _: FloatType |
+           _: StringType => true
+      case _ => false
+    }).toSeq
+    if (paths.isEmpty) Map.empty
+    else {
+      val aggs = count(lit(1)).as("__n") +: statCols.flatMap(f => Seq(
+        min(col(f.name)).as(s"__mn_${f.name}"),
+        max(col(f.name)).as(s"__mx_${f.name}")))
+      spark.read.schema(dataSchema).parquet(paths: _*)
+        .groupBy(col("_metadata.file_name").as("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val o = M.createObjectNode()
+          o.put("numRecords", r.getLong(r.fieldIndex("__n")))
+          val mn = o.putObject("minValues")
+          val mx = o.putObject("maxValues")
+          statCols.foreach { f =>
+            for ((node, pfx) <- Seq((mn, "__mn_"), (mx, "__mx_"))) {
+              val i = r.fieldIndex(s"$pfx${f.name}")
+              if (!r.isNullAt(i)) f.dataType match {
+                case _: LongType => node.put(f.name, r.getLong(i))
+                case _: IntegerType => node.put(f.name, r.getInt(i))
+                case _: DoubleType => node.put(f.name, r.getDouble(i))
+                case _: FloatType => node.put(f.name, r.getFloat(i))
+                case _: StringType => node.put(f.name, r.getString(i))
+                case _ => ()
+              }
+            }
+          }
+          r.getString(0) -> M.writeValueAsString(o)
+        }.toMap
+    }
+  }
+
+  /** Append a row-level DELETE as commit `version` — the lakehouse
+    * writer's rewrite shape a GDPR/retention delete produces: every live
+    * file holding a matching row is removed (`dataChange=true`) and its
+    * SURVIVORS are rewritten into a fresh file in the same partition
+    * (added `dataChange=true`, with recomputed stats); untouched files
+    * are left alone. Fixture machinery for the delete-aware signed
+    * source ([[changes]]); real tables are written by the lakehouse
+    * writer, this just speaks the same protocol.
+    */
+  def stageDeleteCommit(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column, version: Long): Unit = {
+    val st = replay(spark, tableDir, None)
+    val root = new java.io.File(tableDir)
+    val dataSchema = StructType(
+      st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
+    val actions = mutable.Buffer.empty[String]
+    // per-file, read DIRECTLY — never via the snapshot keyed on
+    // _metadata.file_name: dynamic-partition writes reuse the same part
+    // name across partition dirs, so names collide across files — and
+    // attach the log's partition values, since the predicate may
+    // reference partition columns that data files don't carry.
+    // Driver-side per-file loop: fixture scale; a production writer gets
+    // the hit split from its own scan.
+    st.adds.foreach { a =>
+      val f = new java.io.File(resolve(tableDir, a.path))
+      val fileRows = st.partitionColumns.foldLeft(
+        spark.read.schema(dataSchema).parquet(f.getAbsolutePath)) {
+        (df, pc) =>
+          val dt = st.schema(pc).dataType
+          df.withColumn(pc, a.partitionValues.get(pc).filter(_ != null)
+            .map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
+      }
+      if (!fileRows.filter(predicate).isEmpty) {
+        val rm = M.createObjectNode()
+        rm.put("path", a.path)
+        rm.put("deletionTimestamp", 0L)
+        rm.put("dataChange", true)
+        actions += s"""{"remove":${M.writeValueAsString(rm)}}"""
+        // DELETE removes rows where the predicate is TRUE; rows where it
+        // is false OR NULL survive (SQL's three-valued delete contract)
+        val survivors = fileRows
+          .filter(org.apache.spark.sql.functions.coalesce(
+            !predicate, lit(true)))
+          .select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+        if (!survivors.isEmpty) {
+          val tmp = new java.io.File(root, s"_delete_tmp_$version")
+          survivors.coalesce(1).write.mode("overwrite")
+            .parquet(tmp.getAbsolutePath)
+          val part = Option(tmp.listFiles()).toSeq.flatten
+            .filter(_.getName.endsWith(".parquet")).head
+          val rel = (a.partitionValues.map { case (k, v) => s"$k=$v" }.toSeq
+            :+ part.getName).mkString("/")
+          val dest = new java.io.File(root, rel)
+          dest.getParentFile.mkdirs()
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
+          val add = M.createObjectNode()
+          add.put("path", percentEncode(rel))
+          val pvNode = add.putObject("partitionValues")
+          a.partitionValues.foreach { case (k, v) => pvNode.put(k, v) }
+          add.put("size", dest.length())
+          add.put("modificationTime", dest.lastModified())
+          add.put("dataChange", true)
+          fileStats(spark, dataSchema, Seq(dest.getAbsolutePath))
+            .get(dest.getName).foreach(s => add.put("stats", s))
+          actions += s"""{"add":${M.writeValueAsString(add)}}"""
+        }
+      }
     }
     writeCommit(tableDir, version, actions.toSeq)
   }

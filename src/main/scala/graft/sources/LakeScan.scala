@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+
+/** Shared snapshot-scan construction for log-backed table formats
+  * (Delta's transaction log, Iceberg's manifests): ONE parquet scan over
+  * a [[LogFileIndex]] built from the format's live-file list — the file
+  * list, partition values, and per-file pruning all come from the LOG,
+  * never from a filesystem listing, and plan size is O(1) in partition
+  * cardinality. The format-specific reader supplies the resolved files
+  * and its own `keep` (stats skipping, file-constant cuts); everything
+  * Spark-side — partition-value typing, nullable-forcing, the
+  * `_metadata` surface — is identical across formats, which is why it
+  * lives here once.
+  */
+object LakeScan {
+
+  /** Force nullability like `DataFrameReader.schema()` does: a schema
+    * recorded from a non-nullable frame would otherwise make the
+    * vectorized reader REJECT pre-evolution files missing a column
+    * ("Required column is missing") instead of surfacing nulls.
+    */
+  private[sources] def asNullable(t: DataType): DataType = t match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = asNullable(f.dataType), nullable = true)))
+    case a: ArrayType =>
+      a.copy(elementType = asNullable(a.elementType), containsNull = true)
+    case m: MapType =>
+      m.copy(valueType = asNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  /** The single-scan snapshot: `fullSchema` is the table schema in
+    * declared column order (partition columns included); `files` carry
+    * the log's partition values and stats; `keep` prunes files against
+    * pushed filters inside `listFiles`.
+    */
+  def scan(spark: SparkSession, tableRoot: String, fullSchema: StructType,
+      partitionColumns: Seq[String], files: Seq[LogFile],
+      keep: (Seq[Expression], LogFile) => Boolean,
+      withMeta: Boolean = false): DataFrame = {
+    val dataSchema = StructType(
+      fullSchema.filterNot(f => partitionColumns.contains(f.name)))
+    if (files.isEmpty) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], fullSchema)
+      // no scan → no hidden metadata; an all-null stand-in keeps the
+      // withMeta shape stable for the empty-table edge
+      return if (!withMeta) empty
+      else empty.withColumn("_metadata",
+        lit(null).cast("struct<file_path:string,file_name:string>"))
+    }
+    val partitionSchema = asNullable(StructType(
+      fullSchema.filter(f => partitionColumns.contains(f.name))))
+      .asInstanceOf[StructType]
+    val index = new LogFileIndex(spark,
+      new org.apache.hadoop.fs.Path(tableRoot), files, partitionSchema, keep)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, partitionSchema,
+      asNullable(dataSchema).asInstanceOf[StructType], None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty[String, String])(spark)
+    val df = org.apache.spark.sql.graft.GraftSql.ofRows(spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
+    val cols = fullSchema.fieldNames.toIndexedSeq ++
+      (if (withMeta) Seq("_metadata") else Seq.empty)
+    df.select(cols.map(col): _*)
+  }
+}

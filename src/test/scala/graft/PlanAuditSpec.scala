@@ -22,6 +22,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     finally spark.conf.unset("spark.graft.ivm.pinSignedNet")
   }
 
+  // AQE's query-stage wrappers hide scan nodes from collectLeaves;
+  // audits that read scan metrics run with it off (same final plan
+  // semantics, statically planned)
+  private def withoutAqe[A](body: => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   private def planOf(name: String): String = lazyPlans {
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan.toString
@@ -419,6 +428,54 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       .inputFiles.length
     assert(kept < all,
       s"stats skipping planned $kept of $all files — nothing was skipped")
+  }
+
+  test("delta_deltalake_skipping: version cut and stats skipping compose " +
+      "on the δ arm's single scan") {
+    // the r9 composition query's δ partial must plan ONE scan carrying
+    // BOTH log-level predicates — the version cut (a _metadata.file_name
+    // complement, pruning commit-0 files) and the view's key-range
+    // filter (stats-skipping the commit-1 files) — so only commit-2
+    // files are actually opened (numFiles metric after execution).
+    import org.apache.spark.sql.classic
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val dir = graft.engine.Queries.deltaLakeOrders3c(spark, sfDir)
+    val c2 = graft.engine.Tables(spark, sfDir, "orders")
+      .agg(max(col("o_orderkey"))).head().getLong(0) * 19L / 20L
+    graft.ivm.DeltaLakeSnapshots.track(spark, "dl3c_audit", dir,
+      at = Some(0L))
+    graft.ivm.DeltaLakeSnapshots.view(spark, "dl3c_audit")
+    val q = spark.table("dl3c_audit")
+      .filter(col("o_orderkey") >= c2)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+    // AQE off for the audit: its query-stage wrappers hide the scan
+    // node from collectLeaves (plan semantics are unchanged)
+    val partial = withoutAqe {
+      val f = graft.ivm.IvmAgg.deltaPartial(q).partial
+      f.collect()
+      f
+    }
+    val qe = partial.asInstanceOf[classic.Dataset[_]].queryExecution
+    val p = qe.executedPlan.toString
+    val scans = qe.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1,
+      s"δ arm must be one scan over the log-backed index:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderkey"),
+      s"key-range predicate must reach the δ arm's scan as a pushed filter:\n$p")
+    assert(p.contains("file_name"),
+      s"version-cut predicate must reach the δ arm's scan:\n$p")
+    val scan = scans.head
+    val numFiles = scan.metrics("numFiles").value
+    val dl = graft.sources.DeltaLake
+    val f01 = dl.snapshot(spark, dir, Some(1L)).inputFiles.toSet
+    val all = dl.snapshot(spark, dir, Some(2L)).inputFiles.toSet
+    val f2 = all -- f01
+    assert(f2.nonEmpty, "fixture: commit 2 must add files")
+    assert(numFiles >= 1 && numFiles <= f2.size,
+      s"δ arm must open only commit-2 files: numFiles=$numFiles, " +
+        s"|commit2|=${f2.size}, |live|=${all.size}")
   }
 
   test("join_bucketed: co-located merge join, no exchange under the join") {

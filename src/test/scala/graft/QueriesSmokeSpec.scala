@@ -57,8 +57,10 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       // round-8 surface
       "delta_group_topk", "events_orc", "join_bucketed",
       "deltalake_scan", "deltalake_time_travel", "deltalake_appends",
-      "delta_deltalake", "deltalake_skipping", "deltalake_evolution")
-    assert(declared.size == 118)
+      "delta_deltalake", "deltalake_skipping", "deltalake_evolution",
+      // round-9 surface
+      "delta_deltalake_delete", "delta_deltalake_skipping")
+    assert(declared.size == 120)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

@@ -1,0 +1,177 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, sum}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.ivm.{DeltaLakeSnapshots, Ivm}
+
+/** The delete-aware signed Delta-log source (r9): [[DeltaLake.changes]]'
+  * signed row diff, the [[DeltaLakeSnapshots.signedRows]] /
+  * [[DeltaLakeSnapshots.maintainAgg]] maintenance cycle through a real
+  * DELETE rewrite, and the fail-fast guards (schema drift, rewrite-delete
+  * ambiguity, inconsistent removes).
+  */
+class DeltaLakeChangesSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_dlc_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def rows(df: DataFrame): Set[(Long, Long, String)] =
+    df.collect().map(r => (r.getLong(r.fieldIndex("id")),
+      r.getLong(r.fieldIndex("v")), r.getString(r.fieldIndex("p")))).toSet
+
+  /** id 0..19, v = id*10, p = partition A/B by id parity. */
+  private def frame(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, i.toLong * 10,
+      if (i % 2 == 0) "A" else "B")).toDF("id", "v", "p")
+
+  /** Two appends then a partition-scoped row-level delete at version 2. */
+  private def stagedWithDelete(): String = {
+    val dir = freshDir("del")
+    DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq("p"), 0L)
+    DeltaLake.stageCommit(spark, dir, frame(10 until 20), Seq("p"), 1L)
+    // DELETE WHERE id % 3 = 0 AND p = 'A' — hits files in partition A
+    // of BOTH commits; partition B untouched
+    DeltaLake.stageDeleteCommit(spark, dir,
+      col("id") % 3 === 0 && col("p") === "A", 2L)
+    dir
+  }
+
+  test("stageDeleteCommit: snapshot reflects the delete, partition B untouched") {
+    val dir = stagedWithDelete()
+    val got = rows(DeltaLake.snapshot(spark, dir))
+    val want = (0 until 20).filterNot(i => i % 3 == 0 && i % 2 == 0)
+      .map(i => (i.toLong, i.toLong * 10,
+        if (i % 2 == 0) "A" else "B")).toSet
+    assert(got == want)
+    // time travel still sees the pre-delete snapshot
+    assert(rows(DeltaLake.snapshot(spark, dir, Some(1L))).size == 20)
+  }
+
+  test("changes: signed diff nets to exactly the deleted rows") {
+    val dir = stagedWithDelete()
+    val ch = DeltaLake.changes(spark, dir, afterVersion = 1L)
+    val deleted = Set(0, 6, 12, 18)
+      .map(i => (i.toLong, i.toLong * 10, "A"))
+    // the rewrite shape is file-granular (retract whole hit files,
+    // re-insert their survivors — file splits vary with parallelism),
+    // but the NET must be exactly the deleted rows, all in partition A
+    val (rets, ins) = (rows(ch.retracts), rows(ch.inserts))
+    assert(deleted.subsetOf(rets))
+    assert(ins == rets -- deleted)
+    assert(rets.forall(_._3 == "A"))
+    // signed identity: snapshot(v1) ∪ inserts ∖ retracts == snapshot(v2)
+    val applied = Ivm.SignedDelta(ch.inserts, ch.retracts)
+      .applyTo(DeltaLake.snapshot(spark, dir, Some(1L)))
+    assert(rows(applied) == rows(DeltaLake.snapshot(spark, dir)))
+  }
+
+  test("changes over an append-only window degrades to appended (no retracts)") {
+    val dir = freshDir("app")
+    DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq("p"), 0L)
+    DeltaLake.stageCommit(spark, dir, frame(10 until 20), Seq("p"), 1L)
+    val ch = DeltaLake.changes(spark, dir, afterVersion = 0L)
+    assert(ch.retracts.isEmpty)
+    assert(rows(ch.inserts) == rows(
+      DeltaLake.appended(spark, dir, afterVersion = 0L)))
+  }
+
+  test("changes from the beginning (afterVersion = -1): everything is an insert") {
+    val dir = stagedWithDelete()
+    val ch = DeltaLake.changes(spark, dir, afterVersion = -1L)
+    assert(ch.retracts.isEmpty)
+    assert(rows(ch.inserts) == rows(DeltaLake.snapshot(spark, dir)))
+  }
+
+  test("signedThrough: a row-wise view maintains through the delete window") {
+    val dir = stagedWithDelete()
+    DeltaLakeSnapshots.track(spark, "dlc_rows", dir, at = Some(1L))
+    val q = (df: DataFrame) =>
+      df.filter(col("v") >= 30).select(col("id"), col("p"))
+    val sd = DeltaLakeSnapshots.signedThrough(spark, "dlc_rows")(q)
+    val stored = q(DeltaLake.snapshot(spark, dir, Some(1L)))
+    val maintained = sd.applyTo(stored)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val full = q(DeltaLake.snapshot(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(maintained == full)
+  }
+
+  test("maintainAgg: group-scoped splice equals full recompute (countDistinct " +
+      "included) and advances the cut") {
+    val dir = stagedWithDelete()
+    DeltaLakeSnapshots.track(spark, "dlc_agg", dir, at = Some(1L))
+    val aggOf = (df: DataFrame) => df.groupBy("p")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("total"),
+        countDistinct(col("id") % 5).as("nd"), max(col("v")).as("mx"))
+    val stored = aggOf(DeltaLake.snapshot(spark, dir, Some(1L)))
+    val got = DeltaLakeSnapshots.maintainAgg(spark, "dlc_agg", stored,
+      Seq("p"), aggOf)
+    val want = aggOf(DeltaLake.snapshot(spark, dir))
+    assert(got.orderBy("p").collect().toSeq ==
+      want.orderBy("p").collect().toSeq)
+    assert(DeltaLakeSnapshots.cut("dlc_agg").contains(2L))
+    // second cycle on an already-advanced cut: empty window, view stands
+    val again = DeltaLakeSnapshots.maintainAgg(spark, "dlc_agg", got,
+      Seq("p"), aggOf)
+    assert(again.orderBy("p").collect().toSeq ==
+      want.orderBy("p").collect().toSeq)
+  }
+
+  test("fail-fast: schema evolution inside the window") {
+    val dir = freshDir("evo")
+    DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq("p"), 0L)
+    DeltaLake.stageCommit(spark, dir,
+      frame(10 until 20).withColumn("extra", lit(1L)), Seq("p"), 1L)
+    val e = intercept[IllegalStateException] {
+      DeltaLake.changes(spark, dir, afterVersion = 0L)
+    }
+    assert(e.getMessage.contains("rebase"))
+  }
+
+  test("fail-fast: deleting a compaction-rewritten file is ambiguous") {
+    val dir = freshDir("compdel")
+    DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq.empty, 0L)
+    DeltaLake.stageCommit(spark, dir, frame(10 until 20), Seq.empty, 1L)
+    DeltaLake.stageCompactCommit(spark, dir, 2L)
+    // the compacted file is the only live one; remove it as a delete
+    val live = DeltaLake.liveFileNames(spark, dir, 2L)
+    assert(live.size == 1)
+    DeltaLake.stageRemoveCommit(dir, live, 3L)
+    val e = intercept[IllegalStateException] {
+      DeltaLake.changes(spark, dir, afterVersion = 1L)
+    }
+    assert(e.getMessage.contains("straddle"))
+    // but a window cut AFTER the compaction attributes cleanly: the
+    // rewrite is cut-live there, so its delete is a plain retraction
+    val ch = DeltaLake.changes(spark, dir, afterVersion = 2L)
+    assert(ch.inserts.isEmpty)
+    assert(ch.retracts.count() == 20L)
+  }
+
+  test("fail-fast: removing a file the log never added") {
+    val dir = freshDir("ghost")
+    DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq.empty, 0L)
+    DeltaLake.stageRemoveCommit(dir, Seq("no-such-file.parquet"), 1L)
+    val e = intercept[IllegalStateException] {
+      DeltaLake.changes(spark, dir, afterVersion = 0L)
+    }
+    assert(e.getMessage.contains("inconsistent log"))
+  }
+
+  test("view() still fail-fasts on a delete window and points at signedRows") {
+    val dir = stagedWithDelete()
+    DeltaLakeSnapshots.track(spark, "dlc_guard", dir, at = Some(1L))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLakeSnapshots.view(spark, "dlc_guard")
+    }
+    assert(e.getMessage.contains("signedRows"))
+  }
+}
