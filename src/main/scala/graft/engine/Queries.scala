@@ -1709,7 +1709,83 @@ object Queries {
              |WHERE o_orderkey >= (SELECT (MAX(o_orderkey)*19)//20
              |  FROM orders)
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ICEBERG SNAPSHOT READ (r9): the second lakehouse format, on the
+    // native manifest-fold reader (sources.Iceberg — open table spec,
+    // Avro codec only, no connector jars; the r8 "jar-blocked" decision
+    // is superseded). The staged fixture is a REAL two-snapshot
+    // partitioned Iceberg table (metadata json + Avro manifest lists +
+    // Avro manifests), same 90/10 key split as the Delta fixture. Hash
+    // equality vs the plain parquet oracle pins the whole chain:
+    // metadata resolution, manifest-list → manifest fold, partition
+    // values from the manifest entry struct, single-scan reconstruction.
+    QueryDef("iceberg_scan",
+      (s, d) => graft.sources.Iceberg.snapshot(s, icebergOrders(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ICEBERG TIME TRAVEL (r9): read AS OF the first snapshot id — the
+    // manifest fold replays the snapshot log to the historical cut
+    // (fixture snapshot ids are the deterministic 1-based ordinals).
+    // Same first-principles oracle as deltalake_time_travel: version
+    // selection is exact, not approximate.
+    QueryDef("iceberg_time_travel",
+      (s, d) => graft.sources.Iceberg
+        .snapshot(s, icebergOrders(s, d), snapshotId = Some(1L))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  MAX(o_orderkey) AS max_key
+             |FROM orders
+             |WHERE o_orderkey < (SELECT (MAX(o_orderkey)*9)//10 FROM orders)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // δ OVER AN ICEBERG TABLE (r9): the PosDelta rewrite composed with
+    // the SECOND lakehouse format through the same source seam — the cut
+    // is snapshot 1, so the rewrite's incremental scan resolves to
+    // exactly the snapshot-2 files (the file-set complement predicate is
+    // file-constant, pruned at the index like the Delta source). The
+    // oracle recomputes the snapshot-2 membership from the split's first
+    // principles, pinning metadata resolution, view registration, and
+    // the rewrite end to end.
+    QueryDef("delta_iceberg",
+      (s, d) => {
+        import graft.ivm.IcebergSnapshots
+        val dir = icebergOrders(s, d)
+        IcebergSnapshots.track(s, "ice_orders", dir, at = Some(1L))
+        IcebergSnapshots.view(s, "ice_orders")
+        val q = s.table("ice_orders")
+          .filter(col("o_totalprice") > 50000)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority"),
+            col("o_totalprice").cast(DecimalType(18, 2))
+              .cast("double").as("price"))
+        Ivm.delta(q).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderpriority,
+             |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+             |FROM orders
+             |WHERE o_orderkey >= (SELECT (MAX(o_orderkey)*9)//10 FROM orders)
+             |  AND o_totalprice > 50000
+             |ORDER BY o_orderkey""".stripMargin))
   )
 
   /** The staged two-commit Delta table the `deltalake_*` queries read:
@@ -1769,6 +1845,23 @@ object Queries {
       graft.sources.DeltaLake.stageCommit(s, p,
         ord.filter(col("o_custkey") % 4 === 3 && col("o_orderkey") >= c2),
         Seq("o_orderpriority"), 2L)
+    }
+
+  /** The staged two-snapshot Iceberg table the `iceberg_*` queries read:
+    * same deterministic 90/10 key split as [[deltaLakeOrders]],
+    * partitioned by `o_orderpriority`; snapshot ids are the 1-based
+    * ordinals (1 = base, 2 = appended tail).
+    */
+  private[graft] def icebergOrders(s: SparkSession, d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val cut = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") < cut), Seq("o_orderpriority"))
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") >= cut), Seq("o_orderpriority"))
+      ()
     }
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

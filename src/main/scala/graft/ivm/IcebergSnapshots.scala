@@ -1,0 +1,83 @@
+package graft.ivm
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Iceberg
+
+/** Iceberg-backed snapshot registry — the second lakehouse format behind
+  * the [[DeltaSources]]/`ResolvePosDeltaScan` seam, proving the seam is
+  * format-agnostic: the cut is a SNAPSHOT ID, the registered predicate
+  * is the cut snapshot's file set complemented
+  * (`_metadata.file_name NOT IN (...)`), and — like the Delta source —
+  * the predicate references only the `file_name` file constant, so the
+  * log-backed index prunes pre-cut files from the PLAN (a δ arm opens
+  * only post-cut files). Same maintenance cycle as
+  * [[DeltaLakeSnapshots]]: track → view → Ivm.delta → advance.
+  *
+  * The append-only guard is file-set based (every cut-live file still
+  * live, schema unchanged — [[Iceberg.isAppendOnly]]): a snapshot that
+  * rewrote or deleted files fails fast with the rebase instruction
+  * rather than replaying rewritten rows as inserts.
+  */
+object IcebergSnapshots {
+
+  private final case class State(dir: String, cutSnapshot: Option[Long])
+  private val states = TrieMap[String, State]()
+
+  def track(spark: SparkSession, table: String, dir: String,
+      at: Option[Long] = None): Unit = {
+    states.put(table, State(dir, at))
+    sync(spark, table)
+  }
+
+  def cut(table: String): Option[Long] = stateOf(table).cutSnapshot
+
+  /** Advance the cut to the current snapshot. Returns whether it moved. */
+  def advance(spark: SparkSession, table: String): Boolean = {
+    val s = stateOf(table)
+    val latest = Iceberg.currentSnapshotId(s.dir)
+    if (s.cutSnapshot.contains(latest)) false
+    else {
+      states.put(table, s.copy(cutSnapshot = Some(latest)))
+      sync(spark, table)
+      true
+    }
+  }
+
+  /** (Re-)derive the snapshot view for this cycle, guarded append-only
+    * (resolved once at one snapshot id — no TOCTOU between the guard
+    * and the scan).
+    */
+  def view(spark: SparkSession, table: String): DataFrame = {
+    val s = stateOf(table)
+    val latest = Iceberg.currentSnapshotId(s.dir)
+    s.cutSnapshot.foreach { cs =>
+      require(Iceberg.isAppendOnly(spark, s.dir, cs, latest),
+        s"IcebergSnapshots: snapshots ($cs, $latest] of ${s.dir} are not " +
+          "pure appends (a rewrite, delete, or schema change landed): " +
+          "the file-set cut would replay rewritten rows — advance the " +
+          "cut and rebase the maintained view from the current snapshot")
+    }
+    val df = Iceberg.snapshotWithMeta(spark, s.dir,
+      snapshotId = Some(latest))
+    df.createOrReplaceTempView(table)
+    df
+  }
+
+  private def stateOf(table: String): State =
+    states.getOrElse(table, throw new IllegalStateException(
+      s"IcebergSnapshots: table '$table' is not tracked; call " +
+        "IcebergSnapshots.track first"))
+
+  private def sync(spark: SparkSession, table: String): Unit = {
+    val s = states(table)
+    DeltaSources.register(table, s.cutSnapshot.map { sid =>
+      val names = Iceberg.liveFileNames(spark, s.dir, sid)
+      if (names.isEmpty) "1 = 1"
+      else names.map(n => s"'$n'")
+        .mkString("_metadata.file_name NOT IN (", ", ", ")")
+    }.getOrElse("1 = 1"))
+  }
+}

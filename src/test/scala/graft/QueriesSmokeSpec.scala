@@ -59,8 +59,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "deltalake_scan", "deltalake_time_travel", "deltalake_appends",
       "delta_deltalake", "deltalake_skipping", "deltalake_evolution",
       // round-9 surface
-      "delta_deltalake_delete", "delta_deltalake_skipping")
-    assert(declared.size == 120)
+      "delta_deltalake_delete", "delta_deltalake_skipping",
+      "iceberg_scan", "iceberg_time_travel", "delta_iceberg")
+    assert(declared.size == 123)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** The native Iceberg reader (r9): manifest fold, snapshot read, time
+  * travel, the snapshot-to-snapshot append diff, append-only guard,
+  * partition pruning through the shared log-backed scan, and the
+  * fail-fast guards (non-identity transforms, delete manifests).
+  */
+class IcebergSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_ice_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def frame(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, i.toLong * 10,
+      if (i % 2 == 0) "A" else "B")).toDF("id", "v", "p")
+
+  private def rows(df: DataFrame): Set[(Long, Long, String)] =
+    df.collect().map(r => (r.getLong(r.fieldIndex("id")),
+      r.getLong(r.fieldIndex("v")), r.getString(r.fieldIndex("p")))).toSet
+
+  private def twoSnapshots(): (String, Long, Long) = {
+    val dir = freshDir("two")
+    val s1 = Iceberg.stageAppend(spark, dir, frame(0 until 10), Seq("p"))
+    val s2 = Iceberg.stageAppend(spark, dir, frame(10 until 20), Seq("p"))
+    (dir, s1, s2)
+  }
+
+  test("snapshot reads the staged two-snapshot partitioned table") {
+    val (dir, _, s2) = twoSnapshots()
+    assert(Iceberg.currentSnapshotId(dir) == s2)
+    assert(rows(Iceberg.snapshot(spark, dir)) ==
+      (0 until 20).map(i => (i.toLong, i.toLong * 10,
+        if (i % 2 == 0) "A" else "B")).toSet)
+  }
+
+  test("time travel to the first snapshot sees only its rows") {
+    val (dir, s1, _) = twoSnapshots()
+    assert(rows(Iceberg.snapshot(spark, dir, Some(s1))) ==
+      (0 until 10).map(i => (i.toLong, i.toLong * 10,
+        if (i % 2 == 0) "A" else "B")).toSet)
+  }
+
+  test("appended: the snapshot-to-snapshot live-file diff") {
+    val (dir, s1, _) = twoSnapshots()
+    assert(rows(Iceberg.appended(spark, dir, afterSnapshotId = s1)) ==
+      (10 until 20).map(i => (i.toLong, i.toLong * 10,
+        if (i % 2 == 0) "A" else "B")).toSet)
+  }
+
+  test("isAppendOnly and snapshotIds over the staged history") {
+    val (dir, s1, s2) = twoSnapshots()
+    assert(Iceberg.snapshotIds(dir) == Seq(s1, s2))
+    assert(Iceberg.isAppendOnly(spark, dir, s1, s2))
+    assert(Iceberg.liveFileNames(spark, dir, s1).nonEmpty)
+  }
+
+  test("partition predicate reaches the single scan as a PartitionFilters entry") {
+    import org.apache.spark.sql.classic
+    val (dir, _, _) = twoSnapshots()
+    val q = Iceberg.snapshot(spark, dir).filter(col("p") === "A")
+    val p = q.asInstanceOf[classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"expected one scan over the log-backed index:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*p#".r.findFirstIn(p).nonEmpty,
+      s"partition predicate must reach the scan:\n$p")
+    assert(q.collect().forall(_.getString(2) == "A"))
+  }
+
+  test("schema round-trip: Spark -> Iceberg JSON -> Spark") {
+    import org.apache.spark.sql.types._
+    val s = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", StringType),
+      StructField("c", DoubleType),
+      StructField("d", DecimalType(20, 2)),
+      StructField("e", TimestampNTZType)))
+    val back = Iceberg.structFromIceberg(
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Iceberg.icebergSchemaJson(s)))
+    assert(back.map(f => (f.name, f.dataType, f.nullable)) ==
+      s.map(f => (f.name, f.dataType, f.nullable)))
+  }
+
+  test("fail-fast: non-identity partition transform") {
+    val (dir, _, _) = twoSnapshots()
+    // munge the metadata's transform to a bucket transform
+    val md = new java.io.File(dir, "metadata")
+    val f = Option(md.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".metadata.json"))
+      .maxBy(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong)
+    val txt = java.nio.file.Files.readString(f.toPath)
+      .replace("\"transform\":\"identity\"", "\"transform\":\"bucket[4]\"")
+    java.nio.file.Files.writeString(f.toPath, txt)
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.snapshot(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("identity"))
+  }
+
+  test("fail-fast: a delete manifest in the manifest list") {
+    val (dir, _, s2) = twoSnapshots()
+    // rewrite the current manifest list with content=1 (delete manifest)
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val md = new java.io.File(dir, "metadata")
+    val ml = new java.io.File(md, s"snap-$s2.avro")
+    val rd = new DataFileReader[GenericRecord](ml,
+      new GenericDatumReader[GenericRecord]())
+    val schema = rd.getSchema
+    val recs = { import scala.jdk.CollectionConverters._
+      rd.iterator().asScala.toList }
+    rd.close()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, ml)
+    recs.foreach { r => r.put("content", 1); w.append(r) }
+    w.close()
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.snapshot(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("delete manifests"))
+  }
+}
