@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the lakehouse readers (dev tool, NOT part of the
+  * declared surface) — the r9 regression harness for the log-backed
+  * single-scan snapshot: stages a ~100-partition / ~1k-file Delta table
+  * and a range-clustered unpartitioned one from sf orders, then
+  * measures (a) log-fold + plan time vs file count (the r8
+  * per-partition-union plan grew linearly in partition cardinality —
+  * this pins the fix stays O(1)-ish), (b) partition-pruning
+  * effectiveness (files planned / files live for a one-partition
+  * predicate), (c) stats-skipping effectiveness on a clustered layout
+  * (files planned for a 1% key range), and the same fold+plan axis for
+  * the Iceberg reader.
+  *
+  * Usage: runMain graft.tools.LakeReaderProbe [sfDir]
+  */
+object LakeReaderProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.engine.Tables.init(spark)
+    val ord = graft.engine.Tables(spark, dir, "orders")
+    val dl = graft.sources.DeltaLake
+
+    def ms(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+    }
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+
+    // ~100 partitions x ~10 writer tasks ≈ 1k files, one commit
+    val wide = graft.sources.Staging.stageOnce(dir, "probe_delta_1k",
+      Seq(s"$dir/orders.parquet")) { p =>
+      dl.stageCommit(spark, p,
+        ord.withColumn("pk", (col("o_orderkey") % 100)).repartition(10),
+        Seq("pk"), 0L)
+    }
+    val nFiles = dl.snapshot(spark, wide).inputFiles.length
+    val nParts = 100
+    val cold = ms(planOf(dl.snapshot(spark, wide)))
+    val warm = ms(planOf(dl.snapshot(spark, wide)))
+    println(f"delta fold+plan ($nFiles%d files, $nParts%d parts)  " +
+      f"cold $cold%7.1f ms   warm $warm%7.1f ms")
+
+    // partition pruning: snapshotWhere prunes by the log's partition
+    // values driver-side — planned files for a one-partition predicate
+    val pruned = dl.snapshotWhere(spark, wide, col("pk") === 7)
+      .inputFiles.length
+    println(f"delta partition prune      planned $pruned%4d of $nFiles%d " +
+      "files (pk = 7)")
+
+    // stats skipping on a range-clustered unpartitioned layout: 200
+    // files with disjoint key ranges, a 1%% key-range predicate
+    val clustered = graft.sources.Staging.stageOnce(dir, "probe_delta_rng",
+      Seq(s"$dir/orders.parquet")) { p =>
+      dl.stageCommit(spark, p,
+        ord.repartitionByRange(200, col("o_orderkey")), Seq.empty, 0L)
+    }
+    val total = dl.snapshot(spark, clustered).inputFiles.length
+    val maxKey = ord.agg(max(col("o_orderkey"))).head().getLong(0)
+    val lo = maxKey / 2
+    val hi = lo + maxKey / 100
+    val kept = dl.snapshotWhere(spark, clustered,
+      col("o_orderkey") >= lo && col("o_orderkey") < hi)
+      .inputFiles.length
+    println(f"delta stats skip (1%% key range on clustered layout)  " +
+      f"planned $kept%3d of $total%d files")
+
+    // Iceberg fold+plan on the staged two-snapshot table (manifest fold
+    // instead of JSON-commit fold; same single-scan construction)
+    val ice = graft.engine.Queries.icebergOrders(spark, dir)
+    val iFiles = graft.sources.Iceberg.snapshot(spark, ice)
+      .inputFiles.length
+    val iCold = ms(planOf(graft.sources.Iceberg.snapshot(spark, ice)))
+    val iWarm = ms(planOf(graft.sources.Iceberg.snapshot(spark, ice)))
+    println(f"iceberg fold+plan ($iFiles%d files)  cold $iCold%7.1f ms   " +
+      f"warm $iWarm%7.1f ms")
+
+    spark.stop()
+  }
+}
