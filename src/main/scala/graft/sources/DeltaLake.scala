@@ -500,44 +500,16 @@ object DeltaLake {
       val f = new java.io.File(p)
       LogFile(p, f.length(), f.lastModified(), a.partitionValues, a.stats)
     }
+    // file-constant (`file_name`) predicates — the version-cut seam's
+    // NOT IN shape — prune inside LakeScan for every format; this keep
+    // adds Delta's per-file STATS skipping on top
     val keep = (filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
         lf: LogFile) =>
-      filters.forall { e =>
-        // a predicate over the _metadata file constants (the version-cut
-        // seam's `file_name NOT IN (...)` shape) holds one value for
-        // EVERY row of a file: evaluate it per file and PRUNE — this is
-        // what turns the incremental cut into a file-list difference at
-        // the index instead of a row filter over the whole snapshot
-        fileNameEval(e, new java.io.File(lf.path).getName, st)
-          .getOrElse(mayMatch(
-            org.apache.spark.sql.graft.GraftSql.predicateTreeOf(e),
-            lf.partitionValues, lf.stats, st))
-      }
+      filters.forall(e => mayMatch(
+        org.apache.spark.sql.graft.GraftSql.predicateTreeOf(e),
+        lf.partitionValues, lf.stats, st))
     LakeScan.scan(spark, path, st.schema, st.partitionColumns, logFiles,
       keep, withMeta)
-  }
-
-  /** Evaluate a pushed filter that references ONLY the `file_name`
-    * metadata constant against this file's own name: `Some(keep)` when
-    * decidable, `None` otherwise (falls through to stats skipping).
-    * Guarded against a DATA column that happens to be named `file_name`
-    * (then the value is per-row, not per-file — never constant-fold it).
-    * A null/false constant predicate admits no row, so the file prunes.
-    */
-  private def fileNameEval(
-      e: org.apache.spark.sql.catalyst.expressions.Expression,
-      name: String, st: LogState): Option[Boolean] = {
-    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
-    import org.apache.spark.sql.types.StringType
-    if (st.schema.fieldNames.contains("file_name")) return None
-    val refs = e.references.toSeq
-    if (refs.isEmpty || !refs.forall(_.name == "file_name")) return None
-    val sub = e.transform {
-      case a: AttributeReference if a.name == "file_name" =>
-        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(name),
-          StringType)
-    }
-    Some(java.lang.Boolean.TRUE == sub.eval(null))
   }
 
   /** Paths in the log are percent-encoded, relative to the table root or

@@ -33,15 +33,46 @@ object LakeScan {
     case other => other
   }
 
+  /** Evaluate a pushed filter that references ONLY the `file_name`
+    * metadata constant against this file's own name: `Some(keep)` when
+    * decidable, `None` otherwise (falls through to the format's keep).
+    * This is what turns a version-cut `file_name NOT IN (...)` predicate
+    * into a FILE-LIST PRUNE at the index instead of a row filter over
+    * the whole snapshot — shared by every log-backed format. Guarded
+    * against a DATA column that happens to be named `file_name` (then
+    * the value is per-row, not per-file — never constant-fold it). A
+    * null/false constant predicate admits no row, so the file prunes.
+    */
+  private[sources] def fileNameEval(e: Expression, name: String,
+      tableSchema: StructType): Option[Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    import org.apache.spark.sql.types.StringType
+    if (tableSchema.fieldNames.contains("file_name")) return None
+    val refs = e.references.toSeq
+    if (refs.isEmpty || !refs.forall(_.name == "file_name")) return None
+    val sub = e.transform {
+      case a: AttributeReference if a.name == "file_name" =>
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(name),
+          StringType)
+    }
+    Some(java.lang.Boolean.TRUE == sub.eval(null))
+  }
+
   /** The single-scan snapshot: `fullSchema` is the table schema in
     * declared column order (partition columns included); `files` carry
     * the log's partition values and stats; `keep` prunes files against
-    * pushed filters inside `listFiles`.
+    * pushed filters inside `listFiles` (file-constant `file_name`
+    * predicates are evaluated here first, for every format).
     */
   def scan(spark: SparkSession, tableRoot: String, fullSchema: StructType,
       partitionColumns: Seq[String], files: Seq[LogFile],
-      keep: (Seq[Expression], LogFile) => Boolean,
+      formatKeep: (Seq[Expression], LogFile) => Boolean,
       withMeta: Boolean = false): DataFrame = {
+    val keep = (filters: Seq[Expression], lf: LogFile) =>
+      filters.forall { e =>
+        fileNameEval(e, new java.io.File(lf.path).getName, fullSchema)
+          .getOrElse(formatKeep(Seq(e), lf))
+      }
     val dataSchema = StructType(
       fullSchema.filterNot(f => partitionColumns.contains(f.name)))
     if (files.isEmpty) {

@@ -478,6 +478,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
         s"|commit2|=${f2.size}, |live|=${all.size}")
   }
 
+  test("delta_iceberg: the version-cut predicate prunes pre-cut files at " +
+      "the index (shared file-constant pruning)") {
+    // the file_name NOT IN cut is evaluated per file inside LakeScan for
+    // EVERY log-backed format: the Iceberg δ arm must open only the
+    // post-cut snapshot's files
+    import org.apache.spark.sql.classic
+    import org.apache.spark.sql.functions.col
+    val dir = graft.engine.Queries.icebergOrders(spark, sfDir)
+    graft.ivm.IcebergSnapshots.track(spark, "ice_audit", dir, at = Some(1L))
+    graft.ivm.IcebergSnapshots.view(spark, "ice_audit")
+    val q = spark.table("ice_audit")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val d = withoutAqe {
+      val f = graft.ivm.Ivm.delta(q)
+      f.collect()
+      f
+    }
+    val qe = d.asInstanceOf[classic.Dataset[_]].queryExecution
+    val scan = qe.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    val numFiles = scan.metrics("numFiles").value
+    val s1 = graft.sources.Iceberg.liveFileNames(spark, dir, 1L).size
+    val s2 = graft.sources.Iceberg.liveFileNames(spark, dir, 2L).size
+    assert(s2 > s1, "fixture: snapshot 2 must add files")
+    assert(numFiles == (s2 - s1).toLong,
+      s"δ arm must open only snapshot-2 files: numFiles=$numFiles, " +
+        s"|snap1|=$s1, |snap2|=$s2")
+  }
+
   test("join_bucketed: co-located merge join, no exchange under the join") {
     // the layout demonstration: both scans read the staged bucketed
     // tables (Bucketed: true) and the merge join consumes them with NO
