@@ -373,10 +373,39 @@ object DeltaLake {
       .map(_.getName).filter(_.matches("\\d{20}\\.json"))
       .map(_.stripSuffix(".json").toLong).sorted
 
+  /** COMPLETE checkpoints on disk, by version: single-part
+    * (`v.checkpoint.parquet`) or multi-part
+    * (`v.checkpoint.ooo.ppp.parquet`, parts 1..p — the shape large
+    * tables write when one part would be too big). A multi-part
+    * checkpoint with ANY part missing is ignored entirely (reading a
+    * partial action set would silently drop files from the snapshot),
+    * and `_last_checkpoint` is treated as a HINT only — selection always
+    * validates against this enumeration.
+    */
+  private def checkpointFilesByVersion(
+      path: String): Map[Long, Seq[java.io.File]] = {
+    val all = Option(logDir(path).listFiles()).toSeq.flatten
+    val single = all
+      .filter(_.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
+      .map(f => f.getName.take(20).toLong -> Seq(f)).toMap
+    val multi = all
+      .filter(_.getName.matches(
+        "\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
+      .groupBy(_.getName.take(20).toLong)
+      .flatMap { case (v, fs) =>
+        def partOf(f: java.io.File) = f.getName.split("\\.")(2).toInt
+        def totalOf(f: java.io.File) = f.getName.split("\\.")(3).toInt
+        val totals = fs.map(totalOf).distinct
+        val complete = totals.size == 1 &&
+          fs.map(partOf).toSet == (1 to totals.head).toSet
+        if (complete) Some(v -> fs.sortBy(partOf)) else None
+      }
+    // a complete single-part beats a multi-part of the same version
+    multi ++ single
+  }
+
   private def checkpointVersions(path: String): Seq[Long] =
-    Option(logDir(path).listFiles()).toSeq.flatten
-      .map(_.getName).filter(_.matches("\\d{20}\\.checkpoint\\.parquet"))
-      .map(_.take(20).toLong).sorted
+    checkpointFilesByVersion(path).keys.toSeq.sorted
 
   /** Fold protocol/metaData/add/remove actions up to `version`, starting
     * from the newest eligible checkpoint (if any).
@@ -404,16 +433,16 @@ object DeltaLake {
           s"readerFeatures=$features): this reader folds plain add/remove " +
           "actions and would mis-read deletion vectors / column mapping")
 
-    // checkpoint: resume the fold from the newest one at/below `want` —
-    // `_last_checkpoint` is only a HINT to the latest; time-traveling
-    // below it (or reading a log whose hint write lagged) falls back to
-    // the on-disk checkpoint enumeration, so an older checkpoint still
-    // serves a cut whose pre-checkpoint JSON commits were cleaned
-    val cpVersion = (lastCheckpointVersion(path).filter(_ <= want).toSeq ++
-      checkpointVersions(path).filter(_ <= want)).maxOption
+    // checkpoint: resume the fold from the newest COMPLETE one at/below
+    // `want` — selection is by on-disk enumeration (single- and
+    // multi-part), never by `_last_checkpoint` alone: the hint may point
+    // at a checkpoint above a time-travel cut, lag behind the latest, or
+    // name a multi-part checkpoint with a part missing
+    val byVersion = checkpointFilesByVersion(path)
+    val cpVersion = byVersion.keys.filter(_ <= want).maxOption
     cpVersion.foreach { cv =>
-      val cp = new java.io.File(logDir(path), f"$cv%020d.checkpoint.parquet")
-      spark.read.parquet(cp.getAbsolutePath).collect().foreach { row =>
+      val parts = byVersion(cv).map(_.getAbsolutePath)
+      spark.read.parquet(parts: _*).collect().foreach { row =>
         struct(row, "add").foreach { a =>
           // stats survive the checkpoint (add.stats is part of the
           // checkpoint schema): at 100 TB most files live at or before a
@@ -471,12 +500,6 @@ object DeltaLake {
       partCols, adds.values.toSeq)
   }
 
-  private def lastCheckpointVersion(path: String): Option[Long] = {
-    val f = new java.io.File(logDir(path), "_last_checkpoint")
-    if (!f.exists()) None
-    else Some(M.readTree(java.nio.file.Files.readString(f.toPath))
-      .get("version").asLong)
-  }
 
   // ---- snapshot reconstruction ------------------------------------------
 
@@ -802,16 +825,19 @@ object DeltaLake {
     writeCommit(tableDir, version, actions.toSeq)
   }
 
-  /** Write the single-part parquet checkpoint for `version` (default:
-    * latest) plus the `_last_checkpoint` hint — the protocol's log-
-    * compaction shape: one row per live action, so a reader resumes the
-    * fold from here and the subsumed JSON commits can be cleaned.
-    * `add.stats` is carried into the checkpoint rows (the protocol keeps
-    * it in the checkpoint schema) so data skipping keeps working for
-    * files at or before the checkpoint.
+  /** Write the parquet checkpoint for `version` (default: latest) plus
+    * the `_last_checkpoint` hint — the protocol's log-compaction shape:
+    * one row per live action, so a reader resumes the fold from here and
+    * the subsumed JSON commits can be cleaned. `parts > 1` writes the
+    * MULTI-PART shape (`v.checkpoint.ooo.ppp.parquet`, actions split
+    * round-robin — what large tables write when one part would be too
+    * big). `add.stats` is carried into the checkpoint rows (the protocol
+    * keeps it in the checkpoint schema) so data skipping keeps working
+    * for files at or before the checkpoint.
     */
   def stageCheckpoint(spark: SparkSession, tableDir: String,
-      version: Long): Unit = {
+      version: Long, parts: Int = 1): Unit = {
+    require(parts >= 1, s"parts must be >= 1, got $parts")
     val st = replay(spark, tableDir, Some(version))
     val root = new java.io.File(tableDir)
     val meta = CkMeta(
@@ -826,20 +852,31 @@ object DeltaLake {
           f.lastModified(), dataChange = true, a.stats)), None, None)
       }
     import spark.implicits._
-    val tmp = new java.io.File(root, s"_checkpoint_tmp_$version")
-    rows.toDS().coalesce(1).write.mode("overwrite")
-      .parquet(tmp.getAbsolutePath)
-    val part = Option(tmp.listFiles()).toSeq.flatten
-      .filter(_.getName.endsWith(".parquet")).head
     val ld = logDir(tableDir)
     ld.mkdirs()
-    java.nio.file.Files.move(part.toPath,
-      new java.io.File(ld, f"$version%020d.checkpoint.parquet").toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
+    val slices: Seq[(Seq[CkRow], String)] =
+      if (parts == 1)
+        Seq(rows -> f"$version%020d.checkpoint.parquet")
+      else (1 to parts).map { p =>
+        rows.zipWithIndex.collect {
+          case (r, i) if i % parts == p - 1 => r
+        } -> f"$version%020d.checkpoint.$p%010d.$parts%010d.parquet"
+      }
+    slices.foreach { case (slice, name) =>
+      val tmp = new java.io.File(root, s"_checkpoint_tmp_$version")
+      slice.toDS().coalesce(1).write.mode("overwrite")
+        .parquet(tmp.getAbsolutePath)
+      val part = Option(tmp.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(ld, name).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
+    }
     java.nio.file.Files.writeString(
       new java.io.File(ld, "_last_checkpoint").toPath,
-      s"""{"version":$version,"size":${rows.size}}""")
+      s"""{"version":$version,"size":${rows.size}""" +
+        (if (parts > 1) s""","parts":$parts}""" else "}"))
     ()
   }
 

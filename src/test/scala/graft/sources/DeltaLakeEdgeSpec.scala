@@ -136,6 +136,51 @@ class DeltaLakeEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(skipped.count() == 2L)
   }
 
+  test("multi-part checkpoint: fold resumes from all parts, stats intact") {
+    val dir = freshDir("cpmulti")
+    val lo = Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+    val mid = Seq((50L, "m")).toDF("id", "v").coalesce(1)
+    val hi = Seq((100L, "c"), (200L, "d")).toDF("id", "v").coalesce(1)
+    DeltaLake.stageCommit(spark, dir, lo, Seq.empty, 0L)
+    DeltaLake.stageCommit(spark, dir, mid, Seq.empty, 1L)
+    DeltaLake.stageCommit(spark, dir, hi, Seq.empty, 2L)
+    DeltaLake.stageCheckpoint(spark, dir, 2L, parts = 3)
+    val log = new java.io.File(dir, "_delta_log")
+    // the subsumed JSON commits are GONE: the fold can only come from
+    // the three checkpoint parts together
+    (0L to 2L).foreach(v =>
+      assert(new java.io.File(log, f"$v%020d.json").delete()))
+    assert(DeltaLake.snapshot(spark, dir).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 50L, 100L, 200L))
+    // stats ride the multi-part rows too
+    assert(DeltaLake.snapshotWhere(spark, dir, col("id") >= 100L)
+      .inputFiles.length == 1)
+  }
+
+  test("incomplete multi-part checkpoint is ignored, never partially read") {
+    val dir = freshDir("cppartial")
+    DeltaLake.stageCommit(spark, dir,
+      Seq((1L, "a")).toDF("id", "v").coalesce(1), Seq.empty, 0L)
+    DeltaLake.stageCommit(spark, dir,
+      Seq((2L, "b")).toDF("id", "v").coalesce(1), Seq.empty, 1L)
+    DeltaLake.stageCheckpoint(spark, dir, 1L, parts = 2)
+    val log = new java.io.File(dir, "_delta_log")
+    // lose one part: reading the survivor alone would silently drop
+    // actions — the whole checkpoint must be ignored and the fold come
+    // from the (still present) JSON commits
+    assert(new java.io.File(log,
+      f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet").delete())
+    assert(DeltaLake.snapshot(spark, dir).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    // with the JSON commits also gone there is no complete source left:
+    // fail loudly, never a silently partial snapshot
+    assert(new java.io.File(log, f"${0L}%020d.json").delete())
+    assert(new java.io.File(log, f"${1L}%020d.json").delete())
+    intercept[IllegalArgumentException] {
+      DeltaLake.snapshot(spark, dir).collect()
+    }
+  }
+
   test("pushed data filters stats-skip files inside the log-backed FileIndex") {
     // r9: skipping is also wired into LogFileIndex.listFiles, so a plain
     // snapshot().filter(...) — or any predicate Spark pushes onto the
