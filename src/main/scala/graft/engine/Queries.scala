@@ -1853,7 +1853,8 @@ object Queries {
     * ordinals (1 = base, 2 = appended tail).
     */
   private[graft] def icebergOrders(s: SparkSession, d: String): String =
-    graft.sources.Staging.stageOnce(d, "iceberg_orders_s1",
+    // slot name versioned: _s2 slots carry manifest bounds
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_s2",
       Seq(s"$d/orders.parquet")) { p =>
       val ord = t(s, d, "orders")
       val cut = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L

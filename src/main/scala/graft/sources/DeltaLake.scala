@@ -37,8 +37,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * Supported: reader protocol ≤ 2 (fail-fast on reader features the fold
   * would silently mis-read: deletion vectors, column mapping), JSON
-  * commits, single-part parquet checkpoints via `_last_checkpoint`,
-  * partitioned tables, percent-encoded relative or absolute paths.
+  * commits, single- and multi-part parquet checkpoints (selected by
+  * on-disk enumeration of COMPLETE checkpoints; `_last_checkpoint` is a
+  * hint only), partitioned tables, percent-encoded relative or absolute
+  * paths.
   */
 object DeltaLake {
 
@@ -120,99 +122,22 @@ object DeltaLake {
     readFiles(spark, path, st, kept).filter(predicate)
   }
 
-  /** Conservative three-valued stats check: false ONLY when the file
-    * provably holds no matching row. Handles AND/OR and binary
-    * comparisons between a column and a literal (either side), numeric
-    * and string orderings; anything else keeps the file. Partition
-    * columns check against the log's partitionValues (exact), data
-    * columns against minValues/maxValues.
+  /** Conservative three-valued stats check — shared machinery in
+    * [[StatsSkip.mayMatch]], bound to this snapshot's schema and
+    * partition columns. Kept as the one call site so both entry points
+    * (`snapshotWhere` and the index's `keep`) prune identically.
     */
   private def mayMatch(n: org.apache.spark.sql.graft.GraftSql.PredNode,
       partitionValues: Map[String, String], fileStats: Option[String],
-      state: LogState): Boolean = {
-    import org.apache.spark.sql.graft.GraftSql._
-    import org.apache.spark.sql.types._
+      state: LogState): Boolean =
+    StatsSkip.mayMatch(n, state.schema, state.partitionColumns,
+      partitionValues, fileStats)
 
-    // None = not comparable (keep the file): unsupported type, a
-    // literal that doesn't parse as the column's type, or null
-    def cmp(a: Any, b: Any, dt: DataType): Option[Int] =
-      if (a == null || b == null) None
-      else try dt match {
-        case _: LongType | _: IntegerType | _: ShortType | _: ByteType =>
-          Some(java.lang.Long.compare(a.toString.toLong, b.toString.toLong))
-        case _: DoubleType | _: FloatType =>
-          Some(java.lang.Double.compare(a.toString.toDouble,
-            b.toString.toDouble))
-        // exact compare: a double round-trip loses precision past ~15-16
-        // significant digits, and a WRONG proof here silently drops a
-        // file the re-applied filter can never recover
-        case _: DecimalType =>
-          Some(new java.math.BigDecimal(a.toString)
-            .compareTo(new java.math.BigDecimal(b.toString)))
-        // Spark orders strings by Unicode CODE POINT (UTF-8 byte order);
-        // Java String.compareTo is UTF-16 code-UNIT order, which diverges
-        // for supplementary characters (surrogates sort above U+E000)
-        case _: StringType =>
-          Some(compareCodePoints(a.toString, b.toString))
-        case _ => None
-      } catch { case _: NumberFormatException => None }
-
-    // op with the column on the LEFT
-    def check(name: String, v: Any, op: String): Boolean = {
-      val dt = state.schema.find(_.name == name).map(_.dataType)
-        .getOrElse(return true)
-      // partition column: the log value is exact for every row
-      if (state.partitionColumns.contains(name))
-        return partitionValues.get(name) match {
-          case Some(pv) if pv != null =>
-            cmp(pv, v, dt).forall(c => op match {
-              case "EQ" => c == 0
-              case "GT" => c > 0
-              case "GE" => c >= 0
-              case "LT" => c < 0
-              case "LE" => c <= 0
-            })
-          case _ => true
-        }
-      val stats = fileStats.map(M.readTree).getOrElse(return true)
-      def stat(kind: String): Option[JsonNode] =
-        Option(stats.get(kind)).flatMap(m => Option(m.get(name)))
-          .filterNot(_.isNull)
-      def c(j: JsonNode): Option[Int] = cmp(j.asText, v, dt)
-      val (mn, mx) = (stat("minValues"), stat("maxValues"))
-      op match {
-        case "EQ" =>
-          mn.flatMap(c).forall(_ <= 0) && mx.flatMap(c).forall(_ >= 0)
-        case "GT" => mx.flatMap(c).forall(_ > 0)
-        case "GE" => mx.flatMap(c).forall(_ >= 0)
-        case "LT" => mn.flatMap(c).forall(_ < 0)
-        case "LE" => mn.flatMap(c).forall(_ <= 0)
-      }
-    }
-
-    n match {
-      case PredAnd(l, r) => mayMatch(l, partitionValues, fileStats, state) && mayMatch(r, partitionValues, fileStats, state)
-      case PredOr(l, r) => mayMatch(l, partitionValues, fileStats, state) || mayMatch(r, partitionValues, fileStats, state)
-      case PredCmp(name, v, op) => check(name, v, op)
-      case PredUnknown => true
-    }
-  }
-
-  /** Code-point string comparison — matches Spark's binary (UTF-8 byte)
-    * string ordering, which UTF-16 `String.compareTo` does not for
-    * supplementary characters.
+  /** See [[StatsSkip.compareCodePoints]] (kept here for the spec's
+    * direct pinning of the Delta reader's ordering).
     */
-  private[sources] def compareCodePoints(x: String, y: String): Int = {
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val cx = x.codePointAt(i)
-      val cy = y.codePointAt(i)
-      if (cx != cy) return Integer.compare(cx, cy)
-      i += Character.charCount(cx)
-    }
-    Integer.compare(x.length, y.length)
-  }
+  private[sources] def compareCodePoints(x: String, y: String): Int =
+    StatsSkip.compareCodePoints(x, y)
 
   /** The rows ADDED strictly after `afterVersion` (up to `toVersion`,
     * default latest) — the commit-log delta: at scale an incremental

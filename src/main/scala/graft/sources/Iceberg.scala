@@ -45,7 +45,8 @@ object Iceberg {
   private val M = new ObjectMapper()
 
   final case class IceFile(path: String,
-      partitionValues: Map[String, String])
+      partitionValues: Map[String, String],
+      stats: Option[String] = None)
 
   final case class SnapshotMeta(snapshotId: Long, schema: StructType,
       partitionColumns: Seq[String], files: Seq[IceFile])
@@ -132,11 +133,23 @@ object Iceberg {
     }
     val partCols = partFields.map(_.get("name").asText)
 
+    // field-id → (name, type) for decoding manifest bounds (the spec
+    // keys bounds by field id; top-level primitive fields only)
+    val idMap: Map[Int, (String, DataType)] =
+      schemaNode.get("fields").elements().asScala.map { f =>
+        f.get("id").asInt ->
+          (f.get("name").asText, typeFromIceberg(f.get("type")))
+      }.toMap
+
     // manifest list → manifests → live data files
     val mlPath = resolveRef(path, snap.get("manifest-list").asText)
     val files = mutable.LinkedHashMap.empty[String, IceFile]
+    // absent optional fields (v1 files have no `content`) read as null
+    def optF(r: GenericRecord, n: String): AnyRef =
+      if (r.getSchema.getField(n) != null) r.get(n) else null
     avroRecords(mlPath).foreach { mf =>
-      val content = Option(mf.get("content")).map(_.toString.toInt).getOrElse(0)
+      val content = Option(optF(mf, "content")).map(_.toString.toInt)
+        .getOrElse(0)
       require(content == 0,
         "Iceberg: delete manifests (v2 row-level deletes) are not " +
           "supported by this reader — merging them is a different " +
@@ -145,7 +158,7 @@ object Iceberg {
       avroRecords(mPath).foreach { entry =>
         val status = entry.get("status").toString.toInt
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
-        Option(df.get("content")).map(_.toString.toInt).foreach(c =>
+        Option(optF(df, "content")).map(_.toString.toInt).foreach(c =>
           require(c == 0, "Iceberg: delete files are not supported"))
         val fp = df.get("file_path").toString
         val fmt = df.get("file_format").toString
@@ -159,7 +172,14 @@ object Iceberg {
               c -> Option(p.get(c)).map(_.toString).orNull).toMap
             case None => Map.empty[String, String]
           }
-          files.put(fp, IceFile(fp, pv))
+          // per-file column bounds (spec: map<field-id, binary
+          // single-value serialization>) → the shared stats-JSON shape;
+          // absent fields (writers may omit bounds) and undecodable
+          // entries are simply dropped (conservative)
+          val stats = StatsSkip.statsJson(
+            decodeBounds(optF(df, "lower_bounds"), idMap),
+            decodeBounds(optF(df, "upper_bounds"), idMap))
+          files.put(fp, IceFile(fp, pv, stats))
         }
       }
     }
@@ -215,22 +235,91 @@ object Iceberg {
       before.schema.json == after.schema.json
   }
 
+  /** Snapshot restricted by `predicate`, with manifest-bounds DATA
+    * SKIPPING — the Iceberg half of the same scale story as
+    * [[DeltaLake.snapshotWhere]]: a file whose decoded
+    * lower/upper bounds PROVE the predicate false is dropped
+    * driver-side; conservative, and the predicate is re-applied as a
+    * normal filter.
+    */
+  def snapshotWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val sm = resolve(spark, path, snapshotId)
+    val pred = org.apache.spark.sql.graft.GraftSql.predicateTree(predicate)
+    val kept = sm.files.filter(f => StatsSkip.mayMatch(pred, sm.schema,
+      sm.partitionColumns, f.partitionValues, f.stats))
+    scanOf(spark, path, sm.copy(files = kept)).filter(predicate)
+  }
+
   private def scanOf(spark: SparkSession, path: String, sm: SnapshotMeta,
       withMeta: Boolean = false): DataFrame = {
     val logFiles = sm.files.map { f =>
       val p = resolveRef(path, f.path)
       val jf = new java.io.File(p)
-      LogFile(p, jf.length(), jf.lastModified(), f.partitionValues,
-        stats = None)
+      LogFile(p, jf.length(), jf.lastModified(), f.partitionValues, f.stats)
     }
-    // partition pruning rides LogFileIndex's partitionFilters; pushed
-    // data filters have no per-file stats here (manifests carry bounds
-    // as binary single-value serializations — not folded yet), so keep
-    // conservatively
-    val keep = (_: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-        _: LogFile) => true
+    // pushed data filters stats-skip against the decoded manifest
+    // bounds inside listFiles (file-constant cut predicates are
+    // evaluated in LakeScan for every format)
+    val keep = (filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        lf: LogFile) =>
+      filters.forall(e => StatsSkip.mayMatch(
+        org.apache.spark.sql.graft.GraftSql.predicateTreeOf(e),
+        sm.schema, sm.partitionColumns, lf.partitionValues, lf.stats))
     LakeScan.scan(spark, path, sm.schema, sm.partitionColumns, logFiles,
       keep, withMeta)
+  }
+
+  /** Decode a manifest `lower_bounds`/`upper_bounds` value (spec: a map
+    * of field-id → binary single-value serialization — int/long 4/8-byte
+    * little-endian, float/double IEEE little-endian, string UTF-8 bytes)
+    * into column-name → rendered value for the shared stats machinery.
+    * Avro materializes the logical map either as a real map (string
+    * keys) or as an array of {key, value} records; both are handled.
+    * Anything undecodable is dropped — skipping stays conservative.
+    */
+  private def decodeBounds(obj: AnyRef,
+      idMap: Map[Int, (String, DataType)]): Map[String, String] = {
+    if (obj == null) return Map.empty
+    def one(id: Int, v: AnyRef): Option[(String, String)] =
+      idMap.get(id).flatMap { case (name, dt) =>
+        val buf = v match {
+          case b: java.nio.ByteBuffer =>
+            Some(b.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN))
+          case b: Array[Byte] => Some(java.nio.ByteBuffer.wrap(b)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN))
+          case _ => None
+        }
+        buf.flatMap { b =>
+          try dt match {
+            case IntegerType if b.remaining == 4 => Some(name -> b.getInt.toString)
+            case LongType if b.remaining == 8 => Some(name -> b.getLong.toString)
+            case FloatType if b.remaining == 4 => Some(name -> b.getFloat.toString)
+            case DoubleType if b.remaining == 8 => Some(name -> b.getDouble.toString)
+            case StringType =>
+              val arr = new Array[Byte](b.remaining)
+              b.get(arr)
+              Some(name -> new String(arr, "UTF-8"))
+            case _ => None
+          } catch { case _: Exception => None }
+        }
+      }
+    obj match {
+      case m: java.util.Map[_, _] =>
+        m.asScala.toSeq.flatMap { case (k, v) =>
+          try one(k.toString.toInt, v.asInstanceOf[AnyRef])
+          catch { case _: NumberFormatException => None }
+        }.toMap
+      case a: java.util.Collection[_] =>
+        a.asScala.toSeq.flatMap {
+          case r: GenericRecord =>
+            try one(r.get("key").toString.toInt, r.get("value"))
+            catch { case _: Exception => None }
+          case _ => None
+        }.toMap
+      case _ => Map.empty
+    }
   }
 
   /** Manifest-list/manifest paths are absolute URIs or table-relative. */
@@ -379,10 +468,46 @@ object Iceberg {
     }
     deleteRec(tmp)
 
+    // per-file column stats for the manifest's bounds (one job grouped
+    // by the hidden file name, same shape as the Delta staging writer)
+    val dataSchema = StructType(
+      df.schema.filterNot(f => partitionBy.contains(f.name)))
+    val statCols = dataSchema.fields.filter(_.dataType match {
+      case LongType | IntegerType | DoubleType | FloatType | StringType =>
+        true
+      case _ => false
+    }).toSeq
+    val statsByFile: Map[String, (Long, Map[String, (Any, Any)])] =
+      if (moved.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col, count, lit, max, min}
+        val aggs = count(lit(1)).as("__n") +: statCols.flatMap(f => Seq(
+          min(col(f.name)).as(s"__mn_${f.name}"),
+          max(col(f.name)).as(s"__mx_${f.name}")))
+        spark.read.schema(dataSchema)
+          .parquet(moved.map(_._1.getAbsolutePath).toSeq: _*)
+          .groupBy(col("_metadata.file_name").as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            val perCol = statCols.flatMap { f =>
+              val (mi, ma) = (r.fieldIndex(s"__mn_${f.name}"),
+                r.fieldIndex(s"__mx_${f.name}"))
+              if (r.isNullAt(mi) || r.isNullAt(ma)) None
+              else Some(f.name -> (r.get(mi), r.get(ma)))
+            }.toMap
+            r.getString(0) -> (r.getLong(r.fieldIndex("__n")), perCol)
+          }.toMap
+      }
+
     // manifest (Avro): manifest_entry{status, snapshot_id, data_file{...}}
     val partAvroFields = partitionBy
       .map(c => s"""{"name":"$c","type":["null","string"],"default":null}""")
       .mkString(",")
+    val boundsAvro = (n: String, rec: String) =>
+      s"""{"name":"$n","type":["null",{"type":"array","items":
+         |{"type":"record","name":"$rec","fields":[
+         |{"name":"key","type":"int"},{"name":"value","type":"bytes"}
+         |]}}],"default":null}""".stripMargin
     val manifestSchema = new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int"},
@@ -394,7 +519,9 @@ object Iceberg {
          |{"name":"partition","type":{"type":"record","name":"r102",
          |  "fields":[$partAvroFields]}},
          |{"name":"record_count","type":"long"},
-         |{"name":"file_size_in_bytes","type":"long"}
+         |{"name":"file_size_in_bytes","type":"long"},
+         |${boundsAvro("lower_bounds", "k126")},
+         |${boundsAvro("upper_bounds", "k127")}
          |]}}]}""".stripMargin)
     val manifestFile = new java.io.File(mdDir, f"m-$version%05d.avro")
     val mw = new DataFileWriter[GenericRecord](
@@ -402,6 +529,44 @@ object Iceberg {
     mw.create(manifestSchema, manifestFile)
     val dfSchema = manifestSchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
+    // single-value serialization (spec Appendix D): ints/longs and IEEE
+    // floats little-endian, strings UTF-8 bytes
+    def ser(dt: DataType, v: Any): Option[java.nio.ByteBuffer] = {
+      val le = java.nio.ByteOrder.LITTLE_ENDIAN
+      try dt match {
+        case LongType => Some(java.nio.ByteBuffer.allocate(8).order(le)
+          .putLong(v.asInstanceOf[Long]).flip().asInstanceOf[java.nio.ByteBuffer])
+        case IntegerType => Some(java.nio.ByteBuffer.allocate(4).order(le)
+          .putInt(v.asInstanceOf[Int]).flip().asInstanceOf[java.nio.ByteBuffer])
+        case DoubleType => Some(java.nio.ByteBuffer.allocate(8).order(le)
+          .putDouble(v.asInstanceOf[Double]).flip().asInstanceOf[java.nio.ByteBuffer])
+        case FloatType => Some(java.nio.ByteBuffer.allocate(4).order(le)
+          .putFloat(v.asInstanceOf[Float]).flip().asInstanceOf[java.nio.ByteBuffer])
+        case StringType =>
+          Some(java.nio.ByteBuffer.wrap(v.toString.getBytes("UTF-8")))
+        case _ => None
+      } catch { case _: Exception => None }
+    }
+    val boundsArraySchema = dfSchema.getField("lower_bounds").schema()
+      .getTypes.get(1)
+    def boundsList(perCol: Map[String, (Any, Any)], takeMin: Boolean,
+        itemSchema: Schema): java.util.List[GenericRecord] = {
+      val items = itemSchema.getElementType
+      val out = new java.util.ArrayList[GenericRecord]()
+      statCols.foreach { f =>
+        perCol.get(f.name).foreach { case (mn, mx) =>
+          ser(f.dataType, if (takeMin) mn else mx).foreach { buf =>
+            val r = new GenericData.Record(items)
+            // field id = 1-based ordinal in the (flat) table schema —
+            // the same assignment icebergSchemaJson makes
+            r.put("key", df.schema.fieldNames.indexOf(f.name) + 1)
+            r.put("value", buf)
+            out.add(r)
+          }
+        }
+      }
+      out
+    }
     moved.foreach { case (file, pv) =>
       val part = new GenericData.Record(partSchema)
       pv.foreach { case (k, v) => part.put(k, v) }
@@ -411,8 +576,14 @@ object Iceberg {
         root.toPath.relativize(file.toPath).toString)
       d.put("file_format", "PARQUET")
       d.put("partition", part)
-      d.put("record_count", 0L) // fixture: not consumed by the reader
+      val (nRecords, perCol) = statsByFile.getOrElse(file.getName,
+        (0L, Map.empty[String, (Any, Any)]))
+      d.put("record_count", nRecords)
       d.put("file_size_in_bytes", file.length())
+      d.put("lower_bounds", boundsList(perCol, takeMin = true,
+        boundsArraySchema))
+      d.put("upper_bounds", boundsList(perCol, takeMin = false,
+        boundsArraySchema))
       val e = new GenericData.Record(manifestSchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)

@@ -1,0 +1,128 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.types._
+
+/** Conservative per-file min/max skipping, shared by the log-backed
+  * formats: Delta supplies stats from `add.stats` JSON, Iceberg from
+  * decoded manifest bounds (rendered to the same JSON shape). The
+  * contract: `mayMatch` returns false ONLY when the file provably holds
+  * no matching row — unsupported predicate shapes, missing stats, or
+  * non-orderable columns keep the file, and callers re-apply the
+  * predicate as a normal filter, so semantics never depend on skipping.
+  */
+object StatsSkip {
+
+  private val M = new ObjectMapper()
+
+  /** Three-valued check of a lowered predicate tree against one file's
+    * partition values (exact per the log) and min/max stats JSON
+    * (`{"minValues":{...},"maxValues":{...}}`). Handles AND/OR and
+    * binary comparisons between a column and a literal; anything else
+    * keeps the file.
+    */
+  def mayMatch(n: org.apache.spark.sql.graft.GraftSql.PredNode,
+      schema: StructType, partitionColumns: Seq[String],
+      partitionValues: Map[String, String],
+      fileStats: Option[String]): Boolean = {
+    import org.apache.spark.sql.graft.GraftSql._
+
+    // None = not comparable (keep the file): unsupported type, a
+    // literal that doesn't parse as the column's type, or null
+    def cmp(a: Any, b: Any, dt: DataType): Option[Int] =
+      if (a == null || b == null) None
+      else try dt match {
+        case _: LongType | _: IntegerType | _: ShortType | _: ByteType =>
+          Some(java.lang.Long.compare(a.toString.toLong, b.toString.toLong))
+        case _: DoubleType | _: FloatType =>
+          Some(java.lang.Double.compare(a.toString.toDouble,
+            b.toString.toDouble))
+        // exact compare: a double round-trip loses precision past ~15-16
+        // significant digits, and a WRONG proof here silently drops a
+        // file the re-applied filter can never recover
+        case _: DecimalType =>
+          Some(new java.math.BigDecimal(a.toString)
+            .compareTo(new java.math.BigDecimal(b.toString)))
+        // Spark orders strings by Unicode CODE POINT (UTF-8 byte order);
+        // Java String.compareTo is UTF-16 code-UNIT order, which diverges
+        // for supplementary characters (surrogates sort above U+E000)
+        case _: StringType =>
+          Some(compareCodePoints(a.toString, b.toString))
+        case _ => None
+      } catch { case _: NumberFormatException => None }
+
+    // op with the column on the LEFT
+    def check(name: String, v: Any, op: String): Boolean = {
+      val dt = schema.find(_.name == name).map(_.dataType)
+        .getOrElse(return true)
+      // partition column: the log value is exact for every row
+      if (partitionColumns.contains(name))
+        return partitionValues.get(name) match {
+          case Some(pv) if pv != null =>
+            cmp(pv, v, dt).forall(c => op match {
+              case "EQ" => c == 0
+              case "GT" => c > 0
+              case "GE" => c >= 0
+              case "LT" => c < 0
+              case "LE" => c <= 0
+            })
+          case _ => true
+        }
+      val stats = fileStats.map(M.readTree).getOrElse(return true)
+      def stat(kind: String): Option[JsonNode] =
+        Option(stats.get(kind)).flatMap(m => Option(m.get(name)))
+          .filterNot(_.isNull)
+      def c(j: JsonNode): Option[Int] = cmp(j.asText, v, dt)
+      val (mn, mx) = (stat("minValues"), stat("maxValues"))
+      op match {
+        case "EQ" =>
+          mn.flatMap(c).forall(_ <= 0) && mx.flatMap(c).forall(_ >= 0)
+        case "GT" => mx.flatMap(c).forall(_ > 0)
+        case "GE" => mx.flatMap(c).forall(_ >= 0)
+        case "LT" => mn.flatMap(c).forall(_ < 0)
+        case "LE" => mn.flatMap(c).forall(_ <= 0)
+      }
+    }
+
+    n match {
+      case PredAnd(l, r) =>
+        mayMatch(l, schema, partitionColumns, partitionValues, fileStats) &&
+          mayMatch(r, schema, partitionColumns, partitionValues, fileStats)
+      case PredOr(l, r) =>
+        mayMatch(l, schema, partitionColumns, partitionValues, fileStats) ||
+          mayMatch(r, schema, partitionColumns, partitionValues, fileStats)
+      case PredCmp(name, v, op) => check(name, v, op)
+      case PredUnknown => true
+    }
+  }
+
+  /** Code-point string comparison — matches Spark's binary (UTF-8 byte)
+    * string ordering, which UTF-16 `String.compareTo` does not for
+    * supplementary characters.
+    */
+  def compareCodePoints(x: String, y: String): Int = {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(i)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+    }
+    Integer.compare(x.length, y.length)
+  }
+
+  /** Render a decoded (min, max) pair per column into the shared stats
+    * JSON shape — what the Iceberg reader feeds from manifest bounds.
+    */
+  def statsJson(mins: Map[String, String],
+      maxs: Map[String, String]): Option[String] = {
+    if (mins.isEmpty && maxs.isEmpty) return None
+    val o = M.createObjectNode()
+    val mn = o.putObject("minValues")
+    mins.foreach { case (k, v) => mn.put(k, v) }
+    val mx = o.putObject("maxValues")
+    maxs.foreach { case (k, v) => mx.put(k, v) }
+    Some(M.writeValueAsString(o))
+  }
+}

@@ -93,6 +93,50 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
       s.map(f => (f.name, f.dataType, f.nullable)))
   }
 
+  test("manifest bounds: stats skipping plans only intersecting files") {
+    val dir = freshDir("bounds")
+    // range-clustered: two snapshots with disjoint id ranges, each one
+    // unpartitioned file per append (coalesce(1))
+    Iceberg.stageAppend(spark, dir,
+      frame(0 until 10).coalesce(1), Seq.empty)
+    Iceberg.stageAppend(spark, dir,
+      frame(100 until 110).coalesce(1), Seq.empty)
+    assert(Iceberg.snapshot(spark, dir).inputFiles.length == 2)
+    val hi = Iceberg.snapshotWhere(spark, dir, col("id") >= 100L)
+    assert(hi.inputFiles.length == 1,
+      "upper/lower bounds must prove the low file empty")
+    assert(hi.count() == 10L)
+    // string bounds skip too
+    val byP = Iceberg.snapshotWhere(spark, dir, col("p") > "Z")
+    assert(byP.inputFiles.isEmpty || byP.count() == 0L)
+    // pushed filters skip inside the index as well (plain filter on the
+    // snapshot — LogFileIndex keep path)
+    import org.apache.spark.sql.classic
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val q = try {
+      val f = Iceberg.snapshot(spark, dir).filter(col("id") >= 100L)
+      f.collect()
+      f
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    val scan = q.asInstanceOf[classic.Dataset[_]].queryExecution
+      .executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+    assert(scan.metrics("numFiles").value == 1L,
+      "pushed filter must stats-skip the low file inside listFiles")
+  }
+
+  test("frame with nulls: bounds drop null-only columns, skipping stays " +
+      "conservative") {
+    val dir = freshDir("nulls")
+    val df = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "s").coalesce(1)
+    Iceberg.stageAppend(spark, dir, df, Seq.empty)
+    // a predicate on the null-only column keeps the file (no bounds)
+    assert(Iceberg.snapshotWhere(spark, dir, col("s") > "x")
+      .inputFiles.length == 1)
+  }
+
   test("fail-fast: non-identity partition transform") {
     val (dir, _, _) = twoSnapshots()
     // munge the metadata's transform to a bucket transform
