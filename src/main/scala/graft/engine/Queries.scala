@@ -1785,7 +1785,44 @@ object Queries {
              |FROM orders
              |WHERE o_orderkey >= (SELECT (MAX(o_orderkey)*9)//10 FROM orders)
              |  AND o_totalprice > 50000
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // DELETE-AWARE SIGNED MAINTENANCE, ICEBERG EDITION (r9): the same
+    // capability as delta_deltalake_delete on the second lakehouse
+    // format — a copy-on-write DELETE lands as snapshot 3 (hit files
+    // marked DELETED in the new manifest, survivors rewritten), and the
+    // stored aggregate view maintains through it via the signed
+    // file-set diff + group-scoped splice instead of rebasing. The
+    // delete predicate hits two of the five priority partitions; hash
+    // equality vs the first-principles full-recompute oracle pins the
+    // staged delete, the snapshot diff, and the splice end to end.
+    QueryDef("delta_iceberg_delete",
+      (s, d) => {
+        import graft.ivm.IcebergSnapshots
+        val dir = icebergOrdersDeleted(s, d)
+        val aggOf = (df: org.apache.spark.sql.DataFrame) => df
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+        // the stored view: built at snapshot 2 (before the delete)
+        IcebergSnapshots.track(s, "ice_orders_del", dir, at = Some(2L))
+        val stored = aggOf(graft.sources.Iceberg
+          .snapshot(s, dir, snapshotId = Some(2L)))
+        IcebergSnapshots.maintainAgg(s, "ice_orders_del", stored,
+          Seq("o_orderpriority"), aggOf)
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE NOT (o_custkey % 5 = 0
+             |  AND o_orderpriority IN ('2-HIGH', '5-LOW'))
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 
   /** The staged two-commit Delta table the `deltalake_*` queries read:
@@ -1862,6 +1899,26 @@ object Queries {
         ord.filter(col("o_orderkey") < cut), Seq("o_orderpriority"))
       graft.sources.Iceberg.stageAppend(s, p,
         ord.filter(col("o_orderkey") >= cut), Seq("o_orderpriority"))
+      ()
+    }
+
+  /** The Iceberg table with a COPY-ON-WRITE DELETE at snapshot 3 — the
+    * `delta_iceberg_delete` fixture (deterministic predicate for the
+    * first-principles oracle).
+    */
+  private[graft] def icebergOrdersDeleted(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_del_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") < c1), Seq("o_orderpriority"))
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") >= c1), Seq("o_orderpriority"))
+      graft.sources.Iceberg.stageDelete(s, p,
+        col("o_custkey") % 5 === 0 &&
+          col("o_orderpriority").isin("2-HIGH", "5-LOW"))
       ()
     }
 

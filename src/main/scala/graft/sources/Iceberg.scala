@@ -213,6 +213,37 @@ object Iceberg {
       end.copy(files = end.files.filterNot(f => base.contains(f.path))))
   }
 
+  /** Signed row-level diff between two snapshots — the DELETE-AWARE
+    * source, Iceberg edition (same contract as [[DeltaLake.changes]]):
+    * Iceberg snapshots are COMPLETE file sets, so the diff is simply
+    * inserts = rows of files live at the end but not at the cut,
+    * retracts = rows of cut-live files no longer live. A copy-on-write
+    * DELETE (hit files marked DELETED, survivors rewritten) nets to
+    * exactly the deleted rows under the signed algebra; a compaction
+    * window degrades to rewrite-sized frames that net to zero — correct,
+    * just not delta-sized (the file-set model has no `dataChange` flag
+    * to tell them apart). Fail-fast on schema change in the window (the
+    * frames would drift from the stored view they patch).
+    */
+  def changes(spark: SparkSession, path: String, afterSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DeltaLake.Changes = {
+    val cut = resolve(spark, path, Some(afterSnapshotId))
+    val end = resolve(spark, path, toSnapshotId)
+    require(cut.schema.json == end.schema.json,
+      s"Iceberg.changes: snapshots ($afterSnapshotId, ${end.snapshotId}] " +
+        "of " + path + " change the schema: a signed diff under an " +
+        "evolved schema would drift from the view it patches — rebase " +
+        "the maintained view from the current snapshot")
+    val cutPaths = cut.files.map(_.path).toSet
+    val endPaths = end.files.map(_.path).toSet
+    val inserts = end.copy(
+      files = end.files.filterNot(f => cutPaths.contains(f.path)))
+    val retracts = end.copy(
+      files = cut.files.filterNot(f => endPaths.contains(f.path)))
+    DeltaLake.Changes(scanOf(spark, path, inserts),
+      scanOf(spark, path, retracts))
+  }
+
   /** The live file NAMES at a snapshot — the cut set for a version-cut
     * incremental predicate (same contract as
     * [[DeltaLake.liveFileNames]]).
@@ -411,19 +442,16 @@ object Iceberg {
 
   // ---- staging writer (fixture machinery, NOT a lakehouse writer) -------
 
-  /** Append `df` as a new snapshot of the Iceberg table at `tableDir`
-    * (optionally identity-partitioned). Writes the data files via Spark,
-    * one Avro manifest for the added files, a new Avro manifest list
-    * (previous manifests + the new one — the spec's append shape), and
-    * the next `v<N>.metadata.json` carrying the full snapshot history.
-    * Returns the new snapshot id (deterministic: the 1-based snapshot
-    * ordinal, so fixtures and oracles can name snapshots).
+  /** One manifest entry to write: `status` 1 = ADDED, 2 = DELETED;
+    * `relPath` is the table-relative data path (the manifest's
+    * `file_path`, matched verbatim by the reader's fold).
     */
-  def stageAppend(spark: SparkSession, tableDir: String, df: DataFrame,
-      partitionBy: Seq[String]): Long = {
-    val root = new java.io.File(tableDir)
-    val mdDir = metadataDir(tableDir)
-    mdDir.mkdirs()
+  private final case class Entry(status: Int, relPath: String,
+      sizeBytes: Long, pv: Map[String, String], count: Long,
+      perCol: Map[String, (Any, Any)])
+
+  private def priorState(mdDir: java.io.File)
+      : (Option[JsonNode], Long) = {
     val prior = Option(mdDir.listFiles()).toSeq.flatten
       .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
       .sortBy(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong)
@@ -431,18 +459,49 @@ object Iceberg {
       M.readTree(java.nio.file.Files.readString(f.toPath)))
     val version = prior.lastOption.map(_.getName.stripPrefix("v")
       .stripSuffix(".metadata.json").toLong + 1).getOrElse(1L)
-    val snapshotId = version // deterministic fixture ids
-    priorMd.foreach { md =>
-      val priorSchema = structFromIceberg(
-        Option(md.get("schemas")).map(_.elements().asScala.next())
-          .getOrElse(md.get("schema")))
-      require(priorSchema.json ==
-        structFromIceberg(M.readTree(icebergSchemaJson(df.schema))).json,
-        "stageAppend: schema evolution is not modeled by this fixture writer")
-    }
+    (priorMd, version)
+  }
 
-    // data files (same move-up layout as DeltaLake.stageCommit)
-    val tmp = new java.io.File(root, s"_ice_tmp_$version")
+  private def statColsOf(dataSchema: StructType) =
+    dataSchema.fields.filter(_.dataType match {
+      case LongType | IntegerType | DoubleType | FloatType | StringType =>
+        true
+      case _ => false
+    }).toSeq
+
+  /** Per-file (recordCount, per-column (min, max)) for the manifest's
+    * bounds — one job grouped by the hidden file name.
+    */
+  private def fileStatsOf(spark: SparkSession, dataSchema: StructType,
+      paths: Seq[String]): Map[String, (Long, Map[String, (Any, Any)])] = {
+    if (paths.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val statCols = statColsOf(dataSchema)
+    val aggs = count(lit(1)).as("__n") +: statCols.flatMap(f => Seq(
+      min(col(f.name)).as(s"__mn_${f.name}"),
+      max(col(f.name)).as(s"__mx_${f.name}")))
+    spark.read.schema(dataSchema).parquet(paths: _*)
+      .groupBy(col("_metadata.file_name").as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val perCol = statCols.flatMap { f =>
+          val (mi, ma) = (r.fieldIndex(s"__mn_${f.name}"),
+            r.fieldIndex(s"__mx_${f.name}"))
+          if (r.isNullAt(mi) || r.isNullAt(ma)) None
+          else Some(f.name -> (r.get(mi), r.get(ma)))
+        }.toMap
+        r.getString(0) -> (r.getLong(r.fieldIndex("__n")), perCol)
+      }.toMap
+  }
+
+  /** Write `df` under `data/` (partition dirs preserved), returning the
+    * moved files with their partition values — the same move-up layout
+    * as [[DeltaLake.stageCommit]].
+    */
+  private def writeDataFiles(root: java.io.File, df: DataFrame,
+      partitionBy: Seq[String], tag: String)
+      : Seq[(java.io.File, Map[String, String])] = {
+    val tmp = new java.io.File(root, s"_ice_tmp_$tag")
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.getAbsolutePath)
@@ -467,37 +526,31 @@ object Iceberg {
       f.delete(); ()
     }
     deleteRec(tmp)
+    moved.toSeq
+  }
 
-    // per-file column stats for the manifest's bounds (one job grouped
-    // by the hidden file name, same shape as the Delta staging writer)
-    val dataSchema = StructType(
-      df.schema.filterNot(f => partitionBy.contains(f.name)))
-    val statCols = dataSchema.fields.filter(_.dataType match {
-      case LongType | IntegerType | DoubleType | FloatType | StringType =>
-        true
-      case _ => false
-    }).toSeq
-    val statsByFile: Map[String, (Long, Map[String, (Any, Any)])] =
-      if (moved.isEmpty) Map.empty
-      else {
-        import org.apache.spark.sql.functions.{col, count, lit, max, min}
-        val aggs = count(lit(1)).as("__n") +: statCols.flatMap(f => Seq(
-          min(col(f.name)).as(s"__mn_${f.name}"),
-          max(col(f.name)).as(s"__mx_${f.name}")))
-        spark.read.schema(dataSchema)
-          .parquet(moved.map(_._1.getAbsolutePath).toSeq: _*)
-          .groupBy(col("_metadata.file_name").as("__f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect().map { r =>
-            val perCol = statCols.flatMap { f =>
-              val (mi, ma) = (r.fieldIndex(s"__mn_${f.name}"),
-                r.fieldIndex(s"__mx_${f.name}"))
-              if (r.isNullAt(mi) || r.isNullAt(ma)) None
-              else Some(f.name -> (r.get(mi), r.get(ma)))
-            }.toMap
-            r.getString(0) -> (r.getLong(r.fieldIndex("__n")), perCol)
-          }.toMap
-      }
+  /** Write the Avro manifest for this snapshot's entries, then the new
+    * manifest list (prior manifests + this one) and the next metadata
+    * json. Returns the snapshot id.
+    */
+  private def commitSnapshot(spark: SparkSession, tableDir: String,
+      tableSchema: StructType, partitionBy: Seq[String],
+      entries: Seq[Entry], operation: String): Long = {
+    val mdDir = metadataDir(tableDir)
+    mdDir.mkdirs()
+    val (priorMd, version) = priorState(mdDir)
+    val snapshotId = version // deterministic fixture ids
+    priorMd.foreach { md =>
+      val priorSchema = structFromIceberg(
+        Option(md.get("schemas")).map(_.elements().asScala.next())
+          .getOrElse(md.get("schema")))
+      require(priorSchema.json ==
+        structFromIceberg(M.readTree(icebergSchemaJson(tableSchema))).json,
+        "iceberg staging: schema evolution is not modeled by this " +
+          "fixture writer")
+    }
+    val statCols = statColsOf(StructType(
+      tableSchema.filterNot(f => partitionBy.contains(f.name))))
 
     // manifest (Avro): manifest_entry{status, snapshot_id, data_file{...}}
     val partAvroFields = partitionBy
@@ -533,15 +586,15 @@ object Iceberg {
     // floats little-endian, strings UTF-8 bytes
     def ser(dt: DataType, v: Any): Option[java.nio.ByteBuffer] = {
       val le = java.nio.ByteOrder.LITTLE_ENDIAN
+      def fixed(n: Int)(fill: java.nio.ByteBuffer => Unit) = {
+        val b = java.nio.ByteBuffer.allocate(n).order(le)
+        fill(b); b.flip(); Some(b)
+      }
       try dt match {
-        case LongType => Some(java.nio.ByteBuffer.allocate(8).order(le)
-          .putLong(v.asInstanceOf[Long]).flip().asInstanceOf[java.nio.ByteBuffer])
-        case IntegerType => Some(java.nio.ByteBuffer.allocate(4).order(le)
-          .putInt(v.asInstanceOf[Int]).flip().asInstanceOf[java.nio.ByteBuffer])
-        case DoubleType => Some(java.nio.ByteBuffer.allocate(8).order(le)
-          .putDouble(v.asInstanceOf[Double]).flip().asInstanceOf[java.nio.ByteBuffer])
-        case FloatType => Some(java.nio.ByteBuffer.allocate(4).order(le)
-          .putFloat(v.asInstanceOf[Float]).flip().asInstanceOf[java.nio.ByteBuffer])
+        case LongType => fixed(8)(_.putLong(v.asInstanceOf[Long]))
+        case IntegerType => fixed(4)(_.putInt(v.asInstanceOf[Int]))
+        case DoubleType => fixed(8)(_.putDouble(v.asInstanceOf[Double]))
+        case FloatType => fixed(4)(_.putFloat(v.asInstanceOf[Float]))
         case StringType =>
           Some(java.nio.ByteBuffer.wrap(v.toString.getBytes("UTF-8")))
         case _ => None
@@ -549,9 +602,9 @@ object Iceberg {
     }
     val boundsArraySchema = dfSchema.getField("lower_bounds").schema()
       .getTypes.get(1)
-    def boundsList(perCol: Map[String, (Any, Any)], takeMin: Boolean,
-        itemSchema: Schema): java.util.List[GenericRecord] = {
-      val items = itemSchema.getElementType
+    def boundsList(perCol: Map[String, (Any, Any)],
+        takeMin: Boolean): java.util.List[GenericRecord] = {
+      val items = boundsArraySchema.getElementType
       val out = new java.util.ArrayList[GenericRecord]()
       statCols.foreach { f =>
         perCol.get(f.name).foreach { case (mn, mx) =>
@@ -559,7 +612,7 @@ object Iceberg {
             val r = new GenericData.Record(items)
             // field id = 1-based ordinal in the (flat) table schema —
             // the same assignment icebergSchemaJson makes
-            r.put("key", df.schema.fieldNames.indexOf(f.name) + 1)
+            r.put("key", tableSchema.fieldNames.indexOf(f.name) + 1)
             r.put("value", buf)
             out.add(r)
           }
@@ -567,32 +620,29 @@ object Iceberg {
       }
       out
     }
-    moved.foreach { case (file, pv) =>
+    entries.foreach { en =>
       val part = new GenericData.Record(partSchema)
-      pv.foreach { case (k, v) => part.put(k, v) }
+      en.pv.foreach { case (k, v) => part.put(k, v) }
       val d = new GenericData.Record(dfSchema)
       d.put("content", 0)
-      d.put("file_path",
-        root.toPath.relativize(file.toPath).toString)
+      d.put("file_path", en.relPath)
       d.put("file_format", "PARQUET")
       d.put("partition", part)
-      val (nRecords, perCol) = statsByFile.getOrElse(file.getName,
-        (0L, Map.empty[String, (Any, Any)]))
-      d.put("record_count", nRecords)
-      d.put("file_size_in_bytes", file.length())
-      d.put("lower_bounds", boundsList(perCol, takeMin = true,
-        boundsArraySchema))
-      d.put("upper_bounds", boundsList(perCol, takeMin = false,
-        boundsArraySchema))
+      d.put("record_count", en.count)
+      d.put("file_size_in_bytes", en.sizeBytes)
+      d.put("lower_bounds", boundsList(en.perCol, takeMin = true))
+      d.put("upper_bounds", boundsList(en.perCol, takeMin = false))
       val e = new GenericData.Record(manifestSchema)
-      e.put("status", 1) // ADDED
+      e.put("status", en.status)
       e.put("snapshot_id", snapshotId)
       e.put("data_file", d)
       mw.append(e)
     }
     mw.close()
 
-    // manifest list (Avro): prior manifests + the new one
+    // manifest list (Avro): prior manifests + the new one (order
+    // matters — the reader's fold applies DELETED entries against the
+    // files earlier manifests added)
     val mlSchema = new Schema.Parser().parse(
       """{"type":"record","name":"manifest_file","fields":[
         |{"name":"manifest_path","type":"string"},
@@ -631,7 +681,7 @@ object Iceberg {
     // metadata json: full snapshot history + current pointer
     val specFields = partitionBy.zipWithIndex.map { case (c, i) =>
       // source-id = the field's 1-based ordinal in the schema
-      val sid = df.schema.fieldNames.indexOf(c) + 1
+      val sid = tableSchema.fieldNames.indexOf(c) + 1
       s"""{"name":"$c","transform":"identity","source-id":$sid,""" +
         s""""field-id":${1000 + i}}"""
     }.mkString(",")
@@ -641,15 +691,15 @@ object Iceberg {
       s"""{"snapshot-id":$snapshotId,"sequence-number":$version,""" +
         s""""timestamp-ms":${1700000000000L + version},""" +
         s""""manifest-list":"metadata/${mlFile.getName}",""" +
-        s""""summary":{"operation":"append"},"schema-id":0}"""
+        s""""summary":{"operation":"$operation"},"schema-id":0}"""
     val snapsJson = (priorSnaps.toSeq :+ newSnap).mkString(",")
     val mdJson =
       s"""{"format-version":2,"table-uuid":"${java.util.UUID
         .nameUUIDFromBytes(tableDir.getBytes("UTF-8"))}",
          |"location":"$tableDir","last-sequence-number":$version,
          |"last-updated-ms":${1700000000000L + version},
-         |"last-column-id":${df.schema.size},
-         |"schemas":[${icebergSchemaJson(df.schema)}],
+         |"last-column-id":${tableSchema.size},
+         |"schemas":[${icebergSchemaJson(tableSchema)}],
          |"current-schema-id":0,
          |"partition-specs":[{"spec-id":0,"fields":[$specFields]}],
          |"default-spec-id":0,"last-partition-id":${999 + partitionBy.size},
@@ -660,5 +710,91 @@ object Iceberg {
     java.nio.file.Files.writeString(
       new java.io.File(mdDir, "version-hint.text").toPath, version.toString)
     snapshotId
+  }
+
+  /** Append `df` as a new snapshot of the Iceberg table at `tableDir`
+    * (optionally identity-partitioned). Writes the data files via Spark,
+    * one Avro manifest for the added files (real bounds + record
+    * counts), a new Avro manifest list (previous manifests + the new one
+    * — the spec's append shape), and the next `v<N>.metadata.json`
+    * carrying the full snapshot history. Returns the new snapshot id
+    * (deterministic: the 1-based snapshot ordinal, so fixtures and
+    * oracles can name snapshots).
+    */
+  def stageAppend(spark: SparkSession, tableDir: String, df: DataFrame,
+      partitionBy: Seq[String]): Long = {
+    val root = new java.io.File(tableDir)
+    val (_, version) = priorState({ val d = metadataDir(tableDir)
+      d.mkdirs(); d })
+    val moved = writeDataFiles(root, df, partitionBy, s"a$version")
+    val dataSchema = StructType(
+      df.schema.filterNot(f => partitionBy.contains(f.name)))
+    val stats = fileStatsOf(spark, dataSchema,
+      moved.map(_._1.getAbsolutePath))
+    val entries = moved.map { case (file, pv) =>
+      val (n, perCol) = stats.getOrElse(file.getName,
+        (0L, Map.empty[String, (Any, Any)]))
+      Entry(1, root.toPath.relativize(file.toPath).toString,
+        file.length(), pv, n, perCol)
+    }
+    commitSnapshot(spark, tableDir, df.schema, partitionBy, entries,
+      "append")
+  }
+
+  /** Append a COPY-ON-WRITE row-level DELETE as a new snapshot — the
+    * lakehouse writer's shape: every live file holding a matching row is
+    * marked DELETED in the new manifest and its SURVIVORS are rewritten
+    * (added with fresh bounds); untouched files ride the prior
+    * manifests. Fixture machinery for [[changes]]; rows where the
+    * predicate is false OR NULL survive (SQL's three-valued delete).
+    */
+  def stageDelete(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val root = new java.io.File(tableDir)
+    val cur = resolve(spark, tableDir, None)
+    val dataSchema = StructType(
+      cur.schema.filterNot(f => cur.partitionColumns.contains(f.name)))
+    val entries = mutable.Buffer.empty[Entry]
+    cur.files.foreach { f =>
+      val abs = resolveRef(tableDir, f.path)
+      // read the file DIRECTLY with the log's partition values attached
+      // (the predicate may reference partition columns; file names
+      // collide across partition dirs — same rules as the Delta writer)
+      val fileRows = cur.partitionColumns.foldLeft(
+        spark.read.schema(dataSchema).parquet(abs)) { (df, pc) =>
+        val dt = cur.schema(pc).dataType
+        df.withColumn(pc, f.partitionValues.get(pc).filter(_ != null)
+          .map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
+      }
+      if (!fileRows.filter(predicate).isEmpty) {
+        entries += Entry(2, f.path, new java.io.File(abs).length(),
+          f.partitionValues, 0L, Map.empty)
+        val survivors = fileRows
+          .filter(coalesce(!predicate, lit(true)))
+          .select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+        if (!survivors.isEmpty) {
+          val (_, version) = priorState(metadataDir(tableDir))
+          val moved = writeDataFiles(root,
+            cur.partitionColumns.foldLeft(survivors) { (df, pc) =>
+              val dt = cur.schema(pc).dataType
+              df.withColumn(pc, f.partitionValues.get(pc)
+                .filter(_ != null).map(v => lit(v).cast(dt))
+                .getOrElse(lit(null).cast(dt)))
+            }, cur.partitionColumns, s"d$version-${entries.size}")
+          val stats = fileStatsOf(spark, dataSchema,
+            moved.map(_._1.getAbsolutePath))
+          moved.foreach { case (file, pv) =>
+            val (n, perCol) = stats.getOrElse(file.getName,
+              (0L, Map.empty[String, (Any, Any)]))
+            entries += Entry(1,
+              root.toPath.relativize(file.toPath).toString,
+              file.length(), pv, n, perCol)
+          }
+        }
+      }
+    }
+    commitSnapshot(spark, tableDir, cur.schema, cur.partitionColumns,
+      entries.toSeq, "delete")
   }
 }

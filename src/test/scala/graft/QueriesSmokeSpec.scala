@@ -60,8 +60,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "delta_deltalake", "deltalake_skipping", "deltalake_evolution",
       // round-9 surface
       "delta_deltalake_delete", "delta_deltalake_skipping",
-      "iceberg_scan", "iceberg_time_travel", "delta_iceberg")
-    assert(declared.size == 123)
+      "iceberg_scan", "iceberg_time_travel", "delta_iceberg",
+      "delta_iceberg_delete")
+    assert(declared.size == 124)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

@@ -137,6 +137,44 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
       .inputFiles.length == 1)
   }
 
+  test("stageDelete + changes: the signed diff nets to the deleted rows " +
+      "and the splice equals full recompute") {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit, sum}
+    val dir = freshDir("del")
+    val s1 = Iceberg.stageAppend(spark, dir, frame(0 until 10), Seq("p"))
+    val s2 = Iceberg.stageAppend(spark, dir, frame(10 until 20), Seq("p"))
+    val s3 = Iceberg.stageDelete(spark, dir,
+      col("id") % 3 === 0 && col("p") === "A")
+    assert(Iceberg.snapshotIds(dir) == Seq(s1, s2, s3))
+    // snapshot reflects the delete; time travel sees the pre-delete state
+    val want = (0 until 20).filterNot(i => i % 3 == 0 && i % 2 == 0)
+      .map(i => (i.toLong, i.toLong * 10,
+        if (i % 2 == 0) "A" else "B")).toSet
+    assert(rows(Iceberg.snapshot(spark, dir)) == want)
+    assert(rows(Iceberg.snapshot(spark, dir, Some(s2))).size == 20)
+    // signed diff: retracts ⊇ deleted; inserts = survivors re-added
+    val ch = Iceberg.changes(spark, dir, afterSnapshotId = s2)
+    val deleted = Set(0, 6, 12, 18).map(i => (i.toLong, i.toLong * 10, "A"))
+    val (rets, ins) = (rows(ch.retracts), rows(ch.inserts))
+    assert(deleted.subsetOf(rets))
+    assert(ins == rets -- deleted)
+    // append-only guard now refuses the window; signedRows serves it
+    graft.ivm.IcebergSnapshots.track(spark, "ice_del", dir, at = Some(s2))
+    intercept[IllegalArgumentException] {
+      graft.ivm.IcebergSnapshots.view(spark, "ice_del")
+    }
+    // group-scoped splice == full recompute (countDistinct included)
+    val aggOf = (df: org.apache.spark.sql.DataFrame) => df.groupBy("p")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("total"),
+        countDistinct(col("id") % 5).as("nd"))
+    val stored = aggOf(Iceberg.snapshot(spark, dir, Some(s2)))
+    val got = graft.ivm.IcebergSnapshots.maintainAgg(spark, "ice_del",
+      stored, Seq("p"), aggOf)
+    assert(got.orderBy("p").collect().toSeq ==
+      aggOf(Iceberg.snapshot(spark, dir)).orderBy("p").collect().toSeq)
+    assert(graft.ivm.IcebergSnapshots.cut("ice_del").contains(s3))
+  }
+
   test("fail-fast: non-identity partition transform") {
     val (dir, _, _) = twoSnapshots()
     // munge the metadata's transform to a bucket transform
