@@ -1822,7 +1822,68 @@ object Queries {
              |WHERE NOT (o_custkey % 5 = 0
              |  AND o_orderpriority IN ('2-HIGH', '5-LOW'))
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ICEBERG MANIFEST-BOUNDS SKIPPING under the oracle (r9): parity
+    // with deltalake_skipping on the second format — the key-range
+    // predicate is proven false for every snapshot-1 file by the
+    // decoded manifest bounds (each partition's file tops out below the
+    // 90% cut), so only snapshot-2 files are planned; conservative, and
+    // the predicate re-applies as a filter, so hash equality pins that
+    // dropped files held no matching row.
+    QueryDef("iceberg_skipping",
+      (s, d) => {
+        val dir = icebergOrders(s, d)
+        val cut = t(s, d, "orders")
+          .agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+        graft.sources.Iceberg
+          .snapshotWhere(s, dir, col("o_orderkey") >= cut)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"),
+            min(col("o_orderkey")).as("min_key"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  MIN(o_orderkey) AS min_key
+             |FROM orders
+             |WHERE o_orderkey >= (SELECT (MAX(o_orderkey)*9)//10 FROM orders)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ROW-LEVEL VIEW THROUGH A DELETE (r9): the delete-aware seam's
+    // OTHER half under the hash oracle — a deterministic
+    // filter+projection view (row-wise ops commute with the signed
+    // pair) maintained through the Delta DELETE commit by applying the
+    // signed frames to the STORED view rows: view' = (view ∪ q(inserts))
+    // ∖ q(retracts). The oracle recomputes the final view from first
+    // principles, pinning that per-file retraction + survivor
+    // re-insertion nets to exactly the deleted rows at row-level too
+    // (the aggregate case is delta_deltalake_delete).
+    QueryDef("delta_deltalake_rowview",
+      (s, d) => {
+        import graft.ivm.DeltaLakeSnapshots
+        val dir = deltaLakeOrdersDeleted(s, d)
+        DeltaLakeSnapshots.track(s, "dl_orders_rv", dir, at = Some(1L))
+        val q = (df: org.apache.spark.sql.DataFrame) => df
+          .filter(col("o_totalprice") > 100000)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority"))
+        val stored = q(graft.sources.DeltaLake
+          .snapshot(s, dir, version = Some(1L)))
+        DeltaLakeSnapshots.signedThrough(s, "dl_orders_rv")(q)
+          .applyTo(stored)
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderpriority
+             |FROM orders
+             |WHERE o_totalprice > 100000
+             |  AND NOT (o_custkey % 7 = 0
+             |    AND o_orderpriority IN ('1-URGENT', '3-MEDIUM'))
+             |ORDER BY o_orderkey""".stripMargin))
   )
 
   /** The staged two-commit Delta table the `deltalake_*` queries read:

@@ -61,8 +61,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       // round-9 surface
       "delta_deltalake_delete", "delta_deltalake_skipping",
       "iceberg_scan", "iceberg_time_travel", "delta_iceberg",
-      "delta_iceberg_delete")
-    assert(declared.size == 124)
+      "delta_iceberg_delete", "iceberg_skipping",
+      "delta_deltalake_rowview")
+    assert(declared.size == 126)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
