@@ -112,12 +112,36 @@ object DeltaLakeSnapshots {
     * the signed pair turns the same window into a normal signed
     * maintenance cycle through the [[Ivm.SignedDelta]] ladder. Both
     * frames read ONLY the window's changed files — delta-sized, never a
-    * snapshot scan. `advance` afterwards as usual.
+    * snapshot scan. Resolve the end version ONCE and pass it as `to`,
+    * then [[advanceTo]] that same version after the apply materializes
+    * (plain [[advance]] would re-resolve latest and could skip over a
+    * commit that landed mid-cycle).
     */
-  def signedRows(spark: SparkSession, table: String): Ivm.SignedDelta = {
+  def signedRows(spark: SparkSession, table: String,
+      to: Option[Long] = None): Ivm.SignedDelta = {
     val s = stateOf(table)
-    val ch = DeltaLake.changes(spark, s.dir, s.cutVersion.getOrElse(-1L))
+    val ch = DeltaLake.changes(spark, s.dir, s.cutVersion.getOrElse(-1L),
+      to)
     Ivm.SignedDelta(ch.inserts, ch.retracts)
+  }
+
+  /** Advance the cut to EXACTLY `version` — the partner of a
+    * [[signedRows]] cycle: resolve the latest version ONCE, read the
+    * signed window to it, apply, then advance to that same version.
+    * Plain [[advance]] re-resolves latest independently, so a commit
+    * landing between the read and the advance would be skipped over
+    * without ever being applied (TOCTOU):
+    * {{{
+    *   val v  = DeltaLake.latestVersion(spark, dir)
+    *   val sd = DeltaLakeSnapshots.signedRows(spark, "t", to = Some(v))
+    *   store(sd.applyTo(view))                  // materialize FIRST
+    *   DeltaLakeSnapshots.advanceTo(spark, "t", v)
+    * }}}
+    */
+  def advanceTo(spark: SparkSession, table: String, version: Long): Unit = {
+    val s = stateOf(table)
+    states.put(table, s.copy(cutVersion = Some(version)))
+    sync(spark, table)
   }
 
   /** The signed delta of a ROW-WISE view `q` (deterministic
@@ -126,9 +150,10 @@ object DeltaLakeSnapshots {
     * through a delete window: apply `q` to each signed frame. Apply with
     * [[Ivm.SignedDelta.applyTo]].
     */
-  def signedThrough(spark: SparkSession, table: String)
+  def signedThrough(spark: SparkSession, table: String,
+      to: Option[Long] = None)
       (q: DataFrame => DataFrame): Ivm.SignedDelta = {
-    val sd = signedRows(spark, table)
+    val sd = signedRows(spark, table, to)
     Ivm.SignedDelta(q(sd.inserts), q(sd.retracts))
   }
 
@@ -149,33 +174,26 @@ object DeltaLakeSnapshots {
     * with the layout (here: keys ARE the partition columns, so the
     * recompute arm plans only the touched partitions' files). The
     * snapshot and the window resolve at ONE latest version (no TOCTOU
-    * between the diff and the recompute arm). Advances the cut to that
-    * version on success.
+    * between the diff and the recompute arm). The returned view′ is
+    * EAGER ([[LakeSplice]] pins it) and the cut advances only AFTER it
+    * materializes — a failed cycle never moves the cut past changes it
+    * hasn't applied.
     */
   def maintainAgg(spark: SparkSession, table: String, view: DataFrame,
       keys: Seq[String], agg: DataFrame => DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
     val s = stateOf(table)
     val latest = DeltaLake.latestVersion(spark, s.dir)
     val ch = DeltaLake.changes(spark, s.dir, s.cutVersion.getOrElse(-1L),
       Some(latest))
-    val kc = keys.map(col)
-    // pin: δ-sized by construction, probed twice (anti + semi)
-    val touched = ch.inserts.select(kc: _*)
-      .unionByName(ch.retracts.select(kc: _*))
-      .distinct().localCheckpoint()
-    // null-safe key equality: a NULL group value is a real group (SQL
-    // GROUP BY semantics — and partition values can be null)
-    val tRen = touched.select(
-      keys.map(k => col(k).as(s"__touched_$k")): _*)
-    val cond = keys.map(k => col(k) <=> col(s"__touched_$k"))
-      .reduce(_ && _)
     val snap = DeltaLake.snapshot(spark, s.dir, version = Some(latest))
-    val repaired = agg(snap.join(broadcast(tRen), cond, "left_semi"))
-    val kept = view.join(broadcast(tRen), cond, "left_anti")
-    states.put(table, s.copy(cutVersion = Some(latest)))
-    sync(spark, table)
-    kept.unionByName(repaired)
+    // the splice result is EAGER, and the cut advances only after it
+    // materializes — a failed cycle must never move the cut past
+    // changes it hasn't applied (a retry would then diff an empty
+    // window and silently drop the delete forever)
+    val result = LakeSplice.maintainAgg(view, keys, agg,
+      ch.inserts, ch.retracts, snap)
+    advanceTo(spark, table, latest)
+    result
   }
 
   private def stateOf(table: String): State =

@@ -71,54 +71,61 @@ object IcebergSnapshots {
     * tracked table across `(cut, current]` — a copy-on-write DELETE's
     * rewrite nets to exactly the deleted rows under the signed algebra.
     */
-  def signedRows(spark: SparkSession, table: String): Ivm.SignedDelta = {
+  def signedRows(spark: SparkSession, table: String,
+      to: Option[Long] = None): Ivm.SignedDelta = {
     val s = stateOf(table)
     val ch = Iceberg.changes(spark, s.dir, s.cutSnapshot.getOrElse(
       throw new IllegalStateException(
         s"IcebergSnapshots: '$table' has no cut snapshot; track with " +
           "at = Some(snapshotId) — a from-scratch window has no stored " +
-          "view to maintain")))
+          "view to maintain")), to)
     Ivm.SignedDelta(ch.inserts, ch.retracts)
+  }
+
+  /** Advance the cut to EXACTLY `snapshotId` — the partner of a
+    * [[signedRows]] cycle (see [[DeltaLakeSnapshots.advanceTo]]: plain
+    * `advance` re-resolves the current snapshot independently, so a
+    * snapshot landing between the read and the advance would be skipped
+    * over without ever being applied).
+    */
+  def advanceTo(spark: SparkSession, table: String,
+      snapshotId: Long): Unit = {
+    val s = stateOf(table)
+    states.put(table, s.copy(cutSnapshot = Some(snapshotId)))
+    sync(spark, table)
   }
 
   /** Row-wise view through the delete window — apply `q` to both signed
     * frames (deterministic projection/filter commutes with the pair).
     */
-  def signedThrough(spark: SparkSession, table: String)
+  def signedThrough(spark: SparkSession, table: String,
+      to: Option[Long] = None)
       (q: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : Ivm.SignedDelta = {
-    val sd = signedRows(spark, table)
+    val sd = signedRows(spark, table, to)
     Ivm.SignedDelta(q(sd.inserts), q(sd.retracts))
   }
 
   /** Group-scoped splice through a delete window — identical contract to
-    * [[DeltaLakeSnapshots.maintainAgg]]: recompute ONLY the groups
-    * touched by either signed frame from the snapshot (exact for any
-    * deterministic aggregate), splice into the stored view, advance the
-    * cut at the SAME resolved snapshot (no TOCTOU).
+    * [[DeltaLakeSnapshots.maintainAgg]] (shared [[LakeSplice]] body):
+    * recompute ONLY the groups touched by either signed frame from the
+    * snapshot (exact for any deterministic aggregate), splice into the
+    * stored view. One resolved snapshot serves the diff, the recompute
+    * arm, AND the cut advance — which happens only after the eager
+    * result materializes.
     */
   def maintainAgg(spark: SparkSession, table: String, view: DataFrame,
       keys: Seq[String], agg: DataFrame => DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
     val s = stateOf(table)
     val latest = Iceberg.currentSnapshotId(s.dir)
     val ch = Iceberg.changes(spark, s.dir, s.cutSnapshot.getOrElse(
       throw new IllegalStateException(
         s"IcebergSnapshots: '$table' has no cut snapshot")), Some(latest))
-    val kc = keys.map(col)
-    val touched = ch.inserts.select(kc: _*)
-      .unionByName(ch.retracts.select(kc: _*))
-      .distinct().localCheckpoint()
-    val tRen = touched.select(
-      keys.map(k => col(k).as(s"__touched_$k")): _*)
-    val cond = keys.map(k => col(k) <=> col(s"__touched_$k"))
-      .reduce(_ && _)
     val snap = Iceberg.snapshot(spark, s.dir, snapshotId = Some(latest))
-    val repaired = agg(snap.join(broadcast(tRen), cond, "left_semi"))
-    val kept = view.join(broadcast(tRen), cond, "left_anti")
-    states.put(table, s.copy(cutSnapshot = Some(latest)))
-    sync(spark, table)
-    kept.unionByName(repaired)
+    val result = LakeSplice.maintainAgg(view, keys, agg,
+      ch.inserts, ch.retracts, snap)
+    advanceTo(spark, table, latest)
+    result
   }
 
   private def stateOf(table: String): State =

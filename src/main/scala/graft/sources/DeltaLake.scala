@@ -46,8 +46,11 @@ object DeltaLake {
 
   private val M = new ObjectMapper()
 
+  // size/modificationTime come from the LOG (the protocol requires
+  // them on add actions): the scan never stats the filesystem per file
   private final case class AddFile(path: String,
-      partitionValues: Map[String, String], stats: Option[String] = None)
+      partitionValues: Map[String, String], stats: Option[String] = None,
+      size: Option[Long] = None, modificationTime: Long = 0L)
 
   /** A signed row-level table diff (see [[changes]]): both frames carry
     * the table schema; apply as insert/retract under the signed algebra.
@@ -161,7 +164,10 @@ object DeltaLake {
         Option(n.get("add")).filter(dataChange).foreach(a =>
           adds.put(a.get("path").asText,
             AddFile(a.get("path").asText, pvMap(a.get("partitionValues")),
-              Option(a.get("stats")).filterNot(_.isNull).map(_.asText))))
+              Option(a.get("stats")).filterNot(_.isNull).map(_.asText),
+              Option(a.get("size")).filterNot(_.isNull).map(_.asLong),
+              Option(a.get("modificationTime")).filterNot(_.isNull)
+                .map(_.asLong).getOrElse(0L))))
         Option(n.get("remove")).filter(dataChange)
           .foreach(r => adds.remove(r.get("path").asText))
       }
@@ -222,7 +228,10 @@ object DeltaLake {
           val p = a.get("path").asText
           if (dataChange(a))
             ins.put(p, AddFile(p, pvMap(a.get("partitionValues")),
-              Option(a.get("stats")).filterNot(_.isNull).map(_.asText)))
+              Option(a.get("stats")).filterNot(_.isNull).map(_.asText),
+              Option(a.get("size")).filterNot(_.isNull).map(_.asLong),
+              Option(a.get("modificationTime")).filterNot(_.isNull)
+                .map(_.asLong).getOrElse(0L)))
           else rewrites += p
         }
         Option(n.get("remove")).foreach { r =>
@@ -346,8 +355,8 @@ object DeltaLake {
     var partCols: Seq[String] = Seq.empty
 
     def applyAdd(p: String, pv: Map[String, String],
-        stats: Option[String] = None): Unit =
-      adds.put(p, AddFile(p, pv, stats))
+        stats: Option[String], size: Option[Long], mtime: Long): Unit =
+      adds.put(p, AddFile(p, pv, stats, size, mtime))
     def applyRemove(p: String): Unit = adds.remove(p)
     def applyMeta(ss: String, pc: Seq[String]): Unit = {
       schemaString = ss; partCols = pc
@@ -377,7 +386,13 @@ object DeltaLake {
             if (a.schema.fieldNames.contains("stats"))
               Option(a.getString(a.fieldIndex("stats")))
             else None
-          applyAdd(str(a, "path"), pvMap(a), stats)
+          applyAdd(str(a, "path"), pvMap(a), stats,
+            if (a.schema.fieldNames.contains("size") &&
+                !a.isNullAt(a.fieldIndex("size")))
+              Some(a.getLong(a.fieldIndex("size"))) else None,
+            if (a.schema.fieldNames.contains("modificationTime") &&
+                !a.isNullAt(a.fieldIndex("modificationTime")))
+              a.getLong(a.fieldIndex("modificationTime")) else 0L)
         }
         struct(row, "remove").foreach(r => applyRemove(str(r, "path")))
         struct(row, "metaData").foreach { m =>
@@ -405,7 +420,10 @@ object DeltaLake {
           val n = M.readTree(line)
           Option(n.get("add")).foreach(a =>
             applyAdd(a.get("path").asText, pvMap(a.get("partitionValues")),
-              Option(a.get("stats")).filterNot(_.isNull).map(_.asText)))
+              Option(a.get("stats")).filterNot(_.isNull).map(_.asText),
+              Option(a.get("size")).filterNot(_.isNull).map(_.asLong),
+              Option(a.get("modificationTime")).filterNot(_.isNull)
+                .map(_.asLong).getOrElse(0L)))
           Option(n.get("remove")).foreach(r =>
             applyRemove(r.get("path").asText))
           Option(n.get("metaData")).foreach { m =>
@@ -445,17 +463,36 @@ object DeltaLake {
       files: Seq[AddFile], withMeta: Boolean = false): DataFrame = {
     val logFiles = files.map { a =>
       val p = resolve(path, a.path)
-      val f = new java.io.File(p)
-      LogFile(p, f.length(), f.lastModified(), a.partitionValues, a.stats)
+      // size comes from the LOG: no per-file driver-side stat (O(files)
+      // round-trips on an object store), and a file vacuumed past a
+      // consumer's cut fails LOUDLY at read (java.io.File.length() on a
+      // missing path is 0, which Spark would plan as an empty split —
+      // silent row loss on exactly the retract arm that must not lose
+      // rows). Writers that omit add.size get the stat fallback, with
+      // an existence check standing in for the loudness.
+      val size = a.size.getOrElse {
+        val f = new java.io.File(p)
+        require(f.exists(), s"data file listed in the Delta log is " +
+          s"missing on disk: $p (vacuumed past this consumer's cut?)")
+        f.length()
+      }
+      LogFile(p, size, a.modificationTime, a.partitionValues, a.stats)
     }
     // file-constant (`file_name`) predicates — the version-cut seam's
     // NOT IN shape — prune inside LakeScan for every format; this keep
-    // adds Delta's per-file STATS skipping on top
+    // adds Delta's per-file STATS skipping on top. The lowered predicate
+    // tree is memoized per scan (listFiles hands the SAME expressions to
+    // every candidate file) and the stats JSON parses once per file.
+    val lowered = new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.catalyst.expressions.Expression,
+      org.apache.spark.sql.graft.GraftSql.PredNode]()
     val keep = (filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
         lf: LogFile) =>
-      filters.forall(e => mayMatch(
-        org.apache.spark.sql.graft.GraftSql.predicateTreeOf(e),
-        lf.partitionValues, lf.stats, st))
+      filters.forall(e => StatsSkip.mayMatchParsed(
+        lowered.computeIfAbsent(e,
+          org.apache.spark.sql.graft.GraftSql.predicateTreeOf(_)),
+        st.schema, st.partitionColumns, lf.partitionValues,
+        lf.parsedStats))
     LakeScan.scan(spark, path, st.schema, st.partitionColumns, logFiles,
       keep, withMeta)
   }

@@ -44,9 +44,11 @@ object Iceberg {
 
   private val M = new ObjectMapper()
 
+  // size comes from the MANIFEST (file_size_in_bytes is required by
+  // the spec): the scan never stats the filesystem per file
   final case class IceFile(path: String,
       partitionValues: Map[String, String],
-      stats: Option[String] = None)
+      stats: Option[String] = None, size: Option[Long] = None)
 
   final case class SnapshotMeta(snapshotId: Long, schema: StructType,
       partitionColumns: Seq[String], files: Seq[IceFile])
@@ -82,10 +84,12 @@ object Iceberg {
   /** All snapshot ids, oldest first (commit order by sequence/timestamp). */
   def snapshotIds(path: String): Seq[Long] = {
     val md = readMetadata(path)
+    // uniform key: timestamp-ms is required in every format version;
+    // sequence-number is v2-only, and mixing the two key spaces across
+    // a v1->v2 upgrade would interleave the history
     Option(md.get("snapshots")).toSeq
       .flatMap(_.elements().asScala.toSeq)
-      .sortBy(s => Option(s.get("sequence-number")).map(_.asLong)
-        .getOrElse(s.get("timestamp-ms").asLong))
+      .sortBy(_.get("timestamp-ms").asLong)
       .map(_.get("snapshot-id").asLong)
   }
 
@@ -117,13 +121,19 @@ object Iceberg {
         s"Iceberg metadata at $path carries no schema"))
     val schema = structFromIceberg(schemaNode)
 
-    // default partition spec: identity transforms only
+    // default partition spec: identity transforms only. v2 keeps a
+    // `partition-specs` list + `default-spec-id`; v1 metadata carries a
+    // bare `partition-spec` fields array — reading only the v2 key
+    // would silently treat a v1 table as unpartitioned (no pruning, and
+    // all-NULL partition columns for files that don't carry them)
     val specNode = Option(md.get("partition-specs")).flatMap { ss =>
       val cur = Option(md.get("default-spec-id")).map(_.asInt).getOrElse(0)
       ss.elements().asScala.find(_.get("spec-id").asInt == cur)
     }
-    val partFields = specNode.toSeq
-      .flatMap(_.get("fields").elements().asScala.toSeq)
+    val partFields = specNode.map(_.get("fields").elements().asScala.toSeq)
+      .orElse(Option(md.get("partition-spec"))
+        .map(_.elements().asScala.toSeq))
+      .getOrElse(Seq.empty)
     partFields.foreach { f =>
       val tr = f.get("transform").asText
       require(tr == "identity",
@@ -179,7 +189,9 @@ object Iceberg {
           val stats = StatsSkip.statsJson(
             decodeBounds(optF(df, "lower_bounds"), idMap),
             decodeBounds(optF(df, "upper_bounds"), idMap))
-          files.put(fp, IceFile(fp, pv, stats))
+          val size = Option(optF(df, "file_size_in_bytes"))
+            .map(_.toString.toLong)
+          files.put(fp, IceFile(fp, pv, stats, size))
         }
       }
     }
@@ -287,17 +299,31 @@ object Iceberg {
       withMeta: Boolean = false): DataFrame = {
     val logFiles = sm.files.map { f =>
       val p = resolveRef(path, f.path)
-      val jf = new java.io.File(p)
-      LogFile(p, jf.length(), jf.lastModified(), f.partitionValues, f.stats)
+      // size from the manifest: no per-file stat, and a file expired
+      // past a consumer's snapshot fails LOUDLY at read instead of
+      // planning as an empty split (silent row loss)
+      val size = f.size.getOrElse {
+        val jf = new java.io.File(p)
+        require(jf.exists(), s"data file listed in the manifest is " +
+          s"missing on disk: $p (snapshots expired past this consumer?)")
+        jf.length()
+      }
+      LogFile(p, size, 0L, f.partitionValues, f.stats)
     }
     // pushed data filters stats-skip against the decoded manifest
     // bounds inside listFiles (file-constant cut predicates are
-    // evaluated in LakeScan for every format)
+    // evaluated in LakeScan for every format); lowering memoized per
+    // scan, stats parsed once per file
+    val lowered = new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.catalyst.expressions.Expression,
+      org.apache.spark.sql.graft.GraftSql.PredNode]()
     val keep = (filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
         lf: LogFile) =>
-      filters.forall(e => StatsSkip.mayMatch(
-        org.apache.spark.sql.graft.GraftSql.predicateTreeOf(e),
-        sm.schema, sm.partitionColumns, lf.partitionValues, lf.stats))
+      filters.forall(e => StatsSkip.mayMatchParsed(
+        lowered.computeIfAbsent(e,
+          org.apache.spark.sql.graft.GraftSql.predicateTreeOf(_)),
+        sm.schema, sm.partitionColumns, lf.partitionValues,
+        lf.parsedStats))
     LakeScan.scan(spark, path, sm.schema, sm.partitionColumns, logFiles,
       keep, withMeta)
   }
@@ -353,9 +379,16 @@ object Iceberg {
     }
   }
 
-  /** Manifest-list/manifest paths are absolute URIs or table-relative. */
+  /** Manifest-list/manifest/data paths are absolute URIs or
+    * table-relative. Local filesystem only in this environment: a
+    * non-file scheme (s3://, hdfs://) fails LOUDLY — joining it under
+    * the table dir would plan a nonexistent path away silently.
+    */
   private def resolveRef(table: String, p: String): String = {
     val noScheme = p.stripPrefix("file:")
+    if (noScheme.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*"))
+      throw new UnsupportedOperationException(
+        s"Iceberg: non-local URI '$p' is not readable in this environment")
     if (noScheme.startsWith("/")) noScheme
     else new java.io.File(table, noScheme).getAbsolutePath
   }
@@ -406,6 +439,27 @@ object Iceberg {
       case other => throw new UnsupportedOperationException(
         s"Iceberg nested type '$other' is not supported")
     }
+
+  /** The top-level field ids [[icebergSchemaJson]] assigns — the same
+    * pre-order walk (a nested struct's fields consume ids between two
+    * top-level siblings), so manifest bounds and partition-spec
+    * source-ids reference the ids actually written.
+    */
+  private[sources] def fieldIds(schema: StructType): Map[String, Int] = {
+    var nextId = 0
+    def skipNested(dt: DataType): Unit = dt match {
+      case s: StructType => s.fields.foreach { f =>
+        nextId += 1; skipNested(f.dataType)
+      }
+      case _ => ()
+    }
+    schema.fields.map { f =>
+      nextId += 1
+      val id = nextId
+      skipNested(f.dataType)
+      f.name -> id
+    }.toMap
+  }
 
   /** Spark StructType → Iceberg schema JSON (fixture writer; field ids
     * assigned in declaration order, stable across snapshots for an
@@ -610,9 +664,11 @@ object Iceberg {
         perCol.get(f.name).foreach { case (mn, mx) =>
           ser(f.dataType, if (takeMin) mn else mx).foreach { buf =>
             val r = new GenericData.Record(items)
-            // field id = 1-based ordinal in the (flat) table schema —
-            // the same assignment icebergSchemaJson makes
-            r.put("key", tableSchema.fieldNames.indexOf(f.name) + 1)
+            // field ids via the SAME pre-order walk icebergSchemaJson
+            // makes — a bare top-level ordinal diverges the moment a
+            // nested struct sits between two columns, mis-attributing
+            // bounds and silently skipping files that match
+            r.put("key", fieldIds(tableSchema)(f.name))
             r.put("value", buf)
             out.add(r)
           }
@@ -680,8 +736,8 @@ object Iceberg {
 
     // metadata json: full snapshot history + current pointer
     val specFields = partitionBy.zipWithIndex.map { case (c, i) =>
-      // source-id = the field's 1-based ordinal in the schema
-      val sid = tableSchema.fieldNames.indexOf(c) + 1
+      // source-id via the same pre-order id walk as the schema JSON
+      val sid = fieldIds(tableSchema)(c)
       s"""{"name":"$c","transform":"identity","source-id":$sid,""" +
         s""""field-id":${1000 + i}}"""
     }.mkString(",")

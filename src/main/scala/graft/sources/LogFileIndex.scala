@@ -13,7 +13,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * (protocol string encoding), and the per-file stats JSON.
   */
 final case class LogFile(path: String, size: Long, modificationTime: Long,
-    partitionValues: Map[String, String], stats: Option[String])
+    partitionValues: Map[String, String], stats: Option[String]) {
+  /** Stats parsed once per file — `listFiles` evaluates every pushed
+    * filter against every candidate file, so per-leaf re-parsing is a
+    * files × filters Jackson cost for nothing.
+    */
+  lazy val parsedStats: Option[com.fasterxml.jackson.databind.JsonNode] =
+    stats.map(StatsSkip.parse)
+}
 
 /** A [[FileIndex]] backed by a transaction log's file list instead of a
   * filesystem listing — the Spark-native shape for lakehouse snapshot

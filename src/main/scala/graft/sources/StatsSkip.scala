@@ -15,6 +15,12 @@ object StatsSkip {
 
   private val M = new ObjectMapper()
 
+  /** Parse a stats JSON once — callers on the per-file hot path (the
+    * index's `listFiles` runs per query over every candidate file)
+    * cache the parsed tree instead of re-parsing per predicate leaf.
+    */
+  def parse(stats: String): JsonNode = M.readTree(stats)
+
   /** Three-valued check of a lowered predicate tree against one file's
     * partition values (exact per the log) and min/max stats JSON
     * (`{"minValues":{...},"maxValues":{...}}`). Handles AND/OR and
@@ -24,7 +30,15 @@ object StatsSkip {
   def mayMatch(n: org.apache.spark.sql.graft.GraftSql.PredNode,
       schema: StructType, partitionColumns: Seq[String],
       partitionValues: Map[String, String],
-      fileStats: Option[String]): Boolean = {
+      fileStats: Option[String]): Boolean =
+    mayMatchParsed(n, schema, partitionColumns, partitionValues,
+      fileStats.map(parse))
+
+  /** [[mayMatch]] over a pre-parsed stats tree. */
+  def mayMatchParsed(n: org.apache.spark.sql.graft.GraftSql.PredNode,
+      schema: StructType, partitionColumns: Seq[String],
+      partitionValues: Map[String, String],
+      fileStats: Option[JsonNode]): Boolean = {
     import org.apache.spark.sql.graft.GraftSql._
 
     // None = not comparable (keep the file): unsupported type, a
@@ -68,7 +82,7 @@ object StatsSkip {
             })
           case _ => true
         }
-      val stats = fileStats.map(M.readTree).getOrElse(return true)
+      val stats = fileStats.getOrElse(return true)
       def stat(kind: String): Option[JsonNode] =
         Option(stats.get(kind)).flatMap(m => Option(m.get(name)))
           .filterNot(_.isNull)
@@ -86,11 +100,15 @@ object StatsSkip {
 
     n match {
       case PredAnd(l, r) =>
-        mayMatch(l, schema, partitionColumns, partitionValues, fileStats) &&
-          mayMatch(r, schema, partitionColumns, partitionValues, fileStats)
+        mayMatchParsed(l, schema, partitionColumns, partitionValues,
+          fileStats) &&
+          mayMatchParsed(r, schema, partitionColumns, partitionValues,
+            fileStats)
       case PredOr(l, r) =>
-        mayMatch(l, schema, partitionColumns, partitionValues, fileStats) ||
-          mayMatch(r, schema, partitionColumns, partitionValues, fileStats)
+        mayMatchParsed(l, schema, partitionColumns, partitionValues,
+          fileStats) ||
+          mayMatchParsed(r, schema, partitionColumns, partitionValues,
+            fileStats)
       case PredCmp(name, v, op) => check(name, v, op)
       case PredUnknown => true
     }

@@ -79,8 +79,10 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
       CpRow(None, Some(CpMeta("cp-meta", CpFormat("parquet"),
         a.schema.json, Seq.empty)), None) +:
       CpRow(None, None, Some(CpProtocol(1, 2))) +:
-      files.map(f => CpRow(Some(CpAdd(f, Map.empty, 1L, 1L, true)),
-        None, None))
+      // real sizes: the reader plans splits from the LOG's size (the
+      // protocol requires it to be correct; it never stats the file)
+      files.map(f => CpRow(Some(CpAdd(f, Map.empty,
+        new java.io.File(dir, f).length(), 1L, true)), None, None))
     val tmp = freshDir("cpbuild")
     cpRows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = new java.io.File(tmp).listFiles()

@@ -125,6 +125,47 @@ class DeltaLakeChangesSpec extends AnyFunSuite with SparkFixture {
       want.orderBy("p").collect().toSeq)
   }
 
+  test("a vacuumed (missing) data file fails LOUDLY, never an empty split") {
+    val dir = freshDir("vacuumed")
+    DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq.empty, 0L)
+    // simulate VACUUM past a consumer's cut: physically delete one
+    // data file the log still lists
+    val victim = new java.io.File(
+      DeltaLake.snapshot(spark, dir).inputFiles.head.stripPrefix("file:"))
+    assert(victim.delete())
+    // the scan plans the file with the LOG's size (never a 0-length
+    // File.length() stat that Spark would plan as an empty split —
+    // silent row loss); the read then fails loudly
+    val e = intercept[Exception] {
+      DeltaLake.snapshot(spark, dir).collect()
+    }
+    assert(e.toString.contains("FileNotFound") ||
+      Option(e.getCause).exists(_.toString.contains("FileNotFound")) ||
+      e.toString.toLowerCase.contains("does not exist"),
+      s"expected a loud missing-file failure, got: $e")
+  }
+
+  test("signedRows(to) + advanceTo: a mid-cycle commit is never skipped") {
+    val dir = freshDir("midcycle")
+    DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq("p"), 0L)
+    DeltaLake.stageCommit(spark, dir, frame(10 until 15), Seq("p"), 1L)
+    DeltaLakeSnapshots.track(spark, "dlc_mid", dir, at = Some(0L))
+    // resolve the window end ONCE
+    val v = DeltaLake.latestVersion(spark, dir) // = 1
+    val sd = DeltaLakeSnapshots.signedRows(spark, "dlc_mid", to = Some(v))
+    // a commit lands between the read and the advance
+    DeltaLake.stageCommit(spark, dir, frame(15 until 20), Seq("p"), 2L)
+    val applied = sd.applyTo(DeltaLake.snapshot(spark, dir, Some(0L)))
+    assert(rows(applied) == rows(DeltaLake.snapshot(spark, dir, Some(v))))
+    DeltaLakeSnapshots.advanceTo(spark, "dlc_mid", v)
+    assert(DeltaLakeSnapshots.cut("dlc_mid").contains(v))
+    // the mid-cycle commit is still in the NEXT window — not skipped
+    val sd2 = DeltaLakeSnapshots.signedRows(spark, "dlc_mid")
+    assert(rows(sd2.inserts) ==
+      (15 until 20).map(i => (i.toLong, i.toLong * 10,
+        if (i % 2 == 0) "A" else "B")).toSet)
+  }
+
   test("fail-fast: schema evolution inside the window") {
     val dir = freshDir("evo")
     DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq("p"), 0L)

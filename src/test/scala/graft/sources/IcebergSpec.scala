@@ -175,6 +175,40 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(graft.ivm.IcebergSnapshots.cut("ice_del").contains(s3))
   }
 
+  test("bounds field ids survive a nested struct between columns") {
+    // icebergSchemaJson assigns ids PRE-ORDER (a=1, s=2, s.u=3, b=4);
+    // keying bounds by a bare top-level ordinal would attribute b's
+    // bounds to id 3 (s.u) — or worse, another column's — and skipping
+    // would prove files empty that aren't
+    val dir = freshDir("nested")
+    import org.apache.spark.sql.functions.struct
+    val df1 = Seq((1L, 5L, 10L), (2L, 6L, 20L)).toDF("a", "u", "b")
+      .select(col("a"), struct(col("u")).as("s"), col("b")).coalesce(1)
+    val df2 = Seq((3L, 7L, 100L), (4L, 8L, 200L)).toDF("a", "u", "b")
+      .select(col("a"), struct(col("u")).as("s"), col("b")).coalesce(1)
+    Iceberg.stageAppend(spark, dir, df1, Seq.empty)
+    Iceberg.stageAppend(spark, dir, df2, Seq.empty)
+    val hi = Iceberg.snapshotWhere(spark, dir, col("b") >= 100L)
+    assert(hi.count() == 2L, "bounds on b must not mis-skip the high file")
+    assert(hi.inputFiles.length == 1,
+      "bounds on b must still skip the low file")
+  }
+
+  test("an expired (missing) data file fails LOUDLY, never an empty split") {
+    val dir = freshDir("expired")
+    Iceberg.stageAppend(spark, dir, frame(0 until 10).coalesce(1), Seq.empty)
+    val victim = new java.io.File(Iceberg.snapshot(spark, dir)
+      .inputFiles.head.stripPrefix("file:"))
+    assert(victim.delete())
+    val e = intercept[Exception] {
+      Iceberg.snapshot(spark, dir).collect()
+    }
+    assert(e.toString.contains("FileNotFound") ||
+      Option(e.getCause).exists(_.toString.contains("FileNotFound")) ||
+      e.toString.toLowerCase.contains("does not exist"),
+      s"expected a loud missing-file failure, got: $e")
+  }
+
   test("fail-fast: non-identity partition transform") {
     val (dir, _, _) = twoSnapshots()
     // munge the metadata's transform to a bucket transform
