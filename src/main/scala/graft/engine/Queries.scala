@@ -1883,7 +1883,46 @@ object Queries {
              |WHERE o_totalprice > 100000
              |  AND NOT (o_custkey % 7 = 0
              |    AND o_orderpriority IN ('1-URGENT', '3-MEDIUM'))
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // UPDATE THROUGH THE SIGNED SEAM (r9): the third DML shape — a
+    // row-level UPDATE rewrite (hit files removed, rewritten in full
+    // with SET applied to matching rows) lands as commit 2, and the
+    // stored aggregate view maintains through it via the same signed
+    // diff + group-scoped splice as the delete: the pair nets to
+    // retract(old row) + insert(updated row) for exactly the updated
+    // rows. One touched partition; the oracle recomputes the post-update
+    // table from first principles with a CASE expression.
+    QueryDef("delta_deltalake_update",
+      (s, d) => {
+        import graft.ivm.DeltaLakeSnapshots
+        val dir = deltaLakeOrdersUpdated(s, d)
+        val aggOf = (df: org.apache.spark.sql.DataFrame) => df
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"),
+            max(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("max_price"))
+        DeltaLakeSnapshots.track(s, "dl_orders_upd", dir, at = Some(1L))
+        val stored = aggOf(
+          graft.sources.DeltaLake.snapshot(s, dir, version = Some(1L)))
+        DeltaLakeSnapshots.maintainAgg(s, "dl_orders_upd", stored,
+          Seq("o_orderpriority"), aggOf)
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(CASE WHEN o_custkey % 6 = 0
+             |      AND o_orderpriority = '4-NOT SPECIFIED'
+             |    THEN o_totalprice + 1000 ELSE o_totalprice END
+             |    AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  CAST(MAX(CAST(CASE WHEN o_custkey % 6 = 0
+             |      AND o_orderpriority = '4-NOT SPECIFIED'
+             |    THEN o_totalprice + 1000 ELSE o_totalprice END
+             |    AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 
   /** The staged two-commit Delta table the `deltalake_*` queries read:
@@ -1961,6 +2000,26 @@ object Queries {
       graft.sources.Iceberg.stageAppend(s, p,
         ord.filter(col("o_orderkey") >= cut), Seq("o_orderpriority"))
       ()
+    }
+
+  /** The staged table with a row-level UPDATE at version 2 (hit files
+    * rewritten with SET applied to matching rows) — the
+    * `delta_deltalake_update` fixture.
+    */
+  private[graft] def deltaLakeOrdersUpdated(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_upd_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_orderkey") < c1), Seq("o_orderpriority"), 0L)
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_orderkey") >= c1), Seq("o_orderpriority"), 1L)
+      graft.sources.DeltaLake.stageUpdateCommit(s, p,
+        col("o_custkey") % 6 === 0 &&
+          col("o_orderpriority") === "4-NOT SPECIFIED",
+        Map("o_totalprice" -> (col("o_totalprice") + 1000)), 2L)
     }
 
   /** The Iceberg table with a COPY-ON-WRITE DELETE at snapshot 3 — the

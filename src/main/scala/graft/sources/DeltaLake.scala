@@ -749,6 +749,75 @@ object DeltaLake {
     writeCommit(tableDir, version, actions.toSeq)
   }
 
+  /** Append a row-level UPDATE as commit `version` — the other DML
+    * rewrite shape [[changes]] handles: every live file holding a
+    * matching row is removed (`dataChange=true`) and rewritten in full
+    * with `set` applied to the matching rows (non-matching rows copied
+    * unchanged); under the signed algebra the pair nets to retract(old
+    * row) + insert(updated row) for exactly the updated rows. Fixture
+    * machinery, same per-file rules as [[stageDeleteCommit]].
+    */
+  def stageUpdateCommit(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      version: Long): Unit = {
+    import org.apache.spark.sql.functions.when
+    val st = replay(spark, tableDir, None)
+    val root = new java.io.File(tableDir)
+    val dataSchema = StructType(
+      st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
+    require(set.keySet.forall(dataSchema.fieldNames.contains),
+      s"stageUpdateCommit: SET columns ${set.keySet} must be data " +
+        "columns (updating a partition column is a move, not a rewrite)")
+    val actions = mutable.Buffer.empty[String]
+    st.adds.foreach { a =>
+      val f = new java.io.File(resolve(tableDir, a.path))
+      val fileRows = st.partitionColumns.foldLeft(
+        spark.read.schema(dataSchema).parquet(f.getAbsolutePath)) {
+        (df, pc) =>
+          val dt = st.schema(pc).dataType
+          df.withColumn(pc, a.partitionValues.get(pc).filter(_ != null)
+            .map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
+      }
+      if (!fileRows.filter(predicate).isEmpty) {
+        val rm = M.createObjectNode()
+        rm.put("path", a.path)
+        rm.put("deletionTimestamp", 0L)
+        rm.put("dataChange", true)
+        actions += s"""{"remove":${M.writeValueAsString(rm)}}"""
+        // UPDATE applies `set` where the predicate is TRUE; false-or-
+        // NULL rows copy through unchanged (three-valued semantics)
+        val updated = set.foldLeft(fileRows) { case (df, (c, e)) =>
+          df.withColumn(c,
+            when(predicate, e.cast(st.schema(c).dataType))
+              .otherwise(col(c)))
+        }.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+        val tmp = new java.io.File(root, s"_update_tmp_$version")
+        updated.coalesce(1).write.mode("overwrite")
+          .parquet(tmp.getAbsolutePath)
+        val part = Option(tmp.listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet")).head
+        val rel = (a.partitionValues.map { case (k, v) => s"$k=$v" }.toSeq
+          :+ part.getName).mkString("/")
+        val dest = new java.io.File(root, rel)
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
+        val add = M.createObjectNode()
+        add.put("path", percentEncode(rel))
+        val pvNode = add.putObject("partitionValues")
+        a.partitionValues.foreach { case (k, v) => pvNode.put(k, v) }
+        add.put("size", dest.length())
+        add.put("modificationTime", dest.lastModified())
+        add.put("dataChange", true)
+        fileStats(spark, dataSchema, Seq(dest.getAbsolutePath))
+          .get(dest.getName).foreach(s => add.put("stats", s))
+        actions += s"""{"add":${M.writeValueAsString(add)}}"""
+      }
+    }
+    writeCommit(tableDir, version, actions.toSeq)
+  }
+
   /** Compact the current snapshot into ONE file as commit `version` —
     * the OPTIMIZE shape: every live file removed and the rewritten file
     * added, all with `dataChange=false` (a metadata-only change to

@@ -125,6 +125,70 @@ class DeltaLakeChangesSpec extends AnyFunSuite with SparkFixture {
       want.orderBy("p").collect().toSeq)
   }
 
+  test("stageUpdateCommit: the signed diff nets to old-row retract + " +
+      "updated-row insert") {
+    val dir = freshDir("upd")
+    DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq("p"), 0L)
+    DeltaLake.stageCommit(spark, dir, frame(10 until 20), Seq("p"), 1L)
+    // UPDATE v = v + 1 WHERE id % 3 = 0 AND p = 'A'
+    DeltaLake.stageUpdateCommit(spark, dir,
+      col("id") % 3 === 0 && col("p") === "A",
+      Map("v" -> (col("v") + 1)), 2L)
+    val want = (0 until 20).map { i =>
+      val updated = i % 3 == 0 && i % 2 == 0
+      (i.toLong, i.toLong * 10 + (if (updated) 1 else 0),
+        if (i % 2 == 0) "A" else "B")
+    }.toSet
+    assert(rows(DeltaLake.snapshot(spark, dir)) == want)
+    // signed identity through the update window
+    val ch = DeltaLake.changes(spark, dir, afterVersion = 1L)
+    val applied = Ivm.SignedDelta(ch.inserts, ch.retracts)
+      .applyTo(DeltaLake.snapshot(spark, dir, Some(1L)))
+    assert(rows(applied) == want)
+    // and the group-scoped splice maintains an aggregate through it
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    DeltaLakeSnapshots.track(spark, "dlc_upd", dir, at = Some(1L))
+    val aggOf = (df: DataFrame) => df.groupBy("p")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("total"))
+    val got = DeltaLakeSnapshots.maintainAgg(spark, "dlc_upd",
+      aggOf(DeltaLake.snapshot(spark, dir, Some(1L))), Seq("p"), aggOf)
+    assert(got.orderBy("p").collect().toSeq ==
+      aggOf(DeltaLake.snapshot(spark, dir)).orderBy("p").collect().toSeq)
+  }
+
+  test("maintainAgg recompute arm prunes files to the touched partitions") {
+    import org.apache.spark.sql.classic
+    import org.apache.spark.sql.functions.{count, lit}
+    val dir = stagedWithDelete() // delete touched partition A only
+    DeltaLakeSnapshots.track(spark, "dlc_prune", dir, at = Some(1L))
+    var captured: DataFrame = null
+    val aggOf = (df: DataFrame) => {
+      captured = df // the restricted recompute input
+      df.groupBy("p").agg(count(lit(1)).as("cnt"))
+    }
+    val stored = DeltaLake.snapshot(spark, dir, Some(1L))
+      .groupBy("p").agg(count(lit(1)).as("cnt"))
+    DeltaLakeSnapshots.maintainAgg(spark, "dlc_prune", stored,
+      Seq("p"), aggOf)
+    // the touched set (p = 'A') inlines as a literal predicate, so the
+    // log-backed index prunes partition-B files from the PLAN
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scan = try {
+      captured.collect()
+      captured.asInstanceOf[classic.Dataset[_]].queryExecution
+        .executedPlan.collectLeaves().collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.get
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    val aFiles = DeltaLake.snapshotWhere(spark, dir,
+      org.apache.spark.sql.functions.col("p") === "A").inputFiles.length
+    val allFiles = DeltaLake.snapshot(spark, dir).inputFiles.length
+    assert(aFiles < allFiles, "fixture: partition B must have files")
+    assert(scan.metrics("numFiles").value == aFiles.toLong,
+      s"recompute arm must plan only partition-A files " +
+        s"(${scan.metrics("numFiles").value} vs $aFiles of $allFiles)")
+  }
+
   test("a vacuumed (missing) data file fails LOUDLY, never an empty split") {
     val dir = freshDir("vacuumed")
     DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq.empty, 0L)
