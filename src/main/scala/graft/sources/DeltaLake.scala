@@ -79,6 +79,32 @@ object DeltaLake {
     readFiles(spark, path, st, st.adds)
   }
 
+  /** The version committed at-or-before `timestampMs` — `TIMESTAMP AS
+    * OF` resolution, by commit-file modification time (what Delta's own
+    * reader uses by default; in-commit timestamps override it only when
+    * the table enables them). Fails if the earliest commit is already
+    * after the timestamp — "before the table existed" must not silently
+    * read version 0.
+    */
+  def versionAt(spark: SparkSession, path: String,
+      timestampMs: Long): Long = {
+    val commits = commitVersions(path)
+    require(commits.nonEmpty, s"not a Delta table (no _delta_log): $path")
+    val at = commits.filter { v =>
+      new java.io.File(logDir(path), f"$v%020d.json")
+        .lastModified() <= timestampMs
+    }
+    require(at.nonEmpty,
+      s"no commit of $path at or before timestamp $timestampMs (the " +
+        s"earliest commit is newer) — nothing to time-travel to")
+    at.max
+  }
+
+  /** `TIMESTAMP AS OF` snapshot — [[versionAt]] then [[snapshot]]. */
+  def snapshotAsOf(spark: SparkSession, path: String,
+      timestampMs: Long): DataFrame =
+    snapshot(spark, path, Some(versionAt(spark, path, timestampMs)))
+
   /** Snapshot with the file-source `_metadata` struct exposed as a
     * column — the shape [[graft.ivm.DeltaLakeSnapshots]] registers as an
     * incremental source (its version-cut predicate selects on

@@ -81,6 +81,27 @@ object Iceberg {
     id
   }
 
+  /** The snapshot current as of `timestampMs` — `TIMESTAMP AS OF`
+    * resolution from the metadata's snapshot log (`timestamp-ms` is
+    * required in every format version). Fails if the earliest snapshot
+    * is already after the timestamp.
+    */
+  def snapshotIdAt(path: String, timestampMs: Long): Long = {
+    val md = readMetadata(path)
+    val at = Option(md.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala.toSeq)
+      .filter(_.get("timestamp-ms").asLong <= timestampMs)
+    require(at.nonEmpty,
+      s"no Iceberg snapshot of $path at or before $timestampMs (the " +
+        "earliest snapshot is newer) — nothing to time-travel to")
+    at.maxBy(_.get("timestamp-ms").asLong).get("snapshot-id").asLong
+  }
+
+  /** `TIMESTAMP AS OF` snapshot — [[snapshotIdAt]] then [[snapshot]]. */
+  def snapshotAsOf(spark: SparkSession, path: String,
+      timestampMs: Long): DataFrame =
+    snapshot(spark, path, Some(snapshotIdAt(path, timestampMs)))
+
   /** All snapshot ids, oldest first (commit order by sequence/timestamp). */
   def snapshotIds(path: String): Seq[Long] = {
     val md = readMetadata(path)

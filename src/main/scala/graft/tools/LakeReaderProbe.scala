@@ -74,6 +74,56 @@ object LakeReaderProbe {
     println(f"delta stats skip (1%% key range on clustered layout)  " +
       f"planned $kept%3d of $total%d files")
 
+    // delete-aware maintenance cycle at table scale: a DELETE hitting 2
+    // of the 100 partitions lands on the 1k-file table; the group-scoped
+    // splice must (a) read only the window's changed files for the
+    // signed diff, (b) plan only the touched partitions' files in the
+    // recompute arm (the inlined touched-set predicate), and (c) beat a
+    // full view recompute in wall-clock
+    val delTable = graft.sources.Staging.stageOnce(dir, "probe_delta_cycle",
+      Seq(s"$dir/orders.parquet")) { p =>
+      dl.stageCommit(spark, p,
+        ord.withColumn("pk", (col("o_orderkey") % 100)).repartition(10),
+        Seq("pk"), 0L)
+      dl.stageDeleteCommit(spark, p,
+        col("o_custkey") % 3 === 0 && (col("pk") === 7 || col("pk") === 41),
+        1L)
+    }
+    // DECIMAL sum: a double sum is order-nondeterministic, so the stored
+    // view and the recompute would differ in the last bits on UNTOUCHED
+    // groups — the same reason every declared money aggregate goes
+    // through DECIMAL(18,2)
+    val aggOf = (df: org.apache.spark.sql.DataFrame) => df
+      .groupBy("pk").agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("total"))
+    graft.ivm.DeltaLakeSnapshots.track(spark, "probe_cycle", delTable,
+      at = Some(0L))
+    val stored = aggOf(dl.snapshot(spark, delTable, Some(0L)))
+      .localCheckpoint()
+    val t0 = System.nanoTime()
+    val maintained = graft.ivm.DeltaLakeSnapshots.maintainAgg(spark,
+      "probe_cycle", stored, Seq("pk"), aggOf)
+    val cycleS = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val full = aggOf(dl.snapshot(spark, delTable)).localCheckpoint()
+    val fullS = (System.nanoTime() - t1) / 1e9
+    if (maintained.orderBy("pk").collect().toSeq !=
+        full.orderBy("pk").collect().toSeq) {
+      println("cycle-only rows:")
+      maintained.exceptAll(full).show(20, truncate = false)
+      println("recompute-only rows:")
+      full.exceptAll(maintained).show(20, truncate = false)
+      throw new IllegalArgumentException("cycle != recompute")
+    }
+    val armFiles = dl.snapshotWhere(spark, delTable,
+      col("pk") === 7 || col("pk") === 41).inputFiles.length
+    val liveFiles = dl.snapshot(spark, delTable).inputFiles.length
+    println(f"delta delete cycle (2 of 100 partitions touched)  " +
+      f"splice $cycleS%5.2f s vs full recompute $fullS%5.2f s; " +
+      f"recompute arm $armFiles%d of $liveFiles%d live files")
+
     // Iceberg fold+plan on the staged two-snapshot table (manifest fold
     // instead of JSON-commit fold; same single-scan construction)
     val ice = graft.engine.Queries.icebergOrders(spark, dir)

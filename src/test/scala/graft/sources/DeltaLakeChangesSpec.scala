@@ -189,6 +189,24 @@ class DeltaLakeChangesSpec extends AnyFunSuite with SparkFixture {
         s"(${scan.metrics("numFiles").value} vs $aFiles of $allFiles)")
   }
 
+  test("TIMESTAMP AS OF resolves by commit mtime; pre-table timestamps fail") {
+    val dir = freshDir("asof")
+    DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq.empty, 0L)
+    val t0 = new java.io.File(dir,
+      f"_delta_log/${0L}%020d.json").lastModified()
+    // commit 1 strictly later on the mtime clock
+    val log1 = new java.io.File(dir, f"_delta_log/${1L}%020d.json")
+    DeltaLake.stageCommit(spark, dir, frame(10 until 20), Seq.empty, 1L)
+    assert(log1.setLastModified(t0 + 10000))
+    assert(DeltaLake.versionAt(spark, dir, t0) == 0L)
+    assert(DeltaLake.versionAt(spark, dir, t0 + 20000) == 1L)
+    assert(rows(DeltaLake.snapshotAsOf(spark, dir, t0)).size == 10)
+    assert(rows(DeltaLake.snapshotAsOf(spark, dir, t0 + 20000)).size == 20)
+    intercept[IllegalArgumentException] {
+      DeltaLake.versionAt(spark, dir, t0 - 1000000)
+    }
+  }
+
   test("a vacuumed (missing) data file fails LOUDLY, never an empty split") {
     val dir = freshDir("vacuumed")
     DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq.empty, 0L)

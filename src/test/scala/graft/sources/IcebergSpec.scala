@@ -51,6 +51,20 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
         if (i % 2 == 0) "A" else "B")).toSet)
   }
 
+  test("TIMESTAMP AS OF resolves from the snapshot log's timestamp-ms") {
+    val (dir, s1, s2) = twoSnapshots()
+    // fixture timestamps are 1700000000000 + version
+    val t1 = 1700000000000L + s1
+    assert(Iceberg.snapshotIdAt(dir, t1) == s1)
+    // anything at/after s2's timestamp (1 ms later) resolves to s2
+    assert(Iceberg.snapshotIdAt(dir, t1 + 500) == s2)
+    assert(Iceberg.snapshotIdAt(dir, 1700000000000L + s2) == s2)
+    assert(rows(Iceberg.snapshotAsOf(spark, dir, t1)).size == 10)
+    intercept[IllegalArgumentException] {
+      Iceberg.snapshotIdAt(dir, t1 - 1000)
+    }
+  }
+
   test("appended: the snapshot-to-snapshot live-file diff") {
     val (dir, s1, _) = twoSnapshots()
     assert(rows(Iceberg.appended(spark, dir, afterSnapshotId = s1)) ==
