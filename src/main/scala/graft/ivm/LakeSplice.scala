@@ -55,8 +55,18 @@ private[ivm] object LakeSplice {
     // and prunes FILES deterministically; a broadcast semi join only
     // restricts rows after the scan (runtime DPP may or may not fire).
     // Beyond the cap, or for composite keys, fall back to the semi join.
+    val inlinableKeyType = keys.size == 1 &&
+      (touched.schema.head.dataType match {
+        // a struct/array/map grouping value collects as a Row/Seq that
+        // `lit()`/`isin` cannot re-literalize — those fall to the semi
+        // join, which handles any groupable type
+        case _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType => false
+        case _ => true
+      })
     val restricted =
-      if (keys.size == 1) {
+      if (inlinableKeyType) {
         val vals = touched.limit(InlineCap + 1).collect().map(_.get(0))
         if (vals.length <= InlineCap) {
           val k = col(keys.head)

@@ -82,22 +82,35 @@ object DeltaLake {
   /** The version committed at-or-before `timestampMs` — `TIMESTAMP AS
     * OF` resolution, by commit-file modification time (what Delta's own
     * reader uses by default; in-commit timestamps override it only when
-    * the table enables them). Fails if the earliest commit is already
-    * after the timestamp — "before the table existed" must not silently
-    * read version 0.
+    * the table enables them), with Delta's MONOTONIC ADJUSTMENT: a
+    * commit whose mtime is not after its predecessor's reads as
+    * predecessor + 1 ms (backup restores and clock skew reorder raw
+    * mtimes; without the adjustment a later VERSION with an earlier
+    * mtime would be selected past the requested cut). Fails if the
+    * earliest commit is already after the timestamp — "before the table
+    * existed" must not silently read version 0 — and on a
+    * checkpoint-only log (JSON commits carry the timestamps).
     */
   def versionAt(spark: SparkSession, path: String,
       timestampMs: Long): Long = {
+    require(logDir(path).exists(), s"not a Delta table (no _delta_log): $path")
     val commits = commitVersions(path)
-    require(commits.nonEmpty, s"not a Delta table (no _delta_log): $path")
-    val at = commits.filter { v =>
-      new java.io.File(logDir(path), f"$v%020d.json")
-        .lastModified() <= timestampMs
+    require(commits.nonEmpty,
+      s"cannot resolve TIMESTAMP AS OF on $path: the log holds no JSON " +
+        "commits (cleaned to checkpoint-only?) — commit timestamps are " +
+        "gone; time-travel by VERSION instead")
+    var prev = Long.MinValue
+    val adjusted = commits.map { v =>
+      val raw = new java.io.File(logDir(path), f"$v%020d.json")
+        .lastModified()
+      prev = if (raw > prev) raw else prev + 1
+      v -> prev
     }
+    val at = adjusted.filter(_._2 <= timestampMs)
     require(at.nonEmpty,
       s"no commit of $path at or before timestamp $timestampMs (the " +
         s"earliest commit is newer) — nothing to time-travel to")
-    at.max
+    at.map(_._1).max
   }
 
   /** `TIMESTAMP AS OF` snapshot — [[versionAt]] then [[snapshot]]. */
@@ -506,21 +519,10 @@ object DeltaLake {
     }
     // file-constant (`file_name`) predicates — the version-cut seam's
     // NOT IN shape — prune inside LakeScan for every format; this keep
-    // adds Delta's per-file STATS skipping on top. The lowered predicate
-    // tree is memoized per scan (listFiles hands the SAME expressions to
-    // every candidate file) and the stats JSON parses once per file.
-    val lowered = new java.util.concurrent.ConcurrentHashMap[
-      org.apache.spark.sql.catalyst.expressions.Expression,
-      org.apache.spark.sql.graft.GraftSql.PredNode]()
-    val keep = (filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-        lf: LogFile) =>
-      filters.forall(e => StatsSkip.mayMatchParsed(
-        lowered.computeIfAbsent(e,
-          org.apache.spark.sql.graft.GraftSql.predicateTreeOf(_)),
-        st.schema, st.partitionColumns, lf.partitionValues,
-        lf.parsedStats))
+    // adds the per-file STATS skipping on top (shared memoized keep:
+    // predicate lowering once per scan, stats parsed once per file)
     LakeScan.scan(spark, path, st.schema, st.partitionColumns, logFiles,
-      keep, withMeta)
+      StatsSkip.memoKeep(st.schema, st.partitionColumns), withMeta)
   }
 
   /** Paths in the log are percent-encoded, relative to the table root or
@@ -708,24 +710,72 @@ object DeltaLake {
     * file holding a matching row is removed (`dataChange=true`) and its
     * SURVIVORS are rewritten into a fresh file in the same partition
     * (added `dataChange=true`, with recomputed stats); untouched files
-    * are left alone. Fixture machinery for the delete-aware signed
-    * source ([[changes]]); real tables are written by the lakehouse
-    * writer, this just speaks the same protocol.
+    * are left alone. Rows where the predicate is false OR NULL survive
+    * (SQL's three-valued delete contract). Fixture machinery for the
+    * delete-aware signed source ([[changes]]); real tables are written
+    * by the lakehouse writer, this just speaks the same protocol.
     */
   def stageDeleteCommit(spark: SparkSession, tableDir: String,
-      predicate: org.apache.spark.sql.Column, version: Long): Unit = {
+      predicate: org.apache.spark.sql.Column, version: Long): Unit =
+    stageRewriteCommit(spark, tableDir, predicate, version, "delete") {
+      (fileRows, dataCols) =>
+        fileRows.filter(org.apache.spark.sql.functions.coalesce(
+          !predicate, lit(true)))
+          .select(dataCols.map(col): _*)
+    }
+
+  /** Append a row-level UPDATE as commit `version` — the other DML
+    * rewrite shape [[changes]] handles: every live file holding a
+    * matching row is removed (`dataChange=true`) and rewritten in full
+    * with `set` applied to the matching rows (non-matching rows copied
+    * unchanged); under the signed algebra the pair nets to retract(old
+    * row) + insert(updated row) for exactly the updated rows. SQL UPDATE
+    * semantics: the predicate AND every SET expression evaluate against
+    * the OLD row (one projection — a column-by-column fold would feed
+    * later expressions partially-updated values, in hash-map order).
+    */
+  def stageUpdateCommit(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      version: Long): Unit = {
+    import org.apache.spark.sql.functions.when
+    stageRewriteCommit(spark, tableDir, predicate, version, "update") {
+      (fileRows, dataCols) =>
+        require(set.keySet.subsetOf(dataCols.toSet),
+          s"stageUpdateCommit: SET columns ${set.keySet} must be data " +
+            "columns (updating a partition column is a move, not a " +
+            "rewrite) — data columns: $dataCols")
+        val tableSchema = fileRows.schema
+        fileRows.select(dataCols.map { c =>
+          set.get(c) match {
+            case Some(e) =>
+              when(predicate, e.cast(tableSchema(c).dataType))
+                .otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+    }
+  }
+
+  /** Shared rewrite-commit machinery for the DML fixtures
+    * ([[stageDeleteCommit]], [[stageUpdateCommit]]): per live file, read
+    * it DIRECTLY — never via the snapshot keyed on `_metadata.file_name`
+    * (dynamic-partition writes reuse the same part name across partition
+    * dirs, so names collide across files) — with the log's partition
+    * values attached (the predicate may reference partition columns data
+    * files don't carry); if any row matches, remove the file
+    * (`dataChange=true`) and re-add `rewrite(fileRows, dataCols)` in the
+    * same partition with fresh stats. Driver-side per-file loop: fixture
+    * scale; a production writer gets the hit split from its own scan.
+    */
+  private def stageRewriteCommit(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column, version: Long, tag: String)
+      (rewrite: (DataFrame, Seq[String]) => DataFrame): Unit = {
     val st = replay(spark, tableDir, None)
     val root = new java.io.File(tableDir)
     val dataSchema = StructType(
       st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
     val actions = mutable.Buffer.empty[String]
-    // per-file, read DIRECTLY — never via the snapshot keyed on
-    // _metadata.file_name: dynamic-partition writes reuse the same part
-    // name across partition dirs, so names collide across files — and
-    // attach the log's partition values, since the predicate may
-    // reference partition columns that data files don't carry.
-    // Driver-side per-file loop: fixture scale; a production writer gets
-    // the hit split from its own scan.
     st.adds.foreach { a =>
       val f = new java.io.File(resolve(tableDir, a.path))
       val fileRows = st.partitionColumns.foldLeft(
@@ -741,15 +791,10 @@ object DeltaLake {
         rm.put("deletionTimestamp", 0L)
         rm.put("dataChange", true)
         actions += s"""{"remove":${M.writeValueAsString(rm)}}"""
-        // DELETE removes rows where the predicate is TRUE; rows where it
-        // is false OR NULL survive (SQL's three-valued delete contract)
-        val survivors = fileRows
-          .filter(org.apache.spark.sql.functions.coalesce(
-            !predicate, lit(true)))
-          .select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
-        if (!survivors.isEmpty) {
-          val tmp = new java.io.File(root, s"_delete_tmp_$version")
-          survivors.coalesce(1).write.mode("overwrite")
+        val rewritten = rewrite(fileRows, dataSchema.fieldNames.toSeq)
+        if (!rewritten.isEmpty) {
+          val tmp = new java.io.File(root, s"_${tag}_tmp_$version")
+          rewritten.coalesce(1).write.mode("overwrite")
             .parquet(tmp.getAbsolutePath)
           val part = Option(tmp.listFiles()).toSeq.flatten
             .filter(_.getName.endsWith(".parquet")).head
@@ -767,78 +812,9 @@ object DeltaLake {
           add.put("modificationTime", dest.lastModified())
           add.put("dataChange", true)
           fileStats(spark, dataSchema, Seq(dest.getAbsolutePath))
-            .get(dest.getName).foreach(s => add.put("stats", s))
+            .get(dest.getName).foreach(st => add.put("stats", st))
           actions += s"""{"add":${M.writeValueAsString(add)}}"""
         }
-      }
-    }
-    writeCommit(tableDir, version, actions.toSeq)
-  }
-
-  /** Append a row-level UPDATE as commit `version` — the other DML
-    * rewrite shape [[changes]] handles: every live file holding a
-    * matching row is removed (`dataChange=true`) and rewritten in full
-    * with `set` applied to the matching rows (non-matching rows copied
-    * unchanged); under the signed algebra the pair nets to retract(old
-    * row) + insert(updated row) for exactly the updated rows. Fixture
-    * machinery, same per-file rules as [[stageDeleteCommit]].
-    */
-  def stageUpdateCommit(spark: SparkSession, tableDir: String,
-      predicate: org.apache.spark.sql.Column,
-      set: Map[String, org.apache.spark.sql.Column],
-      version: Long): Unit = {
-    import org.apache.spark.sql.functions.when
-    val st = replay(spark, tableDir, None)
-    val root = new java.io.File(tableDir)
-    val dataSchema = StructType(
-      st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
-    require(set.keySet.forall(dataSchema.fieldNames.contains),
-      s"stageUpdateCommit: SET columns ${set.keySet} must be data " +
-        "columns (updating a partition column is a move, not a rewrite)")
-    val actions = mutable.Buffer.empty[String]
-    st.adds.foreach { a =>
-      val f = new java.io.File(resolve(tableDir, a.path))
-      val fileRows = st.partitionColumns.foldLeft(
-        spark.read.schema(dataSchema).parquet(f.getAbsolutePath)) {
-        (df, pc) =>
-          val dt = st.schema(pc).dataType
-          df.withColumn(pc, a.partitionValues.get(pc).filter(_ != null)
-            .map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
-      }
-      if (!fileRows.filter(predicate).isEmpty) {
-        val rm = M.createObjectNode()
-        rm.put("path", a.path)
-        rm.put("deletionTimestamp", 0L)
-        rm.put("dataChange", true)
-        actions += s"""{"remove":${M.writeValueAsString(rm)}}"""
-        // UPDATE applies `set` where the predicate is TRUE; false-or-
-        // NULL rows copy through unchanged (three-valued semantics)
-        val updated = set.foldLeft(fileRows) { case (df, (c, e)) =>
-          df.withColumn(c,
-            when(predicate, e.cast(st.schema(c).dataType))
-              .otherwise(col(c)))
-        }.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
-        val tmp = new java.io.File(root, s"_update_tmp_$version")
-        updated.coalesce(1).write.mode("overwrite")
-          .parquet(tmp.getAbsolutePath)
-        val part = Option(tmp.listFiles()).toSeq.flatten
-          .filter(_.getName.endsWith(".parquet")).head
-        val rel = (a.partitionValues.map { case (k, v) => s"$k=$v" }.toSeq
-          :+ part.getName).mkString("/")
-        val dest = new java.io.File(root, rel)
-        dest.getParentFile.mkdirs()
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
-        val add = M.createObjectNode()
-        add.put("path", percentEncode(rel))
-        val pvNode = add.putObject("partitionValues")
-        a.partitionValues.foreach { case (k, v) => pvNode.put(k, v) }
-        add.put("size", dest.length())
-        add.put("modificationTime", dest.lastModified())
-        add.put("dataChange", true)
-        fileStats(spark, dataSchema, Seq(dest.getAbsolutePath))
-          .get(dest.getName).foreach(s => add.put("stats", s))
-        actions += s"""{"add":${M.writeValueAsString(add)}}"""
       }
     }
     writeCommit(tableDir, version, actions.toSeq)

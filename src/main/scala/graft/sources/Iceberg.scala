@@ -94,7 +94,12 @@ object Iceberg {
     require(at.nonEmpty,
       s"no Iceberg snapshot of $path at or before $timestampMs (the " +
         "earliest snapshot is newer) — nothing to time-travel to")
-    at.maxBy(_.get("timestamp-ms").asLong).get("snapshot-id").asLong
+    // ties (fast consecutive commits in one millisecond) break toward
+    // the LAST list entry — append order; maxBy would keep the FIRST
+    // max and silently read a superseded snapshot
+    val best = at.map(_.get("timestamp-ms").asLong).max
+    at.filter(_.get("timestamp-ms").asLong == best)
+      .last.get("snapshot-id").asLong
   }
 
   /** `TIMESTAMP AS OF` snapshot — [[snapshotIdAt]] then [[snapshot]]. */
@@ -334,17 +339,8 @@ object Iceberg {
     // pushed data filters stats-skip against the decoded manifest
     // bounds inside listFiles (file-constant cut predicates are
     // evaluated in LakeScan for every format); lowering memoized per
-    // scan, stats parsed once per file
-    val lowered = new java.util.concurrent.ConcurrentHashMap[
-      org.apache.spark.sql.catalyst.expressions.Expression,
-      org.apache.spark.sql.graft.GraftSql.PredNode]()
-    val keep = (filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-        lf: LogFile) =>
-      filters.forall(e => StatsSkip.mayMatchParsed(
-        lowered.computeIfAbsent(e,
-          org.apache.spark.sql.graft.GraftSql.predicateTreeOf(_)),
-        sm.schema, sm.partitionColumns, lf.partitionValues,
-        lf.parsedStats))
+    // scan, stats parsed once per file — shared keep (StatsSkip)
+    val keep = StatsSkip.memoKeep(sm.schema, sm.partitionColumns)
     LakeScan.scan(spark, path, sm.schema, sm.partitionColumns, logFiles,
       keep, withMeta)
   }
@@ -677,6 +673,7 @@ object Iceberg {
     }
     val boundsArraySchema = dfSchema.getField("lower_bounds").schema()
       .getTypes.get(1)
+    val ids = fieldIds(tableSchema) // one pre-order walk per commit
     def boundsList(perCol: Map[String, (Any, Any)],
         takeMin: Boolean): java.util.List[GenericRecord] = {
       val items = boundsArraySchema.getElementType
@@ -689,7 +686,7 @@ object Iceberg {
             // makes — a bare top-level ordinal diverges the moment a
             // nested struct sits between two columns, mis-attributing
             // bounds and silently skipping files that match
-            r.put("key", fieldIds(tableSchema)(f.name))
+            r.put("key", ids(f.name))
             r.put("value", buf)
             out.add(r)
           }
@@ -758,7 +755,7 @@ object Iceberg {
     // metadata json: full snapshot history + current pointer
     val specFields = partitionBy.zipWithIndex.map { case (c, i) =>
       // source-id via the same pre-order id walk as the schema JSON
-      val sid = fieldIds(tableSchema)(c)
+      val sid = ids(c)
       s"""{"name":"$c","transform":"identity","source-id":$sid,""" +
         s""""field-id":${1000 + i}}"""
     }.mkString(",")

@@ -130,6 +130,26 @@ object StatsSkip {
     Integer.compare(x.length, y.length)
   }
 
+  /** The per-scan `keep` function both lake readers hand to
+    * [[LakeScan.scan]]: evaluates every pushed filter against a file's
+    * partition values and cached parsed stats, with the predicate
+    * LOWERING MEMOIZED per scan (`listFiles` hands the same expression
+    * instances to every candidate file — re-lowering per file is a
+    * files × filters Catalyst walk for nothing).
+    */
+  def memoKeep(schema: StructType, partitionColumns: Seq[String])
+      : (Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+         LogFile) => Boolean = {
+    val lowered = new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.catalyst.expressions.Expression,
+      org.apache.spark.sql.graft.GraftSql.PredNode]()
+    (filters, lf) =>
+      filters.forall(e => mayMatchParsed(
+        lowered.computeIfAbsent(e,
+          org.apache.spark.sql.graft.GraftSql.predicateTreeOf(_)),
+        schema, partitionColumns, lf.partitionValues, lf.parsedStats))
+  }
+
   /** Render a decoded (min, max) pair per column into the shared stats
     * JSON shape — what the Iceberg reader feeds from manifest bounds.
     */

@@ -156,6 +156,23 @@ class DeltaLakeChangesSpec extends AnyFunSuite with SparkFixture {
       aggOf(DeltaLake.snapshot(spark, dir)).orderBy("p").collect().toSeq)
   }
 
+  test("UPDATE: predicate and every SET expression see the OLD row") {
+    import org.apache.spark.sql.functions.concat
+    val dir = freshDir("updold")
+    DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq.empty, 0L)
+    // SET v = 0, p = 'x' || v  WHERE v > 50: p must read the OLD v —
+    // a column-by-column fold would feed p the freshly-zeroed v (and
+    // which column goes wrong would follow hash-map iteration order)
+    DeltaLake.stageUpdateCommit(spark, dir, col("v") > 50,
+      Map("v" -> lit(0L), "p" -> concat(lit("x"), col("v"))), 1L)
+    val got = rows(DeltaLake.snapshot(spark, dir))
+    val want = (0 until 10).map { i =>
+      if (i * 10 > 50) (i.toLong, 0L, s"x${i * 10}")
+      else (i.toLong, i.toLong * 10, if (i % 2 == 0) "A" else "B")
+    }.toSet
+    assert(got == want)
+  }
+
   test("maintainAgg recompute arm prunes files to the touched partitions") {
     import org.apache.spark.sql.classic
     import org.apache.spark.sql.functions.{count, lit}
