@@ -825,6 +825,49 @@ object Iceberg {
   def stageDelete(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
+    stageRewrite(spark, tableDir, predicate, "delete") {
+      (fileRows, dataCols) =>
+        fileRows.filter(coalesce(!predicate, lit(true)))
+          .select(dataCols.map(col): _*)
+    }
+  }
+
+  /** Append a COPY-ON-WRITE row-level UPDATE as a new snapshot — hit
+    * files marked DELETED, rewritten in full with `set` applied to
+    * matching rows. SQL UPDATE semantics: the predicate AND every SET
+    * expression evaluate against the OLD row (one projection).
+    */
+  def stageUpdate(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{col, when}
+    stageRewrite(spark, tableDir, predicate, "update") {
+      (fileRows, dataCols) =>
+        require(set.keySet.subsetOf(dataCols.toSet),
+          s"stageUpdate: SET columns ${set.keySet} must be data columns")
+        val tableSchema = fileRows.schema
+        fileRows.select(dataCols.map { c =>
+          set.get(c) match {
+            case Some(e) =>
+              when(predicate, e.cast(tableSchema(c).dataType))
+                .otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+    }
+  }
+
+  /** Shared copy-on-write rewrite for the DML fixtures (delete/update):
+    * per live file — read DIRECTLY with the log's partition values
+    * attached (the predicate may reference partition columns; file names
+    * collide across partition dirs — same rules as the Delta writer) —
+    * if any row matches, mark the file DELETED in the new manifest and
+    * add `rewrite(fileRows, dataCols)` with fresh bounds.
+    */
+  private def stageRewrite(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column, operation: String)
+      (rewrite: (DataFrame, Seq[String]) => DataFrame): Long = {
+    import org.apache.spark.sql.functions.lit
     val root = new java.io.File(tableDir)
     val cur = resolve(spark, tableDir, None)
     val dataSchema = StructType(
@@ -832,9 +875,6 @@ object Iceberg {
     val entries = mutable.Buffer.empty[Entry]
     cur.files.foreach { f =>
       val abs = resolveRef(tableDir, f.path)
-      // read the file DIRECTLY with the log's partition values attached
-      // (the predicate may reference partition columns; file names
-      // collide across partition dirs — same rules as the Delta writer)
       val fileRows = cur.partitionColumns.foldLeft(
         spark.read.schema(dataSchema).parquet(abs)) { (df, pc) =>
         val dt = cur.schema(pc).dataType
@@ -844,18 +884,16 @@ object Iceberg {
       if (!fileRows.filter(predicate).isEmpty) {
         entries += Entry(2, f.path, new java.io.File(abs).length(),
           f.partitionValues, 0L, Map.empty)
-        val survivors = fileRows
-          .filter(coalesce(!predicate, lit(true)))
-          .select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
-        if (!survivors.isEmpty) {
+        val rewritten = rewrite(fileRows, dataSchema.fieldNames.toSeq)
+        if (!rewritten.isEmpty) {
           val (_, version) = priorState(metadataDir(tableDir))
           val moved = writeDataFiles(root,
-            cur.partitionColumns.foldLeft(survivors) { (df, pc) =>
+            cur.partitionColumns.foldLeft(rewritten) { (df, pc) =>
               val dt = cur.schema(pc).dataType
               df.withColumn(pc, f.partitionValues.get(pc)
                 .filter(_ != null).map(v => lit(v).cast(dt))
                 .getOrElse(lit(null).cast(dt)))
-            }, cur.partitionColumns, s"d$version-${entries.size}")
+            }, cur.partitionColumns, s"$operation$version-${entries.size}")
           val stats = fileStatsOf(spark, dataSchema,
             moved.map(_._1.getAbsolutePath))
           moved.foreach { case (file, pv) =>
@@ -869,6 +907,6 @@ object Iceberg {
       }
     }
     commitSnapshot(spark, tableDir, cur.schema, cur.partitionColumns,
-      entries.toSeq, "delete")
+      entries.toSeq, operation)
   }
 }

@@ -223,6 +223,35 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
       s"expected a loud missing-file failure, got: $e")
   }
 
+  test("stageUpdate: old-row SET semantics, signed diff nets to the " +
+      "updated rows, splice equals recompute") {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val dir = freshDir("upd")
+    val s1 = Iceberg.stageAppend(spark, dir, frame(0 until 10), Seq("p"))
+    val s2 = Iceberg.stageUpdate(spark, dir,
+      col("id") % 3 === 0 && col("p") === "A",
+      Map("v" -> (col("v") + 1)))
+    val want = (0 until 10).map { i =>
+      val hit = i % 3 == 0 && i % 2 == 0
+      (i.toLong, i.toLong * 10 + (if (hit) 1 else 0),
+        if (i % 2 == 0) "A" else "B")
+    }.toSet
+    assert(rows(Iceberg.snapshot(spark, dir)) == want)
+    // signed identity + splice through the update snapshot
+    val ch = Iceberg.changes(spark, dir, afterSnapshotId = s1)
+    val applied = graft.ivm.Ivm.SignedDelta(ch.inserts, ch.retracts)
+      .applyTo(Iceberg.snapshot(spark, dir, Some(s1)))
+    assert(rows(applied) == want)
+    graft.ivm.IcebergSnapshots.track(spark, "ice_upd", dir, at = Some(s1))
+    val aggOf = (df: org.apache.spark.sql.DataFrame) => df.groupBy("p")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("total"))
+    val got = graft.ivm.IcebergSnapshots.maintainAgg(spark, "ice_upd",
+      aggOf(Iceberg.snapshot(spark, dir, Some(s1))), Seq("p"), aggOf)
+    assert(got.orderBy("p").collect().toSeq ==
+      aggOf(Iceberg.snapshot(spark, dir)).orderBy("p").collect().toSeq)
+    assert(graft.ivm.IcebergSnapshots.cut("ice_upd").contains(s2))
+  }
+
   test("fail-fast: non-identity partition transform") {
     val (dir, _, _) = twoSnapshots()
     // munge the metadata's transform to a bucket transform
