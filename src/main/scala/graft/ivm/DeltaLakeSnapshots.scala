@@ -165,9 +165,12 @@ object DeltaLakeSnapshots {
     *   touched  = distinct `keys` of (inserts ∪ retracts)   — δ-sized
     *   view'    = view ∖ touched  ∪  agg(snapshot ⋉ touched)
     *
-    * `keys` must be raw table columns that are also the view's group-key
-    * output columns (the common case: `groupBy("k")`); `agg` maps raw
-    * snapshot rows to the view's shape. At 100 TB: `touched` is bounded
+    * `keys` must be columns of the PREPPED rows that are also the
+    * view's group-key output columns; `agg` maps prepped rows to the
+    * view's shape. COMPUTED group keys (`md5(text) AS digest`) ride the
+    * `prep` hook: a deterministic ROW-WISE derivation applied uniformly
+    * to the signed frames and the snapshot (row-wise ops commute with
+    * the signed pair, so the touched-key set is exact). At 100 TB: `touched` is bounded
     * by the window's churn and broadcast into both probes, so the only
     * base-side read is the recompute arm — snapshot rows of the touched
     * groups only, partition-pruned/stats-skipped when the keys align
@@ -180,7 +183,8 @@ object DeltaLakeSnapshots {
     * hasn't applied.
     */
   def maintainAgg(spark: SparkSession, table: String, view: DataFrame,
-      keys: Seq[String], agg: DataFrame => DataFrame): DataFrame = {
+      keys: Seq[String], agg: DataFrame => DataFrame,
+      prep: DataFrame => DataFrame = identity): DataFrame = {
     val s = stateOf(table)
     val latest = DeltaLake.latestVersion(spark, s.dir)
     val ch = DeltaLake.changes(spark, s.dir, s.cutVersion.getOrElse(-1L),
@@ -191,7 +195,7 @@ object DeltaLakeSnapshots {
     // changes it hasn't applied (a retry would then diff an empty
     // window and silently drop the delete forever)
     val result = LakeSplice.maintainAgg(view, keys, agg,
-      ch.inserts, ch.retracts, snap)
+      prep(ch.inserts), prep(ch.retracts), prep(snap))
     advanceTo(spark, table, latest)
     result
   }

@@ -115,7 +115,8 @@ object IcebergSnapshots {
     * result materializes.
     */
   def maintainAgg(spark: SparkSession, table: String, view: DataFrame,
-      keys: Seq[String], agg: DataFrame => DataFrame): DataFrame = {
+      keys: Seq[String], agg: DataFrame => DataFrame,
+      prep: DataFrame => DataFrame = identity): DataFrame = {
     val s = stateOf(table)
     val latest = Iceberg.currentSnapshotId(s.dir)
     val ch = Iceberg.changes(spark, s.dir, s.cutSnapshot.getOrElse(
@@ -123,7 +124,7 @@ object IcebergSnapshots {
         s"IcebergSnapshots: '$table' has no cut snapshot")), Some(latest))
     val snap = Iceberg.snapshot(spark, s.dir, snapshotId = Some(latest))
     val result = LakeSplice.maintainAgg(view, keys, agg,
-      ch.inserts, ch.retracts, snap)
+      prep(ch.inserts), prep(ch.retracts), prep(snap))
     advanceTo(spark, table, latest)
     result
   }

@@ -75,6 +75,50 @@ object PipelineQueries {
              |FROM documents GROUP BY md5(text)
              |ORDER BY doc_id""".stripMargin)),
 
+    // LAKE × PIPELINE × DELETE (r9): the dedup ledger maintained through
+    // a TAKEDOWN — the corpus lives as a real Delta table, and a
+    // row-level DELETE (the GDPR/takedown shape every training-data
+    // pipeline must absorb) lands after the ledger's cut. The signed
+    // file diff surfaces the removed docs as retracts; the group-scoped
+    // splice recomputes only the touched DIGEST groups — a COMPUTED key,
+    // riding maintainAgg's row-wise `prep` hook (md5 applied uniformly
+    // to the signed frames and the snapshot, so the touched-key set is
+    // exact). min(doc_id) is the canonical non-retractable aggregate: a
+    // deleted survivor must PROMOTE the next-smallest duplicate, which
+    // subtraction-merging cannot do and the splice does exactly. The
+    // oracle recomputes the post-delete ledger from first principles.
+    QueryDef("delta_lake_dedup",
+      (s, d) => {
+        import graft.ivm.DeltaLakeSnapshots
+        val dir = graft.sources.Staging.stageOnce(d,
+          "deltalake_documents_s1", Seq(s"$d/documents.parquet")) { p =>
+          val docs = t(s, d, "documents")
+          graft.sources.DeltaLake.stageCommit(s, p,
+            docs.filter(col("doc_id") % 10 =!= 0), Seq.empty, 0L)
+          graft.sources.DeltaLake.stageCommit(s, p,
+            docs.filter(col("doc_id") % 10 === 0), Seq.empty, 1L)
+          graft.sources.DeltaLake.stageDeleteCommit(s, p,
+            col("doc_id") % 17 === 0, 2L)
+        }
+        val prep = (df: DataFrame) => df.withColumn("digest",
+          md5(col("text").cast("binary")))
+        val aggOf = (df: DataFrame) => df.groupBy("digest")
+          .agg(min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("dup_count"))
+        DeltaLakeSnapshots.track(s, "dl_documents", dir, at = Some(1L))
+        val stored = aggOf(prep(graft.sources.DeltaLake
+          .snapshot(s, dir, version = Some(1L))))
+        DeltaLakeSnapshots.maintainAgg(s, "dl_documents", stored,
+          Seq("digest"), aggOf, prep)
+          .select("doc_id", "dup_count")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+             |FROM documents
+             |WHERE NOT (doc_id % 17 = 0)
+             |GROUP BY md5(text)
+             |ORDER BY doc_id""".stripMargin)),
+
     // D2 — per-language corpus stats.
     QueryDef("text_stats",
       (s, d) => t(s, d, "documents")

@@ -62,8 +62,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "delta_deltalake_delete", "delta_deltalake_skipping",
       "iceberg_scan", "iceberg_time_travel", "delta_iceberg",
       "delta_iceberg_delete", "iceberg_skipping",
-      "delta_deltalake_rowview", "delta_deltalake_update")
-    assert(declared.size == 127)
+      "delta_deltalake_rowview", "delta_deltalake_update",
+      "delta_lake_dedup")
+    assert(declared.size == 128)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
