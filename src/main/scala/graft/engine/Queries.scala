@@ -1922,6 +1922,75 @@ object Queries {
              |    AS DECIMAL(18,2))) AS DOUBLE) AS max_price
              |FROM orders
              |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // DELETION-VECTOR SNAPSHOT READ (r10): the merge-on-read delete
+    // shape modern Delta writers produce BY DEFAULT — instead of
+    // rewriting survivors, the hit file keeps its bytes and gains a
+    // roaring bitmap of deleted row indexes (reader protocol 3,
+    // readerFeatures [deletionVectors]). The staged table carries TWO
+    // DV commits on the same files (sidecar .bin then inline Z85, the
+    // second superseding the first by bitmap union), and the snapshot
+    // applies them as ONE codegen'd row_index anti-filter on the single
+    // log-backed scan — no join, no shuffle, no rewrite. Hash equality
+    // vs the first-principles oracle pins the whole chain: descriptor
+    // parse, Z85/roaring decode, CRC'd sidecar framing, bitmap union
+    // supersede, and the per-file row_index semantics.
+    QueryDef("deltalake_dv_scan",
+      (s, d) => graft.sources.DeltaLake.snapshot(s, deltaLakeOrdersDv(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE NOT (o_custkey % 9 = 0
+             |    AND o_orderpriority IN ('2-HIGH', '4-NOT SPECIFIED'))
+             |  AND NOT (o_custkey % 9 = 4 AND o_orderpriority = '2-HIGH')
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // MAINTAINED VIEW THROUGH A DV WINDOW (r10): the signed seam nets a
+    // deletion-vector commit — remove(file, oldDv) + add(file, newDv),
+    // same physical file — to exactly the newly-deleted rows by keying
+    // file identity as (path, dv): retract(file∖oldDv) + insert(file∖
+    // newDv) cancels survivors under the signed algebra. The stored
+    // aggregate view (built at the pre-DV snapshot) maintains through
+    // BOTH DV commits via the group-scoped splice; at 100 TB the frames
+    // read only the DV'd files, never the snapshot. The delete includes
+    // count-distinct — the aggregate subtraction-merging cannot retract
+    // — so hash equality vs the full-recompute oracle pins the splice.
+    QueryDef("delta_deltalake_dv",
+      (s, d) => {
+        import graft.ivm.DeltaLakeSnapshots
+        val dir = deltaLakeOrdersDv(s, d)
+        val aggOf = (df: org.apache.spark.sql.DataFrame) => df
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+        DeltaLakeSnapshots.track(s, "dl_orders_dv", dir, at = Some(1L))
+        val stored = aggOf(
+          graft.sources.DeltaLake.snapshot(s, dir, version = Some(1L)))
+        DeltaLakeSnapshots.maintainAgg(s, "dl_orders_dv", stored,
+          Seq("o_orderpriority"), aggOf)
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE NOT (o_custkey % 9 = 0
+             |    AND o_orderpriority IN ('2-HIGH', '4-NOT SPECIFIED'))
+             |  AND NOT (o_custkey % 9 = 4 AND o_orderpriority = '2-HIGH')
+             |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin))
   )
 
@@ -2020,6 +2089,32 @@ object Queries {
         col("o_custkey") % 6 === 0 &&
           col("o_orderpriority") === "4-NOT SPECIFIED",
         Map("o_totalprice" -> (col("o_totalprice") + 1000)), 2L)
+    }
+
+  /** The staged table with TWO deletion-vector commits — the
+    * `deltalake_dv_scan` / `delta_deltalake_dv` fixture: the usual
+    * two-commit 90/10 split, then a sidecar-DV delete at version 2 and
+    * an inline-DV delete at version 3 (the second supersedes the
+    * first's bitmaps on shared files by union). Deterministic
+    * predicates so the DuckDB oracle recomputes final membership from
+    * first principles.
+    */
+  private[graft] def deltaLakeOrdersDv(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_dv_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_orderkey") < c1), Seq("o_orderpriority"), 0L)
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_orderkey") >= c1), Seq("o_orderpriority"), 1L)
+      graft.sources.DeltaLake.stageDvDeleteCommit(s, p,
+        col("o_custkey") % 9 === 0 &&
+          col("o_orderpriority").isin("2-HIGH", "4-NOT SPECIFIED"), 2L)
+      graft.sources.DeltaLake.stageDvDeleteCommit(s, p,
+        col("o_custkey") % 9 === 4 && col("o_orderpriority") === "2-HIGH",
+        3L, inline = true)
     }
 
   /** The Iceberg table with a COPY-ON-WRITE DELETE at snapshot 3 — the

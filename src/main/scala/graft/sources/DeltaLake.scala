@@ -50,7 +50,28 @@ object DeltaLake {
   // them on add actions): the scan never stats the filesystem per file
   private final case class AddFile(path: String,
       partitionValues: Map[String, String], stats: Option[String] = None,
-      size: Option[Long] = None, modificationTime: Long = 0L)
+      size: Option[Long] = None, modificationTime: Long = 0L,
+      dv: Option[DeletionVectors.Descriptor] = None) {
+    /** File-version identity: a DV-delete commit removes `(path, oldDv)`
+      * and re-adds `(path, newDv)` — the SAME physical file, two logical
+      * versions. Signed diffs key on this so the pair nets to exactly
+      * the newly-deleted rows instead of cancelling by path.
+      */
+    def identity: (String, Option[String]) = (path, dv.map(_.id))
+  }
+
+  /** One add/remove action's file fields from commit JSON (shared by the
+    * snapshot fold and the version-window walkers, so every path parses
+    * the deletion-vector descriptor identically).
+    */
+  private def addFromJson(a: JsonNode): AddFile =
+    AddFile(a.get("path").asText, pvMap(a.get("partitionValues")),
+      Option(a.get("stats")).filterNot(_.isNull).map(_.asText),
+      Option(a.get("size")).filterNot(_.isNull).map(_.asLong),
+      Option(a.get("modificationTime")).filterNot(_.isNull)
+        .map(_.asLong).getOrElse(0L),
+      Option(a.get("deletionVector")).filterNot(_.isNull)
+        .map(DeletionVectors.parseDescriptor))
 
   /** A signed row-level table diff (see [[changes]]): both frames carry
     * the table schema; apply as insert/retract under the signed algebra.
@@ -80,16 +101,20 @@ object DeltaLake {
   }
 
   /** The version committed at-or-before `timestampMs` — `TIMESTAMP AS
-    * OF` resolution, by commit-file modification time (what Delta's own
-    * reader uses by default; in-commit timestamps override it only when
-    * the table enables them), with Delta's MONOTONIC ADJUSTMENT: a
-    * commit whose mtime is not after its predecessor's reads as
-    * predecessor + 1 ms (backup restores and clock skew reorder raw
-    * mtimes; without the adjustment a later VERSION with an earlier
-    * mtime would be selected past the requested cut). Fails if the
-    * earliest commit is already after the timestamp — "before the table
-    * existed" must not silently read version 0 — and on a
-    * checkpoint-only log (JSON commits carry the timestamps).
+    * OF` resolution. Per commit, the timestamp is the `commitInfo`
+    * action's `inCommitTimestamp` when the writer recorded one (the
+    * protocol's in-commit-timestamps feature: the authoritative
+    * timestamp lives IN the commit, immune to file copies/restores
+    * rewriting mtimes), else the commit file's modification time (what
+    * Delta's own reader uses by default). Either way Delta's MONOTONIC
+    * ADJUSTMENT applies: a commit whose timestamp is not after its
+    * predecessor's reads as predecessor + 1 ms (backup restores and
+    * clock skew reorder raw mtimes; without the adjustment a later
+    * VERSION with an earlier timestamp would be selected past the
+    * requested cut). Fails if the earliest commit is already after the
+    * timestamp — "before the table existed" must not silently read
+    * version 0 — and on a checkpoint-only log (JSON commits carry the
+    * timestamps).
     */
   def versionAt(spark: SparkSession, path: String,
       timestampMs: Long): Long = {
@@ -101,8 +126,14 @@ object DeltaLake {
         "gone; time-travel by VERSION instead")
     var prev = Long.MinValue
     val adjusted = commits.map { v =>
-      val raw = new java.io.File(logDir(path), f"$v%020d.json")
-        .lastModified()
+      val f = new java.io.File(logDir(path), f"$v%020d.json")
+      // commitInfo is the commit's FIRST action when ICT is enabled
+      // (the protocol requires it lead the file), so one line suffices
+      val ict = firstLine(f).map(M.readTree)
+        .flatMap(n => Option(n.get("commitInfo")))
+        .flatMap(ci => Option(ci.get("inCommitTimestamp")))
+        .filterNot(_.isNull).map(_.asLong)
+      val raw = ict.getOrElse(f.lastModified())
       prev = if (raw > prev) raw else prev + 1
       v -> prev
     }
@@ -200,13 +231,17 @@ object DeltaLake {
     val adds = mutable.LinkedHashMap.empty[String, AddFile]
     (afterVersion + 1 to st.version).foreach { v =>
       foreachCommitAction(path, v) { n =>
-        Option(n.get("add")).filter(dataChange).foreach(a =>
-          adds.put(a.get("path").asText,
-            AddFile(a.get("path").asText, pvMap(a.get("partitionValues")),
-              Option(a.get("stats")).filterNot(_.isNull).map(_.asText),
-              Option(a.get("size")).filterNot(_.isNull).map(_.asLong),
-              Option(a.get("modificationTime")).filterNot(_.isNull)
-                .map(_.asLong).getOrElse(0L))))
+        Option(n.get("add")).filter(dataChange).foreach { a =>
+          val add = addFromJson(a)
+          // a DV action in the window is a row-level DELETE: the
+          // inserts-only model can't express retraction — fail fast
+          // (same contract as a rewrite delete; use [[changes]])
+          require(add.dv.isEmpty,
+            s"DeltaLake.appended: commit $v of $path carries a deletion " +
+              "vector — the window holds row-level deletes the " +
+              "inserts-only delta cannot express; use changes()")
+          adds.put(add.path, add)
+        }
         Option(n.get("remove")).filter(dataChange)
           .foreach(r => adds.remove(r.get("path").asText))
       }
@@ -244,13 +279,20 @@ object DeltaLake {
       toVersion: Option[Long] = None): Changes = {
     val end = toVersion.getOrElse(latestVersion(spark, path))
     val endState = replay(spark, path, Some(end))
-    val cutLive: Map[String, AddFile] =
+    // keyed by FILE-VERSION IDENTITY (path, dv id), not path: a
+    // DV-delete commit removes (p, oldDv) and re-adds (p, newDv) — the
+    // same physical file, two logical versions. Path-keying would
+    // cancel the pair to nothing and silently lose the delete; under
+    // identity keying retract(file∖oldDv) + insert(file∖newDv) nets to
+    // exactly the newly-deleted rows in the signed algebra.
+    type Id = (String, Option[String])
+    val cutLive: Map[Id, AddFile] =
       if (afterVersion < 0) Map.empty
       else replay(spark, path, Some(afterVersion)).adds
-        .map(a => a.path -> a).toMap
-    val ins = mutable.LinkedHashMap.empty[String, AddFile]
-    val rets = mutable.LinkedHashMap.empty[String, AddFile]
-    val rewrites = mutable.Set.empty[String]
+        .map(a => a.identity -> a).toMap
+    val ins = mutable.LinkedHashMap.empty[Id, AddFile]
+    val rets = mutable.LinkedHashMap.empty[Id, AddFile]
+    val rewrites = mutable.Set.empty[Id]
     (afterVersion.max(-1L) + 1 to end).foreach { v =>
       foreachCommitAction(path, v) { n =>
         // schema drift only matters against a STORED view built at the
@@ -264,30 +306,40 @@ object DeltaLake {
               "maintained view from the current snapshot")
         }
         Option(n.get("add")).foreach { a =>
-          val p = a.get("path").asText
-          if (dataChange(a))
-            ins.put(p, AddFile(p, pvMap(a.get("partitionValues")),
-              Option(a.get("stats")).filterNot(_.isNull).map(_.asText),
-              Option(a.get("size")).filterNot(_.isNull).map(_.asLong),
-              Option(a.get("modificationTime")).filterNot(_.isNull)
-                .map(_.asLong).getOrElse(0L)))
-          else rewrites += p
+          val add = addFromJson(a)
+          if (dataChange(a)) {
+            // an add whose exact identity is already cut-live: the log
+            // re-adds a live file version — rows would double-count in
+            // the insert frame; the other never-silently-wrong guards'
+            // sibling (a DV add of a cut-live PATH is fine — different
+            // identity)
+            if (cutLive.contains(add.identity))
+              throw new IllegalStateException(
+                s"DeltaLake.changes: commit $v of $path re-adds file " +
+                  s"version ${add.identity} that is already live at the " +
+                  "cut — inconsistent log")
+            ins.put(add.identity, add)
+          } else rewrites += add.identity
         }
         Option(n.get("remove")).foreach { r =>
-          val p = r.get("path").asText
+          val rdv = Option(r.get("deletionVector")).filterNot(_.isNull)
+            .map(DeletionVectors.parseDescriptor)
+          val key: Id = (r.get("path").asText, rdv.map(_.id))
           if (dataChange(r)) {
-            if (ins.remove(p).isEmpty) cutLive.get(p) match {
-              case Some(a) => rets.put(p, a)
+            if (ins.remove(key).isEmpty) cutLive.get(key) match {
+              case Some(a) => rets.put(key, a)
               case None =>
-                if (rewrites.contains(p)) throw new IllegalStateException(
+                if (rewrites.contains(key)) throw new IllegalStateException(
                   s"DeltaLake.changes: commit $v of $path deletes " +
-                    s"compaction-rewritten file $p whose rows straddle the " +
-                    "cut — per-file retraction can't attribute them; " +
+                    s"compaction-rewritten file $key whose rows straddle " +
+                    "the cut — per-file retraction can't attribute them; " +
                     "rebase the maintained view from the current snapshot")
                 throw new IllegalStateException(
-                  s"DeltaLake.changes: commit $v of $path removes file $p " +
-                    "that is neither live at the cut nor added in the " +
-                    "window — inconsistent log")
+                  s"DeltaLake.changes: commit $v of $path removes file " +
+                    s"version $key that is neither live at the cut nor " +
+                    "added in the window (a remove must carry the same " +
+                    "deletionVector as the add it retires) — " +
+                    "inconsistent log")
             }
           }
           // dataChange=false remove (compaction): the rows re-live in the
@@ -316,6 +368,10 @@ object DeltaLake {
       foreachCommitAction(path, v) { n =>
         if (Option(n.get("remove")).nonEmpty) ok = false
         if (Option(n.get("add")).exists(a => !dataChange(a))) ok = false
+        // a DV add is a row-level delete even if the paired remove is
+        // somehow absent — never an append
+        if (Option(n.get("add")).exists(a =>
+          Option(a.get("deletionVector")).exists(!_.isNull))) ok = false
         if (Option(n.get("metaData")).nonEmpty) ok = false
       }
     }
@@ -324,6 +380,12 @@ object DeltaLake {
 
   private def dataChange(n: JsonNode): Boolean =
     Option(n.get("dataChange")).forall(_.asBoolean)
+
+  private def firstLine(f: java.io.File): Option[String] = {
+    val r = java.nio.file.Files.newBufferedReader(f.toPath)
+    try Option(r.readLine()).filter(_.nonEmpty)
+    finally r.close()
+  }
 
   /** Parse commit `v`'s JSON actions (the commit must exist — the
     * version-window walkers read history, which checkpoints don't keep).
@@ -393,18 +455,23 @@ object DeltaLake {
     var schemaString: String = null
     var partCols: Seq[String] = Seq.empty
 
-    def applyAdd(p: String, pv: Map[String, String],
-        stats: Option[String], size: Option[Long], mtime: Long): Unit =
-      adds.put(p, AddFile(p, pv, stats, size, mtime))
+    def applyAdd(a: AddFile): Unit = adds.put(a.path, a)
     def applyRemove(p: String): Unit = adds.remove(p)
     def applyMeta(ss: String, pc: Seq[String]): Unit = {
       schemaString = ss; partCols = pc
     }
-    def applyProtocol(minReader: Int, features: Seq[String]): Unit =
-      require(minReader <= 2 && features.isEmpty,
+    // reader features: deletionVectors is READ here ([[readFiles]]
+    // applies the bitmaps); anything else (column mapping, v2
+    // checkpoints, type widening, …) would make this fold silently
+    // wrong, so the gate stays loud for those
+    def applyProtocol(minReader: Int, features: Seq[String]): Unit = {
+      val unsupported = features.filterNot(_ == "deletionVectors")
+      require(minReader <= 3 && unsupported.isEmpty,
         s"unsupported Delta reader protocol (minReaderVersion=$minReader, " +
-          s"readerFeatures=$features): this reader folds plain add/remove " +
-          "actions and would mis-read deletion vectors / column mapping")
+          s"readerFeatures=$features): this reader supports plain " +
+          "add/remove folds plus deletionVectors; " +
+          s"unsupported features: $unsupported")
+    }
 
     // checkpoint: resume the fold from the newest COMPLETE one at/below
     // `want` — selection is by on-disk enumeration (single- and
@@ -415,7 +482,13 @@ object DeltaLake {
     val cpVersion = byVersion.keys.filter(_ <= want).maxOption
     cpVersion.foreach { cv =>
       val parts = byVersion(cv).map(_.getAbsolutePath)
-      spark.read.parquet(parts: _*).collect().foreach { row =>
+      // STREAM the checkpoint rows (one partition at a time) instead of
+      // collect(): a checkpoint is one row per live file, so a full
+      // collect doubles the driver's peak at exactly the scale where the
+      // fold's own `adds` map is already the big allocation (~10M files
+      // on a 100 TB table) — the iterator bounds the transient to one
+      // partition of action rows
+      spark.read.parquet(parts: _*).toLocalIterator().asScala.foreach { row =>
         struct(row, "add").foreach { a =>
           // stats survive the checkpoint (add.stats is part of the
           // checkpoint schema): at 100 TB most files live at or before a
@@ -425,13 +498,25 @@ object DeltaLake {
             if (a.schema.fieldNames.contains("stats"))
               Option(a.getString(a.fieldIndex("stats")))
             else None
-          applyAdd(str(a, "path"), pvMap(a), stats,
+          // deletionVector survives the checkpoint too (part of the
+          // checkpoint add schema) — dropping it would UNDELETE rows
+          val dv = struct(a, "deletionVector").map { d =>
+            DeletionVectors.Descriptor(str(d, "storageType"),
+              str(d, "pathOrInlineDv"),
+              if (d.schema.fieldNames.contains("offset") &&
+                  !d.isNullAt(d.fieldIndex("offset")))
+                Some(d.getInt(d.fieldIndex("offset"))) else None,
+              d.getInt(d.fieldIndex("sizeInBytes")),
+              d.getLong(d.fieldIndex("cardinality")))
+          }
+          applyAdd(AddFile(str(a, "path"), pvMap(a), stats,
             if (a.schema.fieldNames.contains("size") &&
                 !a.isNullAt(a.fieldIndex("size")))
               Some(a.getLong(a.fieldIndex("size"))) else None,
             if (a.schema.fieldNames.contains("modificationTime") &&
                 !a.isNullAt(a.fieldIndex("modificationTime")))
-              a.getLong(a.fieldIndex("modificationTime")) else 0L)
+              a.getLong(a.fieldIndex("modificationTime")) else 0L,
+            dv))
         }
         struct(row, "remove").foreach(r => applyRemove(str(r, "path")))
         struct(row, "metaData").foreach { m =>
@@ -454,28 +539,28 @@ object DeltaLake {
       val f = new java.io.File(logDir(path), f"$v%020d.json")
       require(f.exists(), s"missing Delta commit $v in $path (log cleaned " +
         "past the newest checkpoint?)")
-      java.nio.file.Files.readAllLines(f.toPath).asScala
-        .filter(_.nonEmpty).foreach { line =>
-          val n = M.readTree(line)
-          Option(n.get("add")).foreach(a =>
-            applyAdd(a.get("path").asText, pvMap(a.get("partitionValues")),
-              Option(a.get("stats")).filterNot(_.isNull).map(_.asText),
-              Option(a.get("size")).filterNot(_.isNull).map(_.asLong),
-              Option(a.get("modificationTime")).filterNot(_.isNull)
-                .map(_.asLong).getOrElse(0L)))
-          Option(n.get("remove")).foreach(r =>
-            applyRemove(r.get("path").asText))
-          Option(n.get("metaData")).foreach { m =>
-            applyMeta(m.get("schemaString").asText,
-              Option(m.get("partitionColumns")).toSeq
-                .flatMap(_.elements().asScala.map(_.asText).toSeq))
-          }
-          Option(n.get("protocol")).foreach { p =>
-            val feats = Option(p.get("readerFeatures")).toSeq
-              .flatMap(_.elements().asScala.map(_.asText).toSeq)
-            applyProtocol(p.get("minReaderVersion").asInt, feats)
-          }
+      // one COMMIT is a set of actions, not a sequence: a remove and an
+      // add of the SAME path in one commit (the DV-delete shape —
+      // remove(f, oldDv) + add(f, newDv)) must leave the add standing
+      // regardless of line order, so removes apply first, adds second
+      val nodes = java.nio.file.Files.readAllLines(f.toPath).asScala
+        .filter(_.nonEmpty).map(M.readTree).toSeq
+      nodes.foreach { n =>
+        Option(n.get("metaData")).foreach { m =>
+          applyMeta(m.get("schemaString").asText,
+            Option(m.get("partitionColumns")).toSeq
+              .flatMap(_.elements().asScala.map(_.asText).toSeq))
         }
+        Option(n.get("protocol")).foreach { p =>
+          val feats = Option(p.get("readerFeatures")).toSeq
+            .flatMap(_.elements().asScala.map(_.asText).toSeq)
+          applyProtocol(p.get("minReaderVersion").asInt, feats)
+        }
+      }
+      nodes.foreach(n => Option(n.get("remove")).foreach(r =>
+        applyRemove(r.get("path").asText)))
+      nodes.foreach(n => Option(n.get("add")).foreach(a =>
+        applyAdd(addFromJson(a))))
     }
     require(schemaString != null, s"no metaData action in $path's log")
     LogState(want, DataType.fromJson(schemaString).asInstanceOf[StructType],
@@ -500,6 +585,13 @@ object DeltaLake {
     */
   private def readFiles(spark: SparkSession, path: String, st: LogState,
       files: Seq[AddFile], withMeta: Boolean = false): DataFrame = {
+    // deletion vectors: resolve each DV'd file's bitmap driver-side
+    // (metadata-sized, same order as the fold's own per-file state) and
+    // apply as ONE codegen'd anti-filter on the scan's row_index — the
+    // snapshot stays a single FileSourceScanExec, no join, no shuffle
+    val dvByPath: Map[String, DeletionVectors.Bitmap64] =
+      files.flatMap(a => a.dv.map(d =>
+        resolve(path, a.path) -> DeletionVectors.read(path, d))).toMap
     val logFiles = files.map { a =>
       val p = resolve(path, a.path)
       // size comes from the LOG: no per-file driver-side stat (O(files)
@@ -521,8 +613,24 @@ object DeltaLake {
     // NOT IN shape — prune inside LakeScan for every format; this keep
     // adds the per-file STATS skipping on top (shared memoized keep:
     // predicate lowering once per scan, stats parsed once per file)
-    LakeScan.scan(spark, path, st.schema, st.partitionColumns, logFiles,
-      StatsSkip.memoKeep(st.schema, st.partitionColumns), withMeta)
+    val keep = StatsSkip.memoKeep(st.schema, st.partitionColumns)
+    if (dvByPath.isEmpty)
+      LakeScan.scan(spark, path, st.schema, st.partitionColumns, logFiles,
+        keep, withMeta)
+    else {
+      // scan with `_metadata` surfaced (DvKeep reads file_path +
+      // row_index), filter, then project back to the requested shape
+      val scan = LakeScan.scan(spark, path, st.schema, st.partitionColumns,
+        logFiles, keep, withMeta = true)
+      val g = org.apache.spark.sql.graft.GraftSql
+      val kept = scan.filter(g.column(DvKeep(
+        g.expression(scan.col("_metadata.file_path")),
+        g.expression(scan.col("_metadata.row_index")),
+        DvLookup(dvByPath))))
+      val cols = st.schema.fieldNames.toIndexedSeq ++
+        (if (withMeta) Seq("_metadata") else Seq.empty)
+      kept.select(cols.map(col): _*)
+    }
   }
 
   /** Paths in the log are percent-encoded, relative to the table root or
@@ -744,7 +852,7 @@ object DeltaLake {
         require(set.keySet.subsetOf(dataCols.toSet),
           s"stageUpdateCommit: SET columns ${set.keySet} must be data " +
             "columns (updating a partition column is a move, not a " +
-            "rewrite) — data columns: $dataCols")
+            s"rewrite) — data columns: $dataCols")
         val tableSchema = fileRows.schema
         fileRows.select(dataCols.map { c =>
           set.get(c) match {
@@ -778,18 +886,29 @@ object DeltaLake {
     val actions = mutable.Buffer.empty[String]
     st.adds.foreach { a =>
       val f = new java.io.File(resolve(tableDir, a.path))
-      val fileRows = st.partitionColumns.foldLeft(
+      val raw = st.partitionColumns.foldLeft(
         spark.read.schema(dataSchema).parquet(f.getAbsolutePath)) {
         (df, pc) =>
           val dt = st.schema(pc).dataType
           df.withColumn(pc, a.partitionValues.get(pc).filter(_ != null)
             .map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
       }
+      // a file version with a DV holds only its LIVE rows: the rewrite
+      // must not resurrect DV-deleted rows into the survivor file
+      val fileRows = a.dv match {
+        case None => raw
+        case Some(d) =>
+          val dead = DeletionVectors.read(tableDir, d).toArray.toSeq
+          raw.withColumn("__ri", col("_metadata.row_index"))
+            .filter(!col("__ri").isInCollection(dead))
+            .drop("__ri")
+      }
       if (!fileRows.filter(predicate).isEmpty) {
         val rm = M.createObjectNode()
         rm.put("path", a.path)
         rm.put("deletionTimestamp", 0L)
         rm.put("dataChange", true)
+        a.dv.foreach(d => rm.set[JsonNode]("deletionVector", dvJson(d)))
         actions += s"""{"remove":${M.writeValueAsString(rm)}}"""
         val rewritten = rewrite(fileRows, dataSchema.fieldNames.toSeq)
         if (!rewritten.isEmpty) {
@@ -818,6 +937,81 @@ object DeltaLake {
       }
     }
     writeCommit(tableDir, version, actions.toSeq)
+  }
+
+  /** Append a MERGE-ON-READ row-level DELETE as commit `version` — the
+    * DELETION-VECTOR shape modern Delta writers produce by default:
+    * instead of rewriting survivors, every live file holding a matching
+    * LIVE row keeps its data bytes and gets a (grown) deletion vector —
+    * `remove(path, oldDv)` + `add(path, newDv)`, both `dataChange=true`,
+    * where `newDv` = `oldDv` ∪ the file's newly-matching row indexes.
+    * The commit leads with the protocol upgrade (`minReaderVersion` 3,
+    * `readerFeatures: [deletionVectors]`). `inline` stores the bitmap in
+    * the log itself (`storageType "i"`); otherwise a sidecar
+    * `deletion_vector_<uuid>.bin` is written (`"u"`). Rows where the
+    * predicate is false OR NULL survive. Fixture machinery — real DVs
+    * are written by the lakehouse writer; this speaks the same protocol.
+    */
+  def stageDvDeleteCommit(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column, version: Long,
+      inline: Boolean = false): Unit = {
+    val st = replay(spark, tableDir, None)
+    val dataSchema = StructType(
+      st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
+    val actions = mutable.Buffer.empty[String]
+    actions += ("""{"protocol":{"minReaderVersion":3,""" +
+      """"minWriterVersion":7,"readerFeatures":["deletionVectors"],""" +
+      """"writerFeatures":["deletionVectors"]}}""")
+    st.adds.foreach { a =>
+      val abs = resolve(tableDir, a.path)
+      val fileRows = st.partitionColumns.foldLeft(
+        spark.read.schema(dataSchema).parquet(abs)
+          .withColumn("__ri", col("_metadata.row_index"))) { (df, pc) =>
+        val dt = st.schema(pc).dataType
+        df.withColumn(pc, a.partitionValues.get(pc).filter(_ != null)
+          .map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
+      }
+      val matching = fileRows.filter(predicate).select("__ri")
+        .collect().map(_.getLong(0))
+      val oldBm = a.dv.map(DeletionVectors.read(tableDir, _))
+      // only rows still LIVE in this file version count: re-deleting an
+      // already-deleted row would stage a bit-identical DV whose
+      // remove/add pair has one identity — a no-op commit masquerading
+      // as a change
+      val fresh = matching.filterNot(i => oldBm.exists(_.contains(i)))
+      if (fresh.nonEmpty) {
+        val allIdx = oldBm.map(_.toArray.toSeq).getOrElse(Seq.empty) ++
+          fresh.toSeq
+        val desc = DeletionVectors.stage(tableDir, allIdx, inline)
+        val rm = M.createObjectNode()
+        rm.put("path", a.path)
+        rm.put("deletionTimestamp", 0L)
+        rm.put("dataChange", true)
+        a.dv.foreach(d => rm.set[JsonNode]("deletionVector", dvJson(d)))
+        actions += s"""{"remove":${M.writeValueAsString(rm)}}"""
+        val add = M.createObjectNode()
+        add.put("path", a.path)
+        val pvNode = add.putObject("partitionValues")
+        a.partitionValues.foreach { case (k, v) => pvNode.put(k, v) }
+        a.size.foreach(s => add.put("size", s))
+        add.put("modificationTime", a.modificationTime)
+        add.put("dataChange", true)
+        a.stats.foreach(s => add.put("stats", s))
+        add.set[JsonNode]("deletionVector", dvJson(desc))
+        actions += s"""{"add":${M.writeValueAsString(add)}}"""
+      }
+    }
+    writeCommit(tableDir, version, actions.toSeq)
+  }
+
+  private def dvJson(d: DeletionVectors.Descriptor): JsonNode = {
+    val o = M.createObjectNode()
+    o.put("storageType", d.storageType)
+    o.put("pathOrInlineDv", d.pathOrInlineDv)
+    d.offset.foreach(off => o.put("offset", off))
+    o.put("sizeInBytes", d.sizeInBytes)
+    o.put("cardinality", d.cardinality)
+    o
   }
 
   /** Compact the current snapshot into ONE file as commit `version` —
@@ -876,13 +1070,19 @@ object DeltaLake {
     val meta = CkMeta(
       java.util.UUID.nameUUIDFromBytes(tableDir.getBytes("UTF-8")).toString,
       CkFormat("parquet"), st.schema.json, st.partitionColumns)
+    val proto =
+      if (st.adds.exists(_.dv.isDefined))
+        CkProtocol(3, 7, Some(Seq("deletionVectors")))
+      else CkProtocol(1, 2)
     val rows =
       CkRow(None, Some(meta), None) +:
-      CkRow(None, None, Some(CkProtocol(1, 2))) +:
+      CkRow(None, None, Some(proto)) +:
       st.adds.map { a =>
         val f = new java.io.File(resolve(tableDir, a.path))
         CkRow(Some(CkAdd(a.path, a.partitionValues, f.length(),
-          f.lastModified(), dataChange = true, a.stats)), None, None)
+          f.lastModified(), dataChange = true, a.stats,
+          a.dv.map(d => CkDv(d.storageType, d.pathOrInlineDv, d.offset,
+            d.sizeInBytes, d.cardinality)))), None, None)
       }
     import spark.implicits._
     val ld = logDir(tableDir)
@@ -938,14 +1138,19 @@ object DeltaLake {
 }
 
 // checkpoint-action row shapes (file scope: Spark encoders need stable
-// types); `stats` is part of the protocol's checkpoint schema
+// types); `stats` and `deletionVector` are part of the protocol's
+// checkpoint add schema
 private[sources] case class CkFormat(provider: String)
 private[sources] case class CkMeta(id: String, format: CkFormat,
     schemaString: String, partitionColumns: Seq[String])
 private[sources] case class CkProtocol(minReaderVersion: Int,
-    minWriterVersion: Int)
+    minWriterVersion: Int, readerFeatures: Option[Seq[String]] = None)
+private[sources] case class CkDv(storageType: String,
+    pathOrInlineDv: String, offset: Option[Int], sizeInBytes: Int,
+    cardinality: Long)
 private[sources] case class CkAdd(path: String,
     partitionValues: Map[String, String], size: Long,
-    modificationTime: Long, dataChange: Boolean, stats: Option[String])
+    modificationTime: Long, dataChange: Boolean, stats: Option[String],
+    deletionVector: Option[CkDv] = None)
 private[sources] case class CkRow(add: Option[CkAdd],
     metaData: Option[CkMeta], protocol: Option[CkProtocol])

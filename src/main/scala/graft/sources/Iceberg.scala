@@ -137,14 +137,45 @@ object Iceberg {
       .getOrElse(throw new IllegalArgumentException(
         s"Iceberg: no snapshot $wantId in $path"))
 
-    // current schema (schemas list + current-schema-id; v1 fallback to
-    // the top-level `schema` field)
+    // the SNAPSHOT's schema (snapshots carry a `schema-id` since v2;
+    // fall back to current-schema-id when absent, then to the v1
+    // top-level `schema` field). Resolving the snapshot's own schema —
+    // not blindly the current one — is what makes the schema-drift
+    // guards in [[changes]]/[[isAppendOnly]] real: on a table that
+    // evolved between snapshots the two resolved schemas now differ,
+    // so the guards fire instead of vacuously passing (r9 advice).
+    val schemaId = Option(snap.get("schema-id")).map(_.asInt)
+      .orElse(Option(md.get("current-schema-id")).map(_.asInt))
     val schemaNode = Option(md.get("schemas")).flatMap { ss =>
-      val cur = md.get("current-schema-id").asInt
-      ss.elements().asScala.find(_.get("schema-id").asInt == cur)
+      schemaId.flatMap(id =>
+        ss.elements().asScala.find(_.get("schema-id").asInt == id))
     }.orElse(Option(md.get("schema")))
       .getOrElse(throw new IllegalStateException(
-        s"Iceberg metadata at $path carries no schema"))
+        s"Iceberg metadata at $path carries no schema (snapshot " +
+          s"schema-id $schemaId not in the schemas list)"))
+    // rename detection across ALL schema versions: this reader resolves
+    // parquet columns BY NAME (the files here carry no field-id
+    // metadata), so a renamed column would silently read as all-null
+    // from pre-rename files. The spec's field ids make renames
+    // detectable: one id mapping to two names across schema versions is
+    // a rename — fail LOUDLY instead of mis-reading.
+    locally {
+      val idNames = mutable.Map.empty[Int, String]
+      Option(md.get("schemas")).toSeq
+        .flatMap(_.elements().asScala.toSeq)
+        .foreach { s =>
+          s.get("fields").elements().asScala.foreach { f =>
+            val id = f.get("id").asInt
+            val name = f.get("name").asText
+            idNames.get(id).foreach(prev => require(prev == name,
+              s"Iceberg: column rename detected (field id $id is " +
+                s"'$prev' in one schema version and '$name' in another): " +
+                "this reader resolves parquet columns by name and would " +
+                "silently null the renamed column for pre-rename files"))
+            idNames(id) = name
+          }
+        }
+    }
     val schema = structFromIceberg(schemaNode)
 
     // default partition spec: identity transforms only. v2 keeps a

@@ -63,8 +63,10 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "iceberg_scan", "iceberg_time_travel", "delta_iceberg",
       "delta_iceberg_delete", "iceberg_skipping",
       "delta_deltalake_rowview", "delta_deltalake_update",
-      "delta_lake_dedup")
-    assert(declared.size == 128)
+      "delta_lake_dedup",
+      // round-10 surface
+      "deltalake_dv_scan", "delta_deltalake_dv")
+    assert(declared.size == 130)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
