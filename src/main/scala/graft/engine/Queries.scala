@@ -1991,6 +1991,35 @@ object Queries {
              |    AND o_orderpriority IN ('2-HIGH', '4-NOT SPECIFIED'))
              |  AND NOT (o_custkey % 9 = 4 AND o_orderpriority = '2-HIGH')
              |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ICEBERG MERGE-ON-READ SNAPSHOT (r10): the v2 positional-delete
+    // shape Flink/Trino writers produce by default — data files keep
+    // their bytes; a content=1 DELETE manifest lists a parquet delete
+    // file of (file_path, pos) rows. The staged table carries TWO MoR
+    // delete snapshots (accumulating delete files), and the read
+    // subtracts them as a BROADCAST ANTI-JOIN on the scan's own
+    // (file_path, row_index) metadata — distributed, never collected to
+    // the driver. Hash equality vs the first-principles oracle pins the
+    // delete-manifest fold, the path canonicalization, and the per-file
+    // position semantics end to end.
+    QueryDef("iceberg_mor_scan",
+      (s, d) => graft.sources.Iceberg.snapshot(s, icebergOrdersMor(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE NOT (o_custkey % 11 = 0
+             |    AND o_orderpriority IN ('1-URGENT', '5-LOW'))
+             |  AND NOT (o_custkey % 11 = 7 AND o_orderpriority = '5-LOW')
+             |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin))
   )
 
@@ -2115,6 +2144,28 @@ object Queries {
       graft.sources.DeltaLake.stageDvDeleteCommit(s, p,
         col("o_custkey") % 9 === 4 && col("o_orderpriority") === "2-HIGH",
         3L, inline = true)
+    }
+
+  /** The Iceberg table with TWO MERGE-ON-READ positional-delete
+    * snapshots — the `iceberg_mor_scan` fixture: the usual two-append
+    * 90/10 split, then accumulating delete files at snapshots 3 and 4.
+    * Deterministic predicates for the first-principles oracle.
+    */
+  private[graft] def icebergOrdersMor(s: SparkSession, d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_mor_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") < c1), Seq("o_orderpriority"))
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") >= c1), Seq("o_orderpriority"))
+      graft.sources.Iceberg.stageMorDelete(s, p,
+        col("o_custkey") % 11 === 0 &&
+          col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      graft.sources.Iceberg.stageMorDelete(s, p,
+        col("o_custkey") % 11 === 7 && col("o_orderpriority") === "5-LOW")
+      ()
     }
 
   /** The Iceberg table with a COPY-ON-WRITE DELETE at snapshot 3 — the

@@ -32,13 +32,17 @@ import org.apache.spark.sql.types._
   * live-file diff — the commit-log delta for incremental maintenance.
   *
   * Supported: format-version 1/2 metadata, identity partition
-  * transforms, data manifests. Fail-fast (never silently wrong): delete
-  * manifests / delete files (v2 row-level deletes — merging them is a
-  * different algorithm), non-identity transforms (bucket/truncate/days:
-  * the partition value is then a DERIVED value, not a column value),
-  * unsupported types. Column resolution is BY NAME (spec resolves by
-  * field id; equivalent until a column is renamed — renames fail the
-  * name lookup loudly rather than mis-binding).
+  * transforms, data manifests, and MERGE-ON-READ positional deletes
+  * (content=1 delete manifests listing `(file_path, pos)` parquet
+  * delete files, subtracted as a broadcast anti-join on the scan's own
+  * file/row metadata — see [[scanOf]]). Fail-fast (never silently
+  * wrong): equality deletes (content=2 — a value-keyed anti-join per
+  * equality field set, a different algorithm), non-identity transforms
+  * (bucket/truncate/days: the partition value is then a DERIVED value,
+  * not a column value), unsupported types, and column RENAMES (this
+  * reader resolves parquet columns by name; renames are detected via
+  * the schema history's field ids and rejected loudly rather than
+  * silently nulling pre-rename files).
   */
 object Iceberg {
 
@@ -51,7 +55,8 @@ object Iceberg {
       stats: Option[String] = None, size: Option[Long] = None)
 
   final case class SnapshotMeta(snapshotId: Long, schema: StructType,
-      partitionColumns: Seq[String], files: Seq[IceFile])
+      partitionColumns: Seq[String], files: Seq[IceFile],
+      deleteFiles: Seq[IceFile] = Seq.empty)
 
   // ---- metadata resolution ----------------------------------------------
 
@@ -208,51 +213,70 @@ object Iceberg {
           (f.get("name").asText, typeFromIceberg(f.get("type")))
       }.toMap
 
-    // manifest list → manifests → live data files
+    // manifest list → manifests → live data files + live DELETE files
+    // (merge-on-read: a delete manifest, content=1, lists POSITIONAL
+    // delete files — parquet of (file_path, pos) rows naming deleted
+    // rows of data files; equality deletes, content=2 entries, remain
+    // fail-fast: merging them needs value-keyed anti-joins per equality
+    // field set, a different algorithm)
     val mlPath = resolveRef(path, snap.get("manifest-list").asText)
     val files = mutable.LinkedHashMap.empty[String, IceFile]
+    val deletes = mutable.LinkedHashMap.empty[String, IceFile]
     // absent optional fields (v1 files have no `content`) read as null
     def optF(r: GenericRecord, n: String): AnyRef =
       if (r.getSchema.getField(n) != null) r.get(n) else null
     avroRecords(mlPath).foreach { mf =>
       val content = Option(optF(mf, "content")).map(_.toString.toInt)
         .getOrElse(0)
-      require(content == 0,
-        "Iceberg: delete manifests (v2 row-level deletes) are not " +
-          "supported by this reader — merging them is a different " +
-          "algorithm; compact the table or read a pre-delete snapshot")
+      require(content == 0 || content == 1,
+        s"Iceberg: manifest content $content is not supported")
       val mPath = resolveRef(path, mf.get("manifest_path").toString)
       avroRecords(mPath).foreach { entry =>
         val status = entry.get("status").toString.toInt
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
-        Option(optF(df, "content")).map(_.toString.toInt).foreach(c =>
-          require(c == 0, "Iceberg: delete files are not supported"))
+        val fileContent = Option(optF(df, "content"))
+          .map(_.toString.toInt).getOrElse(0)
         val fp = df.get("file_path").toString
         val fmt = df.get("file_format").toString
         require(fmt.equalsIgnoreCase("PARQUET"),
-          s"Iceberg: data file format $fmt not supported (parquet only)")
-        if (status == 2) files.remove(fp) // DELETED entry
-        else {
-          val pv = Option(df.get("partition"))
-            .map(_.asInstanceOf[GenericRecord]) match {
-            case Some(p) => partCols.map(c =>
-              c -> Option(p.get(c)).map(_.toString).orNull).toMap
-            case None => Map.empty[String, String]
+          s"Iceberg: file format $fmt not supported (parquet only)")
+        val size = Option(optF(df, "file_size_in_bytes"))
+          .map(_.toString.toLong)
+        if (content == 1) {
+          // delete manifest: positional delete files only
+          require(fileContent == 1,
+            s"Iceberg: file content $fileContent in a delete manifest " +
+              "is not supported by this reader (1 = positional deletes " +
+              "only; equality deletes, content=2, need a value-keyed " +
+              "anti-join per equality field set — a different " +
+              "algorithm; compact the table instead)")
+          if (status == 2) deletes.remove(fp)
+          else deletes.put(fp, IceFile(fp, Map.empty, None, size))
+        } else {
+          require(fileContent == 0,
+            s"Iceberg: file content $fileContent in a data manifest")
+          if (status == 2) files.remove(fp) // DELETED entry
+          else {
+            val pv = Option(df.get("partition"))
+              .map(_.asInstanceOf[GenericRecord]) match {
+              case Some(p) => partCols.map(c =>
+                c -> Option(p.get(c)).map(_.toString).orNull).toMap
+              case None => Map.empty[String, String]
+            }
+            // per-file column bounds (spec: map<field-id, binary
+            // single-value serialization>) → the shared stats-JSON shape;
+            // absent fields (writers may omit bounds) and undecodable
+            // entries are simply dropped (conservative)
+            val stats = StatsSkip.statsJson(
+              decodeBounds(optF(df, "lower_bounds"), idMap),
+              decodeBounds(optF(df, "upper_bounds"), idMap))
+            files.put(fp, IceFile(fp, pv, stats, size))
           }
-          // per-file column bounds (spec: map<field-id, binary
-          // single-value serialization>) → the shared stats-JSON shape;
-          // absent fields (writers may omit bounds) and undecodable
-          // entries are simply dropped (conservative)
-          val stats = StatsSkip.statsJson(
-            decodeBounds(optF(df, "lower_bounds"), idMap),
-            decodeBounds(optF(df, "upper_bounds"), idMap))
-          val size = Option(optF(df, "file_size_in_bytes"))
-            .map(_.toString.toLong)
-          files.put(fp, IceFile(fp, pv, stats, size))
         }
       }
     }
-    SnapshotMeta(wantId, schema, partCols, files.values.toSeq)
+    SnapshotMeta(wantId, schema, partCols, files.values.toSeq,
+      deletes.values.toSeq)
   }
 
   /** Snapshot read as of `snapshotId` (default: current) — ONE scan over
@@ -275,9 +299,17 @@ object Iceberg {
     */
   def appended(spark: SparkSession, path: String, afterSnapshotId: Long,
       toSnapshotId: Option[Long] = None): DataFrame = {
-    val base = resolve(spark, path, Some(afterSnapshotId))
-      .files.map(_.path).toSet
+    val baseMeta = resolve(spark, path, Some(afterSnapshotId))
+    val base = baseMeta.files.map(_.path).toSet
     val end = resolve(spark, path, toSnapshotId)
+    // a delete file landing in the window is a row-level delete the
+    // inserts-only delta cannot express — fail fast (same contract as
+    // DeltaLake.appended under a DV window)
+    require(baseMeta.deleteFiles.map(_.path).toSet ==
+        end.deleteFiles.map(_.path).toSet,
+      s"Iceberg.appended: snapshots ($afterSnapshotId, ${end.snapshotId}]" +
+        s" of $path change the positional-delete file set — the window " +
+        "holds row-level deletes; rebase the maintained view")
     scanOf(spark, path,
       end.copy(files = end.files.filterNot(f => base.contains(f.path))))
   }
@@ -303,6 +335,19 @@ object Iceberg {
         "of " + path + " change the schema: a signed diff under an " +
         "evolved schema would drift from the view it patches — rebase " +
         "the maintained view from the current snapshot")
+    // a MERGE-ON-READ window (the positional-delete file set changed)
+    // fails fast: the file-set diff can't see rows deleted INSIDE a
+    // still-live data file, so the signed pair would silently miss the
+    // retraction — rebase instead (documented contract; the Delta DV
+    // seam nets the equivalent window because its log pairs the DV with
+    // its file, which the Iceberg snapshot diff does not)
+    require(cut.deleteFiles.map(_.path).toSet ==
+        end.deleteFiles.map(_.path).toSet,
+      s"Iceberg.changes: snapshots ($afterSnapshotId, ${end.snapshotId}] " +
+        s"of $path change the positional-delete file set (merge-on-read " +
+        "deletes landed): the file-set diff cannot attribute rows " +
+        "deleted inside still-live files — rebase the maintained view " +
+        "from the current snapshot")
     val cutPaths = cut.files.map(_.path).toSet
     val endPaths = end.files.map(_.path).toSet
     val inserts = end.copy(
@@ -332,7 +377,9 @@ object Iceberg {
     val after = resolve(spark, path, Some(toSnapshotId))
     val afterPaths = after.files.map(_.path).toSet
     before.files.forall(f => afterPaths.contains(f.path)) &&
-      before.schema.json == after.schema.json
+      before.schema.json == after.schema.json &&
+      before.deleteFiles.map(_.path).toSet ==
+        after.deleteFiles.map(_.path).toSet
   }
 
   /** Snapshot restricted by `predicate`, with manifest-bounds DATA
@@ -372,8 +419,48 @@ object Iceberg {
     // evaluated in LakeScan for every format); lowering memoized per
     // scan, stats parsed once per file — shared keep (StatsSkip)
     val keep = StatsSkip.memoKeep(sm.schema, sm.partitionColumns)
-    LakeScan.scan(spark, path, sm.schema, sm.partitionColumns, logFiles,
-      keep, withMeta)
+    if (sm.deleteFiles.isEmpty)
+      LakeScan.scan(spark, path, sm.schema, sm.partitionColumns, logFiles,
+        keep, withMeta)
+    else {
+      // MERGE-ON-READ: subtract the positional delete files — parquet
+      // of (file_path, pos) — as a BROADCAST ANTI-JOIN on the scan's
+      // own (file_path, row_index) metadata. Fully distributed: the
+      // delete side is a normal scan (never collected to the driver),
+      // broadcast because a snapshot's delete files are metadata-sized
+      // next to its data; at larger delete volumes drop the hint and
+      // the same plan shuffles. Path-keyed application is exact for
+      // positional deletes without sequence-number scoping: a delete
+      // row names one (file, position), and later-added data files have
+      // new paths a delete written earlier can never name.
+      import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+      import spark.implicits._
+      val scan = LakeScan.scan(spark, path, sm.schema, sm.partitionColumns,
+        logFiles, keep, withMeta = true)
+      val dels = spark.read
+        .parquet(sm.deleteFiles.map(f => resolveRef(path, f.path)): _*)
+        .select(regexp_replace(col("file_path"), "^file:/+", "/")
+          .as("__dpath"), col("pos").as("__dpos"))
+      // manifest path string → the canonical rendering of the scan's
+      // `_metadata.file_path` (URL-encoded absolute path); both the
+      // manifest-relative and canonical keys are registered so delete
+      // files may name data files either way
+      val mapping = sm.files.flatMap { f =>
+        val abs = new org.apache.hadoop.fs.Path(resolveRef(path, f.path))
+          .toUri.toString
+        Seq(f.path -> abs, abs -> abs)
+      }.distinct.toDF("__mrel", "__mabs")
+      val delAbs = dels.join(broadcast(mapping),
+        col("__dpath") === col("__mrel")).select("__mabs", "__dpos")
+      val dataKey = regexp_replace(col("_metadata.file_path"),
+        "^file:/+", "/")
+      val kept = scan.join(broadcast(delAbs),
+        dataKey === col("__mabs") &&
+          col("_metadata.row_index") === col("__dpos"), "left_anti")
+      val cols = sm.schema.fieldNames.toIndexedSeq ++
+        (if (withMeta) Seq("_metadata") else Seq.empty)
+      kept.select(cols.map(col): _*)
+    }
   }
 
   /** Decode a manifest `lower_bounds`/`upper_bounds` value (spec: a map
@@ -546,11 +633,13 @@ object Iceberg {
 
   /** One manifest entry to write: `status` 1 = ADDED, 2 = DELETED;
     * `relPath` is the table-relative data path (the manifest's
-    * `file_path`, matched verbatim by the reader's fold).
+    * `file_path`, matched verbatim by the reader's fold); `content`
+    * 0 = data file, 1 = positional delete file (written into a
+    * content=1 delete manifest).
     */
   private final case class Entry(status: Int, relPath: String,
       sizeBytes: Long, pv: Map[String, String], count: Long,
-      perCol: Map[String, (Any, Any)])
+      perCol: Map[String, (Any, Any)], content: Int = 0)
 
   private def priorState(mdDir: java.io.File)
       : (Option[JsonNode], Long) = {
@@ -678,10 +767,6 @@ object Iceberg {
          |${boundsAvro("lower_bounds", "k126")},
          |${boundsAvro("upper_bounds", "k127")}
          |]}}]}""".stripMargin)
-    val manifestFile = new java.io.File(mdDir, f"m-$version%05d.avro")
-    val mw = new DataFileWriter[GenericRecord](
-      new GenericDatumWriter[GenericRecord](manifestSchema))
-    mw.create(manifestSchema, manifestFile)
     val dfSchema = manifestSchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
     // single-value serialization (spec Appendix D): ints/longs and IEEE
@@ -725,29 +810,43 @@ object Iceberg {
       }
       out
     }
-    entries.foreach { en =>
-      val part = new GenericData.Record(partSchema)
-      en.pv.foreach { case (k, v) => part.put(k, v) }
-      val d = new GenericData.Record(dfSchema)
-      d.put("content", 0)
-      d.put("file_path", en.relPath)
-      d.put("file_format", "PARQUET")
-      d.put("partition", part)
-      d.put("record_count", en.count)
-      d.put("file_size_in_bytes", en.sizeBytes)
-      d.put("lower_bounds", boundsList(en.perCol, takeMin = true))
-      d.put("upper_bounds", boundsList(en.perCol, takeMin = false))
-      val e = new GenericData.Record(manifestSchema)
-      e.put("status", en.status)
-      e.put("snapshot_id", snapshotId)
-      e.put("data_file", d)
-      mw.append(e)
-    }
-    mw.close()
+    // one manifest per content kind: a manifest is either a DATA
+    // manifest (content 0) or a DELETE manifest (content 1) — the spec
+    // does not mix them
+    val newManifests: Seq[(java.io.File, Int)] =
+      entries.groupBy(_.content).toSeq.sortBy(_._1).map {
+        case (content, group) =>
+          val manifestFile = new java.io.File(mdDir,
+            f"m-$version%05d-c$content.avro")
+          val mw = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](manifestSchema))
+          mw.create(manifestSchema, manifestFile)
+          group.foreach { en =>
+            val part = new GenericData.Record(partSchema)
+            en.pv.foreach { case (k, v) => part.put(k, v) }
+            val d = new GenericData.Record(dfSchema)
+            d.put("content", en.content)
+            d.put("file_path", en.relPath)
+            d.put("file_format", "PARQUET")
+            d.put("partition", part)
+            d.put("record_count", en.count)
+            d.put("file_size_in_bytes", en.sizeBytes)
+            d.put("lower_bounds", boundsList(en.perCol, takeMin = true))
+            d.put("upper_bounds", boundsList(en.perCol, takeMin = false))
+            val e = new GenericData.Record(manifestSchema)
+            e.put("status", en.status)
+            e.put("snapshot_id", snapshotId)
+            e.put("data_file", d)
+            mw.append(e)
+          }
+          mw.close()
+          (manifestFile, content)
+      }
 
-    // manifest list (Avro): prior manifests + the new one (order
+    // manifest list (Avro): prior manifests + the new ones (order
     // matters — the reader's fold applies DELETED entries against the
-    // files earlier manifests added)
+    // files earlier manifests added; content flags are PRESERVED so a
+    // prior delete manifest keeps applying)
     val mlSchema = new Schema.Parser().parse(
       """{"type":"record","name":"manifest_file","fields":[
         |{"name":"manifest_path","type":"string"},
@@ -756,28 +855,31 @@ object Iceberg {
         |{"name":"content","type":"int"},
         |{"name":"added_snapshot_id","type":["null","long"],"default":null}
         |]}""".stripMargin)
-    val priorManifests: Seq[(String, Long)] = priorMd.toSeq.flatMap { md =>
-      val lastSnap = md.get("snapshots").elements().asScala.toSeq
-        .find(_.get("snapshot-id").asLong ==
-          md.get("current-snapshot-id").asLong)
-      lastSnap.toSeq.flatMap { s =>
-        avroRecords(resolveRef(tableDir, s.get("manifest-list").asText))
-          .map(r => (r.get("manifest_path").toString,
-            r.get("manifest_length").toString.toLong))
+    val priorManifests: Seq[(String, Long, Int)] =
+      priorMd.toSeq.flatMap { md =>
+        val lastSnap = md.get("snapshots").elements().asScala.toSeq
+          .find(_.get("snapshot-id").asLong ==
+            md.get("current-snapshot-id").asLong)
+        lastSnap.toSeq.flatMap { s =>
+          avroRecords(resolveRef(tableDir, s.get("manifest-list").asText))
+            .map(r => (r.get("manifest_path").toString,
+              r.get("manifest_length").toString.toLong,
+              Option(r.getSchema.getField("content"))
+                .map(_ => r.get("content").toString.toInt).getOrElse(0)))
+        }
       }
-    }
     val mlFile = new java.io.File(mdDir, f"snap-$snapshotId%d.avro")
     val lw = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](mlSchema))
     lw.create(mlSchema, mlFile)
-    (priorManifests :+
-        (s"metadata/${manifestFile.getName}", manifestFile.length()))
-      .foreach { case (p, len) =>
+    (priorManifests ++ newManifests.map { case (f, c) =>
+        (s"metadata/${f.getName}", f.length(), c) })
+      .foreach { case (p, len, content) =>
         val r = new GenericData.Record(mlSchema)
         r.put("manifest_path", p)
         r.put("manifest_length", len)
         r.put("partition_spec_id", 0)
-        r.put("content", 0)
+        r.put("content", content)
         r.put("added_snapshot_id", snapshotId)
         lw.append(r)
       }
@@ -888,6 +990,69 @@ object Iceberg {
     }
   }
 
+  /** Append a MERGE-ON-READ positional DELETE as a new snapshot — the
+    * v2 row-level delete shape Flink/Trino writers produce by default:
+    * data files keep their bytes; ONE positional delete file (parquet
+    * of `(file_path, pos)` rows, the spec's delete-file schema) lands
+    * under `data/`, listed by a content=1 DELETE manifest in the new
+    * manifest list. Only rows still LIVE (not named by an existing
+    * delete file) are added, so repeated deletes accumulate without
+    * duplicate positions. Rows where the predicate is false OR NULL
+    * survive. Fixture machinery for the MoR read path ([[resolve]] /
+    * [[scanOf]]); real tables are written by the lakehouse writer.
+    */
+  def stageMorDelete(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val root = new java.io.File(tableDir)
+    val cur = resolve(spark, tableDir, None)
+    val dataSchema = StructType(
+      cur.schema.filterNot(f => cur.partitionColumns.contains(f.name)))
+    // existing delete positions, keyed by the manifest's file_path
+    val existing: Map[String, Set[Long]] =
+      if (cur.deleteFiles.isEmpty) Map.empty
+      else spark.read.parquet(cur.deleteFiles
+          .map(f => resolveRef(tableDir, f.path)): _*)
+        .select("file_path", "pos").collect()
+        .groupBy(_.getString(0))
+        .map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+    val delRows = mutable.Buffer.empty[(String, Long)]
+    cur.files.foreach { f =>
+      val abs = resolveRef(tableDir, f.path)
+      val fileRows = cur.partitionColumns.foldLeft(
+        spark.read.schema(dataSchema).parquet(abs)
+          .withColumn("__ri", col("_metadata.row_index"))) { (df, pc) =>
+        val dt = cur.schema(pc).dataType
+        df.withColumn(pc, f.partitionValues.get(pc).filter(_ != null)
+          .map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
+      }
+      val matching = fileRows.filter(predicate).select("__ri")
+        .collect().map(_.getLong(0))
+      val already = existing.getOrElse(f.path, Set.empty)
+      matching.filterNot(already).sorted
+        .foreach(i => delRows += f.path -> i)
+    }
+    require(delRows.nonEmpty,
+      "stageMorDelete: the predicate matches no live row — a delete " +
+        "file with zero positions would be a malformed commit")
+    val (_, version) = priorState(metadataDir(tableDir))
+    val tmp = new java.io.File(root, s"_ice_del_tmp_$version")
+    delRows.toSeq.toDF("file_path", "pos")
+      .coalesce(1).sortWithinPartitions("file_path", "pos")
+      .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = Option(tmp.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).head
+    val rel = s"data/delete-$version-${part.getName}"
+    val dest = new java.io.File(root, rel)
+    dest.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
+    commitSnapshot(spark, tableDir, cur.schema, cur.partitionColumns,
+      Seq(Entry(1, rel, dest.length(), Map.empty, delRows.size.toLong,
+        Map.empty, content = 1)), "delete")
+  }
+
   /** Shared copy-on-write rewrite for the DML fixtures (delete/update):
     * per live file — read DIRECTLY with the log's partition values
     * attached (the predicate may reference partition columns; file names
@@ -898,19 +1063,36 @@ object Iceberg {
   private def stageRewrite(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column, operation: String)
       (rewrite: (DataFrame, Seq[String]) => DataFrame): Long = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     val root = new java.io.File(tableDir)
     val cur = resolve(spark, tableDir, None)
     val dataSchema = StructType(
       cur.schema.filterNot(f => cur.partitionColumns.contains(f.name)))
+    // live positional-delete rows per data file: a copy-on-write
+    // rewrite of a MoR-deleted file must carry only its LIVE rows —
+    // reading raw physical rows would silently RESURRECT deleted ones
+    val morDead: Map[String, Set[Long]] =
+      if (cur.deleteFiles.isEmpty) Map.empty
+      else spark.read.parquet(cur.deleteFiles
+          .map(f => resolveRef(tableDir, f.path)): _*)
+        .select("file_path", "pos").collect()
+        .groupBy(_.getString(0))
+        .map { case (pth, rs) => pth -> rs.map(_.getLong(1)).toSet }
     val entries = mutable.Buffer.empty[Entry]
     cur.files.foreach { f =>
       val abs = resolveRef(tableDir, f.path)
-      val fileRows = cur.partitionColumns.foldLeft(
+      val raw = cur.partitionColumns.foldLeft(
         spark.read.schema(dataSchema).parquet(abs)) { (df, pc) =>
         val dt = cur.schema(pc).dataType
         df.withColumn(pc, f.partitionValues.get(pc).filter(_ != null)
           .map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
+      }
+      val fileRows = morDead.get(f.path) match {
+        case None => raw
+        case Some(dead) =>
+          raw.withColumn("__ri", col("_metadata.row_index"))
+            .filter(!col("__ri").isInCollection(dead))
+            .drop("__ri")
       }
       if (!fileRows.filter(predicate).isEmpty) {
         entries += Entry(2, f.path, new java.io.File(abs).length(),

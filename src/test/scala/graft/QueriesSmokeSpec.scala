@@ -65,8 +65,8 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "delta_deltalake_rowview", "delta_deltalake_update",
       "delta_lake_dedup",
       // round-10 surface
-      "deltalake_dv_scan", "delta_deltalake_dv")
-    assert(declared.size == 130)
+      "deltalake_dv_scan", "delta_deltalake_dv", "iceberg_mor_scan")
+    assert(declared.size == 131)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

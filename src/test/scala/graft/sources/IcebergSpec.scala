@@ -268,7 +268,7 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("identity"))
   }
 
-  test("fail-fast: a delete manifest in the manifest list") {
+  test("fail-fast: a malformed delete manifest (non-positional entries)") {
     val (dir, _, s2) = twoSnapshots()
     // rewrite the current manifest list with content=1 (delete manifest)
     import org.apache.avro.file.{DataFileReader, DataFileWriter}
@@ -286,9 +286,13 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     w.create(schema, ml)
     recs.foreach { r => r.put("content", 1); w.append(r) }
     w.close()
+    // marking a DATA manifest as a delete manifest leaves content=0
+    // entries inside a content=1 manifest: positional-only enforcement
+    // must reject it loudly (equality deletes, content=2, hit the same
+    // guard) instead of planning data files as delete files
     val e = intercept[IllegalArgumentException] {
       Iceberg.snapshot(spark, dir).collect()
     }
-    assert(e.getMessage.contains("delete manifests"))
+    assert(e.getMessage.contains("delete manifest"))
   }
 }
