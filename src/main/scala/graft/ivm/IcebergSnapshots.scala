@@ -139,8 +139,12 @@ object IcebergSnapshots {
     DeltaSources.register(table, s.cutSnapshot.map { sid =>
       val names = Iceberg.liveFileNames(spark, s.dir, sid)
       if (names.isEmpty) "1 = 1"
-      else names.map(n => s"'$n'")
-        .mkString("_metadata.file_name NOT IN (", ", ", ")")
+      else {
+        // index-native cut, same as [[DeltaLakeSnapshots.sync]]
+        val token = s"iceberg/$table"
+        CutRegistry.put(spark, token, names)
+        CutRegistry.predicateSql(token)
+      }
     }.getOrElse("1 = 1"))
   }
 }

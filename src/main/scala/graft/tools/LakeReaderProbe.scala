@@ -124,6 +124,52 @@ object LakeReaderProbe {
       f"splice $cycleS%5.2f s vs full recompute $fullS%5.2f s; " +
       f"recompute arm $armFiles%d of $liveFiles%d live files")
 
+    // δ-arm PLAN SIZE at the 1k-file table (r10): the version cut must
+    // be index-native — one graft_post_cut node carrying the file set
+    // as a reference object, NOT an O(files) IN-list of literals (the
+    // r9 shape). Pin (a) no IN-list in the analyzed δ-arm plan, (b)
+    // plan string size stays file-count-independent, (c) the δ arm
+    // still plans ONLY the post-cut files.
+    graft.ivm.DeltaLakeSnapshots.track(spark, "probe_cutsize", wide,
+      at = Some(0L))
+    dl.stageCommit(spark, wide,
+      ord.limit(1000).withColumn("pk", (col("o_orderkey") % 100)),
+      Seq("pk"), 1L)
+    try {
+      graft.ivm.DeltaLakeSnapshots.view(spark, "probe_cutsize")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val delta = graft.ivm.Ivm.delta(spark.table("probe_cutsize"))
+      val analyzed = delta
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.analyzed.toString
+      require(!analyzed.contains(" IN ("),
+        "δ-arm plan carries an IN-list — the cut is not index-native")
+      require(analyzed.contains("graft_post_cut"),
+        "δ-arm plan should carry the graft_post_cut node")
+      // execute the dataset's OWN queryExecution (count() would derive
+      // a separate plan and leave these metrics at zero)
+      val deltaRows = delta.collect().length
+      require(deltaRows == 1000, s"δ arm returned $deltaRows rows")
+      val deltaFiles = delta
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.collectLeaves().collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.get.metrics("numFiles").value
+      val liveNow = dl.snapshot(spark, wide).inputFiles.length
+      println(f"delta cut plan size ($nFiles%d pre-cut files)  analyzed " +
+        f"plan ${analyzed.length}%d chars; δ arm plans " +
+        f"$deltaFiles%d of $liveNow%d live files (post-cut only)")
+      require(deltaFiles <= liveNow - nFiles,
+        s"δ arm planned $deltaFiles files — pre-cut files leaked in")
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      // the probe APPENDED to the shared staged slot: restore it so the
+      // fold+plan rows of a re-run see the original single-commit table
+      new java.io.File(wide, "_delta_log/00000000000000000001.json")
+        .delete()
+      ()
+    }
+
     // Iceberg fold+plan on the staged two-snapshot table (manifest fold
     // instead of JSON-commit fold; same single-scan construction)
     val ice = graft.engine.Queries.icebergOrders(spark, dir)

