@@ -2020,6 +2020,83 @@ object Queries {
              |    AND o_orderpriority IN ('1-URGENT', '5-LOW'))
              |  AND NOT (o_custkey % 11 = 7 AND o_orderpriority = '5-LOW')
              |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // NON-IDENTITY PARTITION TRANSFORM (r10): `days(ts)` — the single
+    // most common production Iceberg layout, previously fail-fast. The
+    // staged events table is HIDDEN-partitioned by day (the derived day
+    // ordinal lives only in the spec + manifests; `ts` stays a real
+    // data column), and a 7-day timestamp window prunes to exactly the
+    // 7×2 day files driver-side from the TRANSFORMED partition values
+    // (derive the source bounds a day ordinal implies, decide the
+    // predicate against them — IcebergTransforms). Hash equality vs the
+    // raw-parquet oracle pins the derivation, the UTC day arithmetic,
+    // and the hidden-partitioning read end to end; IcebergTransformSpec
+    // pins the pruned file counts.
+    QueryDef("iceberg_days_partition",
+      (s, d) => {
+        val dir = icebergEventsDays(s, d)
+        graft.sources.Iceberg.snapshotWhere(s, dir,
+          col("ts") >= lit(java.time.Instant.parse("2024-01-10T00:00:00Z"))
+            && col("ts") < lit(java.time.Instant.parse("2024-01-17T00:00:00Z")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast("double").as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_value
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND ts < TIMESTAMP '2024-01-17 00:00:00'
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // MERGE THROUGH THE SIGNED SEAM (r10): a writer's MERGE INTO lands
+    // as ONE commit mixing rewrite pairs (matched rows updated) and
+    // plain adds (not-matched rows inserted). The signed algebra needs
+    // no new code — the window nets to retract(old matched) +
+    // insert(updated matched) + insert(new rows) — and the stored
+    // aggregate view maintains through it via the same group-scoped
+    // splice as delete/update. The insert set is DERIVED from orders
+    // (key-remapped 97th-customer rows) so the DuckDB oracle recomputes
+    // the merged table from first principles with a CASE + UNION ALL.
+    QueryDef("delta_deltalake_merge",
+      (s, d) => {
+        import graft.ivm.DeltaLakeSnapshots
+        val dir = deltaLakeOrdersMerged(s, d)
+        val aggOf = (df: org.apache.spark.sql.DataFrame) => df
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+        DeltaLakeSnapshots.track(s, "dl_orders_mrg", dir, at = Some(1L))
+        val stored = aggOf(
+          graft.sources.DeltaLake.snapshot(s, dir, version = Some(1L)))
+        DeltaLakeSnapshots.maintainAgg(s, "dl_orders_mrg", stored,
+          Seq("o_orderpriority"), aggOf)
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH merged AS (
+             |  SELECT o_orderpriority, o_custkey,
+             |    CASE WHEN o_custkey % 8 = 0
+             |        AND o_orderpriority = '1-URGENT'
+             |      THEN o_totalprice + 500 ELSE o_totalprice END
+             |      AS o_totalprice
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_orderpriority, o_custkey, o_totalprice
+             |  FROM orders WHERE o_custkey % 97 = 0
+             |)
+             |SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM merged
+             |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin))
   )
 
@@ -2144,6 +2221,53 @@ object Queries {
       graft.sources.DeltaLake.stageDvDeleteCommit(s, p,
         col("o_custkey") % 9 === 4 && col("o_orderpriority") === "2-HIGH",
         3L, inline = true)
+    }
+
+  /** The staged table with a MERGE at version 2 (rewrite pairs for
+    * matched rows + new-file adds in ONE commit) — the
+    * `delta_deltalake_merge` fixture: matched = every 8th customer's
+    * urgent orders (+500 price), inserted = key-remapped copies of
+    * every 97th customer's rows. Both derivations deterministic for the
+    * first-principles oracle.
+    */
+  private[graft] def deltaLakeOrdersMerged(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_mrg_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val maxKey = ord.agg(max(col("o_orderkey"))).head().getLong(0)
+      val c1 = maxKey * 9L / 10L
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_orderkey") < c1), Seq("o_orderpriority"), 0L)
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_orderkey") >= c1), Seq("o_orderpriority"), 1L)
+      graft.sources.DeltaLake.stageMergeCommit(s, p,
+        col("o_custkey") % 8 === 0 &&
+          col("o_orderpriority") === "1-URGENT",
+        Map("o_totalprice" -> (col("o_totalprice") + 500)),
+        ord.filter(col("o_custkey") % 97 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + maxKey * 10L)
+          .select(ord.columns.map(col): _*), 2L)
+    }
+
+  /** The `days(ts)` HIDDEN-partitioned Iceberg events table — the
+    * `iceberg_days_partition` fixture: two appends (90/10 on event_id),
+    * each writing one file per day of the 30-day window; `ts` is
+    * normalized to a real TIMESTAMP via the encoding-adaptive helper
+    * before staging.
+    */
+  private[graft] def icebergEventsDays(s: SparkSession, d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_events_days_s1",
+      Seq(s"$d/events.parquet")) { p =>
+      val ev = t(s, d, "events")
+      val tsed = ev.withColumn("ts", Tables.tsMicros(ev))
+      graft.sources.Iceberg.stageAppend(s, p,
+        tsed.filter(col("event_id") % 10 =!= 0).coalesce(1),
+        Seq("days(ts)"))
+      graft.sources.Iceberg.stageAppend(s, p,
+        tsed.filter(col("event_id") % 10 === 0).coalesce(1),
+        Seq("days(ts)"))
+      ()
     }
 
   /** The Iceberg table with TWO MERGE-ON-READ positional-delete

@@ -35,12 +35,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * replaces [[graft.ivm.FileSnapshots]]' mtime cut for transactional
   * tables (its scaladoc's own caveat).
   *
-  * Supported: reader protocol ≤ 2 (fail-fast on reader features the fold
-  * would silently mis-read: deletion vectors, column mapping), JSON
-  * commits, single- and multi-part parquet checkpoints (selected by
-  * on-disk enumeration of COMPLETE checkpoints; `_last_checkpoint` is a
-  * hint only), partitioned tables, percent-encoded relative or absolute
-  * paths.
+  * Supported: reader protocol ≤ 3 with DELETION VECTORS (the
+  * merge-on-read delete shape modern writers produce by default —
+  * decoded per the public DV spec and applied as a codegen'd row_index
+  * anti-filter, see [[DeletionVectors]]); fail-fast on reader features
+  * the fold would silently mis-read (column mapping, v2 checkpoints,
+  * …). JSON commits, single- and multi-part parquet checkpoints
+  * (selected by on-disk enumeration of COMPLETE checkpoints;
+  * `_last_checkpoint` is a hint only), partitioned tables,
+  * percent-encoded relative or absolute paths, in-commit timestamps.
   */
 object DeltaLake {
 
@@ -699,6 +702,39 @@ object DeltaLake {
     */
   def stageCommit(spark: SparkSession, tableDir: String, df: DataFrame,
       partitionBy: Seq[String], version: Long): Unit = {
+    val actions = mutable.Buffer.empty[String]
+    // metaData on commit 0, and again whenever the written schema
+    // differs from the log's current one — the protocol's SCHEMA
+    // EVOLUTION shape (readers resolve a snapshot with its version's
+    // metaData; pre-evolution files surface the new columns as null)
+    val emitMeta = version == 0L ||
+      replay(spark, tableDir, None).schema.json != df.schema.json
+    if (version == 0L)
+      actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    if (emitMeta) {
+      val meta = M.createObjectNode()
+      meta.put("id", java.util.UUID.nameUUIDFromBytes(
+        tableDir.getBytes("UTF-8")).toString)
+      val fmt = meta.putObject("format")
+      fmt.put("provider", "parquet"); fmt.putObject("options")
+      meta.put("schemaString", df.schema.json)
+      val pc = meta.putArray("partitionColumns")
+      partitionBy.foreach(pc.add)
+      meta.putObject("configuration")
+      actions += s"""{"metaData":${M.writeValueAsString(meta)}}"""
+    }
+    actions ++= addFileActions(spark, tableDir, df, partitionBy, version)
+    writeCommit(tableDir, version, actions.toSeq)
+  }
+
+  /** Write `df`'s data files under the table root (partition subdirs
+    * preserved) and return their add actions with real stats — the
+    * shared file-landing half of [[stageCommit]] and
+    * [[stageMergeCommit]].
+    */
+  private def addFileActions(spark: SparkSession, tableDir: String,
+      df: DataFrame, partitionBy: Seq[String],
+      version: Long): Seq[String] = {
     val root = new java.io.File(tableDir)
     root.mkdirs()
     val tmp = new java.io.File(root, s"_commit_tmp_$version")
@@ -733,28 +769,7 @@ object DeltaLake {
       moved.map { case (rel, _) =>
         new java.io.File(root, rel).getAbsolutePath }.toSeq)
 
-    val actions = mutable.Buffer.empty[String]
-    // metaData on commit 0, and again whenever the written schema
-    // differs from the log's current one — the protocol's SCHEMA
-    // EVOLUTION shape (readers resolve a snapshot with its version's
-    // metaData; pre-evolution files surface the new columns as null)
-    val emitMeta = version == 0L ||
-      replay(spark, tableDir, None).schema.json != df.schema.json
-    if (version == 0L)
-      actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-    if (emitMeta) {
-      val meta = M.createObjectNode()
-      meta.put("id", java.util.UUID.nameUUIDFromBytes(
-        tableDir.getBytes("UTF-8")).toString)
-      val fmt = meta.putObject("format")
-      fmt.put("provider", "parquet"); fmt.putObject("options")
-      meta.put("schemaString", df.schema.json)
-      val pc = meta.putArray("partitionColumns")
-      partitionBy.foreach(pc.add)
-      meta.putObject("configuration")
-      actions += s"""{"metaData":${M.writeValueAsString(meta)}}"""
-    }
-    moved.foreach { case (rel, pv) =>
+    moved.map { case (rel, pv) =>
       val add = M.createObjectNode()
       add.put("path", percentEncode(rel))
       val pvNode = add.putObject("partitionValues")
@@ -764,9 +779,8 @@ object DeltaLake {
       add.put("modificationTime", f.lastModified())
       add.put("dataChange", true)
       statsByFile.get(f.getName).foreach(s => add.put("stats", s))
-      actions += s"""{"add":${M.writeValueAsString(add)}}"""
-    }
-    writeCommit(tableDir, version, actions.toSeq)
+      s"""{"add":${M.writeValueAsString(add)}}"""
+    }.toSeq
   }
 
   /** Per-file column stats → the protocol's add.stats JSON (numRecords +
@@ -878,7 +892,17 @@ object DeltaLake {
     */
   private def stageRewriteCommit(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column, version: Long, tag: String)
-      (rewrite: (DataFrame, Seq[String]) => DataFrame): Unit = {
+      (rewrite: (DataFrame, Seq[String]) => DataFrame): Unit =
+    writeCommit(tableDir, version,
+      rewriteActions(spark, tableDir, predicate, version, tag)(rewrite))
+
+  /** The remove/add action pairs of a rewrite, WITHOUT writing the
+    * commit — so [[stageMergeCommit]] can combine them with new-file
+    * adds in one commit.
+    */
+  private def rewriteActions(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column, version: Long, tag: String)
+      (rewrite: (DataFrame, Seq[String]) => DataFrame): Seq[String] = {
     val st = replay(spark, tableDir, None)
     val root = new java.io.File(tableDir)
     val dataSchema = StructType(
@@ -936,7 +960,46 @@ object DeltaLake {
         }
       }
     }
-    writeCommit(tableDir, version, actions.toSeq)
+    actions.toSeq
+  }
+
+  /** Append a MERGE as commit `version` — the mixed shape a writer's
+    * MERGE INTO produces, in ONE commit: remove+add REWRITE pairs for
+    * every live file holding a MATCHED row (predicate true → `set`
+    * applied, old-row semantics as in [[stageUpdateCommit]]), plus
+    * plain adds for `insertDf`'s NOT-MATCHED new rows. Under the signed
+    * algebra ([[changes]]) the window nets to retract(old matched rows)
+    * + insert(updated matched rows) + insert(new rows) — structurally
+    * the same signed pair as delete/update, which is why the seam needs
+    * no new reader code, only this fixture shape to prove it.
+    */
+  def stageMergeCommit(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      insertDf: DataFrame, version: Long): Unit = {
+    import org.apache.spark.sql.functions.when
+    val st = replay(spark, tableDir, None)
+    require(insertDf.schema.fieldNames.toSeq ==
+        st.schema.fieldNames.toSeq,
+      s"stageMergeCommit: insert rows must carry the table schema " +
+        s"(got ${insertDf.schema.simpleString})")
+    val rewrites = rewriteActions(spark, tableDir, predicate, version,
+      "merge") { (fileRows, dataCols) =>
+      require(set.keySet.subsetOf(dataCols.toSet),
+        s"stageMergeCommit: SET columns ${set.keySet} must be data columns")
+      val tableSchema = fileRows.schema
+      fileRows.select(dataCols.map { c =>
+        set.get(c) match {
+          case Some(e) =>
+            when(predicate, e.cast(tableSchema(c).dataType))
+              .otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    }
+    val adds = addFileActions(spark, tableDir, insertDf,
+      st.partitionColumns, version)
+    writeCommit(tableDir, version, rewrites ++ adds)
   }
 
   /** Append a MERGE-ON-READ row-level DELETE as commit `version` — the
@@ -1110,6 +1173,44 @@ object DeltaLake {
       new java.io.File(ld, "_last_checkpoint").toPath,
       s"""{"version":$version,"size":${rows.size}""" +
         (if (parts > 1) s""","parts":$parts}""" else "}"))
+    ()
+  }
+
+  /** Write a SYNTHETIC checkpoint-only log of `nFiles` fabricated add
+    * actions (sizes carried in the rows, so nothing ever stats disk) —
+    * probe machinery for measuring the driver-side snapshot fold at
+    * file counts far beyond what staging real data would allow
+    * ([[graft.tools.LakeReaderProbe]]'s ~100k-action row).
+    */
+  private[graft] def stageSyntheticCheckpoint(spark: SparkSession,
+      tableDir: String, nFiles: Int,
+      schema: StructType): Unit = {
+    val meta = CkMeta(
+      java.util.UUID.nameUUIDFromBytes(tableDir.getBytes("UTF-8")).toString,
+      CkFormat("parquet"), schema.json, Seq.empty)
+    import spark.implicits._
+    val rows: Seq[CkRow] =
+      CkRow(None, Some(meta), None) +:
+      CkRow(None, None, Some(CkProtocol(1, 2))) +:
+      (0 until nFiles).map(i => CkRow(Some(CkAdd(
+        f"part-$i%08d-0000.snappy.parquet", Map.empty,
+        1000000L, 0L, dataChange = true,
+        Some(s"""{"numRecords":1000,"minValues":{"id":${i * 1000}},""" +
+          s""""maxValues":{"id":${i * 1000 + 999}}}"""))), None, None))
+    val ld = logDir(tableDir)
+    ld.mkdirs()
+    val tmp = new java.io.File(tableDir, "_synth_ckpt_tmp")
+    rows.toDS().coalesce(1).write.mode("overwrite")
+      .parquet(tmp.getAbsolutePath)
+    val part = Option(tmp.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(ld, f"${0L}%020d.checkpoint.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
+    java.nio.file.Files.writeString(
+      new java.io.File(ld, "_last_checkpoint").toPath,
+      s"""{"version":0,"size":${rows.size}}""")
     ()
   }
 

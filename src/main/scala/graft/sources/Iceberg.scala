@@ -56,7 +56,14 @@ object Iceberg {
 
   final case class SnapshotMeta(snapshotId: Long, schema: StructType,
       partitionColumns: Seq[String], files: Seq[IceFile],
-      deleteFiles: Seq[IceFile] = Seq.empty)
+      deleteFiles: Seq[IceFile] = Seq.empty,
+      transforms: Seq[IcebergTransforms.Field] = Seq.empty) {
+    /** The spec in the writer's string syntax (DML fixtures re-commit
+      * a table's existing spec verbatim).
+      */
+    def specStrings: Seq[String] =
+      transforms.map(IcebergTransforms.specString)
+  }
 
   // ---- metadata resolution ----------------------------------------------
 
@@ -183,11 +190,11 @@ object Iceberg {
     }
     val schema = structFromIceberg(schemaNode)
 
-    // default partition spec: identity transforms only. v2 keeps a
-    // `partition-specs` list + `default-spec-id`; v1 metadata carries a
-    // bare `partition-spec` fields array — reading only the v2 key
-    // would silently treat a v1 table as unpartitioned (no pruning, and
-    // all-NULL partition columns for files that don't carry them)
+    // default partition spec. v2 keeps a `partition-specs` list +
+    // `default-spec-id`; v1 metadata carries a bare `partition-spec`
+    // fields array — reading only the v2 key would silently treat a v1
+    // table as unpartitioned (no pruning, and all-NULL partition
+    // columns for files that don't carry them)
     val specNode = Option(md.get("partition-specs")).flatMap { ss =>
       val cur = Option(md.get("default-spec-id")).map(_.asInt).getOrElse(0)
       ss.elements().asScala.find(_.get("spec-id").asInt == cur)
@@ -196,14 +203,6 @@ object Iceberg {
       .orElse(Option(md.get("partition-spec"))
         .map(_.elements().asScala.toSeq))
       .getOrElse(Seq.empty)
-    partFields.foreach { f =>
-      val tr = f.get("transform").asText
-      require(tr == "identity",
-        s"Iceberg: partition transform '$tr' is not supported (the " +
-          "partition value is a derived value, not a column value — " +
-          "reading it as one would silently mis-partition); identity only")
-    }
-    val partCols = partFields.map(_.get("name").asText)
 
     // field-id → (name, type) for decoding manifest bounds (the spec
     // keys bounds by field id; top-level primitive fields only)
@@ -212,6 +211,26 @@ object Iceberg {
         f.get("id").asInt ->
           (f.get("name").asText, typeFromIceberg(f.get("type")))
       }.toMap
+
+    // spec fields, transform-aware: IDENTITY fields surface as scan
+    // partition columns (keyed by the SOURCE column name, resolved via
+    // source-id when present); non-identity fields (days/hours/month/
+    // year/bucket/truncate) are DERIVED values used for file pruning
+    // only — the source column stays in the data files (hidden
+    // partitioning). Unknown transforms fail fast in parseTransform.
+    val transforms: Seq[IcebergTransforms.Field] = partFields.map { f =>
+      val tr = IcebergTransforms.parseTransform(f.get("transform").asText)
+      val fieldName = f.get("name").asText
+      val (srcName, srcType) = Option(f.get("source-id")).map(_.asInt)
+        .flatMap(idMap.get)
+        .getOrElse((fieldName,
+          schema.find(_.name == fieldName).map(_.dataType)
+            .getOrElse(NullType)))
+      IcebergTransforms.Field(fieldName, srcName, srcType, tr)
+    }
+    val partCols = transforms
+      .filter(_.transform == IcebergTransforms.Identity)
+      .map(_.sourceName)
 
     // manifest list → manifests → live data files + live DELETE files
     // (merge-on-read: a delete manifest, content=1, lists POSITIONAL
@@ -259,8 +278,16 @@ object Iceberg {
           else {
             val pv = Option(df.get("partition"))
               .map(_.asInstanceOf[GenericRecord]) match {
-              case Some(p) => partCols.map(c =>
-                c -> Option(p.get(c)).map(_.toString).orNull).toMap
+              case Some(p) => transforms.map { tf =>
+                val key =
+                  if (tf.transform == IcebergTransforms.Identity)
+                    tf.sourceName
+                  else tf.fieldName
+                val v = if (p.getSchema.getField(tf.fieldName) != null)
+                  Option(p.get(tf.fieldName)).map(_.toString).orNull
+                else null
+                key -> v
+              }.toMap
               case None => Map.empty[String, String]
             }
             // per-file column bounds (spec: map<field-id, binary
@@ -276,7 +303,7 @@ object Iceberg {
       }
     }
     SnapshotMeta(wantId, schema, partCols, files.values.toSeq,
-      deletes.values.toSeq)
+      deletes.values.toSeq, transforms)
   }
 
   /** Snapshot read as of `snapshotId` (default: current) — ONE scan over
@@ -394,8 +421,11 @@ object Iceberg {
       snapshotId: Option[Long] = None): DataFrame = {
     val sm = resolve(spark, path, snapshotId)
     val pred = org.apache.spark.sql.graft.GraftSql.predicateTree(predicate)
+    val active = sm.transforms
+      .filter(_.transform != IcebergTransforms.Identity)
     val kept = sm.files.filter(f => StatsSkip.mayMatch(pred, sm.schema,
-      sm.partitionColumns, f.partitionValues, f.stats))
+      sm.partitionColumns, f.partitionValues, f.stats) &&
+      IcebergTransforms.mayMatch(pred, active, f.partitionValues))
     scanOf(spark, path, sm.copy(files = kept)).filter(predicate)
   }
 
@@ -418,7 +448,11 @@ object Iceberg {
     // bounds inside listFiles (file-constant cut predicates are
     // evaluated in LakeScan for every format); lowering memoized per
     // scan, stats parsed once per file — shared keep (StatsSkip)
-    val keep = StatsSkip.memoKeep(sm.schema, sm.partitionColumns)
+    val statsKeep = StatsSkip.memoKeep(sm.schema, sm.partitionColumns)
+    val transformKeep = IcebergTransforms.memoKeep(sm.transforms)
+    val keep = (filters: Seq[org.apache.spark.sql.catalyst.expressions
+      .Expression], lf: LogFile) =>
+      statsKeep(filters, lf) && transformKeep(filters, lf)
     if (sm.deleteFiles.isEmpty)
       LakeScan.scan(spark, path, sm.schema, sm.partitionColumns, logFiles,
         keep, withMeta)
@@ -740,11 +774,18 @@ object Iceberg {
         "iceberg staging: schema evolution is not modeled by this " +
           "fixture writer")
     }
+    // `partitionBy` entries use the writer spec-string syntax (plain
+    // column = identity, `days(col)`, `bucket(N, col)`, ...); identity
+    // SOURCE columns are stripped from data files, transform sources
+    // stay (hidden partitioning)
+    val spec = partitionBy.map(IcebergTransforms.parseSpec)
+    val identitySources = spec
+      .filter(_.transform == IcebergTransforms.Identity).map(_.sourceName)
     val statCols = statColsOf(StructType(
-      tableSchema.filterNot(f => partitionBy.contains(f.name))))
+      tableSchema.filterNot(f => identitySources.contains(f.name))))
 
     // manifest (Avro): manifest_entry{status, snapshot_id, data_file{...}}
-    val partAvroFields = partitionBy
+    val partAvroFields = spec.map(_.fieldName)
       .map(c => s"""{"name":"$c","type":["null","string"],"default":null}""")
       .mkString(",")
     val boundsAvro = (n: String, rec: String) =>
@@ -886,10 +927,11 @@ object Iceberg {
     lw.close()
 
     // metadata json: full snapshot history + current pointer
-    val specFields = partitionBy.zipWithIndex.map { case (c, i) =>
+    val specFields = spec.zipWithIndex.map { case (f, i) =>
       // source-id via the same pre-order id walk as the schema JSON
-      val sid = ids(c)
-      s"""{"name":"$c","transform":"identity","source-id":$sid,""" +
+      val sid = ids(f.sourceName)
+      val tr = IcebergTransforms.transformJson(f.transform)
+      s"""{"name":"${f.fieldName}","transform":"$tr","source-id":$sid,""" +
         s""""field-id":${1000 + i}}"""
     }.mkString(",")
     val priorSnaps = priorMd.map(_.get("snapshots").elements().asScala
@@ -909,7 +951,7 @@ object Iceberg {
          |"schemas":[${icebergSchemaJson(tableSchema)}],
          |"current-schema-id":0,
          |"partition-specs":[{"spec-id":0,"fields":[$specFields]}],
-         |"default-spec-id":0,"last-partition-id":${999 + partitionBy.size},
+         |"default-spec-id":0,"last-partition-id":${999 + spec.size},
          |"current-snapshot-id":$snapshotId,
          |"snapshots":[$snapsJson]}""".stripMargin
     java.nio.file.Files.writeString(
@@ -930,12 +972,48 @@ object Iceberg {
     */
   def stageAppend(spark: SparkSession, tableDir: String, df: DataFrame,
       partitionBy: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, datediff, floor, lit, month, pmod, substring, to_date, year}
+    import IcebergTransforms._
     val root = new java.io.File(tableDir)
     val (_, version) = priorState({ val d = metadataDir(tableDir)
       d.mkdirs(); d })
-    val moved = writeDataFiles(root, df, partitionBy, s"a$version")
+    // derive one write-partitioning column per non-identity transform
+    // (hidden partitioning: the SOURCE column stays in the data files;
+    // Spark's partitionBy strips only the derived column). bucket[N]
+    // derives through the native IceBucket expression — no UDF.
+    val spec = partitionBy.map(parseSpec)
+    val writeDf = spec.foldLeft(df) { (d, f) =>
+      f.transform match {
+        case Identity => d
+        case Days => d.withColumn(f.fieldName,
+          datediff(col(f.sourceName).cast("date"),
+            to_date(lit("1970-01-01"))))
+        case Hours => d.withColumn(f.fieldName,
+          floor(col(f.sourceName).cast("long") / 3600L).cast("int"))
+        case Month => d.withColumn(f.fieldName,
+          (year(col(f.sourceName)) - 1970) * 12 +
+            month(col(f.sourceName)) - 1)
+        case Year => d.withColumn(f.fieldName,
+          year(col(f.sourceName)) - 1970)
+        case Bucket(n) => d.withColumn(f.fieldName,
+          org.apache.spark.sql.graft.GraftSql.column(IceBucket(
+            org.apache.spark.sql.graft.GraftSql
+              .expression(col(f.sourceName)), n)))
+        case Truncate(w) => d.schema(f.sourceName).dataType match {
+          case StringType => d.withColumn(f.fieldName,
+            substring(col(f.sourceName), 1, w))
+          case _ => d.withColumn(f.fieldName,
+            col(f.sourceName) - pmod(col(f.sourceName), lit(w)))
+        }
+      }
+    }
+    val dirCols = spec.map(f =>
+      if (f.transform == Identity) f.sourceName else f.fieldName)
+    val moved = writeDataFiles(root, writeDf, dirCols, s"a$version")
+    val identitySources = spec.filter(_.transform == Identity)
+      .map(_.sourceName)
     val dataSchema = StructType(
-      df.schema.filterNot(f => partitionBy.contains(f.name)))
+      df.schema.filterNot(f => identitySources.contains(f.name)))
     val stats = fileStatsOf(spark, dataSchema,
       moved.map(_._1.getAbsolutePath))
     val entries = moved.map { case (file, pv) =>
@@ -1048,7 +1126,7 @@ object Iceberg {
     dest.getParentFile.mkdirs()
     java.nio.file.Files.move(part.toPath, dest.toPath)
     Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
-    commitSnapshot(spark, tableDir, cur.schema, cur.partitionColumns,
+    commitSnapshot(spark, tableDir, cur.schema, cur.specStrings,
       Seq(Entry(1, rel, dest.length(), Map.empty, delRows.size.toLong,
         Map.empty, content = 1)), "delete")
   }
@@ -1066,6 +1144,10 @@ object Iceberg {
     import org.apache.spark.sql.functions.{col, lit}
     val root = new java.io.File(tableDir)
     val cur = resolve(spark, tableDir, None)
+    require(cur.transforms
+        .forall(_.transform == IcebergTransforms.Identity),
+      "iceberg staging: copy-on-write rewrites of transform-partitioned " +
+        "tables are not modeled by this fixture writer")
     val dataSchema = StructType(
       cur.schema.filterNot(f => cur.partitionColumns.contains(f.name)))
     // live positional-delete rows per data file: a copy-on-write
@@ -1119,7 +1201,7 @@ object Iceberg {
         }
       }
     }
-    commitSnapshot(spark, tableDir, cur.schema, cur.partitionColumns,
+    commitSnapshot(spark, tableDir, cur.schema, cur.specStrings,
       entries.toSeq, operation)
   }
 }

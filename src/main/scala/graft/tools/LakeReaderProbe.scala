@@ -170,6 +170,27 @@ object LakeReaderProbe {
       ()
     }
 
+    // checkpoint fold at ~100k actions (r10): the fold STREAMS the
+    // checkpoint rows (toLocalIterator) instead of collect(), so the
+    // transient is one partition of action rows, not a second full
+    // copy of the table's file list on the driver
+    locally {
+      val dir100k = java.nio.file.Files
+        .createTempDirectory("graft_probe_ckpt").toString
+      graft.sources.DeltaLake.stageSyntheticCheckpoint(spark, dir100k,
+        100000, ord.schema)
+      val rt = Runtime.getRuntime
+      System.gc()
+      val before = rt.totalMemory() - rt.freeMemory()
+      val t = ms(planOf(dl.snapshot(spark, dir100k)))
+      val after = rt.totalMemory() - rt.freeMemory()
+      val files100k = dl.snapshot(spark, dir100k).inputFiles.length
+      println(f"delta checkpoint fold (100k actions)  fold+plan $t%7.1f " +
+        f"ms; $files100k%d files; ~${(after - before).max(0) / 1048576}%d " +
+        "MiB driver-heap delta")
+      require(files100k == 100000, s"fold lost files: $files100k")
+    }
+
     // Iceberg fold+plan on the staged two-snapshot table (manifest fold
     // instead of JSON-commit fold; same single-scan construction)
     val ice = graft.engine.Queries.icebergOrders(spark, dir)

@@ -314,4 +314,51 @@ class DeltaLakeChangesSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("signedRows"))
   }
+
+  test("stageMergeCommit: one commit mixes rewrites and new-file adds; " +
+      "the signed window nets to exactly the merge") {
+    val dir = freshDir("merge")
+    DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq("p"), 0L)
+    DeltaLake.stageCommit(spark, dir, frame(10 until 20), Seq("p"), 1L)
+    // MERGE: matched rows (id % 4 = 0, partition A) get v += 1;
+    // not-matched new rows 100..104 insert
+    DeltaLake.stageMergeCommit(spark, dir,
+      col("id") % 4 === 0 && col("p") === "A",
+      Map("v" -> (col("v") + 1)), frame(100 until 105), 2L)
+
+    val want = ((0 until 20).map(i => (i.toLong,
+        if (i % 4 == 0) i * 10L + 1 else i * 10L,
+        if (i % 2 == 0) "A" else "B")) ++
+      (100 until 105).map(i => (i.toLong, i * 10L,
+        if (i % 2 == 0) "A" else "B"))).toSet
+    assert(rows(DeltaLake.snapshot(spark, dir)) == want)
+
+    // the signed window: retract = old rows of rewritten files, insert
+    // = their updated rewrite + the new files; survivors cancel so the
+    // NET is retract(old matched) + insert(updated matched + new rows)
+    val ch = DeltaLake.changes(spark, dir, 1L)
+    val ins = rows(ch.inserts)
+    val rets = rows(ch.retracts)
+    val newRows = (100 until 105).map(i => (i.toLong, i * 10L,
+      if (i % 2 == 0) "A" else "B")).toSet
+    assert(newRows.subsetOf(ins))
+    val updated = (0 until 20).filter(i => i % 4 == 0)
+      .map(i => (i.toLong, i * 10L + 1, "A")).toSet
+    assert(updated.subsetOf(ins))
+    assert((0 until 20).filter(i => i % 4 == 0)
+      .map(i => (i.toLong, i * 10L, "A")).toSet.subsetOf(rets))
+    assert((ins -- rets) == newRows ++ updated)
+
+    // maintained aggregate through the merge window via the splice
+    DeltaLakeSnapshots.track(spark, "dlc_merge", dir, at = Some(1L))
+    val aggOf = (df: DataFrame) => df.groupBy("p")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"),
+        countDistinct(col("id")).as("nid"))
+    val stored = aggOf(DeltaLake.snapshot(spark, dir, Some(1L)))
+    val maintained = DeltaLakeSnapshots.maintainAgg(spark, "dlc_merge",
+      stored, Seq("p"), aggOf)
+    val expect = aggOf(DeltaLake.snapshot(spark, dir))
+    assert(maintained.exceptAll(expect).isEmpty &&
+      expect.exceptAll(maintained).isEmpty)
+  }
 }

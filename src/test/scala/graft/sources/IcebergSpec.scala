@@ -252,20 +252,22 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(graft.ivm.IcebergSnapshots.cut("ice_upd").contains(s2))
   }
 
-  test("fail-fast: non-identity partition transform") {
+  test("fail-fast: an UNKNOWN partition transform (bucket now reads)") {
     val (dir, _, _) = twoSnapshots()
-    // munge the metadata's transform to a bucket transform
+    // bucket/truncate/days are SUPPORTED since r10; an unknown
+    // transform (e.g. void) must still fail fast — a derived value
+    // with an unknown derivation cannot be pruned or trusted
     val md = new java.io.File(dir, "metadata")
     val f = Option(md.listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".metadata.json"))
       .maxBy(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong)
     val txt = java.nio.file.Files.readString(f.toPath)
-      .replace("\"transform\":\"identity\"", "\"transform\":\"bucket[4]\"")
+      .replace("\"transform\":\"identity\"", "\"transform\":\"void\"")
     java.nio.file.Files.writeString(f.toPath, txt)
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[UnsupportedOperationException] {
       Iceberg.snapshot(spark, dir).collect()
     }
-    assert(e.getMessage.contains("identity"))
+    assert(e.getMessage.contains("not supported"))
   }
 
   test("fail-fast: a malformed delete manifest (non-positional entries)") {
