@@ -2097,6 +2097,35 @@ object Queries {
              |  COUNT(DISTINCT o_custkey) AS n_cust
              |FROM merged
              |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // COLUMN MAPPING READ (r10): the protocol feature every
+    // renamed-or-dropped-column Delta table carries — data files store
+    // PHYSICAL column names (`c_1`, …) while the snapshot surfaces the
+    // metaData's LOGICAL names, and a RENAME is a metaData-only commit
+    // touching no data file. The staged table is mapped from commit 0,
+    // appended at commit 1, and renames o_totalprice → o_price at
+    // commit 2; the query reads the CURRENT logical names (aliasing
+    // back for the oracle), with partition pruning and stats skipping
+    // running in the physical name space under the aliases. Hash
+    // equality vs the raw-parquet oracle pins the whole chain:
+    // physical-name write/read, mapping resolution, and the
+    // rename-through-metaData semantics.
+    QueryDef("deltalake_column_mapping",
+      (s, d) => graft.sources.DeltaLake
+        .snapshot(s, deltaLakeOrdersMapped(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_price").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin))
   )
 
@@ -2248,6 +2277,30 @@ object Queries {
         ord.filter(col("o_custkey") % 97 === 0)
           .withColumn("o_orderkey", col("o_orderkey") + maxKey * 10L)
           .select(ord.columns.map(col): _*), 2L)
+    }
+
+  /** The COLUMN-MAPPED staged table with a mid-history RENAME — the
+    * `deltalake_column_mapping` fixture: physical names `c_1…c_6`,
+    * partitioned by priority (physical dirs `c_6=…`), the usual 90/10
+    * append split, then `o_totalprice → o_price` at version 2
+    * (metaData-only).
+    */
+  private[graft] def deltaLakeOrdersMapped(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_map_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val mapping = ord.columns.zipWithIndex
+        .map { case (c, i) => c -> s"c_${i + 1}" }.toMap
+      val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.DeltaLake.stageMappedCommit(s, p,
+        ord.filter(col("o_orderkey") < c1), Seq("o_orderpriority"), 0L,
+        mapping)
+      graft.sources.DeltaLake.stageMappedCommit(s, p,
+        ord.filter(col("o_orderkey") >= c1), Seq("o_orderpriority"), 1L,
+        mapping)
+      graft.sources.DeltaLake.stageRenameCommit(s, p,
+        Map("o_totalprice" -> "o_price"), 2L)
     }
 
   /** The `days(ts)` HIDDEN-partitioned Iceberg events table — the

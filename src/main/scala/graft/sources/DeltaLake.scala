@@ -85,7 +85,34 @@ object DeltaLake {
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
-      adds: Seq[AddFile])
+      adds: Seq[AddFile],
+      configuration: Map[String, String] = Map.empty) {
+    /** COLUMN MAPPING (protocol "Column Mapping", mode `name`/`id`):
+      * logical column name → the PHYSICAL name parquet files and
+      * partition-value/stats keys use (from each schema field's
+      * `delta.columnMapping.physicalName` metadata). Empty map = no
+      * mapping (read by logical name as before). Top-level fields only
+      * — this reader fails fast on nested mapped fields.
+      */
+    val mapping: Map[String, String] = {
+      val mode = configuration.getOrElse("delta.columnMapping.mode", "none")
+      if (mode != "name" && mode != "id") Map.empty
+      else schema.fields.map { f =>
+        f.dataType match {
+          case nested: StructType =>
+            require(!nested.fields.exists(_.metadata
+                .contains("delta.columnMapping.physicalName")),
+              "Delta column mapping on NESTED struct fields is not " +
+                s"supported by this reader (column '${f.name}')")
+          case _ => ()
+        }
+        f.name -> (if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name)
+      }.toMap
+    }
+    def physOf(name: String): String = mapping.getOrElse(name, name)
+  }
 
   /** The latest committed version of the table at `path` (JSON commits
     * or checkpoints — a cleaned log may hold only the latter).
@@ -192,10 +219,29 @@ object DeltaLake {
       predicate: org.apache.spark.sql.Column,
       version: Option[Long] = None): DataFrame = {
     val st = replay(spark, path, version)
-    val pred = org.apache.spark.sql.graft.GraftSql.predicateTree(predicate)
+    // predicate columns are LOGICAL names; partition-value and stats
+    // keys are PHYSICAL under column mapping — translate the lowered
+    // tree's leaves before the per-file check
+    val pred = mapPredNames(
+      org.apache.spark.sql.graft.GraftSql.predicateTree(predicate),
+      st.physOf)
     val kept = st.adds.filter(a =>
       mayMatch(pred, a.partitionValues, a.stats, st))
     readFiles(spark, path, st, kept).filter(predicate)
+  }
+
+  /** Rename a lowered predicate tree's column leaves. */
+  private def mapPredNames(
+      n: org.apache.spark.sql.graft.GraftSql.PredNode,
+      f: String => String)
+      : org.apache.spark.sql.graft.GraftSql.PredNode = {
+    import org.apache.spark.sql.graft.GraftSql._
+    n match {
+      case PredAnd(l, r) => PredAnd(mapPredNames(l, f), mapPredNames(r, f))
+      case PredOr(l, r) => PredOr(mapPredNames(l, f), mapPredNames(r, f))
+      case PredCmp(name, v, op) => PredCmp(f(name), v, op)
+      case other => other
+    }
   }
 
   /** Conservative three-valued stats check — shared machinery in
@@ -205,9 +251,14 @@ object DeltaLake {
     */
   private def mayMatch(n: org.apache.spark.sql.graft.GraftSql.PredNode,
       partitionValues: Map[String, String], fileStats: Option[String],
-      state: LogState): Boolean =
-    StatsSkip.mayMatch(n, state.schema, state.partitionColumns,
+      state: LogState): Boolean = {
+    // physical name space throughout: schema field names, partition
+    // columns, value keys, and the (pre-translated) predicate leaves
+    val schema = StructType(
+      state.schema.map(f => f.copy(name = state.physOf(f.name))))
+    StatsSkip.mayMatch(n, schema, state.partitionColumns.map(state.physOf),
       partitionValues, fileStats)
+  }
 
   /** See [[StatsSkip.compareCodePoints]] (kept here for the spec's
     * direct pinning of the Delta reader's ordering).
@@ -457,22 +508,26 @@ object DeltaLake {
     val adds = mutable.LinkedHashMap.empty[String, AddFile]
     var schemaString: String = null
     var partCols: Seq[String] = Seq.empty
+    var tableConf: Map[String, String] = Map.empty
 
     def applyAdd(a: AddFile): Unit = adds.put(a.path, a)
     def applyRemove(p: String): Unit = adds.remove(p)
-    def applyMeta(ss: String, pc: Seq[String]): Unit = {
-      schemaString = ss; partCols = pc
+    def applyMeta(ss: String, pc: Seq[String],
+        conf: Map[String, String]): Unit = {
+      schemaString = ss; partCols = pc; tableConf = conf
     }
     // reader features: deletionVectors is READ here ([[readFiles]]
-    // applies the bitmaps); anything else (column mapping, v2
-    // checkpoints, type widening, …) would make this fold silently
-    // wrong, so the gate stays loud for those
+    // applies the bitmaps) and columnMapping in [[LogState.mapping]]
+    // (physical-name reads); anything else (v2 checkpoints, type
+    // widening, …) would make this fold silently wrong, so the gate
+    // stays loud for those
     def applyProtocol(minReader: Int, features: Seq[String]): Unit = {
-      val unsupported = features.filterNot(_ == "deletionVectors")
+      val supported = Set("deletionVectors", "columnMapping")
+      val unsupported = features.filterNot(supported)
       require(minReader <= 3 && unsupported.isEmpty,
         s"unsupported Delta reader protocol (minReaderVersion=$minReader, " +
           s"readerFeatures=$features): this reader supports plain " +
-          "add/remove folds plus deletionVectors; " +
+          "add/remove folds plus deletionVectors and columnMapping; " +
           s"unsupported features: $unsupported")
     }
 
@@ -523,8 +578,14 @@ object DeltaLake {
         }
         struct(row, "remove").foreach(r => applyRemove(str(r, "path")))
         struct(row, "metaData").foreach { m =>
+          val conf =
+            if (m.schema.fieldNames.contains("configuration"))
+              Option(m.getMap[String, String](
+                m.fieldIndex("configuration"))).map(_.toMap)
+                .getOrElse(Map.empty[String, String])
+            else Map.empty[String, String]
           applyMeta(str(m, "schemaString"),
-            m.getSeq[String](m.fieldIndex("partitionColumns")))
+            m.getSeq[String](m.fieldIndex("partitionColumns")), conf)
         }
         struct(row, "protocol").foreach { p =>
           val feats =
@@ -550,9 +611,13 @@ object DeltaLake {
         .filter(_.nonEmpty).map(M.readTree).toSeq
       nodes.foreach { n =>
         Option(n.get("metaData")).foreach { m =>
+          val conf = Option(m.get("configuration")).filterNot(_.isNull)
+            .map(_.properties().asScala.map(e =>
+              e.getKey -> e.getValue.asText).toMap)
+            .getOrElse(Map.empty[String, String])
           applyMeta(m.get("schemaString").asText,
             Option(m.get("partitionColumns")).toSeq
-              .flatMap(_.elements().asScala.map(_.asText).toSeq))
+              .flatMap(_.elements().asScala.map(_.asText).toSeq), conf)
         }
         Option(n.get("protocol")).foreach { p =>
           val feats = Option(p.get("readerFeatures")).toSeq
@@ -567,7 +632,7 @@ object DeltaLake {
     }
     require(schemaString != null, s"no metaData action in $path's log")
     LogState(want, DataType.fromJson(schemaString).asInstanceOf[StructType],
-      partCols, adds.values.toSeq)
+      partCols, adds.values.toSeq, tableConf)
   }
 
 
@@ -595,6 +660,18 @@ object DeltaLake {
     val dvByPath: Map[String, DeletionVectors.Bitmap64] =
       files.flatMap(a => a.dv.map(d =>
         resolve(path, a.path) -> DeletionVectors.read(path, d))).toMap
+    // COLUMN MAPPING: the parquet files, partition-value keys, and
+    // stats keys all use PHYSICAL names — the scan reads the physical
+    // schema and a final projection aliases back to logical names.
+    // Pushed filters on logical columns roll through the aliases to
+    // the physical attributes, so stats skipping and partition pruning
+    // keep working untranslated inside the index.
+    val mapped = st.mapping.nonEmpty &&
+      st.schema.fieldNames.exists(n => st.physOf(n) != n)
+    val readSchema =
+      if (!mapped) st.schema
+      else StructType(st.schema.map(f => f.copy(name = st.physOf(f.name))))
+    val readPartCols = st.partitionColumns.map(st.physOf)
     val logFiles = files.map { a =>
       val p = resolve(path, a.path)
       // size comes from the LOG: no per-file driver-side stat (O(files)
@@ -616,23 +693,26 @@ object DeltaLake {
     // NOT IN shape — prune inside LakeScan for every format; this keep
     // adds the per-file STATS skipping on top (shared memoized keep:
     // predicate lowering once per scan, stats parsed once per file)
-    val keep = StatsSkip.memoKeep(st.schema, st.partitionColumns)
-    if (dvByPath.isEmpty)
-      LakeScan.scan(spark, path, st.schema, st.partitionColumns, logFiles,
+    val keep = StatsSkip.memoKeep(readSchema, readPartCols)
+    if (dvByPath.isEmpty && !mapped)
+      LakeScan.scan(spark, path, readSchema, readPartCols, logFiles,
         keep, withMeta)
     else {
       // scan with `_metadata` surfaced (DvKeep reads file_path +
-      // row_index), filter, then project back to the requested shape
-      val scan = LakeScan.scan(spark, path, st.schema, st.partitionColumns,
+      // row_index), filter, then project back to the requested shape —
+      // which also aliases physical names back to logical
+      val scan = LakeScan.scan(spark, path, readSchema, readPartCols,
         logFiles, keep, withMeta = true)
       val g = org.apache.spark.sql.graft.GraftSql
-      val kept = scan.filter(g.column(DvKeep(
-        g.expression(scan.col("_metadata.file_path")),
-        g.expression(scan.col("_metadata.row_index")),
-        DvLookup(dvByPath))))
-      val cols = st.schema.fieldNames.toIndexedSeq ++
-        (if (withMeta) Seq("_metadata") else Seq.empty)
-      kept.select(cols.map(col): _*)
+      val kept = if (dvByPath.isEmpty) scan
+        else scan.filter(g.column(DvKeep(
+          g.expression(scan.col("_metadata.file_path")),
+          g.expression(scan.col("_metadata.row_index")),
+          DvLookup(dvByPath))))
+      val cols = st.schema.fieldNames.toIndexedSeq
+        .map(l => col(st.physOf(l)).as(l)) ++
+        (if (withMeta) Seq(col("_metadata")) else Seq.empty)
+      kept.select(cols: _*)
     }
   }
 
@@ -783,6 +863,79 @@ object DeltaLake {
     }.toSeq
   }
 
+  /** Write `df` as commit `version` of a COLUMN-MAPPED Delta table
+    * (mode `name`): data files are written under the PHYSICAL names
+    * (`mapping`: logical → physical), the metaData's schemaString
+    * carries each field's `delta.columnMapping.physicalName`/`.id`
+    * metadata with `delta.columnMapping.mode=name` in the table
+    * configuration, and partition values/stat keys land physical —
+    * exactly the on-disk shape a mapping-enabled writer produces.
+    * Fixture machinery for the mapped read path.
+    */
+  def stageMappedCommit(spark: SparkSession, tableDir: String,
+      df: DataFrame, partitionBy: Seq[String], version: Long,
+      mapping: Map[String, String]): Unit = {
+    require(df.schema.fieldNames.forall(mapping.contains),
+      s"stageMappedCommit: mapping must cover every column")
+    val physDf = df.select(df.schema.fieldNames.toIndexedSeq
+      .map(n => col(n).as(mapping(n))): _*)
+    val physPartition = partitionBy.map(mapping)
+    val actions = mutable.Buffer.empty[String]
+    if (version == 0L)
+      actions += ("""{"protocol":{"minReaderVersion":2,""" +
+        """"minWriterVersion":5}}""")
+    if (version == 0L)
+      actions += mappedMetaAction(tableDir, df.schema, partitionBy, mapping)
+    actions ++= addFileActions(spark, tableDir, physDf, physPartition,
+      version)
+    writeCommit(tableDir, version, actions.toSeq)
+  }
+
+  /** Rename LOGICAL columns of a column-mapped table as commit
+    * `version` — a metaData-only commit keeping every physical name
+    * (the whole point of column mapping: a rename touches no data
+    * file). `renames`: old logical name → new logical name.
+    */
+  def stageRenameCommit(spark: SparkSession, tableDir: String,
+      renames: Map[String, String], version: Long): Unit = {
+    val st = replay(spark, tableDir, None)
+    require(st.mapping.nonEmpty,
+      "stageRenameCommit: the table is not column-mapped — a rename " +
+        "would orphan its data files")
+    val newSchema = StructType(st.schema.map(f =>
+      f.copy(name = renames.getOrElse(f.name, f.name))))
+    val newMapping = newSchema.fieldNames.zip(
+      st.schema.fieldNames.map(st.physOf)).toMap
+    val newPartition = st.partitionColumns
+      .map(c => renames.getOrElse(c, c))
+    writeCommit(tableDir, version, Seq(
+      mappedMetaAction(tableDir, StructType(newSchema.map(_.copy(
+        metadata = org.apache.spark.sql.types.Metadata.empty))),
+        newPartition, newMapping)))
+  }
+
+  private def mappedMetaAction(tableDir: String, logical: StructType,
+      partitionBy: Seq[String], mapping: Map[String, String]): String = {
+    val withMeta = StructType(logical.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("delta.columnMapping.id", i + 1L)
+        .putString("delta.columnMapping.physicalName", mapping(f.name))
+        .build())
+    })
+    val meta = M.createObjectNode()
+    meta.put("id", java.util.UUID.nameUUIDFromBytes(
+      tableDir.getBytes("UTF-8")).toString)
+    val fmt = meta.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    meta.put("schemaString", withMeta.json)
+    val pc = meta.putArray("partitionColumns")
+    partitionBy.foreach(pc.add)
+    val conf = meta.putObject("configuration")
+    conf.put("delta.columnMapping.mode", "name")
+    conf.put("delta.columnMapping.maxColumnId", logical.size.toString)
+    s"""{"metaData":${M.writeValueAsString(meta)}}"""
+  }
+
   /** Per-file column stats → the protocol's add.stats JSON (numRecords +
     * min/maxValues over orderable primitive data columns), computed in
     * ONE job over the given files grouped by the hidden file name — this
@@ -904,6 +1057,9 @@ object DeltaLake {
       predicate: org.apache.spark.sql.Column, version: Long, tag: String)
       (rewrite: (DataFrame, Seq[String]) => DataFrame): Seq[String] = {
     val st = replay(spark, tableDir, None)
+    require(st.mapping.isEmpty || st.schema.fieldNames
+        .forall(n => st.physOf(n) == n),
+      "fixture rewrites of column-mapped tables are not modeled")
     val root = new java.io.File(tableDir)
     val dataSchema = StructType(
       st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
@@ -1019,6 +1175,9 @@ object DeltaLake {
       predicate: org.apache.spark.sql.Column, version: Long,
       inline: Boolean = false): Unit = {
     val st = replay(spark, tableDir, None)
+    require(st.mapping.isEmpty || st.schema.fieldNames
+        .forall(n => st.physOf(n) == n),
+      "fixture DV deletes on column-mapped tables are not modeled")
     val dataSchema = StructType(
       st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
     val actions = mutable.Buffer.empty[String]
@@ -1132,7 +1291,8 @@ object DeltaLake {
     val root = new java.io.File(tableDir)
     val meta = CkMeta(
       java.util.UUID.nameUUIDFromBytes(tableDir.getBytes("UTF-8")).toString,
-      CkFormat("parquet"), st.schema.json, st.partitionColumns)
+      CkFormat("parquet"), st.schema.json, st.partitionColumns,
+      st.configuration)
     val proto =
       if (st.adds.exists(_.dv.isDefined))
         CkProtocol(3, 7, Some(Seq("deletionVectors")))
@@ -1243,7 +1403,8 @@ object DeltaLake {
 // checkpoint add schema
 private[sources] case class CkFormat(provider: String)
 private[sources] case class CkMeta(id: String, format: CkFormat,
-    schemaString: String, partitionColumns: Seq[String])
+    schemaString: String, partitionColumns: Seq[String],
+    configuration: Map[String, String] = Map.empty)
 private[sources] case class CkProtocol(minReaderVersion: Int,
     minWriterVersion: Int, readerFeatures: Option[Seq[String]] = None)
 private[sources] case class CkDv(storageType: String,

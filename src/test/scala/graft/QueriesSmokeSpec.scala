@@ -66,8 +66,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "delta_lake_dedup",
       // round-10 surface
       "deltalake_dv_scan", "delta_deltalake_dv", "iceberg_mor_scan",
-      "iceberg_days_partition", "delta_deltalake_merge")
-    assert(declared.size == 133)
+      "iceberg_days_partition", "delta_deltalake_merge",
+      "deltalake_column_mapping")
+    assert(declared.size == 134)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

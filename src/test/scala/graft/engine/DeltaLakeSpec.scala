@@ -245,21 +245,22 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     val dir = freshDir("proto")
     val a = Seq((1L, "a")).toDF("id", "v").coalesce(1)
     DeltaLake.stageCommit(spark, dir, a, Seq.empty, 0L)
-    // deletionVectors is SUPPORTED since r10 — a protocol upgrade to
-    // it must read cleanly; column mapping must stay loud
+    // deletionVectors and columnMapping are SUPPORTED since r10 — a
+    // protocol upgrade to them must read cleanly; anything beyond must
+    // stay loud
     java.nio.file.Files.writeString(
       new java.io.File(dir, "_delta_log/00000000000000000001.json").toPath,
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"]}}""" + "\n")
+        """"readerFeatures":["deletionVectors","columnMapping"]}}""" + "\n")
     assert(rows(DeltaLake.snapshot(spark, dir)) == Set((1L, "a")))
     java.nio.file.Files.writeString(
       new java.io.File(dir, "_delta_log/00000000000000000002.json").toPath,
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors","columnMapping"]}}""" + "\n")
+        """"readerFeatures":["deletionVectors","typeWidening"]}}""" + "\n")
     val e = intercept[IllegalArgumentException] {
       DeltaLake.snapshot(spark, dir)
     }
-    assert(e.getMessage.contains("columnMapping"))
+    assert(e.getMessage.contains("typeWidening"))
     // the pre-feature version still reads
     assert(rows(DeltaLake.snapshot(spark, dir, Some(0L))) == Set((1L, "a")))
   }
