@@ -2126,6 +2126,42 @@ object Queries {
              |  COUNT(DISTINCT o_custkey) AS n_cust
              |FROM orders
              |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // EQUALITY DELETES + UPSERT (r10): the v2 merge-on-read shape CDC
+    // writers (Flink upsert streams) produce — an equality delete file
+    // holding key values deletes every matching row of data files with
+    // STRICTLY SMALLER data sequence number, so a later re-insert of
+    // the same key SURVIVES (delete-then-insert upsert correctness).
+    // The staged table equality-deletes every 13th customer's orders,
+    // then re-inserts the even-keyed half of them at +100 price; the
+    // snapshot read applies the delete as a null-safe broadcast
+    // anti-join scoped by the per-file sequence numbers carried in the
+    // manifests. Hash equality vs the CASE/UNION oracle pins the
+    // equality matching, the sequence scoping, and the survivor set.
+    QueryDef("iceberg_eq_delete",
+      (s, d) => graft.sources.Iceberg
+        .snapshot(s, icebergOrdersEqDeleted(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""WITH merged AS (
+             |  SELECT o_orderpriority, o_custkey, o_totalprice
+             |  FROM orders WHERE NOT (o_custkey % 13 = 0)
+             |  UNION ALL
+             |  SELECT o_orderpriority, o_custkey, o_totalprice + 100
+             |  FROM orders
+             |  WHERE o_custkey % 13 = 0 AND o_orderkey % 2 = 0
+             |)
+             |SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM merged
+             |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin))
   )
 
@@ -2320,6 +2356,33 @@ object Queries {
       graft.sources.Iceberg.stageAppend(s, p,
         tsed.filter(col("event_id") % 10 === 0).coalesce(1),
         Seq("days(ts)"))
+      ()
+    }
+
+  /** The Iceberg table with an EQUALITY DELETE then an UPSERT-style
+    * re-insert — the `iceberg_eq_delete` fixture: two appends (seq
+    * 1/2), an equality delete on every 13th customer's key (seq 3),
+    * then a re-insert of the even-keyed half of those orders at +100
+    * price (seq 4, surviving the delete by sequence order).
+    */
+  private[graft] def icebergOrdersEqDeleted(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_eq_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") < c1), Seq("o_orderpriority"))
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") >= c1), Seq("o_orderpriority"))
+      graft.sources.Iceberg.stageEqDelete(s, p,
+        ord.filter(col("o_custkey") % 13 === 0)
+          .select("o_custkey").distinct())
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_custkey") % 13 === 0 &&
+            col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100),
+        Seq("o_orderpriority"))
       ()
     }
 

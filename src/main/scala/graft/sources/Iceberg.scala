@@ -49,10 +49,16 @@ object Iceberg {
   private val M = new ObjectMapper()
 
   // size comes from the MANIFEST (file_size_in_bytes is required by
-  // the spec): the scan never stats the filesystem per file
+  // the spec): the scan never stats the filesystem per file.
+  // `seq` is the DATA SEQUENCE NUMBER (v2 row-level-delete scoping:
+  // an equality delete applies only to data files with STRICTLY
+  // smaller seq); `content` 0 = data, 1 = positional deletes, 2 =
+  // equality deletes (then `equalityIds` names the spec field ids the
+  // delete rows match on).
   final case class IceFile(path: String,
       partitionValues: Map[String, String],
-      stats: Option[String] = None, size: Option[Long] = None)
+      stats: Option[String] = None, size: Option[Long] = None,
+      content: Int = 0, seq: Long = 0L, equalityIds: Seq[Int] = Seq.empty)
 
   final case class SnapshotMeta(snapshotId: Long, schema: StructType,
       partitionColumns: Seq[String], files: Seq[IceFile],
@@ -232,12 +238,15 @@ object Iceberg {
       .filter(_.transform == IcebergTransforms.Identity)
       .map(_.sourceName)
 
-    // manifest list → manifests → live data files + live DELETE files
-    // (merge-on-read: a delete manifest, content=1, lists POSITIONAL
-    // delete files — parquet of (file_path, pos) rows naming deleted
-    // rows of data files; equality deletes, content=2 entries, remain
-    // fail-fast: merging them needs value-keyed anti-joins per equality
-    // field set, a different algorithm)
+    // manifest list → manifests → live data files + live DELETE files.
+    // Merge-on-read: a delete manifest (content=1) lists POSITIONAL
+    // delete files — parquet of (file_path, pos) rows — and EQUALITY
+    // delete files — parquet of the equality columns, deleting every
+    // row of an OLDER data file (data sequence number strictly
+    // smaller) whose values match. Sequence numbers come from the
+    // entry's `sequence_number` when present, else the entry's
+    // `snapshot_id` (this fixture writer's ids ARE the sequence
+    // ordinals), else 0 — conservative for tables without either.
     val mlPath = resolveRef(path, snap.get("manifest-list").asText)
     val files = mutable.LinkedHashMap.empty[String, IceFile]
     val deletes = mutable.LinkedHashMap.empty[String, IceFile]
@@ -261,16 +270,25 @@ object Iceberg {
           s"Iceberg: file format $fmt not supported (parquet only)")
         val size = Option(optF(df, "file_size_in_bytes"))
           .map(_.toString.toLong)
+        val seq = Option(optF(entry, "sequence_number"))
+          .orElse(Option(optF(entry, "snapshot_id")))
+          .map(_.toString.toLong).getOrElse(0L)
         if (content == 1) {
-          // delete manifest: positional delete files only
-          require(fileContent == 1,
+          require(fileContent == 1 || fileContent == 2,
             s"Iceberg: file content $fileContent in a delete manifest " +
-              "is not supported by this reader (1 = positional deletes " +
-              "only; equality deletes, content=2, need a value-keyed " +
-              "anti-join per equality field set — a different " +
-              "algorithm; compact the table instead)")
+              "is not supported (1 = positional, 2 = equality)")
+          val eqIds: Seq[Int] =
+            if (fileContent != 2) Seq.empty
+            else Option(optF(df, "equality_ids")) match {
+              case Some(c: java.util.Collection[_]) =>
+                c.asScala.toSeq.map(_.toString.toInt)
+              case _ => throw new IllegalArgumentException(
+                s"Iceberg: equality delete file $fp carries no " +
+                  "equality_ids — cannot apply")
+            }
           if (status == 2) deletes.remove(fp)
-          else deletes.put(fp, IceFile(fp, Map.empty, None, size))
+          else deletes.put(fp,
+            IceFile(fp, Map.empty, None, size, fileContent, seq, eqIds))
         } else {
           require(fileContent == 0,
             s"Iceberg: file content $fileContent in a data manifest")
@@ -297,7 +315,7 @@ object Iceberg {
             val stats = StatsSkip.statsJson(
               decodeBounds(optF(df, "lower_bounds"), idMap),
               decodeBounds(optF(df, "upper_bounds"), idMap))
-            files.put(fp, IceFile(fp, pv, stats, size))
+            files.put(fp, IceFile(fp, pv, stats, size, 0, seq))
           }
         }
       }
@@ -457,40 +475,83 @@ object Iceberg {
       LakeScan.scan(spark, path, sm.schema, sm.partitionColumns, logFiles,
         keep, withMeta)
     else {
-      // MERGE-ON-READ: subtract the positional delete files — parquet
-      // of (file_path, pos) — as a BROADCAST ANTI-JOIN on the scan's
-      // own (file_path, row_index) metadata. Fully distributed: the
-      // delete side is a normal scan (never collected to the driver),
-      // broadcast because a snapshot's delete files are metadata-sized
-      // next to its data; at larger delete volumes drop the hint and
-      // the same plan shuffles. Path-keyed application is exact for
-      // positional deletes without sequence-number scoping: a delete
-      // row names one (file, position), and later-added data files have
-      // new paths a delete written earlier can never name.
+      // MERGE-ON-READ: subtract the delete files as BROADCAST
+      // ANTI-JOINS — fully distributed, the delete sides are normal
+      // scans never collected to the driver; broadcast because a
+      // snapshot's delete files are metadata-sized next to its data
+      // (drop the hint and the same plans shuffle).
+      //   - POSITIONAL (content=1): anti-join on the scan's own
+      //     (file_path, row_index) metadata. Path-keyed application is
+      //     exact without sequence scoping: a delete row names one
+      //     (file, position), and later-added files have new paths.
+      //   - EQUALITY (content=2): per equality-id set, anti-join on
+      //     the named columns (null-safe — a null delete value matches
+      //     null), scoped to data files with STRICTLY SMALLER data
+      //     sequence number (the spec's ordering: an equality delete
+      //     never touches rows inserted at or after it).
       import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
       import spark.implicits._
       val scan = LakeScan.scan(spark, path, sm.schema, sm.partitionColumns,
         logFiles, keep, withMeta = true)
-      val dels = spark.read
-        .parquet(sm.deleteFiles.map(f => resolveRef(path, f.path)): _*)
-        .select(regexp_replace(col("file_path"), "^file:/+", "/")
-          .as("__dpath"), col("pos").as("__dpos"))
-      // manifest path string → the canonical rendering of the scan's
-      // `_metadata.file_path` (URL-encoded absolute path); both the
-      // manifest-relative and canonical keys are registered so delete
-      // files may name data files either way
-      val mapping = sm.files.flatMap { f =>
-        val abs = new org.apache.hadoop.fs.Path(resolveRef(path, f.path))
-          .toUri.toString
-        Seq(f.path -> abs, abs -> abs)
-      }.distinct.toDF("__mrel", "__mabs")
-      val delAbs = dels.join(broadcast(mapping),
-        col("__dpath") === col("__mrel")).select("__mabs", "__dpos")
-      val dataKey = regexp_replace(col("_metadata.file_path"),
+      def dataKey = regexp_replace(col("_metadata.file_path"),
         "^file:/+", "/")
-      val kept = scan.join(broadcast(delAbs),
-        dataKey === col("__mabs") &&
-          col("_metadata.row_index") === col("__dpos"), "left_anti")
+      def canon(rel: String): String =
+        new org.apache.hadoop.fs.Path(resolveRef(path, rel)).toUri.toString
+      var kept: DataFrame = scan
+
+      val posDeletes = sm.deleteFiles.filter(_.content == 1)
+      if (posDeletes.nonEmpty) {
+        val dels = spark.read
+          .parquet(posDeletes.map(f => resolveRef(path, f.path)): _*)
+          .select(regexp_replace(col("file_path"), "^file:/+", "/")
+            .as("__dpath"), col("pos").as("__dpos"))
+        // manifest path string → the canonical rendering of the scan's
+        // `_metadata.file_path` (URL-encoded absolute path); both the
+        // manifest-relative and canonical keys are registered so delete
+        // files may name data files either way
+        val mapping = sm.files.flatMap { f =>
+          val abs = canon(f.path)
+          Seq(f.path -> abs, abs -> abs)
+        }.distinct.toDF("__mrel", "__mabs")
+        val delAbs = dels.join(broadcast(mapping),
+          col("__dpath") === col("__mrel")).select("__mabs", "__dpos")
+        kept = kept.join(broadcast(delAbs),
+          dataKey === col("__mabs") &&
+            col("_metadata.row_index") === col("__dpos"), "left_anti")
+      }
+
+      val eqDeletes = sm.deleteFiles.filter(_.content == 2)
+      if (eqDeletes.nonEmpty) {
+        // spec field id → column name, via the same pre-order walk the
+        // schema JSON uses; an id outside the schema fails loudly
+        val nameById = fieldIds(sm.schema).map(_.swap)
+        // per-row data sequence number: broadcast (file → seq) joined
+        // on the file-path metadata (one small hash join, only on
+        // tables that carry equality deletes)
+        val seqMap = sm.files.map(f => (canon(f.path), f.seq))
+          .toDF("__sfp", "__dseq")
+        kept = kept.join(broadcast(seqMap), dataKey === col("__sfp"))
+          .drop("__sfp")
+        eqDeletes.groupBy(_.equalityIds).foreach { case (ids, dels) =>
+          val eqCols = ids.map(id => nameById.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"Iceberg: equality delete references unknown field id " +
+                s"$id (schema: ${sm.schema.fieldNames.mkString(",")})")))
+          val delSeq = dels.map(d => (canon(d.path), d.seq))
+            .toDF("__dfp2", "__delseq")
+          val delRows = spark.read
+            .parquet(dels.map(d => resolveRef(path, d.path)): _*)
+            .withColumn("__k", regexp_replace(col("_metadata.file_path"),
+              "^file:/+", "/"))
+            .join(broadcast(delSeq), col("__k") === col("__dfp2"))
+            .select(eqCols.map(col) :+ col("__delseq"): _*)
+          val cond = eqCols.map(c => kept(c) <=> delRows(c))
+            .reduce(_ && _) && kept("__dseq") < delRows("__delseq")
+          kept = kept.join(broadcast(delRows), cond, "left_anti")
+        }
+        kept = kept.drop("__dseq")
+      }
+
       val cols = sm.schema.fieldNames.toIndexedSeq ++
         (if (withMeta) Seq("_metadata") else Seq.empty)
       kept.select(cols.map(col): _*)
@@ -667,13 +728,16 @@ object Iceberg {
 
   /** One manifest entry to write: `status` 1 = ADDED, 2 = DELETED;
     * `relPath` is the table-relative data path (the manifest's
-    * `file_path`, matched verbatim by the reader's fold); `content`
-    * 0 = data file, 1 = positional delete file (written into a
-    * content=1 delete manifest).
+    * `file_path`, matched verbatim by the reader's fold); `content` is
+    * the FILE content — 0 = data, 1 = positional delete, 2 = equality
+    * delete (both delete kinds land in a content=1 DELETE manifest;
+    * equality entries carry `equalityIds`). Every new entry records
+    * this snapshot's ordinal as its data sequence number.
     */
   private final case class Entry(status: Int, relPath: String,
       sizeBytes: Long, pv: Map[String, String], count: Long,
-      perCol: Map[String, (Any, Any)], content: Int = 0)
+      perCol: Map[String, (Any, Any)], content: Int = 0,
+      equalityIds: Seq[Int] = Seq.empty)
 
   private def priorState(mdDir: java.io.File)
       : (Option[JsonNode], Long) = {
@@ -797,6 +861,7 @@ object Iceberg {
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int"},
          |{"name":"snapshot_id","type":["null","long"],"default":null},
+         |{"name":"sequence_number","type":["null","long"],"default":null},
          |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
          |{"name":"content","type":"int"},
          |{"name":"file_path","type":"string"},
@@ -805,6 +870,8 @@ object Iceberg {
          |  "fields":[$partAvroFields]}},
          |{"name":"record_count","type":"long"},
          |{"name":"file_size_in_bytes","type":"long"},
+         |{"name":"equality_ids","type":["null",
+         |  {"type":"array","items":"int"}],"default":null},
          |${boundsAvro("lower_bounds", "k126")},
          |${boundsAvro("upper_bounds", "k127")}
          |]}}]}""".stripMargin)
@@ -851,11 +918,12 @@ object Iceberg {
       }
       out
     }
-    // one manifest per content kind: a manifest is either a DATA
-    // manifest (content 0) or a DELETE manifest (content 1) — the spec
-    // does not mix them
+    // one manifest per KIND: a manifest is either a DATA manifest
+    // (content 0) or a DELETE manifest (content 1, holding positional
+    // AND equality delete-file entries) — the spec does not mix them
     val newManifests: Seq[(java.io.File, Int)] =
-      entries.groupBy(_.content).toSeq.sortBy(_._1).map {
+      entries.groupBy(e => if (e.content == 0) 0 else 1).toSeq
+        .sortBy(_._1).map {
         case (content, group) =>
           val manifestFile = new java.io.File(mdDir,
             f"m-$version%05d-c$content.avro")
@@ -874,9 +942,15 @@ object Iceberg {
             d.put("file_size_in_bytes", en.sizeBytes)
             d.put("lower_bounds", boundsList(en.perCol, takeMin = true))
             d.put("upper_bounds", boundsList(en.perCol, takeMin = false))
+            if (en.equalityIds.nonEmpty) {
+              val l = new java.util.ArrayList[Integer]()
+              en.equalityIds.foreach(i => l.add(Integer.valueOf(i)))
+              d.put("equality_ids", l)
+            }
             val e = new GenericData.Record(manifestSchema)
             e.put("status", en.status)
             e.put("snapshot_id", snapshotId)
+            e.put("sequence_number", snapshotId)
             e.put("data_file", d)
             mw.append(e)
           }
@@ -989,7 +1063,12 @@ object Iceberg {
           datediff(col(f.sourceName).cast("date"),
             to_date(lit("1970-01-01"))))
         case Hours => d.withColumn(f.fieldName,
-          floor(col(f.sourceName).cast("long") / 3600L).cast("int"))
+          // via unix_micros on a TimestampType view: NTZ→numeric casts
+          // are not generally defined, NTZ→timestamp is the UTC
+          // identity under the session's UTC zone
+          floor(org.apache.spark.sql.functions
+            .unix_micros(col(f.sourceName).cast("timestamp"))
+            / 3600000000L).cast("int"))
         case Month => d.withColumn(f.fieldName,
           (year(col(f.sourceName)) - 1970) * 12 +
             month(col(f.sourceName)) - 1)
@@ -1088,9 +1167,10 @@ object Iceberg {
     val dataSchema = StructType(
       cur.schema.filterNot(f => cur.partitionColumns.contains(f.name)))
     // existing delete positions, keyed by the manifest's file_path
+    val posFiles = cur.deleteFiles.filter(_.content == 1)
     val existing: Map[String, Set[Long]] =
-      if (cur.deleteFiles.isEmpty) Map.empty
-      else spark.read.parquet(cur.deleteFiles
+      if (posFiles.isEmpty) Map.empty
+      else spark.read.parquet(posFiles
           .map(f => resolveRef(tableDir, f.path)): _*)
         .select("file_path", "pos").collect()
         .groupBy(_.getString(0))
@@ -1131,6 +1211,39 @@ object Iceberg {
         Map.empty, content = 1)), "delete")
   }
 
+  /** Append an EQUALITY DELETE as a new snapshot — the v2 row-level
+    * delete shape CDC writers (Flink upsert streams) produce: ONE
+    * equality delete file holding `keys`' rows (its columns name the
+    * equality fields), deleting every matching row of data files with
+    * STRICTLY SMALLER data sequence number. Rows inserted at or after
+    * the delete's sequence are untouched — which is exactly what makes
+    * upsert (delete-then-insert in one stream) correct. Fixture
+    * machinery for the MoR read path.
+    */
+  def stageEqDelete(spark: SparkSession, tableDir: String,
+      keys: DataFrame): Long = {
+    val root = new java.io.File(tableDir)
+    val cur = resolve(spark, tableDir, None)
+    val ids = fieldIds(cur.schema)
+    keys.schema.fieldNames.foreach(c => require(ids.contains(c),
+      s"stageEqDelete: '$c' is not a table column"))
+    val eqIds = keys.schema.fieldNames.toSeq.map(ids)
+    val (_, version) = priorState(metadataDir(tableDir))
+    val tmp = new java.io.File(root, s"_ice_eqdel_tmp_$version")
+    val n = keys.count()
+    keys.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = Option(tmp.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).head
+    val rel = s"data/eqdelete-$version-${part.getName}"
+    val dest = new java.io.File(root, rel)
+    dest.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
+    commitSnapshot(spark, tableDir, cur.schema, cur.specStrings,
+      Seq(Entry(1, rel, dest.length(), Map.empty, n, Map.empty,
+        content = 2, equalityIds = eqIds)), "delete")
+  }
+
   /** Shared copy-on-write rewrite for the DML fixtures (delete/update):
     * per live file — read DIRECTLY with the log's partition values
     * attached (the predicate may reference partition columns; file names
@@ -1153,9 +1266,13 @@ object Iceberg {
     // live positional-delete rows per data file: a copy-on-write
     // rewrite of a MoR-deleted file must carry only its LIVE rows —
     // reading raw physical rows would silently RESURRECT deleted ones
+    val morPos = cur.deleteFiles.filter(_.content == 1)
+    require(cur.deleteFiles.forall(_.content == 1),
+      "iceberg staging: copy-on-write rewrites over EQUALITY deletes " +
+        "are not modeled by this fixture writer")
     val morDead: Map[String, Set[Long]] =
-      if (cur.deleteFiles.isEmpty) Map.empty
-      else spark.read.parquet(cur.deleteFiles
+      if (morPos.isEmpty) Map.empty
+      else spark.read.parquet(morPos
           .map(f => resolveRef(tableDir, f.path)): _*)
         .select("file_path", "pos").collect()
         .groupBy(_.getString(0))

@@ -85,6 +85,34 @@ class IcebergTransformSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("hours(ts) and month(ts): ordinals derive and prune") {
+    val dir = freshDir("hours")
+    val rows = for (h <- 0 until 4; i <- 0 until 5) yield
+      (h.toLong * 5 + i,
+        java.time.LocalDateTime.of(2024, 3, 1, 6 + h, 10 * i))
+    Iceberg.stageAppend(spark, dir, rows.toDF("id", "ts").coalesce(1),
+      Seq("hours(ts)"))
+    assert(Iceberg.snapshot(spark, dir).count() == 20)
+    assert(Iceberg.snapshot(spark, dir).inputFiles.length == 4)
+    val win = Iceberg.snapshotWhere(spark, dir,
+      col("ts") >= java.time.LocalDateTime.of(2024, 3, 1, 8, 0) &&
+        col("ts") < java.time.LocalDateTime.of(2024, 3, 1, 9, 0))
+    assert(win.inputFiles.length == 1)
+    assert(win.count() == 5)
+
+    val dir2 = freshDir("month")
+    val rows2 = for (m <- 0 until 3; i <- 0 until 4) yield
+      (m.toLong * 4 + i, java.time.LocalDateTime.of(2024, 5 + m, 2 + i, 12, 0))
+    Iceberg.stageAppend(spark, dir2, rows2.toDF("id", "ts").coalesce(1),
+      Seq("month(ts)"))
+    assert(Iceberg.snapshot(spark, dir2).inputFiles.length == 3)
+    val jun = Iceberg.snapshotWhere(spark, dir2,
+      col("ts") >= java.time.LocalDateTime.of(2024, 6, 1, 0, 0) &&
+        col("ts") < java.time.LocalDateTime.of(2024, 7, 1, 0, 0))
+    assert(jun.inputFiles.length == 1)
+    assert(jun.count() == 4)
+  }
+
   test("bucket(8, id): equality prunes to one bucket; ranges keep all") {
     val dir = freshDir("bucket")
     val df = (0L until 400L).map(i => (i, s"v$i")).toDF("id", "v")
