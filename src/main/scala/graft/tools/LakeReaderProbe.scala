@@ -170,6 +170,31 @@ object LakeReaderProbe {
       ()
     }
 
+    // deletion vectors at table scale (r10): a DV delete hitting 2 of
+    // the 100 partitions on a fresh 1k-file table — the fold must
+    // decode only the touched files' bitmaps (driver cost bounded by
+    // DV'd files, not table size), and the read applies them as ONE
+    // codegen'd anti-filter with no extra scan or join
+    val dvTable = graft.sources.Staging.stageOnce(dir, "probe_delta_dv",
+      Seq(s"$dir/orders.parquet")) { p =>
+      dl.stageCommit(spark, p,
+        ord.withColumn("pk", (col("o_orderkey") % 100)).repartition(10),
+        Seq("pk"), 0L)
+      dl.stageDvDeleteCommit(spark, p,
+        col("o_custkey") % 3 === 0 && (col("pk") === 7 || col("pk") === 41),
+        1L)
+    }
+    val dvPlan = ms(planOf(dl.snapshot(spark, dvTable)))
+    val t2 = System.nanoTime()
+    val dvRows = dl.snapshot(spark, dvTable).count()
+    val dvReadS = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime()
+    val plainRows = dl.snapshot(spark, wide).count()
+    val plainReadS = (System.nanoTime() - t3) / 1e9
+    println(f"delta dv read (DVs on 2 of 100 partitions)  fold+plan+" +
+      f"decode $dvPlan%7.1f ms; full read $dvReadS%5.2f s " +
+      f"($dvRows%d rows) vs plain $plainReadS%5.2f s ($plainRows%d rows)")
+
     // checkpoint fold at ~100k actions (r10): the fold STREAMS the
     // checkpoint rows (toLocalIterator) instead of collect(), so the
     // transient is one partition of action rows, not a second full

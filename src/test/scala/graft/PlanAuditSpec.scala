@@ -523,4 +523,46 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert("Exchange".r.findAllIn(p).size <= 2,
       s"expected only the aggregate + sort exchanges:\n$p")
   }
+
+  test("deltalake_dv_scan: one scan, codegen'd DV anti-filter, no join") {
+    val p = planOf("deltalake_dv_scan")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"a DV snapshot must stay ONE scan:\n$p")
+    assert(p.contains("DvKeep") || p.contains("dvLookup") ||
+      !p.contains("Join"),
+      s"DV application must be a filter, not a join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no join may appear in a DV snapshot read:\n$p")
+  }
+
+  test("iceberg_mor_scan: positional deletes apply as BROADCAST anti-join") {
+    val p = planOf("iceberg_mor_scan")
+    assert(p.contains("LeftAnti"),
+      s"MoR subtraction must be an anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"the delete side must broadcast (it is metadata-sized):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the data side must never shuffle for the MoR subtract:\n$p")
+  }
+
+  test("iceberg_eq_delete: sequence-scoped anti-join, broadcast only") {
+    val p = planOf("iceberg_eq_delete")
+    assert(p.contains("LeftAnti"), s"equality subtract is an anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"equality deletes are metadata-sized — no data shuffle:\n$p")
+  }
+
+  test("deltalake_column_mapping: logical filter prunes physical partitions") {
+    import org.apache.spark.sql.functions.col
+    // a filter on the LOGICAL partition column must reach the scan as a
+    // physical-name PartitionFilters entry through the alias projection
+    val dir = graft.engine.Queries.deltaLakeOrdersMapped(spark, sfDir)
+    val q = graft.sources.DeltaLake.snapshot(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val plan = q.asInstanceOf[classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*c_".r.findFirstIn(plan).nonEmpty,
+      s"logical partition filter must prune physical partitions:\n$plan")
+    assert(q.collect().nonEmpty)
+  }
 }
