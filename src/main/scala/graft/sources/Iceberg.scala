@@ -63,7 +63,8 @@ object Iceberg {
   final case class SnapshotMeta(snapshotId: Long, schema: StructType,
       partitionColumns: Seq[String], files: Seq[IceFile],
       deleteFiles: Seq[IceFile] = Seq.empty,
-      transforms: Seq[IcebergTransforms.Field] = Seq.empty) {
+      transforms: Seq[IcebergTransforms.Field] = Seq.empty,
+      fieldIdToName: Map[Int, String] = Map.empty) {
     /** The spec in the writer's string syntax (DML fixtures re-commit
       * a table's existing spec verbatim).
       */
@@ -258,6 +259,11 @@ object Iceberg {
         .getOrElse(0)
       require(content == 0 || content == 1,
         s"Iceberg: manifest content $content is not supported")
+      // the manifest-list entry's sequence number is the DEFAULT a null
+      // entry-level number inherits (the spec's inheritance rule for
+      // entries added by the manifest's own snapshot)
+      val manifestSeq = Option(optF(mf, "sequence_number"))
+        .map(_.toString.toLong)
       val mPath = resolveRef(path, mf.get("manifest_path").toString)
       avroRecords(mPath).foreach { entry =>
         val status = entry.get("status").toString.toInt
@@ -270,9 +276,18 @@ object Iceberg {
           s"Iceberg: file format $fmt not supported (parquet only)")
         val size = Option(optF(df, "file_size_in_bytes"))
           .map(_.toString.toLong)
+        // sequence resolution: explicit entry number, else the
+        // manifest's inherited default, else the entry's snapshot id
+        // (this fixture writer's ids ARE the sequence ordinals; a REAL
+        // v2 table always carries one of the first two, and v1 tables
+        // — the only ones with neither — cannot hold delete files, so
+        // the last fallback never scopes an actual delete)
         val seq = Option(optF(entry, "sequence_number"))
-          .orElse(Option(optF(entry, "snapshot_id")))
-          .map(_.toString.toLong).getOrElse(0L)
+          .map(_.toString.toLong)
+          .orElse(manifestSeq)
+          .orElse(Option(optF(entry, "snapshot_id"))
+            .map(_.toString.toLong))
+          .getOrElse(0L)
         if (content == 1) {
           require(fileContent == 1 || fileContent == 2,
             s"Iceberg: file content $fileContent in a delete manifest " +
@@ -321,7 +336,8 @@ object Iceberg {
       }
     }
     SnapshotMeta(wantId, schema, partCols, files.values.toSeq,
-      deletes.values.toSeq, transforms)
+      deletes.values.toSeq, transforms,
+      idMap.map { case (id, (name, _)) => id -> name })
   }
 
   /** Snapshot read as of `snapshotId` (default: current) — ONE scan over
@@ -522,9 +538,13 @@ object Iceberg {
 
       val eqDeletes = sm.deleteFiles.filter(_.content == 2)
       if (eqDeletes.nonEmpty) {
-        // spec field id → column name, via the same pre-order walk the
-        // schema JSON uses; an id outside the schema fails loudly
-        val nameById = fieldIds(sm.schema).map(_.swap)
+        // spec field id → column name from the TABLE METADATA's own
+        // schema ids (schema evolution assigns ids non-contiguously on
+        // real tables — a positional walk would mis-bind); an id
+        // outside the schema fails loudly
+        val nameById =
+          if (sm.fieldIdToName.nonEmpty) sm.fieldIdToName
+          else fieldIds(sm.schema).map(_.swap)
         // per-row data sequence number: broadcast (file → seq) joined
         // on the file-path metadata (one small hash join, only on
         // tables that carry equality deletes)
