@@ -2162,6 +2162,43 @@ object Queries {
              |  COUNT(DISTINCT o_custkey) AS n_cust
              |FROM merged
              |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // CHANGE DATA FEED (r10): a CDF-enabled writer's DML commits carry
+    // `cdc` actions naming dedicated change files (`_change_data/`,
+    // rows tagged `_change_type`) — the commit's own row-level diff.
+    // `changes()` treats them as AUTHORITATIVE and skips the rewrite
+    // pair entirely, so the signed frames are DELTA-SIZED: a 1-row
+    // UPDATE reads 1 pre-image + 1 post-image row instead of both
+    // sides of the rewritten file (the r9 seam's one remaining
+    // file-sized case; spec-pinned that the frames' inputFiles are all
+    // change files). The stored aggregate view maintains through the
+    // CDF UPDATE window via the same splice; CASE-expression oracle.
+    QueryDef("delta_deltalake_cdf",
+      (s, d) => {
+        import graft.ivm.DeltaLakeSnapshots
+        val dir = deltaLakeOrdersCdf(s, d)
+        val aggOf = (df: org.apache.spark.sql.DataFrame) => df
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+        DeltaLakeSnapshots.track(s, "dl_orders_cdf", dir, at = Some(1L))
+        val stored = aggOf(
+          graft.sources.DeltaLake.snapshot(s, dir, version = Some(1L)))
+        DeltaLakeSnapshots.maintainAgg(s, "dl_orders_cdf", stored,
+          Seq("o_orderpriority"), aggOf)
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(CASE WHEN o_custkey % 9 = 2
+             |      AND o_orderpriority = '3-MEDIUM'
+             |    THEN o_totalprice + 250 ELSE o_totalprice END
+             |    AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin))
   )
 
@@ -2313,6 +2350,27 @@ object Queries {
         ord.filter(col("o_custkey") % 97 === 0)
           .withColumn("o_orderkey", col("o_orderkey") + maxKey * 10L)
           .select(ord.columns.map(col): _*), 2L)
+    }
+
+  /** The staged table with a CHANGE-DATA-FEED UPDATE at version 2 (the
+    * rewrite pair PLUS `cdc` actions naming pre/post-image change
+    * files) — the `delta_deltalake_cdf` fixture.
+    */
+  private[graft] def deltaLakeOrdersCdf(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_cdf_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_orderkey") < c1), Seq("o_orderpriority"), 0L)
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_orderkey") >= c1), Seq("o_orderpriority"), 1L)
+      graft.sources.DeltaLake.stageUpdateCommit(s, p,
+        col("o_custkey") % 9 === 2 &&
+          col("o_orderpriority") === "3-MEDIUM",
+        Map("o_totalprice" -> (col("o_totalprice") + 250)), 2L,
+        cdf = true)
     }
 
   /** The COLUMN-MAPPED staged table with a mid-history RENAME — the

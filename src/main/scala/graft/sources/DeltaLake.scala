@@ -347,8 +347,29 @@ object DeltaLake {
     val ins = mutable.LinkedHashMap.empty[Id, AddFile]
     val rets = mutable.LinkedHashMap.empty[Id, AddFile]
     val rewrites = mutable.Set.empty[Id]
+    val cdcFiles = mutable.Buffer.empty[AddFile]
     (afterVersion.max(-1L) + 1 to end).foreach { v =>
-      foreachCommitAction(path, v) { n =>
+      // CHANGE DATA FEED: a commit carrying `cdc` actions describes its
+      // own row-level diff in dedicated change files (`_change_data/`,
+      // rows tagged `_change_type`) — AUTHORITATIVE and DELTA-SIZED,
+      // so the commit's add/remove pair is skipped entirely (a 1-row
+      // UPDATE reads 1 change row instead of both sides of a rewritten
+      // file). Within-window interactions stay exact: a window-added
+      // file later cdc-updated keeps its (stale) insert entry, and the
+      // cdc retract(pre)+insert(post) nets it to the updated content;
+      // removed files stay readable until VACUUM, same contract as the
+      // retract arm.
+      val commitNodes = mutable.Buffer.empty[JsonNode]
+      foreachCommitAction(path, v)(commitNodes += _)
+      val commitCdc = commitNodes.flatMap(n =>
+        Option(n.get("cdc")).filterNot(_.isNull))
+      commitCdc.foreach { c =>
+        require(endState.mapping.isEmpty,
+          "DeltaLake.changes: CDF on a column-mapped table is not " +
+            "supported by this reader")
+        cdcFiles += addFromJson(c)
+      }
+      commitNodes.foreach { n =>
         // schema drift only matters against a STORED view built at the
         // cut; a from-scratch window (afterVersion < 0) has none, and its
         // frames resolve at the end schema like any snapshot
@@ -359,7 +380,7 @@ object DeltaLake {
               "would drift from the view it patches — rebase the " +
               "maintained view from the current snapshot")
         }
-        Option(n.get("add")).foreach { a =>
+        if (commitCdc.isEmpty) Option(n.get("add")).foreach { a =>
           val add = addFromJson(a)
           if (dataChange(a)) {
             // an add whose exact identity is already cut-live: the log
@@ -375,7 +396,7 @@ object DeltaLake {
             ins.put(add.identity, add)
           } else rewrites += add.identity
         }
-        Option(n.get("remove")).foreach { r =>
+        if (commitCdc.isEmpty) Option(n.get("remove")).foreach { r =>
           val rdv = Option(r.get("deletionVector")).filterNot(_.isNull)
             .map(DeletionVectors.parseDescriptor)
           val key: Id = (r.get("path").asText, rdv.map(_.id))
@@ -401,8 +422,41 @@ object DeltaLake {
         }
       }
     }
-    Changes(readFiles(spark, path, endState, ins.values.toSeq),
+    val base = Changes(readFiles(spark, path, endState, ins.values.toSeq),
       readFiles(spark, path, endState, rets.values.toSeq))
+    if (cdcFiles.isEmpty) base
+    else Changes(
+      base.inserts.unionByName(readCdc(spark, path, endState,
+        cdcFiles.toSeq, Seq("insert", "update_postimage"))),
+      base.retracts.unionByName(readCdc(spark, path, endState,
+        cdcFiles.toSeq, Seq("delete", "update_preimage"))))
+  }
+
+  /** Read change files (`cdc` actions) filtered to the given
+    * `_change_type`s, projected to the table schema — the same
+    * log-backed single-scan construction as data files (partition
+    * values from the action, `_change_type` as an extra data column
+    * the change files carry).
+    */
+  private def readCdc(spark: SparkSession, path: String, st: LogState,
+      files: Seq[AddFile], types: Seq[String]): DataFrame = {
+    val full = StructType(st.schema.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType))
+    val logFiles = files.map { a =>
+      val p = resolve(path, a.path)
+      val size = a.size.getOrElse {
+        val f = new java.io.File(p)
+        require(f.exists(), s"change data file missing on disk: $p " +
+          "(vacuumed past this consumer's cut?)")
+        f.length()
+      }
+      LogFile(p, size, a.modificationTime, a.partitionValues, a.stats)
+    }
+    LakeScan.scan(spark, path, full, st.partitionColumns, logFiles,
+      StatsSkip.memoKeep(full, st.partitionColumns))
+      .filter(col("_change_type").isin(types: _*))
+      .select(st.schema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
   /** Whether every commit in `(afterVersion, toVersion]` is pure append
@@ -991,13 +1045,22 @@ object DeltaLake {
     * by the lakehouse writer, this just speaks the same protocol.
     */
   def stageDeleteCommit(spark: SparkSession, tableDir: String,
-      predicate: org.apache.spark.sql.Column, version: Long): Unit =
-    stageRewriteCommit(spark, tableDir, predicate, version, "delete") {
-      (fileRows, dataCols) =>
-        fileRows.filter(org.apache.spark.sql.functions.coalesce(
-          !predicate, lit(true)))
+      predicate: org.apache.spark.sql.Column, version: Long,
+      cdf: Boolean = false): Unit = {
+    val changeRows: Option[(DataFrame, Seq[String]) => DataFrame] =
+      if (!cdf) None
+      else Some { (fileRows, dataCols) =>
+        fileRows.filter(predicate)
           .select(dataCols.map(col): _*)
+          .withColumn("_change_type", lit("delete"))
+      }
+    stageRewriteCommitWith(spark, tableDir, predicate, version, "delete",
+      changeRows) { (fileRows, dataCols) =>
+      fileRows.filter(org.apache.spark.sql.functions.coalesce(
+        !predicate, lit(true)))
+        .select(dataCols.map(col): _*)
     }
+  }
 
   /** Append a row-level UPDATE as commit `version` — the other DML
     * rewrite shape [[changes]] handles: every live file holding a
@@ -1012,24 +1075,36 @@ object DeltaLake {
   def stageUpdateCommit(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column],
-      version: Long): Unit = {
+      version: Long, cdf: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.when
-    stageRewriteCommit(spark, tableDir, predicate, version, "update") {
-      (fileRows, dataCols) =>
-        require(set.keySet.subsetOf(dataCols.toSet),
-          s"stageUpdateCommit: SET columns ${set.keySet} must be data " +
-            "columns (updating a partition column is a move, not a " +
-            s"rewrite) — data columns: $dataCols")
-        val tableSchema = fileRows.schema
-        fileRows.select(dataCols.map { c =>
-          set.get(c) match {
-            case Some(e) =>
-              when(predicate, e.cast(tableSchema(c).dataType))
-                .otherwise(col(c)).as(c)
-            case None => col(c)
-          }
-        }: _*)
+    def applySet(fileRows: DataFrame, dataCols: Seq[String],
+        onlyMatched: Boolean): DataFrame = {
+      require(set.keySet.subsetOf(dataCols.toSet),
+        s"stageUpdateCommit: SET columns ${set.keySet} must be data " +
+          "columns (updating a partition column is a move, not a " +
+          s"rewrite) — data columns: $dataCols")
+      val tableSchema = fileRows.schema
+      val base = if (onlyMatched) fileRows.filter(predicate) else fileRows
+      base.select(dataCols.map { c =>
+        set.get(c) match {
+          case Some(e) =>
+            when(predicate, e.cast(tableSchema(c).dataType))
+              .otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
     }
+    val changeRows: Option[(DataFrame, Seq[String]) => DataFrame] =
+      if (!cdf) None
+      else Some { (fileRows, dataCols) =>
+        fileRows.filter(predicate).select(dataCols.map(col): _*)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(applySet(fileRows, dataCols, onlyMatched = true)
+            .withColumn("_change_type", lit("update_postimage")))
+      }
+    stageRewriteCommitWith(spark, tableDir, predicate, version, "update",
+      changeRows)((fileRows, dataCols) =>
+      applySet(fileRows, dataCols, onlyMatched = false))
   }
 
   /** Shared rewrite-commit machinery for the DML fixtures
@@ -1046,15 +1121,31 @@ object DeltaLake {
   private def stageRewriteCommit(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column, version: Long, tag: String)
       (rewrite: (DataFrame, Seq[String]) => DataFrame): Unit =
+    stageRewriteCommitWith(spark, tableDir, predicate, version, tag,
+      None)(rewrite)
+
+  /** [[stageRewriteCommit]] with optional CHANGE DATA FEED output: when
+    * `changeRows` is given, each hit file also writes a change file
+    * (its change frame = data columns + `_change_type`) under
+    * `_change_data/` and the commit carries the `cdc` action — the
+    * protocol shape [[changes]] consumes for delta-sized diffs.
+    */
+  private def stageRewriteCommitWith(spark: SparkSession,
+      tableDir: String, predicate: org.apache.spark.sql.Column,
+      version: Long, tag: String,
+      changeRows: Option[(DataFrame, Seq[String]) => DataFrame])
+      (rewrite: (DataFrame, Seq[String]) => DataFrame): Unit =
     writeCommit(tableDir, version,
-      rewriteActions(spark, tableDir, predicate, version, tag)(rewrite))
+      rewriteActions(spark, tableDir, predicate, version, tag,
+        changeRows)(rewrite))
 
   /** The remove/add action pairs of a rewrite, WITHOUT writing the
     * commit — so [[stageMergeCommit]] can combine them with new-file
     * adds in one commit.
     */
   private def rewriteActions(spark: SparkSession, tableDir: String,
-      predicate: org.apache.spark.sql.Column, version: Long, tag: String)
+      predicate: org.apache.spark.sql.Column, version: Long, tag: String,
+      changeRows: Option[(DataFrame, Seq[String]) => DataFrame] = None)
       (rewrite: (DataFrame, Seq[String]) => DataFrame): Seq[String] = {
     val st = replay(spark, tableDir, None)
     require(st.mapping.isEmpty || st.schema.fieldNames
@@ -1113,6 +1204,29 @@ object DeltaLake {
           fileStats(spark, dataSchema, Seq(dest.getAbsolutePath))
             .get(dest.getName).foreach(st => add.put("stats", st))
           actions += s"""{"add":${M.writeValueAsString(add)}}"""
+        }
+        changeRows.foreach { cr =>
+          val frame = cr(fileRows, dataSchema.fieldNames.toSeq)
+          if (!frame.isEmpty) {
+            val ctmp = new java.io.File(root, s"_cdc_tmp_$version")
+            frame.coalesce(1).write.mode("overwrite")
+              .parquet(ctmp.getAbsolutePath)
+            val cpart = Option(ctmp.listFiles()).toSeq.flatten
+              .filter(_.getName.endsWith(".parquet")).head
+            val crel = s"_change_data/cdc-$version-${cpart.getName}"
+            val cdest = new java.io.File(root, crel)
+            cdest.getParentFile.mkdirs()
+            java.nio.file.Files.move(cpart.toPath, cdest.toPath)
+            Option(ctmp.listFiles()).foreach(_.foreach(_.delete()))
+            ctmp.delete()
+            val cdc = M.createObjectNode()
+            cdc.put("path", percentEncode(crel))
+            val cpv = cdc.putObject("partitionValues")
+            a.partitionValues.foreach { case (k, v) => cpv.put(k, v) }
+            cdc.put("size", cdest.length())
+            cdc.put("dataChange", false)
+            actions += s"""{"cdc":${M.writeValueAsString(cdc)}}"""
+          }
         }
       }
     }

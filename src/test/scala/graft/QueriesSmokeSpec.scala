@@ -67,8 +67,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       // round-10 surface
       "deltalake_dv_scan", "delta_deltalake_dv", "iceberg_mor_scan",
       "iceberg_days_partition", "delta_deltalake_merge",
-      "deltalake_column_mapping", "iceberg_eq_delete")
-    assert(declared.size == 135)
+      "deltalake_column_mapping", "iceberg_eq_delete",
+      "delta_deltalake_cdf")
+    assert(declared.size == 136)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

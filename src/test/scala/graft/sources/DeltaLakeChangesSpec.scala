@@ -361,4 +361,71 @@ class DeltaLakeChangesSpec extends AnyFunSuite with SparkFixture {
     assert(maintained.exceptAll(expect).isEmpty &&
       expect.exceptAll(maintained).isEmpty)
   }
+
+  test("change data feed: cdc actions serve DELTA-SIZED signed frames") {
+    val dir = freshDir("cdf")
+    DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq("p"), 0L)
+    DeltaLake.stageCommit(spark, dir, frame(10 until 20), Seq("p"), 1L)
+    // UPDATE with CDF: the commit carries cdc actions, so changes()
+    // reads ONLY the change files — insert frame = updated post-images,
+    // retract frame = pre-images, never the rewritten files' full rows
+    DeltaLake.stageUpdateCommit(spark, dir,
+      col("id") % 4 === 0 && col("p") === "A",
+      Map("v" -> (col("v") + 1)), 2L, cdf = true)
+
+    val ch = DeltaLake.changes(spark, dir, 1L)
+    val updatedIds = (0 until 20).filter(_ % 4 == 0).map(_.toLong).toSet
+    assert(rows(ch.inserts) ==
+      updatedIds.map(i => (i, i * 10 + 1, "A")))
+    assert(rows(ch.retracts) ==
+      updatedIds.map(i => (i, i * 10, "A")))
+    // delta-sized: the frames read change files ONLY (the rewritten
+    // data files' survivor rows never enter the diff)
+    assert(ch.inserts.inputFiles.forall(_.contains("_change_data")),
+      ch.inserts.inputFiles.mkString(","))
+    assert(ch.retracts.inputFiles.forall(_.contains("_change_data")))
+
+    // snapshot still reflects the rewrite (cdc is diff-only metadata)
+    val snap = rows(DeltaLake.snapshot(spark, dir))
+    assert(snap == (0 until 20).map(i => (i.toLong,
+      if (i % 4 == 0) i * 10L + 1 else i * 10L,
+      if (i % 2 == 0) "A" else "B")).toSet)
+
+    // maintained aggregate through the CDF window
+    DeltaLakeSnapshots.track(spark, "dlc_cdf", dir, at = Some(1L))
+    val aggOf = (df: DataFrame) => df.groupBy("p")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"))
+    val stored = aggOf(DeltaLake.snapshot(spark, dir, Some(1L)))
+    val maintained = DeltaLakeSnapshots.maintainAgg(spark, "dlc_cdf",
+      stored, Seq("p"), aggOf)
+    val expect = aggOf(DeltaLake.snapshot(spark, dir))
+    assert(maintained.exceptAll(expect).isEmpty &&
+      expect.exceptAll(maintained).isEmpty)
+
+    // CDF DELETE in a later window: delete-typed change rows retract
+    DeltaLake.stageDeleteCommit(spark, dir, col("id") >= 18, 3L,
+      cdf = true)
+    val ch2 = DeltaLake.changes(spark, dir, 2L)
+    assert(rows(ch2.retracts) ==
+      Set((18L, 180L, "A"), (19L, 190L, "B")))
+    assert(ch2.inserts.isEmpty)
+    assert(ch2.retracts.inputFiles.forall(_.contains("_change_data")))
+  }
+
+  test("change data feed: a mixed window composes cdc with plain appends") {
+    val dir = freshDir("cdfmix")
+    DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq("p"), 0L)
+    // window: plain append (no cdc) + CDF update touching BOTH the
+    // cut-live and the window-added rows — the stale window-add insert
+    // plus the cdc pre/post pair must net to the updated content
+    DeltaLake.stageCommit(spark, dir, frame(10 until 16), Seq("p"), 1L)
+    DeltaLake.stageUpdateCommit(spark, dir, col("id") % 5 === 0,
+      Map("v" -> (col("v") + 7)), 2L, cdf = true)
+    val ch = DeltaLake.changes(spark, dir, 0L)
+    val net = Ivm.SignedDelta(ch.inserts, ch.retracts)
+      .applyTo(DeltaLake.snapshot(spark, dir, Some(0L)))
+    val expect = DeltaLake.snapshot(spark, dir)
+    assert(net.exceptAll(expect).isEmpty && expect.exceptAll(net).isEmpty,
+      "cut snapshot + signed window must equal the end snapshot")
+  }
 }
