@@ -2199,6 +2199,31 @@ object Queries {
              |  COUNT(DISTINCT o_custkey) AS n_cust
              |FROM orders
              |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // V2 CHECKPOINT RESUME (r10): the checkpoint shape
+    // v2Checkpoint-enabled writers produce — a uuid-named MANIFEST
+    // carrying protocol/metaData + `sidecar` actions, with the file
+    // actions split across `_sidecars/*.parquet`. The staged fixture
+    // DELETES the subsumed JSON commits, so the snapshot can only
+    // resolve through the v2 path (manifest parse → sidecar reads →
+    // fold); partition values and add.stats ride the sidecars. Hash
+    // equality vs the plain-orders oracle pins the whole chain.
+    QueryDef("deltalake_v2_checkpoint",
+      (s, d) => graft.sources.DeltaLake
+        .snapshot(s, deltaLakeOrdersV2Ckpt(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin))
   )
 
@@ -2350,6 +2375,27 @@ object Queries {
         ord.filter(col("o_custkey") % 97 === 0)
           .withColumn("o_orderkey", col("o_orderkey") + maxKey * 10L)
           .select(ord.columns.map(col): _*), 2L)
+    }
+
+  /** The staged table readable ONLY through a V2 CHECKPOINT — the
+    * `deltalake_v2_checkpoint` fixture: the usual two-commit 90/10
+    * split, a 3-sidecar v2 checkpoint at version 1, and the subsumed
+    * JSON commits deleted.
+    */
+  private[graft] def deltaLakeOrdersV2Ckpt(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_v2c_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_orderkey") < c1), Seq("o_orderpriority"), 0L)
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_orderkey") >= c1), Seq("o_orderpriority"), 1L)
+      graft.sources.DeltaLake.stageCheckpointV2(s, p, 1L, sidecars = 3)
+      Seq(0L, 1L).foreach { v =>
+        new java.io.File(s"$p/_delta_log", f"$v%020d.json").delete()
+      }
     }
 
   /** The staged table with a CHANGE-DATA-FEED UPDATE at version 2 (the

@@ -525,6 +525,14 @@ object DeltaLake {
     * and `_last_checkpoint` is treated as a HINT only — selection always
     * validates against this enumeration.
     */
+  private val V2CheckpointRe =
+    ("\\d{20}\\.checkpoint\\." +
+      "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+      "[0-9a-fA-F]{12}\\.(json|parquet)").r
+
+  private def isV2Checkpoint(f: java.io.File): Boolean =
+    V2CheckpointRe.pattern.matcher(f.getName).matches()
+
   private def checkpointFilesByVersion(
       path: String): Map[Long, Seq[java.io.File]] = {
     val all = Option(logDir(path).listFiles()).toSeq.flatten
@@ -543,8 +551,19 @@ object DeltaLake {
           fs.map(partOf).toSet == (1 to totals.head).toSet
         if (complete) Some(v -> fs.sortBy(partOf)) else None
       }
-    // a complete single-part beats a multi-part of the same version
-    multi ++ single
+    // V2 checkpoints (uuid-named manifest + sidecars under
+    // `_sidecars/`): one manifest per uuid; with several at one
+    // version, any is a complete snapshot — pick the lexicographically
+    // last. Completeness can only be judged by READING the manifest
+    // (the sidecar list lives inside), so unlike multi-part selection a
+    // missing sidecar fails LOUDLY at replay rather than silently
+    // falling back.
+    val v2 = all.filter(isV2Checkpoint)
+      .groupBy(_.getName.take(20).toLong)
+      .map { case (v, fs) => v -> Seq(fs.maxBy(_.getName)) }
+    // a classic checkpoint beats a v2 of the same version (both are
+    // complete; classic needs no second read)
+    v2 ++ multi ++ single
   }
 
   private def checkpointVersions(path: String): Seq[Long] =
@@ -576,7 +595,8 @@ object DeltaLake {
     // widening, …) would make this fold silently wrong, so the gate
     // stays loud for those
     def applyProtocol(minReader: Int, features: Seq[String]): Unit = {
-      val supported = Set("deletionVectors", "columnMapping")
+      val supported = Set("deletionVectors", "columnMapping",
+        "v2Checkpoint")
       val unsupported = features.filterNot(supported)
       require(minReader <= 3 && unsupported.isEmpty,
         s"unsupported Delta reader protocol (minReaderVersion=$minReader, " +
@@ -593,14 +613,10 @@ object DeltaLake {
     val byVersion = checkpointFilesByVersion(path)
     val cpVersion = byVersion.keys.filter(_ <= want).maxOption
     cpVersion.foreach { cv =>
-      val parts = byVersion(cv).map(_.getAbsolutePath)
-      // STREAM the checkpoint rows (one partition at a time) instead of
-      // collect(): a checkpoint is one row per live file, so a full
-      // collect doubles the driver's peak at exactly the scale where the
-      // fold's own `adds` map is already the big allocation (~10M files
-      // on a 100 TB table) — the iterator bounds the transient to one
-      // partition of action rows
-      spark.read.parquet(parts: _*).toLocalIterator().asScala.foreach { row =>
+      val cpFiles = byVersion(cv)
+      // one checkpoint action row (classic parts, v2 manifests, and v2
+      // sidecars all share this shape)
+      def applyRow(row: Row): Unit = {
         struct(row, "add").foreach { a =>
           // stats survive the checkpoint (add.stats is part of the
           // checkpoint schema): at 100 TB most files live at or before a
@@ -649,6 +665,69 @@ object DeltaLake {
             else Seq.empty
           applyProtocol(p.getInt(p.fieldIndex("minReaderVersion")), feats)
         }
+      }
+      def sidecarOf(rel: String): String = {
+        val decoded = percentDecode(rel)
+        if (decoded.startsWith("/")) decoded
+        else new java.io.File(new java.io.File(logDir(path), "_sidecars"),
+          decoded).getAbsolutePath
+      }
+      if (!cpFiles.exists(isV2Checkpoint)) {
+        // classic single-/multi-part: STREAM the rows (one partition at
+        // a time) instead of collect() — a checkpoint is one row per
+        // live file, so a full collect doubles the driver's peak at
+        // exactly the scale where the fold's own `adds` map is already
+        // the big allocation (~10M files on a 100 TB table)
+        spark.read.parquet(cpFiles.map(_.getAbsolutePath): _*)
+          .toLocalIterator().asScala.foreach(applyRow)
+      } else {
+        // V2 checkpoint: the uuid-named MANIFEST (json lines or
+        // parquet rows) carries protocol/metaData plus `sidecar`
+        // actions naming the `_sidecars/*.parquet` files that hold the
+        // file actions; a missing sidecar fails LOUDLY — reading the
+        // surviving ones would silently drop files from the snapshot
+        val manifest = cpFiles.head
+        val sidecars = mutable.Buffer.empty[String]
+        if (manifest.getName.endsWith(".json")) {
+          java.nio.file.Files.readAllLines(manifest.toPath).asScala
+            .filter(_.nonEmpty).foreach { line =>
+              val n = M.readTree(line)
+              Option(n.get("add")).foreach(a => applyAdd(addFromJson(a)))
+              Option(n.get("remove")).foreach(r =>
+                applyRemove(r.get("path").asText))
+              Option(n.get("metaData")).foreach { m =>
+                val conf = Option(m.get("configuration"))
+                  .filterNot(_.isNull)
+                  .map(_.properties().asScala.map(e =>
+                    e.getKey -> e.getValue.asText).toMap)
+                  .getOrElse(Map.empty[String, String])
+                applyMeta(m.get("schemaString").asText,
+                  Option(m.get("partitionColumns")).toSeq
+                    .flatMap(_.elements().asScala.map(_.asText).toSeq),
+                  conf)
+              }
+              Option(n.get("protocol")).foreach { pr =>
+                val feats = Option(pr.get("readerFeatures")).toSeq
+                  .flatMap(_.elements().asScala.map(_.asText).toSeq)
+                applyProtocol(pr.get("minReaderVersion").asInt, feats)
+              }
+              Option(n.get("sidecar")).foreach(sc =>
+                sidecars += sidecarOf(sc.get("path").asText))
+            }
+        } else {
+          spark.read.parquet(manifest.getAbsolutePath)
+            .toLocalIterator().asScala.foreach { row =>
+              applyRow(row)
+              struct(row, "sidecar").foreach(sc =>
+                sidecars += sidecarOf(str(sc, "path")))
+            }
+        }
+        sidecars.foreach(sp => require(new java.io.File(sp).exists(),
+          s"v2 checkpoint sidecar missing: $sp — refusing to read a " +
+            "partial snapshot"))
+        if (sidecars.nonEmpty)
+          spark.read.parquet(sidecars.toSeq: _*)
+            .toLocalIterator().asScala.foreach(applyRow)
       }
     }
 
@@ -1488,6 +1567,115 @@ object DeltaLake {
     ()
   }
 
+  /** Write a V2 CHECKPOINT for `version`: a uuid-named MANIFEST
+    * (parquet rows, or json lines with `jsonManifest = true`) carrying
+    * protocol/metaData/checkpointMetadata plus `sidecar` actions, and
+    * the file actions split round-robin across `sidecars` parquet
+    * files under `_delta_log/_sidecars/` — the checkpoint shape
+    * v2Checkpoint-enabled writers produce. Fixture machinery for the
+    * v2 read path.
+    */
+  def stageCheckpointV2(spark: SparkSession, tableDir: String,
+      version: Long, sidecars: Int = 2,
+      jsonManifest: Boolean = false): Unit = {
+    require(sidecars >= 1, s"sidecars must be >= 1, got $sidecars")
+    val st = replay(spark, tableDir, Some(version))
+    val ld = logDir(tableDir)
+    val scDir = new java.io.File(ld, "_sidecars")
+    scDir.mkdirs()
+    import spark.implicits._
+    val addRows: Seq[CkRow] = st.adds.map { a =>
+      val f = new java.io.File(resolve(tableDir, a.path))
+      CkRow(Some(CkAdd(a.path, a.partitionValues, f.length(),
+        f.lastModified(), dataChange = true, a.stats,
+        a.dv.map(d => CkDv(d.storageType, d.pathOrInlineDv, d.offset,
+          d.sizeInBytes, d.cardinality)))), None, None)
+    }
+    val written: Seq[java.io.File] = (1 to sidecars).map { k =>
+      val slice = addRows.zipWithIndex.collect {
+        case (r, i) if i % sidecars == k - 1 => r
+      }
+      val tmp = new java.io.File(tableDir, s"_sidecar_tmp_$version")
+      slice.toDS().coalesce(1).write.mode("overwrite")
+        .parquet(tmp.getAbsolutePath)
+      val part = Option(tmp.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).head
+      val name = java.util.UUID.nameUUIDFromBytes(
+        s"$tableDir|$version|$k".getBytes("UTF-8")).toString + ".parquet"
+      val dest = new java.io.File(scDir, name)
+      java.nio.file.Files.move(part.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
+      dest
+    }
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      s"$tableDir|v2|$version".getBytes("UTF-8")).toString
+    val hasDv = st.adds.exists(_.dv.isDefined)
+    val readerV = if (hasDv) 3 else 2
+    val features = (if (hasDv) Seq("deletionVectors") else Seq.empty) :+
+      "v2Checkpoint"
+    if (jsonManifest) {
+      val lines = mutable.Buffer.empty[String]
+      lines += s"""{"checkpointMetadata":{"version":$version}}"""
+      val proto = M.createObjectNode()
+      proto.put("minReaderVersion", readerV)
+      proto.put("minWriterVersion", 7)
+      val rf = proto.putArray("readerFeatures")
+      features.foreach(rf.add)
+      val wf = proto.putArray("writerFeatures")
+      features.foreach(wf.add)
+      lines += s"""{"protocol":${M.writeValueAsString(proto)}}"""
+      val meta = M.createObjectNode()
+      meta.put("id", java.util.UUID.nameUUIDFromBytes(
+        tableDir.getBytes("UTF-8")).toString)
+      val fmt = meta.putObject("format")
+      fmt.put("provider", "parquet"); fmt.putObject("options")
+      meta.put("schemaString", st.schema.json)
+      val pc = meta.putArray("partitionColumns")
+      st.partitionColumns.foreach(pc.add)
+      val confNode = meta.putObject("configuration")
+      st.configuration.foreach { case (k, v) => confNode.put(k, v) }
+      lines += s"""{"metaData":${M.writeValueAsString(meta)}}"""
+      written.foreach { f =>
+        val sc = M.createObjectNode()
+        sc.put("path", f.getName)
+        sc.put("sizeInBytes", f.length())
+        sc.put("modificationTime", f.lastModified())
+        lines += s"""{"sidecar":${M.writeValueAsString(sc)}}"""
+      }
+      java.nio.file.Files.writeString(
+        new java.io.File(ld,
+          f"$version%020d.checkpoint.$uuid.json").toPath,
+        lines.mkString("", "\n", "\n"))
+    } else {
+      val rows: Seq[CkV2Row] =
+        CkV2Row(checkpointMetadata = Some(CkCpm(version))) +:
+        CkV2Row(protocol = Some(CkProtocol(readerV, 7,
+          Some(features)))) +:
+        CkV2Row(metaData = Some(CkMeta(
+          java.util.UUID.nameUUIDFromBytes(tableDir.getBytes("UTF-8"))
+            .toString,
+          CkFormat("parquet"), st.schema.json, st.partitionColumns,
+          st.configuration))) +:
+        written.map(f => CkV2Row(sidecar =
+          Some(CkSidecar(f.getName, f.length(), f.lastModified()))))
+      val tmp = new java.io.File(tableDir, s"_v2ckpt_tmp_$version")
+      rows.toDS().coalesce(1).write.mode("overwrite")
+        .parquet(tmp.getAbsolutePath)
+      val part = Option(tmp.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(ld,
+          f"$version%020d.checkpoint.$uuid.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
+    }
+    java.nio.file.Files.writeString(
+      new java.io.File(ld, "_last_checkpoint").toPath,
+      s"""{"version":$version,"size":${addRows.size + 3}}""")
+    ()
+  }
+
   /** Append a commit that REMOVES the given log-relative paths (fixture
     * for compaction/delete replay).
     */
@@ -1530,3 +1718,10 @@ private[sources] case class CkAdd(path: String,
     deletionVector: Option[CkDv] = None)
 private[sources] case class CkRow(add: Option[CkAdd],
     metaData: Option[CkMeta], protocol: Option[CkProtocol])
+private[sources] case class CkSidecar(path: String, sizeInBytes: Long,
+    modificationTime: Long)
+private[sources] case class CkCpm(version: Long)
+private[sources] case class CkV2Row(add: Option[CkAdd] = None,
+    metaData: Option[CkMeta] = None, protocol: Option[CkProtocol] = None,
+    sidecar: Option[CkSidecar] = None,
+    checkpointMetadata: Option[CkCpm] = None)

@@ -68,8 +68,8 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "deltalake_dv_scan", "delta_deltalake_dv", "iceberg_mor_scan",
       "iceberg_days_partition", "delta_deltalake_merge",
       "deltalake_column_mapping", "iceberg_eq_delete",
-      "delta_deltalake_cdf")
-    assert(declared.size == 136)
+      "delta_deltalake_cdf", "deltalake_v2_checkpoint")
+    assert(declared.size == 137)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
