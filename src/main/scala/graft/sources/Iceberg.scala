@@ -76,16 +76,30 @@ object Iceberg {
 
   private def metadataDir(path: String) = new java.io.File(path, "metadata")
 
-  /** The latest table metadata file (highest version number — the
-    * Hadoop-table layout `v<N>.metadata.json`, with `version-hint.text`
-    * honored as a hint when present).
+  /** Version ordinal of a metadata file name — BOTH public layouts:
+    * the Hadoop-table `v<N>.metadata.json` and the catalog layout
+    * `<NNNNN>-<uuid>.metadata.json` (written by catalog-managed tables;
+    * the catalog tracks the current pointer, the number orders the
+    * history). Unrecognized names return None.
+    */
+  private def metadataVersionOf(name: String): Option[Long] =
+    if (name.matches("v\\d+\\.metadata\\.json"))
+      Some(name.stripPrefix("v").stripSuffix(".metadata.json").toLong)
+    else if (name.matches("\\d+-[0-9a-fA-F-]{36}\\.metadata\\.json"))
+      Some(name.takeWhile(_.isDigit).toLong)
+    else None
+
+  /** The latest table metadata file (highest version ordinal across
+    * both naming layouts; `version-hint.text` is a hint only — the
+    * enumeration is authoritative, same philosophy as Delta's
+    * `_last_checkpoint`).
     */
   private def latestMetadataFile(path: String): java.io.File = {
     val dir = metadataDir(path)
     val files = Option(dir.listFiles()).toSeq.flatten
-      .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+      .flatMap(f => metadataVersionOf(f.getName).map(v => (v, f)))
     require(files.nonEmpty, s"not an Iceberg table (no metadata/*.metadata.json): $path")
-    files.maxBy(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong)
+    files.maxBy(_._1)._2
   }
 
   private def readMetadata(path: String): JsonNode =
@@ -762,12 +776,12 @@ object Iceberg {
   private def priorState(mdDir: java.io.File)
       : (Option[JsonNode], Long) = {
     val prior = Option(mdDir.listFiles()).toSeq.flatten
-      .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
-      .sortBy(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong)
-    val priorMd = prior.lastOption.map(f =>
-      M.readTree(java.nio.file.Files.readString(f.toPath)))
-    val version = prior.lastOption.map(_.getName.stripPrefix("v")
-      .stripSuffix(".metadata.json").toLong + 1).getOrElse(1L)
+      .flatMap(f => metadataVersionOf(f.getName).map(v => (v, f)))
+      .sortBy(_._1)
+    val priorMd = prior.lastOption.map { case (_, f) =>
+      M.readTree(java.nio.file.Files.readString(f.toPath))
+    }
+    val version = prior.lastOption.map(_._1 + 1).getOrElse(1L)
     (priorMd, version)
   }
 

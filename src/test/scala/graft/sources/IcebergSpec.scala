@@ -297,4 +297,24 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("delete manifest"))
   }
+
+  test("catalog-layout metadata names (<N>-<uuid>.metadata.json) resolve") {
+    val (dir, s1, s2) = twoSnapshots()
+    // rename the Hadoop-layout files to the catalog layout: the reader
+    // must order by the leading ordinal across either naming scheme
+    val md = new java.io.File(dir, "metadata")
+    Option(md.listFiles()).toSeq.flatten
+      .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+      .foreach { f =>
+        val n = f.getName.stripPrefix("v")
+          .stripSuffix(".metadata.json").toLong
+        val uuid = java.util.UUID.nameUUIDFromBytes(
+          f.getName.getBytes("UTF-8"))
+        assert(f.renameTo(new java.io.File(md,
+          f"$n%05d-$uuid.metadata.json")))
+      }
+    assert(Iceberg.currentSnapshotId(dir) == s2)
+    assert(rows(Iceberg.snapshot(spark, dir)).size == 20)
+    assert(rows(Iceberg.snapshot(spark, dir, Some(s1))).size == 10)
+  }
 }
