@@ -9,8 +9,9 @@ import graft.SparkFixture
   * data-minus-positions, repeated MoR deletes accumulate, COW rewrites
   * compose with prior delete files, time travel resolves pre-delete
   * state, the incremental seams fail fast across a MoR window but stay
-  * usable for pure appends on a MoR table, and equality deletes stay
-  * loud.
+  * usable for pure appends on a MoR table — including a full
+  * version-cut δ cycle whose index-native cut pushes through the MoR
+  * anti-join. (Equality deletes: IcebergEqDeleteSpec.)
   */
 class IcebergMorSpec extends AnyFunSuite with SparkFixture {
 
@@ -105,16 +106,37 @@ class IcebergMorSpec extends AnyFunSuite with SparkFixture {
     assert(ids(snap) == (1L to 50L).filterNot(_ % 5 == 0).toSet)
   }
 
-  test("equality delete files fail fast") {
+  test("single-row MoR delete: the minimal positional-delete shape") {
     val dir = freshDir("eq")
     val df = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
     Iceberg.stageAppend(spark, dir, df, Seq.empty)
     Iceberg.stageMorDelete(spark, dir, col("id") === 1)
-    // rewrite the delete manifest's entry content to 2 (equality) by
-    // staging is hard; instead check the reader's guard directly on a
-    // hand-built manifest is covered by code inspection — here, assert
-    // the delete manifest path is exercised (content=1 accepted) and
-    // the snapshot stays consistent
     assert(ids(Iceberg.snapshot(spark, dir)) == (2L to 10L).toSet)
+  }
+
+  test("version-cut incremental cycle over a MoR table (stable deletes)") {
+    import graft.ivm.{IcebergSnapshots, Ivm}
+    val dir = freshDir("cut")
+    val a = (1L to 30L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+    Iceberg.stageAppend(spark, dir, a, Seq.empty)
+    val s2 = Iceberg.stageMorDelete(spark, dir, col("id") % 3 === 0)
+    // track at the post-delete snapshot; the stored view saw the MoR
+    // state — appends after it keep the delete-file set stable, so the
+    // file-set cut stays exact and the δ arm pushes the index-native
+    // cut through the MoR anti-join to the data scan
+    IcebergSnapshots.track(spark, "mor_cut", dir, at = Some(s2))
+    IcebergSnapshots.view(spark, "mor_cut")
+    assert(Ivm.delta(spark.table("mor_cut").select("id", "v"))
+      .count() == 0)
+    val b = (31L to 40L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+    Iceberg.stageAppend(spark, dir, b, Seq.empty)
+    IcebergSnapshots.view(spark, "mor_cut")
+    val delta = Ivm.delta(spark.table("mor_cut").select("id", "v"))
+    assert(ids(delta.toDF("id", "v")) == (31L to 40L).toSet,
+      "delta must be exactly the appended rows")
+    // the base arm still subtracts the MoR positions
+    val base = Ivm.baseOf(spark.table("mor_cut").select("id", "v"))
+    assert(ids(base.toDF("id", "v")) ==
+      (1L to 30L).filterNot(_ % 3 == 0).toSet)
   }
 }
