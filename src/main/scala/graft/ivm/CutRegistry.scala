@@ -69,11 +69,10 @@ object CutRegistry {
         args match {
           case Seq(Literal(token: UTF8String, StringType), child) =>
             val t = token.toString
-            PostCut(child, sets.getOrElse(t,
+            PostCut(child, t)(sets.getOrElse(t,
               throw new IllegalStateException(
                 s"graft_post_cut: no cut set registered for token '$t' " +
-                  "(advance/track must register before queries resolve)")),
-              t)
+                  "(advance/track must register before queries resolve)")))
           case other => throw new IllegalArgumentException(
             "graft_post_cut(token literal, file_name) expected, got " +
               other.mkString(", "))
@@ -87,10 +86,26 @@ object CutRegistry {
   * construction). The set is a reference object, never plan literals.
   * A null file name reads as post-cut: only the empty-relation stand-in
   * produces one, and a never-seen file is delta by definition.
+  *
+  * The set rides a SECOND parameter list so case-class equality and
+  * hashCode never traverse it — Catalyst hashes/compares expressions
+  * repeatedly (ExpressionSet, canonicalization), and an O(files)
+  * HashSet.hashCode per comparison would re-introduce exactly the
+  * O(snapshot) analysis cost this expression exists to eliminate.
+  * Sets are additionally compared BY REFERENCE in equals, so two
+  * registrations under one token never conflate.
   */
-final case class PostCut(child: Expression,
-    cutFiles: java.util.HashSet[UTF8String], token: String)
+final case class PostCut(child: Expression, token: String)(
+    val cutFiles: java.util.HashSet[UTF8String])
   extends UnaryExpression with Predicate {
+
+  override def equals(other: Any): Boolean = other match {
+    case p: PostCut =>
+      p.child == child && p.token == token && (p.cutFiles eq cutFiles)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + token.hashCode) + 17
 
   override def nullable: Boolean = false
   override def dataType: DataType = BooleanType
@@ -118,5 +133,5 @@ final case class PostCut(child: Expression,
   }
 
   override protected def withNewChildInternal(
-      newChild: Expression): Expression = copy(child = newChild)
+      newChild: Expression): Expression = copy(child = newChild)(cutFiles)
 }

@@ -199,6 +199,15 @@ object DeltaLakeSnapshots {
     result
   }
 
+  /** Stop tracking `table`: drops the registry state and releases the
+    * cut's file-name set ([[CutRegistry]]) — without this a
+    * once-tracked million-file table pins its set for the JVM's life.
+    */
+  def untrack(table: String): Unit = {
+    states.remove(table)
+    CutRegistry.remove(s"deltalake/$table")
+  }
+
   private def stateOf(table: String): State =
     states.getOrElse(table, throw new IllegalStateException(
       s"DeltaLakeSnapshots: table '$table' is not tracked; call " +

@@ -129,6 +129,14 @@ object IcebergSnapshots {
     result
   }
 
+  /** Stop tracking `table` and release its cut set (see
+    * [[DeltaLakeSnapshots.untrack]]).
+    */
+  def untrack(table: String): Unit = {
+    states.remove(table)
+    CutRegistry.remove(s"iceberg/$table")
+  }
+
   private def stateOf(table: String): State =
     states.getOrElse(table, throw new IllegalStateException(
       s"IcebergSnapshots: table '$table' is not tracked; call " +

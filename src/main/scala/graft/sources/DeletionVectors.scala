@@ -218,8 +218,18 @@ object DeletionVectors {
       case "i" => z85Decode(d.pathOrInlineDv, d.sizeInBytes)
       case "u" | "p" =>
         val file =
-          if (d.storageType == "p") new java.io.File(d.pathOrInlineDv)
-          else {
+          if (d.storageType == "p") {
+            // absolute paths are stored as-is and writers emit
+            // scheme-qualified URIs — strip a local file: scheme; any
+            // other scheme is unreadable here, fail loudly
+            val raw = d.pathOrInlineDv
+            val noScheme = raw.stripPrefix("file:")
+            if (noScheme.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*"))
+              throw new UnsupportedOperationException(
+                s"deletion vector at non-local URI '$raw' is not " +
+                  "readable in this environment")
+            new java.io.File(noScheme)
+          } else {
             // "u": <optional random prefix dirs><20-char Z85 uuid>;
             // the on-disk name is deletion_vector_<canonical uuid>.bin
             val enc = d.pathOrInlineDv

@@ -98,14 +98,27 @@ object DeltaLake {
       val mode = configuration.getOrElse("delta.columnMapping.mode", "none")
       if (mode != "name" && mode != "id") Map.empty
       else schema.fields.map { f =>
-        f.dataType match {
+        // recursive guard: a mapped field nested ANYWHERE (struct,
+        // array element, map key/value) would be read by a logical
+        // name the parquet files don't carry — all-null silent
+        // corruption, so every nested shape must fail fast
+        def guard(dt: DataType): Unit = dt match {
           case nested: StructType =>
-            require(!nested.fields.exists(_.metadata
-                .contains("delta.columnMapping.physicalName")),
-              "Delta column mapping on NESTED struct fields is not " +
-                s"supported by this reader (column '${f.name}')")
+            nested.fields.foreach { nf =>
+              require(!nf.metadata
+                  .contains("delta.columnMapping.physicalName"),
+                "Delta column mapping on NESTED fields is not " +
+                  s"supported by this reader (column '${f.name}', " +
+                  s"nested field '${nf.name}')")
+              guard(nf.dataType)
+            }
+          case a: org.apache.spark.sql.types.ArrayType =>
+            guard(a.elementType)
+          case m: org.apache.spark.sql.types.MapType =>
+            guard(m.keyType); guard(m.valueType)
           case _ => ()
         }
+        guard(f.dataType)
         f.name -> (if (f.metadata.contains("delta.columnMapping.physicalName"))
           f.metadata.getString("delta.columnMapping.physicalName")
         else f.name)
@@ -383,17 +396,21 @@ object DeltaLake {
         if (commitCdc.isEmpty) Option(n.get("add")).foreach { a =>
           val add = addFromJson(a)
           if (dataChange(a)) {
-            // an add whose exact identity is already cut-live: the log
-            // re-adds a live file version — rows would double-count in
-            // the insert frame; the other never-silently-wrong guards'
-            // sibling (a DV add of a cut-live PATH is fine — different
-            // identity)
-            if (cutLive.contains(add.identity))
-              throw new IllegalStateException(
-                s"DeltaLake.changes: commit $v of $path re-adds file " +
-                  s"version ${add.identity} that is already live at the " +
-                  "cut — inconsistent log")
-            ins.put(add.identity, add)
+            // an add whose exact identity is already cut-live: if the
+            // window previously REMOVED it (remove→re-add, the RESTORE
+            // shape), retract(F) + insert(F) nets to zero — cancel the
+            // pending retract; re-adding a STILL-LIVE version would
+            // double-count its rows in the insert frame — inconsistent
+            // log, fail fast (a DV add of a cut-live PATH is fine —
+            // different identity)
+            if (cutLive.contains(add.identity)) {
+              if (rets.remove(add.identity).isEmpty)
+                throw new IllegalStateException(
+                  s"DeltaLake.changes: commit $v of $path re-adds file " +
+                    s"version ${add.identity} that is live at the cut " +
+                    "and was not removed in the window — inconsistent log")
+              // else: net zero, nothing enters either frame
+            } else ins.put(add.identity, add)
           } else rewrites += add.identity
         }
         if (commitCdc.isEmpty) Option(n.get("remove")).foreach { r =>
@@ -1611,7 +1628,9 @@ object DeltaLake {
     val uuid = java.util.UUID.nameUUIDFromBytes(
       s"$tableDir|v2|$version".getBytes("UTF-8")).toString
     val hasDv = st.adds.exists(_.dv.isDefined)
-    val readerV = if (hasDv) 3 else 2
+    // readerFeatures may only appear with minReaderVersion 3 (the
+    // protocol's table-features rule) — always 3 here
+    val readerV = 3
     val features = (if (hasDv) Seq("deletionVectors") else Seq.empty) :+
       "v2Checkpoint"
     if (jsonManifest) {

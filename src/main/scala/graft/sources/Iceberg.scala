@@ -564,7 +564,19 @@ object Iceberg {
         // tables that carry equality deletes)
         val seqMap = sm.files.map(f => (canon(f.path), f.seq))
           .toDF("__sfp", "__dseq")
-        kept = kept.join(broadcast(seqMap), dataKey === col("__sfp"))
+        // LEFT join + loud null check: an inner join would silently
+        // DROP every row of a data file whose path rendering failed to
+        // match the canonical form — raise instead of losing rows
+        kept = kept.join(broadcast(seqMap), dataKey === col("__sfp"),
+            "left")
+          .withColumn("__dseq", org.apache.spark.sql.functions.when(
+            col("__dseq").isNull,
+            org.apache.spark.sql.functions.raise_error(
+              org.apache.spark.sql.functions.concat(
+                org.apache.spark.sql.functions.lit("Iceberg equality " +
+                  "deletes: no sequence number resolved for data file "),
+                col("_metadata.file_path"))))
+            .otherwise(col("__dseq")))
           .drop("__sfp")
         eqDeletes.groupBy(_.equalityIds).foreach { case (ids, dels) =>
           val eqCols = ids.map(id => nameById.getOrElse(id,

@@ -108,4 +108,51 @@ class ColumnMappingSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("typeWidening"))
   }
+
+  test("nested mapped fields fail fast — struct, array, and map shapes") {
+    // a mapped field nested inside a struct/array/map would read
+    // all-null by logical name (the files carry physical names) —
+    // every nested shape must be rejected at the fold, not mis-read
+    import org.apache.spark.sql.types._
+    val dir = freshDir("nested")
+    val df = Seq((1L, "x")).toDF("id", "v").coalesce(1)
+    DeltaLake.stageMappedCommit(spark, dir, df, Seq.empty, 0L,
+      Map("id" -> "c_1", "v" -> "c_2"))
+    val inner = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", "c_9")
+      .putLong("delta.columnMapping.id", 9L).build()
+    def metaWith(dt: DataType): String = {
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", "c_1")
+            .putLong("delta.columnMapping.id", 1L).build()),
+        StructField("nested", dt)))
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val meta = m.createObjectNode()
+      meta.put("id", "t")
+      val fmt = meta.putObject("format")
+      fmt.put("provider", "parquet"); fmt.putObject("options")
+      meta.put("schemaString", schema.json)
+      meta.putArray("partitionColumns")
+      val conf = meta.putObject("configuration")
+      conf.put("delta.columnMapping.mode", "name")
+      s"""{"metaData":${m.writeValueAsString(meta)}}"""
+    }
+    val nestedStruct = StructType(Seq(
+      StructField("k", StringType, nullable = true, inner)))
+    Seq[DataType](
+      nestedStruct,
+      ArrayType(nestedStruct),
+      MapType(StringType, nestedStruct)
+    ).zipWithIndex.foreach { case (dt, i) =>
+      java.nio.file.Files.writeString(
+        new java.io.File(s"$dir/_delta_log",
+          f"${i + 1L}%020d.json").toPath, metaWith(dt) + "\n")
+      val e = intercept[IllegalArgumentException] {
+        DeltaLake.snapshot(spark, dir)
+      }
+      assert(e.getMessage.contains("NESTED"), s"shape $i: ${e.getMessage}")
+    }
+  }
 }

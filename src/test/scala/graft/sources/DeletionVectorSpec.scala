@@ -180,4 +180,24 @@ class DeletionVectorSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e2.getMessage.contains("typeWidening"))
   }
+
+  test("storageType 'p' descriptors accept absolute paths and file: URIs") {
+    val dir = freshDir("ptype")
+    val d = DeletionVectors.stage(dir, Seq(1L, 5L, 9L), inline = false)
+    // locate the sidecar the 'u' descriptor names, then re-describe it
+    // as 'p' — with the bare absolute path AND the scheme-qualified URI
+    // a writer may emit; a remote scheme stays loud
+    val bin = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("deletion_vector_")).head
+    Seq(bin.getAbsolutePath, s"file://${bin.getAbsolutePath}").foreach {
+      pth =>
+        val bm = DeletionVectors.read(dir,
+          d.copy(storageType = "p", pathOrInlineDv = pth))
+        assert(bm.toArray.toSeq == Seq(1L, 5L, 9L), pth)
+    }
+    intercept[UnsupportedOperationException] {
+      DeletionVectors.read(dir, d.copy(storageType = "p",
+        pathOrInlineDv = "s3://bucket/x.bin"))
+    }
+  }
 }

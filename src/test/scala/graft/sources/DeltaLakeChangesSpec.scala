@@ -428,4 +428,40 @@ class DeltaLakeChangesSpec extends AnyFunSuite with SparkFixture {
     assert(net.exceptAll(expect).isEmpty && expect.exceptAll(net).isEmpty,
       "cut snapshot + signed window must equal the end snapshot")
   }
+
+  test("remove-then-re-add window (RESTORE shape) nets to zero") {
+    val dir = freshDir("restore")
+    DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq("p"), 0L)
+    // v1 removes every file; v2 re-adds the same paths (RESTORE): the
+    // identity pair must CANCEL — the old guard threw 'inconsistent
+    // log' on this perfectly consistent history
+    val live = DeltaLake.snapshot(spark, dir).inputFiles
+      .map(_.replaceFirst("^file:/+", "/"))
+      .map(_.stripPrefix(dir).stripPrefix("/"))
+    DeltaLake.stageRemoveCommit(dir, live.toSeq, 1L)
+    // re-add with the same paths and partition values
+    val adds = live.map { rel =>
+      val pv = rel.split("/").toSeq.init.map(_.split("=", 2))
+        .map(a => a(0) -> a(1)).toMap
+      (rel, pv)
+    }
+    val actions = adds.map { case (rel, pv) =>
+      val f = new java.io.File(dir, rel)
+      val pvJson = pv.map { case (k, v) => s"""\"$k\":\"$v\"""" }
+        .mkString("{", ",", "}")
+      // the SAME percent-encoding the original add used — identity is
+      // the log's path string
+      s"""{"add":{"path":"${DeltaLake.percentEncode(rel)}",""" +
+        s""""partitionValues":$pvJson,"size":${f.length()},""" +
+        s""""modificationTime":${f.lastModified()},"dataChange":true}}"""
+    }
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$dir/_delta_log", f"${2L}%020d.json").toPath,
+      actions.mkString("", "\n", "\n"))
+    val ch = DeltaLake.changes(spark, dir, 0L)
+    assert(ch.inserts.isEmpty && ch.retracts.isEmpty,
+      "remove->re-add of identical file versions must net to zero")
+    // and the snapshot still reads in full
+    assert(rows(DeltaLake.snapshot(spark, dir)).size == 10)
+  }
 }
