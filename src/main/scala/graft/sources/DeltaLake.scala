@@ -606,20 +606,26 @@ object DeltaLake {
         conf: Map[String, String]): Unit = {
       schemaString = ss; partCols = pc; tableConf = conf
     }
-    // reader features: deletionVectors is READ here ([[readFiles]]
-    // applies the bitmaps) and columnMapping in [[LogState.mapping]]
-    // (physical-name reads); anything else (v2 checkpoints, type
-    // widening, …) would make this fold silently wrong, so the gate
-    // stays loud for those
+    // reader features this fold actually honors: deletionVectors
+    // ([[readFiles]] applies the bitmaps), columnMapping
+    // ([[LogState.mapping]] physical-name reads), v2Checkpoint (the
+    // manifest+sidecar resume path), timestampNtz (TIMESTAMP_NTZ is a
+    // native Spark type — schema parse and scan need nothing extra),
+    // typeWidening (pre-widen files read under the END schema; Spark's
+    // parquet reader performs the spec's supported upcasts natively
+    // and FAILS LOUDLY on a conversion it can't do — never silent),
+    // and vacuumProtocolCheck (a vacuum-side contract; this reader
+    // already fails loudly on vacuumed files). Anything else would
+    // make the fold silently wrong, so the gate stays loud.
     def applyProtocol(minReader: Int, features: Seq[String]): Unit = {
       val supported = Set("deletionVectors", "columnMapping",
-        "v2Checkpoint")
+        "v2Checkpoint", "timestampNtz", "typeWidening",
+        "vacuumProtocolCheck")
       val unsupported = features.filterNot(supported)
       require(minReader <= 3 && unsupported.isEmpty,
         s"unsupported Delta reader protocol (minReaderVersion=$minReader, " +
-          s"readerFeatures=$features): this reader supports plain " +
-          "add/remove folds plus deletionVectors and columnMapping; " +
-          s"unsupported features: $unsupported")
+          s"readerFeatures=$features): supported reader features are " +
+          s"$supported; unsupported: $unsupported")
     }
 
     // checkpoint: resume the fold from the newest COMPLETE one at/below

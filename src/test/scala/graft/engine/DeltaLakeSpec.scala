@@ -241,6 +241,35 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(kept.count() == 120L)
   }
 
+  test("type widening: pre-widen files read under the END schema") {
+    // schema evolution int->long / float->double at v1: the v0 files
+    // carry the NARROW physical types and must upcast under the
+    // widened end schema (Spark's parquet reader performs the spec's
+    // supported conversions natively; an unsupported one errors
+    // loudly, never silently)
+    val dir = freshDir("widen")
+    val narrow = Seq((1, 1.5f), (2, 2.5f)).toDF("id", "x").coalesce(1)
+    DeltaLake.stageCommit(spark, dir, narrow, Seq.empty, 0L)
+    val wide = Seq((3L, 3.5d)).toDF("id", "x").coalesce(1)
+    DeltaLake.stageCommit(spark, dir, wide, Seq.empty, 1L)
+    // the typeWidening reader feature is accepted by the gate
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "_delta_log/00000000000000000002.json").toPath,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["typeWidening"]}}""" + "\n")
+    val snap = DeltaLake.snapshot(spark, dir)
+    import org.apache.spark.sql.types._
+    assert(snap.schema("id").dataType == LongType)
+    assert(snap.schema("x").dataType == DoubleType)
+    assert(snap.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 1.5d), (2L, 2.5d), (3L, 3.5d)))
+    // stats skipping still proves with the narrow file's stats under
+    // the widened type
+    assert(DeltaLake.snapshotWhere(spark, dir,
+      org.apache.spark.sql.functions.col("id") >= 3L)
+      .inputFiles.length == 1)
+  }
+
   test("fail-fast on unsupported reader protocol") {
     val dir = freshDir("proto")
     val a = Seq((1L, "a")).toDF("id", "v").coalesce(1)
@@ -256,11 +285,11 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     java.nio.file.Files.writeString(
       new java.io.File(dir, "_delta_log/00000000000000000002.json").toPath,
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors","typeWidening"]}}""" + "\n")
+        """"readerFeatures":["deletionVectors","someFutureFeature"]}}""" + "\n")
     val e = intercept[IllegalArgumentException] {
       DeltaLake.snapshot(spark, dir)
     }
-    assert(e.getMessage.contains("typeWidening"))
+    assert(e.getMessage.contains("someFutureFeature"))
     // the pre-feature version still reads
     assert(rows(DeltaLake.snapshot(spark, dir, Some(0L))) == Set((1L, "a")))
   }

@@ -102,11 +102,11 @@ class ColumnMappingSpec extends AnyFunSuite with SparkFixture {
     java.nio.file.Files.writeString(
       new java.io.File(s"$dir/_delta_log", f"${2L}%020d.json").toPath,
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["columnMapping","typeWidening"]}}""" + "\n")
+        """"readerFeatures":["columnMapping","someFutureFeature"]}}""" + "\n")
     val e = intercept[IllegalArgumentException] {
       DeltaLake.snapshot(spark, dir)
     }
-    assert(e.getMessage.contains("typeWidening"))
+    assert(e.getMessage.contains("someFutureFeature"))
   }
 
   test("nested mapped fields fail fast — struct, array, and map shapes") {

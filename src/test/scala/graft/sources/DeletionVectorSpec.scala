@@ -174,11 +174,11 @@ class DeletionVectorSpec extends AnyFunSuite with SparkFixture {
     java.nio.file.Files.writeString(
       new java.io.File(s"$dir2/_delta_log", f"${1L}%020d.json").toPath,
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["typeWidening"]}}""" + "\n")
+        """"readerFeatures":["someFutureFeature"]}}""" + "\n")
     val e2 = intercept[IllegalArgumentException] {
       DeltaLake.snapshot(spark, dir2)
     }
-    assert(e2.getMessage.contains("typeWidening"))
+    assert(e2.getMessage.contains("someFutureFeature"))
   }
 
   test("storageType 'p' descriptors accept absolute paths and file: URIs") {
