@@ -107,6 +107,11 @@ final case class PostCut(child: Expression, token: String)(
   override def hashCode(): Int =
     31 * (31 * child.hashCode() + token.hashCode) + 17
 
+  // makeCopy/clone gather productIterator ++ otherCopyArgs and match a
+  // constructor reflectively — the curried set must ride along (the
+  // same pattern Spark's own Alias uses for its second parameter list)
+  override def otherCopyArgs: Seq[AnyRef] = cutFiles :: Nil
+
   override def nullable: Boolean = false
   override def dataType: DataType = BooleanType
   // O(1) rendering: the default would not print the set, but keep the

@@ -206,6 +206,9 @@ object DeltaLakeSnapshots {
   def untrack(table: String): Unit = {
     states.remove(table)
     CutRegistry.remove(s"deltalake/$table")
+    // the registration must go too: a dangling graft_post_cut predicate
+    // whose set was just released would fail analysis on the next query
+    DeltaSources.deregister(table)
   }
 
   private def stateOf(table: String): State =

@@ -53,6 +53,13 @@ object DeltaSources {
   def register(table: String, predicateSql: String): Unit =
     registry.put(table, predicateSql)
 
+  /** Remove a table's registration (the partner of the snapshot
+    * registries' `untrack` — a dangling `graft_post_cut` predicate
+    * whose cut set was released would fail analysis on the next
+    * query naming the table).
+    */
+  def deregister(table: String): Unit = { registry.remove(table); () }
+
   def predicateFor(table: String): Option[Expression] =
     registry.get(table).map(CatalystSqlParser.parseExpression)
 

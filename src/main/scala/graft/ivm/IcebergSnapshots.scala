@@ -135,6 +135,7 @@ object IcebergSnapshots {
   def untrack(table: String): Unit = {
     states.remove(table)
     CutRegistry.remove(s"iceberg/$table")
+    DeltaSources.deregister(table)
   }
 
   private def stateOf(table: String): State =

@@ -220,15 +220,22 @@ object DeletionVectors {
         val file =
           if (d.storageType == "p") {
             // absolute paths are stored as-is and writers emit
-            // scheme-qualified URIs — strip a local file: scheme; any
-            // other scheme is unreadable here, fail loudly
+            // scheme-qualified URIs — parse local file: URIs through
+            // java.net.URI (percent-decoding, authority, scheme case);
+            // any other scheme is unreadable here, fail loudly
             val raw = d.pathOrInlineDv
-            val noScheme = raw.stripPrefix("file:")
-            if (noScheme.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*"))
+            if (raw.matches("(?i)^file:.*")) {
+              val uri = new java.net.URI(raw)
+              val auth = Option(uri.getAuthority).filter(_.nonEmpty)
+              require(auth.forall(_.equalsIgnoreCase("localhost")),
+                s"deletion vector URI with a non-local authority is " +
+                  s"not readable in this environment: $raw")
+              new java.io.File(uri.getPath)
+            } else if (raw.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*"))
               throw new UnsupportedOperationException(
                 s"deletion vector at non-local URI '$raw' is not " +
                   "readable in this environment")
-            new java.io.File(noScheme)
+            else new java.io.File(raw)
           } else {
             // "u": <optional random prefix dirs><20-char Z85 uuid>;
             // the on-disk name is deletion_vector_<canonical uuid>.bin

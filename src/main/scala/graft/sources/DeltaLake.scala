@@ -361,6 +361,14 @@ object DeltaLake {
     val rets = mutable.LinkedHashMap.empty[Id, AddFile]
     val rewrites = mutable.Set.empty[Id]
     val cdcFiles = mutable.Buffer.empty[AddFile]
+    // identities a CDC commit removed/added: the commit's own
+    // add/remove pair contributes no frame rows (the change files are
+    // authoritative), but LATER plain commits may legitimately touch
+    // those identities — a RESTORE re-adds a cdc-removed file (its
+    // rows return: insert), a plain delete retires a cdc-added one
+    // (its rows leave: retract)
+    val cdcRemoved = mutable.Set.empty[Id]
+    val cdcAdded = mutable.LinkedHashMap.empty[Id, AddFile]
     (afterVersion.max(-1L) + 1 to end).foreach { v =>
       // CHANGE DATA FEED: a commit carrying `cdc` actions describes its
       // own row-level diff in dedicated change files (`_change_data/`,
@@ -381,6 +389,20 @@ object DeltaLake {
           "DeltaLake.changes: CDF on a column-mapped table is not " +
             "supported by this reader")
         cdcFiles += addFromJson(c)
+      }
+      if (commitCdc.nonEmpty) commitNodes.foreach { n =>
+        Option(n.get("add")).filter(dataChange).foreach { a =>
+          val add = addFromJson(a)
+          cdcAdded.put(add.identity, add)
+          cdcRemoved -= add.identity
+        }
+        Option(n.get("remove")).filter(dataChange).foreach { r =>
+          val rdv = Option(r.get("deletionVector")).filterNot(_.isNull)
+            .map(DeletionVectors.parseDescriptor)
+          val key: Id = (r.get("path").asText, rdv.map(_.id))
+          cdcRemoved += key
+          cdcAdded.remove(key)
+        }
       }
       commitNodes.foreach { n =>
         // schema drift only matters against a STORED view built at the
@@ -404,12 +426,16 @@ object DeltaLake {
             // log, fail fast (a DV add of a cut-live PATH is fine —
             // different identity)
             if (cutLive.contains(add.identity)) {
-              if (rets.remove(add.identity).isEmpty)
-                throw new IllegalStateException(
-                  s"DeltaLake.changes: commit $v of $path re-adds file " +
-                    s"version ${add.identity} that is live at the cut " +
-                    "and was not removed in the window — inconsistent log")
-              // else: net zero, nothing enters either frame
+              if (rets.remove(add.identity).nonEmpty) {
+                // remove→re-add (RESTORE): net zero
+              } else if (cdcRemoved.contains(add.identity)) {
+                // removed by a CDC commit (whose change rows already
+                // retracted it), now restored: its rows return
+                ins.put(add.identity, add)
+              } else throw new IllegalStateException(
+                s"DeltaLake.changes: commit $v of $path re-adds file " +
+                  s"version ${add.identity} that is live at the cut " +
+                  "and was not removed in the window — inconsistent log")
             } else ins.put(add.identity, add)
           } else rewrites += add.identity
         }
@@ -420,6 +446,11 @@ object DeltaLake {
           if (dataChange(r)) {
             if (ins.remove(key).isEmpty) cutLive.get(key) match {
               case Some(a) => rets.put(key, a)
+              case None if cdcAdded.contains(key) =>
+                // a CDC commit added this file (its rows entered via
+                // the change rows); a plain delete now retires it —
+                // its rows leave
+                rets.put(key, cdcAdded(key))
               case None =>
                 if (rewrites.contains(key)) throw new IllegalStateException(
                   s"DeltaLake.changes: commit $v of $path deletes " +

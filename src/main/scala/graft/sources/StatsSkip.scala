@@ -86,15 +86,36 @@ object StatsSkip {
       def stat(kind: String): Option[JsonNode] =
         Option(stats.get(kind)).flatMap(m => Option(m.get(name)))
           .filterNot(_.isNull)
-      def c(j: JsonNode): Option[Int] = cmp(j.asText, v, dt)
+      // TYPE-WIDENING-SOUND fp bounds: a file written before a
+      // float→double widening carries FLOAT stats — "0.1" parses as
+      // double 0.1, but the reader widens the stored float to
+      // 0.10000000149…, so trusting the parsed double as the max could
+      // PROVE `x > 0.1` false for a file that matches (silent row
+      // loss). Envelope the stat with its float-widened rendering:
+      // max bound = max(d, f), min bound = min(d, f) — exact when the
+      // stat really was a double, conservative when it was a float.
+      def statText(j: JsonNode, isMax: Boolean): String = dt match {
+        case _: DoubleType | _: FloatType =>
+          try {
+            val raw = j.asText
+            val d = raw.toDouble
+            val f = raw.toFloat.toDouble
+            (if (isMax) math.max(d, f) else math.min(d, f)).toString
+          } catch { case _: NumberFormatException => j.asText }
+        case _ => j.asText
+      }
+      def cMin(j: JsonNode): Option[Int] =
+        cmp(statText(j, isMax = false), v, dt)
+      def cMax(j: JsonNode): Option[Int] =
+        cmp(statText(j, isMax = true), v, dt)
       val (mn, mx) = (stat("minValues"), stat("maxValues"))
       op match {
         case "EQ" =>
-          mn.flatMap(c).forall(_ <= 0) && mx.flatMap(c).forall(_ >= 0)
-        case "GT" => mx.flatMap(c).forall(_ > 0)
-        case "GE" => mx.flatMap(c).forall(_ >= 0)
-        case "LT" => mn.flatMap(c).forall(_ < 0)
-        case "LE" => mn.flatMap(c).forall(_ <= 0)
+          mn.flatMap(cMin).forall(_ <= 0) && mx.flatMap(cMax).forall(_ >= 0)
+        case "GT" => mx.flatMap(cMax).forall(_ > 0)
+        case "GE" => mx.flatMap(cMax).forall(_ >= 0)
+        case "LT" => mn.flatMap(cMin).forall(_ < 0)
+        case "LE" => mn.flatMap(cMin).forall(_ <= 0)
       }
     }
 

@@ -397,4 +397,27 @@ class DeltaSourcesSpec extends AnyFunSuite with SparkFixture {
       current().exceptAll(applied).isEmpty,
       "signed aggregate delta over commits must reproduce the view")
   }
+
+  test("untrack releases the cut set AND the source registration") {
+    import graft.sources.DeltaLake
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_untrack")
+      .toString
+    DeltaLake.stageCommit(spark, dir,
+      Seq((1L, "a")).toDF("id", "v"), Seq.empty, 0L)
+    DeltaLakeSnapshots.track(spark, "untrack_t", dir, at = Some(0L))
+    assert(DeltaSources.tables.contains("untrack_t"))
+    DeltaLakeSnapshots.view(spark, "untrack_t")
+    assert(Ivm.delta(spark.table("untrack_t").select("id")).count() == 0)
+    DeltaLakeSnapshots.untrack("untrack_t")
+    // the registration is gone — an untracked table is exactly like a
+    // never-tracked one (no dangling graft_post_cut that would fail
+    // analysis), and re-tracking works from scratch
+    assert(!DeltaSources.tables.contains("untrack_t"))
+    assert(DeltaSources.predicateFor("untrack_t").isEmpty)
+    DeltaLakeSnapshots.track(spark, "untrack_t", dir, at = Some(0L))
+    DeltaLakeSnapshots.view(spark, "untrack_t")
+    assert(Ivm.delta(spark.table("untrack_t").select("id")).count() == 0)
+    DeltaLakeSnapshots.untrack("untrack_t")
+  }
 }

@@ -464,4 +464,49 @@ class DeltaLakeChangesSpec extends AnyFunSuite with SparkFixture {
     // and the snapshot still reads in full
     assert(rows(DeltaLake.snapshot(spark, dir)).size == 10)
   }
+
+  test("plain re-add after a CDC delete window inserts the restored rows") {
+    val dir = freshDir("cdcrestore")
+    DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq("p"), 0L)
+    // CDC delete wipes ALL rows (every file removed via cdc commit)
+    DeltaLake.stageDeleteCommit(spark, dir, col("id") >= 0, 1L,
+      cdf = true)
+    assert(DeltaLake.snapshot(spark, dir).isEmpty)
+    // plain RESTORE re-adds the original files (still on disk)
+    val restored = (0 until 10).map(i =>
+      (if (i % 2 == 0) "A" else "B", i)).groupBy(_._1).keys
+    val logLines = java.nio.file.Files.readAllLines(
+      new java.io.File(s"$dir/_delta_log/00000000000000000000.json")
+        .toPath)
+    val addLines = logLines.toArray(Array.empty[String])
+      .filter(_.contains("\"add\""))
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$dir/_delta_log", f"${2L}%020d.json").toPath,
+      addLines.mkString("", "\n", "\n"))
+    assert(rows(DeltaLake.snapshot(spark, dir)).size == 10)
+    // the window nets to: cdc retract(all rows) + restore insert(all
+    // rows) — a cut snapshot plus the signed window equals the end
+    val ch = DeltaLake.changes(spark, dir, 0L)
+    val net = Ivm.SignedDelta(ch.inserts, ch.retracts)
+      .applyTo(DeltaLake.snapshot(spark, dir, Some(0L)))
+    val expect = DeltaLake.snapshot(spark, dir)
+    assert(net.exceptAll(expect).isEmpty && expect.exceptAll(net).isEmpty)
+  }
+
+  test("float-widened stats never skip a file the widened read matches") {
+    import org.apache.spark.sql.functions.lit
+    val dir = freshDir("widen")
+    // v0: FLOAT column; its stats render "0.1" (the float), but the
+    // widened read surfaces 0.10000000149… — a skip that trusts the
+    // parsed double 0.1 as the max would lose this row on `x > 0.1`
+    val narrow = Seq((1L, 0.1f)).toDF("id", "x").coalesce(1)
+    DeltaLake.stageCommit(spark, dir, narrow, Seq.empty, 0L)
+    val wide = Seq((2L, 7.5d)).toDF("id", "x").coalesce(1)
+    DeltaLake.stageCommit(spark, dir, wide, Seq.empty, 1L)
+    val got = DeltaLake.snapshotWhere(spark, dir,
+      col("x") > lit(0.1d))
+    assert(got.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L),
+      "the float-stats file must be KEPT: its widened values exceed 0.1")
+  }
 }
