@@ -46,15 +46,36 @@ object CutRegistry {
   def put(spark: SparkSession, token: String, names: Seq[String]): Unit = {
     val set = new java.util.HashSet[UTF8String](names.size * 2)
     names.foreach(n => set.add(UTF8String.fromString(n)))
-    sets.put(token, set)
+    sets.put(validated(token), set)
     ensureRegistered(spark)
   }
 
   def remove(token: String): Unit = { sets.remove(token); () }
 
+  /** Whether a cut set is currently registered for `token` (spec probe —
+    * a released set must not stay pinned).
+    */
+  def has(token: String): Boolean = sets.contains(token)
+
+  /** Tokens embed the CALLER-SUPPLIED table name and are interpolated
+    * into predicate SQL inside single quotes — a quote, backslash, or
+    * control character would make the rendered SQL unparseable (or,
+    * worse, parse to a DIFFERENT literal than the registry key, so the
+    * builder would throw "no cut set registered" at analysis). Reject
+    * loudly at registration instead.
+    */
+  private def validated(token: String): String = {
+    require(token.nonEmpty &&
+        !token.exists(c => c == '\'' || c == '\\' || c.isControl),
+      s"CutRegistry: token ${token.flatMap(c => if (c.isControl) f"\\u${c.toInt}%04x" else c.toString)} " +
+        "contains a quote, backslash, or control character — table names " +
+        "embedded in cut tokens must not")
+    token
+  }
+
   /** The predicate SQL for a cut set: O(1) text regardless of set size. */
   def predicateSql(token: String): String =
-    s"graft_post_cut('$token', _metadata.file_name)"
+    s"graft_post_cut('${validated(token)}', _metadata.file_name)"
 
   /** Register the `graft_post_cut` builder in the session's function
     * registry (idempotent). Resolution happens at ANALYSIS time on the

@@ -218,17 +218,22 @@ object DeltaLakeSnapshots {
 
   private def sync(spark: SparkSession, table: String): Unit = {
     val s = states(table)
-    DeltaSources.register(table, s.cutVersion.map { v =>
+    val token = s"deltalake/$table"
+    val pred = s.cutVersion.flatMap { v =>
       val names = DeltaLake.liveFileNames(spark, s.dir, v)
-      if (names.isEmpty) "1 = 1" // empty snapshot at the cut: all delta
+      if (names.isEmpty) None // empty snapshot at the cut: all delta
       else {
         // INDEX-NATIVE cut (r10): one function-call node in the plan;
         // the file set rides a reference object, never plan literals
         // (the r9 NOT-IN shape made plan size O(snapshot files))
-        val token = s"deltalake/$table"
         CutRegistry.put(spark, token, names)
-        CutRegistry.predicateSql(token)
+        Some(CutRegistry.predicateSql(token))
       }
-    }.getOrElse("1 = 1"))
+    }
+    // a re-sync onto the all-delta branch must RELEASE any prior cut
+    // set — leaving it pinned holds a stale million-file set for the
+    // JVM's life on a table that no longer registers a cut predicate
+    if (pred.isEmpty) CutRegistry.remove(token)
+    DeltaSources.register(table, pred.getOrElse("1 = 1"))
   }
 }

@@ -145,15 +145,19 @@ object IcebergSnapshots {
 
   private def sync(spark: SparkSession, table: String): Unit = {
     val s = states(table)
-    DeltaSources.register(table, s.cutSnapshot.map { sid =>
+    val token = s"iceberg/$table"
+    val pred = s.cutSnapshot.flatMap { sid =>
       val names = Iceberg.liveFileNames(spark, s.dir, sid)
-      if (names.isEmpty) "1 = 1"
+      if (names.isEmpty) None
       else {
         // index-native cut, same as [[DeltaLakeSnapshots.sync]]
-        val token = s"iceberg/$table"
         CutRegistry.put(spark, token, names)
-        CutRegistry.predicateSql(token)
+        Some(CutRegistry.predicateSql(token))
       }
-    }.getOrElse("1 = 1"))
+    }
+    // all-delta re-sync must release any prior cut set (see
+    // [[DeltaLakeSnapshots.sync]])
+    if (pred.isEmpty) CutRegistry.remove(token)
+    DeltaSources.register(table, pred.getOrElse("1 = 1"))
   }
 }

@@ -195,6 +195,10 @@ object DeletionVectors {
         require(d >= 0, s"invalid Z85 character '$c'")
         v = v * 85 + d
       }
+      // A 5-char group encodes exactly 4 bytes; groups above 2^32-1 are
+      // spec-invalid and would silently wrap when truncated below.
+      require(v <= 0xFFFFFFFFL,
+        s"invalid Z85 group '${s.substring(i, i + 5)}': decodes above 2^32-1")
       (0 until 4).foreach(j =>
         out(i / 5 * 4 + j) = ((v >>> (8 * (3 - j))) & 0xFF).toByte)
       i += 5

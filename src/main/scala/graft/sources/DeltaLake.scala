@@ -96,7 +96,15 @@ object DeltaLake {
       */
     val mapping: Map[String, String] = {
       val mode = configuration.getOrElse("delta.columnMapping.mode", "none")
-      if (mode != "name" && mode != "id") Map.empty
+      // mode `id` matches parquet columns by FIELD ID, not physical
+      // name — a non-Spark id-mode writer's physical column names may
+      // differ from `physicalName`, so trusting them here would read
+      // all-null silently. Loud until field-id resolution lands.
+      require(mode != "id",
+        "delta.columnMapping.mode=id is not supported by this reader " +
+          "(id-mode files are matched by parquet field id, which " +
+          "name-based resolution cannot guarantee)")
+      if (mode != "name") Map.empty
       else schema.fields.map { f =>
         // recursive guard: a mapped field nested ANYWHERE (struct,
         // array element, map key/value) would be read by a logical
@@ -1061,7 +1069,7 @@ object DeltaLake {
     */
   def stageMappedCommit(spark: SparkSession, tableDir: String,
       df: DataFrame, partitionBy: Seq[String], version: Long,
-      mapping: Map[String, String]): Unit = {
+      mapping: Map[String, String], mode: String = "name"): Unit = {
     require(df.schema.fieldNames.forall(mapping.contains),
       s"stageMappedCommit: mapping must cover every column")
     val physDf = df.select(df.schema.fieldNames.toIndexedSeq
@@ -1072,7 +1080,8 @@ object DeltaLake {
       actions += ("""{"protocol":{"minReaderVersion":2,""" +
         """"minWriterVersion":5}}""")
     if (version == 0L)
-      actions += mappedMetaAction(tableDir, df.schema, partitionBy, mapping)
+      actions += mappedMetaAction(tableDir, df.schema, partitionBy, mapping,
+        mode)
     actions ++= addFileActions(spark, tableDir, physDf, physPartition,
       version)
     writeCommit(tableDir, version, actions.toSeq)
@@ -1102,7 +1111,8 @@ object DeltaLake {
   }
 
   private def mappedMetaAction(tableDir: String, logical: StructType,
-      partitionBy: Seq[String], mapping: Map[String, String]): String = {
+      partitionBy: Seq[String], mapping: Map[String, String],
+      mode: String = "name"): String = {
     val withMeta = StructType(logical.zipWithIndex.map { case (f, i) =>
       f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
         .putLong("delta.columnMapping.id", i + 1L)
@@ -1118,7 +1128,7 @@ object DeltaLake {
     val pc = meta.putArray("partitionColumns")
     partitionBy.foreach(pc.add)
     val conf = meta.putObject("configuration")
-    conf.put("delta.columnMapping.mode", "name")
+    conf.put("delta.columnMapping.mode", mode)
     conf.put("delta.columnMapping.maxColumnId", logical.size.toString)
     s"""{"metaData":${M.writeValueAsString(meta)}}"""
   }

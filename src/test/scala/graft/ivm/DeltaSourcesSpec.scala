@@ -420,4 +420,41 @@ class DeltaSourcesSpec extends AnyFunSuite with SparkFixture {
     assert(Ivm.delta(spark.table("untrack_t").select("id")).count() == 0)
     DeltaLakeSnapshots.untrack("untrack_t")
   }
+
+  test("re-sync onto the all-delta branch releases the prior cut set") {
+    import graft.sources.DeltaLake
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_resync")
+      .toString
+    DeltaLake.stageCommit(spark, dir,
+      Seq((1L, "a")).toDF("id", "v"), Seq.empty, 0L)
+    // cut at v0 registers a set; re-tracking with NO cut must release
+    // it — otherwise a stale million-file set stays pinned for the
+    // JVM's life behind a '1 = 1' registration that never reads it
+    DeltaLakeSnapshots.track(spark, "resync_t", dir, at = Some(0L))
+    assert(CutRegistry.has("deltalake/resync_t"))
+    DeltaLakeSnapshots.track(spark, "resync_t", dir, at = None)
+    assert(!CutRegistry.has("deltalake/resync_t"),
+      "all-delta re-sync must release the stale cut set")
+    // and the registration still works: everything is delta now
+    DeltaLakeSnapshots.view(spark, "resync_t")
+    assert(Ivm.delta(spark.table("resync_t").select("id")).count() == 1)
+    DeltaLakeSnapshots.untrack("resync_t")
+  }
+
+  test("cut tokens embedding quotes or control chars are rejected loudly") {
+    // the token is interpolated into predicate SQL inside single
+    // quotes — a quote would render unparseable SQL (or a different
+    // literal than the registry key), so registration must refuse
+    val e = intercept[IllegalArgumentException] {
+      CutRegistry.put(spark, "deltalake/bad'name", Seq("f1"))
+    }
+    assert(e.getMessage.contains("quote"))
+    intercept[IllegalArgumentException] {
+      CutRegistry.predicateSql("a\\b")
+    }
+    intercept[IllegalArgumentException] {
+      CutRegistry.predicateSql("a\nb")
+    }
+  }
 }

@@ -109,6 +109,21 @@ class ColumnMappingSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("someFutureFeature"))
   }
 
+  test("mode=id fails fast — field-id matching is not name resolution") {
+    // the protocol only guarantees id-mode files are matched by parquet
+    // FIELD ID; a non-Spark id-mode writer's physical column names may
+    // differ from the metadata's physicalName, so trusting names would
+    // read all-null silently — loud instead
+    val dir = freshDir("idmode")
+    val df = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+    DeltaLake.stageMappedCommit(spark, dir, df, Seq.empty, 0L,
+      Map("id" -> "c_1", "v" -> "c_2"), mode = "id")
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.snapshot(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("columnMapping.mode=id"))
+  }
+
   test("nested mapped fields fail fast — struct, array, and map shapes") {
     // a mapped field nested inside a struct/array/map would read
     // all-null by logical name (the files carry physical names) —

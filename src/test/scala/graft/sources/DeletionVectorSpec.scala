@@ -36,6 +36,21 @@ class DeletionVectorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("Z85 groups decoding above 2^32-1 are rejected at the codec") {
+    // '#' is the alphabet's max digit: "#####" decodes to ~4.44e9,
+    // above the 4-byte ceiling — truncating would yield garbage bytes
+    // that only downstream CRC/magic checks might catch (and inline
+    // descriptors have no such backstop)
+    val e = intercept[IllegalArgumentException] {
+      DeletionVectors.z85Decode("#####", 4)
+    }
+    assert(e.getMessage.contains("2^32"))
+    // the maximal VALID group still decodes: 0xFFFFFFFF
+    val enc = DeletionVectors.z85Encode(
+      Array(0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte))
+    assert(DeletionVectors.z85Decode(enc, 4).forall(_ == 0xFF.toByte))
+  }
+
   test("bitmap64 serialization round-trips across 32-bit bucket boundaries") {
     val idx = Seq(0L, 1L, 7L, 65535L, (1L << 32) - 1, 1L << 32,
       (1L << 32) + 5, (3L << 32) + 123456789L)
