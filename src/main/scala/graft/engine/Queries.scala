@@ -2022,6 +2022,75 @@ object Queries {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // MERGE-ON-READ SIGNED MAINTENANCE (r11): the seam gap the r10
+    // survey documented as a fail-fast contract is closed — a stored
+    // aggregate view maintains through TWO MoR positional-delete
+    // snapshots without rebasing. The signed window reads ONLY the rows
+    // the new delete files name (a broadcast semi-join of the surviving
+    // files against the delete keys — delta-sized, no snapshot diff of
+    // data bytes), cut-time delete files are applied first so
+    // already-dead positions never over-retract, and the group-scoped
+    // splice recomputes just the touched priorities. Hash equality vs
+    // the first-principles post-delete oracle (incl. countDistinct, the
+    // aggregate subtraction-merging cannot maintain) pins the netting,
+    // the accumulation, and the splice end to end.
+    QueryDef("delta_iceberg_mor",
+      (s, d) => {
+        import graft.ivm.IcebergSnapshots
+        val dir = icebergOrdersMor(s, d)
+        val aggOf = (df: org.apache.spark.sql.DataFrame) => df
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+        // stored view: built at snapshot 2 (both appends, no deletes)
+        IcebergSnapshots.track(s, "ice_orders_mor", dir, at = Some(2L))
+        val stored = aggOf(graft.sources.Iceberg
+          .snapshot(s, dir, snapshotId = Some(2L)))
+        IcebergSnapshots.maintainAgg(s, "ice_orders_mor", stored,
+          Seq("o_orderpriority"), aggOf)
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE NOT (o_custkey % 11 = 0
+             |    AND o_orderpriority IN ('1-URGENT', '5-LOW'))
+             |  AND NOT (o_custkey % 11 = 7 AND o_orderpriority = '5-LOW')
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // COLUMN RENAME under the oracle (r11): the staged table renames
+    // `o_totalprice` → `price` BETWEEN its two appends, so its data
+    // files disagree on the physical column name — the 90% base carries
+    // `o_totalprice`, the 10% tail `price`. The read schema carries the
+    // spec's field ids as `parquet.field.id` metadata and the scan
+    // matches parquet columns BY ID (the previous reader fail-fasted on
+    // detected renames), so one scan resolves both eras under the
+    // current name. Hash equality vs the raw-parquet oracle pins that
+    // every pre-rename row's value survives — a name-resolved read
+    // would silently null 90% of the column, which SUM catches
+    // immediately.
+    QueryDef("iceberg_rename",
+      (s, d) => graft.sources.Iceberg
+        .snapshot(s, icebergOrdersRenamed(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("price").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  MAX(o_orderkey) AS max_key
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // NON-IDENTITY PARTITION TRANSFORM (r10): `days(ts)` — the single
     // most common production Iceberg layout, previously fail-fast. The
     // staged events table is HIDDEN-partitioned by day (the derived day
@@ -2117,6 +2186,32 @@ object Queries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("cnt"),
           sum(col("o_price").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ID-MODE COLUMN MAPPING (r11, closing the r10 advice's top item
+    // properly): the staged table's metadata declares physical names
+    // `c_*` but its data files' on-disk parquet columns are named `x_*`
+    // — the non-Spark-writer shape the protocol allows in mode `id`,
+    // where files are matched by PARQUET FIELD ID, never by name. The
+    // read schema carries `delta.columnMapping.id` as `parquet.field.id`
+    // metadata and the scan resolves by id; name-based resolution would
+    // return every data column all-null, which SUM/countDistinct under
+    // the hash oracle catches immediately.
+    QueryDef("deltalake_id_mapping",
+      (s, d) => graft.sources.DeltaLake
+        .snapshot(s, deltaLakeOrdersIdMapped(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
             .cast("double").as("total"),
           countDistinct(col("o_custkey")).as("n_cust"))
         .orderBy("o_orderpriority"),
@@ -2292,8 +2387,8 @@ object Queries {
     * ordinals (1 = base, 2 = appended tail).
     */
   private[graft] def icebergOrders(s: SparkSession, d: String): String =
-    // slot name versioned: _s2 slots carry manifest bounds
-    graft.sources.Staging.stageOnce(d, "iceberg_orders_s2",
+    // slot name versioned: _s3 slots carry parquet field ids
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_s3",
       Seq(s"$d/orders.parquet")) { p =>
       val ord = t(s, d, "orders")
       val cut = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
@@ -2301,6 +2396,30 @@ object Queries {
         ord.filter(col("o_orderkey") < cut), Seq("o_orderpriority"))
       graft.sources.Iceberg.stageAppend(s, p,
         ord.filter(col("o_orderkey") >= cut), Seq("o_orderpriority"))
+      ()
+    }
+
+  /** The staged table with a mid-history COLUMN RENAME: snapshot 1 holds
+    * the 90% base under the ORIGINAL `o_totalprice` name, then a
+    * metadata-only rename to `price`, then the 10% tail appended under
+    * the NEW name — one table whose data files disagree on the physical
+    * column name, resolvable only by field id. The `iceberg_rename`
+    * fixture.
+    */
+  private[graft] def icebergOrdersRenamed(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_ren_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val cut = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") < cut), Seq("o_orderpriority"))
+      graft.sources.Iceberg.stageRenameColumn(s, p,
+        Map("o_totalprice" -> "price"))
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") >= cut)
+          .withColumnRenamed("o_totalprice", "price"),
+        Seq("o_orderpriority"))
       ()
     }
 
@@ -2443,6 +2562,32 @@ object Queries {
         Map("o_totalprice" -> "o_price"), 2L)
     }
 
+  /** The ID-MODE column-mapped staged table — the `deltalake_id_mapping`
+    * fixture: physical names `c_1…c_9` in the metadata, but the DATA
+    * columns' on-disk parquet names deliberately DIFFER (`x_<n>`), the
+    * non-Spark-writer shape the protocol allows in mode `id`; parquet
+    * field ids carry the real identity. The usual 90/10 append split,
+    * partitioned by priority.
+    */
+  private[graft] def deltaLakeOrdersIdMapped(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_idmap_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val mapping = ord.columns.zipWithIndex
+        .map { case (c, i) => c -> s"c_${i + 1}" }.toMap
+      val disk = ord.columns.zipWithIndex
+        .filterNot(_._1 == "o_orderpriority")
+        .map { case (c, i) => c -> s"x_${i + 1}" }.toMap
+      val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.DeltaLake.stageMappedCommit(s, p,
+        ord.filter(col("o_orderkey") < c1), Seq("o_orderpriority"), 0L,
+        mapping, mode = "id", diskNames = disk)
+      graft.sources.DeltaLake.stageMappedCommit(s, p,
+        ord.filter(col("o_orderkey") >= c1), Seq("o_orderpriority"), 1L,
+        mapping, mode = "id", diskNames = disk)
+    }
+
   /** The `days(ts)` HIDDEN-partitioned Iceberg events table — the
     * `iceberg_days_partition` fixture: two appends (90/10 on event_id),
     * each writing one file per day of the 30-day window; `ts` is
@@ -2450,7 +2595,7 @@ object Queries {
     * before staging.
     */
   private[graft] def icebergEventsDays(s: SparkSession, d: String): String =
-    graft.sources.Staging.stageOnce(d, "iceberg_events_days_s1",
+    graft.sources.Staging.stageOnce(d, "iceberg_events_days_s2",
       Seq(s"$d/events.parquet")) { p =>
       val ev = t(s, d, "events")
       val tsed = ev.withColumn("ts", Tables.tsMicros(ev))
@@ -2471,7 +2616,7 @@ object Queries {
     */
   private[graft] def icebergOrdersEqDeleted(s: SparkSession,
       d: String): String =
-    graft.sources.Staging.stageOnce(d, "iceberg_orders_eq_s1",
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_eq_s2",
       Seq(s"$d/orders.parquet")) { p =>
       val ord = t(s, d, "orders")
       val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
@@ -2496,7 +2641,7 @@ object Queries {
     * Deterministic predicates for the first-principles oracle.
     */
   private[graft] def icebergOrdersMor(s: SparkSession, d: String): String =
-    graft.sources.Staging.stageOnce(d, "iceberg_orders_mor_s1",
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_mor_s2",
       Seq(s"$d/orders.parquet")) { p =>
       val ord = t(s, d, "orders")
       val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
@@ -2518,7 +2663,7 @@ object Queries {
     */
   private[graft] def icebergOrdersDeleted(s: SparkSession,
       d: String): String =
-    graft.sources.Staging.stageOnce(d, "iceberg_orders_del_s1",
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_del_s2",
       Seq(s"$d/orders.parquet")) { p =>
       val ord = t(s, d, "orders")
       val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L

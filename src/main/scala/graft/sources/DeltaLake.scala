@@ -88,23 +88,24 @@ object DeltaLake {
       adds: Seq[AddFile],
       configuration: Map[String, String] = Map.empty) {
     /** COLUMN MAPPING (protocol "Column Mapping", mode `name`/`id`):
-      * logical column name → the PHYSICAL name parquet files and
-      * partition-value/stats keys use (from each schema field's
+      * logical column name → the PHYSICAL name partition-value and
+      * stats keys use (from each schema field's
       * `delta.columnMapping.physicalName` metadata). Empty map = no
       * mapping (read by logical name as before). Top-level fields only
       * — this reader fails fast on nested mapped fields.
+      *
+      * Mode `name` resolves parquet columns by the physical name; mode
+      * `id` resolves them by PARQUET FIELD ID ([[mappingIds]] — the
+      * protocol only guarantees id-mode files match on
+      * `delta.columnMapping.id`, and a non-Spark id-mode writer's
+      * physical column names may differ from `physicalName`, so
+      * trusting names there would read all-null silently; r10 advice).
       */
+    val mappingMode: String =
+      configuration.getOrElse("delta.columnMapping.mode", "none")
     val mapping: Map[String, String] = {
-      val mode = configuration.getOrElse("delta.columnMapping.mode", "none")
-      // mode `id` matches parquet columns by FIELD ID, not physical
-      // name — a non-Spark id-mode writer's physical column names may
-      // differ from `physicalName`, so trusting them here would read
-      // all-null silently. Loud until field-id resolution lands.
-      require(mode != "id",
-        "delta.columnMapping.mode=id is not supported by this reader " +
-          "(id-mode files are matched by parquet field id, which " +
-          "name-based resolution cannot guarantee)")
-      if (mode != "name") Map.empty
+      val mode = mappingMode
+      if (mode != "name" && mode != "id") Map.empty
       else schema.fields.map { f =>
         // recursive guard: a mapped field nested ANYWHERE (struct,
         // array element, map key/value) would be read by a logical
@@ -133,6 +134,20 @@ object DeltaLake {
       }.toMap
     }
     def physOf(name: String): String = mapping.getOrElse(name, name)
+
+    /** Logical column name → `delta.columnMapping.id` — the parquet
+      * field id the column's data is stored under in mode `id`.
+      * Non-empty only when the mode is `id`; every mapped field must
+      * carry an id then (the protocol requires it).
+      */
+    val mappingIds: Map[String, Long] =
+      if (mappingMode != "id") Map.empty
+      else schema.fields.map { f =>
+        require(f.metadata.contains("delta.columnMapping.id"),
+          s"delta.columnMapping.mode=id but column '${f.name}' carries " +
+            "no delta.columnMapping.id — cannot match its parquet field")
+        f.name -> f.metadata.getLong("delta.columnMapping.id")
+      }.toMap
   }
 
   /** The latest committed version of the table at `path` (JSON commits
@@ -860,12 +875,28 @@ object DeltaLake {
     // schema and a final projection aliases back to logical names.
     // Pushed filters on logical columns roll through the aliases to
     // the physical attributes, so stats skipping and partition pruning
-    // keep working untranslated inside the index.
-    val mapped = st.mapping.nonEmpty &&
-      st.schema.fieldNames.exists(n => st.physOf(n) != n)
+    // keep working untranslated inside the index. Mode `id`
+    // additionally stamps each read-schema field with its
+    // `delta.columnMapping.id` as `parquet.field.id` metadata and
+    // enables field-id matching: the parquet columns are then resolved
+    // BY ID (the protocol's id-mode contract), so a writer whose
+    // physical column names differ from `physicalName` still reads
+    // correctly — and a file carrying no ids fails loudly
+    // (fieldId.read.ignoreMissing stays false).
+    val idMode = st.mappingMode == "id"
+    val mapped = idMode || (st.mapping.nonEmpty &&
+      st.schema.fieldNames.exists(n => st.physOf(n) != n))
+    if (idMode)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val readSchema =
       if (!mapped) st.schema
-      else StructType(st.schema.map(f => f.copy(name = st.physOf(f.name))))
+      else StructType(st.schema.map { f =>
+        val meta =
+          if (!idMode) org.apache.spark.sql.types.Metadata.empty
+          else new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", st.mappingIds(f.name)).build()
+        f.copy(name = st.physOf(f.name), metadata = meta)
+      })
     val readPartCols = st.partitionColumns.map(st.physOf)
     val logFiles = files.map { a =>
       val p = resolve(path, a.path)
@@ -1069,11 +1100,29 @@ object DeltaLake {
     */
   def stageMappedCommit(spark: SparkSession, tableDir: String,
       df: DataFrame, partitionBy: Seq[String], version: Long,
-      mapping: Map[String, String], mode: String = "name"): Unit = {
+      mapping: Map[String, String], mode: String = "name",
+      diskNames: Map[String, String] = Map.empty): Unit = {
     require(df.schema.fieldNames.forall(mapping.contains),
       s"stageMappedCommit: mapping must cover every column")
-    val physDf = df.select(df.schema.fieldNames.toIndexedSeq
-      .map(n => col(n).as(mapping(n))): _*)
+    require(diskNames.isEmpty || mode == "id",
+      "stageMappedCommit: diskNames (on-disk parquet column names " +
+        "differing from physicalName) only make sense in mode=id — " +
+        "name mode resolves by the physical name")
+    // mode `id`: stamp each written column with its
+    // delta.columnMapping.id as the parquet field id (what an id-mode
+    // writer does), and let `diskNames` give data columns on-disk
+    // parquet names that DIFFER from physicalName — the exact
+    // non-Spark-writer shape that proves reads resolve by ID, not name
+    val physDf = df.select(df.schema.fieldNames.toIndexedSeq.zipWithIndex
+      .map { case (n, i) =>
+        val target =
+          if (partitionBy.contains(n)) mapping(n)
+          else diskNames.getOrElse(n, mapping(n))
+        if (mode != "id") col(n).as(target)
+        else col(n).as(target,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", i + 1L).build())
+      }: _*)
     val physPartition = partitionBy.map(mapping)
     val actions = mutable.Buffer.empty[String]
     if (version == 0L)

@@ -31,18 +31,22 @@ import org.apache.spark.sql.types._
   * metadata's snapshot log; [[appended]] is the snapshot-to-snapshot
   * live-file diff — the commit-log delta for incremental maintenance.
   *
-  * Supported: format-version 1/2 metadata, identity partition
-  * transforms, data manifests, and MERGE-ON-READ positional deletes
-  * (content=1 delete manifests listing `(file_path, pos)` parquet
-  * delete files, subtracted as a broadcast anti-join on the scan's own
-  * file/row metadata — see [[scanOf]]). Fail-fast (never silently
-  * wrong): equality deletes (content=2 — a value-keyed anti-join per
-  * equality field set, a different algorithm), non-identity transforms
-  * (bucket/truncate/days: the partition value is then a DERIVED value,
-  * not a column value), unsupported types, and column RENAMES (this
-  * reader resolves parquet columns by name; renames are detected via
-  * the schema history's field ids and rejected loudly rather than
-  * silently nulling pre-rename files).
+  * Supported: format-version 1/2 metadata, all spec partition
+  * transforms (identity + hidden `days`/`hours`/`month`/`year`/
+  * `bucket[N]`/`truncate[W]` with bounds-derived pruning —
+  * [[IcebergTransforms]]), MERGE-ON-READ positional deletes (content=1
+  * delete manifests of `(file_path, pos)` rows, subtracted as a
+  * broadcast anti-join on the scan's own file/row metadata — see
+  * [[scanOf]]) including SIGNED WINDOWS across them ([[changes]]),
+  * equality deletes (content=2, null-safe value anti-joins with
+  * sequence-number scoping), and column RENAMES (the read schema
+  * carries the spec's field ids as `parquet.field.id` metadata and the
+  * scan matches parquet columns BY ID, so pre-rename files read
+  * correctly under post-rename names; current reads resolve the current
+  * schema, time travel each snapshot's own). Fail-fast (never silently
+  * wrong): unsupported types, delete-file removals and in-window
+  * equality deletes in a signed window, and data files carrying no
+  * field ids at all (they need the spec's name-mapping).
   */
 object Iceberg {
 
@@ -170,15 +174,23 @@ object Iceberg {
       .getOrElse(throw new IllegalArgumentException(
         s"Iceberg: no snapshot $wantId in $path"))
 
-    // the SNAPSHOT's schema (snapshots carry a `schema-id` since v2;
-    // fall back to current-schema-id when absent, then to the v1
-    // top-level `schema` field). Resolving the snapshot's own schema —
-    // not blindly the current one — is what makes the schema-drift
-    // guards in [[changes]]/[[isAppendOnly]] real: on a table that
-    // evolved between snapshots the two resolved schemas now differ,
-    // so the guards fire instead of vacuously passing (r9 advice).
-    val schemaId = Option(snap.get("schema-id")).map(_.asInt)
-      .orElse(Option(md.get("current-schema-id")).map(_.asInt))
+    // schema selection (Iceberg semantics): a CURRENT read resolves
+    // against the table's CURRENT schema (current-schema-id — a rename
+    // is a metadata-only update that must be visible immediately, even
+    // before the next snapshot); TIME TRAVEL resolves the snapshot's
+    // own `schema-id` (v2), so historical reads surface the names of
+    // their era. Per-snapshot resolution is also what makes the
+    // schema-drift guards in [[changes]]/[[isAppendOnly]] real (r9
+    // advice). RENAMES are safe (r11): the read schema carries each
+    // field's id as `parquet.field.id` metadata ([[structFromIceberg]])
+    // and the scan matches parquet columns BY FIELD ID, so pre-rename
+    // files read correctly under post-rename names — the previous
+    // fail-fast on detected renames is gone.
+    val schemaId = (if (snapshotId.isDefined)
+        Option(snap.get("schema-id")).map(_.asInt)
+          .orElse(Option(md.get("current-schema-id")).map(_.asInt))
+      else Option(md.get("current-schema-id")).map(_.asInt)
+        .orElse(Option(snap.get("schema-id")).map(_.asInt)))
     val schemaNode = Option(md.get("schemas")).flatMap { ss =>
       schemaId.flatMap(id =>
         ss.elements().asScala.find(_.get("schema-id").asInt == id))
@@ -186,29 +198,6 @@ object Iceberg {
       .getOrElse(throw new IllegalStateException(
         s"Iceberg metadata at $path carries no schema (snapshot " +
           s"schema-id $schemaId not in the schemas list)"))
-    // rename detection across ALL schema versions: this reader resolves
-    // parquet columns BY NAME (the files here carry no field-id
-    // metadata), so a renamed column would silently read as all-null
-    // from pre-rename files. The spec's field ids make renames
-    // detectable: one id mapping to two names across schema versions is
-    // a rename — fail LOUDLY instead of mis-reading.
-    locally {
-      val idNames = mutable.Map.empty[Int, String]
-      Option(md.get("schemas")).toSeq
-        .flatMap(_.elements().asScala.toSeq)
-        .foreach { s =>
-          s.get("fields").elements().asScala.foreach { f =>
-            val id = f.get("id").asInt
-            val name = f.get("name").asText
-            idNames.get(id).foreach(prev => require(prev == name,
-              s"Iceberg: column rename detected (field id $id is " +
-                s"'$prev' in one schema version and '$name' in another): " +
-                "this reader resolves parquet columns by name and would " +
-                "silently null the renamed column for pre-rename files"))
-            idNames(id) = name
-          }
-        }
-    }
     val schema = structFromIceberg(schemaNode)
 
     // default partition spec. v2 keeps a `partition-specs` list +
@@ -391,7 +380,7 @@ object Iceberg {
 
   /** Signed row-level diff between two snapshots — the DELETE-AWARE
     * source, Iceberg edition (same contract as [[DeltaLake.changes]]):
-    * Iceberg snapshots are COMPLETE file sets, so the diff is simply
+    * Iceberg snapshots are COMPLETE file sets, so the file-level diff is
     * inserts = rows of files live at the end but not at the cut,
     * retracts = rows of cut-live files no longer live. A copy-on-write
     * DELETE (hit files marked DELETED, survivors rewritten) nets to
@@ -400,6 +389,23 @@ object Iceberg {
     * just not delta-sized (the file-set model has no `dataChange` flag
     * to tell them apart). Fail-fast on schema change in the window (the
     * frames would drift from the stored view they patch).
+    *
+    * MERGE-ON-READ windows (r11): POSITIONAL delete files landing in
+    * the window are netted exactly — each new delete file names
+    * `(file_path, pos)` rows, so the retract frame gains the rows of
+    * SURVIVING data files at those positions that were still live at
+    * the cut (cut-time delete files applied first: re-deleting an
+    * already-dead position must not over-retract). Frames stay
+    * delta-sized: the extra arm scans only the files the new deletes
+    * name, semi-joined against the broadcast delete keys. Each frame
+    * applies the delete files of ITS OWN side — inserts subtract the
+    * END set (a new file born with deletes on it contributes only its
+    * live rows), removed-file retracts subtract the CUT set (their
+    * state when the view last saw them). Still fail-fast: a REMOVED
+    * delete file (delete compaction — the diff can't tell a rewrite
+    * from a semantic undelete) and EQUALITY deletes landing in the
+    * window (value-keyed retraction needs sequence-scoped matching
+    * against cut-live rows; rebase instead).
     */
   def changes(spark: SparkSession, path: String, afterSnapshotId: Long,
       toSnapshotId: Option[Long] = None): DeltaLake.Changes = {
@@ -410,27 +416,48 @@ object Iceberg {
         "of " + path + " change the schema: a signed diff under an " +
         "evolved schema would drift from the view it patches — rebase " +
         "the maintained view from the current snapshot")
-    // a MERGE-ON-READ window (the positional-delete file set changed)
-    // fails fast: the file-set diff can't see rows deleted INSIDE a
-    // still-live data file, so the signed pair would silently miss the
-    // retraction — rebase instead (documented contract; the Delta DV
-    // seam nets the equivalent window because its log pairs the DV with
-    // its file, which the Iceberg snapshot diff does not)
-    require(cut.deleteFiles.map(_.path).toSet ==
-        end.deleteFiles.map(_.path).toSet,
+    val cutDelPaths = cut.deleteFiles.map(_.path).toSet
+    val endDelPaths = end.deleteFiles.map(_.path).toSet
+    require(cutDelPaths.subsetOf(endDelPaths),
       s"Iceberg.changes: snapshots ($afterSnapshotId, ${end.snapshotId}] " +
-        s"of $path change the positional-delete file set (merge-on-read " +
-        "deletes landed): the file-set diff cannot attribute rows " +
-        "deleted inside still-live files — rebase the maintained view " +
-        "from the current snapshot")
+        s"of $path REMOVE delete files (a delete-file compaction or " +
+        "undelete): the snapshot diff cannot attribute which rows " +
+        "returned — rebase the maintained view from the current snapshot")
+    val newDeletes =
+      end.deleteFiles.filterNot(f => cutDelPaths.contains(f.path))
+    require(newDeletes.forall(_.content == 1),
+      s"Iceberg.changes: snapshots ($afterSnapshotId, ${end.snapshotId}] " +
+        s"of $path add EQUALITY delete files: value-keyed retraction " +
+        "is not supported by the signed window — rebase the maintained " +
+        "view from the current snapshot")
     val cutPaths = cut.files.map(_.path).toSet
     val endPaths = end.files.map(_.path).toSet
     val inserts = end.copy(
       files = end.files.filterNot(f => cutPaths.contains(f.path)))
-    val retracts = end.copy(
-      files = cut.files.filterNot(f => endPaths.contains(f.path)))
-    DeltaLake.Changes(scanOf(spark, path, inserts),
-      scanOf(spark, path, retracts))
+    // removed files retract at their CUT state: the END delete set may
+    // include in-window deletes on them, but those rows were live when
+    // the view last saw the file and must retract with it
+    val removed = end.copy(
+      files = cut.files.filterNot(f => endPaths.contains(f.path)),
+      deleteFiles = cut.deleteFiles)
+    var retracts = scanOf(spark, path, removed)
+    if (newDeletes.nonEmpty) {
+      // rows of files live on BOTH sides that a new positional delete
+      // names: live at the cut (cut deletes applied), now dead
+      val surviving = end.files.filter(f => cutPaths.contains(f.path))
+      val named = posDeleteKeys(spark, path, surviving, newDeletes)
+      val surv = scanOf(spark, path,
+        end.copy(files = surviving, deleteFiles = cut.deleteFiles),
+        withMeta = true)
+      import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+      val newlyDead = surv.join(broadcast(named),
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+          === col("__mabs") &&
+          col("_metadata.row_index") === col("__dpos"), "left_semi")
+        .select(end.schema.fieldNames.toIndexedSeq.map(col): _*)
+      retracts = retracts.unionByName(newlyDead)
+    }
+    DeltaLake.Changes(scanOf(spark, path, inserts), retracts)
   }
 
   /** The live file NAMES at a snapshot — the cut set for a version-cut
@@ -479,6 +506,14 @@ object Iceberg {
 
   private def scanOf(spark: SparkSession, path: String, sm: SnapshotMeta,
       withMeta: Boolean = false): DataFrame = {
+    // FIELD-ID column resolution: the read schema's `parquet.field.id`
+    // metadata ([[structFromIceberg]]) only takes effect under this
+    // conf. Session-scoped but inert for schemas without id metadata,
+    // so non-Iceberg reads are untouched; `ignoreMissing` stays at its
+    // false default — a data file carrying NO ids at all fails loudly
+    // instead of surfacing silent nulls (such files need the spec's
+    // name-mapping, which this reader does not implement).
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val logFiles = sm.files.map { f =>
       val p = resolveRef(path, f.path)
       // size from the manifest: no per-file stat, and a file expired
@@ -531,20 +566,7 @@ object Iceberg {
 
       val posDeletes = sm.deleteFiles.filter(_.content == 1)
       if (posDeletes.nonEmpty) {
-        val dels = spark.read
-          .parquet(posDeletes.map(f => resolveRef(path, f.path)): _*)
-          .select(regexp_replace(col("file_path"), "^file:/+", "/")
-            .as("__dpath"), col("pos").as("__dpos"))
-        // manifest path string → the canonical rendering of the scan's
-        // `_metadata.file_path` (URL-encoded absolute path); both the
-        // manifest-relative and canonical keys are registered so delete
-        // files may name data files either way
-        val mapping = sm.files.flatMap { f =>
-          val abs = canon(f.path)
-          Seq(f.path -> abs, abs -> abs)
-        }.distinct.toDF("__mrel", "__mabs")
-        val delAbs = dels.join(broadcast(mapping),
-          col("__dpath") === col("__mrel")).select("__mabs", "__dpos")
+        val delAbs = posDeleteKeys(spark, path, sm.files, posDeletes)
         kept = kept.join(broadcast(delAbs),
           dataKey === col("__mabs") &&
             col("_metadata.row_index") === col("__dpos"), "left_anti")
@@ -602,6 +624,31 @@ object Iceberg {
         (if (withMeta) Seq("_metadata") else Seq.empty)
       kept.select(cols.map(col): _*)
     }
+  }
+
+  /** Positional delete rows of `dels` resolved against `dataFiles`:
+    * one row per (data file, position) pair, keyed by the CANONICAL
+    * rendering of the scan's `_metadata.file_path` (`__mabs`) plus the
+    * row index (`__dpos`). Delete files may name data files by the
+    * manifest-relative string or the canonical absolute form — both
+    * keys are registered. Shared by the snapshot subtract (anti-join)
+    * and the signed window's newly-deleted-rows arm (semi-join).
+    */
+  private def posDeleteKeys(spark: SparkSession, path: String,
+      dataFiles: Seq[IceFile], dels: Seq[IceFile]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    import spark.implicits._
+    val raw = spark.read
+      .parquet(dels.map(f => resolveRef(path, f.path)): _*)
+      .select(regexp_replace(col("file_path"), "^file:/+", "/")
+        .as("__dpath"), col("pos").as("__dpos"))
+    val mapping = dataFiles.flatMap { f =>
+      val abs = new org.apache.hadoop.fs.Path(resolveRef(path, f.path))
+        .toUri.toString
+      Seq(f.path -> abs, abs -> abs)
+    }.distinct.toDF("__mrel", "__mabs")
+    raw.join(org.apache.spark.sql.functions.broadcast(mapping),
+      col("__dpath") === col("__mrel")).select("__mabs", "__dpos")
   }
 
   /** Decode a manifest `lower_bounds`/`upper_bounds` value (spec: a map
@@ -685,8 +732,19 @@ object Iceberg {
     require(node.get("type").asText == "struct",
       s"expected a struct schema, got ${node.get("type")}")
     StructType(node.get("fields").elements().asScala.map { f =>
+      // carry the spec's FIELD ID as `parquet.field.id` metadata: with
+      // `spark.sql.parquet.fieldId.read.enabled` the parquet reader
+      // matches file columns by id, which is what makes RENAMED columns
+      // read correctly from pre-rename files (their physical column
+      // names differ; the ids never do). Files lacking ids entirely
+      // fail loudly (fieldId.read.ignoreMissing stays false) — never a
+      // silent all-null column.
+      val meta = Option(f.get("id")).map(id =>
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", id.asLong).build())
+        .getOrElse(org.apache.spark.sql.types.Metadata.empty)
       StructField(f.get("name").asText, typeFromIceberg(f.get("type")),
-        nullable = !f.get("required").asBoolean(false))
+        nullable = !f.get("required").asBoolean(false), metadata = meta)
     }.toSeq)
   }
 
@@ -833,6 +891,24 @@ object Iceberg {
     * moved files with their partition values — the same move-up layout
     * as [[DeltaLake.stageCommit]].
     */
+  /** Stamp each column the table schema covers with its Iceberg field
+    * id as `parquet.field.id` metadata, so the written parquet files
+    * carry ids (Spark's `fieldId.write.enabled` default) — what a real
+    * Iceberg writer always does, and what the field-id read path
+    * requires. Columns outside the id map (derived transform ordinals,
+    * stripped into directories) pass through unstamped.
+    */
+  private def withFieldIds(df: DataFrame, ids: Map[String, Int])
+      : DataFrame =
+    df.select(df.schema.fieldNames.toIndexedSeq.map { n =>
+      ids.get(n) match {
+        case Some(id) => org.apache.spark.sql.functions.col(n).as(n,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id.toLong).build())
+        case None => org.apache.spark.sql.functions.col(n)
+      }
+    }: _*)
+
   private def writeDataFiles(root: java.io.File, df: DataFrame,
       partitionBy: Seq[String], tag: String)
       : Seq[(java.io.File, Map[String, String])] = {
@@ -876,8 +952,14 @@ object Iceberg {
     val (priorMd, version) = priorState(mdDir)
     val snapshotId = version // deterministic fixture ids
     priorMd.foreach { md =>
+      // compare against the CURRENT schema (current-schema-id), not
+      // schemas[0]: after a rename the caller commits under the new
+      // names, which are exactly the current schema's
+      val curId = Option(md.get("current-schema-id")).map(_.asInt)
+        .getOrElse(0)
       val priorSchema = structFromIceberg(
-        Option(md.get("schemas")).map(_.elements().asScala.next())
+        Option(md.get("schemas")).flatMap(_.elements().asScala
+            .find(s => Option(s.get("schema-id")).forall(_.asInt == curId)))
           .getOrElse(md.get("schema")))
       require(priorSchema.json ==
         structFromIceberg(M.readTree(icebergSchemaJson(tableSchema))).json,
@@ -1056,11 +1138,22 @@ object Iceberg {
     }.mkString(",")
     val priorSnaps = priorMd.map(_.get("snapshots").elements().asScala
       .map(M.writeValueAsString).mkString(",")).filter(_.nonEmpty)
+    // carry the SCHEMA HISTORY forward (a rename appended a schema and
+    // moved current-schema-id; regenerating "schemas" from the caller's
+    // StructType would erase it) and stamp the new snapshot with the
+    // CURRENT schema id, per-snapshot resolution's contract
+    val (schemasJson, curSchemaId) = priorMd
+      .flatMap(md => Option(md.get("schemas")).map { ss =>
+        (ss.elements().asScala.map(M.writeValueAsString).mkString(","),
+          Option(md.get("current-schema-id")).map(_.asInt).getOrElse(0))
+      })
+      .getOrElse((icebergSchemaJson(tableSchema), 0))
     val newSnap =
       s"""{"snapshot-id":$snapshotId,"sequence-number":$version,""" +
         s""""timestamp-ms":${1700000000000L + version},""" +
         s""""manifest-list":"metadata/${mlFile.getName}",""" +
-        s""""summary":{"operation":"$operation"},"schema-id":0}"""
+        s""""summary":{"operation":"$operation"},""" +
+        s""""schema-id":$curSchemaId}"""
     val snapsJson = (priorSnaps.toSeq :+ newSnap).mkString(",")
     val mdJson =
       s"""{"format-version":2,"table-uuid":"${java.util.UUID
@@ -1068,8 +1161,8 @@ object Iceberg {
          |"location":"$tableDir","last-sequence-number":$version,
          |"last-updated-ms":${1700000000000L + version},
          |"last-column-id":${tableSchema.size},
-         |"schemas":[${icebergSchemaJson(tableSchema)}],
-         |"current-schema-id":0,
+         |"schemas":[$schemasJson],
+         |"current-schema-id":$curSchemaId,
          |"partition-specs":[{"spec-id":0,"fields":[$specFields]}],
          |"default-spec-id":0,"last-partition-id":${999 + spec.size},
          |"current-snapshot-id":$snapshotId,
@@ -1134,7 +1227,8 @@ object Iceberg {
     }
     val dirCols = spec.map(f =>
       if (f.transform == Identity) f.sourceName else f.fieldName)
-    val moved = writeDataFiles(root, writeDf, dirCols, s"a$version")
+    val moved = writeDataFiles(root,
+      withFieldIds(writeDf, fieldIds(df.schema)), dirCols, s"a$version")
     val identitySources = spec.filter(_.transform == Identity)
       .map(_.sourceName)
     val dataSchema = StructType(
@@ -1149,6 +1243,61 @@ object Iceberg {
     }
     commitSnapshot(spark, tableDir, df.schema, partitionBy, entries,
       "append")
+  }
+
+  /** RENAME logical columns — a METADATA-ONLY update, no new snapshot
+    * (the whole point: a rename touches neither data files nor
+    * manifests). Appends a renamed copy of the current schema (same
+    * field ids — ids are the stable identity renames pivot on) to the
+    * `schemas` history and moves `current-schema-id` to it. Renaming a
+    * partition-spec SOURCE column is rejected: this fixture writer
+    * regenerates spec field names from the live schema on the next
+    * commit, which would desynchronize prior manifests' partition
+    * record fields (real writers keep spec names independent).
+    */
+  def stageRenameColumn(spark: SparkSession, tableDir: String,
+      renames: Map[String, String]): Unit = {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val mdDir = metadataDir(tableDir)
+    val (priorOpt, version) = priorState(mdDir)
+    val md = priorOpt.getOrElse(throw new IllegalStateException(
+      s"stageRenameColumn: no Iceberg table at $tableDir"))
+      .deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    val cur = resolve(spark, tableDir, None)
+    val specSources = cur.transforms.map(_.sourceName).toSet
+    renames.keys.foreach { n =>
+      require(cur.schema.fieldNames.contains(n),
+        s"stageRenameColumn: '$n' is not a current column")
+      require(!specSources.contains(n),
+        s"stageRenameColumn: '$n' is a partition-spec source column — " +
+          "not modeled by this fixture writer")
+    }
+    val curId = Option(md.get("current-schema-id")).map(_.asInt)
+      .getOrElse(0)
+    val schemas = md.get("schemas").asInstanceOf[ArrayNode]
+    val curSchema = schemas.elements().asScala
+      .find(s => Option(s.get("schema-id")).forall(_.asInt == curId))
+      .getOrElse(throw new IllegalStateException(
+        s"stageRenameColumn: current schema $curId not in history"))
+    val newId = schemas.elements().asScala
+      .flatMap(s => Option(s.get("schema-id")).map(_.asInt)).maxOption
+      .getOrElse(0) + 1
+    val renamed = curSchema.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    renamed.put("schema-id", newId)
+    renamed.get("fields").elements().asScala.foreach { f =>
+      val o = f.asInstanceOf[ObjectNode]
+      renames.get(o.get("name").asText).foreach(n => o.put("name", n))
+    }
+    schemas.add(renamed)
+    md.put("current-schema-id", newId)
+    md.put("last-updated-ms", 1700000000000L + version)
+    java.nio.file.Files.writeString(
+      new java.io.File(mdDir, s"v$version.metadata.json").toPath,
+      M.writeValueAsString(md))
+    java.nio.file.Files.writeString(
+      new java.io.File(mdDir, "version-hint.text").toPath,
+      version.toString)
+    ()
   }
 
   /** Append a COPY-ON-WRITE row-level DELETE as a new snapshot — the
@@ -1345,13 +1494,14 @@ object Iceberg {
         val rewritten = rewrite(fileRows, dataSchema.fieldNames.toSeq)
         if (!rewritten.isEmpty) {
           val (_, version) = priorState(metadataDir(tableDir))
-          val moved = writeDataFiles(root,
+          val moved = writeDataFiles(root, withFieldIds(
             cur.partitionColumns.foldLeft(rewritten) { (df, pc) =>
               val dt = cur.schema(pc).dataType
               df.withColumn(pc, f.partitionValues.get(pc)
                 .filter(_ != null).map(v => lit(v).cast(dt))
                 .getOrElse(lit(null).cast(dt)))
-            }, cur.partitionColumns, s"$operation$version-${entries.size}")
+            }, fieldIds(cur.schema)),
+            cur.partitionColumns, s"$operation$version-${entries.size}")
           val stats = fileStatsOf(spark, dataSchema,
             moved.map(_._1.getAbsolutePath))
           moved.foreach { case (file, pv) =>

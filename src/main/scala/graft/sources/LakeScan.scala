@@ -79,10 +79,13 @@ object LakeScan {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], fullSchema)
       // no scan → no hidden metadata; an all-null stand-in keeps the
-      // withMeta shape stable for the empty-table edge
+      // withMeta shape stable for the empty-table edge. row_index is
+      // part of the surface: the MoR/DV machinery joins on it, and an
+      // empty file list with a NON-empty delete set is a normal frame
+      // shape (e.g. a signed window whose insert side is empty)
       return if (!withMeta) empty
-      else empty.withColumn("_metadata",
-        lit(null).cast("struct<file_path:string,file_name:string>"))
+      else empty.withColumn("_metadata", lit(null).cast(
+        "struct<file_path:string,file_name:string,row_index:bigint>"))
     }
     val partitionSchema = asNullable(StructType(
       fullSchema.filter(f => partitionColumns.contains(f.name))))

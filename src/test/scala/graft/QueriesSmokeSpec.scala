@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 137 declared operator queries are all present (SURVEY §2)") {
+  test("the 140 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -68,8 +68,10 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "deltalake_dv_scan", "delta_deltalake_dv", "iceberg_mor_scan",
       "iceberg_days_partition", "delta_deltalake_merge",
       "deltalake_column_mapping", "iceberg_eq_delete",
-      "delta_deltalake_cdf", "deltalake_v2_checkpoint")
-    assert(declared.size == 137)
+      "delta_deltalake_cdf", "deltalake_v2_checkpoint",
+      // round-11 surface
+      "delta_iceberg_mor", "iceberg_rename", "deltalake_id_mapping")
+    assert(declared.size == 140)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

@@ -109,19 +109,41 @@ class ColumnMappingSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("someFutureFeature"))
   }
 
-  test("mode=id fails fast — field-id matching is not name resolution") {
-    // the protocol only guarantees id-mode files are matched by parquet
-    // FIELD ID; a non-Spark id-mode writer's physical column names may
-    // differ from the metadata's physicalName, so trusting names would
-    // read all-null silently — loud instead
+  test("mode=id resolves parquet columns by FIELD ID, not name") {
+    // the advice's exact scenario: a (non-Spark) id-mode writer whose
+    // on-disk parquet column names differ from the metadata's
+    // physicalName. Name-based resolution would read the columns
+    // all-null silently; field-id matching reads them correctly.
     val dir = freshDir("idmode")
-    val df = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
-    DeltaLake.stageMappedCommit(spark, dir, df, Seq.empty, 0L,
-      Map("id" -> "c_1", "v" -> "c_2"), mode = "id")
-    val e = intercept[IllegalArgumentException] {
-      DeltaLake.snapshot(spark, dir).collect()
-    }
-    assert(e.getMessage.contains("columnMapping.mode=id"))
+    val df = (1L to 40L).map(i => (i, s"v$i", s"g${i % 2}"))
+      .toDF("id", "v", "p").coalesce(1)
+    DeltaLake.stageMappedCommit(spark, dir, df, Seq("p"), 0L,
+      mapping, mode = "id",
+      diskNames = Map("id" -> "zz_9", "v" -> "weird-name"))
+    val snap = DeltaLake.snapshot(spark, dir)
+    assert(snap.columns.toSeq == Seq("id", "v", "p"))
+    assert(snap.count() == 40)
+    assert(snap.filter(col("id") === 7).select("v").head().getString(0)
+      == "v7")
+    // no nulls anywhere: every value resolved through the ids
+    assert(snap.filter(col("id").isNull || col("v").isNull).count() == 0)
+    // partition values stay keyed by PHYSICAL name (protocol), and
+    // pruning on the partition column still works
+    assert(snap.filter(col("p") === "g1").count() == 20)
+  }
+
+  test("mode=id with matching physical names — the delta-spark shape") {
+    val dir = freshDir("idmatch")
+    val df = (1L to 20L).map(i => (i, s"v$i", s"g${i % 2}"))
+      .toDF("id", "v", "p").coalesce(1)
+    DeltaLake.stageMappedCommit(spark, dir,
+      df.filter(col("id") <= 10), Seq("p"), 0L, mapping, mode = "id")
+    DeltaLake.stageMappedCommit(spark, dir,
+      df.filter(col("id") > 10), Seq("p"), 1L, mapping, mode = "id")
+    val snap = DeltaLake.snapshot(spark, dir)
+    assert(snap.count() == 20)
+    assert(snap.filter(col("id") === 15).select("v").head().getString(0)
+      == "v15")
   }
 
   test("nested mapped fields fail fast — struct, array, and map shapes") {

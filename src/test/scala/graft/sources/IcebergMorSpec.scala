@@ -8,9 +8,9 @@ import graft.SparkFixture
 /** Merge-on-read positional deletes: a delete-manifest snapshot reads
   * data-minus-positions, repeated MoR deletes accumulate, COW rewrites
   * compose with prior delete files, time travel resolves pre-delete
-  * state, the incremental seams fail fast across a MoR window but stay
-  * usable for pure appends on a MoR table — including a full
-  * version-cut δ cycle whose index-native cut pushes through the MoR
+  * state, the SIGNED window nets new positional deletes to exactly the
+  * newly-dead rows (r11 — the inserts-only seams still fail fast), and
+  * the version-cut δ cycle's index-native cut pushes through the MoR
   * anti-join. (Equality deletes: IcebergEqDeleteSpec.)
   */
 class IcebergMorSpec extends AnyFunSuite with SparkFixture {
@@ -62,7 +62,8 @@ class IcebergMorSpec extends AnyFunSuite with SparkFixture {
       (1L to 30L).filterNot(i => i % 3 == 1 && i % 2 == 0).toSet)
   }
 
-  test("incremental seams: append after MoR ok, MoR window fails fast") {
+  test("incremental seams: append after MoR ok; MoR window NETS in " +
+      "changes, fails fast in the inserts-only seams") {
     val dir = freshDir("seam")
     val a = (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
     Iceberg.stageAppend(spark, dir, a, Seq.empty)
@@ -73,17 +74,68 @@ class IcebergMorSpec extends AnyFunSuite with SparkFixture {
     val s3 = Iceberg.stageAppend(spark, dir, b, Seq.empty)
     assert(Iceberg.isAppendOnly(spark, dir, s2, s3))
     assert(ids(Iceberg.appended(spark, dir, s2)) == (41L to 50L).toSet)
-    // a window CROSSING the MoR delete fails fast in every seam
+    // a window CROSSING the MoR delete: the inserts-only seams cannot
+    // express the retraction and stay loud...
     val s1 = Iceberg.snapshotIds(dir).head
     assert(!Iceberg.isAppendOnly(spark, dir, s1, s2))
     val e1 = intercept[IllegalArgumentException] {
       Iceberg.appended(spark, dir, s1)
     }
     assert(e1.getMessage.contains("delete"))
-    val e2 = intercept[IllegalArgumentException] {
+    // ...but the SIGNED window nets it: retracts are exactly the rows
+    // the new delete file names, inserts empty (no new data file)
+    val ch = Iceberg.changes(spark, dir, s1, Some(s2))
+    assert(ch.inserts.isEmpty)
+    assert(ids(ch.retracts) == (1L to 40L).filter(_ % 4 == 0).toSet)
+  }
+
+  test("accumulating MoR deletes: the window retracts only NEWLY-dead " +
+      "rows (already-deleted positions never over-retract)") {
+    val dir = freshDir("accum")
+    val df = (1L to 60L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+    Iceberg.stageAppend(spark, dir, df, Seq.empty)
+    val s2 = Iceberg.stageMorDelete(spark, dir, col("id") % 10 === 0)
+    val s3 = Iceberg.stageMorDelete(spark, dir, col("id") <= 15)
+    // (s2, s3]: the second delete names ids 1..15, but 10 was already
+    // dead at the cut — retract exactly the 14 newly-dead rows
+    val ch = Iceberg.changes(spark, dir, s2, Some(s3))
+    assert(ch.inserts.isEmpty)
+    assert(ids(ch.retracts) == (1L to 15L).filterNot(_ == 10L).toSet)
+    // end-to-end identity: cut state − retracts = end state
+    val cutState = ids(Iceberg.snapshot(spark, dir, Some(s2)))
+    val endState = ids(Iceberg.snapshot(spark, dir, Some(s3)))
+    assert(cutState -- ids(ch.retracts) == endState)
+  }
+
+  test("mixed MoR window: appends + a delete naming old AND new files") {
+    val dir = freshDir("mix")
+    val a = (1L to 30L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+    val s1 = Iceberg.stageAppend(spark, dir, a, Seq.empty)
+    val b = (31L to 45L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+    Iceberg.stageAppend(spark, dir, b, Seq.empty)
+    // the delete hits rows in the cut-live file (id 6,12,..,30) AND in
+    // the window-added file (id 36,42)
+    val s3 = Iceberg.stageMorDelete(spark, dir, col("id") % 6 === 0)
+    val ch = Iceberg.changes(spark, dir, s1, Some(s3))
+    // inserts: the new file's rows MINUS the deletes born onto it
+    assert(ids(ch.inserts) == (31L to 45L).filterNot(_ % 6 == 0).toSet)
+    // retracts: only the cut-live file's newly-dead rows
+    assert(ids(ch.retracts) == (1L to 30L).filter(_ % 6 == 0).toSet)
+    // signed identity against the end snapshot
+    val endState = ids(Iceberg.snapshot(spark, dir, Some(s3)))
+    assert((ids(Iceberg.snapshot(spark, dir, Some(s1)))
+      ++ ids(ch.inserts)) -- ids(ch.retracts) == endState)
+  }
+
+  test("equality deletes landing in a signed window still fail fast") {
+    val dir = freshDir("eqwin")
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+    val s1 = Iceberg.stageAppend(spark, dir, df, Seq.empty)
+    Iceberg.stageEqDelete(spark, dir, Seq(3L, 7L).toDF("id"))
+    val e = intercept[IllegalArgumentException] {
       Iceberg.changes(spark, dir, s1)
     }
-    assert(e2.getMessage.contains("merge-on-read"))
+    assert(e.getMessage.contains("EQUALITY"))
   }
 
   test("COW rewrite composes after a MoR delete (delete file kept live)") {
