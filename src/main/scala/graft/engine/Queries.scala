@@ -1662,6 +1662,44 @@ object Queries {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // OPTIMIZE THROUGH THE SIGNED SEAM (r11): production tables compact
+    // constantly, and a maintained view must NOT rebase (or worse,
+    // replay) when they do. The window here is append-then-OPTIMIZE:
+    // `changes` keeps the append's insert frame and recognizes the
+    // compaction's `dataChange=false` remove+add pair as a content
+    // no-op — the signed frames stay APPEND-SIZED (a pure-compaction
+    // window nets to two EMPTY frames, spec-pinned with zero files
+    // planned). The insert-only file-set cut CANNOT do this (the
+    // rewritten file is not in the cut's set — it would replay the
+    // whole table as inserts; view() fails fast there by design). Hash
+    // equality vs the plain full aggregate pins that the maintained
+    // view neither lost the append nor double-counted the rewrite.
+    QueryDef("delta_deltalake_optimize",
+      (s, d) => {
+        import graft.ivm.DeltaLakeSnapshots
+        val dir = deltaLakeOrdersOptimized(s, d)
+        val aggOf = (df: org.apache.spark.sql.DataFrame) => df
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+        // stored view: built at version 0 (the pre-append base)
+        DeltaLakeSnapshots.track(s, "dl_orders_opt", dir, at = Some(0L))
+        val stored = aggOf(
+          graft.sources.DeltaLake.snapshot(s, dir, version = Some(0L)))
+        DeltaLakeSnapshots.maintainAgg(s, "dl_orders_opt", stored,
+          Seq("o_orderpriority"), aggOf)
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // VERSION CUT ∘ STATS SKIPPING ∘ MERGE (r9): the two log-level
     // predicates COMPOSE on the same δ-arm scan. The staged table has
     // three commits split on DIFFERENT axes (commit 0 = three quarters
@@ -2358,6 +2396,26 @@ object Queries {
       graft.sources.DeltaLake.stageDeleteCommit(s, p,
         col("o_custkey") % 7 === 0 &&
           col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"), 2L)
+    }
+
+  /** The staged table with an OPTIMIZE (compaction) at version 2 — the
+    * `delta_deltalake_optimize` fixture: 90% base split over four
+    * files, the 10% tail appended, then every live file rewritten into
+    * one with `dataChange=false` on all actions (the exact shape
+    * OPTIMIZE/Z-ORDER writers commit). Unpartitioned (the fixture
+    * compactor's documented scope).
+    */
+  private[graft] def deltaLakeOrdersOptimized(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_opt_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_orderkey") < c1).repartition(4), Seq.empty, 0L)
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_orderkey") >= c1), Seq.empty, 1L)
+      graft.sources.DeltaLake.stageCompactCommit(s, p, 2L)
     }
 
   /** The three-commit staged table for `delta_deltalake_skipping`:

@@ -205,9 +205,10 @@ object Iceberg {
     // fields array — reading only the v2 key would silently treat a v1
     // table as unpartitioned (no pruning, and all-NULL partition
     // columns for files that don't carry them)
+    val defaultSpecId =
+      Option(md.get("default-spec-id")).map(_.asInt).getOrElse(0)
     val specNode = Option(md.get("partition-specs")).flatMap { ss =>
-      val cur = Option(md.get("default-spec-id")).map(_.asInt).getOrElse(0)
-      ss.elements().asScala.find(_.get("spec-id").asInt == cur)
+      ss.elements().asScala.find(_.get("spec-id").asInt == defaultSpecId)
     }
     val partFields = specNode.map(_.get("fields").elements().asScala.toSeq)
       .orElse(Option(md.get("partition-spec"))
@@ -262,6 +263,19 @@ object Iceberg {
         .getOrElse(0)
       require(content == 0 || content == 1,
         s"Iceberg: manifest content $content is not supported")
+      // PARTITION SPEC EVOLUTION guard: every manifest's partition
+      // records are decoded against the DEFAULT spec's transforms — a
+      // manifest written under an OLDER spec has a different partition
+      // record shape, which would decode to null partition values and
+      // silently surface wrong rows (and real pre-evolution files keep
+      // the column in their data, which this reader's partition-column
+      // construction would then ignore). Loud instead.
+      Option(optF(mf, "partition_spec_id")).map(_.toString.toInt)
+        .foreach(sid => require(sid == defaultSpecId,
+          s"Iceberg: manifest ${optF(mf, "manifest_path")} was written " +
+            s"under partition spec $sid but the table's default spec is " +
+            s"$defaultSpecId — partition spec evolution is not " +
+            "supported by this reader"))
       // the manifest-list entry's sequence number is the DEFAULT a null
       // entry-level number inherits (the spec's inheritance rule for
       // entries added by the manifest's own snapshot)

@@ -296,6 +296,30 @@ class DeltaLakeChangesSpec extends AnyFunSuite with SparkFixture {
     assert(ch.retracts.count() == 20L)
   }
 
+  test("pure-compaction window: both signed frames EMPTY, zero files " +
+      "planned (OPTIMIZE costs the seam nothing)") {
+    val dir = freshDir("optwin")
+    DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq.empty, 0L)
+    DeltaLake.stageCommit(spark, dir, frame(10 until 20), Seq.empty, 1L)
+    DeltaLake.stageCompactCommit(spark, dir, 2L)
+    val ch = DeltaLake.changes(spark, dir, afterVersion = 1L)
+    // content no-op: not just zero rows — zero FILES read on each arm
+    assert(ch.inserts.inputFiles.isEmpty && ch.retracts.inputFiles.isEmpty,
+      "a dataChange=false rewrite pair must contribute no frame files")
+    assert(ch.inserts.isEmpty && ch.retracts.isEmpty)
+    // append-then-OPTIMIZE window: frames are APPEND-sized — the
+    // compaction neither replays the rewritten file nor cancels the
+    // append (the appended file stays on disk and readable)
+    val ch2 = DeltaLake.changes(spark, dir, afterVersion = 0L)
+    assert(ch2.retracts.isEmpty)
+    assert(ch2.inserts.count() == 10L)
+    // the insert arm reads the APPEND's files, never the rewrite
+    val compacted = DeltaLake.liveFileNames(spark, dir, 2L).toSet
+    assert(compacted.size == 1)
+    assert(!ch2.inserts.inputFiles.exists(f =>
+      compacted.contains(new java.io.File(f).getName)))
+  }
+
   test("fail-fast: removing a file the log never added") {
     val dir = freshDir("ghost")
     DeltaLake.stageCommit(spark, dir, frame(0 until 10), Seq.empty, 0L)

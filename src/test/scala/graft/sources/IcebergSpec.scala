@@ -208,6 +208,40 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
       "bounds on b must still skip the low file")
   }
 
+  test("partition spec evolution fails loudly, never null partition values") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val dir = freshDir("specevo")
+    val df = (1L to 20L).map(i => (i, s"p${i % 2}")).toDF("id", "p")
+      .coalesce(1)
+    Iceberg.stageAppend(spark, dir, df, Seq("p"))
+    // simulate a spec evolution: a NEW default spec lands while the
+    // existing manifests still carry the old spec id — decoding their
+    // partition records with the new spec's transforms would surface
+    // null partition values (silently wrong rows), so the fold must
+    // refuse
+    val mdDir = new java.io.File(dir, "metadata")
+    val latest = mdDir.listFiles()
+      .filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
+    val M = new ObjectMapper()
+    val md = M.readTree(
+      java.nio.file.Files.readString(latest.toPath)).asInstanceOf[ObjectNode]
+    val specs = md.get("partition-specs").asInstanceOf[ArrayNode]
+    val evolved = specs.get(0).deepCopy[ObjectNode]()
+    evolved.put("spec-id", 1)
+    specs.add(evolved)
+    md.put("default-spec-id", 1)
+    java.nio.file.Files.writeString(
+      new java.io.File(mdDir, "v2.metadata.json").toPath,
+      M.writeValueAsString(md))
+    java.nio.file.Files.writeString(
+      new java.io.File(mdDir, "version-hint.text").toPath, "2")
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.snapshot(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("partition spec"))
+  }
+
   test("an expired (missing) data file fails LOUDLY, never an empty split") {
     val dir = freshDir("expired")
     Iceberg.stageAppend(spark, dir, frame(0 until 10).coalesce(1), Seq.empty)
