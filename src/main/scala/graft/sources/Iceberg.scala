@@ -457,13 +457,28 @@ object Iceberg {
     var retracts = scanOf(spark, path, removed)
     if (newDeletes.nonEmpty) {
       // rows of files live on BOTH sides that a new positional delete
-      // names: live at the cut (cut deletes applied), now dead
-      val surviving = end.files.filter(f => cutPaths.contains(f.path))
+      // names: live at the cut (cut deletes applied), now dead. The
+      // scan arm is pruned to the files the delete rows NAME — one
+      // driver-side distinct over the window's delete files (churn-
+      // bounded metadata, the same order as the file list itself) —
+      // so the frame plans O(touched files), never the snapshot
+      // (production engines get this from the delete manifests'
+      // referenced-data-file bounds; the delete files ARE that index
+      // here)
+      import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+      val namedPaths = spark.read
+        .parquet(newDeletes.map(f => resolveRef(path, f.path)): _*)
+        .select(regexp_replace(col("file_path"), "^file:/+", "/")
+          .as("p")).distinct().collect().map(_.getString(0)).toSet
+      def stripped(rel: String): String =
+        new org.apache.hadoop.fs.Path(resolveRef(path, rel)).toUri
+          .toString.replaceFirst("^file:/+", "/")
+      val surviving = end.files.filter(f => cutPaths.contains(f.path) &&
+        (namedPaths.contains(f.path) || namedPaths.contains(stripped(f.path))))
       val named = posDeleteKeys(spark, path, surviving, newDeletes)
       val surv = scanOf(spark, path,
         end.copy(files = surviving, deleteFiles = cut.deleteFiles),
         withMeta = true)
-      import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
       val newlyDead = surv.join(broadcast(named),
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
           === col("__mabs") &&

@@ -127,6 +127,29 @@ class IcebergMorSpec extends AnyFunSuite with SparkFixture {
       ++ ids(ch.inserts)) -- ids(ch.retracts) == endState)
   }
 
+  test("signed MoR window plans only the data files the deletes NAME") {
+    val dir = freshDir("prune")
+    // four separate data files, ten rows each
+    (0 until 4).foreach { k =>
+      val df = (k * 10 + 1L to k * 10 + 10L).map(i => (i, s"v$i"))
+        .toDF("id", "v").coalesce(1)
+      Iceberg.stageAppend(spark, dir, df, Seq.empty)
+    }
+    val cut = Iceberg.currentSnapshotId(dir)
+    val sDel = Iceberg.stageMorDelete(spark, dir, col("id") === 15L)
+    val ch = Iceberg.changes(spark, dir, cut, Some(sDel))
+    assert(ids(ch.retracts) == Set(15L))
+    // the retract arm scans exactly ONE of the four data files — the
+    // one the delete row names (the delete file itself rides the
+    // broadcast side, which is churn-sized by construction); at 100 TB
+    // this is the difference between a churn-sized frame and a
+    // snapshot scan
+    val scanned = ch.retracts.inputFiles.toSet
+      .filterNot(f => new java.io.File(f).getName.startsWith("delete-"))
+    assert(scanned.size == 1, s"retract arm scanned $scanned")
+    assert(new java.io.File(scanned.head).getName.nonEmpty)
+  }
+
   test("equality deletes landing in a signed window still fail fast") {
     val dir = freshDir("eqwin")
     val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
