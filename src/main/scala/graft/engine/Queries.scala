@@ -2235,6 +2235,37 @@ object Queries {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // VARIANT TYPE (r11): the semi-structured column type modern Delta
+    // writers ship (feature `variantType`, previously fail-fast at the
+    // gate). The staged table's `v` column is the BINARY variant
+    // encoding on disk (metadata/value pair, written via parse_json);
+    // the schemaString's "variant" parses to Spark's native VariantType
+    // and the scan reconstructs it with zero custom code — the query
+    // extracts typed paths back out (`variant_get`) and aggregates.
+    // Stats/skipping exclude variant columns (no ordering). Hash
+    // equality vs the plain-column oracle pins encode→store→decode
+    // end to end: a corrupt path would shift every group.
+    QueryDef("deltalake_variant",
+      (s, d) => {
+        import org.apache.spark.sql.functions.variant_get
+        graft.sources.DeltaLake
+          .snapshot(s, deltaLakeOrdersVariant(s, d))
+          .select(
+            variant_get(col("v"), "$.priority", "string").as("priority"),
+            variant_get(col("v"), "$.cust", "long").as("cust"))
+          .groupBy("priority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("cust")).as("cust_sum"),
+            countDistinct(col("cust")).as("n_cust"))
+          .orderBy("priority")
+      },
+      Some("""SELECT o_orderpriority AS priority, COUNT(*) AS cnt,
+             |  CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY priority""".stripMargin)),
+
     // ID-MODE COLUMN MAPPING (r11, closing the r10 advice's top item
     // properly): the staged table's metadata declares physical names
     // `c_*` but its data files' on-disk parquet columns are named `x_*`
@@ -2396,6 +2427,30 @@ object Queries {
       graft.sources.DeltaLake.stageDeleteCommit(s, p,
         col("o_custkey") % 7 === 0 &&
           col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"), 2L)
+    }
+
+  /** The staged Delta table with a VARIANT column — the
+    * `deltalake_variant` fixture: `v` holds a JSON document assembled
+    * from each order's key/custkey/priority (parse_json → the binary
+    * variant encoding on disk), committed under the table-features
+    * protocol (minReaderVersion 3 + variantType). Two commits, the
+    * usual 90/10 split.
+    */
+  private[graft] def deltaLakeOrdersVariant(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_var_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val doc = ord.select(col("o_orderkey"),
+        org.apache.spark.sql.functions.parse_json(concat(
+          lit("""{"cust":"""), col("o_custkey"),
+          lit(""","priority":""""), col("o_orderpriority"),
+          lit(""""}"""))).as("v"))
+      val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.DeltaLake.stageCommit(s, p,
+        doc.filter(col("o_orderkey") < c1), Seq.empty, 0L)
+      graft.sources.DeltaLake.stageCommit(s, p,
+        doc.filter(col("o_orderkey") >= c1), Seq.empty, 1L)
     }
 
   /** The staged table with an OPTIMIZE (compaction) at version 2 — the

@@ -672,9 +672,13 @@ object DeltaLake {
     // already fails loudly on vacuumed files). Anything else would
     // make the fold silently wrong, so the gate stays loud.
     def applyProtocol(minReader: Int, features: Seq[String]): Unit = {
+      // variantType (+ its preview flag): VARIANT is a native Spark 4
+      // type — the schemaString parses through DataType.fromJson and
+      // the parquet reader reconstructs the metadata/value binary pair;
+      // stats/skipping exclude variant columns (no ordering)
       val supported = Set("deletionVectors", "columnMapping",
         "v2Checkpoint", "timestampNtz", "typeWidening",
-        "vacuumProtocolCheck")
+        "vacuumProtocolCheck", "variantType", "variantType-preview")
       val unsupported = features.filterNot(supported)
       require(minReader <= 3 && unsupported.isEmpty,
         s"unsupported Delta reader protocol (minReaderVersion=$minReader, " +
@@ -1015,8 +1019,27 @@ object DeltaLake {
     // metaData; pre-evolution files surface the new columns as null)
     val emitMeta = version == 0L ||
       replay(spark, tableDir, None).schema.json != df.schema.json
-    if (version == 0L)
-      actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    if (version == 0L) {
+      // a VARIANT column requires the table-features protocol shape
+      // (minReaderVersion 3 + the variantType reader feature) — what a
+      // real writer commits when the type is enabled
+      def hasVariant(dt: org.apache.spark.sql.types.DataType): Boolean =
+        dt match {
+          case _: org.apache.spark.sql.types.VariantType => true
+          case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
+          case a: org.apache.spark.sql.types.ArrayType =>
+            hasVariant(a.elementType)
+          case m: org.apache.spark.sql.types.MapType =>
+            hasVariant(m.keyType) || hasVariant(m.valueType)
+          case _ => false
+        }
+      actions +=
+        (if (df.schema.fields.exists(f => hasVariant(f.dataType)))
+          """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+            """"readerFeatures":["variantType"],""" +
+            """"writerFeatures":["variantType"]}}"""
+        else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    }
     if (emitMeta) {
       val meta = M.createObjectNode()
       meta.put("id", java.util.UUID.nameUUIDFromBytes(

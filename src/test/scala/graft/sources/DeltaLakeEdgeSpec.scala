@@ -21,6 +21,30 @@ class DeltaLakeEdgeSpec extends AnyFunSuite with SparkFixture {
     d.getAbsolutePath
   }
 
+  test("variantType: binary variant columns read, extract, and time-travel") {
+    import org.apache.spark.sql.functions.{parse_json, variant_get}
+    val dir = freshDir("variant")
+    val mk = (r: Range) => r.map(i =>
+      (i.toLong, s"""{"a": $i, "s": "x$i"}""")).toDF("id", "js")
+      .select(col("id"), parse_json(col("js")).as("v")).coalesce(1)
+    DeltaLake.stageCommit(spark, dir, mk(1 to 10), Seq.empty, 0L)
+    DeltaLake.stageCommit(spark, dir, mk(11 to 15), Seq.empty, 1L)
+    // the commit-0 protocol carries the table-features shape (reader 3
+    // + variantType) and the gate admits it
+    val snap = DeltaLake.snapshot(spark, dir)
+    assert(snap.schema("v").dataType ==
+      org.apache.spark.sql.types.VariantType)
+    val got = snap
+      .select(col("id"), variant_get(col("v"), "$.a", "long").as("a"),
+        variant_get(col("v"), "$.s", "string").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(got == (1L to 15L).map(i => (i, i, s"x$i")).toSet)
+    // time travel to v0 sees only the first commit's variants
+    assert(DeltaLake.snapshot(spark, dir, version = Some(0L))
+      .count() == 10L)
+  }
+
   test("percentDecode: '+' is a literal plus, %XX decodes, UTF-8 multibyte survives") {
     assert(DeltaLake.percentDecode("a+b") == "a+b")
     assert(DeltaLake.percentDecode("a%20b") == "a b")
