@@ -226,6 +226,37 @@ object LakeReaderProbe {
     println(f"iceberg fold+plan ($iFiles%d files)  cold $iCold%7.1f ms   " +
       f"warm $iWarm%7.1f ms")
 
+    // MoR signed window at table scale (r11): a positional delete
+    // hitting a ~1% key range of a 100-file range-clustered table —
+    // the retract arm must plan only the files the delete rows NAME
+    // (driver-side distinct over the churn-bounded delete files), not
+    // the surviving snapshot
+    locally {
+      val maxKey = ord.agg(org.apache.spark.sql.functions
+        .max(col("o_orderkey"))).head().getLong(0)
+      val morDir = graft.sources.Staging.stageOnce(dir, "probe_ice_mor",
+        Seq(s"$dir/orders.parquet")) { p =>
+        graft.sources.Iceberg.stageAppend(spark, p,
+          ord.repartitionByRange(100, col("o_orderkey")), Seq.empty)
+        graft.sources.Iceberg.stageMorDelete(spark, p,
+          col("o_orderkey") <= maxKey / 100)
+        ()
+      }
+      val sids = graft.sources.Iceberg.snapshotIds(morDir)
+      val t = System.nanoTime()
+      val ch = graft.sources.Iceberg.changes(spark, morDir, sids.head,
+        Some(sids.last))
+      val retractFiles = ch.retracts.inputFiles
+        .count(f => !new java.io.File(f).getName.startsWith("delete-"))
+      val nRetract = ch.retracts.count()
+      val windowS = (System.nanoTime() - t) / 1e9
+      println(f"iceberg MoR signed window (1%% key-range delete)  " +
+        f"retract arm plans $retractFiles%d of 100 data files; " +
+        f"$nRetract%d rows retracted in $windowS%5.2f s")
+      require(retractFiles <= 3,
+        s"retract arm planned $retractFiles files — not delete-named-only")
+    }
+
     spark.stop()
   }
 }
