@@ -540,6 +540,40 @@ object DeltaLake {
     * maintained view was built on the old one, silently drifting the δ
     * arm's shape from the view it patches.
     */
+  /** The first reason `(afterVersion, toVersion]` cannot be served as an
+    * INSERTS-ONLY STREAM window, or None if it can — the
+    * [[graft.streaming.DeltaLogSource]] guard. Weaker than
+    * [[isAppendOnly]] on purpose: a compaction's `dataChange=false`
+    * remove+add pair is a content no-op that [[appended]] nets correctly
+    * (the in-window adds keep serving, the rewrite is never served), so
+    * OPTIMIZE commits stream through; what cannot stream is a
+    * `dataChange=true` remove (delete/rewrite — the retraction is
+    * inexpressible), a deletion-vector add (row-level delete), and a
+    * metaData action once the stream is past its bootstrap window
+    * (`ignoreMeta` — the birth commit's own metaData is fine).
+    */
+  def streamableViolation(path: String, afterVersion: Long,
+      toVersion: Long, ignoreMeta: Boolean = false): Option[String] = {
+    var bad: Option[String] = None
+    (afterVersion + 1 to toVersion).foreach { v =>
+      foreachCommitAction(path, v) { n =>
+        if (bad.isEmpty) {
+          if (Option(n.get("remove")).exists(dataChange))
+            bad = Some(s"commit $v removes a file with dataChange=true " +
+              "(a delete or rewrite)")
+          else if (Option(n.get("add")).exists(a =>
+              Option(a.get("deletionVector")).exists(!_.isNull)))
+            bad = Some(s"commit $v adds a deletion vector " +
+              "(a row-level delete)")
+          else if (!ignoreMeta && Option(n.get("metaData")).nonEmpty)
+            bad = Some(s"commit $v changes the table metadata/schema " +
+              "mid-stream")
+        }
+      }
+    }
+    bad
+  }
+
   def isAppendOnly(path: String, afterVersion: Long,
       toVersion: Long): Boolean = {
     var ok = true

@@ -1,0 +1,175 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.DeltaLake
+
+/** Structured Streaming SOURCE over the native Delta log —
+  * `spark.readStream.format("graft-deltalake").load(tablePath)` tails
+  * the table's commit log. Offsets are TABLE VERSIONS, and each
+  * micro-batch is the append diff `(startVersion, endVersion]` served
+  * by [[DeltaLake.appended]] — the same transactional version cut the
+  * IVM seam uses, so a batch can never split or re-read a commit, and
+  * there is no directory listing anywhere (the log IS the
+  * notification channel). This is how production pipelines consume a
+  * lakehouse table as a stream; the staged-file replay harness in
+  * [[StreamQueries]] is the generic-source twin.
+  *
+  * Options: `startingVersion` (default −1: replay from the table's
+  * beginning — the bootstrap-then-tail shape), `maxVersionsPerTrigger`
+  * (default 1: one commit per micro-batch, the real incremental
+  * cadence; raise it for catch-up batches).
+  *
+  * Scope (documented contract): append-only tailing. A window carrying
+  * a delete/rewrite/DV fails fast inside [[DeltaLake.appended]] — an
+  * inserts-only stream cannot express retraction; route such tables
+  * through the signed seam ([[graft.ivm.DeltaLakeSnapshots]]) instead.
+  * `getBatch` marks the log-backed scan's plan streaming, so the full
+  * file-source machinery (log-derived file lists, pushdown, stats
+  * skipping) runs unchanged inside the micro-batch.
+  */
+class DeltaLogStreamProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-deltalake"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-deltalake source requires .load(<table path>) or " +
+        "option(\"path\", ...)"))
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, StructType) =
+    ("graft-deltalake", schema.getOrElse(
+      DeltaLake.snapshot(ctx.sparkSession, pathOf(parameters)).schema))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new DeltaLogSource(ctx, pathOf(parameters),
+      parameters.get("startingVersion").map(_.toLong).getOrElse(-1L),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong).getOrElse(1L))
+}
+
+class DeltaLogSource(ctx: SQLContext, path: String, startAfter: Long,
+    maxPerTrigger: Long) extends Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+
+  require(maxPerTrigger >= 1, "maxVersionsPerTrigger must be >= 1")
+  private val spark = ctx.sparkSession
+
+  override val schema: StructType = DeltaLake.snapshot(spark, path).schema
+
+  /** Highest version already handed out (ratchet). Restart recovery
+    * re-seeds it from `getBatch`'s start offset, so the in-memory value
+    * only ever under-estimates — monotonicity is preserved.
+    */
+  @volatile private var seen: Long = startAfter
+
+  /** Under Trigger.AvailableNow the engine asks this source to PIN the
+    * end of the run up front (instead of wrapping it in the
+    * single-shot snapshot wrapper, which would defeat per-version
+    * batching): batches keep advancing `maxPerTrigger` versions at a
+    * time until the pinned target, then the query terminates.
+    */
+  @volatile private var availableTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableTarget = Some(DeltaLake.latestVersion(spark, path))
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val latest = DeltaLake.latestVersion(spark, path)
+    if (latest < 0) null else LongOffset(latest)
+  }
+
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val latest = availableTarget
+      .getOrElse(DeltaLake.latestVersion(spark, path))
+    if (latest < 0) null
+    else {
+      if (startOffset != null)
+        seen = math.max(seen, verAny(startOffset))
+      val next = math.min(latest, seen + maxPerTrigger)
+      if (next > seen) seen = next
+      if (seen < 0) null else LongOffset(seen)
+    }
+  }
+
+  private def verAny(
+      o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case l: LongOffset => l.offset
+      case other => other.json.trim.toLong
+    }
+
+  private def ver(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset after restart
+  }
+
+  override def getOffset: Option[Offset] = {
+    val latest = DeltaLake.latestVersion(spark, path)
+    if (latest < 0) None
+    else {
+      val next = math.min(latest, seen + maxPerTrigger)
+      if (next > seen) seen = next
+      Some(LongOffset(seen))
+    }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val after = start.map(ver).getOrElse(startAfter)
+    val to = ver(end)
+    seen = math.max(seen, to)
+    // appended() alone tolerates rewrite shapes its IVM callers guard
+    // against at a higher level — a stream must guard itself: serving
+    // a delete window as inserts would silently never retract the
+    // deleted rows. Compaction windows ARE streamable (content no-op),
+    // and the bootstrap window's own metaData is table birth, not drift.
+    DeltaLake.streamableViolation(path, after, to,
+        ignoreMeta = after == startAfter).foreach { why =>
+      throw new IllegalStateException(
+        s"graft-deltalake stream: window ($after, $to] of $path is not " +
+          s"inserts-only ($why) — a stream cannot express retraction; " +
+          "rebase the consumer from the current snapshot and restart, " +
+          "or maintain through the signed seam " +
+          "(graft.ivm.DeltaLakeSnapshots.signedRows)")
+    }
+    val batch = DeltaLake.appended(spark, path, afterVersion = after,
+      toVersion = Some(to))
+    // the engine asserts getBatch returns a STREAMING frame; the scan
+    // itself is the normal log-backed single-scan construction. An
+    // empty window (compaction-only, or no files) has no relation node
+    // to flag — serve the empty streaming frame instead.
+    val g = org.apache.spark.sql.graft.GraftSql
+    val marked = g.analyzed(batch).transform {
+      case lr: LogicalRelation => lr.copy(isStreaming = true)
+    }
+    if (marked.isStreaming) g.ofRows(spark, marked)
+    else g.emptyStreaming(spark, schema)
+  }
+
+  override def commit(end: Offset): Unit = {
+    seen = math.max(seen, ver(end)); ()
+  }
+
+  override def stop(): Unit = ()
+}

@@ -283,6 +283,39 @@ object StreamQueries {
       },
       Some("""SELECT md5(text) AS digest, MIN(doc_id) AS survivor_id,
              |  COUNT(*) AS n_copies
-             |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin))
+             |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin)),
+
+    // STREAMING OVER THE DELTA LOG (r11): the lakehouse table consumed
+    // as a stream through the native source ([[DeltaLogSource]]) —
+    // offsets are TABLE VERSIONS, each micro-batch one commit's append
+    // diff (transactional version cuts, no directory listing, no
+    // re-reads), exactly how production pipelines tail a Delta table.
+    // The staged two-commit orders table replays as two micro-batches
+    // whose per-priority (count, decimal-sum) state merges across
+    // batches; the complete-mode final generation equals the full-table
+    // aggregate, hash-checked. The other stream queries replay staged
+    // FILES through the generic source; this one exercises the log
+    // tailing path end to end (offset ratchet, per-version batching,
+    // streaming-flagged log-backed scan).
+    QueryDef("stream_deltalake",
+      (s, d) => {
+        val dir = graft.engine.Queries.deltaLakeOrders(s, d)
+        replayTo(s, "complete") {
+          s.readStream.format("graft-deltalake").load(dir)
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("o_totalprice").cast(DecimalType(18, 2)))
+                .as("dec_sum"))
+        }
+          .select(col("o_orderpriority"), col("cnt"),
+            col("dec_sum").cast("double").as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }

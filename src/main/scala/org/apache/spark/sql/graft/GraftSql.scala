@@ -60,6 +60,19 @@ object GraftSql {
     }
   }
 
+  /** An EMPTY DataFrame flagged `isStreaming` — the V1 streaming
+    * `getBatch` contract requires a streaming frame even for a window
+    * that contains no data files (e.g. a compaction-only window served
+    * as a content no-op).
+    */
+  def emptyStreaming(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      cs.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema, isStreaming = true)
+  }
+
   /** Wrap a (resolved) Catalyst expression as a user-facing Column. */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =

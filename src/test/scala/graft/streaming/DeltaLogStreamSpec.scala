@@ -1,0 +1,133 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Dataset, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.sources.DeltaLake
+
+/** The Delta-log streaming source: offsets are table versions, each
+  * micro-batch is one commit's append diff (maxVersionsPerTrigger=1),
+  * checkpoint restart resumes exactly after the last committed version
+  * (tail semantics), and a delete window fails fast instead of
+  * silently streaming wrong rows.
+  */
+class DeltaLogStreamSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_dls_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def frame(r: Range) =
+    r.map(i => (i.toLong, s"g${i % 2}")).toDF("id", "g").coalesce(1)
+
+  /** Run the source to exhaustion under AvailableNow, collecting each
+    * micro-batch's id-set; returns the per-batch sets in order.
+    */
+  private def drain(table: String, ckpt: String,
+      options: Map[String, String] = Map.empty): Seq[Set[Long]] = {
+    val batches = mutable.Buffer.empty[Set[Long]]
+    val reader = spark.readStream.format("graft-deltalake")
+    options.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(table)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        batches.synchronized {
+          batches += b.select("id").collect().map(_.getLong(0)).toSet
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batches.toSeq
+  }
+
+  test("one micro-batch per commit; union equals the table") {
+    val dir = freshDir("basic")
+    DeltaLake.stageCommit(spark, dir, frame(1 to 10), Seq.empty, 0L)
+    DeltaLake.stageCommit(spark, dir, frame(11 to 20), Seq.empty, 1L)
+    DeltaLake.stageCommit(spark, dir, frame(21 to 30), Seq.empty, 2L)
+    val ckpt = freshDir("basic_ck")
+    val batches = drain(dir, ckpt)
+    assert(batches.length == 3, s"expected 3 version batches: $batches")
+    assert(batches(0) == (1L to 10L).toSet)
+    assert(batches(1) == (11L to 20L).toSet)
+    assert(batches(2) == (21L to 30L).toSet)
+  }
+
+  test("checkpoint restart tails: only new commits stream") {
+    val dir = freshDir("tail")
+    DeltaLake.stageCommit(spark, dir, frame(1 to 10), Seq.empty, 0L)
+    DeltaLake.stageCommit(spark, dir, frame(11 to 20), Seq.empty, 1L)
+    val ckpt = freshDir("tail_ck")
+    val first = drain(dir, ckpt)
+    assert(first.flatten.toSet == (1L to 20L).toSet)
+    // a commit lands; the SAME checkpoint resumes after version 1
+    DeltaLake.stageCommit(spark, dir, frame(21 to 25), Seq.empty, 2L)
+    val second = drain(dir, ckpt)
+    assert(second.length == 1)
+    assert(second.head == (21L to 25L).toSet,
+      "restart must resume exactly after the last committed version")
+  }
+
+  test("maxVersionsPerTrigger batches catch-up windows") {
+    val dir = freshDir("catchup")
+    (0 until 4).foreach(v => DeltaLake.stageCommit(spark, dir,
+      frame(v * 10 + 1 to v * 10 + 10), Seq.empty, v.toLong))
+    val batches = drain(dir, freshDir("catchup_ck"),
+      Map("maxVersionsPerTrigger" -> "2"))
+    assert(batches.length == 2, s"two 2-version batches: $batches")
+    assert(batches(0) == (1L to 20L).toSet)
+    assert(batches(1) == (21L to 40L).toSet)
+  }
+
+  test("startingVersion skips the bootstrap") {
+    val dir = freshDir("startv")
+    DeltaLake.stageCommit(spark, dir, frame(1 to 10), Seq.empty, 0L)
+    DeltaLake.stageCommit(spark, dir, frame(11 to 20), Seq.empty, 1L)
+    val batches = drain(dir, freshDir("startv_ck"),
+      Map("startingVersion" -> "0"))
+    assert(batches.flatten.toSet == (11L to 20L).toSet)
+  }
+
+  test("an OPTIMIZE commit streams through as a content no-op") {
+    val dir = freshDir("opt")
+    DeltaLake.stageCommit(spark, dir, frame(1 to 10), Seq.empty, 0L)
+    DeltaLake.stageCommit(spark, dir, frame(11 to 20), Seq.empty, 1L)
+    val ckpt = freshDir("opt_ck")
+    assert(drain(dir, ckpt).flatten.toSet == (1L to 20L).toSet)
+    // OPTIMIZE lands, then a real append — the stream must serve the
+    // compaction window as zero rows (never a replay of the rewritten
+    // table) and the append normally
+    DeltaLake.stageCompactCommit(spark, dir, 2L)
+    DeltaLake.stageCommit(spark, dir, frame(21 to 25), Seq.empty, 3L)
+    val second = drain(dir, ckpt)
+    assert(second.flatten.toSet == (21L to 25L).toSet,
+      s"compaction must stream as a no-op: $second")
+  }
+
+  test("a delete window fails fast — inserts-only streams cannot retract") {
+    val dir = freshDir("del")
+    DeltaLake.stageCommit(spark, dir, frame(1 to 10), Seq.empty, 0L)
+    val ckpt = freshDir("del_ck")
+    drain(dir, ckpt)
+    DeltaLake.stageDeleteCommit(spark, dir, col("id") % 2 === 0, 1L)
+    val e = intercept[Exception] { drain(dir, ckpt) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("delete")),
+      s"expected the appended() delete fail-fast, got: ${messages(e)}")
+  }
+}
