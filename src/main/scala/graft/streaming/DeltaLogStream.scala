@@ -160,8 +160,17 @@ class DeltaLogSource(ctx: SQLContext, path: String, startAfter: Long,
     // empty window (compaction-only, or no files) has no relation node
     // to flag — serve the empty streaming frame instead.
     val g = org.apache.spark.sql.graft.GraftSql
+    // flag ONLY the log-backed scan streaming: a MoR batch also
+    // contains the delete-file side as a plain batch scan, and
+    // flagging it too would turn the anti-join into an (unsupported)
+    // stream-stream join — the delete side is genuinely batch data
     val marked = g.analyzed(batch).transform {
-      case lr: LogicalRelation => lr.copy(isStreaming = true)
+      case lr: LogicalRelation if lr.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+          lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.isInstanceOf[graft.sources.LogFileIndex] =>
+        lr.copy(isStreaming = true)
     }
     if (marked.isStreaming) g.ofRows(spark, marked)
     else g.emptyStreaming(spark, schema)

@@ -316,6 +316,34 @@ object StreamQueries {
              |    AS total
              |FROM orders
              |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // STREAMING OVER THE ICEBERG SNAPSHOT LOG (r11): the second
+    // lakehouse format behind the same streaming seam
+    // ([[IcebergLogSource]]) — offsets are snapshot ORDINALS (ids are
+    // arbitrary longs per the spec; offsets must be monotonic), each
+    // micro-batch one snapshot's append diff, MoR-delete windows loud.
+    // Same two-batch replay + complete-mode merge shape as
+    // `stream_deltalake`, hash-checked against the full aggregate.
+    QueryDef("stream_iceberg",
+      (s, d) => {
+        val dir = graft.engine.Queries.icebergOrders(s, d)
+        replayTo(s, "complete") {
+          s.readStream.format("graft-iceberg").load(dir)
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("o_totalprice").cast(DecimalType(18, 2)))
+                .as("dec_sum"))
+        }
+          .select(col("o_orderpriority"), col("cnt"),
+            col("dec_sum").cast("double").as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders
+             |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin))
   )
 }

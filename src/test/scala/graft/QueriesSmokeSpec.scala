@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 143 declared operator queries are all present (SURVEY §2)") {
+  test("the 144 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -71,8 +71,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "delta_deltalake_cdf", "deltalake_v2_checkpoint",
       // round-11 surface
       "delta_iceberg_mor", "iceberg_rename", "deltalake_id_mapping",
-      "delta_deltalake_optimize", "deltalake_variant", "stream_deltalake")
-    assert(declared.size == 143)
+      "delta_deltalake_optimize", "deltalake_variant", "stream_deltalake",
+      "stream_iceberg")
+    assert(declared.size == 144)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

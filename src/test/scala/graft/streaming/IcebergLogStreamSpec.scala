@@ -1,0 +1,97 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Dataset, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.sources.Iceberg
+
+/** The Iceberg snapshot-log streaming source: ordinal offsets, one
+  * micro-batch per snapshot, checkpoint tail resume, loud refusal of
+  * MoR-delete windows.
+  */
+class IcebergLogStreamSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_ils_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def frame(r: Range) =
+    r.map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+
+  private def drain(table: String, ckpt: String,
+      options: Map[String, String] = Map.empty): Seq[Set[Long]] = {
+    val batches = mutable.Buffer.empty[Set[Long]]
+    val reader = spark.readStream.format("graft-iceberg")
+    options.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(table)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        batches.synchronized {
+          batches += b.select("id").collect().map(_.getLong(0)).toSet
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batches.toSeq
+  }
+
+  test("one micro-batch per snapshot; checkpoint restart tails") {
+    val dir = freshDir("basic")
+    Iceberg.stageAppend(spark, dir, frame(1 to 10), Seq.empty)
+    Iceberg.stageAppend(spark, dir, frame(11 to 20), Seq.empty)
+    val ckpt = freshDir("basic_ck")
+    val first = drain(dir, ckpt)
+    assert(first.length == 2, s"one batch per snapshot: $first")
+    assert(first(0) == (1L to 10L).toSet)
+    assert(first(1) == (11L to 20L).toSet)
+    // a snapshot lands; the same checkpoint resumes after ordinal 2
+    Iceberg.stageAppend(spark, dir, frame(21 to 25), Seq.empty)
+    val second = drain(dir, ckpt)
+    assert(second.length == 1 && second.head == (21L to 25L).toSet)
+  }
+
+  test("a MoR delete window fails fast") {
+    val dir = freshDir("mor")
+    Iceberg.stageAppend(spark, dir, frame(1 to 10), Seq.empty)
+    val ckpt = freshDir("mor_ck")
+    drain(dir, ckpt)
+    Iceberg.stageMorDelete(spark, dir, col("id") % 2 === 0)
+    val e = intercept[Exception] { drain(dir, ckpt) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("delete") || m.contains("appends")),
+      s"expected the append-only refusal, got: ${messages(e)}")
+  }
+
+  test("bootstrap applies existing MoR deletes, then tails appends") {
+    val dir = freshDir("boot")
+    Iceberg.stageAppend(spark, dir, frame(1 to 10), Seq.empty)
+    Iceberg.stageMorDelete(spark, dir, col("id") % 5 === 0)
+    // a wide first trigger collapses the history into ONE bootstrap
+    // batch = the CURRENT state (deletes applied — served as a
+    // snapshot read, not a diff); later appends tail normally
+    val ckpt = freshDir("boot_ck")
+    val batches = drain(dir, ckpt,
+      Map("maxSnapshotsPerTrigger" -> "10"))
+    assert(batches.flatten.toSet ==
+      (1L to 10L).filterNot(_ % 5 == 0).toSet)
+    Iceberg.stageAppend(spark, dir, frame(11 to 15), Seq.empty)
+    val second = drain(dir, ckpt)
+    assert(second.flatten.toSet == (11L to 15L).toSet)
+  }
+}
