@@ -156,6 +156,26 @@ object Iceberg {
       .map(_.get("snapshot-id").asLong)
   }
 
+  /** (sequence key, snapshot id) ascending — the STREAMING offset
+    * space ([[graft.streaming.IcebergLogSource]]): the snapshot's
+    * `sequence-number` when present (v2 — strictly increasing, and
+    * STABLE across snapshot expiration, unlike history ordinals),
+    * else its required `timestamp-ms`. The `spark` parameter pins the
+    * session the caller resolved the table under (unused here — the
+    * read is metadata-only — but keeps the signature uniform with the
+    * other resolution entry points).
+    */
+  def snapshotSeqIds(spark: SparkSession, path: String)
+      : Seq[(Long, Long)] = {
+    val md = readMetadata(path)
+    Option(md.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala.toSeq)
+      .map(s => (Option(s.get("sequence-number")).map(_.asLong)
+        .getOrElse(s.get("timestamp-ms").asLong),
+        s.get("snapshot-id").asLong))
+      .sortBy(_._1)
+  }
+
   // ---- the manifest fold -------------------------------------------------
 
   /** Resolve a snapshot: schema (current table schema — Iceberg reads
@@ -166,6 +186,12 @@ object Iceberg {
     */
   def resolve(spark: SparkSession, path: String,
       snapshotId: Option[Long] = None): SnapshotMeta = {
+    // field-id matching must be on for EVERY read of this table's data
+    // files — not just scanOf's: a COW rewrite in a fresh session reads
+    // files with the id-stamped schema before any scan ran, and
+    // name-based matching would silently null renamed columns there.
+    // Inert for schemas without id metadata (see scanOf).
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val md = readMetadata(path)
     val wantId = snapshotId.getOrElse(currentSnapshotId(path))
     val snap = Option(md.get("snapshots")).toSeq

@@ -139,22 +139,31 @@ class DeltaLogSource(ctx: SQLContext, path: String, startAfter: Long,
     val after = start.map(ver).getOrElse(startAfter)
     val to = ver(end)
     seen = math.max(seen, to)
-    // appended() alone tolerates rewrite shapes its IVM callers guard
-    // against at a higher level — a stream must guard itself: serving
-    // a delete window as inserts would silently never retract the
-    // deleted rows. Compaction windows ARE streamable (content no-op),
-    // and the bootstrap window's own metaData is table birth, not drift.
-    DeltaLake.streamableViolation(path, after, to,
-        ignoreMeta = after == startAfter).foreach { why =>
-      throw new IllegalStateException(
-        s"graft-deltalake stream: window ($after, $to] of $path is not " +
-          s"inserts-only ($why) — a stream cannot express retraction; " +
-          "rebase the consumer from the current snapshot and restart, " +
-          "or maintain through the signed seam " +
-          "(graft.ivm.DeltaLakeSnapshots.signedRows)")
-    }
-    val batch = DeltaLake.appended(spark, path, afterVersion = after,
-      toVersion = Some(to))
+    // The BOOTSTRAP batch (from the table's beginning) is a SNAPSHOT
+    // read — checkpoint-tolerant (a cleaned log replays from its
+    // checkpoint; per-commit JSONs may be gone) and delete-complete
+    // (DVs and rewrites are already applied in the full state, so a
+    // table with historical deletes still bootstraps). Tail windows
+    // are append diffs and must guard themselves: serving a delete
+    // window as inserts would silently never retract the deleted rows.
+    // Compaction windows ARE streamable (content no-op), and a
+    // metaData action at the user-chosen starting version is start-up,
+    // not drift.
+    val batch =
+      if (after < 0) DeltaLake.snapshot(spark, path, version = Some(to))
+      else {
+        DeltaLake.streamableViolation(path, after, to,
+            ignoreMeta = after == startAfter).foreach { why =>
+          throw new IllegalStateException(
+            s"graft-deltalake stream: window ($after, $to] of $path is " +
+              s"not inserts-only ($why) — a stream cannot express " +
+              "retraction; rebase the consumer from the current " +
+              "snapshot and restart, or maintain through the signed " +
+              "seam (graft.ivm.DeltaLakeSnapshots.signedRows)")
+        }
+        DeltaLake.appended(spark, path, afterVersion = after,
+          toVersion = Some(to))
+      }
     // the engine asserts getBatch returns a STREAMING frame; the scan
     // itself is the normal log-backed single-scan construction. An
     // empty window (compaction-only, or no files) has no relation node

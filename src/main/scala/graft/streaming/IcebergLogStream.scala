@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -14,14 +16,20 @@ import graft.sources.Iceberg
   * [[DeltaLogStream]] twin for the second lakehouse format:
   * `spark.readStream.format("graft-iceberg").load(tablePath)`.
   *
-  * Offsets are snapshot ORDINALS (the 1-based position in the
-  * timestamp-ordered snapshot history), NOT snapshot ids — the spec
-  * makes ids arbitrary longs, and streaming offsets must be monotonic.
-  * Each micro-batch is the snapshot-to-snapshot append diff served by
-  * [[Iceberg.appended]]; [[Iceberg.isAppendOnly]] guards every window
-  * (a MoR delete file landing, a COW rewrite, or a schema change fails
-  * loudly — an inserts-only stream cannot express retraction).
-  * Options: `startingOrdinal` (default 0 = replay from the beginning),
+  * Offsets are snapshot SEQUENCE NUMBERS (v1 fallback: timestamp-ms) —
+  * NOT snapshot ids (arbitrary longs per the spec; offsets must be
+  * monotonic) and NOT history ordinals (snapshot EXPIRATION shifts
+  * ordinals, silently re-mapping a checkpointed offset onto a different
+  * snapshot; sequence numbers are stable across expiration, and a cut
+  * whose snapshot expired resolves to NOTHING and fails loudly with the
+  * rebase instruction instead). Each micro-batch is the
+  * snapshot-to-snapshot append diff served by [[Iceberg.appended]];
+  * [[Iceberg.isAppendOnly]] guards every window (a MoR delete file
+  * landing, a COW rewrite, or a schema change fails loudly — an
+  * inserts-only stream cannot express retraction). The bootstrap batch
+  * is a SNAPSHOT read (existing MoR deletes applied). Options:
+  * `startingSequence` (begin after the snapshot with this sequence
+  * number; default: replay from the beginning),
   * `maxSnapshotsPerTrigger` (default 1).
   */
 class IcebergLogStreamProvider extends StreamSourceProvider
@@ -44,50 +52,78 @@ class IcebergLogStreamProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new IcebergLogSource(ctx, pathOf(parameters),
-      parameters.get("startingOrdinal").map(_.toLong).getOrElse(0L),
+      parameters.get("startingSequence").map(_.toLong)
+        .getOrElse(IcebergLogSource.Sentinel),
       parameters.get("maxSnapshotsPerTrigger").map(_.toLong).getOrElse(1L))
 }
 
-class IcebergLogSource(ctx: SQLContext, path: String, startOrdinal: Long,
+object IcebergLogSource {
+  /** "Before everything" — both sequence numbers (≥0) and timestamp-ms
+    * fallbacks (epoch millis) are far above it.
+    */
+  val Sentinel: Long = Long.MinValue
+}
+
+class IcebergLogSource(ctx: SQLContext, path: String, startAfter: Long,
     maxPerTrigger: Long) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  import IcebergLogSource.Sentinel
 
   require(maxPerTrigger >= 1, "maxSnapshotsPerTrigger must be >= 1")
   private val spark = ctx.sparkSession
 
   override val schema: StructType = Iceberg.snapshot(spark, path).schema
 
-  /** Highest ordinal handed out; 0 = nothing yet (ordinals are
-    * 1-based into the timestamp-ordered history).
-    */
-  @volatile private var seen: Long = startOrdinal
+  /** Highest sequence key handed out ([[Sentinel]] = nothing yet). */
+  @volatile private var seen: Long = startAfter
   @volatile private var availableTarget: Option[Long] = None
 
-  private def ordinals: Seq[Long] = Iceberg.snapshotIds(path)
+  /** (sequence key, snapshot id), ascending. The key is the snapshot's
+    * `sequence-number` when present (v2 — strictly increasing, stable
+    * across expiration), else its required `timestamp-ms`.
+    */
+  private def history: Seq[(Long, Long)] =
+    Iceberg.snapshotSeqIds(spark, path)
 
   override def prepareForTriggerAvailableNow(): Unit = {
-    availableTarget = Some(ordinals.size.toLong)
+    availableTarget = history.lastOption.map(_._1)
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def reportLatestOffset()
-      : org.apache.spark.sql.connector.read.streaming.Offset = {
-    val n = ordinals.size.toLong
-    if (n == 0) null else LongOffset(n)
-  }
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    history.lastOption.map(h => LongOffset(h._1)).orNull
 
   override def latestOffset(
       startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
-    val latest = availableTarget.getOrElse(ordinals.size.toLong)
-    if (latest == 0) null
-    else {
-      if (startOffset != null) seen = math.max(seen, verAny(startOffset))
-      val next = math.min(latest, seen + maxPerTrigger)
-      if (next > seen) seen = next
-      if (seen <= 0) null else LongOffset(seen)
+    if (startOffset != null) seen = math.max(seen, verAny(startOffset))
+    advance()
+    if (seen == Sentinel) null else LongOffset(seen)
+  }
+
+  override def getOffset: Option[Offset] = {
+    advance()
+    if (seen == Sentinel) None else Some(LongOffset(seen))
+  }
+
+  /** Ratchet `seen` forward by up to `maxPerTrigger` SNAPSHOTS (ordinal
+    * steps over the sequence-sorted history — sequence numbers may
+    * skip), capped at the AvailableNow target when pinned.
+    */
+  private def advance(): Unit = {
+    val h0 = history
+    val h = availableTarget match {
+      case Some(t) => h0.filter(_._1 <= t)
+      case None => h0
+    }
+    if (h.nonEmpty) {
+      val idx = h.count(_._1 <= seen) // Sentinel → 0
+      val nextIdx = math.min(h.size, idx + maxPerTrigger.toInt)
+      if (nextIdx > idx) seen = h(nextIdx - 1)._1
     }
   }
 
@@ -103,27 +139,23 @@ class IcebergLogSource(ctx: SQLContext, path: String, startOrdinal: Long,
     case other => other.json.trim.toLong
   }
 
-  override def getOffset: Option[Offset] = {
-    val latest = ordinals.size.toLong
-    if (latest == 0) None
-    else {
-      val next = math.min(latest, seen + maxPerTrigger)
-      if (next > seen) seen = next
-      if (seen <= 0) None else Some(LongOffset(seen))
-    }
-  }
+  private def idAt(h: Seq[(Long, Long)], seq: Long, role: String): Long =
+    h.find(_._1 == seq).map(_._2).getOrElse(throw new IllegalStateException(
+      s"graft-iceberg stream: no snapshot with sequence $seq in $path " +
+        s"(the $role snapshot was EXPIRED past this consumer) — rebase " +
+        "the consumer from the current snapshot and restart"))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val afterOrd = start.map(ver).getOrElse(startOrdinal)
-    val toOrd = ver(end)
-    seen = math.max(seen, toOrd)
-    val ids = ordinals
-    val toId = ids(toOrd.toInt - 1)
+    val afterSeq = start.map(ver).getOrElse(startAfter)
+    val toSeq = ver(end)
+    seen = math.max(seen, toSeq)
+    val h = history
+    val toId = idAt(h, toSeq, "end")
     val g = org.apache.spark.sql.graft.GraftSql
     val batch =
-      if (afterOrd <= 0) Iceberg.snapshot(spark, path, Some(toId))
+      if (afterSeq == Sentinel) Iceberg.snapshot(spark, path, Some(toId))
       else {
-        val afterId = ids(afterOrd.toInt - 1)
+        val afterId = idAt(h, afterSeq, "cut")
         // appended() requires a stable delete-file set and equal
         // schemas across the window — exactly the streamable contract
         // (MoR deletes/rewrites/renames fail loudly inside it)

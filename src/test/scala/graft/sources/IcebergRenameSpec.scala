@@ -123,6 +123,25 @@ class IcebergRenameSpec extends AnyFunSuite with SparkFixture {
       (51L to 80L).map(i => s"v$i").toSet)
   }
 
+  test("COW rewrite after a rename reads pre-rename files by field id") {
+    val dir = freshDir("cow")
+    val a = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+    Iceberg.stageAppend(spark, dir, a, Seq.empty)
+    Iceberg.stageRenameColumn(spark, dir, Map("v" -> "label"))
+    // the rewrite reads the OLD file under the NEW schema (id-matched
+    // — name matching would write back an all-null rewrite) and
+    // applies the update
+    Iceberg.stageUpdate(spark, dir, col("id") === 1L,
+      Map("label" -> org.apache.spark.sql.functions.lit("updated")))
+    val snap = Iceberg.snapshot(spark, dir)
+    assert(snap.filter(col("id") === 1).select("label").head()
+      .getString(0) == "updated")
+    assert(snap.filter(col("label").isNull).count() == 0,
+      "a name-resolved rewrite would have nulled the renamed column")
+    assert(snap.filter(col("id") === 7).select("label").head()
+      .getString(0) == "v7")
+  }
+
   test("renaming a partition-spec source column is rejected loudly") {
     val dir = freshDir("part")
     val df = (1L to 20L).map(i => (i, s"p${i % 2}")).toDF("id", "p")

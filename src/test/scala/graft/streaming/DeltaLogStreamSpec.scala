@@ -117,6 +117,32 @@ class DeltaLogStreamSpec extends AnyFunSuite with SparkFixture {
       s"compaction must stream as a no-op: $second")
   }
 
+  test("bootstrap is a snapshot: DV'd history reads, next DV window loud") {
+    val dir = freshDir("dvboot")
+    DeltaLake.stageCommit(spark, dir, frame(1 to 20), Seq.empty, 0L)
+    DeltaLake.stageDvDeleteCommit(spark, dir, col("id") % 4 === 0, 1L)
+    // a fresh consumer bootstraps the CURRENT state — deletion vectors
+    // applied — in one batch (collapse the history with a wide trigger)
+    val ckpt = freshDir("dvboot_ck")
+    val first = drain(dir, ckpt, Map("maxVersionsPerTrigger" -> "10"))
+    assert(first.flatten.toSet == (1L to 20L).filterNot(_ % 4 == 0).toSet)
+    // appends tail normally...
+    DeltaLake.stageCommit(spark, dir, frame(21 to 25), Seq.empty, 2L)
+    assert(drain(dir, ckpt).flatten.toSet == (21L to 25L).toSet)
+    // ...but a DV landing MID-stream is a row-level delete: loud
+    DeltaLake.stageDvDeleteCommit(spark, dir, col("id") === 21L, 3L)
+    val e = intercept[Exception] { drain(dir, ckpt) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // the DV commit's remove(f, oldDv)+add(f, newDv) pair trips the
+    // dataChange=true remove check first — either message is the same
+    // refusal
+    assert(messages(e).exists(m =>
+      m.contains("deletion vector") || m.contains("not inserts-only")),
+      s"expected the DV refusal, got: ${messages(e)}")
+  }
+
   test("a delete window fails fast — inserts-only streams cannot retract") {
     val dir = freshDir("del")
     DeltaLake.stageCommit(spark, dir, frame(1 to 10), Seq.empty, 0L)

@@ -78,6 +78,41 @@ class IcebergLogStreamSpec extends AnyFunSuite with SparkFixture {
       s"expected the append-only refusal, got: ${messages(e)}")
   }
 
+  test("an expired cut snapshot fails loudly — offsets are sequence " +
+      "numbers, never history ordinals") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val dir = freshDir("expire")
+    Iceberg.stageAppend(spark, dir, frame(1 to 10), Seq.empty)
+    val ckpt = freshDir("expire_ck")
+    assert(drain(dir, ckpt).flatten.toSet == (1L to 10L).toSet)
+    Iceberg.stageAppend(spark, dir, frame(11 to 20), Seq.empty)
+    // EXPIRE snapshot 1 (drop it from the history) — with ordinal
+    // offsets the checkpointed cut would silently re-map onto snapshot
+    // 2 and the stream would skip/replay; with sequence offsets the
+    // cut resolves to nothing and the restart is LOUD
+    val mdDir = new java.io.File(dir, "metadata")
+    val latest = mdDir.listFiles()
+      .filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
+    val M = new ObjectMapper()
+    val md = M.readTree(java.nio.file.Files.readString(latest.toPath))
+      .asInstanceOf[ObjectNode]
+    val snaps = md.get("snapshots").asInstanceOf[ArrayNode]
+    assert(snaps.size() == 2)
+    snaps.remove(0)
+    java.nio.file.Files.writeString(
+      new java.io.File(mdDir, "v9.metadata.json").toPath,
+      M.writeValueAsString(md))
+    java.nio.file.Files.writeString(
+      new java.io.File(mdDir, "version-hint.text").toPath, "9")
+    val e = intercept[Exception] { drain(dir, ckpt) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("EXPIRED")),
+      s"expected the expiration refusal, got: ${messages(e)}")
+  }
+
   test("bootstrap applies existing MoR deletes, then tails appends") {
     val dir = freshDir("boot")
     Iceberg.stageAppend(spark, dir, frame(1 to 10), Seq.empty)
