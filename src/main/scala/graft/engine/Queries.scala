@@ -2101,6 +2101,51 @@ object Queries {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // EQUALITY-DELETE SIGNED MAINTENANCE (r11): the Flink CDC upsert
+    // shape THROUGH the seam — the window holds an equality delete
+    // (every 13th customer) AND the partial re-insert at +100, and the
+    // stored aggregate view maintains without rebasing. Retraction is
+    // VALUE-keyed, so the general arm is a row-identity diff of the
+    // surviving files under the cut's vs the end's delete sets (reusing
+    // null-safe matching + sequence scoping on both sides — the
+    // re-inserted rows survive their own window's delete); the scan is
+    // pruned to files whose manifest bounds intersect the delete
+    // values. Hash equality vs the CASE/UNION oracle (incl.
+    // countDistinct) pins matching, scoping, and the splice end to end.
+    QueryDef("delta_iceberg_eq",
+      (s, d) => {
+        import graft.ivm.IcebergSnapshots
+        val dir = icebergOrdersEqDeleted(s, d)
+        val aggOf = (df: org.apache.spark.sql.DataFrame) => df
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+        // stored view: built at snapshot 2 (both appends, pre-delete)
+        IcebergSnapshots.track(s, "ice_orders_eq", dir, at = Some(2L))
+        val stored = aggOf(graft.sources.Iceberg
+          .snapshot(s, dir, snapshotId = Some(2L)))
+        IcebergSnapshots.maintainAgg(s, "ice_orders_eq", stored,
+          Seq("o_orderpriority"), aggOf)
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH merged AS (
+             |  SELECT o_orderpriority, o_custkey, o_totalprice
+             |  FROM orders WHERE NOT (o_custkey % 13 = 0)
+             |  UNION ALL
+             |  SELECT o_orderpriority, o_custkey, o_totalprice + 100
+             |  FROM orders
+             |  WHERE o_custkey % 13 = 0 AND o_orderkey % 2 = 0
+             |)
+             |SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM merged
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // COLUMN RENAME under the oracle (r11): the staged table renames
     // `o_totalprice` → `price` BETWEEN its two appends, so its data
     // files disagree on the physical column name — the 90% base carries

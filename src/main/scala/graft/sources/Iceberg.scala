@@ -465,11 +465,6 @@ object Iceberg {
         "returned — rebase the maintained view from the current snapshot")
     val newDeletes =
       end.deleteFiles.filterNot(f => cutDelPaths.contains(f.path))
-    require(newDeletes.forall(_.content == 1),
-      s"Iceberg.changes: snapshots ($afterSnapshotId, ${end.snapshotId}] " +
-        s"of $path add EQUALITY delete files: value-keyed retraction " +
-        "is not supported by the signed window — rebase the maintained " +
-        "view from the current snapshot")
     val cutPaths = cut.files.map(_.path).toSet
     val endPaths = end.files.map(_.path).toSet
     val inserts = end.copy(
@@ -481,19 +476,21 @@ object Iceberg {
       files = cut.files.filterNot(f => endPaths.contains(f.path)),
       deleteFiles = cut.deleteFiles)
     var retracts = scanOf(spark, path, removed)
-    if (newDeletes.nonEmpty) {
-      // rows of files live on BOTH sides that a new positional delete
-      // names: live at the cut (cut deletes applied), now dead. The
-      // scan arm is pruned to the files the delete rows NAME — one
-      // driver-side distinct over the window's delete files (churn-
-      // bounded metadata, the same order as the file list itself) —
-      // so the frame plans O(touched files), never the snapshot
-      // (production engines get this from the delete manifests'
-      // referenced-data-file bounds; the delete files ARE that index
-      // here)
+    val newPos = newDeletes.filter(_.content == 1)
+    val newEq = newDeletes.filter(_.content == 2)
+    if (newEq.isEmpty && newPos.nonEmpty) {
+      // POSITIONAL-ONLY window (fast path): rows of files live on BOTH
+      // sides that a new positional delete names — live at the cut
+      // (cut deletes applied), now dead. The scan arm is pruned to the
+      // files the delete rows NAME — one driver-side distinct over the
+      // window's delete files (churn-bounded metadata, the same order
+      // as the file list itself) — so the frame plans O(touched
+      // files), never the snapshot (production engines get this from
+      // the delete manifests' referenced-data-file bounds; the delete
+      // files ARE that index here)
       import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
       val namedPaths = spark.read
-        .parquet(newDeletes.map(f => resolveRef(path, f.path)): _*)
+        .parquet(newPos.map(f => resolveRef(path, f.path)): _*)
         .select(regexp_replace(col("file_path"), "^file:/+", "/")
           .as("p")).distinct().collect().map(_.getString(0)).toSet
       def stripped(rel: String): String =
@@ -501,7 +498,7 @@ object Iceberg {
           .toString.replaceFirst("^file:/+", "/")
       val surviving = end.files.filter(f => cutPaths.contains(f.path) &&
         (namedPaths.contains(f.path) || namedPaths.contains(stripped(f.path))))
-      val named = posDeleteKeys(spark, path, surviving, newDeletes)
+      val named = posDeleteKeys(spark, path, surviving, newPos)
       val surv = scanOf(spark, path,
         end.copy(files = surviving, deleteFiles = cut.deleteFiles),
         withMeta = true)
@@ -511,8 +508,92 @@ object Iceberg {
           col("_metadata.row_index") === col("__dpos"), "left_semi")
         .select(end.schema.fieldNames.toIndexedSeq.map(col): _*)
       retracts = retracts.unionByName(newlyDead)
+    } else if (newEq.nonEmpty) {
+      // EQUALITY deletes landed (the Flink CDC upsert shape; possibly
+      // mixed with positional ones): retraction is VALUE-keyed, so the
+      // general construction is a row-identity diff of the surviving
+      // files — rows live under the CUT's delete set but dead under
+      // the END's are exactly the newly-dead rows. This reuses the
+      // full delete application (null-safe matching, sequence-number
+      // scoping, positional/equality composition) on both sides and
+      // never double-retracts a row hit by both kinds. Scan pruning:
+      // a surviving file is TOUCHED only if a new positional delete
+      // names it or a new equality delete's values intersect its
+      // manifest bounds ([[eqTouched]] — driver-side over the
+      // churn-bounded delete rows; conservative on nulls/no-bounds).
+      import org.apache.spark.sql.functions.{col, regexp_replace}
+      val surviving0 = end.files.filter(f => cutPaths.contains(f.path))
+      val touched = eqTouched(spark, path, end, surviving0, newPos, newEq)
+      def rowKey(df: DataFrame): DataFrame = df
+        .withColumn("__fp", regexp_replace(
+          col("_metadata.file_path"), "^file:/+", "/"))
+        .withColumn("__ri", col("_metadata.row_index"))
+      val atCut = rowKey(scanOf(spark, path,
+        end.copy(files = touched, deleteFiles = cut.deleteFiles),
+        withMeta = true))
+      val atEnd = rowKey(scanOf(spark, path,
+        end.copy(files = touched, deleteFiles = end.deleteFiles),
+        withMeta = true)).select("__fp", "__ri")
+      val newlyDead = atCut.join(atEnd, Seq("__fp", "__ri"), "left_anti")
+        .select(end.schema.fieldNames.toIndexedSeq.map(col): _*)
+      retracts = retracts.unionByName(newlyDead)
     }
     DeltaLake.Changes(scanOf(spark, path, inserts), retracts)
+  }
+
+  /** The surviving data files a window's new delete files may TOUCH:
+    * named by a new positional delete row, or value-intersecting a new
+    * equality delete row per the manifest bounds (decided driver-side
+    * against the churn-bounded delete rows via the shared conservative
+    * stats machinery; a null equality value, missing bounds, or an
+    * oversized delete set keeps every file).
+    */
+  private def eqTouched(spark: SparkSession, path: String,
+      end: SnapshotMeta, surviving: Seq[IceFile], newPos: Seq[IceFile],
+      newEq: Seq[IceFile]): Seq[IceFile] = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    import org.apache.spark.sql.graft.GraftSql
+    val posNamed: Set[String] =
+      if (newPos.isEmpty) Set.empty
+      else spark.read.parquet(newPos.map(f => resolveRef(path, f.path)): _*)
+        .select(regexp_replace(col("file_path"), "^file:/+", "/").as("p"))
+        .distinct().collect().map(_.getString(0)).toSet
+    def stripped(rel: String): String =
+      new org.apache.hadoop.fs.Path(resolveRef(path, rel)).toUri
+        .toString.replaceFirst("^file:/+", "/")
+    val nameById =
+      if (end.fieldIdToName.nonEmpty) end.fieldIdToName
+      else fieldIds(end.schema).map(_.swap)
+    // one predicate tree per equality delete ROW: AND of col = value;
+    // a file may lose rows if ANY row's tree may match its bounds
+    val eqPreds: Option[Seq[GraftSql.PredNode]] = {
+      val perSet = newEq.groupBy(_.equalityIds).toSeq.map {
+        case (ids, dels) =>
+          val cols = ids.map(id => nameById.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"Iceberg: equality delete references unknown field id $id")))
+          val rows = spark.read
+            .parquet(dels.map(d => resolveRef(path, d.path)): _*)
+            .select(cols.map(col): _*).collect()
+          if (rows.length > 100000) None // oversized: keep every file
+          else Some(rows.toSeq.map { r =>
+            val cmps = cols.zipWithIndex.map { case (c, i) =>
+              if (r.isNullAt(i)) GraftSql.PredUnknown // null: no bound proof
+              else GraftSql.PredCmp(c, r.get(i), "EQ"): GraftSql.PredNode
+            }
+            cmps.reduce[GraftSql.PredNode](GraftSql.PredAnd(_, _))
+          })
+      }
+      if (perSet.exists(_.isEmpty)) None else Some(perSet.flatten.flatten)
+    }
+    surviving.filter { f =>
+      posNamed.contains(f.path) || posNamed.contains(stripped(f.path)) ||
+        (eqPreds match {
+          case None => newEq.nonEmpty // can't bound: every file touched
+          case Some(preds) => preds.exists(p => StatsSkip.mayMatch(p,
+            end.schema, end.partitionColumns, f.partitionValues, f.stats))
+        })
+    }
   }
 
   /** The live file NAMES at a snapshot — the cut set for a version-cut

@@ -48,6 +48,45 @@ class IcebergEqDeleteSpec extends AnyFunSuite with SparkFixture {
     assert(!rows(Iceberg.snapshot(spark, dir)).exists(_._1 == 3L))
   }
 
+  test("signed window across an equality UPSERT: retracts value-matched " +
+      "cut-live rows, inserts the re-inserted survivors") {
+    val dir = freshDir("sigup")
+    val a = (1L to 10L).map(i => (i, s"old$i")).toDF("k", "v").coalesce(1)
+    val s1 = Iceberg.stageAppend(spark, dir, a, Seq.empty)
+    Iceberg.stageEqDelete(spark, dir, Seq(3L, 7L).toDF("k"))
+    val b = Seq((3L, "new3"), (11L, "new11")).toDF("k", "v").coalesce(1)
+    val s3 = Iceberg.stageAppend(spark, dir, b, Seq.empty)
+    val ch = Iceberg.changes(spark, dir, s1, Some(s3))
+    // inserts: the upsert file's rows — the new k=3 SURVIVES its own
+    // window's delete (sequence scoping applied on the insert arm)
+    assert(rows(ch.inserts) == Set((3L, "new3"), (11L, "new11")))
+    // retracts: exactly the cut-live rows the delete values matched
+    assert(rows(ch.retracts) == Set((3L, "old3"), (7L, "old7")))
+    // signed identity against the end snapshot
+    assert((rows(Iceberg.snapshot(spark, dir, Some(s1)))
+      ++ rows(ch.inserts)) -- rows(ch.retracts) ==
+      rows(Iceberg.snapshot(spark, dir, Some(s3))))
+  }
+
+  test("signed equality window prunes to bounds-intersecting files") {
+    val dir = freshDir("sigprune")
+    // four files with disjoint key ranges
+    (0 until 4).foreach { f =>
+      val df = (f * 10 + 1L to f * 10 + 10L).map(i => (i, s"v$i"))
+        .toDF("k", "v").coalesce(1)
+      Iceberg.stageAppend(spark, dir, df, Seq.empty)
+    }
+    val cut = Iceberg.currentSnapshotId(dir)
+    val sDel = Iceberg.stageEqDelete(spark, dir, Seq(15L).toDF("k"))
+    val ch = Iceberg.changes(spark, dir, cut, Some(sDel))
+    assert(rows(ch.retracts) == Set((15L, "v15")))
+    // only the file whose [11,20] bounds contain 15 is scanned (plus
+    // no delete-file scan on the retract arm — values ride the plan)
+    val scanned = ch.retracts.inputFiles.toSet
+      .filterNot(f => new java.io.File(f).getName.startsWith("eqdelete"))
+    assert(scanned.size <= 2, s"retract arm scanned $scanned")
+  }
+
   test("multi-column equality set and null-safe matching") {
     val dir = freshDir("multi")
     val a = Seq((1L, "x", Some("p")), (2L, "x", None),

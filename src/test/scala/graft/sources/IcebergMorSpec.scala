@@ -150,15 +150,35 @@ class IcebergMorSpec extends AnyFunSuite with SparkFixture {
     assert(new java.io.File(scanned.head).getName.nonEmpty)
   }
 
-  test("equality deletes landing in a signed window still fail fast") {
+  test("equality deletes landing in a signed window NET (r11): " +
+      "retracts are the value-matched rows live at the cut") {
     val dir = freshDir("eqwin")
     val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
     val s1 = Iceberg.stageAppend(spark, dir, df, Seq.empty)
-    Iceberg.stageEqDelete(spark, dir, Seq(3L, 7L).toDF("id"))
-    val e = intercept[IllegalArgumentException] {
-      Iceberg.changes(spark, dir, s1)
-    }
-    assert(e.getMessage.contains("EQUALITY"))
+    val s2 = Iceberg.stageEqDelete(spark, dir, Seq(3L, 7L).toDF("id"))
+    val ch = Iceberg.changes(spark, dir, s1, Some(s2))
+    assert(ch.inserts.isEmpty)
+    assert(ids(ch.retracts) == Set(3L, 7L))
+    // end-state identity
+    assert(ids(Iceberg.snapshot(spark, dir, Some(s1))) --
+      ids(ch.retracts) == ids(Iceberg.snapshot(spark, dir, Some(s2))))
+  }
+
+  test("mixed positional + equality window: no row retracts twice") {
+    val dir = freshDir("mixwin")
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+    val s1 = Iceberg.stageAppend(spark, dir, df, Seq.empty)
+    // positional delete kills ids 4,8,12,16,20; equality delete kills
+    // ids 4 (overlap!) and 5
+    Iceberg.stageMorDelete(spark, dir, col("id") % 4 === 0)
+    val s3 = Iceberg.stageEqDelete(spark, dir, Seq(4L, 5L).toDF("id"))
+    val ch = Iceberg.changes(spark, dir, s1, Some(s3))
+    assert(ch.inserts.isEmpty)
+    // the row-identity diff retracts id 4 exactly ONCE
+    val retractIds = ch.retracts.select("id").collect().map(_.getLong(0))
+    assert(retractIds.length == retractIds.distinct.length,
+      s"a row retracted twice: ${retractIds.sorted.mkString(",")}")
+    assert(retractIds.toSet == Set(4L, 5L, 8L, 12L, 16L, 20L))
   }
 
   test("COW rewrite composes after a MoR delete (delete file kept live)") {
