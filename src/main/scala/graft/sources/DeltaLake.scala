@@ -524,22 +524,78 @@ object DeltaLake {
       }
       LogFile(p, size, a.modificationTime, a.partitionValues, a.stats)
     }
-    LakeScan.scan(spark, path, full, st.partitionColumns, logFiles,
-      StatsSkip.memoKeep(full, st.partitionColumns))
-      .filter(col("_change_type").isin(types: _*))
-      .select(st.schema.fieldNames.toIndexedSeq.map(col): _*)
+    val scan = LakeScan.scan(spark, path, full, st.partitionColumns,
+      logFiles, StatsSkip.memoKeep(full, st.partitionColumns))
+    val kept =
+      if (types.isEmpty) scan // change feed: every type, tag retained
+      else scan.filter(col("_change_type").isin(types: _*))
+    val cols = st.schema.fieldNames.toIndexedSeq ++
+      (if (types.isEmpty) Seq("_change_type") else Seq.empty)
+    kept.select(cols.map(col): _*)
   }
 
-  /** Whether every commit in `(afterVersion, toVersion]` is pure append
-    * (adds with `dataChange=true` only, no schema change). The version-cut
-    * incremental source ([[graft.ivm.DeltaLakeSnapshots]]) requires this
-    * between cuts: a compaction's rewritten files are not in the cut's
-    * file set, so a file-set complement would replay their rows as
-    * inserts. A `metaData` action in the window also disqualifies — the
-    * re-derived view would carry the EVOLVED schema while the stored
-    * maintained view was built on the old one, silently drifting the δ
-    * arm's shape from the view it patches.
+  /** The CHANGE DATA FEED of `(afterVersion, toVersion]` as typed
+    * change rows: the table columns plus `_change_type`
+    * (insert / delete / update_preimage / update_postimage) and
+    * `_commit_version` — the row-level diff a CDF-enabled writer
+    * records, the shape `readChangeFeed` streams. Commits carrying
+    * `cdc` actions serve their change files verbatim (delta-sized);
+    * pure-append commits synthesize `insert` rows from their added
+    * files; compactions are content no-ops. A commit that changes rows
+    * WITHOUT change files (a delete/rewrite/DV on a non-CDF table)
+    * fails loudly — the feed cannot invent the row-level diff — and so
+    * does a mid-window schema change (the feed's rows resolve at the
+    * end schema; table birth at version 0 is fine).
     */
+  def changeFeed(spark: SparkSession, path: String, afterVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val end = toVersion.getOrElse(latestVersion(spark, path))
+    val endState = replay(spark, path, Some(end))
+    val frames = mutable.Buffer.empty[DataFrame]
+    (afterVersion.max(-1L) + 1 to end).foreach { v =>
+      val nodes = mutable.Buffer.empty[JsonNode]
+      foreachCommitAction(path, v)(nodes += _)
+      require(v == 0L || nodes.forall(n =>
+          Option(n.get("metaData")).isEmpty),
+        s"DeltaLake.changeFeed: commit $v of $path changes the table " +
+          "schema mid-feed — restart the feed from the current snapshot")
+      val cdc = nodes.flatMap(n => Option(n.get("cdc"))
+        .filterNot(_.isNull)).map(addFromJson)
+      if (cdc.nonEmpty) {
+        require(endState.mapping.isEmpty,
+          "DeltaLake.changeFeed: CDF on a column-mapped table is not " +
+            "supported by this reader")
+        frames += readCdc(spark, path, endState, cdc.toSeq, Seq.empty)
+          .withColumn("_commit_version", lit(v))
+      } else {
+        val adds = nodes.flatMap(n => Option(n.get("add"))
+          .filter(dataChange)).map(addFromJson)
+        val removes = nodes.flatMap(n => Option(n.get("remove"))
+          .filter(dataChange))
+        require(removes.isEmpty && adds.forall(_.dv.isEmpty),
+          s"DeltaLake.changeFeed: commit $v of $path changes rows " +
+            "WITHOUT change files (cdc actions) — the feed cannot " +
+            "invent the row-level diff; enable " +
+            "delta.enableChangeDataFeed on the writer, or consume the " +
+            "signed file-level diff (changes())")
+        if (adds.nonEmpty)
+          frames += readFiles(spark, path, endState, adds.toSeq)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v))
+      }
+    }
+    frames.reduceOption(_.unionByName(_)).getOrElse {
+      val full = StructType(endState.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    }
+  }
+
   /** The first reason `(afterVersion, toVersion]` cannot be served as an
     * INSERTS-ONLY STREAM window, or None if it can — the
     * [[graft.streaming.DeltaLogSource]] guard. Weaker than
@@ -574,6 +630,16 @@ object DeltaLake {
     bad
   }
 
+  /** Whether every commit in `(afterVersion, toVersion]` is pure append
+    * (adds with `dataChange=true` only, no schema change). The version-cut
+    * incremental source ([[graft.ivm.DeltaLakeSnapshots]]) requires this
+    * between cuts: a compaction's rewritten files are not in the cut's
+    * file set, so a file-set complement would replay their rows as
+    * inserts. A `metaData` action in the window also disqualifies — the
+    * re-derived view would carry the EVOLVED schema while the stored
+    * maintained view was built on the old one, silently drifting the δ
+    * arm's shape from the view it patches.
+    */
   def isAppendOnly(path: String, afterVersion: Long,
       toVersion: Long): Boolean = {
     var ok = true

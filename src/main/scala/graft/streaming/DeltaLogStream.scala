@@ -43,22 +43,34 @@ class DeltaLogStreamProvider extends StreamSourceProvider
       "graft-deltalake source requires .load(<table path>) or " +
         "option(\"path\", ...)"))
 
+  private def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String])
-      : (String, StructType) =
-    ("graft-deltalake", schema.getOrElse(
-      DeltaLake.snapshot(ctx.sparkSession, pathOf(parameters)).schema))
+      : (String, StructType) = {
+    val base = schema.getOrElse(
+      DeltaLake.snapshot(ctx.sparkSession, pathOf(parameters)).schema)
+    ("graft-deltalake",
+      if (!cdfOf(parameters)) base
+      else StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType))))
+  }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new DeltaLogSource(ctx, pathOf(parameters),
       parameters.get("startingVersion").map(_.toLong).getOrElse(-1L),
-      parameters.get("maxVersionsPerTrigger").map(_.toLong).getOrElse(1L))
+      parameters.get("maxVersionsPerTrigger").map(_.toLong).getOrElse(1L),
+      cdf = cdfOf(parameters))
 }
 
 class DeltaLogSource(ctx: SQLContext, path: String, startAfter: Long,
-    maxPerTrigger: Long) extends Source
+    maxPerTrigger: Long, cdf: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming
       .SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming
@@ -67,7 +79,15 @@ class DeltaLogSource(ctx: SQLContext, path: String, startAfter: Long,
   require(maxPerTrigger >= 1, "maxVersionsPerTrigger must be >= 1")
   private val spark = ctx.sparkSession
 
-  override val schema: StructType = DeltaLake.snapshot(spark, path).schema
+  override val schema: StructType = {
+    val base = DeltaLake.snapshot(spark, path).schema
+    if (!cdf) base
+    else StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType)))
+  }
 
   /** Highest version already handed out (ratchet). Restart recovery
     * re-seeds it from `getBatch`'s start offset, so the in-memory value
@@ -150,7 +170,14 @@ class DeltaLogSource(ctx: SQLContext, path: String, startAfter: Long,
     // metaData action at the user-chosen starting version is start-up,
     // not drift.
     val batch =
-      if (after < 0) DeltaLake.snapshot(spark, path, version = Some(to))
+      // CHANGE FEED mode: typed change rows — deletes/updates STREAM as
+      // retraction-capable rows instead of failing (change files are
+      // authoritative; a row-changing commit without them stays loud
+      // inside changeFeed, as does a mid-feed schema change)
+      if (cdf) DeltaLake.changeFeed(spark, path, afterVersion = after,
+        toVersion = Some(to))
+      else if (after < 0)
+        DeltaLake.snapshot(spark, path, version = Some(to))
       else {
         DeltaLake.streamableViolation(path, after, to,
             ignoreMeta = after == startAfter).foreach { why =>

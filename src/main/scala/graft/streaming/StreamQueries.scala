@@ -318,6 +318,53 @@ object StreamQueries {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // STREAMING CHANGE DATA FEED (r11): `readChangeFeed` — the Delta
+    // mechanism for streaming ROW-LEVEL CHANGES, deletes and updates
+    // included, where the plain log stream must stop at inserts-only.
+    // The staged table's three versions stream as typed change rows
+    // (two synthesized insert batches + the CDF update's delta-sized
+    // pre/post pair), and the complete-mode aggregate groups them by
+    // (change type, priority) with a decimal sum — the postimage total
+    // sits exactly +250/row above the preimage, so hash equality vs
+    // the UNION-ALL oracle pins the type routing AND the change-file
+    // content end to end.
+    QueryDef("stream_deltalake_cdf",
+      (s, d) => {
+        val dir = graft.engine.Queries.deltaLakeOrdersCdf(s, d)
+        replayTo(s, "complete") {
+          s.readStream.format("graft-deltalake")
+            .option("readChangeFeed", "true").load(dir)
+            .groupBy(col("_change_type"), col("o_orderpriority"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("o_totalprice").cast(DecimalType(18, 2)))
+                .as("dec_sum"))
+        }
+          .select(col("_change_type").as("change_type"),
+            col("o_orderpriority"), col("cnt"),
+            col("dec_sum").cast("double").as("total"))
+          .orderBy("change_type", "o_orderpriority")
+      },
+      Some("""WITH feed AS (
+             |  SELECT 'insert' AS change_type, o_orderpriority,
+             |    o_totalprice
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'update_preimage', o_orderpriority, o_totalprice
+             |  FROM orders
+             |  WHERE o_custkey % 9 = 2 AND o_orderpriority = '3-MEDIUM'
+             |  UNION ALL
+             |  SELECT 'update_postimage', o_orderpriority,
+             |    o_totalprice + 250
+             |  FROM orders
+             |  WHERE o_custkey % 9 = 2 AND o_orderpriority = '3-MEDIUM'
+             |)
+             |SELECT change_type, o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM feed
+             |GROUP BY change_type, o_orderpriority
+             |ORDER BY change_type, o_orderpriority""".stripMargin)),
+
     // STREAMING OVER THE ICEBERG SNAPSHOT LOG (r11): the second
     // lakehouse format behind the same streaming seam
     // ([[IcebergLogSource]]) — offsets are snapshot ORDINALS (ids are

@@ -143,6 +143,58 @@ class DeltaLogStreamSpec extends AnyFunSuite with SparkFixture {
       s"expected the DV refusal, got: ${messages(e)}")
   }
 
+  test("readChangeFeed streams typed change rows: deletes and updates " +
+      "flow as retraction-capable rows instead of failing") {
+    val dir = freshDir("cdf")
+    DeltaLake.stageCommit(spark, dir, frame(1 to 10), Seq.empty, 0L)
+    DeltaLake.stageUpdateCommit(spark, dir, col("id") === 3L,
+      Map("g" -> org.apache.spark.sql.functions.lit("updated")), 1L,
+      cdf = true)
+    DeltaLake.stageDeleteCommit(spark, dir, col("id") === 7L, 2L,
+      cdf = true)
+    val ckpt = freshDir("cdf_ck")
+    val batches = scala.collection.mutable
+      .Buffer.empty[Seq[(Long, String, Long)]]
+    val q = spark.readStream.format("graft-deltalake")
+      .option("readChangeFeed", "true")
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        batches.synchronized {
+          batches += b.select("id", "_change_type", "_commit_version")
+            .collect().map(r =>
+              (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches.length == 3, s"one batch per version: $batches")
+    // v0: synthesized inserts; v1: delta-sized pre/post pair; v2: delete
+    assert(batches(0).toSet ==
+      (1L to 10L).map(i => (i, "insert", 0L)).toSet)
+    assert(batches(1).toSet == Set((3L, "update_preimage", 1L),
+      (3L, "update_postimage", 1L)))
+    assert(batches(2).toSet == Set((7L, "delete", 2L)))
+    // a NON-CDF delete cannot be served as a feed: loud
+    DeltaLake.stageDeleteCommit(spark, dir, col("id") === 8L, 3L)
+    val e = intercept[Exception] {
+      val q2 = spark.readStream.format("graft-deltalake")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (_: Dataset[Row], _: Long) => () }
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("WITHOUT change files")),
+      s"expected the non-CDF refusal, got: ${messages(e)}")
+  }
+
   test("a delete window fails fast — inserts-only streams cannot retract") {
     val dir = freshDir("del")
     DeltaLake.stageCommit(spark, dir, frame(1 to 10), Seq.empty, 0L)
