@@ -572,9 +572,12 @@ object Iceberg {
           val cols = ids.map(id => nameById.getOrElse(id,
             throw new IllegalArgumentException(
               s"Iceberg: equality delete references unknown field id $id")))
+          // LIMIT before collect: the cap must bound DRIVER memory,
+          // not just post-hoc reject — an oversized delete file would
+          // otherwise OOM the driver before the guard fires
           val rows = spark.read
             .parquet(dels.map(d => resolveRef(path, d.path)): _*)
-            .select(cols.map(col): _*).collect()
+            .select(cols.map(col): _*).limit(100001).collect()
           if (rows.length > 100000) None // oversized: keep every file
           else Some(rows.toSeq.map { r =>
             val cmps = cols.zipWithIndex.map { case (c, i) =>
