@@ -257,6 +257,40 @@ object LakeReaderProbe {
         s"retract arm planned $retractFiles files — not delete-named-only")
     }
 
+    // equality-delete signed window at table scale (r11): one customer
+    // key equality-deleted on the same 100-file range-clustered table —
+    // the row-identity diff arm must scan only the files whose manifest
+    // bounds intersect the delete value, twice (cut-state vs end-state),
+    // never the surviving snapshot
+    locally {
+      val eqDir = graft.sources.Staging.stageOnce(dir, "probe_ice_eq",
+        Seq(s"$dir/orders.parquet")) { p =>
+        graft.sources.Iceberg.stageAppend(spark, p,
+          ord.repartitionByRange(100, col("o_orderkey")), Seq.empty)
+        graft.sources.Iceberg.stageEqDelete(spark, p,
+          ord.orderBy(col("o_custkey")).limit(1)
+            .select("o_custkey").distinct())
+        ()
+      }
+      val sids = graft.sources.Iceberg.snapshotIds(eqDir)
+      val t = System.nanoTime()
+      val ch = graft.sources.Iceberg.changes(spark, eqDir, sids.head,
+        Some(sids.last))
+      val retractFiles = ch.retracts.inputFiles
+        .map(f => new java.io.File(f).getName)
+        .count(n => !n.startsWith("eqdelete")).toLong
+      val nRetract = ch.retracts.count()
+      val windowS = (System.nanoTime() - t) / 1e9
+      println(f"iceberg EQ-delete signed window (1 customer key)  " +
+        f"diff arm plans $retractFiles%d data-file scans of 100 files; " +
+        f"$nRetract%d rows retracted in $windowS%5.2f s")
+      // data-dependent: files whose custkey bounds contain the deleted
+      // key (the table is orderkey-clustered); the invariant is "far
+      // below the 100-file snapshot", not an exact count
+      require(retractFiles <= 40,
+        s"diff arm planned $retractFiles scans — bounds pruning inactive")
+    }
+
     spark.stop()
   }
 }
