@@ -33,6 +33,33 @@ import graft.sources.DeltaLake
   * file-source machinery (log-derived file lists, pushdown, stats
   * skipping) runs unchanged inside the micro-batch.
   */
+/** Marks a batch frame STREAMING for the V1 `getBatch` contract: flag
+  * exactly ONE log-backed scan (`df.isStreaming` = any leaf streaming;
+  * the flag is the engine's marker, nothing more). Marking every scan
+  * would turn multi-scan batches — a MoR anti-join, a changelog's
+  * cut-vs-end diff — into unsupported STREAM-STREAM joins; the other
+  * scans are genuinely batch data inside the micro-batch. A frame with
+  * no log-backed scan (empty window) gets the empty streaming frame.
+  */
+private[streaming] object StreamMark {
+  def apply(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, schema: StructType): DataFrame = {
+    val g = org.apache.spark.sql.graft.GraftSql
+    var markedOne = false
+    val marked = g.analyzed(batch).transform {
+      case lr: LogicalRelation if !markedOne && lr.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+          lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.isInstanceOf[graft.sources.LogFileIndex] =>
+        markedOne = true
+        lr.copy(isStreaming = true)
+    }
+    if (marked.isStreaming) g.ofRows(spark, marked)
+    else g.emptyStreaming(spark, schema)
+  }
+}
+
 class DeltaLogStreamProvider extends StreamSourceProvider
     with DataSourceRegister {
 
@@ -191,25 +218,7 @@ class DeltaLogSource(ctx: SQLContext, path: String, startAfter: Long,
         DeltaLake.appended(spark, path, afterVersion = after,
           toVersion = Some(to))
       }
-    // the engine asserts getBatch returns a STREAMING frame; the scan
-    // itself is the normal log-backed single-scan construction. An
-    // empty window (compaction-only, or no files) has no relation node
-    // to flag — serve the empty streaming frame instead.
-    val g = org.apache.spark.sql.graft.GraftSql
-    // flag ONLY the log-backed scan streaming: a MoR batch also
-    // contains the delete-file side as a plain batch scan, and
-    // flagging it too would turn the anti-join into an (unsupported)
-    // stream-stream join — the delete side is genuinely batch data
-    val marked = g.analyzed(batch).transform {
-      case lr: LogicalRelation if lr.relation.isInstanceOf[
-            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
-          lr.relation.asInstanceOf[
-            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-            .location.isInstanceOf[graft.sources.LogFileIndex] =>
-        lr.copy(isStreaming = true)
-    }
-    if (marked.isStreaming) g.ofRows(spark, marked)
-    else g.emptyStreaming(spark, schema)
+    StreamMark(spark, batch, schema)
   }
 
   override def commit(end: Offset): Unit = {

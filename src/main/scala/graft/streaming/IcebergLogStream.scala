@@ -44,9 +44,18 @@ class IcebergLogStreamProvider extends StreamSourceProvider
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String])
-      : (String, StructType) =
-    ("graft-iceberg", schema.getOrElse(
-      Iceberg.snapshot(ctx.sparkSession, pathOf(parameters)).schema))
+      : (String, StructType) = {
+    val base = schema.getOrElse(
+      Iceberg.snapshot(ctx.sparkSession, pathOf(parameters)).schema)
+    ("graft-iceberg",
+      if (!changelogOf(parameters)) base
+      else StructType(base.fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType)))
+  }
+
+  private def changelogOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeLog").exists(_.toBoolean)
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -54,7 +63,8 @@ class IcebergLogStreamProvider extends StreamSourceProvider
     new IcebergLogSource(ctx, pathOf(parameters),
       parameters.get("startingSequence").map(_.toLong)
         .getOrElse(IcebergLogSource.Sentinel),
-      parameters.get("maxSnapshotsPerTrigger").map(_.toLong).getOrElse(1L))
+      parameters.get("maxSnapshotsPerTrigger").map(_.toLong).getOrElse(1L),
+      changelog = changelogOf(parameters))
 }
 
 object IcebergLogSource {
@@ -65,7 +75,7 @@ object IcebergLogSource {
 }
 
 class IcebergLogSource(ctx: SQLContext, path: String, startAfter: Long,
-    maxPerTrigger: Long) extends Source
+    maxPerTrigger: Long, changelog: Boolean = false) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   import IcebergLogSource.Sentinel
@@ -73,7 +83,13 @@ class IcebergLogSource(ctx: SQLContext, path: String, startAfter: Long,
   require(maxPerTrigger >= 1, "maxSnapshotsPerTrigger must be >= 1")
   private val spark = ctx.sparkSession
 
-  override val schema: StructType = Iceberg.snapshot(spark, path).schema
+  override val schema: StructType = {
+    val base = Iceberg.snapshot(spark, path).schema
+    if (!changelog) base
+    else StructType(base.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType))
+  }
 
   /** Highest sequence key handed out ([[Sentinel]] = nothing yet). */
   @volatile private var seen: Long = startAfter
@@ -151,10 +167,26 @@ class IcebergLogSource(ctx: SQLContext, path: String, startAfter: Long,
     seen = math.max(seen, toSeq)
     val h = history
     val toId = idAt(h, toSeq, "end")
-    val g = org.apache.spark.sql.graft.GraftSql
+    import org.apache.spark.sql.functions.lit
     val batch =
-      if (afterSeq == Sentinel) Iceberg.snapshot(spark, path, Some(toId))
-      else {
+      if (afterSeq == Sentinel) {
+        // bootstrap: the full current state (existing deletes applied)
+        val snap = Iceberg.snapshot(spark, path, Some(toId))
+        if (!changelog) snap
+        else snap.withColumn("_change_type", lit("insert"))
+      } else if (changelog) {
+        // CHANGELOG mode: the window's SIGNED row-level diff rendered
+        // as typed rows — Iceberg's changelog-scan shape. This is what
+        // makes row-level deletes STREAM: the MoR/equality netting in
+        // [[Iceberg.changes]] serves delta-sized insert/delete frames
+        // (a window this diff cannot attribute — removed delete files,
+        // schema drift — stays loud inside it)
+        val afterId = idAt(h, afterSeq, "cut")
+        val ch = Iceberg.changes(spark, path, afterId, Some(toId))
+        ch.inserts.withColumn("_change_type", lit("insert"))
+          .unionByName(
+            ch.retracts.withColumn("_change_type", lit("delete")))
+      } else {
         val afterId = idAt(h, afterSeq, "cut")
         // appended() requires a stable delete-file set and equal
         // schemas across the window — exactly the streamable contract
@@ -163,25 +195,12 @@ class IcebergLogSource(ctx: SQLContext, path: String, startAfter: Long,
           s"graft-iceberg stream: snapshots ($afterId, $toId] of $path " +
             "are not pure appends (a row-level delete, rewrite, or " +
             "schema change landed) — an inserts-only stream cannot " +
-            "express retraction; rebase the consumer and restart, or " +
-            "maintain through the signed seam " +
-            "(graft.ivm.IcebergSnapshots.signedRows)")
+            "express retraction; use option(\"readChangeLog\", \"true\") " +
+            "for a signed changelog stream, or maintain through the " +
+            "signed seam (graft.ivm.IcebergSnapshots.signedRows)")
         Iceberg.appended(spark, path, afterId, Some(toId))
       }
-    // flag ONLY the log-backed scan streaming: a MoR batch also
-    // contains the delete-file side as a plain batch scan, and
-    // flagging it too would turn the anti-join into an (unsupported)
-    // stream-stream join — the delete side is genuinely batch data
-    val marked = g.analyzed(batch).transform {
-      case lr: LogicalRelation if lr.relation.isInstanceOf[
-            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
-          lr.relation.asInstanceOf[
-            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-            .location.isInstanceOf[graft.sources.LogFileIndex] =>
-        lr.copy(isStreaming = true)
-    }
-    if (marked.isStreaming) g.ofRows(spark, marked)
-    else g.emptyStreaming(spark, schema)
+    StreamMark(spark, batch, schema)
   }
 
   override def commit(end: Offset): Unit = {

@@ -391,6 +391,50 @@ object StreamQueries {
              |    AS total
              |FROM orders
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // STREAMING ICEBERG CHANGELOG (r11): `readChangeLog` — row-level
+    // deletes STREAM on the second format too. Each batch is the
+    // window's SIGNED diff rendered as typed rows (the changelog-scan
+    // shape), powered by this round's MoR/equality netting: the staged
+    // table's four snapshots stream as two insert batches, the
+    // equality delete's value-matched DELETE rows (original prices),
+    // and the upsert's surviving inserts (+100). Hash equality vs the
+    // UNION-ALL oracle pins the netting, the sequence scoping, and the
+    // type routing through the real runtime.
+    QueryDef("stream_iceberg_changelog",
+      (s, d) => {
+        val dir = graft.engine.Queries.icebergOrdersEqDeleted(s, d)
+        replayTo(s, "complete") {
+          s.readStream.format("graft-iceberg")
+            .option("readChangeLog", "true").load(dir)
+            .groupBy(col("_change_type"), col("o_orderpriority"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("o_totalprice").cast(DecimalType(18, 2)))
+                .as("dec_sum"))
+        }
+          .select(col("_change_type").as("change_type"),
+            col("o_orderpriority"), col("cnt"),
+            col("dec_sum").cast("double").as("total"))
+          .orderBy("change_type", "o_orderpriority")
+      },
+      Some("""WITH feed AS (
+             |  SELECT 'insert' AS change_type, o_orderpriority,
+             |    o_totalprice
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'insert', o_orderpriority, o_totalprice + 100
+             |  FROM orders
+             |  WHERE o_custkey % 13 = 0 AND o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT 'delete', o_orderpriority, o_totalprice
+             |  FROM orders WHERE o_custkey % 13 = 0
+             |)
+             |SELECT change_type, o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM feed
+             |GROUP BY change_type, o_orderpriority
+             |ORDER BY change_type, o_orderpriority""".stripMargin))
   )
 }

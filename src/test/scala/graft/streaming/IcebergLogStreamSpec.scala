@@ -113,6 +113,38 @@ class IcebergLogStreamSpec extends AnyFunSuite with SparkFixture {
       s"expected the expiration refusal, got: ${messages(e)}")
   }
 
+  test("readChangeLog streams signed typed rows: MoR and equality " +
+      "deletes flow as delete rows instead of failing") {
+    val dir = freshDir("chlog")
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+    Iceberg.stageAppend(spark, dir, df, Seq.empty)
+    Iceberg.stageMorDelete(spark, dir, col("id") % 5 === 0)
+    Iceberg.stageEqDelete(spark, dir, Seq(3L).toDF("id"))
+    val batches = scala.collection.mutable
+      .Buffer.empty[Set[(Long, String)]]
+    val q = spark.readStream.format("graft-iceberg")
+      .option("readChangeLog", "true")
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", freshDir("chlog_ck"))
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        batches.synchronized {
+          batches += b.select("id", "_change_type").collect()
+            .map(r => (r.getLong(0), r.getString(1))).toSet
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches.length == 3, s"one batch per snapshot: $batches")
+    // bootstrap inserts, then a MoR delete batch, then an eq delete
+    assert(batches(0) == (1L to 20L).map(i => (i, "insert")).toSet)
+    assert(batches(1) ==
+      (1L to 20L).filter(_ % 5 == 0).map(i => (i, "delete")).toSet)
+    assert(batches(2) == Set((3L, "delete")))
+  }
+
   test("bootstrap applies existing MoR deletes, then tails appends") {
     val dir = freshDir("boot")
     Iceberg.stageAppend(spark, dir, frame(1 to 10), Seq.empty)
