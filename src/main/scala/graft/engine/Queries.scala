@@ -2146,6 +2146,85 @@ object Queries {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // DELETE-FILE COMPACTION through the seam (r11): the maintenance
+    // window holds a positional-delete COMPACTION (both delete files
+    // replaced by one merged file — the rewrite_position_delete_files
+    // shape) AND a fresh delete, previously an unconditional
+    // rebase-fail-fast on any removal. The row-identity diff of the
+    // surviving files under the cut's vs the end's complete delete
+    // sets attributes the compaction as zero rows and the new delete
+    // as exactly its newly-dead rows, so the stored view maintains
+    // without rebasing. Hash equality vs the three-predicate oracle
+    // (incl. countDistinct) pins that the merged file neither masks
+    // nor doubles anything.
+    QueryDef("delta_iceberg_compact",
+      (s, d) => {
+        import graft.ivm.IcebergSnapshots
+        val dir = icebergOrdersMorCompacted(s, d)
+        val aggOf = (df: org.apache.spark.sql.DataFrame) => df
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+        // stored view: built at snapshot 4 (both deletes applied,
+        // pre-compaction)
+        IcebergSnapshots.track(s, "ice_orders_cmp", dir, at = Some(4L))
+        val stored = aggOf(graft.sources.Iceberg
+          .snapshot(s, dir, snapshotId = Some(4L)))
+        IcebergSnapshots.maintainAgg(s, "ice_orders_cmp", stored,
+          Seq("o_orderpriority"), aggOf)
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE NOT (o_custkey % 11 = 0
+             |    AND o_orderpriority IN ('1-URGENT', '5-LOW'))
+             |  AND NOT (o_custkey % 11 = 7 AND o_orderpriority = '5-LOW')
+             |  AND NOT (o_custkey % 11 = 3
+             |    AND o_orderpriority = '3-MEDIUM')
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // UNDELETE through the seam (r11): the window REMOVES a delete
+    // file without replacement, so its rows come back to life — the
+    // row-identity diff attributes them to the INSERT frame and the
+    // stored view maintains forward (no rebase). The oracle applies
+    // only the SURVIVING delete: a seam that missed the resurrection
+    // keeps the second delete's rows out and shifts every affected
+    // group.
+    QueryDef("delta_iceberg_undelete",
+      (s, d) => {
+        import graft.ivm.IcebergSnapshots
+        val dir = icebergOrdersUndeleted(s, d)
+        val aggOf = (df: org.apache.spark.sql.DataFrame) => df
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+        // stored view: built at snapshot 4 (both deletes applied);
+        // snapshot 5 undoes the second
+        IcebergSnapshots.track(s, "ice_orders_und", dir, at = Some(4L))
+        val stored = aggOf(graft.sources.Iceberg
+          .snapshot(s, dir, snapshotId = Some(4L)))
+        IcebergSnapshots.maintainAgg(s, "ice_orders_und", stored,
+          Seq("o_orderpriority"), aggOf)
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE NOT (o_custkey % 11 = 0
+             |    AND o_orderpriority IN ('1-URGENT', '5-LOW'))
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // COLUMN RENAME under the oracle (r11): the staged table renames
     // `o_totalprice` → `price` BETWEEN its two appends, so its data
     // files disagree on the physical column name — the 90% base carries
@@ -2203,6 +2282,40 @@ object Queries {
              |FROM events
              |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
              |  AND ts < TIMESTAMP '2024-01-17 00:00:00'
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // PARTITION SPEC EVOLUTION (r11): the staged events table STARTS
+    // unpartitioned (spec 0, the pre-Jan-16 era in one file) and adds
+    // `days(ts)` partitioning later (spec 1, the rest as one file per
+    // day) — routine production maintenance, previously fail-fast.
+    // Each manifest's partition records decode against the spec it was
+    // written under; a 7-day window fully inside the partitioned era
+    // prunes its day files and keeps the pre-evolution file
+    // conservatively (no days field in its spec). Hash equality vs the
+    // raw-parquet oracle pins that both eras' rows surface exactly
+    // once under one scan; IcebergTransformSpec pins the pruned file
+    // counts in both directions.
+    QueryDef("iceberg_spec_evolution",
+      (s, d) => {
+        val dir = icebergEventsSpecEvolved(s, d)
+        graft.sources.Iceberg.snapshotWhere(s, dir,
+          col("ts") >= lit(java.time.LocalDateTime.of(2024, 1, 18, 0, 0))
+            && col("ts") < lit(java.time.LocalDateTime.of(2024, 1, 25, 0, 0)))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast("double").as("sum_value"),
+            max(col("event_id")).as("max_id"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_value,
+             |  MAX(event_id) AS max_id
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-18 00:00:00'
+             |  AND ts < TIMESTAMP '2024-01-25 00:00:00'
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
@@ -2766,6 +2879,25 @@ object Queries {
       ()
     }
 
+  /** The spec-EVOLVED Iceberg events table — the
+    * `iceberg_spec_evolution` fixture: the pre-Jan-16 era appended
+    * UNPARTITIONED (spec 0, one file), then the rest under `days(ts)`
+    * (spec 1 — becomes the default; one file per day).
+    */
+  private[graft] def icebergEventsSpecEvolved(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_events_specevo_s1",
+      Seq(s"$d/events.parquet")) { p =>
+      val ev = t(s, d, "events")
+      val tsed = ev.withColumn("ts", Tables.tsMicros(ev))
+      val pivot = lit(java.time.LocalDateTime.of(2024, 1, 16, 0, 0))
+      graft.sources.Iceberg.stageAppend(s, p,
+        tsed.filter(col("ts") < pivot).coalesce(1), Seq.empty)
+      graft.sources.Iceberg.stageAppend(s, p,
+        tsed.filter(col("ts") >= pivot).coalesce(1), Seq("days(ts)"))
+      ()
+    }
+
   /** The Iceberg table with an EQUALITY DELETE then an UPSERT-style
     * re-insert — the `iceberg_eq_delete` fixture: two appends (seq
     * 1/2), an equality delete on every 13th customer's key (seq 3),
@@ -2812,6 +2944,61 @@ object Queries {
           col("o_orderpriority").isin("1-URGENT", "5-LOW"))
       graft.sources.Iceberg.stageMorDelete(s, p,
         col("o_custkey") % 11 === 7 && col("o_orderpriority") === "5-LOW")
+      ()
+    }
+
+  /** The MoR table whose maintenance window holds a DELETE-FILE
+    * COMPACTION and a new delete — the `delta_iceberg_compact`
+    * fixture: the usual two-append 90/10 split, accumulating delete
+    * files at snapshots 3 and 4, the compaction at 5 (both files
+    * merged into one — [[graft.sources.Iceberg.stageCompactDeletes]]),
+    * and a THIRD delete at 6. Deterministic predicates for the
+    * first-principles oracle.
+    */
+  private[graft] def icebergOrdersMorCompacted(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_cmp_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") < c1), Seq("o_orderpriority"))
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") >= c1), Seq("o_orderpriority"))
+      graft.sources.Iceberg.stageMorDelete(s, p,
+        col("o_custkey") % 11 === 0 &&
+          col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      graft.sources.Iceberg.stageMorDelete(s, p,
+        col("o_custkey") % 11 === 7 && col("o_orderpriority") === "5-LOW")
+      graft.sources.Iceberg.stageCompactDeletes(s, p)
+      graft.sources.Iceberg.stageMorDelete(s, p,
+        col("o_custkey") % 11 === 3 &&
+          col("o_orderpriority") === "3-MEDIUM")
+      ()
+    }
+
+  /** The MoR table whose maintenance window UNDELETES — the
+    * `delta_iceberg_undelete` fixture: two appends, delete files at
+    * snapshots 3 and 4, then snapshot 5 REMOVES the second delete file
+    * without replacement ([[graft.sources.Iceberg.stageUndelete]]), so
+    * its rows come back to life.
+    */
+  private[graft] def icebergOrdersUndeleted(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_und_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") < c1), Seq("o_orderpriority"))
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") >= c1), Seq("o_orderpriority"))
+      graft.sources.Iceberg.stageMorDelete(s, p,
+        col("o_custkey") % 11 === 0 &&
+          col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      graft.sources.Iceberg.stageMorDelete(s, p,
+        col("o_custkey") % 11 === 7 && col("o_orderpriority") === "5-LOW")
+      graft.sources.Iceberg.stageUndelete(s, p)
       ()
     }
 

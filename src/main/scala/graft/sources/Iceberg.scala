@@ -43,10 +43,12 @@ import org.apache.spark.sql.types._
   * carries the spec's field ids as `parquet.field.id` metadata and the
   * scan matches parquet columns BY ID, so pre-rename files read
   * correctly under post-rename names; current reads resolve the current
-  * schema, time travel each snapshot's own). Fail-fast (never silently
-  * wrong): unsupported types, delete-file removals and in-window
-  * equality deletes in a signed window, and data files carrying no
-  * field ids at all (they need the spec's name-mapping).
+  * schema, time travel each snapshot's own). Signed windows also net
+  * in-window equality deletes and DELETE-FILE REMOVALS (compaction /
+  * undelete) via the row-identity diff arm of [[changes]]. Fail-fast
+  * (never silently wrong): unsupported types, schema drift inside a
+  * signed window, and data files carrying no field ids at all (they
+  * need the spec's name-mapping).
   */
 object Iceberg {
 
@@ -68,12 +70,24 @@ object Iceberg {
       partitionColumns: Seq[String], files: Seq[IceFile],
       deleteFiles: Seq[IceFile] = Seq.empty,
       transforms: Seq[IcebergTransforms.Field] = Seq.empty,
-      fieldIdToName: Map[Int, String] = Map.empty) {
+      fieldIdToName: Map[Int, String] = Map.empty,
+      allTransforms: Seq[IcebergTransforms.Field] = Seq.empty) {
     /** The spec in the writer's string syntax (DML fixtures re-commit
-      * a table's existing spec verbatim).
+      * a table's existing spec verbatim). Always the DEFAULT spec —
+      * never the union (`allTransforms`), which exists only for
+      * pruning.
       */
     def specStrings: Seq[String] =
       transforms.map(IcebergTransforms.specString)
+
+    /** Transform fields across EVERY spec (deduped by field name,
+      * conflicting definitions dropped) — the PRUNING surface under
+      * spec evolution: a pre-evolution file can still prune on the
+      * fields its own spec carried even when the default spec dropped
+      * them. Falls back to the default spec's fields.
+      */
+    def pruneTransforms: Seq[IcebergTransforms.Field] =
+      if (allTransforms.isEmpty) transforms else allTransforms
   }
 
   // ---- metadata resolution ----------------------------------------------
@@ -226,20 +240,22 @@ object Iceberg {
           s"schema-id $schemaId not in the schemas list)"))
     val schema = structFromIceberg(schemaNode)
 
-    // default partition spec. v2 keeps a `partition-specs` list +
-    // `default-spec-id`; v1 metadata carries a bare `partition-spec`
-    // fields array — reading only the v2 key would silently treat a v1
-    // table as unpartitioned (no pruning, and all-NULL partition
-    // columns for files that don't carry them)
+    // partition specs, ALL of them keyed by spec-id (v2 keeps a
+    // `partition-specs` list + `default-spec-id`; v1 metadata carries a
+    // bare `partition-spec` fields array = spec 0 — reading only the v2
+    // key would silently treat a v1 table as unpartitioned). The FULL
+    // map is what makes PARTITION SPEC EVOLUTION readable: each
+    // manifest's partition records decode against the spec the manifest
+    // was written under, never the default (r11 — previously fail-fast).
     val defaultSpecId =
       Option(md.get("default-spec-id")).map(_.asInt).getOrElse(0)
-    val specNode = Option(md.get("partition-specs")).flatMap { ss =>
-      ss.elements().asScala.find(_.get("spec-id").asInt == defaultSpecId)
-    }
-    val partFields = specNode.map(_.get("fields").elements().asScala.toSeq)
-      .orElse(Option(md.get("partition-spec"))
-        .map(_.elements().asScala.toSeq))
-      .getOrElse(Seq.empty)
+    val specNodes: Map[Int, Seq[JsonNode]] =
+      Option(md.get("partition-specs")).map { ss =>
+        ss.elements().asScala.map(sp => sp.get("spec-id").asInt ->
+          sp.get("fields").elements().asScala.toSeq).toMap
+      }.orElse(Option(md.get("partition-spec"))
+        .map(f => Map(0 -> f.elements().asScala.toSeq)))
+        .getOrElse(Map(0 -> Seq.empty))
 
     // field-id → (name, type) for decoding manifest bounds (the spec
     // keys bounds by field id; top-level primitive fields only)
@@ -255,7 +271,8 @@ object Iceberg {
     // year/bucket/truncate) are DERIVED values used for file pruning
     // only — the source column stays in the data files (hidden
     // partitioning). Unknown transforms fail fast in parseTransform.
-    val transforms: Seq[IcebergTransforms.Field] = partFields.map { f =>
+    def mkTransforms(partFields: Seq[JsonNode])
+        : Seq[IcebergTransforms.Field] = partFields.map { f =>
       val tr = IcebergTransforms.parseTransform(f.get("transform").asText)
       val fieldName = f.get("name").asText
       val (srcName, srcType) = Option(f.get("source-id")).map(_.asInt)
@@ -265,6 +282,12 @@ object Iceberg {
             .getOrElse(NullType)))
       IcebergTransforms.Field(fieldName, srcName, srcType, tr)
     }
+    val specs: Map[Int, Seq[IcebergTransforms.Field]] =
+      specNodes.map { case (id, fs) => id -> mkTransforms(fs) }
+    val transforms = specs.getOrElse(defaultSpecId,
+      throw new IllegalStateException(s"Iceberg metadata at $path names " +
+        s"default-spec-id $defaultSpecId but the partition-specs list " +
+        s"only holds ids ${specNodes.keys.toSeq.sorted.mkString(",")}"))
     val partCols = transforms
       .filter(_.transform == IcebergTransforms.Identity)
       .map(_.sourceName)
@@ -289,19 +312,38 @@ object Iceberg {
         .getOrElse(0)
       require(content == 0 || content == 1,
         s"Iceberg: manifest content $content is not supported")
-      // PARTITION SPEC EVOLUTION guard: every manifest's partition
-      // records are decoded against the DEFAULT spec's transforms — a
-      // manifest written under an OLDER spec has a different partition
-      // record shape, which would decode to null partition values and
-      // silently surface wrong rows (and real pre-evolution files keep
-      // the column in their data, which this reader's partition-column
-      // construction would then ignore). Loud instead.
-      Option(optF(mf, "partition_spec_id")).map(_.toString.toInt)
-        .foreach(sid => require(sid == defaultSpecId,
+      // PARTITION SPEC EVOLUTION (r11): each manifest's partition
+      // records decode against the spec the manifest was WRITTEN under
+      // (its `partition_spec_id`), never the default — an older spec
+      // has a different partition record shape, and decoding it with
+      // the default's field names would surface null partition values
+      // and silently wrong pruning. Transform fields a file's spec
+      // lacks simply stay absent from its value map (pruning is
+      // conservative on absence). The one layout this single-scan
+      // reader cannot mix is IDENTITY evolution: identity columns are
+      // constant-attached from the log instead of read from data, so
+      // every live data manifest must agree on the identity set —
+      // loud otherwise.
+      val specId = Option(optF(mf, "partition_spec_id"))
+        .map(_.toString.toInt).getOrElse(defaultSpecId)
+      val mTransforms = specs.getOrElse(specId,
+        throw new IllegalStateException(
+          s"Iceberg: manifest ${optF(mf, "manifest_path")} names " +
+            s"partition spec $specId but the metadata's partition-specs " +
+            s"list only holds ids ${specs.keys.toSeq.sorted.mkString(",")}"))
+      if (content == 0) {
+        val mIdentity = mTransforms
+          .filter(_.transform == IcebergTransforms.Identity)
+          .map(_.sourceName).toSet
+        require(mIdentity == partCols.toSet,
           s"Iceberg: manifest ${optF(mf, "manifest_path")} was written " +
-            s"under partition spec $sid but the table's default spec is " +
-            s"$defaultSpecId — partition spec evolution is not " +
-            "supported by this reader"))
+            s"under partition spec $specId whose IDENTITY columns " +
+            s"(${mIdentity.toSeq.sorted.mkString(",")}) differ from the " +
+            s"default spec's (${partCols.sorted.mkString(",")}) — " +
+            "identity-partition evolution changes which columns live in " +
+            "the data files and is not supported by this reader " +
+            "(transform-only spec evolution is)")
+      }
       // the manifest-list entry's sequence number is the DEFAULT a null
       // entry-level number inherits (the spec's inheritance rule for
       // entries added by the manifest's own snapshot)
@@ -354,7 +396,7 @@ object Iceberg {
           else {
             val pv = Option(df.get("partition"))
               .map(_.asInstanceOf[GenericRecord]) match {
-              case Some(p) => transforms.map { tf =>
+              case Some(p) => mTransforms.map { tf =>
                 val key =
                   if (tf.transform == IcebergTransforms.Identity)
                     tf.sourceName
@@ -378,9 +420,16 @@ object Iceberg {
         }
       }
     }
+    // pruning surface = UNION of every spec's fields, deduped by field
+    // name; a field name two specs define DIFFERENTLY is dropped from
+    // pruning entirely (conservative — its value's meaning is ambiguous)
+    val unionTransforms = specs.values.flatten.toSeq
+      .groupBy(_.fieldName).valuesIterator
+      .filter(fs => fs.forall(_ == fs.head)).map(_.head).toSeq
     SnapshotMeta(wantId, schema, partCols, files.values.toSeq,
       deletes.values.toSeq, transforms,
-      idMap.map { case (id, (name, _)) => id -> name })
+      idMap.map { case (id, (name, _)) => id -> name },
+      allTransforms = unionTransforms)
   }
 
   /** Snapshot read as of `snapshotId` (default: current) — ONE scan over
@@ -441,11 +490,23 @@ object Iceberg {
     * applies the delete files of ITS OWN side — inserts subtract the
     * END set (a new file born with deletes on it contributes only its
     * live rows), removed-file retracts subtract the CUT set (their
-    * state when the view last saw them). Still fail-fast: a REMOVED
-    * delete file (delete compaction — the diff can't tell a rewrite
-    * from a semantic undelete) and EQUALITY deletes landing in the
-    * window (value-keyed retraction needs sequence-scoped matching
-    * against cut-live rows; rebase instead).
+    * state when the view last saw them).
+    *
+    * DELETE-FILE REMOVALS (r11): a window that REMOVES delete files —
+    * delete compaction (`rewrite_position_delete_files` maintenance:
+    * old delete files replaced by a merged equivalent) or a semantic
+    * UNDELETE (a delete file dropped without replacement) — routes
+    * through the same general arm as equality deletes: the row-identity
+    * diff of the surviving files under the cut's vs the end's COMPLETE
+    * delete sets attributes every direction exactly. Rows dead at the
+    * cut but live at the end (an undelete) join the INSERT frame; a
+    * pure compaction diffs to zero rows on both sides (the merged file
+    * kills the same positions) — delta-sized, no rebase. The touched
+    * scan is pruned to files referenced by ANY changed delete file
+    * (named by a changed positional delete, or bounds-intersecting a
+    * changed equality delete). Removed delete files must still be
+    * readable (physical cleanup lags logical removal on real tables;
+    * a vacuumed delete file fails loudly at the parquet read).
     */
   def changes(spark: SparkSession, path: String, afterSnapshotId: Long,
       toSnapshotId: Option[Long] = None): DeltaLake.Changes = {
@@ -458,17 +519,14 @@ object Iceberg {
         "the maintained view from the current snapshot")
     val cutDelPaths = cut.deleteFiles.map(_.path).toSet
     val endDelPaths = end.deleteFiles.map(_.path).toSet
-    require(cutDelPaths.subsetOf(endDelPaths),
-      s"Iceberg.changes: snapshots ($afterSnapshotId, ${end.snapshotId}] " +
-        s"of $path REMOVE delete files (a delete-file compaction or " +
-        "undelete): the snapshot diff cannot attribute which rows " +
-        "returned — rebase the maintained view from the current snapshot")
     val newDeletes =
       end.deleteFiles.filterNot(f => cutDelPaths.contains(f.path))
+    val removedDeletes =
+      cut.deleteFiles.filterNot(f => endDelPaths.contains(f.path))
     val cutPaths = cut.files.map(_.path).toSet
     val endPaths = end.files.map(_.path).toSet
-    val inserts = end.copy(
-      files = end.files.filterNot(f => cutPaths.contains(f.path)))
+    var inserts = scanOf(spark, path, end.copy(
+      files = end.files.filterNot(f => cutPaths.contains(f.path))))
     // removed files retract at their CUT state: the END delete set may
     // include in-window deletes on them, but those rows were live when
     // the view last saw the file and must retract with it
@@ -478,7 +536,7 @@ object Iceberg {
     var retracts = scanOf(spark, path, removed)
     val newPos = newDeletes.filter(_.content == 1)
     val newEq = newDeletes.filter(_.content == 2)
-    if (newEq.isEmpty && newPos.nonEmpty) {
+    if (removedDeletes.isEmpty && newEq.isEmpty && newPos.nonEmpty) {
       // POSITIONAL-ONLY window (fast path): rows of files live on BOTH
       // sides that a new positional delete names — live at the cut
       // (cut deletes applied), now dead. The scan arm is pruned to the
@@ -508,22 +566,28 @@ object Iceberg {
           col("_metadata.row_index") === col("__dpos"), "left_semi")
         .select(end.schema.fieldNames.toIndexedSeq.map(col): _*)
       retracts = retracts.unionByName(newlyDead)
-    } else if (newEq.nonEmpty) {
-      // EQUALITY deletes landed (the Flink CDC upsert shape; possibly
-      // mixed with positional ones): retraction is VALUE-keyed, so the
-      // general construction is a row-identity diff of the surviving
-      // files — rows live under the CUT's delete set but dead under
-      // the END's are exactly the newly-dead rows. This reuses the
-      // full delete application (null-safe matching, sequence-number
-      // scoping, positional/equality composition) on both sides and
-      // never double-retracts a row hit by both kinds. Scan pruning:
-      // a surviving file is TOUCHED only if a new positional delete
-      // names it or a new equality delete's values intersect its
-      // manifest bounds ([[eqTouched]] — driver-side over the
-      // churn-bounded delete rows; conservative on nulls/no-bounds).
+    } else if (newEq.nonEmpty || removedDeletes.nonEmpty) {
+      // GENERAL arm — EQUALITY deletes landed (the Flink CDC upsert
+      // shape; possibly mixed with positional ones) and/or delete
+      // files were REMOVED (compaction / undelete): attribution needs
+      // the row-identity diff of the surviving files — rows live under
+      // the CUT's complete delete set but dead under the END's are the
+      // newly-dead rows (retract), rows dead at the cut but live at
+      // the end are resurrected (insert — only possible under a
+      // removal). This reuses the full delete application (null-safe
+      // matching, sequence-number scoping, positional/equality
+      // composition) on both sides and never double-counts a row hit
+      // by both kinds. Scan pruning: a surviving file is TOUCHED only
+      // if a CHANGED (new or removed) positional delete names it or a
+      // changed equality delete's values intersect its manifest bounds
+      // ([[eqTouched]] — driver-side over the churn-bounded delete
+      // rows; conservative on nulls/no-bounds).
       import org.apache.spark.sql.functions.{col, regexp_replace}
+      val changedPos = newPos ++ removedDeletes.filter(_.content == 1)
+      val changedEq = newEq ++ removedDeletes.filter(_.content == 2)
       val surviving0 = end.files.filter(f => cutPaths.contains(f.path))
-      val touched = eqTouched(spark, path, end, surviving0, newPos, newEq)
+      val touched =
+        eqTouched(spark, path, end, surviving0, changedPos, changedEq)
       def rowKey(df: DataFrame): DataFrame = df
         .withColumn("__fp", regexp_replace(
           col("_metadata.file_path"), "^file:/+", "/"))
@@ -533,20 +597,28 @@ object Iceberg {
         withMeta = true))
       val atEnd = rowKey(scanOf(spark, path,
         end.copy(files = touched, deleteFiles = end.deleteFiles),
-        withMeta = true)).select("__fp", "__ri")
-      val newlyDead = atCut.join(atEnd, Seq("__fp", "__ri"), "left_anti")
+        withMeta = true))
+      val newlyDead = atCut.join(atEnd.select("__fp", "__ri"),
+          Seq("__fp", "__ri"), "left_anti")
         .select(end.schema.fieldNames.toIndexedSeq.map(col): _*)
       retracts = retracts.unionByName(newlyDead)
+      if (removedDeletes.nonEmpty) {
+        val newlyAlive = atEnd.join(atCut.select("__fp", "__ri"),
+            Seq("__fp", "__ri"), "left_anti")
+          .select(end.schema.fieldNames.toIndexedSeq.map(col): _*)
+        inserts = inserts.unionByName(newlyAlive)
+      }
     }
-    DeltaLake.Changes(scanOf(spark, path, inserts), retracts)
+    DeltaLake.Changes(inserts, retracts)
   }
 
-  /** The surviving data files a window's new delete files may TOUCH:
-    * named by a new positional delete row, or value-intersecting a new
-    * equality delete row per the manifest bounds (decided driver-side
-    * against the churn-bounded delete rows via the shared conservative
-    * stats machinery; a null equality value, missing bounds, or an
-    * oversized delete set keeps every file).
+  /** The surviving data files a window's CHANGED (new or removed)
+    * delete files may TOUCH: named by a changed positional delete row,
+    * or value-intersecting a changed equality delete row per the
+    * manifest bounds (decided driver-side against the churn-bounded
+    * delete rows via the shared conservative stats machinery; a null
+    * equality value, missing bounds, or an oversized delete set keeps
+    * every file).
     */
   private def eqTouched(spark: SparkSession, path: String,
       end: SnapshotMeta, surviving: Seq[IceFile], newPos: Seq[IceFile],
@@ -635,7 +707,7 @@ object Iceberg {
       snapshotId: Option[Long] = None): DataFrame = {
     val sm = resolve(spark, path, snapshotId)
     val pred = org.apache.spark.sql.graft.GraftSql.predicateTree(predicate)
-    val active = sm.transforms
+    val active = sm.pruneTransforms
       .filter(_.transform != IcebergTransforms.Identity)
     val kept = sm.files.filter(f => StatsSkip.mayMatch(pred, sm.schema,
       sm.partitionColumns, f.partitionValues, f.stats) &&
@@ -671,7 +743,7 @@ object Iceberg {
     // evaluated in LakeScan for every format); lowering memoized per
     // scan, stats parsed once per file — shared keep (StatsSkip)
     val statsKeep = StatsSkip.memoKeep(sm.schema, sm.partitionColumns)
-    val transformKeep = IcebergTransforms.memoKeep(sm.transforms)
+    val transformKeep = IcebergTransforms.memoKeep(sm.pruneTransforms)
     val keep = (filters: Seq[org.apache.spark.sql.catalyst.expressions
       .Expression], lf: LogFile) =>
       statsKeep(filters, lf) && transformKeep(filters, lf)
@@ -1165,6 +1237,27 @@ object Iceberg {
     val boundsArraySchema = dfSchema.getField("lower_bounds").schema()
       .getTypes.get(1)
     val ids = fieldIds(tableSchema) // one pre-order walk per commit
+    // PARTITION-SPEC RESOLUTION (r11, spec evolution): render the
+    // commit's spec to semantic tuples and match against the prior
+    // metadata's spec list — an identical spec REUSES its id (DML
+    // re-commits stay stable), a different one appends as id max+1 and
+    // becomes the default. Prior specs carry forward verbatim, and
+    // each manifest-list entry keeps the id its manifest was written
+    // under — which is what makes evolved tables readable.
+    val newSpecTuples = spec.map(f => (f.fieldName,
+      IcebergTransforms.transformJson(f.transform), ids(f.sourceName)))
+    val priorSpecs: Seq[(Int, String, Seq[(String, String, Int)])] =
+      priorMd.toSeq.flatMap { md =>
+        Option(md.get("partition-specs")).map(_.elements().asScala.toSeq
+          .map { sp =>
+            (sp.get("spec-id").asInt, M.writeValueAsString(sp),
+              sp.get("fields").elements().asScala.toSeq.map(f =>
+                (f.get("name").asText, f.get("transform").asText,
+                  f.get("source-id").asInt)))
+          }).getOrElse(Seq.empty)
+      }
+    val specId = priorSpecs.find(_._3 == newSpecTuples).map(_._1)
+      .getOrElse(priorSpecs.map(_._1).maxOption.map(_ + 1).getOrElse(0))
     def boundsList(perCol: Map[String, (Any, Any)],
         takeMin: Boolean): java.util.List[GenericRecord] = {
       val items = boundsArraySchema.getElementType
@@ -1237,7 +1330,7 @@ object Iceberg {
         |{"name":"content","type":"int"},
         |{"name":"added_snapshot_id","type":["null","long"],"default":null}
         |]}""".stripMargin)
-    val priorManifests: Seq[(String, Long, Int)] =
+    val priorManifests: Seq[(String, Long, Int, Int)] =
       priorMd.toSeq.flatMap { md =>
         val lastSnap = md.get("snapshots").elements().asScala.toSeq
           .find(_.get("snapshot-id").asLong ==
@@ -1247,7 +1340,11 @@ object Iceberg {
             .map(r => (r.get("manifest_path").toString,
               r.get("manifest_length").toString.toLong,
               Option(r.getSchema.getField("content"))
-                .map(_ => r.get("content").toString.toInt).getOrElse(0)))
+                .map(_ => r.get("content").toString.toInt).getOrElse(0),
+              // each manifest keeps the spec it was WRITTEN under
+              Option(r.getSchema.getField("partition_spec_id"))
+                .map(_ => r.get("partition_spec_id").toString.toInt)
+                .getOrElse(0)))
         }
       }
     val mlFile = new java.io.File(mdDir, f"snap-$snapshotId%d.avro")
@@ -1255,12 +1352,12 @@ object Iceberg {
       new GenericDatumWriter[GenericRecord](mlSchema))
     lw.create(mlSchema, mlFile)
     (priorManifests ++ newManifests.map { case (f, c) =>
-        (s"metadata/${f.getName}", f.length(), c) })
-      .foreach { case (p, len, content) =>
+        (s"metadata/${f.getName}", f.length(), c, specId) })
+      .foreach { case (p, len, content, sid) =>
         val r = new GenericData.Record(mlSchema)
         r.put("manifest_path", p)
         r.put("manifest_length", len)
-        r.put("partition_spec_id", 0)
+        r.put("partition_spec_id", sid)
         r.put("content", content)
         r.put("added_snapshot_id", snapshotId)
         lw.append(r)
@@ -1275,6 +1372,12 @@ object Iceberg {
       s"""{"name":"${f.fieldName}","transform":"$tr","source-id":$sid,""" +
         s""""field-id":${1000 + i}}"""
     }.mkString(",")
+    // the FULL spec history, ordered by id: prior specs verbatim, this
+    // commit's spec re-rendered under its (reused or fresh) id
+    val specsJson = (priorSpecs.filterNot(_._1 == specId).map(s =>
+        (s._1, s._2)) :+
+        (specId, s"""{"spec-id":$specId,"fields":[$specFields]}"""))
+      .sortBy(_._1).map(_._2).mkString(",")
     val priorSnaps = priorMd.map(_.get("snapshots").elements().asScala
       .map(M.writeValueAsString).mkString(",")).filter(_.nonEmpty)
     // carry the SCHEMA HISTORY forward (a rename appended a schema and
@@ -1302,8 +1405,8 @@ object Iceberg {
          |"last-column-id":${tableSchema.size},
          |"schemas":[$schemasJson],
          |"current-schema-id":$curSchemaId,
-         |"partition-specs":[{"spec-id":0,"fields":[$specFields]}],
-         |"default-spec-id":0,"last-partition-id":${999 + spec.size},
+         |"partition-specs":[$specsJson],
+         |"default-spec-id":$specId,"last-partition-id":${999 + spec.size},
          |"current-snapshot-id":$snapshotId,
          |"snapshots":[$snapsJson]}""".stripMargin
     java.nio.file.Files.writeString(
@@ -1576,6 +1679,65 @@ object Iceberg {
     commitSnapshot(spark, tableDir, cur.schema, cur.specStrings,
       Seq(Entry(1, rel, dest.length(), Map.empty, n, Map.empty,
         content = 2, equalityIds = eqIds)), "delete")
+  }
+
+  /** Compact the table's live POSITIONAL delete files into ONE merged
+    * delete file — the maintenance shape Iceberg's
+    * `rewrite_position_delete_files` procedure produces: the union of
+    * the live delete rows lands as a single file, the old delete files
+    * are marked DELETED in the new delete manifest. A content NO-OP
+    * for readers; the signed window's row-identity diff nets it to
+    * zero rows. Fixture machinery for the removal-window read path.
+    */
+  def stageCompactDeletes(spark: SparkSession, tableDir: String): Long = {
+    val root = new java.io.File(tableDir)
+    val cur = resolve(spark, tableDir, None)
+    val posFiles = cur.deleteFiles.filter(_.content == 1)
+    require(posFiles.size >= 2,
+      "stageCompactDeletes: need at least two live positional delete " +
+        "files to compact")
+    require(cur.deleteFiles.forall(_.content == 1),
+      "stageCompactDeletes: equality deletes are not compacted by this " +
+        "fixture writer")
+    val (_, version) = priorState(metadataDir(tableDir))
+    val tmp = new java.io.File(root, s"_ice_cmp_tmp_$version")
+    val mergedRows = spark.read
+      .parquet(posFiles.map(f => resolveRef(tableDir, f.path)): _*)
+      .select("file_path", "pos").distinct()
+    val n = mergedRows.count()
+    mergedRows.coalesce(1).sortWithinPartitions("file_path", "pos")
+      .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = Option(tmp.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).head
+    val rel = s"data/delete-compact-$version-${part.getName}"
+    val dest = new java.io.File(root, rel)
+    dest.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
+    val drops = posFiles.map(f => Entry(2, f.path,
+      new java.io.File(resolveRef(tableDir, f.path)).length(), Map.empty,
+      0L, Map.empty, content = 1))
+    commitSnapshot(spark, tableDir, cur.schema, cur.specStrings,
+      drops :+ Entry(1, rel, dest.length(), Map.empty, n, Map.empty,
+        content = 1), "replace")
+  }
+
+  /** Remove the MOST RECENTLY ADDED positional delete file WITHOUT a
+    * replacement — a semantic UNDELETE: the rows it named come back to
+    * life at the new snapshot. Fixture machinery for the
+    * removal-window read path (the signed diff attributes the
+    * resurrected rows to the INSERT frame).
+    */
+  def stageUndelete(spark: SparkSession, tableDir: String): Long = {
+    val cur = resolve(spark, tableDir, None)
+    val posFiles = cur.deleteFiles.filter(_.content == 1)
+    require(posFiles.nonEmpty,
+      "stageUndelete: the table holds no live positional delete file")
+    val last = posFiles.last
+    commitSnapshot(spark, tableDir, cur.schema, cur.specStrings,
+      Seq(Entry(2, last.path,
+        new java.io.File(resolveRef(tableDir, last.path)).length(),
+        Map.empty, 0L, Map.empty, content = 1)), "delete")
   }
 
   /** Shared copy-on-write rewrite for the DML fixtures (delete/update):

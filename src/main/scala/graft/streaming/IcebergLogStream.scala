@@ -178,9 +178,10 @@ class IcebergLogSource(ctx: SQLContext, path: String, startAfter: Long,
         // CHANGELOG mode: the window's SIGNED row-level diff rendered
         // as typed rows — Iceberg's changelog-scan shape. This is what
         // makes row-level deletes STREAM: the MoR/equality netting in
-        // [[Iceberg.changes]] serves delta-sized insert/delete frames
-        // (a window this diff cannot attribute — removed delete files,
-        // schema drift — stays loud inside it)
+        // [[Iceberg.changes]] serves delta-sized insert/delete frames,
+        // incl. delete-file removals (a compaction window streams as a
+        // no-op, an undelete as inserts); only schema drift stays loud
+        // inside it
         val afterId = idAt(h, afterSeq, "cut")
         val ch = Iceberg.changes(spark, path, afterId, Some(toId))
         ch.inserts.withColumn("_change_type", lit("insert"))

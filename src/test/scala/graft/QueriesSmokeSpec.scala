@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 147 declared operator queries are all present (SURVEY §2)") {
+  test("the 150 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -73,8 +73,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "delta_iceberg_mor", "iceberg_rename", "deltalake_id_mapping",
       "delta_deltalake_optimize", "deltalake_variant", "stream_deltalake",
       "stream_iceberg", "delta_iceberg_eq", "stream_deltalake_cdf",
-      "stream_iceberg_changelog")
-    assert(declared.size == 147)
+      "stream_iceberg_changelog", "delta_iceberg_compact",
+      "delta_iceberg_undelete", "iceberg_spec_evolution")
+    assert(declared.size == 150)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

@@ -9,8 +9,10 @@ import graft.SparkFixture
   * data-minus-positions, repeated MoR deletes accumulate, COW rewrites
   * compose with prior delete files, time travel resolves pre-delete
   * state, the SIGNED window nets new positional deletes to exactly the
-  * newly-dead rows (r11 — the inserts-only seams still fail fast), and
-  * the version-cut δ cycle's index-native cut pushes through the MoR
+  * newly-dead rows (r11 — the inserts-only seams still fail fast),
+  * delete-file REMOVALS attribute through the row-identity diff
+  * (compaction = zero rows, undelete = insert frame), and the
+  * version-cut δ cycle's index-native cut pushes through the MoR
   * anti-join. (Equality deletes: IcebergEqDeleteSpec.)
   */
 class IcebergMorSpec extends AnyFunSuite with SparkFixture {
@@ -179,6 +181,63 @@ class IcebergMorSpec extends AnyFunSuite with SparkFixture {
     assert(retractIds.length == retractIds.distinct.length,
       s"a row retracted twice: ${retractIds.sorted.mkString(",")}")
     assert(retractIds.toSet == Set(4L, 5L, 8L, 12L, 16L, 20L))
+  }
+
+  test("delete-file COMPACTION window nets to ZERO rows (r11): the " +
+      "merged delete file kills the same positions") {
+    val dir = freshDir("cmp")
+    val df = (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+    Iceberg.stageAppend(spark, dir, df, Seq.empty)
+    Iceberg.stageMorDelete(spark, dir, col("id") % 10 === 0)
+    val cut = Iceberg.stageMorDelete(spark, dir, col("id") <= 5)
+    val sc = Iceberg.stageCompactDeletes(spark, dir)
+    // the compaction is a content no-op for plain reads...
+    assert(ids(Iceberg.snapshot(spark, dir, Some(sc))) ==
+      ids(Iceberg.snapshot(spark, dir, Some(cut))))
+    // ...and the signed window attributes it as zero rows in both
+    // directions (previously a fail-fast: rebase on any removal)
+    val ch = Iceberg.changes(spark, dir, cut, Some(sc))
+    assert(ch.inserts.isEmpty, "a compaction must not insert")
+    assert(ch.retracts.isEmpty, "a compaction must not retract")
+  }
+
+  test("UNDELETE window (r11): the removed delete file's rows come " +
+      "back through the INSERT frame") {
+    val dir = freshDir("und")
+    val df = (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+    Iceberg.stageAppend(spark, dir, df, Seq.empty)
+    Iceberg.stageMorDelete(spark, dir, col("id") % 10 === 0)
+    val cut = Iceberg.stageMorDelete(spark, dir, col("id") <= 5)
+    val su = Iceberg.stageUndelete(spark, dir) // drops the <=5 file
+    assert(ids(Iceberg.snapshot(spark, dir, Some(su))) ==
+      (1L to 40L).filterNot(_ % 10 == 0).toSet)
+    val ch = Iceberg.changes(spark, dir, cut, Some(su))
+    assert(ch.retracts.isEmpty, "an undelete must not retract")
+    assert(ids(ch.inserts) == (1L to 5L).toSet,
+      "inserts must be exactly the resurrected rows")
+    // signed identity: cut state + inserts = end state
+    assert(ids(Iceberg.snapshot(spark, dir, Some(cut))) ++
+      ids(ch.inserts) == ids(Iceberg.snapshot(spark, dir, Some(su))))
+  }
+
+  test("compaction + NEW delete in ONE window nets exactly the newly-" +
+      "dead rows (the removal never masks or doubles the new delete)") {
+    val dir = freshDir("cmpnew")
+    val df = (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+    Iceberg.stageAppend(spark, dir, df, Seq.empty)
+    Iceberg.stageMorDelete(spark, dir, col("id") % 10 === 0)
+    val cut = Iceberg.stageMorDelete(spark, dir, col("id") <= 5)
+    Iceberg.stageCompactDeletes(spark, dir)
+    val s3 = Iceberg.stageMorDelete(spark, dir, col("id") % 7 === 0)
+    val ch = Iceberg.changes(spark, dir, cut, Some(s3))
+    assert(ch.inserts.isEmpty)
+    val retractIds = ch.retracts.select("id").collect().map(_.getLong(0))
+    assert(retractIds.length == retractIds.distinct.length,
+      s"a row retracted twice: ${retractIds.sorted.mkString(",")}")
+    assert(retractIds.toSet == Set(7L, 14L, 21L, 28L, 35L))
+    // signed identity against the end snapshot
+    assert(ids(Iceberg.snapshot(spark, dir, Some(cut))) --
+      retractIds.toSet == ids(Iceberg.snapshot(spark, dir, Some(s3))))
   }
 
   test("COW rewrite composes after a MoR delete (delete file kept live)") {

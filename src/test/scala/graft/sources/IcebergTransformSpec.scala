@@ -178,4 +178,68 @@ class IcebergTransformSpec extends AnyFunSuite with SparkFixture {
       col("ts") < java.time.LocalDateTime.of(2024, 2, 2, 0, 0))
     assert(day0.count() == 9)
   }
+
+  test("partition spec evolution: unpartitioned era → days(ts) era (r11)") {
+    val dir = freshDir("evo")
+    val rows = for (d <- 0 until 6; i <- 0 until 10) yield
+      (d.toLong * 10 + i,
+        java.time.LocalDateTime.of(2024, 1, 1 + d, 8, 30)
+          .plusMinutes(i.toLong))
+    val df = rows.toDF("id", "ts")
+    // era 1 (spec 0): days 1-3, UNPARTITIONED, one file
+    Iceberg.stageAppend(spark, dir,
+      df.filter(col("id") < 30).coalesce(1), Seq.empty)
+    // era 2 (spec 1): days 4-6 under days(ts), one file per day
+    Iceberg.stageAppend(spark, dir,
+      df.filter(col("id") >= 30).coalesce(1), Seq("days(ts)"))
+
+    val snap = Iceberg.snapshot(spark, dir)
+    assert(snap.columns.toSeq == Seq("id", "ts"))
+    assert(snap.count() == 60)
+    assert(snap.inputFiles.length == 4,
+      "1 unpartitioned era-1 file + 3 day files")
+    // predicate inside the NEW era: day files prune to the matching
+    // one; the era-1 file keeps (its spec has no days field —
+    // conservative on absence)
+    val newEra = Iceberg.snapshotWhere(spark, dir,
+      col("ts") >= java.time.LocalDateTime.of(2024, 1, 5, 0, 0) &&
+        col("ts") < java.time.LocalDateTime.of(2024, 1, 6, 0, 0))
+    assert(newEra.inputFiles.length == 2,
+      s"era-1 file + 1 day file, got ${newEra.inputFiles.length}")
+    assert(newEra.count() == 10)
+    // predicate inside the OLD era: every era-2 day file prunes out
+    val oldEra = Iceberg.snapshotWhere(spark, dir,
+      col("ts") >= java.time.LocalDateTime.of(2024, 1, 3, 0, 0) &&
+        col("ts") < java.time.LocalDateTime.of(2024, 1, 4, 0, 0))
+    assert(oldEra.inputFiles.length == 1,
+      s"only the era-1 file, got ${oldEra.inputFiles.length}")
+    assert(oldEra.count() == 10)
+    // time travel to the pre-evolution snapshot
+    assert(Iceberg.snapshot(spark, dir, Some(1L)).count() == 30)
+    // the signed seam reads the evolution window as a plain append
+    assert(Iceberg.isAppendOnly(spark, dir, 1L, 2L))
+    val ch = Iceberg.changes(spark, dir, 1L)
+    assert(ch.inserts.count() == 30 && ch.retracts.count() == 0)
+    // DML after evolution re-commits the CURRENT spec (id reuse): a
+    // MoR delete neither re-partitions nor breaks per-era decoding
+    Iceberg.stageMorDelete(spark, dir, col("id") % 10 === 3)
+    assert(Iceberg.snapshot(spark, dir).count() == 54)
+    val ch2 = Iceberg.changes(spark, dir, 2L)
+    assert(ch2.retracts.count() == 6 && ch2.inserts.count() == 0)
+  }
+
+  test("IDENTITY-partition evolution fails loudly (mixed data layout)") {
+    val dir = freshDir("evoid")
+    val df = (0L until 20L).map(i => (i, if (i % 2 == 0) "A" else "B"))
+      .toDF("id", "g")
+    Iceberg.stageAppend(spark, dir, df.filter(col("id") < 10).coalesce(1),
+      Seq.empty)
+    Iceberg.stageAppend(spark, dir, df.filter(col("id") >= 10).coalesce(1),
+      Seq("g"))
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.snapshot(spark, dir).count()
+    }
+    assert(e.getMessage.contains("identity"),
+      s"unexpected message: ${e.getMessage}")
+  }
 }
