@@ -2101,6 +2101,78 @@ object Queries {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // ICEBERG v3 DELETION-VECTOR SNAPSHOT (r11): the modern
+    // format-version 3 row-level delete shape — each deleted data
+    // file's positions live as ONE roaring-bitmap blob in a Puffin
+    // file, referenced straight from the delete manifest. The read
+    // resolves each bitmap driver-side (metadata-sized, the same state
+    // the manifest fold holds) and applies it as a codegen'd
+    // anti-filter on the scan's own (file_path, row_index) — NO
+    // delete-file scan and NO join, strictly cheaper than the v2
+    // positional anti-join at any scale. The staged table carries a DV
+    // snapshot and a REWRITE (the second DV carries the complete dead
+    // set, the first is removed in the same commit). Hash equality vs
+    // the first-principles oracle pins the blob decode (magic, CRC,
+    // cardinality), the supersession rule, and the rewrite semantics.
+    QueryDef("iceberg_dv_scan",
+      (s, d) => graft.sources.Iceberg.snapshot(s, icebergOrdersDv(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE NOT (o_custkey % 11 = 0
+             |    AND o_orderpriority IN ('1-URGENT', '5-LOW'))
+             |  AND NOT (o_custkey % 11 = 7 AND o_orderpriority = '5-LOW')
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // DELETION VECTORS through the SIGNED SEAM (r11): a stored
+    // aggregate view maintains through a DV delete AND a DV REWRITE
+    // window without rebasing — the rewrite is a remove+add pair of
+    // the same referenced file's vector, attributed by the general
+    // row-identity diff arm (rows live under the cut's bitmap but
+    // dead under the end's retract; a rewritten superset never
+    // over-retracts already-dead positions). The touched scan is
+    // pruned to the files the changed DVs REFERENCE — named directly
+    // by the manifest, no delete-file read at all. Hash equality vs
+    // the same first-principles oracle (incl. countDistinct) pins the
+    // netting and the splice end to end.
+    QueryDef("delta_iceberg_dv",
+      (s, d) => {
+        import graft.ivm.IcebergSnapshots
+        val dir = icebergOrdersDv(s, d)
+        val aggOf = (df: org.apache.spark.sql.DataFrame) => df
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+        // stored view: built at snapshot 2 (both appends, no deletes)
+        IcebergSnapshots.track(s, "ice_orders_dv", dir, at = Some(2L))
+        val stored = aggOf(graft.sources.Iceberg
+          .snapshot(s, dir, snapshotId = Some(2L)))
+        IcebergSnapshots.maintainAgg(s, "ice_orders_dv", stored,
+          Seq("o_orderpriority"), aggOf)
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE NOT (o_custkey % 11 = 0
+             |    AND o_orderpriority IN ('1-URGENT', '5-LOW'))
+             |  AND NOT (o_custkey % 11 = 7 AND o_orderpriority = '5-LOW')
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // EQUALITY-DELETE SIGNED MAINTENANCE (r11): the Flink CDC upsert
     // shape THROUGH the seam — the window holds an equality delete
     // (every 13th customer) AND the partial re-insert at +100, and the
@@ -2943,6 +3015,31 @@ object Queries {
         col("o_custkey") % 11 === 0 &&
           col("o_orderpriority").isin("1-URGENT", "5-LOW"))
       graft.sources.Iceberg.stageMorDelete(s, p,
+        col("o_custkey") % 11 === 7 && col("o_orderpriority") === "5-LOW")
+      ()
+    }
+
+  /** The FORMAT-VERSION 3 Iceberg table whose row-level deletes are
+    * DELETION VECTORS in Puffin files — the `iceberg_dv_scan` /
+    * `delta_iceberg_dv` fixture: the usual two-append 90/10 split,
+    * then a DV snapshot at 3 and a second at 4 that REWRITES the
+    * touched files' vectors (each new DV carries its file's complete
+    * dead set; the prior blob is removed in the same commit).
+    * Deterministic predicates for the first-principles oracle.
+    */
+  private[graft] def icebergOrdersDv(s: SparkSession, d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_dv_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") < c1), Seq("o_orderpriority"))
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") >= c1), Seq("o_orderpriority"))
+      graft.sources.Iceberg.stageDv(s, p,
+        col("o_custkey") % 11 === 0 &&
+          col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      graft.sources.Iceberg.stageDv(s, p,
         col("o_custkey") % 11 === 7 && col("o_orderpriority") === "5-LOW")
       ()
     }

@@ -1927,6 +1927,126 @@ object DeltaLake {
       s"""{"remove":${M.writeValueAsString(r)}}"""
     })
 
+  // ---- streaming sink support -------------------------------------------
+
+  /** Highest committed `txn` version for `appId` (the protocol's
+    * SetTransaction action — writer-side idempotence), −1 if none.
+    * Folded over the on-disk JSON commits: the sink's dedup window is
+    * the log's retention, the same contract real streaming writers
+    * document (a checkpoint-cleaned log older than the retention can
+    * no longer answer "did I commit batch N").
+    */
+  def txnVersion(tableDir: String, appId: String): Long = {
+    var v = -1L
+    commitVersions(tableDir).foreach { ver =>
+      val file = new java.io.File(logDir(tableDir), f"$ver%020d.json")
+      java.nio.file.Files.readAllLines(file.toPath).forEach { line =>
+        if (line.nonEmpty) {
+          Option(M.readTree(line).get("txn")).foreach { t =>
+            if (t.get("appId").asText == appId)
+              v = math.max(v, t.get("version").asLong)
+          }
+        }
+      }
+    }
+    v
+  }
+
+  /** Commit ONE micro-batch of a streaming write as the table's next
+    * version — the transactional half of the `graft-deltalake` SINK
+    * ([[graft.streaming.DeltaLogSink]]). The commit carries, in one
+    * atomic log entry: protocol+metaData on table creation (and
+    * metaData again on schema change — the protocol's evolution
+    * shape), a `txn` action recording `(appId, batchVersion)` for
+    * exactly-once restart dedup, remove actions for every live file
+    * when `overwrite` (complete-mode output replaces the table's
+    * content), and the batch's add actions with real stats. The log
+    * entry lands via hard-link — CREATION IS EXCLUSIVE, so two
+    * writers racing to the same version fail loudly instead of
+    * silently clobbering each other's commit (the local-filesystem
+    * stand-in for the protocol's put-if-absent commit store).
+    *
+    * Guards: a column-mapped table would need physical-name writes
+    * (refused), and the batch's partitioning must match the table's
+    * (a mixed layout would silently break partition pruning).
+    */
+  def commitStreamBatch(spark: SparkSession, tableDir: String,
+      df: DataFrame, partitionBy: Seq[String], appId: String,
+      batchVersion: Long, overwrite: Boolean): Long = {
+    new java.io.File(tableDir).mkdirs()
+    val versions = commitVersions(tableDir) ++ checkpointVersions(tableDir)
+    val next = if (versions.isEmpty) 0L else versions.max + 1
+    val actions = mutable.Buffer.empty[String]
+    var emitMeta = next == 0L
+    if (next == 0L)
+      actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    else {
+      val st = replay(spark, tableDir, None)
+      require(st.mappingMode == "none",
+        s"graft-deltalake sink: $tableDir uses column mapping mode " +
+          s"'${st.mappingMode}' — this writer emits logical names and " +
+          "would corrupt a mapped table")
+      require(st.partitionColumns == partitionBy,
+        s"graft-deltalake sink: table is partitioned by " +
+          s"(${st.partitionColumns.mkString(",")}) but the stream " +
+          s"writes (${partitionBy.mkString(",")}) — mixed layouts " +
+          "break partition pruning")
+      emitMeta = st.schema.json != df.schema.json
+      if (overwrite) st.adds.foreach { a =>
+        val rm = M.createObjectNode()
+        rm.put("path", a.path)
+        rm.put("deletionTimestamp", System.currentTimeMillis())
+        rm.put("dataChange", true)
+        actions += s"""{"remove":${M.writeValueAsString(rm)}}"""
+      }
+    }
+    if (emitMeta) {
+      val meta = M.createObjectNode()
+      meta.put("id", java.util.UUID.nameUUIDFromBytes(
+        tableDir.getBytes("UTF-8")).toString)
+      val fmt = meta.putObject("format")
+      fmt.put("provider", "parquet"); fmt.putObject("options")
+      meta.put("schemaString", df.schema.json)
+      val pc = meta.putArray("partitionColumns")
+      partitionBy.foreach(pc.add)
+      meta.putObject("configuration")
+      actions += s"""{"metaData":${M.writeValueAsString(meta)}}"""
+    }
+    val txn = M.createObjectNode()
+    txn.put("appId", appId)
+    txn.put("version", batchVersion)
+    txn.put("lastUpdated", System.currentTimeMillis())
+    actions += s"""{"txn":${M.writeValueAsString(txn)}}"""
+    actions ++= addFileActions(spark, tableDir, df, partitionBy, next)
+    writeCommitExclusive(tableDir, next, actions.toSeq)
+    next
+  }
+
+  /** Write a commit with EXCLUSIVE creation: content lands fully in a
+    * temp file, then hard-links to the version name — atomic, and a
+    * pre-existing version throws instead of being replaced.
+    */
+  private[graft] def writeCommitExclusive(tableDir: String, version: Long,
+      actions: Seq[String]): Unit = {
+    val ld = logDir(tableDir)
+    ld.mkdirs()
+    val target = new java.io.File(ld, f"$version%020d.json").toPath
+    val tmp = java.nio.file.Files.createTempFile(ld.toPath,
+      s".commit-$version-", ".tmp")
+    try {
+      java.nio.file.Files.writeString(tmp,
+        actions.mkString("", "\n", "\n"))
+      try java.nio.file.Files.createLink(target, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"Delta commit $version already exists at $tableDir — a " +
+              "concurrent writer won the version; this batch was NOT " +
+              "committed")
+      }
+    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+  }
+
   private def writeCommit(tableDir: String, version: Long,
       actions: Seq[String]): Unit = {
     val ld = logDir(tableDir)

@@ -60,11 +60,23 @@ object Iceberg {
   // an equality delete applies only to data files with STRICTLY
   // smaller seq); `content` 0 = data, 1 = positional deletes, 2 =
   // equality deletes (then `equalityIds` names the spec field ids the
-  // delete rows match on).
+  // delete rows match on). A FORMAT-VERSION 3 deletion vector is a
+  // content=1 entry whose `path` is a PUFFIN file and whose `dvRef`
+  // carries the blob location + referenced data file ([[Puffin]]).
   final case class IceFile(path: String,
       partitionValues: Map[String, String],
       stats: Option[String] = None, size: Option[Long] = None,
-      content: Int = 0, seq: Long = 0L, equalityIds: Seq[Int] = Seq.empty)
+      content: Int = 0, seq: Long = 0L, equalityIds: Seq[Int] = Seq.empty,
+      dvRef: Option[Puffin.DvRef] = None) {
+    /** Identity of one DELETE-FILE instance for window diffs: a plain
+      * delete file is its path, but several DV blobs share one Puffin
+      * path — a DV's identity is (path, blob offset). A REWRITTEN DV
+      * (same data file, more deletes) is therefore a remove+add pair,
+      * which is exactly how the signed diff must see it.
+      */
+    def delId: String =
+      dvRef.map(r => s"$path@${r.offset}").getOrElse(path)
+  }
 
   final case class SnapshotMeta(snapshotId: Long, schema: StructType,
       partitionColumns: Seq[String], files: Seq[IceFile],
@@ -207,6 +219,14 @@ object Iceberg {
     // Inert for schemas without id metadata (see scanOf).
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val md = readMetadata(path)
+    // v1/v2 plus v3's deletion vectors are implemented; a FUTURE
+    // format version may change row-visibility semantics this reader
+    // doesn't know — reading it anyway could be silently wrong
+    val formatVersion = Option(md.get("format-version")).map(_.asInt)
+      .getOrElse(1)
+    require(formatVersion >= 1 && formatVersion <= 3,
+      s"Iceberg: format-version $formatVersion at $path is newer than " +
+        "this reader supports (1-3)")
     val wantId = snapshotId.getOrElse(currentSnapshotId(path))
     val snap = Option(md.get("snapshots")).toSeq
       .flatMap(_.elements().asScala.toSeq)
@@ -357,8 +377,12 @@ object Iceberg {
           .map(_.toString.toInt).getOrElse(0)
         val fp = df.get("file_path").toString
         val fmt = df.get("file_format").toString
-        require(fmt.equalsIgnoreCase("PARQUET"),
-          s"Iceberg: file format $fmt not supported (parquet only)")
+        // PUFFIN is legal ONLY for a v3 deletion-vector entry in a
+        // delete manifest; data files stay parquet-only
+        val isPuffin = fmt.equalsIgnoreCase("PUFFIN")
+        require(fmt.equalsIgnoreCase("PARQUET") ||
+            (isPuffin && content == 1),
+          s"Iceberg: file format $fmt not supported for $fp")
         val size = Option(optF(df, "file_size_in_bytes"))
           .map(_.toString.toLong)
         // sequence resolution: explicit entry number, else the
@@ -377,18 +401,49 @@ object Iceberg {
           require(fileContent == 1 || fileContent == 2,
             s"Iceberg: file content $fileContent in a delete manifest " +
               "is not supported (1 = positional, 2 = equality)")
-          val eqIds: Seq[Int] =
-            if (fileContent != 2) Seq.empty
-            else Option(optF(df, "equality_ids")) match {
-              case Some(c: java.util.Collection[_]) =>
-                c.asScala.toSeq.map(_.toString.toInt)
-              case _ => throw new IllegalArgumentException(
-                s"Iceberg: equality delete file $fp carries no " +
-                  "equality_ids — cannot apply")
-            }
-          if (status == 2) deletes.remove(fp)
-          else deletes.put(fp,
-            IceFile(fp, Map.empty, None, size, fileContent, seq, eqIds))
+          if (isPuffin) {
+            // v3 DELETION VECTOR: position deletes (content 1) whose
+            // bitmap lives at (content_offset, content_size_in_bytes)
+            // in the Puffin file and applies to exactly
+            // `referenced_data_file`. All three fields are REQUIRED
+            // for a DV entry — a missing one cannot be defaulted
+            // without silently mis-applying the vector.
+            require(fileContent == 1, s"Iceberg: Puffin delete file " +
+              s"$fp with content $fileContent (deletion vectors are " +
+              "position deletes)")
+            val referenced = Option(optF(df, "referenced_data_file"))
+              .map(_.toString).getOrElse(throw new IllegalArgumentException(
+                s"Iceberg: deletion vector $fp carries no " +
+                  "referenced_data_file — cannot apply"))
+            val cOff = Option(optF(df, "content_offset"))
+              .map(_.toString.toLong)
+              .getOrElse(throw new IllegalArgumentException(
+                s"Iceberg: deletion vector $fp carries no content_offset"))
+            val cLen = Option(optF(df, "content_size_in_bytes"))
+              .map(_.toString.toLong)
+              .getOrElse(throw new IllegalArgumentException(
+                s"Iceberg: deletion vector $fp carries no " +
+                  "content_size_in_bytes"))
+            val card = Option(optF(df, "record_count"))
+              .map(_.toString.toLong)
+            val dv = IceFile(fp, Map.empty, None, size, 1, seq,
+              dvRef = Some(Puffin.DvRef(referenced, cOff, cLen, card)))
+            if (status == 2) deletes.remove(dv.delId)
+            else deletes.put(dv.delId, dv)
+          } else {
+            val eqIds: Seq[Int] =
+              if (fileContent != 2) Seq.empty
+              else Option(optF(df, "equality_ids")) match {
+                case Some(c: java.util.Collection[_]) =>
+                  c.asScala.toSeq.map(_.toString.toInt)
+                case _ => throw new IllegalArgumentException(
+                  s"Iceberg: equality delete file $fp carries no " +
+                    "equality_ids — cannot apply")
+              }
+            if (status == 2) deletes.remove(fp)
+            else deletes.put(fp,
+              IceFile(fp, Map.empty, None, size, fileContent, seq, eqIds))
+          }
         } else {
           require(fileContent == 0,
             s"Iceberg: file content $fileContent in a data manifest")
@@ -455,11 +510,11 @@ object Iceberg {
     val baseMeta = resolve(spark, path, Some(afterSnapshotId))
     val base = baseMeta.files.map(_.path).toSet
     val end = resolve(spark, path, toSnapshotId)
-    // a delete file landing in the window is a row-level delete the
-    // inserts-only delta cannot express — fail fast (same contract as
-    // DeltaLake.appended under a DV window)
-    require(baseMeta.deleteFiles.map(_.path).toSet ==
-        end.deleteFiles.map(_.path).toSet,
+    // a delete file (or deletion vector) landing in the window is a
+    // row-level delete the inserts-only delta cannot express — fail
+    // fast (same contract as DeltaLake.appended under a DV window)
+    require(baseMeta.deleteFiles.map(_.delId).toSet ==
+        end.deleteFiles.map(_.delId).toSet,
       s"Iceberg.appended: snapshots ($afterSnapshotId, ${end.snapshotId}]" +
         s" of $path change the positional-delete file set — the window " +
         "holds row-level deletes; rebase the maintained view")
@@ -517,12 +572,12 @@ object Iceberg {
         "of " + path + " change the schema: a signed diff under an " +
         "evolved schema would drift from the view it patches — rebase " +
         "the maintained view from the current snapshot")
-    val cutDelPaths = cut.deleteFiles.map(_.path).toSet
-    val endDelPaths = end.deleteFiles.map(_.path).toSet
+    val cutDelIds = cut.deleteFiles.map(_.delId).toSet
+    val endDelIds = end.deleteFiles.map(_.delId).toSet
     val newDeletes =
-      end.deleteFiles.filterNot(f => cutDelPaths.contains(f.path))
+      end.deleteFiles.filterNot(f => cutDelIds.contains(f.delId))
     val removedDeletes =
-      cut.deleteFiles.filterNot(f => endDelPaths.contains(f.path))
+      cut.deleteFiles.filterNot(f => endDelIds.contains(f.delId))
     val cutPaths = cut.files.map(_.path).toSet
     val endPaths = end.files.map(_.path).toSet
     var inserts = scanOf(spark, path, end.copy(
@@ -534,9 +589,15 @@ object Iceberg {
       files = cut.files.filterNot(f => endPaths.contains(f.path)),
       deleteFiles = cut.deleteFiles)
     var retracts = scanOf(spark, path, removed)
-    val newPos = newDeletes.filter(_.content == 1)
+    val newPos = newDeletes.filter(f => f.content == 1 && f.dvRef.isEmpty)
     val newEq = newDeletes.filter(_.content == 2)
-    if (removedDeletes.isEmpty && newEq.isEmpty && newPos.nonEmpty) {
+    // a DV landing (or being rewritten) in the window is a row-level
+    // delete whose bitmap the general row-identity arm attributes
+    // exactly — the positional fast path reads delete files as
+    // parquet, which a Puffin DV is not
+    val newDv = newDeletes.filter(_.dvRef.isDefined)
+    if (removedDeletes.isEmpty && newEq.isEmpty && newDv.isEmpty &&
+        newPos.nonEmpty) {
       // POSITIONAL-ONLY window (fast path): rows of files live on BOTH
       // sides that a new positional delete names — live at the cut
       // (cut deletes applied), now dead. The scan arm is pruned to the
@@ -566,7 +627,8 @@ object Iceberg {
           col("_metadata.row_index") === col("__dpos"), "left_semi")
         .select(end.schema.fieldNames.toIndexedSeq.map(col): _*)
       retracts = retracts.unionByName(newlyDead)
-    } else if (newEq.nonEmpty || removedDeletes.nonEmpty) {
+    } else if (newEq.nonEmpty || removedDeletes.nonEmpty ||
+        newDv.nonEmpty) {
       // GENERAL arm — EQUALITY deletes landed (the Flink CDC upsert
       // shape; possibly mixed with positional ones) and/or delete
       // files were REMOVED (compaction / undelete): attribution needs
@@ -583,11 +645,23 @@ object Iceberg {
       // ([[eqTouched]] — driver-side over the churn-bounded delete
       // rows; conservative on nulls/no-bounds).
       import org.apache.spark.sql.functions.{col, regexp_replace}
-      val changedPos = newPos ++ removedDeletes.filter(_.content == 1)
+      val changedPos = newPos ++
+        removedDeletes.filter(f => f.content == 1 && f.dvRef.isEmpty)
       val changedEq = newEq ++ removedDeletes.filter(_.content == 2)
+      // a changed (new, rewritten, or removed) DV touches exactly the
+      // data file it references — the manifest names it directly, no
+      // delete-file read needed for pruning
+      val dvNamed: Set[String] =
+        (newDv ++ removedDeletes.filter(_.dvRef.isDefined))
+          .flatMap(_.dvRef).flatMap { r =>
+            val abs = resolveRef(path, r.referenced)
+            Seq(r.referenced, abs,
+              new org.apache.hadoop.fs.Path(abs).toUri.toString
+                .replaceFirst("^file:/+", "/"))
+          }.toSet
       val surviving0 = end.files.filter(f => cutPaths.contains(f.path))
-      val touched =
-        eqTouched(spark, path, end, surviving0, changedPos, changedEq)
+      val touched = eqTouched(spark, path, end, surviving0, changedPos,
+        changedEq, dvNamed)
       def rowKey(df: DataFrame): DataFrame = df
         .withColumn("__fp", regexp_replace(
           col("_metadata.file_path"), "^file:/+", "/"))
@@ -622,7 +696,8 @@ object Iceberg {
     */
   private def eqTouched(spark: SparkSession, path: String,
       end: SnapshotMeta, surviving: Seq[IceFile], newPos: Seq[IceFile],
-      newEq: Seq[IceFile]): Seq[IceFile] = {
+      newEq: Seq[IceFile],
+      dvNamed: Set[String] = Set.empty): Seq[IceFile] = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     import org.apache.spark.sql.graft.GraftSql
     val posNamed: Set[String] =
@@ -662,7 +737,8 @@ object Iceberg {
       if (perSet.exists(_.isEmpty)) None else Some(perSet.flatten.flatten)
     }
     surviving.filter { f =>
-      posNamed.contains(f.path) || posNamed.contains(stripped(f.path)) ||
+      dvNamed.contains(f.path) || dvNamed.contains(stripped(f.path)) ||
+        posNamed.contains(f.path) || posNamed.contains(stripped(f.path)) ||
         (eqPreds match {
           case None => newEq.nonEmpty // can't bound: every file touched
           case Some(preds) => preds.exists(p => StatsSkip.mayMatch(p,
@@ -691,8 +767,8 @@ object Iceberg {
     val afterPaths = after.files.map(_.path).toSet
     before.files.forall(f => afterPaths.contains(f.path)) &&
       before.schema.json == after.schema.json &&
-      before.deleteFiles.map(_.path).toSet ==
-        after.deleteFiles.map(_.path).toSet
+      before.deleteFiles.map(_.delId).toSet ==
+        after.deleteFiles.map(_.delId).toSet
   }
 
   /** Snapshot restricted by `predicate`, with manifest-bounds DATA
@@ -775,9 +851,47 @@ object Iceberg {
         new org.apache.hadoop.fs.Path(resolveRef(path, rel)).toUri.toString
       var kept: DataFrame = scan
 
-      val posDeletes = sm.deleteFiles.filter(_.content == 1)
+      // v3 DELETION VECTORS first: driver-side bitmap reads (each DV is
+      // metadata-sized, the same state the fold already holds), applied
+      // as ONE codegen'd anti-filter — no delete-file scan, no join.
+      val dvFiles = sm.deleteFiles.filter(_.dvRef.isDefined)
+      // data files covered by a DV, by canonical absolute path: the
+      // spec's reader rule — position delete FILES must NOT apply to a
+      // data file that has a DV (the DV already holds all its deletes)
+      val dvCovered: Set[String] =
+        dvFiles.flatMap(_.dvRef).map(r => resolveRef(path, r.referenced))
+          .toSet
+      if (dvFiles.nonEmpty) {
+        val byReferenced = dvFiles.groupBy(_.dvRef.get.referenced)
+        byReferenced.foreach { case (ref, fs) =>
+          require(fs.size == 1, s"Iceberg: data file $ref is referenced " +
+            s"by ${fs.size} deletion vectors (${fs.map(_.delId)
+              .mkString(", ")}) — the spec allows at most one; reading " +
+            "both could double-apply or miss deletes")
+        }
+        val dvByPath: Map[String, DeletionVectors.Bitmap64] =
+          dvFiles.map { f =>
+            val r = f.dvRef.get
+            resolveRef(path, r.referenced) ->
+              Puffin.readDv(resolveRef(path, f.path), r.offset, r.length,
+                r.cardinality)
+          }.toMap
+        val g = org.apache.spark.sql.graft.GraftSql
+        kept = kept.filter(g.column(DvKeep(
+          g.expression(kept.col("_metadata.file_path")),
+          g.expression(kept.col("_metadata.row_index")),
+          DvLookup(dvByPath))))
+      }
+
+      val posDeletes = sm.deleteFiles.filter(f =>
+        f.content == 1 && f.dvRef.isEmpty)
       if (posDeletes.nonEmpty) {
-        val delAbs = posDeleteKeys(spark, path, sm.files, posDeletes)
+        // DV-covered files are excluded from the mapping, which drops
+        // their (path, pos) rows at the join — the spec's supersession
+        // rule above
+        val posTargets = sm.files.filterNot(f =>
+          dvCovered.contains(resolveRef(path, f.path)))
+        val delAbs = posDeleteKeys(spark, path, posTargets, posDeletes)
         kept = kept.join(broadcast(delAbs),
           dataKey === col("__mabs") &&
             col("_metadata.row_index") === col("__dpos"), "left_anti")
@@ -1052,7 +1166,8 @@ object Iceberg {
   private final case class Entry(status: Int, relPath: String,
       sizeBytes: Long, pv: Map[String, String], count: Long,
       perCol: Map[String, (Any, Any)], content: Int = 0,
-      equalityIds: Seq[Int] = Seq.empty)
+      equalityIds: Seq[Int] = Seq.empty, format: String = "PARQUET",
+      dv: Option[Puffin.DvRef] = None)
 
   private def priorState(mdDir: java.io.File)
       : (Option[JsonNode], Long) = {
@@ -1212,7 +1327,12 @@ object Iceberg {
          |{"name":"equality_ids","type":["null",
          |  {"type":"array","items":"int"}],"default":null},
          |${boundsAvro("lower_bounds", "k126")},
-         |${boundsAvro("upper_bounds", "k127")}
+         |${boundsAvro("upper_bounds", "k127")},
+         |{"name":"referenced_data_file","type":["null","string"],
+         |  "default":null},
+         |{"name":"content_offset","type":["null","long"],"default":null},
+         |{"name":"content_size_in_bytes","type":["null","long"],
+         |  "default":null}
          |]}}]}""".stripMargin)
     val dfSchema = manifestSchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
@@ -1296,8 +1416,13 @@ object Iceberg {
             val d = new GenericData.Record(dfSchema)
             d.put("content", en.content)
             d.put("file_path", en.relPath)
-            d.put("file_format", "PARQUET")
+            d.put("file_format", en.format)
             d.put("partition", part)
+            en.dv.foreach { r =>
+              d.put("referenced_data_file", r.referenced)
+              d.put("content_offset", r.offset)
+              d.put("content_size_in_bytes", r.length)
+            }
             d.put("record_count", en.count)
             d.put("file_size_in_bytes", en.sizeBytes)
             d.put("lower_bounds", boundsList(en.perCol, takeMin = true))
@@ -1397,8 +1522,15 @@ object Iceberg {
         s""""summary":{"operation":"$operation"},""" +
         s""""schema-id":$curSchemaId}"""
     val snapsJson = (priorSnaps.toSeq :+ newSnap).mkString(",")
+    // deletion vectors require format-version 3 (the v3 spec gates
+    // them); the version is MONOTONIC — once a table is v3, later
+    // commits must not stamp it back down
+    val formatVersion = math.max(
+      priorMd.flatMap(md => Option(md.get("format-version")))
+        .map(_.asInt).getOrElse(2),
+      if (entries.exists(_.dv.isDefined)) 3 else 2)
     val mdJson =
-      s"""{"format-version":2,"table-uuid":"${java.util.UUID
+      s"""{"format-version":$formatVersion,"table-uuid":"${java.util.UUID
         .nameUUIDFromBytes(tableDir.getBytes("UTF-8"))}",
          |"location":"$tableDir","last-sequence-number":$version,
          |"last-updated-ms":${1700000000000L + version},
@@ -1646,6 +1778,107 @@ object Iceberg {
     commitSnapshot(spark, tableDir, cur.schema, cur.specStrings,
       Seq(Entry(1, rel, dest.length(), Map.empty, delRows.size.toLong,
         Map.empty, content = 1)), "delete")
+  }
+
+  /** Append a FORMAT-VERSION 3 DELETION-VECTOR delete as a new
+    * snapshot — the modern (v3) row-level delete shape: per data file
+    * holding a matching row, ONE `deletion-vector-v1` blob in a
+    * Puffin file under `data/`, referenced from a content=1 delete
+    * manifest entry (`referenced_data_file` + blob offset/length).
+    * The spec's writer rules are followed: the new DV carries the
+    * file's COMPLETE dead set (previous DV and/or positional-delete
+    * positions unioned with the new matches — a DV fully describes
+    * its file's deletes), a prior DV for the file is REMOVED
+    * (status=2) in the same commit, and the table's format-version
+    * ratchets to 3. Superseded positional delete FILES are left in
+    * place — the reader's supersession rule ignores them for
+    * DV-covered files, which the specs pin. Rows where the predicate
+    * is false OR NULL survive. Fixture machinery for the v3 read
+    * path; real DVs are written by the lakehouse writer.
+    */
+  def stageDv(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = new java.io.File(tableDir)
+    val cur = resolve(spark, tableDir, None)
+    val dataSchema = StructType(
+      cur.schema.filterNot(f => cur.partitionColumns.contains(f.name)))
+    def canon(rel: String): String = resolveRef(tableDir, rel)
+    // existing dead positions per data file (canonical path):
+    // positional delete files + current DVs
+    val posFiles = cur.deleteFiles.filter(f =>
+      f.content == 1 && f.dvRef.isEmpty)
+    val fromPos: Map[String, Set[Long]] =
+      if (posFiles.isEmpty) Map.empty
+      else {
+        val byStored = spark.read.parquet(posFiles
+            .map(f => resolveRef(tableDir, f.path)): _*)
+          .select("file_path", "pos").collect()
+          .groupBy(_.getString(0))
+          .map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+        // stored file_path strings may be relative or absolute —
+        // re-key by canonical form via the live file list
+        cur.files.flatMap { f =>
+          val dead = byStored.getOrElse(f.path,
+            byStored.getOrElse(canon(f.path), Set.empty[Long]))
+          if (dead.isEmpty) None else Some(canon(f.path) -> dead)
+        }.toMap
+      }
+    val priorDvs: Map[String, IceFile] = cur.deleteFiles
+      .filter(_.dvRef.isDefined)
+      .map(f => canon(f.dvRef.get.referenced) -> f).toMap
+    val fromDv: Map[String, Set[Long]] = priorDvs.map { case (ref, f) =>
+      val r = f.dvRef.get
+      ref -> Puffin.readDv(resolveRef(tableDir, f.path), r.offset,
+        r.length, r.cardinality).toArray.toSet
+    }
+    // a file's CURRENT dead set: its DV when it has one (the reader's
+    // supersession rule — pos files don't apply then), else its
+    // positional-delete positions
+    def deadNow(abs: String): Set[Long] =
+      fromDv.getOrElse(abs, fromPos.getOrElse(abs, Set.empty[Long]))
+    // new matches per live data file (same per-file scan shape as
+    // stageMorDelete; partition columns re-attached as constants)
+    val newDead = mutable.LinkedHashMap.empty[String, Set[Long]]
+    cur.files.foreach { f =>
+      val abs = canon(f.path)
+      val fileRows = cur.partitionColumns.foldLeft(
+        spark.read.schema(dataSchema).parquet(abs)
+          .withColumn("__ri", col("_metadata.row_index"))) { (df, pc) =>
+        val dt = cur.schema(pc).dataType
+        df.withColumn(pc, f.partitionValues.get(pc).filter(_ != null)
+          .map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
+      }
+      val matching = fileRows.filter(predicate).select("__ri")
+        .collect().map(_.getLong(0)).toSet
+      val fresh = matching -- deadNow(abs)
+      if (fresh.nonEmpty) newDead.put(f.path, fresh)
+    }
+    require(newDead.nonEmpty,
+      "stageDv: the predicate matches no live row — a deletion vector " +
+        "with zero new positions would be a no-op commit")
+    val (_, version) = priorState(metadataDir(tableDir))
+    // the new DV for a file = its COMPLETE dead set
+    val blobs = newDead.toSeq.map { case (rel, fresh) =>
+      rel -> (deadNow(canon(rel)) ++ fresh).toSeq.sorted
+    }
+    val puffinRel = s"data/dv-$version.puffin"
+    val puffinFile = new java.io.File(root, puffinRel)
+    puffinFile.getParentFile.mkdirs()
+    val refs = Puffin.stage(puffinFile, blobs)
+    val adds = refs.map { r =>
+      Entry(1, puffinRel, puffinFile.length(), Map.empty,
+        r.cardinality.get, Map.empty, content = 1, format = "PUFFIN",
+        dv = Some(r))
+    }
+    val removes = newDead.keys.toSeq
+      .flatMap(rel => priorDvs.get(canon(rel))).map { f =>
+        Entry(2, f.path, f.size.getOrElse(0L), Map.empty,
+          f.dvRef.flatMap(_.cardinality).getOrElse(0L), Map.empty,
+          content = 1, format = "PUFFIN", dv = f.dvRef)
+      }
+    commitSnapshot(spark, tableDir, cur.schema, cur.specStrings,
+      adds ++ removes, "delete")
   }
 
   /** Append an EQUALITY DELETE as a new snapshot — the v2 row-level

@@ -61,6 +61,7 @@ private[streaming] object StreamMark {
 }
 
 class DeltaLogStreamProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-deltalake"
@@ -94,6 +95,67 @@ class DeltaLogStreamProvider extends StreamSourceProvider
       parameters.get("startingVersion").map(_.toLong).getOrElse(-1L),
       parameters.get("maxVersionsPerTrigger").map(_.toLong).getOrElse(1L),
       cdf = cdfOf(parameters))
+
+  /** The SINK half — `df.writeStream.format("graft-deltalake")
+    * .start(tablePath)` writes micro-batches as native Delta commits
+    * (see [[DeltaLogSink]]). The exactly-once identity (`txn` appId)
+    * comes from `option("txnAppId", ...)`, defaulting to the
+    * checkpoint location — the stable name a restarted query keeps —
+    * and only then to a fresh UUID (no checkpoint = no restart
+    * semantics to protect).
+    */
+  override def createSink(ctx: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val mode = outputMode.toString.toLowerCase
+    require(mode == "append" || mode == "complete",
+      s"graft-deltalake sink supports Append (commit per batch) and " +
+        s"Complete (overwrite per batch) output modes, not $mode — " +
+        "Update would need row-level upserts this log writer does not " +
+        "stage")
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation")
+        .map(p => "ckpt:" + new java.io.File(p).getAbsolutePath))
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    new DeltaLogSink(pathOf(parameters), partitionColumns, appId,
+      overwrite = mode == "complete")
+  }
+}
+
+/** Structured Streaming SINK writing native Delta commits — the write
+  * half of the lakehouse round trip (`graft-deltalake` tails a table;
+  * this produces one). Each micro-batch is ONE transactional commit:
+  * the batch's parquet files + a `txn` action recording
+  * `(appId, batchId)`, so a restarted query that re-delivers the last
+  * batch SKIPS it instead of duplicating rows — the protocol's
+  * idempotent-writer shape, checked against the log itself (never
+  * sink-local state, which a crash could lose). Complete-mode batches
+  * additionally REMOVE every previously-live file, so the table's
+  * newest version is always the full recompute while older versions
+  * stay time-travel readable — and the signed seam reads the window
+  * as an ordinary rewrite.
+  *
+  * Scale shape: the batch frame is re-planned once over its
+  * already-executed RDD ([[org.apache.spark.sql.graft.GraftSql
+  * .batchify]] — the FileStreamSink idiom), written distributed by
+  * Spark's parquet writer; only the file-landing rename+commit is
+  * driver-side, O(files in the batch).
+  */
+class DeltaLogSink(path: String, partitionBy: Seq[String],
+    appId: String, overwrite: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val committed = DeltaLake.txnVersion(path, appId)
+    if (batchId <= committed) return // replayed batch: already in the log
+    val g = org.apache.spark.sql.graft.GraftSql
+    DeltaLake.commitStreamBatch(data.sparkSession, path,
+      g.batchify(data), partitionBy, appId, batchId, overwrite)
+    ()
+  }
+
+  override def toString: String = s"DeltaLogSink[$path]"
 }
 
 class DeltaLogSource(ctx: SQLContext, path: String, startAfter: Long,

@@ -318,6 +318,48 @@ object StreamQueries {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // STREAMING DELTA SINK (r11): the WRITE half of the lakehouse
+    // round trip — the staged two-commit orders table tails through
+    // the native SOURCE, flows through the native SINK into a fresh
+    // Delta table (one transactional commit per micro-batch, each
+    // carrying a `txn` action for exactly-once restart dedup), and the
+    // result is read back through the native snapshot reader. Hash
+    // equality vs the full-table oracle pins the whole loop: source
+    // version batching, batch re-planning (batchify), file landing,
+    // commit atomicity, and the written log's read path. This is the
+    // production shape for materializing a derived lakehouse table
+    // from a stream.
+    QueryDef("stream_deltalake_sink",
+      (s, d) => {
+        val src = graft.engine.Queries.deltaLakeOrders(s, d)
+        val work = Files.createTempDirectory("graft_sink_run").toFile
+        val dest = new java.io.File(work, "table").getAbsolutePath
+        val ckpt = new java.io.File(work, "ckpt").getAbsolutePath
+        val q = s.readStream.format("graft-deltalake").load(src)
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .writeStream.format("graft-deltalake")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start(dest)
+        q.awaitTermination()
+        val out = graft.sources.DeltaLake.snapshot(s, dest)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"))
+          .orderBy("o_orderpriority")
+          .localCheckpoint(true)
+        deleteRec(work)
+        out
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders
+             |WHERE o_orderpriority <> '4-NOT SPECIFIED'
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // STREAMING CHANGE DATA FEED (r11): `readChangeFeed` — the Delta
     // mechanism for streaming ROW-LEVEL CHANGES, deletes and updates
     // included, where the plain log stream must stop at inserts-only.

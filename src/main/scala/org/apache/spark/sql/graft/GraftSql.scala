@@ -73,6 +73,19 @@ object GraftSql {
       schema, isStreaming = true)
   }
 
+  /** Re-plan a V1 `Sink.addBatch` micro-batch frame as a PLAIN batch
+    * DataFrame over the batch's already-planned physical RDD — the
+    * FileStreamSink idiom: `addBatch`'s frame is backed by the
+    * micro-batch's IncrementalExecution, and handing it to a fresh
+    * writer would re-plan (and with some sources re-read) the batch;
+    * wrapping `queryExecution.toRdd` executes the batch exactly once.
+    */
+  def batchify(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[_]].queryExecution.toRdd, df.schema)
+  }
+
   /** Wrap a (resolved) Catalyst expression as a user-facing Column. */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =

@@ -208,18 +208,21 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
       "bounds on b must still skip the low file")
   }
 
-  test("partition spec evolution fails loudly, never null partition values") {
+  test("partition spec evolution with an unchanged identity set READS " +
+      "via per-manifest decoding (r11 — was an interim fail-fast)") {
     import com.fasterxml.jackson.databind.ObjectMapper
     import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
     val dir = freshDir("specevo")
     val df = (1L to 20L).map(i => (i, s"p${i % 2}")).toDF("id", "p")
       .coalesce(1)
     Iceberg.stageAppend(spark, dir, df, Seq("p"))
-    // simulate a spec evolution: a NEW default spec lands while the
-    // existing manifests still carry the old spec id — decoding their
-    // partition records with the new spec's transforms would surface
-    // null partition values (silently wrong rows), so the fold must
-    // refuse
+    // simulate a spec evolution: a NEW default spec id lands while the
+    // existing manifests still carry the old spec id. Each manifest's
+    // partition records decode against the spec it was WRITTEN under,
+    // and the identity column set is unchanged — so the read must
+    // surface every row with its real partition values, never nulls
+    // (IDENTITY-set evolution, the one unreadable layout, is pinned
+    // loud in IcebergTransformSpec)
     val mdDir = new java.io.File(dir, "metadata")
     val latest = mdDir.listFiles()
       .filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
@@ -236,10 +239,13 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
       M.writeValueAsString(md))
     java.nio.file.Files.writeString(
       new java.io.File(mdDir, "version-hint.text").toPath, "2")
-    val e = intercept[IllegalArgumentException] {
-      Iceberg.snapshot(spark, dir).collect()
-    }
-    assert(e.getMessage.contains("partition spec"))
+    val rows = Iceberg.snapshot(spark, dir)
+      .select("id", "p").collect()
+    assert(rows.length == 20)
+    assert(rows.forall(r => !r.isNullAt(1) &&
+      r.getString(1) == s"p${r.getLong(0) % 2}"),
+      "pre-evolution files must decode their partition values under " +
+        "their own spec, never null")
   }
 
   test("an expired (missing) data file fails LOUDLY, never an empty split") {
