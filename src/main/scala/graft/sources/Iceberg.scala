@@ -1272,7 +1272,9 @@ object Iceberg {
     */
   private def commitSnapshot(spark: SparkSession, tableDir: String,
       tableSchema: StructType, partitionBy: Seq[String],
-      entries: Seq[Entry], operation: String): Long = {
+      entries: Seq[Entry], operation: String,
+      summaryProps: Map[String, String] = Map.empty,
+      exclusive: Boolean = false): Long = {
     val mdDir = metadataDir(tableDir)
     mdDir.mkdirs()
     val (priorMd, version) = priorState(mdDir)
@@ -1519,7 +1521,10 @@ object Iceberg {
       s"""{"snapshot-id":$snapshotId,"sequence-number":$version,""" +
         s""""timestamp-ms":${1700000000000L + version},""" +
         s""""manifest-list":"metadata/${mlFile.getName}",""" +
-        s""""summary":{"operation":"$operation"},""" +
+        s""""summary":{${(Seq(s""""operation":"$operation"""") ++
+          summaryProps.toSeq.sortBy(_._1).map { case (k, v) =>
+            s""""${k}":${M.writeValueAsString(v)}""" })
+          .mkString(",")}},""" +
         s""""schema-id":$curSchemaId}"""
     val snapsJson = (priorSnaps.toSeq :+ newSnap).mkString(",")
     // deletion vectors require format-version 3 (the v3 spec gates
@@ -1541,8 +1546,9 @@ object Iceberg {
          |"default-spec-id":$specId,"last-partition-id":${999 + spec.size},
          |"current-snapshot-id":$snapshotId,
          |"snapshots":[$snapsJson]}""".stripMargin
-    java.nio.file.Files.writeString(
-      new java.io.File(mdDir, s"v$version.metadata.json").toPath, mdJson)
+    val target = new java.io.File(mdDir, s"v$version.metadata.json").toPath
+    if (exclusive) writeMetadataExclusive(target, mdJson)
+    else java.nio.file.Files.writeString(target, mdJson)
     java.nio.file.Files.writeString(
       new java.io.File(mdDir, "version-hint.text").toPath, version.toString)
     snapshotId
@@ -1558,7 +1564,21 @@ object Iceberg {
     * oracles can name snapshots).
     */
   def stageAppend(spark: SparkSession, tableDir: String, df: DataFrame,
-      partitionBy: Seq[String]): Long = {
+      partitionBy: Seq[String]): Long =
+    stageAppendWith(spark, tableDir, df, partitionBy, "append",
+      Map.empty, exclusive = false, replaceTable = false)
+
+  /** [[stageAppend]] with the STREAMING-SINK commit shape: snapshot
+    * summary properties (the txn ratchet rides there), EXCLUSIVE
+    * metadata creation (racing writers fail loudly), and
+    * `replaceTable` (complete-mode output: every currently-live data
+    * AND delete file is removed in the same snapshot — older
+    * snapshots stay time-travel readable).
+    */
+  private[graft] def stageAppendWith(spark: SparkSession,
+      tableDir: String, df: DataFrame, partitionBy: Seq[String],
+      operation: String, summaryProps: Map[String, String],
+      exclusive: Boolean, replaceTable: Boolean): Long = {
     import org.apache.spark.sql.functions.{col, datediff, floor, lit, month, pmod, substring, to_date, year}
     import IcebergTransforms._
     val root = new java.io.File(tableDir)
@@ -1615,8 +1635,74 @@ object Iceberg {
       Entry(1, root.toPath.relativize(file.toPath).toString,
         file.length(), pv, n, perCol)
     }
-    commitSnapshot(spark, tableDir, df.schema, partitionBy, entries,
-      "append")
+    // complete-mode sink output REPLACES the table's content: every
+    // currently-live data and delete file gets a status=2 entry in the
+    // same snapshot (partition records irrelevant on removals — the
+    // fold removes by path)
+    val removals: Seq[Entry] =
+      if (!replaceTable) Seq.empty
+      else scala.util.Try(resolve(spark, tableDir, None)).toOption
+        .toSeq.flatMap { cur =>
+          cur.files.map(f => Entry(2, f.path, f.size.getOrElse(0L),
+            Map.empty, 0L, Map.empty)) ++
+          cur.deleteFiles.map(f => Entry(2, f.path,
+            f.size.getOrElse(0L), Map.empty, 0L, Map.empty,
+            content = if (f.dvRef.isDefined) 1 else f.content,
+            equalityIds = f.equalityIds,
+            format = if (f.dvRef.isDefined) "PUFFIN" else "PARQUET",
+            dv = f.dvRef))
+        }
+    commitSnapshot(spark, tableDir, df.schema, partitionBy,
+      entries ++ removals, operation, summaryProps, exclusive)
+  }
+
+  /** Sink-path metadata commit: content lands fully in a temp file,
+    * then hard-links to the version name — atomic, and a pre-existing
+    * version (a concurrent writer won the optimistic race between
+    * version resolution and commit) throws instead of being replaced.
+    * The local-filesystem stand-in for a catalog's compare-and-swap
+    * of the current-metadata pointer.
+    */
+  private[graft] def writeMetadataExclusive(
+      target: java.nio.file.Path, content: String): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(target.getParent,
+      s".${target.getFileName}-", ".tmp")
+    try {
+      java.nio.file.Files.writeString(tmp, content)
+      try java.nio.file.Files.createLink(target, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"Iceberg metadata ${target.getFileName} already exists — " +
+              "a concurrent writer won the version; this snapshot was " +
+              "NOT committed")
+      }
+    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+  }
+
+  /** Highest committed transaction version for `appId` across the
+    * table's snapshot history, −1 if none — the Iceberg half of the
+    * streaming sink's exactly-once dedup. The ratchet rides each
+    * snapshot's SUMMARY (`graft.txn-app-id` / `graft.txn-version` —
+    * the summary is the spec's designated home for writer metadata;
+    * Flink's Iceberg committer stores its checkpoint id the same
+    * way), so it survives as long as the snapshot history does.
+    */
+  def txnVersion(tableDir: String, appId: String): Long = {
+    if (!metadataDir(tableDir).exists()) return -1L
+    val hasMd = Option(metadataDir(tableDir).listFiles()).toSeq.flatten
+      .exists(f => metadataVersionOf(f.getName).isDefined)
+    if (!hasMd) return -1L
+    val md = readMetadata(tableDir)
+    Option(md.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala.toSeq)
+      .flatMap { s =>
+        Option(s.get("summary")).filter(su =>
+          Option(su.get("graft.txn-app-id")).exists(_.asText == appId))
+          .flatMap(su => Option(su.get("graft.txn-version"))
+            .map(_.asText.toLong))
+      }
+      .maxOption.getOrElse(-1L)
   }
 
   /** RENAME logical columns — a METADATA-ONLY update, no new snapshot

@@ -150,8 +150,16 @@ class DeltaLogSink(path: String, partitionBy: Seq[String],
     val committed = DeltaLake.txnVersion(path, appId)
     if (batchId <= committed) return // replayed batch: already in the log
     val g = org.apache.spark.sql.graft.GraftSql
+    // strip column metadata inherited from a lake SOURCE (e.g.
+    // `parquet.field.id` riding an Iceberg stream): written as-is the
+    // destination's schemaString and files would carry a PARTIAL
+    // foreign id stamping — this table's identity starts clean
+    val batch0 = g.batchify(data)
+    val batch = batch0.select(batch0.schema.fields.toIndexedSeq.map(f =>
+      org.apache.spark.sql.functions.col(f.name)
+        .as(f.name, org.apache.spark.sql.types.Metadata.empty)): _*)
     DeltaLake.commitStreamBatch(data.sparkSession, path,
-      g.batchify(data), partitionBy, appId, batchId, overwrite)
+      batch, partitionBy, appId, batchId, overwrite)
     ()
   }
 

@@ -33,6 +33,7 @@ import graft.sources.Iceberg
   * `maxSnapshotsPerTrigger` (default 1).
   */
 class IcebergLogStreamProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-iceberg"
@@ -65,6 +66,78 @@ class IcebergLogStreamProvider extends StreamSourceProvider
         .getOrElse(IcebergLogSource.Sentinel),
       parameters.get("maxSnapshotsPerTrigger").map(_.toLong).getOrElse(1L),
       changelog = changelogOf(parameters))
+
+  /** The SINK half — `df.writeStream.format("graft-iceberg")
+    * .start(tablePath)` commits micro-batches as native Iceberg
+    * snapshots (see [[IcebergLogSink]]). Exactly-once identity
+    * (`graft.txn-app-id` in each snapshot's summary) defaults to the
+    * checkpoint location, overridable via `option("txnAppId", ...)`.
+    * `partitionBy` columns become IDENTITY partition fields; transform
+    * partitioning (`days(ts)`, `bucket(8, id)`, ...) comes via
+    * `option("partitionSpec", "days(ts),p")`.
+    */
+  override def createSink(ctx: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val mode = outputMode.toString.toLowerCase
+    require(mode == "append" || mode == "complete",
+      s"graft-iceberg sink supports Append (snapshot per batch) and " +
+        s"Complete (replace per batch) output modes, not $mode")
+    val spec = parameters.get("partitionSpec")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(partitionColumns)
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation")
+        .map(p => "ckpt:" + new java.io.File(p).getAbsolutePath))
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    new IcebergLogSink(pathOf(parameters), spec, appId,
+      overwrite = mode == "complete")
+  }
+}
+
+/** Structured Streaming SINK committing native Iceberg snapshots —
+  * the second format behind the same write seam as
+  * [[DeltaLogSink]]. Each micro-batch is one snapshot: the batch's
+  * parquet files (stats + field ids stamped, manifests + manifest
+  * list + next metadata json), with the exactly-once ratchet
+  * `(graft.txn-app-id, graft.txn-version)` in the snapshot SUMMARY —
+  * the spec's designated home for writer metadata, the same place
+  * Flink's committer stores its checkpoint id — checked against the
+  * table itself on every batch, so a restarted query re-delivering a
+  * batch skips it. Metadata creation is EXCLUSIVE (hard-link commit):
+  * racing writers fail loudly. Complete-mode batches REPLACE the
+  * table's live content (status=2 entries for every prior file) while
+  * older snapshots stay time-travel readable.
+  */
+class IcebergLogSink(path: String, partitionSpec: Seq[String],
+    appId: String, overwrite: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val committed = Iceberg.txnVersion(path, appId)
+    if (batchId <= committed) return // replayed batch: already committed
+    val g = org.apache.spark.sql.graft.GraftSql
+    // columns inherited from a lake SOURCE carry `parquet.field.id`
+    // metadata; written as-is the batch's files would get a PARTIAL
+    // id stamping (source columns yes, derived columns no), which the
+    // id-matching read path then mis-resolves. The sink owns its
+    // table's ids — strip inherited metadata and let the staging
+    // writer stamp a fresh, complete set.
+    val batch0 = g.batchify(data)
+    val batch = batch0.select(batch0.schema.fields.toIndexedSeq.map(f =>
+      org.apache.spark.sql.functions.col(f.name)
+        .as(f.name, org.apache.spark.sql.types.Metadata.empty)): _*)
+    Iceberg.stageAppendWith(data.sparkSession, path, batch,
+      partitionSpec,
+      operation = if (overwrite) "overwrite" else "append",
+      summaryProps = Map("graft.txn-app-id" -> appId,
+        "graft.txn-version" -> batchId.toString),
+      exclusive = true, replaceTable = overwrite)
+    ()
+  }
+
+  override def toString: String = s"IcebergLogSink[$path]"
 }
 
 object IcebergLogSource {

@@ -360,6 +360,46 @@ object StreamQueries {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // STREAMING ICEBERG SINK (r11): the second format's WRITE half —
+    // the staged two-snapshot Iceberg orders table tails through the
+    // native source, flows through the native SINK into a fresh
+    // Iceberg table (one snapshot per micro-batch, the exactly-once
+    // ratchet riding each snapshot's summary the way Flink's
+    // committer stores its checkpoint id), and the result reads back
+    // through the native snapshot reader. Hash equality vs the
+    // full-table oracle pins snapshot batching, the batch re-plan,
+    // manifest/stat generation, and the written metadata end to end.
+    QueryDef("stream_iceberg_sink",
+      (s, d) => {
+        val src = graft.engine.Queries.icebergOrders(s, d)
+        val work = Files.createTempDirectory("graft_isink_run").toFile
+        val dest = new java.io.File(work, "table").getAbsolutePath
+        val ckpt = new java.io.File(work, "ckpt").getAbsolutePath
+        val q = s.readStream.format("graft-iceberg").load(src)
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .writeStream.format("graft-iceberg")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start(dest)
+        q.awaitTermination()
+        val out = graft.sources.Iceberg.snapshot(s, dest)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"))
+          .orderBy("o_orderpriority")
+          .localCheckpoint(true)
+        deleteRec(work)
+        out
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders
+             |WHERE o_orderpriority <> '4-NOT SPECIFIED'
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // STREAMING CHANGE DATA FEED (r11): `readChangeFeed` — the Delta
     // mechanism for streaming ROW-LEVEL CHANGES, deletes and updates
     // included, where the plain log stream must stop at inserts-only.

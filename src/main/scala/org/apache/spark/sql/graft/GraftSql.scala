@@ -82,8 +82,13 @@ object GraftSql {
     */
   def batchify(df: DataFrame): DataFrame = {
     val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    // toRdd rows are VOLATILE (a columnar scan hands out mutable views
+    // into reused vector batches) — the re-wrapped plan buffers across
+    // operator boundaries the original plan didn't have, so each row
+    // must be pinned by copy before it crosses into the new pipeline
     cs.internalCreateDataFrame(
-      df.asInstanceOf[classic.Dataset[_]].queryExecution.toRdd, df.schema)
+      df.asInstanceOf[classic.Dataset[_]].queryExecution.toRdd
+        .map(_.copy()), df.schema)
   }
 
   /** Wrap a (resolved) Catalyst expression as a user-facing Column. */

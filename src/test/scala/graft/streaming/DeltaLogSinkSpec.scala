@@ -186,6 +186,30 @@ class DeltaLogSinkSpec extends AnyFunSuite with SparkFixture {
       (1L to 9L).toSet + 100L)
   }
 
+  test("cross-format round trip: an ICEBERG stream lands as a Delta " +
+      "table (inherited field-id metadata stripped, ids re-owned)") {
+    val src = freshDir("xf_src")
+    graft.sources.Iceberg.stageAppend(spark, src, frame(1 to 10),
+      Seq.empty)
+    graft.sources.Iceberg.stageAppend(spark, src, frame(11 to 20),
+      Seq.empty)
+    val dest = freshDir("xf_dst")
+    val q = spark.readStream.format("graft-iceberg").load(src)
+      .writeStream.format("graft-deltalake")
+      .option("checkpointLocation", freshDir("xf_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start(dest)
+    q.awaitTermination()
+    assert(ids(DeltaLake.snapshot(spark, dest)) == (1L to 20L).toSet)
+    // the destination's schemaString carries NO inherited field-id
+    // metadata (the Iceberg source's ids must not leak into the Delta
+    // table's identity)
+    val commit0 = java.nio.file.Files.readString(new java.io.File(dest,
+      "_delta_log/00000000000000000000.json").toPath)
+    assert(!commit0.contains("parquet.field.id"),
+      "inherited field-id metadata leaked into the Delta schemaString")
+  }
+
   test("update output mode is refused loudly") {
     val src = freshDir("um_src")
     DeltaLake.stageCommit(spark, src, frame(1 to 5), Seq.empty, 0L)

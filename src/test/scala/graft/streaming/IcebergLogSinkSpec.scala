@@ -1,0 +1,178 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.sources.Iceberg
+
+/** The Iceberg streaming SINK: each micro-batch is one native
+  * snapshot carrying the txn ratchet in its summary, replayed batches
+  * dedup against the table (exactly-once under restart), complete
+  * mode replaces live content while history stays time-travel
+  * readable, transform partitioning rides `partitionSpec`, metadata
+  * creation is exclusive, and the written table round-trips through
+  * the native read paths including the streaming source.
+  */
+class IcebergLogSinkSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_isink_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def frame(r: Range) =
+    r.map(i => (i.toLong, s"g${i % 2}")).toDF("id", "g").coalesce(1)
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  private def pump(src: String, dest: String, ckpt: String): Unit = {
+    val q = spark.readStream.format("graft-iceberg").load(src)
+      .writeStream.format("graft-iceberg")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(dest)
+    q.awaitTermination()
+  }
+
+  test("append mode: one snapshot per batch, txn in the summary, " +
+      "round-trips through snapshot AND the streaming source") {
+    val src = freshDir("ap_src")
+    Iceberg.stageAppend(spark, src, frame(1 to 10), Seq.empty)
+    Iceberg.stageAppend(spark, src, frame(11 to 20), Seq.empty)
+    val dest = freshDir("ap_dst")
+    val ckpt = freshDir("ap_ck")
+    pump(src, dest, ckpt)
+    assert(ids(Iceberg.snapshot(spark, dest)) == (1L to 20L).toSet)
+    // one snapshot per micro-batch
+    assert(Iceberg.snapshotIds(dest).length == 2)
+    // the txn ratchet reflects both batches
+    val appId = "ckpt:" + new java.io.File(ckpt).getAbsolutePath
+    assert(Iceberg.txnVersion(dest, appId) == 1L)
+    assert(Iceberg.txnVersion(dest, "other-app") == -1L)
+    // the WRITTEN table tails through the streaming SOURCE
+    import scala.collection.mutable
+    val batches = mutable.Buffer.empty[Set[Long]]
+    val q = spark.readStream.format("graft-iceberg").load(dest)
+      .writeStream
+      .option("checkpointLocation", freshDir("ap_ck2"))
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          batches.synchronized { batches += ids(b.toDF()) }
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches.flatten.toSet == (1L to 20L).toSet)
+  }
+
+  test("exactly-once: replayed batch skipped; resume commits only " +
+      "the new source snapshot") {
+    val src = freshDir("eo_src")
+    Iceberg.stageAppend(spark, src, frame(1 to 10), Seq.empty)
+    val dest = freshDir("eo_dst")
+    val ckpt = freshDir("eo_ck")
+    pump(src, dest, ckpt)
+    assert(ids(Iceberg.snapshot(spark, dest)) == (1L to 10L).toSet)
+    val appId = "ckpt:" + new java.io.File(ckpt).getAbsolutePath
+    val sink = new IcebergLogSink(dest, Seq.empty, appId,
+      overwrite = false)
+    sink.addBatch(0L, frame(1 to 10))
+    assert(ids(Iceberg.snapshot(spark, dest)) == (1L to 10L).toSet,
+      "replayed batch must not duplicate rows")
+    assert(Iceberg.snapshotIds(dest).length == 1)
+    Iceberg.stageAppend(spark, src, frame(11 to 15), Seq.empty)
+    pump(src, dest, ckpt)
+    assert(ids(Iceberg.snapshot(spark, dest)) == (1L to 15L).toSet)
+    assert(Iceberg.snapshotIds(dest).length == 2,
+      "resume must add exactly one snapshot")
+  }
+
+  test("complete mode: each batch REPLACES; history stays time-travel " +
+      "readable; the signed seam sees an ordinary rewrite") {
+    val src = freshDir("cm_src")
+    Iceberg.stageAppend(spark, src, frame(1 to 10), Seq.empty)
+    Iceberg.stageAppend(spark, src, frame(11 to 20), Seq.empty)
+    val dest = freshDir("cm_dst")
+    val q = spark.readStream.format("graft-iceberg").load(src)
+      .groupBy(col("g"))
+      .agg(org.apache.spark.sql.functions.count(col("id")).as("n"))
+      .writeStream.format("graft-iceberg")
+      .outputMode("complete")
+      .option("checkpointLocation", freshDir("cm_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start(dest)
+    q.awaitTermination()
+    val fin = Iceberg.snapshot(spark, dest)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fin == Map("g0" -> 10L, "g1" -> 10L))
+    // the first batch's partial aggregate is still readable at its
+    // snapshot
+    val sids = Iceberg.snapshotIds(dest).sorted
+    assert(sids.length == 2)
+    val v0 = Iceberg.snapshot(spark, dest, Some(sids.head))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v0 == Map("g0" -> 5L, "g1" -> 5L))
+    // the replace window reads as a rewrite through the signed diff:
+    // retract the old aggregate rows, insert the new
+    val ch = Iceberg.changes(spark, dest, sids.head, Some(sids.last))
+    assert(ch.retracts.collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap == v0)
+    assert(ch.inserts.collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap == fin)
+  }
+
+  test("partitionSpec option: transform partitioning from the stream " +
+      "(identity + the written table prunes on it)") {
+    val src = freshDir("pt_src")
+    Iceberg.stageAppend(spark, src, frame(1 to 20), Seq.empty)
+    val dest = freshDir("pt_dst")
+    val q = spark.readStream.format("graft-iceberg").load(src)
+      .writeStream.format("graft-iceberg")
+      .option("partitionSpec", "g")
+      .option("checkpointLocation", freshDir("pt_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start(dest)
+    q.awaitTermination()
+    assert(ids(Iceberg.snapshot(spark, dest)) == (1L to 20L).toSet)
+    val pruned = Iceberg.snapshotWhere(spark, dest, col("g") === "g1")
+    assert(ids(pruned) == (1L to 20L).filter(_ % 2 == 1).toSet)
+    assert(pruned.inputFiles.length == 1,
+      s"expected 1 partition file planned: ${pruned.inputFiles.toSeq}")
+  }
+
+  test("racing writers: exclusive metadata creation fails the loser " +
+      "loudly; winner intact") {
+    val dest = freshDir("race")
+    val sink = new IcebergLogSink(dest, Seq.empty, "race-app",
+      overwrite = false)
+    sink.addBatch(0L, frame(1 to 5))
+    // the optimistic race: two writers resolve the same next version,
+    // one links its metadata first — the loser's hard-link must refuse
+    // (the commit path cannot be interleaved externally, so the guard
+    // is exercised at the extracted exclusive-write seam the sink's
+    // commit uses)
+    val md = new java.io.File(dest, "metadata")
+    val winner = new java.io.File(md, "v2.metadata.json")
+    java.nio.file.Files.writeString(winner.toPath, "{\"winner\":true}")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Iceberg.writeMetadataExclusive(winner.toPath, "{\"loser\":true}")
+    }
+    assert(e.getMessage.contains("concurrent"))
+    // the winner's content survives byte-for-byte
+    assert(java.nio.file.Files.readString(winner.toPath)
+      == "{\"winner\":true}")
+    // and a normal commit retries onto the NEXT version cleanly
+    java.nio.file.Files.delete(winner.toPath)
+    sink.addBatch(1L, frame(6 to 9))
+    assert(ids(Iceberg.snapshot(spark, dest)) == (1L to 9L).toSet)
+  }
+}
