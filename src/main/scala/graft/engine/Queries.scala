@@ -2101,6 +2101,35 @@ object Queries {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // ICEBERG NAME MAPPING (r11): the MIGRATED-table shape —
+    // `migrate`/`add_files` registers existing Hive/plain-parquet
+    // files untouched (no `parquet.field.id`s) and writes
+    // `schema.name-mapping.default` so their historic column names
+    // resolve to schema fields. The staged table mixes an id-less era
+    // (90% of rows, junk `hive_*` disk names) with a modern
+    // id-stamped era in ONE read: the id files ride the field-id
+    // scan, the id-less files a by-name scan arm under their resolved
+    // names (footer-probed driver-side, cached), unioned after
+    // aliasing back. Hash equality vs the full-table oracle pins the
+    // name resolution end to end — a positional mis-bind or an
+    // all-null era would shift every group.
+    QueryDef("iceberg_name_mapping",
+      (s, d) => graft.sources.Iceberg
+        .snapshot(s, icebergOrdersMigrated(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // ICEBERG v3 DELETION-VECTOR SNAPSHOT (r11): the modern
     // format-version 3 row-level delete shape — each deleted data
     // file's positions live as ONE roaring-bitmap blob in a Puffin
@@ -3041,6 +3070,27 @@ object Queries {
           col("o_orderpriority").isin("1-URGENT", "5-LOW"))
       graft.sources.Iceberg.stageDv(s, p,
         col("o_custkey") % 11 === 7 && col("o_orderpriority") === "5-LOW")
+      ()
+    }
+
+  /** The MIGRATED Iceberg table — the `iceberg_name_mapping` fixture:
+    * the 90% split lands as ID-LESS data files under historic Hive
+    * column names with `schema.name-mapping.default` registered (the
+    * `migrate`/`add_files` shape), the 10% tail as a modern
+    * id-stamped append — two eras, one table.
+    */
+  private[graft] def icebergOrdersMigrated(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_nm_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.Iceberg.stageIdlessAppend(s, p,
+        ord.filter(col("o_orderkey") < c1),
+        diskNames = ord.columns.map(c =>
+          c -> s"hive_${c.stripPrefix("o_")}").toMap)
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") >= c1), Seq.empty)
       ()
     }
 

@@ -83,7 +83,8 @@ object Iceberg {
       deleteFiles: Seq[IceFile] = Seq.empty,
       transforms: Seq[IcebergTransforms.Field] = Seq.empty,
       fieldIdToName: Map[Int, String] = Map.empty,
-      allTransforms: Seq[IcebergTransforms.Field] = Seq.empty) {
+      allTransforms: Seq[IcebergTransforms.Field] = Seq.empty,
+      nameMapping: Map[Int, Seq[String]] = Map.empty) {
     /** The spec in the writer's string syntax (DML fixtures re-commit
       * a table's existing spec verbatim). Always the DEFAULT spec —
       * never the union (`allTransforms`), which exists only for
@@ -484,8 +485,33 @@ object Iceberg {
     SnapshotMeta(wantId, schema, partCols, files.values.toSeq,
       deletes.values.toSeq, transforms,
       idMap.map { case (id, (name, _)) => id -> name },
-      allTransforms = unionTransforms)
+      allTransforms = unionTransforms,
+      nameMapping = parseNameMapping(md))
   }
+
+  /** `schema.name-mapping.default` (spec "Name Mapping Serialization"):
+    * field-id → the historical column names its data may appear under
+    * in ID-LESS files (tables migrated from Hive/plain parquet carry
+    * no `parquet.field.id`s — the mapping is how their columns resolve
+    * to schema fields). Entries without a `field-id` are legal (they
+    * mark file columns mapped to nothing) and skipped; NESTED mapped
+    * fields fail fast — this reader resolves top-level columns only,
+    * and silently flattening a nested mapping would mis-bind data.
+    */
+  private def parseNameMapping(md: JsonNode): Map[Int, Seq[String]] =
+    Option(md.get("properties"))
+      .flatMap(p => Option(p.get("schema.name-mapping.default")))
+      .map(_.asText).map { json =>
+        M.readTree(json).elements().asScala.flatMap { e =>
+          require(Option(e.get("fields")).forall(f =>
+              f.isNull || f.isEmpty),
+            "Iceberg: nested name-mapping fields are not supported by " +
+              "this reader (top-level column mapping only)")
+          Option(e.get("field-id")).filterNot(_.isNull).map(_.asInt)
+            .map(_ -> Option(e.get("names")).toSeq
+              .flatMap(_.elements().asScala).map(_.asText).toSeq)
+        }.toMap
+      }.getOrElse(Map.empty)
 
   /** Snapshot read as of `snapshotId` (default: current) — ONE scan over
     * the log-backed index, same shape as [[DeltaLake.snapshot]].
@@ -798,8 +824,9 @@ object Iceberg {
     // conf. Session-scoped but inert for schemas without id metadata,
     // so non-Iceberg reads are untouched; `ignoreMissing` stays at its
     // false default — a data file carrying NO ids at all fails loudly
-    // instead of surfacing silent nulls (such files need the spec's
-    // name-mapping, which this reader does not implement).
+    // UNLESS the table carries `schema.name-mapping.default`, in which
+    // case it resolves by mapped name on a separate scan arm
+    // ([[mappedScan]], r11).
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val logFiles = sm.files.map { f =>
       val p = resolveRef(path, f.path)
@@ -824,8 +851,7 @@ object Iceberg {
       .Expression], lf: LogFile) =>
       statsKeep(filters, lf) && transformKeep(filters, lf)
     if (sm.deleteFiles.isEmpty)
-      LakeScan.scan(spark, path, sm.schema, sm.partitionColumns, logFiles,
-        keep, withMeta)
+      mappedScan(spark, path, sm, logFiles, keep, withMeta)
     else {
       // MERGE-ON-READ: subtract the delete files as BROADCAST
       // ANTI-JOINS — fully distributed, the delete sides are normal
@@ -843,8 +869,8 @@ object Iceberg {
       //     never touches rows inserted at or after it).
       import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
       import spark.implicits._
-      val scan = LakeScan.scan(spark, path, sm.schema, sm.partitionColumns,
-        logFiles, keep, withMeta = true)
+      val scan = mappedScan(spark, path, sm, logFiles, keep,
+        withMeta = true)
       def dataKey = regexp_replace(col("_metadata.file_path"),
         "^file:/+", "/")
       def canon(rel: String): String =
@@ -949,6 +975,121 @@ object Iceberg {
         (if (withMeta) Seq("_metadata") else Seq.empty)
       kept.select(cols.map(col): _*)
     }
+  }
+
+  /** Footer probe for NAME-MAPPING resolution: does the file carry
+    * parquet field ids, and what are its top-level column names?
+    * Driver-side, once per (path, size) for the JVM's life — files are
+    * immutable in both formats, and this is the same per-file planning
+    * metadata real migrated-table readers cache. Only consulted when
+    * the table HAS a name mapping (id-stamped tables never pay it).
+    */
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      (Boolean, Set[String])]()
+
+  private def parquetColumnInfo(path: String): (Boolean, Set[String]) = {
+    val f = new java.io.File(path)
+    require(f.exists(), s"data file missing on disk: $path")
+    footerCache.computeIfAbsent((path, f.length()), { _ =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val fields = r.getFooter.getFileMetaData.getSchema
+          .getFields.asScala
+        (fields.exists(_.getId != null), fields.map(_.getName).toSet)
+      } finally r.close()
+    })
+  }
+
+  /** The scan with NAME MAPPING applied (spec "Column Projection"):
+    * tables migrated from Hive/plain parquet hold data files WITHOUT
+    * `parquet.field.id`s, and `schema.name-mapping.default` is how
+    * their columns resolve. Files WITH ids ride the normal field-id
+    * scan; ID-LESS files read under their RESOLVED physical names
+    * (per field: the first mapped name present in the file — probed
+    * from the footer driver-side, cached per file), grouped by
+    * resolved name vector into as few extra scans as the history
+    * needs (one, for the common single-rename migration), and aliased
+    * back to the logical schema before the UNION. A field with no
+    * mapped name in a file surfaces NULL — the spec's missing-column
+    * semantics, same as schema evolution. Per-file BOUNDS skipping
+    * survives on the mapped scans (stats keys re-keyed to the
+    * resolved names so pushed filters still lower); transform pruning
+    * stays conservative there. Without a mapping the behavior is
+    * unchanged: an id-less file fails loudly at the parquet read.
+    */
+  private def mappedScan(spark: SparkSession, path: String,
+      sm: SnapshotMeta, logFiles: Seq[LogFile],
+      keep: (Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        LogFile) => Boolean, withMeta: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (sm.nameMapping.isEmpty || logFiles.isEmpty)
+      return LakeScan.scan(spark, path, sm.schema, sm.partitionColumns,
+        logFiles, keep, withMeta)
+    val (withIds, idless) =
+      logFiles.partition(lf => parquetColumnInfo(lf.path)._1)
+    if (idless.isEmpty)
+      return LakeScan.scan(spark, path, sm.schema, sm.partitionColumns,
+        logFiles, keep, withMeta)
+    val dataFields = sm.schema.fields.toSeq
+      .filterNot(f => sm.partitionColumns.contains(f.name))
+    val ids = fieldIds(sm.schema)
+    // per id-less file: each data field's physical name — the first
+    // mapped name present in the file, else the logical name (absent
+    // from the file → parquet null-fills, the spec'd projection)
+    val groups: Map[Seq[String], Seq[LogFile]] = idless.groupBy { lf =>
+      val fileCols = parquetColumnInfo(lf.path)._2
+      dataFields.map { f =>
+        sm.nameMapping.get(ids(f.name))
+          .flatMap(_.find(fileCols.contains))
+          .getOrElse(f.name)
+      }
+    }
+    val base =
+      if (withIds.isEmpty) Seq.empty
+      else Seq(LakeScan.scan(spark, path, sm.schema, sm.partitionColumns,
+        withIds, keep, withMeta))
+    val mapped = groups.toSeq.sortBy(_._1.mkString(",")).map {
+      case (phys, fs) =>
+        require(phys.distinct.size == phys.size,
+          s"Iceberg name mapping resolves two columns to one physical " +
+            s"name in ${fs.map(_.path).mkString(",")}: " +
+            phys.mkString(","))
+        val logToPhys = dataFields.map(_.name).zip(phys).toMap
+        val renamed = StructType(sm.schema.fields.map { f =>
+          if (sm.partitionColumns.contains(f.name)) f
+          else StructField(logToPhys(f.name), f.dataType,
+            nullable = true) // no id metadata: read BY NAME
+        })
+        // stats re-keyed to the resolved names so the pushed filters
+        // (which reference the renamed attributes) still bounds-skip
+        val fsRenamed = fs.map(lf => lf.copy(stats = lf.stats.map { s =>
+          val n = M.readTree(s)
+          val out = M.createObjectNode()
+          Seq("minValues", "maxValues").foreach { k =>
+            val src = n.get(k)
+            val dst = out.putObject(k)
+            if (src != null) src.properties().asScala.foreach { e =>
+              dst.set[JsonNode](logToPhys.getOrElse(e.getKey, e.getKey),
+                e.getValue)
+            }
+          }
+          M.writeValueAsString(out)
+        }))
+        val renamedKeep = StatsSkip.memoKeep(renamed,
+          sm.partitionColumns)
+        val scan = LakeScan.scan(spark, path, renamed,
+          sm.partitionColumns, fsRenamed, renamedKeep, withMeta)
+        val cols = sm.schema.fieldNames.toIndexedSeq.map(l =>
+          if (sm.partitionColumns.contains(l)) col(l)
+          else col(logToPhys(l)).as(l)) ++
+          (if (withMeta) Seq(col("_metadata")) else Seq.empty)
+        scan.select(cols: _*)
+    }
+    (base ++ mapped).reduce(_.unionByName(_))
   }
 
   /** Positional delete rows of `dels` resolved against `dataFiles`:
@@ -1274,7 +1415,8 @@ object Iceberg {
       tableSchema: StructType, partitionBy: Seq[String],
       entries: Seq[Entry], operation: String,
       summaryProps: Map[String, String] = Map.empty,
-      exclusive: Boolean = false): Long = {
+      exclusive: Boolean = false,
+      tableProps: Map[String, String] = Map.empty): Long = {
     val mdDir = metadataDir(tableDir)
     mdDir.mkdirs()
     val (priorMd, version) = priorState(mdDir)
@@ -1534,12 +1676,26 @@ object Iceberg {
       priorMd.flatMap(md => Option(md.get("format-version")))
         .map(_.asInt).getOrElse(2),
       if (entries.exists(_.dv.isDefined)) 3 else 2)
+    // table properties: the prior metadata's carry FORWARD (dropping
+    // them would break e.g. an established name mapping on the next
+    // commit), merged under this commit's
+    val mergedProps: Map[String, String] =
+      priorMd.flatMap(md => Option(md.get("properties"))).toSeq
+        .flatMap(_.properties().asScala.map(e =>
+          e.getKey -> e.getValue.asText)).toMap ++ tableProps
+    val propsJson =
+      if (mergedProps.isEmpty) ""
+      else s""""properties":{${mergedProps.toSeq.sortBy(_._1).map {
+        case (k, v) => s"${M.writeValueAsString(k)}:${
+          M.writeValueAsString(v)}"
+      }.mkString(",")}},"""
     val mdJson =
       s"""{"format-version":$formatVersion,"table-uuid":"${java.util.UUID
         .nameUUIDFromBytes(tableDir.getBytes("UTF-8"))}",
          |"location":"$tableDir","last-sequence-number":$version,
          |"last-updated-ms":${1700000000000L + version},
          |"last-column-id":${tableSchema.size},
+         |$propsJson
          |"schemas":[$schemasJson],
          |"current-schema-id":$curSchemaId,
          |"partition-specs":[$specsJson],
@@ -1703,6 +1859,57 @@ object Iceberg {
             .map(_.asText.toLong))
       }
       .maxOption.getOrElse(-1L)
+  }
+
+  /** Append `df` as ID-LESS data files (no `parquet.field.id`s, disk
+    * column names from `diskNames` — defaults to the logical names)
+    * and register/extend `schema.name-mapping.default` so they
+    * resolve: the MIGRATED-TABLE shape (`migrate`/`add_files` over
+    * Hive or plain parquet directories registers the existing files
+    * untouched and writes the mapping). Unpartitioned only — the
+    * migration path this models registers flat file sets. Fixture
+    * machinery for the name-mapping read path ([[mappedScan]]).
+    */
+  def stageIdlessAppend(spark: SparkSession, tableDir: String,
+      df: DataFrame, diskNames: Map[String, String] = Map.empty): Long = {
+    import org.apache.spark.sql.functions.col
+    val root = new java.io.File(tableDir)
+    val (_, version) = priorState({ val d = metadataDir(tableDir)
+      d.mkdirs(); d })
+    val physOf = (l: String) => diskNames.getOrElse(l, l)
+    val writeDf = df.select(df.schema.fieldNames.toIndexedSeq.map(l =>
+      col(l).as(physOf(l),
+        org.apache.spark.sql.types.Metadata.empty)): _*)
+    val moved = writeDataFiles(root, writeDf, Seq.empty, s"a$version")
+    val physSchema = StructType(df.schema.fields.map(f =>
+      f.copy(name = physOf(f.name),
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
+    val stats = fileStatsOf(spark, physSchema,
+      moved.map(_._1.getAbsolutePath))
+    val physToLog = df.schema.fieldNames.map(l => physOf(l) -> l).toMap
+    val entries = moved.map { case (file, pv) =>
+      val (n, perCol) = stats.getOrElse(file.getName,
+        (0L, Map.empty[String, (Any, Any)]))
+      // manifest bounds are keyed by FIELD ID of the logical schema —
+      // re-key the physical-name stats back to logical
+      Entry(1, root.toPath.relativize(file.toPath).toString,
+        file.length(), pv, n,
+        perCol.map { case (k, v) => physToLog.getOrElse(k, k) -> v })
+    }
+    // the mapping entry for each field: logical name + its disk alias
+    val ids = fieldIds(df.schema)
+    val prior: Map[Int, Seq[String]] =
+      scala.util.Try(resolve(spark, tableDir, None)).toOption
+        .map(_.nameMapping).getOrElse(Map.empty)
+    val mappingJson = df.schema.fieldNames.toIndexedSeq.map { l =>
+      val names = (prior.getOrElse(ids(l), Seq.empty) ++
+        Seq(l, physOf(l))).distinct
+      s"""{"field-id":${ids(l)},"names":[${names.map(n =>
+        M.writeValueAsString(n)).mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    commitSnapshot(spark, tableDir, df.schema, Seq.empty, entries,
+      "append",
+      tableProps = Map("schema.name-mapping.default" -> mappingJson))
   }
 
   /** RENAME logical columns — a METADATA-ONLY update, no new snapshot
