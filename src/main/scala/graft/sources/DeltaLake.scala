@@ -1166,7 +1166,12 @@ object DeltaLake {
       version: Long): Seq[String] = {
     val root = new java.io.File(tableDir)
     root.mkdirs()
-    val tmp = new java.io.File(root, s"_commit_tmp_$version")
+    // per-attempt unique scratch dir: two writers racing to the same
+    // version must not overwrite each other's staged files before the
+    // exclusive commit decides the winner (the moved data files are
+    // already UUID-unique part names)
+    val tmp = new java.io.File(root, s"_commit_tmp_$version-" +
+      java.util.UUID.randomUUID().toString.take(8))
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.getAbsolutePath)

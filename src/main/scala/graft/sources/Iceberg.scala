@@ -1036,16 +1036,25 @@ object Iceberg {
         logFiles, keep, withMeta)
     val dataFields = sm.schema.fields.toSeq
       .filterNot(f => sm.partitionColumns.contains(f.name))
-    val ids = fieldIds(sm.schema)
+    // the METADATA's real field ids (schema evolution leaves gaps a
+    // positional re-derivation would mis-number, silently nulling
+    // whole columns on any table this fixture writer didn't produce)
+    val nameToId: Map[String, Int] =
+      if (sm.fieldIdToName.nonEmpty) sm.fieldIdToName.map(_.swap)
+      else fieldIds(sm.schema)
     // per id-less file: each data field's physical name — the first
-    // mapped name present in the file, else the logical name (absent
-    // from the file → parquet null-fills, the spec'd projection)
+    // mapped name present in the file. A field with NO mapping entry
+    // or no matching file column projects NULL per the spec's
+    // column-projection rule, via a name guaranteed absent from the
+    // file (falling back to the CURRENT logical name would serve a
+    // dropped-and-re-added column's stale data for the new field)
     val groups: Map[Seq[String], Seq[LogFile]] = idless.groupBy { lf =>
       val fileCols = parquetColumnInfo(lf.path)._2
       dataFields.map { f =>
-        sm.nameMapping.get(ids(f.name))
+        val fid = nameToId.getOrElse(f.name, -1)
+        sm.nameMapping.get(fid)
           .flatMap(_.find(fileCols.contains))
-          .getOrElse(f.name)
+          .getOrElse(s"__graft_absent_$fid")
       }
     }
     val base =
@@ -1545,12 +1554,21 @@ object Iceberg {
     // one manifest per KIND: a manifest is either a DATA manifest
     // (content 0) or a DELETE manifest (content 1, holding positional
     // AND equality delete-file entries) — the spec does not mix them
+    // exclusive (sink) commits name every artifact uniquely per
+    // ATTEMPT: the metadata hard-link is the only commit point, and
+    // two writers racing to the same version must not truncate each
+    // other's manifests/manifest-list while one of them goes on to
+    // win (the loser's uniquely-named files become harmless orphans,
+    // the same debris a failed real-catalog commit leaves)
+    val attempt =
+      if (!exclusive) ""
+      else "-" + java.util.UUID.randomUUID().toString.take(8)
     val newManifests: Seq[(java.io.File, Int)] =
       entries.groupBy(e => if (e.content == 0) 0 else 1).toSeq
         .sortBy(_._1).map {
         case (content, group) =>
           val manifestFile = new java.io.File(mdDir,
-            f"m-$version%05d-c$content.avro")
+            f"m-$version%05d$attempt%s-c$content.avro")
           val mw = new DataFileWriter[GenericRecord](
             new GenericDatumWriter[GenericRecord](manifestSchema))
           mw.create(manifestSchema, manifestFile)
@@ -1616,7 +1634,7 @@ object Iceberg {
                 .getOrElse(0)))
         }
       }
-    val mlFile = new java.io.File(mdDir, f"snap-$snapshotId%d.avro")
+    val mlFile = new java.io.File(mdDir, f"snap-$snapshotId%d$attempt%s.avro")
     val lw = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](mlSchema))
     lw.create(mlSchema, mlFile)
@@ -1777,8 +1795,16 @@ object Iceberg {
     }
     val dirCols = spec.map(f =>
       if (f.transform == Identity) f.sourceName else f.fieldName)
+    // exclusive (sink) commits tag their scratch dir uniquely: two
+    // writers racing to the same version would otherwise share
+    // `_ice_tmp_aN` — mode("overwrite") deletes the other's staged
+    // files mid-move (the data-file names themselves are already
+    // UUID-unique part files)
+    val tag =
+      if (!exclusive) s"a$version"
+      else s"a$version-${java.util.UUID.randomUUID().toString.take(8)}"
     val moved = writeDataFiles(root,
-      withFieldIds(writeDf, fieldIds(df.schema)), dirCols, s"a$version")
+      withFieldIds(writeDf, fieldIds(df.schema)), dirCols, tag)
     val identitySources = spec.filter(_.transform == Identity)
       .map(_.sourceName)
     val dataSchema = StructType(
@@ -1794,11 +1820,12 @@ object Iceberg {
     // complete-mode sink output REPLACES the table's content: every
     // currently-live data and delete file gets a status=2 entry in the
     // same snapshot (partition records irrelevant on removals — the
-    // fold removes by path)
+    // fold removes by path). The not-yet-a-table case is detected
+    // EXPLICITLY — swallowing resolve() errors here would silently
+    // turn "replace" into "append on top of unreadable live content"
     val removals: Seq[Entry] =
-      if (!replaceTable) Seq.empty
-      else scala.util.Try(resolve(spark, tableDir, None)).toOption
-        .toSeq.flatMap { cur =>
+      if (!replaceTable || !hasSnapshot(tableDir)) Seq.empty
+      else Seq(resolve(spark, tableDir, None)).flatMap { cur =>
           cur.files.map(f => Entry(2, f.path, f.size.getOrElse(0L),
             Map.empty, 0L, Map.empty)) ++
           cur.deleteFiles.map(f => Entry(2, f.path,
@@ -1810,6 +1837,21 @@ object Iceberg {
         }
     commitSnapshot(spark, tableDir, df.schema, partitionBy,
       entries ++ removals, operation, summaryProps, exclusive)
+  }
+
+  /** Whether `tableDir` is an Iceberg table WITH a current snapshot —
+    * the explicit "does not exist yet" test for writer paths that
+    * must distinguish a fresh table from a broken one (a swallowed
+    * resolve() error is never an acceptable stand-in: it turns real
+    * corruption into silently different write semantics).
+    */
+  private def hasSnapshot(tableDir: String): Boolean = {
+    val dir = metadataDir(tableDir)
+    dir.exists() &&
+      Option(dir.listFiles()).toSeq.flatten
+        .exists(f => metadataVersionOf(f.getName).isDefined) &&
+      Option(readMetadata(tableDir).get("current-snapshot-id"))
+        .exists(_.asLong(-1L) >= 0)
   }
 
   /** Sink-path metadata commit: content lands fully in a temp file,
@@ -1896,11 +1938,13 @@ object Iceberg {
         file.length(), pv, n,
         perCol.map { case (k, v) => physToLog.getOrElse(k, k) -> v })
     }
-    // the mapping entry for each field: logical name + its disk alias
+    // the mapping entry for each field: logical name + its disk alias.
+    // Prior mapping history merges in EXPLICITLY — swallowing a
+    // resolve() error would silently drop established aliases
     val ids = fieldIds(df.schema)
     val prior: Map[Int, Seq[String]] =
-      scala.util.Try(resolve(spark, tableDir, None)).toOption
-        .map(_.nameMapping).getOrElse(Map.empty)
+      if (!hasSnapshot(tableDir)) Map.empty
+      else resolve(spark, tableDir, None).nameMapping
     val mappingJson = df.schema.fieldNames.toIndexedSeq.map { l =>
       val names = (prior.getOrElse(ids(l), Seq.empty) ++
         Seq(l, physOf(l))).distinct

@@ -114,11 +114,8 @@ class DeltaLogStreamProvider extends StreamSourceProvider
         s"Complete (overwrite per batch) output modes, not $mode — " +
         "Update would need row-level upserts this log writer does not " +
         "stage")
-    val appId = parameters.get("txnAppId")
-      .orElse(parameters.get("checkpointLocation")
-        .map(p => "ckpt:" + new java.io.File(p).getAbsolutePath))
-      .getOrElse(java.util.UUID.randomUUID().toString)
-    new DeltaLogSink(pathOf(parameters), partitionColumns, appId,
+    new DeltaLogSink(pathOf(parameters), partitionColumns,
+      SinkSupport.appIdOf(ctx, parameters),
       overwrite = mode == "complete")
   }
 }
@@ -149,17 +146,9 @@ class DeltaLogSink(path: String, partitionBy: Seq[String],
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val committed = DeltaLake.txnVersion(path, appId)
     if (batchId <= committed) return // replayed batch: already in the log
-    val g = org.apache.spark.sql.graft.GraftSql
-    // strip column metadata inherited from a lake SOURCE (e.g.
-    // `parquet.field.id` riding an Iceberg stream): written as-is the
-    // destination's schemaString and files would carry a PARTIAL
-    // foreign id stamping — this table's identity starts clean
-    val batch0 = g.batchify(data)
-    val batch = batch0.select(batch0.schema.fields.toIndexedSeq.map(f =>
-      org.apache.spark.sql.functions.col(f.name)
-        .as(f.name, org.apache.spark.sql.types.Metadata.empty)): _*)
     DeltaLake.commitStreamBatch(data.sparkSession, path,
-      batch, partitionBy, appId, batchId, overwrite)
+      SinkSupport.cleanBatch(data), partitionBy, appId, batchId,
+      overwrite)
     ()
   }
 

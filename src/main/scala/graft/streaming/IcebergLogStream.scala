@@ -85,13 +85,10 @@ class IcebergLogStreamProvider extends StreamSourceProvider
       s"graft-iceberg sink supports Append (snapshot per batch) and " +
         s"Complete (replace per batch) output modes, not $mode")
     val spec = parameters.get("partitionSpec")
-      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .map(SinkSupport.splitSpec)
       .getOrElse(partitionColumns)
-    val appId = parameters.get("txnAppId")
-      .orElse(parameters.get("checkpointLocation")
-        .map(p => "ckpt:" + new java.io.File(p).getAbsolutePath))
-      .getOrElse(java.util.UUID.randomUUID().toString)
-    new IcebergLogSink(pathOf(parameters), spec, appId,
+    new IcebergLogSink(pathOf(parameters), spec,
+      SinkSupport.appIdOf(ctx, parameters),
       overwrite = mode == "complete")
   }
 }
@@ -117,19 +114,8 @@ class IcebergLogSink(path: String, partitionSpec: Seq[String],
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val committed = Iceberg.txnVersion(path, appId)
     if (batchId <= committed) return // replayed batch: already committed
-    val g = org.apache.spark.sql.graft.GraftSql
-    // columns inherited from a lake SOURCE carry `parquet.field.id`
-    // metadata; written as-is the batch's files would get a PARTIAL
-    // id stamping (source columns yes, derived columns no), which the
-    // id-matching read path then mis-resolves. The sink owns its
-    // table's ids — strip inherited metadata and let the staging
-    // writer stamp a fresh, complete set.
-    val batch0 = g.batchify(data)
-    val batch = batch0.select(batch0.schema.fields.toIndexedSeq.map(f =>
-      org.apache.spark.sql.functions.col(f.name)
-        .as(f.name, org.apache.spark.sql.types.Metadata.empty)): _*)
-    Iceberg.stageAppendWith(data.sparkSession, path, batch,
-      partitionSpec,
+    Iceberg.stageAppendWith(data.sparkSession, path,
+      SinkSupport.cleanBatch(data), partitionSpec,
       operation = if (overwrite) "overwrite" else "append",
       summaryProps = Map("graft.txn-app-id" -> appId,
         "graft.txn-version" -> batchId.toString),

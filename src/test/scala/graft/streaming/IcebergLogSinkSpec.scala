@@ -149,6 +149,49 @@ class IcebergLogSinkSpec extends AnyFunSuite with SparkFixture {
       s"expected 1 partition file planned: ${pruned.inputFiles.toSeq}")
   }
 
+  test("partitionSpec with a TRANSFORM spec: bucket(4, id) parses " +
+      "(top-level comma split) and the written table prunes on it") {
+    val src = freshDir("bk_src")
+    Iceberg.stageAppend(spark, src, frame(1 to 40), Seq.empty)
+    val dest = freshDir("bk_dst")
+    val q = spark.readStream.format("graft-iceberg").load(src)
+      .writeStream.format("graft-iceberg")
+      .option("partitionSpec", "bucket(4, id)")
+      .option("checkpointLocation", freshDir("bk_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start(dest)
+    q.awaitTermination()
+    assert(ids(Iceberg.snapshot(spark, dest)) == (1L to 40L).toSet)
+    // the metadata carries the bucket spec and equality prunes to one
+    // bucket's files
+    val all = Iceberg.snapshot(spark, dest).inputFiles.length
+    val one = Iceberg.snapshotWhere(spark, dest, col("id") === 7L)
+    assert(one.collect().map(_.getLong(0)).toSet == Set(7L))
+    assert(one.inputFiles.length < all,
+      s"bucket pruning must drop files: ${one.inputFiles.length}/$all")
+  }
+
+  test("a session-default checkpoint location without an explicit " +
+      "txnAppId is refused (a silent random identity would duplicate " +
+      "batches on restart)") {
+    val src = freshDir("sd_src")
+    Iceberg.stageAppend(spark, src, frame(1 to 5), Seq.empty)
+    spark.conf.set("spark.sql.streaming.checkpointLocation",
+      freshDir("sd_conf"))
+    try {
+      val e = intercept[Exception] {
+        val q = spark.readStream.format("graft-iceberg").load(src)
+          .writeStream.format("graft-iceberg")
+          .queryName("sd_q")
+          .trigger(Trigger.AvailableNow())
+          .start(freshDir("sd_dst"))
+        q.awaitTermination()
+      }
+      assert(e.getMessage.contains("txnAppId"), e.getMessage)
+    } finally spark.conf
+      .unset("spark.sql.streaming.checkpointLocation")
+  }
+
   test("racing writers: exclusive metadata creation fails the loser " +
       "loudly; winner intact") {
     val dest = freshDir("race")
