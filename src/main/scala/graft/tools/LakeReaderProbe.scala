@@ -291,6 +291,63 @@ object LakeReaderProbe {
         s"diff arm planned $retractFiles scans — bounds pruning inactive")
     }
 
+    // v3 deletion vectors at table scale (r11): DVs on 2 of 100
+    // range-clustered files — driver-side bitmap resolution is
+    // metadata-sized (measured below), the snapshot stays ONE scan
+    // with the codegen'd anti-filter (no delete-file scan, no join),
+    // and the signed DV window's diff arm plans only the files the
+    // manifests REFERENCE
+    locally {
+      val dvDir = graft.sources.Staging.stageOnce(dir, "probe_ice_dv",
+        Seq(s"$dir/orders.parquet")) { p =>
+        graft.sources.Iceberg.stageAppend(spark, p,
+          ord.repartitionByRange(100, col("o_orderkey")), Seq.empty)
+        val k = ord.agg(max(col("o_orderkey"))).head().getLong(0) / 100
+        graft.sources.Iceberg.stageDv(spark, p,
+          col("o_orderkey") <= k && col("o_orderkey") % 3 === 0)
+        ()
+      }
+      val t0 = System.nanoTime()
+      val snap = graft.sources.Iceberg.snapshot(spark, dvDir)
+      val planMs = (System.nanoTime() - t0) / 1e6
+      val scanFiles = snap.inputFiles.length
+      val sids = graft.sources.Iceberg.snapshotIds(dvDir)
+      val t1 = System.nanoTime()
+      val ch = graft.sources.Iceberg.changes(spark, dvDir, sids.head,
+        Some(sids.last))
+      val retractFiles = ch.retracts.inputFiles.length.toLong
+      val nRetract = ch.retracts.count()
+      val windowS = (System.nanoTime() - t1) / 1e9
+      println(f"iceberg v3 DV (DVs on ~1 of $scanFiles%d files)  " +
+        f"resolve+plan $planMs%7.1f ms; signed window plans " +
+        f"$retractFiles%d files, $nRetract%d rows retracted in " +
+        f"$windowS%5.2f s")
+      require(retractFiles <= 3,
+        s"DV diff arm planned $retractFiles files — not referenced-only")
+    }
+
+    // name-mapping footer probe at table scale (r11): 100 ID-LESS
+    // files — the one-time driver-side footer read per file (the
+    // migrated-table planning cost), then the memoized re-plan
+    locally {
+      val nmDir = graft.sources.Staging.stageOnce(dir, "probe_ice_nm",
+        Seq(s"$dir/orders.parquet")) { p =>
+        graft.sources.Iceberg.stageIdlessAppend(spark, p,
+          ord.repartitionByRange(100, col("o_orderkey")),
+          diskNames = ord.columns.map(c => c -> s"h_$c").toMap)
+        ()
+      }
+      val coldMs = ms(planOf(
+        graft.sources.Iceberg.snapshot(spark, nmDir)))
+      val warmMs = ms(planOf(
+        graft.sources.Iceberg.snapshot(spark, nmDir)))
+      val n = graft.sources.Iceberg.snapshot(spark, nmDir)
+        .inputFiles.length
+      println(f"iceberg name mapping ($n%d id-less files)  " +
+        f"footer-probe+plan cold $coldMs%7.1f ms   warm (memoized) " +
+        f"$warmMs%7.1f ms")
+    }
+
     spark.stop()
   }
 }
