@@ -2101,6 +2101,30 @@ object Queries {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // ICEBERG SNAPSHOT REFS (r11): a TAG pins the pre-delete snapshot
+    // for audit while the table moves on through an append and a
+    // copy-on-write DELETE — reading the tag must surface the full
+    // original content, refs carried forward by every later commit
+    // (a dropped ref silently unpins the snapshot it guards). Hash
+    // equality vs the full-orders oracle pins ref resolution + the
+    // carry-forward end to end.
+    QueryDef("iceberg_tag_read",
+      (s, d) => graft.sources.Iceberg
+        .snapshotRef(s, icebergOrdersTagged(s, d), "audit-v1")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // ICEBERG NAME MAPPING (r11): the MIGRATED-table shape —
     // `migrate`/`add_files` registers existing Hive/plain-parquet
     // files untouched (no `parquet.field.id`s) and writes
@@ -3070,6 +3094,32 @@ object Queries {
           col("o_orderpriority").isin("1-URGENT", "5-LOW"))
       graft.sources.Iceberg.stageDv(s, p,
         col("o_custkey") % 11 === 7 && col("o_orderpriority") === "5-LOW")
+      ()
+    }
+
+  /** The TAGGED Iceberg table — the `iceberg_tag_read` fixture: both
+    * orders halves appended, a tag pinned at the complete snapshot 2,
+    * then a third append (duplicate price-bumped rows) and a COW
+    * delete of that append — the tag must keep reading exactly the
+    * original orders through both later commits.
+    */
+  private[graft] def icebergOrdersTagged(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_tag_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") < c1), Seq.empty)
+      val s2 = graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") >= c1), Seq.empty)
+      graft.sources.Iceberg.stageRef(p, "audit-v1", s2)
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_custkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 999),
+        Seq.empty)
+      graft.sources.Iceberg.stageDelete(s, p,
+        col("o_totalprice") >= 999 + 1)
       ()
     }
 

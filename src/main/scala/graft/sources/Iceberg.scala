@@ -136,6 +136,31 @@ object Iceberg {
   private def readMetadata(path: String): JsonNode =
     M.readTree(java.nio.file.Files.readString(latestMetadataFile(path).toPath))
 
+  /** Resolve a NAMED REF — a branch or tag from the metadata's `refs`
+    * map (spec "Snapshot References": tags pin a snapshot for
+    * retention/audit, branches are independent lineages; `main` is
+    * the implicit branch `current-snapshot-id` tracks). Reads treat
+    * both kinds identically — a ref IS its snapshot id; retention
+    * fields are writer-side policy. A missing ref is loud and names
+    * what exists.
+    */
+  def snapshotIdForRef(path: String, ref: String): Long = {
+    val md = readMetadata(path)
+    val refs = Option(md.get("refs")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue).toMap).getOrElse(Map.empty)
+    refs.get(ref).map(_.get("snapshot-id").asLong).getOrElse {
+      if (ref == "main") currentSnapshotId(path)
+      else throw new IllegalArgumentException(
+        s"Iceberg: no ref '$ref' on $path (available: " +
+          s"${(refs.keySet + "main").toSeq.sorted.mkString(", ")})")
+    }
+  }
+
+  /** Snapshot read of a branch or tag — `VERSION AS OF 'ref-name'`. */
+  def snapshotRef(spark: SparkSession, path: String,
+      ref: String): DataFrame =
+    snapshot(spark, path, Some(snapshotIdForRef(path, ref)))
+
   /** The current snapshot id of the table. */
   def currentSnapshotId(path: String): Long = {
     val md = readMetadata(path)
@@ -1714,6 +1739,20 @@ object Iceberg {
         case (k, v) => s"${M.writeValueAsString(k)}:${
           M.writeValueAsString(v)}"
       }.mkString(",")}},"""
+    // snapshot refs carry FORWARD (a tag dropped by a later commit
+    // would silently unpin the snapshot it guards); `main` moves to
+    // this commit per the spec — it is the branch current-snapshot-id
+    // tracks
+    val priorRefs: Map[String, String] =
+      priorMd.flatMap(md => Option(md.get("refs"))).toSeq
+        .flatMap(_.properties().asScala.map(e =>
+          e.getKey -> M.writeValueAsString(e.getValue))).toMap
+    val refsJson = {
+      val entries = (priorRefs - "main") +
+        ("main" -> s"""{"snapshot-id":$snapshotId,"type":"branch"}""")
+      s""""refs":{${entries.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${M.writeValueAsString(k)}:$v" }.mkString(",")}},"""
+    }
     val mdJson =
       s"""{"format-version":$formatVersion,"table-uuid":"${java.util.UUID
         .nameUUIDFromBytes(tableDir.getBytes("UTF-8"))}",
@@ -1721,6 +1760,7 @@ object Iceberg {
          |"last-updated-ms":${1700000000000L + version},
          |"last-column-id":${tableSchema.size},
          |$propsJson
+         |$refsJson
          |"schemas":[$schemasJson],
          |"current-schema-id":$curSchemaId,
          |"partition-specs":[$specsJson],
@@ -1961,6 +2001,44 @@ object Iceberg {
     commitSnapshot(spark, tableDir, df.schema, Seq.empty, entries,
       "append",
       tableProps = Map("schema.name-mapping.default" -> mappingJson))
+  }
+
+  /** Create (or move) a NAMED REF — a `tag` pinning `snapshotId` or a
+    * `branch` headed there — as a METADATA-ONLY update (no new
+    * snapshot; exactly what `ALTER TABLE ... CREATE TAG` commits).
+    * Renaming/retargeting `main` is rejected: it is the implicit
+    * branch the current-snapshot pointer tracks.
+    */
+  def stageRef(tableDir: String, name: String, snapshotId: Long,
+      tpe: String = "tag"): Unit = {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    require(name != "main",
+      "stageRef: 'main' is the implicit current-snapshot branch")
+    require(tpe == "tag" || tpe == "branch",
+      s"stageRef: ref type must be tag or branch, got '$tpe'")
+    val mdDir = metadataDir(tableDir)
+    val (priorOpt, version) = priorState(mdDir)
+    val md = priorOpt.getOrElse(throw new IllegalStateException(
+      s"stageRef: no Iceberg table at $tableDir"))
+      .deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    require(Option(md.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala)
+        .exists(_.get("snapshot-id").asLong == snapshotId),
+      s"stageRef: snapshot $snapshotId does not exist on $tableDir")
+    val refs =
+      if (md.has("refs")) md.get("refs").asInstanceOf[ObjectNode]
+      else md.putObject("refs")
+    val r = refs.putObject(name)
+    r.put("snapshot-id", snapshotId)
+    r.put("type", tpe)
+    md.put("last-updated-ms", 1700000000000L + version)
+    java.nio.file.Files.writeString(
+      new java.io.File(mdDir, s"v$version.metadata.json").toPath,
+      M.writeValueAsString(md))
+    java.nio.file.Files.writeString(
+      new java.io.File(mdDir, "version-hint.text").toPath,
+      version.toString)
+    ()
   }
 
   /** RENAME logical columns — a METADATA-ONLY update, no new snapshot
