@@ -2101,6 +2101,30 @@ object Queries {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // DELTA SHALLOW CLONE (r11): the zero-copy table `CLONE` commits —
+    // one log whose adds reference the SOURCE table's data files by
+    // absolute path; no bytes move, stats/partition values ride along
+    // so skipping and pruning work unchanged, and the clone is pinned
+    // at clone time (later source commits invisible). Hash equality
+    // vs the full-orders oracle pins absolute-path resolution and the
+    // carried stats end to end.
+    QueryDef("deltalake_shallow_clone",
+      (s, d) => graft.sources.DeltaLake
+        .snapshot(s, deltaLakeOrdersCloned(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // ICEBERG SNAPSHOT REFS (r11): a TAG pins the pre-delete snapshot
     // for audit while the table moves on through an append and a
     // copy-on-write DELETE — reading the tag must surface the full
@@ -2689,6 +2713,20 @@ object Queries {
         ord.filter(col("o_orderkey") < cut), Seq("o_orderpriority"), 0L)
       graft.sources.DeltaLake.stageCommit(s, p,
         ord.filter(col("o_orderkey") >= cut), Seq("o_orderpriority"), 1L)
+    }
+
+  /** The SHALLOW CLONE of [[deltaLakeOrders]] — the
+    * `deltalake_shallow_clone` fixture: a zero-copy log referencing
+    * the source's files absolutely, staged in its own fingerprinted
+    * slot (the source path is content-addressed, so both re-stage
+    * together whenever the inputs change).
+    */
+  private[graft] def deltaLakeOrdersCloned(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_clone_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      graft.sources.DeltaLake.stageShallowClone(s, p,
+        deltaLakeOrders(s, d))
     }
 
   /** The staged table with a REAL row-level DELETE at version 2 (the

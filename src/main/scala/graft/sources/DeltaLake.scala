@@ -1922,6 +1922,75 @@ object DeltaLake {
   /** Append a commit that REMOVES the given log-relative paths (fixture
     * for compaction/delete replay).
     */
+  /** Stage a SHALLOW CLONE of `srcDir` at `cloneDir` — the
+    * zero-copy table the `CLONE` command commits: one commit whose
+    * add actions reference the SOURCE's data files by ABSOLUTE path
+    * (the protocol's documented add-path form; no bytes move), stats,
+    * sizes, and partition values carried verbatim so skipping and
+    * pruning work unchanged on the clone. Deletion vectors survive:
+    * a relative (`u`) descriptor is rewritten to an absolute (`p`)
+    * one against the SOURCE root — left relative it would resolve
+    * under the CLONE's root and silently undelete rows. The clone is
+    * pinned at clone time: later source commits don't affect it
+    * (VACUUMing the source past the clone breaks it loudly at read —
+    * the documented shallow-clone hazard, same as delta-spark).
+    */
+  def stageShallowClone(spark: SparkSession, cloneDir: String,
+      srcDir: String): Unit = {
+    val st = replay(spark, srcDir, None)
+    require(st.mappingMode == "none",
+      "stageShallowClone: column-mapped sources are not modeled")
+    val actions = mutable.Buffer.empty[String]
+    actions += """{"protocol":{"minReaderVersion":3,""" +
+      """"minWriterVersion":7,"readerFeatures":["deletionVectors"],""" +
+      """"writerFeatures":["deletionVectors"]}}"""
+    val meta = M.createObjectNode()
+    meta.put("id", java.util.UUID.nameUUIDFromBytes(
+      cloneDir.getBytes("UTF-8")).toString)
+    val fmt = meta.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    meta.put("schemaString", st.schema.json)
+    val pc = meta.putArray("partitionColumns")
+    st.partitionColumns.foreach(pc.add)
+    meta.putObject("configuration")
+    actions += s"""{"metaData":${M.writeValueAsString(meta)}}"""
+    st.adds.foreach { a =>
+      val add = M.createObjectNode()
+      add.put("path", percentEncode(resolve(srcDir, a.path)))
+      val pv = add.putObject("partitionValues")
+      a.partitionValues.foreach { case (k, v) => pv.put(k, v) }
+      a.size.foreach(s => add.put("size", s))
+      add.put("modificationTime", a.modificationTime)
+      add.put("dataChange", true)
+      a.stats.foreach(s => add.put("stats", s))
+      a.dv.foreach { d =>
+        val dvn = add.putObject("deletionVector")
+        if (d.storageType == "u") {
+          // resolve the uuid-relative sidecar against the SOURCE root
+          // and pin it absolutely
+          val enc = d.pathOrInlineDv
+          val prefix = enc.dropRight(20)
+          val uuidBytes = DeletionVectors.z85Decode(enc.takeRight(20), 16)
+          val bb = java.nio.ByteBuffer.wrap(uuidBytes)
+          val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+          val abs = new java.io.File(new java.io.File(srcDir, prefix),
+            s"deletion_vector_$uuid.bin").getAbsolutePath
+          dvn.put("storageType", "p")
+          dvn.put("pathOrInlineDv", abs)
+        } else {
+          dvn.put("storageType", d.storageType)
+          dvn.put("pathOrInlineDv", d.pathOrInlineDv)
+        }
+        d.offset.foreach(o => dvn.put("offset", o))
+        dvn.put("sizeInBytes", d.sizeInBytes)
+        dvn.put("cardinality", d.cardinality)
+      }
+      actions += s"""{"add":${M.writeValueAsString(add)}}"""
+    }
+    new java.io.File(cloneDir).mkdirs()
+    writeCommit(cloneDir, 0L, actions.toSeq)
+  }
+
   def stageRemoveCommit(tableDir: String, removeRelPaths: Seq[String],
       version: Long): Unit =
     writeCommit(tableDir, version, removeRelPaths.map { p =>

@@ -135,6 +135,39 @@ class IcebergDvSpec extends AnyFunSuite with SparkFixture {
       ++ ids(ch.inserts)) -- ids(ch.retracts) == endState)
   }
 
+  test("the changelog STREAM serves a DV window as typed DELETE rows " +
+      "(Q13 inherits the v3 arm)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = freshDir("chlog")
+    val df = (1L to 30L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+    Iceberg.stageAppend(spark, dir, df, Seq.empty)
+    Iceberg.stageDv(spark, dir, col("id") % 6 === 0)
+    val batches = scala.collection.mutable.Buffer
+      .empty[Seq[(String, Long)]]
+    val q = spark.readStream.format("graft-iceberg")
+      .option("readChangeLog", "true").load(dir)
+      .writeStream
+      .option("checkpointLocation", freshDir("chlog_ck"))
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          batches.synchronized {
+            batches += b.select("_change_type", "id").collect()
+              .map(r => (r.getString(0), r.getLong(1))).toSeq
+          }
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val all = batches.flatten
+    assert(all.filter(_._1 == "insert").map(_._2).toSet ==
+      (1L to 30L).toSet)
+    assert(all.filter(_._1 == "delete").map(_._2).toSet ==
+      Set(6L, 12L, 18L, 24L, 30L),
+      s"DV window must stream delta-sized DELETE rows: $all")
+  }
+
   test("corruption fails loudly: CRC, cardinality, and file magic") {
     val dir = freshDir("crc")
     val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
