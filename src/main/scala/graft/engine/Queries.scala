@@ -2101,6 +2101,54 @@ object Queries {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // DELTA VACUUM (r11): the maintenance half of every rewrite-shaped
+    // commit — the staged table's COW delete leaves superseded files
+    // on disk, VACUUM removes everything outside the retained
+    // versions' live sets, and the CURRENT read must be bit-identical
+    // after (a vacuum that deletes a referenced file would lose rows;
+    // the oracle catches exactly that). Time travel past the horizon
+    // fails loudly by design (spec-pinned in MaintenanceSpec).
+    QueryDef("deltalake_vacuum",
+      (s, d) => graft.sources.DeltaLake
+        .snapshot(s, deltaLakeOrdersVacuumed(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE NOT (o_custkey % 7 = 0 AND o_orderpriority = '5-LOW')
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ICEBERG EXPIRE SNAPSHOTS (r11): the second format's maintenance
+    // — old snapshots trimmed from the metadata, their exclusive
+    // assets deleted, ref-pinned and shared assets protected. The
+    // CURRENT read after expiry must equal the pre-expiry state
+    // (hash-pinned); the protection semantics live in MaintenanceSpec.
+    QueryDef("iceberg_expire",
+      (s, d) => graft.sources.Iceberg
+        .snapshot(s, icebergOrdersExpired(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE NOT (o_custkey % 7 = 0 AND o_orderpriority = '5-LOW')
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // DELTA SHALLOW CLONE (r11): the zero-copy table `CLONE` commits —
     // one log whose adds reference the SOURCE table's data files by
     // absolute path; no bytes move, stats/partition values ride along
@@ -2713,6 +2761,47 @@ object Queries {
         ord.filter(col("o_orderkey") < cut), Seq("o_orderpriority"), 0L)
       graft.sources.DeltaLake.stageCommit(s, p,
         ord.filter(col("o_orderkey") >= cut), Seq("o_orderpriority"), 1L)
+    }
+
+  /** The VACUUMED Delta table — the `deltalake_vacuum` fixture: two
+    * appends, a COW delete (superseded files left on disk by the
+    * rewrite), then VACUUM down to the current version.
+    */
+  private[graft] def deltaLakeOrdersVacuumed(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_vac_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val cut = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_orderkey") < cut), Seq("o_orderpriority"), 0L)
+      graft.sources.DeltaLake.stageCommit(s, p,
+        ord.filter(col("o_orderkey") >= cut), Seq("o_orderpriority"), 1L)
+      graft.sources.DeltaLake.stageDeleteCommit(s, p,
+        col("o_custkey") % 7 === 0 &&
+          col("o_orderpriority") === "5-LOW", 2L)
+      graft.sources.DeltaLake.vacuum(s, p, retainVersions = 1)
+      ()
+    }
+
+  /** The EXPIRED Iceberg table — the `iceberg_expire` fixture: two
+    * appends, a COW delete, then expire down to the current snapshot.
+    */
+  private[graft] def icebergOrdersExpired(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_exp_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") < c1), Seq.empty)
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_orderkey") >= c1), Seq.empty)
+      graft.sources.Iceberg.stageDelete(s, p,
+        col("o_custkey") % 7 === 0 &&
+          col("o_orderpriority") === "5-LOW")
+      graft.sources.Iceberg.expireSnapshots(s, p, keepLast = 1)
+      ()
     }
 
   /** The SHALLOW CLONE of [[deltaLakeOrders]] — the

@@ -1922,6 +1922,61 @@ object DeltaLake {
   /** Append a commit that REMOVES the given log-relative paths (fixture
     * for compaction/delete replay).
     */
+  /** VACUUM — delete data files (and DV sidecars) no RETAINED version
+    * references: the maintenance half of every rewrite-shaped commit
+    * (COW delete/update/merge, OPTIMIZE), whose superseded files
+    * otherwise accumulate forever. `retainVersions` is the time-travel
+    * horizon: the newest N versions' live sets (current included) stay
+    * readable; older versions become unreadable — by deleting their
+    * files, never their log entries, so a post-vacuum time travel
+    * fails LOUDLY at the scan instead of silently returning partial
+    * rows (the reader's missing-file guard is the safety net this
+    * relies on, and why this pairing is safe). The walk is scoped to
+    * the table root minus `_delta_log`; `dryRun` returns the doomed
+    * list without touching disk. Inline DVs have no sidecar;
+    * referenced sidecars of retained versions are kept.
+    */
+  def vacuum(spark: SparkSession, path: String,
+      retainVersions: Int = 1, dryRun: Boolean = false): Seq[String] = {
+    require(retainVersions >= 1,
+      "vacuum: retainVersions must keep at least the current version")
+    val versions = commitVersions(path) ++ checkpointVersions(path)
+    require(versions.nonEmpty, s"not a Delta table: $path")
+    val retained = versions.distinct.sorted.takeRight(retainVersions)
+    val keep = scala.collection.mutable.Set.empty[String]
+    retained.foreach { v =>
+      val st = replay(spark, path, Some(v))
+      st.adds.foreach { a =>
+        keep += new java.io.File(resolve(path, a.path)).getAbsolutePath
+        a.dv.filter(_.storageType == "u").foreach { d =>
+          val enc = d.pathOrInlineDv
+          val prefix = enc.dropRight(20)
+          val uuidBytes = DeletionVectors.z85Decode(enc.takeRight(20), 16)
+          val bb = java.nio.ByteBuffer.wrap(uuidBytes)
+          val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+          keep += new java.io.File(new java.io.File(path, prefix),
+            s"deletion_vector_$uuid.bin").getAbsolutePath
+        }
+        a.dv.filter(_.storageType == "p").foreach(d =>
+          keep += new java.io.File(d.pathOrInlineDv).getAbsolutePath)
+      }
+    }
+    val doomed = scala.collection.mutable.Buffer.empty[java.io.File]
+    def walk(dir: java.io.File): Unit =
+      Option(dir.listFiles()).toSeq.flatten.foreach { f =>
+        if (f.isDirectory) {
+          if (f.getName != "_delta_log") walk(f)
+        } else if ((f.getName.endsWith(".parquet") ||
+            f.getName.startsWith("deletion_vector_")) &&
+            !keep.contains(f.getAbsolutePath))
+          doomed += f
+      }
+    walk(new java.io.File(path))
+    val out = doomed.toSeq.map(_.getAbsolutePath).sorted
+    if (!dryRun) doomed.foreach(_.delete())
+    out
+  }
+
   /** Stage a SHALLOW CLONE of `srcDir` at `cloneDir` — the
     * zero-copy table the `CLONE` command commits: one commit whose
     * add actions reference the SOURCE's data files by ABSOLUTE path

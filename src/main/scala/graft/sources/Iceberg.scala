@@ -2003,6 +2003,81 @@ object Iceberg {
       tableProps = Map("schema.name-mapping.default" -> mappingJson))
   }
 
+  /** EXPIRE SNAPSHOTS — drop old snapshots from the metadata and
+    * delete the files ONLY they reference (manifest lists, manifests,
+    * data/delete/Puffin files): the maintenance that bounds a table's
+    * history, `expire_snapshots` in the reference engines. Retention
+    * is the union of the newest `keepLast` snapshots and every
+    * REF-PINNED snapshot (tags and branches, `main` included) — an
+    * audit tag protects its snapshot however old. Asset accounting is
+    * CONSERVATIVE: every path any retained snapshot's manifests
+    * mention (live or deleted status) stays, so shared manifests and
+    * still-referenced rewrites survive. Time travel to an expired
+    * snapshot fails loudly at resolution (its entry is gone).
+    * `dryRun` returns the doomed list without touching disk.
+    */
+  def expireSnapshots(spark: SparkSession, path: String,
+      keepLast: Int, dryRun: Boolean = false): Seq[String] = {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    require(keepLast >= 1, "expireSnapshots: keepLast must be >= 1")
+    val md = readMetadata(path)
+    val snaps = Option(md.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala.toSeq)
+    val ordered = snaps.sortBy(s =>
+      (Option(s.get("sequence-number")).map(_.asLong).getOrElse(0L),
+        s.get("timestamp-ms").asLong))
+    val refPinned: Set[Long] =
+      Option(md.get("refs")).toSeq
+        .flatMap(_.properties().asScala
+          .map(_.getValue.get("snapshot-id").asLong)).toSet ++
+        Option(md.get("current-snapshot-id")).map(_.asLong).toSet
+    val retainIds = ordered.takeRight(keepLast)
+      .map(_.get("snapshot-id").asLong).toSet ++ refPinned
+    val expired = ordered
+      .filterNot(s => retainIds.contains(s.get("snapshot-id").asLong))
+    if (expired.isEmpty) return Seq.empty
+    // every asset path a snapshot's tree mentions: manifest list,
+    // manifests, and each entry's file_path — STATUS-BLIND (a path a
+    // retained manifest mentions as DELETED may still back an older
+    // retained snapshot's read)
+    def assets(snap: JsonNode): Set[String] = {
+      val ml = resolveRef(path, snap.get("manifest-list").asText)
+      val out = scala.collection.mutable.Set(ml)
+      avroRecords(ml).foreach { mf =>
+        val mPath = resolveRef(path, mf.get("manifest_path").toString)
+        out += mPath
+        avroRecords(mPath).foreach { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          out += resolveRef(path, df.get("file_path").toString)
+        }
+      }
+      out.toSet
+    }
+    val kept = ordered
+      .filter(s => retainIds.contains(s.get("snapshot-id").asLong))
+      .flatMap(assets).toSet
+    val doomed = expired.flatMap(assets).toSet -- kept
+    if (!dryRun) {
+      // trim the snapshot list FIRST (readers resolving mid-expire see
+      // a consistent metadata before any file disappears), then delete
+      val mdDir = metadataDir(path)
+      val (_, version) = priorState(mdDir)
+      val trimmed = md.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+      val arr = trimmed.putArray("snapshots")
+      ordered.filter(s => retainIds.contains(
+        s.get("snapshot-id").asLong)).foreach(s =>
+        arr.add(s.asInstanceOf[JsonNode]))
+      java.nio.file.Files.writeString(
+        new java.io.File(mdDir, s"v$version.metadata.json").toPath,
+        M.writeValueAsString(trimmed))
+      java.nio.file.Files.writeString(
+        new java.io.File(mdDir, "version-hint.text").toPath,
+        version.toString)
+      doomed.foreach(p => { new java.io.File(p).delete(); () })
+    }
+    doomed.toSeq.sorted
+  }
+
   /** Create (or move) a NAMED REF — a `tag` pinning `snapshotId` or a
     * `branch` headed there — as a METADATA-ONLY update (no new
     * snapshot; exactly what `ALTER TABLE ... CREATE TAG` commits).

@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Table maintenance: Delta VACUUM (delete files no retained version
+  * references — superseded rewrites go, current reads survive, DV
+  * sidecars of retained versions are protected, expired time travel
+  * fails loudly) and Iceberg EXPIRE SNAPSHOTS (ref-pinned snapshots
+  * protected, shared assets survive, expired resolution loud).
+  */
+class MaintenanceSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_maint_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def frame(r: Range) =
+    r.map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("delta vacuum: superseded rewrite files go, current reads " +
+      "survive, expired time travel fails loudly, dry-run touches " +
+      "nothing") {
+    val dir = freshDir("vac")
+    DeltaLake.stageCommit(spark, dir, frame(1 to 30), Seq.empty, 0L)
+    // a COW delete supersedes the original file (rewrite pair)
+    DeltaLake.stageDeleteCommit(spark, dir, col("id") % 3 === 0, 1L)
+    val before = ids(DeltaLake.snapshot(spark, dir))
+    assert(before == (1L to 30L).filterNot(_ % 3 == 0).toSet)
+    // version 0 still time-travels pre-vacuum
+    assert(ids(DeltaLake.snapshot(spark, dir, Some(0L))) ==
+      (1L to 30L).toSet)
+    // dry run names the superseded file and deletes nothing
+    val planned = DeltaLake.vacuum(spark, dir, retainVersions = 1,
+      dryRun = true)
+    assert(planned.nonEmpty)
+    assert(planned.forall(p => new java.io.File(p).exists()))
+    assert(ids(DeltaLake.snapshot(spark, dir, Some(0L))) ==
+      (1L to 30L).toSet, "dry run must not break time travel")
+    // the real vacuum
+    val deleted = DeltaLake.vacuum(spark, dir, retainVersions = 1)
+    assert(deleted == planned)
+    assert(deleted.forall(p => !new java.io.File(p).exists()))
+    // current version reads identically
+    assert(ids(DeltaLake.snapshot(spark, dir)) == before)
+    // expired version fails LOUDLY, never partial rows
+    val e = intercept[Exception] {
+      DeltaLake.snapshot(spark, dir, Some(0L)).collect()
+    }
+    assert(e.toString.toLowerCase.contains("exist") ||
+      e.toString.contains("missing"), e.toString)
+  }
+
+  test("delta vacuum: retainVersions keeps the horizon readable; DV " +
+      "sidecars of retained versions survive") {
+    val dir = freshDir("vac2")
+    DeltaLake.stageCommit(spark, dir, frame(1 to 30), Seq.empty, 0L)
+    DeltaLake.stageDvDeleteCommit(spark, dir, col("id") % 5 === 0, 1L,
+      inline = false)
+    DeltaLake.stageDeleteCommit(spark, dir, col("id") === 1L, 2L)
+    // retain 3 versions = everything: nothing to delete
+    assert(DeltaLake.vacuum(spark, dir, retainVersions = 3).isEmpty)
+    // retain 2: version 1 (DV on the original file) must stay readable
+    // — its data file AND its DV sidecar are referenced
+    DeltaLake.vacuum(spark, dir, retainVersions = 2)
+    assert(ids(DeltaLake.snapshot(spark, dir, Some(1L))) ==
+      (1L to 30L).filterNot(_ % 5 == 0).toSet,
+      "the retained DV version must survive vacuum")
+    assert(ids(DeltaLake.snapshot(spark, dir)) ==
+      (2L to 30L).filterNot(_ % 5 == 0).toSet)
+  }
+
+  test("iceberg expire: ref-pinned snapshots survive however old; " +
+      "expired resolution is loud; current reads unchanged") {
+    val dir = freshDir("exp")
+    val s1 = Iceberg.stageAppend(spark, dir, frame(1 to 10), Seq.empty)
+    val s2 = Iceberg.stageAppend(spark, dir, frame(11 to 20), Seq.empty)
+    // a COW delete makes s3; s1/s2's superseded assets become
+    // expirable
+    val s3 = Iceberg.stageDelete(spark, dir, col("id") % 4 === 0)
+    Iceberg.stageRef(dir, "pin", s1) // audit tag on the OLDEST
+    // dry run: with the tag, only s2's exclusive assets are doomed
+    val planned = Iceberg.expireSnapshots(spark, dir, keepLast = 1,
+      dryRun = true)
+    assert(Iceberg.snapshot(spark, dir, Some(s2)).count() == 20,
+      "dry run must not expire anything")
+    val deleted = Iceberg.expireSnapshots(spark, dir, keepLast = 1)
+    assert(deleted == planned)
+    // current unchanged; the tagged snapshot still reads in full
+    assert(ids(Iceberg.snapshot(spark, dir)) ==
+      (1L to 20L).filterNot(_ % 4 == 0).toSet)
+    assert(ids(Iceberg.snapshotRef(spark, dir, "pin")) ==
+      (1L to 10L).toSet, "the tag must protect its snapshot")
+    assert(ids(Iceberg.snapshot(spark, dir, Some(s1))) ==
+      (1L to 10L).toSet)
+    // the un-pinned middle snapshot is GONE — loud resolution
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.snapshot(spark, dir, Some(s2)).collect()
+    }
+    assert(e.getMessage.contains("no snapshot"), e.getMessage)
+    assert(s3 > s2)
+  }
+
+  test("iceberg expire: shared data files survive when any retained " +
+      "snapshot's manifests mention them") {
+    val dir = freshDir("exp2")
+    Iceberg.stageAppend(spark, dir, frame(1 to 10), Seq.empty)
+    val s2 = Iceberg.stageAppend(spark, dir, frame(11 to 20), Seq.empty)
+    // s2 shares s1's data file through the carried-forward manifest;
+    // expiring s1 must not delete it
+    Iceberg.expireSnapshots(spark, dir, keepLast = 1)
+    assert(ids(Iceberg.snapshot(spark, dir)) == (1L to 20L).toSet,
+      "shared files must survive the older snapshot's expiry")
+    assert(ids(Iceberg.snapshot(spark, dir, Some(s2))) ==
+      (1L to 20L).toSet)
+  }
+}
