@@ -3227,12 +3227,12 @@ object Queries {
   /** The TAGGED Iceberg table — the `iceberg_tag_read` fixture: both
     * orders halves appended, a tag pinned at the complete snapshot 2,
     * then a third append (duplicate price-bumped rows) and a COW
-    * delete of that append — the tag must keep reading exactly the
-    * original orders through both later commits.
+    * delete touching every era — the tag must keep reading exactly
+    * the original orders through both later commits.
     */
   private[graft] def icebergOrdersTagged(s: SparkSession,
       d: String): String =
-    graft.sources.Staging.stageOnce(d, "iceberg_orders_tag_s1",
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_tag_s2",
       Seq(s"$d/orders.parquet")) { p =>
       val ord = t(s, d, "orders")
       val c1 = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 9L / 10L
@@ -3245,8 +3245,10 @@ object Queries {
         ord.filter(col("o_custkey") % 7 === 0)
           .withColumn("o_totalprice", col("o_totalprice") + 999),
         Seq.empty)
+      // hits rows in the tagged eras AND the later append — the tag
+      // must be immune to all of it
       graft.sources.Iceberg.stageDelete(s, p,
-        col("o_totalprice") >= 999 + 1)
+        col("o_custkey") % 7 === 0)
       ()
     }
 

@@ -210,6 +210,42 @@ object DeletionVectors {
 
   // ---- descriptor resolution ---------------------------------------------
 
+  /** The sidecar file a `u`-type descriptor names:
+    * `<tableRoot>/<optional random prefix dirs><20-char Z85 uuid>` →
+    * `deletion_vector_<canonical uuid>.bin`. The ONE home for this
+    * rule — the reader, VACUUM's keep-set, and the shallow clone's
+    * re-anchoring must all resolve identically or maintenance deletes
+    * what reads reference.
+    */
+  def sidecarFile(tableRoot: String, enc: String): java.io.File = {
+    require(enc.length >= 20,
+      s"deletion vector path token too short: '$enc'")
+    val prefix = enc.dropRight(20)
+    val uuidBytes = z85Decode(enc.takeRight(20), 16)
+    val bb = java.nio.ByteBuffer.wrap(uuidBytes)
+    val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+    new java.io.File(new java.io.File(tableRoot, prefix),
+      s"deletion_vector_$uuid.bin")
+  }
+
+  /** The file a `p`-type (absolute) descriptor names — plain absolute
+    * paths and local `file:` URIs (percent-decoding, authority, scheme
+    * case); any other scheme is unreadable here, loudly.
+    */
+  def absoluteFile(raw: String): java.io.File =
+    if (raw.matches("(?i)^file:.*")) {
+      val uri = new java.net.URI(raw)
+      val auth = Option(uri.getAuthority).filter(_.nonEmpty)
+      require(auth.forall(_.equalsIgnoreCase("localhost")),
+        s"deletion vector URI with a non-local authority is " +
+          s"not readable in this environment: $raw")
+      new java.io.File(uri.getPath)
+    } else if (raw.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*"))
+      throw new UnsupportedOperationException(
+        s"deletion vector at non-local URI '$raw' is not " +
+          "readable in this environment")
+    else new java.io.File(raw)
+
   /** Resolve a descriptor to its bitmap: inline decodes from the log
     * itself; `u`/`p` read the sidecar file at the descriptor's offset,
     * validating the format version, the stored length against
@@ -222,37 +258,8 @@ object DeletionVectors {
       case "i" => z85Decode(d.pathOrInlineDv, d.sizeInBytes)
       case "u" | "p" =>
         val file =
-          if (d.storageType == "p") {
-            // absolute paths are stored as-is and writers emit
-            // scheme-qualified URIs — parse local file: URIs through
-            // java.net.URI (percent-decoding, authority, scheme case);
-            // any other scheme is unreadable here, fail loudly
-            val raw = d.pathOrInlineDv
-            if (raw.matches("(?i)^file:.*")) {
-              val uri = new java.net.URI(raw)
-              val auth = Option(uri.getAuthority).filter(_.nonEmpty)
-              require(auth.forall(_.equalsIgnoreCase("localhost")),
-                s"deletion vector URI with a non-local authority is " +
-                  s"not readable in this environment: $raw")
-              new java.io.File(uri.getPath)
-            } else if (raw.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*"))
-              throw new UnsupportedOperationException(
-                s"deletion vector at non-local URI '$raw' is not " +
-                  "readable in this environment")
-            else new java.io.File(raw)
-          } else {
-            // "u": <optional random prefix dirs><20-char Z85 uuid>;
-            // the on-disk name is deletion_vector_<canonical uuid>.bin
-            val enc = d.pathOrInlineDv
-            require(enc.length >= 20,
-              s"deletion vector path token too short: '$enc'")
-            val prefix = enc.dropRight(20)
-            val uuidBytes = z85Decode(enc.takeRight(20), 16)
-            val bb = java.nio.ByteBuffer.wrap(uuidBytes)
-            val uuid = new java.util.UUID(bb.getLong, bb.getLong)
-            new java.io.File(new java.io.File(tableRoot, prefix),
-              s"deletion_vector_$uuid.bin")
-          }
+          if (d.storageType == "p") absoluteFile(d.pathOrInlineDv)
+          else sidecarFile(tableRoot, d.pathOrInlineDv)
         require(file.exists(),
           s"deletion vector file missing on disk: $file (vacuumed past " +
             "this consumer's cut?)")

@@ -1919,9 +1919,6 @@ object DeltaLake {
     ()
   }
 
-  /** Append a commit that REMOVES the given log-relative paths (fixture
-    * for compaction/delete replay).
-    */
   /** VACUUM — delete data files (and DV sidecars) no RETAINED version
     * references: the maintenance half of every rewrite-shaped commit
     * (COW delete/update/merge, OPTIMIZE), whose superseded files
@@ -1948,18 +1945,33 @@ object DeltaLake {
       val st = replay(spark, path, Some(v))
       st.adds.foreach { a =>
         keep += new java.io.File(resolve(path, a.path)).getAbsolutePath
-        a.dv.filter(_.storageType == "u").foreach { d =>
-          val enc = d.pathOrInlineDv
-          val prefix = enc.dropRight(20)
-          val uuidBytes = DeletionVectors.z85Decode(enc.takeRight(20), 16)
-          val bb = java.nio.ByteBuffer.wrap(uuidBytes)
-          val uuid = new java.util.UUID(bb.getLong, bb.getLong)
-          keep += new java.io.File(new java.io.File(path, prefix),
-            s"deletion_vector_$uuid.bin").getAbsolutePath
+        // DV sidecars resolve through the READER's own path rules —
+        // vacuum and the scan must agree on what a descriptor names,
+        // or vacuum deletes what reads reference
+        a.dv.foreach {
+          case d if d.storageType == "u" =>
+            keep += DeletionVectors.sidecarFile(path, d.pathOrInlineDv)
+              .getAbsolutePath
+          case d if d.storageType == "p" =>
+            keep += DeletionVectors.absoluteFile(d.pathOrInlineDv)
+              .getAbsolutePath
+          case _ => () // inline: no sidecar
         }
-        a.dv.filter(_.storageType == "p").foreach(d =>
-          keep += new java.io.File(d.pathOrInlineDv).getAbsolutePath)
       }
+    }
+    // CHANGE DATA files belong to their commit, not to any snapshot's
+    // add set — a retained version's cdc files must stay readable
+    // (`changes`/CDF windows inside the horizon), so every cdc path
+    // of a retained COMMIT joins the keep-set
+    commitVersions(path).filter(_ >= retained.min).foreach { v =>
+      val f = new java.io.File(logDir(path), f"$v%020d.json")
+      if (f.exists()) java.nio.file.Files.readAllLines(f.toPath)
+        .forEach { line =>
+          if (line.nonEmpty)
+            Option(M.readTree(line).get("cdc")).filterNot(_.isNull)
+              .foreach(c => keep += new java.io.File(
+                resolve(path, c.get("path").asText)).getAbsolutePath)
+        }
     }
     val doomed = scala.collection.mutable.Buffer.empty[java.io.File]
     def walk(dir: java.io.File): Unit =
@@ -2022,16 +2034,10 @@ object DeltaLake {
         val dvn = add.putObject("deletionVector")
         if (d.storageType == "u") {
           // resolve the uuid-relative sidecar against the SOURCE root
-          // and pin it absolutely
-          val enc = d.pathOrInlineDv
-          val prefix = enc.dropRight(20)
-          val uuidBytes = DeletionVectors.z85Decode(enc.takeRight(20), 16)
-          val bb = java.nio.ByteBuffer.wrap(uuidBytes)
-          val uuid = new java.util.UUID(bb.getLong, bb.getLong)
-          val abs = new java.io.File(new java.io.File(srcDir, prefix),
-            s"deletion_vector_$uuid.bin").getAbsolutePath
+          // (the reader's own rule) and pin it absolutely
           dvn.put("storageType", "p")
-          dvn.put("pathOrInlineDv", abs)
+          dvn.put("pathOrInlineDv", DeletionVectors
+            .sidecarFile(srcDir, d.pathOrInlineDv).getAbsolutePath)
         } else {
           dvn.put("storageType", d.storageType)
           dvn.put("pathOrInlineDv", d.pathOrInlineDv)
@@ -2046,6 +2052,9 @@ object DeltaLake {
     writeCommit(cloneDir, 0L, actions.toSeq)
   }
 
+  /** Append a commit that REMOVES the given log-relative paths (fixture
+    * for compaction/delete replay).
+    */
   def stageRemoveCommit(tableDir: String, removeRelPaths: Seq[String],
       version: Long): Unit =
     writeCommit(tableDir, version, removeRelPaths.map { p =>

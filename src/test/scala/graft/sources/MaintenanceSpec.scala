@@ -80,6 +80,26 @@ class MaintenanceSpec extends AnyFunSuite with SparkFixture {
       (2L to 30L).filterNot(_ % 5 == 0).toSet)
   }
 
+  test("delta vacuum: CHANGE DATA files of retained commits survive " +
+      "(a CDF window inside the horizon must stay readable)") {
+    val dir = freshDir("vac3")
+    DeltaLake.stageCommit(spark, dir, frame(1 to 20), Seq.empty, 0L)
+    DeltaLake.stageDeleteCommit(spark, dir, col("id") % 4 === 0, 1L,
+      cdf = true)
+    // retain BOTH versions: nothing may be deleted except v0's
+    // superseded file... which v0 itself references — so nothing
+    val planned = DeltaLake.vacuum(spark, dir, retainVersions = 2,
+      dryRun = true)
+    assert(planned.isEmpty,
+      s"fully-retained table must vacuum nothing, planned: $planned")
+    // retain only v1: the superseded data file goes, the cdc file of
+    // the RETAINED commit must stay readable through changes()
+    DeltaLake.vacuum(spark, dir, retainVersions = 1)
+    val ch = DeltaLake.changes(spark, dir, 0L, Some(1L))
+    assert(ids(ch.retracts) == Set(4L, 8L, 12L, 16L, 20L),
+      "the retained commit's change files must survive vacuum")
+  }
+
   test("iceberg expire: ref-pinned snapshots survive however old; " +
       "expired resolution is loud; current reads unchanged") {
     val dir = freshDir("exp")
