@@ -2101,6 +2101,51 @@ object Queries {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // DELTA OPTIMIZE (r11): the public bin-packing compaction — the
+    // staged table's per-priority fragment files (4 commits) plus a
+    // DV delete compact into one file per partition with the DV
+    // MATERIALIZED, committed dataChange=false. The post-compaction
+    // read must be hash-identical to the logical content (a
+    // compaction that loses or resurrects a row shifts groups).
+    QueryDef("deltalake_compact",
+      (s, d) => graft.sources.DeltaLake
+        .snapshot(s, deltaLakeOrdersCompacted(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE NOT (o_custkey % 9 = 0)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ICEBERG REWRITE DATA FILES (r11): the second format's public
+    // compaction — fragments merge, the DV delete materializes into
+    // the rewritten file, and the read is hash-identical after.
+    QueryDef("iceberg_rewrite",
+      (s, d) => graft.sources.Iceberg
+        .snapshot(s, icebergOrdersRewritten(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE NOT (o_custkey % 9 = 0)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // DELTA VACUUM (r11): the maintenance half of every rewrite-shaped
     // commit — the staged table's COW delete leaves superseded files
     // on disk, VACUUM removes everything outside the retained
@@ -2761,6 +2806,47 @@ object Queries {
         ord.filter(col("o_orderkey") < cut), Seq("o_orderpriority"), 0L)
       graft.sources.DeltaLake.stageCommit(s, p,
         ord.filter(col("o_orderkey") >= cut), Seq("o_orderpriority"), 1L)
+    }
+
+  /** The COMPACTED Delta table — the `deltalake_compact` fixture:
+    * four fragment commits partitioned by priority, a DV delete of
+    * every 9th customer, then the public OPTIMIZE (fragments merge,
+    * DV materializes).
+    */
+  private[graft] def deltaLakeOrdersCompacted(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_cmp_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      val mx = ord.agg(max(col("o_orderkey"))).head().getLong(0)
+      (0 until 4).foreach { k =>
+        graft.sources.DeltaLake.stageCommit(s, p,
+          ord.filter(col("o_orderkey") % 4 === k),
+          Seq("o_orderpriority"), k.toLong)
+      }
+      graft.sources.DeltaLake.stageDvDeleteCommit(s, p,
+        col("o_custkey") % 9 === 0, 4L)
+      graft.sources.DeltaLake.compact(s, p)
+      require(mx > 0)
+      ()
+    }
+
+  /** The REWRITTEN Iceberg table — the `iceberg_rewrite` fixture:
+    * four fragment appends, a v3 DV delete of every 9th customer,
+    * then the public rewrite_data_files.
+    */
+  private[graft] def icebergOrdersRewritten(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_rw_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      (0 until 4).foreach { k =>
+        graft.sources.Iceberg.stageAppend(s, p,
+          ord.filter(col("o_orderkey") % 4 === k), Seq.empty)
+      }
+      graft.sources.Iceberg.stageDv(s, p, col("o_custkey") % 9 === 0)
+      graft.sources.Iceberg.rewriteDataFiles(s, p)
+      ()
     }
 
   /** The VACUUMED Delta table — the `deltalake_vacuum` fixture: two

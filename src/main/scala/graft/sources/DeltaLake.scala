@@ -1919,6 +1919,78 @@ object DeltaLake {
     ()
   }
 
+  /** OPTIMIZE (bin-packing compaction) — rewrite each partition's
+    * small live files into one, committed as `dataChange=false`
+    * remove+add pairs: logical content identical (the signed seam
+    * reads the window as a content NO-OP, spec-pinned since Q4), but
+    * scans stop paying per-file overhead for fragment files. Files
+    * carrying DELETION VECTORS are materialized — the compacted file
+    * holds only live rows and the DV disappears (content unchanged;
+    * this is how real OPTIMIZE purges soft-deleted rows). Partitions
+    * with fewer than two sub-target files are left alone; the commit
+    * lands exclusively (racing writers fail loudly). Returns the new
+    * version, or -1 when nothing needed compacting. Superseded files
+    * stay on disk until [[vacuum]].
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val st = replay(spark, path, None)
+    require(st.mappingMode == "none",
+      "compact: column-mapped tables are not supported by this writer")
+    val groups = st.adds.groupBy(_.partitionValues).toSeq
+      .map { case (pv, fs) =>
+        pv -> fs.filter(_.size.exists(_ < targetFileBytes))
+      }
+      .filter(_._2.size >= 2)
+      .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+    if (groups.isEmpty) return -1L
+    val root = new java.io.File(path)
+    val actions = mutable.Buffer.empty[String]
+    val dataCols = st.schema.fieldNames.toIndexedSeq
+      .filterNot(st.partitionColumns.contains)
+    groups.foreach { case (pv, fs) =>
+      // read THESE files through the normal path (DVs applied), data
+      // columns only — partition values live in the log
+      val rows = readFiles(spark, path, st, fs)
+        .select(dataCols.map(org.apache.spark.sql.functions.col): _*)
+      val tmp = new java.io.File(root, "_compact_tmp_" +
+        java.util.UUID.randomUUID().toString.take(8))
+      rows.coalesce(1).write.mode("overwrite")
+        .parquet(tmp.getAbsolutePath)
+      val part = Option(tmp.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).head
+      val rel = (pv.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"$k=${percentEncode(v)}" } :+ part.getName).mkString("/")
+      val dest = new java.io.File(root, rel)
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
+      fs.foreach { a =>
+        val r = M.createObjectNode()
+        r.put("path", a.path)
+        r.put("deletionTimestamp", System.currentTimeMillis())
+        r.put("dataChange", false)
+        actions += s"""{"remove":${M.writeValueAsString(r)}}"""
+      }
+      val statsByFile = fileStats(spark,
+        StructType(st.schema.filterNot(f =>
+          st.partitionColumns.contains(f.name))),
+        Seq(dest.getAbsolutePath))
+      val add = M.createObjectNode()
+      add.put("path", percentEncode(rel))
+      val pvn = add.putObject("partitionValues")
+      pv.foreach { case (k, v) => pvn.put(k, v) }
+      add.put("size", dest.length())
+      add.put("modificationTime", dest.lastModified())
+      add.put("dataChange", false)
+      statsByFile.get(dest.getName).foreach(s => add.put("stats", s))
+      actions += s"""{"add":${M.writeValueAsString(add)}}"""
+    }
+    val next = (commitVersions(path) ++ checkpointVersions(path)).max + 1
+    writeCommitExclusive(path, next, actions.toSeq)
+    next
+  }
+
   /** VACUUM — delete data files (and DV sidecars) no RETAINED version
     * references: the maintenance half of every rewrite-shaped commit
     * (COW delete/update/merge, OPTIMIZE), whose superseded files

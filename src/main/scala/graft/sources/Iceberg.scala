@@ -2003,6 +2003,66 @@ object Iceberg {
       tableProps = Map("schema.name-mapping.default" -> mappingJson))
   }
 
+  /** REWRITE DATA FILES (bin-packing compaction, `rewrite_data_files`
+    * in the reference engines) — each partition's small live files
+    * rewrite into one, committed as a `replace` snapshot (status=2 for
+    * the olds, fresh adds with real bounds). Row-level deletes
+    * scoped to the rewritten files are MATERIALIZED (the compacted
+    * file holds live rows only — how compaction purges soft-deleted
+    * rows); untouched files and delete files ride along unchanged.
+    * The signed seam attributes the window as rewrite-sized frames
+    * netting zero (the file-set model's documented compaction shape).
+    * Returns the new snapshot id, or -1 when nothing needed
+    * compacting. Superseded files stay on disk until
+    * [[expireSnapshots]].
+    */
+  def rewriteDataFiles(spark: SparkSession, tableDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    import org.apache.spark.sql.functions.col
+    val cur = resolve(spark, tableDir, None)
+    val groups = cur.files.groupBy(_.partitionValues).toSeq
+      .map { case (pv, fs) =>
+        pv -> fs.filter(_.size.exists(_ < targetFileBytes))
+      }
+      .filter(_._2.size >= 2)
+      .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+    if (groups.isEmpty) return -1L
+    val root = new java.io.File(tableDir)
+    val identitySources = cur.transforms
+      .filter(_.transform == IcebergTransforms.Identity).map(_.sourceName)
+    val dataSchema = StructType(
+      cur.schema.filterNot(f => identitySources.contains(f.name)))
+    val entries = mutable.Buffer.empty[Entry]
+    groups.foreach { case (pv, fs) =>
+      // read THESE files through the normal path — positional/DV/
+      // equality deletes scoped to them apply, so the rewrite
+      // materializes row-level deletes
+      val rows = scanOf(spark, tableDir,
+          cur.copy(files = fs))
+        .select(dataSchema.fieldNames.toIndexedSeq.map(col): _*)
+      val tmp = new java.io.File(root, "_ice_rw_tmp_" +
+        java.util.UUID.randomUUID().toString.take(8))
+      rows.coalesce(1).write.mode("overwrite")
+        .parquet(tmp.getAbsolutePath)
+      val part = Option(tmp.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).head
+      val rel = s"data/rw-${part.getName}"
+      val dest = new java.io.File(root, rel)
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
+      val stats = fileStatsOf(spark, dataSchema,
+        Seq(dest.getAbsolutePath))
+      val (n, perCol) = stats.getOrElse(dest.getName,
+        (0L, Map.empty[String, (Any, Any)]))
+      entries += Entry(1, rel, dest.length(), pv, n, perCol)
+      fs.foreach(f => entries +=
+        Entry(2, f.path, f.size.getOrElse(0L), Map.empty, 0L, Map.empty))
+    }
+    commitSnapshot(spark, tableDir, cur.schema, cur.specStrings,
+      entries.toSeq, "replace", exclusive = true)
+  }
+
   /** EXPIRE SNAPSHOTS — drop old snapshots from the metadata and
     * delete the files ONLY they reference (manifest lists, manifests,
     * data/delete/Puffin files): the maintenance that bounds a table's

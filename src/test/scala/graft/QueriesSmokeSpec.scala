@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 159 declared operator queries are all present (SURVEY §2)") {
+  test("the 161 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -77,8 +77,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "delta_iceberg_undelete", "iceberg_spec_evolution",
       "iceberg_dv_scan", "delta_iceberg_dv", "stream_deltalake_sink", "stream_iceberg_sink",
       "iceberg_name_mapping", "iceberg_tag_read",
-      "deltalake_shallow_clone", "deltalake_vacuum", "iceberg_expire")
-    assert(declared.size == 159)
+      "deltalake_shallow_clone", "deltalake_vacuum", "iceberg_expire",
+      "deltalake_compact", "iceberg_rewrite")
+    assert(declared.size == 161)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

@@ -131,6 +131,68 @@ class MaintenanceSpec extends AnyFunSuite with SparkFixture {
     assert(s3 > s2)
   }
 
+  test("delta compact: fragments merge per partition as a content " +
+      "no-op; DVs materialize; the signed seam sees nothing; vacuum " +
+      "then reclaims") {
+    val dir = freshDir("cmp")
+    // 4 fragment files per partition value
+    (0 until 4).foreach { k =>
+      DeltaLake.stageCommit(spark,
+        dir, frame(k * 10 + 1 to k * 10 + 10)
+          .withColumn("p", col("id") % 2), Seq("p"), k.toLong)
+    }
+    DeltaLake.stageDvDeleteCommit(spark, dir, col("id") % 10 === 0, 4L)
+    val before = ids(DeltaLake.snapshot(spark, dir))
+    val beforeFiles = DeltaLake.snapshot(spark, dir).inputFiles.length
+    val v = DeltaLake.compact(spark, dir)
+    assert(v == 5L)
+    // content identical, file count collapsed to one per partition
+    assert(ids(DeltaLake.snapshot(spark, dir)) == before)
+    assert(DeltaLake.snapshot(spark, dir).inputFiles.length == 2,
+      s"expected 2 compacted files, had $beforeFiles before")
+    // the signed seam reads the compaction window as a no-op
+    val ch = DeltaLake.changes(spark, dir, 4L, Some(5L))
+    assert(ch.inserts.isEmpty && ch.retracts.isEmpty,
+      "a compaction window must net to zero")
+    // DVs materialized: the compacted files carry no deletionVector
+    val lastCommit = java.nio.file.Files.readString(new java.io.File(
+      dir, "_delta_log/00000000000000000005.json").toPath)
+    assert(!lastCommit.contains("deletionVector"),
+      "compaction must materialize DVs, not carry them")
+    // vacuum reclaims the fragments; current still reads
+    val deleted = DeltaLake.vacuum(spark, dir, retainVersions = 1)
+    assert(deleted.nonEmpty)
+    assert(ids(DeltaLake.snapshot(spark, dir)) == before)
+    // idempotent: nothing left to compact
+    assert(DeltaLake.compact(spark, dir) == -1L)
+  }
+
+  test("iceberg rewriteDataFiles: fragments merge, row-level deletes " +
+      "materialize, the window nets to zero, expire reclaims") {
+    val dir = freshDir("rw")
+    (0 until 4).foreach { k =>
+      Iceberg.stageAppend(spark, dir,
+        frame(k * 10 + 1 to k * 10 + 10), Seq.empty)
+    }
+    Iceberg.stageDv(spark, dir, col("id") % 10 === 0)
+    val cut = Iceberg.currentSnapshotId(dir)
+    val before = ids(Iceberg.snapshot(spark, dir))
+    val sid = Iceberg.rewriteDataFiles(spark, dir)
+    assert(sid > cut)
+    assert(ids(Iceberg.snapshot(spark, dir)) == before)
+    assert(Iceberg.snapshot(spark, dir).inputFiles.length == 1,
+      "four fragments must compact to one")
+    // the signed window nets to zero (rewrite-sized, not failing)
+    val ch = Iceberg.changes(spark, dir, cut, Some(sid))
+    assert(ids(ch.inserts) == ids(ch.retracts),
+      "a compaction window must net to zero")
+    // expire reclaims the old snapshots' exclusive assets
+    val deleted = Iceberg.expireSnapshots(spark, dir, keepLast = 1)
+    assert(deleted.nonEmpty)
+    assert(ids(Iceberg.snapshot(spark, dir)) == before)
+    assert(Iceberg.rewriteDataFiles(spark, dir) == -1L)
+  }
+
   test("iceberg expire: shared data files survive when any retained " +
       "snapshot's manifests mention them") {
     val dir = freshDir("exp2")
