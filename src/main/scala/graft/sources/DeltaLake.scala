@@ -1945,10 +1945,12 @@ object DeltaLake {
       .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
     if (groups.isEmpty) return -1L
     val root = new java.io.File(path)
-    val actions = mutable.Buffer.empty[String]
     val dataCols = st.schema.fieldNames.toIndexedSeq
       .filterNot(st.partitionColumns.contains)
-    groups.foreach { case (pv, fs) =>
+    // write every group first, ONE stats job over all compacted files
+    // after (a per-group stats job would cost N driver round-trips on
+    // exactly the many-partition tables compaction exists for)
+    val written = groups.map { case (pv, fs) =>
       // read THESE files through the normal path (DVs applied), data
       // columns only — partition values live in the log
       val rows = readFiles(spark, path, st, fs)
@@ -1959,12 +1961,25 @@ object DeltaLake {
         .parquet(tmp.getAbsolutePath)
       val part = Option(tmp.listFiles()).toSeq.flatten
         .filter(_.getName.endsWith(".parquet")).head
+      // a NULL partition value renders under the Hive default-partition
+      // name (the location is cosmetic — the log's pv is authoritative,
+      // and pvn below keeps the protocol's JSON null)
       val rel = (pv.toSeq.sortBy(_._1).map { case (k, v) =>
-        s"$k=${percentEncode(v)}" } :+ part.getName).mkString("/")
+        s"$k=${Option(v).map(percentEncode)
+          .getOrElse("__HIVE_DEFAULT_PARTITION__")}"
+      } :+ part.getName).mkString("/")
       val dest = new java.io.File(root, rel)
       dest.getParentFile.mkdirs()
       java.nio.file.Files.move(part.toPath, dest.toPath)
       Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
+      (pv, fs, rel, dest)
+    }
+    val statsByFile = fileStats(spark,
+      StructType(st.schema.filterNot(f =>
+        st.partitionColumns.contains(f.name))),
+      written.map(_._4.getAbsolutePath))
+    val actions = mutable.Buffer.empty[String]
+    written.foreach { case (pv, fs, rel, dest) =>
       fs.foreach { a =>
         val r = M.createObjectNode()
         r.put("path", a.path)
@@ -1972,21 +1987,23 @@ object DeltaLake {
         r.put("dataChange", false)
         actions += s"""{"remove":${M.writeValueAsString(r)}}"""
       }
-      val statsByFile = fileStats(spark,
-        StructType(st.schema.filterNot(f =>
-          st.partitionColumns.contains(f.name))),
-        Seq(dest.getAbsolutePath))
       val add = M.createObjectNode()
       add.put("path", percentEncode(rel))
       val pvn = add.putObject("partitionValues")
-      pv.foreach { case (k, v) => pvn.put(k, v) }
+      pv.foreach { case (k, v) =>
+        if (v == null) { pvn.putNull(k); () } else { pvn.put(k, v); () }
+      }
       add.put("size", dest.length())
       add.put("modificationTime", dest.lastModified())
       add.put("dataChange", false)
       statsByFile.get(dest.getName).foreach(s => add.put("stats", s))
       actions += s"""{"add":${M.writeValueAsString(add)}}"""
     }
-    val next = (commitVersions(path) ++ checkpointVersions(path)).max + 1
+    // the commit version is pinned to the REPLAYED state: a concurrent
+    // commit landing after the replay collides at the hard-link and
+    // fails loudly instead of this rewrite silently building over it
+    // (its file set — and thus the compacted content — would be stale)
+    val next = st.version + 1
     writeCommitExclusive(path, next, actions.toSeq)
     next
   }

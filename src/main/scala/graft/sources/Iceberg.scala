@@ -1457,10 +1457,26 @@ object Iceberg {
       entries: Seq[Entry], operation: String,
       summaryProps: Map[String, String] = Map.empty,
       exclusive: Boolean = false,
-      tableProps: Map[String, String] = Map.empty): Long = {
+      tableProps: Map[String, String] = Map.empty,
+      expectBase: Option[Long] = None): Long = {
     val mdDir = metadataDir(tableDir)
     mdDir.mkdirs()
     val (priorMd, version) = priorState(mdDir)
+    // optimistic-concurrency guard for REWRITE-shaped commits: the
+    // caller resolved state at `expectBase` and built file content
+    // from it — a commit that landed since makes that content STALE
+    // (e.g. a concurrent delete's rows would resurrect from the
+    // rewritten file), which the same-version hard-link alone cannot
+    // catch because the interloper SHIFTED the version
+    expectBase.foreach { base =>
+      val curId = priorMd.flatMap(md =>
+        Option(md.get("current-snapshot-id")).map(_.asLong))
+      if (!curId.contains(base))
+        throw new java.util.ConcurrentModificationException(
+          s"Iceberg: table at $tableDir advanced from snapshot $base " +
+            s"to ${curId.getOrElse(-1L)} since this rewrite resolved " +
+            "its state — the rewritten content is stale; re-run")
+    }
     val snapshotId = version // deterministic fixture ids
     priorMd.foreach { md =>
       // compare against the CURRENT schema (current-schema-id), not
@@ -2032,8 +2048,18 @@ object Iceberg {
       .filter(_.transform == IcebergTransforms.Identity).map(_.sourceName)
     val dataSchema = StructType(
       cur.schema.filterNot(f => identitySources.contains(f.name)))
-    val entries = mutable.Buffer.empty[Entry]
-    groups.foreach { case (pv, fs) =>
+    // the NEW entries' partition records decode under the CURRENT
+    // (default) spec — a spec-evolved table's old-spec files carry
+    // field names the current partition record lacks, and writing
+    // them would throw; dropping the stale keys is conservative
+    // (pruning on those fields simply stops applying to the new file)
+    val specFieldNames: Set[String] = cur.transforms.map(f =>
+      if (f.transform == IcebergTransforms.Identity) f.sourceName
+      else f.fieldName).toSet
+    // write every group first, ONE stats job over all compacted files
+    // after (per-group jobs cost N driver round-trips on exactly the
+    // many-partition tables compaction exists for)
+    val written = groups.map { case (pv, fs) =>
       // read THESE files through the normal path — positional/DV/
       // equality deletes scoped to them apply, so the rewrite
       // materializes row-level deletes
@@ -2051,8 +2077,12 @@ object Iceberg {
       dest.getParentFile.mkdirs()
       java.nio.file.Files.move(part.toPath, dest.toPath)
       Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
-      val stats = fileStatsOf(spark, dataSchema,
-        Seq(dest.getAbsolutePath))
+      (pv.view.filterKeys(specFieldNames).toMap, fs, rel, dest)
+    }
+    val stats = fileStatsOf(spark, dataSchema,
+      written.map(_._4.getAbsolutePath))
+    val entries = mutable.Buffer.empty[Entry]
+    written.foreach { case (pv, fs, rel, dest) =>
       val (n, perCol) = stats.getOrElse(dest.getName,
         (0L, Map.empty[String, (Any, Any)]))
       entries += Entry(1, rel, dest.length(), pv, n, perCol)
@@ -2060,7 +2090,22 @@ object Iceberg {
         Entry(2, f.path, f.size.getOrElse(0L), Map.empty, 0L, Map.empty))
     }
     commitSnapshot(spark, tableDir, cur.schema, cur.specStrings,
-      entries.toSeq, "replace", exclusive = true)
+      entries.toSeq, "replace", exclusive = true,
+      expectBase = Some(cur.snapshotId))
+  }
+
+  /** Test seam for the [[commitSnapshot]] `expectBase` optimistic-
+    * concurrency guard: attempts an empty replace commit claiming the
+    * table still sits at `staleBase` — throws when it has advanced
+    * (the race window inside [[rewriteDataFiles]] cannot be
+    * interleaved externally, so the guard is driven directly).
+    */
+  private[graft] def commitSnapshotForTest(spark: SparkSession,
+      tableDir: String, staleBase: Long): Long = {
+    val cur = resolve(spark, tableDir, None)
+    commitSnapshot(spark, tableDir, cur.schema, cur.specStrings,
+      Seq.empty, "replace", exclusive = true,
+      expectBase = Some(staleBase))
   }
 
   /** EXPIRE SNAPSHOTS — drop old snapshots from the metadata and

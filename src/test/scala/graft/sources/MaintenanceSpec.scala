@@ -193,6 +193,33 @@ class MaintenanceSpec extends AnyFunSuite with SparkFixture {
     assert(Iceberg.rewriteDataFiles(spark, dir) == -1L)
   }
 
+  test("a rewrite built from STALE state fails loudly at commit " +
+      "(the expectBase guard — a silent build-over would resurrect " +
+      "concurrently-deleted rows)") {
+    // the Delta side's protection is the version pin + exclusive
+    // hard-link (any commit visible at replay shifts the target; one
+    // landing inside the window collides — pinned by the sink's
+    // racing-writers spec). The ICEBERG side's shifted-version race
+    // needs the expectBase check, driven through its test seam since
+    // the in-call window cannot be interleaved externally.
+    val idir = freshDir("race_i")
+    (0 until 2).foreach { k =>
+      Iceberg.stageAppend(spark, idir,
+        frame(k * 10 + 1 to k * 10 + 10), Seq.empty)
+    }
+    val stale = Iceberg.currentSnapshotId(idir)
+    // the table advances after "resolution"
+    Iceberg.stageDelete(spark, idir, col("id") === 5L)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Iceberg.commitSnapshotForTest(spark, idir, stale)
+    }
+    assert(e.getMessage.contains("advanced"))
+    // a rewrite with FRESH state still commits fine
+    assert(Iceberg.rewriteDataFiles(spark, idir) > 0)
+    assert(ids(Iceberg.snapshot(spark, idir)) ==
+      (1L to 20L).toSet - 5L)
+  }
+
   test("iceberg expire: shared data files survive when any retained " +
       "snapshot's manifests mention them") {
     val dir = freshDir("exp2")
