@@ -1919,6 +1919,53 @@ object DeltaLake {
     ()
   }
 
+  /** DESCRIBE HISTORY — one row per commit, newest first: version,
+    * timestamp (in-commit timestamp when the table carries them, file
+    * mtime otherwise — the same resolution [[versionAt]] time-travels
+    * by), operation (commitInfo when present, else derived from the
+    * commit's action mix), and the action counts a maintenance run
+    * reads the table's churn from. Driver-derived from the JSON
+    * commits; a checkpoint-cleaned log reports the surviving window.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    require(logDir(path).exists(), s"not a Delta table: $path")
+    commitVersions(path).sorted(Ordering[Long].reverse).map { v =>
+      val f = new java.io.File(logDir(path), f"$v%020d.json")
+      var op: String = null
+      var ict: Option[Long] = None
+      var adds = 0; var removes = 0; var cdcs = 0; var dataChange = false
+      java.nio.file.Files.readAllLines(f.toPath).forEach { line =>
+        if (line.nonEmpty) {
+          val n = M.readTree(line)
+          Option(n.get("commitInfo")).foreach { ci =>
+            Option(ci.get("operation")).filterNot(_.isNull)
+              .foreach(o => op = o.asText)
+            ict = Option(ci.get("inCommitTimestamp"))
+              .filterNot(_.isNull).map(_.asLong).orElse(ict)
+          }
+          Option(n.get("add")).foreach { a =>
+            adds += 1
+            if (Option(a.get("dataChange")).forall(_.asBoolean))
+              dataChange = true
+          }
+          Option(n.get("remove")).foreach(_ => removes += 1)
+          Option(n.get("cdc")).foreach(_ => cdcs += 1)
+        }
+      }
+      val operation = Option(op).getOrElse {
+        if (removes > 0 && adds > 0 && !dataChange) "OPTIMIZE"
+        else if (removes > 0 && adds > 0) "WRITE"
+        else if (removes > 0) "DELETE"
+        else if (adds > 0) "WRITE"
+        else "METADATA"
+      }
+      (v, ict.getOrElse(f.lastModified()), operation, adds, removes,
+        cdcs)
+    }.toDF("version", "timestamp_ms", "operation", "num_added_files",
+      "num_removed_files", "num_change_files")
+  }
+
   /** OPTIMIZE (bin-packing compaction) — rewrite each partition's
     * small live files into one, committed as `dataChange=false`
     * remove+add pairs: logical content identical (the signed seam

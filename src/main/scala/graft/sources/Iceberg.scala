@@ -2094,6 +2094,96 @@ object Iceberg {
       expectBase = Some(cur.snapshotId))
   }
 
+  /** METADATA TABLES — the `SELECT * FROM t$snapshots`-style
+    * introspection surface every production engine exposes;
+    * maintenance and debugging live on it. All driver-derived from
+    * the same state the fold already holds (metadata json + manifest
+    * lists), materialized as small local DataFrames:
+    *   - `snapshots`: id, sequence/timestamp, operation, manifest list
+    *   - `files`: live data files of the CURRENT snapshot with
+    *     content/size/record-count/partition/sequence
+    *   - `delete_files`: the delete-file side (positional, equality,
+    *     DV — with referenced file for DVs)
+    *   - `manifests`: the current snapshot's manifest list entries
+    *   - `refs`: branches and tags with their pinned snapshots
+    *   - `history`: (timestamp, snapshot id, is_current)
+    */
+  def metaTable(spark: SparkSession, path: String,
+      kind: String): DataFrame = {
+    import spark.implicits._
+    val md = readMetadata(path)
+    kind match {
+      case "snapshots" =>
+        Option(md.get("snapshots")).toSeq
+          .flatMap(_.elements().asScala.toSeq).map { s =>
+            (s.get("snapshot-id").asLong,
+              Option(s.get("sequence-number")).map(_.asLong)
+                .getOrElse(0L),
+              s.get("timestamp-ms").asLong,
+              Option(s.get("summary")).flatMap(su =>
+                Option(su.get("operation")).map(_.asText))
+                .getOrElse("unknown"),
+              s.get("manifest-list").asText)
+          }.toDF("snapshot_id", "sequence_number", "timestamp_ms",
+            "operation", "manifest_list")
+      case "files" =>
+        val sm = resolve(spark, path, None)
+        sm.files.map(f => (f.path, f.content, f.size.getOrElse(0L),
+            f.seq, f.partitionValues.toSeq.sortBy(_._1)
+              .map { case (k, v) => s"$k=$v" }.mkString(",")))
+          .toDF("file_path", "content", "file_size_in_bytes",
+            "sequence_number", "partition")
+      case "delete_files" =>
+        val sm = resolve(spark, path, None)
+        sm.deleteFiles.map(f => (f.path,
+            f.dvRef.map(_ => "deletion-vector").getOrElse(
+              if (f.content == 2) "equality-deletes"
+              else "position-deletes"),
+            f.size.getOrElse(0L), f.seq,
+            f.dvRef.map(_.referenced).getOrElse(""),
+            f.equalityIds.mkString(",")))
+          .toDF("file_path", "kind", "file_size_in_bytes",
+            "sequence_number", "referenced_data_file", "equality_ids")
+      case "manifests" =>
+        val snap = Option(md.get("snapshots")).toSeq
+          .flatMap(_.elements().asScala.toSeq)
+          .find(_.get("snapshot-id").asLong == currentSnapshotId(path))
+          .getOrElse(throw new IllegalStateException(
+            s"no current snapshot on $path"))
+        avroRecords(resolveRef(path, snap.get("manifest-list").asText))
+          .map { mf =>
+            (mf.get("manifest_path").toString,
+              mf.get("manifest_length").toString.toLong,
+              Option(mf.getSchema.getField("content"))
+                .map(_ => mf.get("content").toString.toInt).getOrElse(0),
+              Option(mf.getSchema.getField("partition_spec_id"))
+                .map(_ => mf.get("partition_spec_id").toString.toInt)
+                .getOrElse(0))
+          }.toDF("path", "length", "content", "partition_spec_id")
+      case "refs" =>
+        val fromMd = Option(md.get("refs")).toSeq
+          .flatMap(_.properties().asScala.toSeq).map { e =>
+            (e.getKey, e.getValue.get("type").asText,
+              e.getValue.get("snapshot-id").asLong)
+          }
+        val withMain =
+          if (fromMd.exists(_._1 == "main")) fromMd
+          else fromMd :+ (("main", "branch", currentSnapshotId(path)))
+        withMain.sortBy(_._1).toDF("name", "type", "snapshot_id")
+      case "history" =>
+        val cur = currentSnapshotId(path)
+        Option(md.get("snapshots")).toSeq
+          .flatMap(_.elements().asScala.toSeq).map { s =>
+            (s.get("timestamp-ms").asLong,
+              s.get("snapshot-id").asLong,
+              s.get("snapshot-id").asLong == cur)
+          }.toDF("made_current_at", "snapshot_id", "is_current")
+      case other => throw new IllegalArgumentException(
+        s"Iceberg: no metadata table '$other' (available: snapshots, " +
+          "files, delete_files, manifests, refs, history)")
+    }
+  }
+
   /** Test seam for the [[commitSnapshot]] `expectBase` optimistic-
     * concurrency guard: attempts an empty replace commit claiming the
     * table still sits at `staleBase` — throws when it has advanced
