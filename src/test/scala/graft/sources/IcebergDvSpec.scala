@@ -135,6 +135,29 @@ class IcebergDvSpec extends AnyFunSuite with SparkFixture {
       ++ ids(ch.inserts)) -- ids(ch.retracts) == endState)
   }
 
+  test("plan shape: a DV snapshot is ONE scan + the codegen'd " +
+      "anti-filter — no delete-file scan, no join") {
+    val dir = freshDir("plan")
+    val df = (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+    Iceberg.stageAppend(spark, dir, df, Seq.empty)
+    Iceberg.stageDv(spark, dir, col("id") % 8 === 0)
+    val snap = Iceberg.snapshot(spark, dir)
+    val qe = snap.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution
+    assert(ids(snap) == (1L to 40L).filterNot(_ % 8 == 0).toSet)
+    val plan = qe.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"a DV snapshot must stay ONE scan:\n$plan")
+    assert(!plan.contains("Join"),
+      s"DVs apply as a filter, never a join:\n$plan")
+    assert(plan.toLowerCase.contains("dvkeep"),
+      s"the DvKeep anti-filter must sit on the scan:\n$plan")
+    // the whole pipeline — scan, metadata projection, DvKeep filter —
+    // sits inside ONE WholeStageCodegen span
+    assert("\\*\\(1\\)".r.findAllIn(plan).size >= 3,
+      s"DvKeep must stay inside whole-stage codegen:\n$plan")
+  }
+
   test("the changelog STREAM serves a DV window as typed DELETE rows " +
       "(Q13 inherits the v3 arm)") {
     import org.apache.spark.sql.streaming.Trigger
