@@ -2788,6 +2788,257 @@ object Queries {
              |  COUNT(DISTINCT o_custkey) AS n_cust
              |FROM orders
              |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // PUBLIC BATCH WRITER (r12): DeltaLake.write end to end — table
+    // creation, a second append, then an OVERWRITE that must actually
+    // replace the content (removes for every live file + the new
+    // batch). The final state is a proper subset of orders, so a
+    // union-of-appends bug or a missed remove shifts every group under
+    // the hash oracle. Data files land once; the commit is exclusive.
+    QueryDef("deltalake_write",
+      (s, d) => graft.sources.DeltaLake
+        .snapshot(s, deltaLakeOrdersWritten(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE o_custkey % 3 <> 0
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // PUBLIC ROW-LEVEL DELETE (r12): DeltaLake.delete — the
+    // merge-on-read DML modern writers default to. Two deletes: the
+    // first upgrades the protocol and stamps DVs onto one partition's
+    // files (stats-pruned), the second GROWS existing DVs across
+    // partitions (old dead rows must stay dead — a replace-not-grow
+    // bug resurrects them). The snapshot read applies the final DVs
+    // as a codegen'd anti-filter; hash equality vs the double-NOT
+    // oracle pins bitmap build (executor-side), merge, and read.
+    QueryDef("deltalake_delete_dml",
+      (s, d) => graft.sources.DeltaLake
+        .snapshot(s, deltaLakeOrdersPubDeleted(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE NOT (o_custkey % 7 = 0 AND o_orderpriority = '5-LOW')
+             |  AND NOT (o_custkey % 11 = 3)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // PUBLIC ROW-LEVEL UPDATE (r12): DeltaLake.update — copy-on-write
+    // with old-row SQL semantics: the predicate targets one partition
+    // (only its files rewrite; the others' add actions are untouched)
+    // and the SET expression reads the OLD o_totalprice. The oracle's
+    // CASE WHEN recomputes the final prices from first principles, so
+    // a partially-applied SET, a lost survivor row, or a rewrite that
+    // leaked into other partitions all hash-mismatch.
+    QueryDef("deltalake_update_dml",
+      (s, d) => graft.sources.DeltaLake
+        .snapshot(s, deltaLakeOrdersPubUpdated(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(CASE WHEN o_custkey % 6 = 1
+             |      AND o_orderpriority = '2-HIGH'
+             |    THEN o_totalprice + 750 ELSE o_totalprice END
+             |    AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // PUBLIC MERGE / UPSERT (r12): DeltaLake.merge — WHEN MATCHED
+    // UPDATE SET *, WHEN NOT MATCHED INSERT *, one atomic commit.
+    // Matched target rows (orderkey % 10 = 3) are REPLACED by source
+    // rows carrying a bumped price; negated-key source rows match
+    // nothing and insert. The oracle recomputes both arms from first
+    // principles — a merge that updated without inserting (or
+    // vice versa), double-applied a match, or lost survivor rows in
+    // the rewritten files shifts counts and sums.
+    QueryDef("deltalake_merge_dml",
+      (s, d) => graft.sources.DeltaLake
+        .snapshot(s, deltaLakeOrdersPubMerged(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""WITH t AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice,
+             |    o_orderpriority
+             |  FROM orders
+             |), m AS (
+             |  SELECT o_custkey,
+             |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000
+             |      ELSE o_totalprice END AS o_totalprice,
+             |    o_orderpriority
+             |  FROM t
+             |  UNION ALL
+             |  SELECT o_custkey, o_totalprice, o_orderpriority
+             |  FROM t WHERE o_orderkey % 10 = 7
+             |)
+             |SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM m
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // PUBLIC ICEBERG BATCH WRITER (r12): Iceberg.write end to end on
+    // the second format — create + append + OVERWRITE (a replace
+    // snapshot removing every live data AND delete file). Same
+    // subset-content trap as deltalake_write: a missed removal or a
+    // union-of-appends bug shifts every group.
+    QueryDef("iceberg_write",
+      (s, d) => graft.sources.Iceberg
+        .snapshot(s, icebergOrdersWritten(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE o_custkey % 3 <> 0
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // PUBLIC ICEBERG ROW-LEVEL DELETE (r12): Iceberg.delete — v3
+    // deletion vectors (Puffin), executor-built bitmaps, the second
+    // delete GROWING the first's dead sets with the superseded DV
+    // removed in-commit. The snapshot read applies the final DVs as
+    // the codegen'd anti-filter; the double-NOT oracle recomputes
+    // membership from first principles.
+    QueryDef("iceberg_delete_dml",
+      (s, d) => graft.sources.Iceberg
+        .snapshot(s, icebergOrdersPubDeleted(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE NOT (o_custkey % 7 = 0 AND o_orderpriority = '5-LOW')
+             |  AND NOT (o_custkey % 11 = 3)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // PUBLIC ICEBERG ROW-LEVEL UPDATE (r12): Iceberg.update —
+    // copy-on-write with old-row semantics after a public DV delete:
+    // the rewrite must materialize the DV (live rows only, DV entry
+    // removed) WITHOUT resurrecting its dead rows, while applying the
+    // SET to exactly the matching live rows. The oracle composes the
+    // delete membership and the CASE-WHEN price from first principles.
+    QueryDef("iceberg_update_dml",
+      (s, d) => graft.sources.Iceberg
+        .snapshot(s, icebergOrdersPubUpdated(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(CASE WHEN o_custkey % 6 = 1
+             |      AND o_orderpriority = '2-HIGH'
+             |    THEN o_totalprice + 750 ELSE o_totalprice END
+             |    AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE NOT (o_custkey % 9 = 4)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // OPTIMIZE ZORDER (r12): multi-dimensional clustering — every live
+    // file rewrites into Z-value-range files (interleaved-bit key over
+    // o_custkey + o_totalprice, pure Column arithmetic inside codegen),
+    // dataChange=false. The read must be hash-identical to the logical
+    // content (a clustering pass that loses, duplicates, or reorders
+    // rows into the wrong group shifts the aggregate); the layout's
+    // pruning win is pinned separately in ZOrderSpec with runtime
+    // numFiles.
+    QueryDef("deltalake_zorder",
+      (s, d) => graft.sources.DeltaLake
+        .snapshot(s, deltaLakeOrdersZordered(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // PUBLIC ICEBERG MERGE / UPSERT (r12): Iceberg.merge — the same
+    // two-arm contract as deltalake_merge_dml on the second format,
+    // with the rewrite + inserts landing in ONE distributed write and
+    // one replace snapshot. The oracle recomputes both arms from first
+    // principles.
+    QueryDef("iceberg_merge_dml",
+      (s, d) => graft.sources.Iceberg
+        .snapshot(s, icebergOrdersPubMerged(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""WITH t AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice,
+             |    o_orderpriority
+             |  FROM orders
+             |), m AS (
+             |  SELECT o_custkey,
+             |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000
+             |      ELSE o_totalprice END AS o_totalprice,
+             |    o_orderpriority
+             |  FROM t
+             |  UNION ALL
+             |  SELECT o_custkey, o_totalprice, o_orderpriority
+             |  FROM t WHERE o_orderkey % 10 = 7
+             |)
+             |SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM m
+             |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin))
   )
 
@@ -2806,6 +3057,180 @@ object Queries {
         ord.filter(col("o_orderkey") < cut), Seq("o_orderpriority"), 0L)
       graft.sources.DeltaLake.stageCommit(s, p,
         ord.filter(col("o_orderkey") >= cut), Seq("o_orderpriority"), 1L)
+    }
+
+  /** The PUBLIC-WRITER-built Delta table — the `deltalake_write`
+    * fixture: create + append + overwrite through [[DeltaLake.write]]
+    * (the final overwrite keeps only custkey % 3 != 0, so the content
+    * proves the removes landed).
+    */
+  private[graft] def deltaLakeOrdersWritten(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_pubw_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      graft.sources.DeltaLake.write(s, p,
+        ord.filter(col("o_custkey") % 2 === 0),
+        partitionBy = Seq("o_orderpriority"))
+      graft.sources.DeltaLake.write(s, p,
+        ord.filter(col("o_custkey") % 2 =!= 0))
+      graft.sources.DeltaLake.write(s, p,
+        ord.filter(col("o_custkey") % 3 =!= 0), mode = "overwrite")
+      ()
+    }
+
+  /** The PUBLIC-DELETE'd Delta table — the `deltalake_delete_dml`
+    * fixture: written by the public writer, then two
+    * [[DeltaLake.delete]] commits (the second grows the first's DVs).
+    */
+  private[graft] def deltaLakeOrdersPubDeleted(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_pubdel_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      graft.sources.DeltaLake.write(s, p, t(s, d, "orders"),
+        partitionBy = Seq("o_orderpriority"))
+      graft.sources.DeltaLake.delete(s, p,
+        col("o_custkey") % 7 === 0 &&
+          col("o_orderpriority") === "5-LOW")
+      graft.sources.DeltaLake.delete(s, p, col("o_custkey") % 11 === 3)
+      ()
+    }
+
+  /** The PUBLIC-UPDATE'd Delta table — the `deltalake_update_dml`
+    * fixture: one partition's matching rows get +750 on the old price.
+    */
+  private[graft] def deltaLakeOrdersPubUpdated(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_pubupd_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      graft.sources.DeltaLake.write(s, p, t(s, d, "orders"),
+        partitionBy = Seq("o_orderpriority"))
+      graft.sources.DeltaLake.update(s, p,
+        col("o_custkey") % 6 === 1 &&
+          col("o_orderpriority") === "2-HIGH",
+        Map("o_totalprice" -> (col("o_totalprice") + 750)))
+      ()
+    }
+
+  /** The PUBLIC-MERGE'd Delta table — the `deltalake_merge_dml`
+    * fixture: a projected orders target upserted with bumped-price
+    * matches (orderkey % 10 = 3) and negated-key inserts
+    * (orderkey % 10 = 7).
+    */
+  private[graft] def deltaLakeOrdersPubMerged(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_pubmrg_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val tgt = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      graft.sources.DeltaLake.write(s, p, tgt)
+      val upd = tgt.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      val ins = tgt.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("o_orderkey", -col("o_orderkey"))
+      graft.sources.DeltaLake.merge(s, p, upd.unionByName(ins),
+        Seq("o_orderkey"))
+      ()
+    }
+
+  /** The PUBLIC-WRITER-built Iceberg table — the `iceberg_write`
+    * fixture: create + append + overwrite through [[Iceberg.write]].
+    */
+  private[graft] def icebergOrdersWritten(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_pubw_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      graft.sources.Iceberg.write(s, p,
+        ord.filter(col("o_custkey") % 2 === 0),
+        partitionBy = Seq("o_orderpriority"))
+      graft.sources.Iceberg.write(s, p,
+        ord.filter(col("o_custkey") % 2 =!= 0))
+      graft.sources.Iceberg.write(s, p,
+        ord.filter(col("o_custkey") % 3 =!= 0), mode = "overwrite")
+      ()
+    }
+
+  /** The PUBLIC-DELETE'd Iceberg table — the `iceberg_delete_dml`
+    * fixture: public write, then two [[Iceberg.delete]] commits (the
+    * second grows the first's deletion vectors).
+    */
+  private[graft] def icebergOrdersPubDeleted(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_pubdel_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      graft.sources.Iceberg.write(s, p, t(s, d, "orders"),
+        partitionBy = Seq("o_orderpriority"))
+      graft.sources.Iceberg.delete(s, p,
+        col("o_custkey") % 7 === 0 &&
+          col("o_orderpriority") === "5-LOW")
+      graft.sources.Iceberg.delete(s, p, col("o_custkey") % 11 === 3)
+      ()
+    }
+
+  /** The PUBLIC-UPDATE'd Iceberg table — the `iceberg_update_dml`
+    * fixture: public write, a public DV delete, then a copy-on-write
+    * update over the DV'd table (the rewrite materializes the DVs).
+    */
+  private[graft] def icebergOrdersPubUpdated(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_pubupd_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      graft.sources.Iceberg.write(s, p, t(s, d, "orders"),
+        partitionBy = Seq("o_orderpriority"))
+      graft.sources.Iceberg.delete(s, p, col("o_custkey") % 9 === 4)
+      graft.sources.Iceberg.update(s, p,
+        col("o_custkey") % 6 === 1 &&
+          col("o_orderpriority") === "2-HIGH",
+        Map("o_totalprice" -> (col("o_totalprice") + 750)))
+      ()
+    }
+
+  /** The PUBLIC-MERGE'd Iceberg table — the `iceberg_merge_dml`
+    * fixture: same shape as [[deltaLakeOrdersPubMerged]] on the
+    * second format.
+    */
+  private[graft] def icebergOrdersPubMerged(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_pubmrg_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val tgt = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      graft.sources.Iceberg.write(s, p, tgt)
+      val upd = tgt.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      val ins = tgt.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("o_orderkey", -col("o_orderkey"))
+      graft.sources.Iceberg.merge(s, p, upd.unionByName(ins),
+        Seq("o_orderkey"))
+      ()
+    }
+
+  /** The Z-ORDERED Delta table — the `deltalake_zorder` fixture: full
+    * orders written by the public writer, then OPTIMIZE ZORDER on
+    * (o_custkey, o_totalprice) into ~8 Z-range files per partition.
+    */
+  private[graft] def deltaLakeOrdersZordered(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_zord_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      graft.sources.DeltaLake.write(s, p, t(s, d, "orders"),
+        partitionBy = Seq("o_orderpriority"))
+      val bytes = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory)
+            Option(f.listFiles()).toSeq.flatten
+              .filterNot(_.getName == "_delta_log").map(walk).sum
+          else if (f.getName.endsWith(".parquet")) f.length()
+          else 0L
+        walk(new java.io.File(p))
+      }
+      graft.sources.DeltaLake.compact(s, p,
+        targetFileBytes = math.max(1L, bytes / 8),
+        zorderBy = Seq("o_custkey", "o_totalprice"))
+      ()
     }
 
   /** The COMPACTED Delta table — the `deltalake_compact` fixture:

@@ -304,6 +304,16 @@ object DeletionVectors {
       inline: Boolean): Descriptor = {
     val bm = new Bitmap64
     rowIndexes.foreach(bm.add)
+    stageBitmap(tableRoot, bm, inline)
+  }
+
+  /** [[stage]] from an already-built bitmap — the PUBLIC delete path
+    * builds per-file bitmaps ON EXECUTORS (the deleted-row set never
+    * rides to the driver as raw longs, only roaring-compressed bytes)
+    * and the driver stores them from here.
+    */
+  def stageBitmap(tableRoot: String, bm: Bitmap64,
+      inline: Boolean): Descriptor = {
     val data = bm.serialize()
     if (inline)
       Descriptor("i", z85Encode(data), None, data.length, bm.cardinality)

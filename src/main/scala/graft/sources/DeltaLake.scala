@@ -81,12 +81,37 @@ object DeltaLake {
     */
   final case class Changes(inserts: DataFrame, retracts: DataFrame)
 
+  /** The table's current protocol action as last seen by the fold —
+    * what a feature-upgrading writer must UNION into (emitting a fresh
+    * protocol that names only its own feature would silently DROP the
+    * table's other features, e.g. `variantType`).
+    */
+  private[sources] final case class DeltaProtocol(minReader: Int = 1,
+      minWriter: Int = 2, readerFeatures: Seq[String] = Seq.empty,
+      writerFeatures: Seq[String] = Seq.empty) {
+    def json: String = {
+      val o = M.createObjectNode()
+      o.put("minReaderVersion", minReader)
+      o.put("minWriterVersion", minWriter)
+      if (minReader >= 3 || readerFeatures.nonEmpty) {
+        val rf = o.putArray("readerFeatures")
+        readerFeatures.foreach(rf.add)
+      }
+      if (minWriter >= 7 || writerFeatures.nonEmpty) {
+        val wf = o.putArray("writerFeatures")
+        writerFeatures.foreach(wf.add)
+      }
+      s"""{"protocol":${M.writeValueAsString(o)}}"""
+    }
+  }
+
   private final case class LogState(
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
       adds: Seq[AddFile],
-      configuration: Map[String, String] = Map.empty) {
+      configuration: Map[String, String] = Map.empty,
+      protocol: DeltaProtocol = DeltaProtocol()) {
     /** COLUMN MAPPING (protocol "Column Mapping", mode `name`/`id`):
       * logical column name → the PHYSICAL name partition-value and
       * stats keys use (from each schema field's
@@ -771,7 +796,10 @@ object DeltaLake {
     // and vacuumProtocolCheck (a vacuum-side contract; this reader
     // already fails loudly on vacuumed files). Anything else would
     // make the fold silently wrong, so the gate stays loud.
-    def applyProtocol(minReader: Int, features: Seq[String]): Unit = {
+    var protocol = DeltaProtocol()
+    def applyProtocol(minReader: Int, features: Seq[String],
+        minWriter: Int = 2, writerFeatures: Seq[String] = Seq.empty)
+        : Unit = {
       // variantType (+ its preview flag): VARIANT is a native Spark 4
       // type — the schemaString parses through DataType.fromJson and
       // the parquet reader reconstructs the metadata/value binary pair;
@@ -784,6 +812,17 @@ object DeltaLake {
         s"unsupported Delta reader protocol (minReaderVersion=$minReader, " +
           s"readerFeatures=$features): supported reader features are " +
           s"$supported; unsupported: $unsupported")
+      protocol = DeltaProtocol(minReader, minWriter, features,
+        writerFeatures)
+    }
+    def applyProtocolNode(p: JsonNode): Unit = {
+      def featsOf(f: String) = Option(p.get(f)).filterNot(_.isNull).toSeq
+        .flatMap(_.elements().asScala.map(_.asText).toSeq)
+      applyProtocol(p.get("minReaderVersion").asInt,
+        featsOf("readerFeatures"),
+        Option(p.get("minWriterVersion")).filterNot(_.isNull)
+          .map(_.asInt).getOrElse(2),
+        featsOf("writerFeatures"))
     }
 
     // checkpoint: resume the fold from the newest COMPLETE one at/below
@@ -839,12 +878,18 @@ object DeltaLake {
             m.getSeq[String](m.fieldIndex("partitionColumns")), conf)
         }
         struct(row, "protocol").foreach { p =>
-          val feats =
-            if (p.schema.fieldNames.contains("readerFeatures"))
-              Option(p.getSeq[String](p.fieldIndex("readerFeatures")))
+          def featsOf(field: String) =
+            if (p.schema.fieldNames.contains(field))
+              Option(p.getSeq[String](p.fieldIndex(field)))
                 .getOrElse(Seq.empty)
             else Seq.empty
-          applyProtocol(p.getInt(p.fieldIndex("minReaderVersion")), feats)
+          val mw =
+            if (p.schema.fieldNames.contains("minWriterVersion") &&
+                !p.isNullAt(p.fieldIndex("minWriterVersion")))
+              p.getInt(p.fieldIndex("minWriterVersion"))
+            else 2
+          applyProtocol(p.getInt(p.fieldIndex("minReaderVersion")),
+            featsOf("readerFeatures"), mw, featsOf("writerFeatures"))
         }
       }
       def sidecarOf(rel: String): String = {
@@ -887,11 +932,7 @@ object DeltaLake {
                     .flatMap(_.elements().asScala.map(_.asText).toSeq),
                   conf)
               }
-              Option(n.get("protocol")).foreach { pr =>
-                val feats = Option(pr.get("readerFeatures")).toSeq
-                  .flatMap(_.elements().asScala.map(_.asText).toSeq)
-                applyProtocol(pr.get("minReaderVersion").asInt, feats)
-              }
+              Option(n.get("protocol")).foreach(applyProtocolNode)
               Option(n.get("sidecar")).foreach(sc =>
                 sidecars += sidecarOf(sc.get("path").asText))
             }
@@ -933,11 +974,7 @@ object DeltaLake {
             Option(m.get("partitionColumns")).toSeq
               .flatMap(_.elements().asScala.map(_.asText).toSeq), conf)
         }
-        Option(n.get("protocol")).foreach { p =>
-          val feats = Option(p.get("readerFeatures")).toSeq
-            .flatMap(_.elements().asScala.map(_.asText).toSeq)
-          applyProtocol(p.get("minReaderVersion").asInt, feats)
-        }
+        Option(n.get("protocol")).foreach(applyProtocolNode)
       }
       nodes.foreach(n => Option(n.get("remove")).foreach(r =>
         applyRemove(r.get("path").asText)))
@@ -946,7 +983,7 @@ object DeltaLake {
     }
     require(schemaString != null, s"no metaData action in $path's log")
     LogState(want, DataType.fromJson(schemaString).asInstanceOf[StructType],
-      partCols, adds.values.toSeq, tableConf)
+      partCols, adds.values.toSeq, tableConf, protocol)
   }
 
 
@@ -1119,42 +1156,56 @@ object DeltaLake {
     // metaData; pre-evolution files surface the new columns as null)
     val emitMeta = version == 0L ||
       replay(spark, tableDir, None).schema.json != df.schema.json
-    if (version == 0L) {
-      // a VARIANT column requires the table-features protocol shape
-      // (minReaderVersion 3 + the variantType reader feature) — what a
-      // real writer commits when the type is enabled
-      def hasVariant(dt: org.apache.spark.sql.types.DataType): Boolean =
-        dt match {
-          case _: org.apache.spark.sql.types.VariantType => true
-          case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
-          case a: org.apache.spark.sql.types.ArrayType =>
-            hasVariant(a.elementType)
-          case m: org.apache.spark.sql.types.MapType =>
-            hasVariant(m.keyType) || hasVariant(m.valueType)
-          case _ => false
-        }
-      actions +=
-        (if (df.schema.fields.exists(f => hasVariant(f.dataType)))
-          """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-            """"readerFeatures":["variantType"],""" +
-            """"writerFeatures":["variantType"]}}"""
-        else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
-    }
-    if (emitMeta) {
-      val meta = M.createObjectNode()
-      meta.put("id", java.util.UUID.nameUUIDFromBytes(
-        tableDir.getBytes("UTF-8")).toString)
-      val fmt = meta.putObject("format")
-      fmt.put("provider", "parquet"); fmt.putObject("options")
-      meta.put("schemaString", df.schema.json)
-      val pc = meta.putArray("partitionColumns")
-      partitionBy.foreach(pc.add)
-      meta.putObject("configuration")
-      actions += s"""{"metaData":${M.writeValueAsString(meta)}}"""
-    }
+    if (version == 0L) actions += protocolActionFor(df.schema)
+    if (emitMeta) actions += metaAction(tableDir, df.schema, partitionBy)
     actions ++= addFileActions(spark, tableDir, df, partitionBy, version)
     writeCommit(tableDir, version, actions.toSeq)
   }
+
+  /** The metaData action for `schema` + `partitionBy` — one builder so
+    * every writer path ([[stageCommit]], [[commitStreamBatch]],
+    * [[write]]) emits the identical protocol shape.
+    */
+  private def metaAction(tableDir: String, schema: StructType,
+      partitionBy: Seq[String]): String = {
+    val meta = M.createObjectNode()
+    meta.put("id", java.util.UUID.nameUUIDFromBytes(
+      tableDir.getBytes("UTF-8")).toString)
+    val fmt = meta.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    meta.put("schemaString", schema.json)
+    val pc = meta.putArray("partitionColumns")
+    partitionBy.foreach(pc.add)
+    meta.putObject("configuration")
+    s"""{"metaData":${M.writeValueAsString(meta)}}"""
+  }
+
+  private def schemaHasVariant(schema: StructType): Boolean = {
+    def hasVariant(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.VariantType => true
+        case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          hasVariant(a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          hasVariant(m.keyType) || hasVariant(m.valueType)
+        case _ => false
+      }
+    schema.fields.exists(f => hasVariant(f.dataType))
+  }
+
+  /** The protocol action a fresh table's schema requires: the basic
+    * (1, 2) protocol, or the table-features shape (minReaderVersion 3
+    * + the `variantType` reader feature) when the schema carries a
+    * VARIANT anywhere — what a real writer commits when the type is
+    * enabled.
+    */
+  private def protocolActionFor(schema: StructType): String =
+    if (schemaHasVariant(schema))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["variantType"],""" +
+        """"writerFeatures":["variantType"]}}"""
+    else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
   /** Write `df`'s data files under the table root (partition subdirs
     * preserved) and return their add actions with real stats — the
@@ -1966,6 +2017,530 @@ object DeltaLake {
       "num_removed_files", "num_change_files")
   }
 
+  // ---- public batch writer ----------------------------------------------
+
+  /** Writer features this writer knows how to honor. Anything else in
+    * a table's `writerFeatures` means the table carries a write-side
+    * contract we would silently violate (PROTOCOL.md requires a writer
+    * to implement EVERY listed writer feature before committing), so
+    * [[write]] fails loudly instead.
+    *   - appendOnly: honored via the overwrite guard in [[write]]
+    *   - invariants / checkConstraints: vacuously honored — [[write]]
+    *     refuses tables that actually DECLARE constraints (config
+    *     `delta.constraints.*`) or invariants (field metadata)
+    *   - deletionVectors / v2Checkpoint / variantType / timestampNtz /
+    *     inCommitTimestamp / vacuumProtocolCheck / changeDataFeed:
+    *     append- and overwrite-compatible (appends never touch DVs;
+    *     overwrite carries each removed file's DV on its remove action)
+    *   - columnMapping: listed so the gate doesn't fire first — the
+    *     dedicated mappingMode guard refuses with the precise reason
+    */
+  private val SupportedWriterFeatures = Set("appendOnly", "invariants",
+    "checkConstraints", "deletionVectors", "v2Checkpoint", "variantType",
+    "variantType-preview", "timestampNtz", "inCommitTimestamp",
+    "vacuumProtocolCheck", "changeDataFeed", "columnMapping")
+
+  /** Writer features IMPLIED by a legacy `minWriterVersion` — when a
+    * protocol upgrade moves a table to the table-features shape
+    * (minWriterVersion 7), the previously-implicit features must be
+    * listed explicitly or they'd be silently dropped (PROTOCOL.md,
+    * "Table Features for New and Legacy Protocols").
+    */
+  private def impliedWriterFeatures(minWriter: Int): Seq[String] =
+    Seq(2 -> Seq("appendOnly", "invariants"),
+      3 -> Seq("checkConstraints"),
+      4 -> Seq("changeDataFeed", "generatedColumns"),
+      5 -> Seq("columnMapping"),
+      6 -> Seq("identityColumns"))
+      .filter(_._1 <= minWriter).flatMap(_._2)
+
+  /** The protocol action that UNIONs `feature` into the table's
+    * current protocol — reader AND writer side — or None when the
+    * feature is already live. Emitting a fresh protocol naming only
+    * the new feature would silently DROP the table's other features,
+    * and a legacy (pre-table-features) protocol must carry its
+    * version-implied features forward explicitly when upgraded.
+    */
+  private def protocolUnion(p: DeltaProtocol,
+      feature: String): Option[String] =
+    if (p.readerFeatures.contains(feature)) None
+    else {
+      val rf = ((if (p.minReader >= 3) p.readerFeatures
+        else if (p.minReader == 2) Seq("columnMapping")
+        else Seq.empty) :+ feature).distinct
+      val wf = ((if (p.minWriter >= 7) p.writerFeatures
+        else impliedWriterFeatures(p.minWriter)) :+ feature).distinct
+      Some(DeltaProtocol(3, 7, rf, wf).json)
+    }
+
+  /** Shared DML gates: column-mapped tables are refused (these writers
+    * emit logical names), unknown writer features are refused (we'd
+    * violate their contracts), `delta.appendOnly` forbids any remove,
+    * and CDF-enabled tables are refused — the protocol requires DML
+    * writers to emit cdc files, which these writers do not yet.
+    */
+  private def requireWritable(st: LogState, path: String,
+      op: String): Unit = {
+    require(st.mappingMode == "none",
+      s"DeltaLake.$op: $path uses column mapping mode " +
+        s"'${st.mappingMode}' — this writer emits logical names and " +
+        "would corrupt a mapped table")
+    val unsupported =
+      st.protocol.writerFeatures.filterNot(SupportedWriterFeatures)
+    require(unsupported.isEmpty,
+      s"DeltaLake.$op: $path requires writer features $unsupported " +
+        "this writer does not implement")
+    require(!st.configuration.get("delta.appendOnly").contains("true"),
+      s"DeltaLake.$op: $path is delta.appendOnly — row-level changes " +
+        "remove files, which the table forbids")
+    require(!st.configuration.get("delta.enableChangeDataFeed")
+        .contains("true"),
+      s"DeltaLake.$op: $path has Change Data Feed enabled — the " +
+        "protocol requires DML commits to carry cdc files, which this " +
+        "writer does not emit (readers would mis-reconstruct the change)")
+  }
+
+  /** `_metadata.file_path` back to the local absolute path the log
+    * resolves to. The metadata column is the `PartitionedFile`'s
+    * URL-ENCODED URI rendering — scheme optional (`file:/…`,
+    * `file:///…`, or bare) and special characters escaped (a partition
+    * dir with a space renders `%20`) — so parse as a URI and take the
+    * DECODED path.
+    */
+  private def metaPathToLocal(p: String): String = {
+    val u = java.net.URI.create(p)
+    Option(u.getPath).filter(_.nonEmpty).getOrElse(p)
+  }
+
+  /** PUBLIC BATCH WRITER — commit `df` as the next version of the
+    * Delta table at `path`; returns the committed version. Creates the
+    * table (protocol + metaData + adds in commit 0) when none exists.
+    *
+    * `mode` is `append` (new files only) or `overwrite` (every live
+    * file removed with `dataChange=true`, then the batch's files).
+    * Append supports ADDITIVE schema evolution: new columns join the
+    * table schema via a fresh metaData action and pre-evolution files
+    * surface them as null; a type change or column drop is refused
+    * (that's a rewrite, not evolution). Overwrite may replace the
+    * schema outright (the overwriteSchema shape). Either way the
+    * batch's missing data columns are null-filled, and partitioning
+    * must match the table's (mixed layouts would break partition
+    * pruning for every reader).
+    *
+    * Scale + concurrency shape, mirroring production Delta writers:
+    * data files land ONCE before the commit loop (add actions are
+    * state-independent), then the log-level actions are recomputed
+    * against fresh state on each attempt and the commit lands via
+    * EXCLUSIVE creation — losing a version race retries up to
+    * `maxRetries` times without rewriting data; an abandoned attempt's
+    * files are unreferenced and belong to [[vacuum]]. Protocol gates:
+    * column-mapped tables are refused (this writer emits logical
+    * names), unsupported writer features are refused before any byte
+    * lands, `delta.appendOnly` tables refuse overwrite, and a batch
+    * introducing VARIANT upgrades the protocol by UNION into the
+    * current features (a fresh protocol naming only `variantType`
+    * would silently drop the table's other features).
+    */
+  def write(spark: SparkSession, path: String, df: DataFrame,
+      mode: String = "append", partitionBy: Seq[String] = Seq.empty,
+      maxRetries: Int = 3): Long = {
+    require(mode == "append" || mode == "overwrite",
+      s"DeltaLake.write: mode must be 'append' or 'overwrite', got '$mode'")
+    new java.io.File(path).mkdirs()
+
+    def stateOpt(): Option[LogState] =
+      if ((commitVersions(path) ++ checkpointVersions(path)).isEmpty) None
+      else Some(replay(spark, path, None))
+
+    // layout + output schema against the CURRENT state (revalidated on
+    // every retry — a lost race may mean a concurrent evolution)
+    def resolveAgainst(st: Option[LogState]): (StructType, Seq[String]) =
+      st match {
+        case None => (df.schema, partitionBy)
+        case Some(s) =>
+          require(s.mappingMode == "none",
+            s"DeltaLake.write: $path uses column mapping mode " +
+              s"'${s.mappingMode}' — this writer emits logical names " +
+              "and would corrupt a mapped table")
+          val unsupported =
+            s.protocol.writerFeatures.filterNot(SupportedWriterFeatures)
+          require(unsupported.isEmpty,
+            s"DeltaLake.write: $path requires writer features " +
+              s"$unsupported this writer does not implement — " +
+              "committing anyway would violate the table's contract")
+          require(!s.configuration.get("delta.appendOnly").contains("true")
+              || mode == "append",
+            s"DeltaLake.write: $path is delta.appendOnly — " +
+              "overwrite (which removes files) is forbidden")
+          require(!s.configuration.keys.exists(
+              _.startsWith("delta.constraints.")),
+            s"DeltaLake.write: $path declares CHECK constraints this " +
+              "writer does not evaluate — writing could violate them")
+          require(!s.schema.fields.exists(
+              _.metadata.contains("delta.invariants")),
+            s"DeltaLake.write: $path declares column invariants this " +
+              "writer does not evaluate")
+          val parts =
+            if (partitionBy.isEmpty) s.partitionColumns else partitionBy
+          require(s.partitionColumns == parts,
+            s"DeltaLake.write: table is partitioned by " +
+              s"(${s.partitionColumns.mkString(",")}) but the batch " +
+              s"writes (${parts.mkString(",")}) — mixed layouts break " +
+              "partition pruning")
+          if (s.schema.json == df.schema.json || mode == "overwrite")
+            (if (mode == "overwrite") df.schema else s.schema, parts)
+          else {
+            val table = s.schema.fields.map(f => f.name -> f.dataType).toMap
+            df.schema.fields.foreach { f =>
+              table.get(f.name).foreach(dt => require(dt == f.dataType,
+                s"DeltaLake.write: column '${f.name}' is " +
+                  s"${dt.simpleString} in the table but " +
+                  s"${f.dataType.simpleString} in the batch — a type " +
+                  "change is a rewrite, not schema evolution"))
+            }
+            val newCols =
+              df.schema.fields.filterNot(f => table.contains(f.name))
+            (StructType(s.schema.fields ++ newCols), parts)
+          }
+      }
+
+    val st0 = stateOpt()
+    val (schema0, parts0) = resolveAgainst(st0)
+    require(parts0.forall(df.schema.fieldNames.contains),
+      s"DeltaLake.write: the batch must carry every partition column " +
+        s"(${parts0.mkString(",")}) — a null-filled partition column " +
+        "would land every row in the default partition")
+    // align the batch to the table schema: table column order, missing
+    // data columns null-filled (the reader's evolution contract)
+    val aligned = df.select(schema0.map { f =>
+      if (df.schema.fieldNames.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val adds = addFileActions(spark, path, aligned, parts0, 0L)
+
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val st = if (attempt == 0) st0 else stateOpt()
+      val (schemaOut, parts) = resolveAgainst(st)
+      // the data files already landed under parts0: a concurrent
+      // writer creating/evolving the table with a DIFFERENT layout
+      // between attempts must fail this write loudly — committing the
+      // staged files anyway would put wrongly-laid-out files (wrong
+      // partitionValues) into the log
+      require(parts == parts0,
+        s"DeltaLake.write: table partitioning changed to " +
+          s"(${parts.mkString(",")}) while this write (laid out as " +
+          s"(${parts0.mkString(",")})) was in flight — re-run")
+      val versions = commitVersions(path) ++ checkpointVersions(path)
+      val next = if (versions.isEmpty) 0L else versions.max + 1
+      val actions = mutable.Buffer.empty[String]
+      st match {
+        case None =>
+          actions += protocolActionFor(schemaOut)
+          actions += metaAction(path, schemaOut, parts)
+        case Some(s) =>
+          // ICT tables require the authoritative timestamp IN the
+          // commit, as its first action
+          if (s.configuration.get("delta.enableInCommitTimestamps")
+              .contains("true")) {
+            val ci = M.createObjectNode()
+            ci.put("inCommitTimestamp", System.currentTimeMillis())
+            ci.put("operation", if (mode == "append") "WRITE" else "OVERWRITE")
+            actions += s"""{"commitInfo":${M.writeValueAsString(ci)}}"""
+          }
+          if (schemaHasVariant(schemaOut) &&
+              !s.protocol.readerFeatures.contains("variantType-preview"))
+            protocolUnion(s.protocol, "variantType").foreach(actions += _)
+          if (s.schema.json != schemaOut.json)
+            actions += metaAction(path, schemaOut, parts)
+          if (mode == "overwrite") s.adds.foreach { a =>
+            val rm = M.createObjectNode()
+            rm.put("path", a.path)
+            rm.put("deletionTimestamp", System.currentTimeMillis())
+            rm.put("dataChange", true)
+            a.dv.foreach(d => rm.set[JsonNode]("deletionVector", dvJson(d)))
+            actions += s"""{"remove":${M.writeValueAsString(rm)}}"""
+          }
+      }
+      actions ++= adds
+      try {
+        writeCommitExclusive(path, next, actions.toSeq)
+        return next
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** PUBLIC ROW-LEVEL DELETE — the merge-on-read shape modern Delta
+    * writers produce by default: every file holding a matching live
+    * row keeps its data bytes and gets a (grown) DELETION VECTOR,
+    * committed as `remove(path, oldDv)` + `add(path, newDv)` pairs
+    * with the protocol upgraded (by feature UNION) to
+    * `deletionVectors` on first use. Rows where the predicate is
+    * false OR NULL survive (SQL DELETE semantics). Returns the
+    * committed version, or -1 when no live row matched (no commit —
+    * a bit-identical DV pair would be a no-op masquerading as a
+    * change).
+    *
+    * Scale shape: candidate files are STATS-PRUNED driver-side (a
+    * key-range delete on a 100 TB table plans only the files whose
+    * [min,max] intersect it), the matching row indexes are found in
+    * ONE distributed job over exactly those files (existing DVs are
+    * applied in the scan, so already-deleted rows cannot re-match),
+    * and each file's bitmap is built ON THE EXECUTORS — only
+    * roaring-compressed bytes ride to the driver, never raw row
+    * indexes. The commit is pinned to the replayed version and lands
+    * exclusively: a concurrent writer fails this delete loudly
+    * instead of it silently building over a stale file set.
+    */
+  def delete(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      inline: Boolean = false): Long = {
+    val st = replay(spark, path, None)
+    requireWritable(st, path, "delete")
+    val pred = mapPredNames(
+      org.apache.spark.sql.graft.GraftSql.predicateTree(predicate),
+      st.physOf)
+    val candidates = st.adds.filter(a =>
+      mayMatch(pred, a.partitionValues, a.stats, st))
+    if (candidates.isEmpty) return -1L
+    import spark.implicits._
+    val perFile: Array[(String, Array[Byte])] =
+      readFiles(spark, path, st, candidates, withMeta = true)
+        .filter(predicate)
+        .select(col("_metadata.file_path"), col("_metadata.row_index"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (p, it) =>
+          val bm = new DeletionVectors.Bitmap64
+          it.foreach(t => bm.add(t._2))
+          (p, bm.serialize())
+        }.collect()
+    if (perFile.isEmpty) return -1L
+    val byAbs = st.adds.map(a =>
+      new java.io.File(resolve(path, a.path)).getAbsolutePath -> a).toMap
+    val actions = mutable.Buffer.empty[String]
+    protocolUnion(st.protocol, "deletionVectors").foreach(actions += _)
+    perFile.sortBy(_._1).foreach { case (mp, bytes) =>
+      val abs = metaPathToLocal(mp)
+      val a = byAbs.getOrElse(abs, throw new IllegalStateException(
+        s"delete scan surfaced a file the snapshot does not list: $abs"))
+      val merged = DeletionVectors.deserialize(bytes)
+      // grow, never replace: the old DV's rows stay dead
+      a.dv.foreach(d =>
+        DeletionVectors.read(path, d).toArray.foreach(merged.add))
+      val desc = DeletionVectors.stageBitmap(path, merged, inline)
+      val rm = M.createObjectNode()
+      rm.put("path", a.path)
+      rm.put("deletionTimestamp", System.currentTimeMillis())
+      rm.put("dataChange", true)
+      a.dv.foreach(d => rm.set[JsonNode]("deletionVector", dvJson(d)))
+      actions += s"""{"remove":${M.writeValueAsString(rm)}}"""
+      val add = M.createObjectNode()
+      add.put("path", a.path)
+      val pvNode = add.putObject("partitionValues")
+      a.partitionValues.foreach { case (k, v) =>
+        if (v == null) { pvNode.putNull(k); () } else { pvNode.put(k, v); () }
+      }
+      a.size.foreach(s => add.put("size", s))
+      add.put("modificationTime", a.modificationTime)
+      add.put("dataChange", true)
+      a.stats.foreach(s => add.put("stats", s))
+      add.set[JsonNode]("deletionVector", dvJson(desc))
+      actions += s"""{"add":${M.writeValueAsString(add)}}"""
+    }
+    val next = st.version + 1
+    writeCommitExclusive(path, next, actions.toSeq)
+    next
+  }
+
+  /** PUBLIC ROW-LEVEL UPDATE — the copy-on-write shape: every file
+    * holding a matching live row is removed and rewritten with `set`
+    * applied to the matching rows (survivor rows copied unchanged,
+    * any deletion vector MATERIALIZED — the rewritten file holds live
+    * rows only). SQL UPDATE semantics: the predicate and every SET
+    * expression evaluate against the OLD row in one projection, and a
+    * NULL predicate means the row is untouched. SET on a partition
+    * column is refused (that's a row MOVE between partitions — a
+    * different operation). Returns the committed version, or -1 when
+    * nothing matched.
+    *
+    * Scale shape: stats-pruned candidates → one distributed job finds
+    * the files actually holding matches (driver sees only file paths)
+    * → ONE distributed rewrite job over exactly those files, writing
+    * back through the table's own partition layout (hit files
+    * regroup by partition, not per-file `coalesce(1)`). Pinned
+    * version, exclusive commit, superseded files stay until
+    * [[vacuum]].
+    */
+  def update(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.when
+    val st = replay(spark, path, None)
+    requireWritable(st, path, "update")
+    val dataCols =
+      st.schema.fieldNames.toSeq.filterNot(st.partitionColumns.contains)
+    require(set.nonEmpty, "DeltaLake.update: empty SET")
+    require(set.keySet.subsetOf(dataCols.toSet),
+      s"DeltaLake.update: SET columns ${set.keySet} must be data " +
+        "columns (updating a partition column is a move, not a " +
+        s"rewrite) — data columns: $dataCols")
+    val hits = hitFiles(spark, path, st, predicate)
+    if (hits.isEmpty) return -1L
+    val rewritten = readFiles(spark, path, st, hits)
+      .select(st.schema.fieldNames.toIndexedSeq.map { c =>
+        set.get(c) match {
+          case Some(e) =>
+            when(predicate, e.cast(st.schema(c).dataType))
+              .otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    commitRewrite(spark, path, st, hits, rewritten)
+  }
+
+  /** PUBLIC MERGE (upsert) — `MERGE INTO target USING source ON
+    * target.k = source.k WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    * MATCHED THEN INSERT *`, the CDC-upsert shape: a target row whose
+    * key appears in `source` is replaced by the source row; source
+    * rows matching nothing are inserted (unless
+    * `insertNotMatched=false`). One atomic commit: remove+add
+    * rewrite pairs for the hit files plus plain adds for the new
+    * rows. Duplicate keys in `source` are refused (the SQL standard's
+    * cardinality violation — applying an ambiguous match would be
+    * nondeterministic). Partition columns must be part of the key
+    * (otherwise a match could MOVE a row across partitions, which is
+    * delete+insert, not update). Returns the committed version, or
+    * -1 when the merge would change nothing.
+    *
+    * Scale shape: the match probe and the insert anti-join are
+    * ordinary shuffled joins Catalyst plans (broadcast when `source`
+    * is small); the rewrite reads ONLY the hit files and lands
+    * through the table's partition layout in one job.
+    */
+  def merge(spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String], insertNotMatched: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.when
+    val st = replay(spark, path, None)
+    requireWritable(st, path, "merge")
+    require(keys.nonEmpty, "DeltaLake.merge: empty key list")
+    require(keys.forall(st.schema.fieldNames.contains),
+      s"DeltaLake.merge: keys $keys must be table columns")
+    require(st.schema.fieldNames.forall(source.schema.fieldNames.contains),
+      "DeltaLake.merge: the source must carry every table column " +
+        s"(INSERT * needs them) — table: ${st.schema.fieldNames.toSeq}, " +
+        s"source: ${source.schema.fieldNames.toSeq}")
+    require(st.partitionColumns.forall(keys.contains),
+      s"DeltaLake.merge: partition columns " +
+        s"(${st.partitionColumns.mkString(",")}) must be merge keys — " +
+        "a non-key partition column would let a match move rows " +
+        "across partitions")
+    val src = source.select(st.schema.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*).cache()
+    try {
+      // cardinality check over MATCHABLE keys only: a NULL key matches
+      // nothing (SQL ON semantics), so duplicate null-key source rows
+      // are two independent inserts, not an ambiguity
+      val keyPred = keys.map(k => col(k).isNotNull).reduce(_ && _)
+      require(src.filter(keyPred).groupBy(keys.map(col): _*).count()
+          .filter(col("count") > 1).isEmpty,
+        "DeltaLake.merge: duplicate keys in the source — an ambiguous " +
+          "match is nondeterministic (the SQL cardinality violation)")
+      val target = readFiles(spark, path, st, st.adds, withMeta = true)
+      val hitPaths = target.join(src, keys, "left_semi")
+        .select(col("_metadata.file_path")).distinct()
+        .as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().map(metaPathToLocal).toSet
+      val hits = st.adds.filter(a =>
+        hitPaths.contains(new java.io.File(resolve(path, a.path))
+          .getAbsolutePath))
+      // NULL-key source rows match nothing → NOT MATCHED → inserted
+      // (the anti join keeps them: NULL never equals a target key)
+      val inserts =
+        if (!insertNotMatched) src.limit(0)
+        else src.join(
+          readFiles(spark, path, st, st.adds)
+            .select(keys.map(col): _*), keys, "left_anti")
+      if (hits.isEmpty && inserts.isEmpty) return -1L
+      // replace matched rows with the source row: non-key columns come
+      // from the source when the key matched, else from the target
+      // (lazy: with no hit files there is nothing to rewrite and the
+      // commit is insert-only)
+      val nonKey = st.schema.fieldNames.toSeq.filterNot(keys.contains)
+      val sRen = src.select(keys.map(col) ++
+        nonKey.map(c => col(c).as(s"__s_$c")) :+
+        lit(true).as("__m"): _*)
+      def rewritten = readFiles(spark, path, st, hits)
+        .join(sRen, keys.toSeq, "left")
+        .select(st.schema.fieldNames.toIndexedSeq.map { c =>
+          if (keys.contains(c)) col(c)
+          else when(col("__m").isNotNull, col(s"__s_$c"))
+            .otherwise(col(c)).as(c)
+        }: _*)
+      val insertAdds =
+        if (inserts.isEmpty) Seq.empty
+        else addFileActions(spark, path,
+          inserts.select(st.schema.fieldNames.toIndexedSeq.map(col): _*),
+          st.partitionColumns, st.version + 1)
+      commitRewrite(spark, path, st, hits, rewritten, insertAdds)
+    } finally { src.unpersist(); () }
+  }
+
+  /** The files of `st` actually holding a row matching `predicate`:
+    * stats-pruned candidates, then ONE distributed probe whose driver
+    * result is file paths only.
+    */
+  private def hitFiles(spark: SparkSession, path: String, st: LogState,
+      predicate: org.apache.spark.sql.Column): Seq[AddFile] = {
+    val pred = mapPredNames(
+      org.apache.spark.sql.graft.GraftSql.predicateTree(predicate),
+      st.physOf)
+    val candidates = st.adds.filter(a =>
+      mayMatch(pred, a.partitionValues, a.stats, st))
+    if (candidates.isEmpty) return Seq.empty
+    val hitPaths = readFiles(spark, path, st, candidates, withMeta = true)
+      .filter(predicate)
+      .select(col("_metadata.file_path")).distinct()
+      .as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().map(metaPathToLocal).toSet
+    candidates.filter(a => hitPaths.contains(
+      new java.io.File(resolve(path, a.path)).getAbsolutePath))
+  }
+
+  /** Land `rewritten` (the hit files' replacement rows) through the
+    * table's partition layout and commit remove+add pairs (plus
+    * `extraAdds`) as the next version — the shared copy-on-write tail
+    * of [[update]] and [[merge]]. All `dataChange=true`; pinned
+    * version; exclusive commit.
+    */
+  private def commitRewrite(spark: SparkSession, path: String,
+      st: LogState, hits: Seq[AddFile], rewritten: => DataFrame,
+      extraAdds: Seq[String] = Seq.empty): Long = {
+    val next = st.version + 1
+    val adds =
+      if (hits.isEmpty) Seq.empty
+      else addFileActions(spark, path, rewritten,
+        st.partitionColumns, next)
+    val actions = mutable.Buffer.empty[String]
+    hits.foreach { a =>
+      val rm = M.createObjectNode()
+      rm.put("path", a.path)
+      rm.put("deletionTimestamp", System.currentTimeMillis())
+      rm.put("dataChange", true)
+      a.dv.foreach(d => rm.set[JsonNode]("deletionVector", dvJson(d)))
+      actions += s"""{"remove":${M.writeValueAsString(rm)}}"""
+    }
+    actions ++= adds
+    actions ++= extraAdds
+    writeCommitExclusive(path, next, actions.toSeq)
+    next
+  }
+
   /** OPTIMIZE (bin-packing compaction) — rewrite each partition's
     * small live files into one, committed as `dataChange=false`
     * remove+add pairs: logical content identical (the signed seam
@@ -1978,22 +2553,67 @@ object DeltaLake {
     * lands exclusively (racing writers fail loudly). Returns the new
     * version, or -1 when nothing needed compacting. Superseded files
     * stay on disk until [[vacuum]].
+    *
+    * `zorderBy` switches to OPTIMIZE ZORDER: EVERY live file rewrites
+    * (clustering, not packing), rows range-partitioned and sorted by
+    * the interleaved-bit [[zValueColumn]] into
+    * ceil(partitionBytes / targetFileBytes) files — each output file
+    * then covers a tight min/max box on ALL the Z columns, so stats
+    * skipping prunes on any of them (the multi-dimensional layout a
+    * single-column sort cannot give). Numeric/date/timestamp columns
+    * only; ≤ 4 columns.
     */
   def compact(spark: SparkSession, path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Seq.empty): Long = {
     val st = replay(spark, path, None)
     require(st.mappingMode == "none",
       "compact: column-mapped tables are not supported by this writer")
+    val zorder = zorderBy.nonEmpty
+    val dataCols = st.schema.fieldNames.toIndexedSeq
+      .filterNot(st.partitionColumns.contains)
+    if (zorder) {
+      require(zorderBy.size <= 4,
+        "compact: at most 4 Z-order columns (16 bits each in a 64-bit " +
+          "Z-value)")
+      require(zorderBy.forall(dataCols.contains),
+        s"compact: Z-order columns $zorderBy must be data columns " +
+          "(partition columns already cluster by directory) — data " +
+          s"columns: $dataCols")
+      zorderBy.foreach { c =>
+        st.schema(c).dataType match {
+          case _: org.apache.spark.sql.types.NumericType => ()
+          case org.apache.spark.sql.types.DateType => ()
+          case org.apache.spark.sql.types.TimestampType => ()
+          case org.apache.spark.sql.types.TimestampNTZType => ()
+          case dt => throw new IllegalArgumentException(
+            s"compact: Z-order on ${dt.simpleString} column '$c' is " +
+              "not supported — linear bucket normalization needs an " +
+              "ordered numeric domain")
+        }
+      }
+    }
+    // Z-ORDER rewrites EVERY live file (clustering, not packing: the
+    // point is that each output file gets a tight min/max box on ALL
+    // Z columns, so stats skipping prunes on any of them); plain
+    // compaction keeps the bin-packing shape (≥2 sub-target files)
     val groups = st.adds.groupBy(_.partitionValues).toSeq
       .map { case (pv, fs) =>
-        pv -> fs.filter(_.size.exists(_ < targetFileBytes))
+        pv -> (if (zorder) fs
+               else fs.filter(_.size.exists(_ < targetFileBytes)))
       }
-      .filter(_._2.size >= 2)
+      .filter(_._2.size >= (if (zorder) 1 else 2))
       .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
     if (groups.isEmpty) return -1L
     val root = new java.io.File(path)
-    val dataCols = st.schema.fieldNames.toIndexedSeq
-      .filterNot(st.partitionColumns.contains)
+    // the Z expression's bucket bounds come from ONE global min/max agg
+    // over the compaction input (per-group aggs would cost a job per
+    // partition on exactly the many-partition tables this serves)
+    val zOf: Option[DataFrame => org.apache.spark.sql.Column] =
+      if (!zorder) None
+      else Some(zValueColumn(
+        readFiles(spark, path, st, groups.flatMap(_._2)), zorderBy,
+        st.schema))
     // write every group first, ONE stats job over all compacted files
     // after (a per-group stats job would cost N driver round-trips on
     // exactly the many-partition tables compaction exists for)
@@ -2004,29 +2624,41 @@ object DeltaLake {
         .select(dataCols.map(org.apache.spark.sql.functions.col): _*)
       val tmp = new java.io.File(root, "_compact_tmp_" +
         java.util.UUID.randomUUID().toString.take(8))
-      rows.coalesce(1).write.mode("overwrite")
-        .parquet(tmp.getAbsolutePath)
-      val part = Option(tmp.listFiles()).toSeq.flatten
-        .filter(_.getName.endsWith(".parquet")).head
+      val out = zOf match {
+        case None => rows.coalesce(1)
+        case Some(z) =>
+          // range-partition by Z-value then sort within: each output
+          // file covers a contiguous Z range = a tight box in the
+          // Z columns' space
+          val n = math.max(1, math.ceil(fs.flatMap(_.size).sum.toDouble
+            / targetFileBytes).toInt)
+          rows.repartitionByRange(n, z(rows)).sortWithinPartitions(z(rows))
+      }
+      out.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val parts = Option(tmp.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       // a NULL partition value renders under the Hive default-partition
       // name (the location is cosmetic — the log's pv is authoritative,
       // and pvn below keeps the protocol's JSON null)
-      val rel = (pv.toSeq.sortBy(_._1).map { case (k, v) =>
-        s"$k=${Option(v).map(percentEncode)
-          .getOrElse("__HIVE_DEFAULT_PARTITION__")}"
-      } :+ part.getName).mkString("/")
-      val dest = new java.io.File(root, rel)
-      dest.getParentFile.mkdirs()
-      java.nio.file.Files.move(part.toPath, dest.toPath)
+      val rels = parts.map { part =>
+        val rel = (pv.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"$k=${Option(v).map(percentEncode)
+            .getOrElse("__HIVE_DEFAULT_PARTITION__")}"
+        } :+ part.getName).mkString("/")
+        val dest = new java.io.File(root, rel)
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        (rel, dest)
+      }
       Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
-      (pv, fs, rel, dest)
+      (pv, fs, rels)
     }
     val statsByFile = fileStats(spark,
       StructType(st.schema.filterNot(f =>
         st.partitionColumns.contains(f.name))),
-      written.map(_._4.getAbsolutePath))
+      written.flatMap(_._3.map(_._2.getAbsolutePath)))
     val actions = mutable.Buffer.empty[String]
-    written.foreach { case (pv, fs, rel, dest) =>
+    written.foreach { case (pv, fs, rels) =>
       fs.foreach { a =>
         val r = M.createObjectNode()
         r.put("path", a.path)
@@ -2034,17 +2666,19 @@ object DeltaLake {
         r.put("dataChange", false)
         actions += s"""{"remove":${M.writeValueAsString(r)}}"""
       }
-      val add = M.createObjectNode()
-      add.put("path", percentEncode(rel))
-      val pvn = add.putObject("partitionValues")
-      pv.foreach { case (k, v) =>
-        if (v == null) { pvn.putNull(k); () } else { pvn.put(k, v); () }
+      rels.foreach { case (rel, dest) =>
+        val add = M.createObjectNode()
+        add.put("path", percentEncode(rel))
+        val pvn = add.putObject("partitionValues")
+        pv.foreach { case (k, v) =>
+          if (v == null) { pvn.putNull(k); () } else { pvn.put(k, v); () }
+        }
+        add.put("size", dest.length())
+        add.put("modificationTime", dest.lastModified())
+        add.put("dataChange", false)
+        statsByFile.get(dest.getName).foreach(s => add.put("stats", s))
+        actions += s"""{"add":${M.writeValueAsString(add)}}"""
       }
-      add.put("size", dest.length())
-      add.put("modificationTime", dest.lastModified())
-      add.put("dataChange", false)
-      statsByFile.get(dest.getName).foreach(s => add.put("stats", s))
-      actions += s"""{"add":${M.writeValueAsString(add)}}"""
     }
     // the commit version is pinned to the REPLAYED state: a concurrent
     // commit landing after the replay collides at the hard-link and
@@ -2053,6 +2687,53 @@ object DeltaLake {
     val next = st.version + 1
     writeCommitExclusive(path, next, actions.toSeq)
     next
+  }
+
+  /** The interleaved-bit Z-VALUE over `cols` — OPTIMIZE ZORDER's
+    * clustering key: each column linearly bucketed to 16 bits against
+    * global [min,max] bounds (ONE agg job over `bounds`' rows, run
+    * here at build time), then the buckets' bits interleaved so a
+    * contiguous Z range is a tight BOX in every column's space.
+    * Entirely `Column` arithmetic (shift/and/or) — the sort key stays
+    * inside whole-stage codegen, no UDF. Nulls and constant columns
+    * bucket to 0 (they cannot cluster, only order stably).
+    */
+  private def zValueColumn(bounds: DataFrame, cols: Seq[String],
+      schema: StructType): DataFrame => org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, greatest, least, max,
+      min, shiftleft, shiftright, unix_date, unix_micros}
+    def numeric(df: DataFrame, c: String): org.apache.spark.sql.Column =
+      schema(c).dataType match {
+        case org.apache.spark.sql.types.DateType =>
+          unix_date(df.col(c)).cast("double")
+        case org.apache.spark.sql.types.TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType =>
+          // NTZ→timestamp is the UTC identity under the UTC session
+          unix_micros(df.col(c).cast("timestamp")).cast("double")
+        case _ => df.col(c).cast("double")
+      }
+    val aggs = cols.flatMap(c =>
+      Seq(min(numeric(bounds, c)), max(numeric(bounds, c))))
+    val row = bounds.agg(aggs.head, aggs.tail: _*).head()
+    val k = cols.size
+    (df: DataFrame) => {
+      val norm = cols.zipWithIndex.map { case (c, i) =>
+        if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) lit(0L)
+        else {
+          val lo = row.getDouble(2 * i)
+          val hi = row.getDouble(2 * i + 1)
+          if (hi <= lo) lit(0L)
+          else coalesce(
+            least(greatest((numeric(df, c) - lo) * (65535.0 / (hi - lo)),
+              lit(0.0)), lit(65535.0)).cast("long"), lit(0L))
+        }
+      }
+      var z: org.apache.spark.sql.Column = lit(0L)
+      for (bit <- 0 until 16; (nc, i) <- norm.zipWithIndex)
+        z = z.bitwiseOR(shiftleft(shiftright(nc, bit).bitwiseAND(lit(1L)),
+          bit * k + i))
+      z
+    }
   }
 
   /** VACUUM — delete data files (and DV sidecars) no RETAINED version
@@ -2274,18 +2955,8 @@ object DeltaLake {
         actions += s"""{"remove":${M.writeValueAsString(rm)}}"""
       }
     }
-    if (emitMeta) {
-      val meta = M.createObjectNode()
-      meta.put("id", java.util.UUID.nameUUIDFromBytes(
-        tableDir.getBytes("UTF-8")).toString)
-      val fmt = meta.putObject("format")
-      fmt.put("provider", "parquet"); fmt.putObject("options")
-      meta.put("schemaString", df.schema.json)
-      val pc = meta.putArray("partitionColumns")
-      partitionBy.foreach(pc.add)
-      meta.putObject("configuration")
-      actions += s"""{"metaData":${M.writeValueAsString(meta)}}"""
-    }
+    if (emitMeta)
+      actions += metaAction(tableDir, df.schema, partitionBy)
     val txn = M.createObjectNode()
     txn.put("appId", appId)
     txn.put("version", batchVersion)

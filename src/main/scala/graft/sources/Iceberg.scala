@@ -1917,6 +1917,310 @@ object Iceberg {
         .exists(_.asLong(-1L) >= 0)
   }
 
+  // ---- public batch writer + row-level DML -------------------------------
+
+  /** PUBLIC BATCH WRITER — commit `df` as a new snapshot of the
+    * Iceberg table at `tableDir` and return its snapshot id. Creates
+    * the table when none exists. `mode` is `append` or `overwrite`
+    * (every currently-live data AND delete file removed in the same
+    * snapshot — older snapshots stay time-travel readable).
+    * `partitionBy` uses the writer spec-string syntax (`"col"`,
+    * `"days(ts)"`, `"bucket(8, id)"`, …); on an existing table the
+    * layout must match the table's spec (given or omitted — omitted
+    * inherits). Schema evolution is refused by the commit layer
+    * (loud), renames travel via the schema history instead. The
+    * metadata commit is EXCLUSIVE: racing writers fail loudly and
+    * should re-run (data files are re-staged per attempt — orphans of
+    * a lost race are unreferenced and belong to maintenance).
+    */
+  def write(spark: SparkSession, tableDir: String, df: DataFrame,
+      mode: String = "append", partitionBy: Seq[String] = Seq.empty)
+      : Long = {
+    require(mode == "append" || mode == "overwrite",
+      s"Iceberg.write: mode must be 'append' or 'overwrite', got '$mode'")
+    val parts =
+      if (!hasSnapshot(tableDir)) partitionBy
+      else {
+        val cur = resolve(spark, tableDir, None)
+        val p = if (partitionBy.isEmpty) cur.specStrings else partitionBy
+        require(p == cur.specStrings,
+          s"Iceberg.write: table is partitioned by " +
+            s"(${cur.specStrings.mkString(",")}) but the batch writes " +
+            s"(${p.mkString(",")}) — mixed layouts break partition " +
+            "pruning")
+        p
+      }
+    stageAppendWith(spark, tableDir, df, parts,
+      if (mode == "overwrite") "overwrite" else "append", Map.empty,
+      exclusive = true,
+      replaceTable = mode == "overwrite" && hasSnapshot(tableDir))
+  }
+
+  /** PUBLIC ROW-LEVEL DELETE — the FORMAT-VERSION 3 deletion-vector
+    * shape (one Puffin blob per hit file; superseded DVs removed
+    * in-commit; format version ratchets to 3): the second format's
+    * twin of [[DeltaLake.delete]]. Rows where the predicate is false
+    * OR NULL survive. Returns the new snapshot id, or -1 when no live
+    * row matched (no commit).
+    *
+    * Scale shape: candidates are pruned driver-side through the
+    * manifest bounds + partition transforms (the same keep as
+    * [[snapshotWhere]]); matching row indexes are found in ONE
+    * distributed job over exactly those files through the NORMAL
+    * merge-on-read path (existing DVs, positional and equality
+    * deletes all apply — a dead row cannot re-match); per-file
+    * bitmaps are built ON THE EXECUTORS and only roaring-compressed
+    * bytes reach the driver. The commit is exclusive and pinned to
+    * the resolved snapshot (`expectBase`): a concurrent writer fails
+    * this delete loudly instead of it building over stale state.
+    */
+  def delete(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import spark.implicits._
+    val root = new java.io.File(tableDir)
+    val cur = resolve(spark, tableDir, None)
+    val pred = org.apache.spark.sql.graft.GraftSql.predicateTree(predicate)
+    val active = cur.pruneTransforms
+      .filter(_.transform != IcebergTransforms.Identity)
+    val kept = cur.files.filter(f => StatsSkip.mayMatch(pred, cur.schema,
+      cur.partitionColumns, f.partitionValues, f.stats) &&
+      IcebergTransforms.mayMatch(pred, active, f.partitionValues))
+    if (kept.isEmpty) return -1L
+    val perFile: Array[(String, Array[Byte])] =
+      scanOf(spark, tableDir, cur.copy(files = kept), withMeta = true)
+        .filter(predicate)
+        .select(org.apache.spark.sql.functions.col("_metadata.file_path"),
+          org.apache.spark.sql.functions.col("_metadata.row_index"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (p, it) =>
+          val bm = new DeletionVectors.Bitmap64
+          it.foreach(t => bm.add(t._2))
+          (p, bm.serialize())
+        }.collect()
+    if (perFile.isEmpty) return -1L
+    val relByAbs = cur.files.map(f => new java.io.File(
+      resolveRef(tableDir, f.path)).getAbsolutePath -> f.path).toMap
+    val (deadNow, priorDvs) = currentDeadSets(spark, tableDir, cur)
+    // the new DV for a file = its COMPLETE dead set (spec writer rule)
+    val blobs = perFile.sortBy(_._1).toSeq.map { case (mp, bytes) =>
+      val abs = uriToLocal(mp)
+      val rel = relByAbs.getOrElse(abs, throw new IllegalStateException(
+        s"delete scan surfaced a file the snapshot does not list: $abs"))
+      val fresh = DeletionVectors.deserialize(bytes).toArray.toSeq
+      rel -> (deadNow(abs) ++ fresh).toSeq.sorted
+    }
+    val (_, version) = priorState(metadataDir(tableDir))
+    // unique Puffin name: a retried delete after a lost race must not
+    // collide with the winner's staged blob file
+    val puffinRel = s"data/dv-$version-" +
+      s"${java.util.UUID.randomUUID().toString.take(8)}.puffin"
+    val puffinFile = new java.io.File(root, puffinRel)
+    puffinFile.getParentFile.mkdirs()
+    val refs = Puffin.stage(puffinFile, blobs)
+    val adds = refs.map { r =>
+      Entry(1, puffinRel, puffinFile.length(), Map.empty,
+        r.cardinality.get, Map.empty, content = 1, format = "PUFFIN",
+        dv = Some(r))
+    }
+    val removes = blobs.map(_._1)
+      .flatMap(rel => priorDvs.get(resolveRef(tableDir, rel))).map { f =>
+        Entry(2, f.path, f.size.getOrElse(0L), Map.empty,
+          f.dvRef.flatMap(_.cardinality).getOrElse(0L), Map.empty,
+          content = 1, format = "PUFFIN", dv = f.dvRef)
+      }
+    commitSnapshot(spark, tableDir, cur.schema, cur.specStrings,
+      adds ++ removes, "delete", exclusive = true,
+      expectBase = Some(cur.snapshotId))
+  }
+
+  /** PUBLIC ROW-LEVEL UPDATE — copy-on-write, the second format's twin
+    * of [[DeltaLake.update]]: every file holding a matching live row
+    * is removed and rewritten with `set` applied (OLD-row SQL
+    * semantics, one projection; NULL predicate = untouched), its
+    * deletion vector / positional / equality deletes MATERIALIZED —
+    * the rewritten file holds live rows only and its superseded DV is
+    * removed in the same snapshot. SET on a partition column refused
+    * (a move, not a rewrite); identity partitioning only (a
+    * transform-partitioned rewrite needs hidden-partition
+    * re-derivation — out of scope, loud). Returns the new snapshot
+    * id, or -1 when nothing matched.
+    *
+    * Scale shape: bounds-pruned candidates → one distributed probe for
+    * the files actually holding matches (driver sees paths only) →
+    * ONE distributed rewrite over exactly those files landing through
+    * the table's partition layout. Exclusive commit pinned to the
+    * resolved snapshot (`expectBase`).
+    */
+  def update(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{col, when}
+    import spark.implicits._
+    val cur = resolve(spark, tableDir, None)
+    require(cur.transforms
+        .forall(_.transform == IcebergTransforms.Identity),
+      "Iceberg.update: copy-on-write rewrites of transform-partitioned " +
+        "tables are not supported — the rewrite would need " +
+        "hidden-partition re-derivation")
+    val dataCols = cur.schema.fieldNames.toSeq
+      .filterNot(cur.partitionColumns.contains)
+    require(set.nonEmpty, "Iceberg.update: empty SET")
+    require(set.keySet.subsetOf(dataCols.toSet),
+      s"Iceberg.update: SET columns ${set.keySet} must be data columns " +
+        "(updating a partition column is a move, not a rewrite) — " +
+        s"data columns: $dataCols")
+    val pred = org.apache.spark.sql.graft.GraftSql.predicateTree(predicate)
+    val kept = cur.files.filter(f => StatsSkip.mayMatch(pred, cur.schema,
+      cur.partitionColumns, f.partitionValues, f.stats))
+    if (kept.isEmpty) return -1L
+    val hitPaths = scanOf(spark, tableDir, cur.copy(files = kept),
+      withMeta = true)
+      .filter(predicate)
+      .select(col("_metadata.file_path")).distinct()
+      .as[String].collect().map(uriToLocal).toSet
+    val hits = kept.filter(f => hitPaths.contains(new java.io.File(
+      resolveRef(tableDir, f.path)).getAbsolutePath))
+    if (hits.isEmpty) return -1L
+    // ONE distributed rewrite through the normal MoR path: DVs and
+    // row-level deletes of the hit files materialize into live rows
+    val rewritten = scanOf(spark, tableDir, cur.copy(files = hits))
+      .select(cur.schema.fieldNames.toIndexedSeq.map { c =>
+        set.get(c) match {
+          case Some(e) =>
+            when(predicate, e.cast(cur.schema(c).dataType))
+              .otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    commitCow(spark, tableDir, cur, hits, rewritten, "upd")
+  }
+
+  /** PUBLIC MERGE (upsert) — the second format's twin of
+    * [[DeltaLake.merge]]: `WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    * MATCHED THEN INSERT *` in ONE snapshot. Matched target rows are
+    * REPLACED by their source row; unmatched source rows insert
+    * (unless `insertNotMatched=false`); NULL-key source rows match
+    * nothing and insert (SQL ON semantics); duplicate non-null source
+    * keys are refused (the cardinality violation). Partition columns
+    * must be merge keys (a match must not move rows across
+    * partitions); identity partitioning only. Returns the new
+    * snapshot id, or -1 when nothing would change. The rewrite reads
+    * ONLY hit files through the normal MoR path (deletes
+    * materialize); rewrite + inserts land in ONE distributed write.
+    */
+  def merge(spark: SparkSession, tableDir: String, source: DataFrame,
+      keys: Seq[String], insertNotMatched: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import spark.implicits._
+    val cur = resolve(spark, tableDir, None)
+    require(cur.transforms
+        .forall(_.transform == IcebergTransforms.Identity),
+      "Iceberg.merge: copy-on-write rewrites of transform-partitioned " +
+        "tables are not supported")
+    require(keys.nonEmpty, "Iceberg.merge: empty key list")
+    require(keys.forall(cur.schema.fieldNames.contains),
+      s"Iceberg.merge: keys $keys must be table columns")
+    require(cur.schema.fieldNames.forall(
+        source.schema.fieldNames.contains),
+      "Iceberg.merge: the source must carry every table column " +
+        s"(INSERT * needs them) — table: ${cur.schema.fieldNames.toSeq}, " +
+        s"source: ${source.schema.fieldNames.toSeq}")
+    require(cur.partitionColumns.forall(keys.contains),
+      s"Iceberg.merge: partition columns " +
+        s"(${cur.partitionColumns.mkString(",")}) must be merge keys — " +
+        "a non-key partition column would let a match move rows " +
+        "across partitions")
+    val src = source.select(cur.schema.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*).cache()
+    try {
+      val keyPred = keys.map(k => col(k).isNotNull).reduce(_ && _)
+      require(src.filter(keyPred).groupBy(keys.map(col): _*).count()
+          .filter(col("count") > 1).isEmpty,
+        "Iceberg.merge: duplicate keys in the source — an ambiguous " +
+          "match is nondeterministic (the SQL cardinality violation)")
+      val target = scanOf(spark, tableDir, cur, withMeta = true)
+      val hitPaths = target.join(src, keys, "left_semi")
+        .select(col("_metadata.file_path")).distinct()
+        .as[String].collect().map(uriToLocal).toSet
+      val hits = cur.files.filter(f => hitPaths.contains(
+        new java.io.File(resolveRef(tableDir, f.path)).getAbsolutePath))
+      val inserts =
+        if (!insertNotMatched) src.limit(0)
+        else src.join(scanOf(spark, tableDir, cur)
+          .select(keys.map(col): _*), keys, "left_anti")
+      if (hits.isEmpty && inserts.isEmpty) return -1L
+      val nonKey = cur.schema.fieldNames.toSeq.filterNot(keys.contains)
+      val sRen = src.select(keys.map(col) ++
+        nonKey.map(c => col(c).as(s"__s_$c")) :+
+        lit(true).as("__m"): _*)
+      val insertRows = inserts.select(
+        cur.schema.fieldNames.toIndexedSeq.map(col): _*)
+      // rewrite + inserts in ONE distributed write (empty hit set →
+      // insert-only commit; the hit-file scan is never constructed)
+      val outRows =
+        if (hits.isEmpty) insertRows
+        else scanOf(spark, tableDir, cur.copy(files = hits))
+          .join(sRen, keys.toSeq, "left")
+          .select(cur.schema.fieldNames.toIndexedSeq.map { c =>
+            if (keys.contains(c)) col(c)
+            else when(col("__m").isNotNull, col(s"__s_$c"))
+              .otherwise(col(c)).as(c)
+          }: _*)
+          .unionByName(insertRows)
+      commitCow(spark, tableDir, cur, hits, outRows, "mrg")
+    } finally { src.unpersist(); () }
+  }
+
+  /** Land `rows` through the table's identity-partition layout and
+    * commit them with status=2 entries for `hits` (and their
+    * deletion vectors — materialized by the rewrite) — the shared
+    * copy-on-write tail of [[update]] and [[merge]]. Exclusive
+    * commit pinned to the resolved snapshot.
+    */
+  private def commitCow(spark: SparkSession, tableDir: String,
+      cur: SnapshotMeta, hits: Seq[IceFile], rows: DataFrame,
+      opTag: String): Long = {
+    val root = new java.io.File(tableDir)
+    val (_, version) = priorState(metadataDir(tableDir))
+    val tag = s"$opTag$version-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val moved = writeDataFiles(root,
+      withFieldIds(rows, fieldIds(cur.schema)),
+      cur.partitionColumns, tag)
+    val dataSchema = StructType(
+      cur.schema.filterNot(f => cur.partitionColumns.contains(f.name)))
+    val stats = fileStatsOf(spark, dataSchema,
+      moved.map(_._1.getAbsolutePath))
+    val adds = moved.map { case (file, pv) =>
+      val (n, perCol) = stats.getOrElse(file.getName,
+        (0L, Map.empty[String, (Any, Any)]))
+      Entry(1, root.toPath.relativize(file.toPath).toString,
+        file.length(), pv, n, perCol)
+    }
+    val (_, priorDvs) = currentDeadSets(spark, tableDir, cur)
+    val removes = hits.map(f => Entry(2, f.path, f.size.getOrElse(0L),
+      f.partitionValues, 0L, Map.empty)) ++
+      hits.flatMap(f => priorDvs.get(resolveRef(tableDir, f.path)))
+        .map { f =>
+          Entry(2, f.path, f.size.getOrElse(0L), Map.empty,
+            f.dvRef.flatMap(_.cardinality).getOrElse(0L), Map.empty,
+            content = 1, format = "PUFFIN", dv = f.dvRef)
+        }
+    commitSnapshot(spark, tableDir, cur.schema, cur.specStrings,
+      adds ++ removes, "overwrite", exclusive = true,
+      expectBase = Some(cur.snapshotId))
+  }
+
+  /** `_metadata.file_path`'s URL-encoded URI rendering back to the
+    * local absolute path the manifests resolve to (scheme optional,
+    * `%20` etc. decoded).
+    */
+  private def uriToLocal(p: String): String = {
+    val u = java.net.URI.create(p)
+    Option(u.getPath).filter(_.nonEmpty).getOrElse(p)
+  }
+
   /** Sink-path metadata commit: content lands fully in a temp file,
     * then hard-links to the version name — atomic, and a pre-existing
     * version (a concurrent writer won the optimistic race between
@@ -2496,39 +2800,7 @@ object Iceberg {
     val dataSchema = StructType(
       cur.schema.filterNot(f => cur.partitionColumns.contains(f.name)))
     def canon(rel: String): String = resolveRef(tableDir, rel)
-    // existing dead positions per data file (canonical path):
-    // positional delete files + current DVs
-    val posFiles = cur.deleteFiles.filter(f =>
-      f.content == 1 && f.dvRef.isEmpty)
-    val fromPos: Map[String, Set[Long]] =
-      if (posFiles.isEmpty) Map.empty
-      else {
-        val byStored = spark.read.parquet(posFiles
-            .map(f => resolveRef(tableDir, f.path)): _*)
-          .select("file_path", "pos").collect()
-          .groupBy(_.getString(0))
-          .map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
-        // stored file_path strings may be relative or absolute —
-        // re-key by canonical form via the live file list
-        cur.files.flatMap { f =>
-          val dead = byStored.getOrElse(f.path,
-            byStored.getOrElse(canon(f.path), Set.empty[Long]))
-          if (dead.isEmpty) None else Some(canon(f.path) -> dead)
-        }.toMap
-      }
-    val priorDvs: Map[String, IceFile] = cur.deleteFiles
-      .filter(_.dvRef.isDefined)
-      .map(f => canon(f.dvRef.get.referenced) -> f).toMap
-    val fromDv: Map[String, Set[Long]] = priorDvs.map { case (ref, f) =>
-      val r = f.dvRef.get
-      ref -> Puffin.readDv(resolveRef(tableDir, f.path), r.offset,
-        r.length, r.cardinality).toArray.toSet
-    }
-    // a file's CURRENT dead set: its DV when it has one (the reader's
-    // supersession rule — pos files don't apply then), else its
-    // positional-delete positions
-    def deadNow(abs: String): Set[Long] =
-      fromDv.getOrElse(abs, fromPos.getOrElse(abs, Set.empty[Long]))
+    val (deadNow, priorDvs) = currentDeadSets(spark, tableDir, cur)
     // new matches per live data file (same per-file scan shape as
     // stageMorDelete; partition columns re-attached as constants)
     val newDead = mutable.LinkedHashMap.empty[String, Set[Long]]
@@ -2672,6 +2944,48 @@ object Iceberg {
     * if any row matches, mark the file DELETED in the new manifest and
     * add `rewrite(fileRows, dataCols)` with fresh bounds.
     */
+  /** The snapshot's CURRENT dead positions per data file (keyed by
+    * canonical absolute path — a file's DV when it has one, per the
+    * reader's supersession rule, else its positional-delete
+    * positions) plus the live DV entries by the canonical path they
+    * reference. The state every DV writer needs: a new DV must carry
+    * its file's COMPLETE dead set and remove the superseded DV
+    * in-commit. Driver-side and churn-bounded (delete files are
+    * metadata-sized next to the data).
+    */
+  private def currentDeadSets(spark: SparkSession, tableDir: String,
+      cur: SnapshotMeta): (String => Set[Long], Map[String, IceFile]) = {
+    def canon(rel: String): String = resolveRef(tableDir, rel)
+    val posFiles = cur.deleteFiles.filter(f =>
+      f.content == 1 && f.dvRef.isEmpty)
+    val fromPos: Map[String, Set[Long]] =
+      if (posFiles.isEmpty) Map.empty
+      else {
+        val byStored = spark.read.parquet(posFiles
+            .map(f => resolveRef(tableDir, f.path)): _*)
+          .select("file_path", "pos").collect()
+          .groupBy(_.getString(0))
+          .map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+        // stored file_path strings may be relative or absolute —
+        // re-key by canonical form via the live file list
+        cur.files.flatMap { f =>
+          val dead = byStored.getOrElse(f.path,
+            byStored.getOrElse(canon(f.path), Set.empty[Long]))
+          if (dead.isEmpty) None else Some(canon(f.path) -> dead)
+        }.toMap
+      }
+    val priorDvs: Map[String, IceFile] = cur.deleteFiles
+      .filter(_.dvRef.isDefined)
+      .map(f => canon(f.dvRef.get.referenced) -> f).toMap
+    val fromDv: Map[String, Set[Long]] = priorDvs.map { case (ref, f) =>
+      val r = f.dvRef.get
+      ref -> Puffin.readDv(resolveRef(tableDir, f.path), r.offset,
+        r.length, r.cardinality).toArray.toSet
+    }
+    (abs => fromDv.getOrElse(abs, fromPos.getOrElse(abs, Set.empty[Long])),
+      priorDvs)
+  }
+
   private def stageRewrite(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column, operation: String)
       (rewrite: (DataFrame, Seq[String]) => DataFrame): Long = {

@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 161 declared operator queries are all present (SURVEY §2)") {
+  test("the 170 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -78,8 +78,12 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "iceberg_dv_scan", "delta_iceberg_dv", "stream_deltalake_sink", "stream_iceberg_sink",
       "iceberg_name_mapping", "iceberg_tag_read",
       "deltalake_shallow_clone", "deltalake_vacuum", "iceberg_expire",
-      "deltalake_compact", "iceberg_rewrite")
-    assert(declared.size == 161)
+      "deltalake_compact", "iceberg_rewrite",
+      // round-12 surface
+      "deltalake_write", "deltalake_delete_dml", "deltalake_update_dml",
+      "deltalake_merge_dml", "iceberg_write", "iceberg_delete_dml",
+      "iceberg_update_dml", "deltalake_zorder", "iceberg_merge_dml")
+    assert(declared.size == 170)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

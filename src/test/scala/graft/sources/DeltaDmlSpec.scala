@@ -1,0 +1,204 @@
+package graft.sources
+
+import org.apache.spark.sql.functions.{col, lit}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** The PUBLIC row-level DML ([[DeltaLake.delete]] /
+  * [[DeltaLake.update]] / [[DeltaLake.merge]]): merge-on-read deletes
+  * that grow per-file deletion vectors executor-side, copy-on-write
+  * updates that materialize DVs and rewrite only hit files, and the
+  * upsert-shaped merge — plus the SQL NULL semantics and the
+  * touch-only-what-matched locality each must keep.
+  */
+class DeltaDmlSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_dml_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def frame(r: Range) =
+    r.map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  private def commitText(dir: String, version: Long): String =
+    java.nio.file.Files.readString(new java.io.File(dir,
+      "_delta_log/" + f"$version%020d.json").toPath)
+
+  test("delete grows per-file DVs, upgrades the protocol by union, " +
+      "nets a no-op to -1, and NULL predicates keep rows") {
+    val dir = freshDir("del")
+    DeltaLake.write(spark, dir, frame(1 to 30))
+    assert(DeltaLake.delete(spark, dir, col("id") % 3 === 0) == 1L)
+    assert(ids(DeltaLake.snapshot(spark, dir)) ==
+      (1L to 30L).filterNot(_ % 3 == 0).toSet)
+    val c1 = commitText(dir, 1L)
+    assert(c1.contains("deletionVectors"), "protocol upgrade expected")
+    assert(c1.contains("deletionVector"), "DV add expected")
+    // second delete GROWS the DV (old dead rows stay dead)
+    assert(DeltaLake.delete(spark, dir, col("id") === 1L) == 2L)
+    assert(ids(DeltaLake.snapshot(spark, dir)) ==
+      (2L to 30L).filterNot(_ % 3 == 0).toSet)
+    // re-deleting already-dead rows is a no-op: no commit
+    assert(DeltaLake.delete(spark, dir, col("id") === 3L) == -1L)
+    assert(DeltaLake.latestVersion(spark, dir) == 2L)
+    // NULL predicate = survive (SQL DELETE semantics)
+    val d2 = freshDir("delnull")
+    DeltaLake.write(spark, d2,
+      Seq((1L, "a"), (2L, null), (3L, "b")).toDF("id", "v"))
+    DeltaLake.delete(spark, d2, col("v") =!= "a")
+    assert(ids(DeltaLake.snapshot(spark, d2)) == Set(1L, 2L))
+  }
+
+  test("delete on a partitioned table touches only the matching " +
+      "partition's files (stats/partition pruning drives the scan)") {
+    val dir = freshDir("delpart")
+    val df = (1 to 40).map(i => (i.toLong, i % 4, s"v$i"))
+      .toDF("id", "bucket", "v")
+    DeltaLake.write(spark, dir, df, partitionBy = Seq("bucket"))
+    assert(DeltaLake.delete(spark, dir,
+      col("bucket") === 2 && col("id") <= 20L) == 1L)
+    assert(ids(DeltaLake.snapshot(spark, dir)) ==
+      (1L to 40L).filterNot(i => i % 4 == 2 && i <= 20).toSet)
+    // the commit names ONLY bucket=2 files
+    val c = commitText(dir, 1L)
+    // add.path is percent-encoded in the log ('=' → %3D)
+    c.linesIterator.filter(_.contains("\"remove\"")).foreach(l =>
+      assert(l.contains("bucket%3D2"), s"foreign partition touched: $l"))
+  }
+
+  test("update rewrites only hit files with old-row semantics and " +
+      "materializes DVs; a partition-column SET is refused") {
+    val dir = freshDir("upd")
+    // two files: ids 1-10 and 11-20
+    DeltaLake.write(spark, dir, frame(1 to 10))
+    DeltaLake.write(spark, dir, frame(11 to 20))
+    // DV-delete 11, then update 12: the rewrite must not resurrect 11
+    DeltaLake.delete(spark, dir, col("id") === 11L)
+    val v = DeltaLake.update(spark, dir, col("id") === 12L,
+      Map("v" -> lit("CHANGED")))
+    assert(v == 3L)
+    val snap = DeltaLake.snapshot(spark, dir)
+    assert(ids(snap) == (1L to 20L).toSet - 11L)
+    assert(snap.filter(col("v") === "CHANGED").count() == 1L)
+    // only file 2 was touched: file 1's rows survive in place and the
+    // commit carries exactly one remove
+    val c = commitText(dir, 3L)
+    assert(c.linesIterator.count(_.contains("\"remove\"")) == 1)
+    // nothing matched → -1, no commit
+    assert(DeltaLake.update(spark, dir, col("id") === 999L,
+      Map("v" -> lit("X"))) == -1L)
+    assert(DeltaLake.latestVersion(spark, dir) == 3L)
+    // old-row semantics: SET uses the OLD value of the other column
+    val d2 = freshDir("updold")
+    DeltaLake.write(spark, d2,
+      Seq((1L, 10L, 0L)).toDF("id", "a", "b"))
+    DeltaLake.update(spark, d2, col("id") === 1L,
+      Map("a" -> lit(99L), "b" -> (col("a") + 1L)))
+    val row = DeltaLake.snapshot(spark, d2).collect().head
+    assert(row.getLong(1) == 99L && row.getLong(2) == 11L,
+      s"b must see the OLD a: $row")
+    // partition-column SET refused
+    val d3 = freshDir("updpart")
+    DeltaLake.write(spark, d3,
+      (1 to 8).map(i => (i.toLong, i % 2, s"v$i")).toDF("id", "p", "v"),
+      partitionBy = Seq("p"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.update(spark, d3, col("id") === 1L, Map("p" -> lit(9)))
+    }
+    assert(e.getMessage.contains("partition"))
+  }
+
+  test("merge upserts: matched rows replaced, unmatched inserted, " +
+      "NULL-key source rows insert, duplicate source keys refused") {
+    val dir = freshDir("mrg")
+    DeltaLake.write(spark, dir, frame(1 to 10))
+    val source = Seq((5L, "UPDATED"), (6L, "UPDATED"), (42L, "NEW"))
+      .toDF("id", "v")
+    assert(DeltaLake.merge(spark, dir, source, Seq("id")) == 1L)
+    val snap = DeltaLake.snapshot(spark, dir)
+    assert(ids(snap) == ((1L to 10L).toSet + 42L))
+    assert(snap.filter(col("v") === "UPDATED").count() == 2L)
+    assert(snap.filter(col("id") === 42L && col("v") === "NEW")
+      .count() == 1L)
+    // insert-only merge (no matches): commit lands with adds only
+    assert(DeltaLake.merge(spark, dir,
+      Seq((100L, "I")).toDF("id", "v"), Seq("id")) == 2L)
+    assert(commitText(dir, 2L).linesIterator
+      .count(_.contains("\"remove\"")) == 0)
+    // a no-change merge returns -1
+    assert(DeltaLake.merge(spark, dir,
+      spark.emptyDataset[(Long, String)].toDF("id", "v"),
+      Seq("id")) == -1L)
+    // NULL key matches nothing → INSERT (SQL ON semantics)
+    assert(DeltaLake.merge(spark, dir,
+      Seq((Option.empty[Long], "NULLKEY")).toDF("id", "v"),
+      Seq("id")) == 3L)
+    assert(DeltaLake.snapshot(spark, dir)
+      .filter(col("id").isNull).count() == 1L)
+    // duplicate non-null source keys = cardinality violation
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.merge(spark, dir,
+        Seq((5L, "A"), (5L, "B")).toDF("id", "v"), Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // insertNotMatched=false: unmatched source rows are dropped
+    DeltaLake.merge(spark, dir,
+      Seq((1L, "ONLY_UPD"), (777L, "DROPPED")).toDF("id", "v"),
+      Seq("id"), insertNotMatched = false)
+    val s2 = DeltaLake.snapshot(spark, dir)
+    assert(s2.filter(col("id") === 777L).count() == 0L)
+    assert(s2.filter(col("v") === "ONLY_UPD").count() == 1L)
+  }
+
+  test("merge on a partitioned table: partition columns must be keys; " +
+      "matched rows stay in their partition") {
+    val dir = freshDir("mrgpart")
+    val df = (1 to 12).map(i => (i.toLong, i % 3, s"v$i"))
+      .toDF("id", "p", "v")
+    DeltaLake.write(spark, dir, df, partitionBy = Seq("p"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.merge(spark, dir,
+        Seq((1L, 1, "X")).toDF("id", "p", "v"), Seq("id"))
+    }
+    assert(e.getMessage.contains("partition"))
+    DeltaLake.merge(spark, dir,
+      Seq((3L, 0, "UPD"), (13L, 1, "NEW")).toDF("id", "p", "v"),
+      Seq("id", "p"))
+    val snap = DeltaLake.snapshot(spark, dir)
+    assert(snap.filter(col("v") === "UPD").count() == 1L)
+    assert(ids(snap) == (1L to 13L).toSet)
+    assert(ids(DeltaLake.snapshotWhere(spark, dir, col("p") === 1)) ==
+      (1L to 13L).filter(i => i % 3 == 1 || i == 13L).toSet)
+  }
+
+  test("DML gates: CDF-enabled and appendOnly tables are refused " +
+      "loudly (this writer does not emit cdc; appendOnly forbids " +
+      "removes)") {
+    val dir = freshDir("gate")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.StringType)
+    val ss = schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    val meta = s"""{"metaData":{"id":"t","format":{"provider":"parquet",""" +
+      s""""options":{}},"schemaString":"$ss","partitionColumns":[],""" +
+      s""""configuration":{"delta.enableChangeDataFeed":"true"}}}"""
+    val ld = new java.io.File(dir, "_delta_log")
+    ld.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(ld, f"${0L}%020d.json").toPath,
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}\n$meta\n""")
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.delete(spark, dir, col("id") === 1L)
+    }
+    assert(e.getMessage.contains("Change Data Feed"))
+  }
+}

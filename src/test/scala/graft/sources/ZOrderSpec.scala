@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** OPTIMIZE ZORDER ([[DeltaLake.compact]] with `zorderBy`): the
+  * multi-dimensional clustering rewrite. The content must stay
+  * bit-identical (dataChange=false), and the POINT of the layout —
+  * a narrow predicate on ANY Z column prunes most files via stats
+  * skipping, where the pre-compaction layout (every file spanning the
+  * full domain) prunes nothing — is pinned with runtime numFiles.
+  */
+class ZOrderSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_zorder_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect() // execute THIS dataset, then read its own metrics
+    df.asInstanceOf[classic.Dataset[_]].queryExecution
+      .executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.get
+  }
+
+  private def parquetBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten
+          .filterNot(_.getName == "_delta_log").map(walk).sum
+      else if (f.getName.endsWith(".parquet")) f.length()
+      else 0L
+    walk(new java.io.File(dir))
+  }
+
+  test("zorder clustering: identical content, dataChange=false, and a " +
+      "narrow slice on EITHER column prunes most files") {
+    val dir = freshDir("grid")
+    // a 256x256 grid, written as 4 interleaved slices — every file
+    // spans the FULL x and y domain, so nothing prunes pre-compaction
+    val grid = (0 until 65536)
+      .map(i => (i.toLong % 256, i.toLong / 256)).toDF("x", "y")
+    (0 until 4).foreach { k =>
+      DeltaLake.stageCommit(spark, dir,
+        grid.filter(col("x") % 4 === k).coalesce(1), Seq.empty, k.toLong)
+    }
+    val checksum = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(org.apache.spark.sql.functions
+        .sum(col("x") * 100000L + col("y"))).head().getLong(0)
+    val before = checksum(DeltaLake.snapshot(spark, dir))
+    val pre = plannedFiles(
+      DeltaLake.snapshot(spark, dir).filter(col("y").between(10L, 20L)))
+    assert(pre == 4L, "pre-zorder every file must plan (full-domain files)")
+
+    // target ~16 output files
+    val v = DeltaLake.compact(spark, dir,
+      targetFileBytes = math.max(1L, parquetBytes(dir) / 16),
+      zorderBy = Seq("x", "y"))
+    assert(v == 4L)
+    val total = DeltaLake.liveFileNames(spark, dir, v).size
+    assert(total >= 8, s"expected a multi-file clustered layout, got $total")
+    assert(checksum(DeltaLake.snapshot(spark, dir)) == before)
+    assert(DeltaLake.snapshot(spark, dir).count() == 65536L)
+    // the commit is a content no-op to the changelog
+    val c = java.nio.file.Files.readString(new java.io.File(dir,
+      "_delta_log/" + f"$v%020d.json").toPath)
+    assert(!c.contains("\"dataChange\":true"))
+
+    // a narrow band on EITHER column prunes most of the layout — the
+    // multi-dimensional win a plain sort on x could not give for y
+    val yPlan = plannedFiles(
+      DeltaLake.snapshot(spark, dir).filter(col("y").between(10L, 20L)))
+    val xPlan = plannedFiles(
+      DeltaLake.snapshot(spark, dir).filter(col("x").between(10L, 20L)))
+    assert(yPlan <= total / 2,
+      s"y-slice must prune: planned $yPlan of $total")
+    assert(xPlan <= total / 2,
+      s"x-slice must prune: planned $xPlan of $total")
+  }
+
+  test("zorder guards: strings, partition columns, and >4 columns are " +
+      "refused; a partitioned table clusters within partitions") {
+    val dir = freshDir("guards")
+    val df = (0 until 4096).map(i =>
+      (i.toLong % 64, i.toLong / 64, s"s$i", (i % 2).toString))
+      .toDF("x", "y", "s", "p")
+    DeltaLake.write(spark, dir, df, partitionBy = Seq("p"))
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaLake.compact(spark, dir, zorderBy = Seq("s"))
+    }
+    assert(e1.getMessage.contains("not supported"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLake.compact(spark, dir, zorderBy = Seq("p"))
+    }
+    assert(e2.getMessage.contains("data columns"))
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaLake.compact(spark, dir, zorderBy = Seq("x", "y", "x", "y", "x"))
+    }
+    assert(e3.getMessage.contains("at most 4"))
+    // partitioned: clustering runs per partition, content identical
+    val v = DeltaLake.compact(spark, dir, targetFileBytes = 4096,
+      zorderBy = Seq("x", "y"))
+    assert(v >= 0L)
+    assert(DeltaLake.snapshot(spark, dir).count() == 4096L)
+    assert(DeltaLake.snapshotWhere(spark, dir, col("p") === "1")
+      .count() == 2048L)
+  }
+}
