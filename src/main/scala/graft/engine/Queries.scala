@@ -3039,7 +3039,44 @@ object Queries {
              |  COUNT(DISTINCT o_custkey) AS n_cust
              |FROM m
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // CDF-WRITING DML (r12): a CDF-enabled table's public delete +
+    // update commits carry their row-level diff as CHANGE FILES (the
+    // protocol's delta.enableChangeDataFeed contract, previously a
+    // loud refusal). The query aggregates the CHANGE FEED itself —
+    // per change type, row count and summed price — so a missing
+    // change file, a wrong pre/post image, or a feed that
+    // reconstructed from the rewrite pair instead of the cdc rows
+    // shifts a group. The oracle recomputes the diff from first
+    // principles.
+    QueryDef("deltalake_cdf_dml",
+      (s, d) => graft.sources.DeltaLake
+        .changeFeed(s, deltaLakeOrdersCdfDml(s, d), afterVersion = 0L)
+        .select(col("_change_type").as("change_type"),
+          col("o_totalprice"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"))
+        .orderBy("change_type"),
+      Some("""WITH f AS (
+             |  SELECT 'delete' AS change_type, o_totalprice
+             |  FROM orders
+             |  WHERE o_custkey % 7 = 0 AND o_orderpriority = '5-LOW'
+             |  UNION ALL
+             |  SELECT 'update_preimage', o_totalprice FROM orders
+             |  WHERE o_custkey % 6 = 1 AND o_orderpriority = '2-HIGH'
+             |  UNION ALL
+             |  SELECT 'update_postimage', o_totalprice + 750 FROM orders
+             |  WHERE o_custkey % 6 = 1 AND o_orderpriority = '2-HIGH'
+             |)
+             |SELECT change_type, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM f
+             |GROUP BY change_type
+             |ORDER BY change_type""".stripMargin))
   )
 
   /** The staged two-commit Delta table the `deltalake_*` queries read:
@@ -3205,6 +3242,28 @@ object Queries {
         .withColumn("o_orderkey", -col("o_orderkey"))
       graft.sources.Iceberg.merge(s, p, upd.unionByName(ins),
         Seq("o_orderkey"))
+      ()
+    }
+
+  /** The CDF-DML Delta table — the `deltalake_cdf_dml` fixture: a
+    * CDF-enabled table (created through the public writer's table
+    * properties) whose public delete + update commits wrote change
+    * files.
+    */
+  private[graft] def deltaLakeOrdersCdfDml(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_cdfdml_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      graft.sources.DeltaLake.write(s, p, t(s, d, "orders"),
+        partitionBy = Seq("o_orderpriority"),
+        properties = Map("delta.enableChangeDataFeed" -> "true"))
+      graft.sources.DeltaLake.delete(s, p,
+        col("o_custkey") % 7 === 0 &&
+          col("o_orderpriority") === "5-LOW")
+      graft.sources.DeltaLake.update(s, p,
+        col("o_custkey") % 6 === 1 &&
+          col("o_orderpriority") === "2-HIGH",
+        Map("o_totalprice" -> (col("o_totalprice") + 750)))
       ()
     }
 

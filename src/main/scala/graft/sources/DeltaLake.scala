@@ -111,7 +111,8 @@ object DeltaLake {
       partitionColumns: Seq[String],
       adds: Seq[AddFile],
       configuration: Map[String, String] = Map.empty,
-      protocol: DeltaProtocol = DeltaProtocol()) {
+      protocol: DeltaProtocol = DeltaProtocol(),
+      tableId: Option[String] = None) {
     /** COLUMN MAPPING (protocol "Column Mapping", mode `name`/`id`):
       * logical column name → the PHYSICAL name partition-value and
       * stats keys use (from each schema field's
@@ -778,12 +779,14 @@ object DeltaLake {
     var schemaString: String = null
     var partCols: Seq[String] = Seq.empty
     var tableConf: Map[String, String] = Map.empty
+    var tableId: Option[String] = None
 
     def applyAdd(a: AddFile): Unit = adds.put(a.path, a)
     def applyRemove(p: String): Unit = adds.remove(p)
     def applyMeta(ss: String, pc: Seq[String],
-        conf: Map[String, String]): Unit = {
+        conf: Map[String, String], id: Option[String] = None): Unit = {
       schemaString = ss; partCols = pc; tableConf = conf
+      tableId = id.orElse(tableId)
     }
     // reader features this fold actually honors: deletionVectors
     // ([[readFiles]] applies the bitmaps), columnMapping
@@ -875,7 +878,10 @@ object DeltaLake {
                 .getOrElse(Map.empty[String, String])
             else Map.empty[String, String]
           applyMeta(str(m, "schemaString"),
-            m.getSeq[String](m.fieldIndex("partitionColumns")), conf)
+            m.getSeq[String](m.fieldIndex("partitionColumns")), conf,
+            if (m.schema.fieldNames.contains("id") &&
+                !m.isNullAt(m.fieldIndex("id")))
+              Some(str(m, "id")) else None)
         }
         struct(row, "protocol").foreach { p =>
           def featsOf(field: String) =
@@ -930,7 +936,8 @@ object DeltaLake {
                 applyMeta(m.get("schemaString").asText,
                   Option(m.get("partitionColumns")).toSeq
                     .flatMap(_.elements().asScala.map(_.asText).toSeq),
-                  conf)
+                  conf, Option(m.get("id")).filterNot(_.isNull)
+                    .map(_.asText))
               }
               Option(n.get("protocol")).foreach(applyProtocolNode)
               Option(n.get("sidecar")).foreach(sc =>
@@ -972,7 +979,8 @@ object DeltaLake {
             .getOrElse(Map.empty[String, String])
           applyMeta(m.get("schemaString").asText,
             Option(m.get("partitionColumns")).toSeq
-              .flatMap(_.elements().asScala.map(_.asText).toSeq), conf)
+              .flatMap(_.elements().asScala.map(_.asText).toSeq), conf,
+            Option(m.get("id")).filterNot(_.isNull).map(_.asText))
         }
         Option(n.get("protocol")).foreach(applyProtocolNode)
       }
@@ -983,7 +991,7 @@ object DeltaLake {
     }
     require(schemaString != null, s"no metaData action in $path's log")
     LogState(want, DataType.fromJson(schemaString).asInstanceOf[StructType],
-      partCols, adds.values.toSeq, tableConf, protocol)
+      partCols, adds.values.toSeq, tableConf, protocol, tableId)
   }
 
 
@@ -1154,29 +1162,40 @@ object DeltaLake {
     // differs from the log's current one — the protocol's SCHEMA
     // EVOLUTION shape (readers resolve a snapshot with its version's
     // metaData; pre-evolution files surface the new columns as null)
-    val emitMeta = version == 0L ||
-      replay(spark, tableDir, None).schema.json != df.schema.json
+    val prior =
+      if (version == 0L) None else Some(replay(spark, tableDir, None))
+    val emitMeta = prior.forall(_.schema.json != df.schema.json)
     if (version == 0L) actions += protocolActionFor(df.schema)
-    if (emitMeta) actions += metaAction(tableDir, df.schema, partitionBy)
+    if (emitMeta) actions += metaAction(tableDir, df.schema, partitionBy,
+      prior.map(_.configuration).getOrElse(Map.empty),
+      prior.flatMap(_.tableId))
     actions ++= addFileActions(spark, tableDir, df, partitionBy, version)
     writeCommit(tableDir, version, actions.toSeq)
   }
 
   /** The metaData action for `schema` + `partitionBy` — one builder so
     * every writer path ([[stageCommit]], [[commitStreamBatch]],
-    * [[write]]) emits the identical protocol shape.
+    * [[write]]) emits the identical protocol shape. EVOLUTION commits
+    * must pass the table's existing `configuration` and `id` — a
+    * metaData action REPLACES its predecessor wholesale, so omitting
+    * them would silently strip the table's declared behaviors
+    * (appendOnly, ICT, CDF, constraints) and re-key the table id that
+    * external streaming readers pin on.
     */
   private def metaAction(tableDir: String, schema: StructType,
-      partitionBy: Seq[String]): String = {
+      partitionBy: Seq[String],
+      configuration: Map[String, String] = Map.empty,
+      id: Option[String] = None): String = {
     val meta = M.createObjectNode()
-    meta.put("id", java.util.UUID.nameUUIDFromBytes(
-      tableDir.getBytes("UTF-8")).toString)
+    meta.put("id", id.getOrElse(java.util.UUID.nameUUIDFromBytes(
+      tableDir.getBytes("UTF-8")).toString))
     val fmt = meta.putObject("format")
     fmt.put("provider", "parquet"); fmt.putObject("options")
     meta.put("schemaString", schema.json)
     val pc = meta.putArray("partitionColumns")
     partitionBy.foreach(pc.add)
-    meta.putObject("configuration")
+    val cfg = meta.putObject("configuration")
+    configuration.foreach { case (k, v) => cfg.put(k, v) }
     s"""{"metaData":${M.writeValueAsString(meta)}}"""
   }
 
@@ -1194,18 +1213,33 @@ object DeltaLake {
     schema.fields.exists(f => hasVariant(f.dataType))
   }
 
-  /** The protocol action a fresh table's schema requires: the basic
-    * (1, 2) protocol, or the table-features shape (minReaderVersion 3
-    * + the `variantType` reader feature) when the schema carries a
-    * VARIANT anywhere — what a real writer commits when the type is
-    * enabled.
+  /** The protocol action a fresh table's schema + properties require:
+    * the basic (1, 2) protocol; minWriterVersion 4 when Change Data
+    * Feed is enabled (its legacy home); the table-features shape
+    * (minReaderVersion 3) when the schema carries a VARIANT anywhere
+    * or in-commit timestamps are enabled — each declared behavior's
+    * feature listed, none silently dropped.
     */
-  private def protocolActionFor(schema: StructType): String =
-    if (schemaHasVariant(schema))
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["variantType"],""" +
-        """"writerFeatures":["variantType"]}}"""
+  private def protocolActionFor(schema: StructType,
+      properties: Map[String, String] = Map.empty): String = {
+    val cdf =
+      properties.get("delta.enableChangeDataFeed").contains("true")
+    val ict =
+      properties.get("delta.enableInCommitTimestamps").contains("true")
+    if (schemaHasVariant(schema) || ict) {
+      // variantType is reader+writer; inCommitTimestamp and
+      // changeDataFeed are writer-side features
+      val rf =
+        if (schemaHasVariant(schema)) Seq("variantType") else Seq.empty
+      val wf = rf ++
+        (if (ict) Seq("inCommitTimestamp") else Seq.empty) ++
+        (if (cdf) Seq("changeDataFeed") else Seq.empty)
+      DeltaProtocol(if (rf.nonEmpty) 3 else 1, 7, rf, wf).json
+    }
+    else if (cdf)
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
     else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+  }
 
   /** Write `df`'s data files under the table root (partition subdirs
     * preserved) and return their add actions with real stats — the
@@ -1666,9 +1700,9 @@ object DeltaLake {
     val dataSchema = StructType(
       st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
     val actions = mutable.Buffer.empty[String]
-    actions += ("""{"protocol":{"minReaderVersion":3,""" +
-      """"minWriterVersion":7,"readerFeatures":["deletionVectors"],""" +
-      """"writerFeatures":["deletionVectors"]}}""")
+    // UNION into the current protocol — a hardcoded features list
+    // would silently drop the table's other live features (variantType)
+    actions ++= protocolUnion(st.protocol, "deletionVectors")
     st.adds.foreach { a =>
       val abs = resolve(tableDir, a.path)
       val fileRows = st.partitionColumns.foldLeft(
@@ -1775,13 +1809,13 @@ object DeltaLake {
     val st = replay(spark, tableDir, Some(version))
     val root = new java.io.File(tableDir)
     val meta = CkMeta(
-      java.util.UUID.nameUUIDFromBytes(tableDir.getBytes("UTF-8")).toString,
+      st.tableId.getOrElse(java.util.UUID
+        .nameUUIDFromBytes(tableDir.getBytes("UTF-8")).toString),
       CkFormat("parquet"), st.schema.json, st.partitionColumns,
       st.configuration)
-    val proto =
-      if (st.adds.exists(_.dv.isDefined))
-        CkProtocol(3, 7, Some(Seq("deletionVectors")))
-      else CkProtocol(1, 2)
+    val proto = checkpointProtocol(st,
+      if (st.adds.exists(_.dv.isDefined)) Seq("deletionVectors")
+      else Seq.empty)
     val rows =
       CkRow(None, Some(meta), None) +:
       CkRow(None, None, Some(proto)) +:
@@ -1819,6 +1853,31 @@ object DeltaLake {
       s"""{"version":$version,"size":${rows.size}""" +
         (if (parts > 1) s""","parts":$parts}""" else "}"))
     ()
+  }
+
+  /** The protocol row a checkpoint writes: the TABLE's CURRENT
+    * protocol VERBATIM (a checkpoint is a fold of the log — fabricating
+    * a reduced protocol falsifies the state replay resumes from:
+    * writer gates then pass vacuously against an empty feature list
+    * and protocol upgrades rebuild from a lie, dropping live
+    * features), union'd with `extra` reader+writer features the
+    * checkpoint SHAPE itself requires (fixture convenience: a real
+    * writer upgrades the table first).
+    */
+  private def checkpointProtocol(st: LogState,
+      extra: Seq[String]): CkProtocol = {
+    val p = st.protocol
+    if (extra.isEmpty && p.minReader < 3 && p.minWriter < 7 &&
+        p.readerFeatures.isEmpty && p.writerFeatures.isEmpty)
+      CkProtocol(p.minReader, p.minWriter)
+    else {
+      val rf = ((if (p.minReader >= 3) p.readerFeatures
+        else if (p.minReader == 2) Seq("columnMapping")
+        else Seq.empty) ++ extra).distinct
+      val wf = ((if (p.minWriter >= 7) p.writerFeatures
+        else impliedWriterFeatures(p.minWriter)) ++ extra).distinct
+      CkProtocol(3, 7, Some(rf), Some(wf))
+    }
   }
 
   /** Write a SYNTHETIC checkpoint-only log of `nFiles` fabricated add
@@ -1903,25 +1962,26 @@ object DeltaLake {
     val uuid = java.util.UUID.nameUUIDFromBytes(
       s"$tableDir|v2|$version".getBytes("UTF-8")).toString
     val hasDv = st.adds.exists(_.dv.isDefined)
-    // readerFeatures may only appear with minReaderVersion 3 (the
-    // protocol's table-features rule) — always 3 here
-    val readerV = 3
-    val features = (if (hasDv) Seq("deletionVectors") else Seq.empty) :+
-      "v2Checkpoint"
+    // the table's own protocol + what the v2 shape requires
+    // (readerFeatures may only appear with minReaderVersion 3 — the
+    // checkpointProtocol union lands there whenever features exist)
+    val ckProto = checkpointProtocol(st,
+      (if (hasDv) Seq("deletionVectors") else Seq.empty) :+
+        "v2Checkpoint")
     if (jsonManifest) {
       val lines = mutable.Buffer.empty[String]
       lines += s"""{"checkpointMetadata":{"version":$version}}"""
       val proto = M.createObjectNode()
-      proto.put("minReaderVersion", readerV)
-      proto.put("minWriterVersion", 7)
+      proto.put("minReaderVersion", ckProto.minReaderVersion)
+      proto.put("minWriterVersion", ckProto.minWriterVersion)
       val rf = proto.putArray("readerFeatures")
-      features.foreach(rf.add)
+      ckProto.readerFeatures.toSeq.flatten.foreach(rf.add)
       val wf = proto.putArray("writerFeatures")
-      features.foreach(wf.add)
+      ckProto.writerFeatures.toSeq.flatten.foreach(wf.add)
       lines += s"""{"protocol":${M.writeValueAsString(proto)}}"""
       val meta = M.createObjectNode()
-      meta.put("id", java.util.UUID.nameUUIDFromBytes(
-        tableDir.getBytes("UTF-8")).toString)
+      meta.put("id", st.tableId.getOrElse(java.util.UUID
+        .nameUUIDFromBytes(tableDir.getBytes("UTF-8")).toString))
       val fmt = meta.putObject("format")
       fmt.put("provider", "parquet"); fmt.putObject("options")
       meta.put("schemaString", st.schema.json)
@@ -1944,11 +2004,10 @@ object DeltaLake {
     } else {
       val rows: Seq[CkV2Row] =
         CkV2Row(checkpointMetadata = Some(CkCpm(version))) +:
-        CkV2Row(protocol = Some(CkProtocol(readerV, 7,
-          Some(features)))) +:
+        CkV2Row(protocol = Some(ckProto)) +:
         CkV2Row(metaData = Some(CkMeta(
-          java.util.UUID.nameUUIDFromBytes(tableDir.getBytes("UTF-8"))
-            .toString,
+          st.tableId.getOrElse(java.util.UUID
+            .nameUUIDFromBytes(tableDir.getBytes("UTF-8")).toString),
           CkFormat("parquet"), st.schema.json, st.partitionColumns,
           st.configuration))) +:
         written.map(f => CkV2Row(sidecar =
@@ -2034,11 +2093,18 @@ object DeltaLake {
     *     overwrite carries each removed file's DV on its remove action)
     *   - columnMapping: listed so the gate doesn't fire first — the
     *     dedicated mappingMode guard refuses with the precise reason
+    *   - generatedColumns / identityColumns: vacuously honored the
+    *     same way — [[requireNoRowContracts]] refuses tables whose
+    *     SCHEMA actually declares them (the feature name alone is a
+    *     latent capability legacy writer versions imply; listing it
+    *     here also keeps [[protocolUnion]]'s carried-forward implied
+    *     features from bricking this writer's own next commit)
     */
   private val SupportedWriterFeatures = Set("appendOnly", "invariants",
     "checkConstraints", "deletionVectors", "v2Checkpoint", "variantType",
     "variantType-preview", "timestampNtz", "inCommitTimestamp",
-    "vacuumProtocolCheck", "changeDataFeed", "columnMapping")
+    "vacuumProtocolCheck", "changeDataFeed", "columnMapping",
+    "generatedColumns", "identityColumns")
 
   /** Writer features IMPLIED by a legacy `minWriterVersion` — when a
     * protocol upgrade moves a table to the table-features shape
@@ -2075,9 +2141,10 @@ object DeltaLake {
 
   /** Shared DML gates: column-mapped tables are refused (these writers
     * emit logical names), unknown writer features are refused (we'd
-    * violate their contracts), `delta.appendOnly` forbids any remove,
-    * and CDF-enabled tables are refused — the protocol requires DML
-    * writers to emit cdc files, which these writers do not yet.
+    * violate their contracts), `delta.appendOnly` forbids any remove.
+    * CDF-enabled tables are WRITTEN FOR, not refused: each DML commit
+    * carries its row-level diff as change files ([[cdcActions]], the
+    * protocol's contract for delta.enableChangeDataFeed).
     */
   private def requireWritable(st: LogState, path: String,
       op: String): Unit = {
@@ -2093,11 +2160,106 @@ object DeltaLake {
     require(!st.configuration.get("delta.appendOnly").contains("true"),
       s"DeltaLake.$op: $path is delta.appendOnly — row-level changes " +
         "remove files, which the table forbids")
-    require(!st.configuration.get("delta.enableChangeDataFeed")
-        .contains("true"),
-      s"DeltaLake.$op: $path has Change Data Feed enabled — the " +
-        "protocol requires DML commits to carry cdc files, which this " +
-        "writer does not emit (readers would mis-reconstruct the change)")
+  }
+
+  private def cdfEnabled(st: LogState): Boolean =
+    st.configuration.get("delta.enableChangeDataFeed").contains("true")
+
+  /** Land `rows` (table columns + `_change_type`) as CHANGE FILES
+    * under `_change_data/` — ONE distributed write through the table's
+    * partition layout — and return their `cdc` actions. The row-level
+    * diff a CDF-enabled table's DML commit must carry so
+    * [[changeFeed]]/[[changes]] read the change instead of
+    * reconstructing it from the rewrite pair.
+    */
+  private def cdcActions(spark: SparkSession, path: String,
+      st: LogState, rows: DataFrame, version: Long): Seq[String] = {
+    val root = new java.io.File(path)
+    val tmp = new java.io.File(root, s"_cdc_tmp_$version-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val w = rows.write.mode("overwrite")
+    (if (st.partitionColumns.nonEmpty)
+      w.partitionBy(st.partitionColumns: _*) else w)
+      .parquet(tmp.getAbsolutePath)
+    val moved = mutable.Buffer.empty[(String, Map[String, String])]
+    def walk(dir: java.io.File, pv: Map[String, String]): Unit =
+      Option(dir.listFiles()).toSeq.flatten.sortBy(_.getName).foreach { f =>
+        if (f.isDirectory && f.getName.contains("=")) {
+          val Array(k, v) = f.getName.split("=", 2)
+          walk(f, pv + (k -> percentDecode(v)))
+        } else if (f.getName.endsWith(".parquet")) {
+          val rel = ("_change_data" +: pv.map { case (k, v) =>
+            s"$k=$v" }.toSeq :+ s"cdc-$version-${f.getName}")
+            .mkString("/")
+          val dest = new java.io.File(root, rel)
+          dest.getParentFile.mkdirs()
+          java.nio.file.Files.move(f.toPath, dest.toPath)
+          moved += rel -> pv
+        }
+      }
+    walk(tmp, Map.empty)
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete(); ()
+    }
+    deleteRec(tmp)
+    moved.map { case (rel, pv) =>
+      val cdc = M.createObjectNode()
+      cdc.put("path", percentEncode(rel))
+      val pvNode = cdc.putObject("partitionValues")
+      pv.foreach { case (k, v) => pvNode.put(k, v) }
+      cdc.put("size", new java.io.File(root, rel).length())
+      cdc.put("dataChange", false)
+      s"""{"cdc":${M.writeValueAsString(cdc)}}"""
+    }.toSeq
+  }
+
+  /** The leading `commitInfo` action an IN-COMMIT-TIMESTAMPS table
+    * requires on EVERY commit after enablement (the authoritative
+    * timestamp lives in the commit, first action) — None when the
+    * table doesn't enable ICT. Every commit-producing writer path
+    * (write, DML, compact, the streaming sink) prepends this.
+    */
+  private def ictAction(conf: Map[String, String],
+      operation: String): Option[String] =
+    if (!conf.get("delta.enableInCommitTimestamps")
+        .contains("true")) None
+    else {
+      val ci = M.createObjectNode()
+      ci.put("inCommitTimestamp", System.currentTimeMillis())
+      ci.put("operation", operation)
+      Some(s"""{"commitInfo":${M.writeValueAsString(ci)}}""")
+    }
+
+  /** Ops that WRITE rows must refuse tables declaring row-level
+    * contracts this writer does not evaluate: CHECK constraints,
+    * column invariants, generated columns, identity columns — all
+    * LATENT under legacy writer versions (the feature list alone
+    * cannot gate them; activation lives in the configuration / field
+    * metadata, which is what production writers check). A pure DELETE
+    * never violates them (it only removes rows), so [[delete]] skips
+    * this.
+    */
+  private def requireNoRowContracts(st: LogState, path: String,
+      op: String): Unit = {
+    require(!st.configuration.keys.exists(
+        _.startsWith("delta.constraints.")),
+      s"DeltaLake.$op: $path declares CHECK constraints this writer " +
+        "does not evaluate — writing could violate them")
+    require(!st.schema.fields.exists(
+        _.metadata.contains("delta.invariants")),
+      s"DeltaLake.$op: $path declares column invariants this writer " +
+        "does not evaluate")
+    require(!st.schema.fields.exists(
+        _.metadata.contains("delta.generationExpression")),
+      s"DeltaLake.$op: $path declares GENERATED columns this writer " +
+        "does not compute — written rows would silently diverge from " +
+        "their generation expressions")
+    require(!st.schema.fields.exists(f => f.metadata.contains(
+        "delta.identity.start") || f.metadata.contains(
+        "delta.identity.step")),
+      s"DeltaLake.$op: $path declares IDENTITY columns this writer " +
+        "does not allocate")
   }
 
   /** `_metadata.file_path` back to the local absolute path the log
@@ -2143,7 +2305,8 @@ object DeltaLake {
     */
   def write(spark: SparkSession, path: String, df: DataFrame,
       mode: String = "append", partitionBy: Seq[String] = Seq.empty,
-      maxRetries: Int = 3): Long = {
+      maxRetries: Int = 3,
+      properties: Map[String, String] = Map.empty): Long = {
     require(mode == "append" || mode == "overwrite",
       s"DeltaLake.write: mode must be 'append' or 'overwrite', got '$mode'")
     new java.io.File(path).mkdirs()
@@ -2168,18 +2331,21 @@ object DeltaLake {
             s"DeltaLake.write: $path requires writer features " +
               s"$unsupported this writer does not implement — " +
               "committing anyway would violate the table's contract")
+          require(properties.isEmpty,
+            "DeltaLake.write: table properties are set at CREATION — " +
+              s"$path already exists (altering configuration is a " +
+              "metadata operation, not a write)")
           require(!s.configuration.get("delta.appendOnly").contains("true")
               || mode == "append",
             s"DeltaLake.write: $path is delta.appendOnly — " +
               "overwrite (which removes files) is forbidden")
-          require(!s.configuration.keys.exists(
-              _.startsWith("delta.constraints.")),
-            s"DeltaLake.write: $path declares CHECK constraints this " +
-              "writer does not evaluate — writing could violate them")
-          require(!s.schema.fields.exists(
-              _.metadata.contains("delta.invariants")),
-            s"DeltaLake.write: $path declares column invariants this " +
-              "writer does not evaluate")
+          require(mode == "append" || !cdfEnabled(s),
+            s"DeltaLake.write: $path has Change Data Feed enabled — a " +
+              "full-table overwrite's change files would be the entire " +
+              "old AND new content; delete+append explicitly if that " +
+              "diff is really wanted (appends synthesize inserts and " +
+              "need no change files)")
+          requireNoRowContracts(s, path, "write")
           val parts =
             if (partitionBy.isEmpty) s.partitionColumns else partitionBy
           require(s.partitionColumns == parts,
@@ -2231,28 +2397,30 @@ object DeltaLake {
         s"DeltaLake.write: table partitioning changed to " +
           s"(${parts.mkString(",")}) while this write (laid out as " +
           s"(${parts0.mkString(",")})) was in flight — re-run")
-      val versions = commitVersions(path) ++ checkpointVersions(path)
-      val next = if (versions.isEmpty) 0L else versions.max + 1
+      // the commit version is PINNED to the replayed state (never a
+      // fresh directory scan): the remove set / metaData / protocol
+      // actions were all computed from `st`, and a commit landing
+      // after the replay must collide at the hard-link and retry with
+      // fresh state — a scanned-later version number would let an
+      // overwrite silently build over the interloper
+      val next = st.map(_.version + 1).getOrElse(0L)
       val actions = mutable.Buffer.empty[String]
       st match {
         case None =>
-          actions += protocolActionFor(schemaOut)
-          actions += metaAction(path, schemaOut, parts)
+          // the enablement commit honors the properties it declares:
+          // an ICT table's FIRST commit already carries the timestamp
+          actions ++= ictAction(properties, "CREATE TABLE")
+          actions += protocolActionFor(schemaOut, properties)
+          actions += metaAction(path, schemaOut, parts, properties)
         case Some(s) =>
-          // ICT tables require the authoritative timestamp IN the
-          // commit, as its first action
-          if (s.configuration.get("delta.enableInCommitTimestamps")
-              .contains("true")) {
-            val ci = M.createObjectNode()
-            ci.put("inCommitTimestamp", System.currentTimeMillis())
-            ci.put("operation", if (mode == "append") "WRITE" else "OVERWRITE")
-            actions += s"""{"commitInfo":${M.writeValueAsString(ci)}}"""
-          }
+          actions ++= ictAction(s.configuration,
+            if (mode == "append") "WRITE" else "OVERWRITE")
           if (schemaHasVariant(schemaOut) &&
               !s.protocol.readerFeatures.contains("variantType-preview"))
             protocolUnion(s.protocol, "variantType").foreach(actions += _)
           if (s.schema.json != schemaOut.json)
-            actions += metaAction(path, schemaOut, parts)
+            actions += metaAction(path, schemaOut, parts,
+              s.configuration, s.tableId)
           if (mode == "overwrite") s.adds.foreach { a =>
             val rm = M.createObjectNode()
             rm.put("path", a.path)
@@ -2323,8 +2491,21 @@ object DeltaLake {
     if (perFile.isEmpty) return -1L
     val byAbs = st.adds.map(a =>
       new java.io.File(resolve(path, a.path)).getAbsolutePath -> a).toMap
+    val next = st.version + 1
     val actions = mutable.Buffer.empty[String]
+    actions ++= ictAction(st.configuration, "DELETE")
     protocolUnion(st.protocol, "deletionVectors").foreach(actions += _)
+    if (cdfEnabled(st)) {
+      // CDF: the commit carries the deleted ROWS as change files (a
+      // second pass over the HIT files only — the bitmap job carries
+      // indexes, not rows)
+      val hitAbs = perFile.map(t => metaPathToLocal(t._1)).toSet
+      val hits = st.adds.filter(a => hitAbs.contains(
+        new java.io.File(resolve(path, a.path)).getAbsolutePath))
+      actions ++= cdcActions(spark, path, st,
+        readFiles(spark, path, st, hits).filter(predicate)
+          .withColumn("_change_type", lit("delete")), next)
+    }
     perFile.sortBy(_._1).foreach { case (mp, bytes) =>
       val abs = metaPathToLocal(mp)
       val a = byAbs.getOrElse(abs, throw new IllegalStateException(
@@ -2353,7 +2534,6 @@ object DeltaLake {
       add.set[JsonNode]("deletionVector", dvJson(desc))
       actions += s"""{"add":${M.writeValueAsString(add)}}"""
     }
-    val next = st.version + 1
     writeCommitExclusive(path, next, actions.toSeq)
     next
   }
@@ -2383,6 +2563,7 @@ object DeltaLake {
     import org.apache.spark.sql.functions.when
     val st = replay(spark, path, None)
     requireWritable(st, path, "update")
+    requireNoRowContracts(st, path, "update")
     val dataCols =
       st.schema.fieldNames.toSeq.filterNot(st.partitionColumns.contains)
     require(set.nonEmpty, "DeltaLake.update: empty SET")
@@ -2392,8 +2573,8 @@ object DeltaLake {
         s"rewrite) — data columns: $dataCols")
     val hits = hitFiles(spark, path, st, predicate)
     if (hits.isEmpty) return -1L
-    val rewritten = readFiles(spark, path, st, hits)
-      .select(st.schema.fieldNames.toIndexedSeq.map { c =>
+    def applySet(df: DataFrame): DataFrame =
+      df.select(st.schema.fieldNames.toIndexedSeq.map { c =>
         set.get(c) match {
           case Some(e) =>
             when(predicate, e.cast(st.schema(c).dataType))
@@ -2401,7 +2582,18 @@ object DeltaLake {
           case None => col(c)
         }
       }: _*)
-    commitRewrite(spark, path, st, hits, rewritten)
+    val rewritten = applySet(readFiles(spark, path, st, hits))
+    val cdc =
+      if (!cdfEnabled(st)) Seq.empty
+      else {
+        val matched = readFiles(spark, path, st, hits).filter(predicate)
+        cdcActions(spark, path, st,
+          matched.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(applySet(matched)
+              .withColumn("_change_type", lit("update_postimage"))),
+          st.version + 1)
+      }
+    commitRewrite(spark, path, st, hits, rewritten, "UPDATE", cdc)
   }
 
   /** PUBLIC MERGE (upsert) — `MERGE INTO target USING source ON
@@ -2421,13 +2613,17 @@ object DeltaLake {
     * Scale shape: the match probe and the insert anti-join are
     * ordinary shuffled joins Catalyst plans (broadcast when `source`
     * is small); the rewrite reads ONLY the hit files and lands
-    * through the table's partition layout in one job.
+    * through the table's partition layout in one job. The probe and
+    * anti-join each scan the target once, but Catalyst column-prunes
+    * both to the key (+file metadata) columns — the two passes cost
+    * key-column I/O, not 2× full rows.
     */
   def merge(spark: SparkSession, path: String, source: DataFrame,
       keys: Seq[String], insertNotMatched: Boolean = true): Long = {
     import org.apache.spark.sql.functions.when
     val st = replay(spark, path, None)
     requireWritable(st, path, "merge")
+    requireNoRowContracts(st, path, "merge")
     require(keys.nonEmpty, "DeltaLake.merge: empty key list")
     require(keys.forall(st.schema.fieldNames.contains),
       s"DeltaLake.merge: keys $keys must be table columns")
@@ -2475,19 +2671,39 @@ object DeltaLake {
       val sRen = src.select(keys.map(col) ++
         nonKey.map(c => col(c).as(s"__s_$c")) :+
         lit(true).as("__m"): _*)
-      def rewritten = readFiles(spark, path, st, hits)
+      def joined = readFiles(spark, path, st, hits)
         .join(sRen, keys.toSeq, "left")
-        .select(st.schema.fieldNames.toIndexedSeq.map { c =>
+      def replaced(df: DataFrame) =
+        df.select(st.schema.fieldNames.toIndexedSeq.map { c =>
           if (keys.contains(c)) col(c)
           else when(col("__m").isNotNull, col(s"__s_$c"))
             .otherwise(col(c)).as(c)
         }: _*)
+      def rewritten = replaced(joined)
+      val insertRows =
+        inserts.select(st.schema.fieldNames.toIndexedSeq.map(col): _*)
       val insertAdds =
         if (inserts.isEmpty) Seq.empty
-        else addFileActions(spark, path,
-          inserts.select(st.schema.fieldNames.toIndexedSeq.map(col): _*),
+        else addFileActions(spark, path, insertRows,
           st.partitionColumns, st.version + 1)
-      commitRewrite(spark, path, st, hits, rewritten, insertAdds)
+      val cdc =
+        if (!cdfEnabled(st)) Seq.empty
+        else {
+          val origCols = st.schema.fieldNames.toIndexedSeq.map(col)
+          val matched =
+            if (hits.isEmpty) insertRows.limit(0)
+            else joined.filter(col("__m").isNotNull)
+          cdcActions(spark, path, st,
+            matched.select(origCols: _*)
+              .withColumn("_change_type", lit("update_preimage"))
+              .unionByName(replaced(matched)
+                .withColumn("_change_type", lit("update_postimage")))
+              .unionByName(insertRows
+                .withColumn("_change_type", lit("insert"))),
+            st.version + 1)
+        }
+      commitRewrite(spark, path, st, hits, rewritten, "MERGE",
+        insertAdds ++ cdc)
     } finally { src.unpersist(); () }
   }
 
@@ -2520,13 +2736,14 @@ object DeltaLake {
     */
   private def commitRewrite(spark: SparkSession, path: String,
       st: LogState, hits: Seq[AddFile], rewritten: => DataFrame,
-      extraAdds: Seq[String] = Seq.empty): Long = {
+      operation: String, extraAdds: Seq[String] = Seq.empty): Long = {
     val next = st.version + 1
     val adds =
       if (hits.isEmpty) Seq.empty
       else addFileActions(spark, path, rewritten,
         st.partitionColumns, next)
     val actions = mutable.Buffer.empty[String]
+    actions ++= ictAction(st.configuration, operation)
     hits.foreach { a =>
       val rm = M.createObjectNode()
       rm.put("path", a.path)
@@ -2658,6 +2875,7 @@ object DeltaLake {
         st.partitionColumns.contains(f.name))),
       written.flatMap(_._3.map(_._2.getAbsolutePath)))
     val actions = mutable.Buffer.empty[String]
+    actions ++= ictAction(st.configuration, "OPTIMIZE")
     written.foreach { case (pv, fs, rels) =>
       fs.foreach { a =>
         val r = M.createObjectNode()
@@ -2825,19 +3043,13 @@ object DeltaLake {
     require(st.mappingMode == "none",
       "stageShallowClone: column-mapped sources are not modeled")
     val actions = mutable.Buffer.empty[String]
-    actions += """{"protocol":{"minReaderVersion":3,""" +
-      """"minWriterVersion":7,"readerFeatures":["deletionVectors"],""" +
-      """"writerFeatures":["deletionVectors"]}}"""
-    val meta = M.createObjectNode()
-    meta.put("id", java.util.UUID.nameUUIDFromBytes(
-      cloneDir.getBytes("UTF-8")).toString)
-    val fmt = meta.putObject("format")
-    fmt.put("provider", "parquet"); fmt.putObject("options")
-    meta.put("schemaString", st.schema.json)
-    val pc = meta.putArray("partitionColumns")
-    st.partitionColumns.foreach(pc.add)
-    meta.putObject("configuration")
-    actions += s"""{"metaData":${M.writeValueAsString(meta)}}"""
+    // the clone's protocol = the SOURCE's, union'd with deletionVectors
+    // (relative DV descriptors re-anchor absolutely below) — a
+    // hardcoded list would drop e.g. variantType from a variant source
+    actions += protocolUnion(st.protocol, "deletionVectors")
+      .getOrElse(st.protocol.json)
+    actions += metaAction(cloneDir, st.schema, st.partitionColumns,
+      st.configuration)
     st.adds.foreach { a =>
       val add = M.createObjectNode()
       add.put("path", percentEncode(resolve(srcDir, a.path)))
@@ -2933,6 +3145,8 @@ object DeltaLake {
     val next = if (versions.isEmpty) 0L else versions.max + 1
     val actions = mutable.Buffer.empty[String]
     var emitMeta = next == 0L
+    var priorConf: Map[String, String] = Map.empty
+    var priorId: Option[String] = None
     if (next == 0L)
       actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     else {
@@ -2947,6 +3161,10 @@ object DeltaLake {
           s"writes (${partitionBy.mkString(",")}) — mixed layouts " +
           "break partition pruning")
       emitMeta = st.schema.json != df.schema.json
+      priorConf = st.configuration
+      priorId = st.tableId
+      actions ++= ictAction(st.configuration,
+        if (overwrite) "STREAMING OVERWRITE" else "STREAMING UPDATE")
       if (overwrite) st.adds.foreach { a =>
         val rm = M.createObjectNode()
         rm.put("path", a.path)
@@ -2956,7 +3174,8 @@ object DeltaLake {
       }
     }
     if (emitMeta)
-      actions += metaAction(tableDir, df.schema, partitionBy)
+      actions += metaAction(tableDir, df.schema, partitionBy,
+        priorConf, priorId)
     val txn = M.createObjectNode()
     txn.put("appId", appId)
     txn.put("version", batchVersion)
@@ -3011,7 +3230,8 @@ private[sources] case class CkMeta(id: String, format: CkFormat,
     schemaString: String, partitionColumns: Seq[String],
     configuration: Map[String, String] = Map.empty)
 private[sources] case class CkProtocol(minReaderVersion: Int,
-    minWriterVersion: Int, readerFeatures: Option[Seq[String]] = None)
+    minWriterVersion: Int, readerFeatures: Option[Seq[String]] = None,
+    writerFeatures: Option[Seq[String]] = None)
 private[sources] case class CkDv(storageType: String,
     pathOrInlineDv: String, offset: Option[Int], sizeInBytes: Int,
     cardinality: Long)

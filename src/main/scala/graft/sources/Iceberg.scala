@@ -1815,7 +1815,8 @@ object Iceberg {
   private[graft] def stageAppendWith(spark: SparkSession,
       tableDir: String, df: DataFrame, partitionBy: Seq[String],
       operation: String, summaryProps: Map[String, String],
-      exclusive: Boolean, replaceTable: Boolean): Long = {
+      exclusive: Boolean, replaceTable: Boolean,
+      expectBase: Option[Long] = None): Long = {
     import org.apache.spark.sql.functions.{col, datediff, floor, lit, month, pmod, substring, to_date, year}
     import IcebergTransforms._
     val root = new java.io.File(tableDir)
@@ -1899,7 +1900,8 @@ object Iceberg {
             dv = f.dvRef))
         }
     commitSnapshot(spark, tableDir, df.schema, partitionBy,
-      entries ++ removals, operation, summaryProps, exclusive)
+      entries ++ removals, operation, summaryProps, exclusive,
+      expectBase = expectBase)
   }
 
   /** Whether `tableDir` is an Iceberg table WITH a current snapshot —
@@ -1938,22 +1940,29 @@ object Iceberg {
       : Long = {
     require(mode == "append" || mode == "overwrite",
       s"Iceberg.write: mode must be 'append' or 'overwrite', got '$mode'")
-    val parts =
-      if (!hasSnapshot(tableDir)) partitionBy
-      else {
-        val cur = resolve(spark, tableDir, None)
-        val p = if (partitionBy.isEmpty) cur.specStrings else partitionBy
-        require(p == cur.specStrings,
+    val cur = if (hasSnapshot(tableDir))
+      Some(resolve(spark, tableDir, None)) else None
+    val parts = cur match {
+      case None => partitionBy
+      case Some(c) =>
+        val p = if (partitionBy.isEmpty) c.specStrings else partitionBy
+        require(p == c.specStrings,
           s"Iceberg.write: table is partitioned by " +
-            s"(${cur.specStrings.mkString(",")}) but the batch writes " +
+            s"(${c.specStrings.mkString(",")}) but the batch writes " +
             s"(${p.mkString(",")}) — mixed layouts break partition " +
             "pruning")
         p
-      }
+    }
     stageAppendWith(spark, tableDir, df, parts,
       if (mode == "overwrite") "overwrite" else "append", Map.empty,
       exclusive = true,
-      replaceTable = mode == "overwrite" && hasSnapshot(tableDir))
+      replaceTable = mode == "overwrite" && cur.isDefined,
+      // overwrite is rewrite-shaped: the removal set resolves from the
+      // state this call saw — a commit landing since must fail this
+      // write loudly (the version-shifted race the hard-link alone
+      // cannot catch), never survive a "replace"
+      expectBase = if (mode == "overwrite") cur.map(_.snapshotId)
+        else None)
   }
 
   /** PUBLIC ROW-LEVEL DELETE — the FORMAT-VERSION 3 deletion-vector

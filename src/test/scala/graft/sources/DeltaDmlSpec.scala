@@ -180,25 +180,115 @@ class DeltaDmlSpec extends AnyFunSuite with SparkFixture {
       (1L to 13L).filter(i => i % 3 == 1 || i == 13L).toSet)
   }
 
-  test("DML gates: CDF-enabled and appendOnly tables are refused " +
-      "loudly (this writer does not emit cdc; appendOnly forbids " +
-      "removes)") {
-    val dir = freshDir("gate")
+  private def stageConfTable(dir: String, configJson: String): Unit = {
     val schema = new org.apache.spark.sql.types.StructType()
       .add("id", org.apache.spark.sql.types.LongType)
       .add("v", org.apache.spark.sql.types.StringType)
     val ss = schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
     val meta = s"""{"metaData":{"id":"t","format":{"provider":"parquet",""" +
       s""""options":{}},"schemaString":"$ss","partitionColumns":[],""" +
-      s""""configuration":{"delta.enableChangeDataFeed":"true"}}}"""
+      s""""configuration":$configJson}}"""
     val ld = new java.io.File(dir, "_delta_log")
     ld.mkdirs()
     java.nio.file.Files.writeString(
       new java.io.File(ld, f"${0L}%020d.json").toPath,
       s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}\n$meta\n""")
-    val e = intercept[IllegalArgumentException] {
-      DeltaLake.delete(spark, dir, col("id") === 1L)
+    ()
+  }
+
+  test("DML gates: update/merge refuse declared CHECK constraints; a " +
+      "CDF overwrite is refused (full-table change files)") {
+    // update/merge write rows → declared constraints refuse; delete
+    // only removes rows, so it passes this gate by design
+    val d2 = freshDir("gatecons")
+    stageConfTable(d2, """{"delta.constraints.pos":"id > 0"}""")
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLake.update(spark, d2, col("id") === 1L, Map("v" -> lit("X")))
     }
-    assert(e.getMessage.contains("Change Data Feed"))
+    assert(e2.getMessage.contains("constraints"))
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaLake.merge(spark, d2, frame(1 to 2), Seq("id"))
+    }
+    assert(e3.getMessage.contains("constraints"))
+    val d3 = freshDir("gatecdfow")
+    DeltaLake.write(spark, d3, frame(1 to 3),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    val e4 = intercept[IllegalArgumentException] {
+      DeltaLake.write(spark, d3, frame(4 to 6), mode = "overwrite")
+    }
+    assert(e4.getMessage.contains("Change Data Feed"))
+  }
+
+  test("CDF-enabled tables: DML writes change files — delete, update " +
+      "(pre/post pair), and merge (pre/post + insert) all read back " +
+      "through the change feed delta-sized") {
+    import org.apache.spark.sql.functions.lit
+    val dir = freshDir("cdfdml")
+    DeltaLake.write(spark, dir, frame(1 to 20),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLake.delete(spark, dir, col("id") % 5 === 0)          // v1
+    DeltaLake.update(spark, dir, col("id") === 3L,             // v2
+      Map("v" -> lit("UPD")))
+    DeltaLake.merge(spark, dir,                                // v3
+      Seq((4L, "MRG"), (42L, "NEW")).toDF("id", "v"), Seq("id"))
+    // the table reads correctly through the final DVs + rewrites
+    val snap = DeltaLake.snapshot(spark, dir)
+    assert(ids(snap) == ((1L to 20L).filterNot(_ % 5 == 0).toSet + 42L))
+    // the FEED reconstructs every change from the cdc files alone
+    val feed = DeltaLake.changeFeed(spark, dir, afterVersion = 0L)
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expected =
+      (1L to 20L).filter(_ % 5 == 0).map(i => (i, "delete", 1L)).toSet ++
+      Set((3L, "update_preimage", 2L), (3L, "update_postimage", 2L),
+        (4L, "update_preimage", 3L), (4L, "update_postimage", 3L),
+        (42L, "insert", 3L))
+    assert(feed == expected, s"feed mismatch: $feed")
+    // the signed seam consumes the same commits via the change files
+    val ch = DeltaLake.changes(spark, dir, afterVersion = 0L)
+    assert(ids(ch.retracts) == (1L to 20L).filter(_ % 5 == 0).toSet
+      ++ Set(3L, 4L))
+    assert(ids(ch.inserts) == Set(3L, 4L, 42L))
+  }
+
+  test("ICT tables: every DML commit leads with " +
+      "commitInfo.inCommitTimestamp") {
+    val dir = freshDir("ictdml")
+    stageConfTable(dir, """{"delta.enableInCommitTimestamps":"true"}""")
+    DeltaLake.write(spark, dir, frame(1 to 10))
+    DeltaLake.delete(spark, dir, col("id") === 1L)
+    val firstLine = java.nio.file.Files.readAllLines(
+      new java.io.File(dir, "_delta_log/" + f"${2L}%020d.json").toPath)
+      .get(0)
+    assert(firstLine.contains("commitInfo") &&
+      firstLine.contains("inCommitTimestamp"), firstLine)
+    DeltaLake.update(spark, dir, col("id") === 2L, Map("v" -> lit("X")))
+    val updFirst = java.nio.file.Files.readAllLines(
+      new java.io.File(dir, "_delta_log/" + f"${3L}%020d.json").toPath)
+      .get(0)
+    assert(updFirst.contains("inCommitTimestamp"), updFirst)
+  }
+
+  test("a checkpoint carries the table's protocol VERBATIM: features " +
+      "survive a checkpoint-only resume and are not re-upgraded") {
+    val dir = freshDir("ckproto")
+    DeltaLake.write(spark, dir, frame(1 to 20))
+    DeltaLake.delete(spark, dir, col("id") % 5 === 0) // → (3,7) DV protocol
+    DeltaLake.stageCheckpoint(spark, dir, 1L)
+    // resume from the checkpoint alone: the subsumed commits go
+    assert(new java.io.File(dir, "_delta_log/" + f"${0L}%020d.json").delete())
+    assert(new java.io.File(dir, "_delta_log/" + f"${1L}%020d.json").delete())
+    assert(ids(DeltaLake.snapshot(spark, dir)) ==
+      (1L to 20L).filterNot(_ % 5 == 0).toSet,
+      "DV descriptors must survive the checkpoint")
+    // the replay-restored protocol already carries deletionVectors:
+    // a second delete must NOT emit another protocol action
+    DeltaLake.delete(spark, dir, col("id") === 1L)
+    val c2 = commitText(dir, 2L)
+    assert(!c2.contains("\"protocol\""),
+      s"protocol re-upgraded after checkpoint resume — the checkpoint " +
+        s"dropped features: $c2")
+    assert(ids(DeltaLake.snapshot(spark, dir)) ==
+      (2L to 20L).filterNot(_ % 5 == 0).toSet)
   }
 }

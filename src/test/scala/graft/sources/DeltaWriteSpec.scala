@@ -33,10 +33,11 @@ class DeltaWriteSpec extends AnyFunSuite with SparkFixture {
     * carry arbitrary protocol/configuration shapes no fixture emits.
     */
   private def stageBareTable(dir: String, protocolJson: String,
-      configJson: String): Unit = {
-    val schema = new org.apache.spark.sql.types.StructType()
-      .add("id", org.apache.spark.sql.types.LongType)
-      .add("v", org.apache.spark.sql.types.StringType)
+      configJson: String,
+      schema: org.apache.spark.sql.types.StructType =
+        new org.apache.spark.sql.types.StructType()
+          .add("id", org.apache.spark.sql.types.LongType)
+          .add("v", org.apache.spark.sql.types.StringType)): Unit = {
     val ss = schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
     val meta = s"""{"metaData":{"id":"t","format":{"provider":"parquet",""" +
       s""""options":{}},"schemaString":"$ss","partitionColumns":[],""" +
@@ -143,12 +144,12 @@ class DeltaWriteSpec extends AnyFunSuite with SparkFixture {
       "declared constraints are refused before any byte lands") {
     val d1 = freshDir("gate1")
     stageBareTable(d1, """{"protocol":{"minReaderVersion":1,""" +
-      """"minWriterVersion":7,"writerFeatures":["identityColumns"]}}""",
+      """"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
       "{}")
     val e1 = intercept[IllegalArgumentException] {
       DeltaLake.write(spark, d1, frame(1 to 3))
     }
-    assert(e1.getMessage.contains("identityColumns"))
+    assert(e1.getMessage.contains("rowTracking"))
 
     val d2 = freshDir("gate2")
     stageBareTable(d2,
@@ -168,6 +169,43 @@ class DeltaWriteSpec extends AnyFunSuite with SparkFixture {
       DeltaLake.write(spark, d3, frame(1 to 3))
     }
     assert(e3.getMessage.contains("constraints"))
+  }
+
+  test("schema evolution preserves the table's configuration and id — " +
+      "a metaData action replaces its predecessor wholesale") {
+    val dir = freshDir("metacarry")
+    stageBareTable(dir,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"delta.enableInCommitTimestamps":"true"}""")
+    DeltaLake.write(spark, dir, frame(1 to 3))
+    // evolving append: the fresh metaData must CARRY config + id "t"
+    DeltaLake.write(spark, dir,
+      Seq((4L, "v4", 1.5)).toDF("id", "v", "score"))
+    val evo = java.nio.file.Files.readString(new java.io.File(dir,
+      "_delta_log/" + f"${2L}%020d.json").toPath)
+    assert(evo.contains("delta.enableInCommitTimestamps"),
+      s"configuration silently dropped by evolution: $evo")
+    assert(evo.contains("\"id\":\"t\""),
+      s"table id silently re-keyed by evolution: $evo")
+  }
+
+  test("declared GENERATED columns are refused — this writer does not " +
+      "compute generation expressions") {
+    val dir = freshDir("gencol")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.StringType,
+        nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.generationExpression", "CAST(id AS STRING)")
+          .build())
+    stageBareTable(dir,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      "{}", schema)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.write(spark, dir, frame(1 to 3))
+    }
+    assert(e.getMessage.contains("GENERATED"))
   }
 
   test("an ICT table's commit leads with commitInfo.inCommitTimestamp") {
