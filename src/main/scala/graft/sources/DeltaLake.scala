@@ -1169,7 +1169,7 @@ object DeltaLake {
     if (emitMeta) actions += metaAction(tableDir, df.schema, partitionBy,
       prior.map(_.configuration).getOrElse(Map.empty),
       prior.flatMap(_.tableId))
-    actions ++= addFileActions(spark, tableDir, df, partitionBy, version)
+    actions ++= addFileActions(spark, tableDir, df, partitionBy)
     writeCommit(tableDir, version, actions.toSeq)
   }
 
@@ -1213,12 +1213,22 @@ object DeltaLake {
     schema.fields.exists(f => hasVariant(f.dataType))
   }
 
+  /** Creation properties whose protocol features this writer cannot
+    * set up end to end — the table they'd declare would violate the
+    * spec (the property requires its feature) or brick this writer's
+    * own reads (column mapping without physicalName metadata), so
+    * creation refuses them loudly.
+    */
+  private val UnmappableCreationProps = Set("delta.columnMapping.mode",
+    "delta.enableRowTracking", "delta.enableTypeWidening")
+
   /** The protocol action a fresh table's schema + properties require:
     * the basic (1, 2) protocol; minWriterVersion 4 when Change Data
-    * Feed is enabled (its legacy home); the table-features shape
-    * (minReaderVersion 3) when the schema carries a VARIANT anywhere
-    * or in-commit timestamps are enabled — each declared behavior's
-    * feature listed, none silently dropped.
+    * Feed is enabled (its legacy home); the table-features shape when
+    * the schema carries a VARIANT anywhere, in-commit timestamps are
+    * enabled, or deletion vectors are pre-enabled — each declared
+    * behavior's feature listed, none silently dropped (a property
+    * without its required feature violates the spec).
     */
   private def protocolActionFor(schema: StructType,
       properties: Map[String, String] = Map.empty): String = {
@@ -1226,11 +1236,15 @@ object DeltaLake {
       properties.get("delta.enableChangeDataFeed").contains("true")
     val ict =
       properties.get("delta.enableInCommitTimestamps").contains("true")
-    if (schemaHasVariant(schema) || ict) {
-      // variantType is reader+writer; inCommitTimestamp and
-      // changeDataFeed are writer-side features
+    val dv =
+      properties.get("delta.enableDeletionVectors").contains("true")
+    if (schemaHasVariant(schema) || ict || dv) {
+      // variantType/deletionVectors are reader+writer features;
+      // inCommitTimestamp and changeDataFeed are writer-side
       val rf =
-        if (schemaHasVariant(schema)) Seq("variantType") else Seq.empty
+        (if (schemaHasVariant(schema)) Seq("variantType")
+        else Seq.empty) ++
+          (if (dv) Seq("deletionVectors") else Seq.empty)
       val wf = rf ++
         (if (ict) Seq("inCommitTimestamp") else Seq.empty) ++
         (if (cdf) Seq("changeDataFeed") else Seq.empty)
@@ -1241,39 +1255,48 @@ object DeltaLake {
     else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
   }
 
-  /** Write `df`'s data files under the table root (partition subdirs
-    * preserved) and return their add actions with real stats — the
-    * shared file-landing half of [[stageCommit]] and
-    * [[stageMergeCommit]].
+  /** Write `df` through `partitionBy`'s layout into a unique scratch
+    * dir and MOVE the part files under the table root, returning
+    * (relPath, partitionValues, dest) per file — the ONE landing walk
+    * every writer path shares ([[addFileActions]], [[cdcActions]]).
+    * `prefix` path segments lead the destination (e.g. `_change_data`)
+    * and `rename` maps part-file names. Hive's null-partition sentinel
+    * dir decodes back to a NULL VALUE (recording the sentinel string
+    * as a real partition value silently corrupts partition-column
+    * reads — the log's JSON null is authoritative); the destination
+    * dir keeps the sentinel name, same as [[compact]].
     */
-  private def addFileActions(spark: SparkSession, tableDir: String,
-      df: DataFrame, partitionBy: Seq[String],
-      version: Long): Seq[String] = {
-    val root = new java.io.File(tableDir)
+  private def landFiles(df: DataFrame, root: java.io.File,
+      partitionBy: Seq[String], prefix: Seq[String] = Seq.empty,
+      rename: String => String = identity)
+      : Seq[(String, Map[String, String], java.io.File)] = {
     root.mkdirs()
     // per-attempt unique scratch dir: two writers racing to the same
     // version must not overwrite each other's staged files before the
     // exclusive commit decides the winner (the moved data files are
     // already UUID-unique part names)
-    val tmp = new java.io.File(root, s"_commit_tmp_$version-" +
+    val tmp = new java.io.File(root, "_land_tmp_" +
       java.util.UUID.randomUUID().toString.take(8))
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.getAbsolutePath)
-    // move data files up to the table root, keeping partition subdirs
-    val moved = mutable.Buffer.empty[(String, Map[String, String])]
+    val moved =
+      mutable.Buffer.empty[(String, Map[String, String], java.io.File)]
     def walk(dir: java.io.File, pv: Map[String, String]): Unit =
       Option(dir.listFiles()).toSeq.flatten.sortBy(_.getName).foreach { f =>
         if (f.isDirectory && f.getName.contains("=")) {
-          val Array(k, v) = f.getName.split("=", 2)
-          walk(f, pv + (k -> percentDecode(v)))
+          val Array(k, raw) = f.getName.split("=", 2)
+          val v = if (raw == "__HIVE_DEFAULT_PARTITION__") null
+            else percentDecode(raw)
+          walk(f, pv + (k -> v))
         } else if (f.getName.endsWith(".parquet")) {
-          val rel = (pv.map { case (k, v) => s"$k=$v" }.toSeq :+ f.getName)
-            .mkString("/")
+          val rel = (prefix ++ pv.map { case (k, v) =>
+            s"$k=${Option(v).getOrElse("__HIVE_DEFAULT_PARTITION__")}"
+          }.toSeq :+ rename(f.getName)).mkString("/")
           val dest = new java.io.File(root, rel)
           dest.getParentFile.mkdirs()
           java.nio.file.Files.move(f.toPath, dest.toPath)
-          moved += rel -> pv
+          moved += ((rel, pv, dest))
         }
       }
     walk(tmp, Map.empty)
@@ -1282,24 +1305,34 @@ object DeltaLake {
       f.delete(); ()
     }
     deleteRec(tmp)
+    moved.toSeq
+  }
 
+  /** Write `df`'s data files under the table root (partition subdirs
+    * preserved) and return their add actions with real stats — the
+    * shared file-landing half of [[stageCommit]] and
+    * [[stageMergeCommit]].
+    */
+  private def addFileActions(spark: SparkSession, tableDir: String,
+      df: DataFrame, partitionBy: Seq[String]): Seq[String] = {
+    val root = new java.io.File(tableDir)
+    val moved = landFiles(df, root, partitionBy)
     val statsByFile: Map[String, String] = fileStats(spark,
       StructType(df.schema.filterNot(f => partitionBy.contains(f.name))),
-      moved.map { case (rel, _) =>
-        new java.io.File(root, rel).getAbsolutePath }.toSeq)
-
-    moved.map { case (rel, pv) =>
+      moved.map(_._3.getAbsolutePath))
+    moved.map { case (rel, pv, f) =>
       val add = M.createObjectNode()
       add.put("path", percentEncode(rel))
       val pvNode = add.putObject("partitionValues")
-      pv.foreach { case (k, v) => pvNode.put(k, v) }
-      val f = new java.io.File(root, rel)
+      pv.foreach { case (k, v) =>
+        if (v == null) { pvNode.putNull(k); () } else { pvNode.put(k, v); () }
+      }
       add.put("size", f.length())
       add.put("modificationTime", f.lastModified())
       add.put("dataChange", true)
       statsByFile.get(f.getName).foreach(s => add.put("stats", s))
       s"""{"add":${M.writeValueAsString(add)}}"""
-    }.toSeq
+    }
   }
 
   /** Write `df` as commit `version` of a COLUMN-MAPPED Delta table
@@ -1344,8 +1377,7 @@ object DeltaLake {
     if (version == 0L)
       actions += mappedMetaAction(tableDir, df.schema, partitionBy, mapping,
         mode)
-    actions ++= addFileActions(spark, tableDir, physDf, physPartition,
-      version)
+    actions ++= addFileActions(spark, tableDir, physDf, physPartition)
     writeCommit(tableDir, version, actions.toSeq)
   }
 
@@ -1673,7 +1705,7 @@ object DeltaLake {
       }: _*)
     }
     val adds = addFileActions(spark, tableDir, insertDf,
-      st.partitionColumns, version)
+      st.partitionColumns)
     writeCommit(tableDir, version, rewrites ++ adds)
   }
 
@@ -1867,15 +1899,15 @@ object DeltaLake {
   private def checkpointProtocol(st: LogState,
       extra: Seq[String]): CkProtocol = {
     val p = st.protocol
-    if (extra.isEmpty && p.minReader < 3 && p.minWriter < 7 &&
-        p.readerFeatures.isEmpty && p.writerFeatures.isEmpty)
-      CkProtocol(p.minReader, p.minWriter)
+    // no extras → the table's protocol VERBATIM (bumping versions or
+    // feature lists here would lock out readers the live protocol
+    // admits); with extras, promote through the shared rules
+    if (extra.isEmpty)
+      CkProtocol(p.minReader, p.minWriter,
+        Some(p.readerFeatures).filter(_.nonEmpty),
+        Some(p.writerFeatures).filter(_.nonEmpty))
     else {
-      val rf = ((if (p.minReader >= 3) p.readerFeatures
-        else if (p.minReader == 2) Seq("columnMapping")
-        else Seq.empty) ++ extra).distinct
-      val wf = ((if (p.minWriter >= 7) p.writerFeatures
-        else impliedWriterFeatures(p.minWriter)) ++ extra).distinct
+      val (rf, wf) = promotedFeatures(p, extra)
       CkProtocol(3, 7, Some(rf), Some(wf))
     }
   }
@@ -2120,22 +2152,30 @@ object DeltaLake {
       6 -> Seq("identityColumns"))
       .filter(_._1 <= minWriter).flatMap(_._2)
 
+  /** The (readerFeatures, writerFeatures) of `p` PROMOTED to the
+    * table-features shape with `extras` added to both sides — legacy
+    * version-implied features made explicit (dropping them on upgrade
+    * would silently strip live behaviors). The ONE place the
+    * promotion rules live ([[protocolUnion]], [[checkpointProtocol]]).
+    */
+  private def promotedFeatures(p: DeltaProtocol,
+      extras: Seq[String]): (Seq[String], Seq[String]) = (
+    ((if (p.minReader >= 3) p.readerFeatures
+      else if (p.minReader == 2) Seq("columnMapping")
+      else Seq.empty) ++ extras).distinct,
+    ((if (p.minWriter >= 7) p.writerFeatures
+      else impliedWriterFeatures(p.minWriter)) ++ extras).distinct)
+
   /** The protocol action that UNIONs `feature` into the table's
     * current protocol — reader AND writer side — or None when the
     * feature is already live. Emitting a fresh protocol naming only
-    * the new feature would silently DROP the table's other features,
-    * and a legacy (pre-table-features) protocol must carry its
-    * version-implied features forward explicitly when upgraded.
+    * the new feature would silently DROP the table's other features.
     */
   private def protocolUnion(p: DeltaProtocol,
       feature: String): Option[String] =
     if (p.readerFeatures.contains(feature)) None
     else {
-      val rf = ((if (p.minReader >= 3) p.readerFeatures
-        else if (p.minReader == 2) Seq("columnMapping")
-        else Seq.empty) :+ feature).distinct
-      val wf = ((if (p.minWriter >= 7) p.writerFeatures
-        else impliedWriterFeatures(p.minWriter)) :+ feature).distinct
+      val (rf, wf) = promotedFeatures(p, Seq(feature))
       Some(DeltaProtocol(3, 7, rf, wf).json)
     }
 
@@ -2173,60 +2213,47 @@ object DeltaLake {
     * reconstructing it from the rewrite pair.
     */
   private def cdcActions(spark: SparkSession, path: String,
-      st: LogState, rows: DataFrame, version: Long): Seq[String] = {
-    val root = new java.io.File(path)
-    val tmp = new java.io.File(root, s"_cdc_tmp_$version-" +
-      java.util.UUID.randomUUID().toString.take(8))
-    val w = rows.write.mode("overwrite")
-    (if (st.partitionColumns.nonEmpty)
-      w.partitionBy(st.partitionColumns: _*) else w)
-      .parquet(tmp.getAbsolutePath)
-    val moved = mutable.Buffer.empty[(String, Map[String, String])]
-    def walk(dir: java.io.File, pv: Map[String, String]): Unit =
-      Option(dir.listFiles()).toSeq.flatten.sortBy(_.getName).foreach { f =>
-        if (f.isDirectory && f.getName.contains("=")) {
-          val Array(k, v) = f.getName.split("=", 2)
-          walk(f, pv + (k -> percentDecode(v)))
-        } else if (f.getName.endsWith(".parquet")) {
-          val rel = ("_change_data" +: pv.map { case (k, v) =>
-            s"$k=$v" }.toSeq :+ s"cdc-$version-${f.getName}")
-            .mkString("/")
-          val dest = new java.io.File(root, rel)
-          dest.getParentFile.mkdirs()
-          java.nio.file.Files.move(f.toPath, dest.toPath)
-          moved += rel -> pv
+      st: LogState, rows: DataFrame, version: Long): Seq[String] =
+    landFiles(rows, new java.io.File(path), st.partitionColumns,
+      prefix = Seq("_change_data"), rename = n => s"cdc-$version-$n")
+      .map { case (rel, pv, dest) =>
+        val cdc = M.createObjectNode()
+        cdc.put("path", percentEncode(rel))
+        val pvNode = cdc.putObject("partitionValues")
+        pv.foreach { case (k, v) =>
+          if (v == null) { pvNode.putNull(k); () }
+          else { pvNode.put(k, v); () }
         }
+        cdc.put("size", dest.length())
+        cdc.put("dataChange", false)
+        s"""{"cdc":${M.writeValueAsString(cdc)}}"""
       }
-    walk(tmp, Map.empty)
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-      f.delete(); ()
-    }
-    deleteRec(tmp)
-    moved.map { case (rel, pv) =>
-      val cdc = M.createObjectNode()
-      cdc.put("path", percentEncode(rel))
-      val pvNode = cdc.putObject("partitionValues")
-      pv.foreach { case (k, v) => pvNode.put(k, v) }
-      cdc.put("size", new java.io.File(root, rel).length())
-      cdc.put("dataChange", false)
-      s"""{"cdc":${M.writeValueAsString(cdc)}}"""
-    }.toSeq
-  }
 
   /** The leading `commitInfo` action an IN-COMMIT-TIMESTAMPS table
     * requires on EVERY commit after enablement (the authoritative
     * timestamp lives in the commit, first action) — None when the
     * table doesn't enable ICT. Every commit-producing writer path
-    * (write, DML, compact, the streaming sink) prepends this.
+    * (write, DML, compact, the streaming sink) prepends this. The
+    * timestamp is CLAMPED to strictly after the previous commit's ICT
+    * (the spec's monotonicity rule — raw clock reads tie within a
+    * millisecond or step backwards under NTP, and readers time-travel
+    * on these values).
     */
   private def ictAction(conf: Map[String, String],
-      operation: String): Option[String] =
+      operation: String, path: String): Option[String] =
     if (!conf.get("delta.enableInCommitTimestamps")
         .contains("true")) None
     else {
+      val prev = commitVersions(path).maxOption.flatMap { v =>
+        firstLine(new java.io.File(logDir(path), f"$v%020d.json"))
+          .map(M.readTree)
+          .flatMap(n => Option(n.get("commitInfo")))
+          .flatMap(ci => Option(ci.get("inCommitTimestamp")))
+          .filterNot(_.isNull).map(_.asLong)
+      }
       val ci = M.createObjectNode()
-      ci.put("inCommitTimestamp", System.currentTimeMillis())
+      ci.put("inCommitTimestamp", math.max(System.currentTimeMillis(),
+        prev.map(_ + 1).getOrElse(Long.MinValue)))
       ci.put("operation", operation)
       Some(s"""{"commitInfo":${M.writeValueAsString(ci)}}""")
     }
@@ -2309,6 +2336,13 @@ object DeltaLake {
       properties: Map[String, String] = Map.empty): Long = {
     require(mode == "append" || mode == "overwrite",
       s"DeltaLake.write: mode must be 'append' or 'overwrite', got '$mode'")
+    val unmappable = properties.keys.filter(k =>
+      UnmappableCreationProps.contains(k) ||
+        k.startsWith("delta.constraints."))
+    require(unmappable.isEmpty,
+      s"DeltaLake.write: creation properties ${unmappable.toSeq.sorted} " +
+        "require protocol features / write-side behaviors this writer " +
+        "does not implement — create the table with its native writer")
     new java.io.File(path).mkdirs()
 
     def stateOpt(): Option[LogState] =
@@ -2382,7 +2416,7 @@ object DeltaLake {
       if (df.schema.fieldNames.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
-    val adds = addFileActions(spark, path, aligned, parts0, 0L)
+    val adds = addFileActions(spark, path, aligned, parts0)
 
     var attempt = 0
     while (attempt <= maxRetries) {
@@ -2409,12 +2443,12 @@ object DeltaLake {
         case None =>
           // the enablement commit honors the properties it declares:
           // an ICT table's FIRST commit already carries the timestamp
-          actions ++= ictAction(properties, "CREATE TABLE")
+          actions ++= ictAction(properties, "CREATE TABLE", path)
           actions += protocolActionFor(schemaOut, properties)
           actions += metaAction(path, schemaOut, parts, properties)
         case Some(s) =>
           actions ++= ictAction(s.configuration,
-            if (mode == "append") "WRITE" else "OVERWRITE")
+            if (mode == "append") "WRITE" else "OVERWRITE", path)
           if (schemaHasVariant(schemaOut) &&
               !s.protocol.readerFeatures.contains("variantType-preview"))
             protocolUnion(s.protocol, "variantType").foreach(actions += _)
@@ -2493,7 +2527,7 @@ object DeltaLake {
       new java.io.File(resolve(path, a.path)).getAbsolutePath -> a).toMap
     val next = st.version + 1
     val actions = mutable.Buffer.empty[String]
-    actions ++= ictAction(st.configuration, "DELETE")
+    actions ++= ictAction(st.configuration, "DELETE", path)
     protocolUnion(st.protocol, "deletionVectors").foreach(actions += _)
     if (cdfEnabled(st)) {
       // CDF: the commit carries the deleted ROWS as change files (a
@@ -2586,12 +2620,16 @@ object DeltaLake {
     val cdc =
       if (!cdfEnabled(st)) Seq.empty
       else {
-        val matched = readFiles(spark, path, st, hits).filter(predicate)
-        cdcActions(spark, path, st,
+        // cached: pre + post image in one write job would otherwise
+        // scan the hit files twice
+        val matched = readFiles(spark, path, st, hits)
+          .filter(predicate).persist()
+        try cdcActions(spark, path, st,
           matched.withColumn("_change_type", lit("update_preimage"))
             .unionByName(applySet(matched)
               .withColumn("_change_type", lit("update_postimage"))),
           st.version + 1)
+        finally { matched.unpersist(); () }
       }
     commitRewrite(spark, path, st, hits, rewritten, "UPDATE", cdc)
   }
@@ -2685,22 +2723,32 @@ object DeltaLake {
       val insertAdds =
         if (inserts.isEmpty) Seq.empty
         else addFileActions(spark, path, insertRows,
-          st.partitionColumns, st.version + 1)
+          st.partitionColumns)
       val cdc =
         if (!cdfEnabled(st)) Seq.empty
         else {
-          val origCols = st.schema.fieldNames.toIndexedSeq.map(col)
-          val matched =
-            if (hits.isEmpty) insertRows.limit(0)
-            else joined.filter(col("__m").isNotNull)
-          cdcActions(spark, path, st,
-            matched.select(origCols: _*)
-              .withColumn("_change_type", lit("update_preimage"))
-              .unionByName(replaced(matched)
-                .withColumn("_change_type", lit("update_postimage")))
-              .unionByName(insertRows
-                .withColumn("_change_type", lit("insert"))),
-            st.version + 1)
+          val insCdc =
+            insertRows.withColumn("_change_type", lit("insert"))
+          if (hits.isEmpty)
+            // insert-only upsert: no matched rows exist and `joined`
+            // must not be constructed (no hit files to scan, and its
+            // __m/__s_* columns would be unresolvable)
+            cdcActions(spark, path, st, insCdc, st.version + 1)
+          else {
+            // cache the matched rows: the pre/post image pair would
+            // otherwise execute the hit-file scan + source join twice
+            // inside one write job
+            val origCols = st.schema.fieldNames.toIndexedSeq.map(col)
+            val matched = joined.filter(col("__m").isNotNull).persist()
+            try cdcActions(spark, path, st,
+              matched.select(origCols: _*)
+                .withColumn("_change_type", lit("update_preimage"))
+                .unionByName(replaced(matched)
+                  .withColumn("_change_type", lit("update_postimage")))
+                .unionByName(insCdc),
+              st.version + 1)
+            finally { matched.unpersist(); () }
+          }
         }
       commitRewrite(spark, path, st, hits, rewritten, "MERGE",
         insertAdds ++ cdc)
@@ -2741,9 +2789,9 @@ object DeltaLake {
     val adds =
       if (hits.isEmpty) Seq.empty
       else addFileActions(spark, path, rewritten,
-        st.partitionColumns, next)
+        st.partitionColumns)
     val actions = mutable.Buffer.empty[String]
-    actions ++= ictAction(st.configuration, operation)
+    actions ++= ictAction(st.configuration, operation, path)
     hits.foreach { a =>
       val rm = M.createObjectNode()
       rm.put("path", a.path)
@@ -2875,7 +2923,7 @@ object DeltaLake {
         st.partitionColumns.contains(f.name))),
       written.flatMap(_._3.map(_._2.getAbsolutePath)))
     val actions = mutable.Buffer.empty[String]
-    actions ++= ictAction(st.configuration, "OPTIMIZE")
+    actions ++= ictAction(st.configuration, "OPTIMIZE", path)
     written.foreach { case (pv, fs, rels) =>
       fs.foreach { a =>
         val r = M.createObjectNode()
@@ -3164,7 +3212,8 @@ object DeltaLake {
       priorConf = st.configuration
       priorId = st.tableId
       actions ++= ictAction(st.configuration,
-        if (overwrite) "STREAMING OVERWRITE" else "STREAMING UPDATE")
+        if (overwrite) "STREAMING OVERWRITE" else "STREAMING UPDATE",
+        tableDir)
       if (overwrite) st.adds.foreach { a =>
         val rm = M.createObjectNode()
         rm.put("path", a.path)
@@ -3181,7 +3230,7 @@ object DeltaLake {
     txn.put("version", batchVersion)
     txn.put("lastUpdated", System.currentTimeMillis())
     actions += s"""{"txn":${M.writeValueAsString(txn)}}"""
-    actions ++= addFileActions(spark, tableDir, df, partitionBy, next)
+    actions ++= addFileActions(spark, tableDir, df, partitionBy)
     writeCommitExclusive(tableDir, next, actions.toSeq)
     next
   }

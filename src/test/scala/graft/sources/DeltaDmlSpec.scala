@@ -269,6 +269,61 @@ class DeltaDmlSpec extends AnyFunSuite with SparkFixture {
     assert(updFirst.contains("inCommitTimestamp"), updFirst)
   }
 
+  test("insert-only merge on a CDF table commits insert change rows " +
+      "(no matched rows, no hit-file scan)") {
+    val dir = freshDir("cdfinsmrg")
+    DeltaLake.write(spark, dir, frame(1 to 5),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLake.merge(spark, dir,
+      Seq((100L, "A"), (101L, "B")).toDF("id", "v"), Seq("id"))
+    assert(ids(DeltaLake.snapshot(spark, dir)) ==
+      ((1L to 5L).toSet ++ Set(100L, 101L)))
+    val feed = DeltaLake.changeFeed(spark, dir, afterVersion = 0L)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set((100L, "insert"), (101L, "insert")), s"$feed")
+  }
+
+  test("null partition values round-trip: the write records JSON null " +
+      "(never the Hive sentinel string) and CDF change files agree") {
+    val dir = freshDir("nullpart")
+    val df = Seq((1L, "a", "x"), (2L, Option.empty[String].orNull, "y"),
+      (3L, "a", "z")).toDF("id", "p", "v")
+    DeltaLake.write(spark, dir, df, partitionBy = Seq("p"),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    val snap = DeltaLake.snapshot(spark, dir)
+    assert(snap.filter(col("p").isNull).count() == 1L,
+      "the null partition value must read back as NULL, not as the " +
+        "__HIVE_DEFAULT_PARTITION__ sentinel string")
+    assert(snap.filter(col("p") === "__HIVE_DEFAULT_PARTITION__")
+      .count() == 0L)
+    // a CDF delete touching the null partition keeps the null in its
+    // change rows too
+    DeltaLake.delete(spark, dir, col("id") === 2L)
+    val feed = DeltaLake.changeFeed(spark, dir, afterVersion = 0L)
+      .filter(col("_change_type") === "delete")
+    assert(feed.count() == 1L && feed.filter(col("p").isNull)
+      .count() == 1L)
+    assert(ids(DeltaLake.snapshot(spark, dir)) == Set(1L, 3L))
+  }
+
+  test("ICT timestamps are strictly monotonic across rapid commits") {
+    val dir = freshDir("ictmono")
+    stageConfTable(dir, """{"delta.enableInCommitTimestamps":"true"}""")
+    DeltaLake.write(spark, dir, frame(1 to 10))
+    DeltaLake.delete(spark, dir, col("id") === 1L)
+    DeltaLake.update(spark, dir, col("id") === 2L, Map("v" -> lit("X")))
+    val icts = (1L to 3L).map { v =>
+      val first = java.nio.file.Files.readAllLines(new java.io.File(dir,
+        "_delta_log/" + f"$v%020d.json").toPath).get(0)
+      val n = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+        .build().readTree(first)
+      n.get("commitInfo").get("inCommitTimestamp").asLong()
+    }
+    assert(icts == icts.sorted && icts.distinct.size == 3,
+      s"ICT must be strictly increasing: $icts")
+  }
+
   test("a checkpoint carries the table's protocol VERBATIM: features " +
       "survive a checkpoint-only resume and are not re-upgraded") {
     val dir = freshDir("ckproto")

@@ -208,6 +208,39 @@ class DeltaWriteSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("GENERATED"))
   }
 
+  test("creation properties: unmappable protocol-backed keys are " +
+      "refused; enableDeletionVectors pre-lists the feature so the " +
+      "first delete needs no upgrade; an ICT table's checkpoint keeps " +
+      "minReaderVersion 1 verbatim") {
+    val d1 = freshDir("prop1")
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.write(spark, d1, frame(1 to 3),
+        properties = Map("delta.columnMapping.mode" -> "name"))
+    }
+    assert(e.getMessage.contains("columnMapping"))
+    val d2 = freshDir("prop2")
+    DeltaLake.write(spark, d2, frame(1 to 10),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    DeltaLake.delete(spark, d2, col("id") === 1L)
+    val c1 = java.nio.file.Files.readString(new java.io.File(d2,
+      "_delta_log/" + f"${1L}%020d.json").toPath)
+    assert(!c1.contains("\"protocol\""),
+      s"the feature was pre-listed at creation — no upgrade needed: $c1")
+    assert(ids(DeltaLake.snapshot(spark, d2)) == (2L to 10L).toSet)
+    // checkpoint VERBATIM on a (1,7) ICT protocol: minReader stays 1
+    val d3 = freshDir("prop3")
+    DeltaLake.write(spark, d3, frame(1 to 5),
+      properties = Map("delta.enableInCommitTimestamps" -> "true"))
+    DeltaLake.stageCheckpoint(spark, d3, 0L)
+    val ck = spark.read.parquet(
+      d3 + "/_delta_log/" + f"${0L}%020d.checkpoint.parquet")
+    val proto = ck.filter(col("protocol").isNotNull)
+      .select("protocol.minReaderVersion").collect().head.getInt(0)
+    assert(proto == 1,
+      "a checkpoint must not bump minReaderVersion past the live protocol")
+    assert(ids(DeltaLake.snapshot(spark, d3)) == (1L to 5L).toSet)
+  }
+
   test("an ICT table's commit leads with commitInfo.inCommitTimestamp") {
     val dir = freshDir("ict")
     stageBareTable(dir,
