@@ -3076,7 +3076,29 @@ object Queries {
              |    AS total
              |FROM f
              |GROUP BY change_type
-             |ORDER BY change_type""".stripMargin))
+             |ORDER BY change_type""".stripMargin)),
+
+    // ICEBERG ZORDER (r12): rewrite_data_files' sort-strategy
+    // clustering on the second format — the same interleaved-bit
+    // Z-value codec, committed as a replace snapshot with fresh
+    // manifest bounds per Z-range file. Hash-identity vs the plain
+    // oracle pins content; the pruning win is pinned in ZOrderSpec.
+    QueryDef("iceberg_zorder",
+      (s, d) => graft.sources.Iceberg
+        .snapshot(s, icebergOrdersZordered(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 
   /** The staged two-commit Delta table the `deltalake_*` queries read:
@@ -3287,6 +3309,29 @@ object Queries {
         walk(new java.io.File(p))
       }
       graft.sources.DeltaLake.compact(s, p,
+        targetFileBytes = math.max(1L, bytes / 8),
+        zorderBy = Seq("o_custkey", "o_totalprice"))
+      ()
+    }
+
+  /** The Z-ORDERED Iceberg table — the `iceberg_zorder` fixture: the
+    * second format's twin of [[deltaLakeOrdersZordered]].
+    */
+  private[graft] def icebergOrdersZordered(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_zord_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      graft.sources.Iceberg.write(s, p, t(s, d, "orders"),
+        partitionBy = Seq("o_orderpriority"))
+      val bytes = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory)
+            Option(f.listFiles()).toSeq.flatten.map(walk).sum
+          else if (f.getName.endsWith(".parquet")) f.length()
+          else 0L
+        walk(new java.io.File(p, "data"))
+      }
+      graft.sources.Iceberg.rewriteDataFiles(s, p,
         targetFileBytes = math.max(1L, bytes / 8),
         zorderBy = Seq("o_custkey", "o_totalprice"))
       ()

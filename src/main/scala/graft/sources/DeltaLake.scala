@@ -2964,7 +2964,7 @@ object DeltaLake {
     * inside whole-stage codegen, no UDF. Nulls and constant columns
     * bucket to 0 (they cannot cluster, only order stably).
     */
-  private def zValueColumn(bounds: DataFrame, cols: Seq[String],
+  private[sources] def zValueColumn(bounds: DataFrame, cols: Seq[String],
       schema: StructType): DataFrame => org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{coalesce, greatest, least, max,
       min, shiftleft, shiftright, unix_date, unix_micros}

@@ -2344,23 +2344,63 @@ object Iceberg {
     * Returns the new snapshot id, or -1 when nothing needed
     * compacting. Superseded files stay on disk until
     * [[expireSnapshots]].
+    *
+    * `zorderBy` switches to Z-ORDER clustering (the
+    * `rewrite_data_files(strategy => 'sort', sort_order => 'zorder...')`
+    * shape): EVERY live file rewrites, rows range-partitioned + sorted
+    * by the interleaved-bit Z-value ([[DeltaLake.zValueColumn]] — the
+    * codec is format-independent Column arithmetic) into
+    * ceil(partitionBytes / targetFileBytes) files, each then covering
+    * a tight manifest-bounds box on ALL Z columns so bounds skipping
+    * prunes on any of them. Numeric/date/timestamp, ≤ 4 columns.
     */
   def rewriteDataFiles(spark: SparkSession, tableDir: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Seq.empty): Long = {
     import org.apache.spark.sql.functions.col
     val cur = resolve(spark, tableDir, None)
-    val groups = cur.files.groupBy(_.partitionValues).toSeq
-      .map { case (pv, fs) =>
-        pv -> fs.filter(_.size.exists(_ < targetFileBytes))
-      }
-      .filter(_._2.size >= 2)
-      .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
-    if (groups.isEmpty) return -1L
-    val root = new java.io.File(tableDir)
+    val zorder = zorderBy.nonEmpty
     val identitySources = cur.transforms
       .filter(_.transform == IcebergTransforms.Identity).map(_.sourceName)
     val dataSchema = StructType(
       cur.schema.filterNot(f => identitySources.contains(f.name)))
+    if (zorder) {
+      require(zorderBy.size <= 4,
+        "rewriteDataFiles: at most 4 Z-order columns (16 bits each in " +
+          "a 64-bit Z-value)")
+      require(zorderBy.forall(dataSchema.fieldNames.contains),
+        s"rewriteDataFiles: Z-order columns $zorderBy must be data " +
+          "columns (identity partition sources already cluster by " +
+          s"directory) — data columns: ${dataSchema.fieldNames.toSeq}")
+      zorderBy.foreach { c =>
+        cur.schema(c).dataType match {
+          case _: org.apache.spark.sql.types.NumericType => ()
+          case org.apache.spark.sql.types.DateType => ()
+          case org.apache.spark.sql.types.TimestampType => ()
+          case org.apache.spark.sql.types.TimestampNTZType => ()
+          case dt => throw new IllegalArgumentException(
+            s"rewriteDataFiles: Z-order on ${dt.simpleString} column " +
+              s"'$c' is not supported — linear bucket normalization " +
+              "needs an ordered numeric domain")
+        }
+      }
+    }
+    // Z-ORDER rewrites EVERY live file (clustering, not packing);
+    // plain compaction keeps the bin-packing shape
+    val groups = cur.files.groupBy(_.partitionValues).toSeq
+      .map { case (pv, fs) =>
+        pv -> (if (zorder) fs
+               else fs.filter(_.size.exists(_ < targetFileBytes)))
+      }
+      .filter(_._2.size >= (if (zorder) 1 else 2))
+      .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+    if (groups.isEmpty) return -1L
+    val root = new java.io.File(tableDir)
+    val zOf: Option[DataFrame => org.apache.spark.sql.Column] =
+      if (!zorder) None
+      else Some(DeltaLake.zValueColumn(
+        scanOf(spark, tableDir, cur.copy(files = groups.flatMap(_._2))),
+        zorderBy, cur.schema))
     // the NEW entries' partition records decode under the CURRENT
     // (default) spec — a spec-evolved table's old-spec files carry
     // field names the current partition record lacks, and writing
@@ -2379,26 +2419,37 @@ object Iceberg {
       val rows = scanOf(spark, tableDir,
           cur.copy(files = fs))
         .select(dataSchema.fieldNames.toIndexedSeq.map(col): _*)
+      val out = zOf match {
+        case None => rows.coalesce(1)
+        case Some(z) =>
+          val n = math.max(1, math.ceil(fs.flatMap(_.size).sum.toDouble
+            / targetFileBytes).toInt)
+          rows.repartitionByRange(n, z(rows)).sortWithinPartitions(z(rows))
+      }
       val tmp = new java.io.File(root, "_ice_rw_tmp_" +
         java.util.UUID.randomUUID().toString.take(8))
-      rows.coalesce(1).write.mode("overwrite")
-        .parquet(tmp.getAbsolutePath)
-      val part = Option(tmp.listFiles()).toSeq.flatten
-        .filter(_.getName.endsWith(".parquet")).head
-      val rel = s"data/rw-${part.getName}"
-      val dest = new java.io.File(root, rel)
-      dest.getParentFile.mkdirs()
-      java.nio.file.Files.move(part.toPath, dest.toPath)
+      out.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val rels = Option(tmp.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map { part =>
+          val rel = s"data/rw-${part.getName}"
+          val dest = new java.io.File(root, rel)
+          dest.getParentFile.mkdirs()
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          (rel, dest)
+        }
       Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
-      (pv.view.filterKeys(specFieldNames).toMap, fs, rel, dest)
+      (pv.view.filterKeys(specFieldNames).toMap, fs, rels)
     }
     val stats = fileStatsOf(spark, dataSchema,
-      written.map(_._4.getAbsolutePath))
+      written.flatMap(_._3.map(_._2.getAbsolutePath)))
     val entries = mutable.Buffer.empty[Entry]
-    written.foreach { case (pv, fs, rel, dest) =>
-      val (n, perCol) = stats.getOrElse(dest.getName,
-        (0L, Map.empty[String, (Any, Any)]))
-      entries += Entry(1, rel, dest.length(), pv, n, perCol)
+    written.foreach { case (pv, fs, rels) =>
+      rels.foreach { case (rel, dest) =>
+        val (n, perCol) = stats.getOrElse(dest.getName,
+          (0L, Map.empty[String, (Any, Any)]))
+        entries += Entry(1, rel, dest.length(), pv, n, perCol)
+      }
       fs.foreach(f => entries +=
         Entry(2, f.path, f.size.getOrElse(0L), Map.empty, 0L, Map.empty))
     }

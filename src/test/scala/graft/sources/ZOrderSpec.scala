@@ -88,6 +88,51 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
       s"x-slice must prune: planned $xPlan of $total")
   }
 
+  test("iceberg zorder: rewrite_data_files clusters the same way — " +
+      "identical content, bounds skipping prunes on either column") {
+    val dir = freshDir("icegrid")
+    val grid = (0 until 65536)
+      .map(i => (i.toLong % 256, i.toLong / 256)).toDF("x", "y")
+    (0 until 4).foreach { k =>
+      Iceberg.stageAppend(spark, dir,
+        grid.filter(col("x") % 4 === k).coalesce(1), Seq.empty)
+    }
+    val checksum = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(org.apache.spark.sql.functions
+        .sum(col("x") * 100000L + col("y"))).head().getLong(0)
+    val before = checksum(Iceberg.snapshot(spark, dir))
+    val pre = plannedFiles(
+      Iceberg.snapshot(spark, dir).filter(col("y").between(10L, 20L)))
+    assert(pre == 4L, "pre-zorder every file must plan")
+    def dataBytes: Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten
+          .map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(dir, "data"))
+    }
+    val v = Iceberg.rewriteDataFiles(spark, dir,
+      targetFileBytes = math.max(1L, dataBytes / 16),
+      zorderBy = Seq("x", "y"))
+    assert(v >= 0L)
+    val total = Iceberg.metaTable(spark, dir, "files").count()
+    assert(total >= 8, s"expected a multi-file clustered layout: $total")
+    assert(checksum(Iceberg.snapshot(spark, dir)) == before)
+    assert(Iceberg.snapshot(spark, dir).count() == 65536L)
+    val yPlan = plannedFiles(
+      Iceberg.snapshot(spark, dir).filter(col("y").between(10L, 20L)))
+    val xPlan = plannedFiles(
+      Iceberg.snapshot(spark, dir).filter(col("x").between(10L, 20L)))
+    assert(yPlan <= total / 2, s"y-slice must prune: $yPlan of $total")
+    assert(xPlan <= total / 2, s"x-slice must prune: $xPlan of $total")
+    // guards: string column / >4 columns refused
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.rewriteDataFiles(spark, dir,
+        zorderBy = Seq("x", "y", "x", "y", "x"))
+    }
+    assert(e.getMessage.contains("at most 4"))
+  }
+
   test("zorder guards: strings, partition columns, and >4 columns are " +
       "refused; a partitioned table clusters within partitions") {
     val dir = freshDir("guards")
