@@ -74,6 +74,42 @@ object LakeReaderProbe {
     println(f"delta stats skip (1%% key range on clustered layout)  " +
       f"planned $kept%3d of $total%d files")
 
+    // PUBLIC DML locality at table scale: on a fresh 200-file
+    // range-clustered table, a 1% key-range DV DELETE must stamp DVs
+    // on only the intersecting files (the stats-pruned candidates
+    // bound the matching job — at 100 TB the delete's scan is the key
+    // range's files, never the table), and a single-key UPDATE must
+    // rewrite exactly one file. Fresh temp dir: public DML mutates the
+    // table, so a shared staging slot would drift run to run.
+    {
+      val dml = java.nio.file.Files
+        .createTempDirectory("graft_probe_dml").toFile.getAbsolutePath
+      dl.write(spark, dml,
+        ord.repartitionByRange(200, col("o_orderkey")))
+      val dTotal = dl.snapshot(spark, dml).inputFiles.length
+      val tDel = ms(dl.delete(spark, dml,
+        col("o_orderkey") >= lo && col("o_orderkey") < hi))
+      val c1 = java.nio.file.Files.readString(new java.io.File(dml,
+        "_delta_log/" + f"${1L}%020d.json").toPath)
+      val dvHit = c1.linesIterator.count(_.contains("\"add\""))
+      println(f"delta PUBLIC DV delete (1%% key range)  DVs on " +
+        f"$dvHit%3d of $dTotal%d files   $tDel%7.1f ms")
+      // an EXISTING key OUTSIDE the just-deleted range (TPC-H orderkeys
+      // are sparse, and a key in [lo, hi) is now DV-dead)
+      val oneKey = ord.filter(col("o_orderkey") >= hi)
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      val tUpd = ms(dl.update(spark, dml, col("o_orderkey") === oneKey,
+        Map("o_orderstatus" -> lit("P"))))
+      val c2 = java.nio.file.Files.readString(new java.io.File(dml,
+        "_delta_log/" + f"${2L}%020d.json").toPath)
+      val rewrites = c2.linesIterator.count(_.contains("\"remove\""))
+      println(f"delta PUBLIC COW update (1 key)  rewrote $rewrites%d of " +
+        f"$dTotal%d files   $tUpd%7.1f ms")
+      require(dvHit <= kept && rewrites == 1,
+        s"public DML lost locality: dvHit=$dvHit (stats-kept $kept), " +
+          s"rewrites=$rewrites")
+    }
+
     // delete-aware maintenance cycle at table scale: a DELETE hitting 2
     // of the 100 partitions lands on the 1k-file table; the group-scoped
     // splice must (a) read only the window's changed files for the
