@@ -3098,6 +3098,54 @@ object Queries {
              |  COUNT(DISTINCT o_custkey) AS n_cust
              |FROM orders
              |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // RESTORE (r12): the time-travel WRITE — one commit resets the
+    // table to a prior version (removes ∪ re-adds by file-version
+    // identity, original stats and DVs carried). The fixture deletes a
+    // quarter of the customers then restores past it: the final read
+    // must be hash-identical to the ORIGINAL content (a restore that
+    // missed a re-add, resurrected the DV, or lost survivor files
+    // shifts groups), while the deleted state stays time-travel
+    // readable (spec-pinned).
+    QueryDef("deltalake_restore",
+      (s, d) => graft.sources.DeltaLake
+        .snapshot(s, deltaLakeOrdersRestored(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ICEBERG ROLLBACK (r12): the metadata-only time-travel write
+    // (`rollback_to_snapshot`) — current-snapshot-id and the main ref
+    // move back; nothing else changes. The fixture appends both
+    // halves, DV-deletes a third of the customers, then rolls back
+    // past the delete: the read must equal the full pre-delete
+    // content.
+    QueryDef("iceberg_rollback",
+      (s, d) => graft.sources.Iceberg
+        .snapshot(s, icebergOrdersRolledBack(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin))
   )
 
@@ -3311,6 +3359,39 @@ object Queries {
       graft.sources.DeltaLake.compact(s, p,
         targetFileBytes = math.max(1L, bytes / 8),
         zorderBy = Seq("o_custkey", "o_totalprice"))
+      ()
+    }
+
+  /** The RESTORED Delta table — the `deltalake_restore` fixture:
+    * public write, a DV delete of a quarter of the customers, then
+    * RESTORE to version 0 (content = the original orders).
+    */
+  private[graft] def deltaLakeOrdersRestored(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_rest_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      graft.sources.DeltaLake.write(s, p, t(s, d, "orders"),
+        partitionBy = Seq("o_orderpriority"))
+      graft.sources.DeltaLake.delete(s, p, col("o_custkey") % 4 === 0)
+      graft.sources.DeltaLake.restore(s, p, 0L)
+      ()
+    }
+
+  /** The ROLLED-BACK Iceberg table — the `iceberg_rollback` fixture:
+    * two public appends, a DV delete, then rollback to the
+    * pre-delete snapshot.
+    */
+  private[graft] def icebergOrdersRolledBack(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_rb_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      graft.sources.Iceberg.write(s, p,
+        ord.filter(col("o_custkey") % 2 === 0))
+      val s2 = graft.sources.Iceberg.write(s, p,
+        ord.filter(col("o_custkey") % 2 =!= 0))
+      graft.sources.Iceberg.delete(s, p, col("o_custkey") % 3 === 0)
+      graft.sources.Iceberg.rollback(s, p, s2)
       ()
     }
 

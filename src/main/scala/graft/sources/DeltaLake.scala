@@ -2755,6 +2755,91 @@ object DeltaLake {
     } finally { src.unpersist(); () }
   }
 
+  /** RESTORE — reset the table's content to `version` (the `RESTORE
+    * TABLE t TO VERSION AS OF n` command) as ONE new commit: removes
+    * for every file version live now but not then, adds (with their
+    * original stats and deletion vectors) for every file version live
+    * then but not now, all `dataChange=true` — under the signed
+    * algebra the window nets to exactly the rows that left and
+    * returned, and [[changes]]' remove→re-add handling already
+    * attributes it. When the restored version's schema differs, its
+    * metaData (schema + partitioning + configuration) is restored
+    * with it. History is preserved: the restore is a NEW version on
+    * top, so the undone versions stay time-travel readable.
+    *
+    * Guards: every re-added file must still exist on disk (a restore
+    * past a VACUUM horizon would commit a table that fails at read —
+    * refused loudly up front, the delta-spark behavior); appendOnly
+    * tables refuse (removes); CDF-enabled tables refuse (a restore
+    * commit carries no change files, so the feed could not
+    * reconstruct it — the same loud contract as overwrite). Returns
+    * the new version, or -1 when the file sets already match. Pinned
+    * version + exclusive commit.
+    */
+  def restore(spark: SparkSession, path: String, version: Long): Long = {
+    val st = replay(spark, path, None)
+    requireWritable(st, path, "restore")
+    require(!cdfEnabled(st),
+      s"DeltaLake.restore: $path has Change Data Feed enabled — a " +
+        "restore commit carries no change files, so the feed could " +
+        "not reconstruct it")
+    require(version <= st.version,
+      s"DeltaLake.restore: version $version is ahead of the table " +
+        s"(current ${st.version})")
+    val target = replay(spark, path, Some(version))
+    val nowIds = st.adds.map(_.identity).toSet
+    val thenIds = target.adds.map(_.identity).toSet
+    val removes = st.adds.filterNot(a => thenIds.contains(a.identity))
+    val readds = target.adds.filterNot(a => nowIds.contains(a.identity))
+    if (removes.isEmpty && readds.isEmpty &&
+        st.schema.json == target.schema.json) return -1L
+    readds.foreach { a =>
+      val f = new java.io.File(resolve(path, a.path))
+      require(f.exists(),
+        s"DeltaLake.restore: data file ${a.path} of version $version " +
+          "is gone (vacuumed past the restore target) — restoring " +
+          "would commit a table that fails at read")
+      a.dv.filter(_.storageType == "u").foreach { d =>
+        require(DeletionVectors.sidecarFile(path, d.pathOrInlineDv)
+            .exists(),
+          s"DeltaLake.restore: deletion vector of ${a.path} at " +
+            s"version $version is gone (vacuumed) — refusing")
+      }
+    }
+    val actions = mutable.Buffer.empty[String]
+    actions ++= ictAction(st.configuration, "RESTORE", path)
+    if (st.schema.json != target.schema.json ||
+        st.partitionColumns != target.partitionColumns ||
+        st.configuration != target.configuration)
+      actions += metaAction(path, target.schema, target.partitionColumns,
+        target.configuration, target.tableId.orElse(st.tableId))
+    removes.foreach { a =>
+      val rm = M.createObjectNode()
+      rm.put("path", a.path)
+      rm.put("deletionTimestamp", System.currentTimeMillis())
+      rm.put("dataChange", true)
+      a.dv.foreach(d => rm.set[JsonNode]("deletionVector", dvJson(d)))
+      actions += s"""{"remove":${M.writeValueAsString(rm)}}"""
+    }
+    readds.foreach { a =>
+      val add = M.createObjectNode()
+      add.put("path", a.path)
+      val pvNode = add.putObject("partitionValues")
+      a.partitionValues.foreach { case (k, v) =>
+        if (v == null) { pvNode.putNull(k); () } else { pvNode.put(k, v); () }
+      }
+      a.size.foreach(s => add.put("size", s))
+      add.put("modificationTime", a.modificationTime)
+      add.put("dataChange", true)
+      a.stats.foreach(s => add.put("stats", s))
+      a.dv.foreach(d => add.set[JsonNode]("deletionVector", dvJson(d)))
+      actions += s"""{"add":${M.writeValueAsString(add)}}"""
+    }
+    val next = st.version + 1
+    writeCommitExclusive(path, next, actions.toSeq)
+    next
+  }
+
   /** The files of `st` actually holding a row matching `predicate`:
     * stats-pruned candidates, then ONE distributed probe whose driver
     * result is file paths only.

@@ -2221,6 +2221,49 @@ object Iceberg {
       expectBase = Some(cur.snapshotId))
   }
 
+  /** ROLLBACK — set the table's CURRENT snapshot back to
+    * `snapshotId` (the `rollback_to_snapshot` procedure): a
+    * METADATA-ONLY commit — the next `v<N>.metadata.json` carries the
+    * same snapshot history with `current-snapshot-id` (and the `main`
+    * branch ref) moved; no data file is touched, later snapshots stay
+    * time-travel readable (and reclaimable via [[expireSnapshots]]).
+    * The metadata lands EXCLUSIVELY (the catalog compare-and-swap
+    * stand-in) — a concurrent commit collides loudly. Returns
+    * `snapshotId`; rolling back to the current snapshot is a no-op
+    * (no metadata written).
+    */
+  def rollback(spark: SparkSession, tableDir: String,
+      snapshotId: Long): Long = {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val mdDir = metadataDir(tableDir)
+    val (priorMd, version) = priorState(mdDir)
+    val md = priorMd.getOrElse(throw new IllegalArgumentException(
+      s"not an Iceberg table: $tableDir"))
+      .deepCopy[ObjectNode]()
+    val snaps = Option(md.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala.toSeq)
+      .map(_.get("snapshot-id").asLong)
+    require(snaps.contains(snapshotId),
+      s"rollback: snapshot $snapshotId is not in $tableDir's history " +
+        s"(${snaps.mkString(", ")}) — expired snapshots cannot be " +
+        "rolled back to")
+    val cur = Option(md.get("current-snapshot-id"))
+      .map(_.asLong(-1L)).getOrElse(-1L)
+    if (cur == snapshotId) return snapshotId
+    md.put("current-snapshot-id", snapshotId)
+    Option(md.get("refs")).collect { case o: ObjectNode => o }
+      .flatMap(refs => Option(refs.get("main"))
+        .collect { case m: ObjectNode => m })
+      .foreach { m => m.put("snapshot-id", snapshotId); () }
+    writeMetadataExclusive(
+      new java.io.File(mdDir, s"v$version.metadata.json").toPath,
+      M.writeValueAsString(md))
+    java.nio.file.Files.writeString(
+      new java.io.File(mdDir, "version-hint.text").toPath,
+      version.toString)
+    snapshotId
+  }
+
   /** `_metadata.file_path`'s URL-encoded URI rendering back to the
     * local absolute path the manifests resolve to (scheme optional,
     * `%20` etc. decoded).

@@ -324,6 +324,48 @@ class DeltaDmlSpec extends AnyFunSuite with SparkFixture {
       s"ICT must be strictly increasing: $icts")
   }
 
+  test("restore resets content to a prior version in one commit: " +
+      "history stays readable, the signed window nets it, vacuumed " +
+      "targets and CDF tables refuse loudly") {
+    val dir = freshDir("restore")
+    DeltaLake.write(spark, dir, frame(1 to 20))              // v0
+    DeltaLake.delete(spark, dir, col("id") % 5 === 0)        // v1 (DV)
+    DeltaLake.write(spark, dir, frame(21 to 25))             // v2
+    val v = DeltaLake.restore(spark, dir, 0L)                // v3
+    assert(v == 3L)
+    assert(ids(DeltaLake.snapshot(spark, dir)) == (1L to 20L).toSet)
+    // the undone versions stay time-travel readable
+    assert(ids(DeltaLake.snapshot(spark, dir, Some(2L))) ==
+      ((1L to 20L).filterNot(_ % 5 == 0).toSet ++ (21L to 25L)))
+    // the restore window nets under the signed algebra: the appended
+    // file retracts, the DV'd file version swaps for the original
+    val ch = DeltaLake.changes(spark, dir, afterVersion = 2L)
+    assert(ids(ch.inserts) == (1L to 20L).toSet)
+    assert(ids(ch.retracts) ==
+      ((1L to 20L).filterNot(_ % 5 == 0).toSet ++ (21L to 25L)))
+    // no-op restore → -1, no commit
+    assert(DeltaLake.restore(spark, dir, 3L) == -1L)
+    assert(DeltaLake.latestVersion(spark, dir) == 3L)
+    // a vacuumed restore target refuses up front
+    val d2 = freshDir("restvac")
+    DeltaLake.write(spark, d2, frame(1 to 10))
+    DeltaLake.update(spark, d2, col("id") === 1L, Map("v" -> lit("X")))
+    DeltaLake.vacuum(spark, d2, retainVersions = 1)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.restore(spark, d2, 0L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // CDF tables refuse (no change files for the restore diff)
+    val d3 = freshDir("restcdf")
+    DeltaLake.write(spark, d3, frame(1 to 5),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLake.delete(spark, d3, col("id") === 1L)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLake.restore(spark, d3, 0L)
+    }
+    assert(e2.getMessage.contains("Change Data Feed"))
+  }
+
   test("a checkpoint carries the table's protocol VERBATIM: features " +
       "survive a checkpoint-only resume and are not re-upgraded") {
     val dir = freshDir("ckproto")

@@ -148,6 +148,39 @@ class IcebergWriteSpec extends AnyFunSuite with SparkFixture {
       .filter(col("v") === "UPD").count() == 1L)
   }
 
+  test("rollback moves the current snapshot back metadata-only: later " +
+      "snapshots stay readable, new writes build on the rolled-back " +
+      "state, expired targets refuse") {
+    val dir = freshDir("rollback")
+    val s1 = Iceberg.write(spark, dir, frame(1 to 10))
+    val s2 = Iceberg.write(spark, dir, frame(11 to 20))
+    Iceberg.delete(spark, dir, col("id") % 2 === 0)
+    assert(Iceberg.rollback(spark, dir, s1) == s1)
+    assert(ids(Iceberg.snapshot(spark, dir)) == (1L to 10L).toSet)
+    // the undone snapshots stay time-travel readable
+    assert(ids(Iceberg.snapshot(spark, dir, Some(s2))) ==
+      (1L to 20L).toSet)
+    // main tracks the rollback
+    val main = Iceberg.metaTable(spark, dir, "refs")
+      .filter(col("name") === "main")
+      .select("snapshot_id").collect().head.getLong(0)
+    assert(main == s1)
+    // a write after the rollback builds on the ROLLED-BACK state
+    Iceberg.write(spark, dir, frame(21 to 22))
+    assert(ids(Iceberg.snapshot(spark, dir)) ==
+      ((1L to 10L).toSet ++ Set(21L, 22L)))
+    // unknown/expired snapshot refuses with the listing
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.rollback(spark, dir, 99999L)
+    }
+    assert(e.getMessage.contains("not in"))
+    // rolling back to the current snapshot is a no-op
+    val before = Iceberg.snapshotIds(dir).size
+    val cur = Iceberg.currentSnapshotId(dir)
+    assert(Iceberg.rollback(spark, dir, cur) == cur)
+    assert(Iceberg.snapshotIds(dir).size == before)
+  }
+
   test("update rewrites only hit files with old-row semantics, " +
       "materializes DVs, and refuses partition-column SETs") {
     val dir = freshDir("upd")
