@@ -2289,6 +2289,39 @@ object DeltaLake {
         "does not allocate")
   }
 
+  /** The remove action retiring file version `a` (its DV carried —
+    * the identity a matching re-add must pair with). ONE builder for
+    * every writer path (overwrite, DML, restore).
+    */
+  private def removeAction(a: AddFile, dataChange: Boolean): String = {
+    val rm = M.createObjectNode()
+    rm.put("path", a.path)
+    rm.put("deletionTimestamp", System.currentTimeMillis())
+    rm.put("dataChange", dataChange)
+    a.dv.foreach(d => rm.set[JsonNode]("deletionVector", dvJson(d)))
+    s"""{"remove":${M.writeValueAsString(rm)}}"""
+  }
+
+  /** The add action re-emitting file version `a` with `dv` as its
+    * deletion vector (None = none; `a.dv` = verbatim re-add) —
+    * original stats, size, and partition values carried.
+    */
+  private def addActionOf(a: AddFile,
+      dv: Option[DeletionVectors.Descriptor]): String = {
+    val add = M.createObjectNode()
+    add.put("path", a.path)
+    val pvNode = add.putObject("partitionValues")
+    a.partitionValues.foreach { case (k, v) =>
+      if (v == null) { pvNode.putNull(k); () } else { pvNode.put(k, v); () }
+    }
+    a.size.foreach(s => add.put("size", s))
+    add.put("modificationTime", a.modificationTime)
+    add.put("dataChange", true)
+    a.stats.foreach(s => add.put("stats", s))
+    dv.foreach(d => add.set[JsonNode]("deletionVector", dvJson(d)))
+    s"""{"add":${M.writeValueAsString(add)}}"""
+  }
+
   /** `_metadata.file_path` back to the local absolute path the log
     * resolves to. The metadata column is the `PartitionedFile`'s
     * URL-ENCODED URI rendering — scheme optional (`file:/…`,
@@ -2455,14 +2488,8 @@ object DeltaLake {
           if (s.schema.json != schemaOut.json)
             actions += metaAction(path, schemaOut, parts,
               s.configuration, s.tableId)
-          if (mode == "overwrite") s.adds.foreach { a =>
-            val rm = M.createObjectNode()
-            rm.put("path", a.path)
-            rm.put("deletionTimestamp", System.currentTimeMillis())
-            rm.put("dataChange", true)
-            a.dv.foreach(d => rm.set[JsonNode]("deletionVector", dvJson(d)))
-            actions += s"""{"remove":${M.writeValueAsString(rm)}}"""
-          }
+          if (mode == "overwrite")
+            s.adds.foreach(a => actions += removeAction(a, dataChange = true))
       }
       actions ++= adds
       try {
@@ -2549,24 +2576,8 @@ object DeltaLake {
       a.dv.foreach(d =>
         DeletionVectors.read(path, d).toArray.foreach(merged.add))
       val desc = DeletionVectors.stageBitmap(path, merged, inline)
-      val rm = M.createObjectNode()
-      rm.put("path", a.path)
-      rm.put("deletionTimestamp", System.currentTimeMillis())
-      rm.put("dataChange", true)
-      a.dv.foreach(d => rm.set[JsonNode]("deletionVector", dvJson(d)))
-      actions += s"""{"remove":${M.writeValueAsString(rm)}}"""
-      val add = M.createObjectNode()
-      add.put("path", a.path)
-      val pvNode = add.putObject("partitionValues")
-      a.partitionValues.foreach { case (k, v) =>
-        if (v == null) { pvNode.putNull(k); () } else { pvNode.put(k, v); () }
-      }
-      a.size.foreach(s => add.put("size", s))
-      add.put("modificationTime", a.modificationTime)
-      add.put("dataChange", true)
-      a.stats.foreach(s => add.put("stats", s))
-      add.set[JsonNode]("deletionVector", dvJson(desc))
-      actions += s"""{"add":${M.writeValueAsString(add)}}"""
+      actions += removeAction(a, dataChange = true)
+      actions += addActionOf(a, Some(desc))
     }
     writeCommitExclusive(path, next, actions.toSeq)
     next
@@ -2791,50 +2802,44 @@ object DeltaLake {
     val thenIds = target.adds.map(_.identity).toSet
     val removes = st.adds.filterNot(a => thenIds.contains(a.identity))
     val readds = target.adds.filterNot(a => nowIds.contains(a.identity))
-    if (removes.isEmpty && readds.isEmpty &&
-        st.schema.json == target.schema.json) return -1L
+    // a CONFIGURATION- or layout-only drift still restores: the
+    // metaData carries behavior (appendOnly, ICT) the restore must
+    // reset too, not just the file set
+    val metaDiffers = st.schema.json != target.schema.json ||
+      st.partitionColumns != target.partitionColumns ||
+      st.configuration != target.configuration
+    if (removes.isEmpty && readds.isEmpty && !metaDiffers) return -1L
     readds.foreach { a =>
       val f = new java.io.File(resolve(path, a.path))
       require(f.exists(),
         s"DeltaLake.restore: data file ${a.path} of version $version " +
           "is gone (vacuumed past the restore target) — restoring " +
           "would commit a table that fails at read")
-      a.dv.filter(_.storageType == "u").foreach { d =>
-        require(DeletionVectors.sidecarFile(path, d.pathOrInlineDv)
-            .exists(),
+      // every DV storage form the reader resolves must still resolve
+      a.dv.foreach { d =>
+        val sidecar = d.storageType match {
+          case "u" => Some(DeletionVectors.sidecarFile(path,
+            d.pathOrInlineDv))
+          case "p" => Some(DeletionVectors.absoluteFile(d.pathOrInlineDv))
+          case _ => None // inline: lives in the log itself
+        }
+        sidecar.foreach(f => require(f.exists(),
           s"DeltaLake.restore: deletion vector of ${a.path} at " +
-            s"version $version is gone (vacuumed) — refusing")
+            s"version $version is gone (vacuumed) — refusing"))
       }
     }
     val actions = mutable.Buffer.empty[String]
-    actions ++= ictAction(st.configuration, "RESTORE", path)
-    if (st.schema.json != target.schema.json ||
-        st.partitionColumns != target.partitionColumns ||
-        st.configuration != target.configuration)
+    // ICT enabled on EITHER side: a restore that re-enables it is
+    // itself the enablement commit and must carry the timestamp
+    if (Seq(st.configuration, target.configuration).exists(
+        _.get("delta.enableInCommitTimestamps").contains("true")))
+      actions ++= ictAction(
+        Map("delta.enableInCommitTimestamps" -> "true"), "RESTORE", path)
+    if (metaDiffers)
       actions += metaAction(path, target.schema, target.partitionColumns,
         target.configuration, target.tableId.orElse(st.tableId))
-    removes.foreach { a =>
-      val rm = M.createObjectNode()
-      rm.put("path", a.path)
-      rm.put("deletionTimestamp", System.currentTimeMillis())
-      rm.put("dataChange", true)
-      a.dv.foreach(d => rm.set[JsonNode]("deletionVector", dvJson(d)))
-      actions += s"""{"remove":${M.writeValueAsString(rm)}}"""
-    }
-    readds.foreach { a =>
-      val add = M.createObjectNode()
-      add.put("path", a.path)
-      val pvNode = add.putObject("partitionValues")
-      a.partitionValues.foreach { case (k, v) =>
-        if (v == null) { pvNode.putNull(k); () } else { pvNode.put(k, v); () }
-      }
-      a.size.foreach(s => add.put("size", s))
-      add.put("modificationTime", a.modificationTime)
-      add.put("dataChange", true)
-      a.stats.foreach(s => add.put("stats", s))
-      a.dv.foreach(d => add.set[JsonNode]("deletionVector", dvJson(d)))
-      actions += s"""{"add":${M.writeValueAsString(add)}}"""
-    }
+    removes.foreach(a => actions += removeAction(a, dataChange = true))
+    readds.foreach(a => actions += addActionOf(a, a.dv))
     val next = st.version + 1
     writeCommitExclusive(path, next, actions.toSeq)
     next
@@ -2877,14 +2882,7 @@ object DeltaLake {
         st.partitionColumns)
     val actions = mutable.Buffer.empty[String]
     actions ++= ictAction(st.configuration, operation, path)
-    hits.foreach { a =>
-      val rm = M.createObjectNode()
-      rm.put("path", a.path)
-      rm.put("deletionTimestamp", System.currentTimeMillis())
-      rm.put("dataChange", true)
-      a.dv.foreach(d => rm.set[JsonNode]("deletionVector", dvJson(d)))
-      actions += s"""{"remove":${M.writeValueAsString(rm)}}"""
-    }
+    hits.foreach(a => actions += removeAction(a, dataChange = true))
     actions ++= adds
     actions ++= extraAdds
     writeCommitExclusive(path, next, actions.toSeq)

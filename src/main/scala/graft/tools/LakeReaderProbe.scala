@@ -108,6 +108,13 @@ object LakeReaderProbe {
       require(dvHit <= kept && rewrites == 1,
         s"public DML lost locality: dvHit=$dvHit (stats-kept $kept), " +
           s"rewrites=$rewrites")
+      // fresh-table probe: clean up (repeat runs would otherwise leak
+      // a 200-file table per run)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dml))
     }
 
     // delete-aware maintenance cycle at table scale: a DELETE hitting 2

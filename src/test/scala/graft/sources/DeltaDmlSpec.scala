@@ -355,6 +355,27 @@ class DeltaDmlSpec extends AnyFunSuite with SparkFixture {
       DeltaLake.restore(spark, d2, 0L)
     }
     assert(e.getMessage.contains("vacuumed"))
+    // a CONFIGURATION-only drift still restores (the metaData carries
+    // behavior the restore must reset — a file-set-only check would
+    // silently skip it)
+    val d4 = freshDir("restconf")
+    DeltaLake.write(spark, d4, frame(1 to 5))
+    val schema4 = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.StringType)
+    val ss4 = schema4.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    java.nio.file.Files.writeString(new java.io.File(d4,
+      "_delta_log/" + f"${1L}%020d.json").toPath,
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":"$ss4","partitionColumns":[],""" +
+        s""""configuration":{"custom.pipeline.tag":"v1-era"}}}\n""")
+    assert(DeltaLake.restore(spark, d4, 0L) == 2L,
+      "a configuration-only drift must still restore")
+    val restored = commitText(d4, 2L)
+    assert(restored.contains("\"metaData\"") &&
+      !restored.contains("custom.pipeline.tag"),
+      s"the restore must reset the configuration: $restored")
+    assert(ids(DeltaLake.snapshot(spark, d4)) == (1L to 5L).toSet)
     // CDF tables refuse (no change files for the restore diff)
     val d3 = freshDir("restcdf")
     DeltaLake.write(spark, d3, frame(1 to 5),
