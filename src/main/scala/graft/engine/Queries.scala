@@ -3347,15 +3347,8 @@ object Queries {
       Seq(s"$d/orders.parquet")) { p =>
       graft.sources.DeltaLake.write(s, p, t(s, d, "orders"),
         partitionBy = Seq("o_orderpriority"))
-      val bytes = {
-        def walk(f: java.io.File): Long =
-          if (f.isDirectory)
-            Option(f.listFiles()).toSeq.flatten
-              .filterNot(_.getName == "_delta_log").map(walk).sum
-          else if (f.getName.endsWith(".parquet")) f.length()
-          else 0L
-        walk(new java.io.File(p))
-      }
+      val bytes = graft.sources.Staging.parquetBytes(p,
+        exclude = Set("_delta_log"))
       graft.sources.DeltaLake.compact(s, p,
         targetFileBytes = math.max(1L, bytes / 8),
         zorderBy = Seq("o_custkey", "o_totalprice"))
@@ -3404,14 +3397,7 @@ object Queries {
       Seq(s"$d/orders.parquet")) { p =>
       graft.sources.Iceberg.write(s, p, t(s, d, "orders"),
         partitionBy = Seq("o_orderpriority"))
-      val bytes = {
-        def walk(f: java.io.File): Long =
-          if (f.isDirectory)
-            Option(f.listFiles()).toSeq.flatten.map(walk).sum
-          else if (f.getName.endsWith(".parquet")) f.length()
-          else 0L
-        walk(new java.io.File(p, "data"))
-      }
+      val bytes = graft.sources.Staging.parquetBytes(s"$p/data")
       graft.sources.Iceberg.rewriteDataFiles(s, p,
         targetFileBytes = math.max(1L, bytes / 8),
         zorderBy = Seq("o_custkey", "o_totalprice"))

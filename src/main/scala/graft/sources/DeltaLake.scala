@@ -2917,30 +2917,12 @@ object DeltaLake {
     val st = replay(spark, path, None)
     require(st.mappingMode == "none",
       "compact: column-mapped tables are not supported by this writer")
+    require(targetFileBytes > 0,
+      s"compact: targetFileBytes must be positive, got $targetFileBytes")
     val zorder = zorderBy.nonEmpty
     val dataCols = st.schema.fieldNames.toIndexedSeq
       .filterNot(st.partitionColumns.contains)
-    if (zorder) {
-      require(zorderBy.size <= 4,
-        "compact: at most 4 Z-order columns (16 bits each in a 64-bit " +
-          "Z-value)")
-      require(zorderBy.forall(dataCols.contains),
-        s"compact: Z-order columns $zorderBy must be data columns " +
-          "(partition columns already cluster by directory) — data " +
-          s"columns: $dataCols")
-      zorderBy.foreach { c =>
-        st.schema(c).dataType match {
-          case _: org.apache.spark.sql.types.NumericType => ()
-          case org.apache.spark.sql.types.DateType => ()
-          case org.apache.spark.sql.types.TimestampType => ()
-          case org.apache.spark.sql.types.TimestampNTZType => ()
-          case dt => throw new IllegalArgumentException(
-            s"compact: Z-order on ${dt.simpleString} column '$c' is " +
-              "not supported — linear bucket normalization needs an " +
-              "ordered numeric domain")
-        }
-      }
-    }
+    if (zorder) zOrderGuard(zorderBy, dataCols, st.schema, "compact")
     // Z-ORDER rewrites EVERY live file (clustering, not packing: the
     // point is that each output file gets a tight min/max box on ALL
     // Z columns, so stats skipping prunes on any of them); plain
@@ -3047,6 +3029,33 @@ object DeltaLake {
     * inside whole-stage codegen, no UDF. Nulls and constant columns
     * bucket to 0 (they cannot cluster, only order stably).
     */
+  /** The ONE validation both formats' Z-order arms share (a one-sided
+    * edit would silently diverge what the two accept): ≤ 4 columns,
+    * data columns only, ordered-numeric-domain types.
+    */
+  private[sources] def zOrderGuard(zorderBy: Seq[String],
+      dataCols: Seq[String], schema: StructType, op: String): Unit = {
+    require(zorderBy.size <= 4,
+      s"$op: at most 4 Z-order columns (16 bits each in a 64-bit " +
+        "Z-value)")
+    require(zorderBy.forall(dataCols.contains),
+      s"$op: Z-order columns $zorderBy must be data columns " +
+        "(partition columns already cluster by directory) — data " +
+        s"columns: $dataCols")
+    zorderBy.foreach { c =>
+      schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => ()
+        case org.apache.spark.sql.types.DateType => ()
+        case org.apache.spark.sql.types.TimestampType => ()
+        case org.apache.spark.sql.types.TimestampNTZType => ()
+        case dt => throw new IllegalArgumentException(
+          s"$op: Z-order on ${dt.simpleString} column '$c' is " +
+            "not supported — linear bucket normalization needs an " +
+            "ordered numeric domain")
+      }
+    }
+  }
+
   private[sources] def zValueColumn(bounds: DataFrame, cols: Seq[String],
       schema: StructType): DataFrame => org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{coalesce, greatest, least, max,

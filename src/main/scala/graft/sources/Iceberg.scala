@@ -2401,33 +2401,18 @@ object Iceberg {
       targetFileBytes: Long = 128L * 1024 * 1024,
       zorderBy: Seq[String] = Seq.empty): Long = {
     import org.apache.spark.sql.functions.col
+    require(targetFileBytes > 0,
+      s"rewriteDataFiles: targetFileBytes must be positive, got " +
+        s"$targetFileBytes")
     val cur = resolve(spark, tableDir, None)
     val zorder = zorderBy.nonEmpty
     val identitySources = cur.transforms
       .filter(_.transform == IcebergTransforms.Identity).map(_.sourceName)
     val dataSchema = StructType(
       cur.schema.filterNot(f => identitySources.contains(f.name)))
-    if (zorder) {
-      require(zorderBy.size <= 4,
-        "rewriteDataFiles: at most 4 Z-order columns (16 bits each in " +
-          "a 64-bit Z-value)")
-      require(zorderBy.forall(dataSchema.fieldNames.contains),
-        s"rewriteDataFiles: Z-order columns $zorderBy must be data " +
-          "columns (identity partition sources already cluster by " +
-          s"directory) — data columns: ${dataSchema.fieldNames.toSeq}")
-      zorderBy.foreach { c =>
-        cur.schema(c).dataType match {
-          case _: org.apache.spark.sql.types.NumericType => ()
-          case org.apache.spark.sql.types.DateType => ()
-          case org.apache.spark.sql.types.TimestampType => ()
-          case org.apache.spark.sql.types.TimestampNTZType => ()
-          case dt => throw new IllegalArgumentException(
-            s"rewriteDataFiles: Z-order on ${dt.simpleString} column " +
-              s"'$c' is not supported — linear bucket normalization " +
-              "needs an ordered numeric domain")
-        }
-      }
-    }
+    if (zorder)
+      DeltaLake.zOrderGuard(zorderBy, dataSchema.fieldNames.toSeq,
+        cur.schema, "rewriteDataFiles")
     // Z-ORDER rewrites EVERY live file (clustering, not packing);
     // plain compaction keeps the bin-packing shape
     val groups = cur.files.groupBy(_.partitionValues).toSeq
@@ -2496,6 +2481,37 @@ object Iceberg {
       fs.foreach(f => entries +=
         Entry(2, f.path, f.size.getOrElse(0L), Map.empty, 0L, Map.empty))
     }
+    // delete files whose every APPLICABLE data file was just rewritten
+    // are dead weight: the rewrite MATERIALIZED their deletes, and
+    // leaving them keeps every future read on the MoR arm forever
+    // (phantom delete_files, per-read bitmap loads/anti-joins against
+    // paths that no longer exist). Scoping is conservative:
+    //   - a DV dies when its referenced file was rewritten
+    //   - a positional delete file dies when every file_path it names
+    //     was rewritten (driver read, churn-bounded)
+    //   - an equality delete dies only when NO untouched data file
+    //     remains (it applies by sequence number, not by path)
+    val rewrittenCanon = groups.flatMap(_._2)
+      .map(f => resolveRef(tableDir, f.path)).toSet
+    val untouchedLeft = cur.files.exists(f =>
+      !rewrittenCanon.contains(resolveRef(tableDir, f.path)))
+    val deadDeletes = cur.deleteFiles.filter { f =>
+      if (f.dvRef.isDefined)
+        rewrittenCanon.contains(
+          resolveRef(tableDir, f.dvRef.get.referenced))
+      else if (f.content == 1)
+        spark.read.parquet(resolveRef(tableDir, f.path))
+          .select("file_path").distinct().collect()
+          .forall(r => rewrittenCanon.contains(
+            resolveRef(tableDir, r.getString(0))))
+      else !untouchedLeft
+    }
+    entries ++= deadDeletes.map(f =>
+      Entry(2, f.path, f.size.getOrElse(0L), Map.empty, 0L, Map.empty,
+        content = if (f.dvRef.isDefined) 1 else f.content,
+        equalityIds = f.equalityIds,
+        format = if (f.dvRef.isDefined) "PUFFIN" else "PARQUET",
+        dv = f.dvRef))
     commitSnapshot(spark, tableDir, cur.schema, cur.specStrings,
       entries.toSeq, "replace", exclusive = true,
       expectBase = Some(cur.snapshotId))

@@ -74,4 +74,19 @@ object Staging {
     }
     dir.getAbsolutePath
   }
+
+  /** Total bytes of `.parquet` files under `dir` (recursive), skipping
+    * `exclude`d directory names — the sizing heuristic the Z-order
+    * fixtures and specs share to target an output-file count.
+    */
+  def parquetBytes(dir: String,
+      exclude: Set[String] = Set.empty): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten
+          .filterNot(c => exclude.contains(c.getName)).map(walk).sum
+      else if (f.getName.endsWith(".parquet")) f.length()
+      else 0L
+    walk(new java.io.File(dir))
+  }
 }

@@ -33,15 +33,8 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
       }.get
   }
 
-  private def parquetBytes(dir: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten
-          .filterNot(_.getName == "_delta_log").map(walk).sum
-      else if (f.getName.endsWith(".parquet")) f.length()
-      else 0L
-    walk(new java.io.File(dir))
-  }
+  private def parquetBytes(dir: String): Long =
+    Staging.parquetBytes(dir, exclude = Set("_delta_log"))
 
   test("zorder clustering: identical content, dataChange=false, and a " +
       "narrow slice on EITHER column prunes most files") {
@@ -104,15 +97,9 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     val pre = plannedFiles(
       Iceberg.snapshot(spark, dir).filter(col("y").between(10L, 20L)))
     assert(pre == 4L, "pre-zorder every file must plan")
-    def dataBytes: Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten
-          .map(walk).sum
-        else if (f.getName.endsWith(".parquet")) f.length() else 0L
-      walk(new java.io.File(dir, "data"))
-    }
     val v = Iceberg.rewriteDataFiles(spark, dir,
-      targetFileBytes = math.max(1L, dataBytes / 16),
+      targetFileBytes =
+        math.max(1L, Staging.parquetBytes(s"$dir/data") / 16),
       zorderBy = Seq("x", "y"))
     assert(v >= 0L)
     val total = Iceberg.metaTable(spark, dir, "files").count()
@@ -125,12 +112,50 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
       Iceberg.snapshot(spark, dir).filter(col("x").between(10L, 20L)))
     assert(yPlan <= total / 2, s"y-slice must prune: $yPlan of $total")
     assert(xPlan <= total / 2, s"x-slice must prune: $xPlan of $total")
-    // guards: string column / >4 columns refused
+    // guards on the ICEBERG arm: >4 columns, non-numeric types, and
+    // identity partition sources all refused
     val e = intercept[IllegalArgumentException] {
       Iceberg.rewriteDataFiles(spark, dir,
         zorderBy = Seq("x", "y", "x", "y", "x"))
     }
     assert(e.getMessage.contains("at most 4"))
+    val d2 = freshDir("iceguards")
+    import spark.implicits._
+    Iceberg.write(spark, d2,
+      (1 to 8).map(i => (i.toLong, s"s$i", (i % 2).toString))
+        .toDF("id", "s", "p"), partitionBy = Seq("p"))
+    val e2 = intercept[IllegalArgumentException] {
+      Iceberg.rewriteDataFiles(spark, d2, zorderBy = Seq("s"))
+    }
+    assert(e2.getMessage.contains("not supported"))
+    val e3 = intercept[IllegalArgumentException] {
+      Iceberg.rewriteDataFiles(spark, d2, zorderBy = Seq("p"))
+    }
+    assert(e3.getMessage.contains("data columns"))
+  }
+
+  test("iceberg zorder over a DV'd table: deletes materialize AND the " +
+      "dangling delete files are removed — the table leaves the " +
+      "merge-on-read path") {
+    val dir = freshDir("icedv")
+    import spark.implicits._
+    (0 until 2).foreach { k =>
+      Iceberg.stageAppend(spark, dir,
+        (k * 10 + 1 to k * 10 + 10).map(i => (i.toLong, s"v$i"))
+          .toDF("id", "v").coalesce(1), Seq.empty)
+    }
+    Iceberg.delete(spark, dir, col("id") % 5 === 0)
+    assert(Iceberg.metaTable(spark, dir, "delete_files").count() >= 1L)
+    Iceberg.rewriteDataFiles(spark, dir,
+      targetFileBytes = math.max(1L, Staging.parquetBytes(s"$dir/data") / 4),
+      zorderBy = Seq("id"))
+    val snap = Iceberg.snapshot(spark, dir)
+    assert(snap.select("id").collect().map(_.getLong(0)).toSet ==
+      (1L to 20L).filterNot(_ % 5 == 0).toSet,
+      "materialized deletes must not resurrect")
+    assert(Iceberg.metaTable(spark, dir, "delete_files").count() == 0L,
+      "a full rewrite must retire its dangling delete files — leaving " +
+        "them keeps every read on the MoR arm forever")
   }
 
   test("zorder guards: strings, partition columns, and >4 columns are " +
