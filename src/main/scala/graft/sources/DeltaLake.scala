@@ -1035,8 +1035,11 @@ object DeltaLake {
     val idMode = st.mappingMode == "id"
     val mapped = idMode || (st.mapping.nonEmpty &&
       st.schema.fieldNames.exists(n => st.physOf(n) != n))
-    if (idMode)
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // id-mode needs field-id matching ON — scoped to THIS relation via
+    // scan options (they win over the session conf in the scan's
+    // Hadoop configuration), never session-global
+    val scanOpts = if (idMode) Iceberg.FieldIdReadOpts
+      else Map.empty[String, String]
     val readSchema =
       if (!mapped) st.schema
       else StructType(st.schema.map { f =>
@@ -1071,13 +1074,13 @@ object DeltaLake {
     val keep = StatsSkip.memoKeep(readSchema, readPartCols)
     if (dvByPath.isEmpty && !mapped)
       LakeScan.scan(spark, path, readSchema, readPartCols, logFiles,
-        keep, withMeta)
+        keep, withMeta, scanOpts)
     else {
       // scan with `_metadata` surfaced (DvKeep reads file_path +
       // row_index), filter, then project back to the requested shape —
       // which also aliases physical names back to logical
       val scan = LakeScan.scan(spark, path, readSchema, readPartCols,
-        logFiles, keep, withMeta = true)
+        logFiles, keep, withMeta = true, options = scanOpts)
       val g = org.apache.spark.sql.graft.GraftSql
       val kept = if (dvByPath.isEmpty) scan
         else scan.filter(g.column(DvKeep(
@@ -3074,6 +3077,14 @@ object DeltaLake {
       Seq(min(numeric(bounds, c)), max(numeric(bounds, c))))
     val row = bounds.agg(aggs.head, aggs.tail: _*).head()
     val k = cols.size
+    // the interleaved key must stay clear of the Long SIGN BIT: with
+    // 16 bits per column and k=4, bucket bit 15 of column 3 lands on
+    // bit 63 (15*4+3) and the Z ordering wraps negative — the range
+    // partitioner would then put the top corner of the key space
+    // FIRST, and the file spanning the sign boundary covers both
+    // extremes, gutting min/max pruning. Cap bits so bits*k <= 63.
+    val bits = math.min(16, 63 / k)
+    val top = (1L << bits) - 1
     (df: DataFrame) => {
       val norm = cols.zipWithIndex.map { case (c, i) =>
         if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) lit(0L)
@@ -3082,12 +3093,12 @@ object DeltaLake {
           val hi = row.getDouble(2 * i + 1)
           if (hi <= lo) lit(0L)
           else coalesce(
-            least(greatest((numeric(df, c) - lo) * (65535.0 / (hi - lo)),
-              lit(0.0)), lit(65535.0)).cast("long"), lit(0L))
+            least(greatest((numeric(df, c) - lo) * (top / (hi - lo)),
+              lit(0.0)), lit(top.toDouble)).cast("long"), lit(0L))
         }
       }
       var z: org.apache.spark.sql.Column = lit(0L)
-      for (bit <- 0 until 16; (nc, i) <- norm.zipWithIndex)
+      for (bit <- 0 until bits; (nc, i) <- norm.zipWithIndex)
         z = z.bitwiseOR(shiftleft(shiftright(nc, bit).bitwiseAND(lit(1L)),
           bit * k + i))
       z
@@ -3104,12 +3115,22 @@ object DeltaLake {
     * fails LOUDLY at the scan instead of silently returning partial
     * rows (the reader's missing-file guard is the safety net this
     * relies on, and why this pairing is safe). The walk is scoped to
-    * the table root minus `_delta_log`; `dryRun` returns the doomed
-    * list without touching disk. Inline DVs have no sidecar;
-    * referenced sidecars of retained versions are kept.
+    * the table root minus every underscore-prefixed directory EXCEPT
+    * `_change_data` (the delta-spark convention): `_delta_log` is the
+    * log, and `_land_tmp_*`/`_compact_tmp_*` are concurrent writers'
+    * staging scratch — deleting a racing write's staged files would
+    * make its commit reference missing data. `minFileAgeMs` is the
+    * complementary guard for the landed-but-not-yet-committed window
+    * (a file already renamed into its partition dir whose commit
+    * hasn't landed): pass the table's churn horizon in production
+    * (delta-spark's retention-hours check); 0 — the default the test
+    * fixtures rely on — trusts that no write is in flight. `dryRun`
+    * returns the doomed list without touching disk. Inline DVs have
+    * no sidecar; referenced sidecars of retained versions are kept.
     */
   def vacuum(spark: SparkSession, path: String,
-      retainVersions: Int = 1, dryRun: Boolean = false): Seq[String] = {
+      retainVersions: Int = 1, dryRun: Boolean = false,
+      minFileAgeMs: Long = 0L): Seq[String] = {
     require(retainVersions >= 1,
       "vacuum: retainVersions must keep at least the current version")
     val versions = commitVersions(path) ++ checkpointVersions(path)
@@ -3149,13 +3170,18 @@ object DeltaLake {
         }
     }
     val doomed = scala.collection.mutable.Buffer.empty[java.io.File]
+    val cutoff = System.currentTimeMillis() - minFileAgeMs
     def walk(dir: java.io.File): Unit =
       Option(dir.listFiles()).toSeq.flatten.foreach { f =>
         if (f.isDirectory) {
-          if (f.getName != "_delta_log") walk(f)
+          // underscore dirs are metadata or writer scratch — only the
+          // protocol's _change_data holds vacuumable table assets
+          if (!f.getName.startsWith("_") || f.getName == "_change_data")
+            walk(f)
         } else if ((f.getName.endsWith(".parquet") ||
             f.getName.startsWith("deletion_vector_")) &&
-            !keep.contains(f.getAbsolutePath))
+            !keep.contains(f.getAbsolutePath) &&
+            f.lastModified() <= cutoff)
           doomed += f
       }
     walk(new java.io.File(path))
@@ -3273,9 +3299,24 @@ object DeltaLake {
     * silently clobbering each other's commit (the local-filesystem
     * stand-in for the protocol's put-if-absent commit store).
     *
-    * Guards: a column-mapped table would need physical-name writes
-    * (refused), and the batch's partitioning must match the table's
-    * (a mixed layout would silently break partition pruning).
+    * Guards — the SAME contract the batch [[write]] enforces (a sink
+    * is just a writer that commits once per micro-batch): a
+    * column-mapped table would need physical-name writes (refused),
+    * unsupported writer features are refused before any byte lands,
+    * row-level contracts this writer does not evaluate (CHECK
+    * constraints, invariants, generated/identity columns) are
+    * refused, `delta.appendOnly` forbids complete mode (it removes
+    * files), and the batch's partitioning must match the table's (a
+    * mixed layout would silently break partition pruning).
+    *
+    * Change Data Feed: append-mode batches need no change files (the
+    * protocol lets readers synthesize inserts from a commit that only
+    * adds data). A complete-mode batch on a CDF table CARRIES ITS
+    * DIFF: the previous content as `delete` rows and the new content
+    * as `insert` rows, landed as change files ([[cdcActions]]) — so a
+    * downstream CDC consumer tailing this table stays alive across
+    * the recompute instead of fail-fasting on a change-file-less
+    * rewrite.
     */
   def commitStreamBatch(spark: SparkSession, tableDir: String,
       df: DataFrame, partitionBy: Seq[String], appId: String,
@@ -3295,6 +3336,17 @@ object DeltaLake {
         s"graft-deltalake sink: $tableDir uses column mapping mode " +
           s"'${st.mappingMode}' — this writer emits logical names and " +
           "would corrupt a mapped table")
+      val unsupported =
+        st.protocol.writerFeatures.filterNot(SupportedWriterFeatures)
+      require(unsupported.isEmpty,
+        s"graft-deltalake sink: $tableDir requires writer features " +
+          s"$unsupported this writer does not implement — committing " +
+          "anyway would violate the table's contract")
+      requireNoRowContracts(st, tableDir, "sink")
+      require(!overwrite ||
+          !st.configuration.get("delta.appendOnly").contains("true"),
+        s"graft-deltalake sink: $tableDir is delta.appendOnly — " +
+          "complete-mode output (which removes files) is forbidden")
       require(st.partitionColumns == partitionBy,
         s"graft-deltalake sink: table is partitioned by " +
           s"(${st.partitionColumns.mkString(",")}) but the stream " +
@@ -3306,12 +3358,22 @@ object DeltaLake {
       actions ++= ictAction(st.configuration,
         if (overwrite) "STREAMING OVERWRITE" else "STREAMING UPDATE",
         tableDir)
-      if (overwrite) st.adds.foreach { a =>
-        val rm = M.createObjectNode()
-        rm.put("path", a.path)
-        rm.put("deletionTimestamp", System.currentTimeMillis())
-        rm.put("dataChange", true)
-        actions += s"""{"remove":${M.writeValueAsString(rm)}}"""
+      if (overwrite) {
+        if (cdfEnabled(st)) {
+          // the recompute's row-level diff: old content out, new in
+          // (unionByName tolerates schema evolution — the feed reader
+          // fail-fasts on the metaData action regardless, so missing
+          // columns surfacing as nulls here can never be read wrong)
+          val diff = readFiles(spark, tableDir, st, st.adds)
+            .withColumn("_change_type", lit("delete"))
+            .unionByName(
+              df.withColumn("_change_type", lit("insert")),
+              allowMissingColumns = true)
+          actions ++= cdcActions(spark, tableDir, st, diff, next)
+        }
+        // removeAction carries each file's deletionVector descriptor —
+        // the identity a matching re-add must pair with
+        actions ++= st.adds.map(a => removeAction(a, dataChange = true))
       }
     }
     if (emitMeta)

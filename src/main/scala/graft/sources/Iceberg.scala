@@ -54,6 +54,20 @@ object Iceberg {
 
   private val M = new ObjectMapper()
 
+  /** Per-RELATION reader options forcing parquet FIELD-ID column
+    * resolution: Iceberg read schemas carry each field's spec id as
+    * `parquet.field.id` metadata ([[structFromIceberg]]), and under
+    * this flag the parquet reader matches file columns BY ID — what
+    * makes renamed columns read correctly from pre-rename files.
+    * Passed on every data-file read (scan relations and the COW
+    * rewrites' direct reads) instead of `spark.conf.set`: relation
+    * options win over the session conf in the scan's Hadoop
+    * configuration, so the flag never leaks into unrelated parquet
+    * reads whose schemas happen to carry field-id metadata.
+    */
+  private[sources] val FieldIdReadOpts: Map[String, String] =
+    Map("spark.sql.parquet.fieldId.read.enabled" -> "true")
+
   // size comes from the MANIFEST (file_size_in_bytes is required by
   // the spec): the scan never stats the filesystem per file.
   // `seq` is the DATA SEQUENCE NUMBER (v2 row-level-delete scoping:
@@ -238,12 +252,6 @@ object Iceberg {
     */
   def resolve(spark: SparkSession, path: String,
       snapshotId: Option[Long] = None): SnapshotMeta = {
-    // field-id matching must be on for EVERY read of this table's data
-    // files — not just scanOf's: a COW rewrite in a fresh session reads
-    // files with the id-stamped schema before any scan ran, and
-    // name-based matching would silently null renamed columns there.
-    // Inert for schemas without id metadata (see scanOf).
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val md = readMetadata(path)
     // v1/v2 plus v3's deletion vectors are implemented; a FUTURE
     // format version may change row-visibility semantics this reader
@@ -845,14 +853,15 @@ object Iceberg {
   private def scanOf(spark: SparkSession, path: String, sm: SnapshotMeta,
       withMeta: Boolean = false): DataFrame = {
     // FIELD-ID column resolution: the read schema's `parquet.field.id`
-    // metadata ([[structFromIceberg]]) only takes effect under this
-    // conf. Session-scoped but inert for schemas without id metadata,
-    // so non-Iceberg reads are untouched; `ignoreMissing` stays at its
-    // false default — a data file carrying NO ids at all fails loudly
-    // UNLESS the table carries `schema.name-mapping.default`, in which
-    // case it resolves by mapped name on a separate scan arm
-    // ([[mappedScan]], r11).
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // metadata ([[structFromIceberg]]) only takes effect under
+    // `spark.sql.parquet.fieldId.read.enabled`, which every data-file
+    // read passes PER RELATION ([[FieldIdReadOpts]] — a session-global
+    // set would silently change the semantics of unrelated parquet
+    // reads whose schemas carry field-id metadata, r11 advice);
+    // `ignoreMissing` stays at its false default — a data file
+    // carrying NO ids at all fails loudly UNLESS the table carries
+    // `schema.name-mapping.default`, in which case it resolves by
+    // mapped name on a separate scan arm ([[mappedScan]], r11).
     val logFiles = sm.files.map { f =>
       val p = resolveRef(path, f.path)
       // size from the manifest: no per-file stat, and a file expired
@@ -1053,7 +1062,7 @@ object Iceberg {
     import org.apache.spark.sql.functions.col
     if (sm.nameMapping.isEmpty || logFiles.isEmpty)
       return LakeScan.scan(spark, path, sm.schema, sm.partitionColumns,
-        logFiles, keep, withMeta)
+        logFiles, keep, withMeta, FieldIdReadOpts)
     // pre-warm the footer cache IN PARALLEL: the probes are
     // independent ~ms metadata reads, and serializing them makes
     // first-plan latency linear in file count (measured 16 ms/file
@@ -1065,7 +1074,7 @@ object Iceberg {
       logFiles.partition(lf => parquetColumnInfo(lf.path)._1)
     if (idless.isEmpty)
       return LakeScan.scan(spark, path, sm.schema, sm.partitionColumns,
-        logFiles, keep, withMeta)
+        logFiles, keep, withMeta, FieldIdReadOpts)
     val dataFields = sm.schema.fields.toSeq
       .filterNot(f => sm.partitionColumns.contains(f.name))
     // the METADATA's real field ids (schema evolution leaves gaps a
@@ -1092,7 +1101,7 @@ object Iceberg {
     val base =
       if (withIds.isEmpty) Seq.empty
       else Seq(LakeScan.scan(spark, path, sm.schema, sm.partitionColumns,
-        withIds, keep, withMeta))
+        withIds, keep, withMeta, FieldIdReadOpts))
     val mapped = groups.toSeq.sortBy(_._1.mkString(",")).map {
       case (phys, fs) =>
         require(phys.distinct.size == phys.size,
@@ -1370,6 +1379,29 @@ object Iceberg {
       case _ => false
     }).toSeq
 
+
+  /** Read `paths` as ONE relation under the id-stamped `dataSchema`
+    * with `_metadata` surfaced — the COW rewrites' and stats
+    * recompute's data-file read. Field-id matching rides the
+    * RELATION's options ([[FieldIdReadOpts]]): a `DataFrameReader`
+    * option would be LOWER-CASED by the V1 `DataSource`'s
+    * CaseInsensitiveMap on its way into the Hadoop configuration and
+    * silently never match the flag, so these reads go through
+    * [[LakeScan.scan]], which hands the original-case map straight to
+    * the relation.
+    */
+  private def idRead(spark: SparkSession, dataSchema: StructType,
+      paths: Seq[String]): DataFrame = {
+    val lfs = paths.map { pth =>
+      val f = new java.io.File(pth)
+      require(f.exists(), s"data file missing on disk: $pth")
+      LogFile(pth, f.length(), 0L, Map.empty, None)
+    }
+    LakeScan.scan(spark, new java.io.File(paths.head).getParent,
+      dataSchema, Seq.empty, lfs, (_, _) => true, withMeta = true,
+      options = FieldIdReadOpts)
+  }
+
   /** Per-file (recordCount, per-column (min, max)) for the manifest's
     * bounds — one job grouped by the hidden file name.
     */
@@ -1381,7 +1413,7 @@ object Iceberg {
     val aggs = count(lit(1)).as("__n") +: statCols.flatMap(f => Seq(
       min(col(f.name)).as(s"__mn_${f.name}"),
       max(col(f.name)).as(s"__mx_${f.name}")))
-    spark.read.schema(dataSchema).parquet(paths: _*)
+    idRead(spark, dataSchema, paths)
       .groupBy(col("_metadata.file_name").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
@@ -2685,7 +2717,9 @@ object Iceberg {
       ordered.filter(s => retainIds.contains(
         s.get("snapshot-id").asLong)).foreach(s =>
         arr.add(s.asInstanceOf[JsonNode]))
-      java.nio.file.Files.writeString(
+      // exclusive like every other metadata writer: a commit racing to
+      // the same version must fail loudly, not be silently overwritten
+      writeMetadataExclusive(
         new java.io.File(mdDir, s"v$version.metadata.json").toPath,
         M.writeValueAsString(trimmed))
       java.nio.file.Files.writeString(
@@ -2725,7 +2759,7 @@ object Iceberg {
     r.put("snapshot-id", snapshotId)
     r.put("type", tpe)
     md.put("last-updated-ms", 1700000000000L + version)
-    java.nio.file.Files.writeString(
+    writeMetadataExclusive(
       new java.io.File(mdDir, s"v$version.metadata.json").toPath,
       M.writeValueAsString(md))
     java.nio.file.Files.writeString(
@@ -2863,7 +2897,7 @@ object Iceberg {
     cur.files.foreach { f =>
       val abs = resolveRef(tableDir, f.path)
       val fileRows = cur.partitionColumns.foldLeft(
-        spark.read.schema(dataSchema).parquet(abs)
+        idRead(spark, dataSchema, Seq(abs))
           .withColumn("__ri", col("_metadata.row_index"))) { (df, pc) =>
         val dt = cur.schema(pc).dataType
         df.withColumn(pc, f.partitionValues.get(pc).filter(_ != null)
@@ -2926,7 +2960,7 @@ object Iceberg {
     cur.files.foreach { f =>
       val abs = canon(f.path)
       val fileRows = cur.partitionColumns.foldLeft(
-        spark.read.schema(dataSchema).parquet(abs)
+        idRead(spark, dataSchema, Seq(abs))
           .withColumn("__ri", col("_metadata.row_index"))) { (df, pc) =>
         val dt = cur.schema(pc).dataType
         df.withColumn(pc, f.partitionValues.get(pc).filter(_ != null)
@@ -3135,7 +3169,7 @@ object Iceberg {
     cur.files.foreach { f =>
       val abs = resolveRef(tableDir, f.path)
       val raw = cur.partitionColumns.foldLeft(
-        spark.read.schema(dataSchema).parquet(abs)) { (df, pc) =>
+        idRead(spark, dataSchema, Seq(abs))) { (df, pc) =>
         val dt = cur.schema(pc).dataType
         df.withColumn(pc, f.partitionValues.get(pc).filter(_ != null)
           .map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))

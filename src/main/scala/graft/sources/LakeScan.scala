@@ -64,10 +64,20 @@ object LakeScan {
     * pushed filters inside `listFiles` (file-constant `file_name`
     * predicates are evaluated here first, for every format).
     */
+  /** `options` land on the [[org.apache.spark.sql.execution
+    * .datasources.HadoopFsRelation]] and win over the session conf in
+    * the scan's Hadoop configuration (`newHadoopConfWithOptions`) —
+    * the per-relation scoping for reader flags like
+    * `spark.sql.parquet.fieldId.read.enabled`, which the id-mode
+    * column-mapping scans need WITHOUT mutating session-global config
+    * (a session-wide set would silently change the semantics of every
+    * unrelated parquet read whose schema carries field-id metadata).
+    */
   def scan(spark: SparkSession, tableRoot: String, fullSchema: StructType,
       partitionColumns: Seq[String], files: Seq[LogFile],
       formatKeep: (Seq[Expression], LogFile) => Boolean,
-      withMeta: Boolean = false): DataFrame = {
+      withMeta: Boolean = false,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val keep = (filters: Seq[Expression], lf: LogFile) =>
       filters.forall { e =>
         fileNameEval(e, new java.io.File(lf.path).getName, fullSchema)
@@ -96,7 +106,7 @@ object LakeScan {
       index, partitionSchema,
       asNullable(dataSchema).asInstanceOf[StructType], None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      Map.empty[String, String])(spark)
+      options)(spark)
     val df = org.apache.spark.sql.graft.GraftSql.ofRows(spark,
       org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
     val cols = fullSchema.fieldNames.toIndexedSeq ++

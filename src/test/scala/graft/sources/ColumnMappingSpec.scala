@@ -132,6 +132,27 @@ class ColumnMappingSpec extends AnyFunSuite with SparkFixture {
     assert(snap.filter(col("p") === "g1").count() == 20)
   }
 
+  test("id-mode reads scope field-id matching to the RELATION — the " +
+      "session conf is never mutated (r11 advice)") {
+    val key = "spark.sql.parquet.fieldId.read.enabled"
+    val before = spark.conf.getOption(key)
+    val dir = freshDir("idscope")
+    val df = (1L to 10L).map(i => (i, s"v$i", s"g${i % 2}"))
+      .toDF("id", "v", "p").coalesce(1)
+    DeltaLake.stageMappedCommit(spark, dir, df, Seq("p"), 0L,
+      mapping, mode = "id",
+      diskNames = Map("id" -> "zz_9", "v" -> "weird-name"))
+    // the read itself must still resolve by id (disk names differ)...
+    assert(DeltaLake.snapshot(spark, dir)
+      .filter(col("id") === 7).select("v").head().getString(0) == "v7")
+    // ...but ONLY through the relation's own options: the session
+    // conf is exactly what it was (a global set would change the
+    // semantics of every unrelated parquet read carrying field-id
+    // schema metadata)
+    assert(spark.conf.getOption(key) == before,
+      s"session conf leaked: $key = ${spark.conf.getOption(key)}")
+  }
+
   test("mode=id with matching physical names — the delta-spark shape") {
     val dir = freshDir("idmatch")
     val df = (1L to 20L).map(i => (i, s"v$i", s"g${i % 2}"))

@@ -233,4 +233,63 @@ class MaintenanceSpec extends AnyFunSuite with SparkFixture {
     assert(ids(Iceberg.snapshot(spark, dir, Some(s2))) ==
       (1L to 20L).toSet)
   }
+
+  test("delta vacuum skips writer scratch directories and minFileAgeMs " +
+      "protects landed-but-uncommitted files") {
+    val dir = freshDir("vacskip")
+    DeltaLake.stageCommit(spark, dir, frame(1 to 20), Seq.empty, 0L)
+    DeltaLake.stageDeleteCommit(spark, dir, col("id") % 2 === 0, 1L)
+    // a concurrent writer's staging scratch: files here are about to
+    // be renamed into the table — deleting them breaks its commit
+    val land = new java.io.File(dir, "_land_tmp_race")
+    land.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(land, "part-0.parquet").toPath, "staged")
+    val comp = new java.io.File(dir, "_compact_tmp_9")
+    comp.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(comp, "part-0.parquet").toPath, "staged")
+    // a racing write()'s already-landed-but-not-yet-committed file:
+    // unreferenced by any version, but BRAND NEW — the age guard's case
+    val landed = new java.io.File(dir, "landed-uncommitted.parquet")
+    java.nio.file.Files.writeString(landed.toPath, "landed")
+    val aged = DeltaLake.vacuum(spark, dir, retainVersions = 1,
+      dryRun = true, minFileAgeMs = 3600000L)
+    assert(!aged.exists(_.contains("_land_tmp_")) &&
+      !aged.exists(_.contains("_compact_tmp_")),
+      s"scratch dirs must never be walked: $aged")
+    assert(!aged.exists(_.contains("landed-uncommitted")),
+      s"a fresh unreferenced file is inside the age horizon: $aged")
+    // without the age guard the orphan IS vacuumable — but scratch
+    // dirs stay protected regardless
+    val deleted = DeltaLake.vacuum(spark, dir, retainVersions = 1)
+    assert(deleted.exists(_.contains("landed-uncommitted")))
+    assert(new java.io.File(land, "part-0.parquet").exists() &&
+      new java.io.File(comp, "part-0.parquet").exists(),
+      "vacuum deleted a concurrent writer's staged files")
+    assert(ids(DeltaLake.snapshot(spark, dir)) ==
+      (1L to 20L).filterNot(_ % 2 == 0).toSet)
+  }
+
+  test("iceberg metadata maintenance writers commit EXCLUSIVELY — the " +
+      "losing racer fails loudly and the winner's content is never " +
+      "clobbered") {
+    // expire/stageRef compute their target version INSIDE the call, so
+    // the read→write race cannot be wedged externally; this pins the
+    // exclusive-commit seam they now route through (a plain
+    // Files.writeString here was the r11 lost-update finding)
+    val dir = freshDir("expexcl")
+    Iceberg.stageAppend(spark, dir, frame(1 to 10), Seq.empty)
+    val mdDir = new java.io.File(dir, "metadata")
+    val winner = new java.io.File(mdDir, "v777.metadata.json")
+    java.nio.file.Files.writeString(winner.toPath, """{"winner":true}""")
+    intercept[java.util.ConcurrentModificationException] {
+      Iceberg.writeMetadataExclusive(winner.toPath, """{"loser":true}""")
+    }
+    assert(java.nio.file.Files.readString(winner.toPath) ==
+      """{"winner":true}""", "the losing write clobbered the winner")
+    // and the loser leaves no temp litter behind
+    assert(!Option(mdDir.listFiles()).toSeq.flatten
+      .exists(_.getName.endsWith(".tmp")))
+  }
 }

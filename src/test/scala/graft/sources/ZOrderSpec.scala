@@ -185,4 +185,27 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     assert(DeltaLake.snapshotWhere(spark, dir, col("p") === "1")
       .count() == 2048L)
   }
+
+  test("4 Z-order columns never reach the Long sign bit — the top " +
+      "corner of the key space sorts LAST, not first") {
+    // with 16 bits per column and k=4, bucket bit 15 of column index 3
+    // lands on bit 63: the Z value of the (max,max,max,max) corner
+    // wraps NEGATIVE and range partitioning puts the top corner first,
+    // spanning one file across both extremes of the key space
+    val df = (0 until 4096).map { i =>
+      (i.toLong % 8, (i / 8).toLong % 8, (i / 64).toLong % 8,
+        (i / 512).toLong % 8)
+    }.toDF("a", "b", "c", "d")
+    val zc = DeltaLake.zValueColumn(df, Seq("a", "b", "c", "d"),
+      df.schema)
+    val rows = df.select(zc(df).as("z"),
+      col("a"), col("b"), col("c"), col("d")).collect()
+    assert(rows.forall(_.getLong(0) >= 0L),
+      "an interleaved Z value crossed into the sign bit")
+    val zOf = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) -> r.getLong(0)).toMap
+    assert(zOf((7L, 7L, 7L, 7L)) == rows.map(_.getLong(0)).max,
+      "the max corner must carry the LARGEST Z value")
+    assert(zOf((0L, 0L, 0L, 0L)) == rows.map(_.getLong(0)).min)
+  }
 }

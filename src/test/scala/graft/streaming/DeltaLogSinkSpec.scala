@@ -226,4 +226,126 @@ class DeltaLogSinkSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.toLowerCase.contains("update"))
   }
+
+  private def aggPump(src: String, dest: String, ckpt: String): Unit = {
+    val q = spark.readStream.format("graft-deltalake").load(src)
+      .groupBy(col("g"))
+      .agg(org.apache.spark.sql.functions.count(col("id")).as("n"))
+      .writeStream.format("graft-deltalake")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(dest)
+    q.awaitTermination()
+  }
+
+  test("complete mode on a CDF table EMITS full-table change files — " +
+      "a downstream feed consumer stays alive across the recompute") {
+    import spark.implicits._
+    val src = freshDir("cdf_src")
+    DeltaLake.stageCommit(spark, src, frame(1 to 10), Seq.empty, 0L)
+    DeltaLake.stageCommit(spark, src, frame(11 to 20), Seq.empty, 1L)
+    val dest = freshDir("cdf_dst")
+    // the destination pre-exists WITH the feed enabled
+    DeltaLake.write(spark, dest,
+      Seq(("seed", 0L)).toDF("g", "n"),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    aggPump(src, dest, freshDir("cdf_ck"))
+    // every overwrite commit carries cdc actions
+    val commits = new java.io.File(dest, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName).toSeq.tail
+    assert(commits.nonEmpty)
+    commits.foreach { f =>
+      val txt = java.nio.file.Files.readString(f.toPath)
+      assert(txt.contains("\"cdc\""),
+        s"complete-mode commit ${f.getName} on a CDF table carries " +
+          s"no change files: $txt")
+    }
+    // the feed reads the whole window (no fail-fast) and NETS to the
+    // final content: apply inserts minus deletes in version order
+    val feed = DeltaLake.changeFeed(spark, dest, afterVersion = 0L)
+      .collect()
+    val live = scala.collection.mutable.Map.empty[String, Long]
+    feed.groupBy(_.getLong(feed.head.fieldIndex("_commit_version")))
+      .toSeq.sortBy(_._1).foreach { case (_, rows) =>
+        // within one commit the delete(old) must land before the
+        // insert(new) of the same key — a recompute touches every key
+        val (dels, ins) = rows.partition(r =>
+          r.getString(r.fieldIndex("_change_type")) == "delete")
+        dels.foreach(r => live.remove(r.getString(r.fieldIndex("g"))))
+        ins.foreach { r =>
+          assert(r.getString(r.fieldIndex("_change_type")) == "insert")
+          live(r.getString(r.fieldIndex("g"))) =
+            r.getLong(r.fieldIndex("n"))
+        }
+      }
+    assert(live.toMap == Map("g0" -> 10L, "g1" -> 10L),
+      s"feed did not net to the final content: $live")
+    assert(live.toMap == DeltaLake.snapshot(spark, dest).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
+  test("sink gates mirror the batch writer: appendOnly refuses " +
+      "complete mode, CHECK constraints refuse everything, and " +
+      "complete-mode removes CARRY deletion vectors") {
+    import spark.implicits._
+    val src = freshDir("gate_src")
+    DeltaLake.stageCommit(spark, src, frame(1 to 10), Seq.empty, 0L)
+
+    // appendOnly: complete mode removes files — refused
+    val d1 = freshDir("gate_ao")
+    DeltaLake.write(spark, d1, Seq(("seed", 0L)).toDF("g", "n"),
+      properties = Map("delta.appendOnly" -> "true"))
+    val e1 = intercept[Exception] {
+      aggPump(src, d1, freshDir("gate_ao_ck"))
+    }
+    assert(e1.toString.contains("appendOnly") ||
+      e1.getCause != null && e1.getCause.toString.contains("appendOnly"),
+      s"expected the appendOnly gate, got: $e1")
+
+    // CHECK constraints: this writer does not evaluate them — refused
+    // even in append mode
+    val d2 = freshDir("gate_ck")
+    val ld = new java.io.File(d2, "_delta_log"); ld.mkdirs()
+    val ss = Seq(("x", 0L)).toDF("g", "n").schema.json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    java.nio.file.Files.writeString(
+      new java.io.File(ld, f"${0L}%020d.json").toPath,
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}
+         |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$ss","partitionColumns":[],"configuration":{"delta.constraints.pos":"n >= 0"}}}
+         |""".stripMargin)
+    val e2 = intercept[Exception] {
+      pump(src, d2, freshDir("gate_ck_ck"))
+    }
+    assert(e2.toString.contains("constraints") ||
+      e2.getCause != null &&
+        e2.getCause.toString.contains("constraints"),
+      s"expected the CHECK-constraint gate, got: $e2")
+
+    // DV carry: a complete-mode overwrite's removes must keep the
+    // removed file's deletionVector descriptor
+    val d3 = freshDir("gate_dv")
+    DeltaLake.write(spark, d3, (1 to 10).map(i => (i.toLong, s"g$i"))
+      .toDF("id", "g"))
+    DeltaLake.stageDvDeleteCommit(spark, d3, col("id") === 3L, 1L)
+    val q = spark.readStream.format("graft-deltalake").load(src)
+      .groupBy(col("g"))
+      .agg(org.apache.spark.sql.functions.count(col("id"))
+        .cast("string").as("g2"),
+        org.apache.spark.sql.functions.max(col("id")).as("id2"))
+      .select(col("id2").as("id"), col("g2").as("g"))
+      .writeStream.format("graft-deltalake")
+      .outputMode("complete")
+      .option("checkpointLocation", freshDir("gate_dv_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start(d3)
+    q.awaitTermination()
+    val last = new java.io.File(d3, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).map(_.toPath)
+      .sortBy(_.toString).last
+    val txt = java.nio.file.Files.readString(last)
+    assert(txt.contains("\"remove\"") &&
+      txt.contains("\"deletionVector\""),
+      s"the overwrite's remove dropped the file's DV descriptor: $txt")
+  }
 }
