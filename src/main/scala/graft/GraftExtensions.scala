@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+import graft.sources.GraftLakeRelation
+
+/** Session extensions making the lakehouse readers first-class in SQL
+  * and in the DataFrame reader — install with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
+  * `.withExtensions(new GraftExtensions)`).
+  *
+  * One analyzer rule, two jobs:
+  *
+  *  1. `spark.read.format("graft-deltalake"/"graft-iceberg")` plans
+  *     resolve to a [[GraftLakeRelation]] leaf; the rule SPLICES the
+  *     library-built logical plan in its place (same output attribute
+  *     ids, so parent references hold). The executed plan is then the
+  *     native log-backed parquet scan — pushdown, partition pruning,
+  *     stats skipping, whole-stage codegen — not the V1 row fallback.
+  *  2. Temp-view-free SQL access:
+  *     `SELECT ... FROM graft_delta.`/path/to/table`` and
+  *     `graft_iceberg.`...`` resolve the path directly (the two-part
+  *     "schema" names are claimed by this rule before catalog lookup
+  *     can fail them).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectResolutionRule(session => new ResolveGraftRelations(session))
+    ()
+  }
+}
+
+/** The splice rule (see [[GraftExtensions]]). Runs in the analyzer's
+  * resolution batch: by the time any downstream rule sees the plan,
+  * graft relations are ordinary analyzed subtrees.
+  */
+class ResolveGraftRelations(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  private val SqlSchemes =
+    Map("graft_delta" -> "graft-deltalake",
+      "graft_iceberg" -> "graft-iceberg")
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case lr: LogicalRelation
+          if lr.relation.isInstanceOf[GraftLakeRelation] =>
+        val spliced = lr.relation.asInstanceOf[GraftLakeRelation]
+          .resolved.queryExecution.analyzed
+        val byName = spliced.output.map(a => a.name -> a).toMap
+        // keep the leaf's attribute ids: references already bound to
+        // the relation's output must keep resolving after the splice
+        Project(lr.output.map { o =>
+          val src = byName.getOrElse(o.name,
+            throw new IllegalStateException(
+              s"graft splice: relation output '${o.name}' missing " +
+                s"from the library plan (${byName.keys.mkString(",")})"))
+          Alias(src, o.name)(exprId = o.exprId)
+        }, spliced)
+
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 2 &&
+            SqlSchemes.contains(u.multipartIdentifier.head.toLowerCase) =>
+        val path = u.multipartIdentifier(1)
+        val fmt = SqlSchemes(u.multipartIdentifier.head.toLowerCase)
+        SubqueryAlias(u.multipartIdentifier.last,
+          GraftLakeRelation.resolve(session, fmt, path, Map.empty)
+            .queryExecution.analyzed)
+    }
+}

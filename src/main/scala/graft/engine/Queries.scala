@@ -3146,7 +3146,105 @@ object Queries {
              |  COUNT(DISTINCT o_custkey) AS n_cust
              |FROM orders
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // BATCH READER API (r13): `spark.read.format("graft-deltalake")`
+    // over the registered V1 provider — the SQL-first entry the r11
+    // review named as the top production gap. GraftExtensions splices
+    // the native log-backed scan in place of the relation leaf
+    // (LakeReaderApiSpec pins "file scan, never the row fallback"), so
+    // hash equality here proves the REGISTERED path serves the same
+    // bytes as the library API, through the same pruned plan.
+    QueryDef("deltalake_reader_api",
+      (s, d) => s.read.format("graft-deltalake")
+        .load(deltaLakeOrders(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  MAX(o_orderkey) AS max_key
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // BATCH READER API, ICEBERG + TIME-TRAVEL OPTION (r13): the
+    // `snapshotId` read option resolves the historical snapshot through
+    // the registered provider — the connector idiom
+    // (`option("snapshotId", ...)`) on the native manifest fold. The
+    // oracle recomputes the first snapshot's membership from the
+    // fixture's deterministic 90%-of-key-range split.
+    QueryDef("iceberg_reader_api",
+      (s, d) => s.read.format("graft-iceberg")
+        .option("snapshotId", "1")
+        .load(icebergOrders(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  MAX(o_orderkey) AS max_key
+             |FROM orders
+             |WHERE o_orderkey < (SELECT (MAX(o_orderkey)*9)//10 FROM orders)
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // BATCH WRITER API (r13): `df.write.format("graft-deltalake")` —
+    // SaveMode append then overwrite through the registered V1
+    // provider onto the native exclusive-commit writer, partition
+    // layout riding the `partitionBy` option. Read back through the
+    // reader API: the whole registered round trip, one hash oracle.
+    QueryDef("deltalake_writer_api",
+      (s, d) => s.read.format("graft-deltalake")
+        .load(deltaLakeOrdersApiWritten(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE o_custkey % 5 <> 0
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // TEMP-VIEW-FREE SQL (r13): `FROM graft_delta.`path`` — the
+    // GraftExtensions identifier resolution, a CROSS-FORMAT join of
+    // the Delta and Iceberg fixtures in nothing but SQL. Both sides
+    // splice to native scans; the join keys are the order keys both
+    // fixtures carry in full, so the oracle is a self-join of orders.
+    QueryDef("sql_lake_identifier",
+      (s, d) => {
+        val dd = deltaLakeOrders(s, d)
+        val ii = icebergOrders(s, d)
+        s.sql(
+          s"""SELECT d.o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM graft_delta.`$dd` d
+             |JOIN graft_iceberg.`$ii` i ON d.o_orderkey = i.o_orderkey
+             |WHERE d.o_custkey % 7 = 0
+             |GROUP BY d.o_orderpriority
+             |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT d.o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders d JOIN orders i ON d.o_orderkey = i.o_orderkey
+             |WHERE d.o_custkey % 7 = 0
+             |GROUP BY d.o_orderpriority
+             |ORDER BY pri""".stripMargin))
   )
 
   /** The staged two-commit Delta table the `deltalake_*` queries read:
@@ -3183,6 +3281,28 @@ object Queries {
         ord.filter(col("o_custkey") % 2 =!= 0))
       graft.sources.DeltaLake.write(s, p,
         ord.filter(col("o_custkey") % 3 =!= 0), mode = "overwrite")
+      ()
+    }
+
+  /** The DataFrame-WRITER-API-built Delta table — the
+    * `deltalake_writer_api` fixture: append + append + overwrite
+    * entirely through `df.write.format("graft-deltalake")` (the
+    * registered V1 provider), partition layout via the `partitionBy`
+    * option. The final overwrite keeps custkey % 5 != 0.
+    */
+  private[graft] def deltaLakeOrdersApiWritten(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "deltalake_orders_apiw_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      ord.filter(col("o_custkey") % 2 === 0)
+        .write.format("graft-deltalake")
+        .option("partitionBy", "o_orderpriority").save(p)
+      ord.filter(col("o_custkey") % 2 =!= 0)
+        .write.format("graft-deltalake").mode("append").save(p)
+      ord.filter(col("o_custkey") % 5 =!= 0)
+        .write.format("graft-deltalake").mode("overwrite")
+        .option("partitionBy", "o_orderpriority").save(p)
       ()
     }
 

@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, Filter, PrunedFilteredScan}
+import org.apache.spark.sql.types.StructType
+
+/** The BATCH DataFrame-reader surface for the native lakehouse readers:
+  * `spark.read.format("graft-deltalake").load(path)` /
+  * `format("graft-iceberg")` resolve to THIS relation (the streaming
+  * halves of the same providers tail the log; this is the snapshot
+  * read). The reference's north star is "Spark SQL + lakehouse reader"
+  * — a SQL-first user expects `spark.read.format(...)` and
+  * `FROM graft_delta.`/path`` to work without touching the library
+  * API, which was the top gap named by the r11 review.
+  *
+  * Execution has two tiers:
+  *
+  *  - WITH [[graft.GraftExtensions]] installed (the documented session
+  *    setup), the analyzer rule replaces this relation with the
+  *    library-built logical plan — the SAME single
+  *    [[LogFileIndex]]-backed parquet scan the library API produces,
+  *    with partition pruning, stats skipping, filter pushdown, and
+  *    whole-stage codegen intact. This is the production path; the
+  *    plan-audit spec pins that no RDD scan survives.
+  *  - WITHOUT extensions, the [[PrunedFilteredScan]] fallback executes
+  *    the library DataFrame and serves converted rows. Correct but
+  *    row-based (one extra conversion boundary); `unhandledFilters`
+  *    keeps every filter with Spark, so skipped pushdown can never
+  *    drop rows.
+  *
+  * Read options (mirroring the connector idioms):
+  *  - delta: `versionAsOf`, `timestampAsOf` (epoch ms),
+  *    `readChangeFeed` + `startingVersion`/`endingVersion`
+  *  - iceberg: `snapshotId`, `asOfTimestamp` (epoch ms), `branch`,
+  *    `tag`
+  */
+final case class GraftLakeRelation(format: String, path: String,
+    parameters: Map[String, String],
+    @transient sqlCtx: SQLContext)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = sqlCtx
+
+  /** The library DataFrame these parameters name — built lazily ONCE
+    * per relation (the log fold behind `.schema` is metadata-sized).
+    */
+  @transient lazy val resolved: DataFrame =
+    GraftLakeRelation.resolve(sqlCtx.sparkSession, format, path,
+      parameters)
+
+  override def schema: StructType = resolved.schema
+
+  override def needConversion: Boolean = false
+
+  /** Spark re-applies every filter above this scan (`unhandledFilters`
+    * defaults to "all"), so the fallback only prunes columns — filters
+    * are a pushdown OPPORTUNITY the extension path takes instead.
+    */
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val projected =
+      if (requiredColumns.isEmpty)
+        // COUNT(*)-shaped scan: no columns requested, rows still count
+        resolved.select()
+      else resolved.select(requiredColumns.toIndexedSeq.map(col): _*)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+
+  override def toString: String = s"GraftLakeRelation($format, $path)"
+}
+
+object GraftLakeRelation {
+
+  /** Option-set → library DataFrame, shared by the relation and the
+    * SQL-identifier resolution ([[graft.GraftExtensions]]).
+    */
+  def resolve(spark: SparkSession, format: String, path: String,
+      parameters: Map[String, String]): DataFrame = {
+    // exactly one time-travel/feed selector may be present — silently
+    // preferring one would read a different table state than asked
+    def opt(k: String): Option[String] =
+      parameters.get(k).orElse(parameters.get(k.toLowerCase))
+    format match {
+      case "graft-deltalake" =>
+        val selectors = Seq("versionAsOf", "timestampAsOf",
+          "readChangeFeed").flatMap(k => opt(k).map(k -> _))
+        require(selectors.size <= 1,
+          s"graft-deltalake: conflicting read options " +
+            s"${selectors.map(_._1)} — pick one")
+        if (opt("readChangeFeed").exists(_.toBoolean))
+          DeltaLake.changeFeed(spark, path,
+            // startingVersion is INCLUSIVE (connector idiom)
+            afterVersion = opt("startingVersion").map(_.toLong - 1)
+              .getOrElse(-1L),
+            toVersion = opt("endingVersion").map(_.toLong))
+        else if (opt("timestampAsOf").isDefined)
+          DeltaLake.snapshotAsOf(spark, path,
+            opt("timestampAsOf").get.toLong)
+        else
+          DeltaLake.snapshot(spark, path,
+            version = opt("versionAsOf").map(_.toLong))
+      case "graft-iceberg" =>
+        val selectors = Seq("snapshotId", "asOfTimestamp", "branch",
+          "tag").flatMap(k => opt(k).map(k -> _))
+        require(selectors.size <= 1,
+          s"graft-iceberg: conflicting read options " +
+            s"${selectors.map(_._1)} — pick one")
+        if (opt("branch").isDefined || opt("tag").isDefined)
+          Iceberg.snapshotRef(spark, path,
+            opt("branch").orElse(opt("tag")).get)
+        else if (opt("asOfTimestamp").isDefined)
+          Iceberg.snapshotAsOf(spark, path,
+            opt("asOfTimestamp").get.toLong)
+        else
+          Iceberg.snapshot(spark, path,
+            snapshotId = opt("snapshotId").map(_.toLong))
+      case other => throw new IllegalArgumentException(
+        s"GraftLakeRelation: unknown format '$other'")
+    }
+  }
+
+  /** The V1 batch-writer half (`df.write.format(...).save(path)`).
+    * SaveMode maps onto the native writers' modes; `partitionBy` rides
+    * an option (the V1 `CreatableRelationProvider` interface carries
+    * none) using each format's partition syntax — plain columns for
+    * Delta, spec strings (`days(ts)`, `bucket(8, id)`) for Iceberg.
+    */
+  def write(spark: SparkSession, format: String, path: String,
+      mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
+      data: DataFrame): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val partitionBy = parameters.get("partitionBy").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val exists = format match {
+      case "graft-deltalake" =>
+        new java.io.File(path, "_delta_log").exists()
+      case _ => new java.io.File(path, "metadata").exists()
+    }
+    val m = mode match {
+      case SaveMode.Append => Some("append")
+      case SaveMode.Overwrite => Some("overwrite")
+      case SaveMode.ErrorIfExists =>
+        require(!exists, s"$format: table already exists at $path " +
+          "(SaveMode.ErrorIfExists)")
+        Some("append")
+      case SaveMode.Ignore => if (exists) None else Some("append")
+    }
+    m.foreach { realMode =>
+      format match {
+        case "graft-deltalake" =>
+          DeltaLake.write(spark, path, data, realMode, partitionBy)
+        case "graft-iceberg" =>
+          Iceberg.write(spark, path, data, realMode, partitionBy)
+        case other => throw new IllegalArgumentException(
+          s"GraftLakeRelation: unknown format '$other'")
+      }
+      ()
+    }
+  }
+}

@@ -62,6 +62,8 @@ private[streaming] object StreamMark {
 
 class DeltaLogStreamProvider extends StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-deltalake"
@@ -70,6 +72,34 @@ class DeltaLogStreamProvider extends StreamSourceProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-deltalake source requires .load(<table path>) or " +
         "option(\"path\", ...)"))
+
+  /** BATCH read — `spark.read.format("graft-deltalake").load(path)`,
+    * with `versionAsOf`/`timestampAsOf`/`readChangeFeed` options (see
+    * [[graft.sources.GraftLakeRelation]]). With
+    * [[graft.GraftExtensions]] installed the relation resolves to the
+    * native log-backed scan plan; without, a correct row-based
+    * fallback serves it.
+    */
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation =
+    graft.sources.GraftLakeRelation(shortName(), pathOf(parameters),
+      parameters, ctx)
+
+  /** BATCH write — `df.write.format("graft-deltalake")
+    * .mode(...).option("partitionBy", "a,b").save(path)` through the
+    * native [[DeltaLake.write]] (exclusive commits, stats, protocol
+    * upgrades — everything the library writer does).
+    */
+  override def createRelation(ctx: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String], data: org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    graft.sources.GraftLakeRelation.write(ctx.sparkSession, shortName(),
+      pathOf(parameters), mode, parameters, data.toDF())
+    createRelation(ctx, parameters)
+  }
 
   private def cdfOf(parameters: Map[String, String]): Boolean =
     parameters.get("readChangeFeed").exists(_.toBoolean)

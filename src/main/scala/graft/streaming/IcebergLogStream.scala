@@ -34,6 +34,8 @@ import graft.sources.Iceberg
   */
 class IcebergLogStreamProvider extends StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-iceberg"
@@ -42,6 +44,30 @@ class IcebergLogStreamProvider extends StreamSourceProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-iceberg source requires .load(<table path>) or " +
         "option(\"path\", ...)"))
+
+  /** BATCH read — `spark.read.format("graft-iceberg").load(path)`,
+    * with `snapshotId`/`asOfTimestamp`/`branch`/`tag` options (see
+    * [[graft.sources.GraftLakeRelation]]).
+    */
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation =
+    graft.sources.GraftLakeRelation(shortName(), pathOf(parameters),
+      parameters, ctx)
+
+  /** BATCH write — `df.write.format("graft-iceberg").mode(...)
+    * .option("partitionBy", "days(ts)").save(path)` through the native
+    * [[Iceberg.write]].
+    */
+  override def createRelation(ctx: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String], data: org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    graft.sources.GraftLakeRelation.write(ctx.sparkSession, shortName(),
+      pathOf(parameters), mode, parameters, data.toDF())
+    createRelation(ctx, parameters)
+  }
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String])

@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 174 declared operator queries are all present (SURVEY §2)") {
+  test("the 178 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -84,8 +84,11 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "deltalake_merge_dml", "iceberg_write", "iceberg_delete_dml",
       "iceberg_update_dml", "deltalake_zorder", "iceberg_merge_dml",
       "deltalake_cdf_dml", "iceberg_zorder", "deltalake_restore",
-      "iceberg_rollback")
-    assert(declared.size == 174)
+      "iceberg_rollback",
+      // round-13 surface
+      "deltalake_reader_api", "iceberg_reader_api",
+      "deltalake_writer_api", "sql_lake_identifier")
+    assert(declared.size == 178)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

@@ -1,0 +1,171 @@
+package graft.sources
+
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** The BATCH DataFrame-reader/writer registration
+  * (`spark.read.format("graft-deltalake"/"graft-iceberg")`,
+  * `df.write.format(...)`) and the SQL identifiers
+  * (`graft_delta.`path``) — the r11 review's top missing item. The
+  * load-bearing assertions: content equals the library API, the
+  * extension splice leaves a native file scan (never the V1 row
+  * fallback), read options select versions/refs/feeds, SaveModes map
+  * correctly, and the extension-less fallback still serves correct
+  * rows.
+  */
+class LakeReaderApiSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_rapi_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def frame(r: Range) =
+    r.map(i => (i.toLong, s"g${i % 4}")).toDF("id", "g").coalesce(1)
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  private def leaves(df: org.apache.spark.sql.DataFrame) =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution
+      .executedPlan.collectLeaves()
+
+  test("read.format resolves both formats to the NATIVE scan: content " +
+      "matches the library API and the plan is a file scan, not the " +
+      "V1 row fallback") {
+    val dd = freshDir("dread")
+    DeltaLake.write(spark, dd, frame(1 to 40), partitionBy = Seq("g"))
+    val dDf = spark.read.format("graft-deltalake").load(dd)
+    assert(ids(dDf) == (1L to 40L).toSet)
+    assert(dDf.schema == DeltaLake.snapshot(spark, dd).schema)
+
+    val id = freshDir("iread")
+    Iceberg.write(spark, id, frame(1 to 30))
+    val iDf = spark.read.format("graft-iceberg").load(id)
+    assert(ids(iDf) == (1L to 30L).toSet)
+
+    // the splice must leave the log-backed parquet scan — an RDD scan
+    // leaf means the fallback executed and pushdown/codegen are gone
+    Seq(dDf, iDf).foreach { df =>
+      val ls = leaves(df.filter(col("id") > 5))
+      assert(ls.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+        s"expected a native file scan, got: ${ls.map(_.nodeName)}")
+      assert(!ls.exists(_.nodeName.contains("Scan ExistingRDD")) &&
+        !ls.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec]),
+        s"V1 row fallback leaked into the plan: ${ls.map(_.nodeName)}")
+    }
+    // and partition pruning still works through the reader API
+    val pruned = dDf.filter(col("g") === "g1")
+    assert(pruned.count() == 10L)
+    val scan = leaves(pruned).collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.get
+    assert(scan.metrics("numFiles").value < 4,
+      "partition filter did not prune through the reader API")
+  }
+
+  test("read options: versionAsOf / timestampAsOf / readChangeFeed " +
+      "(delta), snapshotId / tag (iceberg); conflicts are refused") {
+    val dd = freshDir("dopts")
+    DeltaLake.write(spark, dd, frame(1 to 10))
+    DeltaLake.write(spark, dd, frame(11 to 20))
+    assert(ids(spark.read.format("graft-deltalake")
+      .option("versionAsOf", "0").load(dd)) == (1L to 10L).toSet)
+    assert(ids(spark.read.format("graft-deltalake")
+      .option("timestampAsOf", System.currentTimeMillis.toString)
+      .load(dd)) == (1L to 20L).toSet)
+    val feed = spark.read.format("graft-deltalake")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load(dd)
+    assert(feed.columns.contains("_change_type"))
+    assert(feed.collect().forall(r =>
+      r.getString(r.fieldIndex("_change_type")) == "insert"))
+    assert(ids(feed) == (11L to 20L).toSet)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-deltalake").option("versionAsOf", "0")
+        .option("timestampAsOf", "1").load(dd).schema
+    }
+
+    val id = freshDir("iopts")
+    val s1 = Iceberg.write(spark, id, frame(1 to 10))
+    Iceberg.stageRef(id, "audit", s1)
+    Iceberg.write(spark, id, frame(11 to 20))
+    assert(ids(spark.read.format("graft-iceberg")
+      .option("snapshotId", s1.toString).load(id)) == (1L to 10L).toSet)
+    assert(ids(spark.read.format("graft-iceberg")
+      .option("tag", "audit").load(id)) == (1L to 10L).toSet)
+    assert(ids(spark.read.format("graft-iceberg").load(id)) ==
+      (1L to 20L).toSet)
+  }
+
+  test("write.format: SaveModes map to the native writers on both " +
+      "formats; partitionBy rides the option") {
+    val dd = freshDir("dwrite")
+    frame(1 to 10).write.format("graft-deltalake")
+      .option("partitionBy", "g").save(dd)
+    frame(11 to 20).write.format("graft-deltalake")
+      .mode("append").save(dd)
+    assert(ids(DeltaLake.snapshot(spark, dd)) == (1L to 20L).toSet)
+    // the option landed a real partition layout (values in the log)
+    assert(DeltaLake.snapshotWhere(spark, dd, col("g") === "g1")
+      .count() == 5L)
+    frame(21 to 25).write.format("graft-deltalake")
+      .mode("overwrite").option("partitionBy", "g").save(dd)
+    assert(ids(DeltaLake.snapshot(spark, dd)) == (21L to 25L).toSet)
+    intercept[Exception] {
+      frame(1 to 3).write.format("graft-deltalake")
+        .mode("errorifexists").save(dd)
+    }
+    // Ignore on an existing table: no-op, never an error
+    frame(1 to 3).write.format("graft-deltalake").mode("ignore").save(dd)
+    assert(ids(DeltaLake.snapshot(spark, dd)) == (21L to 25L).toSet)
+
+    val id = freshDir("iwrite")
+    frame(1 to 10).write.format("graft-iceberg").save(id)
+    frame(11 to 20).write.format("graft-iceberg").mode("append").save(id)
+    assert(ids(Iceberg.snapshot(spark, id)) == (1L to 20L).toSet)
+    frame(21 to 25).write.format("graft-iceberg")
+      .mode("overwrite").save(id)
+    assert(ids(Iceberg.snapshot(spark, id)) == (21L to 25L).toSet)
+  }
+
+  test("SQL identifiers: graft_delta.`path` and graft_iceberg.`path` " +
+      "read without a temp view — including a cross-format join") {
+    val dd = freshDir("dsql")
+    DeltaLake.write(spark, dd, frame(1 to 20))
+    val id = freshDir("isql")
+    Iceberg.write(spark, id, frame(11 to 30))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_delta.`$dd`")
+      .head().getLong(0) == 20L)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_iceberg.`$id` WHERE id > 25")
+      .head().getLong(0) == 5L)
+    // cross-format join through nothing but SQL
+    val j = spark.sql(
+      s"""SELECT count(*) AS n FROM graft_delta.`$dd` d
+         |JOIN graft_iceberg.`$id` i ON d.id = i.id""".stripMargin)
+    assert(j.head().getLong(0) == 10L)
+  }
+
+  test("extension-less fallback: buildScan serves correct projected " +
+      "rows (unhandledFilters keeps filtering with Spark)") {
+    val dd = freshDir("dfall")
+    DeltaLake.write(spark, dd, frame(1 to 15))
+    val rel = GraftLakeRelation("graft-deltalake", dd, Map.empty,
+      spark.sqlContext)
+    assert(rel.schema.fieldNames.toSeq == Seq("id", "g"))
+    val got = rel.buildScan(Array("id"), Array.empty)
+      .asInstanceOf[org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow]]
+      .map(_.getLong(0)).collect().toSet
+    assert(got == (1L to 15L).toSet)
+  }
+}
