@@ -3244,7 +3244,55 @@ object Queries {
              |FROM orders d JOIN orders i ON d.o_orderkey = i.o_orderkey
              |WHERE d.o_custkey % 7 = 0
              |GROUP BY d.o_orderpriority
-             |ORDER BY pri""".stripMargin))
+             |ORDER BY pri""".stripMargin)),
+
+    // ICEBERG BRANCH WRITE (r13): write-audit-publish's WRITE half —
+    // Iceberg.writeToBranch lands the odd-custkey rows on branch
+    // `audit` while main holds only the evens. The query reads the
+    // BRANCH through the registered reader's `branch` option; the
+    // oracle is the full orders table, so a branch commit that leaked
+    // into main (or missed the branch-head base) shifts every group.
+    QueryDef("iceberg_branch_write",
+      (s, d) => s.read.format("graft-iceberg")
+        .option("branch", "audit")
+        .load(icebergOrdersBranched(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ICEBERG WAP PUBLISH (r13): the PUBLISH half — the audit branch
+    // is overwritten to the custkey%3 subset, then fastForward moves
+    // main to the audited head (ancestry-verified over the new
+    // parent-snapshot-id links). The query reads MAIN: hash equality
+    // proves the publish moved exactly the branch's content — a
+    // diverged or partial publish shifts the groups.
+    QueryDef("iceberg_wap_publish",
+      (s, d) => graft.sources.Iceberg
+        .snapshot(s, icebergOrdersPublished(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |WHERE o_custkey % 3 <> 0
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 
   /** The staged two-commit Delta table the `deltalake_*` queries read:
@@ -3303,6 +3351,42 @@ object Queries {
       ord.filter(col("o_custkey") % 5 =!= 0)
         .write.format("graft-deltalake").mode("overwrite")
         .option("partitionBy", "o_orderpriority").save(p)
+      ()
+    }
+
+  /** The BRANCHED Iceberg table — the `iceberg_branch_write` fixture:
+    * main holds the even custkeys; branch `audit` appends the odds
+    * (full orders on the branch, main untouched — UNPUBLISHED).
+    */
+  private[graft] def icebergOrdersBranched(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_branch_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      graft.sources.Iceberg.write(s, p,
+        ord.filter(col("o_custkey") % 2 === 0))
+      graft.sources.Iceberg.writeToBranch(s, p,
+        ord.filter(col("o_custkey") % 2 =!= 0), "audit")
+      ()
+    }
+
+  /** The WAP-PUBLISHED Iceberg table — the `iceberg_wap_publish`
+    * fixture: branch `audit` is built up then OVERWRITTEN to the
+    * custkey%3 subset and fast-forwarded into main.
+    */
+  private[graft] def icebergOrdersPublished(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_wap_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      graft.sources.Iceberg.write(s, p,
+        ord.filter(col("o_custkey") % 2 === 0))
+      graft.sources.Iceberg.writeToBranch(s, p,
+        ord.filter(col("o_custkey") % 2 =!= 0), "audit")
+      graft.sources.Iceberg.writeToBranch(s, p,
+        ord.filter(col("o_custkey") % 3 =!= 0), "audit",
+        mode = "overwrite")
+      graft.sources.Iceberg.fastForward(s, p, "audit")
       ()
     }
 

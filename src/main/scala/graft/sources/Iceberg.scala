@@ -175,6 +175,14 @@ object Iceberg {
       ref: String): DataFrame =
     snapshot(spark, path, Some(snapshotIdForRef(path, ref)))
 
+  /** All named refs → head snapshot id (empty map on a fresh table). */
+  private def refHeads(path: String): Map[String, Long] = {
+    val md = readMetadata(path)
+    Option(md.get("refs")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.get("snapshot-id").asLong)
+      .toMap).getOrElse(Map.empty)
+  }
+
   /** The current snapshot id of the table. */
   def currentSnapshotId(path: String): Long = {
     val md = readMetadata(path)
@@ -1484,16 +1492,44 @@ object Iceberg {
     * manifest list (prior manifests + this one) and the next metadata
     * json. Returns the snapshot id.
     */
+  /** `toBranch`: commit to the named BRANCH ref instead of `main` —
+    * the write-audit-publish (WAP) shape. The new snapshot's BASE (the
+    * state whose manifests carry forward, the parent link, and what
+    * `expectBase` guards against) is the branch's head — or, for a
+    * branch being BORN by this commit, the current main head. `main`
+    * and `current-snapshot-id` do not move; [[fastForward]] publishes.
+    */
   private def commitSnapshot(spark: SparkSession, tableDir: String,
       tableSchema: StructType, partitionBy: Seq[String],
       entries: Seq[Entry], operation: String,
       summaryProps: Map[String, String] = Map.empty,
       exclusive: Boolean = false,
       tableProps: Map[String, String] = Map.empty,
-      expectBase: Option[Long] = None): Long = {
+      expectBase: Option[Long] = None,
+      toBranch: Option[String] = None): Long = {
     val mdDir = metadataDir(tableDir)
     mdDir.mkdirs()
     val (priorMd, version) = priorState(mdDir)
+    require(toBranch.isEmpty || toBranch.contains("main") ||
+        priorMd.isDefined,
+      s"Iceberg: cannot commit to branch '${toBranch.getOrElse("")}' " +
+        s"of $tableDir — the table does not exist yet (create it with " +
+        "a main write first)")
+    // the snapshot this commit builds ON: the branch head for branch
+    // commits (falling back to main's head when the branch is being
+    // born), main's head otherwise
+    val baseId: Option[Long] = {
+      val mainHead = priorMd.flatMap(md =>
+        Option(md.get("current-snapshot-id")).map(_.asLong)
+          .filter(_ >= 0))
+      toBranch.filterNot(_ == "main") match {
+        case Some(b) => priorMd.flatMap(md => Option(md.get("refs"))
+            .flatMap(r => Option(r.get(b)))
+            .map(_.get("snapshot-id").asLong))
+          .orElse(mainHead)
+        case None => mainHead
+      }
+    }
     // optimistic-concurrency guard for REWRITE-shaped commits: the
     // caller resolved state at `expectBase` and built file content
     // from it — a commit that landed since makes that content STALE
@@ -1501,12 +1537,10 @@ object Iceberg {
     // rewritten file), which the same-version hard-link alone cannot
     // catch because the interloper SHIFTED the version
     expectBase.foreach { base =>
-      val curId = priorMd.flatMap(md =>
-        Option(md.get("current-snapshot-id")).map(_.asLong))
-      if (!curId.contains(base))
+      if (!baseId.contains(base))
         throw new java.util.ConcurrentModificationException(
           s"Iceberg: table at $tableDir advanced from snapshot $base " +
-            s"to ${curId.getOrElse(-1L)} since this rewrite resolved " +
+            s"to ${baseId.getOrElse(-1L)} since this rewrite resolved " +
             "its state — the rewritten content is stale; re-run")
     }
     val snapshotId = version // deterministic fixture ids
@@ -1699,9 +1733,10 @@ object Iceberg {
         |]}""".stripMargin)
     val priorManifests: Seq[(String, Long, Int, Int)] =
       priorMd.toSeq.flatMap { md =>
+        // carry forward the BASE snapshot's manifests — the branch
+        // head for branch commits, main's head otherwise
         val lastSnap = md.get("snapshots").elements().asScala.toSeq
-          .find(_.get("snapshot-id").asLong ==
-            md.get("current-snapshot-id").asLong)
+          .find(s => baseId.contains(s.get("snapshot-id").asLong))
         lastSnap.toSeq.flatMap { s =>
           avroRecords(resolveRef(tableDir, s.get("manifest-list").asText))
             .map(r => (r.get("manifest_path").toString,
@@ -1759,6 +1794,10 @@ object Iceberg {
       .getOrElse((icebergSchemaJson(tableSchema), 0))
     val newSnap =
       s"""{"snapshot-id":$snapshotId,"sequence-number":$version,""" +
+        // the parent link is what makes [[fastForward]]'s ancestry
+        // walk (and any lineage introspection) possible — emitted for
+        // every commit that has a base, per the spec's snapshot shape
+        baseId.map(b => s""""parent-snapshot-id":$b,""").getOrElse("") +
         s""""timestamp-ms":${1700000000000L + version},""" +
         s""""manifest-list":"metadata/${mlFile.getName}",""" +
         s""""summary":{${(Seq(s""""operation":"$operation"""") ++
@@ -1795,12 +1834,18 @@ object Iceberg {
       priorMd.flatMap(md => Option(md.get("refs"))).toSeq
         .flatMap(_.properties().asScala.map(e =>
           e.getKey -> M.writeValueAsString(e.getValue))).toMap
+    val movedRef = toBranch.filterNot(_ == "main").getOrElse("main")
     val refsJson = {
-      val entries = (priorRefs - "main") +
-        ("main" -> s"""{"snapshot-id":$snapshotId,"type":"branch"}""")
+      val entries = (priorRefs - movedRef) +
+        (movedRef -> s"""{"snapshot-id":$snapshotId,"type":"branch"}""")
       s""""refs":{${entries.toSeq.sortBy(_._1).map { case (k, v) =>
         s"${M.writeValueAsString(k)}:$v" }.mkString(",")}},"""
     }
+    // a branch commit leaves main (and the current pointer) in place
+    val currentId =
+      if (movedRef == "main") snapshotId
+      else priorMd.flatMap(md => Option(md.get("current-snapshot-id"))
+        .map(_.asLong)).getOrElse(-1L)
     val mdJson =
       s"""{"format-version":$formatVersion,"table-uuid":"${java.util.UUID
         .nameUUIDFromBytes(tableDir.getBytes("UTF-8"))}",
@@ -1813,7 +1858,7 @@ object Iceberg {
          |"current-schema-id":$curSchemaId,
          |"partition-specs":[$specsJson],
          |"default-spec-id":$specId,"last-partition-id":${999 + spec.size},
-         |"current-snapshot-id":$snapshotId,
+         |"current-snapshot-id":$currentId,
          |"snapshots":[$snapsJson]}""".stripMargin
     val target = new java.io.File(mdDir, s"v$version.metadata.json").toPath
     if (exclusive) writeMetadataExclusive(target, mdJson)
@@ -1848,7 +1893,8 @@ object Iceberg {
       tableDir: String, df: DataFrame, partitionBy: Seq[String],
       operation: String, summaryProps: Map[String, String],
       exclusive: Boolean, replaceTable: Boolean,
-      expectBase: Option[Long] = None): Long = {
+      expectBase: Option[Long] = None,
+      toBranch: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, datediff, floor, lit, month, pmod, substring, to_date, year}
     import IcebergTransforms._
     val root = new java.io.File(tableDir)
@@ -1921,7 +1967,11 @@ object Iceberg {
     // turn "replace" into "append on top of unreadable live content"
     val removals: Seq[Entry] =
       if (!replaceTable || !hasSnapshot(tableDir)) Seq.empty
-      else Seq(resolve(spark, tableDir, None)).flatMap { cur =>
+      // an overwrite REPLACES the target's content — for a branch
+      // commit that target is the BRANCH's live set, not main's
+      else Seq(resolve(spark, tableDir,
+        toBranch.filterNot(_ == "main")
+          .flatMap(b => refHeads(tableDir).get(b)))).flatMap { cur =>
           cur.files.map(f => Entry(2, f.path, f.size.getOrElse(0L),
             Map.empty, 0L, Map.empty)) ++
           cur.deleteFiles.map(f => Entry(2, f.path,
@@ -1933,7 +1983,7 @@ object Iceberg {
         }
     commitSnapshot(spark, tableDir, df.schema, partitionBy,
       entries ++ removals, operation, summaryProps, exclusive,
-      expectBase = expectBase)
+      expectBase = expectBase, toBranch = toBranch)
   }
 
   /** Whether `tableDir` is an Iceberg table WITH a current snapshot —
@@ -1995,6 +2045,111 @@ object Iceberg {
       // cannot catch), never survive a "replace"
       expectBase = if (mode == "overwrite") cur.map(_.snapshotId)
         else None)
+  }
+
+  /** PUBLIC BRANCH WRITER — commit `df` to the named BRANCH instead of
+    * `main`: the WRITE half of write-audit-publish (WAP), the
+    * production Iceberg staging pattern (land on `audit`, validate,
+    * then [[fastForward]] `main`). A branch not yet present is BORN at
+    * the current main head; an existing branch advances from its own
+    * head (parent links recorded, so the publish can verify ancestry).
+    * `main` and every reader of it are untouched until the publish.
+    * `mode` is `append` or `overwrite` — overwrite replaces the
+    * BRANCH's live set, pinned to the branch head this call resolved
+    * (`expectBase`: a racing branch writer fails loudly). Writing to a
+    * TAG is refused — tags are immutable pins.
+    */
+  def writeToBranch(spark: SparkSession, tableDir: String, df: DataFrame,
+      branch: String, mode: String = "append",
+      partitionBy: Seq[String] = Seq.empty): Long = {
+    require(branch.nonEmpty, "writeToBranch: branch name is empty")
+    if (branch == "main")
+      return write(spark, tableDir, df, mode, partitionBy)
+    require(mode == "append" || mode == "overwrite",
+      s"Iceberg.writeToBranch: mode must be 'append' or 'overwrite', " +
+        s"got '$mode'")
+    require(hasSnapshot(tableDir),
+      s"Iceberg.writeToBranch: $tableDir does not exist yet — create " +
+        "the table with a main write first (a branch needs a base)")
+    val md = readMetadata(tableDir)
+    Option(md.get("refs")).flatMap(r => Option(r.get(branch)))
+      .foreach(r => require(r.get("type").asText != "tag",
+        s"Iceberg.writeToBranch: '$branch' is a TAG — tags are " +
+          "immutable pins; branch from it explicitly instead"))
+    val baseHead = refHeads(tableDir)
+      .getOrElse(branch, currentSnapshotId(tableDir))
+    val base = resolve(spark, tableDir, Some(baseHead))
+    val parts = if (partitionBy.isEmpty) base.specStrings else partitionBy
+    require(parts == base.specStrings,
+      s"Iceberg.writeToBranch: table is partitioned by " +
+        s"(${base.specStrings.mkString(",")}) but the batch writes " +
+        s"(${parts.mkString(",")}) — mixed layouts break partition " +
+        "pruning")
+    stageAppendWith(spark, tableDir, df, parts,
+      if (mode == "overwrite") "overwrite" else "append", Map.empty,
+      exclusive = true, replaceTable = mode == "overwrite",
+      expectBase = if (mode == "overwrite") Some(baseHead) else None,
+      toBranch = Some(branch))
+  }
+
+  /** PUBLISH a branch — `fast_forward('main', branch)`: `main` (and
+    * the current-snapshot pointer) move to the branch's head as a
+    * METADATA-ONLY exclusive commit. Refused unless main's current
+    * head is an ANCESTOR of the branch head (walked over the
+    * snapshots' parent links): a diverged main means someone committed
+    * past the audit — fast-forwarding would silently drop their work,
+    * the exact lost-update WAP exists to prevent. The branch ref stays
+    * (Iceberg's procedure keeps it; drop it via maintenance). Returns
+    * the published snapshot id.
+    */
+  def fastForward(spark: SparkSession, tableDir: String,
+      branch: String): Long = {
+    require(branch != "main",
+      "Iceberg.fastForward: 'main' onto itself is a no-op")
+    val md = readMetadata(tableDir)
+    val refs = Option(md.get("refs")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue).toMap).getOrElse(Map.empty)
+    val ref = refs.getOrElse(branch, throw new IllegalArgumentException(
+      s"Iceberg.fastForward: no ref '$branch' on $tableDir " +
+        s"(available: ${(refs.keySet + "main").toSeq.sorted
+          .mkString(", ")})"))
+    require(ref.get("type").asText == "branch",
+      s"Iceberg.fastForward: '$branch' is a tag, not a branch")
+    val target = ref.get("snapshot-id").asLong
+    val mainHead = currentSnapshotId(tableDir)
+    if (target == mainHead) return mainHead // already published
+    // ancestry walk over parent-snapshot-id links: main must sit on
+    // the branch's history or the branches diverged
+    val parents: Map[Long, Long] = Option(md.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala.toSeq)
+      .flatMap(s => Option(s.get("parent-snapshot-id")).map(p =>
+        s.get("snapshot-id").asLong -> p.asLong)).toMap
+    var cur = Option(target)
+    var found = false
+    while (cur.isDefined && !found) {
+      if (cur.get == mainHead) found = true
+      else cur = parents.get(cur.get)
+    }
+    require(found,
+      s"Iceberg.fastForward: main ($mainHead) is not an ancestor of " +
+        s"'$branch' ($target) — the branches diverged (a commit " +
+        "landed on main since the branch was cut); rebase the branch " +
+        "or merge explicitly instead of silently dropping main's work")
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val mdDir = metadataDir(tableDir)
+    val (_, version) = priorState(mdDir)
+    val out = md.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    out.put("current-snapshot-id", target)
+    out.get("refs").asInstanceOf[ObjectNode].putObject("main")
+      .put("snapshot-id", target).put("type", "branch")
+    out.put("last-updated-ms", 1700000000000L + version)
+    writeMetadataExclusive(
+      new java.io.File(mdDir, s"v$version.metadata.json").toPath,
+      M.writeValueAsString(out))
+    java.nio.file.Files.writeString(
+      new java.io.File(mdDir, "version-hint.text").toPath,
+      version.toString)
+    target
   }
 
   /** PUBLIC ROW-LEVEL DELETE — the FORMAT-VERSION 3 deletion-vector
