@@ -3328,6 +3328,7 @@ object DeltaLake {
     var emitMeta = next == 0L
     var priorConf: Map[String, String] = Map.empty
     var priorId: Option[String] = None
+    var cached = false
     if (next == 0L)
       actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     else {
@@ -3360,6 +3361,11 @@ object DeltaLake {
         tableDir)
       if (overwrite) {
         if (cdfEnabled(st)) {
+          // the batch frame runs TWICE on this arm (once as insert
+          // change rows here, once as the data files below) — cache it
+          // so an aggregation micro-batch isn't recomputed per use
+          df.persist()
+          cached = true
           // the recompute's row-level diff: old content out, new in
           // (unionByName tolerates schema evolution — the feed reader
           // fail-fasts on the metaData action regardless, so missing
@@ -3384,7 +3390,8 @@ object DeltaLake {
     txn.put("version", batchVersion)
     txn.put("lastUpdated", System.currentTimeMillis())
     actions += s"""{"txn":${M.writeValueAsString(txn)}}"""
-    actions ++= addFileActions(spark, tableDir, df, partitionBy)
+    try actions ++= addFileActions(spark, tableDir, df, partitionBy)
+    finally if (cached) { df.unpersist(); () }
     writeCommitExclusive(tableDir, next, actions.toSeq)
     next
   }

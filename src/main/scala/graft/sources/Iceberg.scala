@@ -2106,7 +2106,17 @@ object Iceberg {
       branch: String): Long = {
     require(branch != "main",
       "Iceberg.fastForward: 'main' onto itself is a no-op")
-    val md = readMetadata(tableDir)
+    // ONE consistent read: the metadata this publish rewrites and the
+    // version it lands at come from the same directory listing, so an
+    // interloping commit between them is impossible — it either
+    // happened before (we rewrite ITS content) or it takes our target
+    // version and the exclusive link below fails loudly. Separate
+    // readMetadata + priorState reads would let a commit land in
+    // between and be silently erased from the copy (lost update).
+    val mdDir = metadataDir(tableDir)
+    val (priorOpt, version) = priorState(mdDir)
+    val md = priorOpt.getOrElse(throw new IllegalArgumentException(
+      s"Iceberg.fastForward: no Iceberg table at $tableDir"))
     val refs = Option(md.get("refs")).map(_.properties().asScala
       .map(e => e.getKey -> e.getValue).toMap).getOrElse(Map.empty)
     val ref = refs.getOrElse(branch, throw new IllegalArgumentException(
@@ -2116,28 +2126,46 @@ object Iceberg {
     require(ref.get("type").asText == "branch",
       s"Iceberg.fastForward: '$branch' is a tag, not a branch")
     val target = ref.get("snapshot-id").asLong
-    val mainHead = currentSnapshotId(tableDir)
+    val mainHead = Option(md.get("current-snapshot-id"))
+      .map(_.asLong(-1L)).filter(_ >= 0).getOrElse(
+        throw new IllegalStateException(
+          s"Iceberg.fastForward: $tableDir has no current snapshot"))
     if (target == mainHead) return mainHead // already published
     // ancestry walk over parent-snapshot-id links: main must sit on
-    // the branch's history or the branches diverged
-    val parents: Map[Long, Long] = Option(md.get("snapshots")).toSeq
+    // the branch's history or the branches diverged. A hop whose
+    // parent id is recorded but whose snapshot ENTRY is gone means the
+    // chain was TRIMMED (expire dropped an intermediate) — distinct
+    // from genuine divergence, and expireSnapshots retains branch
+    // ancestry precisely so this cannot happen through this library's
+    // own maintenance.
+    val snaps = Option(md.get("snapshots")).toSeq
       .flatMap(_.elements().asScala.toSeq)
+    val present = snaps.map(_.get("snapshot-id").asLong).toSet
+    val parents: Map[Long, Long] = snaps
       .flatMap(s => Option(s.get("parent-snapshot-id")).map(p =>
         s.get("snapshot-id").asLong -> p.asLong)).toMap
     var cur = Option(target)
     var found = false
-    while (cur.isDefined && !found) {
+    var trimmed = false
+    while (cur.isDefined && !found && !trimmed) {
       if (cur.get == mainHead) found = true
-      else cur = parents.get(cur.get)
+      else {
+        val p = parents.get(cur.get)
+        if (p.exists(pp => !present.contains(pp) && pp != mainHead))
+          trimmed = true
+        else cur = p
+      }
     }
+    require(!trimmed,
+      s"Iceberg.fastForward: the parent chain of '$branch' ($target) " +
+        s"was TRIMMED past main ($mainHead) — expired history makes " +
+        "ancestry unverifiable; re-cut the branch from current main")
     require(found,
       s"Iceberg.fastForward: main ($mainHead) is not an ancestor of " +
         s"'$branch' ($target) — the branches diverged (a commit " +
         "landed on main since the branch was cut); rebase the branch " +
         "or merge explicitly instead of silently dropping main's work")
     import com.fasterxml.jackson.databind.node.ObjectNode
-    val mdDir = metadataDir(tableDir)
-    val (_, version) = priorState(mdDir)
     val out = md.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
     out.put("current-snapshot-id", target)
     out.get("refs").asInstanceOf[ObjectNode].putObject("main")
@@ -2825,19 +2853,44 @@ object Iceberg {
       keepLast: Int, dryRun: Boolean = false): Seq[String] = {
     import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
     require(keepLast >= 1, "expireSnapshots: keepLast must be >= 1")
-    val md = readMetadata(path)
+    // metadata and the version the trimmed copy lands at come from ONE
+    // directory listing (same contract as fastForward): an interloping
+    // commit either precedes this read or collides on the version and
+    // fails the exclusive link loudly — never silently erased
+    val mdDir = metadataDir(path)
+    val (mdOpt, version) = priorState(mdDir)
+    val md = mdOpt.getOrElse(throw new IllegalArgumentException(
+      s"expireSnapshots: no Iceberg table at $path"))
     val snaps = Option(md.get("snapshots")).toSeq
       .flatMap(_.elements().asScala.toSeq)
     val ordered = snaps.sortBy(s =>
       (Option(s.get("sequence-number")).map(_.asLong).getOrElse(0L),
         s.get("timestamp-ms").asLong))
-    val refPinned: Set[Long] =
+    val parents: Map[Long, Long] = snaps
+      .flatMap(s => Option(s.get("parent-snapshot-id")).map(p =>
+        s.get("snapshot-id").asLong -> p.asLong)).toMap
+    val refEntries: Seq[(String, JsonNode)] =
       Option(md.get("refs")).toSeq
-        .flatMap(_.properties().asScala
-          .map(_.getValue.get("snapshot-id").asLong)).toSet ++
+        .flatMap(_.properties().asScala.map(e => e.getKey -> e.getValue))
+    val refPinned: Set[Long] =
+      refEntries.map(_._2.get("snapshot-id").asLong).toSet ++
         Option(md.get("current-snapshot-id")).map(_.asLong).toSet
+    // a NON-main branch additionally pins its parent ANCESTRY (Iceberg
+    // expire's reachability rule): [[fastForward]] verifies publish
+    // ancestry over those links, so trimming an intermediate branch
+    // snapshot would permanently block the branch's WAP publish. Main
+    // is excluded — its ancestry is the whole history, which is
+    // exactly what keepLast exists to bound.
+    val branchAncestry: Set[Long] = refEntries
+      .filter { case (name, r) =>
+        name != "main" && r.get("type").asText == "branch" }
+      .flatMap { case (_, r) =>
+        Iterator.iterate(Option(r.get("snapshot-id").asLong))(
+          _.flatMap(parents.get)).takeWhile(_.isDefined).map(_.get)
+      }.toSet
     val retainIds = ordered.takeRight(keepLast)
-      .map(_.get("snapshot-id").asLong).toSet ++ refPinned
+      .map(_.get("snapshot-id").asLong).toSet ++ refPinned ++
+      branchAncestry
     val expired = ordered
       .filterNot(s => retainIds.contains(s.get("snapshot-id").asLong))
     if (expired.isEmpty) return Seq.empty
@@ -2865,8 +2918,8 @@ object Iceberg {
     if (!dryRun) {
       // trim the snapshot list FIRST (readers resolving mid-expire see
       // a consistent metadata before any file disappears), then delete
-      val mdDir = metadataDir(path)
-      val (_, version) = priorState(mdDir)
+      // — at the version paired with the md read above, so a racing
+      // commit collides on the exclusive link instead of being erased
       val trimmed = md.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
       val arr = trimmed.putArray("snapshots")
       ordered.filter(s => retainIds.contains(

@@ -84,8 +84,12 @@ object GraftLakeRelation {
       parameters.get(k).orElse(parameters.get(k.toLowerCase))
     format match {
       case "graft-deltalake" =>
-        val selectors = Seq("versionAsOf", "timestampAsOf",
-          "readChangeFeed").flatMap(k => opt(k).map(k -> _))
+        // readChangeFeed=false is a NO-OP, not a selector (the delta
+        // connector accepts an explicit false next to versionAsOf)
+        val selectors = Seq("versionAsOf", "timestampAsOf")
+          .flatMap(k => opt(k).map(k -> _)) ++
+          opt("readChangeFeed").filter(_.toBoolean)
+            .map("readChangeFeed" -> _)
         require(selectors.size <= 1,
           s"graft-deltalake: conflicting read options " +
             s"${selectors.map(_._1)} — pick one")
@@ -131,8 +135,41 @@ object GraftLakeRelation {
       mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
       data: DataFrame): Unit = {
     import org.apache.spark.sql.SaveMode
-    val partitionBy = parameters.get("partitionBy").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    // partitioning arrives two ways: the native
+    // `DataFrameWriter.partitionBy(...)`, which the V1 save path
+    // encodes as the `__partition_columns` JSON-array option, and this
+    // source's own `partitionBy` option (needed for Iceberg TRANSFORM
+    // specs — `partitionBy("days(ts)")` is a plain column name to
+    // Spark). Honoring only one would silently drop the user's layout.
+    val nativeParts: Seq[String] =
+      parameters.get("__partition_columns").toSeq.flatMap { json =>
+        val n = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(json)
+        (0 until n.size()).map(i => n.get(i).asText)
+      }
+    // the option syntax splits on TOP-LEVEL commas only — an Iceberg
+    // transform spec like `bucket(8, id)` carries commas of its own
+    val optionParts: Seq[String] =
+      parameters.get("partitionBy").toSeq.flatMap { s =>
+        val out = scala.collection.mutable.Buffer.empty[String]
+        val cur = new StringBuilder
+        var depth = 0
+        s.foreach {
+          case '(' => depth += 1; cur += '('
+          case ')' => depth -= 1; cur += ')'
+          case ',' if depth == 0 => out += cur.toString; cur.clear()
+          case c => cur += c
+        }
+        out += cur.toString
+        out.toSeq
+      }.map(_.trim).filter(_.nonEmpty)
+    require(nativeParts.isEmpty || optionParts.isEmpty ||
+        nativeParts == optionParts,
+      s"$format: partitionBy(...) says (${nativeParts.mkString(",")}) " +
+        s"but option(\"partitionBy\") says " +
+        s"(${optionParts.mkString(",")}) — pick one")
+    val partitionBy =
+      if (optionParts.nonEmpty) optionParts else nativeParts
     val exists = format match {
       case "graft-deltalake" =>
         new java.io.File(path, "_delta_log").exists()

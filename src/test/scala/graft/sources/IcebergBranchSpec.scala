@@ -116,6 +116,20 @@ class IcebergBranchSpec extends AnyFunSuite with SparkFixture {
       "expire deleted assets a live branch still references")
   }
 
+  test("expire retains BRANCH ancestry, so a publish still verifies " +
+      "after maintenance trims main's history") {
+    val dir = freshDir("expwap")
+    Iceberg.write(spark, dir, frame(1 to 10))
+    Iceberg.writeToBranch(spark, dir, frame(11 to 20), "audit")
+    Iceberg.writeToBranch(spark, dir, frame(21 to 25), "audit")
+    // maintenance between audit and publish: the intermediate branch
+    // snapshot (the parent link the publish walks) must survive
+    Iceberg.expireSnapshots(spark, dir, keepLast = 1)
+    val published = Iceberg.fastForward(spark, dir, "audit")
+    assert(published > 0)
+    assert(ids(Iceberg.snapshot(spark, dir)) == (1L to 25L).toSet)
+  }
+
   test("the registered reader's branch option reads the staged line") {
     val dir = freshDir("ropt")
     Iceberg.write(spark, dir, frame(1 to 10))

@@ -155,6 +155,33 @@ class LakeReaderApiSpec extends AnyFunSuite with SparkFixture {
     assert(j.head().getLong(0) == 10L)
   }
 
+  test("native partitionBy(...) is honored (V1 encodes it as " +
+      "__partition_columns); transform specs keep their commas; " +
+      "readChangeFeed=false is a no-op selector") {
+    // the standard writer API — silently dropping this layout was a
+    // review finding
+    val dd = freshDir("dnative")
+    frame(1 to 20).write.format("graft-deltalake")
+      .partitionBy("g").save(dd)
+    assert(DeltaLake.snapshotWhere(spark, dd, col("g") === "g1")
+      .count() == 5L)
+    // conflicting declarations are refused
+    intercept[Exception] {
+      frame(21 to 22).write.format("graft-deltalake").mode("append")
+        .partitionBy("g").option("partitionBy", "id").save(dd)
+    }
+    // an Iceberg transform spec carries commas of its own — the
+    // option split must be paren-aware
+    val id = freshDir("ibucket")
+    frame(1 to 32).write.format("graft-iceberg")
+      .option("partitionBy", "bucket(4, id)").save(id)
+    assert(ids(Iceberg.snapshot(spark, id)) == (1L to 32L).toSet)
+    // explicit false next to a time-travel selector is accepted
+    assert(ids(spark.read.format("graft-deltalake")
+      .option("readChangeFeed", "false").option("versionAsOf", "0")
+      .load(dd)) == (1L to 20L).toSet)
+  }
+
   test("extension-less fallback: buildScan serves correct projected " +
       "rows (unhandledFilters keeps filtering with Spark)") {
     val dd = freshDir("dfall")
