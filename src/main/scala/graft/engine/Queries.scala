@@ -3292,6 +3292,29 @@ object Queries {
              |FROM orders
              |WHERE o_custkey % 3 <> 0
              |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ICEBERG OVER ORC DATA FILES (r13): the migrated-Hive-estate
+    // shape — manifests list ORC data files, the scan rides a separate
+    // OrcFileFormat arm with the SAME manifest-driven stats skipping
+    // and partition values. The fixture is a genuinely mixed table
+    // (first snapshot parquet, second ORC — migration in progress), so
+    // hash equality pins the two-arm union, not just one format.
+    QueryDef("iceberg_orc_scan",
+      (s, d) => graft.sources.Iceberg
+        .snapshot(s, icebergOrdersOrc(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders
+             |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin))
   )
 
@@ -3387,6 +3410,23 @@ object Queries {
         ord.filter(col("o_custkey") % 3 =!= 0), "audit",
         mode = "overwrite")
       graft.sources.Iceberg.fastForward(s, p, "audit")
+      ()
+    }
+
+  /** The MIXED parquet+ORC Iceberg table — the `iceberg_orc_scan`
+    * fixture: the even custkeys land as a parquet snapshot, the odds
+    * as an ORC snapshot ([[graft.sources.Iceberg.stageOrcAppend]] —
+    * the migrated-estate shape).
+    */
+  private[graft] def icebergOrdersOrc(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_orc_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_custkey") % 2 === 0), Seq.empty)
+      graft.sources.Iceberg.stageOrcAppend(s, p,
+        ord.filter(col("o_custkey") % 2 =!= 0))
       ()
     }
 

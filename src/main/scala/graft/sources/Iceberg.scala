@@ -81,7 +81,8 @@ object Iceberg {
       partitionValues: Map[String, String],
       stats: Option[String] = None, size: Option[Long] = None,
       content: Int = 0, seq: Long = 0L, equalityIds: Seq[Int] = Seq.empty,
-      dvRef: Option[Puffin.DvRef] = None) {
+      dvRef: Option[Puffin.DvRef] = None,
+      format: String = "PARQUET") {
     /** Identity of one DELETE-FILE instance for window diffs: a plain
       * delete file is its path, but several DV blobs share one Puffin
       * path — a DV's identity is (path, blob offset). A REWRITTEN DV
@@ -422,7 +423,11 @@ object Iceberg {
         // PUFFIN is legal ONLY for a v3 deletion-vector entry in a
         // delete manifest; data files stay parquet-only
         val isPuffin = fmt.equalsIgnoreCase("PUFFIN")
+        // data files may be PARQUET or ORC (migrated Hive estates are
+        // frequently ORC — the r11 review's missing item #4); delete
+        // files stay parquet (positional/equality) or Puffin (DVs)
         require(fmt.equalsIgnoreCase("PARQUET") ||
+            (fmt.equalsIgnoreCase("ORC") && content == 0) ||
             (isPuffin && content == 1),
           s"Iceberg: file format $fmt not supported for $fp")
         val size = Option(optF(df, "file_size_in_bytes"))
@@ -512,7 +517,8 @@ object Iceberg {
             val stats = StatsSkip.statsJson(
               decodeBounds(optF(df, "lower_bounds"), idMap),
               decodeBounds(optF(df, "upper_bounds"), idMap))
-            files.put(fp, IceFile(fp, pv, stats, size, 0, seq))
+            files.put(fp, IceFile(fp, pv, stats, size, 0, seq,
+              format = fmt.toUpperCase))
           }
         }
       }
@@ -523,6 +529,17 @@ object Iceberg {
     val unionTransforms = specs.values.flatten.toSeq
       .groupBy(_.fieldName).valuesIterator
       .filter(fs => fs.forall(_ == fs.head)).map(_.head).toSeq
+    // ORC data files resolve BY NAME (Spark's ORC reader has no
+    // field-id matching), so any schema evolution in the history —
+    // renames above all — could silently serve nulls or stale columns
+    // from pre-evolution ORC files. Refuse the combination loudly.
+    if (files.values.exists(_.format == "ORC"))
+      require(Option(md.get("schemas"))
+          .forall(_.elements().asScala.size <= 1),
+        s"Iceberg: $path holds ORC data files AND a schema history — " +
+          "ORC columns resolve by NAME only (no field ids), so evolved " +
+          "schemas cannot be served safely; rewrite the ORC files with " +
+          "the current schema first")
     SnapshotMeta(wantId, schema, partCols, files.values.toSeq,
       deletes.values.toSeq, transforms,
       idMap.map { case (id, (name, _)) => id -> name },
@@ -858,6 +875,18 @@ object Iceberg {
     scanOf(spark, path, sm.copy(files = kept)).filter(predicate)
   }
 
+
+  /** Writer paths that READ data files (DML matching scans, COW
+    * rewrites, compaction) drive the parquet row-position machinery —
+    * an ORC estate must be refused up front, never half-rewritten.
+    */
+  private def requireParquetData(cur: SnapshotMeta, tableDir: String,
+      op: String): Unit =
+    require(cur.files.forall(_.format == "PARQUET"),
+      s"Iceberg.$op: $tableDir holds ORC data files — row-level " +
+        "operations need the parquet row-position surface; rewrite " +
+        "the estate to parquet first (or use the engine that wrote it)")
+
   private def scanOf(spark: SparkSession, path: String, sm: SnapshotMeta,
       withMeta: Boolean = false): DataFrame = {
     // FIELD-ID column resolution: the read schema's `parquet.field.id`
@@ -870,7 +899,7 @@ object Iceberg {
     // carrying NO ids at all fails loudly UNLESS the table carries
     // `schema.name-mapping.default`, in which case it resolves by
     // mapped name on a separate scan arm ([[mappedScan]], r11).
-    val logFiles = sm.files.map { f =>
+    def toLog(f: IceFile): LogFile = {
       val p = resolveRef(path, f.path)
       // size from the manifest: no per-file stat, and a file expired
       // past a consumer's snapshot fails LOUDLY at read instead of
@@ -883,6 +912,33 @@ object Iceberg {
       }
       LogFile(p, size, 0L, f.partitionValues, f.stats)
     }
+    // ORC data files ride a SEPARATE scan arm (same LogFileIndex
+    // machinery, OrcFileFormat relation) unioned with the parquet arm:
+    // manifests carry the stats and partition values either way, so
+    // pruning and skipping work identically. What ORC cannot serve is
+    // the ROW-POSITION surface — Spark's ORC `_metadata` has no
+    // row_index — so row-level deletes (positional, equality-scoped,
+    // DVs) and position-keyed callers (withMeta) are refused loudly;
+    // name mapping probes parquet footers and is refused too. Rename
+    // safety is guarded at [[resolve]] (schema history + ORC refused).
+    val (orcIce, parqIce) = sm.files.partition(_.format == "ORC")
+    if (orcIce.nonEmpty) {
+      require(sm.deleteFiles.isEmpty,
+        s"Iceberg: $path holds ORC data files AND row-level delete " +
+          "files — delete application needs row positions, which " +
+          "Spark's ORC scan does not surface; compact the deletes " +
+          "into the data (rewrite) or read with the engine that " +
+          "wrote them")
+      require(!withMeta,
+        s"Iceberg: $path holds ORC data files — the row-position " +
+          "surface (_metadata.row_index) is parquet-only, so " +
+          "signed/incremental sources cannot ride this table")
+      require(sm.nameMapping.isEmpty,
+        s"Iceberg: $path holds ORC data files AND a name mapping — " +
+          "the mapping probe reads parquet footers; ORC files " +
+          "resolve by name against the current schema only")
+    }
+    val logFiles = parqIce.map(toLog)
     // pushed data filters stats-skip against the decoded manifest
     // bounds inside listFiles (file-constant cut predicates are
     // evaluated in LakeScan for every format); lowering memoized per
@@ -892,9 +948,20 @@ object Iceberg {
     val keep = (filters: Seq[org.apache.spark.sql.catalyst.expressions
       .Expression], lf: LogFile) =>
       statsKeep(filters, lf) && transformKeep(filters, lf)
-    if (sm.deleteFiles.isEmpty)
-      mappedScan(spark, path, sm, logFiles, keep, withMeta)
-    else {
+    // the ORC arm: plain by-name read of the CURRENT schema (ids in
+    // the field metadata are inert for ORC), stats/transform pruning
+    // via the shared keep, no field-id options
+    def orcScan(): DataFrame = {
+      val plain = StructType(sm.schema.fields.map(f =>
+        f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+      LakeScan.scan(spark, path, plain, sm.partitionColumns,
+        orcIce.map(toLog), keep, withMeta = false, fileFormat = "orc")
+    }
+    if (parqIce.isEmpty && orcIce.nonEmpty) orcScan()
+    else if (sm.deleteFiles.isEmpty) {
+      val base = mappedScan(spark, path, sm, logFiles, keep, withMeta)
+      if (orcIce.isEmpty) base else base.unionByName(orcScan())
+    } else {
       // MERGE-ON-READ: subtract the delete files as BROADCAST
       // ANTI-JOINS — fully distributed, the delete sides are normal
       // scans never collected to the driver; broadcast because a
@@ -1414,14 +1481,23 @@ object Iceberg {
     * bounds — one job grouped by the hidden file name.
     */
   private def fileStatsOf(spark: SparkSession, dataSchema: StructType,
-      paths: Seq[String]): Map[String, (Long, Map[String, (Any, Any)])] = {
+      paths: Seq[String], format: String = "parquet")
+      : Map[String, (Long, Map[String, (Any, Any)])] = {
     if (paths.isEmpty) return Map.empty
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val statCols = statColsOf(dataSchema)
     val aggs = count(lit(1)).as("__n") +: statCols.flatMap(f => Seq(
       min(col(f.name)).as(s"__mn_${f.name}"),
       max(col(f.name)).as(s"__mx_${f.name}")))
-    idRead(spark, dataSchema, paths)
+    val rows =
+      if (format == "orc")
+        // ORC: plain by-name read (no field ids); `_metadata.file_name`
+        // is a base metadata field, available for every file source
+        spark.read.schema(StructType(dataSchema.fields.map(f =>
+          f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))))
+          .orc(paths: _*)
+      else idRead(spark, dataSchema, paths)
+    rows
       .groupBy(col("_metadata.file_name").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
@@ -1458,19 +1534,22 @@ object Iceberg {
     }: _*)
 
   private def writeDataFiles(root: java.io.File, df: DataFrame,
-      partitionBy: Seq[String], tag: String)
+      partitionBy: Seq[String], tag: String,
+      format: String = "parquet")
       : Seq[(java.io.File, Map[String, String])] = {
     val tmp = new java.io.File(root, s"_ice_tmp_$tag")
-    val w = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(tmp.getAbsolutePath)
+    val w0 = df.write.mode("overwrite")
+    val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*)
+      else w0
+    if (format == "orc") w.orc(tmp.getAbsolutePath)
+    else w.parquet(tmp.getAbsolutePath)
     val moved = mutable.Buffer.empty[(java.io.File, Map[String, String])]
     def walk(dir: java.io.File, pv: Map[String, String]): Unit =
       Option(dir.listFiles()).toSeq.flatten.sortBy(_.getName).foreach { f =>
         if (f.isDirectory && f.getName.contains("=")) {
           val Array(k, v) = f.getName.split("=", 2)
           walk(f, pv + (k -> DeltaLake.percentDecode(v)))
-        } else if (f.getName.endsWith(".parquet")) {
+        } else if (f.getName.endsWith(s".$format")) {
           val rel = (pv.map { case (k, v) => s"$k=$v" }.toSeq :+ f.getName)
             .mkString("/")
           val dest = new java.io.File(root, s"data/$rel")
@@ -1882,6 +1961,36 @@ object Iceberg {
     stageAppendWith(spark, tableDir, df, partitionBy, "append",
       Map.empty, exclusive = false, replaceTable = false)
 
+  /** Append `df` as ORC data files — the MIGRATED-HIVE-ESTATE shape
+    * (`migrate`/`add_files` over an ORC warehouse registers the
+    * existing ORC files): fixture machinery for the ORC READ path,
+    * mirroring what a Hive-to-Iceberg migration leaves on disk.
+    * Identity partitioning only (migrated Hive layouts are identity-
+    * partitioned by construction). Real bounds and record counts land
+    * in the manifest, so stats skipping prunes ORC files exactly like
+    * parquet ones.
+    */
+  def stageOrcAppend(spark: SparkSession, tableDir: String,
+      df: DataFrame, partitionBy: Seq[String] = Seq.empty): Long = {
+    val root = new java.io.File(tableDir)
+    val (_, version) = priorState({ val d = metadataDir(tableDir)
+      d.mkdirs(); d })
+    val moved = writeDataFiles(root, df, partitionBy, s"a$version",
+      format = "orc")
+    val dataSchema = StructType(
+      df.schema.filterNot(f => partitionBy.contains(f.name)))
+    val stats = fileStatsOf(spark, dataSchema,
+      moved.map(_._1.getAbsolutePath), format = "orc")
+    val entries = moved.map { case (file, pv) =>
+      val (n, perCol) = stats.getOrElse(file.getName,
+        (0L, Map.empty[String, (Any, Any)]))
+      Entry(1, root.toPath.relativize(file.toPath).toString,
+        file.length(), pv, n, perCol, format = "ORC")
+    }
+    commitSnapshot(spark, tableDir, df.schema, partitionBy, entries,
+      "append")
+  }
+
   /** [[stageAppend]] with the STREAMING-SINK commit shape: snapshot
     * summary properties (the txn ratchet rides there), EXCLUSIVE
     * metadata creation (racing writers fail loudly), and
@@ -2203,6 +2312,7 @@ object Iceberg {
     import spark.implicits._
     val root = new java.io.File(tableDir)
     val cur = resolve(spark, tableDir, None)
+    requireParquetData(cur, tableDir, "delete")
     val pred = org.apache.spark.sql.graft.GraftSql.predicateTree(predicate)
     val active = cur.pruneTransforms
       .filter(_.transform != IcebergTransforms.Identity)
@@ -2282,6 +2392,7 @@ object Iceberg {
     import org.apache.spark.sql.functions.{col, when}
     import spark.implicits._
     val cur = resolve(spark, tableDir, None)
+    requireParquetData(cur, tableDir, "update")
     require(cur.transforms
         .forall(_.transform == IcebergTransforms.Identity),
       "Iceberg.update: copy-on-write rewrites of transform-partitioned " +
@@ -2338,6 +2449,7 @@ object Iceberg {
     import org.apache.spark.sql.functions.{col, lit, when}
     import spark.implicits._
     val cur = resolve(spark, tableDir, None)
+    requireParquetData(cur, tableDir, "merge")
     require(cur.transforms
         .forall(_.transform == IcebergTransforms.Identity),
       "Iceberg.merge: copy-on-write rewrites of transform-partitioned " +
@@ -2620,6 +2732,7 @@ object Iceberg {
       s"rewriteDataFiles: targetFileBytes must be positive, got " +
         s"$targetFileBytes")
     val cur = resolve(spark, tableDir, None)
+    requireParquetData(cur, tableDir, "rewriteDataFiles")
     val zorder = zorderBy.nonEmpty
     val identitySources = cur.transforms
       .filter(_.transform == IcebergTransforms.Identity).map(_.sourceName)
@@ -3090,6 +3203,7 @@ object Iceberg {
     import spark.implicits._
     val root = new java.io.File(tableDir)
     val cur = resolve(spark, tableDir, None)
+    requireParquetData(cur, tableDir, "stageMorDelete")
     val dataSchema = StructType(
       cur.schema.filterNot(f => cur.partitionColumns.contains(f.name)))
     // existing delete positions, keyed by the manifest's file_path
@@ -3158,6 +3272,7 @@ object Iceberg {
     import org.apache.spark.sql.functions.{col, lit}
     val root = new java.io.File(tableDir)
     val cur = resolve(spark, tableDir, None)
+    requireParquetData(cur, tableDir, "stageDv")
     val dataSchema = StructType(
       cur.schema.filterNot(f => cur.partitionColumns.contains(f.name)))
     def canon(rel: String): String = resolveRef(tableDir, rel)
@@ -3353,6 +3468,7 @@ object Iceberg {
     import org.apache.spark.sql.functions.{col, lit}
     val root = new java.io.File(tableDir)
     val cur = resolve(spark, tableDir, None)
+    requireParquetData(cur, tableDir, "stageRewrite")
     require(cur.transforms
         .forall(_.transform == IcebergTransforms.Identity),
       "iceberg staging: copy-on-write rewrites of transform-partitioned " +

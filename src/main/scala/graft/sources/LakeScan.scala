@@ -77,7 +77,15 @@ object LakeScan {
       partitionColumns: Seq[String], files: Seq[LogFile],
       formatKeep: (Seq[Expression], LogFile) => Boolean,
       withMeta: Boolean = false,
-      options: Map[String, String] = Map.empty): DataFrame = {
+      options: Map[String, String] = Map.empty,
+      fileFormat: String = "parquet"): DataFrame = {
+    // ORC scans have no `_metadata.row_index` (Spark's OrcFileFormat
+    // uses the base metadata fields; only parquet adds the row index),
+    // so the row-position machinery (DVs, MoR deletes, signed sources)
+    // cannot ride them — callers guard, this is the backstop
+    require(fileFormat == "parquet" || !withMeta,
+      s"LakeScan: _metadata (row_index) is parquet-only; a $fileFormat " +
+        "scan cannot serve the row-position surface")
     val keep = (filters: Seq[Expression], lf: LogFile) =>
       filters.forall { e =>
         fileNameEval(e, new java.io.File(lf.path).getName, fullSchema)
@@ -102,11 +110,20 @@ object LakeScan {
       .asInstanceOf[StructType]
     val index = new LogFileIndex(spark,
       new org.apache.hadoop.fs.Path(tableRoot), files, partitionSchema, keep)
+    val fmt: org.apache.spark.sql.execution.datasources.FileFormat =
+      fileFormat match {
+        case "parquet" =>
+          new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat
+        case "orc" =>
+          new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+        case other => throw new IllegalArgumentException(
+          s"LakeScan: unsupported file format '$other'")
+      }
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index, partitionSchema,
       asNullable(dataSchema).asInstanceOf[StructType], None,
-      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      options)(spark)
+      fmt, options)(spark)
     val df = org.apache.spark.sql.graft.GraftSql.ofRows(spark,
       org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
     val cols = fullSchema.fieldNames.toIndexedSeq ++

@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** ORC data files in Iceberg tables — the migrated-Hive-estate shape
+  * (r11 review's missing item #4): the manifest fold accepts ORC data
+  * entries, the scan rides a separate OrcFileFormat arm (manifest
+  * stats/partition values prune identically), mixed parquet+ORC
+  * tables union, and everything ORC cannot serve safely — row-level
+  * deletes, the row-position surface, name mapping, schema evolution,
+  * DML rewrites — refuses loudly instead of silently misreading.
+  */
+class IcebergOrcSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_orc_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def frame(r: Range) =
+    r.map(i => (i.toLong, s"v$i", s"g${i % 2}")).toDF("id", "v", "p")
+      .coalesce(1)
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    df.asInstanceOf[classic.Dataset[_]].queryExecution
+      .executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+  }
+
+  test("an ORC-backed Iceberg table reads: content, partition values " +
+      "from the manifests, and stats skipping all work") {
+    val dir = freshDir("read")
+    Iceberg.stageOrcAppend(spark, dir, frame(1 to 20), Seq("p"))
+    Iceberg.stageOrcAppend(spark, dir, frame(21 to 40), Seq("p"))
+    val snap = Iceberg.snapshot(spark, dir)
+    assert(snap.columns.toSeq == Seq("id", "v", "p"))
+    assert(ids(snap) == (1L to 40L).toSet)
+    // partition values come from the MANIFESTS (identity partitioning
+    // strips the column from the data files)
+    assert(snap.filter(col("p") === "g1").count() == 20L)
+    // the files on disk are really ORC
+    val dataFiles = Option(new java.io.File(dir, "data").listFiles())
+      .toSeq.flatten.flatMap(d => Option(d.listFiles()).toSeq.flatten)
+    assert(dataFiles.exists(_.getName.endsWith(".orc")))
+    assert(!dataFiles.exists(_.getName.endsWith(".parquet")))
+    // manifest bounds prune: each append wrote 2 partition files with
+    // disjoint id ranges; a narrow id predicate plans fewer files
+    val all = plannedFiles(Iceberg.snapshot(spark, dir))
+    val narrow = plannedFiles(
+      Iceberg.snapshotWhere(spark, dir, col("id") <= 5))
+    assert(all == 4, s"expected 4 ORC files planned, got $all")
+    assert(narrow < all,
+      s"stats skipping did not prune ORC files: $narrow of $all")
+  }
+
+  test("a MIXED parquet+ORC table unions both arms — the migration-in-" +
+      "progress shape") {
+    val dir = freshDir("mixed")
+    Iceberg.stageAppend(spark, dir, frame(1 to 10), Seq.empty)
+    Iceberg.stageOrcAppend(spark, dir, frame(11 to 20))
+    val snap = Iceberg.snapshot(spark, dir)
+    assert(ids(snap) == (1L to 20L).toSet)
+    assert(snap.filter(col("id") === 15).select("v").head()
+      .getString(0) == "v15")
+    // time travel still resolves the parquet-only first snapshot
+    assert(ids(Iceberg.snapshot(spark, dir, Some(1L))) ==
+      (1L to 10L).toSet)
+  }
+
+  test("everything ORC cannot serve safely refuses loudly: row-level " +
+      "deletes, DML rewrites, the row-position surface, and schema " +
+      "evolution") {
+    val dir = freshDir("guards")
+    Iceberg.stageOrcAppend(spark, dir, frame(1 to 10))
+    val e1 = intercept[IllegalArgumentException] {
+      Iceberg.delete(spark, dir, col("id") === 1L)
+    }
+    assert(e1.getMessage.contains("ORC"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Iceberg.stageMorDelete(spark, dir, col("id") === 1L)
+    }
+    assert(e2.getMessage.contains("ORC"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Iceberg.snapshotWithMeta(spark, dir).collect()
+    }
+    assert(e3.getMessage.contains("row-position"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      Iceberg.rewriteDataFiles(spark, dir)
+    }
+    assert(e4.getMessage.contains("ORC"), e4.getMessage)
+    // a rename on an ORC estate: the by-name resolution cannot serve
+    // the evolved schema — refused at resolution, not silently nulled
+    Iceberg.stageRenameColumn(spark, dir, Map("v" -> "label"))
+    val e5 = intercept[IllegalArgumentException] {
+      Iceberg.snapshot(spark, dir).collect()
+    }
+    assert(e5.getMessage.contains("schema history"), e5.getMessage)
+  }
+
+  test("the registered reader serves ORC tables too") {
+    val dir = freshDir("rapi")
+    Iceberg.stageOrcAppend(spark, dir, frame(1 to 12))
+    assert(ids(spark.read.format("graft-iceberg").load(dir)) ==
+      (1L to 12L).toSet)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_iceberg.`$dir`")
+      .head().getLong(0) == 12L)
+  }
+}
