@@ -71,5 +71,22 @@ class ResolveGraftRelations(session: SparkSession)
         SubqueryAlias(u.multipartIdentifier.last,
           GraftLakeRelation.resolve(session, fmt, path, Map.empty)
             .queryExecution.analyzed)
+
+      // the file-based catalog's V2 relations splice the same way:
+      // the pinned native snapshot plan replaces the leaf, attribute
+      // ids preserved (graft.sources.GraftCatalog)
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.GraftCatalogTable] =>
+        val spliced = r.table.asInstanceOf[graft.sources.GraftCatalogTable]
+          .resolved(session).queryExecution.analyzed
+        val byName = spliced.output.map(a => a.name -> a).toMap
+        Project(r.output.map { o =>
+          val src = byName.getOrElse(o.name,
+            throw new IllegalStateException(
+              s"graft catalog splice: output '${o.name}' missing from " +
+                s"the pinned plan (${byName.keys.mkString(",")})"))
+          Alias(src, o.name)(exprId = o.exprId)
+        }, spliced)
     }
 }

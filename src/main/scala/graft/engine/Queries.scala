@@ -3315,7 +3315,68 @@ object Queries {
              |  COUNT(DISTINCT o_custkey) AS n_cust
              |FROM orders
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // FILE-BASED TRANSACTIONAL CATALOG, SQL READ (r13): tables read BY
+    // NAME (`gcat.db.orders`) through the registered TableCatalog —
+    // the catalog pins a (format, path, version) triple and the
+    // extensions splice the pinned native snapshot plan, so this is a
+    // CROSS-FORMAT join written with nothing but catalog names. The
+    // oracle is a self-join of orders over the two fixtures' shared
+    // key space.
+    QueryDef("catalog_sql_read",
+      (s, d) => {
+        val wh = catalogWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gcat",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+        s.sql(
+          """SELECT o.o_orderstatus AS st, COUNT(*) AS cnt,
+            |  CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS total
+            |FROM gcat.db.orders o
+            |JOIN gcat.db.orders_ice i ON o.o_orderkey = i.o_orderkey
+            |WHERE o.o_custkey % 4 = 1
+            |GROUP BY o.o_orderstatus
+            |ORDER BY st""".stripMargin)
+      },
+      Some("""SELECT d.o_orderstatus AS st, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders d JOIN orders i ON d.o_orderkey = i.o_orderkey
+             |WHERE d.o_custkey % 4 = 1
+             |GROUP BY d.o_orderstatus
+             |ORDER BY st""".stripMargin)),
+
+    // MULTI-TABLE TRANSACTION (r13): two tables (one Delta, one
+    // Iceberg) written INSIDE ONE catalog transaction — an append and
+    // a full overwrite — whose pins swapped in a single exclusive
+    // catalog commit. The query joins both THROUGH THE CATALOG: hash
+    // equality proves both pins advanced together to exactly the
+    // transaction's content (a partial swap or a stale pin shifts the
+    // join membership).
+    QueryDef("catalog_multi_table_txn",
+      (s, d) => {
+        val wh = catalogWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gcat",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+        s.sql(
+          """SELECT a.o_orderpriority AS pri, COUNT(*) AS cnt,
+            |  CAST(SUM(CAST(b.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS total
+            |FROM gcat.tx.a a
+            |JOIN gcat.tx.b b ON a.o_orderkey = b.o_orderkey
+            |GROUP BY a.o_orderpriority
+            |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders
+             |WHERE o_custkey % 3 <> 0
+             |GROUP BY o_orderpriority
+             |ORDER BY pri""".stripMargin))
   )
 
   /** The staged two-commit Delta table the `deltalake_*` queries read:
@@ -3427,6 +3488,45 @@ object Queries {
         ord.filter(col("o_custkey") % 2 === 0), Seq.empty)
       graft.sources.Iceberg.stageOrcAppend(s, p,
         ord.filter(col("o_custkey") % 2 =!= 0))
+      ()
+    }
+
+  /** The CATALOG WAREHOUSE — the `catalog_sql_read` /
+    * `catalog_multi_table_txn` fixture: one staged warehouse holding
+    * (a) name registrations over the shared Delta/Iceberg orders
+    * fixtures (`db.orders`, `db.orders_ice`, pinned at head) and (b)
+    * two fresh tables written through ONE catalog transaction —
+    * `tx.a` (Delta: evens, then the odds appended IN the transaction =
+    * all orders) and `tx.b` (Iceberg: a seed subset, then OVERWRITTEN
+    * in the transaction to custkey%3 != 0).
+    */
+  private[graft] def catalogWarehouse(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "graft_catalog_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      graft.sources.GraftCatalog.register(s, p, "db.orders",
+        "graft-deltalake", deltaLakeOrders(s, d))
+      graft.sources.GraftCatalog.register(s, p, "db.orders_ice",
+        "graft-iceberg", icebergOrders(s, d))
+      graft.sources.DeltaLake.write(s,
+        new java.io.File(p, "tx_a").getAbsolutePath,
+        ord.filter(col("o_custkey") % 2 === 0))
+      graft.sources.Iceberg.write(s,
+        new java.io.File(p, "tx_b").getAbsolutePath,
+        ord.filter(col("o_custkey") % 5 === 0))
+      // registered RELATIVE: the staged warehouse is renamed into its
+      // content-keyed slot after this callback, and relative pins move
+      // with it
+      graft.sources.GraftCatalog.register(s, p, "tx.a",
+        "graft-deltalake", "tx_a")
+      graft.sources.GraftCatalog.register(s, p, "tx.b",
+        "graft-iceberg", "tx_b")
+      graft.sources.GraftCatalog.transaction(s, p) { tx =>
+        tx.write("tx.a", ord.filter(col("o_custkey") % 2 =!= 0))
+        tx.write("tx.b", ord.filter(col("o_custkey") % 3 =!= 0),
+          mode = "overwrite")
+      }
       ()
     }
 

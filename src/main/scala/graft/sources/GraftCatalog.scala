@@ -1,0 +1,322 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A FILE-BASED TRANSACTIONAL CATALOG over the native lake readers —
+  * the catalog-integration + multi-table-transaction item (r11 review
+  * missing #5), built the way Nessie/Iceberg-REST model it from public
+  * designs: the catalog is ONE versioned file of
+  * `name → (format, path, pinned table version)` entries, committed by
+  * exclusive creation. Because every table reference in a catalog
+  * version is a PIN, a commit that swaps several pins at once is an
+  * ATOMIC CROSS-TABLE TRANSACTION: catalog readers see either all of a
+  * transaction's table versions or none — something path-addressed
+  * lakehouse tables cannot give on their own.
+  *
+  * Wiring:
+  * {{{
+  *   .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+  *   .config("spark.sql.catalog.graft.warehouse", "/path/wh")
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  * then `spark.sql("SELECT ... FROM graft.db.orders")`. The analyzer
+  * rule splices the pinned native snapshot plan in place of the V2
+  * relation (same splice as the path readers — pushdown, pruning,
+  * skipping intact).
+  *
+  * Table layout on disk is untouched: entries point at ordinary
+  * path-addressed Delta/Iceberg tables. Writing through the underlying
+  * writers moves the TABLE's head but not the catalog pin; the catalog
+  * advances through [[GraftCatalog.register]] (pin the current head)
+  * and [[GraftCatalog.transaction]] (write N tables, swap all pins in
+  * one exclusive commit — a lost race throws, nothing partial is ever
+  * visible to catalog readers, and the orphaned table versions are
+  * ordinary vacuum/expire material).
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name': set spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    GraftCatalog.entries(warehouse).keys.toArray.sorted.map { full =>
+      val parts = full.split('.')
+      Identifier.of(parts.dropRight(1), parts.last)
+    }.filter(_.namespace().sameElements(namespace))
+
+  override def loadTable(ident: Identifier): Table = {
+    val key = GraftCatalog.keyOf(ident)
+    val e = GraftCatalog.entries(warehouse).getOrElse(key,
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident))
+    GraftCatalogTable(s"$catalogName.$key", e)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    GraftCatalog.drop(warehouse, GraftCatalog.keyOf(ident))
+
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    GraftCatalog.rename(warehouse, GraftCatalog.keyOf(from),
+      GraftCatalog.keyOf(to))
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is a table-format operation — use " +
+        "the native writers (schema evolution via write, renames via " +
+        "the format's metadata ops) and re-register the pin")
+}
+
+/** One pinned catalog entry (see [[GraftCatalog]]). */
+final case class CatalogEntry(format: String, path: String,
+    version: Long)
+
+/** The V2 table a catalog pin resolves to. Never physically planned:
+  * [[graft.GraftExtensions]] splices [[resolved]]'s analyzed plan over
+  * the relation during analysis (hence no ScanBuilder — a session
+  * without the extensions fails loudly at planning instead of slowly
+  * row-converting).
+  */
+final case class GraftCatalogTable(fullName: String, entry: CatalogEntry)
+    extends Table {
+
+  override def name(): String = fullName
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.Collections.emptySet()
+
+  /** The PINNED snapshot (never the table head: the pin is what makes
+    * cross-table reads transactionally consistent).
+    */
+  def resolved(spark: SparkSession): DataFrame = entry.format match {
+    case "graft-deltalake" =>
+      DeltaLake.snapshot(spark, entry.path, Some(entry.version))
+    case "graft-iceberg" =>
+      Iceberg.snapshot(spark, entry.path, Some(entry.version))
+    case other => throw new IllegalArgumentException(
+      s"graft catalog: unknown format '$other' for $fullName")
+  }
+
+  override def schema(): StructType =
+    resolved(SparkSession.active).schema
+
+  override def properties(): java.util.Map[String, String] =
+    Map("format" -> entry.format, "path" -> entry.path,
+      "pinned-version" -> entry.version.toString).asJava
+}
+
+object GraftCatalog {
+
+  private val M = new ObjectMapper()
+
+  private def catDir(warehouse: String): java.io.File =
+    new java.io.File(warehouse, "_graft_catalog")
+
+  private def versionOf(name: String): Option[Long] =
+    "^v(\\d+)\\.catalog\\.json$".r.findFirstMatchIn(name)
+      .map(_.group(1).toLong)
+
+  /** Table paths may be RELATIVE to the warehouse (portable
+    * warehouses, and what lets a fingerprint-staged warehouse survive
+    * its final rename) — absolutized here, at read time.
+    */
+  private def absPath(warehouse: String, path: String): String =
+    if (path.startsWith("/")) path
+    else new java.io.File(warehouse, path).getAbsolutePath
+
+  /** Latest catalog state: (entries, version it was read at; 0 = none).
+    * Entry paths come back ABSOLUTE (resolved against the warehouse).
+    */
+  private def state(warehouse: String)
+      : (Map[String, CatalogEntry], Long) = {
+    val files = Option(catDir(warehouse).listFiles()).toSeq.flatten
+      .flatMap(f => versionOf(f.getName).map(_ -> f))
+    if (files.isEmpty) return (Map.empty, 0L)
+    val (v, f) = files.maxBy(_._1)
+    val n = M.readTree(java.nio.file.Files.readString(f.toPath))
+    val tables = Option(n.get("tables"))
+      .map(_.properties().asScala.map { e =>
+        val t = e.getValue
+        e.getKey -> CatalogEntry(t.get("format").asText,
+          absPath(warehouse, t.get("path").asText),
+          t.get("version").asLong)
+      }.toMap).getOrElse(Map.empty)
+    (tables, v)
+  }
+
+  def entries(warehouse: String): Map[String, CatalogEntry] =
+    state(warehouse)._1
+
+  private[sources] def keyOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  /** Commit `tables` as the next catalog version — EXCLUSIVE creation,
+    * pinned against the version the caller READ (`expectVersion`):
+    * a concurrent catalog commit throws instead of being overwritten
+    * or interleaved. This single swap is the transaction boundary.
+    */
+  private def commit(warehouse: String,
+      tables: Map[String, CatalogEntry], expectVersion: Long): Long = {
+    val dir = catDir(warehouse)
+    dir.mkdirs()
+    val next = expectVersion + 1
+    val root = M.createObjectNode()
+    val tn = root.putObject("tables")
+    val whAbs = new java.io.File(warehouse).getAbsolutePath
+    tables.toSeq.sortBy(_._1).foreach { case (k, e) =>
+      val o = tn.putObject(k)
+      o.put("format", e.format)
+      // re-relativize warehouse-local paths: the stored form must
+      // survive a warehouse move (and the staging slot's final rename)
+      o.put("path",
+        if (e.path.startsWith(whAbs + "/"))
+          e.path.stripPrefix(whAbs + "/")
+        else e.path)
+      o.put("version", e.version)
+      ()
+    }
+    val target = new java.io.File(dir, s"v$next.catalog.json").toPath
+    val tmp = java.nio.file.Files.createTempFile(dir.toPath,
+      s".cat-$next-", ".tmp")
+    try {
+      java.nio.file.Files.writeString(tmp, M.writeValueAsString(root))
+      try java.nio.file.Files.createLink(target, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"graft catalog at $warehouse advanced past version " +
+              s"$expectVersion — this commit was NOT applied; re-read " +
+              "and retry")
+      }
+    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+    next
+  }
+
+  private def headOf(spark: SparkSession, format: String,
+      path: String): Long = format match {
+    case "graft-deltalake" => DeltaLake.latestVersion(spark, path)
+    case "graft-iceberg" => Iceberg.currentSnapshotId(path)
+    case other => throw new IllegalArgumentException(
+      s"graft catalog: unknown format '$other' (graft-deltalake | " +
+        "graft-iceberg)")
+  }
+
+  /** Register (or re-pin) `name` at the table's CURRENT head. `path`
+    * may be warehouse-relative (stored as given, resolved at read).
+    */
+  def register(spark: SparkSession, warehouse: String, name: String,
+      format: String, path: String): Long = {
+    val (tables, v) = state(warehouse)
+    commit(warehouse, tables + (name -> CatalogEntry(format, path,
+      headOf(spark, format, absPath(warehouse, path)))), v)
+  }
+
+  def drop(warehouse: String, name: String): Boolean = {
+    val (tables, v) = state(warehouse)
+    if (!tables.contains(name)) false
+    else { commit(warehouse, tables - name, v); true }
+  }
+
+  def rename(warehouse: String, from: String, to: String): Unit = {
+    val (tables, v) = state(warehouse)
+    val e = tables.getOrElse(from, throw new IllegalArgumentException(
+      s"graft catalog: no table '$from'"))
+    require(!tables.contains(to),
+      s"graft catalog: table '$to' already exists")
+    commit(warehouse, tables - from + (to -> e), v)
+    ()
+  }
+
+  /** A MULTI-TABLE TRANSACTION: stage writes against any number of
+    * catalog tables, then swap every pin in ONE exclusive catalog
+    * commit. The table-level writes land first (each table's own log
+    * grows — path readers may see them early, the documented
+    * catalog-vs-path visibility split every table-format catalog has);
+    * CATALOG readers see all of them or none. A failure before the
+    * swap leaves every pin untouched — the staged table versions are
+    * orphans for vacuum/expire. A concurrent catalog commit between
+    * this transaction's read and its swap throws
+    * ConcurrentModificationException: re-run the transaction.
+    *
+    * Staging is HEAD-BASED (the write lands on the table's current
+    * head, like every path-addressed lakehouse writer): an aborted
+    * transaction's orphan versions are therefore ADOPTED by the next
+    * pin advance on that table. The guarantee is atomicity of the
+    * swap, not head rollback — vacuum/expire orphans (or re-create the
+    * table) before re-pinning if that matters.
+    */
+  def transaction(spark: SparkSession, warehouse: String)
+      (body: Tx => Unit): Long = {
+    val (tables, v) = state(warehouse)
+    val tx = new Tx(spark, tables)
+    body(tx)
+    require(tx.newPins.nonEmpty,
+      "graft catalog transaction: no table writes staged")
+    commit(warehouse, tables ++ tx.newPins, v)
+  }
+
+  /** The in-flight transaction handle: reads resolve the transaction's
+    * BASE pins (snapshot isolation); writes go through the native
+    * writers and collect the produced versions for the final swap.
+    */
+  final class Tx private[GraftCatalog] (spark: SparkSession,
+      base: Map[String, CatalogEntry]) {
+    private[GraftCatalog] var newPins = Map.empty[String, CatalogEntry]
+
+    private def entryOf(name: String): CatalogEntry =
+      newPins.getOrElse(name, base.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"graft catalog transaction: no table '$name' " +
+            s"(registered: ${base.keys.toSeq.sorted.mkString(", ")})")))
+
+    /** Read `name` as of this transaction's pins — its own staged
+      * writes visible, everything else the base snapshot.
+      */
+    def read(name: String): DataFrame = {
+      val e = entryOf(name)
+      GraftCatalogTable(name, e).resolved(spark)
+    }
+
+    /** Append/overwrite `name` through its native writer; the new
+      * version joins the swap set.
+      */
+    def write(name: String, df: DataFrame,
+        mode: String = "append"): Unit = {
+      val e = entryOf(name)
+      val newVersion = e.format match {
+        case "graft-deltalake" =>
+          DeltaLake.write(spark, e.path, df, mode)
+        case "graft-iceberg" =>
+          Iceberg.write(spark, e.path, df, mode)
+      }
+      newPins += name -> e.copy(version = newVersion)
+    }
+
+    /** Row-level DELETE on `name` through its native writer. */
+    def delete(name: String,
+        predicate: org.apache.spark.sql.Column): Unit = {
+      val e = entryOf(name)
+      val newVersion = e.format match {
+        case "graft-deltalake" => DeltaLake.delete(spark, e.path, predicate)
+        case "graft-iceberg" => Iceberg.delete(spark, e.path, predicate)
+      }
+      if (newVersion >= 0) newPins += name -> e.copy(version = newVersion)
+    }
+  }
+}

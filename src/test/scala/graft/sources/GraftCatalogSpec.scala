@@ -1,0 +1,156 @@
+package graft.sources
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** The file-based transactional catalog ([[GraftCatalog]]): named SQL
+  * access over pinned table versions, atomic multi-table transactions
+  * (all pins swap in one exclusive catalog commit — catalog readers
+  * see everything or nothing), snapshot isolation against later table
+  * heads, and loud lost-race behavior.
+  */
+class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  // one warehouse per JVM: Spark caches a catalog instance per NAME at
+  // first use, so the name binds to this suite's warehouse for good
+  private lazy val wh: String = {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_cat_wh").toFile
+    d.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.tcat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tcat.warehouse", d.getAbsolutePath)
+    d.getAbsolutePath
+  }
+
+  private def freshDir(name: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_cat_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def frame(r: Range) =
+    r.map(i => (i.toLong, s"g${i % 2}")).toDF("id", "g").coalesce(1)
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("registered tables read by NAME through SQL — both formats, " +
+      "spliced to native scans, pinned at registration") {
+    val dd = freshDir("orders")
+    DeltaLake.write(spark, dd, frame(1 to 20))
+    val ii = freshDir("items")
+    Iceberg.write(spark, ii, frame(11 to 30))
+    GraftCatalog.register(spark, wh, "db.orders", "graft-deltalake", dd)
+    GraftCatalog.register(spark, wh, "db.items", "graft-iceberg", ii)
+    assert(spark.sql("SELECT count(*) AS n FROM tcat.db.orders")
+      .head().getLong(0) == 20L)
+    // cross-format, cross-table join by NAME only
+    assert(spark.sql(
+      """SELECT count(*) AS n FROM tcat.db.orders o
+        |JOIN tcat.db.items i ON o.id = i.id""".stripMargin)
+      .head().getLong(0) == 10L)
+    // PINNED: a later table-head write is invisible until re-register
+    DeltaLake.write(spark, dd, frame(21 to 25))
+    assert(spark.sql("SELECT count(*) AS n FROM tcat.db.orders")
+      .head().getLong(0) == 20L,
+      "a catalog read followed the table head instead of its pin")
+    GraftCatalog.register(spark, wh, "db.orders", "graft-deltalake", dd)
+    assert(spark.sql("SELECT count(*) AS n FROM tcat.db.orders")
+      .head().getLong(0) == 25L)
+    // the splice leaves a native file scan
+    val plan = spark.sql("SELECT * FROM tcat.db.orders WHERE id > 3")
+      .queryExecution.executedPlan
+    assert(plan.collectLeaves().exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+      s"catalog read did not splice to a native scan:\n$plan")
+  }
+
+  test("multi-table transaction: BOTH pins swap atomically; a reader " +
+      "between the table writes and the swap sees the OLD state of " +
+      "both") {
+    val d1 = freshDir("t1")
+    DeltaLake.write(spark, d1, frame(1 to 10))
+    val d2 = freshDir("t2")
+    Iceberg.write(spark, d2, frame(1 to 10))
+    GraftCatalog.register(spark, wh, "tx.a", "graft-deltalake", d1)
+    GraftCatalog.register(spark, wh, "tx.b", "graft-iceberg", d2)
+    GraftCatalog.transaction(spark, wh) { tx =>
+      tx.write("tx.a", frame(11 to 20))
+      // mid-transaction: the CATALOG still serves the old pins even
+      // though tx.a's table head already advanced
+      assert(ids(GraftCatalog.entries(wh)("tx.a") match {
+        case e => GraftCatalogTable("tx.a", e).resolved(spark)
+      }) == (1L to 10L).toSet,
+        "a catalog reader saw a partial transaction")
+      tx.write("tx.b", frame(11 to 20))
+      // the transaction's own reads see its staged writes
+      assert(ids(tx.read("tx.a")) == (1L to 20L).toSet)
+    }
+    // post-swap: both visible together
+    assert(spark.sql("SELECT count(*) AS n FROM tcat.tx.a")
+      .head().getLong(0) == 20L)
+    assert(spark.sql("SELECT count(*) AS n FROM tcat.tx.b")
+      .head().getLong(0) == 20L)
+  }
+
+  test("a transaction that FAILS before the swap leaves every pin " +
+      "untouched — the staged table version is an orphan, not a " +
+      "partial commit") {
+    val d1 = freshDir("f1")
+    DeltaLake.write(spark, d1, frame(1 to 10))
+    GraftCatalog.register(spark, wh, "fx.a", "graft-deltalake", d1)
+    intercept[RuntimeException] {
+      GraftCatalog.transaction(spark, wh) { tx =>
+        tx.write("fx.a", frame(11 to 20))
+        throw new RuntimeException("validation failed")
+      }
+    }
+    assert(spark.sql("SELECT count(*) AS n FROM tcat.fx.a")
+      .head().getLong(0) == 10L,
+      "a failed transaction leaked its staged write into the catalog")
+    // the table head DID advance (documented path-vs-catalog split)
+    assert(ids(DeltaLake.snapshot(spark, d1)) == (1L to 20L).toSet)
+  }
+
+  test("lost race: a catalog commit landing mid-transaction fails the " +
+      "swap loudly; DML rides transactions too") {
+    val d1 = freshDir("r1")
+    DeltaLake.write(spark, d1, frame(1 to 10))
+    GraftCatalog.register(spark, wh, "rx.a", "graft-deltalake", d1)
+    intercept[java.util.ConcurrentModificationException] {
+      GraftCatalog.transaction(spark, wh) { tx =>
+        tx.write("rx.a", frame(11 to 12))
+        // an interloper advances the catalog before our swap
+        GraftCatalog.register(spark, wh, "rx.loser", "graft-deltalake",
+          d1)
+      }
+    }
+    // DML in a transaction: delete through the native writer — on a
+    // FRESH table (rx.a's head carries the aborted transaction's
+    // orphaned rows: staging is head-based, so a later pin advance
+    // ADOPTS orphans — the documented catalog-vs-path split; atomicity
+    // of the swap is the guarantee, not head rollback)
+    val d3 = freshDir("r2")
+    DeltaLake.write(spark, d3, frame(1 to 10))
+    GraftCatalog.register(spark, wh, "rx.d", "graft-deltalake", d3)
+    GraftCatalog.transaction(spark, wh) { tx =>
+      tx.delete("rx.d", col("id") % 2 === 0)
+    }
+    assert(ids(spark.sql("SELECT * FROM tcat.rx.d").toDF()) ==
+      (1L to 10L).filter(_ % 2 == 1).toSet)
+    // drop + rename round out the catalog ops
+    GraftCatalog.rename(wh, "rx.d", "rx.z")
+    assert(spark.sql("SELECT count(*) AS n FROM tcat.rx.z")
+      .head().getLong(0) == 5L)
+    assert(GraftCatalog.drop(wh, "rx.z"))
+    intercept[Exception] {
+      spark.sql("SELECT * FROM tcat.rx.z").collect()
+    }
+  }
+}
