@@ -46,7 +46,23 @@ class ResolveGraftRelations(session: SparkSession)
     Map("graft_delta" -> "graft-deltalake",
       "graft_iceberg" -> "graft-iceberg")
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // CROSS-TABLE CONSISTENCY for catalog reads: each loadTable reads
+    // the catalog independently, so a transaction committing between
+    // two resolutions of one query could produce exactly the torn
+    // read transactions exist to prevent. The rule sees the WHOLE
+    // plan: one state read per warehouse re-pins every catalog
+    // relation of this query to the SAME catalog version (a name
+    // dropped in between keeps its loadTable pin).
+    val catWarehouses = plan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.GraftCatalogTable] =>
+        r.table.asInstanceOf[graft.sources.GraftCatalogTable].warehouse
+    }.distinct
+    val consistent: Map[String, Map[String, graft.sources.CatalogEntry]] =
+      catWarehouses.map(wh =>
+        wh -> graft.sources.GraftCatalog.entries(wh)).toMap
     plan.resolveOperatorsUp {
       case lr: LogicalRelation
           if lr.relation.isInstanceOf[GraftLakeRelation] =>
@@ -74,12 +90,17 @@ class ResolveGraftRelations(session: SparkSession)
 
       // the file-based catalog's V2 relations splice the same way:
       // the pinned native snapshot plan replaces the leaf, attribute
-      // ids preserved (graft.sources.GraftCatalog)
+      // ids preserved — using THIS QUERY's consistent pins (above)
       case r: org.apache.spark.sql.execution.datasources.v2
           .DataSourceV2Relation
           if r.table.isInstanceOf[graft.sources.GraftCatalogTable] =>
-        val spliced = r.table.asInstanceOf[graft.sources.GraftCatalogTable]
-          .resolved(session).queryExecution.analyzed
+        val t = r.table.asInstanceOf[graft.sources.GraftCatalogTable]
+        val pinned = consistent.get(t.warehouse)
+          .flatMap(_.get(t.key))
+          .map(e => graft.sources.GraftCatalogTable(
+            t.fullName, e, t.warehouse, t.key))
+          .getOrElse(t)
+        val spliced = pinned.resolved(session).queryExecution.analyzed
         val byName = spliced.output.map(a => a.name -> a).toMap
         Project(r.output.map { o =>
           val src = byName.getOrElse(o.name,
@@ -89,4 +110,5 @@ class ResolveGraftRelations(session: SparkSession)
           Alias(src, o.name)(exprId = o.exprId)
         }, spliced)
     }
+  }
 }

@@ -65,7 +65,7 @@ class GraftCatalog extends TableCatalog {
     val e = GraftCatalog.entries(warehouse).getOrElse(key,
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident))
-    GraftCatalogTable(s"$catalogName.$key", e)
+    GraftCatalogTable(s"$catalogName.$key", e, warehouse, key)
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -93,7 +93,8 @@ final case class CatalogEntry(format: String, path: String,
   * without the extensions fails loudly at planning instead of slowly
   * row-converting).
   */
-final case class GraftCatalogTable(fullName: String, entry: CatalogEntry)
+final case class GraftCatalogTable(fullName: String, entry: CatalogEntry,
+    warehouse: String, key: String)
     extends Table {
 
   override def name(): String = fullName
@@ -101,16 +102,29 @@ final case class GraftCatalogTable(fullName: String, entry: CatalogEntry)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.Collections.emptySet()
 
+  // analysis asks for the schema (possibly more than once) and the
+  // splice rule asks for the plan: resolve the pinned snapshot ONCE
+  // per session — the pin is immutable, and each resolution is a full
+  // log replay / manifest fold
+  @transient private var memo: (SparkSession, DataFrame) = null
+
   /** The PINNED snapshot (never the table head: the pin is what makes
     * cross-table reads transactionally consistent).
     */
-  def resolved(spark: SparkSession): DataFrame = entry.format match {
-    case "graft-deltalake" =>
-      DeltaLake.snapshot(spark, entry.path, Some(entry.version))
-    case "graft-iceberg" =>
-      Iceberg.snapshot(spark, entry.path, Some(entry.version))
-    case other => throw new IllegalArgumentException(
-      s"graft catalog: unknown format '$other' for $fullName")
+  def resolved(spark: SparkSession): DataFrame = synchronized {
+    if (memo != null && (memo._1 eq spark)) memo._2
+    else {
+      val df = entry.format match {
+        case "graft-deltalake" =>
+          DeltaLake.snapshot(spark, entry.path, Some(entry.version))
+        case "graft-iceberg" =>
+          Iceberg.snapshot(spark, entry.path, Some(entry.version))
+        case other => throw new IllegalArgumentException(
+          s"graft catalog: unknown format '$other' for $fullName")
+      }
+      memo = (spark, df)
+      df
+    }
   }
 
   override def schema(): StructType =
@@ -163,8 +177,17 @@ object GraftCatalog {
   def entries(warehouse: String): Map[String, CatalogEntry] =
     state(warehouse)._1
 
-  private[sources] def keyOf(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).mkString(".")
+  private[sources] def keyOf(ident: Identifier): String = {
+    val parts = ident.namespace() :+ ident.name()
+    // the catalog key is the dot-joined identifier: a DOT INSIDE a
+    // segment would collide with a differently-nested identifier
+    // (`db`.`a.b` vs `db.a`.`b`) — refused on both sides (see
+    // register) instead of silently aliasing two names to one entry
+    require(!parts.exists(_.contains(".")),
+      s"graft catalog: identifier segments may not contain '.': " +
+        parts.mkString("`", "`.`", "`"))
+    parts.mkString(".")
+  }
 
   /** Commit `tables` as the next catalog version — EXCLUSIVE creation,
     * pinned against the version the caller READ (`expectVersion`):
@@ -222,6 +245,10 @@ object GraftCatalog {
     */
   def register(spark: SparkSession, warehouse: String, name: String,
       format: String, path: String): Long = {
+    require(name.split('.').forall(_.nonEmpty) && !name.startsWith(".")
+        && !name.endsWith("."),
+      s"graft catalog: malformed table name '$name' (dot-separated " +
+        "non-empty segments)")
     val (tables, v) = state(warehouse)
     commit(warehouse, tables + (name -> CatalogEntry(format, path,
       headOf(spark, format, absPath(warehouse, path)))), v)
@@ -266,9 +293,12 @@ object GraftCatalog {
     val (tables, v) = state(warehouse)
     val tx = new Tx(spark, tables)
     body(tx)
-    require(tx.newPins.nonEmpty,
-      "graft catalog transaction: no table writes staged")
-    commit(warehouse, tables ++ tx.newPins, v)
+    require(tx.touched,
+      "graft catalog transaction: no table operations staged")
+    // every operation may have been a no-op (e.g. a delete matching
+    // nothing): a legitimate empty transaction, nothing to swap
+    if (tx.newPins.isEmpty) v
+    else commit(warehouse, tables ++ tx.newPins, v)
   }
 
   /** The in-flight transaction handle: reads resolve the transaction's
@@ -278,6 +308,7 @@ object GraftCatalog {
   final class Tx private[GraftCatalog] (spark: SparkSession,
       base: Map[String, CatalogEntry]) {
     private[GraftCatalog] var newPins = Map.empty[String, CatalogEntry]
+    private[GraftCatalog] var touched = false
 
     private def entryOf(name: String): CatalogEntry =
       newPins.getOrElse(name, base.getOrElse(name,
@@ -290,7 +321,7 @@ object GraftCatalog {
       */
     def read(name: String): DataFrame = {
       val e = entryOf(name)
-      GraftCatalogTable(name, e).resolved(spark)
+      GraftCatalogTable(name, e, "", name).resolved(spark)
     }
 
     /** Append/overwrite `name` through its native writer; the new
@@ -298,23 +329,32 @@ object GraftCatalog {
       */
     def write(name: String, df: DataFrame,
         mode: String = "append"): Unit = {
+      touched = true
       val e = entryOf(name)
       val newVersion = e.format match {
         case "graft-deltalake" =>
           DeltaLake.write(spark, e.path, df, mode)
         case "graft-iceberg" =>
           Iceberg.write(spark, e.path, df, mode)
+        case other => throw new IllegalArgumentException(
+          s"graft catalog: unknown format '$other' for $name")
       }
       newPins += name -> e.copy(version = newVersion)
     }
 
-    /** Row-level DELETE on `name` through its native writer. */
+    /** Row-level DELETE on `name` through its native writer. A delete
+      * matching no live row is a NO-OP (no table commit, no pin move)
+      * — the transaction still commits.
+      */
     def delete(name: String,
         predicate: org.apache.spark.sql.Column): Unit = {
+      touched = true
       val e = entryOf(name)
       val newVersion = e.format match {
         case "graft-deltalake" => DeltaLake.delete(spark, e.path, predicate)
         case "graft-iceberg" => Iceberg.delete(spark, e.path, predicate)
+        case other => throw new IllegalArgumentException(
+          s"graft catalog: unknown format '$other' for $name")
       }
       if (newVersion >= 0) newPins += name -> e.copy(version = newVersion)
     }

@@ -876,6 +876,21 @@ object Iceberg {
   }
 
 
+  /** Top-level column names of an ORC file's footer — memoized (a
+    * file's footer never changes; the probe is a ~ms metadata read).
+    */
+  private val orcColsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  private def orcColumns(absPath: String): Set[String] =
+    orcColsCache.computeIfAbsent(absPath, p => {
+      val reader = org.apache.orc.OrcFile.createReader(
+        new org.apache.hadoop.fs.Path(p),
+        org.apache.orc.OrcFile.readerOptions(
+          new org.apache.hadoop.conf.Configuration()))
+      try reader.getSchema.getFieldNames.asScala.toSet
+      finally reader.close()
+    })
+
   /** Writer paths that READ data files (DML matching scans, COW
     * rewrites, compaction) drive the parquet row-position machinery —
     * an ORC estate must be refused up front, never half-rewritten.
@@ -950,8 +965,27 @@ object Iceberg {
       statsKeep(filters, lf) && transformKeep(filters, lf)
     // the ORC arm: plain by-name read of the CURRENT schema (ids in
     // the field metadata are inert for ORC), stats/transform pruning
-    // via the shared keep, no field-id options
+    // via the shared keep, no field-id options. Before planning, each
+    // file's FOOTER columns are checked against the current data
+    // columns (memoized ~ms probes, parallel like the name-mapping
+    // warm): the resolve()-side guard catches a `schemas` HISTORY, but
+    // legacy v1 metadata evolved by rewriting its single `schema`
+    // field in place leaves no history — the footer check is what
+    // stops a renamed column from silently reading as null by name.
     def orcScan(): DataFrame = {
+      orcIce.map(f => resolveRef(path, f.path)).asJava.parallelStream()
+        .forEach(p => { orcColumns(p); () })
+      val dataCols = sm.schema.fieldNames
+        .filterNot(sm.partitionColumns.contains).toSet
+      orcIce.foreach { f =>
+        val missing = dataCols -- orcColumns(resolveRef(path, f.path))
+        require(missing.isEmpty,
+          s"Iceberg: ORC file ${f.path} lacks column(s) " +
+            s"${missing.toSeq.sorted.mkString(", ")} of the current " +
+            "schema — ORC resolves BY NAME, so an evolved/renamed " +
+            "column would silently read as null; rewrite the file " +
+            "with the current schema")
+      }
       val plain = StructType(sm.schema.fields.map(f =>
         f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
       LakeScan.scan(spark, path, plain, sm.partitionColumns,
@@ -1497,8 +1531,14 @@ object Iceberg {
           f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))))
           .orc(paths: _*)
       else idRead(spark, dataSchema, paths)
+    import org.apache.spark.sql.functions.regexp_replace
     rows
-      .groupBy(col("_metadata.file_name").as("__f"))
+      // keyed by the file's ABSOLUTE PATH: two write tasks emit the
+      // SAME part-file basename into different partition directories,
+      // and a basename key would merge their counts and widen their
+      // bounds (wrong manifests, weaker pruning)
+      .groupBy(regexp_replace(col("_metadata.file_path"),
+        "^file:/+", "/").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
         val perCol = statCols.flatMap { f =>
@@ -1982,7 +2022,7 @@ object Iceberg {
     val stats = fileStatsOf(spark, dataSchema,
       moved.map(_._1.getAbsolutePath), format = "orc")
     val entries = moved.map { case (file, pv) =>
-      val (n, perCol) = stats.getOrElse(file.getName,
+      val (n, perCol) = stats.getOrElse(file.getAbsolutePath,
         (0L, Map.empty[String, (Any, Any)]))
       Entry(1, root.toPath.relativize(file.toPath).toString,
         file.length(), pv, n, perCol, format = "ORC")
@@ -2063,7 +2103,7 @@ object Iceberg {
     val stats = fileStatsOf(spark, dataSchema,
       moved.map(_._1.getAbsolutePath))
     val entries = moved.map { case (file, pv) =>
-      val (n, perCol) = stats.getOrElse(file.getName,
+      val (n, perCol) = stats.getOrElse(file.getAbsolutePath,
         (0L, Map.empty[String, (Any, Any)]))
       Entry(1, root.toPath.relativize(file.toPath).toString,
         file.length(), pv, n, perCol)
@@ -2082,7 +2122,7 @@ object Iceberg {
         toBranch.filterNot(_ == "main")
           .flatMap(b => refHeads(tableDir).get(b)))).flatMap { cur =>
           cur.files.map(f => Entry(2, f.path, f.size.getOrElse(0L),
-            Map.empty, 0L, Map.empty)) ++
+            Map.empty, 0L, Map.empty, format = f.format)) ++
           cur.deleteFiles.map(f => Entry(2, f.path,
             f.size.getOrElse(0L), Map.empty, 0L, Map.empty,
             content = if (f.dvRef.isDefined) 1 else f.content,
@@ -2529,7 +2569,7 @@ object Iceberg {
     val stats = fileStatsOf(spark, dataSchema,
       moved.map(_._1.getAbsolutePath))
     val adds = moved.map { case (file, pv) =>
-      val (n, perCol) = stats.getOrElse(file.getName,
+      val (n, perCol) = stats.getOrElse(file.getAbsolutePath,
         (0L, Map.empty[String, (Any, Any)]))
       Entry(1, root.toPath.relativize(file.toPath).toString,
         file.length(), pv, n, perCol)
@@ -2676,7 +2716,7 @@ object Iceberg {
       moved.map(_._1.getAbsolutePath))
     val physToLog = df.schema.fieldNames.map(l => physOf(l) -> l).toMap
     val entries = moved.map { case (file, pv) =>
-      val (n, perCol) = stats.getOrElse(file.getName,
+      val (n, perCol) = stats.getOrElse(file.getAbsolutePath,
         (0L, Map.empty[String, (Any, Any)]))
       // manifest bounds are keyed by FIELD ID of the logical schema —
       // re-key the physical-name stats back to logical
@@ -2802,7 +2842,7 @@ object Iceberg {
     val entries = mutable.Buffer.empty[Entry]
     written.foreach { case (pv, fs, rels) =>
       rels.foreach { case (rel, dest) =>
-        val (n, perCol) = stats.getOrElse(dest.getName,
+        val (n, perCol) = stats.getOrElse(dest.getAbsolutePath,
           (0L, Map.empty[String, (Any, Any)]))
         entries += Entry(1, rel, dest.length(), pv, n, perCol)
       }
@@ -3522,7 +3562,7 @@ object Iceberg {
           val stats = fileStatsOf(spark, dataSchema,
             moved.map(_._1.getAbsolutePath))
           moved.foreach { case (file, pv) =>
-            val (n, perCol) = stats.getOrElse(file.getName,
+            val (n, perCol) = stats.getOrElse(file.getAbsolutePath,
               (0L, Map.empty[String, (Any, Any)]))
             entries += Entry(1,
               root.toPath.relativize(file.toPath).toString,

@@ -85,7 +85,7 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       // mid-transaction: the CATALOG still serves the old pins even
       // though tx.a's table head already advanced
       assert(ids(GraftCatalog.entries(wh)("tx.a") match {
-        case e => GraftCatalogTable("tx.a", e).resolved(spark)
+        case e => GraftCatalogTable("tx.a", e, wh, "tx.a").resolved(spark)
       }) == (1L to 10L).toSet,
         "a catalog reader saw a partial transaction")
       tx.write("tx.b", frame(11 to 20))
@@ -144,6 +144,17 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     }
     assert(ids(spark.sql("SELECT * FROM tcat.rx.d").toDF()) ==
       (1L to 10L).filter(_ % 2 == 1).toSet)
+    // a transaction whose only operation is a NO-OP delete commits
+    // trivially (nothing to swap) — never an abort
+    GraftCatalog.transaction(spark, wh) { tx =>
+      tx.delete("rx.d", col("id") > 1000)
+    }
+    assert(ids(spark.sql("SELECT * FROM tcat.rx.d").toDF()) ==
+      (1L to 10L).filter(_ % 2 == 1).toSet)
+    // dotted identifier segments are refused (flat-key ambiguity)
+    intercept[IllegalArgumentException] {
+      GraftCatalog.register(spark, wh, "db..bad", "graft-deltalake", d3)
+    }
     // drop + rename round out the catalog ops
     GraftCatalog.rename(wh, "rx.d", "rx.z")
     assert(spark.sql("SELECT count(*) AS n FROM tcat.rx.z")

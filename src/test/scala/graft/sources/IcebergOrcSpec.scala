@@ -111,6 +111,51 @@ class IcebergOrcSpec extends AnyFunSuite with SparkFixture {
     assert(e5.getMessage.contains("schema history"), e5.getMessage)
   }
 
+  test("per-file manifest stats are keyed by PATH, not basename — " +
+      "same-named part files in different partition dirs keep their " +
+      "own bounds") {
+    // one write task → one basename repeated across partition dirs;
+    // ids correlate with the partition, so merged (basename-keyed)
+    // bounds would span [1,20] on BOTH files and prune nothing
+    val dir = freshDir("stats")
+    val df = ((1 to 10).map(i => (i.toLong, s"v$i", "g0")) ++
+      (11 to 20).map(i => (i.toLong, s"v$i", "g1")))
+      .toDF("id", "v", "p").coalesce(1)
+    Iceberg.stageOrcAppend(spark, dir, df, Seq("p"))
+    assert(plannedFiles(Iceberg.snapshot(spark, dir)) == 2)
+    assert(plannedFiles(
+      Iceberg.snapshotWhere(spark, dir, col("id") <= 5)) == 1,
+      "merged per-basename stats: the g1 file (ids 11-20) was planned " +
+        "for an id<=5 predicate")
+  }
+
+  test("legacy metadata WITHOUT a schemas list: an in-place schema " +
+      "rewrite is caught by the ORC footer check, never read as null") {
+    val dir = freshDir("legacy")
+    Iceberg.stageOrcAppend(spark, dir, frame(1 to 10))
+    // simulate a legacy v1 writer renaming a column by REWRITING the
+    // single schema in place (no history entry for the resolve()-side
+    // guard to see)
+    val mdDir = new java.io.File(dir, "metadata")
+    val mdFile = Option(mdDir.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".metadata.json"))
+      .maxBy(_.getName)
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = M.readTree(java.nio.file.Files.readString(mdFile.toPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md.get("schemas").elements().next().get("fields").elements()
+      .forEachRemaining { f =>
+        val o = f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        if (o.get("name").asText == "v") { o.put("name", "label"); () }
+      }
+    java.nio.file.Files.writeString(mdFile.toPath,
+      M.writeValueAsString(md))
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.snapshot(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("lacks column"), e.getMessage)
+  }
+
   test("the registered reader serves ORC tables too") {
     val dir = freshDir("rapi")
     Iceberg.stageOrcAppend(spark, dir, frame(1 to 12))
