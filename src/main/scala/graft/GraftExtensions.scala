@@ -95,7 +95,10 @@ class ResolveGraftRelations(session: SparkSession)
           .DataSourceV2Relation
           if r.table.isInstanceOf[graft.sources.GraftCatalogTable] =>
         val t = r.table.asInstanceOf[graft.sources.GraftCatalogTable]
-        val pinned = consistent.get(t.warehouse)
+        // a VERSION/TIMESTAMP AS OF relation carries an EXPLICIT pin —
+        // the consistency re-pin must not override it
+        val pinned = Option(t).filterNot(_.timeTravel)
+          .flatMap(x => consistent.get(x.warehouse))
           .flatMap(_.get(t.key))
           .map(e => graft.sources.GraftCatalogTable(
             t.fullName, e, t.warehouse, t.key))

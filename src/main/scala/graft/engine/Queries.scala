@@ -3376,6 +3376,34 @@ object Queries {
              |FROM orders
              |WHERE o_custkey % 3 <> 0
              |GROUP BY o_orderpriority
+             |ORDER BY pri""".stripMargin)),
+
+    // CATALOG SQL TIME TRAVEL (r13): `VERSION AS OF` through the V2
+    // catalog's loadTable(ident, version) — the pin is overridden for
+    // this query only. Version 0 of the transaction fixture's Delta
+    // table is its PRE-TRANSACTION content (the even custkeys), so
+    // hash equality pins both the overload routing and that time
+    // travel reads past the swapped pin.
+    QueryDef("catalog_time_travel",
+      (s, d) => {
+        val wh = catalogWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gcat",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+        s.sql(
+          """SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS total
+            |FROM gcat.tx.a VERSION AS OF 0
+            |GROUP BY o_orderpriority
+            |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders
+             |WHERE o_custkey % 2 = 0
+             |GROUP BY o_orderpriority
              |ORDER BY pri""".stripMargin))
   )
 

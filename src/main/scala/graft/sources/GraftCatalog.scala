@@ -68,6 +68,37 @@ class GraftCatalog extends TableCatalog {
     GraftCatalogTable(s"$catalogName.$key", e, warehouse, key)
   }
 
+  /** SQL time travel through the catalog —
+    * `SELECT ... FROM gcat.db.t VERSION AS OF <v>`: the pin is
+    * overridden with the requested TABLE version (Delta log version /
+    * Iceberg snapshot id). Marked `timeTravel` so the splice rule's
+    * per-query consistency re-pin leaves it alone.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val base = loadTable(ident).asInstanceOf[GraftCatalogTable]
+    GraftCatalogTable(base.fullName,
+      base.entry.copy(version = version.toLong), base.warehouse,
+      base.key, timeTravel = true)
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands the timestamp in MICROSECONDS;
+    * resolution uses each format's own commit-time rules.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val base = loadTable(ident).asInstanceOf[GraftCatalogTable]
+    val ms = timestamp / 1000L
+    val v = base.entry.format match {
+      case "graft-deltalake" =>
+        DeltaLake.versionAt(SparkSession.active, base.entry.path, ms)
+      case "graft-iceberg" =>
+        Iceberg.snapshotIdAt(base.entry.path, ms)
+      case other => throw new IllegalArgumentException(
+        s"graft catalog: unknown format '$other' for ${base.fullName}")
+    }
+    GraftCatalogTable(base.fullName, base.entry.copy(version = v),
+      base.warehouse, base.key, timeTravel = true)
+  }
+
   override def dropTable(ident: Identifier): Boolean =
     GraftCatalog.drop(warehouse, GraftCatalog.keyOf(ident))
 
@@ -94,7 +125,7 @@ final case class CatalogEntry(format: String, path: String,
   * row-converting).
   */
 final case class GraftCatalogTable(fullName: String, entry: CatalogEntry,
-    warehouse: String, key: String)
+    warehouse: String, key: String, timeTravel: Boolean = false)
     extends Table {
 
   override def name(): String = fullName

@@ -71,6 +71,35 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       s"catalog read did not splice to a native scan:\n$plan")
   }
 
+  test("SQL time travel through the catalog: VERSION AS OF and " +
+      "TIMESTAMP AS OF override the pin for that query only") {
+    val dd = freshDir("tt")
+    DeltaLake.write(spark, dd, frame(1 to 10))
+    DeltaLake.write(spark, dd, frame(11 to 20))
+    GraftCatalog.register(spark, wh, "tt.a", "graft-deltalake", dd)
+    assert(spark.sql("SELECT count(*) AS n FROM tcat.tt.a")
+      .head().getLong(0) == 20L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM tcat.tt.a VERSION AS OF 0")
+      .head().getLong(0) == 10L)
+    // TIMESTAMP AS OF now = the latest version
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM tcat.tt.a TIMESTAMP AS OF " +
+        "current_timestamp()")
+      .head().getLong(0) == 20L)
+    // the pin itself is untouched
+    assert(spark.sql("SELECT count(*) AS n FROM tcat.tt.a")
+      .head().getLong(0) == 20L)
+    // iceberg snapshot-id travel (snapshot ids are version ordinals)
+    val ii = freshDir("tti")
+    val s1 = Iceberg.write(spark, ii, frame(1 to 10))
+    Iceberg.write(spark, ii, frame(11 to 20))
+    GraftCatalog.register(spark, wh, "tt.b", "graft-iceberg", ii)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM tcat.tt.b VERSION AS OF $s1")
+      .head().getLong(0) == 10L)
+  }
+
   test("multi-table transaction: BOTH pins swap atomically; a reader " +
       "between the table writes and the swap sees the OLD state of " +
       "both") {
