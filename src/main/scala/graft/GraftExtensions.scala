@@ -55,9 +55,13 @@ class ResolveGraftRelations(session: SparkSession)
     // relation of this query to the SAME catalog version (a name
     // dropped in between keeps its loadTable pin).
     val catWarehouses = plan.collect {
+      // time-traveled relations carry an explicit pin and are exempt
+      // from the re-pin — don't pay their catalog read
       case r: org.apache.spark.sql.execution.datasources.v2
           .DataSourceV2Relation
-          if r.table.isInstanceOf[graft.sources.GraftCatalogTable] =>
+          if r.table.isInstanceOf[graft.sources.GraftCatalogTable] &&
+            !r.table.asInstanceOf[graft.sources.GraftCatalogTable]
+              .timeTravel =>
         r.table.asInstanceOf[graft.sources.GraftCatalogTable].warehouse
     }.distinct
     val consistent: Map[String, Map[String, graft.sources.CatalogEntry]] =
@@ -97,12 +101,12 @@ class ResolveGraftRelations(session: SparkSession)
         val t = r.table.asInstanceOf[graft.sources.GraftCatalogTable]
         // a VERSION/TIMESTAMP AS OF relation carries an EXPLICIT pin —
         // the consistency re-pin must not override it
-        val pinned = Option(t).filterNot(_.timeTravel)
-          .flatMap(x => consistent.get(x.warehouse))
-          .flatMap(_.get(t.key))
-          .map(e => graft.sources.GraftCatalogTable(
-            t.fullName, e, t.warehouse, t.key))
-          .getOrElse(t)
+        val pinned =
+          if (t.timeTravel) t
+          else consistent.get(t.warehouse).flatMap(_.get(t.key))
+            .map(e => graft.sources.GraftCatalogTable(
+              t.fullName, e, t.warehouse, t.key))
+            .getOrElse(t)
         val spliced = pinned.resolved(session).queryExecution.analyzed
         val byName = spliced.output.map(a => a.name -> a).toMap
         Project(r.output.map { o =>

@@ -76,9 +76,16 @@ class GraftCatalog extends TableCatalog {
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val base = loadTable(ident).asInstanceOf[GraftCatalogTable]
-    GraftCatalogTable(base.fullName,
-      base.entry.copy(version = version.toLong), base.warehouse,
-      base.key, timeTravel = true)
+    val v = try version.toLong catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft catalog: VERSION AS OF '$version' on " +
+            s"${base.fullName} — versions are numeric (a Delta log " +
+            "version / an Iceberg snapshot id); branch/tag reads go " +
+            "through the path reader's branch/tag options")
+    }
+    GraftCatalogTable(base.fullName, base.entry.copy(version = v),
+      base.warehouse, base.key, timeTravel = true)
   }
 
   /** `TIMESTAMP AS OF` — Spark hands the timestamp in MICROSECONDS;

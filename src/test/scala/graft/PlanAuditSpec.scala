@@ -565,4 +565,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"logical partition filter must prune physical partitions:\n$plan")
     assert(q.collect().nonEmpty)
   }
+
+  test("registered reader + catalog reads: filters PUSH through the " +
+      "analyzer splice to the parquet scan (r13 — the splice's alias " +
+      "Project must collapse, never fence pushdown)") {
+    import org.apache.spark.sql.functions.col
+    // reader API: a data filter must land in PushedFilters
+    val dir = graft.engine.Queries.deltaLakeOrders(spark, sfDir)
+    val viaReader = spark.read.format("graft-deltalake").load(dir)
+      .filter(col("o_orderkey") > 100L).select("o_orderkey")
+    val p1 = viaReader.asInstanceOf[classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(o_orderkey"
+      .r.findFirstIn(p1).nonEmpty,
+      s"reader-API filter did not reach the scan:\n$p1")
+    assert(!p1.contains("Scan ExistingRDD"),
+      s"reader API fell back to the V1 row scan:\n$p1")
+    // catalog read: same pin through the V2 splice
+    val wh = graft.engine.Queries.catalogWarehouse(spark, sfDir)
+    spark.conf.set("spark.sql.catalog.gcat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    val viaCatalog = spark.sql(
+      "SELECT o_orderkey FROM gcat.db.orders WHERE o_orderkey > 100")
+    val p2 = viaCatalog.asInstanceOf[classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(o_orderkey"
+      .r.findFirstIn(p2).nonEmpty,
+      s"catalog filter did not reach the scan:\n$p2")
+    assert(viaReader.count() == viaCatalog.count())
+  }
 }
