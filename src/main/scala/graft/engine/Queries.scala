@@ -3404,6 +3404,37 @@ object Queries {
              |FROM orders
              |WHERE o_custkey % 2 = 0
              |GROUP BY o_orderpriority
+             |ORDER BY pri""".stripMargin)),
+
+    // CATALOG SQL WRITE (r13): `INSERT OVERWRITE` through the V2→V1
+    // write bridge — the write commits through the native writer and
+    // AUTO RE-PINS the catalog entry, all inside one SQL statement
+    // whose SOURCE is a path identifier (`graft_delta`). OVERWRITE
+    // keeps the query idempotent (bench runs every query twice). Hash
+    // equality pins the bridge, the re-pin, and the read-back.
+    QueryDef("catalog_insert_sql",
+      (s, d) => {
+        val wh = catalogWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gcat",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+        val dd = deltaLakeOrders(s, d)
+        s.sql(s"INSERT OVERWRITE gcat.ins.t SELECT * FROM " +
+          s"graft_delta.`$dd` WHERE o_custkey % 9 = 0")
+        s.sql(
+          """SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS total
+            |FROM gcat.ins.t
+            |GROUP BY o_orderpriority
+            |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders
+             |WHERE o_custkey % 9 = 0
+             |GROUP BY o_orderpriority
              |ORDER BY pri""".stripMargin))
   )
 
@@ -3530,11 +3561,18 @@ object Queries {
     */
   private[graft] def catalogWarehouse(s: SparkSession,
       d: String): String =
-    graft.sources.Staging.stageOnce(d, "graft_catalog_s1",
+    graft.sources.Staging.stageOnce(d, "graft_catalog_s2",
       Seq(s"$d/orders.parquet")) { p =>
       val ord = t(s, d, "orders")
       graft.sources.GraftCatalog.register(s, p, "db.orders",
         "graft-deltalake", deltaLakeOrders(s, d))
+      // the INSERT-bridge query's target: seeded, then OVERWRITTEN by
+      // the query itself each run (idempotent by construction)
+      graft.sources.DeltaLake.write(s,
+        new java.io.File(p, "ins_t").getAbsolutePath,
+        ord.filter(col("o_custkey") % 9 === 0))
+      graft.sources.GraftCatalog.register(s, p, "ins.t",
+        "graft-deltalake", "ins_t")
       graft.sources.GraftCatalog.register(s, p, "db.orders_ice",
         "graft-iceberg", icebergOrders(s, d))
       graft.sources.DeltaLake.write(s,

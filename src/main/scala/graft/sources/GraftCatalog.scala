@@ -125,20 +125,66 @@ class GraftCatalog extends TableCatalog {
 final case class CatalogEntry(format: String, path: String,
     version: Long)
 
-/** The V2 table a catalog pin resolves to. Never physically planned:
-  * [[graft.GraftExtensions]] splices [[resolved]]'s analyzed plan over
-  * the relation during analysis (hence no ScanBuilder — a session
-  * without the extensions fails loudly at planning instead of slowly
-  * row-converting).
+/** The V2 table a catalog pin resolves to. READS are never physically
+  * planned through it: [[graft.GraftExtensions]] splices [[resolved]]'s
+  * analyzed plan over the relation during analysis (hence no
+  * ScanBuilder — a session without the extensions fails loudly at
+  * planning instead of slowly row-converting). WRITES ride the
+  * V2→V1 bridge ([[org.apache.spark.sql.connector.write.V1Write]]):
+  * `INSERT INTO gcat.db.t SELECT ...` / `INSERT OVERWRITE` /
+  * `df.writeTo("gcat.db.t").append()` commit through the native
+  * writer and AUTO RE-PIN the catalog entry at the produced version —
+  * a single-table transaction (racing catalog commits fail the re-pin
+  * loudly). Time-traveled relations expose no write capability.
   */
 final case class GraftCatalogTable(fullName: String, entry: CatalogEntry,
     warehouse: String, key: String, timeTravel: Boolean = false)
-    extends Table {
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = fullName
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.Collections.emptySet()
+    if (timeTravel) java.util.Collections.emptySet()
+    else java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(!timeTravel,
+      s"graft catalog: cannot write to the time-traveled relation " +
+        s"$fullName — writes go to the table, not a historical pin")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwriteAll = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: DataFrame, overwriteFlag: Boolean) => {
+              val spark = data.sparkSession
+              val mode = if (overwriteAll || overwriteFlag) "overwrite"
+                else "append"
+              val v = entry.format match {
+                case "graft-deltalake" =>
+                  DeltaLake.write(spark, entry.path, data, mode)
+                case "graft-iceberg" =>
+                  Iceberg.write(spark, entry.path, data, mode)
+                case other => throw new IllegalArgumentException(
+                  s"graft catalog: unknown format '$other' for " +
+                    fullName)
+              }
+              GraftCatalog.advancePin(warehouse, key, v)
+              ()
+            }
+        }
+    }
+  }
 
   // analysis asks for the schema (possibly more than once) and the
   // splice rule asks for the plan: resolve the pinned snapshot ONCE
@@ -290,6 +336,19 @@ object GraftCatalog {
     val (tables, v) = state(warehouse)
     commit(warehouse, tables + (name -> CatalogEntry(format, path,
       headOf(spark, format, absPath(warehouse, path)))), v)
+  }
+
+  /** Move `name`'s pin to `version` — the single-table commit the
+    * catalog-name write path ends with. Exclusive like every catalog
+    * commit: a racing catalog commit fails this re-pin loudly (the
+    * TABLE write already landed; re-run just the pin).
+    */
+  def advancePin(warehouse: String, name: String,
+      version: Long): Long = {
+    val (tables, v) = state(warehouse)
+    val e = tables.getOrElse(name, throw new IllegalArgumentException(
+      s"graft catalog: no table '$name' to re-pin"))
+    commit(warehouse, tables + (name -> e.copy(version = version)), v)
   }
 
   def drop(warehouse: String, name: String): Boolean = {

@@ -1673,8 +1673,14 @@ object Iceberg {
         Option(md.get("schemas")).flatMap(_.elements().asScala
             .find(s => Option(s.get("schema-id")).forall(_.asInt == curId)))
           .getOrElse(md.get("schema")))
-      require(priorSchema.json ==
-        structFromIceberg(M.readTree(icebergSchemaJson(tableSchema))).json,
+      // NULLABILITY-insensitive: the stored schema history is carried
+      // forward verbatim either way, and a frame aligned to the READ
+      // schema (all-nullable by the scan contract — e.g. the catalog's
+      // V1 INSERT bridge) must not read as evolution; names and types
+      // are the real identity
+      require(LakeScan.asNullable(priorSchema).json ==
+        LakeScan.asNullable(structFromIceberg(
+          M.readTree(icebergSchemaJson(tableSchema)))).json,
         "iceberg staging: schema evolution is not modeled by this " +
           "fixture writer")
     }

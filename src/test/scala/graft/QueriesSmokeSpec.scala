@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 184 declared operator queries are all present (SURVEY §2)") {
+  test("the 185 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -89,8 +89,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "deltalake_reader_api", "iceberg_reader_api",
       "deltalake_writer_api", "sql_lake_identifier",
       "iceberg_branch_write", "iceberg_wap_publish", "iceberg_orc_scan",
-      "catalog_sql_read", "catalog_multi_table_txn", "catalog_time_travel")
-    assert(declared.size == 184)
+      "catalog_sql_read", "catalog_multi_table_txn", "catalog_time_travel",
+      "catalog_insert_sql")
+    assert(declared.size == 185)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

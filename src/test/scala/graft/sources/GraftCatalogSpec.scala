@@ -71,6 +71,43 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       s"catalog read did not splice to a native scan:\n$plan")
   }
 
+  test("SQL writes through the catalog: INSERT INTO / INSERT " +
+      "OVERWRITE / writeTo().append() commit natively and AUTO " +
+      "RE-PIN; time-traveled relations refuse writes") {
+    val dd = freshDir("ins")
+    DeltaLake.write(spark, dd, frame(1 to 10))
+    GraftCatalog.register(spark, wh, "ins.a", "graft-deltalake", dd)
+    spark.sql("INSERT INTO tcat.ins.a VALUES (11, 'g1'), (12, 'g0')")
+    // the write re-pinned: visible through the catalog immediately
+    assert(ids(spark.sql("SELECT * FROM tcat.ins.a").toDF()) ==
+      (1L to 12L).toSet)
+    // INSERT ... SELECT across the catalog and a path identifier
+    spark.sql(
+      s"INSERT INTO tcat.ins.a SELECT id + 20, g FROM graft_delta.`$dd`" +
+        " WHERE id <= 2")
+    assert(ids(spark.sql("SELECT * FROM tcat.ins.a").toDF()) ==
+      ((1L to 12L) ++ Seq(21L, 22L)).toSet)
+    // INSERT OVERWRITE replaces the content (and re-pins)
+    spark.sql("INSERT OVERWRITE tcat.ins.a VALUES (100, 'gx')")
+    assert(ids(spark.sql("SELECT * FROM tcat.ins.a").toDF()) ==
+      Set(100L))
+    // the DataFrameWriterV2 path
+    frame(101 to 105).writeTo("tcat.ins.a").append()
+    assert(ids(spark.sql("SELECT * FROM tcat.ins.a").toDF()) ==
+      (Set(100L) ++ (101L to 105L)))
+    // iceberg tables write the same way
+    val ii = freshDir("insi")
+    Iceberg.write(spark, ii, frame(1 to 5))
+    GraftCatalog.register(spark, wh, "ins.b", "graft-iceberg", ii)
+    spark.sql("INSERT INTO tcat.ins.b VALUES (6, 'g0')")
+    assert(ids(spark.sql("SELECT * FROM tcat.ins.b").toDF()) ==
+      (1L to 6L).toSet)
+    // a historical pin is read-only
+    intercept[Exception] {
+      spark.sql("INSERT INTO tcat.ins.a VERSION AS OF 0 VALUES (1, 'g')")
+    }
+  }
+
   test("SQL time travel through the catalog: VERSION AS OF and " +
       "TIMESTAMP AS OF override the pin for that query only") {
     val dd = freshDir("tt")
