@@ -3414,18 +3414,22 @@ object Queries {
     // equality pins the bridge, the re-pin, and the read-back.
     QueryDef("catalog_insert_sql",
       (s, d) => {
-        val wh = catalogWarehouse(s, d)
-        s.conf.set("spark.sql.catalog.gcat",
+        // the INSERT target MUTATES per run — it lives in a
+        // PER-PROCESS warehouse (catalog name `gins`), never in the
+        // cross-process shared staging slot (two drivers on one box
+        // would burn each other's commit retries)
+        val wh = catalogInsertWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gins",
           "graft.sources.GraftCatalog")
-        s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+        s.conf.set("spark.sql.catalog.gins.warehouse", wh)
         val dd = deltaLakeOrders(s, d)
-        s.sql(s"INSERT OVERWRITE gcat.ins.t SELECT * FROM " +
+        s.sql(s"INSERT OVERWRITE gins.ins.t SELECT * FROM " +
           s"graft_delta.`$dd` WHERE o_custkey % 9 = 0")
         s.sql(
           """SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
             |    AS total
-            |FROM gcat.ins.t
+            |FROM gins.ins.t
             |GROUP BY o_orderpriority
             |ORDER BY pri""".stripMargin)
       },
@@ -3561,18 +3565,11 @@ object Queries {
     */
   private[graft] def catalogWarehouse(s: SparkSession,
       d: String): String =
-    graft.sources.Staging.stageOnce(d, "graft_catalog_s2",
+    graft.sources.Staging.stageOnce(d, "graft_catalog_s3",
       Seq(s"$d/orders.parquet")) { p =>
       val ord = t(s, d, "orders")
       graft.sources.GraftCatalog.register(s, p, "db.orders",
         "graft-deltalake", deltaLakeOrders(s, d))
-      // the INSERT-bridge query's target: seeded, then OVERWRITTEN by
-      // the query itself each run (idempotent by construction)
-      graft.sources.DeltaLake.write(s,
-        new java.io.File(p, "ins_t").getAbsolutePath,
-        ord.filter(col("o_custkey") % 9 === 0))
-      graft.sources.GraftCatalog.register(s, p, "ins.t",
-        "graft-deltalake", "ins_t")
       graft.sources.GraftCatalog.register(s, p, "db.orders_ice",
         "graft-iceberg", icebergOrders(s, d))
       graft.sources.DeltaLake.write(s,
@@ -3595,6 +3592,29 @@ object Queries {
       }
       ()
     }
+
+  /** PER-PROCESS warehouse for the INSERT-bridge query
+    * (`catalog_insert_sql`): the query overwrites its target each run,
+    * so the target must not live in the cross-process shared staging
+    * slot (stageOnce slots are immutable after staging by contract).
+    * Seeded once per JVM per sfDir.
+    */
+  private val insertWarehouses =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def catalogInsertWarehouse(s: SparkSession,
+      d: String): String =
+    insertWarehouses.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_inswh_").toFile
+      dir.deleteOnExit()
+      val p = dir.getAbsolutePath
+      graft.sources.DeltaLake.write(s,
+        new java.io.File(p, "ins_t").getAbsolutePath,
+        t(s, d, "orders").filter(col("o_custkey") % 9 === 0))
+      graft.sources.GraftCatalog.register(s, p, "ins.t",
+        "graft-deltalake", "ins_t")
+      p
+    })
 
   /** The PUBLIC-DELETE'd Delta table — the `deltalake_delete_dml`
     * fixture: written by the public writer, then two

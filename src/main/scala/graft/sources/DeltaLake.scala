@@ -769,6 +769,13 @@ object DeltaLake {
   /** Fold protocol/metaData/add/remove actions up to `version`, starting
     * from the newest eligible checkpoint (if any).
     */
+  /** The STORED table schema (metaData schemaString, nullability
+    * verbatim — the scan's all-nullable forcing happens later): what
+    * write-side required-field validation must check against.
+    */
+  private[sources] def storedSchema(spark: SparkSession,
+      path: String): StructType = replay(spark, path, None).schema
+
   private def replay(spark: SparkSession, path: String,
       version: Option[Long]): LogState = {
     val versions = commitVersions(path) ++ checkpointVersions(path)
@@ -2428,7 +2435,10 @@ object DeltaLake {
           else {
             val table = s.schema.fields.map(f => f.name -> f.dataType).toMap
             df.schema.fields.foreach { f =>
-              table.get(f.name).foreach(dt => require(dt == f.dataType,
+              // NULLABILITY-insensitive (nested too): a frame aligned
+              // to the all-nullable READ schema is not a type change
+              table.get(f.name).foreach(dt => require(
+                LakeScan.asNullable(dt) == LakeScan.asNullable(f.dataType),
                 s"DeltaLake.write: column '${f.name}' is " +
                   s"${dt.simpleString} in the table but " +
                   s"${f.dataType.simpleString} in the batch — a type " +

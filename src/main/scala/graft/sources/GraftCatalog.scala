@@ -170,15 +170,15 @@ final case class GraftCatalogTable(fullName: String, entry: CatalogEntry,
               val spark = data.sparkSession
               val mode = if (overwriteAll || overwriteFlag) "overwrite"
                 else "append"
-              val v = entry.format match {
-                case "graft-deltalake" =>
-                  DeltaLake.write(spark, entry.path, data, mode)
-                case "graft-iceberg" =>
-                  Iceberg.write(spark, entry.path, data, mode)
-                case other => throw new IllegalArgumentException(
-                  s"graft catalog: unknown format '$other' for " +
-                    fullName)
-              }
+              // the V2 resolver validated against the READ schema
+              // (all-nullable by the scan contract) — the STORED
+              // schema's required fields must still be enforced, or
+              // this bridge writes spec-invalid nulls the table
+              // metadata claims cannot exist
+              GraftCatalog.requireNoNullsInRequired(spark,
+                entry.format, entry.path, data, fullName)
+              val v = GraftCatalog.writeVia(spark, entry.format,
+                entry.path, data, mode, fullName)
               GraftCatalog.advancePin(warehouse, key, v)
               ()
             }
@@ -315,6 +315,40 @@ object GraftCatalog {
     next
   }
 
+  /** ONE format dispatch for batch writes (the bridge, Tx.write). */
+  private[sources] def writeVia(spark: SparkSession, format: String,
+      path: String, df: DataFrame, mode: String, name: String): Long =
+    format match {
+      case "graft-deltalake" => DeltaLake.write(spark, path, df, mode)
+      case "graft-iceberg" => Iceberg.write(spark, path, df, mode)
+      case other => throw new IllegalArgumentException(
+        s"graft catalog: unknown format '$other' for $name")
+    }
+
+  /** Enforce the STORED schema's non-nullable fields on a write batch
+    * (one extra pass over the batch — correctness over the statement's
+    * own data beats a spec-invalid file).
+    */
+  private[sources] def requireNoNullsInRequired(spark: SparkSession,
+      format: String, path: String, data: DataFrame,
+      name: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val stored = format match {
+      case "graft-deltalake" => DeltaLake.storedSchema(spark, path)
+      case "graft-iceberg" => Iceberg.resolve(spark, path, None).schema
+      case _ => return
+    }
+    val required = stored.fields.filterNot(_.nullable).map(_.name)
+      .filter(data.columns.contains)
+    if (required.isEmpty) return
+    val bad = data.filter(required.map(col(_).isNull)
+      .reduce(_ || _)).limit(1).collect()
+    require(bad.isEmpty,
+      s"graft catalog: INSERT into $name carries NULL in required " +
+        s"column(s) ${required.mkString(", ")} — the table's stored " +
+        "schema forbids it (row: " + bad.headOption.getOrElse("") + ")")
+  }
+
   private def headOf(spark: SparkSession, format: String,
       path: String): Long = format match {
     case "graft-deltalake" => DeltaLake.latestVersion(spark, path)
@@ -338,17 +372,31 @@ object GraftCatalog {
       headOf(spark, format, absPath(warehouse, path)))), v)
   }
 
-  /** Move `name`'s pin to `version` — the single-table commit the
-    * catalog-name write path ends with. Exclusive like every catalog
-    * commit: a racing catalog commit fails this re-pin loudly (the
-    * TABLE write already landed; re-run just the pin).
+  /** Move `name`'s pin FORWARD to `version` — the single-table commit
+    * the catalog-name write path ends with. MONOTONE: table logs are
+    * linear, so a pin already at-or-past `version` includes these rows
+    * — moving it backward would hide a racing writer's committed
+    * insert (lost update). RETRIES a lost catalog race (the underlying
+    * TABLE write already landed; aborting here would push SQL users
+    * into re-running the whole INSERT and duplicating rows).
     */
   def advancePin(warehouse: String, name: String,
       version: Long): Long = {
-    val (tables, v) = state(warehouse)
-    val e = tables.getOrElse(name, throw new IllegalArgumentException(
-      s"graft catalog: no table '$name' to re-pin"))
-    commit(warehouse, tables + (name -> e.copy(version = version)), v)
+    var attempts = 0
+    while (true) {
+      val (tables, v) = state(warehouse)
+      val e = tables.getOrElse(name, throw new IllegalArgumentException(
+        s"graft catalog: no table '$name' to re-pin"))
+      if (e.version >= version) return v // already visible
+      try return commit(warehouse,
+        tables + (name -> e.copy(version = version)), v)
+      catch {
+        case cme: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 20) throw cme
+      }
+    }
+    -1L // unreachable
   }
 
   def drop(warehouse: String, name: String): Boolean = {
@@ -428,15 +476,8 @@ object GraftCatalog {
         mode: String = "append"): Unit = {
       touched = true
       val e = entryOf(name)
-      val newVersion = e.format match {
-        case "graft-deltalake" =>
-          DeltaLake.write(spark, e.path, df, mode)
-        case "graft-iceberg" =>
-          Iceberg.write(spark, e.path, df, mode)
-        case other => throw new IllegalArgumentException(
-          s"graft catalog: unknown format '$other' for $name")
-      }
-      newPins += name -> e.copy(version = newVersion)
+      newPins += name -> e.copy(version =
+        writeVia(spark, e.format, e.path, df, mode, name))
     }
 
     /** Row-level DELETE on `name` through its native writer. A delete

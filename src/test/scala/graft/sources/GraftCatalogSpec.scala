@@ -102,10 +102,25 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("INSERT INTO tcat.ins.b VALUES (6, 'g0')")
     assert(ids(spark.sql("SELECT * FROM tcat.ins.b").toDF()) ==
       (1L to 6L).toSet)
-    // a historical pin is read-only
-    intercept[Exception] {
-      spark.sql("INSERT INTO tcat.ins.a VERSION AS OF 0 VALUES (1, 'g')")
+    // a historical pin is read-only — exercised DIRECTLY (Spark's
+    // parser rejects a temporal clause on an INSERT target before the
+    // guard could even run, so SQL can't reach it)
+    val ttRel = GraftCatalogTable("tcat.ins.a",
+      GraftCatalog.entries(wh)("ins.a"), wh, "ins.a", timeTravel = true)
+    val ett = intercept[IllegalArgumentException] {
+      ttRel.newWriteBuilder(null)
     }
+    assert(ett.getMessage.contains("time-traveled"), ett.getMessage)
+    // the STORED schema's required fields are enforced even though the
+    // V2 resolver only saw the all-nullable read schema
+    val enull = intercept[Exception] {
+      spark.sql(
+        "INSERT INTO tcat.ins.a VALUES (CAST(NULL AS BIGINT), 'g')")
+    }
+    assert(enull.getMessage.contains("required") ||
+      (enull.getCause != null &&
+        enull.getCause.getMessage.contains("required")),
+      s"expected the required-column guard, got: $enull")
   }
 
   test("SQL time travel through the catalog: VERSION AS OF and " +
