@@ -1,0 +1,277 @@
+package graft
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graft.GraftSql
+
+import graft.sources.{DeltaLake, GraftCatalog, GraftCatalogTable, Iceberg}
+
+/** The eagerly-executed leaf a SQL row-level DML statement over a
+  * catalog table converts into (see [[GraftDml]]): `run` drives the
+  * native writer and the catalog re-pin. V1 commands execute once,
+  * eagerly, at `spark.sql(...)` time — the DML statement behaves like
+  * any other Spark SQL command.
+  */
+case class GraftDmlCommand(statement: String, body: SparkSession => Unit)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    body(spark)
+    Seq.empty
+  }
+}
+
+/** SQL ROW-LEVEL DML over [[graft.sources.GraftCatalog]] tables —
+  * `DELETE FROM gcat.db.t WHERE …`, `UPDATE gcat.db.t SET … WHERE …`,
+  * `MERGE INTO gcat.db.t USING s ON … WHEN MATCHED THEN UPDATE SET *
+  * WHEN NOT MATCHED THEN INSERT *` — routed to the NATIVE DML writers
+  * ([[DeltaLake.delete]]/[[DeltaLake.update]]/[[DeltaLake.merge]] and
+  * their Iceberg twins, all hash-oracled since the write-path round)
+  * the same way the INSERT bridge routes batch writes: the analyzer
+  * intercepts the resolved logical DML node, lowers its expressions to
+  * name-based Columns, and replaces the node with a
+  * [[GraftDmlCommand]] that commits through the native writer and
+  * MONOTONE-re-pins the catalog entry ([[GraftCatalog.advancePin]] —
+  * a racing catalog commit retries the pin, never the table write).
+  *
+  * Scope is the native writers' scope, refused loudly beyond it:
+  * no subqueries in predicates (materialize and use the library API),
+  * MERGE must be the canonical upsert shape (ON key equality +
+  * `UPDATE SET *` + optional `INSERT *`; no action conditions, no
+  * `NOT MATCHED BY SOURCE`, no schema evolution), and a time-traveled
+  * relation is not a write target.
+  */
+object GraftDml {
+
+  private def stripAliases(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, child) => stripAliases(child)
+    case other => other
+  }
+
+  private def targetOf(p: LogicalPlan): Option[GraftCatalogTable] =
+    stripAliases(p) match {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftCatalogTable] =>
+        Some(r.table.asInstanceOf[GraftCatalogTable])
+      case _ => None
+    }
+
+  /** DML target relations the splice rule must leave intact: the
+    * conversion below needs the V2 relation (and its catalog pin), not
+    * a spliced Project over the snapshot plan. Reads elsewhere in the
+    * same statement (e.g. a MERGE source) still splice normally.
+    */
+  def shieldedRelations(plan: LogicalPlan): Seq[LogicalPlan] =
+    (plan match {
+      case DeleteFromTable(t, _) => Seq(t)
+      case UpdateTable(t, _, _) => Seq(t)
+      case m: MergeIntoTable => Seq(m.targetTable)
+      case _ => Seq.empty
+    }).map(stripAliases).filter(targetOf(_).isDefined)
+
+  /** Convert a RESOLVED root-level DML node over a catalog table into
+    * its [[GraftDmlCommand]]. None = not a catalog DML statement (or
+    * not yet resolved — the analyzer fixpoint will come back).
+    */
+  def convert(session: SparkSession,
+      plan: LogicalPlan): Option[LogicalPlan] = plan match {
+
+    case d @ DeleteFromTable(target, cond) =>
+      targetOf(target).collect { case t if d.resolved =>
+        val stmt = s"DELETE FROM ${t.fullName}"
+        checkWritable(t, stmt)
+        val pred = nameBased(cond, stmt)
+        GraftDmlCommand(stmt, spark => {
+          val v = t.entry.format match {
+            case "graft-deltalake" =>
+              DeltaLake.delete(spark, t.entry.path, pred)
+            case "graft-iceberg" =>
+              Iceberg.delete(spark, t.entry.path, pred)
+            case other => unknownFormat(other, t)
+          }
+          repin(t, v)
+        })
+      }
+
+    case u @ UpdateTable(target, assignments, condOpt) =>
+      targetOf(target).collect { case t if u.resolved =>
+        val stmt = s"UPDATE ${t.fullName}"
+        checkWritable(t, stmt)
+        val tAttrIds = stripAliases(target).outputSet.map(_.exprId).toSet
+        // identity assignments (a column set to itself — alignment
+        // fill-ins) are no-ops, dropped rather than rewritten
+        val set: Seq[(String, Column)] = assignments.flatMap { a =>
+          val name = a.key match {
+            case ar: AttributeReference => ar.name
+            case other => refuse(s"$stmt: SET target must be a " +
+              s"top-level column, got '${other.sql}' — nested-field " +
+              "updates go through the library API")
+          }
+          stripCasts(a.value) match {
+            case ar: AttributeReference
+                if tAttrIds.contains(ar.exprId) && ar.name == name =>
+              None
+            case _ => Some(name -> nameBased(a.value, stmt))
+          }
+        }
+        val pred = condOpt.map(nameBased(_, stmt)).getOrElse(lit(true))
+        GraftDmlCommand(stmt, spark => {
+          val v = t.entry.format match {
+            case "graft-deltalake" =>
+              DeltaLake.update(spark, t.entry.path, pred, set.toMap)
+            case "graft-iceberg" =>
+              Iceberg.update(spark, t.entry.path, pred, set.toMap)
+            case other => unknownFormat(other, t)
+          }
+          repin(t, v)
+        })
+      }
+
+    case m: MergeIntoTable =>
+      targetOf(m.targetTable).collect { case t if m.resolved =>
+        val stmt = s"MERGE INTO ${t.fullName}"
+        checkWritable(t, stmt)
+        refuseIf(m.withSchemaEvolution, s"$stmt: WITH SCHEMA " +
+          "EVOLUTION is not supported — evolve through the native " +
+          "writer, then merge")
+        refuseIf(m.notMatchedBySourceActions.nonEmpty, s"$stmt: WHEN " +
+          "NOT MATCHED BY SOURCE is not supported — the native merge " +
+          "is the canonical upsert; express source-absence deletes as " +
+          "a library-API delete")
+        val tOut = stripAliases(m.targetTable).outputSet
+        val sOut = m.sourceTable.outputSet
+        val keys = splitConjuncts(m.mergeCondition).map {
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+              if tOut.contains(a) && sOut.contains(b) &&
+                a.name.equalsIgnoreCase(b.name) => a.name
+          case EqualTo(b: AttributeReference, a: AttributeReference)
+              if tOut.contains(a) && sOut.contains(b) &&
+                a.name.equalsIgnoreCase(b.name) => a.name
+          case other => refuse(s"$stmt: ON must be a conjunction of " +
+            s"same-name target/source column equalities, got " +
+            s"'${other.sql}'")
+        }
+        val targetCols = stripAliases(m.targetTable).output.map(_.name)
+        m.matchedActions match {
+          case Seq(ua: UpdateAction) if ua.condition.isEmpty =>
+            requireAllColumnCopy(ua.assignments, targetCols, sOut,
+              stmt, "UPDATE SET")
+          case Seq(ua: UpdateStarAction) if ua.condition.isEmpty => ()
+          case _ => refuse(s"$stmt: exactly one unconditional " +
+            "WHEN MATCHED THEN UPDATE SET * is required — " +
+            "conditional/delete matched actions go through the " +
+            "library API")
+        }
+        val insertNotMatched = m.notMatchedActions match {
+          case Seq() => false
+          case Seq(ia: InsertAction) if ia.condition.isEmpty =>
+            requireAllColumnCopy(ia.assignments, targetCols, sOut,
+              stmt, "INSERT")
+            true
+          case Seq(ia: InsertStarAction) if ia.condition.isEmpty => true
+          case _ => refuse(s"$stmt: WHEN NOT MATCHED must be a single " +
+            "unconditional INSERT * (or absent)")
+        }
+        val source = m.sourceTable
+        GraftDmlCommand(stmt, spark => {
+          val src = GraftSql.ofRows(spark, source)
+          val v = t.entry.format match {
+            case "graft-deltalake" =>
+              DeltaLake.merge(spark, t.entry.path, src, keys,
+                insertNotMatched)
+            case "graft-iceberg" =>
+              Iceberg.merge(spark, t.entry.path, src, keys,
+                insertNotMatched)
+            case other => unknownFormat(other, t)
+          }
+          repin(t, v)
+        })
+      }
+
+    case _ => None
+  }
+
+  /** Every assignment must copy a same-name source column, and the
+    * assignment set must cover every target column — the shape
+    * `UPDATE SET *` / `INSERT *` expand to, and exactly what the
+    * native merge commits (all columns from the source row).
+    */
+  private def requireAllColumnCopy(
+      assigns: Seq[org.apache.spark.sql.catalyst.plans.logical.Assignment],
+      targetCols: Seq[String],
+      sOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      stmt: String, clause: String): Unit = {
+    val covered = assigns.map { a =>
+      val name = a.key match {
+        case ar: AttributeReference => ar.name
+        case other => refuse(s"$stmt: $clause target must be a " +
+          s"top-level column, got '${other.sql}'")
+      }
+      stripCasts(a.value) match {
+        case ar: AttributeReference
+            if sOut.contains(ar) && ar.name.equalsIgnoreCase(name) => ()
+        case other => refuse(s"$stmt: $clause must copy the " +
+          s"same-name source column ($name = source.$name), got " +
+          s"'$name = ${other.sql}' — computed merge columns go " +
+          "through the library API (pre-compute them in the source)")
+      }
+      name.toLowerCase
+    }.toSet
+    val missing = targetCols.filterNot(c => covered.contains(c.toLowerCase))
+    refuseIf(missing.nonEmpty, s"$stmt: $clause must cover every " +
+      s"target column (the native merge writes full rows) — missing: " +
+      missing.mkString(", "))
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** A resolved DML expression lowered to a NAME-BASED Column the
+    * native writers re-resolve against their own scan (attribute ids
+    * from the statement's relation don't exist there).
+    */
+  private def nameBased(e: Expression, stmt: String): Column = {
+    refuseIf(e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"$stmt: subqueries in DML predicates/values are not " +
+        "supported — materialize the subquery and use the library API")
+    GraftSql.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    })
+  }
+
+  private def stripCasts(e: Expression): Expression = e match {
+    case c: Cast => stripCasts(c.child)
+    case other => other
+  }
+
+  private def checkWritable(t: GraftCatalogTable, stmt: String): Unit =
+    refuseIf(t.timeTravel, s"$stmt: cannot run DML against a " +
+      "time-traveled relation — DML targets the table, not a " +
+      "historical pin")
+
+  /** Advance the catalog pin to the DML-produced table version; a
+    * no-op DML (predicate matched nothing → no table commit) leaves
+    * the pin untouched.
+    */
+  private def repin(t: GraftCatalogTable, version: Long): Unit =
+    if (version >= 0L) {
+      GraftCatalog.advancePin(t.warehouse, t.key, version)
+      ()
+    }
+
+  private def unknownFormat(fmt: String, t: GraftCatalogTable): Nothing =
+    throw new IllegalArgumentException(
+      s"graft catalog: unknown format '$fmt' for ${t.fullName}")
+
+  private def refuse(msg: String): Nothing =
+    throw new UnsupportedOperationException(msg)
+
+  private def refuseIf(cond: Boolean, msg: String): Unit =
+    if (cond) refuse(msg)
+}

@@ -47,6 +47,15 @@ class ResolveGraftRelations(session: SparkSession)
       "graft_iceberg" -> "graft-iceberg")
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // SQL row-level DML over catalog tables converts to an eager
+    // native-writer command once resolved (GraftDml); until then the
+    // DML target relation is SHIELDED from the splice below — the
+    // conversion needs the V2 relation and its pin, not a Project
+    GraftDml.convert(session, plan) match {
+      case Some(cmd) => return cmd
+      case None => ()
+    }
+    val shielded = GraftDml.shieldedRelations(plan)
     // CROSS-TABLE CONSISTENCY for catalog reads: each loadTable reads
     // the catalog independently, so a transaction committing between
     // two resolutions of one query could produce exactly the torn
@@ -97,7 +106,8 @@ class ResolveGraftRelations(session: SparkSession)
       // ids preserved — using THIS QUERY's consistent pins (above)
       case r: org.apache.spark.sql.execution.datasources.v2
           .DataSourceV2Relation
-          if r.table.isInstanceOf[graft.sources.GraftCatalogTable] =>
+          if r.table.isInstanceOf[graft.sources.GraftCatalogTable] &&
+            !shielded.exists(_ eq r) =>
         val t = r.table.asInstanceOf[graft.sources.GraftCatalogTable]
         // a VERSION/TIMESTAMP AS OF relation carries an EXPLICIT pin —
         // the consistency re-pin must not override it

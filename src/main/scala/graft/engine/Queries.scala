@@ -3439,6 +3439,133 @@ object Queries {
              |FROM orders
              |WHERE o_custkey % 9 = 0
              |GROUP BY o_orderpriority
+             |ORDER BY pri""".stripMargin)),
+
+    // CATALOG SQL DELETE (r14): `DELETE FROM gdml.dml.del WHERE …`
+    // routes through the analyzer DML bridge ([[graft.GraftDml]]) to
+    // the NATIVE delete (DV-producing, stats-skipped candidate
+    // selection) and monotone-re-pins the catalog entry — the
+    // SQL-first user's row-level path. The statement is idempotent
+    // (the second run's predicate matches nothing → table and pin
+    // no-op), so bench's cold+warm double-run is safe. Hash equality
+    // pins the routing, the predicate lowering, AND the re-pin (a
+    // stale pin would still serve the deleted rows).
+    QueryDef("catalog_delete_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        s.sql("DELETE FROM gdml.dml.del " +
+          "WHERE o_custkey % 7 = 0 AND o_orderpriority = '5-LOW'")
+        s.sql(
+          """SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS total
+            |FROM gdml.dml.del
+            |GROUP BY o_orderpriority
+            |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders
+             |WHERE NOT (o_custkey % 7 = 0 AND o_orderpriority = '5-LOW')
+             |GROUP BY o_orderpriority
+             |ORDER BY pri""".stripMargin)),
+
+    // CATALOG SQL UPDATE (r14): `UPDATE gdml.dml.upd SET … WHERE …`
+    // on an ICEBERG table — the bridge lowers the SET map and
+    // predicate to name-based Columns and commits through the native
+    // copy-on-write update. The SET value is ABSOLUTE (a function of
+    // other columns) and the WHERE excludes already-updated rows, so
+    // the second run is a clean no-op.
+    QueryDef("catalog_update_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        s.sql(
+          """UPDATE gdml.dml.upd
+            |SET o_totalprice = CAST(o_custkey % 1000 AS DOUBLE) + 0.25
+            |WHERE o_custkey % 6 = 1
+            |  AND o_totalprice <> CAST(o_custkey % 1000 AS DOUBLE) + 0.25
+            |""".stripMargin)
+        s.sql(
+          """SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS total
+            |FROM gdml.dml.upd
+            |GROUP BY o_orderpriority
+            |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(px AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM (
+             |  SELECT o_orderpriority,
+             |    CASE WHEN o_custkey % 6 = 1
+             |      THEN CAST(o_custkey % 1000 AS DOUBLE) + 0.25
+             |      ELSE o_totalprice END AS px
+             |  FROM orders)
+             |GROUP BY o_orderpriority
+             |ORDER BY pri""".stripMargin)),
+
+    // CATALOG SQL MERGE (r14): the canonical upsert —
+    // `MERGE … ON key equality WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    // MATCHED THEN INSERT *` — routed to the native merge; the source
+    // is a GRAFT PATH relation (`graft_delta.`) spliced INSIDE the
+    // MERGE statement. Matches carry absolute values and inserts use
+    // negated keys, so the second run upserts identical content
+    // (bench-idempotent). `inserted` counts the negative keys: it pins
+    // that the NOT MATCHED arm actually inserted (an update-only merge
+    // would hash-match `total` on the first run's matched arm alone).
+    QueryDef("catalog_merge_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql(
+          s"""MERGE INTO gdml.dml.mrg t
+             |USING (
+             |  SELECT o_orderkey, o_custkey,
+             |    CAST(o_custkey % 500 AS DOUBLE) AS o_totalprice,
+             |    o_orderpriority
+             |  FROM graft_delta.`$src` WHERE o_orderkey % 10 = 3
+             |  UNION ALL
+             |  SELECT -o_orderkey, o_custkey, o_totalprice,
+             |    o_orderpriority
+             |  FROM graft_delta.`$src` WHERE o_orderkey % 10 = 7
+             |) s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql(
+          """SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS total,
+            |  CAST(SUM(CASE WHEN o_orderkey < 0 THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS inserted
+            |FROM gdml.dml.mrg
+            |GROUP BY o_orderpriority
+            |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(px AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  CAST(SUM(neg) AS BIGINT) AS inserted
+             |FROM (
+             |  SELECT o_orderpriority AS pri,
+             |    CASE WHEN o_orderkey % 10 = 3
+             |      THEN CAST(o_custkey % 500 AS DOUBLE)
+             |      ELSE o_totalprice END AS px,
+             |    0 AS neg
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_orderpriority, o_totalprice, 1
+             |  FROM orders WHERE o_orderkey % 10 = 7)
+             |GROUP BY pri
              |ORDER BY pri""".stripMargin))
   )
 
@@ -3613,6 +3740,42 @@ object Queries {
         t(s, d, "orders").filter(col("o_custkey") % 9 === 0))
       graft.sources.GraftCatalog.register(s, p, "ins.t",
         "graft-deltalake", "ins_t")
+      p
+    })
+
+  /** PER-PROCESS warehouse for the SQL row-level DML queries
+    * (`catalog_delete_sql` / `catalog_update_sql` /
+    * `catalog_merge_sql`): three independent targets — `dml.del`
+    * (Delta, full orders), `dml.upd` (Iceberg, full orders), `dml.mrg`
+    * (Delta, the 4-column orders projection the merge upserts). Each
+    * query mutates only its own table, so the three stay
+    * order-independent; like the INSERT warehouse, the mutating
+    * targets live outside the immutable cross-process staging slots.
+    */
+  private val dmlWarehouses =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def catalogDmlWarehouse(s: SparkSession,
+      d: String): String =
+    dmlWarehouses.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dmlwh_").toFile
+      dir.deleteOnExit()
+      val p = dir.getAbsolutePath
+      val ord = t(s, d, "orders")
+      graft.sources.DeltaLake.write(s,
+        new java.io.File(p, "dml_del").getAbsolutePath, ord)
+      graft.sources.Iceberg.write(s,
+        new java.io.File(p, "dml_upd").getAbsolutePath, ord)
+      graft.sources.DeltaLake.write(s,
+        new java.io.File(p, "dml_mrg").getAbsolutePath,
+        ord.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority")))
+      graft.sources.GraftCatalog.register(s, p, "dml.del",
+        "graft-deltalake", "dml_del")
+      graft.sources.GraftCatalog.register(s, p, "dml.upd",
+        "graft-iceberg", "dml_upd")
+      graft.sources.GraftCatalog.register(s, p, "dml.mrg",
+        "graft-deltalake", "dml_mrg")
       p
     })
 

@@ -161,6 +161,9 @@ object GraftSql {
       "LT" -> "GT", "LE" -> "GE")
     def walk(n: org.apache.spark.sql.internal.ColumnNode): PredNode =
       n match {
+        // a Column minted from a resolved Catalyst expression (the SQL
+        // DML bridge's predicates) — lower the expression tree instead
+        case classic.ExpressionColumnNode(e, _) => predicateTreeOf(e)
         case NodeFn("and", Seq(l, r), _, _, _, _) =>
           PredAnd(walk(l), walk(r))
         case NodeFn("or", Seq(l, r), _, _, _, _) =>

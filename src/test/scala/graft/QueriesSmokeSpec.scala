@@ -90,8 +90,10 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "deltalake_writer_api", "sql_lake_identifier",
       "iceberg_branch_write", "iceberg_wap_publish", "iceberg_orc_scan",
       "catalog_sql_read", "catalog_multi_table_txn", "catalog_time_travel",
-      "catalog_insert_sql")
-    assert(declared.size == 185)
+      "catalog_insert_sql",
+      // round-14 surface
+      "catalog_delete_sql", "catalog_update_sql", "catalog_merge_sql")
+    assert(declared.size == 188)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

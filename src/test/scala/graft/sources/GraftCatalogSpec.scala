@@ -245,4 +245,99 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       spark.sql("SELECT * FROM tcat.rx.z").collect()
     }
   }
+
+  test("SQL DELETE/UPDATE through the catalog: native DML commit + " +
+      "monotone re-pin; a no-op DML moves nothing") {
+    val dd = freshDir("dml_a")
+    DeltaLake.write(spark, dd, frame(1 to 10))
+    GraftCatalog.register(spark, wh, "dml.a", "graft-deltalake", dd)
+    val pin0 = GraftCatalog.entries(wh)("dml.a").version
+    spark.sql("DELETE FROM tcat.dml.a WHERE id % 2 = 0")
+    assert(ids(spark.sql("SELECT * FROM tcat.dml.a").toDF()) ==
+      Set(1L, 3L, 5L, 7L, 9L))
+    val pin1 = GraftCatalog.entries(wh)("dml.a").version
+    assert(pin1 > pin0, "DELETE did not re-pin the catalog entry")
+    // the delete rode a VERSIONED table commit: time travel still
+    // serves the pre-delete content
+    assert(ids(spark.sql(
+      s"SELECT * FROM tcat.dml.a VERSION AS OF $pin0").toDF()) ==
+      (1L to 10L).toSet)
+    // a DELETE matching nothing is a table no-op AND a pin no-op
+    spark.sql("DELETE FROM tcat.dml.a WHERE id > 1000")
+    assert(GraftCatalog.entries(wh)("dml.a").version == pin1,
+      "a no-op DELETE moved the pin")
+    // UPDATE through the same route
+    spark.sql("UPDATE tcat.dml.a SET g = 'zz' WHERE id = 3")
+    assert(spark.sql(
+      "SELECT g FROM tcat.dml.a WHERE id = 3").head().getString(0)
+      == "zz")
+    assert(GraftCatalog.entries(wh)("dml.a").version > pin1,
+      "UPDATE did not re-pin")
+    // iceberg tables take the same statements
+    val ii = freshDir("dml_i")
+    Iceberg.write(spark, ii, frame(1 to 10))
+    GraftCatalog.register(spark, wh, "dml.i", "graft-iceberg", ii)
+    spark.sql("DELETE FROM tcat.dml.i WHERE id <= 4")
+    spark.sql("UPDATE tcat.dml.i SET g = concat(g, '!') WHERE id = 5")
+    assert(spark.sql("SELECT * FROM tcat.dml.i ORDER BY id").toDF()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((5L, "g1!"), (6L, "g0"), (7L, "g1"), (8L, "g0"), (9L, "g1"),
+        (10L, "g0")))
+  }
+
+  test("SQL MERGE through the catalog: canonical upsert shape routes " +
+      "to the native merge; off-shape statements refuse loudly") {
+    val dd = freshDir("dml_m")
+    DeltaLake.write(spark, dd, frame(1 to 5))
+    GraftCatalog.register(spark, wh, "dml.m", "graft-deltalake", dd)
+    spark.sql(
+      """MERGE INTO tcat.dml.m t
+        |USING (SELECT * FROM VALUES (CAST(2 AS BIGINT), 'up'),
+        |       (CAST(30 AS BIGINT), 'new') AS v(id, g)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT * FROM tcat.dml.m ORDER BY id").toDF()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "g1"), (2L, "up"), (3L, "g1"), (4L, "g0"), (5L, "g1"),
+        (30L, "new")))
+    // matched-only merge (no INSERT arm) is the update-join
+    spark.sql(
+      """MERGE INTO tcat.dml.m t
+        |USING (SELECT * FROM VALUES (CAST(30 AS BIGINT), 'n2'),
+        |       (CAST(99 AS BIGINT), 'never') AS v(id, g)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val after = spark.sql("SELECT g FROM tcat.dml.m WHERE id = 30")
+      .head().getString(0)
+    assert(after == "n2")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM tcat.dml.m WHERE id = 99")
+      .head().getLong(0) == 0L, "matched-only merge inserted")
+    // off-shape merges refuse loudly instead of committing wrong rows
+    val eDel = intercept[UnsupportedOperationException] {
+      spark.sql(
+        """MERGE INTO tcat.dml.m t
+          |USING (SELECT * FROM VALUES (CAST(2 AS BIGINT), 'x')
+          |       AS v(id, g)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(eDel.getMessage.contains("UPDATE SET *"), eDel.getMessage)
+    val eOn = intercept[UnsupportedOperationException] {
+      spark.sql(
+        """MERGE INTO tcat.dml.m t
+          |USING (SELECT * FROM VALUES (CAST(2 AS BIGINT), 'x')
+          |       AS v(id, g)) s
+          |ON t.id < s.id
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    assert(eOn.getMessage.contains("equalit"), eOn.getMessage)
+    // subqueries in a DML predicate are refused (materialize instead)
+    val eSub = intercept[UnsupportedOperationException] {
+      spark.sql("DELETE FROM tcat.dml.m WHERE id IN " +
+        "(SELECT id FROM tcat.dml.a)")
+    }
+    assert(eSub.getMessage.contains("subquer"), eSub.getMessage)
+  }
 }
