@@ -2794,19 +2794,17 @@ object DeltaLake {
     * Guards: every re-added file must still exist on disk (a restore
     * past a VACUUM horizon would commit a table that fails at read —
     * refused loudly up front, the delta-spark behavior); appendOnly
-    * tables refuse (removes); CDF-enabled tables refuse (a restore
-    * commit carries no change files, so the feed could not
-    * reconstruct it — the same loud contract as overwrite). Returns
-    * the new version, or -1 when the file sets already match. Pinned
-    * version + exclusive commit.
+    * tables refuse (removes). CDF-enabled tables EMIT the restore's
+    * row-level diff as change files (leaving files' visible rows as
+    * deletes, returning files' rows as inserts — same-commit pairs
+    * net out for per-commit consumers), refusing only a restore
+    * across a schema/partitioning change (one change frame cannot
+    * carry two shapes). Returns the new version, or -1 when the file
+    * sets already match. Pinned version + exclusive commit.
     */
   def restore(spark: SparkSession, path: String, version: Long): Long = {
     val st = replay(spark, path, None)
     requireWritable(st, path, "restore")
-    require(!cdfEnabled(st),
-      s"DeltaLake.restore: $path has Change Data Feed enabled — a " +
-        "restore commit carries no change files, so the feed could " +
-        "not reconstruct it")
     require(version <= st.version,
       s"DeltaLake.restore: version $version is ahead of the table " +
         s"(current ${st.version})")
@@ -2842,6 +2840,38 @@ object DeltaLake {
       }
     }
     val actions = mutable.Buffer.empty[String]
+    val next = st.version + 1
+    // CDF tables: the restore commit CARRIES its row-level diff as
+    // change files (r12 — previously refused), so the feed
+    // reconstructs the restore like any DML: rows of LEAVING files
+    // (read under the current state, their DVs applied) flow as
+    // deletes, rows of RETURNING files (read under the target state)
+    // as inserts. A file whose only change is its DV is remove+readd —
+    // its surviving rows emit delete+insert in the SAME commit, which
+    // nets to no change for any per-commit consumer. Restores that
+    // also change schema/partitioning stay refused WITH CDF: the
+    // change frame cannot carry two schemas/layouts in one commit.
+    if (cdfEnabled(st) && (removes.nonEmpty || readds.nonEmpty)) {
+      require(st.schema.json == target.schema.json &&
+          st.partitionColumns == target.partitionColumns,
+        s"DeltaLake.restore: $path has Change Data Feed enabled and " +
+          s"version $version differs in schema/partitioning — one " +
+          "change frame cannot carry both shapes; disable CDF or " +
+          "restore to a same-shape version")
+      val delRows = if (removes.isEmpty) None
+        else Some(readFiles(spark, path, st, removes)
+          .withColumn("_change_type", lit("delete")))
+      val insRows = if (readds.isEmpty) None
+        else Some(readFiles(spark, path, target, readds)
+          .withColumn("_change_type", lit("insert")))
+      val changeRows = (delRows, insRows) match {
+        case (Some(d), Some(i)) => d.unionByName(i)
+        case (Some(d), None) => d
+        case (None, Some(i)) => i
+        case _ => throw new IllegalStateException("unreachable")
+      }
+      actions ++= cdcActions(spark, path, st, changeRows, next)
+    }
     // ICT enabled on EITHER side: a restore that re-enables it is
     // itself the enablement commit and must carry the timestamp
     if (Seq(st.configuration, target.configuration).exists(
@@ -2853,7 +2883,6 @@ object DeltaLake {
         target.configuration, target.tableId.orElse(st.tableId))
     removes.foreach(a => actions += removeAction(a, dataChange = true))
     readds.foreach(a => actions += addActionOf(a, a.dv))
-    val next = st.version + 1
     writeCommitExclusive(path, next, actions.toSeq)
     next
   }

@@ -881,8 +881,17 @@ object Iceberg {
     */
   private val orcColsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  /** Footer reads actually performed (probe-cost accounting — the
+    * marker/memo tests and LakeReaderProbe pin the O(new files) bound
+    * through this counter).
+    */
+  private[graft] val orcFooterProbes =
+    new java.util.concurrent.atomic.AtomicLong()
+  private[graft] def clearOrcFooterCacheForTest(): Unit =
+    orcColsCache.clear()
   private def orcColumns(absPath: String): Set[String] =
     orcColsCache.computeIfAbsent(absPath, p => {
+      orcFooterProbes.incrementAndGet()
       val reader = org.apache.orc.OrcFile.createReader(
         new org.apache.hadoop.fs.Path(p),
         org.apache.orc.OrcFile.readerOptions(
@@ -890,6 +899,60 @@ object Iceberg {
       try reader.getSchema.getFieldNames.asScala.toSet
       finally reader.close()
     })
+
+  /** The ORC name-check marker: a PERSISTED cache of proven
+    * (file, schema) footer validations, bounding cold resolution to
+    * O(new files) instead of O(all files) (the r12 verdict's scale
+    * cliff on migrated estates). Sound because both sides of the fact
+    * are immutable — data files never change under a path (spec), and
+    * the marker is keyed by a fingerprint of the data column set, so
+    * ANY schema change (including the legacy in-place rewrite the
+    * probe exists to catch) empties the validated set and forces a
+    * full re-probe against the NEW names. A metadata-only skip
+    * ("schemas history has one entry") would NOT be sound: the
+    * in-place v1-style rewrite leaves exactly that shape behind —
+    * IcebergOrcSpec pins that case refusing, marker present or not.
+    * Writes are best-effort atomic (temp + same-dir ATOMIC_MOVE); a
+    * read-only estate just keeps the per-JVM memo.
+    */
+  private def orcSchemaFp(dataCols: Set[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(dataCols.toSeq.sorted.mkString(" ")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def orcMarkerFile(tableDir: String): java.io.File =
+    new java.io.File(new java.io.File(tableDir, "metadata"),
+      "graft-orc-validated.json")
+
+  private def readOrcMarker(f: java.io.File, fp: String): Set[String] =
+    try {
+      if (!f.exists()) Set.empty
+      else {
+        val n = M.readTree(java.nio.file.Files.readString(f.toPath))
+        if (Option(n.get("schema")).map(_.asText).contains(fp))
+          Option(n.get("files")).map(_.elements().asScala
+            .map(_.asText).toSet).getOrElse(Set.empty)
+        else Set.empty
+      }
+    } catch { case _: Exception => Set.empty }
+
+  private def writeOrcMarker(f: java.io.File, fp: String,
+      files: Set[String]): Unit =
+    try {
+      val root = M.createObjectNode()
+      root.put("schema", fp)
+      val arr = root.putArray("files")
+      files.toSeq.sorted.foreach(arr.add)
+      val tmp = java.nio.file.Files.createTempFile(
+        f.getParentFile.toPath, ".orc-validated-", ".tmp")
+      java.nio.file.Files.writeString(tmp, M.writeValueAsString(root))
+      java.nio.file.Files.move(tmp, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } catch { case _: Exception => () }
 
   /** Writer paths that READ data files (DML matching scans, COW
     * rewrites, compaction) drive the parquet row-position machinery —
@@ -973,18 +1036,29 @@ object Iceberg {
     // field in place leaves no history — the footer check is what
     // stops a renamed column from silently reading as null by name.
     def orcScan(): DataFrame = {
-      orcIce.map(f => resolveRef(path, f.path)).asJava.parallelStream()
-        .forEach(p => { orcColumns(p); () })
       val dataCols = sm.schema.fieldNames
         .filterNot(sm.partitionColumns.contains).toSet
-      orcIce.foreach { f =>
-        val missing = dataCols -- orcColumns(resolveRef(path, f.path))
-        require(missing.isEmpty,
-          s"Iceberg: ORC file ${f.path} lacks column(s) " +
-            s"${missing.toSeq.sorted.mkString(", ")} of the current " +
-            "schema — ORC resolves BY NAME, so an evolved/renamed " +
-            "column would silently read as null; rewrite the file " +
-            "with the current schema")
+      // cold-cost bound: only files NOT in the persisted validation
+      // marker pay a footer read — steady state is O(files added since
+      // the last resolution), and any schema change invalidates the
+      // marker wholesale (fingerprint mismatch → full re-probe)
+      val fp = orcSchemaFp(dataCols)
+      val marker = orcMarkerFile(path)
+      val validated = readOrcMarker(marker, fp)
+      val toProbe = orcIce.filterNot(f => validated.contains(f.path))
+      if (toProbe.nonEmpty) {
+        toProbe.map(f => resolveRef(path, f.path)).asJava
+          .parallelStream().forEach(p => { orcColumns(p); () })
+        toProbe.foreach { f =>
+          val missing = dataCols -- orcColumns(resolveRef(path, f.path))
+          require(missing.isEmpty,
+            s"Iceberg: ORC file ${f.path} lacks column(s) " +
+              s"${missing.toSeq.sorted.mkString(", ")} of the current " +
+              "schema — ORC resolves BY NAME, so an evolved/renamed " +
+              "column would silently read as null; rewrite the file " +
+              "with the current schema")
+        }
+        writeOrcMarker(marker, fp, validated ++ toProbe.map(_.path))
       }
       val plain = StructType(sm.schema.fields.map(f =>
         f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))

@@ -326,7 +326,7 @@ class DeltaDmlSpec extends AnyFunSuite with SparkFixture {
 
   test("restore resets content to a prior version in one commit: " +
       "history stays readable, the signed window nets it, vacuumed " +
-      "targets and CDF tables refuse loudly") {
+      "targets refuse loudly, CDF tables carry the restore diff") {
     val dir = freshDir("restore")
     DeltaLake.write(spark, dir, frame(1 to 20))              // v0
     DeltaLake.delete(spark, dir, col("id") % 5 === 0)        // v1 (DV)
@@ -376,15 +376,29 @@ class DeltaDmlSpec extends AnyFunSuite with SparkFixture {
       !restored.contains("custom.pipeline.tag"),
       s"the restore must reset the configuration: $restored")
     assert(ids(DeltaLake.snapshot(spark, d4)) == (1L to 5L).toSet)
-    // CDF tables refuse (no change files for the restore diff)
+    // CDF tables EMIT the restore's row-level diff as change files
+    // (file-level: leaving files' visible rows as deletes, returning
+    // files' rows as inserts — same-commit delete+insert pairs net out
+    // for any per-commit consumer)
     val d3 = freshDir("restcdf")
     DeltaLake.write(spark, d3, frame(1 to 5),
       properties = Map("delta.enableChangeDataFeed" -> "true"))
     DeltaLake.delete(spark, d3, col("id") === 1L)
-    val e2 = intercept[IllegalArgumentException] {
-      DeltaLake.restore(spark, d3, 0L)
-    }
-    assert(e2.getMessage.contains("Change Data Feed"))
+    assert(DeltaLake.restore(spark, d3, 0L) == 2L)
+    assert(ids(DeltaLake.snapshot(spark, d3)) == (1L to 5L).toSet)
+    val c3 = commitText(d3, 2L)
+    assert(c3.contains("\"cdc\""),
+      s"restore on a CDF table must carry change files: $c3")
+    // the restore window of the feed carries exactly the file diff:
+    // the DV'd file's visible rows leave (2-5), the clean file's rows
+    // return (1-5) — the same-commit pairs net out, restoring id 1
+    val feed = DeltaLake.changeFeed(spark, d3, 1L, None)
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(feed.toSet ==
+      ((2L to 5L).map(i => (i, "delete", 2L)) ++
+        (1L to 5L).map(i => (i, "insert", 2L))).toSet,
+      s"restore change rows: ${feed.toSeq}")
   }
 
   test("a checkpoint carries the table's protocol VERBATIM: features " +

@@ -156,6 +156,53 @@ class IcebergOrcSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("lacks column"), e.getMessage)
   }
 
+  test("the footer-probe cost is BOUNDED: validations persist in the " +
+      "metadata marker, so a cold resolution re-probes only NEW files " +
+      "— and a schema change still forces the full re-check") {
+    val dir = freshDir("marker")
+    Iceberg.stageOrcAppend(spark, dir, frame(1 to 10).repartition(4))
+    val probes0 = Iceberg.orcFooterProbes.get()
+    Iceberg.snapshot(spark, dir).collect()
+    val firstProbes = Iceberg.orcFooterProbes.get() - probes0
+    assert(firstProbes >= 4, s"expected >=4 footer probes, $firstProbes")
+    assert(new java.io.File(dir, "metadata/graft-orc-validated.json")
+      .exists(), "first resolution did not persist the marker")
+    // a COLD resolution (fresh JVM simulated by clearing the memo)
+    // trusts the marker: zero footer reads
+    Iceberg.clearOrcFooterCacheForTest()
+    val probes1 = Iceberg.orcFooterProbes.get()
+    Iceberg.snapshot(spark, dir).collect()
+    assert(Iceberg.orcFooterProbes.get() == probes1,
+      "marker-validated files were re-probed on cold resolution")
+    // appending pays footer reads for the NEW files only
+    Iceberg.stageOrcAppend(spark, dir, frame(11 to 20).coalesce(1))
+    val probes2 = Iceberg.orcFooterProbes.get()
+    Iceberg.snapshot(spark, dir).collect()
+    val newProbes = Iceberg.orcFooterProbes.get() - probes2
+    assert(newProbes >= 1 && newProbes <= 2,
+      s"append re-probed $newProbes files — expected only the new one")
+    // the legacy in-place rewrite is STILL caught: the fingerprint
+    // mismatch empties the validated set and the full re-probe refuses
+    val mdDir = new java.io.File(dir, "metadata")
+    val mdFile = Option(mdDir.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = M.readTree(java.nio.file.Files.readString(mdFile.toPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md.get("schemas").elements().next().get("fields").elements()
+      .forEachRemaining { f =>
+        val o = f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        if (o.get("name").asText == "v") { o.put("name", "label"); () }
+      }
+    java.nio.file.Files.writeString(mdFile.toPath,
+      M.writeValueAsString(md))
+    Iceberg.clearOrcFooterCacheForTest()
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.snapshot(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("lacks column"), e.getMessage)
+  }
+
   test("the registered reader serves ORC tables too") {
     val dir = freshDir("rapi")
     Iceberg.stageOrcAppend(spark, dir, frame(1 to 12))

@@ -195,6 +195,70 @@ class DeltaLogStreamSpec extends AnyFunSuite with SparkFixture {
       s"expected the non-CDF refusal, got: ${messages(e)}")
   }
 
+  test("the remaining DML kinds flow through readChangeFeed too: a " +
+      "MERGE commit streams insert + update pre/post rows, a RESTORE " +
+      "commit streams its file-diff as delete/insert rows") {
+    val dir = freshDir("cdfdml")
+    DeltaLake.write(spark, dir, frame(1 to 10),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    // v1: MERGE — id 3 matched (updated), id 30 not matched (inserted)
+    DeltaLake.merge(spark, dir,
+      Seq((3L, "m3"), (30L, "m30")).toDF("id", "g"), Seq("id"))
+    // v2: plain CDF append (the restore target boundary)
+    DeltaLake.write(spark, dir, frame(41 to 43))
+    // v3: RESTORE to v1 — the appended file leaves as deletes
+    val rv = DeltaLake.restore(spark, dir, 1L)
+    assert(rv == 3L)
+    val ckpt = freshDir("cdfdml_ck")
+    val batches = scala.collection.mutable
+      .Buffer.empty[Seq[(Long, String, Long)]]
+    val q = spark.readStream.format("graft-deltalake")
+      .option("readChangeFeed", "true")
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        batches.synchronized {
+          batches += b.select("id", "_change_type", "_commit_version")
+            .collect().map(r =>
+              (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches.length == 4, s"one batch per version: $batches")
+    assert(batches(0).toSet ==
+      (1L to 10L).map(i => (i, "insert", 0L)).toSet)
+    assert(batches(1).toSet == Set((3L, "update_preimage", 1L),
+      (3L, "update_postimage", 1L), (30L, "insert", 1L)),
+      s"merge change rows: ${batches(1)}")
+    assert(batches(2).toSet ==
+      (41L to 43L).map(i => (i, "insert", 2L)).toSet)
+    assert(batches(3).toSet ==
+      (41L to 43L).map(i => (i, "delete", 3L)).toSet,
+      s"restore change rows: ${batches(3)}")
+    // the table's final content matches the netted feed
+    assert(ids(DeltaLake.snapshot(spark, dir)) ==
+      (1L to 10L).toSet + 30L)
+    // a CDF restore ACROSS a schema change refuses loudly (one change
+    // frame cannot carry two shapes)
+    val dir2 = freshDir("cdfdml2")
+    DeltaLake.write(spark, dir2, frame(1 to 5),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLake.stageCommit(spark, dir2, (6 to 8).map(i =>
+      (i.toLong, s"g${i % 2}", i * 10L)).toDF("id", "g", "extra"),
+      Seq.empty, 1L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.restore(spark, dir2, 0L)
+    }
+    assert(e.getMessage.contains("schema"), e.getMessage)
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
   test("a delete window fails fast — inserts-only streams cannot retract") {
     val dir = freshDir("del")
     DeltaLake.stageCommit(spark, dir, frame(1 to 10), Seq.empty, 0L)
