@@ -391,6 +391,52 @@ object LakeReaderProbe {
         f"$warmMs%7.1f ms")
     }
 
+    // Z-ORDER effectiveness at table scale (r11/r12 verdicts): 200
+    // round-robin files each spanning the FULL domain of both columns
+    // (nothing prunes), then OPTIMIZE ZORDER(o_orderkey, o_custkey) —
+    // a narrow band on EITHER column must plan a small fraction of the
+    // clustered layout. This gives clustering quality the same
+    // regression row fold/prune/skip have.
+    locally {
+      val zDir = java.nio.file.Files
+        .createTempDirectory("graft_probe_zorder").toFile.getAbsolutePath
+      dl.write(spark, zDir, ord.repartition(200))
+      val maxK = ord.agg(max(col("o_orderkey"))).head().getLong(0)
+      val maxC = ord.agg(max(col("o_custkey"))).head().getLong(0)
+      def band(c: String, mid: Long, width: Long): Int =
+        dl.snapshotWhere(spark, zDir,
+          col(c) >= mid && col(c) < mid + width).inputFiles.length
+      val preTotal = dl.snapshot(spark, zDir).inputFiles.length
+      val preK = band("o_orderkey", maxK / 2, maxK / 100)
+      val preC = band("o_custkey", maxC / 2, maxC / 100)
+      def dataBytes(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten
+            .filterNot(_.getName.startsWith("_")).map(dataBytes).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      val bytes = dataBytes(new java.io.File(zDir))
+      val tZ = ms(dl.compact(spark, zDir,
+        targetFileBytes = math.max(1L, bytes / 200),
+        zorderBy = Seq("o_orderkey", "o_custkey")))
+      val postTotal = dl.snapshot(spark, zDir).inputFiles.length
+      val postK = band("o_orderkey", maxK / 2, maxK / 100)
+      val postC = band("o_custkey", maxC / 2, maxC / 100)
+      println(f"delta zorder (2 cols, 1%% bands)  pre: $preK%d/$preC%d " +
+        f"of $preTotal%d files planned (key/cust)   post: " +
+        f"$postK%d/$postC%d of $postTotal%d   rewrite $tZ%7.1f ms")
+      require(preK >= preTotal * 9 / 10 && preC >= preTotal * 9 / 10,
+        s"pre-zorder bands should plan ~everything: $preK/$preC " +
+          s"of $preTotal")
+      require(postK <= postTotal / 3 && postC <= postTotal / 3,
+        s"z-order clustering ineffective: $postK/$postC of $postTotal " +
+          "files for 1% bands")
+      def rmz(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmz))
+        f.delete(); ()
+      }
+      rmz(new java.io.File(zDir))
+    }
+
     // ORC footer name-check at table scale (r12 verdict's `weak`):
     // ~1k ORC files — first-contact resolution pays one parallel
     // footer read per file (measured, no longer unknown), every later
