@@ -3317,6 +3317,30 @@ object Queries {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // ICEBERG AVRO DATA FILES (r14): a genuinely mixed parquet+AVRO
+    // table (migration in progress) — the avro arm rides the minimal
+    // avro-core FileFormat with FIELD-ID column resolution and
+    // manifest-stats pruning; hash equality pins the three-format
+    // union story (the filter exercises both arms' row values).
+    QueryDef("iceberg_avro_scan",
+      (s, d) => graft.sources.Iceberg
+        .snapshot(s, icebergOrdersAvro(s, d))
+        .filter(col("o_custkey") % 5 =!= 2)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_orderpriority")).as("n_pri"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  COUNT(DISTINCT o_orderpriority) AS n_pri
+             |FROM orders
+             |WHERE o_custkey % 5 <> 2
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
     // FILE-BASED TRANSACTIONAL CATALOG, SQL READ (r13): tables read BY
     // NAME (`gcat.db.orders`) through the registered TableCatalog —
     // the catalog pins a (format, path, version) triple and the
@@ -3677,6 +3701,23 @@ object Queries {
       graft.sources.Iceberg.stageAppend(s, p,
         ord.filter(col("o_custkey") % 2 === 0), Seq.empty)
       graft.sources.Iceberg.stageOrcAppend(s, p,
+        ord.filter(col("o_custkey") % 2 =!= 0))
+      ()
+    }
+
+  /** The MIXED parquet+AVRO Iceberg table — the `iceberg_avro_scan`
+    * fixture: evens as a parquet snapshot, odds as an AVRO snapshot
+    * ([[graft.sources.Iceberg.stageAvroAppend]] — full orders schema,
+    * date column included via the avro `date` logical type).
+    */
+  private[graft] def icebergOrdersAvro(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_avro_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      val ord = t(s, d, "orders")
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_custkey") % 2 === 0), Seq.empty)
+      graft.sources.Iceberg.stageAvroAppend(s, p,
         ord.filter(col("o_custkey") % 2 =!= 0))
       ()
     }

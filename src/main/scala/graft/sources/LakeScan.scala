@@ -117,6 +117,8 @@ object LakeScan {
             .ParquetFileFormat
         case "orc" =>
           new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+        case "avro" =>
+          new org.apache.spark.sql.graft.GraftAvroFileFormat
         case other => throw new IllegalArgumentException(
           s"LakeScan: unsupported file format '$other'")
       }

@@ -92,8 +92,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "catalog_sql_read", "catalog_multi_table_txn", "catalog_time_travel",
       "catalog_insert_sql",
       // round-14 surface
-      "catalog_delete_sql", "catalog_update_sql", "catalog_merge_sql")
-    assert(declared.size == 188)
+      "catalog_delete_sql", "catalog_update_sql", "catalog_merge_sql",
+      "iceberg_avro_scan")
+    assert(declared.size == 189)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
