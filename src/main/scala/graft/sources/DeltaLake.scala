@@ -3229,6 +3229,88 @@ object DeltaLake {
     out
   }
 
+  /** TRUNCATE the log back to `version` — the catalog-orphan
+    * reclamation shape ([[graft.sources.GraftCatalog.vacuumOrphans]]):
+    * commits AFTER `version` (aborted-transaction staging the catalog
+    * pin never adopted) are removed along with every data/change/DV
+    * asset they introduced, so the table head returns to the pinned
+    * version. The inverse of [[vacuum]]'s retention (which reclaims
+    * the PAST): this reclaims the unpinned FUTURE. Assets also
+    * referenced by the retained state are never touched (defensive —
+    * writers mint unique names, but a shared path must survive).
+    * Caller owns the table while this runs (catalog maintenance — a
+    * concurrent writer committing past the cut would race the
+    * deletes).
+    */
+  def truncateAfter(spark: SparkSession, path: String,
+      version: Long): Seq[String] = {
+    val doomedVs = commitVersions(path).filter(_ > version).sorted
+    if (doomedVs.isEmpty &&
+        checkpointVersions(path).forall(_ <= version)) return Seq.empty
+    // the retained state must resolve BEFORE anything is deleted (a
+    // truncation to an unreadable version would destroy the table)
+    val keepState = replay(spark, path, Some(version))
+    def dvSidecar(storageType: String, enc: String): Option[java.io.File] =
+      storageType match {
+        case "u" => Some(DeletionVectors.sidecarFile(path, enc))
+        case "p" => Some(DeletionVectors.absoluteFile(enc))
+        case _ => None
+      }
+    val keep: Set[String] =
+      keepState.adds.map(a =>
+        new java.io.File(resolve(path, a.path)).getAbsolutePath).toSet ++
+        keepState.adds.flatMap(_.dv).flatMap(d =>
+          dvSidecar(d.storageType, d.pathOrInlineDv))
+          .map(_.getAbsolutePath)
+    val deleted = mutable.Buffer.empty[String]
+    def drop(f: java.io.File): Unit =
+      if (!keep.contains(f.getAbsolutePath) && f.exists()) {
+        deleted += f.getAbsolutePath
+        f.delete(); ()
+      }
+    doomedVs.foreach { v =>
+      val cf = new java.io.File(path, "_delta_log/" + f"$v%020d.json")
+      if (cf.exists()) {
+        java.nio.file.Files.readString(cf.toPath).linesIterator
+          .foreach { line =>
+            val n = M.readTree(line)
+            Seq("add", "cdc").foreach { k =>
+              Option(n.get(k)).foreach { a =>
+                drop(new java.io.File(resolve(path,
+                  percentDecode(a.get("path").asText))))
+                Option(a.get("deletionVector")).foreach { d =>
+                  dvSidecar(d.get("storageType").asText,
+                    d.get("pathOrInlineDv").asText).foreach(drop)
+                }
+              }
+            }
+          }
+        deleted += cf.getAbsolutePath
+        cf.delete()
+      }
+    }
+    // checkpoints past the cut go too, and the `_last_checkpoint`
+    // hint with them when it named one (it is a hint — readers pick
+    // checkpoints by listing)
+    val ld = new java.io.File(path, "_delta_log")
+    Option(ld.listFiles()).toSeq.flatten
+      .filter { f =>
+        "^(\\d{20})\\.checkpoint".r.findFirstMatchIn(f.getName)
+          .exists(_.group(1).toLong > version)
+      }
+      .foreach { f =>
+        deleted += f.getAbsolutePath
+        f.delete()
+      }
+    val hint = new java.io.File(ld, "_last_checkpoint")
+    if (hint.exists() && deleted.exists(_.contains(".checkpoint"))) {
+      deleted += hint.getAbsolutePath
+      hint.delete()
+      ()
+    }
+    deleted.toSeq.sorted
+  }
+
   /** Stage a SHALLOW CLONE of `srcDir` at `cloneDir` — the
     * zero-copy table the `CLONE` command commits: one commit whose
     * add actions reference the SOURCE's data files by ABSOLUTE path

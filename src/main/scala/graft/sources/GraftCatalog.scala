@@ -415,6 +415,45 @@ object GraftCatalog {
     ()
   }
 
+  /** Reclaim ORPHANED table versions — staging an aborted
+    * [[transaction]] leaves (table-level writes landed, pins never
+    * swapped): for every catalog entry whose table HEAD is ahead of
+    * its PIN, roll the table back to the pin and reclaim what the
+    * orphan versions introduced, routed to each format's own
+    * machinery ([[DeltaLake.truncateAfter]];
+    * [[Iceberg.rollback]] + [[Iceberg.expireSnapshots]] with the
+    * orphan cut). Pinned versions — and everything at or before them,
+    * time travel included — are never touched. Run it BETWEEN
+    * transactions (catalog maintenance owns the tables while it
+    * runs); a transaction starting after the reclaim stages from the
+    * pinned head again, so the adopt-orphans hazard documented on
+    * [[transaction]] is gone for reclaimed tables.
+    *
+    * Returns the reclaimed asset paths per table (only tables where
+    * something was reclaimed appear).
+    */
+  def vacuumOrphans(spark: SparkSession,
+      warehouse: String): Map[String, Seq[String]] = {
+    val (tables, _) = state(warehouse)
+    tables.flatMap { case (name, e) =>
+      val reclaimed = e.format match {
+        case "graft-deltalake" =>
+          if (DeltaLake.latestVersion(spark, e.path) > e.version)
+            DeltaLake.truncateAfter(spark, e.path, e.version)
+          else Seq.empty
+        case "graft-iceberg" =>
+          if (Iceberg.currentSnapshotId(e.path) != e.version) {
+            Iceberg.rollback(spark, e.path, e.version)
+            Iceberg.expireSnapshots(spark, e.path, keepLast = 1,
+              dropAfter = Some(e.version))
+          } else Seq.empty
+        case other => throw new IllegalArgumentException(
+          s"graft catalog: unknown format '$other' for $name")
+      }
+      if (reclaimed.isEmpty) None else Some(name -> reclaimed)
+    }
+  }
+
   /** A MULTI-TABLE TRANSACTION: stage writes against any number of
     * catalog tables, then swap every pin in ONE exclusive catalog
     * commit. The table-level writes land first (each table's own log

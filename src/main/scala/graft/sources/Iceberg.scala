@@ -3208,7 +3208,8 @@ object Iceberg {
     * `dryRun` returns the doomed list without touching disk.
     */
   def expireSnapshots(spark: SparkSession, path: String,
-      keepLast: Int, dryRun: Boolean = false): Seq[String] = {
+      keepLast: Int, dryRun: Boolean = false,
+      dropAfter: Option[Long] = None): Seq[String] = {
     import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
     require(keepLast >= 1, "expireSnapshots: keepLast must be >= 1")
     // metadata and the version the trimmed copy lands at come from ONE
@@ -3246,9 +3247,24 @@ object Iceberg {
         Iterator.iterate(Option(r.get("snapshot-id").asLong))(
           _.flatMap(parents.get)).takeWhile(_.isDefined).map(_.get)
       }.toSet
-    val retainIds = ordered.takeRight(keepLast)
-      .map(_.get("snapshot-id").asLong).toSet ++ refPinned ++
-      branchAncestry
+    // dropAfter = the catalog-orphan shape ([[GraftCatalog
+    // .vacuumOrphans]]): everything at-or-before the cut snapshot is
+    // retained and everything AFTER it expires unless a ref or branch
+    // ancestry still pins it — count-based keepLast would instead
+    // always spare the NEWEST snapshot, which is exactly the aborted
+    // orphan being reclaimed
+    val retainIds = (dropAfter match {
+      case Some(cut) =>
+        val cutIdx = ordered.indexWhere(
+          _.get("snapshot-id").asLong == cut)
+        require(cutIdx >= 0,
+          s"expireSnapshots: dropAfter snapshot $cut is not in " +
+            s"$path's history")
+        ordered.take(cutIdx + 1)
+          .map(_.get("snapshot-id").asLong).toSet
+      case None => ordered.takeRight(keepLast)
+        .map(_.get("snapshot-id").asLong).toSet
+    }) ++ refPinned ++ branchAncestry
     val expired = ordered
       .filterNot(s => retainIds.contains(s.get("snapshot-id").asLong))
     if (expired.isEmpty) return Seq.empty

@@ -246,6 +246,58 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("vacuumOrphans reclaims aborted-transaction staging: table " +
+      "heads return to the pins, orphan assets are deleted, pinned " +
+      "content (and its time travel) is never touched") {
+    val d1 = freshDir("vo1")
+    DeltaLake.write(spark, d1, frame(1 to 10))
+    DeltaLake.write(spark, d1, frame(11 to 15))
+    val d2 = freshDir("vo2")
+    Iceberg.write(spark, d2, frame(1 to 10))
+    GraftCatalog.register(spark, wh, "vo.a", "graft-deltalake", d1)
+    GraftCatalog.register(spark, wh, "vo.b", "graft-iceberg", d2)
+    // an aborted transaction: both table heads advance, no pin moves
+    intercept[RuntimeException] {
+      GraftCatalog.transaction(spark, wh) { tx =>
+        tx.write("vo.a", frame(16 to 30))
+        tx.write("vo.b", frame(11 to 30))
+        throw new RuntimeException("abort")
+      }
+    }
+    assert(ids(DeltaLake.snapshot(spark, d1)) == (1L to 30L).toSet,
+      "precondition: the orphan staged write is on the delta head")
+    assert(ids(Iceberg.snapshot(spark, d2)) == (1L to 30L).toSet,
+      "precondition: the orphan staged write is on the iceberg head")
+    val reclaimed = GraftCatalog.vacuumOrphans(spark, wh)
+    // the suite's warehouse is shared: earlier tests' aborted/raced
+    // stagings are legitimate orphans too — require ours, allow theirs
+    assert(Set("vo.a", "vo.b").subsetOf(reclaimed.keySet),
+      s"expected both orphaned tables reclaimed: ${reclaimed.keySet}")
+    assert(reclaimed.values.forall(_.nonEmpty))
+    // heads are back at the pins; catalog reads unchanged
+    assert(ids(DeltaLake.snapshot(spark, d1)) == (1L to 15L).toSet,
+      "delta head did not return to the pin")
+    assert(ids(Iceberg.snapshot(spark, d2)) == (1L to 10L).toSet,
+      "iceberg head did not return to the pin")
+    assert(ids(spark.sql("SELECT * FROM tcat.vo.a").toDF()) ==
+      (1L to 15L).toSet)
+    assert(ids(spark.sql("SELECT * FROM tcat.vo.b").toDF()) ==
+      (1L to 10L).toSet)
+    // time travel BEFORE the pin is untouched
+    assert(ids(spark.sql("SELECT * FROM tcat.vo.a VERSION AS OF 0")
+      .toDF()) == (1L to 10L).toSet,
+      "reclaim touched pre-pin history")
+    // a clean catalog reclaims nothing
+    assert(GraftCatalog.vacuumOrphans(spark, wh)
+      .filterKeys(Set("vo.a", "vo.b")).isEmpty)
+    // the next transaction stages from the reclaimed head and commits
+    GraftCatalog.transaction(spark, wh) { tx =>
+      tx.write("vo.a", frame(16 to 20))
+    }
+    assert(ids(spark.sql("SELECT * FROM tcat.vo.a").toDF()) ==
+      (1L to 20L).toSet)
+  }
+
   test("SQL DELETE/UPDATE through the catalog: native DML commit + " +
       "monotone re-pin; a no-op DML moves nothing") {
     val dd = freshDir("dml_a")
