@@ -73,6 +73,53 @@ final case class GraftLakeRelation(format: String, path: String,
 
 object GraftLakeRelation {
 
+  /** The relation the PROVIDERS hand Spark: when the resolved library
+    * plan is exactly the bare [[LogFileIndex]]-backed file relation
+    * (a simple snapshot — no DV/MoR filters or joins, no mixed-format
+    * union, no column-mapping rename projection, and the declared
+    * column order equals the relation's data++partition order), that
+    * [[org.apache.spark.sql.execution.datasources.HadoopFsRelation]]
+    * is returned DIRECTLY — a no-extensions `spark.read.format(...)`
+    * then plans the native columnar FileSourceScanExec with pushdown,
+    * pruning, and skipping intact, no splice required (r12 verdict
+    * item #7). Anything richer keeps the [[GraftLakeRelation]]
+    * row-fallback (correct, extension-spliced to native when
+    * installed).
+    */
+  def relationFor(format: String, path: String,
+      parameters: Map[String, String],
+      ctx: SQLContext): org.apache.spark.sql.sources.BaseRelation = {
+    val rel = GraftLakeRelation(format, path, parameters, ctx)
+    bareNativeOf(rel.resolved).getOrElse(rel)
+  }
+
+  private def bareNativeOf(df: DataFrame)
+      : Option[org.apache.spark.sql.execution.datasources
+        .HadoopFsRelation] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def unwrap(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case lr: LogicalRelation => Some(lr)
+      case SubqueryAlias(_, c) => unwrap(c)
+      // only an ORDER-PRESERVING all-attribute projection unwraps: an
+      // alias (column mapping's physical→logical rename) or a reorder
+      // (partition column not declared last) changes the relation's
+      // user-visible surface and must keep the wrapper
+      case Project(exprs, child) =>
+        unwrap(child).filter { lr =>
+          exprs.length == lr.output.length &&
+            exprs.zip(lr.output).forall {
+              case (a: AttributeReference, o) => a.exprId == o.exprId
+              case _ => false
+            }
+        }
+      case _ => None
+    }
+    unwrap(org.apache.spark.sql.graft.GraftSql.analyzed(df))
+      .map(_.relation).collect { case h: HadoopFsRelation => h }
+  }
+
   /** Option-set → library DataFrame, shared by the relation and the
     * SQL-identifier resolution ([[graft.GraftExtensions]]).
     */

@@ -83,8 +83,8 @@ class DeltaLogStreamProvider extends StreamSourceProvider
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String])
       : org.apache.spark.sql.sources.BaseRelation =
-    graft.sources.GraftLakeRelation(shortName(), pathOf(parameters),
-      parameters, ctx)
+    graft.sources.GraftLakeRelation.relationFor(shortName(),
+      pathOf(parameters), parameters, ctx)
 
   /** BATCH write — `df.write.format("graft-deltalake")
     * .mode(...).option("partitionBy", "a,b").save(path)` through the

@@ -52,8 +52,8 @@ class IcebergLogStreamProvider extends StreamSourceProvider
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String])
       : org.apache.spark.sql.sources.BaseRelation =
-    graft.sources.GraftLakeRelation(shortName(), pathOf(parameters),
-      parameters, ctx)
+    graft.sources.GraftLakeRelation.relationFor(shortName(),
+      pathOf(parameters), parameters, ctx)
 
   /** BATCH write — `df.write.format("graft-iceberg").mode(...)
     * .option("partitionBy", "days(ts)").save(path)` through the native

@@ -182,6 +182,47 @@ class LakeReaderApiSpec extends AnyFunSuite with SparkFixture {
       .load(dd)) == (1L to 20L).toSet)
   }
 
+  test("EXTENSION-FREE native reads: a simple snapshot's provider " +
+      "relation IS the log-backed HadoopFsRelation — columnar scan " +
+      "with no splice in the loop; richer snapshots keep the wrapper") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val dd = freshDir("dnat")
+    DeltaLake.write(spark, dd, frame(1 to 40), partitionBy = Seq("g"))
+    val dDf = spark.read.format("graft-deltalake").load(dd)
+    // the ANALYZED plan (pre-splice) already holds the native file
+    // relation — the extensions rule has nothing to do, so the same
+    // plan holds in a session without them
+    val analyzed = dDf.asInstanceOf[classic.Dataset[_]]
+      .queryExecution.analyzed
+    val rels = analyzed.collect { case lr: LogicalRelation => lr }
+    assert(rels.nonEmpty &&
+      rels.forall(!_.relation.isInstanceOf[GraftLakeRelation]),
+      s"expected the bare native relation pre-splice:\n$analyzed")
+    assert(rels.exists(_.relation.isInstanceOf[
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation]))
+    // column ORDER matches the library API (partition column declared
+    // last here, so data++partition order is the declared order)
+    assert(dDf.columns.toSeq ==
+      DeltaLake.snapshot(spark, dd).columns.toSeq)
+    assert(ids(dDf.filter(col("g") === "g2")) ==
+      (1L to 40L).filter(_ % 4 == 2).toSet)
+    // iceberg, unpartitioned: same bare-native shape
+    val id = freshDir("inat")
+    Iceberg.write(spark, id, frame(1 to 30))
+    val iDf = spark.read.format("graft-iceberg").load(id)
+    val iRels = iDf.asInstanceOf[classic.Dataset[_]]
+      .queryExecution.analyzed.collect { case lr: LogicalRelation => lr }
+    assert(iRels.nonEmpty &&
+      iRels.forall(!_.relation.isInstanceOf[GraftLakeRelation]))
+    // a DV'd snapshot is NOT a bare scan (anti-filter in the plan):
+    // the wrapper stays and content stays correct via the splice
+    val dv = freshDir("dvnat")
+    DeltaLake.write(spark, dv, frame(1 to 20))
+    DeltaLake.delete(spark, dv, col("id") % 5 === 0)
+    val dvDf = spark.read.format("graft-deltalake").load(dv)
+    assert(ids(dvDf) == (1L to 20L).filterNot(_ % 5 == 0).toSet)
+  }
+
   test("extension-less fallback: buildScan serves correct projected " +
       "rows (unhandledFilters keeps filtering with Spark)") {
     val dd = freshDir("dfall")
