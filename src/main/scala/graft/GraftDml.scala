@@ -44,6 +44,15 @@ case class GraftDmlCommand(statement: String, body: SparkSession => Unit)
   * `UPDATE SET *` + optional `INSERT *`; no action conditions, no
   * `NOT MATCHED BY SOURCE`, no schema evolution), and a time-traveled
   * relation is not a write target.
+  *
+  * Like the INSERT bridge and [[GraftCatalog.transaction]], staging is
+  * HEAD-BASED: the DML commits on the TABLE's current head and the
+  * re-pin publishes it — so unpinned orphan versions (an aborted
+  * transaction's staging) are ADOPTED by the next DML, the documented
+  * catalog trade. Run [[GraftCatalog.vacuumOrphans]] after an abort if
+  * adoption is not wanted; a head==pin gate here would instead refuse
+  * legitimate concurrent statements (another statement's table write
+  * lands before its re-pin).
   */
 object GraftDml {
 
@@ -85,16 +94,9 @@ object GraftDml {
         val stmt = s"DELETE FROM ${t.fullName}"
         checkWritable(t, stmt)
         val pred = nameBased(cond, stmt)
-        GraftDmlCommand(stmt, spark => {
-          val v = t.entry.format match {
-            case "graft-deltalake" =>
-              DeltaLake.delete(spark, t.entry.path, pred)
-            case "graft-iceberg" =>
-              Iceberg.delete(spark, t.entry.path, pred)
-            case other => unknownFormat(other, t)
-          }
-          repin(t, v)
-        })
+        GraftDmlCommand(stmt, spark => commitVia(t,
+          DeltaLake.delete(spark, t.entry.path, pred),
+          Iceberg.delete(spark, t.entry.path, pred)))
       }
 
     case u @ UpdateTable(target, assignments, condOpt) =>
@@ -119,16 +121,14 @@ object GraftDml {
           }
         }
         val pred = condOpt.map(nameBased(_, stmt)).getOrElse(lit(true))
-        GraftDmlCommand(stmt, spark => {
-          val v = t.entry.format match {
-            case "graft-deltalake" =>
-              DeltaLake.update(spark, t.entry.path, pred, set.toMap)
-            case "graft-iceberg" =>
-              Iceberg.update(spark, t.entry.path, pred, set.toMap)
-            case other => unknownFormat(other, t)
-          }
-          repin(t, v)
-        })
+        if (set.isEmpty)
+          // every assignment was an identity (`SET a = a`): a valid
+          // SQL statement whose semantics are a no-op — commit
+          // nothing, move nothing
+          GraftDmlCommand(stmt, _ => ())
+        else GraftDmlCommand(stmt, spark => commitVia(t,
+          DeltaLake.update(spark, t.entry.path, pred, set.toMap),
+          Iceberg.update(spark, t.entry.path, pred, set.toMap)))
       }
 
     case m: MergeIntoTable =>
@@ -179,16 +179,11 @@ object GraftDml {
         val source = m.sourceTable
         GraftDmlCommand(stmt, spark => {
           val src = GraftSql.ofRows(spark, source)
-          val v = t.entry.format match {
-            case "graft-deltalake" =>
-              DeltaLake.merge(spark, t.entry.path, src, keys,
-                insertNotMatched)
-            case "graft-iceberg" =>
-              Iceberg.merge(spark, t.entry.path, src, keys,
-                insertNotMatched)
-            case other => unknownFormat(other, t)
-          }
-          repin(t, v)
+          commitVia(t,
+            DeltaLake.merge(spark, t.entry.path, src, keys,
+              insertNotMatched),
+            Iceberg.merge(spark, t.entry.path, src, keys,
+              insertNotMatched))
         })
       }
 
@@ -255,15 +250,24 @@ object GraftDml {
       "time-traveled relation — DML targets the table, not a " +
       "historical pin")
 
-  /** Advance the catalog pin to the DML-produced table version; a
-    * no-op DML (predicate matched nothing → no table commit) leaves
-    * the pin untouched.
+  /** Dispatch ONE DML commit to the target's native writer (by-name
+    * args — only the matching format's writer runs), then advance the
+    * catalog pin to the produced table version; a no-op DML (predicate
+    * matched nothing → no table commit, version -1) leaves the pin
+    * untouched.
     */
-  private def repin(t: GraftCatalogTable, version: Long): Unit =
-    if (version >= 0L) {
-      GraftCatalog.advancePin(t.warehouse, t.key, version)
+  private def commitVia(t: GraftCatalogTable, delta: => Long,
+      iceberg: => Long): Unit = {
+    val v = t.entry.format match {
+      case "graft-deltalake" => delta
+      case "graft-iceberg" => iceberg
+      case other => unknownFormat(other, t)
+    }
+    if (v >= 0L) {
+      GraftCatalog.advancePin(t.warehouse, t.key, v)
       ()
     }
+  }
 
   private def unknownFormat(fmt: String, t: GraftCatalogTable): Nothing =
     throw new IllegalArgumentException(

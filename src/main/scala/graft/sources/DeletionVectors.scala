@@ -228,6 +228,20 @@ object DeletionVectors {
       s"deletion_vector_$uuid.bin")
   }
 
+  /** The on-disk sidecar a descriptor names by STORAGE TYPE — None for
+    * inline descriptors (they live in the log). The shared dispatch for
+    * every maintenance path (restore's existence guard, vacuum's
+    * keep-set, truncateAfter's keep/drop sets): one copy, so a rule
+    * change can never desynchronize what maintenance deletes from what
+    * reads reference.
+    */
+  def sidecarOf(tableRoot: String, storageType: String,
+      enc: String): Option[java.io.File] = storageType match {
+    case "u" => Some(sidecarFile(tableRoot, enc))
+    case "p" => Some(absoluteFile(enc))
+    case _ => None
+  }
+
   /** The file a `p`-type (absolute) descriptor names — plain absolute
     * paths and local `file:` URIs (percent-decoding, authority, scheme
     * case); any other scheme is unreadable here, loudly.

@@ -2828,13 +2828,8 @@ object DeltaLake {
           "would commit a table that fails at read")
       // every DV storage form the reader resolves must still resolve
       a.dv.foreach { d =>
-        val sidecar = d.storageType match {
-          case "u" => Some(DeletionVectors.sidecarFile(path,
-            d.pathOrInlineDv))
-          case "p" => Some(DeletionVectors.absoluteFile(d.pathOrInlineDv))
-          case _ => None // inline: lives in the log itself
-        }
-        sidecar.foreach(f => require(f.exists(),
+        DeletionVectors.sidecarOf(path, d.storageType, d.pathOrInlineDv)
+          .foreach(f => require(f.exists(),
           s"DeltaLake.restore: deletion vector of ${a.path} at " +
             s"version $version is gone (vacuumed) — refusing"))
       }
@@ -3183,15 +3178,9 @@ object DeltaLake {
         // DV sidecars resolve through the READER's own path rules —
         // vacuum and the scan must agree on what a descriptor names,
         // or vacuum deletes what reads reference
-        a.dv.foreach {
-          case d if d.storageType == "u" =>
-            keep += DeletionVectors.sidecarFile(path, d.pathOrInlineDv)
-              .getAbsolutePath
-          case d if d.storageType == "p" =>
-            keep += DeletionVectors.absoluteFile(d.pathOrInlineDv)
-              .getAbsolutePath
-          case _ => () // inline: no sidecar
-        }
+        a.dv.foreach(d => DeletionVectors.sidecarOf(path,
+          d.storageType, d.pathOrInlineDv)
+          .foreach(keep += _.getAbsolutePath))
       }
     }
     // CHANGE DATA files belong to their commit, not to any snapshot's
@@ -3244,42 +3233,81 @@ object DeltaLake {
     */
   def truncateAfter(spark: SparkSession, path: String,
       version: Long): Seq[String] = {
+    val allVersions = (commitVersions(path) ++ checkpointVersions(path))
+      .distinct.sorted
     val doomedVs = commitVersions(path).filter(_ > version).sorted
-    if (doomedVs.isEmpty &&
-        checkpointVersions(path).forall(_ <= version)) return Seq.empty
-    // the retained state must resolve BEFORE anything is deleted (a
-    // truncation to an unreadable version would destroy the table)
-    val keepState = replay(spark, path, Some(version))
-    def dvSidecar(storageType: String, enc: String): Option[java.io.File] =
-      storageType match {
-        case "u" => Some(DeletionVectors.sidecarFile(path, enc))
-        case "p" => Some(DeletionVectors.absoluteFile(enc))
-        case _ => None
+    if (doomedVs.isEmpty && allVersions.forall(_ <= version))
+      return Seq.empty
+    // the keep set spans EVERY retained version, not just the cut
+    // state: a doomed commit may RE-ADD a pre-cut historical file
+    // (e.g. an orphaned restore), and deleting it would destroy the
+    // pre-cut time travel this function promises never to touch. The
+    // retained states must also resolve BEFORE anything is deleted.
+    val keep = mutable.Set.empty[String]
+    allVersions.filter(_ <= version).foreach { v =>
+      replay(spark, path, Some(v)).adds.foreach { a =>
+        keep += new java.io.File(resolve(path, a.path)).getAbsolutePath
+        a.dv.foreach(d => DeletionVectors.sidecarOf(path,
+          d.storageType, d.pathOrInlineDv)
+          .foreach(keep += _.getAbsolutePath))
       }
-    val keep: Set[String] =
-      keepState.adds.map(a =>
-        new java.io.File(resolve(path, a.path)).getAbsolutePath).toSet ++
-        keepState.adds.flatMap(_.dv).flatMap(d =>
-          dvSidecar(d.storageType, d.pathOrInlineDv))
-          .map(_.getAbsolutePath)
+    }
+    // retained v2 checkpoints may SHARE sidecar parquet files with
+    // doomed ones (incremental checkpoints reuse them) — theirs stay
+    val ld = logDir(path)
+    def v2SidecarsOf(manifest: java.io.File): Seq[java.io.File] = {
+      val rels = mutable.Buffer.empty[String]
+      if (manifest.getName.endsWith(".json"))
+        java.nio.file.Files.readAllLines(manifest.toPath).asScala
+          .filter(_.nonEmpty).foreach { line =>
+            Option(M.readTree(line).get("sidecar"))
+              .foreach(sc => rels += sc.get("path").asText)
+          }
+      else
+        spark.read.parquet(manifest.getAbsolutePath)
+          .toLocalIterator().asScala.foreach { row =>
+            if (row.schema.fieldNames.contains("sidecar") &&
+                !row.isNullAt(row.fieldIndex("sidecar"))) {
+              val sc = row.getStruct(row.fieldIndex("sidecar"))
+              rels += sc.getString(sc.fieldIndex("path"))
+            }
+          }
+      rels.toSeq.map { rel =>
+        val decoded = percentDecode(rel)
+        if (decoded.startsWith("/")) new java.io.File(decoded)
+        else new java.io.File(new java.io.File(ld, "_sidecars"), decoded)
+      }
+    }
+    val (doomedCps, keptCps) = Option(ld.listFiles()).toSeq.flatten
+      .filter(f => "^(\\d{20})\\.checkpoint".r
+        .findFirstMatchIn(f.getName).isDefined)
+      .partition(f => "^(\\d{20})".r.findFirstMatchIn(f.getName)
+        .exists(_.group(1).toLong > version))
+    keptCps.filter(isV2Checkpoint).foreach(m =>
+      v2SidecarsOf(m).foreach(keep += _.getAbsolutePath))
     val deleted = mutable.Buffer.empty[String]
     def drop(f: java.io.File): Unit =
-      if (!keep.contains(f.getAbsolutePath) && f.exists()) {
+      if (!keep.contains(f.getAbsolutePath) && f.exists() &&
+          f.delete()) {
         deleted += f.getAbsolutePath
-        f.delete(); ()
+        ()
       }
     doomedVs.foreach { v =>
-      val cf = new java.io.File(path, "_delta_log/" + f"$v%020d.json")
+      val cf = new java.io.File(ld, f"$v%020d.json")
       if (cf.exists()) {
         java.nio.file.Files.readString(cf.toPath).linesIterator
           .foreach { line =>
             val n = M.readTree(line)
             Seq("add", "cdc").foreach { k =>
               Option(n.get(k)).foreach { a =>
+                // resolve() percent-decodes internally — decoding
+                // here too would resolve a literal '%'-bearing file
+                // name to the wrong path
                 drop(new java.io.File(resolve(path,
-                  percentDecode(a.get("path").asText))))
+                  a.get("path").asText)))
                 Option(a.get("deletionVector")).foreach { d =>
-                  dvSidecar(d.get("storageType").asText,
+                  DeletionVectors.sidecarOf(path,
+                    d.get("storageType").asText,
                     d.get("pathOrInlineDv").asText).foreach(drop)
                 }
               }
@@ -3289,21 +3317,17 @@ object DeltaLake {
         cf.delete()
       }
     }
-    // checkpoints past the cut go too, and the `_last_checkpoint`
-    // hint with them when it named one (it is a hint — readers pick
+    // checkpoints past the cut go too — v2 manifests take their
+    // UNSHARED sidecars with them — and the `_last_checkpoint` hint
+    // when any checkpoint fell (it is a hint; readers pick
     // checkpoints by listing)
-    val ld = new java.io.File(path, "_delta_log")
-    Option(ld.listFiles()).toSeq.flatten
-      .filter { f =>
-        "^(\\d{20})\\.checkpoint".r.findFirstMatchIn(f.getName)
-          .exists(_.group(1).toLong > version)
-      }
-      .foreach { f =>
-        deleted += f.getAbsolutePath
-        f.delete()
-      }
+    doomedCps.foreach { f =>
+      if (isV2Checkpoint(f)) v2SidecarsOf(f).foreach(drop)
+      deleted += f.getAbsolutePath
+      f.delete()
+    }
     val hint = new java.io.File(ld, "_last_checkpoint")
-    if (hint.exists() && deleted.exists(_.contains(".checkpoint"))) {
+    if (hint.exists() && doomedCps.nonEmpty) {
       deleted += hint.getAbsolutePath
       hint.delete()
       ()

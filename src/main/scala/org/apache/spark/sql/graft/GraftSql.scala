@@ -130,9 +130,24 @@ object GraftSql {
     import org.apache.spark.sql.catalyst.expressions._
     def lit(l: Literal): Any =
       CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    // the analyzer wraps cross-type comparison LITERALS in Casts
+    // (`id = 3` on a bigint column) and constant folding only runs in
+    // the optimizer — fold them here or every such predicate degrades
+    // to PredUnknown and loses stats skipping. Casts around ATTRIBUTES
+    // are left alone (a value compared in the cast's domain is not the
+    // column's min/max domain — PredUnknown is the safe answer there).
+    def fold(x: Expression): Expression = x match {
+      case c: Cast if c.foldable =>
+        Literal(c.eval(null), c.dataType)
+      case other => other
+    }
     e match {
       case And(l, r) => PredAnd(predicateTreeOf(l), predicateTreeOf(r))
       case Or(l, r) => PredOr(predicateTreeOf(l), predicateTreeOf(r))
+      case cmp: BinaryComparison
+          if cmp.children.exists(c =>
+            c.isInstanceOf[Cast] && c.foldable) =>
+        predicateTreeOf(cmp.withNewChildren(cmp.children.map(fold)))
       case EqualTo(a: Attribute, l: Literal) => PredCmp(a.name, lit(l), "EQ")
       case EqualTo(l: Literal, a: Attribute) => PredCmp(a.name, lit(l), "EQ")
       case GreaterThan(a: Attribute, l: Literal) =>

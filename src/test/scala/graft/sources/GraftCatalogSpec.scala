@@ -290,6 +290,21 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     // a clean catalog reclaims nothing
     assert(GraftCatalog.vacuumOrphans(spark, wh)
       .filterKeys(Set("vo.a", "vo.b")).isEmpty)
+    // an orphan that RE-ADDS a pre-pin historical file (a direct
+    // restore nobody pinned): reclaiming it must not delete the file
+    // — pre-pin time travel stays readable (the keep set spans every
+    // retained version, not just the cut state)
+    val d3 = freshDir("vo3")
+    DeltaLake.write(spark, d3, frame(1 to 10))
+    DeltaLake.write(spark, d3, frame(11 to 20), mode = "overwrite")
+    GraftCatalog.register(spark, wh, "vo.c", "graft-deltalake", d3)
+    DeltaLake.restore(spark, d3, 0L) // orphan v2 re-adds v0's file
+    assert(GraftCatalog.vacuumOrphans(spark, wh).contains("vo.c"))
+    assert(ids(spark.sql("SELECT * FROM tcat.vo.c").toDF()) ==
+      (11L to 20L).toSet)
+    assert(ids(DeltaLake.snapshot(spark, d3, Some(0L))) ==
+      (1L to 10L).toSet,
+      "reclaiming the re-add orphan destroyed pre-pin time travel")
     // the next transaction stages from the reclaimed head and commits
     GraftCatalog.transaction(spark, wh) { tx =>
       tx.write("vo.a", frame(16 to 20))
@@ -325,6 +340,12 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       == "zz")
     assert(GraftCatalog.entries(wh)("dml.a").version > pin1,
       "UPDATE did not re-pin")
+    // an ALL-IDENTITY update (`SET g = g`) is a valid SQL no-op, not
+    // an internal "empty SET" crash: nothing commits, nothing re-pins
+    val pinNoop = GraftCatalog.entries(wh)("dml.a").version
+    spark.sql("UPDATE tcat.dml.a SET g = g")
+    assert(GraftCatalog.entries(wh)("dml.a").version == pinNoop,
+      "an identity UPDATE moved the pin")
     // iceberg tables take the same statements
     val ii = freshDir("dml_i")
     Iceberg.write(spark, ii, frame(1 to 10))
@@ -391,5 +412,23 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
         "(SELECT id FROM tcat.dml.a)")
     }
     assert(eSub.getMessage.contains("subquer"), eSub.getMessage)
+  }
+
+  test("DML predicate lowering survives analyzer literal casts — " +
+      "`id = 3` on a BIGINT column still stats-skips") {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Literal}
+    import org.apache.spark.sql.graft.GraftSql
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val e = EqualTo(UnresolvedAttribute(Seq("id")),
+      Cast(Literal(3, IntegerType), LongType))
+    assert(GraftSql.predicateTreeOf(e) ==
+      GraftSql.PredCmp("id", 3L, "EQ"),
+      s"cast-wrapped literal degraded to ${GraftSql.predicateTreeOf(e)}")
+    // flipped side too
+    val f = EqualTo(Cast(Literal(7, IntegerType), LongType),
+      UnresolvedAttribute(Seq("id")))
+    assert(GraftSql.predicateTreeOf(f) ==
+      GraftSql.PredCmp("id", 7L, "EQ"))
   }
 }
