@@ -56,10 +56,39 @@ case class GraftDmlCommand(statement: String, body: SparkSession => Unit)
   */
 object GraftDml {
 
+  /** The temp-view-free SQL path schemes — shared with the read-side
+    * resolution ([[GraftExtensions]]).
+    */
+  val SqlSchemes: Map[String, String] =
+    Map("graft_delta" -> "graft-deltalake",
+      "graft_iceberg" -> "graft-iceberg")
+
   private def stripAliases(p: LogicalPlan): LogicalPlan = p match {
     case SubqueryAlias(_, child) => stripAliases(child)
     case other => other
   }
+
+  /** A PATH-identifier DML target (`DELETE FROM graft_delta.`/p``) —
+    * recognized PRE-resolution (the parser's own shapes), because the
+    * scheme identifier never resolves through a catalog. `alias` is
+    * the statement's table alias, stripped from qualified column
+    * references at lowering.
+    */
+  private final case class PathTarget(format: String, path: String,
+      alias: Option[String])
+
+  private def pathTargetOf(p: LogicalPlan): Option[PathTarget] =
+    p match {
+      case SubqueryAlias(ident, child) =>
+        pathTargetOf(child).map(_.copy(alias = Some(ident.name)))
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if u.multipartIdentifier.length == 2 &&
+            SqlSchemes.contains(u.multipartIdentifier.head.toLowerCase) =>
+        Some(PathTarget(
+          SqlSchemes(u.multipartIdentifier.head.toLowerCase),
+          u.multipartIdentifier(1), None))
+      case _ => None
+    }
 
   private def targetOf(p: LogicalPlan): Option[GraftCatalogTable] =
     stripAliases(p) match {
@@ -97,7 +126,16 @@ object GraftDml {
         GraftDmlCommand(stmt, spark => commitVia(t,
           DeltaLake.delete(spark, t.entry.path, pred),
           Iceberg.delete(spark, t.entry.path, pred)))
-      }
+      }.orElse(pathTargetOf(target).map { pt =>
+        // path identifiers convert PRE-resolution: the parser's
+        // predicate is already name-based (UnresolvedAttributes), so
+        // the native writer resolves it against its own scan directly
+        val stmt = s"DELETE FROM ${pt.format} `${pt.path}`"
+        val pred = unresolvedColumn(cond, pt.alias, stmt)
+        GraftDmlCommand(stmt, spark => pathVia(pt,
+          DeltaLake.delete(spark, pt.path, pred),
+          Iceberg.delete(spark, pt.path, pred)))
+      })
 
     case u @ UpdateTable(target, assignments, condOpt) =>
       targetOf(target).collect { case t if u.resolved =>
@@ -129,7 +167,33 @@ object GraftDml {
         else GraftDmlCommand(stmt, spark => commitVia(t,
           DeltaLake.update(spark, t.entry.path, pred, set.toMap),
           Iceberg.update(spark, t.entry.path, pred, set.toMap)))
-      }
+      }.orElse(pathTargetOf(target).map { pt =>
+        val stmt = s"UPDATE ${pt.format} `${pt.path}`"
+        val set: Seq[(String, Column)] = assignments.flatMap { a =>
+          val name = a.key match {
+            case ua: UnresolvedAttribute =>
+              dealias(ua, pt.alias).nameParts match {
+                case Seq(one) => one
+                case parts => refuse(s"$stmt: SET target must be a " +
+                  s"top-level column, got '${parts.mkString(".")}'")
+              }
+            case other => refuse(s"$stmt: SET target must be a " +
+              s"top-level column, got '${other.sql}'")
+          }
+          a.value match {
+            case ua: UnresolvedAttribute
+                if dealias(ua, pt.alias).nameParts == Seq(name) =>
+              None // identity: `SET a = a`
+            case v => Some(name -> unresolvedColumn(v, pt.alias, stmt))
+          }
+        }
+        val pred = condOpt.map(unresolvedColumn(_, pt.alias, stmt))
+          .getOrElse(lit(true))
+        if (set.isEmpty) GraftDmlCommand(stmt, _ => ())
+        else GraftDmlCommand(stmt, spark => pathVia(pt,
+          DeltaLake.update(spark, pt.path, pred, set.toMap),
+          Iceberg.update(spark, pt.path, pred, set.toMap)))
+      })
 
     case m: MergeIntoTable =>
       targetOf(m.targetTable).collect { case t if m.resolved =>
@@ -185,7 +249,43 @@ object GraftDml {
             Iceberg.merge(spark, t.entry.path, src, keys,
               insertNotMatched))
         })
-      }
+      }.orElse(pathTargetOf(m.targetTable).map { pt =>
+        val stmt = s"MERGE INTO ${pt.format} `${pt.path}`"
+        refuseIf(m.withSchemaEvolution, s"$stmt: WITH SCHEMA " +
+          "EVOLUTION is not supported")
+        refuseIf(m.notMatchedBySourceActions.nonEmpty, s"$stmt: WHEN " +
+          "NOT MATCHED BY SOURCE is not supported")
+        // pre-resolution only the STAR actions are verifiable — and
+        // stars ARE the canonical upsert the native merge implements
+        m.matchedActions match {
+          case Seq(ua: UpdateStarAction) if ua.condition.isEmpty => ()
+          case _ => refuse(s"$stmt: path-identifier MERGE takes " +
+            "exactly one unconditional WHEN MATCHED THEN UPDATE SET " +
+            "* — explicit assignment lists go through a registered " +
+            "catalog table or the library API")
+        }
+        val insertNotMatched = m.notMatchedActions match {
+          case Seq() => false
+          case Seq(ia: InsertStarAction) if ia.condition.isEmpty => true
+          case _ => refuse(s"$stmt: WHEN NOT MATCHED must be a " +
+            "single unconditional INSERT * (or absent)")
+        }
+        val keys = splitConjuncts(m.mergeCondition).map {
+          case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
+              if l.nameParts.last.equalsIgnoreCase(r.nameParts.last) =>
+            l.nameParts.last
+          case other => refuse(s"$stmt: ON must be a conjunction of " +
+            s"same-name column equalities, got '${other.sql}'")
+        }
+        val source = m.sourceTable
+        GraftDmlCommand(stmt, spark => {
+          val src = GraftSql.ofRows(spark, source)
+          pathVia(pt,
+            DeltaLake.merge(spark, pt.path, src, keys,
+              insertNotMatched),
+            Iceberg.merge(spark, pt.path, src, keys, insertNotMatched))
+        })
+      })
 
     case _ => None
   }
@@ -243,6 +343,42 @@ object GraftDml {
   private def stripCasts(e: Expression): Expression = e match {
     case c: Cast => stripCasts(c.child)
     case other => other
+  }
+
+  /** Strip the statement's table alias off a qualified column
+    * reference (`t.id` → `id`) so it resolves against the native scan.
+    */
+  private def dealias(ua: UnresolvedAttribute,
+      alias: Option[String]): UnresolvedAttribute = alias match {
+    case Some(a) if ua.nameParts.length > 1 &&
+        ua.nameParts.head.equalsIgnoreCase(a) =>
+      UnresolvedAttribute(ua.nameParts.tail)
+    case _ => ua
+  }
+
+  /** A PRE-resolution DML expression as a Column — the parser's shape
+    * is already name-based; only alias qualifiers need stripping.
+    */
+  private def unresolvedColumn(e: Expression, alias: Option[String],
+      stmt: String): Column = {
+    refuseIf(e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"$stmt: subqueries in DML predicates/values are not " +
+        "supported — materialize the subquery and use the library API")
+    GraftSql.column(e.transform {
+      case ua: UnresolvedAttribute => dealias(ua, alias)
+    })
+  }
+
+  /** Path-identifier dispatch: the native commit, no pin to advance. */
+  private def pathVia(pt: PathTarget, delta: => Long,
+      iceberg: => Long): Unit = {
+    pt.format match {
+      case "graft-deltalake" => delta
+      case "graft-iceberg" => iceberg
+      case other => throw new IllegalArgumentException(
+        s"graft DML: unknown format '$other' for ${pt.path}")
+    }
+    ()
   }
 
   private def checkWritable(t: GraftCatalogTable, stmt: String): Unit =

@@ -42,9 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 class ResolveGraftRelations(session: SparkSession)
     extends Rule[LogicalPlan] {
 
-  private val SqlSchemes =
-    Map("graft_delta" -> "graft-deltalake",
-      "graft_iceberg" -> "graft-iceberg")
+  private val SqlSchemes = GraftDml.SqlSchemes
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // SQL row-level DML over catalog tables converts to an eager

@@ -3535,6 +3535,42 @@ object Queries {
              |GROUP BY o_orderpriority
              |ORDER BY pri""".stripMargin)),
 
+    // PATH-IDENTIFIER SQL DML (r14): DELETE and UPDATE straight on
+    // `graft_delta.`/path`` — no catalog, no temp view, the parser's
+    // name-based predicates lowered directly to the native writers
+    // (the pre-resolution arm of the DML bridge). Idempotent like the
+    // catalog twins: the delete matches nothing on re-run, the update
+    // excludes already-updated rows.
+    QueryDef("sql_path_dml",
+      (s, d) => {
+        val p = pathDmlTable(s, d)
+        s.sql(s"DELETE FROM graft_delta.`$p` WHERE o_custkey % 11 = 0")
+        s.sql(
+          s"""UPDATE graft_delta.`$p`
+             |SET o_totalprice = CAST(o_custkey % 700 AS DOUBLE) + 0.5
+             |WHERE o_custkey % 4 = 1
+             |  AND o_totalprice <> CAST(o_custkey % 700 AS DOUBLE) + 0.5
+             |""".stripMargin)
+        s.sql(
+          s"""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM graft_delta.`$p`
+             |GROUP BY o_orderpriority
+             |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(px AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM (
+             |  SELECT o_orderpriority,
+             |    CASE WHEN o_custkey % 4 = 1
+             |      THEN CAST(o_custkey % 700 AS DOUBLE) + 0.5
+             |      ELSE o_totalprice END AS px
+             |  FROM orders
+             |  WHERE o_custkey % 11 <> 0)
+             |GROUP BY o_orderpriority
+             |ORDER BY pri""".stripMargin)),
+
     // CATALOG SQL MERGE (r14): the canonical upsert —
     // `MERGE … ON key equality WHEN MATCHED THEN UPDATE SET * WHEN NOT
     // MATCHED THEN INSERT *` — routed to the native merge; the source
@@ -3704,6 +3740,22 @@ object Queries {
         ord.filter(col("o_custkey") % 2 =!= 0))
       ()
     }
+
+  /** PER-PROCESS path-addressed Delta table for `sql_path_dml` (the
+    * query mutates it — outside the immutable staging slots, like the
+    * other DML warehouses). Seeded once per JVM per sfDir.
+    */
+  private val pathDmlTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def pathDmlTable(s: SparkSession, d: String): String =
+    pathDmlTables.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_pathdml_").toFile
+      dir.deleteOnExit()
+      graft.sources.DeltaLake.write(s, dir.getAbsolutePath,
+        t(s, d, "orders"))
+      dir.getAbsolutePath
+    })
 
   /** The MIXED parquet+AVRO Iceberg table — the `iceberg_avro_scan`
     * fixture: evens as a parquet snapshot, odds as an AVRO snapshot

@@ -93,8 +93,8 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "catalog_insert_sql",
       // round-14 surface
       "catalog_delete_sql", "catalog_update_sql", "catalog_merge_sql",
-      "iceberg_avro_scan")
-    assert(declared.size == 189)
+      "iceberg_avro_scan", "sql_path_dml")
+    assert(declared.size == 190)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

@@ -414,6 +414,54 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(eSub.getMessage.contains("subquer"), eSub.getMessage)
   }
 
+  test("PATH-identifier SQL DML: DELETE/UPDATE/MERGE on " +
+      "graft_delta.`path` route to the native writers — no catalog, " +
+      "no temp view; aliases and qualified columns work") {
+    val dd = freshDir("pdml")
+    DeltaLake.write(spark, dd, frame(1 to 10))
+    spark.sql(s"DELETE FROM graft_delta.`$dd` t WHERE t.id % 2 = 0")
+    assert(ids(spark.sql(s"SELECT * FROM graft_delta.`$dd`").toDF()) ==
+      Set(1L, 3L, 5L, 7L, 9L))
+    spark.sql(s"UPDATE graft_delta.`$dd` SET g = 'zz' WHERE id = 3")
+    assert(spark.sql(
+      s"SELECT g FROM graft_delta.`$dd` WHERE id = 3").head()
+      .getString(0) == "zz")
+    // identity UPDATE = SQL no-op (no commit)
+    val head0 = DeltaLake.latestVersion(spark, dd)
+    spark.sql(s"UPDATE graft_delta.`$dd` SET g = g")
+    assert(DeltaLake.latestVersion(spark, dd) == head0,
+      "identity UPDATE committed")
+    // the canonical star-merge, source inline
+    spark.sql(
+      s"""MERGE INTO graft_delta.`$dd` t
+         |USING (SELECT * FROM VALUES (CAST(3 AS BIGINT), 'up'),
+         |       (CAST(40 AS BIGINT), 'new') AS v(id, g)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT * FROM graft_delta.`$dd` ORDER BY id")
+      .toDF().collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "g1"), (3L, "up"), (5L, "g1"), (7L, "g1"), (9L, "g1"),
+        (40L, "new")))
+    // iceberg path DML too
+    val ii = freshDir("pdml_i")
+    Iceberg.write(spark, ii, frame(1 to 6))
+    spark.sql(s"DELETE FROM graft_iceberg.`$ii` WHERE id <= 2")
+    assert(ids(spark.sql(s"SELECT * FROM graft_iceberg.`$ii`").toDF())
+      == (3L to 6L).toSet)
+    // explicit merge assignment lists on a path target refuse (only
+    // star actions are verifiable pre-resolution)
+    val eM = intercept[UnsupportedOperationException] {
+      spark.sql(
+        s"""MERGE INTO graft_delta.`$dd` t
+           |USING (SELECT * FROM VALUES (CAST(3 AS BIGINT), 'x')
+           |       AS v(id, g)) s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET g = s.g""".stripMargin)
+    }
+    assert(eM.getMessage.contains("UPDATE SET"), eM.getMessage)
+  }
+
   test("DML predicate lowering survives analyzer literal casts — " +
       "`id = 3` on a BIGINT column still stats-skips") {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
