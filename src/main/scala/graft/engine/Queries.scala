@@ -3535,6 +3535,39 @@ object Queries {
              |GROUP BY o_orderpriority
              |ORDER BY pri""".stripMargin)),
 
+    // CATALOG SQL DDL (r14): DROP IF EXISTS + CREATE TABLE AS SELECT
+    // — the catalog's createTable (managed table under the warehouse,
+    // purged on DROP) plus the V1 write bridge landing the CTAS rows,
+    // all in SQL. The CTAS source is a graft path identifier; DROP
+    // first keeps the query idempotent (and exercises the managed
+    // purge every run).
+    QueryDef("catalog_create_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.orders_small")
+        s.sql(s"CREATE TABLE gdml.ddl.orders_small " +
+          s"USING `graft-deltalake` AS SELECT * FROM " +
+          s"graft_delta.`$src` WHERE o_custkey % 6 = 2")
+        s.sql(
+          """SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS total
+            |FROM gdml.ddl.orders_small
+            |GROUP BY o_orderpriority
+            |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders
+             |WHERE o_custkey % 6 = 2
+             |GROUP BY o_orderpriority
+             |ORDER BY pri""".stripMargin)),
+
     // PATH-IDENTIFIER SQL DML (r14): DELETE and UPDATE straight on
     // `graft_delta.`/path`` — no catalog, no temp view, the parser's
     // name-based predicates lowered directly to the native writers

@@ -37,7 +37,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * and [[GraftCatalog.transaction]] (write N tables, swap all pins in
   * one exclusive commit — a lost race throws, nothing partial is ever
   * visible to catalog readers, and the orphaned table versions are
-  * ordinary vacuum/expire material).
+  * [[GraftCatalog.vacuumOrphans]] material).
+  *
+  * The SQL surface is complete without the library API: CREATE TABLE /
+  * CTAS ([[createTable]] — managed tables live under the warehouse and
+  * purge on DROP; LOCATION/register() tables are external), INSERT
+  * INTO/OVERWRITE (the V1 write bridge below), SELECT with time
+  * travel, and row-level DELETE/UPDATE/MERGE
+  * ([[graft.GraftDml]]).
   */
 class GraftCatalog extends TableCatalog {
 
@@ -106,6 +113,33 @@ class GraftCatalog extends TableCatalog {
       base.warehouse, base.key, timeTravel = true)
   }
 
+  /** SQL DDL — `CREATE TABLE gcat.db.t (…) USING graft-deltalake
+    * [PARTITIONED BY (…)] [LOCATION …]` and CTAS (Spark creates the
+    * table, then writes through the V1 bridge): a MANAGED table's data
+    * lands under the warehouse at the identifier's path (purged on
+    * DROP); a LOCATION makes it external (DROP only unpins).
+    * Partition transforms map to each format's writer syntax —
+    * identity columns for Delta, spec strings (`days(ts)`,
+    * `bucket(8, id)`) for Iceberg.
+    */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val key = GraftCatalog.keyOf(ident)
+    val format = Option(properties.get("provider")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: CREATE TABLE $key needs USING " +
+          "graft-deltalake | graft-iceberg"))
+    require(format == "graft-deltalake" || format == "graft-iceberg",
+      s"graft catalog: CREATE TABLE $key USING $format — this catalog " +
+        "serves graft-deltalake | graft-iceberg tables")
+    val partitionBy = partitions.toSeq.map(
+      GraftCatalog.transformSpec(_, format, key))
+    GraftCatalog.create(SparkSession.active, warehouse, key, format,
+      schema, partitionBy, Option(properties.get("location")), ident)
+    loadTable(ident)
+  }
+
   override def dropTable(ident: Identifier): Boolean =
     GraftCatalog.drop(warehouse, GraftCatalog.keyOf(ident))
 
@@ -121,9 +155,14 @@ class GraftCatalog extends TableCatalog {
         "the format's metadata ops) and re-register the pin")
 }
 
-/** One pinned catalog entry (see [[GraftCatalog]]). */
+/** One pinned catalog entry (see [[GraftCatalog]]). `managed` marks a
+  * table CREATED by the catalog (DDL) whose data lives under the
+  * warehouse: DROP TABLE purges its directory, while registered
+  * (external) tables only lose their pin — the classic
+  * managed-vs-external split.
+  */
 final case class CatalogEntry(format: String, path: String,
-    version: Long)
+    version: Long, managed: Boolean = false)
 
 /** The V2 table a catalog pin resolves to. READS are never physically
   * planned through it: [[graft.GraftExtensions]] splices [[resolved]]'s
@@ -253,7 +292,8 @@ object GraftCatalog {
         val t = e.getValue
         e.getKey -> CatalogEntry(t.get("format").asText,
           absPath(warehouse, t.get("path").asText),
-          t.get("version").asLong)
+          t.get("version").asLong,
+          managed = Option(t.get("managed")).exists(_.asBoolean(false)))
       }.toMap).getOrElse(Map.empty)
     (tables, v)
   }
@@ -296,6 +336,7 @@ object GraftCatalog {
           e.path.stripPrefix(whAbs + "/")
         else e.path)
       o.put("version", e.version)
+      if (e.managed) { o.put("managed", true); () }
       ()
     }
     val target = new java.io.File(dir, s"v$next.catalog.json").toPath
@@ -315,12 +356,17 @@ object GraftCatalog {
     next
   }
 
-  /** ONE format dispatch for batch writes (the bridge, Tx.write). */
+  /** ONE format dispatch for batch writes (the bridge, Tx.write,
+    * CREATE TABLE's empty commit).
+    */
   private[sources] def writeVia(spark: SparkSession, format: String,
-      path: String, df: DataFrame, mode: String, name: String): Long =
+      path: String, df: DataFrame, mode: String, name: String,
+      partitionBy: Seq[String] = Seq.empty): Long =
     format match {
-      case "graft-deltalake" => DeltaLake.write(spark, path, df, mode)
-      case "graft-iceberg" => Iceberg.write(spark, path, df, mode)
+      case "graft-deltalake" =>
+        DeltaLake.write(spark, path, df, mode, partitionBy)
+      case "graft-iceberg" =>
+        Iceberg.write(spark, path, df, mode, partitionBy)
       case other => throw new IllegalArgumentException(
         s"graft catalog: unknown format '$other' for $name")
     }
@@ -399,10 +445,82 @@ object GraftCatalog {
     -1L // unreachable
   }
 
+  /** One partition transform in the target format's writer syntax. */
+  private[sources] def transformSpec(
+      t: org.apache.spark.sql.connector.expressions.Transform,
+      format: String, key: String): String = {
+    import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference}
+    def arg(e: Expression): String = e match {
+      case n: NamedReference => n.fieldNames.mkString(".")
+      case l: Literal[_] => String.valueOf(l.value)
+      case other => throw new IllegalArgumentException(
+        s"graft catalog: CREATE TABLE $key — unsupported partition " +
+          s"transform argument '$other'")
+    }
+    t.name match {
+      case "identity" => arg(t.references()(0))
+      case _ if format == "graft-iceberg" =>
+        s"${t.name}(${t.arguments.map(arg).mkString(", ")})"
+      case other => throw new IllegalArgumentException(
+        s"graft catalog: CREATE TABLE $key — Delta partitioning is " +
+          s"plain columns; transform '$other' needs USING " +
+          "graft-iceberg")
+    }
+  }
+
+  /** CREATE the table on disk (an empty native commit — the CTAS
+    * write follows through the V1 bridge) and commit its pin. Managed
+    * = no LOCATION: data under the warehouse at the identifier's
+    * path, purged on [[drop]]. The target directory must not already
+    * hold a table — adopting existing data is [[register]]'s job, and
+    * doing it silently here would make CREATE TABLE content depend on
+    * leftovers.
+    */
+  private[sources] def create(spark: SparkSession, warehouse: String,
+      key: String, format: String, schema: StructType,
+      partitionBy: Seq[String], location: Option[String],
+      ident: Identifier): Unit = {
+    val (tables, v) = state(warehouse)
+    if (tables.contains(key))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val rel = location.getOrElse(key.split('.').mkString("/"))
+    val abs = absPath(warehouse, rel)
+    val marker = format match {
+      case "graft-deltalake" => new java.io.File(abs, "_delta_log")
+      case _ => new java.io.File(abs, "metadata")
+    }
+    require(!marker.exists(),
+      s"graft catalog: CREATE TABLE $key — a table already exists on " +
+        s"disk at $abs; drop/clean it, or adopt it with register()")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val version = writeVia(spark, format, abs, empty, "append", key,
+      partitionBy)
+    commit(warehouse, tables + (key -> CatalogEntry(format, rel,
+      version, managed = location.isEmpty)), v)
+    ()
+  }
+
   def drop(warehouse: String, name: String): Boolean = {
     val (tables, v) = state(warehouse)
-    if (!tables.contains(name)) false
-    else { commit(warehouse, tables - name, v); true }
+    tables.get(name) match {
+      case None => false
+      case Some(e) =>
+        commit(warehouse, tables - name, v)
+        // managed data purges AFTER the catalog forgets the table: a
+        // failure mid-purge strands files (re-deletable), never a
+        // catalog entry pointing at half a table
+        if (e.managed) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory)
+              Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(new java.io.File(e.path))
+        }
+        true
+    }
   }
 
   def rename(warehouse: String, from: String, to: String): Unit = {

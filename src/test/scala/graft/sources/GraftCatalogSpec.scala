@@ -414,6 +414,63 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(eSub.getMessage.contains("subquer"), eSub.getMessage)
   }
 
+  test("SQL DDL lifecycle: CREATE TABLE / CTAS / INSERT / DML / DROP " +
+      "— managed data purges on DROP, registered tables only unpin") {
+    spark.sql("CREATE TABLE tcat.ddl.t (id BIGINT, g STRING) " +
+      "USING `graft-deltalake` PARTITIONED BY (g)")
+    val e = GraftCatalog.entries(wh)("ddl.t")
+    assert(e.managed && e.format == "graft-deltalake")
+    assert(spark.sql("SELECT count(*) AS n FROM tcat.ddl.t")
+      .head().getLong(0) == 0L)
+    spark.sql("INSERT INTO tcat.ddl.t SELECT id, g FROM VALUES " +
+      "(CAST(1 AS BIGINT), 'a'), (CAST(2 AS BIGINT), 'b') AS v(id, g)")
+    // (SET on the partition column g is refused by the native
+    // writer — a data-column update exercises the DML route)
+    spark.sql("UPDATE tcat.ddl.t SET id = 20 WHERE id = 2")
+    assert(spark.sql("SELECT * FROM tcat.ddl.t ORDER BY id").toDF()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (20L, "b")))
+    // the partition layout came from PARTITIONED BY
+    val tDir = new java.io.File(e.path)
+    assert(Option(tDir.listFiles()).toSeq.flatten
+      .exists(_.getName.startsWith("g=")),
+      s"PARTITIONED BY was dropped: ${tDir.listFiles().toSeq}")
+    // CTAS on the second format
+    spark.sql("CREATE TABLE tcat.ddl.c USING `graft-iceberg` AS " +
+      "SELECT * FROM tcat.ddl.t WHERE id = 1")
+    assert(spark.sql("SELECT g FROM tcat.ddl.c").head()
+      .getString(0) == "a")
+    // duplicate CREATE refuses; creating over leftover data refuses
+    intercept[Exception] {
+      spark.sql("CREATE TABLE tcat.ddl.t (x INT) USING `graft-deltalake`")
+    }
+    // DROP purges managed data
+    val cPath = GraftCatalog.entries(wh)("ddl.c").path
+    spark.sql("DROP TABLE tcat.ddl.t")
+    spark.sql("DROP TABLE tcat.ddl.c")
+    assert(!tDir.exists(), "managed table data survived DROP")
+    assert(!new java.io.File(cPath).exists())
+    // re-create at the now-clean location works (the CTAS-rerun shape)
+    spark.sql("CREATE TABLE tcat.ddl.t USING `graft-deltalake` AS " +
+      "SELECT CAST(9 AS BIGINT) AS id, 'q' AS g")
+    assert(spark.sql("SELECT id FROM tcat.ddl.t").head().getLong(0)
+      == 9L)
+    spark.sql("DROP TABLE tcat.ddl.t")
+    // a REGISTERED (external) table's data survives DROP
+    val xd = freshDir("ddl_ext")
+    DeltaLake.write(spark, xd, frame(1 to 5))
+    GraftCatalog.register(spark, wh, "ddl.x", "graft-deltalake", xd)
+    spark.sql("DROP TABLE tcat.ddl.x")
+    assert(new java.io.File(xd, "_delta_log").exists(),
+      "DROP purged a registered external table's data")
+    assert(ids(DeltaLake.snapshot(spark, xd)) == (1L to 5L).toSet)
+    // non-graft providers refuse loudly
+    val eP = intercept[Exception] {
+      spark.sql("CREATE TABLE tcat.ddl.bad (id INT) USING parquet")
+    }
+    assert(eP.getMessage.contains("graft-deltalake"), eP.getMessage)
+  }
+
   test("PATH-identifier SQL DML: DELETE/UPDATE/MERGE on " +
       "graft_delta.`path` route to the native writers — no catalog, " +
       "no temp view; aliases and qualified columns work") {
