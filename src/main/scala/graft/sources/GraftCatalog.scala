@@ -179,9 +179,31 @@ final case class CatalogEntry(format: String, path: String,
 final case class GraftCatalogTable(fullName: String, entry: CatalogEntry,
     warehouse: String, key: String, timeTravel: Boolean = false)
     extends Table
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   override def name(): String = fullName
+
+  /** `TRUNCATE TABLE gcat.db.t` — an all-rows native DELETE (DV/Puffin
+    * commit, history stays time-travel readable, CDF tables carry the
+    * full delete frame) plus the usual monotone re-pin. An
+    * already-empty table is a no-op.
+    */
+  override def truncateTable(): Boolean = {
+    require(!timeTravel,
+      s"graft catalog: cannot TRUNCATE the time-traveled relation " +
+        s"$fullName")
+    val spark = SparkSession.active
+    val always = org.apache.spark.sql.functions.lit(true)
+    val v = entry.format match {
+      case "graft-deltalake" => DeltaLake.delete(spark, entry.path, always)
+      case "graft-iceberg" => Iceberg.delete(spark, entry.path, always)
+      case other => throw new IllegalArgumentException(
+        s"graft catalog: unknown format '$other' for $fullName")
+    }
+    if (v >= 0L) { GraftCatalog.advancePin(warehouse, key, v); () }
+    true
+  }
 
   override def capabilities(): java.util.Set[TableCapability] =
     if (timeTravel) java.util.Collections.emptySet()

@@ -469,6 +469,20 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       spark.sql("CREATE TABLE tcat.ddl.bad (id INT) USING parquet")
     }
     assert(eP.getMessage.contains("graft-deltalake"), eP.getMessage)
+    // TRUNCATE TABLE: an all-rows native delete, history readable
+    val td = freshDir("ddl_tr")
+    DeltaLake.write(spark, td, frame(1 to 8))
+    GraftCatalog.register(spark, wh, "ddl.tr", "graft-deltalake", td)
+    spark.sql("TRUNCATE TABLE tcat.ddl.tr")
+    assert(spark.sql("SELECT count(*) AS n FROM tcat.ddl.tr")
+      .head().getLong(0) == 0L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM tcat.ddl.tr VERSION AS OF 0")
+      .head().getLong(0) == 8L,
+      "TRUNCATE destroyed history instead of committing a delete")
+    spark.sql("INSERT INTO tcat.ddl.tr VALUES (99, 'x')")
+    assert(ids(spark.sql("SELECT * FROM tcat.ddl.tr").toDF()) ==
+      Set(99L))
   }
 
   test("PATH-identifier SQL DML: DELETE/UPDATE/MERGE on " +
