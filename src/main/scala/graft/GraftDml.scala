@@ -369,14 +369,18 @@ object GraftDml {
     })
   }
 
-  /** Path-identifier dispatch: the native commit, no pin to advance. */
+  /** Path-identifier dispatch: the native commit (statement-retried
+    * like the catalog route), no pin to advance.
+    */
   private def pathVia(pt: PathTarget, delta: => Long,
       iceberg: => Long): Unit = {
-    pt.format match {
-      case "graft-deltalake" => delta
-      case "graft-iceberg" => iceberg
-      case other => throw new IllegalArgumentException(
-        s"graft DML: unknown format '$other' for ${pt.path}")
+    withStatementRetry {
+      pt.format match {
+        case "graft-deltalake" => delta
+        case "graft-iceberg" => iceberg
+        case other => throw new IllegalArgumentException(
+          s"graft DML: unknown format '$other' for ${pt.path}")
+      }
     }
     ()
   }
@@ -386,18 +390,44 @@ object GraftDml {
       "time-traveled relation — DML targets the table, not a " +
       "historical pin")
 
+  /** STATEMENT-LEVEL RETRY for a lost table-version race: the native
+    * writers pin their commit to the state they replayed and fail
+    * LOUDLY when a concurrent commit wins the version (the library
+    * contract — a programmatic caller must know its exact predicate
+    * ran against exactly that state). A SQL statement's contract is
+    * weaker and retryable: re-running the WHOLE native DML against the
+    * fresh state is statement-level serialization (the second DELETE
+    * applies to the table the first one left), which is what every SQL
+    * engine gives concurrent DML. Bounded — pathological contention
+    * still surfaces.
+    */
+  private def withStatementRetry[T](body: => T): T = {
+    var attempts = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Dispatch ONE DML commit to the target's native writer (by-name
-    * args — only the matching format's writer runs), then advance the
-    * catalog pin to the produced table version; a no-op DML (predicate
-    * matched nothing → no table commit, version -1) leaves the pin
-    * untouched.
+    * args — only the matching format's writer runs, re-evaluated per
+    * retry), then advance the catalog pin to the produced table
+    * version; a no-op DML (predicate matched nothing → no table
+    * commit, version -1) leaves the pin untouched.
     */
   private def commitVia(t: GraftCatalogTable, delta: => Long,
       iceberg: => Long): Unit = {
-    val v = t.entry.format match {
-      case "graft-deltalake" => delta
-      case "graft-iceberg" => iceberg
-      case other => unknownFormat(other, t)
+    val v = withStatementRetry {
+      t.entry.format match {
+        case "graft-deltalake" => delta
+        case "graft-iceberg" => iceberg
+        case other => unknownFormat(other, t)
+      }
     }
     if (v >= 0L) {
       GraftCatalog.advancePin(t.warehouse, t.key, v)

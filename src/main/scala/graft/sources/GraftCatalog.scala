@@ -195,11 +195,27 @@ final case class GraftCatalogTable(fullName: String, entry: CatalogEntry,
         s"$fullName")
     val spark = SparkSession.active
     val always = org.apache.spark.sql.functions.lit(true)
-    val v = entry.format match {
-      case "graft-deltalake" => DeltaLake.delete(spark, entry.path, always)
-      case "graft-iceberg" => Iceberg.delete(spark, entry.path, always)
-      case other => throw new IllegalArgumentException(
-        s"graft catalog: unknown format '$other' for $fullName")
+    // statement-level retry on a lost version race, like the DML
+    // bridge: re-running the all-rows delete on fresh state IS the
+    // statement's serialization
+    var attempts = 0
+    var v = -1L
+    var done = false
+    while (!done) {
+      try {
+        v = entry.format match {
+          case "graft-deltalake" =>
+            DeltaLake.delete(spark, entry.path, always)
+          case "graft-iceberg" => Iceberg.delete(spark, entry.path, always)
+          case other => throw new IllegalArgumentException(
+            s"graft catalog: unknown format '$other' for $fullName")
+        }
+        done = true
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 5) throw e
+      }
     }
     if (v >= 0L) { GraftCatalog.advancePin(warehouse, key, v); () }
     true

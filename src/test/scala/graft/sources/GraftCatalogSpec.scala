@@ -550,4 +550,40 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(GraftSql.predicateTreeOf(f) ==
       GraftSql.PredCmp("id", 7L, "EQ"))
   }
+
+  test("catalog introspection SQL: SHOW TABLES, DESCRIBE, ALTER " +
+      "TABLE RENAME all work through the DSv2 surface") {
+    val dd = freshDir("meta")
+    DeltaLake.write(spark, dd, frame(1 to 3))
+    GraftCatalog.register(spark, wh, "meta.a", "graft-deltalake", dd)
+    val shown = spark.sql("SHOW TABLES IN tcat.meta").collect()
+      .map(_.getString(1)).toSet
+    assert(shown.contains("a"), s"SHOW TABLES missed meta.a: $shown")
+    val desc = spark.sql("DESCRIBE TABLE tcat.meta.a").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("id").contains("bigint") &&
+      desc.get("g").contains("string"), s"DESCRIBE wrong: $desc")
+    spark.sql("ALTER TABLE tcat.meta.a RENAME TO meta.b")
+    assert(spark.sql("SELECT count(*) AS n FROM tcat.meta.b")
+      .head().getLong(0) == 3L)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM tcat.meta.a").collect()
+    }
+    // concurrent SQL DML on ONE table: both statements commit (the
+    // table-level exclusive-commit retry) and the final pin sees both
+    // effects — the monotone advancePin under real concurrency
+    val cd = freshDir("conc")
+    DeltaLake.write(spark, cd, frame(1 to 20))
+    GraftCatalog.register(spark, wh, "meta.c", "graft-deltalake", cd)
+    val threads = Seq(
+      new Thread(() => spark.sql(
+        "DELETE FROM tcat.meta.c WHERE id <= 5"): Unit),
+      new Thread(() => spark.sql(
+        "DELETE FROM tcat.meta.c WHERE id > 15"): Unit))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(ids(spark.sql("SELECT * FROM tcat.meta.c").toDF()) ==
+      (6L to 15L).toSet,
+      "a concurrent DML's effect was lost (pin or commit race)")
+  }
 }
