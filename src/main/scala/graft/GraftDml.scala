@@ -181,9 +181,14 @@ object GraftDml {
               s"top-level column, got '${other.sql}'")
           }
           a.value match {
+            // identity `SET a = a` — CASE-INSENSITIVE like the
+            // resolved catalog arm (Spark SQL resolution is)
             case ua: UnresolvedAttribute
-                if dealias(ua, pt.alias).nameParts == Seq(name) =>
-              None // identity: `SET a = a`
+                if (dealias(ua, pt.alias).nameParts match {
+                  case Seq(one) => one.equalsIgnoreCase(name)
+                  case _ => false
+                }) =>
+              None
             case v => Some(name -> unresolvedColumn(v, pt.alias, stmt))
           }
         }
@@ -273,6 +278,29 @@ object GraftDml {
         val keys = splitConjuncts(m.mergeCondition).map {
           case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
               if l.nameParts.last.equalsIgnoreCase(r.nameParts.last) =>
+            // pre-resolution we can't BIND sides, but qualifiers are
+            // checkable: both sides under ONE qualifier (`t.id = t.id`
+            // — a typo for `t.id = s.id`) is a self-comparison, and
+            // with the target aliased, a qualified pair must put the
+            // alias on exactly one side — silently accepting either
+            // would run a different merge than the user wrote
+            val lq = l.nameParts.dropRight(1)
+            val rq = r.nameParts.dropRight(1)
+            refuseIf(lq.nonEmpty && lq.map(_.toLowerCase) ==
+              rq.map(_.toLowerCase),
+              s"$stmt: ON compares '${l.nameParts.mkString(".")}' " +
+                "with itself — the equality must pair a target and a " +
+                "source column")
+            pt.alias.foreach { a =>
+              if (lq.nonEmpty && rq.nonEmpty) {
+                val lIsTarget = lq.head.equalsIgnoreCase(a)
+                val rIsTarget = rq.head.equalsIgnoreCase(a)
+                refuseIf(lIsTarget == rIsTarget,
+                  s"$stmt: ON must pair the target alias '$a' with " +
+                    s"the source on each equality, got '${EqualTo(l, r)
+                      .sql}'")
+              }
+            }
             l.nameParts.last
           case other => refuse(s"$stmt: ON must be a conjunction of " +
             s"same-name column equalities, got '${other.sql}'")
@@ -399,20 +427,11 @@ object GraftDml {
     * fresh state is statement-level serialization (the second DELETE
     * applies to the table the first one left), which is what every SQL
     * engine gives concurrent DML. Bounded — pathological contention
-    * still surfaces.
+    * still surfaces. One policy, shared with the catalog's DDL/
+    * TRUNCATE paths ([[GraftCatalog.retryOnCatalogRace]]).
     */
-  private def withStatementRetry[T](body: => T): T = {
-    var attempts = 0
-    while (true) {
-      try return body
-      catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempts += 1
-          if (attempts >= 5) throw e
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+  private def withStatementRetry[T](body: => T): T =
+    GraftCatalog.retryOnCatalogRace(body)
 
   /** Dispatch ONE DML commit to the target's native writer (by-name
     * args — only the matching format's writer runs, re-evaluated per

@@ -198,23 +198,13 @@ final case class GraftCatalogTable(fullName: String, entry: CatalogEntry,
     // statement-level retry on a lost version race, like the DML
     // bridge: re-running the all-rows delete on fresh state IS the
     // statement's serialization
-    var attempts = 0
-    var v = -1L
-    var done = false
-    while (!done) {
-      try {
-        v = entry.format match {
-          case "graft-deltalake" =>
-            DeltaLake.delete(spark, entry.path, always)
-          case "graft-iceberg" => Iceberg.delete(spark, entry.path, always)
-          case other => throw new IllegalArgumentException(
-            s"graft catalog: unknown format '$other' for $fullName")
-        }
-        done = true
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempts += 1
-          if (attempts >= 5) throw e
+    val v = GraftCatalog.retryOnCatalogRace {
+      entry.format match {
+        case "graft-deltalake" =>
+          DeltaLake.delete(spark, entry.path, always)
+        case "graft-iceberg" => Iceberg.delete(spark, entry.path, always)
+        case other => throw new IllegalArgumentException(
+          s"graft catalog: unknown format '$other' for $fullName")
       }
     }
     if (v >= 0L) { GraftCatalog.advancePin(warehouse, key, v); () }
@@ -451,9 +441,16 @@ object GraftCatalog {
         && !name.endsWith("."),
       s"graft catalog: malformed table name '$name' (dot-separated " +
         "non-empty segments)")
-    val (tables, v) = state(warehouse)
-    commit(warehouse, tables + (name -> CatalogEntry(format, path,
-      headOf(spark, format, absPath(warehouse, path)))), v)
+    retryOnCatalogRace {
+      val (tables, v) = state(warehouse)
+      // a RE-register of a managed (DDL-created) table keeps it
+      // managed — re-pinning must not silently demote it to external
+      // (DROP would stop purging and block the next CREATE)
+      val managed = tables.get(name).exists(_.managed)
+      commit(warehouse, tables + (name -> CatalogEntry(format, path,
+        headOf(spark, format, absPath(warehouse, path)),
+        managed = managed)), v)
+    }
   }
 
   /** Move `name`'s pin FORWARD to `version` — the single-table commit
@@ -506,20 +503,42 @@ object GraftCatalog {
     }
   }
 
+  /** Bounded retry on a lost CATALOG commit race — the shared policy
+    * for every operation whose commit can lose to an UNRELATED table's
+    * commit (DML re-pins, DDL): the body re-reads catalog state and
+    * re-validates per attempt.
+    */
+  private[graft] def retryOnCatalogRace[T](body: => T): T = {
+    var attempts = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 10) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** CREATE the table on disk (an empty native commit — the CTAS
     * write follows through the V1 bridge) and commit its pin. Managed
     * = no LOCATION: data under the warehouse at the identifier's
     * path, purged on [[drop]]. The target directory must not already
     * hold a table — adopting existing data is [[register]]'s job, and
     * doing it silently here would make CREATE TABLE content depend on
-    * leftovers.
+    * leftovers. Two concurrent CREATEs of one identifier race on the
+    * NATIVE commit (no retries — `maxRetries = 0` — so the loser can
+    * never graft a schema change onto the winner's table) and then on
+    * the catalog commit; the loser CLEANS UP what it created, so a
+    * failed CREATE TABLE is re-runnable.
     */
   private[sources] def create(spark: SparkSession, warehouse: String,
       key: String, format: String, schema: StructType,
       partitionBy: Seq[String], location: Option[String],
       ident: Identifier): Unit = {
-    val (tables, v) = state(warehouse)
-    if (tables.contains(key))
+    val (tables0, _) = state(warehouse)
+    if (tables0.contains(key))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     val rel = location.getOrElse(key.split('.').mkString("/"))
@@ -533,41 +552,74 @@ object GraftCatalog {
         s"disk at $abs; drop/clean it, or adopt it with register()")
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val version = writeVia(spark, format, abs, empty, "append", key,
-      partitionBy)
-    commit(warehouse, tables + (key -> CatalogEntry(format, rel,
-      version, managed = location.isEmpty)), v)
+    def cleanup(): Unit = if (location.isEmpty) rmTree(new java.io.File(abs))
+    val version =
+      try format match {
+        case "graft-deltalake" =>
+          DeltaLake.write(spark, abs, empty, "append", partitionBy,
+            maxRetries = 0)
+        case "graft-iceberg" =>
+          Iceberg.write(spark, abs, empty, "append", partitionBy)
+        case other => throw new IllegalArgumentException(
+          s"graft catalog: unknown format '$other' for $key")
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // another CREATE won the native commit: OUR artifacts (the
+          // landed-but-uncommitted files) are vacuum material; the
+          // identifier is taken
+          throw new org.apache.spark.sql.catalyst.analysis
+            .TableAlreadyExistsException(ident)
+      }
+    try retryOnCatalogRace {
+      val (tables, v) = state(warehouse)
+      if (tables.contains(key)) {
+        // a concurrent CREATE of the same identifier won the catalog:
+        // remove what we created and refuse
+        cleanup()
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+      }
+      commit(warehouse, tables + (key -> CatalogEntry(format, rel,
+        version, managed = location.isEmpty)), v)
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        // catalog contention exhausted the retries: don't strand a
+        // managed dir that would block the re-run
+        cleanup()
+        throw e
+    }
     ()
   }
 
-  def drop(warehouse: String, name: String): Boolean = {
-    val (tables, v) = state(warehouse)
-    tables.get(name) match {
-      case None => false
-      case Some(e) =>
-        commit(warehouse, tables - name, v)
-        // managed data purges AFTER the catalog forgets the table: a
-        // failure mid-purge strands files (re-deletable), never a
-        // catalog entry pointing at half a table
-        if (e.managed) {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory)
-              Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(); ()
-          }
-          rm(new java.io.File(e.path))
-        }
-        true
-    }
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
   }
 
+  def drop(warehouse: String, name: String): Boolean =
+    retryOnCatalogRace {
+      val (tables, v) = state(warehouse)
+      tables.get(name) match {
+        case None => false
+        case Some(e) =>
+          commit(warehouse, tables - name, v)
+          // managed data purges AFTER the catalog forgets the table: a
+          // failure mid-purge strands files (re-deletable), never a
+          // catalog entry pointing at half a table
+          if (e.managed) rmTree(new java.io.File(e.path))
+          true
+      }
+    }
+
   def rename(warehouse: String, from: String, to: String): Unit = {
-    val (tables, v) = state(warehouse)
-    val e = tables.getOrElse(from, throw new IllegalArgumentException(
-      s"graft catalog: no table '$from'"))
-    require(!tables.contains(to),
-      s"graft catalog: table '$to' already exists")
-    commit(warehouse, tables - from + (to -> e), v)
+    retryOnCatalogRace {
+      val (tables, v) = state(warehouse)
+      val e = tables.getOrElse(from, throw new IllegalArgumentException(
+        s"graft catalog: no table '$from'"))
+      require(!tables.contains(to),
+        s"graft catalog: table '$to' already exists")
+      commit(warehouse, tables - from + (to -> e), v)
+    }
     ()
   }
 

@@ -456,6 +456,17 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql("SELECT id FROM tcat.ddl.t").head().getLong(0)
       == 9L)
     spark.sql("DROP TABLE tcat.ddl.t")
+    // re-pinning a MANAGED table via register keeps it managed —
+    // DROP still purges
+    spark.sql("CREATE TABLE tcat.ddl.m2 USING `graft-deltalake` AS " +
+      "SELECT CAST(1 AS BIGINT) AS id")
+    val m2Path = GraftCatalog.entries(wh)("ddl.m2").path
+    GraftCatalog.register(spark, wh, "ddl.m2", "graft-deltalake", m2Path)
+    assert(GraftCatalog.entries(wh)("ddl.m2").managed,
+      "re-register demoted a managed table to external")
+    spark.sql("DROP TABLE tcat.ddl.m2")
+    assert(!new java.io.File(m2Path).exists(),
+      "managed table data survived DROP after a re-register")
     // a REGISTERED (external) table's data survives DROP
     val xd = freshDir("ddl_ext")
     DeltaLake.write(spark, xd, frame(1 to 5))
@@ -497,9 +508,10 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql(
       s"SELECT g FROM graft_delta.`$dd` WHERE id = 3").head()
       .getString(0) == "zz")
-    // identity UPDATE = SQL no-op (no commit)
+    // identity UPDATE = SQL no-op (no commit), case-insensitively
     val head0 = DeltaLake.latestVersion(spark, dd)
     spark.sql(s"UPDATE graft_delta.`$dd` SET g = g")
+    spark.sql(s"UPDATE graft_delta.`$dd` SET g = G")
     assert(DeltaLake.latestVersion(spark, dd) == head0,
       "identity UPDATE committed")
     // the canonical star-merge, source inline
@@ -531,6 +543,17 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
            |WHEN MATCHED THEN UPDATE SET g = s.g""".stripMargin)
     }
     assert(eM.getMessage.contains("UPDATE SET"), eM.getMessage)
+    // a self-comparison ON (t.id = t.id — a typo for t.id = s.id)
+    // refuses instead of silently running a keyed upsert
+    val eSelf = intercept[UnsupportedOperationException] {
+      spark.sql(
+        s"""MERGE INTO graft_delta.`$dd` t
+           |USING (SELECT * FROM VALUES (CAST(3 AS BIGINT), 'x')
+           |       AS v(id, g)) s
+           |ON t.id = t.id
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    assert(eSelf.getMessage.contains("itself"), eSelf.getMessage)
   }
 
   test("DML predicate lowering survives analyzer literal casts — " +
