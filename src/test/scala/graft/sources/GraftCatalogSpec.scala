@@ -480,6 +480,17 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       spark.sql("CREATE TABLE tcat.ddl.bad (id INT) USING parquet")
     }
     assert(eP.getMessage.contains("graft-deltalake"), eP.getMessage)
+    // the DataFrame-API-by-name story: saveAsTable creates through
+    // the catalog, insertInto appends through the bridge
+    frame(1 to 4).write.format("graft-deltalake")
+      .saveAsTable("tcat.ddl.sat")
+    assert(ids(spark.sql("SELECT * FROM tcat.ddl.sat").toDF()) ==
+      (1L to 4L).toSet)
+    frame(5 to 6).write.insertInto("tcat.ddl.sat")
+    assert(ids(spark.sql("SELECT * FROM tcat.ddl.sat").toDF()) ==
+      (1L to 6L).toSet)
+    assert(GraftCatalog.entries(wh)("ddl.sat").managed)
+    spark.sql("DROP TABLE tcat.ddl.sat")
     // TRUNCATE TABLE: an all-rows native delete, history readable
     val td = freshDir("ddl_tr")
     DeltaLake.write(spark, td, frame(1 to 8))
