@@ -585,6 +585,55 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       GraftSql.PredCmp("id", 7L, "EQ"))
   }
 
+  test("randomized DML semantics: eight rounds of SQL DELETE/UPDATE " +
+      "with varied predicate shapes track an independent model " +
+      "exactly (seeded)") {
+    val rnd = new scala.util.Random(42)
+    val dd = freshDir("fuzz")
+    var model: Seq[(Long, String, Long)] = (1 to 300).map(i =>
+      (i.toLong, s"g${i % 7}", (i * 37 % 101).toLong))
+    DeltaLake.write(spark, dd, model.toDF("id", "g", "x"))
+    GraftCatalog.register(spark, wh, "fz.t", "graft-deltalake", dd)
+    def pred(): (String, ((Long, String, Long)) => Boolean) =
+      rnd.nextInt(5) match {
+        case 0 =>
+          val k = rnd.nextInt(7)
+          (s"g = 'g$k'", t => t._2 == s"g$k")
+        case 1 =>
+          val lo = rnd.nextInt(250)
+          (s"id > $lo AND id <= ${lo + 40}",
+            t => t._1 > lo && t._1 <= lo + 40)
+        case 2 =>
+          val m = 2 + rnd.nextInt(5)
+          (s"x % $m = 0", t => t._3 % m == 0)
+        case 3 =>
+          val k = rnd.nextInt(7)
+          val lo = rnd.nextInt(200)
+          (s"g = 'g$k' OR id < $lo",
+            t => t._2 == s"g$k" || t._1 < lo)
+        case _ =>
+          val vals = Seq.fill(4)(rnd.nextInt(300) + 1)
+          (s"id IN (${vals.mkString(",")})",
+            t => vals.contains(t._1.toInt))
+      }
+    (1 to 8).foreach { round =>
+      val (sqlP, fn) = pred()
+      if (round % 2 == 1) {
+        spark.sql(s"DELETE FROM tcat.fz.t WHERE $sqlP")
+        model = model.filterNot(fn)
+      } else {
+        spark.sql(s"UPDATE tcat.fz.t SET x = id % 13 WHERE $sqlP")
+        model = model.map(t =>
+          if (fn(t)) (t._1, t._2, t._1 % 13) else t)
+      }
+      val actual = spark.sql("SELECT * FROM tcat.fz.t").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(actual == model.toSet,
+        s"round $round: predicate '$sqlP' diverged from the model " +
+          s"(${actual.size} vs ${model.size} rows)")
+    }
+  }
+
   test("catalog introspection SQL: SHOW TABLES, DESCRIBE, ALTER " +
       "TABLE RENAME all work through the DSv2 surface") {
     val dd = freshDir("meta")
