@@ -99,7 +99,8 @@ object Iceberg {
       transforms: Seq[IcebergTransforms.Field] = Seq.empty,
       fieldIdToName: Map[Int, String] = Map.empty,
       allTransforms: Seq[IcebergTransforms.Field] = Seq.empty,
-      nameMapping: Map[Int, Seq[String]] = Map.empty) {
+      nameMapping: Map[Int, Seq[String]] = Map.empty,
+      schemaCount: Int = 1) {
     /** The spec in the writer's string syntax (DML fixtures re-commit
       * a table's existing spec verbatim). Always the DEFAULT spec —
       * never the union (`allTransforms`), which exists only for
@@ -530,22 +531,19 @@ object Iceberg {
     val unionTransforms = specs.values.flatten.toSeq
       .groupBy(_.fieldName).valuesIterator
       .filter(fs => fs.forall(_ == fs.head)).map(_.head).toSeq
-    // ORC data files resolve BY NAME (Spark's ORC reader has no
-    // field-id matching), so any schema evolution in the history —
-    // renames above all — could silently serve nulls or stale columns
-    // from pre-evolution ORC files. Refuse the combination loudly.
-    if (files.values.exists(_.format == "ORC"))
-      require(Option(md.get("schemas"))
-          .forall(_.elements().asScala.size <= 1),
-        s"Iceberg: $path holds ORC data files AND a schema history — " +
-          "ORC columns resolve by NAME only (no field ids), so evolved " +
-          "schemas cannot be served safely; rewrite the ORC files with " +
-          "the current schema first")
+    // ID-LESS ORC files resolve by name, which cannot survive schema
+    // evolution — but that decision needs FOOTERS (an ORC file with
+    // `iceberg.id` attributes resolves by field id, rename-proof), so
+    // the guard moved into the scan ([[scanOf]]'s ORC arm); the
+    // history size rides SnapshotMeta for it.
+    val schemaCount = Option(md.get("schemas"))
+      .map(_.elements().asScala.size).getOrElse(1)
     SnapshotMeta(wantId, schema, partCols, files.values.toSeq,
       deletes.values.toSeq, transforms,
       idMap.map { case (id, (name, _)) => id -> name },
       allTransforms = unionTransforms,
-      nameMapping = parseNameMapping(md))
+      nameMapping = parseNameMapping(md),
+      schemaCount = schemaCount)
   }
 
   /** `schema.name-mapping.default` (spec "Name Mapping Serialization"):
@@ -877,11 +875,20 @@ object Iceberg {
   }
 
 
-  /** Top-level column names of an ORC file's footer — memoized (a
-    * file's footer never changes; the probe is a ~ms metadata read).
+  /** An ORC file's footer facts: its top-level column names and — when
+    * the writer stamped the Iceberg spec's `iceberg.id` type
+    * attributes — the field-id → physical-name map that makes RENAMES
+    * resolvable (the same role `parquet.field.id` plays on the parquet
+    * arm and `field-id` props on the Avro arm).
     */
-  private val orcColsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  private[sources] final case class OrcInfo(cols: Seq[String],
+      ids: Map[Int, String])
+
+  /** Memoized per JVM (a file's footer never changes; the probe is a
+    * ~ms metadata read).
+    */
+  private val orcInfoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, OrcInfo]()
   /** Footer reads actually performed (probe-cost accounting — the
     * marker/memo tests and LakeReaderProbe pin the O(new files) bound
     * through this counter).
@@ -889,16 +896,25 @@ object Iceberg {
   private[graft] val orcFooterProbes =
     new java.util.concurrent.atomic.AtomicLong()
   private[graft] def clearOrcFooterCacheForTest(): Unit =
-    orcColsCache.clear()
-  private def orcColumns(absPath: String): Set[String] =
-    orcColsCache.computeIfAbsent(absPath, p => {
+    orcInfoCache.clear()
+  private def orcFileInfo(absPath: String): OrcInfo =
+    orcInfoCache.computeIfAbsent(absPath, p => {
       orcFooterProbes.incrementAndGet()
       val reader = org.apache.orc.OrcFile.createReader(
         new org.apache.hadoop.fs.Path(p),
         org.apache.orc.OrcFile.readerOptions(
           new org.apache.hadoop.conf.Configuration()))
-      try reader.getSchema.getFieldNames.asScala.toSet
-      finally reader.close()
+      try {
+        val schema = reader.getSchema
+        val names = schema.getFieldNames.asScala.toSeq
+        val kids = schema.getChildren.asScala.toSeq
+        val ids = names.zip(kids).flatMap { case (n, t) =>
+          Option(t.getAttributeValue("iceberg.id"))
+            .flatMap(v => scala.util.Try(v.toInt).toOption)
+            .map(_ -> n)
+        }.toMap
+        OrcInfo(names, ids)
+      } finally reader.close()
     })
 
   /** The ORC name-check marker: a PERSISTED cache of proven
@@ -927,25 +943,61 @@ object Iceberg {
     new java.io.File(new java.io.File(tableDir, "metadata"),
       "graft-orc-validated.json")
 
-  private def readOrcMarker(f: java.io.File, fp: String): Set[String] =
+  /** Marker v2: per-file footer FACTS (columns + field-id map), with
+    * distinct infos stored once and referenced by index — a 10⁶-file
+    * estate has a handful of distinct shapes, so the marker stays
+    * metadata-sized. A v1 (or corrupt) marker parses to empty and the
+    * files simply re-probe once.
+    */
+  private def readOrcMarker(f: java.io.File,
+      fp: String): Map[String, OrcInfo] =
     try {
-      if (!f.exists()) Set.empty
+      if (!f.exists()) Map.empty
       else {
         val n = M.readTree(java.nio.file.Files.readString(f.toPath))
-        if (Option(n.get("schema")).map(_.asText).contains(fp))
-          Option(n.get("files")).map(_.elements().asScala
-            .map(_.asText).toSet).getOrElse(Set.empty)
-        else Set.empty
+        if (!Option(n.get("schema")).map(_.asText).contains(fp) ||
+            !Option(n.get("files")).exists(_.isObject)) Map.empty
+        else {
+          val infos = Option(n.get("infos")).toSeq
+            .flatMap(_.elements().asScala).map { i =>
+              OrcInfo(
+                Option(i.get("cols")).toSeq.flatMap(
+                  _.elements().asScala).map(_.asText),
+                Option(i.get("ids")).toSeq
+                  .flatMap(_.properties().asScala)
+                  .map(e => e.getKey.toInt -> e.getValue.asText).toMap)
+            }.toIndexedSeq
+          n.get("files").properties().asScala.flatMap { e =>
+            val idx = e.getValue.asInt(-1)
+            if (idx >= 0 && idx < infos.length)
+              Some(e.getKey -> infos(idx))
+            else None
+          }.toMap
+        }
       }
-    } catch { case _: Exception => Set.empty }
+    } catch { case _: Exception => Map.empty }
 
   private def writeOrcMarker(f: java.io.File, fp: String,
-      files: Set[String]): Unit =
+      files: Map[String, OrcInfo]): Unit =
     try {
       val root = M.createObjectNode()
       root.put("schema", fp)
-      val arr = root.putArray("files")
-      files.toSeq.sorted.foreach(arr.add)
+      val distinct = files.values.toSeq.distinct
+      val idxOf = distinct.zipWithIndex.toMap
+      val infos = root.putArray("infos")
+      distinct.foreach { i =>
+        val o = infos.addObject()
+        val cols = o.putArray("cols")
+        i.cols.foreach(cols.add)
+        val ids = o.putObject("ids")
+        i.ids.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          ids.put(k.toString, v); ()
+        }
+      }
+      val fn = root.putObject("files")
+      files.toSeq.sortBy(_._1).foreach { case (p, i) =>
+        fn.put(p, idxOf(i)); ()
+      }
       val tmp = java.nio.file.Files.createTempFile(
         f.getParentFile.toPath, ".orc-validated-", ".tmp")
       java.nio.file.Files.writeString(tmp, M.writeValueAsString(root))
@@ -1044,19 +1096,34 @@ object Iceberg {
     def orcScan(): DataFrame = {
       val dataCols = sm.schema.fieldNames
         .filterNot(sm.partitionColumns.contains).toSet
-      // cold-cost bound: only files NOT in the persisted validation
-      // marker pay a footer read — steady state is O(files added since
-      // the last resolution), and any schema change invalidates the
-      // marker wholesale (fingerprint mismatch → full re-probe)
+      // cold-cost bound: only files NOT in the persisted marker pay a
+      // footer read — steady state is O(files added since the last
+      // resolution), and any schema change invalidates the marker
+      // wholesale (fingerprint mismatch → full re-probe)
       val fp = orcSchemaFp(dataCols)
       val marker = orcMarkerFile(path)
-      val validated = readOrcMarker(marker, fp)
-      val toProbe = orcIce.filterNot(f => validated.contains(f.path))
-      if (toProbe.nonEmpty) {
-        toProbe.map(f => resolveRef(path, f.path)).asJava
-          .parallelStream().forEach(p => { orcColumns(p); () })
-        toProbe.foreach { f =>
-          val missing = dataCols -- orcColumns(resolveRef(path, f.path))
+      val known = readOrcMarker(marker, fp)
+      val toProbe = orcIce.filterNot(f => known.contains(f.path))
+      toProbe.map(f => resolveRef(path, f.path)).asJava
+        .parallelStream().forEach(p => { orcFileInfo(p); () })
+      val infoOf: Map[String, OrcInfo] = known ++
+        toProbe.map(f => f.path -> orcFileInfo(resolveRef(path, f.path)))
+      if (toProbe.nonEmpty) writeOrcMarker(marker, fp, infoOf)
+      // files carrying the spec's `iceberg.id` attributes resolve by
+      // FIELD ID (rename-proof, like the parquet and avro arms);
+      // id-less files (Spark-written, migrated Hive) resolve by NAME
+      // under the old guards
+      val (idFiles, namedFiles) =
+        orcIce.partition(f => infoOf(f.path).ids.nonEmpty)
+      if (namedFiles.nonEmpty) {
+        require(sm.schemaCount <= 1,
+          s"Iceberg: $path holds id-less ORC data files AND a schema " +
+            "history — ORC columns without iceberg.id attributes " +
+            "resolve by NAME only, so evolved schemas cannot be " +
+            "served safely; rewrite the ORC files with the current " +
+            "schema first")
+        namedFiles.foreach { f =>
+          val missing = dataCols -- infoOf(f.path).cols.toSet
           require(missing.isEmpty,
             s"Iceberg: ORC file ${f.path} lacks column(s) " +
               s"${missing.toSeq.sorted.mkString(", ")} of the current " +
@@ -1064,12 +1131,46 @@ object Iceberg {
               "column would silently read as null; rewrite the file " +
               "with the current schema")
         }
-        writeOrcMarker(marker, fp, validated ++ toProbe.map(_.path))
       }
       val plain = StructType(sm.schema.fields.map(f =>
         f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
-      LakeScan.scan(spark, path, plain, sm.partitionColumns,
-        orcIce.map(toLog), keep, withMeta = false, fileFormat = "orc")
+      def armOf(files: Seq[IceFile], schema: StructType): DataFrame =
+        LakeScan.scan(spark, path, schema, sm.partitionColumns,
+          files.map(toLog), keep, withMeta = false, fileFormat = "orc")
+      // field-id arm(s): group id-carrying files by their
+      // logical→physical RENAME map (almost always one group, usually
+      // empty = identity); a renamed group scans under the files'
+      // physical names and aliases back — the Delta column-mapping
+      // shape. A column whose id is absent from a file predates it
+      // and reads as null (spec evolution semantics).
+      val idOfLogical: Map[String, Int] = sm.schema.fields.flatMap(f =>
+        if (f.metadata.contains("parquet.field.id"))
+          Some(f.name -> f.metadata.getLong("parquet.field.id").toInt)
+        else None).toMap
+      def renameMapOf(f: IceFile): Map[String, String] =
+        sm.schema.fields.filter(x => dataCols.contains(x.name))
+          .flatMap { field =>
+            idOfLogical.get(field.name)
+              .flatMap(id => infoOf(f.path).ids.get(id))
+              .filter(_ != field.name)
+              .map(phys => field.name -> phys)
+          }.toMap
+      val idArms = idFiles.groupBy(renameMapOf).toSeq
+        .sortBy(_._1.toString).map { case (mapping, files) =>
+          if (mapping.isEmpty) armOf(files, plain)
+          else {
+            val physSchema = StructType(plain.fields.map(f =>
+              mapping.get(f.name).map(p => f.copy(name = p))
+                .getOrElse(f)))
+            armOf(files, physSchema).select(
+              plain.fieldNames.toIndexedSeq.map(l =>
+                org.apache.spark.sql.functions
+                  .col(mapping.getOrElse(l, l)).as(l)): _*)
+          }
+        }
+      val arms = (if (namedFiles.nonEmpty)
+        Seq(armOf(namedFiles, plain)) else Seq.empty) ++ idArms
+      arms.reduce(_ unionByName _)
     }
     // the AVRO arm: FIELD-ID resolution inside the format itself (the
     // read schema keeps its id metadata; GraftAvroFileFormat matches
@@ -2234,6 +2335,104 @@ object Iceberg {
       }
     commitSnapshot(spark, tableDir, df.schema, partitionBy, entries,
       "append")
+  }
+
+  /** [[stageOrcAppend]] writing ORC files WITH the Iceberg spec's
+    * `iceberg.id` type attributes (Spark's ORC writer cannot stamp
+    * them, so this goes through orc-core driver-side — fixture
+    * machinery, unpartitioned, the shape an Iceberg-native writer
+    * leaves behind). Field ids follow [[icebergSchemaJson]]'s
+    * positional assignment so data-file ids match the committed table
+    * schema; id-carrying files resolve by FIELD ID at scan
+    * ([[scanOf]]'s ORC arm) — renames safe, no name check.
+    */
+  def stageOrcIdAppend(spark: SparkSession, tableDir: String,
+      df: DataFrame): Long = {
+    import org.apache.orc.TypeDescription
+    import org.apache.hadoop.hive.ql.exec.vector.{BytesColumnVector, DoubleColumnVector, LongColumnVector}
+    val root = new java.io.File(tableDir)
+    val (_, version) = priorState({ val d = metadataDir(tableDir)
+      d.mkdirs(); d })
+    def orcType(dt: DataType): TypeDescription = dt match {
+      case LongType => TypeDescription.createLong()
+      case IntegerType => TypeDescription.createInt()
+      case DoubleType => TypeDescription.createDouble()
+      case BooleanType => TypeDescription.createBoolean()
+      case StringType => TypeDescription.createString()
+      case other => throw new UnsupportedOperationException(
+        s"stageOrcIdAppend: unsupported type $other")
+    }
+    val orcSchema = TypeDescription.createStruct()
+    df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+      orcSchema.addField(f.name,
+        orcType(f.dataType).setAttribute("iceberg.id",
+          (i + 1).toString))
+      ()
+    }
+    val rel = s"data/orcid-$version-0.orc"
+    val dest = new java.io.File(root, rel)
+    dest.getParentFile.mkdirs()
+    val writer = org.apache.orc.OrcFile.createWriter(
+      new org.apache.hadoop.fs.Path(dest.getAbsolutePath),
+      org.apache.orc.OrcFile.writerOptions(
+        new org.apache.hadoop.conf.Configuration())
+        .setSchema(orcSchema))
+    val batch = orcSchema.createRowBatch()
+    val statCols = statColsOf(df.schema)
+    val mins = mutable.Map.empty[String, Any]
+    val maxs = mutable.Map.empty[String, Any]
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    var n = 0L
+    df.collect().foreach { r =>
+      val row = batch.size
+      batch.size += 1
+      df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+        val v = r.getAs[Any](f.name)
+        if (v == null) {
+          batch.cols(i).noNulls = false
+          batch.cols(i).isNull(row) = true
+        } else f.dataType match {
+          case LongType => batch.cols(i)
+            .asInstanceOf[LongColumnVector].vector(row) =
+            v.asInstanceOf[Long]
+          case IntegerType => batch.cols(i)
+            .asInstanceOf[LongColumnVector].vector(row) =
+            v.asInstanceOf[Int].toLong
+          case BooleanType => batch.cols(i)
+            .asInstanceOf[LongColumnVector].vector(row) =
+            if (v.asInstanceOf[Boolean]) 1L else 0L
+          case DoubleType => batch.cols(i)
+            .asInstanceOf[DoubleColumnVector].vector(row) =
+            v.asInstanceOf[Double]
+          case StringType => batch.cols(i)
+            .asInstanceOf[BytesColumnVector].setVal(row,
+              v.asInstanceOf[String]
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          case other => throw new UnsupportedOperationException(
+            s"stageOrcIdAppend: unsupported type $other")
+        }
+        val sv = r.getAs[Any](f.name)
+        if (sv != null && statCols.exists(_.name == f.name)) {
+          if (!mins.contains(f.name) || cmp(sv, mins(f.name)) < 0)
+            mins(f.name) = sv
+          if (!maxs.contains(f.name) || cmp(sv, maxs(f.name)) > 0)
+            maxs(f.name) = sv
+        }
+      }
+      n += 1
+      if (batch.size == batch.getMaxSize) {
+        writer.addRowBatch(batch)
+        batch.reset()
+      }
+    }
+    if (batch.size > 0) writer.addRowBatch(batch)
+    writer.close()
+    val perCol = statCols.flatMap(f =>
+      mins.get(f.name).map(mn => f.name -> (mn, maxs(f.name)))).toMap
+    commitSnapshot(spark, tableDir, df.schema, Seq.empty,
+      Seq(Entry(1, rel, dest.length(), Map.empty, n, perCol,
+        format = "ORC")), "append")
   }
 
   /** [[stageAppend]] with the STREAMING-SINK commit shape: snapshot

@@ -203,6 +203,44 @@ class IcebergOrcSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("lacks column"), e.getMessage)
   }
 
+  test("ORC files WITH iceberg.id attributes resolve by FIELD ID: " +
+      "renames read correctly with no name-check refusal; id-less " +
+      "files joining an evolved table still refuse") {
+    val dir = freshDir("ids")
+    Iceberg.stageOrcIdAppend(spark, dir, frame(1 to 10))
+    // a rename is metadata-only; the file's physical column stays "v"
+    // and resolves by id under the new name — no probe refusal, no
+    // nulls (the by-name ORC arm would refuse here)
+    Iceberg.stageRenameColumn(spark, dir, Map("v" -> "label"))
+    val snap = Iceberg.snapshot(spark, dir)
+    assert(snap.columns.toSeq == Seq("id", "label", "p"))
+    assert(snap.filter(col("id") === 3).select("label").head()
+      .getString(0) == "v3",
+      "pre-rename ORC file did not resolve by field id")
+    assert(ids(snap) == (1L to 10L).toSet)
+    // post-rename appends carry the NEW physical name with the SAME
+    // ids — one logical scan over both shapes
+    Iceberg.stageOrcIdAppend(spark, dir,
+      (11 to 15).map(i => (i.toLong, s"v$i", s"g${i % 2}"))
+        .toDF("id", "label", "p").coalesce(1))
+    assert(ids(Iceberg.snapshot(spark, dir)) == (1L to 15L).toSet)
+    assert(Iceberg.snapshot(spark, dir)
+      .filter(col("label") === "v12").count() == 1L)
+    // manifest stats still prune across the id arms
+    assert(plannedFiles(Iceberg.snapshotWhere(spark, dir,
+      col("id") <= 5)) <= 1,
+      "manifest stats did not prune the id-resolved ORC arm")
+    // an ID-LESS ORC file landing on the evolved table refuses loudly
+    // (by-name resolution cannot survive the schema history)
+    Iceberg.stageOrcAppend(spark, dir,
+      (16 to 18).map(i => (i.toLong, s"v$i", s"g${i % 2}"))
+        .toDF("id", "label", "p").coalesce(1))
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.snapshot(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("id-less"), e.getMessage)
+  }
+
   test("the registered reader serves ORC tables too") {
     val dir = freshDir("rapi")
     Iceberg.stageOrcAppend(spark, dir, frame(1 to 12))
