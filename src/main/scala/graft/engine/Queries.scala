@@ -3341,6 +3341,26 @@ object Queries {
              |GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
 
+    // CROSS-FORMAT FIELD-ID RENAME (r14): one table whose parquet
+    // files predate and whose iceberg.id-stamped ORC files span a
+    // COLUMN RENAME — the query reads BOTH arms by field id under the
+    // post-rename name (`price`), pinning that neither format's
+    // pre-rename files serve nulls and the arms union exactly.
+    QueryDef("iceberg_orcid_rename",
+      (s, d) => graft.sources.Iceberg
+        .snapshot(s, icebergOrdersOrcIdRenamed(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("price").cast(DecimalType(18, 2)))
+            .cast("double").as("total"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // FILE-BASED TRANSACTIONAL CATALOG, SQL READ (r13): tables read BY
     // NAME (`gcat.db.orders`) through the registered TableCatalog —
     // the catalog pins a (format, path, version) triple and the
@@ -3804,6 +3824,33 @@ object Queries {
         ord.filter(col("o_custkey") % 2 === 0), Seq.empty)
       graft.sources.Iceberg.stageAvroAppend(s, p,
         ord.filter(col("o_custkey") % 2 =!= 0))
+      ()
+    }
+
+  /** The RENAMED parquet+id-ORC Iceberg table — the
+    * `iceberg_orcid_rename` fixture: evens as parquet
+    * ([[graft.sources.Iceberg.stageAppend]] — files carry
+    * `parquet.field.id`s), odds as `iceberg.id`-stamped ORC
+    * ([[graft.sources.Iceberg.stageOrcIdAppend]]), then
+    * `o_totalprice` RENAMED to `price` — both arms' pre-rename files
+    * must resolve the new name by field id.
+    */
+  private[graft] def icebergOrdersOrcIdRenamed(s: SparkSession,
+      d: String): String =
+    graft.sources.Staging.stageOnce(d, "iceberg_orders_orcid_s1",
+      Seq(s"$d/orders.parquet")) { p =>
+      // the date/timestamp column is dropped: the driver-side id-ORC
+      // fixture writer covers the types manifest stats prune on, and
+      // timestamp physical encodings differ per dataset vintage
+      val ord = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Iceberg.stageAppend(s, p,
+        ord.filter(col("o_custkey") % 2 === 0), Seq.empty)
+      graft.sources.Iceberg.stageOrcIdAppend(s, p,
+        ord.filter(col("o_custkey") % 2 =!= 0))
+      graft.sources.Iceberg.stageRenameColumn(s, p,
+        Map("o_totalprice" -> "price"))
       ()
     }
 

@@ -2359,6 +2359,7 @@ object Iceberg {
       case DoubleType => TypeDescription.createDouble()
       case BooleanType => TypeDescription.createBoolean()
       case StringType => TypeDescription.createString()
+      case DateType => TypeDescription.createDate()
       case other => throw new UnsupportedOperationException(
         s"stageOrcIdAppend: unsupported type $other")
     }
@@ -2409,6 +2410,9 @@ object Iceberg {
             .asInstanceOf[BytesColumnVector].setVal(row,
               v.asInstanceOf[String]
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          case DateType => batch.cols(i)
+            .asInstanceOf[LongColumnVector].vector(row) =
+            v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay
           case other => throw new UnsupportedOperationException(
             s"stageOrcIdAppend: unsupported type $other")
         }

@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 191 declared operator queries are all present (SURVEY §2)") {
+  test("the 192 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -93,8 +93,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "catalog_insert_sql",
       // round-14 surface
       "catalog_delete_sql", "catalog_update_sql", "catalog_merge_sql",
-      "iceberg_avro_scan", "sql_path_dml", "catalog_create_sql")
-    assert(declared.size == 191)
+      "iceberg_avro_scan", "sql_path_dml", "catalog_create_sql",
+      "iceberg_orcid_rename")
+    assert(declared.size == 192)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
