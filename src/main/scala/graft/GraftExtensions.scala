@@ -45,6 +45,24 @@ class ResolveGraftRelations(session: SparkSession)
   private val SqlSchemes = GraftDml.SqlSchemes
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // Fast bail-out, ONE traversal: the resolution batch runs this
+    // rule to fixpoint on EVERY analysis pass, and Structured
+    // Streaming re-analyzes every micro-batch — a plan with no graft
+    // leaf and no DML root must not pay the splice machinery (three
+    // traversals, catalog state reads) per pass. Every case the body
+    // below can act on is a node this predicate matches.
+    val touchesGraft = plan.exists {
+      case lr: LogicalRelation =>
+        lr.relation.isInstanceOf[GraftLakeRelation]
+      case u: UnresolvedRelation =>
+        u.multipartIdentifier.length == 2 &&
+          SqlSchemes.contains(u.multipartIdentifier.head.toLowerCase)
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation =>
+        r.table.isInstanceOf[graft.sources.GraftCatalogTable]
+      case _ => false
+    }
+    if (!touchesGraft) return plan
     // SQL row-level DML over catalog tables converts to an eager
     // native-writer command once resolved (GraftDml); until then the
     // DML target relation is SHIELDED from the splice below — the

@@ -269,6 +269,28 @@ object LakeReaderProbe {
     println(f"iceberg fold+plan ($iFiles%d files)  cold $iCold%7.1f ms   " +
       f"warm $iWarm%7.1f ms")
 
+    // Iceberg fold+plan AT TABLE SCALE (r13 verdict: pin the
+    // per-resolve fold cost the way the delta 1k-file row does — a
+    // streaming consumer pays one fold per micro-batch, so this is the
+    // per-batch floor). ~100 partitions x ~10 writer tasks ≈ 1k files,
+    // one snapshot; the r13 per-file format partitioning runs inside
+    // this fold, so a regression there shows up here first.
+    locally {
+      val iWide = graft.sources.Staging.stageOnce(dir, "probe_ice_1k",
+        Seq(s"$dir/orders.parquet")) { p =>
+        graft.sources.Iceberg.stageAppend(spark, p,
+          ord.withColumn("pk", (col("o_orderkey") % 100)).repartition(10),
+          Seq("pk"))
+        ()
+      }
+      val n = graft.sources.Iceberg.snapshot(spark, iWide)
+        .inputFiles.length
+      val c = ms(planOf(graft.sources.Iceberg.snapshot(spark, iWide)))
+      val w = ms(planOf(graft.sources.Iceberg.snapshot(spark, iWide)))
+      println(f"iceberg fold+plan ($n%d files, 100 parts)  " +
+        f"cold $c%7.1f ms   warm $w%7.1f ms")
+    }
+
     // MoR signed window at table scale (r11): a positional delete
     // hitting a ~1% key range of a 100-file range-clustered table —
     // the retract arm must plan only the files the delete rows NAME
