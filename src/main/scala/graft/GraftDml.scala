@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.lit
@@ -207,10 +207,6 @@ object GraftDml {
         refuseIf(m.withSchemaEvolution, s"$stmt: WITH SCHEMA " +
           "EVOLUTION is not supported — evolve through the native " +
           "writer, then merge")
-        refuseIf(m.notMatchedBySourceActions.nonEmpty, s"$stmt: WHEN " +
-          "NOT MATCHED BY SOURCE is not supported — the native merge " +
-          "is the canonical upsert; express source-absence deletes as " +
-          "a library-API delete")
         val tOut = stripAliases(m.targetTable).outputSet
         val sOut = m.sourceTable.outputSet
         val keys = splitConjuncts(m.mergeCondition).map {
@@ -225,35 +221,110 @@ object GraftDml {
             s"'${other.sql}'")
         }
         val targetCols = stripAliases(m.targetTable).output.map(_.name)
-        m.matchedActions match {
-          case Seq(ua: UpdateAction) if ua.condition.isEmpty =>
-            requireAllColumnCopy(ua.assignments, targetCols, sOut,
-              stmt, "UPDATE SET")
-          case Seq(ua: UpdateStarAction) if ua.condition.isEmpty => ()
-          case _ => refuse(s"$stmt: exactly one unconditional " +
-            "WHEN MATCHED THEN UPDATE SET * is required — " +
-            "conditional/delete matched actions go through the " +
-            "library API")
-        }
-        val insertNotMatched = m.notMatchedActions match {
-          case Seq() => false
-          case Seq(ia: InsertAction) if ia.condition.isEmpty =>
-            requireAllColumnCopy(ia.assignments, targetCols, sOut,
-              stmt, "INSERT")
-            true
-          case Seq(ia: InsertStarAction) if ia.condition.isEmpty => true
-          case _ => refuse(s"$stmt: WHEN NOT MATCHED must be a single " +
-            "unconditional INSERT * (or absent)")
-        }
+        // the CANONICAL UPSERT routes to the lean native merge; every
+        // other legal clause combination lowers to the general-form
+        // writer ([[MergeActions]]) below
+        val canonical = m.notMatchedBySourceActions.isEmpty &&
+          (m.matchedActions match {
+            case Seq(ua: UpdateAction) if ua.condition.isEmpty =>
+              isAllColumnCopy(ua.assignments, targetCols, sOut)
+            case Seq(_: UpdateStarAction) => m.matchedActions.head
+              .asInstanceOf[UpdateStarAction].condition.isEmpty
+            case _ => false
+          }) &&
+          (m.notMatchedActions match {
+            case Seq() => true
+            case Seq(ia: InsertAction) if ia.condition.isEmpty =>
+              isAllColumnCopy(ia.assignments, targetCols, sOut)
+            case Seq(ia: InsertStarAction) => ia.condition.isEmpty
+            case _ => false
+          })
         val source = m.sourceTable
-        GraftDmlCommand(stmt, spark => {
-          val src = GraftSql.ofRows(spark, source)
-          commitVia(t,
-            DeltaLake.merge(spark, t.entry.path, src, keys,
-              insertNotMatched),
-            Iceberg.merge(spark, t.entry.path, src, keys,
-              insertNotMatched))
-        })
+        if (canonical) {
+          val insertNotMatched = m.notMatchedActions.nonEmpty
+          GraftDmlCommand(stmt, spark => {
+            val src = GraftSql.ofRows(spark, source)
+            commitVia(t,
+              DeltaLake.merge(spark, t.entry.path, src, keys,
+                insertNotMatched),
+              Iceberg.merge(spark, t.entry.path, src, keys,
+                insertNotMatched))
+          })
+        } else {
+          // GENERAL FORM: conditions/assignments lowered per scope —
+          // matched clauses see target columns by name and source
+          // columns as MergeActions.src; insert clauses see only the
+          // source; by-source clauses see only the target
+          def lowerMixed(e: Expression): Column =
+            lowered(e, stmt) {
+              case a if tOut.contains(a) =>
+                UnresolvedAttribute(Seq(a.name))
+              case a if sOut.contains(a) =>
+                UnresolvedAttribute(
+                  Seq(graft.sources.MergeActions.SrcPrefix + a.name))
+            }
+          def lowerSource(e: Expression): Column =
+            lowered(e, stmt) {
+              case a if sOut.contains(a) =>
+                UnresolvedAttribute(Seq(a.name))
+            }
+          def lowerTarget(e: Expression): Column =
+            lowered(e, stmt) {
+              case a if tOut.contains(a) =>
+                UnresolvedAttribute(Seq(a.name))
+            }
+          def setOf(assigns: Seq[Assignment],
+              lower: Expression => Column): Map[String, Column] =
+            assigns.map { a =>
+              val name = a.key match {
+                case ar: AttributeReference => ar.name
+                case other => refuse(s"$stmt: SET/INSERT target must " +
+                  s"be a top-level column, got '${other.sql}' — " +
+                  "nested-field updates go through the library API")
+              }
+              name -> lower(a.value)
+            }.toMap
+          import graft.sources.MergeActions._
+          val matchedActs: Seq[Matched] = m.matchedActions.map {
+            case ua: UpdateAction =>
+              MatchedUpdate(ua.condition.map(lowerMixed),
+                Some(setOf(ua.assignments, lowerMixed)))
+            case ua: UpdateStarAction =>
+              MatchedUpdate(ua.condition.map(lowerMixed), None)
+            case da: DeleteAction =>
+              MatchedDelete(da.condition.map(lowerMixed))
+            case other => refuse(s"$stmt: unsupported WHEN MATCHED " +
+              s"action '$other'")
+          }
+          val insertActs: Seq[NotMatchedInsert] =
+            m.notMatchedActions.map {
+              case ia: InsertAction =>
+                NotMatchedInsert(ia.condition.map(lowerSource),
+                  Some(setOf(ia.assignments, lowerSource)))
+              case ia: InsertStarAction =>
+                NotMatchedInsert(ia.condition.map(lowerSource), None)
+              case other => refuse(s"$stmt: unsupported WHEN NOT " +
+                s"MATCHED action '$other'")
+            }
+          val bySourceActs: Seq[BySource] =
+            m.notMatchedBySourceActions.map {
+              case ua: UpdateAction =>
+                BySourceUpdate(ua.condition.map(lowerTarget),
+                  setOf(ua.assignments, lowerTarget))
+              case da: DeleteAction =>
+                BySourceDelete(da.condition.map(lowerTarget))
+              case other => refuse(s"$stmt: unsupported WHEN NOT " +
+                s"MATCHED BY SOURCE action '$other'")
+            }
+          GraftDmlCommand(stmt, spark => {
+            val src = GraftSql.ofRows(spark, source)
+            commitVia(t,
+              DeltaLake.mergeGeneral(spark, t.entry.path, src, keys,
+                matchedActs, insertActs, bySourceActs),
+              Iceberg.mergeGeneral(spark, t.entry.path, src, keys,
+                matchedActs, insertActs, bySourceActs))
+          })
+        }
       }.orElse(pathTargetOf(m.targetTable).map { pt =>
         val stmt = s"MERGE INTO ${pt.format} `${pt.path}`"
         refuseIf(m.withSchemaEvolution, s"$stmt: WITH SCHEMA " +
@@ -348,6 +419,49 @@ object GraftDml {
     refuseIf(missing.nonEmpty, s"$stmt: $clause must cover every " +
       s"target column (the native merge writes full rows) — missing: " +
       missing.mkString(", "))
+  }
+
+  /** Non-refusing twin of [[requireAllColumnCopy]] — does this
+    * assignment list expand to `SET * / INSERT *` (every target column
+    * copied from its same-name source column)?
+    */
+  private def isAllColumnCopy(assigns: Seq[Assignment],
+      targetCols: Seq[String],
+      sOut: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : Boolean = {
+    val copies = assigns.map { a =>
+      (a.key, stripCasts(a.value)) match {
+        case (k: AttributeReference, v: AttributeReference)
+            if sOut.contains(v) && v.name.equalsIgnoreCase(k.name) =>
+          Some(k.name.toLowerCase)
+        case _ => None
+      }
+    }
+    copies.forall(_.isDefined) && {
+      val covered = copies.flatten.toSet
+      targetCols.forall(c => covered.contains(c.toLowerCase))
+    }
+  }
+
+  /** Lower a clause expression to a name-based Column under the
+    * clause's SCOPE: `bind` maps in-scope attributes to their
+    * name-based form; anything else (an attribute from the other
+    * side, in a clause where that side has no row) refuses loudly.
+    */
+  private def lowered(e: Expression, stmt: String)(
+      bind: PartialFunction[AttributeReference, UnresolvedAttribute])
+      : Column = {
+    refuseIf(e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"$stmt: subqueries in DML predicates/values are not " +
+        "supported — materialize the subquery and use the library API")
+    GraftSql.column(e.transform {
+      case a: AttributeReference =>
+        bind.applyOrElse(a, (x: AttributeReference) => refuse(
+          s"$stmt: column '${x.name}' is not in scope for this " +
+            "clause (matched clauses see target+source, NOT MATCHED " +
+            "sees only the source, NOT MATCHED BY SOURCE only the " +
+            "target)"))
+    })
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

@@ -3679,6 +3679,54 @@ object Queries {
              |  SELECT o_orderpriority, o_totalprice, 1
              |  FROM orders WHERE o_orderkey % 10 = 7)
              |GROUP BY pri
+             |ORDER BY pri""".stripMargin)),
+
+    // GENERAL-FORM SQL MERGE (r15): the full clause set — conditional
+    // WHEN MATCHED arms in first-match order (DELETE the even-custkey
+    // matches, UPDATE the rest), plus WHEN NOT MATCHED BY SOURCE
+    // DELETE — routed to Iceberg.mergeGeneral through the catalog.
+    // Idempotent: run 2's matched set is run 1's surviving (odd)
+    // rows, which re-update to the same value; both delete arms
+    // re-match nothing.
+    QueryDef("catalog_merge_delete_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql(
+          s"""MERGE INTO gdml.dml.mrg2 t
+             |USING (
+             |  SELECT o_orderkey,
+             |    CAST(o_custkey % 97 AS DOUBLE) AS newprice
+             |  FROM graft_delta.`$src` WHERE o_orderkey % 10 = 3
+             |) s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED AND t.o_custkey % 2 = 0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET o_totalprice = s.newprice
+             |WHEN NOT MATCHED BY SOURCE
+             |  AND t.o_orderkey % 10 = 9 AND t.o_custkey % 5 = 0
+             |  THEN DELETE""".stripMargin)
+        s.sql(
+          """SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS total
+            |FROM gdml.dml.mrg2
+            |GROUP BY o_orderpriority
+            |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(px AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM (
+             |  SELECT o_orderpriority,
+             |    CASE WHEN o_orderkey % 10 = 3 AND o_custkey % 2 = 1
+             |      THEN CAST(o_custkey % 97 AS DOUBLE)
+             |      ELSE o_totalprice END AS px
+             |  FROM orders
+             |  WHERE NOT (o_orderkey % 10 = 3 AND o_custkey % 2 = 0)
+             |    AND NOT (o_orderkey % 10 = 9 AND o_custkey % 5 = 0))
+             |GROUP BY pri
              |ORDER BY pri""".stripMargin))
   )
 
@@ -3943,12 +3991,18 @@ object Queries {
         new java.io.File(p, "dml_mrg").getAbsolutePath,
         ord.select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice"), col("o_orderpriority")))
+      graft.sources.Iceberg.write(s,
+        new java.io.File(p, "dml_mrg2").getAbsolutePath,
+        ord.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority")))
       graft.sources.GraftCatalog.register(s, p, "dml.del",
         "graft-deltalake", "dml_del")
       graft.sources.GraftCatalog.register(s, p, "dml.upd",
         "graft-iceberg", "dml_upd")
       graft.sources.GraftCatalog.register(s, p, "dml.mrg",
         "graft-deltalake", "dml_mrg")
+      graft.sources.GraftCatalog.register(s, p, "dml.mrg2",
+        "graft-iceberg", "dml_mrg2")
       p
     })
 

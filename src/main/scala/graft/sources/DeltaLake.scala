@@ -2779,6 +2779,159 @@ object DeltaLake {
     } finally { src.unpersist(); () }
   }
 
+  /** GENERAL-FORM MERGE — the full SQL clause set over the
+    * copy-on-write writer: ordered conditional `WHEN MATCHED`
+    * UPDATE/DELETE actions, conditional `WHEN NOT MATCHED` inserts,
+    * and `WHEN NOT MATCHED BY SOURCE` UPDATE/DELETE. Expression
+    * scopes and first-match ordering per [[MergeActions]]. The ON
+    * condition stays a key-equality conjunction (`keys`) — that is
+    * what keeps the rewrite hit-file-local; a general ON theta-join
+    * has no file locality to exploit and is out of scope.
+    *
+    * Scale shape mirrors [[merge]]: the matched probe and the
+    * by-source anti-join are ordinary Catalyst joins column-pruned to
+    * the keys (+condition columns); the rewrite reads ONLY the files
+    * holding affected rows — matched hits from the semi-join,
+    * by-source hits stats-bounded by the action conditions evaluated
+    * on the anti-joined target — and lands through the table's
+    * partition layout in one job. An unconditioned BY SOURCE action
+    * legitimately touches every non-matched file (that is its
+    * semantics), conditioned ones only the satisfying files.
+    *
+    * Duplicate source keys are refused when matched actions exist
+    * (the SQL cardinality violation); a matched-action-free merge
+    * (pure insert) tolerates them — each not-matched row inserts.
+    * CDF-enabled tables emit the row-level diff (update pre/post
+    * images, deletes, inserts). Returns the committed version, or -1
+    * when nothing changed.
+    */
+  def mergeGeneral(spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String],
+      matched: Seq[MergeActions.Matched] = Seq.empty,
+      notMatched: Seq[MergeActions.NotMatchedInsert] = Seq.empty,
+      notMatchedBySource: Seq[MergeActions.BySource] = Seq.empty): Long = {
+    import MergeActions._
+    val st = replay(spark, path, None)
+    requireWritable(st, path, "mergeGeneral")
+    requireNoRowContracts(st, path, "mergeGeneral")
+    require(keys.nonEmpty, "DeltaLake.mergeGeneral: empty key list")
+    require(keys.forall(st.schema.fieldNames.contains),
+      s"DeltaLake.mergeGeneral: keys $keys must be table columns")
+    validate("DeltaLake.mergeGeneral", st.schema, keys,
+      st.partitionColumns, matched, notMatched, notMatchedBySource)
+    require(st.partitionColumns.forall(keys.contains),
+      s"DeltaLake.mergeGeneral: partition columns " +
+        s"(${st.partitionColumns.mkString(",")}) must be merge keys — " +
+        "a non-key partition column would let a match move rows " +
+        "across partitions")
+    val srcCols = source.schema.fieldNames.toIndexedSeq
+    require(keys.forall(srcCols.contains),
+      s"DeltaLake.mergeGeneral: the source must carry the key " +
+        s"columns $keys — source: $srcCols")
+    val starNeeds = matched.exists {
+      case MatchedUpdate(_, None) => true
+      case _ => false
+    } || notMatched.exists(_.values.isEmpty)
+    require(!starNeeds ||
+        st.schema.fieldNames.forall(srcCols.contains),
+      "DeltaLake.mergeGeneral: UPDATE SET * / INSERT * need the " +
+        s"source to carry every table column — table: " +
+        s"${st.schema.fieldNames.toSeq}, source: $srcCols")
+    // cast source columns the table knows to the table's types;
+    // source-only columns (condition inputs) pass through untouched
+    val src = source.select(srcCols.map { c =>
+      st.schema.find(_.name == c)
+        .map(f => col(c).cast(f.dataType).as(c)).getOrElse(col(c))
+    }: _*).cache()
+    try {
+      if (matched.nonEmpty) {
+        val keyPred = keys.map(k => col(k).isNotNull).reduce(_ && _)
+        require(src.filter(keyPred).groupBy(keys.map(col): _*).count()
+            .filter(col("count") > 1).isEmpty,
+          "DeltaLake.mergeGeneral: duplicate keys in the source — an " +
+            "ambiguous match is nondeterministic (the SQL " +
+            "cardinality violation)")
+      }
+      val target = readFiles(spark, path, st, st.adds, withMeta = true)
+      def pathsOf(df: DataFrame): Set[String] =
+        df.select(col("_metadata.file_path")).distinct()
+          .as[String](org.apache.spark.sql.Encoders.STRING)
+          .collect().map(metaPathToLocal).toSet
+      val matchedPaths =
+        if (matched.isEmpty) Set.empty[String]
+        else pathsOf(target.join(src, keys, "left_semi"))
+      val bySourcePaths =
+        if (notMatchedBySource.isEmpty) Set.empty[String]
+        else {
+          val applies = notMatchedBySource
+            .map(_.cond.getOrElse(lit(true))).reduce(_ || _)
+          pathsOf(target
+            .join(src.select(keys.map(col): _*), keys, "left_anti")
+            .filter(applies))
+        }
+      val hitPaths = matchedPaths ++ bySourcePaths
+      val hits = st.adds.filter(a =>
+        hitPaths.contains(new java.io.File(resolve(path, a.path))
+          .getAbsolutePath))
+      // NULL-key source rows match nothing → NOT MATCHED (inserted if
+      // an insert action applies; the anti join keeps them)
+      val insertRows =
+        if (notMatched.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          st.schema)
+        else MergeActions.resolveInserts(st.schema,
+          src.join(readFiles(spark, path, st, st.adds)
+            .select(keys.map(col): _*), keys, "left_anti"), notMatched)
+      if (hits.isEmpty && insertRows.isEmpty) return -1L
+      val sRen = src.select(keys.map(col) ++
+        srcCols.map(c => col(c).as(s"$SrcPrefix$c")) :+
+        lit(true).as("__m"): _*)
+      def resolved = MergeActions.resolveRows(st.schema, keys,
+        readFiles(spark, path, st, hits).join(sRen, keys.toSeq, "left"),
+        matched, notMatchedBySource)
+      val origCols = st.schema.fieldNames.toIndexedSeq.map(col)
+      val newCols = st.schema.fieldNames.toIndexedSeq
+        .map(f => col(s"__v_$f").as(f))
+      def rewritten = resolved
+        .filter(!(col("__outcome") <=> "delete")).select(newCols: _*)
+      val insertAdds =
+        if (insertRows.isEmpty) Seq.empty
+        else addFileActions(spark, path, insertRows,
+          st.partitionColumns)
+      val cdc =
+        if (!cdfEnabled(st)) Seq.empty
+        else {
+          val insCdc =
+            insertRows.withColumn("_change_type", lit("insert"))
+          if (hits.isEmpty)
+            cdcActions(spark, path, st, insCdc, st.version + 1)
+          else {
+            // cache the touched rows: pre/post/delete frames would
+            // otherwise re-run the hit-file scan + source join thrice
+            val touched = resolved
+              .filter(col("__outcome").isNotNull).persist()
+            try cdcActions(spark, path, st,
+              touched.filter(col("__outcome") === "update")
+                .select(origCols: _*)
+                .withColumn("_change_type", lit("update_preimage"))
+                .unionByName(touched
+                  .filter(col("__outcome") === "update")
+                  .select(newCols: _*)
+                  .withColumn("_change_type", lit("update_postimage")))
+                .unionByName(touched
+                  .filter(col("__outcome") === "delete")
+                  .select(origCols: _*)
+                  .withColumn("_change_type", lit("delete")))
+                .unionByName(insCdc),
+              st.version + 1)
+            finally { touched.unpersist(); () }
+          }
+        }
+      commitRewrite(spark, path, st, hits, rewritten, "MERGE",
+        insertAdds ++ cdc)
+    } finally { src.unpersist(); () }
+  }
+
   /** RESTORE — reset the table's content to `version` (the `RESTORE
     * TABLE t TO VERSION AS OF n` command) as ONE new commit: removes
     * for every file version live now but not then, adds (with their

@@ -2956,6 +2956,112 @@ object Iceberg {
     } finally { src.unpersist(); () }
   }
 
+  /** GENERAL-FORM MERGE — the full SQL clause set (ordered
+    * conditional `WHEN MATCHED` UPDATE/DELETE, conditional `WHEN NOT
+    * MATCHED` inserts, `WHEN NOT MATCHED BY SOURCE` UPDATE/DELETE)
+    * over the copy-on-write writer; the Iceberg twin of
+    * [[DeltaLake.mergeGeneral]] — expression scopes, first-match
+    * ordering, and the key-equality ON contract per [[MergeActions]].
+    * Rewrites read ONLY the affected files (matched semi-join hits ∪
+    * by-source condition hits); duplicate source keys refused when
+    * matched actions exist. Returns the committed snapshot's version,
+    * or -1 when nothing changed.
+    */
+  def mergeGeneral(spark: SparkSession, tableDir: String,
+      source: DataFrame, keys: Seq[String],
+      matched: Seq[MergeActions.Matched] = Seq.empty,
+      notMatched: Seq[MergeActions.NotMatchedInsert] = Seq.empty,
+      notMatchedBySource: Seq[MergeActions.BySource] = Seq.empty): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    import MergeActions._
+    val cur = resolve(spark, tableDir, None)
+    requireParquetData(cur, tableDir, "mergeGeneral")
+    require(cur.transforms
+        .forall(_.transform == IcebergTransforms.Identity),
+      "Iceberg.mergeGeneral: copy-on-write rewrites of " +
+        "transform-partitioned tables are not supported")
+    require(keys.nonEmpty, "Iceberg.mergeGeneral: empty key list")
+    require(keys.forall(cur.schema.fieldNames.contains),
+      s"Iceberg.mergeGeneral: keys $keys must be table columns")
+    validate("Iceberg.mergeGeneral", cur.schema, keys,
+      cur.partitionColumns, matched, notMatched, notMatchedBySource)
+    require(cur.partitionColumns.forall(keys.contains),
+      s"Iceberg.mergeGeneral: partition columns " +
+        s"(${cur.partitionColumns.mkString(",")}) must be merge keys — " +
+        "a non-key partition column would let a match move rows " +
+        "across partitions")
+    val srcCols = source.schema.fieldNames.toIndexedSeq
+    require(keys.forall(srcCols.contains),
+      s"Iceberg.mergeGeneral: the source must carry the key columns " +
+        s"$keys — source: $srcCols")
+    val starNeeds = matched.exists {
+      case MatchedUpdate(_, None) => true
+      case _ => false
+    } || notMatched.exists(_.values.isEmpty)
+    require(!starNeeds ||
+        cur.schema.fieldNames.forall(srcCols.contains),
+      "Iceberg.mergeGeneral: UPDATE SET * / INSERT * need the source " +
+        s"to carry every table column — table: " +
+        s"${cur.schema.fieldNames.toSeq}, source: $srcCols")
+    val src = source.select(srcCols.map { c =>
+      cur.schema.find(_.name == c)
+        .map(f => col(c).cast(f.dataType).as(c)).getOrElse(col(c))
+    }: _*).cache()
+    try {
+      if (matched.nonEmpty) {
+        val keyPred = keys.map(k => col(k).isNotNull).reduce(_ && _)
+        require(src.filter(keyPred).groupBy(keys.map(col): _*).count()
+            .filter(col("count") > 1).isEmpty,
+          "Iceberg.mergeGeneral: duplicate keys in the source — an " +
+            "ambiguous match is nondeterministic (the SQL " +
+            "cardinality violation)")
+      }
+      val target = scanOf(spark, tableDir, cur, withMeta = true)
+      def pathsOf(df: DataFrame): Set[String] =
+        df.select(col("_metadata.file_path")).distinct()
+          .as[String].collect().map(uriToLocal).toSet
+      val matchedPaths =
+        if (matched.isEmpty) Set.empty[String]
+        else pathsOf(target.join(src, keys, "left_semi"))
+      val bySourcePaths =
+        if (notMatchedBySource.isEmpty) Set.empty[String]
+        else {
+          val applies = notMatchedBySource
+            .map(_.cond.getOrElse(lit(true))).reduce(_ || _)
+          pathsOf(target
+            .join(src.select(keys.map(col): _*), keys, "left_anti")
+            .filter(applies))
+        }
+      val hitPaths = matchedPaths ++ bySourcePaths
+      val hits = cur.files.filter(f => hitPaths.contains(
+        new java.io.File(resolveRef(tableDir, f.path)).getAbsolutePath))
+      val insertRows =
+        if (notMatched.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          cur.schema)
+        else MergeActions.resolveInserts(cur.schema,
+          src.join(scanOf(spark, tableDir, cur)
+            .select(keys.map(col): _*), keys, "left_anti"), notMatched)
+      if (hits.isEmpty && insertRows.isEmpty) return -1L
+      val sRen = src.select(keys.map(col) ++
+        srcCols.map(c => col(c).as(s"$SrcPrefix$c")) :+
+        lit(true).as("__m"): _*)
+      val newCols = cur.schema.fieldNames.toIndexedSeq
+        .map(f => col(s"__v_$f").as(f))
+      val outRows =
+        if (hits.isEmpty) insertRows
+        else MergeActions.resolveRows(cur.schema, keys,
+          scanOf(spark, tableDir, cur.copy(files = hits))
+            .join(sRen, keys.toSeq, "left"),
+          matched, notMatchedBySource)
+          .filter(!(col("__outcome") <=> "delete"))
+          .select(newCols: _*)
+          .unionByName(insertRows)
+      commitCow(spark, tableDir, cur, hits, outRows, "mrg")
+    } finally { src.unpersist(); () }
+  }
+
   /** Land `rows` through the table's identity-partition layout and
     * commit them with status=2 entries for `hits` (and their
     * deletion vectors — materialized by the rewrite) — the shared
