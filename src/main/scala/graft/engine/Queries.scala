@@ -3727,6 +3727,64 @@ object Queries {
              |  WHERE NOT (o_orderkey % 10 = 3 AND o_custkey % 2 = 0)
              |    AND NOT (o_orderkey % 10 = 9 AND o_custkey % 5 = 0))
              |GROUP BY pri
+             |ORDER BY pri""".stripMargin)),
+
+    // SQL COLUMN-LEVEL ALTER TABLE (r15): the full SQL lifecycle with
+    // schema evolution — CTAS (pre-evolution rows), ADD COLUMNS,
+    // INSERT rows that carry the new column, RENAME COLUMN — then one
+    // read that resolves PRE-EVOLUTION files (bonus IS NULL for every
+    // CTAS row — `legacy` pins it) under the RENAMED column (`price`),
+    // all through the catalog (Iceberg target: field-id resolution).
+    // Idempotent via the leading DROP, like catalog_create_sql.
+    QueryDef("catalog_alter_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.alt")
+        s.sql(s"CREATE TABLE gdml.ddl.alt USING `graft-iceberg` AS " +
+          s"SELECT o_orderkey, o_custkey, o_totalprice, " +
+          s"o_orderpriority FROM graft_delta.`$src` " +
+          s"WHERE o_custkey % 5 = 1")
+        s.sql("ALTER TABLE gdml.ddl.alt ADD COLUMNS (bonus DOUBLE)")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.alt
+             |SELECT -o_orderkey, o_custkey, o_totalprice,
+             |  o_orderpriority, CAST(o_custkey % 50 AS DOUBLE)
+             |FROM graft_delta.`$src` WHERE o_custkey % 5 = 2
+             |""".stripMargin)
+        s.sql("ALTER TABLE gdml.ddl.alt RENAME COLUMN o_totalprice " +
+          "TO price")
+        s.sql(
+          """SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+            |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS total,
+            |  CAST(SUM(CASE WHEN bonus IS NULL THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS legacy,
+            |  CAST(SUM(CAST(COALESCE(bonus, 0) AS DECIMAL(18,2)))
+            |    AS DOUBLE) AS bonus_sum
+            |FROM gdml.ddl.alt
+            |GROUP BY o_orderpriority
+            |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  CAST(SUM(CASE WHEN bonus IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS legacy,
+             |  CAST(SUM(CAST(COALESCE(bonus, 0) AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS bonus_sum
+             |FROM (
+             |  SELECT o_orderpriority, o_totalprice,
+             |    CAST(NULL AS DOUBLE) AS bonus
+             |  FROM orders WHERE o_custkey % 5 = 1
+             |  UNION ALL
+             |  SELECT o_orderpriority, o_totalprice,
+             |    CAST(o_custkey % 50 AS DOUBLE)
+             |  FROM orders WHERE o_custkey % 5 = 2)
+             |GROUP BY pri
              |ORDER BY pri""".stripMargin))
   )
 

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, max, min}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Native Delta Lake TABLE READER — the north star's "Spark SQL + Delta
   * Lake reader" (`BASELINE.json`), implemented directly against the open
@@ -2930,6 +2930,92 @@ object DeltaLake {
       commitRewrite(spark, path, st, hits, rewritten, "MERGE",
         insertAdds ++ cdc)
     } finally { src.unpersist(); () }
+  }
+
+  /** ADD COLUMNS — append nullable columns to the table schema as ONE
+    * metadata-only commit (`ALTER TABLE t ADD COLUMNS …`): a new
+    * metaData action carrying the extended schema, no data file
+    * touched. Reads resolve pre-evolution files through the parquet
+    * reader's missing-column semantics (the new columns surface as
+    * null — the protocol's additive-evolution contract the reader
+    * already implements); appends through [[write]] null-fill them the
+    * same way. Non-nullable additions are refused (existing rows have
+    * no value to satisfy the constraint); so are duplicate names and
+    * column-mapped tables (this writer emits logical names). Returns
+    * the committed version.
+    */
+  def addColumns(spark: SparkSession, path: String,
+      cols: Seq[StructField]): Long = {
+    val st = replay(spark, path, None)
+    requireWritable(st, path, "addColumns")
+    require(cols.nonEmpty, "DeltaLake.addColumns: no columns to add")
+    val existing = st.schema.fieldNames
+      .map(_.toLowerCase).toSet
+    cols.foreach { f =>
+      require(f.nullable,
+        s"DeltaLake.addColumns: column '${f.name}' is NOT NULL — " +
+          "existing rows have no value for it; add it nullable (and " +
+          "backfill + tighten with the format's own tooling if needed)")
+      require(!existing.contains(f.name.toLowerCase),
+        s"DeltaLake.addColumns: column '${f.name}' already exists")
+    }
+    require(cols.map(_.name.toLowerCase).distinct.size == cols.size,
+      s"DeltaLake.addColumns: duplicate names in ${cols.map(_.name)}")
+    val next = st.version + 1
+    val actions = ictAction(st.configuration, "ADD COLUMNS", path).toSeq :+
+      metaAction(path, StructType(st.schema.fields ++ cols),
+        st.partitionColumns, st.configuration, st.tableId)
+    writeCommitExclusive(path, next, actions)
+    next
+  }
+
+  /** RENAME COLUMN — COLUMN-MAPPED tables only (`ALTER TABLE t RENAME
+    * COLUMN a TO b`): one metadata-only commit whose metaData carries
+    * the renamed logical name with the SAME
+    * `delta.columnMapping.physicalName`/`id` metadata — data files,
+    * stats keys, and partition values all reference physical names,
+    * so nothing else moves and pre-rename files keep reading. On an
+    * UNMAPPED table the logical name IS the physical name everywhere
+    * (parquet columns, stats, partition dirs), so a metadata rename
+    * would orphan every existing file — refused with the honest
+    * migration hint. Partition-source columns are refused (their
+    * logical names are the partitionColumns contract). Returns the
+    * committed version.
+    */
+  def renameColumn(spark: SparkSession, path: String,
+      from: String, to: String): Long = {
+    val st = replay(spark, path, None)
+    require(st.mappingMode != "none",
+      s"DeltaLake.renameColumn: $path does not use column mapping — " +
+        "without it the logical name is the physical name in every " +
+        "data file and stats entry, so a metadata-only rename would " +
+        "break all existing reads; enable column mapping with the " +
+        "format's own tooling first")
+    val unsupported =
+      st.protocol.writerFeatures.filterNot(
+        SupportedWriterFeatures + "columnMapping")
+    require(unsupported.isEmpty,
+      s"DeltaLake.renameColumn: $path requires writer features " +
+        s"$unsupported this writer does not implement")
+    require(st.schema.fieldNames.contains(from),
+      s"DeltaLake.renameColumn: no column '$from' in $path " +
+        s"(${st.schema.fieldNames.mkString(", ")})")
+    require(!st.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"DeltaLake.renameColumn: column '$to' already exists")
+    require(!st.partitionColumns.contains(from),
+      s"DeltaLake.renameColumn: '$from' is a partition column — its " +
+        "logical name is the partitionColumns contract; repartition " +
+        "the table instead")
+    val renamed = StructType(st.schema.fields.map { f =>
+      if (f.name == from) f.copy(name = to) else f
+    })
+    val next = st.version + 1
+    val actions =
+      ictAction(st.configuration, "RENAME COLUMN", path).toSeq :+
+        metaAction(path, renamed, st.partitionColumns,
+          st.configuration, st.tableId)
+    writeCommitExclusive(path, next, actions)
+    next
   }
 
   /** RESTORE — reset the table's content to `version` (the `RESTORE

@@ -147,12 +147,79 @@ class GraftCatalog extends TableCatalog {
     GraftCatalog.rename(warehouse, GraftCatalog.keyOf(from),
       GraftCatalog.keyOf(to))
 
+  /** COLUMN-LEVEL ALTER TABLE — `ADD COLUMN(S)` and `RENAME COLUMN`
+    * route to the native schema-evolution commits
+    * ([[DeltaLake.addColumns]]/[[DeltaLake.renameColumn]] and
+    * [[Iceberg.addColumns]]/[[Iceberg.renameColumns]]) with the
+    * catalog pin advanced to the evolution commit — statement-level
+    * retried like DML. Everything else (DROP COLUMN, type changes,
+    * positioned adds, nested fields, property changes) refuses
+    * loudly: each is either a data rewrite in disguise or a format
+    * feature this writer doesn't model.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is a table-format operation — use " +
-        "the native writers (schema evolution via write, renames via " +
-        "the format's metadata ops) and re-register the pin")
+      changes: TableChange*): Table = {
+    val key = GraftCatalog.keyOf(ident)
+    val spark = SparkSession.active
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val renames = changes.collect {
+      case r: TableChange.RenameColumn => r }
+    val other = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.RenameColumn])
+    if (other.nonEmpty) throw new UnsupportedOperationException(
+      s"graft catalog: ALTER TABLE $key: only ADD COLUMN and RENAME " +
+        s"COLUMN are supported, got ${other.map(_.getClass.getSimpleName)
+          .mkString(", ")} — DROP COLUMN / type changes are data " +
+        "rewrites in disguise; run them with the format's own tooling " +
+        "and re-register")
+    adds.foreach { a =>
+      require(a.fieldNames.length == 1,
+        s"graft catalog: ALTER TABLE $key ADD COLUMN " +
+          s"${a.fieldNames.mkString(".")} — nested fields are not " +
+          "supported")
+      require(a.position == null,
+        s"graft catalog: ALTER TABLE $key ADD COLUMN " +
+          s"${a.fieldNames.head} FIRST/AFTER — positioned adds " +
+          "reorder the schema; columns append at the end")
+    }
+    renames.foreach(r => require(r.fieldNames.length == 1,
+      s"graft catalog: ALTER TABLE $key RENAME COLUMN " +
+        s"${r.fieldNames.mkString(".")} — nested fields are not " +
+        "supported"))
+    GraftCatalog.retryOnCatalogRace {
+      val entry = GraftCatalog.entries(warehouse).getOrElse(key,
+        throw new IllegalArgumentException(
+          s"graft catalog: no table '$key' in $warehouse"))
+      val abs = GraftCatalog.absPath(warehouse, entry.path)
+      if (adds.nonEmpty) {
+        val cols = adds.map(a => org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, a.isNullable))
+        val v = entry.format match {
+          case "graft-deltalake" => DeltaLake.addColumns(spark, abs, cols)
+          case "graft-iceberg" => Iceberg.addColumns(spark, abs, cols)
+          case o => throw new IllegalArgumentException(
+            s"graft catalog: unknown format '$o' for $key")
+        }
+        if (v >= 0L) { GraftCatalog.advancePin(warehouse, key, v); () }
+      }
+      if (renames.nonEmpty) {
+        val v = entry.format match {
+          case "graft-deltalake" =>
+            require(renames.size == 1, s"graft catalog: ALTER TABLE " +
+              s"$key renames one column per statement on Delta tables")
+            DeltaLake.renameColumn(spark, abs,
+              renames.head.fieldNames.head, renames.head.newName)
+          case "graft-iceberg" => Iceberg.renameColumns(spark, abs,
+            renames.map(r => r.fieldNames.head -> r.newName).toMap)
+          case o => throw new IllegalArgumentException(
+            s"graft catalog: unknown format '$o' for $key")
+        }
+        if (v >= 0L) { GraftCatalog.advancePin(warehouse, key, v); () }
+      }
+    }
+    loadTable(ident)
+  }
 }
 
 /** One pinned catalog entry (see [[GraftCatalog]]). `managed` marks a

@@ -3145,6 +3145,182 @@ object Iceberg {
     snapshotId
   }
 
+  /** ADD COLUMNS — append nullable columns to the table schema
+    * (`ALTER TABLE t ADD COLUMNS …`): a new schema (fresh field ids
+    * from `last-column-id`) lands in the `schemas` history,
+    * `current-schema-id` moves, and — when the table has content — a
+    * SAME-CONTENT snapshot (parent's manifest list, operation
+    * `replace`, stamped with the new schema-id) is committed so
+    * (a) snapshot-pinned consumers (the catalog) can advance to a
+    * state that RESOLVES the new schema, and (b) time travel to
+    * pre-evolution snapshots keeps surfacing their own schema, per
+    * the spec's per-snapshot schema resolution. Pre-evolution data
+    * files read the new columns as null through FIELD-ID resolution
+    * (a missing id is a missing column, never a misbind). Returns the
+    * new snapshot id (or the current one when the table is empty).
+    */
+  def addColumns(spark: SparkSession, tableDir: String,
+      cols: Seq[StructField]): Long = {
+    require(cols.nonEmpty, "Iceberg.addColumns: no columns to add")
+    cols.foreach(f => require(f.nullable,
+      s"Iceberg.addColumns: column '${f.name}' is NOT NULL — " +
+        "existing rows have no value for it; add it optional"))
+    evolveSchema(spark, tableDir, "addColumns") { (schemaNode, md) =>
+      import com.fasterxml.jackson.databind.node.ObjectNode
+      val names = schemaNode.get("fields").elements().asScala
+        .map(_.get("name").asText.toLowerCase).toSet
+      cols.foreach(f => require(!names.contains(f.name.toLowerCase),
+        s"Iceberg.addColumns: column '${f.name}' already exists"))
+      require(cols.map(_.name.toLowerCase).distinct.size == cols.size,
+        s"Iceberg.addColumns: duplicate names in ${cols.map(_.name)}")
+      var lastId = Option(md.get("last-column-id")).map(_.asInt)
+        .getOrElse(schemaNode.get("fields").size())
+      val fields = schemaNode.get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      cols.foreach { f =>
+        lastId += 1
+        val n = fields.addObject()
+        n.put("id", lastId)
+        n.put("name", f.name)
+        n.put("required", false)
+        n.put("type", icebergPrimitiveName(f.dataType,
+          s"Iceberg.addColumns: '${f.name}'"))
+        ()
+      }
+      md.asInstanceOf[ObjectNode].put("last-column-id", lastId)
+      ()
+    }
+  }
+
+  /** RENAME COLUMNS — the PUBLIC, exclusively-committed form of the
+    * metadata rename (`ALTER TABLE t RENAME COLUMN a TO b`): same
+    * field ids under new names in a new schema, plus the same-content
+    * snapshot [[addColumns]] documents (pin advance + per-snapshot
+    * schema history). All three data-format read arms resolve by
+    * field id, so pre-rename files keep reading. Partition-spec
+    * source columns and name collisions are refused. Returns the new
+    * snapshot id.
+    */
+  def renameColumns(spark: SparkSession, tableDir: String,
+      renames: Map[String, String]): Long = {
+    require(renames.nonEmpty, "Iceberg.renameColumns: nothing to rename")
+    val cur = resolve(spark, tableDir, None)
+    val specSources = cur.transforms.map(_.sourceName).toSet
+    renames.foreach { case (from, to) =>
+      require(cur.schema.fieldNames.contains(from),
+        s"Iceberg.renameColumns: '$from' is not a current column")
+      require(!specSources.contains(from),
+        s"Iceberg.renameColumns: '$from' is a partition-spec source " +
+          "column — prior manifests' partition records key on it")
+      val others = cur.schema.fieldNames.toSet -- renames.keySet
+      require(!others.exists(_.equalsIgnoreCase(to)) &&
+          renames.values.count(_.equalsIgnoreCase(to)) == 1,
+        s"Iceberg.renameColumns: target name '$to' collides")
+    }
+    evolveSchema(spark, tableDir, "renameColumns") { (schemaNode, _) =>
+      schemaNode.get("fields").elements().asScala.foreach { f =>
+        val o = f.asInstanceOf[
+          com.fasterxml.jackson.databind.node.ObjectNode]
+        renames.get(o.get("name").asText)
+          .foreach(n => o.put("name", n))
+      }
+    }
+  }
+
+  private def icebergPrimitiveName(dt: DataType, who: String): String =
+    dt match {
+      case BooleanType => "boolean"
+      case IntegerType => "int"
+      case LongType => "long"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case DateType => "date"
+      case TimestampNTZType => "timestamp"
+      case TimestampType => "timestamptz"
+      case StringType => "string"
+      case BinaryType => "binary"
+      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+      case other => throw new UnsupportedOperationException(
+        s"$who: cannot add a column of Spark type $other " +
+          "(primitive types only)")
+    }
+
+  /** The shared SCHEMA-EVOLUTION commit: copy the current schema,
+    * apply `mutate` (which sees the copied schema node and the prior
+    * metadata), append it to the `schemas` history with the next
+    * schema-id, move `current-schema-id` — and, when the table has a
+    * current snapshot, mint a SAME-CONTENT child snapshot carrying
+    * the new schema-id (parent's manifest list; operation `replace`
+    * — the content-preserving kind, so the signed window seam nets it
+    * to zero rows). Exclusive metadata write (concurrent committers
+    * collide loudly).
+    */
+  private def evolveSchema(spark: SparkSession, tableDir: String,
+      op: String)(mutate: (com.fasterxml.jackson.databind.node.ObjectNode,
+      JsonNode) => Unit): Long = {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val mdDir = metadataDir(tableDir)
+    val (priorOpt, version) = priorState(mdDir)
+    val md = priorOpt.getOrElse(throw new IllegalArgumentException(
+      s"Iceberg.$op: not an Iceberg table: $tableDir"))
+      .deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    val curId = Option(md.get("current-schema-id")).map(_.asInt)
+      .getOrElse(0)
+    val schemas = Option(md.get("schemas"))
+      .collect { case a: ArrayNode => a }
+      .getOrElse(throw new UnsupportedOperationException(
+        s"Iceberg.$op: $tableDir carries legacy v1 metadata with no " +
+          "schemas history — evolve it with the engine that wrote it"))
+    val curSchema = schemas.elements().asScala
+      .find(s => Option(s.get("schema-id")).forall(_.asInt == curId))
+      .getOrElse(throw new IllegalStateException(
+        s"Iceberg.$op: current schema $curId not in history"))
+    val newId = schemas.elements().asScala
+      .flatMap(s => Option(s.get("schema-id")).map(_.asInt)).maxOption
+      .getOrElse(0) + 1
+    val evolved = curSchema.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    evolved.put("schema-id", newId)
+    mutate(evolved, md)
+    schemas.add(evolved)
+    md.put("current-schema-id", newId)
+    md.put("last-updated-ms", 1700000000000L + version)
+    val curSnapId = Option(md.get("current-snapshot-id"))
+      .map(_.asLong(-1L)).getOrElse(-1L)
+    val newSnapId =
+      if (curSnapId < 0) curSnapId // empty table: metadata-only
+      else {
+        val snaps = md.get("snapshots").asInstanceOf[ArrayNode]
+        val parent = snaps.elements().asScala
+          .find(_.get("snapshot-id").asLong == curSnapId)
+          .getOrElse(throw new IllegalStateException(
+            s"Iceberg.$op: current snapshot $curSnapId not in history"))
+        val snap = snaps.addObject()
+        snap.put("snapshot-id", version)
+        snap.put("sequence-number", version)
+        snap.put("parent-snapshot-id", curSnapId)
+        snap.put("timestamp-ms", 1700000000000L + version)
+        snap.put("manifest-list", parent.get("manifest-list").asText)
+        val sum = snap.putObject("summary")
+        sum.put("operation", "replace")
+        sum.put("graft.schema-change", op)
+        snap.put("schema-id", newId)
+        md.put("current-snapshot-id", version)
+        md.put("last-sequence-number", version)
+        Option(md.get("refs")).collect { case o: ObjectNode => o }
+          .flatMap(refs => Option(refs.get("main"))
+            .collect { case m: ObjectNode => m })
+          .foreach { m => m.put("snapshot-id", version); () }
+        version
+      }
+    writeMetadataExclusive(
+      new java.io.File(mdDir, s"v$version.metadata.json").toPath,
+      M.writeValueAsString(md))
+    java.nio.file.Files.writeString(
+      new java.io.File(mdDir, "version-hint.text").toPath,
+      version.toString)
+    newSnapId
+  }
+
   /** `_metadata.file_path`'s URL-encoded URI rendering back to the
     * local absolute path the manifests resolve to (scheme optional,
     * `%20` etc. decoded).
