@@ -499,6 +499,34 @@ object GraftCatalog {
         "graft-iceberg)")
   }
 
+  /** Resolve a stream/batch SOURCE's `warehouse` + `table` options to
+    * the registered entry's absolute table path (None when no `table`
+    * option — the caller falls back to `path`). NAME→PATH binding
+    * happens ONCE here, at source creation; a STREAM then follows the
+    * TABLE LOG — its offsets are table versions/sequence numbers,
+    * which is where streaming's exactly-once contract lives — never
+    * the catalog pin (a batch-read consistency device: following it
+    * would stall the stream until someone re-pins). Re-pins and
+    * re-registrations do not retarget a running stream. The entry's
+    * format must match the source's.
+    */
+  def streamTarget(parameters: Map[String, String],
+      format: String): Option[String] =
+    parameters.get("table").map { name =>
+      val wh = parameters.getOrElse("warehouse",
+        throw new IllegalArgumentException(
+          s"graft $format source: option 'table' ('$name') needs " +
+            "option 'warehouse' (the graft catalog directory)"))
+      val e = entries(wh).getOrElse(name,
+        throw new IllegalArgumentException(
+          s"graft $format source: no table '$name' registered in " +
+            s"catalog warehouse $wh"))
+      require(e.format == format,
+        s"graft $format source: table '$name' is ${e.format} — read " +
+          s"it with format(\"${e.format}\")")
+      absPath(wh, e.path)
+    }
+
   /** Register (or re-pin) `name` at the table's CURRENT head. `path`
     * may be warehouse-relative (stored as given, resolved at read).
     */

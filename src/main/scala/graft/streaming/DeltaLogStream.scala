@@ -68,10 +68,18 @@ class DeltaLogStreamProvider extends StreamSourceProvider
 
   override def shortName(): String = "graft-deltalake"
 
+  /** The table path — explicit, or resolved from `warehouse`+`table`
+    * catalog-name options ([[graft.sources.GraftCatalog.streamTarget]]
+    * — binding at creation, stream follows the table log, not the
+    * pin).
+    */
   private def pathOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft-deltalake source requires .load(<table path>) or " +
-        "option(\"path\", ...)"))
+    graft.sources.GraftCatalog.streamTarget(parameters, shortName())
+      .orElse(parameters.get("path"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-deltalake source requires .load(<table path>), " +
+          "option(\"path\", ...), or option(\"warehouse\", ...) + " +
+          "option(\"table\", \"db.t\")"))
 
   /** BATCH read — `spark.read.format("graft-deltalake").load(path)`,
     * with `versionAsOf`/`timestampAsOf`/`readChangeFeed` options (see
@@ -146,7 +154,8 @@ class DeltaLogStreamProvider extends StreamSourceProvider
         "stage")
     new DeltaLogSink(pathOf(parameters), partitionColumns,
       SinkSupport.appIdOf(ctx, parameters),
-      overwrite = mode == "complete")
+      overwrite = mode == "complete",
+      onCommit = SinkSupport.pinAdvanceOf(parameters))
   }
 }
 
@@ -170,16 +179,17 @@ class DeltaLogStreamProvider extends StreamSourceProvider
   * driver-side, O(files in the batch).
   */
 class DeltaLogSink(path: String, partitionBy: Seq[String],
-    appId: String, overwrite: Boolean)
+    appId: String, overwrite: Boolean,
+    onCommit: Long => Unit = _ => ())
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val committed = DeltaLake.txnVersion(path, appId)
     if (batchId <= committed) return // replayed batch: already in the log
-    DeltaLake.commitStreamBatch(data.sparkSession, path,
+    val v = DeltaLake.commitStreamBatch(data.sparkSession, path,
       SinkSupport.cleanBatch(data), partitionBy, appId, batchId,
       overwrite)
-    ()
+    onCommit(v)
   }
 
   override def toString: String = s"DeltaLogSink[$path]"

@@ -40,10 +40,18 @@ class IcebergLogStreamProvider extends StreamSourceProvider
 
   override def shortName(): String = "graft-iceberg"
 
+  /** The table path — explicit, or resolved from `warehouse`+`table`
+    * catalog-name options ([[graft.sources.GraftCatalog.streamTarget]]
+    * — binding at creation, stream follows the table log, not the
+    * pin).
+    */
   private def pathOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft-iceberg source requires .load(<table path>) or " +
-        "option(\"path\", ...)"))
+    graft.sources.GraftCatalog.streamTarget(parameters, shortName())
+      .orElse(parameters.get("path"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-iceberg source requires .load(<table path>), " +
+          "option(\"path\", ...), or option(\"warehouse\", ...) + " +
+          "option(\"table\", \"db.t\")"))
 
   /** BATCH read — `spark.read.format("graft-iceberg").load(path)`,
     * with `snapshotId`/`asOfTimestamp`/`branch`/`tag` options (see
@@ -115,7 +123,8 @@ class IcebergLogStreamProvider extends StreamSourceProvider
       .getOrElse(partitionColumns)
     new IcebergLogSink(pathOf(parameters), spec,
       SinkSupport.appIdOf(ctx, parameters),
-      overwrite = mode == "complete")
+      overwrite = mode == "complete",
+      onCommit = SinkSupport.pinAdvanceOf(parameters))
   }
 }
 
@@ -134,19 +143,20 @@ class IcebergLogStreamProvider extends StreamSourceProvider
   * older snapshots stay time-travel readable.
   */
 class IcebergLogSink(path: String, partitionSpec: Seq[String],
-    appId: String, overwrite: Boolean)
+    appId: String, overwrite: Boolean,
+    onCommit: Long => Unit = _ => ())
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val committed = Iceberg.txnVersion(path, appId)
     if (batchId <= committed) return // replayed batch: already committed
-    Iceberg.stageAppendWith(data.sparkSession, path,
+    val v = Iceberg.stageAppendWith(data.sparkSession, path,
       SinkSupport.cleanBatch(data), partitionSpec,
       operation = if (overwrite) "overwrite" else "append",
       summaryProps = Map("graft.txn-app-id" -> appId,
         "graft.txn-version" -> batchId.toString),
       exclusive = true, replaceTable = overwrite)
-    ()
+    onCommit(v)
   }
 
   override def toString: String = s"IcebergLogSink[$path]"

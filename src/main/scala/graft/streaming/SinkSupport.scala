@@ -35,6 +35,22 @@ private[streaming] object SinkSupport {
         java.util.UUID.randomUUID().toString
       }
 
+  /** CATALOG-NAMED SINKS (`warehouse`+`table` options): each committed
+    * batch ADVANCES the catalog pin to the produced table version, so
+    * catalog readers see the stream's progress — the streaming twin of
+    * the batch write bridge's re-pin. Monotone ([[graft.sources
+    * .GraftCatalog.advancePin]]), so a replayed/skipped batch never
+    * moves the pin backward. Path-named sinks get the no-op.
+    */
+  def pinAdvanceOf(parameters: Map[String, String]): Long => Unit =
+    (for {
+      name <- parameters.get("table")
+      wh <- parameters.get("warehouse")
+    } yield (v: Long) =>
+      if (v >= 0L) {
+        graft.sources.GraftCatalog.advancePin(wh, name, v); ()
+      } else ()).getOrElse(_ => ())
+
   /** Re-plan the micro-batch once over its executed RDD
     * ([[org.apache.spark.sql.graft.GraftSql.batchify]]) and STRIP
     * column metadata inherited from a lake SOURCE (`parquet.field.id`

@@ -318,6 +318,38 @@ object StreamQueries {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // CATALOG-NAMED STREAMING SOURCE (r15): the same tail as
+    // stream_deltalake, addressed by REGISTERED NAME
+    // (option("warehouse", wh) + option("table", "strm.orders"))
+    // instead of a path — name→path binding happens once at source
+    // creation and the stream follows the table log (offsets), never
+    // the pin (GraftCatalog.streamTarget documents why).
+    QueryDef("stream_catalog",
+      (s, d) => {
+        val wh = graft.engine.Queries.catalogDmlWarehouse(s, d)
+        val src = graft.engine.Queries.deltaLakeOrders(s, d)
+        graft.sources.GraftCatalog.register(s, wh, "strm.orders",
+          "graft-deltalake", src)
+        replayTo(s, "complete") {
+          s.readStream.format("graft-deltalake")
+            .option("warehouse", wh).option("table", "strm.orders")
+            .load()
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("o_totalprice").cast(DecimalType(18, 2)))
+                .as("dec_sum"))
+        }
+          .select(col("o_orderpriority"), col("cnt"),
+            col("dec_sum").cast("double").as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // STREAMING DELTA SINK (r11): the WRITE half of the lakehouse
     // round trip — the staged two-commit orders table tails through
     // the native SOURCE, flows through the native SINK into a fresh

@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 194 declared operator queries are all present (SURVEY §2)") {
+  test("the 195 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -96,8 +96,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "iceberg_avro_scan", "sql_path_dml", "catalog_create_sql",
       "iceberg_orcid_rename",
       // round-15 surface
-      "catalog_merge_delete_sql", "catalog_alter_sql")
-    assert(declared.size == 194)
+      "catalog_merge_delete_sql", "catalog_alter_sql",
+      "stream_catalog")
+    assert(declared.size == 195)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
