@@ -3785,6 +3785,50 @@ object Queries {
              |    CAST(o_custkey % 50 AS DOUBLE)
              |  FROM orders WHERE o_custkey % 5 = 2)
              |GROUP BY pri
+             |ORDER BY pri""".stripMargin)),
+
+    // SQL MAINTENANCE (r15): `CALL gcat.system.optimize` +
+    // `CALL gcat.system.vacuum` on a freshly fragmented CTAS table —
+    // the procedure surface (Spark 4 ProcedureCatalog) end to end:
+    // optimize compacts (version 1, pinned via opt_version), vacuum
+    // reclaims the superseded fragments (reclaimed_any pins that rows
+    // came back), and the final aggregate proves content is unchanged
+    // by both. Idempotent via the leading DROP.
+    QueryDef("catalog_maintenance_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.maint")
+        s.sql(s"CREATE TABLE gdml.ddl.maint USING `graft-deltalake` " +
+          s"AS SELECT /*+ REPARTITION(4) */ o_orderkey, o_custkey, " +
+          s"o_totalprice, o_orderpriority FROM graft_delta.`$src` " +
+          s"WHERE o_custkey % 7 = 3")
+        val v = s.sql(
+          "CALL gdml.system.optimize(table => 'ddl.maint')")
+          .head().getLong(0)
+        val reclaimed = s.sql("CALL gdml.system.vacuum(" +
+          "table => 'ddl.maint', retain_versions => 1)").count()
+        s.sql(
+          s"""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS total,
+             |  CAST($v AS BIGINT) AS opt_version,
+             |  CAST(${reclaimed > 0} AS BOOLEAN) AS reclaimed_any
+             |FROM gdml.ddl.maint
+             |GROUP BY o_orderpriority
+             |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS total,
+             |  CAST(2 AS BIGINT) AS opt_version,
+             |  CAST(TRUE AS BOOLEAN) AS reclaimed_any
+             |FROM orders
+             |WHERE o_custkey % 7 = 3
+             |GROUP BY o_orderpriority
              |ORDER BY pri""".stripMargin))
   )
 

@@ -46,7 +46,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * travel, and row-level DELETE/UPDATE/MERGE
   * ([[graft.GraftDml]]).
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -139,6 +140,21 @@ class GraftCatalog extends TableCatalog {
       schema, partitionBy, Option(properties.get("location")), ident)
     loadTable(ident)
   }
+
+  /** SQL MAINTENANCE — `CALL gcat.system.vacuum/optimize/
+    * expire_snapshots/convert_to_parquet/vacuum_orphans(...)`
+    * ([[GraftProcedures]]).
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure =
+    GraftProcedures.load(ident, warehouse)
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (!namespace.sameElements(GraftProcedures.Namespace)) Array.empty
+    else GraftProcedures.Names
+      .map(n => Identifier.of(GraftProcedures.Namespace, n)).toArray
 
   override def dropTable(ident: Identifier): Boolean =
     GraftCatalog.drop(warehouse, GraftCatalog.keyOf(ident))
@@ -368,7 +384,7 @@ object GraftCatalog {
     * warehouses, and what lets a fingerprint-staged warehouse survive
     * its final rename) — absolutized here, at read time.
     */
-  private def absPath(warehouse: String, path: String): String =
+  private[sources] def absPath(warehouse: String, path: String): String =
     if (path.startsWith("/")) path
     else new java.io.File(warehouse, path).getAbsolutePath
 

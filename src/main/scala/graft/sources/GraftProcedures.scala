@@ -1,0 +1,179 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL MAINTENANCE through the catalog — Spark 4's `CALL` statement
+  * over [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]]
+  * (the same surface Iceberg's Spark integration exposes its
+  * procedures on):
+  *
+  *   - `CALL gcat.system.vacuum(table => 'db.t', retain_versions => 2)`
+  *     — reclaim table history keeping the last N versions
+  *     ([[DeltaLake.vacuum]] / [[Iceberg.expireSnapshots]]). The
+  *     catalog pin is advanced to the table head FIRST: the operator
+  *     asked to drop history, and a pin left behind the retention
+  *     horizon would read files vacuum is about to delete.
+  *   - `CALL gcat.system.expire_snapshots(table => 'db.t',
+  *     keep_last => 2)` — the Iceberg-familiar alias (Iceberg only).
+  *   - `CALL gcat.system.optimize(table => 'db.t'[, zorder_by =>
+  *     'a,b'])` — bin-packing compaction, or Z-ORDER clustering when
+  *     `zorder_by` is set ([[DeltaLake.compact]] /
+  *     [[Iceberg.rewriteDataFiles]]); pin advanced to the new version.
+  *   - `CALL gcat.system.convert_to_parquet(table => 'db.t')` —
+  *     the ORC/Avro→parquet migration ([[Iceberg.convertToParquet]]).
+  *   - `CALL gcat.system.vacuum_orphans()` — warehouse-wide unpinned
+  *     staging reclaim ([[GraftCatalog.vacuumOrphans]]).
+  *
+  * Each returns its result as rows (reclaimed paths / the committed
+  * version), so `CALL` output is inspectable like any query.
+  */
+private[sources] object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  val Names: Seq[String] = Seq("vacuum", "expire_snapshots",
+    "optimize", "convert_to_parquet", "vacuum_orphans")
+
+  def load(ident: Identifier, warehouse: String): UnboundProcedure = {
+    require(ident.namespace().sameElements(Namespace),
+      s"graft catalog: no procedure namespace " +
+        s"'${ident.namespace().mkString(".")}' — procedures live " +
+        "under `system`")
+    val pathsOut = StructType(Seq(
+      StructField("reclaimed_path", StringType)))
+    val versionOut = StructType(Seq(StructField("version", LongType)))
+    def spark = SparkSession.active
+    def entryOf(name: String): (CatalogEntry, String) = {
+      val e = GraftCatalog.entries(warehouse).getOrElse(name,
+        throw new IllegalArgumentException(
+          s"graft catalog: no table '$name' in $warehouse"))
+      (e, GraftCatalog.absPath(warehouse, e.path))
+    }
+    ident.name().toLowerCase match {
+      case "vacuum" => proc("vacuum",
+        "reclaim table history keeping the last N versions " +
+          "(pin advances to head first)",
+        Seq(in("table", StringType), in("retain_versions",
+          IntegerType, Some("1"))), pathsOut) { input =>
+        val name = input.getUTF8String(0).toString
+        val keep = input.getInt(1)
+        val (e, abs) = entryOf(name)
+        val reclaimed = e.format match {
+          case "graft-deltalake" =>
+            GraftCatalog.advancePin(warehouse, name,
+              DeltaLake.latestVersion(spark, abs))
+            DeltaLake.vacuum(spark, abs, retainVersions = keep)
+          case "graft-iceberg" =>
+            GraftCatalog.advancePin(warehouse, name,
+              Iceberg.currentSnapshotId(abs))
+            Iceberg.expireSnapshots(spark, abs, keepLast = keep)
+          case o => throw new IllegalArgumentException(
+            s"graft catalog: unknown format '$o' for $name")
+        }
+        reclaimed.map(p =>
+          InternalRow(UTF8String.fromString(p)))
+      }
+      case "expire_snapshots" => proc("expire_snapshots",
+        "Iceberg snapshot expiration keeping the last N " +
+          "(pin advances to head first)",
+        Seq(in("table", StringType), in("keep_last",
+          IntegerType, Some("1"))), pathsOut) { input =>
+        val name = input.getUTF8String(0).toString
+        val keep = input.getInt(1)
+        val (e, abs) = entryOf(name)
+        require(e.format == "graft-iceberg",
+          s"graft catalog: expire_snapshots targets Iceberg tables; " +
+            s"'$name' is ${e.format} — use system.vacuum")
+        GraftCatalog.advancePin(warehouse, name,
+          Iceberg.currentSnapshotId(abs))
+        Iceberg.expireSnapshots(spark, abs, keepLast = keep)
+          .map(p => InternalRow(UTF8String.fromString(p)))
+      }
+      case "optimize" => proc("optimize",
+        "bin-packing compaction, or Z-ORDER clustering with " +
+          "zorder_by => 'a,b'; pin advances to the new version",
+        Seq(in("table", StringType), in("zorder_by",
+          StringType, Some("''"))), versionOut) { input =>
+        val name = input.getUTF8String(0).toString
+        val z = Option(input.getUTF8String(1)).map(_.toString)
+          .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val (e, abs) = entryOf(name)
+        val v = e.format match {
+          case "graft-deltalake" =>
+            DeltaLake.compact(spark, abs, zorderBy = z)
+          case "graft-iceberg" =>
+            Iceberg.rewriteDataFiles(spark, abs, zorderBy = z)
+          case o => throw new IllegalArgumentException(
+            s"graft catalog: unknown format '$o' for $name")
+        }
+        if (v >= 0L) { GraftCatalog.advancePin(warehouse, name, v); () }
+        Seq(InternalRow(v))
+      }
+      case "convert_to_parquet" => proc("convert_to_parquet",
+        "rewrite ORC/Avro data files as parquet (one replace " +
+          "snapshot); pin advances to it",
+        Seq(in("table", StringType)), versionOut) { input =>
+        val name = input.getUTF8String(0).toString
+        val (e, abs) = entryOf(name)
+        require(e.format == "graft-iceberg",
+          s"graft catalog: convert_to_parquet targets Iceberg " +
+            s"tables; '$name' is ${e.format}")
+        val v = Iceberg.convertToParquet(spark, abs)
+        if (v >= 0L) { GraftCatalog.advancePin(warehouse, name, v); () }
+        Seq(InternalRow(v))
+      }
+      case "vacuum_orphans" => proc("vacuum_orphans",
+        "reclaim unpinned staging versions across the warehouse",
+        Seq.empty, StructType(Seq(
+          StructField("table", StringType),
+          StructField("reclaimed_path", StringType)))) { _ =>
+        GraftCatalog.vacuumOrphans(spark, warehouse).toSeq
+          .sortBy(_._1).flatMap { case (t, paths) =>
+            paths.map(p => InternalRow(UTF8String.fromString(t),
+              UTF8String.fromString(p)))
+          }
+      }
+      case other => throw new IllegalArgumentException(
+        s"graft catalog: no procedure system.$other — available: " +
+          Names.mkString(", "))
+    }
+  }
+
+  private def in(name: String,
+      dt: org.apache.spark.sql.types.DataType,
+      default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(name, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  private def proc(procName: String, desc: String,
+      params: Seq[ProcedureParameter], out: StructType)(
+      body: InternalRow => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = desc
+          override def parameters(): Array[ProcedureParameter] =
+            params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[Scan] = {
+            val result = body(input).toArray
+            java.util.Collections.singletonList[Scan](new LocalScan {
+              override def rows(): Array[InternalRow] = result
+              override def readSchema(): StructType = out
+            }).iterator()
+          }
+        }
+    }
+}

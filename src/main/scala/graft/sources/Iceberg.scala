@@ -1014,9 +1014,10 @@ object Iceberg {
   private def requireParquetData(cur: SnapshotMeta, tableDir: String,
       op: String): Unit =
     require(cur.files.forall(_.format == "PARQUET"),
-      s"Iceberg.$op: $tableDir holds ORC data files — row-level " +
-        "operations need the parquet row-position surface; rewrite " +
-        "the estate to parquet first (or use the engine that wrote it)")
+      s"Iceberg.$op: $tableDir holds non-parquet data files — " +
+        "row-level operations need the parquet row-position surface; " +
+        "run Iceberg.convertToParquet(spark, tableDir) first (one " +
+        "replace snapshot; mixed reads stay correct mid-migration)")
 
   private def scanOf(spark: SparkSession, path: String, sm: SnapshotMeta,
       withMeta: Boolean = false): DataFrame = {
@@ -3570,6 +3571,77 @@ object Iceberg {
         equalityIds = f.equalityIds,
         format = if (f.dvRef.isDefined) "PUFFIN" else "PARQUET",
         dv = f.dvRef))
+    commitSnapshot(spark, tableDir, cur.schema, cur.specStrings,
+      entries.toSeq, "replace", exclusive = true,
+      expectBase = Some(cur.snapshotId))
+  }
+
+  /** FORMAT-CONVERSION REWRITE — rewrite every non-parquet (ORC/Avro)
+    * data file as parquet in ONE replace snapshot, turning the
+    * parquet-only refusals ([[requireParquetData]]: row-level DML,
+    * COW rewrites, signed/incremental reads) into a one-command
+    * migration for migrated-Hive estates. Each partition's
+    * non-parquet rows are read through the NORMAL scan arms (so
+    * field-id/by-name resolution and manifest pruning apply
+    * unchanged) and landed as parquet with real stats; the originals
+    * are removed under their own format tag. Parquet files are
+    * untouched, so a mixed table stays readable mid-migration — the
+    * scan unions the format arms either way. Delete files refuse
+    * (those tables cannot be scanned with non-parquet arms at all).
+    * Returns the new snapshot id, or -1 when already all-parquet.
+    */
+  def convertToParquet(spark: SparkSession, tableDir: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val cur = resolve(spark, tableDir, None)
+    val nonParquet = cur.files.filter(_.format != "PARQUET")
+    if (nonParquet.isEmpty) return -1L
+    require(cur.deleteFiles.isEmpty,
+      s"Iceberg.convertToParquet: $tableDir holds row-level delete " +
+        "files alongside non-parquet data — no engine arm can apply " +
+        "them here; compact with the engine that wrote them first")
+    val identitySources = cur.transforms
+      .filter(_.transform == IcebergTransforms.Identity).map(_.sourceName)
+    val dataSchema = StructType(
+      cur.schema.filterNot(f => identitySources.contains(f.name)))
+    val specFieldNames: Set[String] = cur.transforms.map(f =>
+      if (f.transform == IcebergTransforms.Identity) f.sourceName
+      else f.fieldName).toSet
+    val root = new java.io.File(tableDir)
+    val written = nonParquet.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+      .map { case (pv, fs) =>
+        val rows = scanOf(spark, tableDir, cur.copy(files = fs))
+          .select(dataSchema.fieldNames.toIndexedSeq.map(col): _*)
+        val tmp = new java.io.File(root, "_ice_cv_tmp_" +
+          java.util.UUID.randomUUID().toString.take(8))
+        withFieldIds(rows.coalesce(1), fieldIds(cur.schema))
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val rels = Option(tmp.listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .map { part =>
+            val rel = s"data/cv-${part.getName}"
+            val dest = new java.io.File(root, rel)
+            dest.getParentFile.mkdirs()
+            java.nio.file.Files.move(part.toPath, dest.toPath)
+            (rel, dest)
+          }
+        Option(tmp.listFiles()).foreach(_.foreach(_.delete()))
+        tmp.delete()
+        (pv.view.filterKeys(specFieldNames).toMap, fs, rels)
+      }
+    val stats = fileStatsOf(spark, dataSchema,
+      written.flatMap(_._3.map(_._2.getAbsolutePath)))
+    val entries = mutable.Buffer.empty[Entry]
+    written.foreach { case (pv, fs, rels) =>
+      rels.foreach { case (rel, dest) =>
+        val (n, perCol) = stats.getOrElse(dest.getAbsolutePath,
+          (0L, Map.empty[String, (Any, Any)]))
+        entries += Entry(1, rel, dest.length(), pv, n, perCol)
+      }
+      fs.foreach(f => entries += Entry(2, f.path,
+        f.size.getOrElse(0L), Map.empty, 0L, Map.empty,
+        format = f.format))
+    }
     commitSnapshot(spark, tableDir, cur.schema, cur.specStrings,
       entries.toSeq, "replace", exclusive = true,
       expectBase = Some(cur.snapshotId))

