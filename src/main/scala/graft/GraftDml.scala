@@ -146,27 +146,40 @@ object GraftDml {
         // fill-ins) are no-ops, dropped rather than rewritten
         val set: Seq[(String, Column)] = assignments.flatMap { a =>
           val name = a.key match {
-            case ar: AttributeReference => ar.name
+            // canonicalize to the TABLE's case: SQL resolves
+            // case-insensitively (`SET G = ...`), the writers do not
+            case ar: AttributeReference =>
+              stripAliases(target).output
+                .find(_.name.equalsIgnoreCase(ar.name))
+                .map(_.name).getOrElse(ar.name)
             case other => refuse(s"$stmt: SET target must be a " +
               s"top-level column, got '${other.sql}' — nested-field " +
               "updates go through the library API")
           }
           stripCasts(a.value) match {
             case ar: AttributeReference
-                if tAttrIds.contains(ar.exprId) && ar.name == name =>
+                if tAttrIds.contains(ar.exprId) &&
+                  ar.name.equalsIgnoreCase(name) =>
               None
             case _ => Some(name -> nameBased(a.value, stmt))
           }
         }
         val pred = condOpt.map(nameBased(_, stmt)).getOrElse(lit(true))
-        if (set.isEmpty)
-          // every assignment was an identity (`SET a = a`): a valid
-          // SQL statement whose semantics are a no-op — commit
-          // nothing, move nothing
-          GraftDmlCommand(stmt, _ => ())
-        else GraftDmlCommand(stmt, spark => commitVia(t,
-          DeltaLake.update(spark, t.entry.path, pred, set.toMap),
-          Iceberg.update(spark, t.entry.path, pred, set.toMap)))
+        // an ALL-IDENTITY statement (`SET a = a`) still REWRITES the
+        // matched rows in Spark/Delta semantics — history and CDF
+        // observers see the commit — so route ONE identity assignment
+        // through the native writer instead of silently no-opping
+        // (r13 advice). The identity drop above only exists to peel
+        // the analyzer's alignment fill-ins off real SET lists.
+        val effective: Map[String, Column] =
+          if (set.nonEmpty) set.toMap
+          else identitySetOf(assignments, stmt, raw =>
+            stripAliases(target).output
+              .find(_.name.equalsIgnoreCase(raw))
+              .map(_.name).getOrElse(raw))
+        GraftDmlCommand(stmt, spark => commitVia(t,
+          DeltaLake.update(spark, t.entry.path, pred, effective),
+          Iceberg.update(spark, t.entry.path, pred, effective)))
       }.orElse(pathTargetOf(target).map { pt =>
         val stmt = s"UPDATE ${pt.format} `${pt.path}`"
         val set: Seq[(String, Column)] = assignments.flatMap { a =>
@@ -194,10 +207,13 @@ object GraftDml {
         }
         val pred = condOpt.map(unresolvedColumn(_, pt.alias, stmt))
           .getOrElse(lit(true))
-        if (set.isEmpty) GraftDmlCommand(stmt, _ => ())
-        else GraftDmlCommand(stmt, spark => pathVia(pt,
-          DeltaLake.update(spark, pt.path, pred, set.toMap),
-          Iceberg.update(spark, pt.path, pred, set.toMap)))
+        // all-identity: same rewrite semantics as the catalog arm
+        val effective: Map[String, Column] =
+          if (set.nonEmpty) set.toMap
+          else identitySetOf(assignments, stmt)
+        GraftDmlCommand(stmt, spark => pathVia(pt,
+          DeltaLake.update(spark, pt.path, pred, effective),
+          Iceberg.update(spark, pt.path, pred, effective)))
       })
 
     case m: MergeIntoTable =>
@@ -277,7 +293,11 @@ object GraftDml {
               lower: Expression => Column): Map[String, Column] =
             assigns.map { a =>
               val name = a.key match {
-                case ar: AttributeReference => ar.name
+                // canonicalize to the table's case (SQL resolution is
+                // case-insensitive, the writers are not)
+                case ar: AttributeReference =>
+                  targetCols.find(_.equalsIgnoreCase(ar.name))
+                    .getOrElse(ar.name)
                 case other => refuse(s"$stmt: SET/INSERT target must " +
                   s"be a top-level column, got '${other.sql}' — " +
                   "nested-field updates go through the library API")
@@ -462,6 +482,27 @@ object GraftDml {
             "sees only the source, NOT MATCHED BY SOURCE only the " +
             "target)"))
     })
+  }
+
+  /** One identity assignment (`a -> col(a)`) from the statement's own
+    * SET list — the native-writer payload for an ALL-IDENTITY UPDATE
+    * (Spark/Delta semantics: matched rows rewrite, history and CDF
+    * observers see the commit). Uses the FIRST assignment's target
+    * column, so `SET p = p` on a partition column refuses exactly
+    * like any other SET on it.
+    */
+  private def identitySetOf(assigns: Seq[Assignment], stmt: String,
+      canon: String => String = identity): Map[String, Column] = {
+    val raw = assigns.head.key match {
+      case ar: AttributeReference => ar.name
+      case ua: UnresolvedAttribute => ua.nameParts.last
+      case other => refuse(s"$stmt: SET target must be a top-level " +
+        s"column, got '${other.sql}'")
+    }
+    // the statement's case may differ from the table's (SQL is
+    // case-insensitive; the writers are not) — canonicalize
+    val name = canon(raw)
+    Map(name -> org.apache.spark.sql.functions.col(name))
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

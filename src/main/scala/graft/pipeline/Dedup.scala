@@ -705,9 +705,20 @@ object Dedup {
         import graft.ivm.{DeltaSources, Ivm}
         val docs = t(s, d, "documents")
         val isNew = col("doc_id") % 10 === 0
-        // stored view stand-in: CC over the base corpus's pair graph
-        val baseLabels = connectedComponents(
-          ngramLadderPairs(docs.filter(!isNew)).select("d1", "d2"))
+        // the STORED view, genuinely stored: a real pipeline keeps the
+        // survivor labels materialized between cycles — recomputing
+        // the base CC inline every run both misrepresented the
+        // maintained design and billed the bench ~16 s/run of
+        // fixture rebuild (r13 verdict #7). Staged once per
+        // box+content (fingerprinted on the corpus parquet), read
+        // back like any stored table.
+        val baseDir = graft.sources.Staging.stageOnce(d,
+          "surv_base_labels", Seq(s"$d/documents.parquet")) { p =>
+          connectedComponents(
+            ngramLadderPairs(docs.filter(!isNew)).select("d1", "d2"))
+            .write.parquet(p)
+        }
+        val baseLabels = s.read.parquet(baseDir)
         signatures(docs, 6).createOrReplaceTempView("surv_sig_src")
         DeltaSources.register("surv_sig_src", "doc_id % 10 = 0")
         // pinned once: the δ-candidate plan (3-arm band join over the

@@ -2625,15 +2625,29 @@ object DeltaLake {
     val dataCols =
       st.schema.fieldNames.toSeq.filterNot(st.partitionColumns.contains)
     require(set.nonEmpty, "DeltaLake.update: empty SET")
-    require(set.keySet.subsetOf(dataCols.toSet),
-      s"DeltaLake.update: SET columns ${set.keySet} must be data " +
+    // identity SET on a partition column (`SET p = p`) is a no-move
+    // no-op — the SQL bridge lowers all-identity statements wholesale
+    // and the analyzer aligns fill-ins for every column, so tolerate
+    // the identity shape (drop it; substitute one data-column identity
+    // if nothing remains — the statement must still rewrite matched
+    // rows). REAL values on partition columns keep refusing.
+    val set1 = {
+      val idPart = set.filter { case (c, e) =>
+        st.partitionColumns.contains(c) && e.toString == col(c).toString
+      }
+      val rest = set -- idPart.keys
+      if (rest.nonEmpty || idPart.isEmpty) rest
+      else Map(dataCols.head -> col(dataCols.head))
+    }
+    require(set1.keySet.subsetOf(dataCols.toSet),
+      s"DeltaLake.update: SET columns ${set1.keySet} must be data " +
         "columns (updating a partition column is a move, not a " +
         s"rewrite) — data columns: $dataCols")
     val hits = hitFiles(spark, path, st, predicate)
     if (hits.isEmpty) return -1L
     def applySet(df: DataFrame): DataFrame =
       df.select(st.schema.fieldNames.toIndexedSeq.map { c =>
-        set.get(c) match {
+        set1.get(c) match {
           case Some(e) =>
             when(predicate, e.cast(st.schema(c).dataType))
               .otherwise(col(c)).as(c)

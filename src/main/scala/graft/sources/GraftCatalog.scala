@@ -716,8 +716,18 @@ object GraftCatalog {
           commit(warehouse, tables - name, v)
           // managed data purges AFTER the catalog forgets the table: a
           // failure mid-purge strands files (re-deletable), never a
-          // catalog entry pointing at half a table
-          if (e.managed) rmTree(new java.io.File(e.path))
+          // catalog entry pointing at half a table. Before deleting,
+          // re-read the catalog: a concurrent CREATE may have
+          // re-claimed the same identifier — which lands at the SAME
+          // warehouse path — between the commit above and this purge,
+          // and the purge would eat the new table's data (r13 advice).
+          if (e.managed) {
+            val abs = absPath(warehouse, e.path)
+            val (now, _) = state(warehouse)
+            val reclaimed = now.values.exists(x =>
+              absPath(warehouse, x.path) == abs)
+            if (!reclaimed) rmTree(new java.io.File(abs))
+          }
           true
       }
     }
@@ -754,23 +764,43 @@ object GraftCatalog {
   def vacuumOrphans(spark: SparkSession,
       warehouse: String): Map[String, Seq[String]] = {
     val (tables, _) = state(warehouse)
-    tables.flatMap { case (name, e) =>
-      val reclaimed = e.format match {
-        case "graft-deltalake" =>
-          if (DeltaLake.latestVersion(spark, e.path) > e.version)
-            DeltaLake.truncateAfter(spark, e.path, e.version)
-          else Seq.empty
-        case "graft-iceberg" =>
-          if (Iceberg.currentSnapshotId(e.path) != e.version) {
-            Iceberg.rollback(spark, e.path, e.version)
-            Iceberg.expireSnapshots(spark, e.path, keepLast = 1,
-              dropAfter = Some(e.version))
-          } else Seq.empty
-        case other => throw new IllegalArgumentException(
-          s"graft catalog: unknown format '$other' for $name")
+    // ALIASES: two catalog names may pin ONE table path at different
+    // versions (r13 advice) — they share the table's history, so
+    // reclaiming past the lower pin would delete versions the other
+    // alias still serves. Group by ABSOLUTE path (also fixing
+    // relative-path entries, which the per-entry form resolved
+    // against the working directory) and reclaim only past the MAX
+    // pin across the aliases; every lower pin stays readable because
+    // both reclaim paths only drop versions ABOVE the horizon.
+    tables.toSeq
+      .groupBy { case (_, e) => absPath(warehouse, e.path) }
+      .flatMap { case (abs, aliases) =>
+        val maxPin = aliases.map(_._2.version).max
+        val names = aliases.map(_._1).sorted
+        val formats = aliases.map(_._2.format).distinct
+        require(formats.size == 1,
+          s"graft catalog: $abs is registered under two formats " +
+            s"(${formats.mkString(", ")} — ${names.mkString(", ")}); " +
+            "one of the entries is wrong — fix it before vacuuming")
+        val format = formats.head
+        val reclaimed = format match {
+          case "graft-deltalake" =>
+            if (DeltaLake.latestVersion(spark, abs) > maxPin)
+              DeltaLake.truncateAfter(spark, abs, maxPin)
+            else Seq.empty
+          case "graft-iceberg" =>
+            if (Iceberg.currentSnapshotId(abs) != maxPin) {
+              Iceberg.rollback(spark, abs, maxPin)
+              Iceberg.expireSnapshots(spark, abs, keepLast = 1,
+                dropAfter = Some(maxPin))
+            } else Seq.empty
+          case other => throw new IllegalArgumentException(
+            s"graft catalog: unknown format '$other' for " +
+              names.mkString(","))
+        }
+        if (reclaimed.isEmpty) None
+        else Some(names.mkString(",") -> reclaimed)
       }
-      if (reclaimed.isEmpty) None else Some(name -> reclaimed)
-    }
   }
 
   /** A MULTI-TABLE TRANSACTION: stage writes against any number of

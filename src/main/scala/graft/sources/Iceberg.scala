@@ -1160,6 +1160,25 @@ object Iceberg {
         .sortBy(_._1.toString).map { case (mapping, files) =>
           if (mapping.isEmpty) armOf(files, plain)
           else {
+            // COLLISION GUARD (r13 advice): a renamed column's OLD
+            // physical name can be reused by a later-added column —
+            // legal Iceberg evolution (ids are the identity) — but
+            // then the physical schema carries DUPLICATE names and
+            // the alias-back select below would mis-bind. ORC resolves
+            // by name, so this group cannot be read safely: refuse
+            // with the migration hint (the parquet/avro id arms read
+            // the same evolution fine).
+            val physNames = plain.fields.map(f =>
+              mapping.getOrElse(f.name, f.name))
+            val dup = physNames.groupBy(_.toLowerCase)
+              .filter(_._2.size > 1).keys.toSeq.sorted
+            require(dup.isEmpty,
+              s"Iceberg: ORC data files of $path resolve column(s) " +
+                s"${dup.mkString(", ")} ambiguously — a renamed " +
+                "column's old physical name was reused by a later " +
+                "column, and ORC resolves by name; rewrite the " +
+                "estate with Iceberg.convertToParquet (field-id " +
+                "parquet reads this evolution correctly)")
             val physSchema = StructType(plain.fields.map(f =>
               mapping.get(f.name).map(p => f.copy(name = p))
                 .getOrElse(f)))
@@ -2850,8 +2869,18 @@ object Iceberg {
     val dataCols = cur.schema.fieldNames.toSeq
       .filterNot(cur.partitionColumns.contains)
     require(set.nonEmpty, "Iceberg.update: empty SET")
-    require(set.keySet.subsetOf(dataCols.toSet),
-      s"Iceberg.update: SET columns ${set.keySet} must be data columns " +
+    // identity SET on a partition column tolerated (no-move no-op —
+    // the SQL bridge's all-identity lowering), same as the Delta twin
+    val set1 = {
+      val idPart = set.filter { case (c, e) =>
+        cur.partitionColumns.contains(c) && e.toString == col(c).toString
+      }
+      val rest = set -- idPart.keys
+      if (rest.nonEmpty || idPart.isEmpty) rest
+      else Map(dataCols.head -> col(dataCols.head))
+    }
+    require(set1.keySet.subsetOf(dataCols.toSet),
+      s"Iceberg.update: SET columns ${set1.keySet} must be data columns " +
         "(updating a partition column is a move, not a rewrite) — " +
         s"data columns: $dataCols")
     val pred = org.apache.spark.sql.graft.GraftSql.predicateTree(predicate)
@@ -2870,7 +2899,7 @@ object Iceberg {
     // row-level deletes of the hit files materialize into live rows
     val rewritten = scanOf(spark, tableDir, cur.copy(files = hits))
       .select(cur.schema.fieldNames.toIndexedSeq.map { c =>
-        set.get(c) match {
+        set1.get(c) match {
           case Some(e) =>
             when(predicate, e.cast(cur.schema(c).dataType))
               .otherwise(col(c)).as(c)
@@ -3174,8 +3203,25 @@ object Iceberg {
         s"Iceberg.addColumns: column '${f.name}' already exists"))
       require(cols.map(_.name.toLowerCase).distinct.size == cols.size,
         s"Iceberg.addColumns: duplicate names in ${cols.map(_.name)}")
-      var lastId = Option(md.get("last-column-id")).map(_.asInt)
-        .getOrElse(schemaNode.get("fields").size())
+      // fresh ids start past BOTH the stored last-column-id and every
+      // id actually present in the schema history (this writer's
+      // last-column-id counts top-level fields only, so on a
+      // nested-struct table the stored value can sit BELOW ids the
+      // pre-order assignment already consumed — trusting it would
+      // mint a duplicate id)
+      def maxIdOf(node: JsonNode): Int = {
+        val fields = Option(node.get("fields")).toSeq
+          .flatMap(_.elements().asScala)
+        fields.flatMap { f =>
+          Option(f.get("id")).map(_.asInt).toSeq ++
+            Option(f.get("type")).filter(_.isObject).map(maxIdOf).toSeq
+        }.maxOption.getOrElse(0)
+      }
+      var lastId = math.max(
+        Option(md.get("last-column-id")).map(_.asInt).getOrElse(0),
+        Option(md.get("schemas")).toSeq
+          .flatMap(_.elements().asScala).map(maxIdOf)
+          .maxOption.getOrElse(maxIdOf(schemaNode)))
       val fields = schemaNode.get("fields")
         .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
       cols.foreach { f =>

@@ -76,6 +76,11 @@ class GraftAvroFileFormat extends FileFormat with Serializable {
         file.filePath.toPath, confBc.value.value)
       val reader = DataFileReader.openReader(in,
         new GenericDatumReader[GenericRecord]())
+      // task-completion close is the EARLY-TERMINATION backstop
+      // (limit/take abandon iterators mid-file); normal exhaustion
+      // closes eagerly below — and driver-side consumption
+      // (TaskContext absent) would otherwise leak the handle outright
+      // (r13 advice)
       Option(TaskContext.get()).foreach(
         _.addTaskCompletionListener[Unit](_ => reader.close()))
       val writerSchema = reader.getSchema
@@ -85,7 +90,12 @@ class GraftAvroFileFormat extends FileFormat with Serializable {
         GraftAvroFileFormat.getterFor(writerSchema, _,
           file.filePath.toString))
       new Iterator[InternalRow] {
-        override def hasNext: Boolean = reader.hasNext
+        private var closed = false
+        override def hasNext: Boolean = {
+          val more = !closed && reader.hasNext
+          if (!more && !closed) { closed = true; reader.close() }
+          more
+        }
         override def next(): InternalRow = {
           val rec = reader.next()
           val vals = new Array[Any](getters.length)

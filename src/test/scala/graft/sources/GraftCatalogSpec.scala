@@ -340,12 +340,13 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       == "zz")
     assert(GraftCatalog.entries(wh)("dml.a").version > pin1,
       "UPDATE did not re-pin")
-    // an ALL-IDENTITY update (`SET g = g`) is a valid SQL no-op, not
-    // an internal "empty SET" crash: nothing commits, nothing re-pins
+    // an ALL-IDENTITY update (`SET g = g`) REWRITES matched rows
+    // (Spark/Delta semantics, r13 advice) — the pin moves with the
+    // commit and content is unchanged
     val pinNoop = GraftCatalog.entries(wh)("dml.a").version
     spark.sql("UPDATE tcat.dml.a SET g = g")
-    assert(GraftCatalog.entries(wh)("dml.a").version == pinNoop,
-      "an identity UPDATE moved the pin")
+    assert(GraftCatalog.entries(wh)("dml.a").version == pinNoop + 1,
+      "an identity UPDATE must commit a rewrite")
     // iceberg tables take the same statements
     val ii = freshDir("dml_i")
     Iceberg.write(spark, ii, frame(1 to 10))
@@ -387,16 +388,18 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql(
       "SELECT count(*) AS n FROM tcat.dml.m WHERE id = 99")
       .head().getLong(0) == 0L, "matched-only merge inserted")
-    // off-shape merges refuse loudly instead of committing wrong rows
-    val eDel = intercept[UnsupportedOperationException] {
-      spark.sql(
-        """MERGE INTO tcat.dml.m t
-          |USING (SELECT * FROM VALUES (CAST(2 AS BIGINT), 'x')
-          |       AS v(id, g)) s
-          |ON t.id = s.id
-          |WHEN MATCHED THEN DELETE""".stripMargin)
-    }
-    assert(eDel.getMessage.contains("UPDATE SET *"), eDel.getMessage)
+    // MATCHED DELETE routes through the GENERAL-FORM writer (r15 —
+    // formerly a refusal): the matched row goes away
+    spark.sql(
+      """MERGE INTO tcat.dml.m t
+        |USING (SELECT * FROM VALUES (CAST(2 AS BIGINT), 'x')
+        |       AS v(id, g)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM tcat.dml.m WHERE id = 2")
+      .head().getLong(0) == 0L, "general-form MATCHED DELETE lost")
+    // a genuinely off-shape ON still refuses loudly
     val eOn = intercept[UnsupportedOperationException] {
       spark.sql(
         """MERGE INTO tcat.dml.m t
@@ -519,12 +522,13 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql(
       s"SELECT g FROM graft_delta.`$dd` WHERE id = 3").head()
       .getString(0) == "zz")
-    // identity UPDATE = SQL no-op (no commit), case-insensitively
+    // identity UPDATE rewrites matched rows (one commit each),
+    // case-insensitively on both arms (r13 advice)
     val head0 = DeltaLake.latestVersion(spark, dd)
     spark.sql(s"UPDATE graft_delta.`$dd` SET g = g")
     spark.sql(s"UPDATE graft_delta.`$dd` SET g = G")
-    assert(DeltaLake.latestVersion(spark, dd) == head0,
-      "identity UPDATE committed")
+    assert(DeltaLake.latestVersion(spark, dd) == head0 + 2,
+      "identity UPDATE must commit rewrites")
     // the canonical star-merge, source inline
     spark.sql(
       s"""MERGE INTO graft_delta.`$dd` t
@@ -668,5 +672,68 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(ids(spark.sql("SELECT * FROM tcat.meta.c").toDF()) ==
       (6L to 15L).toSet,
       "a concurrent DML's effect was lost (pin or commit race)")
+  }
+
+  test("ALL-IDENTITY UPDATE (SET a = a) rewrites matched rows like " +
+      "Spark/Delta — history observers see the commit (r13 advice)") {
+    val d = freshDir("ident")
+    DeltaLake.write(spark, d, frame(1 to 6))
+    GraftCatalog.register(spark, wh, "idn.t", "graft-deltalake", d)
+    val v0 = DeltaLake.latestVersion(spark, d)
+    spark.sql("UPDATE tcat.idn.t SET g = g WHERE id <= 3")
+    assert(DeltaLake.latestVersion(spark, d) == v0 + 1,
+      "identity UPDATE must commit (matched rows rewrite)")
+    assert(ids(spark.sql("SELECT * FROM tcat.idn.t").toDF()) ==
+      (1L to 6L).toSet)
+    // case-insensitive identity detection (G vs g) behaves the same
+    spark.sql("UPDATE tcat.idn.t SET G = g WHERE id <= 2")
+    assert(DeltaLake.latestVersion(spark, d) == v0 + 2)
+    // PARTITIONED table: the analyzer aligns fill-ins for EVERY
+    // column, so an all-identity statement reaches the writer with a
+    // partition-column identity in the set — tolerated (no move), the
+    // data columns still rewrite
+    val pd = freshDir("identp")
+    DeltaLake.write(spark, pd, frame(1 to 6), partitionBy = Seq("g"))
+    GraftCatalog.register(spark, wh, "idn.p", "graft-deltalake", pd)
+    spark.sql("UPDATE tcat.idn.p SET g = g WHERE id <= 3")
+    assert(DeltaLake.latestVersion(spark, pd) == 1L,
+      "identity UPDATE on a partitioned table must commit")
+    assert(ids(spark.sql("SELECT * FROM tcat.idn.p").toDF()) ==
+      (1L to 6L).toSet)
+    // a REAL value on the partition column keeps refusing (a move)
+    val ep = intercept[Exception] {
+      spark.sql("UPDATE tcat.idn.p SET g = 'zz' WHERE id = 1")
+    }
+    assert(ep.getMessage.contains("partition"), ep.getMessage)
+  }
+
+  test("vacuumOrphans with ALIASES: one path registered under two " +
+      "names with different pins reclaims only past the MAX pin — " +
+      "the higher alias keeps reading (r13 advice)") {
+    val d = freshDir("alias")
+    DeltaLake.write(spark, d, frame(1 to 10)) // v0
+    GraftCatalog.register(spark, wh, "al.low", "graft-deltalake", d)
+    DeltaLake.write(spark, d, frame(11 to 20)) // v1
+    GraftCatalog.register(spark, wh, "al.high", "graft-deltalake", d)
+    // al.low pins v0, al.high pins v1; v1 is NOT an orphan — it is
+    // al.high's pinned content. Nothing may be reclaimed.
+    assert(GraftCatalog.entries(wh)("al.low").version == 0L)
+    assert(GraftCatalog.entries(wh)("al.high").version == 1L)
+    val reclaimed = GraftCatalog.vacuumOrphans(spark, wh)
+    assert(!reclaimed.keySet.exists(_.contains("al.")),
+      s"reclaimed a pinned alias version: $reclaimed")
+    assert(ids(spark.sql("SELECT * FROM tcat.al.high").toDF()) ==
+      (1L to 20L).toSet)
+    assert(ids(spark.sql("SELECT * FROM tcat.al.low").toDF()) ==
+      (1L to 10L).toSet)
+    // a genuine orphan ABOVE the max pin reclaims; both aliases
+    // survive it
+    DeltaLake.write(spark, d, frame(21 to 25)) // v2, unpinned
+    val r2 = GraftCatalog.vacuumOrphans(spark, wh)
+    assert(r2.keySet.exists(k => k.contains("al.high") &&
+        k.contains("al.low")), s"expected the alias group, got $r2")
+    assert(DeltaLake.latestVersion(spark, d) == 1L)
+    assert(ids(spark.sql("SELECT * FROM tcat.al.high").toDF()) ==
+      (1L to 20L).toSet)
   }
 }

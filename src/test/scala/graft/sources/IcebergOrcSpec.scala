@@ -89,11 +89,12 @@ class IcebergOrcSpec extends AnyFunSuite with SparkFixture {
     val e1 = intercept[IllegalArgumentException] {
       Iceberg.delete(spark, dir, col("id") === 1L)
     }
-    assert(e1.getMessage.contains("ORC"), e1.getMessage)
+    assert(e1.getMessage.contains("convertToParquet"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException] {
       Iceberg.stageMorDelete(spark, dir, col("id") === 1L)
     }
-    assert(e2.getMessage.contains("ORC"), e2.getMessage)
+    assert(e2.getMessage.contains("convertToParquet") ||
+      e2.getMessage.contains("ORC"), e2.getMessage)
     val e3 = intercept[IllegalArgumentException] {
       Iceberg.snapshotWithMeta(spark, dir).collect()
     }
@@ -101,7 +102,7 @@ class IcebergOrcSpec extends AnyFunSuite with SparkFixture {
     val e4 = intercept[IllegalArgumentException] {
       Iceberg.rewriteDataFiles(spark, dir)
     }
-    assert(e4.getMessage.contains("ORC"), e4.getMessage)
+    assert(e4.getMessage.contains("convertToParquet"), e4.getMessage)
     // a rename on an ORC estate: the by-name resolution cannot serve
     // the evolved schema — refused at resolution, not silently nulled
     Iceberg.stageRenameColumn(spark, dir, Map("v" -> "label"))
@@ -239,6 +240,24 @@ class IcebergOrcSpec extends AnyFunSuite with SparkFixture {
       Iceberg.snapshot(spark, dir).collect()
     }
     assert(e.getMessage.contains("id-less"), e.getMessage)
+  }
+
+  test("ORC id-arm COLLISION guard (r13 advice): a renamed column's " +
+      "old name reused by a later-added column refuses with the " +
+      "convertToParquet hint instead of mis-binding") {
+    val dir = freshDir("collide")
+    Iceberg.stageOrcIdAppend(spark, dir, frame(1 to 10))
+    Iceberg.stageRenameColumn(spark, dir, Map("v" -> "label"))
+    // legal Iceberg evolution: a NEW column re-using the old name —
+    // ids disambiguate it on parquet/avro, but ORC resolves by name
+    // and the pre-rename file's physical "v" now collides
+    Iceberg.addColumns(spark, dir,
+      Seq(org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.snapshot(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("convertToParquet"), e.getMessage)
   }
 
   test("the registered reader serves ORC tables too") {
