@@ -203,36 +203,41 @@ class GraftCatalog extends TableCatalog
       s"graft catalog: ALTER TABLE $key RENAME COLUMN " +
         s"${r.fieldNames.mkString(".")} — nested fields are not " +
         "supported"))
-    GraftCatalog.retryOnCatalogRace {
+    // each operation retries INDEPENDENTLY: one shared retry would
+    // re-run an already-committed ADD after the rename lost a race,
+    // turning a retryable collision into "column already exists"
+    if (adds.nonEmpty) GraftCatalog.retryOnCatalogRace {
       val entry = GraftCatalog.entries(warehouse).getOrElse(key,
         throw new IllegalArgumentException(
           s"graft catalog: no table '$key' in $warehouse"))
       val abs = GraftCatalog.absPath(warehouse, entry.path)
-      if (adds.nonEmpty) {
-        val cols = adds.map(a => org.apache.spark.sql.types.StructField(
-          a.fieldNames.head, a.dataType, a.isNullable))
-        val v = entry.format match {
-          case "graft-deltalake" => DeltaLake.addColumns(spark, abs, cols)
-          case "graft-iceberg" => Iceberg.addColumns(spark, abs, cols)
-          case o => throw new IllegalArgumentException(
-            s"graft catalog: unknown format '$o' for $key")
-        }
-        if (v >= 0L) { GraftCatalog.advancePin(warehouse, key, v); () }
+      val cols = adds.map(a => org.apache.spark.sql.types.StructField(
+        a.fieldNames.head, a.dataType, a.isNullable))
+      val v = entry.format match {
+        case "graft-deltalake" => DeltaLake.addColumns(spark, abs, cols)
+        case "graft-iceberg" => Iceberg.addColumns(spark, abs, cols)
+        case o => throw new IllegalArgumentException(
+          s"graft catalog: unknown format '$o' for $key")
       }
-      if (renames.nonEmpty) {
-        val v = entry.format match {
-          case "graft-deltalake" =>
-            require(renames.size == 1, s"graft catalog: ALTER TABLE " +
-              s"$key renames one column per statement on Delta tables")
-            DeltaLake.renameColumn(spark, abs,
-              renames.head.fieldNames.head, renames.head.newName)
-          case "graft-iceberg" => Iceberg.renameColumns(spark, abs,
-            renames.map(r => r.fieldNames.head -> r.newName).toMap)
-          case o => throw new IllegalArgumentException(
-            s"graft catalog: unknown format '$o' for $key")
-        }
-        if (v >= 0L) { GraftCatalog.advancePin(warehouse, key, v); () }
+      if (v >= 0L) { GraftCatalog.advancePin(warehouse, key, v); () }
+    }
+    if (renames.nonEmpty) GraftCatalog.retryOnCatalogRace {
+      val entry = GraftCatalog.entries(warehouse).getOrElse(key,
+        throw new IllegalArgumentException(
+          s"graft catalog: no table '$key' in $warehouse"))
+      val abs = GraftCatalog.absPath(warehouse, entry.path)
+      val v = entry.format match {
+        case "graft-deltalake" =>
+          require(renames.size == 1, s"graft catalog: ALTER TABLE " +
+            s"$key renames one column per statement on Delta tables")
+          DeltaLake.renameColumn(spark, abs,
+            renames.head.fieldNames.head, renames.head.newName)
+        case "graft-iceberg" => Iceberg.renameColumns(spark, abs,
+          renames.map(r => r.fieldNames.head -> r.newName).toMap)
+        case o => throw new IllegalArgumentException(
+          s"graft catalog: unknown format '$o' for $key")
       }
+      if (v >= 0L) { GraftCatalog.advancePin(warehouse, key, v); () }
     }
     loadTable(ident)
   }

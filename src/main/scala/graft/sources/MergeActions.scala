@@ -91,10 +91,15 @@ object MergeActions {
     val fields = schema.fieldNames.toSet
     def checkSet(set: Map[String, Column], clause: String): Unit = {
       require(set.nonEmpty, s"$who: $clause: empty SET")
-      set.keys.foreach { c =>
+      set.foreach { case (c, e) =>
         require(fields.contains(c),
           s"$who: $clause assigns unknown column '$c'")
-        require(!partitionCols.contains(c),
+        // identity entries on partition columns are tolerated (the
+        // analyzer aligns fill-ins for EVERY column, so a conditional
+        // UPDATE on a partitioned table always carries them; an
+        // identity is a no-move no-op) — real values keep refusing
+        require(!partitionCols.contains(c) ||
+            e.toString == col(c).toString,
           s"$who: $clause assigns partition column '$c' — a " +
             "partition-column update is a row MOVE between " +
             "partitions, a different operation")

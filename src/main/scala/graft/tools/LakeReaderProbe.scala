@@ -108,6 +108,30 @@ object LakeReaderProbe {
       require(dvHit <= kept && rewrites == 1,
         s"public DML lost locality: dvHit=$dvHit (stats-kept $kept), " +
           s"rewrites=$rewrites")
+      // GENERAL-FORM MERGE locality (r15): a matched-DELETE takedown
+      // with a KEY-ONLY source hitting a ~1% key range must rewrite
+      // only the intersecting files — the general writer's semi-join
+      // hit set, like the canonical merge's
+      val lo2 = maxKey / 4
+      val hi2 = lo2 + maxKey / 100
+      val keptMrg = dl.snapshotWhere(spark, dml,
+        col("o_orderkey") >= lo2 && col("o_orderkey") < hi2)
+        .inputFiles.length
+      val takedown = ord
+        .filter(col("o_orderkey") >= lo2 && col("o_orderkey") < hi2)
+        .select("o_orderkey").distinct()
+      val tMrg = ms(dl.mergeGeneral(spark, dml, takedown,
+        Seq("o_orderkey"),
+        matched = Seq(graft.sources.MergeActions.MatchedDelete())))
+      val c3 = java.nio.file.Files.readString(new java.io.File(dml,
+        "_delta_log/" + f"${3L}%020d.json").toPath)
+      val mrgRemoves = c3.linesIterator.count(_.contains("\"remove\""))
+      println(f"delta GENERAL MERGE matched-delete (1%% key range, " +
+        f"key-only source)  rewrote $mrgRemoves%3d of $dTotal%d files " +
+        f"  $tMrg%7.1f ms")
+      require(mrgRemoves <= keptMrg && mrgRemoves > 0,
+        s"general merge lost locality: rewrote $mrgRemoves, " +
+          s"stats-kept $keptMrg")
       // fresh-table probe: clean up (repeat runs would otherwise leak
       // a 200-file table per run)
       def rm(f: java.io.File): Unit = {

@@ -217,6 +217,35 @@ class MergeGeneralSpec extends AnyFunSuite with SparkFixture {
     assert(got == expected)
   }
 
+  test("SQL bridge: conditional matched UPDATE on a PARTITIONED " +
+      "target — the analyzer's identity fill-ins on the partition " +
+      "column are tolerated (no-move no-ops)") {
+    val wh = freshDir("sqlpart")
+    val tdir = new java.io.File(wh, "t").getAbsolutePath
+    DeltaLake.write(spark, tdir,
+      (1L to 8L).map(i => (i, i % 2, i * 10.0)).toDF("id", "pk", "v"),
+      partitionBy = Seq("pk"))
+    GraftCatalog.register(spark, wh, "db.t", "graft-deltalake", "t")
+    spark.conf.set("spark.sql.catalog.mpart",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mpart.warehouse", wh)
+    (4L to 10L).map(i => (i, i % 2, i * 100.0))
+      .toDF("id", "pk", "sv").createOrReplaceTempView("mrg_psrc")
+    spark.sql(
+      """MERGE INTO mpart.db.t t
+        |USING mrg_psrc s
+        |ON t.id = s.id AND t.pk = s.pk
+        |WHEN MATCHED AND s.sv > 500 THEN UPDATE SET v = s.sv
+        |WHEN MATCHED THEN UPDATE SET v = -1.0""".stripMargin)
+    val got = spark.sql("SELECT id, v FROM mpart.db.t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val exp = (1L to 8L).map { i =>
+      (i, if (i < 4) i * 10.0 else if (i * 100.0 > 500) i * 100.0
+      else -1.0)
+    }.toSet
+    assert(got == exp)
+  }
+
   test("SQL bridge: WHEN NOT MATCHED BY SOURCE referencing a source " +
       "column refuses (out of scope)") {
     val wh = freshDir("sqlscope")
