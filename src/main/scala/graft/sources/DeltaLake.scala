@@ -3032,6 +3032,46 @@ object DeltaLake {
     next
   }
 
+  /** DROP COLUMN — COLUMN-MAPPED tables only (`ALTER TABLE t DROP
+    * COLUMN c`): one metadata-only commit whose metaData omits the
+    * field. Data files keep the physical column (readers resolve by
+    * physicalName/id and simply stop projecting it — the protocol's
+    * drop semantics under column mapping); time travel to pre-drop
+    * versions still serves it. Unmapped tables refuse (without
+    * mapping, DROP would need a full physical rewrite to be real —
+    * the format's own tooling's job). Partition columns and dropping
+    * the last column refuse. Returns the committed version.
+    */
+  def dropColumn(spark: SparkSession, path: String,
+      name: String): Long = {
+    val st = replay(spark, path, None)
+    require(st.mappingMode != "none",
+      s"DeltaLake.dropColumn: $path does not use column mapping — " +
+        "without it a metadata-only drop leaves unreadable physical " +
+        "state; drop with the format's own tooling (a rewrite)")
+    val unsupported = st.protocol.writerFeatures.filterNot(
+      SupportedWriterFeatures + "columnMapping")
+    require(unsupported.isEmpty,
+      s"DeltaLake.dropColumn: $path requires writer features " +
+        s"$unsupported this writer does not implement")
+    require(st.schema.fieldNames.contains(name),
+      s"DeltaLake.dropColumn: no column '$name' in $path " +
+        s"(${st.schema.fieldNames.mkString(", ")})")
+    require(!st.partitionColumns.contains(name),
+      s"DeltaLake.dropColumn: '$name' is a partition column — the " +
+        "layout keys on it")
+    require(st.schema.size > 1,
+      "DeltaLake.dropColumn: cannot drop the last column")
+    val next = st.version + 1
+    val actions =
+      ictAction(st.configuration, "DROP COLUMN", path).toSeq :+
+        metaAction(path,
+          StructType(st.schema.fields.filterNot(_.name == name)),
+          st.partitionColumns, st.configuration, st.tableId)
+    writeCommitExclusive(path, next, actions)
+    next
+  }
+
   /** RESTORE — reset the table's content to `version` (the `RESTORE
     * TABLE t TO VERSION AS OF n` command) as ONE new commit: removes
     * for every file version live now but not then, adds (with their

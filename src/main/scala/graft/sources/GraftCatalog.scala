@@ -163,12 +163,13 @@ class GraftCatalog extends TableCatalog
     GraftCatalog.rename(warehouse, GraftCatalog.keyOf(from),
       GraftCatalog.keyOf(to))
 
-  /** COLUMN-LEVEL ALTER TABLE — `ADD COLUMN(S)` and `RENAME COLUMN`
-    * route to the native schema-evolution commits
-    * ([[DeltaLake.addColumns]]/[[DeltaLake.renameColumn]] and
-    * [[Iceberg.addColumns]]/[[Iceberg.renameColumns]]) with the
-    * catalog pin advanced to the evolution commit — statement-level
-    * retried like DML. Everything else (DROP COLUMN, type changes,
+  /** COLUMN-LEVEL ALTER TABLE — `ADD COLUMN(S)`, `RENAME COLUMN`,
+    * and `DROP COLUMN` route to the native schema-evolution commits
+    * ([[DeltaLake.addColumns]]/[[DeltaLake.renameColumn]]/
+    * [[DeltaLake.dropColumn]] and [[Iceberg.addColumns]]/
+    * [[Iceberg.renameColumns]]/[[Iceberg.dropColumns]]) with the
+    * catalog pin advanced to the evolution commit — each operation
+    * statement-retried independently. Everything else (type changes,
     * positioned adds, nested fields, property changes) refuses
     * loudly: each is either a data rewrite in disguise or a format
     * feature this writer doesn't model.
@@ -180,15 +181,22 @@ class GraftCatalog extends TableCatalog
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val renames = changes.collect {
       case r: TableChange.RenameColumn => r }
+    val drops = changes.collect {
+      case d: TableChange.DeleteColumn => d }
     val other = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
-        c.isInstanceOf[TableChange.RenameColumn])
+        c.isInstanceOf[TableChange.RenameColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn])
     if (other.nonEmpty) throw new UnsupportedOperationException(
-      s"graft catalog: ALTER TABLE $key: only ADD COLUMN and RENAME " +
+      s"graft catalog: ALTER TABLE $key: only ADD / RENAME / DROP " +
         s"COLUMN are supported, got ${other.map(_.getClass.getSimpleName)
-          .mkString(", ")} — DROP COLUMN / type changes are data " +
+          .mkString(", ")} — type changes and repositioning are data " +
         "rewrites in disguise; run them with the format's own tooling " +
         "and re-register")
+    drops.foreach(d => require(d.fieldNames.length == 1,
+      s"graft catalog: ALTER TABLE $key DROP COLUMN " +
+        s"${d.fieldNames.mkString(".")} — nested fields are not " +
+        "supported"))
     adds.foreach { a =>
       require(a.fieldNames.length == 1,
         s"graft catalog: ALTER TABLE $key ADD COLUMN " +
@@ -234,6 +242,23 @@ class GraftCatalog extends TableCatalog
             renames.head.fieldNames.head, renames.head.newName)
         case "graft-iceberg" => Iceberg.renameColumns(spark, abs,
           renames.map(r => r.fieldNames.head -> r.newName).toMap)
+        case o => throw new IllegalArgumentException(
+          s"graft catalog: unknown format '$o' for $key")
+      }
+      if (v >= 0L) { GraftCatalog.advancePin(warehouse, key, v); () }
+    }
+    if (drops.nonEmpty) GraftCatalog.retryOnCatalogRace {
+      val entry = GraftCatalog.entries(warehouse).getOrElse(key,
+        throw new IllegalArgumentException(
+          s"graft catalog: no table '$key' in $warehouse"))
+      val abs = GraftCatalog.absPath(warehouse, entry.path)
+      val v = entry.format match {
+        case "graft-deltalake" =>
+          require(drops.size == 1, s"graft catalog: ALTER TABLE " +
+            s"$key drops one column per statement on Delta tables")
+          DeltaLake.dropColumn(spark, abs, drops.head.fieldNames.head)
+        case "graft-iceberg" => Iceberg.dropColumns(spark, abs,
+          drops.map(_.fieldNames.head))
         case o => throw new IllegalArgumentException(
           s"graft catalog: unknown format '$o' for $key")
       }

@@ -3274,6 +3274,54 @@ object Iceberg {
     }
   }
 
+  /** DROP COLUMNS — metadata-only under FIELD-ID resolution (`ALTER
+    * TABLE t DROP COLUMN c`): the evolved schema simply omits the
+    * field; data files keep the column bytes but no scan projects
+    * them (ids are the identity — nothing can mis-bind), and time
+    * travel to pre-drop snapshots still serves it. Refused for
+    * partition-spec sources, for columns any live EQUALITY-DELETE
+    * file keys on (the delete could no longer apply), and when
+    * nothing would remain. Same same-content snapshot/pin mechanics
+    * as [[addColumns]].
+    */
+  def dropColumns(spark: SparkSession, tableDir: String,
+      cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "Iceberg.dropColumns: nothing to drop")
+    val cur = resolve(spark, tableDir, None)
+    val specSources = cur.transforms.map(_.sourceName).toSet
+    cols.foreach { c =>
+      require(cur.schema.fieldNames.contains(c),
+        s"Iceberg.dropColumns: '$c' is not a current column")
+      require(!specSources.contains(c),
+        s"Iceberg.dropColumns: '$c' is a partition-spec source " +
+          "column — the partition layout keys on it")
+    }
+    require(cur.schema.fieldNames.toSet.diff(cols.toSet).nonEmpty,
+      "Iceberg.dropColumns: cannot drop every column")
+    val dropIds = cur.schema.fields
+      .filter(f => cols.contains(f.name))
+      .flatMap(f => if (f.metadata.contains("parquet.field.id"))
+        Some(f.metadata.getLong("parquet.field.id").toInt) else None)
+      .toSet
+    cur.deleteFiles.foreach { f =>
+      require(f.equalityIds.toSet.intersect(dropIds).isEmpty,
+        s"Iceberg.dropColumns: a live equality-delete file keys on " +
+          s"${cols.mkString(", ")} — dropping the column would strand " +
+          "the delete; rewrite (compact) the deletes into the data " +
+          "first")
+    }
+    evolveSchema(spark, tableDir, "dropColumns") { (schemaNode, _) =>
+      val fields = schemaNode.get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      var i = 0
+      while (i < fields.size()) {
+        if (cols.contains(fields.get(i).get("name").asText))
+          fields.remove(i)
+        else i += 1
+      }
+    }
+  }
+
   private def icebergPrimitiveName(dt: DataType, who: String): String =
     dt match {
       case BooleanType => "boolean"

@@ -13,7 +13,8 @@ import graft.SparkFixture
   * keep pre-rename files readable (mapping metadata / field ids),
   * time travel resolves per-snapshot schemas, the catalog pin
   * advances, and the refusal envelope holds (NOT NULL adds, unmapped
-  * Delta renames, partition-source renames, DROP COLUMN).
+  * Delta renames/drops, partition-source renames, type changes,
+  * equality-delete-keyed drops).
   */
 class AlterTableSpec extends AnyFunSuite with SparkFixture {
 
@@ -125,8 +126,46 @@ class AlterTableSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("SQL ALTER TABLE through the catalog: ADD COLUMNS + RENAME " +
-      "COLUMN evolve, the pin advances, DROP COLUMN refuses") {
+  test("DROP COLUMN: metadata-only on iceberg (time travel keeps " +
+      "it; equality-delete keys refuse) and on mapped delta; " +
+      "unmapped delta refuses") {
+    val dir = freshDir("idrop")
+    Iceberg.write(spark, dir, frame(1 to 6))
+    val preDrop = Iceberg.snapshotIds(dir).last
+    Iceberg.dropColumns(spark, dir, Seq("v"))
+    assert(Iceberg.snapshot(spark, dir).columns.toSeq == Seq("id"))
+    assert(Iceberg.snapshot(spark, dir, Some(preDrop)).columns.toSeq
+      == Seq("id", "v"), "time travel must keep the dropped column")
+    intercept[IllegalArgumentException] {
+      Iceberg.dropColumns(spark, dir, Seq("id")) // last column
+    }
+    // a live equality delete keying on the column blocks the drop
+    val eqDir = freshDir("idropeq")
+    Iceberg.stageAppend(spark, eqDir, frame(1 to 6), Seq.empty)
+    Iceberg.stageEqDelete(spark, eqDir,
+      Seq("v3").toDF("v"))
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.dropColumns(spark, eqDir, Seq("v"))
+    }
+    assert(e.getMessage.contains("equality-delete"), e.getMessage)
+    // delta: unmapped refuses, mapped drops (physical files keep the
+    // column; reads stop projecting it)
+    val ddir = freshDir("ddrop")
+    DeltaLake.write(spark, ddir, frame(1 to 4))
+    intercept[IllegalArgumentException] {
+      DeltaLake.dropColumn(spark, ddir, "v")
+    }
+    val mdir = freshDir("ddropm")
+    DeltaLake.stageMappedCommit(spark, mdir, frame(1 to 4),
+      Seq.empty, 0L, Map("id" -> "c_1", "v" -> "c_2"))
+    DeltaLake.dropColumn(spark, mdir, "v")
+    assert(DeltaLake.snapshot(spark, mdir).columns.toSeq == Seq("id"))
+    assert(DeltaLake.snapshot(spark, mdir, Some(0L)).columns.toSeq ==
+      Seq("id", "v"), "delta time travel must keep the dropped column")
+  }
+
+  test("SQL ALTER TABLE through the catalog: ADD / RENAME / DROP " +
+      "COLUMN evolve with pin advance; type changes refuse") {
     val wh = freshDir("sqlwh")
     Iceberg.write(spark, new java.io.File(wh, "t").getAbsolutePath,
       frame(1 to 10))
@@ -148,11 +187,16 @@ class AlterTableSpec extends AnyFunSuite with SparkFixture {
     assert(entry.version ==
       Iceberg.currentSnapshotId(
         new java.io.File(wh, "t").getAbsolutePath))
+    // DROP COLUMN is metadata-only under field-id resolution
+    spark.sql("ALTER TABLE acat.db.t DROP COLUMN score")
+    assert(spark.sql("SELECT * FROM acat.db.t").columns.toSeq ==
+      Seq("id", "label"))
+    // a type change stays refused (a data rewrite in disguise)
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE acat.db.t DROP COLUMN label")
+      spark.sql("ALTER TABLE acat.db.t ALTER COLUMN id TYPE STRING")
     }
-    assert(e.getMessage.toLowerCase.contains("drop column") ||
-      e.getMessage.contains("ADD COLUMN and RENAME COLUMN"))
+    assert(e.getMessage.contains("rewrites in disguise") ||
+      e.getMessage.toLowerCase.contains("alter"), e.getMessage)
     // delta twin: ADD COLUMNS through SQL
     DeltaLake.write(spark, new java.io.File(wh, "d").getAbsolutePath,
       frame(1 to 4))
