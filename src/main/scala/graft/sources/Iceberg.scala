@@ -3684,8 +3684,11 @@ object Iceberg {
     * (those tables cannot be scanned with non-parquet arms at all).
     * Returns the new snapshot id, or -1 when already all-parquet.
     */
-  def convertToParquet(spark: SparkSession, tableDir: String): Long = {
+  def convertToParquet(spark: SparkSession, tableDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     import org.apache.spark.sql.functions.col
+    require(targetFileBytes > 0,
+      s"Iceberg.convertToParquet: targetFileBytes must be positive")
     val cur = resolve(spark, tableDir, None)
     val nonParquet = cur.files.filter(_.format != "PARQUET")
     if (nonParquet.isEmpty) return -1L
@@ -3706,9 +3709,14 @@ object Iceberg {
       .map { case (pv, fs) =>
         val rows = scanOf(spark, tableDir, cur.copy(files = fs))
           .select(dataSchema.fieldNames.toIndexedSeq.map(col): _*)
+        // output sized to targetFileBytes per partition group: a
+        // single coalesced file per group would be unbounded at scale
+        val n = math.max(1, math.ceil(fs.flatMap(_.size).sum.toDouble
+          / targetFileBytes).toInt)
+        val sized = if (n == 1) rows.coalesce(1) else rows.repartition(n)
         val tmp = new java.io.File(root, "_ice_cv_tmp_" +
           java.util.UUID.randomUUID().toString.take(8))
-        withFieldIds(rows.coalesce(1), fieldIds(cur.schema))
+        withFieldIds(sized, fieldIds(cur.schema))
           .write.mode("overwrite").parquet(tmp.getAbsolutePath)
         val rels = Option(tmp.listFiles()).toSeq.flatten
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
