@@ -1248,6 +1248,8 @@ object DeltaLake {
       properties.get("delta.enableInCommitTimestamps").contains("true")
     val dv =
       properties.get("delta.enableDeletionVectors").contains("true")
+    val constraints =
+      properties.keys.exists(_.startsWith("delta.constraints."))
     if (schemaHasVariant(schema) || ict || dv) {
       // variantType/deletionVectors are reader+writer features;
       // inCommitTimestamp and changeDataFeed are writer-side
@@ -1257,11 +1259,16 @@ object DeltaLake {
           (if (dv) Seq("deletionVectors") else Seq.empty)
       val wf = rf ++
         (if (ict) Seq("inCommitTimestamp") else Seq.empty) ++
-        (if (cdf) Seq("changeDataFeed") else Seq.empty)
+        (if (cdf) Seq("changeDataFeed") else Seq.empty) ++
+        (if (constraints) Seq("checkConstraints") else Seq.empty)
       DeltaProtocol(if (rf.nonEmpty) 3 else 1, 7, rf, wf).json
     }
     else if (cdf)
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
+    else if (constraints)
+      // CHECK constraints' legacy home (implies appendOnly/invariants
+      // of minWriter 2 as well)
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}"""
     else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
   }
 
@@ -2269,20 +2276,18 @@ object DeltaLake {
     }
 
   /** Ops that WRITE rows must refuse tables declaring row-level
-    * contracts this writer does not evaluate: CHECK constraints,
-    * column invariants, generated columns, identity columns — all
-    * LATENT under legacy writer versions (the feature list alone
-    * cannot gate them; activation lives in the configuration / field
-    * metadata, which is what production writers check). A pure DELETE
-    * never violates them (it only removes rows), so [[delete]] skips
-    * this.
+    * contracts this writer does not evaluate: column invariants,
+    * generated columns, identity columns — all LATENT under legacy
+    * writer versions (the feature list alone cannot gate them;
+    * activation lives in the configuration / field metadata, which is
+    * what production writers check). CHECK constraints
+    * (`delta.constraints.*`) are NOT refused: every row-writing path
+    * EVALUATES them ([[enforceConstraints]]). A pure DELETE never
+    * violates any of these (it only removes rows), so [[delete]]
+    * skips this.
     */
   private def requireNoRowContracts(st: LogState, path: String,
       op: String): Unit = {
-    require(!st.configuration.keys.exists(
-        _.startsWith("delta.constraints.")),
-      s"DeltaLake.$op: $path declares CHECK constraints this writer " +
-        "does not evaluate — writing could violate them")
     require(!st.schema.fields.exists(
         _.metadata.contains("delta.invariants")),
       s"DeltaLake.$op: $path declares column invariants this writer " +
@@ -2297,6 +2302,93 @@ object DeltaLake {
         "delta.identity.step")),
       s"DeltaLake.$op: $path declares IDENTITY columns this writer " +
         "does not allocate")
+  }
+
+  /** CHECK constraints declared on the table
+    * (`delta.constraints.<name>` -> SQL expression).
+    */
+  private def constraintsOf(conf: Map[String, String])
+      : Map[String, String] =
+    conf.collect { case (k, v) if k.startsWith("delta.constraints.") =>
+      k.stripPrefix("delta.constraints.") -> v }
+
+  /** Enforce CHECK constraints on rows about to land: every
+    * constraint must evaluate TRUE on every row (a NULL result is a
+    * violation, the reference implementation's invariant-check
+    * behavior). ONE aggregate pass over the batch, run BEFORE any
+    * file lands — a violation refuses the whole commit and names the
+    * constraint with its violation count. (Production writers fuse
+    * the check into the write job per row; the separate pre-pass
+    * costs one extra batch scan and keeps the landing path shared.)
+    */
+  private def enforceConstraints(df: DataFrame,
+      constraints: Map[String, String], path: String,
+      op: String): Unit = {
+    if (constraints.isEmpty) return
+    import org.apache.spark.sql.functions.{expr, sum, when}
+    val checks = constraints.toSeq.sortBy(_._1)
+    val aggs = checks.map { case (n, sql) =>
+      sum(when(expr(sql), 0L).otherwise(1L)).as(n) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    checks.zipWithIndex.foreach { case ((n, sql), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      require(bad == 0L,
+        s"DeltaLake.$op: $path CHECK constraint '$n' ($sql) is " +
+          s"violated by $bad row(s) — nothing was committed")
+    }
+  }
+
+  /** ADD a CHECK constraint (`ALTER TABLE t ADD CONSTRAINT name
+    * CHECK (expr)` / SET TBLPROPERTIES('delta.constraints.name')):
+    * EXISTING rows are validated first (the full-table scan every
+    * production writer pays here — adding an unsatisfied constraint
+    * would brick the table's own content), then one metadata-only
+    * commit lands the configuration entry with the protocol upgraded
+    * to carry checkConstraints. Returns the committed version.
+    */
+  def addCheckConstraint(spark: SparkSession, path: String,
+      name: String, sqlExpr: String): Long = {
+    val st = replay(spark, path, None)
+    requireWritable(st, path, "addCheckConstraint")
+    val key = s"delta.constraints.${name.toLowerCase}"
+    require(!st.configuration.contains(key),
+      s"DeltaLake.addCheckConstraint: constraint '$name' already " +
+        s"exists on $path")
+    enforceConstraints(snapshot(spark, path),
+      Map(name -> sqlExpr), path, "addCheckConstraint")
+    val next = st.version + 1
+    val actions = mutable.Buffer.empty[String]
+    actions ++= ictAction(st.configuration, "ADD CONSTRAINT", path)
+    if (st.protocol.minWriter >= 7) {
+      if (!st.protocol.writerFeatures.contains("checkConstraints"))
+        actions += st.protocol.copy(writerFeatures =
+          (st.protocol.writerFeatures :+ "checkConstraints").distinct)
+          .json
+    } else if (st.protocol.minWriter < 3)
+      actions += st.protocol.copy(minWriter = 3).json
+    actions += metaAction(path, st.schema, st.partitionColumns,
+      st.configuration + (key -> sqlExpr), st.tableId)
+    writeCommitExclusive(path, next, actions.toSeq)
+    next
+  }
+
+  /** DROP a CHECK constraint — metadata-only; dropping an unknown
+    * name refuses (silently "dropping" nothing hides typos).
+    */
+  def dropCheckConstraint(spark: SparkSession, path: String,
+      name: String): Long = {
+    val st = replay(spark, path, None)
+    requireWritable(st, path, "dropCheckConstraint")
+    val key = s"delta.constraints.${name.toLowerCase}"
+    require(st.configuration.contains(key),
+      s"DeltaLake.dropCheckConstraint: no constraint '$name' on $path")
+    val next = st.version + 1
+    val actions =
+      ictAction(st.configuration, "DROP CONSTRAINT", path).toSeq :+
+        metaAction(path, st.schema, st.partitionColumns,
+          st.configuration - key, st.tableId)
+    writeCommitExclusive(path, next, actions)
+    next
   }
 
   /** The remove action retiring file version `a` (its DV carried —
@@ -2380,8 +2472,7 @@ object DeltaLake {
     require(mode == "append" || mode == "overwrite",
       s"DeltaLake.write: mode must be 'append' or 'overwrite', got '$mode'")
     val unmappable = properties.keys.filter(k =>
-      UnmappableCreationProps.contains(k) ||
-        k.startsWith("delta.constraints."))
+      UnmappableCreationProps.contains(k))
     require(unmappable.isEmpty,
       s"DeltaLake.write: creation properties ${unmappable.toSeq.sorted} " +
         "require protocol features / write-side behaviors this writer " +
@@ -2462,6 +2553,11 @@ object DeltaLake {
       if (df.schema.fieldNames.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
+    // CHECK constraints: declared at creation (properties) or on the
+    // existing table — the batch must satisfy them BEFORE any file
+    // lands
+    enforceConstraints(aligned, constraintsOf(
+      st0.map(_.configuration).getOrElse(properties)), path, "write")
     val adds = addFileActions(spark, path, aligned, parts0)
 
     var attempt = 0
@@ -2655,6 +2751,11 @@ object DeltaLake {
         }
       }: _*)
     val rewritten = applySet(readFiles(spark, path, st, hits))
+    // CHECK constraints: the post-image of the matched rows must
+    // satisfy them (unchanged rows passed at their own write time)
+    enforceConstraints(
+      applySet(readFiles(spark, path, st, hits).filter(predicate)),
+      constraintsOf(st.configuration), path, "update")
     val cdc =
       if (!cdfEnabled(st)) Seq.empty
       else {
@@ -2758,6 +2859,17 @@ object DeltaLake {
       def rewritten = replaced(joined)
       val insertRows =
         inserts.select(st.schema.fieldNames.toIndexedSeq.map(col): _*)
+      // CHECK constraints: matched replacements + inserts must satisfy
+      locally {
+        val cs = constraintsOf(st.configuration)
+        if (cs.nonEmpty) {
+          if (hits.nonEmpty) enforceConstraints(
+            replaced(joined.filter(col("__m").isNotNull)), cs, path,
+            "merge")
+          if (!inserts.isEmpty)
+            enforceConstraints(insertRows, cs, path, "merge")
+        }
+      }
       val insertAdds =
         if (inserts.isEmpty) Seq.empty
         else addFileActions(spark, path, insertRows,
@@ -2908,6 +3020,18 @@ object DeltaLake {
         .map(f => col(s"__v_$f").as(f))
       def rewritten = resolved
         .filter(!(col("__outcome") <=> "delete")).select(newCols: _*)
+      // CHECK constraints: rows an update produced + inserts must
+      // satisfy (deletes and untouched rows cannot violate)
+      locally {
+        val cs = constraintsOf(st.configuration)
+        if (cs.nonEmpty) {
+          if (hits.nonEmpty) enforceConstraints(
+            resolved.filter(col("__outcome") === "update")
+              .select(newCols: _*), cs, path, "mergeGeneral")
+          if (!insertRows.isEmpty)
+            enforceConstraints(insertRows, cs, path, "mergeGeneral")
+        }
+      }
       val insertAdds =
         if (insertRows.isEmpty) Seq.empty
         else addFileActions(spark, path, insertRows,
@@ -3093,7 +3217,12 @@ object DeltaLake {
     * net out for per-commit consumers), refusing only a restore
     * across a schema/partitioning change (one change frame cannot
     * carry two shapes). Returns the new version, or -1 when the file
-    * sets already match. Pinned version + exclusive commit.
+    * sets already match. Pinned version + exclusive commit. CHECK
+    * constraints are NOT re-validated (matching the reference
+    * implementation): restored content is historical fact — a
+    * constraint added after the target version was validated against
+    * the rows that existed THEN, and blocking the restore would make
+    * recovery impossible exactly when it is needed.
     */
   def restore(spark: SparkSession, path: String, version: Long): Long = {
     val st = replay(spark, path, None)
@@ -3782,6 +3911,8 @@ object DeltaLake {
           s"$unsupported this writer does not implement — committing " +
           "anyway would violate the table's contract")
       requireNoRowContracts(st, tableDir, "sink")
+      enforceConstraints(df, constraintsOf(st.configuration),
+        tableDir, "sink")
       require(!overwrite ||
           !st.configuration.get("delta.appendOnly").contains("true"),
         s"graft-deltalake sink: $tableDir is delta.appendOnly — " +

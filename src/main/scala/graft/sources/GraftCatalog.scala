@@ -183,13 +183,30 @@ class GraftCatalog extends TableCatalog
       case r: TableChange.RenameColumn => r }
     val drops = changes.collect {
       case d: TableChange.DeleteColumn => d }
+    // CHECK constraints via TBLPROPERTIES — the portable SQL surface:
+    // SET TBLPROPERTIES('delta.constraints.<name>' = '<expr>') adds
+    // (existing rows validated), UNSET drops. Only constraint keys
+    // are accepted; arbitrary property changes stay refused.
+    val setProps = changes.collect {
+      case sp: TableChange.SetProperty => sp }
+    val unsetProps = changes.collect {
+      case up: TableChange.RemoveProperty => up }
+    (setProps.map(_.property) ++ unsetProps.map(_.property))
+      .foreach(prop => require(
+        prop.startsWith("delta.constraints."),
+        s"graft catalog: ALTER TABLE $key SET/UNSET TBLPROPERTIES " +
+          s"('$prop') — only CHECK constraints " +
+          "(delta.constraints.<name>) alter through the catalog"))
     val other = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
-        c.isInstanceOf[TableChange.DeleteColumn])
+        c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
     if (other.nonEmpty) throw new UnsupportedOperationException(
       s"graft catalog: ALTER TABLE $key: only ADD / RENAME / DROP " +
-        s"COLUMN are supported, got ${other.map(_.getClass.getSimpleName)
+        s"COLUMN and CHECK-constraint TBLPROPERTIES are supported, " +
+        s"got ${other.map(_.getClass.getSimpleName)
           .mkString(", ")} — type changes and repositioning are data " +
         "rewrites in disguise; run them with the format's own tooling " +
         "and re-register")
@@ -263,6 +280,27 @@ class GraftCatalog extends TableCatalog
           s"graft catalog: unknown format '$o' for $key")
       }
       if (v >= 0L) { GraftCatalog.advancePin(warehouse, key, v); () }
+    }
+    (setProps.map(sp => (sp.property, Some(sp.value))) ++
+      unsetProps.map(up => (up.property, None))).foreach {
+      case (prop, valueOpt) => GraftCatalog.retryOnCatalogRace {
+        val entry = GraftCatalog.entries(warehouse).getOrElse(key,
+          throw new IllegalArgumentException(
+            s"graft catalog: no table '$key' in $warehouse"))
+        require(entry.format == "graft-deltalake",
+          s"graft catalog: ALTER TABLE $key ('$prop') — CHECK " +
+            s"constraints are a Delta surface; '$key' is " +
+            s"${entry.format}")
+        val abs = GraftCatalog.absPath(warehouse, entry.path)
+        val cname = prop.stripPrefix("delta.constraints.")
+        val v = valueOpt match {
+          case Some(sqlExpr) =>
+            DeltaLake.addCheckConstraint(spark, abs, cname, sqlExpr)
+          case None =>
+            DeltaLake.dropCheckConstraint(spark, abs, cname)
+        }
+        if (v >= 0L) { GraftCatalog.advancePin(warehouse, key, v); () }
+      }
     }
     loadTable(ident)
   }

@@ -198,18 +198,25 @@ class DeltaDmlSpec extends AnyFunSuite with SparkFixture {
 
   test("DML gates: update/merge refuse declared CHECK constraints; a " +
       "CDF overwrite is refused (full-table change files)") {
-    // update/merge write rows → declared constraints refuse; delete
-    // only removes rows, so it passes this gate by design
+    // update/merge EVALUATE declared constraints (r15): violating
+    // outputs refuse with the constraint named, satisfying ones land;
+    // delete only removes rows and never checks
     val d2 = freshDir("gatecons")
     stageConfTable(d2, """{"delta.constraints.pos":"id > 0"}""")
+    DeltaLake.write(spark, d2, frame(1 to 3))
     val e2 = intercept[IllegalArgumentException] {
-      DeltaLake.update(spark, d2, col("id") === 1L, Map("v" -> lit("X")))
+      DeltaLake.update(spark, d2, col("id") === 1L,
+        Map("id" -> lit(-1L)))
     }
-    assert(e2.getMessage.contains("constraints"))
+    assert(e2.getMessage.contains("pos"), e2.getMessage)
+    DeltaLake.update(spark, d2, col("id") === 1L, Map("v" -> lit("X")))
     val e3 = intercept[IllegalArgumentException] {
-      DeltaLake.merge(spark, d2, frame(1 to 2), Seq("id"))
+      DeltaLake.merge(spark, d2,
+        frame(1 to 2).withColumn("id", -col("id")), Seq("id"))
     }
-    assert(e3.getMessage.contains("constraints"))
+    assert(e3.getMessage.contains("pos"), e3.getMessage)
+    DeltaLake.merge(spark, d2, frame(2 to 4), Seq("id"))
+    assert(ids(DeltaLake.snapshot(spark, d2)) == Set(1L, 2L, 3L, 4L))
     val d3 = freshDir("gatecdfow")
     DeltaLake.write(spark, d3, frame(1 to 3),
       properties = Map("delta.enableChangeDataFeed" -> "true"))

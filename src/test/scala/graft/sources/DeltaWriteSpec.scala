@@ -161,14 +161,20 @@ class DeltaWriteSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e2.getMessage.contains("appendOnly"))
 
+    // CHECK constraints are EVALUATED (r15): satisfying rows land,
+    // a violating batch refuses with the constraint named
     val d3 = freshDir("gate3")
     stageBareTable(d3,
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
       """{"delta.constraints.positive":"id > 0"}""")
+    DeltaLake.write(spark, d3, frame(1 to 3))
+    assert(DeltaLake.snapshot(spark, d3).count() == 3)
     val e3 = intercept[IllegalArgumentException] {
-      DeltaLake.write(spark, d3, frame(1 to 3))
+      DeltaLake.write(spark, d3,
+        frame(1 to 3).withColumn("id", -col("id")))
     }
-    assert(e3.getMessage.contains("constraints"))
+    assert(e3.getMessage.contains("positive"), e3.getMessage)
+    assert(DeltaLake.snapshot(spark, d3).count() == 3)
   }
 
   test("schema evolution preserves the table's configuration and id — " +

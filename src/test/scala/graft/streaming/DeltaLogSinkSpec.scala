@@ -303,24 +303,23 @@ class DeltaLogSinkSpec extends AnyFunSuite with SparkFixture {
       e1.getCause != null && e1.getCause.toString.contains("appendOnly"),
       s"expected the appendOnly gate, got: $e1")
 
-    // CHECK constraints: this writer does not evaluate them — refused
-    // even in append mode
+    // CHECK constraints are EVALUATED per batch (r15): a batch
+    // violating one refuses the commit with the constraint named
     val d2 = freshDir("gate_ck")
     val ld = new java.io.File(d2, "_delta_log"); ld.mkdirs()
-    val ss = Seq(("x", 0L)).toDF("g", "n").schema.json
+    val ss = Seq((0L, "x")).toDF("id", "g").schema.json
       .replace("\\", "\\\\").replace("\"", "\\\"")
     java.nio.file.Files.writeString(
       new java.io.File(ld, f"${0L}%020d.json").toPath,
       s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}
-         |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$ss","partitionColumns":[],"configuration":{"delta.constraints.pos":"n >= 0"}}}
+         |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$ss","partitionColumns":[],"configuration":{"delta.constraints.pos":"id > 100"}}}
          |""".stripMargin)
     val e2 = intercept[Exception] {
       pump(src, d2, freshDir("gate_ck_ck"))
     }
-    assert(e2.toString.contains("constraints") ||
-      e2.getCause != null &&
-        e2.getCause.toString.contains("constraints"),
-      s"expected the CHECK-constraint gate, got: $e2")
+    assert(e2.toString.contains("pos") ||
+      e2.getCause != null && e2.getCause.toString.contains("pos"),
+      s"expected the CHECK-constraint enforcement, got: $e2")
 
     // DV carry: a complete-mode overwrite's removes must keep the
     // removed file's deletionVector descriptor
