@@ -3829,6 +3829,59 @@ object Queries {
              |FROM orders
              |WHERE o_custkey % 7 = 3
              |GROUP BY o_orderpriority
+             |ORDER BY pri""".stripMargin)),
+
+    // CHECK CONSTRAINTS through SQL (r15): CTAS, ADD a constraint via
+    // SET TBLPROPERTIES (existing rows validated), a VALID insert
+    // lands, a VIOLATING insert is refused whole (`blocked` pins the
+    // refusal — without it a silently-accepted bad row would also
+    // change cnt/total, double coverage). Idempotent via DROP.
+    QueryDef("catalog_constraint_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.ck")
+        s.sql(s"CREATE TABLE gdml.ddl.ck USING `graft-deltalake` AS " +
+          s"SELECT o_orderkey, o_custkey, o_totalprice, " +
+          s"o_orderpriority FROM graft_delta.`$src` " +
+          s"WHERE o_custkey % 9 = 4")
+        s.sql("ALTER TABLE gdml.ddl.ck SET TBLPROPERTIES " +
+          "('delta.constraints.price_pos' = 'o_totalprice > 0')")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.ck
+             |SELECT -o_orderkey, o_custkey, o_totalprice,
+             |  o_orderpriority
+             |FROM graft_delta.`$src` WHERE o_custkey % 9 = 5
+             |""".stripMargin)
+        val blocked =
+          try {
+            s.sql("INSERT INTO gdml.ddl.ck VALUES " +
+              "(0, 0, -1.0, '1-URGENT')")
+            false
+          } catch { case _: Exception => true }
+        s.sql(
+          s"""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS total,
+             |  CAST($blocked AS BOOLEAN) AS blocked
+             |FROM gdml.ddl.ck
+             |GROUP BY o_orderpriority
+             |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS total,
+             |  CAST(TRUE AS BOOLEAN) AS blocked
+             |FROM (
+             |  SELECT o_orderpriority, o_totalprice FROM orders
+             |  WHERE o_custkey % 9 = 4
+             |  UNION ALL
+             |  SELECT o_orderpriority, o_totalprice FROM orders
+             |  WHERE o_custkey % 9 = 5)
+             |GROUP BY pri
              |ORDER BY pri""".stripMargin))
   )
 
