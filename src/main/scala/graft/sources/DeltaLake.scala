@@ -1242,6 +1242,8 @@ object DeltaLake {
     */
   private def protocolActionFor(schema: StructType,
       properties: Map[String, String] = Map.empty): String = {
+    val generated = schema.fields.exists(
+      _.metadata.contains("delta.generationExpression"))
     val cdf =
       properties.get("delta.enableChangeDataFeed").contains("true")
     val ict =
@@ -1260,10 +1262,12 @@ object DeltaLake {
       val wf = rf ++
         (if (ict) Seq("inCommitTimestamp") else Seq.empty) ++
         (if (cdf) Seq("changeDataFeed") else Seq.empty) ++
-        (if (constraints) Seq("checkConstraints") else Seq.empty)
+        (if (constraints) Seq("checkConstraints") else Seq.empty) ++
+        (if (generated) Seq("generatedColumns") else Seq.empty)
       DeltaProtocol(if (rf.nonEmpty) 3 else 1, 7, rf, wf).json
     }
-    else if (cdf)
+    else if (cdf || generated)
+      // the legacy home of changeDataFeed AND generatedColumns
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
     else if (constraints)
       // CHECK constraints' legacy home (implies appendOnly/invariants
@@ -2282,9 +2286,11 @@ object DeltaLake {
     * activation lives in the configuration / field metadata, which is
     * what production writers check). CHECK constraints
     * (`delta.constraints.*`) are NOT refused: every row-writing path
-    * EVALUATES them ([[enforceConstraints]]). A pure DELETE never
-    * violates any of these (it only removes rows), so [[delete]]
-    * skips this.
+    * EVALUATES them ([[enforceConstraints]]); GENERATED columns are
+    * COMPUTED when a batch omits them ([[write]]) and VALIDATED
+    * everywhere else (the generation equality rides the same
+    * row-check pass, [[rowChecksOf]]). A pure DELETE never violates
+    * any of these (it only removes rows), so [[delete]] skips this.
     */
   private def requireNoRowContracts(st: LogState, path: String,
       op: String): Unit = {
@@ -2292,11 +2298,6 @@ object DeltaLake {
         _.metadata.contains("delta.invariants")),
       s"DeltaLake.$op: $path declares column invariants this writer " +
         "does not evaluate")
-    require(!st.schema.fields.exists(
-        _.metadata.contains("delta.generationExpression")),
-      s"DeltaLake.$op: $path declares GENERATED columns this writer " +
-        "does not compute — written rows would silently diverge from " +
-        "their generation expressions")
     require(!st.schema.fields.exists(f => f.metadata.contains(
         "delta.identity.start") || f.metadata.contains(
         "delta.identity.step")),
@@ -2311,6 +2312,45 @@ object DeltaLake {
       : Map[String, String] =
     conf.collect { case (k, v) if k.startsWith("delta.constraints.") =>
       k.stripPrefix("delta.constraints.") -> v }
+
+  /** GENERATED columns (`delta.generationExpression` field metadata)
+    * of the table: name -> generation SQL.
+    */
+  private def generatedOf(schema: StructType): Map[String, String] =
+    schema.fields.flatMap(f =>
+      if (f.metadata.contains("delta.generationExpression"))
+        Some(f.name -> f.metadata.getString("delta.generationExpression"))
+      else None).toMap
+
+  /** Every row-level check a batch must pass before landing: declared
+    * CHECK constraints plus one null-safe EQUALITY per generated
+    * column (the protocol's writer contract — a writer providing the
+    * column's value must prove it equals the generation expression;
+    * [[write]] computes omitted ones instead).
+    */
+  private def rowChecksOf(st: LogState): Map[String, String] =
+    constraintsOf(st.configuration) ++
+      generatedOf(st.schema).map { case (n, g) =>
+        s"generated:$n" -> s"`$n` <=> ($g)" }
+
+  /** Stamp a GENERATED ALWAYS AS expression on `name`: computes the
+    * column when `df` lacks it, and records the generation expression
+    * in the field metadata so [[write]] persists it in the table
+    * schema — from then on every writer path computes or validates
+    * it. The creation-side helper (real DDL would carry it in the
+    * CREATE TABLE column list).
+    */
+  def withGeneratedColumn(df: DataFrame, name: String,
+      sqlExpr: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val withCol =
+      if (df.schema.fieldNames.contains(name)) df
+      else df.withColumn(name, expr(sqlExpr))
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(withCol.schema(name).metadata)
+      .putString("delta.generationExpression", sqlExpr).build()
+    withCol.withMetadata(name, meta)
+  }
 
   /** Enforce CHECK constraints on rows about to land: every
     * constraint must evaluate TRUE on every row (a NULL result is a
@@ -2543,21 +2583,33 @@ object DeltaLake {
 
     val st0 = stateOpt()
     val (schema0, parts0) = resolveAgainst(st0)
-    require(parts0.forall(df.schema.fieldNames.contains),
+    require(parts0.forall(p => df.schema.fieldNames.contains(p) ||
+        generatedOf(StructType(schema0)).contains(p)),
       s"DeltaLake.write: the batch must carry every partition column " +
         s"(${parts0.mkString(",")}) — a null-filled partition column " +
-        "would land every row in the default partition")
+        "would land every row in the default partition (GENERATED " +
+        "partition columns are computed and may be omitted)")
     // align the batch to the table schema: table column order, missing
     // data columns null-filled (the reader's evolution contract)
+    // missing GENERATED columns are COMPUTED (the writer contract);
+    // other missing data columns null-fill (the evolution contract)
+    val gen0 = generatedOf(schema0)
     val aligned = df.select(schema0.map { f =>
       if (df.schema.fieldNames.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      else gen0.get(f.name)
+        .map(g => org.apache.spark.sql.functions.expr(g)
+          .cast(f.dataType).as(f.name))
+        .getOrElse(lit(null).cast(f.dataType).as(f.name))
     }: _*)
-    // CHECK constraints: declared at creation (properties) or on the
-    // existing table — the batch must satisfy them BEFORE any file
-    // lands
-    enforceConstraints(aligned, constraintsOf(
-      st0.map(_.configuration).getOrElse(properties)), path, "write")
+    // row checks — CHECK constraints (creation properties or the
+    // existing table's) + generated-column equalities for values the
+    // BATCH provided — must pass BEFORE any file lands
+    enforceConstraints(aligned,
+      st0.map(rowChecksOf).getOrElse(
+        constraintsOf(properties) ++
+          generatedOf(StructType(schema0)).map { case (n, g) =>
+            s"generated:$n" -> s"`$n` <=> ($g)" }),
+      path, "write")
     val adds = addFileActions(spark, path, aligned, parts0)
 
     var attempt = 0
@@ -2755,7 +2807,7 @@ object DeltaLake {
     // satisfy them (unchanged rows passed at their own write time)
     enforceConstraints(
       applySet(readFiles(spark, path, st, hits).filter(predicate)),
-      constraintsOf(st.configuration), path, "update")
+      rowChecksOf(st), path, "update")
     val cdc =
       if (!cdfEnabled(st)) Seq.empty
       else {
@@ -2859,9 +2911,9 @@ object DeltaLake {
       def rewritten = replaced(joined)
       val insertRows =
         inserts.select(st.schema.fieldNames.toIndexedSeq.map(col): _*)
-      // CHECK constraints: matched replacements + inserts must satisfy
+      // row checks: matched replacements + inserts must satisfy
       locally {
-        val cs = constraintsOf(st.configuration)
+        val cs = rowChecksOf(st)
         if (cs.nonEmpty) {
           if (hits.nonEmpty) enforceConstraints(
             replaced(joined.filter(col("__m").isNotNull)), cs, path,
@@ -3020,10 +3072,10 @@ object DeltaLake {
         .map(f => col(s"__v_$f").as(f))
       def rewritten = resolved
         .filter(!(col("__outcome") <=> "delete")).select(newCols: _*)
-      // CHECK constraints: rows an update produced + inserts must
-      // satisfy (deletes and untouched rows cannot violate)
+      // row checks: rows an update produced + inserts must satisfy
+      // (deletes and untouched rows cannot violate)
       locally {
-        val cs = constraintsOf(st.configuration)
+        val cs = rowChecksOf(st)
         if (cs.nonEmpty) {
           if (hits.nonEmpty) enforceConstraints(
             resolved.filter(col("__outcome") === "update")
@@ -3911,8 +3963,7 @@ object DeltaLake {
           s"$unsupported this writer does not implement — committing " +
           "anyway would violate the table's contract")
       requireNoRowContracts(st, tableDir, "sink")
-      enforceConstraints(df, constraintsOf(st.configuration),
-        tableDir, "sink")
+      enforceConstraints(df, rowChecksOf(st), tableDir, "sink")
       require(!overwrite ||
           !st.configuration.get("delta.appendOnly").contains("true"),
         s"graft-deltalake sink: $tableDir is delta.appendOnly — " +

@@ -62,6 +62,15 @@ object StatsSkip {
         // for supplementary characters (surrogates sort above U+E000)
         case _: StringType =>
           Some(compareCodePoints(a.toString, b.toString))
+        // DATE partition values and stats serialize as ISO yyyy-MM-dd,
+        // and the literal (java.sql.Date / LocalDate) renders the same
+        // — fixed-width ISO compares correctly as code points. Guarded
+        // to the 10-char shape: pre-epoch/expanded-year renderings
+        // ("+10000-…", "-0044-…") are not fixed-width, so they fall to
+        // None (keep the file) instead of a wrong proof.
+        case _: DateType
+            if a.toString.length == 10 && b.toString.length == 10 =>
+          Some(compareCodePoints(a.toString, b.toString))
         case _ => None
       } catch { case _: NumberFormatException => None }
 

@@ -195,8 +195,9 @@ class DeltaWriteSpec extends AnyFunSuite with SparkFixture {
       s"table id silently re-keyed by evolution: $evo")
   }
 
-  test("declared GENERATED columns are refused — this writer does not " +
-      "compute generation expressions") {
+  test("declared GENERATED columns are computed/validated (r15, " +
+      "formerly refused): wrong provided values refuse, omitted " +
+      "values compute") {
     val dir = freshDir("gencol")
     val schema = new org.apache.spark.sql.types.StructType()
       .add("id", org.apache.spark.sql.types.LongType)
@@ -208,10 +209,16 @@ class DeltaWriteSpec extends AnyFunSuite with SparkFixture {
     stageBareTable(dir,
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
       "{}", schema)
+    // frame provides v = "v1".. which diverges from CAST(id AS STRING)
     val e = intercept[IllegalArgumentException] {
       DeltaLake.write(spark, dir, frame(1 to 3))
     }
-    assert(e.getMessage.contains("GENERATED"))
+    assert(e.getMessage.contains("generated:v"), e.getMessage)
+    // omitting v: computed per the generation expression
+    DeltaLake.write(spark, dir,
+      (1 to 3).map(_.toLong).toDF("id"))
+    assert(DeltaLake.snapshot(spark, dir)
+      .filter(col("v") === col("id").cast("string")).count() == 3)
   }
 
   test("creation properties: unmappable protocol-backed keys are " +
