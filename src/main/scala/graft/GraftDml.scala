@@ -225,22 +225,30 @@ object GraftDml {
           "writer, then merge")
         val tOut = stripAliases(m.targetTable).outputSet
         val sOut = m.sourceTable.outputSet
-        val keys = splitConjuncts(m.mergeCondition).map {
-          case EqualTo(a: AttributeReference, b: AttributeReference)
-              if tOut.contains(a) && sOut.contains(b) &&
-                a.name.equalsIgnoreCase(b.name) => a.name
-          case EqualTo(b: AttributeReference, a: AttributeReference)
-              if tOut.contains(a) && sOut.contains(b) &&
-                a.name.equalsIgnoreCase(b.name) => a.name
-          case other => refuse(s"$stmt: ON must be a conjunction of " +
-            s"same-name target/source column equalities, got " +
-            s"'${other.sql}'")
-        }
+        // ON = same-name key equalities (file locality) + optional
+        // EXTRA conjuncts refining the match (lowered per the matched
+        // scope; the writers treat key-equal-but-extra-failed pairs
+        // as NOT matched on both sides)
+        val (keyConjuncts, extraConjuncts) =
+          splitConjuncts(m.mergeCondition).partitionMap {
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if tOut.contains(a) && sOut.contains(b) &&
+                  a.name.equalsIgnoreCase(b.name) => Left(a.name)
+            case EqualTo(b: AttributeReference, a: AttributeReference)
+                if tOut.contains(a) && sOut.contains(b) &&
+                  a.name.equalsIgnoreCase(b.name) => Left(a.name)
+            case other => Right(other)
+          }
+        val keys = keyConjuncts
+        refuseIf(keys.isEmpty, s"$stmt: ON must contain at least one " +
+          "same-name target/source key equality — a pure theta-ON " +
+          "has no file locality to exploit")
         val targetCols = stripAliases(m.targetTable).output.map(_.name)
         // the CANONICAL UPSERT routes to the lean native merge; every
         // other legal clause combination lowers to the general-form
         // writer ([[MergeActions]]) below
-        val canonical = m.notMatchedBySourceActions.isEmpty &&
+        val canonical = extraConjuncts.isEmpty &&
+          m.notMatchedBySourceActions.isEmpty &&
           (m.matchedActions match {
             case Seq(ua: UpdateAction) if ua.condition.isEmpty =>
               isAllColumnCopy(ua.assignments, targetCols, sOut)
@@ -336,13 +344,17 @@ object GraftDml {
               case other => refuse(s"$stmt: unsupported WHEN NOT " +
                 s"MATCHED BY SOURCE action '$other'")
             }
+          val extra: Option[Column] =
+            if (extraConjuncts.isEmpty) None
+            else Some(extraConjuncts.map(lowerMixed)
+              .reduce(_ && _))
           GraftDmlCommand(stmt, spark => {
             val src = GraftSql.ofRows(spark, source)
             commitVia(t,
               DeltaLake.mergeGeneral(spark, t.entry.path, src, keys,
-                matchedActs, insertActs, bySourceActs),
+                matchedActs, insertActs, bySourceActs, extra),
               Iceberg.mergeGeneral(spark, t.entry.path, src, keys,
-                matchedActs, insertActs, bySourceActs))
+                matchedActs, insertActs, bySourceActs, extra))
           })
         }
       }.orElse(pathTargetOf(m.targetTable).map { pt =>

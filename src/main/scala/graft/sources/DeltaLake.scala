@@ -2987,7 +2987,8 @@ object DeltaLake {
       keys: Seq[String],
       matched: Seq[MergeActions.Matched] = Seq.empty,
       notMatched: Seq[MergeActions.NotMatchedInsert] = Seq.empty,
-      notMatchedBySource: Seq[MergeActions.BySource] = Seq.empty): Long = {
+      notMatchedBySource: Seq[MergeActions.BySource] = Seq.empty,
+      matchExtra: Option[org.apache.spark.sql.Column] = None): Long = {
     import MergeActions._
     val st = replay(spark, path, None)
     requireWritable(st, path, "mergeGeneral")
@@ -3035,16 +3036,23 @@ object DeltaLake {
         df.select(col("_metadata.file_path")).distinct()
           .as[String](org.apache.spark.sql.Encoders.STRING)
           .collect().map(metaPathToLocal).toSet
+      // the MATCH condition beyond key equality (`ON t.k = s.k AND
+      // <extra>`): scoped per MergeActions — target plain, source via
+      // src(). Every probe below pairs the plain-target frame with an
+      // all-__s_-renamed source frame, so ONE lowering serves all.
+      val sRenAll = src.select(
+        srcCols.map(c => col(c).as(s"$SrcPrefix$c")): _*)
+      val pairCond = keys.map(k => col(k) === col(s"$SrcPrefix$k"))
+        .reduce(_ && _) && matchExtra.getOrElse(lit(true))
       val matchedPaths =
         if (matched.isEmpty) Set.empty[String]
-        else pathsOf(target.join(src, keys, "left_semi"))
+        else pathsOf(target.join(sRenAll, pairCond, "left_semi"))
       val bySourcePaths =
         if (notMatchedBySource.isEmpty) Set.empty[String]
         else {
           val applies = notMatchedBySource
             .map(_.cond.getOrElse(lit(true))).reduce(_ || _)
-          pathsOf(target
-            .join(src.select(keys.map(col): _*), keys, "left_anti")
+          pathsOf(target.join(sRenAll, pairCond, "left_anti")
             .filter(applies))
         }
       val hitPaths = matchedPaths ++ bySourcePaths
@@ -3052,21 +3060,31 @@ object DeltaLake {
         hitPaths.contains(new java.io.File(resolve(path, a.path))
           .getAbsolutePath))
       // NULL-key source rows match nothing → NOT MATCHED (inserted if
-      // an insert action applies; the anti join keeps them)
+      // an insert action applies; the anti join keeps them). A source
+      // row whose key matches but whose extra condition fails is NOT
+      // MATCHED too — the anti join carries the full pair condition.
       val insertRows =
         if (notMatched.isEmpty) spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           st.schema)
         else MergeActions.resolveInserts(st.schema,
-          src.join(readFiles(spark, path, st, st.adds)
-            .select(keys.map(col): _*), keys, "left_anti"), notMatched)
+          sRenAll.join(readFiles(spark, path, st, st.adds),
+            pairCond, "left_anti")
+            .select(srcCols.map(c =>
+              col(s"$SrcPrefix$c").as(c)): _*), notMatched)
       if (hits.isEmpty && insertRows.isEmpty) return -1L
       val sRen = src.select(keys.map(col) ++
         srcCols.map(c => col(c).as(s"$SrcPrefix$c")) :+
         lit(true).as("__m"): _*)
+      import org.apache.spark.sql.functions.when
+      def joinedRefined = readFiles(spark, path, st, hits)
+        .join(sRen, keys.toSeq, "left")
+        // refine the match marker with the extra condition: a
+        // key-equal pair failing it is NOT matched (by-source scope)
+        .withColumn("__m", when(col("__m").isNotNull &&
+          matchExtra.getOrElse(lit(true)), lit(true)))
       def resolved = MergeActions.resolveRows(st.schema, keys,
-        readFiles(spark, path, st, hits).join(sRen, keys.toSeq, "left"),
-        matched, notMatchedBySource)
+        joinedRefined, matched, notMatchedBySource)
       val origCols = st.schema.fieldNames.toIndexedSeq.map(col)
       val newCols = st.schema.fieldNames.toIndexedSeq
         .map(f => col(s"__v_$f").as(f))

@@ -3001,8 +3001,9 @@ object Iceberg {
       source: DataFrame, keys: Seq[String],
       matched: Seq[MergeActions.Matched] = Seq.empty,
       notMatched: Seq[MergeActions.NotMatchedInsert] = Seq.empty,
-      notMatchedBySource: Seq[MergeActions.BySource] = Seq.empty): Long = {
-    import org.apache.spark.sql.functions.{col, lit}
+      notMatchedBySource: Seq[MergeActions.BySource] = Seq.empty,
+      matchExtra: Option[org.apache.spark.sql.Column] = None): Long = {
+    import org.apache.spark.sql.functions.{col, lit, when}
     import spark.implicits._
     import MergeActions._
     val cur = resolve(spark, tableDir, None)
@@ -3051,16 +3052,20 @@ object Iceberg {
       def pathsOf(df: DataFrame): Set[String] =
         df.select(col("_metadata.file_path")).distinct()
           .as[String].collect().map(uriToLocal).toSet
+      // pair condition beyond key equality — see the Delta twin
+      val sRenAll = src.select(
+        srcCols.map(c => col(c).as(s"$SrcPrefix$c")): _*)
+      val pairCond = keys.map(k => col(k) === col(s"$SrcPrefix$k"))
+        .reduce(_ && _) && matchExtra.getOrElse(lit(true))
       val matchedPaths =
         if (matched.isEmpty) Set.empty[String]
-        else pathsOf(target.join(src, keys, "left_semi"))
+        else pathsOf(target.join(sRenAll, pairCond, "left_semi"))
       val bySourcePaths =
         if (notMatchedBySource.isEmpty) Set.empty[String]
         else {
           val applies = notMatchedBySource
             .map(_.cond.getOrElse(lit(true))).reduce(_ || _)
-          pathsOf(target
-            .join(src.select(keys.map(col): _*), keys, "left_anti")
+          pathsOf(target.join(sRenAll, pairCond, "left_anti")
             .filter(applies))
         }
       val hitPaths = matchedPaths ++ bySourcePaths
@@ -3071,8 +3076,10 @@ object Iceberg {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           cur.schema)
         else MergeActions.resolveInserts(cur.schema,
-          src.join(scanOf(spark, tableDir, cur)
-            .select(keys.map(col): _*), keys, "left_anti"), notMatched)
+          sRenAll.join(scanOf(spark, tableDir, cur), pairCond,
+            "left_anti")
+            .select(srcCols.map(c =>
+              col(s"$SrcPrefix$c").as(c)): _*), notMatched)
       if (hits.isEmpty && insertRows.isEmpty) return -1L
       val sRen = src.select(keys.map(col) ++
         srcCols.map(c => col(c).as(s"$SrcPrefix$c")) :+
@@ -3083,7 +3090,9 @@ object Iceberg {
         if (hits.isEmpty) insertRows
         else MergeActions.resolveRows(cur.schema, keys,
           scanOf(spark, tableDir, cur.copy(files = hits))
-            .join(sRen, keys.toSeq, "left"),
+            .join(sRen, keys.toSeq, "left")
+            .withColumn("__m", when(col("__m").isNotNull &&
+              matchExtra.getOrElse(lit(true)), lit(true))),
           matched, notMatchedBySource)
           .filter(!(col("__outcome") <=> "delete"))
           .select(newCols: _*)

@@ -217,6 +217,68 @@ class MergeGeneralSpec extends AnyFunSuite with SparkFixture {
     assert(got == expected)
   }
 
+  test("EXTRA ON conjuncts refine the match: key-equal pairs failing " +
+      "the extra are NOT MATCHED on both sides (insert + by-source)") {
+    val dir = freshDir("extra")
+    DeltaLake.write(spark, dir, target) // ids 1..10, v = id*10
+    // ON t.id = s.id AND s.flag = 1: matched = odd source ids 5,7,9;
+    // evens 4,6,8,10 key-match but fail the extra → their source rows
+    // INSERT (dup ids by SQL semantics) and their target rows fall to
+    // the BY SOURCE scope; 11..13 have no key match
+    DeltaLake.mergeGeneral(spark, dir,
+      source.withColumn("v", col("sv")), Seq("id"),
+      matched = Seq(MatchedUpdate(None, Some(Map("v" -> src("sv"))))),
+      notMatched = Seq(NotMatchedInsert(Some(col("flag") === 0), None)),
+      notMatchedBySource =
+        Seq(BySourceUpdate(Some(col("id") === 1), Map("v" -> lit(0.0)))),
+      matchExtra = Some(src("flag") === 1))
+    val got = DeltaLake.snapshot(spark, dir).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    val exp = (
+      // targets: 1 by-source-updated; 2,3,4,6,8,10 untouched
+      // (4..10 evens are NOT matched under the extra); 5,7,9 updated
+      Seq((1L, 0.0), (2L, 20.0), (3L, 30.0), (4L, 40.0), (6L, 60.0),
+        (8L, 80.0), (10L, 100.0),
+        (5L, 500.0), (7L, 700.0), (9L, 900.0)) ++
+      // inserts: flag=0 not-matched source rows — key-equal evens
+      // 4,6,8,10 (extra failed) and 12
+      Seq(4L, 6L, 8L, 10L, 12L).map(i => (i, i * 100.0))
+    ).sorted
+    assert(got == exp)
+  }
+
+  test("SQL bridge: ON with an extra conjunct routes to the general " +
+      "writer; a pure theta ON still refuses") {
+    val wh = freshDir("sqlextra")
+    DeltaLake.write(spark, new java.io.File(wh, "t").getAbsolutePath,
+      target)
+    GraftCatalog.register(spark, wh, "db.t", "graft-deltalake", "t")
+    spark.conf.set("spark.sql.catalog.mext",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mext.warehouse", wh)
+    source.createOrReplaceTempView("mrg_xsrc")
+    spark.sql(
+      """MERGE INTO mext.db.t t
+        |USING mrg_xsrc s
+        |ON t.id = s.id AND s.flag = 1 AND t.v < 800
+        |WHEN MATCHED THEN UPDATE SET v = s.sv""".stripMargin)
+    val got = spark.sql("SELECT id, v FROM mext.db.t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // matched under BOTH extras: odd ids 5,7 (9 fails t.v < 800? v=90
+    // — 90 < 800 matches; 9 -> 900) — odds 5,7,9 all have v < 800
+    val exp = (1L to 10L).map(i =>
+      (i, if (i >= 4 && i % 2 == 1) i * 100.0 else i * 10.0)).toSet
+    assert(got == exp)
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(
+        """MERGE INTO mext.db.t t
+          |USING mrg_xsrc s
+          |ON t.id < s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.sv""".stripMargin)
+    }
+    assert(e.getMessage.contains("key equality"), e.getMessage)
+  }
+
   test("SQL bridge: conditional matched UPDATE on a PARTITIONED " +
       "target — the analyzer's identity fill-ins on the partition " +
       "column are tolerated (no-move no-ops)") {
