@@ -40,10 +40,12 @@ case class GraftDmlCommand(statement: String, body: SparkSession => Unit)
   *
   * Scope is the native writers' scope, refused loudly beyond it:
   * no subqueries in predicates (materialize and use the library API),
-  * MERGE must be the canonical upsert shape (ON key equality +
-  * `UPDATE SET *` + optional `INSERT *`; no action conditions, no
-  * `NOT MATCHED BY SOURCE`, no schema evolution), and a time-traveled
-  * relation is not a write target.
+  * MERGE needs at least one same-name key equality in ON (extra
+  * conjuncts refine the match; canonical upserts route to the lean
+  * native merge, every other clause combination — conditional
+  * matched UPDATE/DELETE, explicit value lists, NOT MATCHED BY
+  * SOURCE — to the general-form writers; WITH SCHEMA EVOLUTION
+  * refuses), and a time-traveled relation is not a write target.
   *
   * Like the INSERT bridge and [[GraftCatalog.transaction]], staging is
   * HEAD-BASED: the DML commits on the TABLE's current head and the
