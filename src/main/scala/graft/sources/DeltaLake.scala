@@ -1244,6 +1244,9 @@ object DeltaLake {
       properties: Map[String, String] = Map.empty): String = {
     val generated = schema.fields.exists(
       _.metadata.contains("delta.generationExpression"))
+    val identity = schema.fields.exists(f =>
+      f.metadata.contains("delta.identity.start") ||
+        f.metadata.contains("delta.identity.step"))
     val cdf =
       properties.get("delta.enableChangeDataFeed").contains("true")
     val ict =
@@ -1263,9 +1266,13 @@ object DeltaLake {
         (if (ict) Seq("inCommitTimestamp") else Seq.empty) ++
         (if (cdf) Seq("changeDataFeed") else Seq.empty) ++
         (if (constraints) Seq("checkConstraints") else Seq.empty) ++
-        (if (generated) Seq("generatedColumns") else Seq.empty)
+        (if (generated) Seq("generatedColumns") else Seq.empty) ++
+        (if (identity) Seq("identityColumns") else Seq.empty)
       DeltaProtocol(if (rf.nonEmpty) 3 else 1, 7, rf, wf).json
     }
+    else if (identity)
+      // identityColumns' legacy home
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}"""
     else if (cdf || generated)
       // the legacy home of changeDataFeed AND generatedColumns
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
@@ -2293,16 +2300,16 @@ object DeltaLake {
     * any of these (it only removes rows), so [[delete]] skips this.
     */
   private def requireNoRowContracts(st: LogState, path: String,
-      op: String): Unit = {
+      op: String, allowIdentity: Boolean = false): Unit = {
     require(!st.schema.fields.exists(
         _.metadata.contains("delta.invariants")),
       s"DeltaLake.$op: $path declares column invariants this writer " +
         "does not evaluate")
-    require(!st.schema.fields.exists(f => f.metadata.contains(
-        "delta.identity.start") || f.metadata.contains(
-        "delta.identity.step")),
-      s"DeltaLake.$op: $path declares IDENTITY columns this writer " +
-        "does not allocate")
+    require(allowIdentity || !st.schema.fields.exists(f =>
+        f.metadata.contains("delta.identity.start") ||
+          f.metadata.contains("delta.identity.step")),
+      s"DeltaLake.$op: $path declares IDENTITY columns — only the " +
+        "batch writer allocates them; route new rows through write()")
   }
 
   /** CHECK constraints declared on the table
@@ -2321,6 +2328,71 @@ object DeltaLake {
       if (f.metadata.contains("delta.generationExpression"))
         Some(f.name -> f.metadata.getString("delta.generationExpression"))
       else None).toMap
+
+  private final case class IdentitySpec(start: Long, step: Long,
+      allowExplicit: Boolean, highWater: Option[Long])
+
+  /** IDENTITY columns (`delta.identity.*` field metadata): name ->
+    * (start, step, allowExplicitInsert, highWaterMark).
+    */
+  private def identityOf(schema: StructType): Map[String, IdentitySpec] =
+    schema.fields.flatMap { f =>
+      val m = f.metadata
+      if (m.contains("delta.identity.start") ||
+          m.contains("delta.identity.step"))
+        Some(f.name -> IdentitySpec(
+          if (m.contains("delta.identity.start"))
+            m.getLong("delta.identity.start") else 1L,
+          if (m.contains("delta.identity.step"))
+            m.getLong("delta.identity.step") else 1L,
+          m.contains("delta.identity.allowExplicitInsert") &&
+            m.getBoolean("delta.identity.allowExplicitInsert"),
+          if (m.contains("delta.identity.highWaterMark"))
+            Some(m.getLong("delta.identity.highWaterMark")) else None))
+      else None
+    }.toMap
+
+  /** Stamp an IDENTITY column on a creation frame (`GENERATED ALWAYS
+    * AS IDENTITY` / `BY DEFAULT` with `allowExplicitInsert`): the
+    * column must be ABSENT from the frame — the writer allocates it.
+    * Values are unique and step-directional but NOT contiguous
+    * (allocation rides `monotonically_increasing_id`, whose
+    * per-partition blocks leave gaps — the protocol permits gaps, and
+    * contiguity would serialize the write).
+    */
+  def withIdentityColumn(df: DataFrame, name: String, start: Long = 1L,
+      step: Long = 1L, allowExplicitInsert: Boolean = false): DataFrame = {
+    require(step != 0L, "DeltaLake.withIdentityColumn: step must be " +
+      "non-zero")
+    require(!df.schema.fieldNames.contains(name),
+      s"DeltaLake.withIdentityColumn: '$name' exists in the frame — " +
+        "identity values are writer-allocated; leave the column out")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("delta.identity.start", start)
+      .putLong("delta.identity.step", step)
+      .putBoolean("delta.identity.allowExplicitInsert",
+        allowExplicitInsert)
+      .build()
+    df.withColumn(name,
+      lit(null).cast(org.apache.spark.sql.types.LongType))
+      .withMetadata(name, meta)
+  }
+
+  /** `schema` with each identity column's highWaterMark metadata
+    * advanced to `newHighs` (identity of the rest).
+    */
+  private def withHighWater(schema: StructType,
+      newHighs: Map[String, Long]): StructType =
+    if (newHighs.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      newHighs.get(f.name) match {
+        case Some(h) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("delta.identity.highWaterMark", h).build())
+        case None => f
+      }
+    })
 
   /** Every row-level check a batch must pass before landing: declared
     * CHECK constraints plus one null-safe EQUALITY per generated
@@ -2553,7 +2625,8 @@ object DeltaLake {
               "old AND new content; delete+append explicitly if that " +
               "diff is really wanted (appends synthesize inserts and " +
               "need no change files)")
-          requireNoRowContracts(s, path, "write")
+          requireNoRowContracts(s, path, "write",
+            allowIdentity = true)
           val parts =
             if (partitionBy.isEmpty) s.partitionColumns else partitionBy
           require(s.partitionColumns == parts,
@@ -2592,14 +2665,39 @@ object DeltaLake {
     // align the batch to the table schema: table column order, missing
     // data columns null-filled (the reader's evolution contract)
     // missing GENERATED columns are COMPUTED (the writer contract);
-    // other missing data columns null-fill (the evolution contract)
+    // IDENTITY columns ALLOCATE for null/omitted values (unique,
+    // step-directional, gap-tolerant — monotonically_increasing_id
+    // blocks, base = the high-water mark); other missing data columns
+    // null-fill (the evolution contract)
     val gen0 = generatedOf(schema0)
+    val id0 = identityOf(StructType(schema0))
+    id0.foreach { case (n, spec) =>
+      if (!spec.allowExplicit && df.schema.fieldNames.contains(n)) {
+        val provided = df.agg(count(col(n))).head().getLong(0)
+        require(provided == 0L,
+          s"DeltaLake.write: identity column '$n' is GENERATED " +
+            s"ALWAYS — the batch provides $provided value(s); create " +
+            "it with allowExplicitInsert, or omit the column")
+      }
+    }
     val aligned = df.select(schema0.map { f =>
-      if (df.schema.fieldNames.contains(f.name)) col(f.name)
-      else gen0.get(f.name)
-        .map(g => org.apache.spark.sql.functions.expr(g)
-          .cast(f.dataType).as(f.name))
-        .getOrElse(lit(null).cast(f.dataType).as(f.name))
+      id0.get(f.name) match {
+        case Some(spec) =>
+          val base = spec.highWater.getOrElse(spec.start - spec.step)
+          val alloc = (lit(base) + lit(spec.step) *
+            (org.apache.spark.sql.functions
+              .monotonically_increasing_id() + 1L))
+            .cast(f.dataType)
+          (if (df.schema.fieldNames.contains(f.name))
+            org.apache.spark.sql.functions.coalesce(col(f.name), alloc)
+          else alloc).as(f.name)
+        case None =>
+          if (df.schema.fieldNames.contains(f.name)) col(f.name)
+          else gen0.get(f.name)
+            .map(g => org.apache.spark.sql.functions.expr(g)
+              .cast(f.dataType).as(f.name))
+            .getOrElse(lit(null).cast(f.dataType).as(f.name))
+      }
     }: _*)
     // row checks — CHECK constraints (creation properties or the
     // existing table's) + generated-column equalities for values the
@@ -2611,11 +2709,44 @@ object DeltaLake {
             s"generated:$n" -> s"`$n` <=> ($g)" }),
       path, "write")
     val adds = addFileActions(spark, path, aligned, parts0)
+    // the allocated identity high-water marks come from the LANDED
+    // files' own stats (no re-execution of the allocation expression)
+    val newHighs: Map[String, Long] =
+      if (id0.isEmpty) Map.empty
+      else id0.flatMap { case (n, spec) =>
+        val vals = adds.flatMap { a =>
+          Option(M.readTree(a).get("add"))
+            .flatMap(ad => Option(ad.get("stats"))).map(_.asText)
+            .map(M.readTree)
+            .flatMap(stn => Option(stn.get(
+              if (spec.step > 0) "maxValues" else "minValues")))
+            .flatMap(mv => Option(mv.get(n))).filterNot(_.isNull)
+            .map(_.asLong)
+        }
+        if (vals.isEmpty) None
+        else Some(n ->
+          (if (spec.step > 0) vals.max else vals.min))
+      }
 
     var attempt = 0
     while (attempt <= maxRetries) {
       val st = if (attempt == 0) st0 else stateOpt()
       val (schemaOut, parts) = resolveAgainst(st)
+      // IDENTITY RACE: the allocation based on st0's high-water mark
+      // is baked into the landed files — if a concurrent writer
+      // advanced the mark since, our values may collide; fail loudly
+      // (re-run re-allocates), never commit possible duplicates
+      if (newHighs.nonEmpty) st.foreach { sNow =>
+        val idNow = identityOf(sNow.schema)
+        id0.foreach { case (n, spec) =>
+          val nowHw = idNow.get(n).flatMap(_.highWater)
+          if (nowHw != spec.highWater)
+            throw new java.util.ConcurrentModificationException(
+              s"DeltaLake.write: identity column '$n' advanced " +
+                s"concurrently (allocated from ${spec.highWater}, " +
+                s"table now at $nowHw) — re-run the write")
+        }
+      }
       // the data files already landed under parts0: a concurrent
       // writer creating/evolving the table with a DIFFERENT layout
       // between attempts must fail this write loudly — committing the
@@ -2633,21 +2764,22 @@ object DeltaLake {
       // overwrite silently build over the interloper
       val next = st.map(_.version + 1).getOrElse(0L)
       val actions = mutable.Buffer.empty[String]
+      val schemaFinal = withHighWater(schemaOut, newHighs)
       st match {
         case None =>
           // the enablement commit honors the properties it declares:
           // an ICT table's FIRST commit already carries the timestamp
           actions ++= ictAction(properties, "CREATE TABLE", path)
-          actions += protocolActionFor(schemaOut, properties)
-          actions += metaAction(path, schemaOut, parts, properties)
+          actions += protocolActionFor(schemaFinal, properties)
+          actions += metaAction(path, schemaFinal, parts, properties)
         case Some(s) =>
           actions ++= ictAction(s.configuration,
             if (mode == "append") "WRITE" else "OVERWRITE", path)
-          if (schemaHasVariant(schemaOut) &&
+          if (schemaHasVariant(schemaFinal) &&
               !s.protocol.readerFeatures.contains("variantType-preview"))
             protocolUnion(s.protocol, "variantType").foreach(actions += _)
-          if (s.schema.json != schemaOut.json)
-            actions += metaAction(path, schemaOut, parts,
+          if (s.schema.json != schemaFinal.json)
+            actions += metaAction(path, schemaFinal, parts,
               s.configuration, s.tableId)
           if (mode == "overwrite")
             s.adds.foreach(a => actions += removeAction(a, dataChange = true))

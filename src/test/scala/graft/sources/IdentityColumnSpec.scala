@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** IDENTITY columns, allocated (formerly refused):
+  * [[DeltaLake.withIdentityColumn]] stamps `delta.identity.*` at
+  * creation; [[DeltaLake.write]] allocates unique step-directional
+  * values for null/omitted entries (gaps permitted — block
+  * allocation), advances `delta.identity.highWaterMark` from the
+  * LANDED files' stats in the same commit's metaData, refuses
+  * explicit values on GENERATED ALWAYS columns, and fails loudly when
+  * a concurrent writer advanced the mark under an in-flight
+  * allocation. DML paths keep refusing (only the batch writer
+  * allocates).
+  */
+class IdentityColumnSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_idn_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def frame(r: Range) =
+    r.map(i => (s"v$i", i * 1.0)).toDF("v", "x")
+
+  test("allocation: unique increasing values across batches, high " +
+      "water persisted, explicit values refused on GENERATED ALWAYS") {
+    val dir = freshDir("alloc")
+    DeltaLake.write(spark, dir,
+      DeltaLake.withIdentityColumn(frame(1 to 10).repartition(3),
+        "id", start = 100L, step = 5L))
+    val first = DeltaLake.snapshot(spark, dir)
+      .select("id").as[Long].collect()
+    assert(first.length == 10 && first.distinct.length == 10,
+      s"identity values must be unique: ${first.toSeq}")
+    assert(first.forall(v => v >= 100L && (v - 100L) % 5L == 0L),
+      s"values must be start + k*step: ${first.toSeq}")
+    // the high-water mark persisted into the table schema
+    val hw1 = DeltaLake.snapshot(spark, dir).schema("id").metadata
+      .getLong("delta.identity.highWaterMark")
+    assert(hw1 == first.max)
+    // a second batch (column omitted) allocates strictly PAST it
+    DeltaLake.write(spark, dir, frame(11 to 15).coalesce(1))
+    val second = DeltaLake.snapshot(spark, dir)
+      .select("id").as[Long].collect()
+    assert(second.length == 15 && second.distinct.length == 15)
+    assert(second.count(_ > hw1) == 5,
+      "the appended batch must allocate past the high-water mark")
+    // explicit values refuse (GENERATED ALWAYS)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.write(spark, dir,
+        Seq((999L, "x", 0.0)).toDF("id", "v", "x"))
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+    // DML paths refuse identity tables (only the writer allocates)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLake.update(spark, dir, col("x") === 1.0,
+        Map("v" -> org.apache.spark.sql.functions.lit("y")))
+    }
+    assert(e2.getMessage.contains("IDENTITY"), e2.getMessage)
+  }
+
+  test("BY DEFAULT (allowExplicitInsert): provided values kept, nulls " +
+      "allocated; negative step allocates downward") {
+    val dir = freshDir("bydef")
+    DeltaLake.write(spark, dir,
+      DeltaLake.withIdentityColumn(frame(1 to 5), "id",
+        start = 1L, step = 1L, allowExplicitInsert = true))
+    // a mixed batch: one explicit value, nulls allocate
+    DeltaLake.write(spark, dir,
+      Seq((Some(777L), "e", 0.0), (None, "f", 0.0))
+        .toDF("id", "v", "x"))
+    val ids = DeltaLake.snapshot(spark, dir)
+      .select("id").as[Long].collect().toSet
+    assert(ids.contains(777L))
+    assert(ids.size == 7)
+    // negative step
+    val d2 = freshDir("neg")
+    DeltaLake.write(spark, d2,
+      DeltaLake.withIdentityColumn(frame(1 to 6), "id",
+        start = -1L, step = -2L))
+    val neg = DeltaLake.snapshot(spark, d2)
+      .select("id").as[Long].collect()
+    assert(neg.forall(_ <= -1L) && neg.distinct.length == 6)
+    val hw = DeltaLake.snapshot(spark, d2).schema("id").metadata
+      .getLong("delta.identity.highWaterMark")
+    assert(hw == neg.min, "negative step: high water is the minimum")
+    DeltaLake.write(spark, d2, frame(7 to 8).coalesce(1))
+    val neg2 = DeltaLake.snapshot(spark, d2)
+      .select("id").as[Long].collect()
+    assert(neg2.distinct.length == 8 && neg2.count(_ < hw) == 2)
+  }
+}
