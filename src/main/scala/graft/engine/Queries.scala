@@ -3882,7 +3882,58 @@ object Queries {
              |  SELECT o_orderpriority, o_totalprice FROM orders
              |  WHERE o_custkey % 9 = 5)
              |GROUP BY pri
-             |ORDER BY pri""".stripMargin))
+             |ORDER BY pri""".stripMargin)),
+
+    // IDENTITY + GENERATED columns through SQL DDL (r15): CREATE with
+    // `GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 7)`
+    // and `GENERATED ALWAYS AS (UPPER(...))`, INSERT by NAME (the
+    // writer allocates rid and computes pri_up). Identity VALUES are
+    // allocation-order-dependent (block allocation is the point), so
+    // the oracle pins their INVARIANTS — count, uniqueness, floor,
+    // step alignment — plus the fully deterministic generated column
+    // via the group-by. Idempotent via DROP.
+    QueryDef("catalog_identity_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.idt")
+        s.sql("CREATE TABLE gdml.ddl.idt (" +
+          "rid BIGINT GENERATED ALWAYS AS IDENTITY " +
+          "(START WITH 1000 INCREMENT BY 7), " +
+          "o_orderpriority STRING, o_totalprice DOUBLE, " +
+          "pri_up STRING GENERATED ALWAYS AS (UPPER(o_orderpriority))" +
+          ") USING `graft-deltalake`")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.idt (o_orderpriority, o_totalprice)
+             |SELECT o_orderpriority, o_totalprice
+             |FROM graft_delta.`$src` WHERE o_custkey % 11 = 2
+             |""".stripMargin)
+        s.sql(
+          """SELECT pri_up, COUNT(*) AS cnt,
+            |  CAST(COUNT(DISTINCT rid) AS BIGINT) AS uniq,
+            |  CAST(MIN(rid) >= 1000 AS BOOLEAN) AS floor_ok,
+            |  CAST(SUM(CASE WHEN (rid - 1000) % 7 = 0 THEN 0 ELSE 1
+            |    END) AS BIGINT) AS off_step,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            |    AS DOUBLE) AS total
+            |FROM gdml.ddl.idt
+            |GROUP BY pri_up
+            |ORDER BY pri_up""".stripMargin)
+      },
+      Some("""SELECT UPPER(o_orderpriority) AS pri_up,
+             |  COUNT(*) AS cnt,
+             |  COUNT(*) AS uniq,
+             |  CAST(TRUE AS BOOLEAN) AS floor_ok,
+             |  CAST(0 AS BIGINT) AS off_step,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS total
+             |FROM orders
+             |WHERE o_custkey % 11 = 2
+             |GROUP BY pri_up
+             |ORDER BY pri_up""".stripMargin))
   )
 
   /** The staged two-commit Delta table the `deltalake_*` queries read:

@@ -2692,11 +2692,23 @@ object DeltaLake {
             org.apache.spark.sql.functions.coalesce(col(f.name), alloc)
           else alloc).as(f.name)
         case None =>
-          if (df.schema.fieldNames.contains(f.name)) col(f.name)
-          else gen0.get(f.name)
-            .map(g => org.apache.spark.sql.functions.expr(g)
-              .cast(f.dataType).as(f.name))
-            .getOrElse(lit(null).cast(f.dataType).as(f.name))
+          (df.schema.fieldNames.contains(f.name), gen0.get(f.name)) match {
+            // a GENERATED column present but NULL computes: the SQL
+            // insert resolver null-fills omitted columns before the
+            // writer sees them, so null-in-batch and omitted are
+            // indistinguishable here — and computing is strictly more
+            // useful (an explicit NULL would just be a violation)
+            case (true, Some(g)) =>
+              org.apache.spark.sql.functions.coalesce(col(f.name),
+                org.apache.spark.sql.functions.expr(g)
+                  .cast(f.dataType)).as(f.name)
+            case (true, None) => col(f.name)
+            case (false, Some(g)) =>
+              org.apache.spark.sql.functions.expr(g)
+                .cast(f.dataType).as(f.name)
+            case (false, None) =>
+              lit(null).cast(f.dataType).as(f.name)
+          }
       }
     }: _*)
     // row checks — CHECK constraints (creation properties or the

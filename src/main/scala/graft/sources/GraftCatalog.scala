@@ -62,6 +62,22 @@ class GraftCatalog extends TableCatalog
 
   override def name(): String = catalogName
 
+  /** DDL features this catalog accepts in CREATE TABLE column lists:
+    * `GENERATED ALWAYS AS (expr)` and `GENERATED ALWAYS AS IDENTITY
+    * (START WITH … INCREMENT BY …)` — Spark encodes both into the
+    * StructType's field metadata, which [[createTable]] translates to
+    * the Delta writer's `delta.generationExpression` /
+    * `delta.identity.*` keys (the writers compute/validate/allocate
+    * them — §U9/U10).
+    */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     GraftCatalog.entries(warehouse).keys.toArray.sorted.map { full =>
       val parts = full.split('.')
@@ -123,6 +139,50 @@ class GraftCatalog extends TableCatalog
     * identity columns for Delta, spec strings (`days(ts)`,
     * `bucket(8, id)`) for Iceberg.
     */
+  /** The V2 COLUMN-LIST create — where `GENERATED ALWAYS AS (expr)`
+    * and `GENERATED ALWAYS AS IDENTITY (START WITH s INCREMENT BY i)`
+    * arrive (the StructType overload never sees them): each spec
+    * translates to the Delta writer's field-metadata contract
+    * (`delta.generationExpression` / `delta.identity.*`) and the
+    * writers take it from there — compute/validate for generated,
+    * allocate for identity. Delta-only surfaces; Iceberg tables
+    * refuse them. DEFAULT values are not implemented — refused.
+    */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val key = GraftCatalog.keyOf(ident)
+    val isDelta =
+      Option(properties.get("provider")).contains("graft-deltalake")
+    val fields = columns.map { c =>
+      require(c.defaultValue() == null,
+        s"graft catalog: CREATE TABLE $key: column '${c.name}' " +
+          "declares a DEFAULT value — not implemented; write the " +
+          "value explicitly (or use a generated column)")
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(c.metadataInJSON()).foreach(j => mb.withMetadata(
+        org.apache.spark.sql.types.Metadata.fromJson(j)))
+      Option(c.generationExpression()).foreach { g =>
+        require(isDelta, s"graft catalog: CREATE TABLE $key: " +
+          s"GENERATED column '${c.name}' is a graft-deltalake " +
+          "surface")
+        mb.putString("delta.generationExpression", g)
+      }
+      Option(c.identityColumnSpec()).foreach { spec =>
+        require(isDelta, s"graft catalog: CREATE TABLE $key: " +
+          s"IDENTITY column '${c.name}' is a graft-deltalake surface")
+        mb.putLong("delta.identity.start", spec.getStart)
+        mb.putLong("delta.identity.step", spec.getStep)
+        mb.putBoolean("delta.identity.allowExplicitInsert",
+          spec.isAllowExplicitInsert)
+      }
+      org.apache.spark.sql.types.StructField(c.name, c.dataType,
+        c.nullable, mb.build())
+    }
+    createTable(ident, StructType(fields), partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: java.util.Map[String, String]): Table = {

@@ -67,6 +67,42 @@ class IdentityColumnSpec extends AnyFunSuite with SparkFixture {
     assert(e2.getMessage.contains("IDENTITY"), e2.getMessage)
   }
 
+  test("SQL DDL end to end: GENERATED ALWAYS AS IDENTITY and " +
+      "GENERATED ALWAYS AS (expr) through CREATE TABLE; INSERT " +
+      "allocates and computes") {
+    val wh = freshDir("sqlddl")
+    spark.conf.set("spark.sql.catalog.idn",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.idn.warehouse", wh)
+    spark.sql("CREATE TABLE idn.db.t (id BIGINT GENERATED ALWAYS AS " +
+      "IDENTITY (START WITH 100 INCREMENT BY 5), v STRING, " +
+      "d STRING GENERATED ALWAYS AS (UPPER(v))) " +
+      "USING `graft-deltalake`")
+    spark.sql("INSERT INTO idn.db.t (v) VALUES ('a'), ('b')")
+    spark.sql("INSERT INTO idn.db.t (v) VALUES ('c')")
+    val rows = spark.sql("SELECT id, v, d FROM idn.db.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.map(_._1).distinct.length == 3)
+    assert(rows.forall { case (i, _, _) => (i - 100) % 5 == 0 && i >= 100 })
+    assert(rows.forall { case (_, v, d) => d == v.toUpperCase })
+    // explicit identity values refuse through SQL too
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO idn.db.t VALUES (999, 'x', 'X')")
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS") ||
+      (e.getCause != null &&
+        e.getCause.getMessage.contains("GENERATED ALWAYS")),
+      s"expected the identity refusal, got $e")
+    // a wrong provided generated value refuses; NULL computes
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO idn.db.t (v, d) VALUES ('y', 'WRONG')")
+    }
+    assert(e2.getMessage.contains("generated:d") ||
+      (e2.getCause != null &&
+        e2.getCause.getMessage.contains("generated:d")),
+      s"expected the generated validation, got $e2")
+  }
+
   test("BY DEFAULT (allowExplicitInsert): provided values kept, nulls " +
       "allocated; negative step allocates downward") {
     val dir = freshDir("bydef")
