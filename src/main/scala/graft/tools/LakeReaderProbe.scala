@@ -141,6 +141,34 @@ object LakeReaderProbe {
       rm(new java.io.File(dml))
     }
 
+    // IDENTITY allocation at table scale (r15): the full orders table
+    // across 32 write partitions — allocated values must be UNIQUE
+    // under block allocation and the high-water mark must bound them
+    locally {
+      val idDir = java.nio.file.Files
+        .createTempDirectory("graft_probe_idn").toFile.getAbsolutePath
+      val t0 = System.nanoTime()
+      dl.write(spark, idDir, dl.withIdentityColumn(
+        ord.repartition(32), "rid", start = 1L, step = 1L))
+      val tAlloc = (System.nanoTime() - t0) / 1e6
+      val snap = dl.snapshot(spark, idDir)
+      val n = snap.count()
+      val uniq = snap.select("rid").distinct().count()
+      val hw = snap.schema("rid").metadata
+        .getLong("delta.identity.highWaterMark")
+      val mx = snap.agg(max(col("rid"))).head().getLong(0)
+      println(f"delta IDENTITY allocation ($n%d rows, 32 partitions)  " +
+        f"unique $uniq%d   high-water $hw%d (= max $mx%d)   " +
+        f"$tAlloc%7.1f ms")
+      require(uniq == n && hw == mx,
+        s"identity allocation broke: unique=$uniq of $n, hw=$hw, max=$mx")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(idDir))
+    }
+
     // delete-aware maintenance cycle at table scale: a DELETE hitting 2
     // of the 100 partitions lands on the 1k-file table; the group-scoped
     // splice must (a) read only the window's changed files for the
