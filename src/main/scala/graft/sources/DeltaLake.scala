@@ -2913,7 +2913,33 @@ object DeltaLake {
     import org.apache.spark.sql.functions.when
     val st = replay(spark, path, None)
     requireWritable(st, path, "update")
-    requireNoRowContracts(st, path, "update")
+    // identity tables UPDATE fine as long as the SET leaves the
+    // identity columns alone (their values are already allocated;
+    // an update rewrites rows, it never creates them)
+    requireNoRowContracts(st, path, "update", allowIdentity = true)
+    // identity-identity entries (`SET id = id` — the bridge's
+    // all-identity lowering can pick any aligned column) are no-ops,
+    // dropped like the partition tolerance below; REAL values on
+    // identity columns refuse (writer-allocated, immutable)
+    val idCols = identityOf(st.schema).keySet
+    val set0 = {
+      val idIdent = set.filter { case (c, e) =>
+        idCols.contains(c) && e.toString == col(c).toString }
+      val rest = set -- idIdent.keys
+      if (rest.nonEmpty || idIdent.isEmpty) rest
+      else {
+        val candidates = st.schema.fieldNames
+          .filterNot(idCols.contains)
+          .filterNot(st.partitionColumns.contains)
+        require(candidates.nonEmpty, "DeltaLake.update: no " +
+          "non-identity data column to carry the identity rewrite")
+        Map(candidates.head -> col(candidates.head))
+      }
+    }
+    require(set0.keySet.intersect(idCols).isEmpty,
+      s"DeltaLake.update: SET touches identity column(s) " +
+        s"${set0.keySet.intersect(idCols).mkString(", ")} — identity " +
+        "values are writer-allocated and immutable")
     val dataCols =
       st.schema.fieldNames.toSeq.filterNot(st.partitionColumns.contains)
     require(set.nonEmpty, "DeltaLake.update: empty SET")
@@ -2924,10 +2950,10 @@ object DeltaLake {
     // if nothing remains — the statement must still rewrite matched
     // rows). REAL values on partition columns keep refusing.
     val set1 = {
-      val idPart = set.filter { case (c, e) =>
+      val idPart = set0.filter { case (c, e) =>
         st.partitionColumns.contains(c) && e.toString == col(c).toString
       }
-      val rest = set -- idPart.keys
+      val rest = set0 -- idPart.keys
       if (rest.nonEmpty || idPart.isEmpty) rest
       else Map(dataCols.head -> col(dataCols.head))
     }

@@ -59,12 +59,23 @@ class IdentityColumnSpec extends AnyFunSuite with SparkFixture {
         Seq((999L, "x", 0.0)).toDF("id", "v", "x"))
     }
     assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
-    // DML paths refuse identity tables (only the writer allocates)
+    // UPDATE works when the SET leaves the identity column alone —
+    // and refuses when it touches it; row-creating DML (merge) keeps
+    // refusing identity tables wholesale
+    DeltaLake.update(spark, dir, col("x") === 1.0,
+      Map("v" -> org.apache.spark.sql.functions.lit("y")))
+    assert(DeltaLake.snapshot(spark, dir)
+      .filter(col("v") === "y").count() == 1)
     val e2 = intercept[IllegalArgumentException] {
-      DeltaLake.update(spark, dir, col("x") === 1.0,
-        Map("v" -> org.apache.spark.sql.functions.lit("y")))
+      DeltaLake.update(spark, dir, col("x") === 2.0,
+        Map("id" -> org.apache.spark.sql.functions.lit(5L)))
     }
-    assert(e2.getMessage.contains("IDENTITY"), e2.getMessage)
+    assert(e2.getMessage.contains("immutable"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaLake.merge(spark, dir,
+        DeltaLake.snapshot(spark, dir).limit(1), Seq("id"))
+    }
+    assert(e3.getMessage.contains("IDENTITY"), e3.getMessage)
   }
 
   test("SQL DDL end to end: GENERATED ALWAYS AS IDENTITY and " +
