@@ -2736,8 +2736,21 @@ object DeltaLake {
             .map(_.asLong)
         }
         if (vals.isEmpty) None
-        else Some(n ->
-          (if (spec.step > 0) vals.max else vals.min))
+        else {
+          // clamp STEP-DIRECTIONALLY against the existing mark: an
+          // allowExplicitInsert batch whose values sit behind the
+          // mark must not move it backwards (re-allocating handed-out
+          // ids = silent duplicates); a no-advance batch skips the
+          // metadata update entirely
+          val batchEdge = if (spec.step > 0) vals.max else vals.min
+          val advanced = spec.highWater match {
+            case Some(hw) if spec.step > 0 => math.max(hw, batchEdge)
+            case Some(hw) => math.min(hw, batchEdge)
+            case None => batchEdge
+          }
+          if (spec.highWater.contains(advanced)) None
+          else Some(n -> advanced)
+        }
       }
 
     var attempt = 0
@@ -3247,12 +3260,25 @@ object DeltaLake {
         srcCols.map(c => col(c).as(s"$SrcPrefix$c")) :+
         lit(true).as("__m"): _*)
       import org.apache.spark.sql.functions.when
-      def joinedRefined = readFiles(spark, path, st, hits)
-        .join(sRen, keys.toSeq, "left")
-        // refine the match marker with the extra condition: a
-        // key-equal pair failing it is NOT matched (by-source scope)
-        .withColumn("__m", when(col("__m").isNotNull &&
-          matchExtra.getOrElse(lit(true)), lit(true)))
+      def joinedRefined =
+        if (matched.isEmpty) {
+          // by-source actions see only the target row, so only the
+          // match/no-match bit is needed — a semi/anti pair computes
+          // it without the left join, which would write target rows
+          // twice when the source carries duplicate keys (legal SQL
+          // here: only a matched UPDATE/DELETE with an ambiguous
+          // source is the cardinality violation)
+          val tgt = readFiles(spark, path, st, hits)
+          tgt.join(sRenAll, pairCond, "left_semi")
+            .withColumn("__m", lit(true))
+            .unionByName(tgt.join(sRenAll, pairCond, "left_anti")
+              .withColumn("__m", lit(null).cast("boolean")))
+        } else readFiles(spark, path, st, hits)
+          .join(sRen, keys.toSeq, "left")
+          // refine the match marker with the extra condition: a
+          // key-equal pair failing it is NOT matched (by-source scope)
+          .withColumn("__m", when(col("__m").isNotNull &&
+            matchExtra.getOrElse(lit(true)), lit(true)))
       def resolved = MergeActions.resolveRows(st.schema, keys,
         joinedRefined, matched, notMatchedBySource)
       val origCols = st.schema.fieldNames.toIndexedSeq.map(col)

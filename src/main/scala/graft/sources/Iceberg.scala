@@ -2252,6 +2252,21 @@ object Iceberg {
       "append")
   }
 
+  /** Driver-side staging bound: [[stageAvroAppend]] and
+    * [[stageOrcIdAppend]] serialize every row THROUGH THE DRIVER
+    * (Spark cannot write Iceberg field-id Avro/ORC natively) — they
+    * are fixture machinery, never a data path. The cap makes pointing
+    * a real table at them fail loudly instead of OOMing the driver;
+    * the probe itself is `limit(cap+1)`-bounded so it never scans
+    * more than cap+1 rows.
+    */
+  private val StagingMaxRows = 1000000L
+  private def requireFixtureScale(df: DataFrame, who: String): Unit =
+    require(df.limit((StagingMaxRows + 1).toInt).count() <= StagingMaxRows,
+      s"Iceberg.$who writes rows driver-side (field-id Avro/ORC " +
+        s"fixture machinery) and is capped at $StagingMaxRows rows — " +
+        "use the parquet write path for real data")
+
   /** [[stageAppend]] writing AVRO data files (the third migrated-estate
     * data format; [[GraftAvroFileFormat]] reads them back by FIELD ID).
     * Fixture machinery like every stage* writer — rows are grouped and
@@ -2264,6 +2279,7 @@ object Iceberg {
     */
   def stageAvroAppend(spark: SparkSession, tableDir: String,
       df: DataFrame, partitionBy: Seq[String] = Seq.empty): Long = {
+    requireFixtureScale(df, "stageAvroAppend")
     val root = new java.io.File(tableDir)
     val (_, version) = priorState({ val d = metadataDir(tableDir)
       d.mkdirs(); d })
@@ -2368,6 +2384,7 @@ object Iceberg {
     */
   def stageOrcIdAppend(spark: SparkSession, tableDir: String,
       df: DataFrame): Long = {
+    requireFixtureScale(df, "stageOrcIdAppend")
     import org.apache.orc.TypeDescription
     import org.apache.hadoop.hive.ql.exec.vector.{BytesColumnVector, DoubleColumnVector, LongColumnVector}
     val root = new java.io.File(tableDir)
@@ -3086,14 +3103,24 @@ object Iceberg {
         lit(true).as("__m"): _*)
       val newCols = cur.schema.fieldNames.toIndexedSeq
         .map(f => col(s"__v_$f").as(f))
+      // see the Delta twin: with no matched actions the by-source
+      // scope only needs the match bit, and a semi/anti pair computes
+      // it without duplicating target rows under duplicate source keys
+      def joinedHits =
+        if (matched.isEmpty) {
+          val tgt = scanOf(spark, tableDir, cur.copy(files = hits))
+          tgt.join(sRenAll, pairCond, "left_semi")
+            .withColumn("__m", lit(true))
+            .unionByName(tgt.join(sRenAll, pairCond, "left_anti")
+              .withColumn("__m", lit(null).cast("boolean")))
+        } else scanOf(spark, tableDir, cur.copy(files = hits))
+          .join(sRen, keys.toSeq, "left")
+          .withColumn("__m", when(col("__m").isNotNull &&
+            matchExtra.getOrElse(lit(true)), lit(true)))
       val outRows =
         if (hits.isEmpty) insertRows
         else MergeActions.resolveRows(cur.schema, keys,
-          scanOf(spark, tableDir, cur.copy(files = hits))
-            .join(sRen, keys.toSeq, "left")
-            .withColumn("__m", when(col("__m").isNotNull &&
-              matchExtra.getOrElse(lit(true)), lit(true))),
-          matched, notMatchedBySource)
+          joinedHits, matched, notMatchedBySource)
           .filter(!(col("__outcome") <=> "delete"))
           .select(newCols: _*)
           .unionByName(insertRows)

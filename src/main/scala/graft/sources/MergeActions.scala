@@ -183,8 +183,11 @@ object MergeActions {
     */
   private[sources] def resolveInserts(schema: StructType,
       inserts: DataFrame, notMatched: Seq[NotMatchedInsert]): DataFrame = {
-    if (notMatched.isEmpty) return inserts.limit(0)
-      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    // empty frame in the TABLE schema — a key-only source frame may
+    // not carry every table column, so never select off `inserts` here
+    if (notMatched.isEmpty) return inserts.sparkSession.createDataFrame(
+      inserts.sparkSession.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema)
     def condOf(c: Option[Column]): Column = c.getOrElse(lit(true))
     val keep = notMatched.map(a => condOf(a.cond)).reduce(_ || _)
     val cols = schema.fieldNames.toIndexedSeq.map { f =>

@@ -144,4 +144,27 @@ class IdentityColumnSpec extends AnyFunSuite with SparkFixture {
       .select("id").as[Long].collect()
     assert(neg2.distinct.length == 8 && neg2.count(_ < hw) == 2)
   }
+
+  test("high-water mark never regresses: an explicit batch entirely " +
+      "behind the mark leaves it, later allocation stays unique") {
+    val dir = freshDir("clamp")
+    DeltaLake.write(spark, dir,
+      DeltaLake.withIdentityColumn(frame(1 to 5), "id",
+        start = 1L, step = 1L, allowExplicitInsert = true))
+    val hw0 = DeltaLake.snapshot(spark, dir).schema("id").metadata
+      .getLong("delta.identity.highWaterMark")
+    // an explicit batch behind the mark must NOT move it backwards
+    // (a regressed mark re-allocates already-handed-out ids)
+    DeltaLake.write(spark, dir,
+      Seq((-50L, "e", 0.0)).toDF("id", "v", "x"))
+    assert(DeltaLake.snapshot(spark, dir).schema("id").metadata
+      .getLong("delta.identity.highWaterMark") == hw0)
+    DeltaLake.write(spark, dir, frame(6 to 8).coalesce(1))
+    val ids = DeltaLake.snapshot(spark, dir)
+      .select("id").as[Long].collect()
+    assert(ids.length == 9 && ids.distinct.length == 9,
+      s"allocation after the behind-the-mark batch must stay " +
+        s"unique: ${ids.sorted.toSeq}")
+    assert(ids.count(_ > hw0) == 3)
+  }
 }

@@ -308,6 +308,27 @@ class MergeGeneralSpec extends AnyFunSuite with SparkFixture {
     assert(got == exp)
   }
 
+  test("by-source-only merge tolerates duplicate source keys: " +
+      "matched rows survive exactly once (no left-join fan-out)") {
+    // legal SQL: only a matched UPDATE/DELETE with an ambiguous
+    // source is the cardinality violation — a by-source-only merge
+    // needs just the match bit, and duplicate keys must not write
+    // matched rows twice
+    val dupSrc = Seq(4L, 4L, 5L, 6L, 6L).toDF("id").coalesce(1)
+    val dir = freshDir("dupbs")
+    DeltaLake.write(spark, dir, target)
+    DeltaLake.mergeGeneral(spark, dir, dupSrc, Seq("id"),
+      notMatchedBySource = Seq(BySourceDelete()))
+    assert(DeltaLake.snapshot(spark, dir).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(4L, 5L, 6L))
+    val dir2 = freshDir("dupbs_ice")
+    Iceberg.write(spark, dir2, target)
+    Iceberg.mergeGeneral(spark, dir2, dupSrc, Seq("id"),
+      notMatchedBySource = Seq(BySourceDelete()))
+    assert(Iceberg.snapshot(spark, dir2).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(4L, 5L, 6L))
+  }
+
   test("SQL bridge: WHEN NOT MATCHED BY SOURCE referencing a source " +
       "column refuses (out of scope)") {
     val wh = freshDir("sqlscope")
