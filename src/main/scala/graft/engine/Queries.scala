@@ -3933,7 +3933,74 @@ object Queries {
              |FROM orders
              |WHERE o_custkey % 11 = 2
              |GROUP BY pri_up
-             |ORDER BY pri_up""".stripMargin))
+             |ORDER BY pri_up""".stripMargin)),
+
+    // IDENTITY allocation in MERGE (r15): the CDC-upsert-into-an-
+    // identity-keyed-table production shape — business key
+    // o_orderkey, surrogate rid GENERATED ALWAYS. The merge updates
+    // every matched row and inserts the new key group; matched rows
+    // keep their surrogate (IdentityColumnSpec pins that exactly),
+    // inserts allocate from the high-water block in the merge commit.
+    // Identity VALUES are allocation-order-dependent, so the oracle
+    // pins invariants (count, uniqueness, floor, step) plus the fully
+    // deterministic repriced totals. Idempotent via DROP.
+    QueryDef("catalog_merge_identity_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.idm")
+        s.sql("CREATE TABLE gdml.ddl.idm (" +
+          "rid BIGINT GENERATED ALWAYS AS IDENTITY " +
+          "(START WITH 500 INCREMENT BY 3), " +
+          "o_orderkey BIGINT, o_orderpriority STRING, " +
+          "o_totalprice DOUBLE) USING `graft-deltalake`")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.idm
+             |  (o_orderkey, o_orderpriority, o_totalprice)
+             |SELECT o_orderkey, o_orderpriority, o_totalprice
+             |FROM graft_delta.`$src` WHERE o_custkey % 17 = 3
+             |""".stripMargin)
+        s.sql(
+          s"""MERGE INTO gdml.ddl.idm t
+             |USING (SELECT o_orderkey, o_orderpriority, o_totalprice
+             |       FROM graft_delta.`$src`
+             |       WHERE o_custkey % 17 IN (3, 9)) s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN
+             |  UPDATE SET o_totalprice = s.o_totalprice + 1.0
+             |WHEN NOT MATCHED THEN
+             |  INSERT (o_orderkey, o_orderpriority, o_totalprice)
+             |  VALUES (s.o_orderkey, s.o_orderpriority, s.o_totalprice)
+             |""".stripMargin)
+        s.sql(
+          """SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+            |  CAST(COUNT(DISTINCT rid) AS BIGINT) AS uniq,
+            |  CAST(MIN(rid) >= 500 AS BOOLEAN) AS floor_ok,
+            |  CAST(SUM(CASE WHEN (rid - 500) % 3 = 0 THEN 0 ELSE 1
+            |    END) AS BIGINT) AS off_step,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            |    AS DOUBLE) AS total
+            |FROM gdml.ddl.idm
+            |GROUP BY pri
+            |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri,
+             |  COUNT(*) AS cnt,
+             |  COUNT(*) AS uniq,
+             |  CAST(TRUE AS BOOLEAN) AS floor_ok,
+             |  CAST(0 AS BIGINT) AS off_step,
+             |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM (
+             |  SELECT o_orderpriority, o_totalprice + 1.0 AS p
+             |  FROM orders WHERE o_custkey % 17 = 3
+             |  UNION ALL
+             |  SELECT o_orderpriority, o_totalprice AS p
+             |  FROM orders WHERE o_custkey % 17 = 9)
+             |GROUP BY pri
+             |ORDER BY pri""".stripMargin))
   )
 
   /** The staged two-commit Delta table the `deltalake_*` queries read:

@@ -2378,6 +2378,75 @@ object DeltaLake {
       .withMetadata(name, meta)
   }
 
+  /** The identity high-water advance a set of LANDED add actions
+    * implies: per spec, the batch's step-direction edge from the
+    * files' own stats (no re-execution of the allocation expression),
+    * clamped STEP-DIRECTIONALLY against the existing mark — an
+    * allowExplicitInsert batch whose values sit behind the mark must
+    * not move it backwards (re-allocating handed-out ids = silent
+    * duplicates); a no-advance batch skips the metadata update
+    * entirely (empty map). Shared by [[write]], the MERGE insert
+    * arms, and the streaming sink.
+    */
+  private def identityAdvanceOf(adds: Seq[String],
+      specs: Map[String, IdentitySpec]): Map[String, Long] =
+    if (specs.isEmpty) Map.empty
+    else specs.flatMap { case (n, spec) =>
+      val vals = adds.flatMap { a =>
+        Option(M.readTree(a).get("add"))
+          .flatMap(ad => Option(ad.get("stats"))).map(_.asText)
+          .map(M.readTree)
+          .flatMap(stn => Option(stn.get(
+            if (spec.step > 0) "maxValues" else "minValues")))
+          .flatMap(mv => Option(mv.get(n))).filterNot(_.isNull)
+          .map(_.asLong)
+      }
+      if (vals.isEmpty) None
+      else {
+        val batchEdge = if (spec.step > 0) vals.max else vals.min
+        val advanced = spec.highWater match {
+          case Some(hw) if spec.step > 0 => math.max(hw, batchEdge)
+          case Some(hw) => math.min(hw, batchEdge)
+          case None => batchEdge
+        }
+        if (spec.highWater.contains(advanced)) None
+        else Some(n -> advanced)
+      }
+    }
+
+  /** The identity-allocation column for `spec`: `existing` (non-null
+    * values kept) coalesced with a fresh high-water block —
+    * `monotonically_increasing_id` offsets from the mark, so values
+    * are unique and step-directional with gaps permitted.
+    */
+  private def identityAlloc(spec: IdentitySpec,
+      existing: Option[org.apache.spark.sql.Column],
+      dataType: DataType): org.apache.spark.sql.Column = {
+    val base = spec.highWater.getOrElse(spec.start - spec.step)
+    val alloc = (lit(base) + lit(spec.step) *
+      (org.apache.spark.sql.functions
+        .monotonically_increasing_id() + 1L)).cast(dataType)
+    existing.map(e =>
+      org.apache.spark.sql.functions.coalesce(e, alloc)).getOrElse(alloc)
+  }
+
+  /** Refuse non-null values of a GENERATED ALWAYS identity column in
+    * `rows` (a MERGE insert arm / a sink batch): ALWAYS means the
+    * engine allocates — explicit values are the BY DEFAULT contract.
+    */
+  private def requireNoExplicitAlways(rows: DataFrame,
+      specs: Map[String, IdentitySpec], who: String): Unit =
+    specs.foreach { case (n, spec) =>
+      if (!spec.allowExplicit &&
+          rows.schema.fieldNames.contains(n)) {
+        val provided = rows.agg(count(col(n))).head().getLong(0)
+        require(provided == 0L,
+          s"$who: identity column '$n' is GENERATED ALWAYS — the " +
+            s"inserted rows provide $provided value(s); create it " +
+            "with allowExplicitInsert, or leave the column null")
+      }
+    }
+
   /** `schema` with each identity column's highWaterMark metadata
     * advanced to `newHighs` (identity of the rest).
     */
@@ -2683,14 +2752,9 @@ object DeltaLake {
     val aligned = df.select(schema0.map { f =>
       id0.get(f.name) match {
         case Some(spec) =>
-          val base = spec.highWater.getOrElse(spec.start - spec.step)
-          val alloc = (lit(base) + lit(spec.step) *
-            (org.apache.spark.sql.functions
-              .monotonically_increasing_id() + 1L))
-            .cast(f.dataType)
-          (if (df.schema.fieldNames.contains(f.name))
-            org.apache.spark.sql.functions.coalesce(col(f.name), alloc)
-          else alloc).as(f.name)
+          identityAlloc(spec,
+            if (df.schema.fieldNames.contains(f.name)) Some(col(f.name))
+            else None, f.dataType).as(f.name)
         case None =>
           (df.schema.fieldNames.contains(f.name), gen0.get(f.name)) match {
             // a GENERATED column present but NULL computes: the SQL
@@ -2723,35 +2787,7 @@ object DeltaLake {
     val adds = addFileActions(spark, path, aligned, parts0)
     // the allocated identity high-water marks come from the LANDED
     // files' own stats (no re-execution of the allocation expression)
-    val newHighs: Map[String, Long] =
-      if (id0.isEmpty) Map.empty
-      else id0.flatMap { case (n, spec) =>
-        val vals = adds.flatMap { a =>
-          Option(M.readTree(a).get("add"))
-            .flatMap(ad => Option(ad.get("stats"))).map(_.asText)
-            .map(M.readTree)
-            .flatMap(stn => Option(stn.get(
-              if (spec.step > 0) "maxValues" else "minValues")))
-            .flatMap(mv => Option(mv.get(n))).filterNot(_.isNull)
-            .map(_.asLong)
-        }
-        if (vals.isEmpty) None
-        else {
-          // clamp STEP-DIRECTIONALLY against the existing mark: an
-          // allowExplicitInsert batch whose values sit behind the
-          // mark must not move it backwards (re-allocating handed-out
-          // ids = silent duplicates); a no-advance batch skips the
-          // metadata update entirely
-          val batchEdge = if (spec.step > 0) vals.max else vals.min
-          val advanced = spec.highWater match {
-            case Some(hw) if spec.step > 0 => math.max(hw, batchEdge)
-            case Some(hw) => math.min(hw, batchEdge)
-            case None => batchEdge
-          }
-          if (spec.highWater.contains(advanced)) None
-          else Some(n -> advanced)
-        }
-      }
+    val newHighs: Map[String, Long] = identityAdvanceOf(adds, id0)
 
     var attempt = 0
     while (attempt <= maxRetries) {
@@ -3035,7 +3071,7 @@ object DeltaLake {
     import org.apache.spark.sql.functions.when
     val st = replay(spark, path, None)
     requireWritable(st, path, "merge")
-    requireNoRowContracts(st, path, "merge")
+    requireNoRowContracts(st, path, "merge", allowIdentity = true)
     require(keys.nonEmpty, "DeltaLake.merge: empty key list")
     require(keys.forall(st.schema.fieldNames.contains),
       s"DeltaLake.merge: keys $keys must be table columns")
@@ -3085,15 +3121,28 @@ object DeltaLake {
         lit(true).as("__m"): _*)
       def joined = readFiles(spark, path, st, hits)
         .join(sRen, keys.toSeq, "left")
+      // IDENTITY columns are immutable surrogates: a matched row
+      // KEEPS the target's value (the CDC-upsert shape preserves the
+      // surrogate); the insert arm allocates for nulls below
+      val ids = identityOf(st.schema)
       def replaced(df: DataFrame) =
         df.select(st.schema.fieldNames.toIndexedSeq.map { c =>
-          if (keys.contains(c)) col(c)
+          if (keys.contains(c) || ids.contains(c)) col(c)
           else when(col("__m").isNotNull, col(s"__s_$c"))
             .otherwise(col(c)).as(c)
         }: _*)
       def rewritten = replaced(joined)
+      if (ids.nonEmpty && !inserts.isEmpty)
+        requireNoExplicitAlways(inserts, ids, "DeltaLake.merge")
       val insertRows =
-        inserts.select(st.schema.fieldNames.toIndexedSeq.map(col): _*)
+        inserts.select(st.schema.toIndexedSeq.map { f =>
+          ids.get(f.name) match {
+            case Some(spec) =>
+              identityAlloc(spec, Some(col(f.name)), f.dataType)
+                .as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
       // row checks: matched replacements + inserts must satisfy
       locally {
         val cs = rowChecksOf(st)
@@ -3135,8 +3184,17 @@ object DeltaLake {
             finally { matched.unpersist(); () }
           }
         }
+      // the allocated identity marks advance in the SAME commit's
+      // metaData (from the landed insert files' stats); a concurrent
+      // commit collides at the exclusive version link — loud, never a
+      // duplicate allocation
+      val idMeta = identityAdvanceOf(insertAdds, ids) match {
+        case nh if nh.isEmpty => Seq.empty
+        case nh => Seq(metaAction(path, withHighWater(st.schema, nh),
+          st.partitionColumns, st.configuration, st.tableId))
+      }
       commitRewrite(spark, path, st, hits, rewritten, "MERGE",
-        insertAdds ++ cdc)
+        insertAdds ++ cdc ++ idMeta)
     } finally { src.unpersist(); () }
   }
 
@@ -3175,12 +3233,21 @@ object DeltaLake {
     import MergeActions._
     val st = replay(spark, path, None)
     requireWritable(st, path, "mergeGeneral")
-    requireNoRowContracts(st, path, "mergeGeneral")
+    requireNoRowContracts(st, path, "mergeGeneral",
+      allowIdentity = true)
     require(keys.nonEmpty, "DeltaLake.mergeGeneral: empty key list")
     require(keys.forall(st.schema.fieldNames.contains),
       s"DeltaLake.mergeGeneral: keys $keys must be table columns")
+    val ids = identityOf(st.schema)
     validate("DeltaLake.mergeGeneral", st.schema, keys,
-      st.partitionColumns, matched, notMatched, notMatchedBySource)
+      st.partitionColumns, matched, notMatched, notMatchedBySource,
+      autoCols = ids.keySet)
+    // identity columns are immutable — no SET may assign one
+    (matched.collect { case MatchedUpdate(_, Some(s)) => s } ++
+      notMatchedBySource.collect { case BySourceUpdate(_, s) => s })
+      .foreach(_.keys.foreach(c => require(!ids.contains(c),
+        s"DeltaLake.mergeGeneral: identity column '$c' is immutable " +
+          "— UPDATE SET may not assign it")))
     require(st.partitionColumns.forall(keys.contains),
       s"DeltaLake.mergeGeneral: partition columns " +
         s"(${st.partitionColumns.mkString(",")}) must be merge keys — " +
@@ -3194,8 +3261,11 @@ object DeltaLake {
       case MatchedUpdate(_, None) => true
       case _ => false
     } || notMatched.exists(_.values.isEmpty)
+    // identity columns are writer-computed: the source may omit them
+    // even under the star forms (INSERT * allocates, SET * pins)
     require(!starNeeds ||
-        st.schema.fieldNames.forall(srcCols.contains),
+        st.schema.fieldNames.filterNot(ids.contains)
+          .forall(srcCols.contains),
       "DeltaLake.mergeGeneral: UPDATE SET * / INSERT * need the " +
         s"source to carry every table column — table: " +
         s"${st.schema.fieldNames.toSeq}, source: $srcCols")
@@ -3246,7 +3316,7 @@ object DeltaLake {
       // an insert action applies; the anti join keeps them). A source
       // row whose key matches but whose extra condition fails is NOT
       // MATCHED too — the anti join carries the full pair condition.
-      val insertRows =
+      val insertRows0 =
         if (notMatched.isEmpty) spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           st.schema)
@@ -3255,6 +3325,20 @@ object DeltaLake {
             pairCond, "left_anti")
             .select(srcCols.map(c =>
               col(s"$SrcPrefix$c").as(c)): _*), notMatched)
+      val insertRows =
+        if (ids.isEmpty || notMatched.isEmpty) insertRows0
+        else {
+          requireNoExplicitAlways(insertRows0, ids,
+            "DeltaLake.mergeGeneral")
+          insertRows0.select(st.schema.toIndexedSeq.map { f =>
+            ids.get(f.name) match {
+              case Some(spec) =>
+                identityAlloc(spec, Some(col(f.name)), f.dataType)
+                  .as(f.name)
+              case None => col(f.name)
+            }
+          }: _*)
+        }
       if (hits.isEmpty && insertRows.isEmpty) return -1L
       val sRen = src.select(keys.map(col) ++
         srcCols.map(c => col(c).as(s"$SrcPrefix$c")) :+
@@ -3280,7 +3364,8 @@ object DeltaLake {
           .withColumn("__m", when(col("__m").isNotNull &&
             matchExtra.getOrElse(lit(true)), lit(true)))
       def resolved = MergeActions.resolveRows(st.schema, keys,
-        joinedRefined, matched, notMatchedBySource)
+        joinedRefined, matched, notMatchedBySource,
+        pinned = ids.keySet)
       val origCols = st.schema.fieldNames.toIndexedSeq.map(col)
       val newCols = st.schema.fieldNames.toIndexedSeq
         .map(f => col(s"__v_$f").as(f))
@@ -3331,8 +3416,15 @@ object DeltaLake {
             finally { touched.unpersist(); () }
           }
         }
+      // allocated identity marks advance in the same commit (see the
+      // canonical merge) — a concurrent commit collides loudly
+      val idMeta = identityAdvanceOf(insertAdds, ids) match {
+        case nh if nh.isEmpty => Seq.empty
+        case nh => Seq(metaAction(path, withHighWater(st.schema, nh),
+          st.partitionColumns, st.configuration, st.tableId))
+      }
       commitRewrite(spark, path, st, hits, rewritten, "MERGE",
-        insertAdds ++ cdc)
+        insertAdds ++ cdc ++ idMeta)
     } finally { src.unpersist(); () }
   }
 
@@ -4136,11 +4228,16 @@ object DeltaLake {
     * is just a writer that commits once per micro-batch): a
     * column-mapped table would need physical-name writes (refused),
     * unsupported writer features are refused before any byte lands,
-    * row-level contracts this writer does not evaluate (CHECK
-    * constraints, invariants, generated/identity columns) are
-    * refused, `delta.appendOnly` forbids complete mode (it removes
-    * files), and the batch's partitioning must match the table's (a
-    * mixed layout would silently break partition pruning).
+    * CHECK constraints and generated-column equalities are EVALUATED
+    * per batch, IDENTITY columns ALLOCATE per batch (the high-water
+    * mark advances in the same commit; schema evolution through the
+    * sink refuses on identity tables), column invariants are refused,
+    * `delta.appendOnly` forbids complete mode (it removes files), and
+    * the batch's partitioning must match the table's (a mixed layout
+    * would silently break partition pruning). The metaData action,
+    * when schema evolution emits one, PRESERVES the table's field
+    * metadata for unchanged fields — a batch frame never carries
+    * `delta.*` metadata and must not wipe it.
     *
     * Change Data Feed: append-mode batches need no change files (the
     * protocol lets readers synthesize inserts from a commit that only
@@ -4162,6 +4259,15 @@ object DeltaLake {
     var priorConf: Map[String, String] = Map.empty
     var priorId: Option[String] = None
     var cached = false
+    // the frame that lands (identity-allocated on identity tables)
+    // and the schema the metaData action carries (table field
+    // metadata preserved — a batch frame never carries delta.*
+    // metadata, and emitting its bare schema would WIPE generated/
+    // identity contracts from the table)
+    var out = df
+    var metaSchema = df.schema
+    var idSpecs: Map[String, IdentitySpec] = Map.empty
+    var tableSchema = df.schema
     if (next == 0L)
       actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     else {
@@ -4176,8 +4282,8 @@ object DeltaLake {
         s"graft-deltalake sink: $tableDir requires writer features " +
           s"$unsupported this writer does not implement — committing " +
           "anyway would violate the table's contract")
-      requireNoRowContracts(st, tableDir, "sink")
-      enforceConstraints(df, rowChecksOf(st), tableDir, "sink")
+      requireNoRowContracts(st, tableDir, "sink",
+        allowIdentity = true)
       require(!overwrite ||
           !st.configuration.get("delta.appendOnly").contains("true"),
         s"graft-deltalake sink: $tableDir is delta.appendOnly — " +
@@ -4187,7 +4293,42 @@ object DeltaLake {
           s"(${st.partitionColumns.mkString(",")}) but the stream " +
           s"writes (${partitionBy.mkString(",")}) — mixed layouts " +
           "break partition pruning")
-      emitMeta = st.schema.json != df.schema.json
+      idSpecs = identityOf(st.schema)
+      tableSchema = st.schema
+      if (idSpecs.nonEmpty) {
+        // per-batch allocation, same high-water block logic as the
+        // batch writer; the mark advances in this batch's commit, so
+        // a racing writer collides at the exclusive version link
+        val unknown = df.schema.fieldNames
+          .filterNot(st.schema.fieldNames.contains)
+        require(unknown.isEmpty,
+          s"graft-deltalake sink: $tableDir has IDENTITY columns — " +
+            "schema evolution through the sink is not supported " +
+            s"(new columns: ${unknown.mkString(",")})")
+        requireNoExplicitAlways(df, idSpecs, "graft-deltalake sink")
+        out = df.select(st.schema.toIndexedSeq.map { f =>
+          idSpecs.get(f.name) match {
+            case Some(spec) => identityAlloc(spec,
+              if (df.schema.fieldNames.contains(f.name))
+                Some(col(f.name)) else None, f.dataType).as(f.name)
+            case None =>
+              if (df.schema.fieldNames.contains(f.name)) col(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+      }
+      enforceConstraints(out, rowChecksOf(st), tableDir, "sink")
+      // metadata-preserving schema compare: same-named same-typed
+      // fields adopt the TABLE's field (with its metadata), so only
+      // genuine evolution emits a metaData action
+      metaSchema = StructType(out.schema.map { f =>
+        st.schema.find(_.name == f.name) match {
+          case Some(tf) if LakeScan.asNullable(tf.dataType) ==
+            LakeScan.asNullable(f.dataType) => tf
+          case _ => f
+        }
+      })
+      emitMeta = st.schema.json != metaSchema.json
       priorConf = st.configuration
       priorId = st.tableId
       actions ++= ictAction(st.configuration,
@@ -4198,7 +4339,9 @@ object DeltaLake {
           // the batch frame runs TWICE on this arm (once as insert
           // change rows here, once as the data files below) — cache it
           // so an aggregation micro-batch isn't recomputed per use
-          df.persist()
+          // (and so identity allocation executes ONCE: change rows
+          // and data files must carry the same allocated values)
+          out.persist()
           cached = true
           // the recompute's row-level diff: old content out, new in
           // (unionByName tolerates schema evolution — the feed reader
@@ -4207,7 +4350,7 @@ object DeltaLake {
           val diff = readFiles(spark, tableDir, st, st.adds)
             .withColumn("_change_type", lit("delete"))
             .unionByName(
-              df.withColumn("_change_type", lit("insert")),
+              out.withColumn("_change_type", lit("insert")),
               allowMissingColumns = true)
           actions ++= cdcActions(spark, tableDir, st, diff, next)
         }
@@ -4217,15 +4360,25 @@ object DeltaLake {
       }
     }
     if (emitMeta)
-      actions += metaAction(tableDir, df.schema, partitionBy,
+      actions += metaAction(tableDir, metaSchema, partitionBy,
         priorConf, priorId)
     val txn = M.createObjectNode()
     txn.put("appId", appId)
     txn.put("version", batchVersion)
     txn.put("lastUpdated", System.currentTimeMillis())
     actions += s"""{"txn":${M.writeValueAsString(txn)}}"""
-    try actions ++= addFileActions(spark, tableDir, df, partitionBy)
-    finally if (cached) { df.unpersist(); () }
+    try {
+      val adds = addFileActions(spark, tableDir, out, partitionBy)
+      actions ++= adds
+      // identity marks advance in the SAME batch commit (from the
+      // landed files' stats), so a restart replays from a consistent
+      // mark and a racing writer collides at the version link
+      val nh = identityAdvanceOf(adds, idSpecs)
+      if (nh.nonEmpty)
+        actions += metaAction(tableDir,
+          withHighWater(tableSchema, nh), partitionBy, priorConf,
+          priorId)
+    } finally if (cached) { out.unpersist(); () }
     writeCommitExclusive(tableDir, next, actions.toSeq)
     next
   }

@@ -76,7 +76,8 @@ object MergeActions {
   private[sources] def validate(who: String, schema: StructType,
       keys: Seq[String], partitionCols: Seq[String],
       matched: Seq[Matched], notMatched: Seq[NotMatchedInsert],
-      bySource: Seq[BySource]): Unit = {
+      bySource: Seq[BySource],
+      autoCols: Set[String] = Set.empty): Unit = {
     require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       s"$who: no merge actions")
     def reachable(conds: Seq[Option[Column]], family: String): Unit =
@@ -118,7 +119,10 @@ object MergeActions {
       case NotMatchedInsert(_, Some(values)) =>
         values.keys.foreach(c => require(fields.contains(c),
           s"$who: INSERT assigns unknown column '$c'"))
-        val missing = schema.fieldNames.filterNot(values.contains)
+        // autoCols (identity columns) are WRITER-computed: omitting
+        // them from an explicit list means "allocate", not a hole
+        val missing = schema.fieldNames.filterNot(c =>
+          values.contains(c) || autoCols.contains(c))
         require(missing.isEmpty,
           s"$who: INSERT must assign every table column (the native " +
             s"writers commit full rows) — missing: ${missing.mkString(", ")}")
@@ -137,7 +141,8 @@ object MergeActions {
     */
   private[sources] def resolveRows(schema: StructType, keys: Seq[String],
       joined: DataFrame, matched: Seq[Matched],
-      bySource: Seq[BySource]): DataFrame = {
+      bySource: Seq[BySource],
+      pinned: Set[String] = Set.empty): DataFrame = {
     val m = col("__m").isNotNull
     def chain(conds: Seq[Column], values: Seq[Column],
         orElse: Column): Column =
@@ -146,9 +151,11 @@ object MergeActions {
         case (Some(acc), (c, v)) => Some(acc.when(c, v))
       }.map(_.otherwise(orElse)).getOrElse(orElse)
     def condOf(c: Option[Column]): Column = c.getOrElse(lit(true))
+    // `pinned` (identity columns): immutable surrogates — UPDATE SET *
+    // keeps the target's value instead of copying the source's
     def valueOf(action: Matched, f: String): Column = action match {
       case MatchedUpdate(_, None) =>
-        if (keys.contains(f)) col(f) else src(f)
+        if (keys.contains(f) || pinned.contains(f)) col(f) else src(f)
       case MatchedUpdate(_, Some(set)) =>
         set.get(f).map(_.cast(schema(f).dataType)).getOrElse(col(f))
       case MatchedDelete(_) => col(f) // dropped by __outcome anyway
@@ -193,8 +200,17 @@ object MergeActions {
     val cols = schema.fieldNames.toIndexedSeq.map { f =>
       notMatched.foldLeft(Option.empty[Column]) { (acc, a) =>
         val v = a.values match {
-          case None => col(f)
-          case Some(values) => values(f).cast(schema(f).dataType)
+          // INSERT *: a source omitting a writer-computed (identity)
+          // column inserts null there — the writer allocates; the
+          // star-width check guaranteed every other column is present
+          case None =>
+            if (inserts.columns.contains(f)) col(f)
+            else lit(null).cast(schema(f).dataType)
+          // an explicit list may omit writer-computed (identity)
+          // columns — validate() guaranteed every other column
+          case Some(values) => values.get(f)
+            .map(_.cast(schema(f).dataType))
+            .getOrElse(lit(null).cast(schema(f).dataType))
         }
         acc match {
           case None => Some(when(condOf(a.cond), v))

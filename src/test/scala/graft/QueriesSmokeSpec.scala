@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 198 declared operator queries are all present (SURVEY §2)") {
+  test("the 199 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -98,8 +98,10 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       // round-15 surface
       "catalog_merge_delete_sql", "catalog_alter_sql",
       "stream_catalog", "catalog_maintenance_sql",
-      "catalog_constraint_sql", "catalog_identity_sql")
-    assert(declared.size == 198)
+      "catalog_constraint_sql", "catalog_identity_sql",
+      // round-16 surface
+      "catalog_merge_identity_sql")
+    assert(declared.size == 199)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

@@ -71,11 +71,91 @@ class IdentityColumnSpec extends AnyFunSuite with SparkFixture {
         Map("id" -> org.apache.spark.sql.functions.lit(5L)))
     }
     assert(e2.getMessage.contains("immutable"), e2.getMessage)
-    val e3 = intercept[IllegalArgumentException] {
+  }
+
+  test("merge on an identity-keyed table: matched rows keep their " +
+      "surrogate, inserts allocate past the mark, the mark advances " +
+      "in the merge commit") {
+    val dir = freshDir("mrg")
+    // business key `v`, surrogate `rid` GENERATED ALWAYS
+    DeltaLake.write(spark, dir,
+      DeltaLake.withIdentityColumn(frame(1 to 5), "rid",
+        start = 100L, step = 3L))
+    val before = DeltaLake.snapshot(spark, dir)
+      .select("v", "rid").as[(String, Long)].collect().toMap
+    val hw0 = DeltaLake.snapshot(spark, dir).schema("rid").metadata
+      .getLong("delta.identity.highWaterMark")
+    // CDC source: update v3, insert v8/v9 — rid rides as null
+    val src = Seq((None: Option[Long], "v3", 33.0),
+      (None, "v8", 88.0), (None, "v9", 99.0))
+      .toDF("rid", "v", "x").coalesce(1)
+    assert(DeltaLake.merge(spark, dir, src, Seq("v")) >= 0)
+    val after = DeltaLake.snapshot(spark, dir)
+      .select("rid", "v", "x")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(after.length == 7 &&
+      after.map(_._1).distinct.length == 7)
+    // matched row kept its surrogate AND took the source values
+    val v3 = after.find(_._2 == "v3").get
+    assert(v3._1 == before("v3") && v3._3 == 33.0)
+    // inserted rows allocated past the pre-merge mark, step-aligned
+    val fresh = after.filter(r => r._2 == "v8" || r._2 == "v9")
+    assert(fresh.forall(r => r._1 > hw0 && (r._1 - 100L) % 3L == 0L))
+    // and the mark advanced in the merge commit itself
+    assert(DeltaLake.snapshot(spark, dir).schema("rid").metadata
+      .getLong("delta.identity.highWaterMark") == after.map(_._1).max)
+    // explicit rid values in the INSERT arm refuse (GENERATED ALWAYS)
+    val e = intercept[IllegalArgumentException] {
       DeltaLake.merge(spark, dir,
-        DeltaLake.snapshot(spark, dir).limit(1), Seq("id"))
+        Seq((Some(9999L), "zz", 1.0)).toDF("rid", "v", "x"), Seq("v"))
     }
-    assert(e3.getMessage.contains("IDENTITY"), e3.getMessage)
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+    // mergeGeneral: explicit INSERT list may omit the identity
+    // column (the writer allocates); SET may not assign it
+    import graft.sources.MergeActions._
+    assert(DeltaLake.mergeGeneral(spark, dir,
+      Seq(("v10", 110.0)).toDF("v", "x"), Seq("v"),
+      notMatched = Seq(NotMatchedInsert(None,
+        Some(Map("v" -> col("v"), "x" -> col("x")))))) >= 0)
+    val v10 = DeltaLake.snapshot(spark, dir)
+      .filter(col("v") === "v10").select("rid").as[Long].collect()
+    assert(v10.length == 1 && v10.head > hw0 &&
+      (v10.head - 100L) % 3L == 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLake.mergeGeneral(spark, dir,
+        Seq(("v10", 0.0)).toDF("v", "x"), Seq("v"),
+        matched = Seq(MatchedUpdate(None,
+          Some(Map("rid" -> org.apache.spark.sql.functions.lit(1L))))))
+    }
+    assert(e2.getMessage.contains("immutable"), e2.getMessage)
+  }
+
+  test("streaming sink batches allocate: two commitStreamBatch " +
+      "calls yield unique values and a monotone mark") {
+    val dir = freshDir("sink")
+    DeltaLake.write(spark, dir,
+      DeltaLake.withIdentityColumn(frame(1 to 4), "rid",
+        start = 10L, step = 2L))
+    val hw0 = DeltaLake.snapshot(spark, dir).schema("rid").metadata
+      .getLong("delta.identity.highWaterMark")
+    // batches omit the identity column entirely (the streaming shape)
+    DeltaLake.commitStreamBatch(spark, dir,
+      frame(5 to 7).coalesce(1), Seq.empty, "app1", 0L,
+      overwrite = false)
+    DeltaLake.commitStreamBatch(spark, dir,
+      frame(8 to 9).coalesce(1), Seq.empty, "app1", 1L,
+      overwrite = false)
+    val ids = DeltaLake.snapshot(spark, dir)
+      .select("rid").as[Long].collect()
+    assert(ids.length == 9 && ids.distinct.length == 9,
+      s"sink batches must allocate uniquely: ${ids.sorted.toSeq}")
+    assert(ids.forall(v => v >= 10L && (v - 10L) % 2L == 0L))
+    val hw2 = DeltaLake.snapshot(spark, dir).schema("rid").metadata
+      .getLong("delta.identity.highWaterMark")
+    assert(hw2 == ids.max && hw2 > hw0)
+    // the identity metadata SURVIVED the sink commits (no wipe)
+    assert(DeltaLake.snapshot(spark, dir).schema("rid").metadata
+      .contains("delta.identity.start"))
   }
 
   test("SQL DDL end to end: GENERATED ALWAYS AS IDENTITY and " +
