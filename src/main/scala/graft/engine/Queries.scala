@@ -4000,6 +4000,67 @@ object Queries {
              |  SELECT o_orderpriority, o_totalprice AS p
              |  FROM orders WHERE o_custkey % 17 = 9)
              |GROUP BY pri
+             |ORDER BY pri""".stripMargin)),
+
+    // TYPE-WIDENING ALTER (r15): `ALTER COLUMN c TYPE bigint/double`
+    // as a METADATA-ONLY commit — pre-widen files (int32/float
+    // parquet) read under the END schema via Spark's native parquet
+    // upcasts, post-widen rows need the wide type (keys past 2^31).
+    // The oracle reproduces both vintages from the raw table; the
+    // float→double vintage re-applies the float rounding the narrow
+    // files physically carry. Idempotent via DROP.
+    QueryDef("catalog_widen_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.wd")
+        s.sql("CREATE TABLE gdml.ddl.wd (o_orderkey INT, " +
+          "o_orderpriority STRING, amt FLOAT) " +
+          "USING `graft-deltalake`")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.wd
+             |SELECT CAST(o_orderkey AS INT), o_orderpriority,
+             |  CAST(o_totalprice AS FLOAT)
+             |FROM graft_delta.`$src` WHERE o_custkey % 19 = 4
+             |""".stripMargin)
+        s.sql("ALTER TABLE gdml.ddl.wd ALTER COLUMN o_orderkey " +
+          "TYPE BIGINT")
+        s.sql("ALTER TABLE gdml.ddl.wd ALTER COLUMN amt TYPE DOUBLE")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.wd
+             |SELECT o_orderkey + 4000000000, o_orderpriority,
+             |  CAST(o_totalprice AS DOUBLE) + 0.25
+             |FROM graft_delta.`$src` WHERE o_custkey % 19 = 7
+             |""".stripMargin)
+        // FLOOR-cents, not DECIMAL(18,2): pre-widen values are
+        // float-derived DYADIC doubles (…804.125), which TIE at every
+        // decimal rounding level — Spark rounds HALF_UP, DuckDB
+        // HALF_EVEN. floor(x*100) is identical in both engines.
+        s.sql(
+          """SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+            |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+            |  CAST(SUM(CAST(FLOOR(amt * 100) AS BIGINT)) AS BIGINT)
+            |    AS amt_cents
+            |FROM gdml.ddl.wd
+            |GROUP BY pri
+            |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(k) AS BIGINT) AS key_sum,
+             |  CAST(SUM(CAST(FLOOR(a * 100) AS BIGINT)) AS BIGINT)
+             |    AS amt_cents
+             |FROM (
+             |  SELECT o_orderpriority, o_orderkey AS k,
+             |    CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) AS a
+             |  FROM orders WHERE o_custkey % 19 = 4
+             |  UNION ALL
+             |  SELECT o_orderpriority, o_orderkey + 4000000000 AS k,
+             |    CAST(o_totalprice AS DOUBLE) + 0.25 AS a
+             |  FROM orders WHERE o_custkey % 19 = 7)
+             |GROUP BY pri
              |ORDER BY pri""".stripMargin))
   )
 

@@ -2164,7 +2164,7 @@ object DeltaLake {
     "checkConstraints", "deletionVectors", "v2Checkpoint", "variantType",
     "variantType-preview", "timestampNtz", "inCommitTimestamp",
     "vacuumProtocolCheck", "changeDataFeed", "columnMapping",
-    "generatedColumns", "identityColumns")
+    "generatedColumns", "identityColumns", "typeWidening")
 
   /** Writer features IMPLIED by a legacy `minWriterVersion` — when a
     * protocol upgrade moves a table to the table-features shape
@@ -3461,6 +3461,67 @@ object DeltaLake {
     val actions = ictAction(st.configuration, "ADD COLUMNS", path).toSeq :+
       metaAction(path, StructType(st.schema.fields ++ cols),
         st.partitionColumns, st.configuration, st.tableId)
+    writeCommitExclusive(path, next, actions)
+    next
+  }
+
+  /** WIDEN COLUMN TYPE — the typeWidening feature's spec-legal
+    * promotions as ONE metadata-only commit (`ALTER TABLE t ALTER
+    * COLUMN c TYPE bigint`): int→long, float→double, and
+    * decimal(P,S)→decimal(P',S) with P'>P. The commit carries the
+    * protocol union with `typeWidening` (reader+writer side), and the
+    * field records the spec's `delta.typeChanges` history entry
+    * (fromType/toType/tableVersion). Pre-widen files read under the
+    * END schema — Spark's parquet reader performs these upcasts
+    * natively on both code paths — and their add.stats values (JSON
+    * numbers) parse under the widened type, so stats skipping keeps
+    * pruning. Partition columns widen too: partitionValues are
+    * protocol strings and re-parse under the new type. Anything
+    * outside the legal set (narrowing, scale changes, string
+    * conversions) refuses — those are data rewrites in disguise.
+    * Returns the committed version.
+    */
+  def widenColumn(spark: SparkSession, path: String,
+      name: String, to: DataType): Long = {
+    val st = replay(spark, path, None)
+    // mapped tables widen fine (the field keeps its physicalName/id
+    // metadata), so gate features directly rather than requireWritable
+    val unsupported = st.protocol.writerFeatures
+      .filterNot(SupportedWriterFeatures + "columnMapping")
+    require(unsupported.isEmpty,
+      s"DeltaLake.widenColumn: $path requires writer features " +
+        s"$unsupported this writer does not implement")
+    require(st.schema.fieldNames.contains(name),
+      s"DeltaLake.widenColumn: no column '$name' in $path " +
+        s"(${st.schema.fieldNames.mkString(", ")})")
+    val f = st.schema(name)
+    require(LakeScan.legalTypeWidening(f.dataType, to),
+      s"DeltaLake.widenColumn: ${f.dataType.simpleString} → " +
+        s"${to.simpleString} is not a legal promotion for '$name' — " +
+        "int→bigint, float→double, and decimal precision growth keep " +
+        "existing files readable; anything else is a data rewrite in " +
+        "disguise (run it with the format's own tooling)")
+    val next = st.version + 1
+    val hist = (if (f.metadata.contains("delta.typeChanges"))
+      f.metadata.getMetadataArray("delta.typeChanges").toSeq
+    else Seq.empty) :+ new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("fromType", f.dataType.typeName)
+      .putString("toType", to.typeName)
+      .putLong("tableVersion", next).build()
+    val widened = StructType(st.schema.fields.map { sf =>
+      if (sf.name == name)
+        sf.copy(dataType = to,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(sf.metadata)
+            .putMetadataArray("delta.typeChanges", hist.toArray)
+            .build())
+      else sf
+    })
+    val actions =
+      ictAction(st.configuration, "CHANGE COLUMN", path).toSeq ++
+        protocolUnion(st.protocol, "typeWidening") :+
+        metaAction(path, widened, st.partitionColumns,
+          st.configuration, st.tableId)
     writeCommitExclusive(path, next, actions)
     next
   }

@@ -257,19 +257,50 @@ class GraftCatalog extends TableCatalog
         s"graft catalog: ALTER TABLE $key SET/UNSET TBLPROPERTIES " +
           s"('$prop') — only CHECK constraints " +
           "(delta.constraints.<name>) alter through the catalog"))
+    // spec-legal type WIDENING (int→bigint, float→double, decimal
+    // precision growth) is metadata-only in both formats — the native
+    // widen writers validate legality and refuse everything else
+    val widens = changes.collect {
+      case w: TableChange.UpdateColumnType => w }
+    widens.foreach(w => require(w.fieldNames.length == 1,
+      s"graft catalog: ALTER TABLE $key ALTER COLUMN " +
+        s"${w.fieldNames.mkString(".")} TYPE — nested fields are " +
+        "not supported"))
     val other = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.UpdateColumnType] ||
         c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty])
     if (other.nonEmpty) throw new UnsupportedOperationException(
       s"graft catalog: ALTER TABLE $key: only ADD / RENAME / DROP " +
-        s"COLUMN and CHECK-constraint TBLPROPERTIES are supported, " +
+        s"COLUMN, legal type widening, and CHECK-constraint " +
+        s"TBLPROPERTIES are supported, " +
         s"got ${other.map(_.getClass.getSimpleName)
-          .mkString(", ")} — type changes and repositioning are data " +
-        "rewrites in disguise; run them with the format's own tooling " +
-        "and re-register")
+          .mkString(", ")} — other type changes and repositioning " +
+        "are data rewrites in disguise; run them with the format's " +
+        "own tooling and re-register")
+    // ONE KIND of change per statement: each kind commits
+    // independently (with its own retry), so a mixed list failing
+    // midway would leave the table partially altered relative to the
+    // statement the user issued. Spark's SQL grammar only produces
+    // single-kind lists; programmatic callers get the honest refusal.
+    val kinds = Seq(adds.nonEmpty, renames.nonEmpty, drops.nonEmpty,
+      widens.nonEmpty, setProps.nonEmpty || unsetProps.nonEmpty)
+      .count(identity)
+    require(kinds <= 1,
+      s"graft catalog: ALTER TABLE $key mixes " +
+        s"${changes.map(_.getClass.getSimpleName).distinct
+          .mkString(", ")} — each kind commits independently, so a " +
+        "mixed statement could fail half-applied; issue one " +
+        "statement per kind")
+    require(setProps.size + unsetProps.size <= 1,
+      s"graft catalog: ALTER TABLE $key changes " +
+        s"${setProps.size + unsetProps.size} properties — each " +
+        "constraint change is its own commit; issue one statement " +
+        "per constraint so a failure cannot leave the list " +
+        "half-applied")
     drops.foreach(d => require(d.fieldNames.length == 1,
       s"graft catalog: ALTER TABLE $key DROP COLUMN " +
         s"${d.fieldNames.mkString(".")} — nested fields are not " +
@@ -319,6 +350,24 @@ class GraftCatalog extends TableCatalog
             renames.head.fieldNames.head, renames.head.newName)
         case "graft-iceberg" => Iceberg.renameColumns(spark, abs,
           renames.map(r => r.fieldNames.head -> r.newName).toMap)
+        case o => throw new IllegalArgumentException(
+          s"graft catalog: unknown format '$o' for $key")
+      }
+      if (v >= 0L) { GraftCatalog.advancePin(warehouse, key, v); () }
+    }
+    if (widens.nonEmpty) GraftCatalog.retryOnCatalogRace {
+      val entry = GraftCatalog.entries(warehouse).getOrElse(key,
+        throw new IllegalArgumentException(
+          s"graft catalog: no table '$key' in $warehouse"))
+      val abs = GraftCatalog.absPath(warehouse, entry.path)
+      val v = entry.format match {
+        case "graft-deltalake" =>
+          require(widens.size == 1, s"graft catalog: ALTER TABLE " +
+            s"$key widens one column per statement on Delta tables")
+          DeltaLake.widenColumn(spark, abs,
+            widens.head.fieldNames.head, widens.head.newDataType)
+        case "graft-iceberg" => Iceberg.widenColumns(spark, abs,
+          widens.map(w => w.fieldNames.head -> w.newDataType).toMap)
         case o => throw new IllegalArgumentException(
           s"graft catalog: unknown format '$o' for $key")
       }

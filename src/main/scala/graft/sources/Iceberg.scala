@@ -1517,6 +1517,12 @@ object Iceberg {
             case LongType if b.remaining == 8 => Some(name -> b.getLong.toString)
             case FloatType if b.remaining == 4 => Some(name -> b.getFloat.toString)
             case DoubleType if b.remaining == 8 => Some(name -> b.getDouble.toString)
+            // PRE-WIDEN bounds: a manifest written before a type
+            // promotion ([[widenColumns]]) serialized this field at
+            // its old width — decode at the stored width so stats
+            // skipping keeps pruning the old files
+            case LongType if b.remaining == 4 => Some(name -> b.getInt.toString)
+            case DoubleType if b.remaining == 4 => Some(name -> b.getFloat.toString)
             case StringType =>
               val arr = new Array[Byte](b.remaining)
               b.get(arr)
@@ -3272,6 +3278,52 @@ object Iceberg {
       }
       md.asInstanceOf[ObjectNode].put("last-column-id", lastId)
       ()
+    }
+  }
+
+  /** WIDEN COLUMN TYPES — the spec's legal primitive promotions as a
+    * metadata-only schema evolution (`ALTER TABLE t ALTER COLUMN c
+    * TYPE bigint`): int→long, float→double, decimal(P,S)→
+    * decimal(P',S) with P'>P. Same field ids under the new schema in
+    * the history (plus the same-content snapshot [[addColumns]]
+    * documents); pre-widen parquet files read under the END schema
+    * (Spark's reader performs the upcasts natively) and their
+    * manifests' old-width bounds decode at the stored width
+    * ([[decodeBounds]]'s pre-widen arms), so stats skipping keeps
+    * pruning both vintages. Partition-spec source columns refuse —
+    * prior manifests' typed partition records key on the old type.
+    * Returns the new snapshot id.
+    */
+  def widenColumns(spark: SparkSession, tableDir: String,
+      widths: Map[String, DataType]): Long = {
+    require(widths.nonEmpty, "Iceberg.widenColumns: nothing to widen")
+    val cur = resolve(spark, tableDir, None)
+    val specSources = cur.transforms.map(_.sourceName).toSet
+    widths.foreach { case (c, to) =>
+      require(cur.schema.fieldNames.contains(c),
+        s"Iceberg.widenColumns: '$c' is not a current column")
+      require(!specSources.contains(c),
+        s"Iceberg.widenColumns: '$c' is a partition-spec source " +
+          "column — prior manifests' typed partition records key on " +
+          "the old type")
+      val from = cur.schema(c).dataType
+      require(LakeScan.legalTypeWidening(from, to),
+        s"Iceberg.widenColumns: ${from.simpleString} → " +
+          s"${to.simpleString} is not a spec-legal promotion for " +
+          s"'$c' — int→long, float→double, and decimal precision " +
+          "growth keep existing files readable; anything else is a " +
+          "data rewrite in disguise")
+    }
+    evolveSchema(spark, tableDir, "widenColumns") { (schemaNode, _) =>
+      schemaNode.get("fields").elements().asScala.foreach { f =>
+        val o = f.asInstanceOf[
+          com.fasterxml.jackson.databind.node.ObjectNode]
+        widths.get(o.get("name").asText).foreach { to =>
+          o.put("type", icebergPrimitiveName(to,
+            s"Iceberg.widenColumns: '${o.get("name").asText}'"))
+          ()
+        }
+      }
     }
   }
 

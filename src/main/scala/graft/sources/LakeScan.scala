@@ -33,6 +33,27 @@ object LakeScan {
     case other => other
   }
 
+  /** The type promotions BOTH formats define as metadata-only legal
+    * (Delta typeWidening / Iceberg schema evolution) AND Spark's
+    * parquet reader performs natively when the read schema is wider
+    * than the file's: int→long, float→double, decimal precision
+    * growth at the same scale. Everything else (narrowing, scale
+    * changes, cross-family conversions) is a data rewrite in
+    * disguise and refuses at the ALTER.
+    */
+  private[sources] def legalTypeWidening(from: DataType,
+      to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d1.scale == d2.scale && d2.precision > d1.precision &&
+          d2.precision <= DecimalType.MAX_PRECISION
+      case _ => false
+    }
+  }
+
   /** Evaluate a pushed filter that references ONLY the `file_name`
     * metadata constant against this file's own name: `Some(keep)` when
     * decidable, `None` otherwise (falls through to the format's keep).
