@@ -4061,6 +4061,71 @@ object Queries {
              |    CAST(o_totalprice AS DOUBLE) + 0.25 AS a
              |  FROM orders WHERE o_custkey % 19 = 7)
              |GROUP BY pri
+             |ORDER BY pri""".stripMargin)),
+
+    // NESTED-FIELD EVOLUTION (r15): ADD + RENAME of STRUCT members on
+    // Iceberg (field-id resolution makes nested evolution sound) —
+    // pre-evolution files surface the added member as null and serve
+    // the renamed member under its new name; a post-evolution SQL
+    // INSERT lands the full shape. Floor-cents for the fp aggregate
+    // (dyadic tie-rounding, see catalog_widen_sql). Idempotent: the
+    // staging dir is wiped and rebuilt per run.
+    QueryDef("catalog_nested_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        val tdir = new java.io.File(wh, "nst")
+        def wipe(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).foreach(_.foreach(wipe))
+          f.delete(); ()
+        }
+        wipe(tdir)
+        import org.apache.spark.sql.functions.struct
+        graft.sources.Iceberg.write(s, tdir.getAbsolutePath,
+          graft.sources.DeltaLake.snapshot(s, src)
+            .filter(col("o_custkey") % 23 === 1)
+            .select(col("o_orderkey"),
+              struct(col("o_orderpriority").as("pri"),
+                col("o_totalprice").as("price")).as("info")))
+        graft.sources.Iceberg.addFields(s, tdir.getAbsolutePath,
+          Seq(Seq("info") -> org.apache.spark.sql.types.StructField(
+            "flag", org.apache.spark.sql.types.LongType)))
+        graft.sources.Iceberg.renameFields(s, tdir.getAbsolutePath,
+          Map(Seq("info", "pri") -> "priority"))
+        graft.sources.GraftCatalog.register(s, wh, "ddl.nst",
+          "graft-iceberg", "nst")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.nst
+             |SELECT o_orderkey,
+             |  named_struct('priority', o_orderpriority,
+             |    'price', o_totalprice, 'flag', o_custkey)
+             |FROM graft_delta.`$src` WHERE o_custkey % 23 = 7
+             |""".stripMargin)
+        s.sql(
+          """SELECT info.priority AS pri, COUNT(*) AS cnt,
+            |  CAST(SUM(CAST(FLOOR(info.price * 100) AS BIGINT))
+            |    AS BIGINT) AS cents,
+            |  CAST(COUNT(info.flag) AS BIGINT) AS flagged
+            |FROM gdml.ddl.nst
+            |GROUP BY pri
+            |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+             |    AS BIGINT) AS cents,
+             |  CAST(COUNT(flag) AS BIGINT) AS flagged
+             |FROM (
+             |  SELECT o_orderpriority, o_totalprice, NULL AS flag
+             |  FROM orders WHERE o_custkey % 23 = 1
+             |  UNION ALL
+             |  SELECT o_orderpriority, o_totalprice,
+             |    o_custkey AS flag
+             |  FROM orders WHERE o_custkey % 23 = 7)
+             |GROUP BY pri
              |ORDER BY pri""".stripMargin))
   )
 

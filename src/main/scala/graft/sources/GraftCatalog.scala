@@ -305,20 +305,14 @@ class GraftCatalog extends TableCatalog
       s"graft catalog: ALTER TABLE $key DROP COLUMN " +
         s"${d.fieldNames.mkString(".")} — nested fields are not " +
         "supported"))
+    // nested ADD/RENAME paths are format-gated below: field-id
+    // resolution makes them sound on Iceberg; Delta refuses honestly
     adds.foreach { a =>
-      require(a.fieldNames.length == 1,
-        s"graft catalog: ALTER TABLE $key ADD COLUMN " +
-          s"${a.fieldNames.mkString(".")} — nested fields are not " +
-          "supported")
       require(a.position == null,
         s"graft catalog: ALTER TABLE $key ADD COLUMN " +
-          s"${a.fieldNames.head} FIRST/AFTER — positioned adds " +
-          "reorder the schema; columns append at the end")
+          s"${a.fieldNames.mkString(".")} FIRST/AFTER — positioned " +
+          "adds reorder the schema; columns append at the end")
     }
-    renames.foreach(r => require(r.fieldNames.length == 1,
-      s"graft catalog: ALTER TABLE $key RENAME COLUMN " +
-        s"${r.fieldNames.mkString(".")} — nested fields are not " +
-        "supported"))
     // each operation retries INDEPENDENTLY: one shared retry would
     // re-run an already-committed ADD after the rename lost a race,
     // turning a retryable collision into "column already exists"
@@ -327,11 +321,19 @@ class GraftCatalog extends TableCatalog
         throw new IllegalArgumentException(
           s"graft catalog: no table '$key' in $warehouse"))
       val abs = GraftCatalog.absPath(warehouse, entry.path)
-      val cols = adds.map(a => org.apache.spark.sql.types.StructField(
-        a.fieldNames.head, a.dataType, a.isNullable))
       val v = entry.format match {
-        case "graft-deltalake" => DeltaLake.addColumns(spark, abs, cols)
-        case "graft-iceberg" => Iceberg.addColumns(spark, abs, cols)
+        case "graft-deltalake" =>
+          adds.foreach(a => require(a.fieldNames.length == 1,
+            s"graft catalog: ALTER TABLE $key ADD COLUMN " +
+              s"${a.fieldNames.mkString(".")} — nested adds are not " +
+              "supported on Delta tables (no field-id resolution)"))
+          DeltaLake.addColumns(spark, abs,
+            adds.map(a => org.apache.spark.sql.types.StructField(
+              a.fieldNames.head, a.dataType, a.isNullable)))
+        case "graft-iceberg" => Iceberg.addFields(spark, abs,
+          adds.map(a => a.fieldNames.init.toSeq ->
+            org.apache.spark.sql.types.StructField(
+              a.fieldNames.last, a.dataType, a.isNullable)))
         case o => throw new IllegalArgumentException(
           s"graft catalog: unknown format '$o' for $key")
       }
@@ -346,10 +348,15 @@ class GraftCatalog extends TableCatalog
         case "graft-deltalake" =>
           require(renames.size == 1, s"graft catalog: ALTER TABLE " +
             s"$key renames one column per statement on Delta tables")
+          require(renames.head.fieldNames.length == 1,
+            s"graft catalog: ALTER TABLE $key RENAME COLUMN " +
+              s"${renames.head.fieldNames.mkString(".")} — nested " +
+              "renames are not supported on Delta tables (column " +
+              "mapping covers top-level names only in this writer)")
           DeltaLake.renameColumn(spark, abs,
             renames.head.fieldNames.head, renames.head.newName)
-        case "graft-iceberg" => Iceberg.renameColumns(spark, abs,
-          renames.map(r => r.fieldNames.head -> r.newName).toMap)
+        case "graft-iceberg" => Iceberg.renameFields(spark, abs,
+          renames.map(r => r.fieldNames.toSeq -> r.newName).toMap)
         case o => throw new IllegalArgumentException(
           s"graft catalog: unknown format '$o' for $key")
       }

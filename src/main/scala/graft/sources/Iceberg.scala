@@ -1783,16 +1783,61 @@ object Iceberg {
     * requires. Columns outside the id map (derived transform ordinals,
     * stripped into directories) pass through unstamped.
     */
-  private def withFieldIds(df: DataFrame, ids: Map[String, Int])
-      : DataFrame =
-    df.select(df.schema.fieldNames.toIndexedSeq.map { n =>
-      ids.get(n) match {
-        case Some(id) => org.apache.spark.sql.functions.col(n).as(n,
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .putLong("parquet.field.id", id.toLong).build())
-        case None => org.apache.spark.sql.functions.col(n)
-      }
+  /** Reshape `df` onto `schema`'s fields, stamping each field's
+    * `parquet.field.id` metadata at EVERY nesting level: nested ids
+    * ride the CAST's target type (field metadata lives inside the
+    * StructType), top-level ids ride the alias metadata. Spark's
+    * parquet writer emits them all (fieldId.write.enabled), which is
+    * what makes by-id reads of nested members sound.
+    */
+  private def applyIds(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.toIndexedSeq.map { f =>
+      val target = LakeScan.asNullable(f.dataType)
+      val c = if (df.schema(f.name).dataType == target)
+        org.apache.spark.sql.functions.col(f.name)
+      else org.apache.spark.sql.functions.col(f.name).cast(target)
+      c.as(f.name, f.metadata)
     }: _*)
+
+  /** [[applyIds]] under the POSITIONAL pre-order assignment — the ids
+    * [[icebergSchemaJson]] mints at table creation (round-tripped so
+    * nested levels get theirs too).
+    */
+  private def withAssignedIds(df: DataFrame): DataFrame =
+    applyIds(df, structFromIceberg(
+      M.readTree(icebergSchemaJson(df.schema))))
+
+  /** Names/types with metadata and nullability erased — the shape
+    * comparator behind [[withTableIds]].
+    */
+  private def shapeOf(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, shapeOf(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(shapeOf(a.elementType), true)
+    case m: MapType => MapType(shapeOf(m.keyType), shapeOf(m.valueType),
+      valueContainsNull = true)
+    case o => o
+  }
+
+  /** Stamp the TABLE's field ids for the parquet writer. A resolved
+    * snapshot's schema carries the authoritative ids as
+    * `parquet.field.id` metadata at EVERY nesting level
+    * ([[structFromIceberg]]); when the frame matches it shape-wise,
+    * reshape onto it (`Dataset.to`) so nested members get their true
+    * ids — after nested evolution the positional pre-order guess
+    * would stamp wrong ids inside evolved structs. Creation-time
+    * writes (no metadata yet) and old-shape frames keep the
+    * positional assignment, which matches [[icebergSchemaJson]] and
+    * stays correct there because evolution mints fresh ids at the END
+    * of the id space.
+    */
+  private def withTableIds(df: DataFrame, schema: StructType)
+      : DataFrame =
+    if (schema.fields.forall(_.metadata.contains("parquet.field.id")) &&
+        shapeOf(StructType(df.schema.fields.toIndexedSeq)) ==
+          shapeOf(schema))
+      applyIds(df, schema)
+    else withAssignedIds(df)
 
   private def writeDataFiles(root: java.io.File, df: DataFrame,
       partitionBy: Seq[String], tag: String,
@@ -1894,14 +1939,15 @@ object Iceberg {
         Option(md.get("schemas")).flatMap(_.elements().asScala
             .find(s => Option(s.get("schema-id")).forall(_.asInt == curId)))
           .getOrElse(md.get("schema")))
-      // NULLABILITY-insensitive: the stored schema history is carried
-      // forward verbatim either way, and a frame aligned to the READ
-      // schema (all-nullable by the scan contract — e.g. the catalog's
-      // V1 INSERT bridge) must not read as evolution; names and types
-      // are the real identity
-      require(LakeScan.asNullable(priorSchema).json ==
-        LakeScan.asNullable(structFromIceberg(
-          M.readTree(icebergSchemaJson(tableSchema)))).json,
+      // NULLABILITY- and ID-insensitive: the stored schema history is
+      // carried forward verbatim either way, and a frame aligned to
+      // the READ schema (all-nullable by the scan contract — e.g. the
+      // catalog's V1 INSERT bridge) must not read as evolution; nor
+      // may TRUE ids vs a positional re-derivation (after a NESTED
+      // add the fresh member id is end-of-id-space, not pre-order).
+      // Names and types are the real identity.
+      require(shapeOf(priorSchema) ==
+        shapeOf(StructType(tableSchema.fields.toIndexedSeq)),
         "iceberg staging: schema evolution is not modeled by this " +
           "fixture writer")
     }
@@ -2498,14 +2544,31 @@ object Iceberg {
     import org.apache.spark.sql.functions.{col, datediff, floor, lit, month, pmod, substring, to_date, year}
     import IcebergTransforms._
     val root = new java.io.File(tableDir)
-    val (_, version) = priorState({ val d = metadataDir(tableDir)
+    val (priorMd, version) = priorState({ val d = metadataDir(tableDir)
       d.mkdirs(); d })
+    // the EXISTING table's current schema (ids in metadata) — the
+    // authoritative id source for appends to evolved tables
+    val priorSchema: Option[StructType] = priorMd.flatMap { md =>
+      try {
+        val curId = Option(md.get("current-schema-id"))
+          .map(_.asInt).getOrElse(0)
+        Option(md.get("schemas")).toSeq
+          .flatMap(_.elements().asScala)
+          .find(s => Option(s.get("schema-id"))
+            .forall(_.asInt == curId))
+          .map(structFromIceberg)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
     // derive one write-partitioning column per non-identity transform
     // (hidden partitioning: the SOURCE column stays in the data files;
     // Spark's partitionBy strips only the derived column). bucket[N]
     // derives through the native IceBucket expression — no UDF.
     val spec = partitionBy.map(parseSpec)
-    val writeDf = spec.foldLeft(df) { (d, f) =>
+    // stamp field ids BEFORE deriving transform columns (the derived
+    // columns are partitioning scaffolding, never table fields)
+    val dfIds = priorSchema.map(s => withTableIds(df, s))
+      .getOrElse(withAssignedIds(df))
+    val writeDf = spec.foldLeft(dfIds) { (d, f) =>
       f.transform match {
         case Identity => d
         case Days => d.withColumn(f.fieldName,
@@ -2545,8 +2608,7 @@ object Iceberg {
     val tag =
       if (!exclusive) s"a$version"
       else s"a$version-${java.util.UUID.randomUUID().toString.take(8)}"
-    val moved = writeDataFiles(root,
-      withFieldIds(writeDf, fieldIds(df.schema)), dirCols, tag)
+    val moved = writeDataFiles(root, writeDf, dirCols, tag)
     val identitySources = spec.filter(_.transform == Identity)
       .map(_.sourceName)
     val dataSchema = StructType(
@@ -3148,7 +3210,7 @@ object Iceberg {
     val tag = s"$opTag$version-" +
       java.util.UUID.randomUUID().toString.take(8)
     val moved = writeDataFiles(root,
-      withFieldIds(rows, fieldIds(cur.schema)),
+      withTableIds(rows, cur.schema),
       cur.partitionColumns, tag)
     val dataSchema = StructType(
       cur.schema.filterNot(f => cur.partitionColumns.contains(f.name)))
@@ -3232,19 +3294,61 @@ object Iceberg {
     * new snapshot id (or the current one when the table is empty).
     */
   def addColumns(spark: SparkSession, tableDir: String,
-      cols: Seq[StructField]): Long = {
-    require(cols.nonEmpty, "Iceberg.addColumns: no columns to add")
-    cols.foreach(f => require(f.nullable,
+      cols: Seq[StructField]): Long =
+    addFields(spark, tableDir, cols.map(c => Seq.empty[String] -> c))
+
+  /** Navigate an Iceberg schema JSON node down a struct member path
+    * (empty = the node itself); each segment must name a struct
+    * field. Shared by the nested ADD/RENAME evolutions.
+    */
+  private def structNodeAt(
+      schemaNode: com.fasterxml.jackson.databind.node.ObjectNode,
+      path: Seq[String], op: String)
+      : com.fasterxml.jackson.databind.node.ObjectNode =
+    path.foldLeft(schemaNode) { (node, seg) =>
+      val f = node.get("fields").elements().asScala
+        .find(_.get("name").asText == seg)
+        .getOrElse(throw new IllegalArgumentException(
+          s"Iceberg.$op: no field '$seg' on the path"))
+      val t = f.get("type")
+      require(t.isObject &&
+          Option(t.get("type")).exists(_.asText == "struct"),
+        s"Iceberg.$op: '$seg' is not a struct — only struct members " +
+          "evolve by path")
+      t.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    }
+
+  /** ADD FIELDS at arbitrary struct paths (`ALTER TABLE t ADD COLUMN
+    * s.member TYPE`), top-level included (empty path) — ONE
+    * metadata-only evolution commit for the whole list. Field-id
+    * resolution makes nested evolution sound on this format: the new
+    * member gets a FRESH id past everything in the schema history, so
+    * pre-evolution files (whose structs lack the id) surface null for
+    * it at every nesting depth, exactly like a top-level add.
+    */
+  def addFields(spark: SparkSession, tableDir: String,
+      adds: Seq[(Seq[String], StructField)]): Long = {
+    require(adds.nonEmpty, "Iceberg.addColumns: no columns to add")
+    adds.foreach { case (_, f) => require(f.nullable,
       s"Iceberg.addColumns: column '${f.name}' is NOT NULL — " +
-        "existing rows have no value for it; add it optional"))
+        "existing rows have no value for it; add it optional") }
     evolveSchema(spark, tableDir, "addColumns") { (schemaNode, md) =>
       import com.fasterxml.jackson.databind.node.ObjectNode
-      val names = schemaNode.get("fields").elements().asScala
-        .map(_.get("name").asText.toLowerCase).toSet
-      cols.foreach(f => require(!names.contains(f.name.toLowerCase),
-        s"Iceberg.addColumns: column '${f.name}' already exists"))
-      require(cols.map(_.name.toLowerCase).distinct.size == cols.size,
-        s"Iceberg.addColumns: duplicate names in ${cols.map(_.name)}")
+      adds.groupBy(_._1).foreach { case (path, group) =>
+        val parent = structNodeAt(schemaNode, path, "addColumns")
+        val names = parent.get("fields").elements().asScala
+          .map(_.get("name").asText.toLowerCase).toSet
+        group.foreach { case (_, f) =>
+          require(!names.contains(f.name.toLowerCase),
+            s"Iceberg.addColumns: column '${f.name}' already exists" +
+              (if (path.nonEmpty) s" under ${path.mkString(".")}"
+               else ""))
+        }
+        require(group.map(_._2.name.toLowerCase).distinct.size ==
+            group.size,
+          s"Iceberg.addColumns: duplicate names in " +
+            s"${group.map(_._2.name)}")
+      }
       // fresh ids start past BOTH the stored last-column-id and every
       // id actually present in the schema history (this writer's
       // last-column-id counts top-level fields only, so on a
@@ -3264,9 +3368,10 @@ object Iceberg {
         Option(md.get("schemas")).toSeq
           .flatMap(_.elements().asScala).map(maxIdOf)
           .maxOption.getOrElse(maxIdOf(schemaNode)))
-      val fields = schemaNode.get("fields")
-        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
-      cols.foreach { f =>
+      adds.foreach { case (path, f) =>
+        val fields = structNodeAt(schemaNode, path, "addColumns")
+          .get("fields")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
         lastId += 1
         val n = fields.addObject()
         n.put("id", lastId)
@@ -3337,27 +3442,59 @@ object Iceberg {
     * snapshot id.
     */
   def renameColumns(spark: SparkSession, tableDir: String,
-      renames: Map[String, String]): Long = {
+      renames: Map[String, String]): Long =
+    renameFields(spark, tableDir,
+      renames.map { case (f, t) => Seq(f) -> t })
+
+  /** RENAME FIELDS at arbitrary struct paths (`ALTER TABLE t RENAME
+    * COLUMN s.member TO other`) — same field ids under new names in
+    * ONE evolution commit. Field-id resolution makes this sound at
+    * every depth: pre-rename files keep reading (ids never change),
+    * at nested levels exactly like top-level. Partition-spec source
+    * columns and sibling collisions refuse.
+    */
+  def renameFields(spark: SparkSession, tableDir: String,
+      renames: Map[Seq[String], String]): Long = {
     require(renames.nonEmpty, "Iceberg.renameColumns: nothing to rename")
     val cur = resolve(spark, tableDir, None)
     val specSources = cur.transforms.map(_.sourceName).toSet
-    renames.foreach { case (from, to) =>
-      require(cur.schema.fieldNames.contains(from),
-        s"Iceberg.renameColumns: '$from' is not a current column")
-      require(!specSources.contains(from),
-        s"Iceberg.renameColumns: '$from' is a partition-spec source " +
-          "column — prior manifests' partition records key on it")
-      val others = cur.schema.fieldNames.toSet -- renames.keySet
+    renames.foreach { case (path, to) =>
+      require(path.nonEmpty, "Iceberg.renameColumns: empty path")
+      val dotted = path.mkString(".")
+      require(!specSources.contains(dotted),
+        s"Iceberg.renameColumns: '$dotted' is a partition-spec " +
+          "source column — prior manifests' partition records key " +
+          "on it")
+      // current-name check + sibling collision, at the path's depth
+      val siblings: Seq[String] = path.init
+        .foldLeft(Option(cur.schema)) { (s, seg) =>
+          s.flatMap(_.find(_.name == seg)).map(_.dataType).collect {
+            case st: StructType => st
+          }
+        }.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+      require(siblings.contains(path.last),
+        s"Iceberg.renameColumns: '$dotted' is not a current column")
+      val renamedAway = renames.keySet
+        .filter(_.init == path.init).map(_.last)
+      val others = siblings.toSet -- renamedAway
       require(!others.exists(_.equalsIgnoreCase(to)) &&
-          renames.values.count(_.equalsIgnoreCase(to)) == 1,
+          renames.filter(_._1.init == path.init).values
+            .count(_.equalsIgnoreCase(to)) == 1,
         s"Iceberg.renameColumns: target name '$to' collides")
     }
     evolveSchema(spark, tableDir, "renameColumns") { (schemaNode, _) =>
-      schemaNode.get("fields").elements().asScala.foreach { f =>
-        val o = f.asInstanceOf[
-          com.fasterxml.jackson.databind.node.ObjectNode]
-        renames.get(o.get("name").asText)
-          .foreach(n => o.put("name", n))
+      // one pass per parent with the whole rename map — applying
+      // renames sequentially would let a swap (a→b, b→c) transiently
+      // duplicate a name and rename both
+      renames.groupBy(_._1.init).foreach { case (parent, group) =>
+        val byOld = group.map { case (p, t) => p.last -> t }
+        structNodeAt(schemaNode, parent, "renameColumns")
+          .get("fields").elements().asScala.foreach { f =>
+            val o = f.asInstanceOf[
+              com.fasterxml.jackson.databind.node.ObjectNode]
+            byOld.get(o.get("name").asText)
+              .foreach(n => o.put("name", n))
+          }
       }
     }
   }
@@ -3804,7 +3941,7 @@ object Iceberg {
         val sized = if (n == 1) rows.coalesce(1) else rows.repartition(n)
         val tmp = new java.io.File(root, "_ice_cv_tmp_" +
           java.util.UUID.randomUUID().toString.take(8))
-        withFieldIds(sized, fieldIds(cur.schema))
+        withTableIds(sized, cur.schema)
           .write.mode("overwrite").parquet(tmp.getAbsolutePath)
         val rels = Option(tmp.listFiles()).toSeq.flatten
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -4519,13 +4656,13 @@ object Iceberg {
         val rewritten = rewrite(fileRows, dataSchema.fieldNames.toSeq)
         if (!rewritten.isEmpty) {
           val (_, version) = priorState(metadataDir(tableDir))
-          val moved = writeDataFiles(root, withFieldIds(
+          val moved = writeDataFiles(root, withTableIds(
             cur.partitionColumns.foldLeft(rewritten) { (df, pc) =>
               val dt = cur.schema(pc).dataType
               df.withColumn(pc, f.partitionValues.get(pc)
                 .filter(_ != null).map(v => lit(v).cast(dt))
                 .getOrElse(lit(null).cast(dt)))
-            }, fieldIds(cur.schema)),
+            }, cur.schema),
             cur.partitionColumns, s"$operation$version-${entries.size}")
           val stats = fileStatsOf(spark, dataSchema,
             moved.map(_._1.getAbsolutePath))

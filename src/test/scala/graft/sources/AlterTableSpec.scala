@@ -206,6 +206,92 @@ class AlterTableSpec extends AnyFunSuite with SparkFixture {
       .forall(_.isNullAt(0)))
   }
 
+  test("iceberg nested evolution: ADD and RENAME of struct members " +
+      "by field id — pre-evolution files read null / keep reading; " +
+      "both vintages serve; refusals hold") {
+    import org.apache.spark.sql.functions.struct
+    val dir = freshDir("inest")
+    val base = (1 to 6).map(i => (i.toLong, i.toLong * 10, s"n$i"))
+      .toDF("id", "x", "nm")
+      .select(col("id"), struct(col("x"), col("nm")).as("s"))
+      .coalesce(1)
+    Iceberg.write(spark, dir, base)
+    // ADD s.z: one evolution commit, fresh end-of-space id
+    assert(Iceberg.addFields(spark, dir, Seq(Seq("s") ->
+      StructField("z", DoubleType))) >= 0)
+    val afterAdd = Iceberg.snapshot(spark, dir)
+    assert(afterAdd.select("s.z").collect().forall(_.isNullAt(0)),
+      "pre-evolution files must surface the new nested member as null")
+    // append WITH the new member: both vintages in one scan
+    Iceberg.write(spark, dir,
+      Seq((7L, 70L, "n7", 7.5)).toDF("id", "x", "nm", "z")
+        .select(col("id"),
+          struct(col("x"), col("nm"), col("z")).as("s")).coalesce(1))
+    val mixed = Iceberg.snapshot(spark, dir)
+    assert(mixed.count() == 7)
+    assert(mixed.filter(col("s.z").isNotNull).select("s.x")
+      .as[Long].collect().toSeq == Seq(70L))
+    // RENAME s.x → sx: same ids, every vintage keeps reading
+    assert(Iceberg.renameFields(spark, dir,
+      Map(Seq("s", "x") -> "sx")) >= 0)
+    val ren = Iceberg.snapshot(spark, dir)
+    assert(ren.select("s.sx").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L))
+    // time travel to the first snapshot serves the ORIGINAL shape
+    val sid0 = Iceberg.snapshotIds(dir).head
+    val tt = Iceberg.snapshot(spark, dir, Some(sid0))
+    assert(tt.select("s.x").as[Long].collect().length == 6)
+    // refusals: non-struct path, duplicate member, sibling collision
+    intercept[IllegalArgumentException] {
+      Iceberg.addFields(spark, dir, Seq(Seq("id") ->
+        StructField("q", DoubleType)))
+    }
+    intercept[IllegalArgumentException] {
+      Iceberg.addFields(spark, dir, Seq(Seq("s") ->
+        StructField("nm", DoubleType)))
+    }
+    intercept[IllegalArgumentException] {
+      Iceberg.renameFields(spark, dir, Map(Seq("s", "nm") -> "sx"))
+    }
+  }
+
+  test("SQL nested ALTER through the catalog: iceberg evolves, " +
+      "delta refuses honestly") {
+    import org.apache.spark.sql.functions.struct
+    val wh = freshDir("sqlnest")
+    Iceberg.write(spark, new java.io.File(wh, "t").getAbsolutePath,
+      (1 to 5).map(i => (i.toLong, i * 1.0, s"v$i"))
+        .toDF("id", "a", "b")
+        .select(col("id"), struct(col("a"), col("b")).as("s"))
+        .coalesce(1))
+    GraftCatalog.register(spark, wh, "db.t", "graft-iceberg", "t")
+    DeltaLake.write(spark, new java.io.File(wh, "d").getAbsolutePath,
+      (1 to 3).map(i => (i.toLong, i * 1.0, s"v$i"))
+        .toDF("id", "a", "b")
+        .select(col("id"), struct(col("a"), col("b")).as("s"))
+        .coalesce(1))
+    GraftCatalog.register(spark, wh, "db.d", "graft-deltalake", "d")
+    spark.conf.set("spark.sql.catalog.ncat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ncat.warehouse", wh)
+    spark.sql("ALTER TABLE ncat.db.t ADD COLUMNS (s.c BIGINT)")
+    assert(spark.sql("SELECT s.c FROM ncat.db.t").collect()
+      .forall(_.isNullAt(0)))
+    spark.sql("ALTER TABLE ncat.db.t RENAME COLUMN s.a TO aa")
+    assert(spark.sql("SELECT SUM(s.aa) FROM ncat.db.t").head()
+      .getDouble(0) == 15.0)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE ncat.db.d ADD COLUMNS (s.c BIGINT)")
+    }
+    assert(e.getMessage.contains("nested adds are not supported on " +
+      "Delta"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE ncat.db.d RENAME COLUMN s.a TO aa")
+    }
+    assert(e2.getMessage.contains("nested renames are not supported"),
+      e2.getMessage)
+  }
+
   test("delta widenColumn: int→bigint metadata-only, pre-widen files " +
       "read under the widened type, typeWidening protocol + history " +
       "recorded; illegal changes refuse") {
