@@ -29,6 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     the ORC/Avro→parquet migration ([[Iceberg.convertToParquet]]).
   *   - `CALL gcat.system.vacuum_orphans()` — warehouse-wide unpinned
   *     staging reclaim ([[GraftCatalog.vacuumOrphans]]).
+  *   - `CALL gcat.system.evolve_partition_spec(table => 'db.t',
+  *     field => 'days(ts)')` — partition-spec evolution
+  *     ([[Iceberg.addPartitionField]]; Iceberg only).
   *
   * Each returns its result as rows (reclaimed paths / the committed
   * version), so `CALL` output is inspectable like any query.
@@ -38,7 +41,8 @@ private[sources] object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   val Names: Seq[String] = Seq("vacuum", "expire_snapshots",
-    "optimize", "convert_to_parquet", "vacuum_orphans")
+    "optimize", "convert_to_parquet", "vacuum_orphans",
+    "evolve_partition_spec")
 
   def load(ident: Identifier, warehouse: String): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -125,6 +129,23 @@ private[sources] object GraftProcedures {
           s"graft catalog: convert_to_parquet targets Iceberg " +
             s"tables; '$name' is ${e.format}")
         val v = Iceberg.convertToParquet(spark, abs)
+        if (v >= 0L) { GraftCatalog.advancePin(warehouse, name, v); () }
+        Seq(InternalRow(v))
+      }
+      case "evolve_partition_spec" => proc("evolve_partition_spec",
+        "mint a new Iceberg partition spec = default + the given " +
+          "transform field (days(ts), bucket(16, k), ...); old files " +
+          "stay under their spec, new writes land under the new one",
+        Seq(in("table", StringType), in("field", StringType)),
+        versionOut) { input =>
+        val name = input.getUTF8String(0).toString
+        val field = input.getUTF8String(1).toString
+        val (e, abs) = entryOf(name)
+        require(e.format == "graft-iceberg",
+          s"graft catalog: evolve_partition_spec targets Iceberg " +
+            s"tables; '$name' is ${e.format} — Delta has no " +
+            "partition-spec concept (its layout is fixed at creation)")
+        val v = Iceberg.addPartitionField(spark, abs, field)
         if (v >= 0L) { GraftCatalog.advancePin(warehouse, name, v); () }
         Seq(InternalRow(v))
       }

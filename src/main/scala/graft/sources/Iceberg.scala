@@ -2015,7 +2015,19 @@ object Iceberg {
     }
     val boundsArraySchema = dfSchema.getField("lower_bounds").schema()
       .getTypes.get(1)
-    val ids = fieldIds(tableSchema) // one pre-order walk per commit
+    // name → field id for manifest bounds keys and spec source-ids:
+    // the STORED current schema's true ids when the table exists
+    // (after nested evolution the fresh end-of-space ids diverge from
+    // a positional re-derivation), positional pre-order at creation
+    val ids: Map[String, Int] = priorMd.flatMap { md =>
+      val curId = Option(md.get("current-schema-id")).map(_.asInt)
+        .getOrElse(0)
+      Option(md.get("schemas")).toSeq
+        .flatMap(_.elements().asScala)
+        .find(s => Option(s.get("schema-id")).forall(_.asInt == curId))
+        .map(sn => sn.get("fields").elements().asScala
+          .map(f => f.get("name").asText -> f.get("id").asInt).toMap)
+    }.getOrElse(fieldIds(tableSchema))
     // PARTITION-SPEC RESOLUTION (r11, spec evolution): render the
     // commit's spec to semantic tuples and match against the prior
     // metadata's spec list — an identical spec REUSES its id (DML
@@ -3384,6 +3396,123 @@ object Iceberg {
       md.asInstanceOf[ObjectNode].put("last-column-id", lastId)
       ()
     }
+  }
+
+  /** PARTITION-SPEC EVOLUTION — `ALTER TABLE t ADD PARTITION FIELD
+    * days(ts)` as a metadata-only commit minting a NEW spec-id: the
+    * evolved default spec is the current default plus the new
+    * transform field; existing data files stay under their own spec
+    * (each manifest's `partition_spec_id` decodes its partition
+    * records against the spec it was WRITTEN under — the reader's
+    * multi-spec resolution), new writes land under the new spec, and
+    * BOTH vintages prune on the fields their own spec carried
+    * (`pruneTransforms` is the cross-spec union). IDENTITY fields
+    * refuse: identity columns are constant-attached from the log, so
+    * mixed identity sets across live manifests are unreadable —
+    * day-one estates re-partition with transforms (days/bucket/
+    * truncate), which is exactly what mixes soundly. Returns the new
+    * snapshot id (or the metadata version on snapshot-less tables).
+    */
+  def addPartitionField(spark: SparkSession, tableDir: String,
+      field: String): Long = {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val cur = resolve(spark, tableDir, None)
+    val f = IcebergTransforms.parseSpec(field)
+    require(f.transform != IcebergTransforms.Identity,
+      s"Iceberg.addPartitionField: '$field' is an IDENTITY field — " +
+        "identity columns are constant-attached from the log and " +
+        "mixed identity sets across live manifests are unreadable; " +
+        "evolve with a transform (days/hours/month/year/bucket/" +
+        "truncate) or re-create the table")
+    require(cur.schema.fieldNames.contains(f.sourceName),
+      s"Iceberg.addPartitionField: '${f.sourceName}' is not a column")
+    require(!cur.transforms.exists(_.fieldName == f.fieldName),
+      s"Iceberg.addPartitionField: partition field '${f.fieldName}' " +
+        "is already in the default spec")
+    val mdDir = metadataDir(tableDir)
+    val (priorOpt, version) = priorState(mdDir)
+    val md = priorOpt.getOrElse(throw new IllegalArgumentException(
+      s"Iceberg.addPartitionField: not an Iceberg table: $tableDir"))
+      .deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    // source-id from the CURRENT schema's field metadata (true ids)
+    val srcId = cur.schema(f.sourceName).metadata match {
+      case m if m.contains("parquet.field.id") =>
+        m.getLong("parquet.field.id").toInt
+      case _ => cur.schema.fieldIndex(f.sourceName) + 1
+    }
+    val specsNode = Option(md.get("partition-specs"))
+      .collect { case a: ArrayNode => a }
+      .getOrElse {
+        // v1 metadata: materialize the bare partition-spec as spec 0
+        val a = md.putArray("partition-specs")
+        val s0 = a.addObject()
+        s0.put("spec-id", 0)
+        s0.set[JsonNode]("fields",
+          Option(md.get("partition-spec")).map(_.deepCopy[JsonNode]())
+            .getOrElse(M.createArrayNode()))
+        a
+      }
+    val defaultId = Option(md.get("default-spec-id")).map(_.asInt)
+      .getOrElse(0)
+    val newId = specsNode.elements().asScala
+      .map(_.get("spec-id").asInt).maxOption.getOrElse(0) + 1
+    val lastPartId = Option(md.get("last-partition-id")).map(_.asInt)
+      .getOrElse(999 + cur.transforms.size)
+    val newSpec = specsNode.addObject()
+    newSpec.put("spec-id", newId)
+    val fieldsArr = newSpec.putArray("fields")
+    specsNode.elements().asScala
+      .find(_.get("spec-id").asInt == defaultId)
+      .foreach(_.get("fields").elements().asScala.foreach { pf =>
+        fieldsArr.add(pf.deepCopy[JsonNode]()); ()
+      })
+    val nf = fieldsArr.addObject()
+    nf.put("name", f.fieldName)
+    nf.put("transform", IcebergTransforms.transformJson(f.transform))
+    nf.put("source-id", srcId)
+    nf.put("field-id", lastPartId + 1)
+    md.put("default-spec-id", newId)
+    md.put("last-partition-id", lastPartId + 1)
+    md.put("last-updated-ms", 1700000000000L + version)
+    // same-content snapshot so catalog pins can advance past the
+    // evolution (the evolveSchema shape)
+    val curSnapId = Option(md.get("current-snapshot-id"))
+      .map(_.asLong(-1L)).getOrElse(-1L)
+    val outId =
+      if (curSnapId < 0) version
+      else {
+        val snaps = md.get("snapshots").asInstanceOf[ArrayNode]
+        val parent = snaps.elements().asScala
+          .find(_.get("snapshot-id").asLong == curSnapId)
+          .getOrElse(throw new IllegalStateException(
+            s"Iceberg.addPartitionField: current snapshot " +
+              s"$curSnapId not in history"))
+        val snap = snaps.addObject()
+        snap.put("snapshot-id", version)
+        snap.put("sequence-number", version)
+        snap.put("parent-snapshot-id", curSnapId)
+        snap.put("timestamp-ms", 1700000000000L + version)
+        snap.put("manifest-list", parent.get("manifest-list").asText)
+        val sum = snap.putObject("summary")
+        sum.put("operation", "replace")
+        sum.put("graft.spec-change", field)
+        Option(parent.get("schema-id"))
+          .foreach(sid => { snap.put("schema-id", sid.asInt); () })
+        md.put("current-snapshot-id", version)
+        md.put("last-sequence-number", version)
+        Option(md.get("refs")).collect { case o: ObjectNode => o }
+          .flatMap(refs => Option(refs.get("main"))
+            .collect { case m: ObjectNode => m })
+          .foreach { m => m.put("snapshot-id", version); () }
+        version
+      }
+    writeMetadataExclusive(
+      new java.io.File(mdDir, s"v$version.metadata.json").toPath,
+      M.writeValueAsString(md))
+    java.nio.file.Files.writeString(
+      new java.io.File(mdDir, "version-hint.text").toPath,
+      version.toString)
+    outId
   }
 
   /** WIDEN COLUMN TYPES — the spec's legal primitive promotions as a

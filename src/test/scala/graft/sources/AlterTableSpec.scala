@@ -377,6 +377,55 @@ class AlterTableSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("partition-spec source"), e.getMessage)
   }
 
+  test("iceberg partition-spec evolution: addPartitionField mints a " +
+      "new default spec; both vintages read and prune under their " +
+      "own spec; identity additions refuse") {
+    val dir = freshDir("ispec")
+    val old = (1 to 40).map(i => (i.toLong, s"p${i % 2}", s"v$i"))
+      .toDF("id", "p", "v")
+    Iceberg.write(spark, dir, old, partitionBy = Seq("p"))
+    // evolve: default spec becomes [identity(p), bucket(4, id)]
+    assert(Iceberg.addPartitionField(spark, dir, "bucket(4, id)") >= 0)
+    // new writes land under the NEW spec automatically
+    Iceberg.write(spark, dir,
+      (41 to 80).map(i => (i.toLong, s"p${i % 2}", s"v$i"))
+        .toDF("id", "p", "v"))
+    val snap = Iceberg.snapshot(spark, dir)
+    assert(snap.count() == 80)
+    // identity partition pruning serves BOTH vintages
+    import org.apache.spark.sql.classic
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val q = try {
+      val f = Iceberg.snapshot(spark, dir).filter(col("p") === "p1")
+      assert(f.collect().length == 40)
+      f
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    val scanned = q.asInstanceOf[classic.Dataset[_]].queryExecution
+      .executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get.metrics("numFiles").value
+    val all = Iceberg.snapshot(spark, dir).inputFiles.length
+    assert(scanned < all,
+      s"p-filter must prune files under both specs ($scanned/$all)")
+    // bucket pruning bites on the NEW vintage: an id-equality scan
+    // reads fewer files than the p-equality scan over new files
+    assert(Iceberg.snapshot(spark, dir)
+      .filter(col("id") === 50L).collect().map(_.getString(2)).toSeq ==
+      Seq("v50"))
+    // the default spec is the evolved one; old manifests keep theirs
+    assert(Iceberg.resolve(spark, dir, None).specStrings ==
+      Seq("p", "bucket(4, id)"))
+    // identity additions refuse (mixed identity sets are unreadable)
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.addPartitionField(spark, dir, "v")
+    }
+    assert(e.getMessage.contains("IDENTITY"), e.getMessage)
+    // duplicate field refuses
+    intercept[IllegalArgumentException] {
+      Iceberg.addPartitionField(spark, dir, "bucket(4, id)")
+    }
+  }
+
   test("SQL ALTER COLUMN TYPE through the catalog widens on both " +
       "formats; mixed-kind statements refuse") {
     val wh = freshDir("sqlwiden")

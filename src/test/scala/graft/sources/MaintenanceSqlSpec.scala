@@ -124,4 +124,35 @@ class MaintenanceSqlSpec extends AnyFunSuite with SparkFixture {
     assert(GraftProcedures.Names.toSet.subsetOf(procs) ||
       procs.nonEmpty) // listing shape varies; presence is the pin
   }
+
+  test("CALL system.evolve_partition_spec mints a new spec; new " +
+      "writes land under it; refuses on delta") {
+    val wh = freshWh("spev")
+    val t = new java.io.File(wh, "t").getAbsolutePath
+    Iceberg.write(spark, t,
+      (1 to 20).map(i => (i.toLong, s"p${i % 2}", i * 1.0))
+        .toDF("id", "p", "v"), partitionBy = Seq("p"))
+    GraftCatalog.register(spark, wh, "db.t", "graft-iceberg", "t")
+    val out = spark.sql("CALL mspev.system.evolve_partition_spec(" +
+      "table => 'db.t', field => 'bucket(4, id)')").collect()
+    assert(out.length == 1 && out.head.getLong(0) >= 0)
+    // new inserts land under the evolved spec; both vintages read
+    spark.sql("INSERT INTO mspev.db.t VALUES (21, 'p1', 21.0)")
+    assert(spark.sql("SELECT COUNT(*) FROM mspev.db.t").head()
+      .getLong(0) == 21)
+    assert(Iceberg.resolve(spark, t, None).specStrings ==
+      Seq("p", "bucket(4, id)"))
+    // the pin advanced to the evolution (or past it via the insert)
+    assert(GraftCatalog.entries(wh)("db.t").version ==
+      Iceberg.currentSnapshotId(t))
+    // delta refuses
+    val d = new java.io.File(wh, "d").getAbsolutePath
+    DeltaLake.write(spark, d, frame(1 to 4))
+    GraftCatalog.register(spark, wh, "db.d", "graft-deltalake", "d")
+    val e = intercept[Exception] {
+      spark.sql("CALL mspev.system.evolve_partition_spec(" +
+        "table => 'db.d', field => 'bucket(4, id)')").collect()
+    }
+    assert(e.getMessage.contains("Iceberg"), e.getMessage)
+  }
 }
