@@ -2320,6 +2320,28 @@ object DeltaLake {
     conf.collect { case (k, v) if k.startsWith("delta.constraints.") =>
       k.stripPrefix("delta.constraints.") -> v }
 
+  /** A generation expression re-bound over the POST-IMAGE of a
+    * rewrite: every single-part column reference in the SQL goes
+    * through `ref` (which supplies the post-image value of that
+    * column). This is what lets UPDATE/MERGE RECOMPUTE generated
+    * columns whose inputs changed — the reference implementation
+    * recomputes rather than refusing legal SQL.
+    */
+  private def genExprOver(g: String,
+      ref: String => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    // parse to a REAL catalyst tree — Spark 4's functions.expr wraps
+    // a lazy SqlExpression node that a transform cannot see into
+    val bound = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(g).transform {
+      case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+        org.apache.spark.sql.graft.GraftSql
+          .expression(ref(ua.nameParts.head))
+    }
+    org.apache.spark.sql.graft.GraftSql.column(bound)
+  }
+
   /** GENERATED columns (`delta.generationExpression` field metadata)
     * of the table: name -> generation SQL.
     */
@@ -3012,15 +3034,34 @@ object DeltaLake {
         s"rewrite) — data columns: $dataCols")
     val hits = hitFiles(spark, path, st, predicate)
     if (hits.isEmpty) return -1L
-    def applySet(df: DataFrame): DataFrame =
-      df.select(st.schema.fieldNames.toIndexedSeq.map { c =>
+    // GENERATED columns the SET does not assign RECOMPUTE on matched
+    // rows (the reference recomputes when inputs change; unchanged
+    // inputs reproduce the stored value, so the uniform recompute is
+    // a no-op there) — an EXPLICITLY assigned generated column keeps
+    // the provided value and the equality row-check validates it
+    // (generated PARTITION columns stay validate-only: recomputing
+    // one into a new value would be a row MOVE between partitions,
+    // which update refuses — the equality row-check keeps that loud)
+    val genRe = generatedOf(st.schema).filterNot { case (g, _) =>
+      set1.contains(g) || st.partitionColumns.contains(g) }
+    def applySet(df: DataFrame): DataFrame = {
+      def postRef(c: String): org.apache.spark.sql.Column =
         set1.get(c) match {
           case Some(e) =>
             when(predicate, e.cast(st.schema(c).dataType))
-              .otherwise(col(c)).as(c)
+              .otherwise(col(c))
           case None => col(c)
         }
+      df.select(st.schema.fieldNames.toIndexedSeq.map { c =>
+        genRe.get(c) match {
+          case Some(g) =>
+            when(predicate,
+              genExprOver(g, postRef).cast(st.schema(c).dataType))
+              .otherwise(col(c)).as(c)
+          case None => postRef(c).as(c)
+        }
       }: _*)
+    }
     val rewritten = applySet(readFiles(spark, path, st, hits))
     // CHECK constraints: the post-image of the matched rows must
     // satisfy them (unchanged rows passed at their own write time)
@@ -3125,12 +3166,27 @@ object DeltaLake {
       // KEEPS the target's value (the CDC-upsert shape preserves the
       // surrogate); the insert arm allocates for nulls below
       val ids = identityOf(st.schema)
-      def replaced(df: DataFrame) =
+      // GENERATED columns recompute from the matched row's post-image
+      // (source values) instead of trusting the source's copy — the
+      // ALWAYS contract; partition generated columns are keys here
+      // (partition ⊆ keys) and keep the target value
+      val genM = generatedOf(st.schema).filterNot { case (g, _) =>
+        keys.contains(g) || ids.contains(g) }
+      def replaced(df: DataFrame) = {
+        def refOf(n: String): org.apache.spark.sql.Column =
+          if (keys.contains(n) || ids.contains(n)) col(n)
+          else when(col("__m").isNotNull, col(s"__s_$n"))
+            .otherwise(col(n))
         df.select(st.schema.fieldNames.toIndexedSeq.map { c =>
-          if (keys.contains(c) || ids.contains(c)) col(c)
-          else when(col("__m").isNotNull, col(s"__s_$c"))
-            .otherwise(col(c)).as(c)
+          genM.get(c) match {
+            case Some(g) =>
+              when(col("__m").isNotNull,
+                genExprOver(g, refOf).cast(st.schema(c).dataType))
+                .otherwise(col(c)).as(c)
+            case None => refOf(c).as(c)
+          }
         }: _*)
+      }
       def rewritten = replaced(joined)
       if (ids.nonEmpty && !inserts.isEmpty)
         requireNoExplicitAlways(inserts, ids, "DeltaLake.merge")
@@ -3363,9 +3419,27 @@ object DeltaLake {
           // key-equal pair failing it is NOT matched (by-source scope)
           .withColumn("__m", when(col("__m").isNotNull &&
             matchExtra.getOrElse(lit(true)), lit(true)))
-      def resolved = MergeActions.resolveRows(st.schema, keys,
-        joinedRefined, matched, notMatchedBySource,
-        pinned = ids.keySet)
+      // GENERATED columns no SET assigns RECOMPUTE on update-outcome
+      // rows from the post-image (`__v_` values) — SET * included
+      // (the ALWAYS contract beats the source's copy); explicitly
+      // assigned ones keep the provided value, equality-validated
+      val genAssigned: Set[String] =
+        (matched.collect { case MatchedUpdate(_, Some(s)) => s.keySet } ++
+          notMatchedBySource.collect {
+            case BySourceUpdate(_, s) => s.keySet }).flatten.toSet
+      val genMG = generatedOf(st.schema).filterNot { case (g, _) =>
+        genAssigned.contains(g) || st.partitionColumns.contains(g) ||
+          ids.contains(g) }
+      def resolved = genMG.foldLeft(
+        MergeActions.resolveRows(st.schema, keys, joinedRefined,
+          matched, notMatchedBySource, pinned = ids.keySet)) {
+        case (df, (g, ge)) =>
+          df.withColumn(s"__v_$g",
+            when(col("__outcome") === "update",
+              genExprOver(ge, n => col(s"__v_$n"))
+                .cast(st.schema(g).dataType))
+              .otherwise(col(s"__v_$g")))
+      }
       val origCols = st.schema.fieldNames.toIndexedSeq.map(col)
       val newCols = st.schema.fieldNames.toIndexedSeq
         .map(f => col(s"__v_$f").as(f))

@@ -69,23 +69,51 @@ class GeneratedColumnSpec extends AnyFunSuite with SparkFixture {
       s"generated partition column did not prune: $planned files")
   }
 
-  test("DML validates generated values: an UPDATE breaking the " +
-      "generation refuses; one preserving it lands") {
+  test("DML recomputes generated values: an UPDATE touching a " +
+      "generation input recomputes the generated column (the " +
+      "reference behavior); explicit wrong values still refuse") {
     val dir = freshDir("gendml")
     val base = (1 to 6).map(i => (i.toLong, i * 10.0))
       .toDF("id", "v").coalesce(1)
     DeltaLake.write(spark, dir,
       DeltaLake.withGeneratedColumn(base, "v2", "v * 2"))
-    intercept[IllegalArgumentException] {
-      DeltaLake.update(spark, dir, col("id") === 3L,
-        Map("v" -> org.apache.spark.sql.functions.lit(999.0)))
-    }
-    // updating BOTH consistently lands
+    // SET on the input alone: v2 recomputes, untouched rows keep
+    // their stored value
     DeltaLake.update(spark, dir, col("id") === 3L,
-      Map("v" -> org.apache.spark.sql.functions.lit(999.0),
-        "v2" -> org.apache.spark.sql.functions.lit(1998.0)))
+      Map("v" -> org.apache.spark.sql.functions.lit(999.0)))
+    val snap = DeltaLake.snapshot(spark, dir)
+    assert(snap.filter(col("id") === 3L).select("v2").head()
+      .getDouble(0) == 1998.0, "generated column must recompute")
+    assert(snap.filter(col("id") === 2L).select("v2").head()
+      .getDouble(0) == 40.0)
+    // an EXPLICIT wrong value on the generated column refuses
+    intercept[IllegalArgumentException] {
+      DeltaLake.update(spark, dir, col("id") === 4L,
+        Map("v" -> org.apache.spark.sql.functions.lit(1.0),
+          "v2" -> org.apache.spark.sql.functions.lit(777.0)))
+    }
+    // explicit CONSISTENT values land (validated, not recomputed)
+    DeltaLake.update(spark, dir, col("id") === 4L,
+      Map("v" -> org.apache.spark.sql.functions.lit(5.0),
+        "v2" -> org.apache.spark.sql.functions.lit(10.0)))
+    assert(DeltaLake.snapshot(spark, dir)
+      .filter(col("id") === 4L).select("v2").head().getDouble(0)
+      == 10.0)
+    // MERGE: the canonical upsert recomputes from the matched row's
+    // post-image instead of trusting the source's stale copy
+    val src = Seq((3L, 50.0, -1.0)).toDF("id", "v", "v2").coalesce(1)
+    DeltaLake.merge(spark, dir, src, Seq("id"))
     assert(DeltaLake.snapshot(spark, dir)
       .filter(col("id") === 3L).select("v2").head().getDouble(0)
-      == 1998.0)
+      == 100.0, "merge must recompute the generated column")
+    // mergeGeneral: a conditional SET on the input recomputes too
+    import graft.sources.MergeActions._
+    DeltaLake.mergeGeneral(spark, dir,
+      Seq(5L).toDF("id").coalesce(1), Seq("id"),
+      matched = Seq(MatchedUpdate(None,
+        Some(Map("v" -> org.apache.spark.sql.functions.lit(7.0))))))
+    assert(DeltaLake.snapshot(spark, dir)
+      .filter(col("id") === 5L).select("v2").head().getDouble(0)
+      == 14.0, "mergeGeneral must recompute the generated column")
   }
 }
