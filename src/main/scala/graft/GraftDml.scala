@@ -242,9 +242,18 @@ object GraftDml {
             case other => Right(other)
           }
         val keys = keyConjuncts
-        refuseIf(keys.isEmpty, s"$stmt: ON must contain at least one " +
-          "same-name target/source key equality — a pure theta-ON " +
-          "has no file locality to exploit")
+        // pure theta ON: refused by default (no file locality), but a
+        // session can opt into the documented full-table fallback
+        val thetaOk = keys.isEmpty && session.conf
+          .get("spark.graft.merge.allowThetaFullScan", "false")
+          .toBoolean
+        refuseIf(keys.isEmpty && !thetaOk,
+          s"$stmt: ON must contain at least one same-name " +
+            "target/source key equality — a pure theta-ON has no " +
+            "file locality to exploit (set spark.graft.merge." +
+            "allowThetaFullScan=true to accept a full-table rewrite)")
+        refuseIf(thetaOk && extraConjuncts.isEmpty,
+          s"$stmt: empty ON")
         val targetCols = stripAliases(m.targetTable).output.map(_.name)
         // the CANONICAL UPSERT routes to the lean native merge; every
         // other legal clause combination lowers to the general-form
@@ -354,9 +363,11 @@ object GraftDml {
             val src = GraftSql.ofRows(spark, source)
             commitVia(t,
               DeltaLake.mergeGeneral(spark, t.entry.path, src, keys,
-                matchedActs, insertActs, bySourceActs, extra),
+                matchedActs, insertActs, bySourceActs, extra,
+                thetaFullScan = thetaOk),
               Iceberg.mergeGeneral(spark, t.entry.path, src, keys,
-                matchedActs, insertActs, bySourceActs, extra))
+                matchedActs, insertActs, bySourceActs, extra,
+                thetaFullScan = thetaOk))
           })
         }
       }.orElse(pathTargetOf(m.targetTable).map { pt =>

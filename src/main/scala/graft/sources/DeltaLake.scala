@@ -3259,9 +3259,12 @@ object DeltaLake {
     * UPDATE/DELETE actions, conditional `WHEN NOT MATCHED` inserts,
     * and `WHEN NOT MATCHED BY SOURCE` UPDATE/DELETE. Expression
     * scopes and first-match ordering per [[MergeActions]]. The ON
-    * condition stays a key-equality conjunction (`keys`) — that is
-    * what keeps the rewrite hit-file-local; a general ON theta-join
-    * has no file locality to exploit and is out of scope.
+    * condition is a key-equality conjunction (`keys`) — that is what
+    * keeps the rewrite hit-file-local. A PURE THETA ON (no key
+    * equality) is accepted only behind `thetaFullScan = true` with
+    * the condition as `matchExtra`: the probe, the per-target-row
+    * cardinality check, and the rewrite then scan the full table —
+    * a documented non-file-local fallback, refused by default.
     *
     * Scale shape mirrors [[merge]]: the matched probe and the
     * by-source anti-join are ordinary Catalyst joins column-pruned to
@@ -3285,13 +3288,21 @@ object DeltaLake {
       matched: Seq[MergeActions.Matched] = Seq.empty,
       notMatched: Seq[MergeActions.NotMatchedInsert] = Seq.empty,
       notMatchedBySource: Seq[MergeActions.BySource] = Seq.empty,
-      matchExtra: Option[org.apache.spark.sql.Column] = None): Long = {
+      matchExtra: Option[org.apache.spark.sql.Column] = None,
+      thetaFullScan: Boolean = false): Long = {
     import MergeActions._
     val st = replay(spark, path, None)
     requireWritable(st, path, "mergeGeneral")
     requireNoRowContracts(st, path, "mergeGeneral",
       allowIdentity = true)
-    require(keys.nonEmpty, "DeltaLake.mergeGeneral: empty key list")
+    // THETA-ONLY ON (no key equality) is a documented NON-file-local
+    // fallback behind an explicit opt-in: the match probe, the
+    // cardinality check, and the rewrite all scan the FULL table (no
+    // hit-file locality to exploit), so the default stays the refusal
+    require(keys.nonEmpty || (thetaFullScan && matchExtra.isDefined),
+      "DeltaLake.mergeGeneral: empty key list — a pure theta ON has " +
+        "no file locality; pass thetaFullScan = true (with the theta " +
+        "condition as matchExtra) to accept the full-table rewrite")
     require(keys.forall(st.schema.fieldNames.contains),
       s"DeltaLake.mergeGeneral: keys $keys must be table columns")
     val ids = identityOf(st.schema)
@@ -3332,7 +3343,7 @@ object DeltaLake {
         .map(f => col(c).cast(f.dataType).as(c)).getOrElse(col(c))
     }: _*).cache()
     try {
-      if (matched.nonEmpty) {
+      if (matched.nonEmpty && keys.nonEmpty) {
         val keyPred = keys.map(k => col(k).isNotNull).reduce(_ && _)
         require(src.filter(keyPred).groupBy(keys.map(col): _*).count()
             .filter(col("count") > 1).isEmpty,
@@ -3349,10 +3360,23 @@ object DeltaLake {
       // <extra>`): scoped per MergeActions — target plain, source via
       // src(). Every probe below pairs the plain-target frame with an
       // all-__s_-renamed source frame, so ONE lowering serves all.
+      // A theta-only merge (keys empty, thetaFullScan) matches on the
+      // extra condition alone.
       val sRenAll = src.select(
         srcCols.map(c => col(c).as(s"$SrcPrefix$c")): _*)
-      val pairCond = keys.map(k => col(k) === col(s"$SrcPrefix$k"))
-        .reduce(_ && _) && matchExtra.getOrElse(lit(true))
+      val pairCond = (keys.map(k => col(k) === col(s"$SrcPrefix$k")) :+
+        matchExtra.getOrElse(lit(true))).reduce(_ && _)
+      if (matched.nonEmpty && keys.isEmpty) {
+        // theta cardinality: each target row must match at most ONE
+        // source row — compare the pair count with the matched-row
+        // count (two full joins: the documented cost of theta mode)
+        val t = readFiles(spark, path, st, st.adds)
+        require(t.join(sRenAll, pairCond).count() ==
+            t.join(sRenAll, pairCond, "left_semi").count(),
+          "DeltaLake.mergeGeneral: a target row matches more than " +
+            "one source row under the theta condition — an ambiguous " +
+            "match is nondeterministic (the SQL cardinality violation)")
+      }
       val matchedPaths =
         if (matched.isEmpty) Set.empty[String]
         else pathsOf(target.join(sRenAll, pairCond, "left_semi"))
@@ -3413,7 +3437,14 @@ object DeltaLake {
             .withColumn("__m", lit(true))
             .unionByName(tgt.join(sRenAll, pairCond, "left_anti")
               .withColumn("__m", lit(null).cast("boolean")))
-        } else readFiles(spark, path, st, hits)
+        } else if (keys.isEmpty)
+          // theta: no equi-join to ride — the pair condition IS the
+          // join condition (cardinality pre-checked above, so the
+          // left join cannot fan out)
+          readFiles(spark, path, st, hits)
+            .join(sRenAll.withColumn("__m", lit(true)), pairCond,
+              "left")
+        else readFiles(spark, path, st, hits)
           .join(sRen, keys.toSeq, "left")
           // refine the match marker with the extra condition: a
           // key-equal pair failing it is NOT matched (by-source scope)

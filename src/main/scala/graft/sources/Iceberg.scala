@@ -3099,7 +3099,8 @@ object Iceberg {
       matched: Seq[MergeActions.Matched] = Seq.empty,
       notMatched: Seq[MergeActions.NotMatchedInsert] = Seq.empty,
       notMatchedBySource: Seq[MergeActions.BySource] = Seq.empty,
-      matchExtra: Option[org.apache.spark.sql.Column] = None): Long = {
+      matchExtra: Option[org.apache.spark.sql.Column] = None,
+      thetaFullScan: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, lit, when}
     import spark.implicits._
     import MergeActions._
@@ -3109,7 +3110,11 @@ object Iceberg {
         .forall(_.transform == IcebergTransforms.Identity),
       "Iceberg.mergeGeneral: copy-on-write rewrites of " +
         "transform-partitioned tables are not supported")
-    require(keys.nonEmpty, "Iceberg.mergeGeneral: empty key list")
+    // theta-only ON behind an explicit opt-in — see the Delta twin
+    require(keys.nonEmpty || (thetaFullScan && matchExtra.isDefined),
+      "Iceberg.mergeGeneral: empty key list — a pure theta ON has " +
+        "no file locality; pass thetaFullScan = true (with the theta " +
+        "condition as matchExtra) to accept the full-table rewrite")
     require(keys.forall(cur.schema.fieldNames.contains),
       s"Iceberg.mergeGeneral: keys $keys must be table columns")
     validate("Iceberg.mergeGeneral", cur.schema, keys,
@@ -3137,7 +3142,7 @@ object Iceberg {
         .map(f => col(c).cast(f.dataType).as(c)).getOrElse(col(c))
     }: _*).cache()
     try {
-      if (matched.nonEmpty) {
+      if (matched.nonEmpty && keys.nonEmpty) {
         val keyPred = keys.map(k => col(k).isNotNull).reduce(_ && _)
         require(src.filter(keyPred).groupBy(keys.map(col): _*).count()
             .filter(col("count") > 1).isEmpty,
@@ -3152,8 +3157,17 @@ object Iceberg {
       // pair condition beyond key equality — see the Delta twin
       val sRenAll = src.select(
         srcCols.map(c => col(c).as(s"$SrcPrefix$c")): _*)
-      val pairCond = keys.map(k => col(k) === col(s"$SrcPrefix$k"))
-        .reduce(_ && _) && matchExtra.getOrElse(lit(true))
+      val pairCond = (keys.map(k => col(k) === col(s"$SrcPrefix$k")) :+
+        matchExtra.getOrElse(lit(true))).reduce(_ && _)
+      if (matched.nonEmpty && keys.isEmpty) {
+        // theta cardinality — see the Delta twin
+        val t = scanOf(spark, tableDir, cur)
+        require(t.join(sRenAll, pairCond).count() ==
+            t.join(sRenAll, pairCond, "left_semi").count(),
+          "Iceberg.mergeGeneral: a target row matches more than one " +
+            "source row under the theta condition — an ambiguous " +
+            "match is nondeterministic (the SQL cardinality violation)")
+      }
       val matchedPaths =
         if (matched.isEmpty) Set.empty[String]
         else pathsOf(target.join(sRenAll, pairCond, "left_semi"))
@@ -3193,7 +3207,13 @@ object Iceberg {
             .withColumn("__m", lit(true))
             .unionByName(tgt.join(sRenAll, pairCond, "left_anti")
               .withColumn("__m", lit(null).cast("boolean")))
-        } else scanOf(spark, tableDir, cur.copy(files = hits))
+        } else if (keys.isEmpty)
+          // theta: the pair condition IS the join condition
+          // (cardinality pre-checked, so the left join cannot fan out)
+          scanOf(spark, tableDir, cur.copy(files = hits))
+            .join(sRenAll.withColumn("__m", lit(true)), pairCond,
+              "left")
+        else scanOf(spark, tableDir, cur.copy(files = hits))
           .join(sRen, keys.toSeq, "left")
           .withColumn("__m", when(col("__m").isNotNull &&
             matchExtra.getOrElse(lit(true)), lit(true)))

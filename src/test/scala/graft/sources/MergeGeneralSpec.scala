@@ -329,6 +329,77 @@ class MergeGeneralSpec extends AnyFunSuite with SparkFixture {
       .collect().sorted.toSeq == Seq(4L, 5L, 6L))
   }
 
+  test("theta-only ON behind the explicit opt-in: range-match " +
+      "update on both formats vs a first-principles oracle; default " +
+      "refuses; ambiguous theta refuses") {
+    // source: disjoint ranges [lo, hi] with a new value — a classic
+    // banding takedown/repricing shape with no key equality
+    val ranges = Seq((2L, 4L, -1.0), (7L, 8L, -2.0))
+      .toDF("lo", "hi", "nv").coalesce(1)
+    val theta = col("id") >= src("lo") && col("id") <= src("hi")
+    val expected = (1L to 10L).map { i =>
+      (i, if (i >= 2 && i <= 4) -1.0 else if (i >= 7 && i <= 8) -2.0
+      else i * 10.0)
+    }.toSet
+    val dir = freshDir("theta")
+    DeltaLake.write(spark, dir, target)
+    // default: refused
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.mergeGeneral(spark, dir, ranges, Seq.empty,
+        matched = Seq(MatchedUpdate(None,
+          Some(Map("v" -> src("nv"))))), matchExtra = Some(theta))
+    }
+    assert(e.getMessage.contains("thetaFullScan"), e.getMessage)
+    // opted in: full-table rewrite with the documented semantics
+    DeltaLake.mergeGeneral(spark, dir, ranges, Seq.empty,
+      matched = Seq(MatchedUpdate(None,
+        Some(Map("v" -> src("nv"))))), matchExtra = Some(theta),
+      thetaFullScan = true)
+    assert(DeltaLake.snapshot(spark, dir).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet == expected)
+    val dir2 = freshDir("theta_ice")
+    Iceberg.write(spark, dir2, target)
+    Iceberg.mergeGeneral(spark, dir2, ranges, Seq.empty,
+      matched = Seq(MatchedUpdate(None,
+        Some(Map("v" -> src("nv"))))), matchExtra = Some(theta),
+      thetaFullScan = true)
+    assert(Iceberg.snapshot(spark, dir2).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet == expected)
+    // OVERLAPPING ranges: a target row matches two source rows — the
+    // cardinality check refuses before anything lands
+    val overlap = Seq((2L, 5L, -1.0), (4L, 8L, -2.0))
+      .toDF("lo", "hi", "nv").coalesce(1)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLake.mergeGeneral(spark, dir, overlap, Seq.empty,
+        matched = Seq(MatchedUpdate(None,
+          Some(Map("v" -> src("nv"))))), matchExtra = Some(theta),
+        thetaFullScan = true)
+    }
+    assert(e2.getMessage.contains("more than one source row"),
+      e2.getMessage)
+    // SQL route: conf-gated opt-in
+    val wh = freshDir("theta_sql")
+    DeltaLake.write(spark, new java.io.File(wh, "t").getAbsolutePath,
+      target)
+    GraftCatalog.register(spark, wh, "db.t", "graft-deltalake", "t")
+    spark.conf.set("spark.sql.catalog.mth",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mth.warehouse", wh)
+    ranges.createOrReplaceTempView("theta_src")
+    val sqlText =
+      """MERGE INTO mth.db.t t USING theta_src s
+        |ON t.id >= s.lo AND t.id <= s.hi
+        |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin
+    intercept[Exception] { spark.sql(sqlText) }
+    spark.conf.set("spark.graft.merge.allowThetaFullScan", "true")
+    try {
+      spark.sql(sqlText)
+      assert(spark.sql("SELECT id, v FROM mth.db.t").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet == expected)
+    } finally spark.conf
+      .unset("spark.graft.merge.allowThetaFullScan")
+  }
+
   test("SQL bridge: WHEN NOT MATCHED BY SOURCE referencing a source " +
       "column refuses (out of scope)") {
     val wh = freshDir("sqlscope")
