@@ -1819,25 +1819,57 @@ object Iceberg {
     case o => o
   }
 
-  /** Stamp the TABLE's field ids for the parquet writer. A resolved
-    * snapshot's schema carries the authoritative ids as
-    * `parquet.field.id` metadata at EVERY nesting level
-    * ([[structFromIceberg]]); when the frame matches it shape-wise,
-    * reshape onto it (`Dataset.to`) so nested members get their true
-    * ids — after nested evolution the positional pre-order guess
-    * would stamp wrong ids inside evolved structs. Creation-time
-    * writes (no metadata yet) and old-shape frames keep the
-    * positional assignment, which matches [[icebergSchemaJson]] and
-    * stays correct there because evolution mints fresh ids at the END
-    * of the id space.
+  /** The frame type re-decorated with the TABLE type's ids: struct
+    * members map BY NAME (a frame may carry a SUBSET — an old-shape
+    * append to a nested-evolved table), each present member adopting
+    * the table's field metadata. None when the types are not
+    * shape-compatible at this node.
+    */
+  private def idTypeFor(frameDt: DataType,
+      tableDt: DataType): Option[DataType] = (frameDt, tableDt) match {
+    case (fs: StructType, ts: StructType) =>
+      val mapped = fs.fields.map { ff =>
+        ts.find(_.name == ff.name).flatMap(tf =>
+          idTypeFor(ff.dataType, tf.dataType).map(dt2 =>
+            StructField(ff.name, dt2, nullable = true, tf.metadata)))
+      }
+      if (mapped.forall(_.isDefined)) Some(StructType(mapped.map(_.get)))
+      else None
+    case (fdt, tdt)
+        if LakeScan.asNullable(fdt) == LakeScan.asNullable(tdt) =>
+      Some(LakeScan.asNullable(tdt))
+    case _ => None
+  }
+
+  /** Stamp the TABLE's field ids for the parquet writer, BY NAME per
+    * column. A resolved snapshot's schema carries the authoritative
+    * ids as `parquet.field.id` metadata at every nesting level
+    * ([[structFromIceberg]]); each frame column present in the table
+    * adopts its id (nested members via the CAST's target type —
+    * subset struct shapes included, so an old-shape append to a
+    * nested-evolved table stamps the members it carries). Columns the
+    * table does not know (derived partitioning scaffolding) pass
+    * through unstamped; frames may be a SUBSET or REORDERING of the
+    * table columns (the convert/DML rewrite paths strip or re-append
+    * partition columns) — a positional guess here stamped wrong ids.
     */
   private def withTableIds(df: DataFrame, schema: StructType)
       : DataFrame =
-    if (schema.fields.forall(_.metadata.contains("parquet.field.id")) &&
-        shapeOf(StructType(df.schema.fields.toIndexedSeq)) ==
-          shapeOf(schema))
-      applyIds(df, schema)
-    else withAssignedIds(df)
+    if (!schema.fields.forall(_.metadata.contains("parquet.field.id")))
+      withAssignedIds(df)
+    else df.select(df.schema.fields.toIndexedSeq.map { ff =>
+      val c = org.apache.spark.sql.functions.col(ff.name)
+      schema.find(_.name == ff.name) match {
+        case Some(tf) =>
+          idTypeFor(ff.dataType, tf.dataType) match {
+            case Some(t2) =>
+              (if (ff.dataType == t2) c else c.cast(t2))
+                .as(ff.name, tf.metadata)
+            case None => c.as(ff.name, tf.metadata)
+          }
+        case None => c
+      }
+    }: _*)
 
   private def writeDataFiles(root: java.io.File, df: DataFrame,
       partitionBy: Seq[String], tag: String,
