@@ -301,10 +301,6 @@ class GraftCatalog extends TableCatalog
         "constraint change is its own commit; issue one statement " +
         "per constraint so a failure cannot leave the list " +
         "half-applied")
-    drops.foreach(d => require(d.fieldNames.length == 1,
-      s"graft catalog: ALTER TABLE $key DROP COLUMN " +
-        s"${d.fieldNames.mkString(".")} — nested fields are not " +
-        "supported"))
     // nested ADD/RENAME paths are format-gated below: field-id
     // resolution makes them sound on Iceberg; Delta refuses honestly
     adds.foreach { a =>
@@ -389,9 +385,14 @@ class GraftCatalog extends TableCatalog
         case "graft-deltalake" =>
           require(drops.size == 1, s"graft catalog: ALTER TABLE " +
             s"$key drops one column per statement on Delta tables")
+          require(drops.head.fieldNames.length == 1,
+            s"graft catalog: ALTER TABLE $key DROP COLUMN " +
+              s"${drops.head.fieldNames.mkString(".")} — nested " +
+              "drops are not supported on Delta tables (no field-id " +
+              "resolution)")
           DeltaLake.dropColumn(spark, abs, drops.head.fieldNames.head)
-        case "graft-iceberg" => Iceberg.dropColumns(spark, abs,
-          drops.map(_.fieldNames.head))
+        case "graft-iceberg" => Iceberg.dropFields(spark, abs,
+          drops.map(_.fieldNames.toSeq))
         case o => throw new IllegalArgumentException(
           s"graft catalog: unknown format '$o' for $key")
       }

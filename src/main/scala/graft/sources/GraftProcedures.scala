@@ -42,7 +42,7 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] = Seq("vacuum", "expire_snapshots",
     "optimize", "convert_to_parquet", "vacuum_orphans",
-    "evolve_partition_spec")
+    "evolve_partition_spec", "drop_partition_field")
 
   def load(ident: Identifier, warehouse: String): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -146,6 +146,21 @@ private[sources] object GraftProcedures {
             s"tables; '$name' is ${e.format} — Delta has no " +
             "partition-spec concept (its layout is fixed at creation)")
         val v = Iceberg.addPartitionField(spark, abs, field)
+        if (v >= 0L) { GraftCatalog.advancePin(warehouse, name, v); () }
+        Seq(InternalRow(v))
+      }
+      case "drop_partition_field" => proc("drop_partition_field",
+        "mint a new Iceberg partition spec = default minus the given " +
+          "field; old files keep pruning under their own spec",
+        Seq(in("table", StringType), in("field", StringType)),
+        versionOut) { input =>
+        val name = input.getUTF8String(0).toString
+        val field = input.getUTF8String(1).toString
+        val (e, abs) = entryOf(name)
+        require(e.format == "graft-iceberg",
+          s"graft catalog: drop_partition_field targets Iceberg " +
+            s"tables; '$name' is ${e.format}")
+        val v = Iceberg.dropPartitionField(spark, abs, field)
         if (v >= 0L) { GraftCatalog.advancePin(warehouse, name, v); () }
         Seq(InternalRow(v))
       }

@@ -3467,7 +3467,6 @@ object Iceberg {
     */
   def addPartitionField(spark: SparkSession, tableDir: String,
       field: String): Long = {
-    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
     val cur = resolve(spark, tableDir, None)
     val f = IcebergTransforms.parseSpec(field)
     require(f.transform != IcebergTransforms.Identity,
@@ -3481,17 +3480,77 @@ object Iceberg {
     require(!cur.transforms.exists(_.fieldName == f.fieldName),
       s"Iceberg.addPartitionField: partition field '${f.fieldName}' " +
         "is already in the default spec")
-    val mdDir = metadataDir(tableDir)
-    val (priorOpt, version) = priorState(mdDir)
-    val md = priorOpt.getOrElse(throw new IllegalArgumentException(
-      s"Iceberg.addPartitionField: not an Iceberg table: $tableDir"))
-      .deepCopy[JsonNode]().asInstanceOf[ObjectNode]
     // source-id from the CURRENT schema's field metadata (true ids)
     val srcId = cur.schema(f.sourceName).metadata match {
       case m if m.contains("parquet.field.id") =>
         m.getLong("parquet.field.id").toInt
       case _ => cur.schema.fieldIndex(f.sourceName) + 1
     }
+    evolveSpec(spark, tableDir, "addPartitionField", field, cur) {
+      (md, fieldsArr, defaultFields) =>
+        defaultFields.foreach { pf =>
+          fieldsArr.add(pf.deepCopy[JsonNode]()); ()
+        }
+        val lastPartId = Option(md.get("last-partition-id"))
+          .map(_.asInt).getOrElse(999 + cur.transforms.size)
+        val nf = fieldsArr.addObject()
+        nf.put("name", f.fieldName)
+        nf.put("transform",
+          IcebergTransforms.transformJson(f.transform))
+        nf.put("source-id", srcId)
+        nf.put("field-id", lastPartId + 1)
+        md.put("last-partition-id", lastPartId + 1)
+        ()
+    }
+  }
+
+  /** PARTITION-SPEC EVOLUTION, removal side (`ALTER TABLE t DROP
+    * PARTITION FIELD days(ts)` — by spec string or by field name):
+    * the new default spec is the current default MINUS the field.
+    * Existing files keep their own spec (and KEEP PRUNING on the
+    * dropped field via the cross-spec `pruneTransforms` union); new
+    * writes land unpartitioned on that dimension. IDENTITY fields
+    * refuse for the same mixed-identity-set reason as
+    * [[addPartitionField]].
+    */
+  def dropPartitionField(spark: SparkSession, tableDir: String,
+      field: String): Long = {
+    val cur = resolve(spark, tableDir, None)
+    val target = cur.transforms.find(t =>
+      t.fieldName == field ||
+        IcebergTransforms.specString(t) == field)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Iceberg.dropPartitionField: '$field' is not in the default " +
+          s"spec (${cur.specStrings.mkString(", ")})"))
+    require(target.transform != IcebergTransforms.Identity,
+      s"Iceberg.dropPartitionField: '$field' is an IDENTITY field — " +
+        "old data files do not physically carry identity partition " +
+        "columns (they are constant-attached from the log), so a " +
+        "mixed layout is unreadable; rewrite the table instead")
+    evolveSpec(spark, tableDir, "dropPartitionField", field, cur) {
+      (_, fieldsArr, defaultFields) =>
+        defaultFields
+          .filterNot(_.get("name").asText == target.fieldName)
+          .foreach { pf => fieldsArr.add(pf.deepCopy[JsonNode]()); () }
+    }
+  }
+
+  /** Shared spec-evolution commit: mint a new spec-id whose fields
+    * `build` fills from the current default's, set it default, and
+    * land the metadata with a same-content snapshot (the
+    * [[evolveSchema]] shape) so catalog pins can advance.
+    */
+  private def evolveSpec(spark: SparkSession, tableDir: String,
+      op: String, tag: String, cur: SnapshotMeta)(
+      build: (com.fasterxml.jackson.databind.node.ObjectNode,
+        com.fasterxml.jackson.databind.node.ArrayNode,
+        Seq[JsonNode]) => Unit): Long = {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val mdDir = metadataDir(tableDir)
+    val (priorOpt, version) = priorState(mdDir)
+    val md = priorOpt.getOrElse(throw new IllegalArgumentException(
+      s"Iceberg.$op: not an Iceberg table: $tableDir"))
+      .deepCopy[JsonNode]().asInstanceOf[ObjectNode]
     val specsNode = Option(md.get("partition-specs"))
       .collect { case a: ArrayNode => a }
       .getOrElse {
@@ -3506,25 +3565,15 @@ object Iceberg {
       }
     val defaultId = Option(md.get("default-spec-id")).map(_.asInt)
       .getOrElse(0)
+    val defaultFields: Seq[JsonNode] = specsNode.elements().asScala
+      .find(_.get("spec-id").asInt == defaultId).toSeq
+      .flatMap(_.get("fields").elements().asScala)
     val newId = specsNode.elements().asScala
       .map(_.get("spec-id").asInt).maxOption.getOrElse(0) + 1
-    val lastPartId = Option(md.get("last-partition-id")).map(_.asInt)
-      .getOrElse(999 + cur.transforms.size)
     val newSpec = specsNode.addObject()
     newSpec.put("spec-id", newId)
-    val fieldsArr = newSpec.putArray("fields")
-    specsNode.elements().asScala
-      .find(_.get("spec-id").asInt == defaultId)
-      .foreach(_.get("fields").elements().asScala.foreach { pf =>
-        fieldsArr.add(pf.deepCopy[JsonNode]()); ()
-      })
-    val nf = fieldsArr.addObject()
-    nf.put("name", f.fieldName)
-    nf.put("transform", IcebergTransforms.transformJson(f.transform))
-    nf.put("source-id", srcId)
-    nf.put("field-id", lastPartId + 1)
+    build(md, newSpec.putArray("fields"), defaultFields)
     md.put("default-spec-id", newId)
-    md.put("last-partition-id", lastPartId + 1)
     md.put("last-updated-ms", 1700000000000L + version)
     // same-content snapshot so catalog pins can advance past the
     // evolution (the evolveSchema shape)
@@ -3537,8 +3586,7 @@ object Iceberg {
         val parent = snaps.elements().asScala
           .find(_.get("snapshot-id").asLong == curSnapId)
           .getOrElse(throw new IllegalStateException(
-            s"Iceberg.addPartitionField: current snapshot " +
-              s"$curSnapId not in history"))
+            s"Iceberg.$op: current snapshot $curSnapId not in history"))
         val snap = snaps.addObject()
         snap.put("snapshot-id", version)
         snap.put("sequence-number", version)
@@ -3547,7 +3595,7 @@ object Iceberg {
         snap.put("manifest-list", parent.get("manifest-list").asText)
         val sum = snap.putObject("summary")
         sum.put("operation", "replace")
-        sum.put("graft.spec-change", field)
+        sum.put("graft.spec-change", tag)
         Option(parent.get("schema-id"))
           .foreach(sid => { snap.put("schema-id", sid.asInt); () })
         md.put("current-snapshot-id", version)
@@ -3691,39 +3739,85 @@ object Iceberg {
     * as [[addColumns]].
     */
   def dropColumns(spark: SparkSession, tableDir: String,
-      cols: Seq[String]): Long = {
-    require(cols.nonEmpty, "Iceberg.dropColumns: nothing to drop")
+      cols: Seq[String]): Long =
+    dropFields(spark, tableDir, cols.map(Seq(_)))
+
+  /** DROP FIELDS at arbitrary struct paths (`ALTER TABLE t DROP
+    * COLUMN s.member`), top-level included — metadata-only under
+    * field-id resolution at every depth: the evolved schema omits the
+    * member, data files keep the bytes unprojected, time travel keeps
+    * pre-drop schemas. Refused for partition-spec sources, for ids
+    * any live equality-delete file keys on, for a struct's LAST
+    * member (an empty struct is unwritable), and for dropping every
+    * top-level column.
+    */
+  def dropFields(spark: SparkSession, tableDir: String,
+      paths: Seq[Seq[String]]): Long = {
+    require(paths.nonEmpty, "Iceberg.dropColumns: nothing to drop")
     val cur = resolve(spark, tableDir, None)
     val specSources = cur.transforms.map(_.sourceName).toSet
-    cols.foreach { c =>
-      require(cur.schema.fieldNames.contains(c),
-        s"Iceberg.dropColumns: '$c' is not a current column")
-      require(!specSources.contains(c),
-        s"Iceberg.dropColumns: '$c' is a partition-spec source " +
+    def fieldAt(path: Seq[String]): Option[StructField] =
+      path.init.foldLeft(Option(cur.schema)) { (s, seg) =>
+        s.flatMap(_.find(_.name == seg)).map(_.dataType).collect {
+          case st: StructType => st
+        }
+      }.flatMap(_.find(_.name == path.last))
+    paths.foreach { p =>
+      require(p.nonEmpty, "Iceberg.dropColumns: empty path")
+      val dotted = p.mkString(".")
+      require(fieldAt(p).isDefined,
+        s"Iceberg.dropColumns: '$dotted' is not a current column")
+      require(!specSources.contains(dotted),
+        s"Iceberg.dropColumns: '$dotted' is a partition-spec source " +
           "column — the partition layout keys on it")
     }
-    require(cur.schema.fieldNames.toSet.diff(cols.toSet).nonEmpty,
-      "Iceberg.dropColumns: cannot drop every column")
-    val dropIds = cur.schema.fields
-      .filter(f => cols.contains(f.name))
-      .flatMap(f => if (f.metadata.contains("parquet.field.id"))
-        Some(f.metadata.getLong("parquet.field.id").toInt) else None)
-      .toSet
+    require(cur.schema.fieldNames
+      .toSet.diff(paths.filter(_.length == 1).map(_.head).toSet)
+      .nonEmpty, "Iceberg.dropColumns: cannot drop every column")
+    // a struct must keep at least one member (empty structs are
+    // unwritable); count survivors per parent
+    paths.filter(_.length > 1).groupBy(_.init).foreach {
+      case (parent, group) =>
+        val siblings = parent.foldLeft(Option(cur.schema)) { (s, seg) =>
+          s.flatMap(_.find(_.name == seg)).map(_.dataType).collect {
+            case st: StructType => st
+          }
+        }.map(_.fieldNames.toSet).getOrElse(Set.empty)
+        require(siblings.diff(group.map(_.last).toSet).nonEmpty,
+          s"Iceberg.dropColumns: dropping every member of " +
+            s"'${parent.mkString(".")}' — drop the struct itself")
+    }
+    // equality-delete keys block the drop wherever the id lives
+    def nestedIds(dt: DataType): Seq[Int] = dt match {
+      case st: StructType => st.fields.toSeq.flatMap(f =>
+        (if (f.metadata.contains("parquet.field.id"))
+          Seq(f.metadata.getLong("parquet.field.id").toInt)
+        else Seq.empty) ++ nestedIds(f.dataType))
+      case _ => Seq.empty
+    }
+    val dropIds = paths.flatMap(p => fieldAt(p).toSeq.flatMap(f =>
+      (if (f.metadata.contains("parquet.field.id"))
+        Seq(f.metadata.getLong("parquet.field.id").toInt)
+      else Seq.empty) ++ nestedIds(f.dataType))).toSet
     cur.deleteFiles.foreach { f =>
       require(f.equalityIds.toSet.intersect(dropIds).isEmpty,
         s"Iceberg.dropColumns: a live equality-delete file keys on " +
-          s"${cols.mkString(", ")} — dropping the column would strand " +
-          "the delete; rewrite (compact) the deletes into the data " +
-          "first")
+          s"${paths.map(_.mkString(".")).mkString(", ")} — dropping " +
+          "the column would strand the delete; rewrite (compact) the " +
+          "deletes into the data first")
     }
     evolveSchema(spark, tableDir, "dropColumns") { (schemaNode, _) =>
-      val fields = schemaNode.get("fields")
-        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
-      var i = 0
-      while (i < fields.size()) {
-        if (cols.contains(fields.get(i).get("name").asText))
-          fields.remove(i)
-        else i += 1
+      paths.groupBy(_.init).foreach { case (parent, group) =>
+        val names = group.map(_.last).toSet
+        val fields = structNodeAt(schemaNode, parent, "dropColumns")
+          .get("fields")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+        var i = 0
+        while (i < fields.size()) {
+          if (names.contains(fields.get(i).get("name").asText))
+            fields.remove(i)
+          else i += 1
+        }
       }
     }
   }

@@ -426,6 +426,87 @@ class AlterTableSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("iceberg nested DROP: struct members drop metadata-only by " +
+      "field id; guards hold (last member, eq-delete keys, delta " +
+      "refusal through the catalog)") {
+    import org.apache.spark.sql.functions.struct
+    val dir = freshDir("indrop")
+    Iceberg.write(spark, dir,
+      (1 to 6).map(i => (i.toLong, i * 1.0, s"v$i"))
+        .toDF("id", "a", "b")
+        .select(col("id"), struct(col("a"), col("b")).as("s"))
+        .coalesce(1))
+    val preDrop = Iceberg.snapshotIds(dir).last
+    assert(Iceberg.dropFields(spark, dir, Seq(Seq("s", "a"))) >= 0)
+    val snap = Iceberg.snapshot(spark, dir)
+    assert(snap.select("s.*").columns.toSeq == Seq("b"))
+    assert(snap.count() == 6)
+    // time travel keeps the dropped member
+    assert(Iceberg.snapshot(spark, dir, Some(preDrop))
+      .select("s.*").columns.toSeq == Seq("a", "b"))
+    // dropping the struct's last member refuses (drop the struct)
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.dropFields(spark, dir, Seq(Seq("s", "b")))
+    }
+    assert(e.getMessage.contains("every member"), e.getMessage)
+    // SQL route: iceberg nested drop works; delta refuses honestly
+    val wh = freshDir("sqlndrop")
+    Iceberg.write(spark, new java.io.File(wh, "t").getAbsolutePath,
+      (1 to 4).map(i => (i.toLong, i * 1.0, s"v$i"))
+        .toDF("id", "a", "b")
+        .select(col("id"), struct(col("a"), col("b")).as("s"))
+        .coalesce(1))
+    GraftCatalog.register(spark, wh, "db.t", "graft-iceberg", "t")
+    DeltaLake.stageMappedCommit(spark,
+      new java.io.File(wh, "d").getAbsolutePath,
+      (1 to 3).map(i => (i.toLong, i * 1.0)).toDF("id", "a")
+        .select(col("id"), struct(col("a")).as("s")).coalesce(1),
+      Seq.empty, 0L, Map("id" -> "c_1", "s" -> "c_2"))
+    GraftCatalog.register(spark, wh, "db.d", "graft-deltalake", "d")
+    spark.conf.set("spark.sql.catalog.dcat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dcat.warehouse", wh)
+    spark.sql("ALTER TABLE dcat.db.t DROP COLUMN s.a")
+    assert(spark.sql("SELECT s.* FROM dcat.db.t").columns.toSeq ==
+      Seq("b"))
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE dcat.db.d DROP COLUMN s.a")
+    }
+    assert(e2.getMessage.contains("nested drops are not supported"),
+      e2.getMessage)
+  }
+
+  test("iceberg dropPartitionField: the default spec loses the " +
+      "field, old files keep pruning under their own spec; identity " +
+      "removal refuses") {
+    val dir = freshDir("ispecdrop")
+    Iceberg.write(spark, dir,
+      (1 to 40).map(i => (i.toLong, s"p${i % 2}", s"v$i"))
+        .toDF("id", "p", "v"), partitionBy = Seq("p"))
+    Iceberg.addPartitionField(spark, dir, "bucket(4, id)")
+    Iceberg.write(spark, dir,
+      (41 to 60).map(i => (i.toLong, s"p${i % 2}", s"v$i"))
+        .toDF("id", "p", "v"))
+    assert(Iceberg.dropPartitionField(spark, dir,
+      "bucket(4, id)") >= 0)
+    assert(Iceberg.resolve(spark, dir, None).specStrings == Seq("p"))
+    // new writes land under the slimmer spec; all vintages read
+    Iceberg.write(spark, dir,
+      (61 to 70).map(i => (i.toLong, s"p${i % 2}", s"v$i"))
+        .toDF("id", "p", "v"))
+    assert(Iceberg.snapshot(spark, dir).count() == 70)
+    assert(Iceberg.snapshot(spark, dir)
+      .filter(col("p") === "p0").count() == 35)
+    // identity removal refuses
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.dropPartitionField(spark, dir, "p")
+    }
+    assert(e.getMessage.contains("IDENTITY"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Iceberg.dropPartitionField(spark, dir, "nope")
+    }
+  }
+
   test("SQL ALTER COLUMN TYPE through the catalog widens on both " +
       "formats; mixed-kind statements refuse") {
     val wh = freshDir("sqlwiden")

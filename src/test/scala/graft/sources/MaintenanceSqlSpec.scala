@@ -145,6 +145,14 @@ class MaintenanceSqlSpec extends AnyFunSuite with SparkFixture {
     // the pin advanced to the evolution (or past it via the insert)
     assert(GraftCatalog.entries(wh)("db.t").version ==
       Iceberg.currentSnapshotId(t))
+    // the removal twin: CALL drop_partition_field slims the default
+    // spec back; the insert above still reads
+    val out2 = spark.sql("CALL mspev.system.drop_partition_field(" +
+      "table => 'db.t', field => 'bucket(4, id)')").collect()
+    assert(out2.length == 1 && out2.head.getLong(0) >= 0)
+    assert(Iceberg.resolve(spark, t, None).specStrings == Seq("p"))
+    assert(spark.sql("SELECT COUNT(*) FROM mspev.db.t").head()
+      .getLong(0) == 21)
     // delta refuses
     val d = new java.io.File(wh, "d").getAbsolutePath
     DeltaLake.write(spark, d, frame(1 to 4))
