@@ -4126,7 +4126,58 @@ object Queries {
              |    o_custkey AS flag
              |  FROM orders WHERE o_custkey % 23 = 7)
              |GROUP BY pri
-             |ORDER BY pri""".stripMargin))
+             |ORDER BY pri""".stripMargin)),
+
+    // COLUMN DEFAULT VALUES (r16): `CREATE TABLE … (channel STRING
+    // DEFAULT 'web', qty BIGINT DEFAULT 1)` — the analyzer fills
+    // omitted columns from the stored CURRENT_DEFAULT metadata, and
+    // `ALTER COLUMN … SET DEFAULT` changes FUTURE inserts only
+    // (metadata-only commit, allowColumnDefaults feature). Two insert
+    // waves under two defaults; the oracle reproduces both fills.
+    // Idempotent via DROP.
+    QueryDef("catalog_default_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.dft")
+        s.sql("CREATE TABLE gdml.ddl.dft (o_orderkey BIGINT, " +
+          "o_orderpriority STRING, channel STRING DEFAULT 'web', " +
+          "qty BIGINT DEFAULT 1) USING `graft-deltalake`")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.dft (o_orderkey, o_orderpriority)
+             |SELECT o_orderkey, o_orderpriority
+             |FROM graft_delta.`$src` WHERE o_custkey % 29 = 2
+             |""".stripMargin)
+        s.sql("ALTER TABLE gdml.ddl.dft ALTER COLUMN channel " +
+          "SET DEFAULT 'store'")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.dft
+             |  (o_orderkey, o_orderpriority, qty)
+             |SELECT o_orderkey, o_orderpriority, o_orderkey % 5
+             |FROM graft_delta.`$src` WHERE o_custkey % 29 = 11
+             |""".stripMargin)
+        s.sql(
+          """SELECT o_orderpriority AS pri, channel,
+            |  COUNT(*) AS cnt, CAST(SUM(qty) AS BIGINT) AS qty_sum
+            |FROM gdml.ddl.dft
+            |GROUP BY pri, channel
+            |ORDER BY pri, channel""".stripMargin)
+      },
+      Some("""SELECT pri, channel, COUNT(*) AS cnt,
+             |  CAST(SUM(qty) AS BIGINT) AS qty_sum
+             |FROM (
+             |  SELECT o_orderpriority AS pri, 'web' AS channel,
+             |    1 AS qty
+             |  FROM orders WHERE o_custkey % 29 = 2
+             |  UNION ALL
+             |  SELECT o_orderpriority AS pri, 'store' AS channel,
+             |    o_orderkey % 5 AS qty
+             |  FROM orders WHERE o_custkey % 29 = 11)
+             |GROUP BY pri, channel
+             |ORDER BY pri, channel""".stripMargin))
   )
 
   /** The staged two-commit Delta table the `deltalake_*` queries read:

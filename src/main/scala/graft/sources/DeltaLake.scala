@@ -1255,7 +1255,11 @@ object DeltaLake {
       properties.get("delta.enableDeletionVectors").contains("true")
     val constraints =
       properties.keys.exists(_.startsWith("delta.constraints."))
-    if (schemaHasVariant(schema) || ict || dv) {
+    // column DEFAULTs have NO legacy protocol home — table features
+    // (minWriter 7) is the only shape that can carry them
+    val defaults = schema.fields.exists(
+      _.metadata.contains("CURRENT_DEFAULT"))
+    if (schemaHasVariant(schema) || ict || dv || defaults) {
       // variantType/deletionVectors are reader+writer features;
       // inCommitTimestamp and changeDataFeed are writer-side
       val rf =
@@ -1267,7 +1271,8 @@ object DeltaLake {
         (if (cdf) Seq("changeDataFeed") else Seq.empty) ++
         (if (constraints) Seq("checkConstraints") else Seq.empty) ++
         (if (generated) Seq("generatedColumns") else Seq.empty) ++
-        (if (identity) Seq("identityColumns") else Seq.empty)
+        (if (identity) Seq("identityColumns") else Seq.empty) ++
+        (if (defaults) Seq("allowColumnDefaults") else Seq.empty)
       DeltaProtocol(if (rf.nonEmpty) 3 else 1, 7, rf, wf).json
     }
     else if (identity)
@@ -2164,7 +2169,8 @@ object DeltaLake {
     "checkConstraints", "deletionVectors", "v2Checkpoint", "variantType",
     "variantType-preview", "timestampNtz", "inCommitTimestamp",
     "vacuumProtocolCheck", "changeDataFeed", "columnMapping",
-    "generatedColumns", "identityColumns", "typeWidening")
+    "generatedColumns", "identityColumns", "typeWidening",
+    "allowColumnDefaults")
 
   /** Writer features IMPLIED by a legacy `minWriterVersion` — when a
     * protocol upgrade moves a table to the table-features shape
@@ -3630,6 +3636,68 @@ object DeltaLake {
     writeCommitExclusive(path, next, actions)
     next
   }
+
+  /** SET / DROP a column DEFAULT (`ALTER TABLE t ALTER COLUMN c SET
+    * DEFAULT expr` / `DROP DEFAULT`) — ONE metadata-only commit
+    * rewriting the field's `CURRENT_DEFAULT` (future INSERTs; the
+    * analyzer substitutes omitted columns and the DEFAULT keyword
+    * from it). `EXISTS_DEFAULT` is untouched — existing rows carry
+    * physical values, and this reader surfaces genuinely-missing
+    * columns as null, which is why ADD COLUMN with a default refuses
+    * at the catalog. Setting a first default upgrades the protocol
+    * with the `allowColumnDefaults` table feature.
+    */
+  def setColumnDefault(spark: SparkSession, path: String,
+      name: String, default: Option[String]): Long = {
+    val st = replay(spark, path, None)
+    val unsupported = st.protocol.writerFeatures
+      .filterNot(SupportedWriterFeatures + "columnMapping")
+    require(unsupported.isEmpty,
+      s"DeltaLake.setColumnDefault: $path requires writer features " +
+        s"$unsupported this writer does not implement")
+    require(st.schema.fieldNames.contains(name),
+      s"DeltaLake.setColumnDefault: no column '$name' in $path " +
+        s"(${st.schema.fieldNames.mkString(", ")})")
+    require(!st.schema(name).metadata
+        .contains("delta.generationExpression") &&
+      !st.schema(name).metadata.contains("delta.identity.start"),
+      s"DeltaLake.setColumnDefault: '$name' is generated/identity — " +
+        "its values are writer-computed, a DEFAULT cannot apply")
+    val next = st.version + 1
+    val updated = StructType(st.schema.fields.map { f =>
+      if (f.name != name) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        default match {
+          case Some(sql) => mb.putString("CURRENT_DEFAULT", sql)
+          case None => mb.remove("CURRENT_DEFAULT")
+        }
+        f.copy(metadata = mb.build())
+      }
+    })
+    val actions =
+      ictAction(st.configuration, "ALTER COLUMN", path).toSeq ++
+        (if (default.isDefined)
+          protocolUnionWriter(st.protocol, "allowColumnDefaults")
+        else None) :+
+        metaAction(path, updated, st.partitionColumns,
+          st.configuration, st.tableId)
+    writeCommitExclusive(path, next, actions)
+    next
+  }
+
+  /** The protocol action that UNIONs a WRITER-side feature, or None
+    * when already live ([[protocolUnion]] is the reader+writer twin).
+    */
+  private def protocolUnionWriter(p: DeltaProtocol,
+      feature: String): Option[String] =
+    if (p.writerFeatures.contains(feature)) None
+    else {
+      val (rf, wf) = promotedFeatures(p, Seq.empty)
+      Some(DeltaProtocol(math.max(p.minReader, 1), 7, rf,
+        (wf :+ feature).distinct).json)
+    }
 
   /** RENAME COLUMN — COLUMN-MAPPED tables only (`ALTER TABLE t RENAME
     * COLUMN a TO b`): one metadata-only commit whose metaData carries

@@ -76,7 +76,9 @@ class GraftCatalog extends TableCatalog
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     GraftCatalog.entries(warehouse).keys.toArray.sorted.map { full =>
@@ -145,8 +147,12 @@ class GraftCatalog extends TableCatalog
     * translates to the Delta writer's field-metadata contract
     * (`delta.generationExpression` / `delta.identity.*`) and the
     * writers take it from there — compute/validate for generated,
-    * allocate for identity. Delta-only surfaces; Iceberg tables
-    * refuse them. DEFAULT values are not implemented — refused.
+    * allocate for identity. Column DEFAULTs land as the analyzer's
+    * `CURRENT_DEFAULT`/`EXISTS_DEFAULT` metadata keys (Spark's
+    * ResolveDefaultColumns fills omitted columns and the DEFAULT
+    * keyword from them; the `allowColumnDefaults` protocol feature
+    * rides the first commit). All three are Delta-only surfaces;
+    * Iceberg tables refuse them.
     */
   override def createTable(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
@@ -156,11 +162,19 @@ class GraftCatalog extends TableCatalog
     val isDelta =
       Option(properties.get("provider")).contains("graft-deltalake")
     val fields = columns.map { c =>
-      require(c.defaultValue() == null,
-        s"graft catalog: CREATE TABLE $key: column '${c.name}' " +
-          "declares a DEFAULT value — not implemented; write the " +
-          "value explicitly (or use a generated column)")
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(c.defaultValue()).foreach { dv =>
+        require(isDelta, s"graft catalog: CREATE TABLE $key: " +
+          s"DEFAULT on column '${c.name}' is a graft-deltalake " +
+          "surface (the allowColumnDefaults feature)")
+        // Spark's ResolveDefaultColumns reads these two keys off the
+        // table schema: CURRENT_DEFAULT fills future INSERTs (the
+        // analyzer substitutes omitted columns and the DEFAULT
+        // keyword), EXISTS_DEFAULT covers rows predating the column
+        // (same value at creation). Delta stores the same keys.
+        mb.putString("CURRENT_DEFAULT", dv.getSql)
+        mb.putString("EXISTS_DEFAULT", dv.getSql)
+      }
       Option(c.metadataInJSON()).foreach(j => mb.withMetadata(
         org.apache.spark.sql.types.Metadata.fromJson(j)))
       Option(c.generationExpression()).foreach { g =>
@@ -266,11 +280,19 @@ class GraftCatalog extends TableCatalog
       s"graft catalog: ALTER TABLE $key ALTER COLUMN " +
         s"${w.fieldNames.mkString(".")} TYPE — nested fields are " +
         "not supported"))
+    // SET / DROP DEFAULT — future-insert metadata only (Delta)
+    val defChanges = changes.collect {
+      case u: TableChange.UpdateColumnDefaultValue => u }
+    defChanges.foreach(u => require(u.fieldNames.length == 1,
+      s"graft catalog: ALTER TABLE $key ALTER COLUMN " +
+        s"${u.fieldNames.mkString(".")} SET DEFAULT — nested fields " +
+        "are not supported"))
     val other = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
         c.isInstanceOf[TableChange.UpdateColumnType] ||
+        c.isInstanceOf[TableChange.UpdateColumnDefaultValue] ||
         c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty])
     if (other.nonEmpty) throw new UnsupportedOperationException(
@@ -287,7 +309,8 @@ class GraftCatalog extends TableCatalog
     // statement the user issued. Spark's SQL grammar only produces
     // single-kind lists; programmatic callers get the honest refusal.
     val kinds = Seq(adds.nonEmpty, renames.nonEmpty, drops.nonEmpty,
-      widens.nonEmpty, setProps.nonEmpty || unsetProps.nonEmpty)
+      widens.nonEmpty, defChanges.nonEmpty,
+      setProps.nonEmpty || unsetProps.nonEmpty)
       .count(identity)
     require(kinds <= 1,
       s"graft catalog: ALTER TABLE $key mixes " +
@@ -308,6 +331,12 @@ class GraftCatalog extends TableCatalog
         s"graft catalog: ALTER TABLE $key ADD COLUMN " +
           s"${a.fieldNames.mkString(".")} FIRST/AFTER — positioned " +
           "adds reorder the schema; columns append at the end")
+      require(a.defaultValue() == null,
+        s"graft catalog: ALTER TABLE $key ADD COLUMN " +
+          s"${a.fieldNames.mkString(".")} DEFAULT — existing rows " +
+          "cannot serve the default (this reader surfaces missing " +
+          "columns as null); add the column, then SET DEFAULT for " +
+          "future inserts")
     }
     // each operation retries INDEPENDENTLY: one shared retry would
     // re-run an already-committed ADD after the rename lost a race,
@@ -374,6 +403,23 @@ class GraftCatalog extends TableCatalog
         case o => throw new IllegalArgumentException(
           s"graft catalog: unknown format '$o' for $key")
       }
+      if (v >= 0L) { GraftCatalog.advancePin(warehouse, key, v); () }
+    }
+    if (defChanges.nonEmpty) GraftCatalog.retryOnCatalogRace {
+      val entry = GraftCatalog.entries(warehouse).getOrElse(key,
+        throw new IllegalArgumentException(
+          s"graft catalog: no table '$key' in $warehouse"))
+      require(entry.format == "graft-deltalake",
+        s"graft catalog: ALTER TABLE $key SET/DROP DEFAULT — column " +
+          s"defaults are a graft-deltalake surface; '$key' is " +
+          s"${entry.format}")
+      require(defChanges.size == 1, s"graft catalog: ALTER TABLE " +
+        s"$key changes one column default per statement")
+      val abs = GraftCatalog.absPath(warehouse, entry.path)
+      val u = defChanges.head
+      val v = DeltaLake.setColumnDefault(spark, abs,
+        u.fieldNames.head,
+        Option(u.newDefaultValue()).filter(_.nonEmpty))
       if (v >= 0L) { GraftCatalog.advancePin(warehouse, key, v); () }
     }
     if (drops.nonEmpty) GraftCatalog.retryOnCatalogRace {
