@@ -2348,6 +2348,19 @@ object DeltaLake {
     org.apache.spark.sql.graft.GraftSql.column(bound)
   }
 
+  /** Columns with a CURRENT_DEFAULT (the analyzer's metadata key):
+    * name -> default SQL as a Column. The MERGE insert arms fill
+    * omitted columns from these (the analyzer only aligns defaults
+    * for plans it resolves itself).
+    */
+  private def defaultsOf(schema: StructType)
+      : Map[String, org.apache.spark.sql.Column] =
+    schema.fields.flatMap(f =>
+      if (f.metadata.contains("CURRENT_DEFAULT"))
+        Some(f.name -> org.apache.spark.sql.functions.expr(
+          f.metadata.getString("CURRENT_DEFAULT")))
+      else None).toMap
+
   /** GENERATED columns (`delta.generationExpression` field metadata)
     * of the table: name -> generation SQL.
     */
@@ -3312,9 +3325,10 @@ object DeltaLake {
     require(keys.forall(st.schema.fieldNames.contains),
       s"DeltaLake.mergeGeneral: keys $keys must be table columns")
     val ids = identityOf(st.schema)
+    val colDefaults = defaultsOf(st.schema)
     validate("DeltaLake.mergeGeneral", st.schema, keys,
       st.partitionColumns, matched, notMatched, notMatchedBySource,
-      autoCols = ids.keySet)
+      autoCols = ids.keySet ++ colDefaults.keySet)
     // identity columns are immutable — no SET may assign one
     (matched.collect { case MatchedUpdate(_, Some(s)) => s } ++
       notMatchedBySource.collect { case BySourceUpdate(_, s) => s })
@@ -3334,10 +3348,12 @@ object DeltaLake {
       case MatchedUpdate(_, None) => true
       case _ => false
     } || notMatched.exists(_.values.isEmpty)
-    // identity columns are writer-computed: the source may omit them
-    // even under the star forms (INSERT * allocates, SET * pins)
+    // identity/defaulted columns are writer-computed: the source may
+    // omit them even under the star forms (INSERT * allocates/fills,
+    // SET * pins identity)
     require(!starNeeds ||
-        st.schema.fieldNames.filterNot(ids.contains)
+        st.schema.fieldNames
+          .filterNot(c => ids.contains(c) || colDefaults.contains(c))
           .forall(srcCols.contains),
       "DeltaLake.mergeGeneral: UPDATE SET * / INSERT * need the " +
         s"source to carry every table column — table: " +
@@ -3410,7 +3426,8 @@ object DeltaLake {
           sRenAll.join(readFiles(spark, path, st, st.adds),
             pairCond, "left_anti")
             .select(srcCols.map(c =>
-              col(s"$SrcPrefix$c").as(c)): _*), notMatched)
+              col(s"$SrcPrefix$c").as(c)): _*), notMatched,
+          defaults = colDefaults)
       val insertRows =
         if (ids.isEmpty || notMatched.isEmpty) insertRows0
         else {

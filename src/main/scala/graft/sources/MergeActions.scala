@@ -71,7 +71,9 @@ object MergeActions {
       extends BySource
 
   /** Validate the clause families against the table shape. Shared by
-    * both writers so refusal texts match.
+    * both writers so refusal texts match. `autoCols`: columns the
+    * writer computes or defaults (identity columns, columns with a
+    * CURRENT_DEFAULT) — an INSERT may omit them.
     */
   private[sources] def validate(who: String, schema: StructType,
       keys: Seq[String], partitionCols: Seq[String],
@@ -189,7 +191,8 @@ object MergeActions {
     * matching no action dropped. Returns rows in the table schema.
     */
   private[sources] def resolveInserts(schema: StructType,
-      inserts: DataFrame, notMatched: Seq[NotMatchedInsert]): DataFrame = {
+      inserts: DataFrame, notMatched: Seq[NotMatchedInsert],
+      defaults: Map[String, Column] = Map.empty): DataFrame = {
     // empty frame in the TABLE schema — a key-only source frame may
     // not carry every table column, so never select off `inserts` here
     if (notMatched.isEmpty) return inserts.sparkSession.createDataFrame(
@@ -200,17 +203,20 @@ object MergeActions {
     val cols = schema.fieldNames.toIndexedSeq.map { f =>
       notMatched.foldLeft(Option.empty[Column]) { (acc, a) =>
         val v = a.values match {
-          // INSERT *: a source omitting a writer-computed (identity)
-          // column inserts null there — the writer allocates; the
-          // star-width check guaranteed every other column is present
+          // INSERT *: a source omitting a writer-computed column
+          // inserts its DEFAULT (null for identity — the writer
+          // allocates); the star-width check guaranteed every other
+          // column is present
           case None =>
             if (inserts.columns.contains(f)) col(f)
-            else lit(null).cast(schema(f).dataType)
-          // an explicit list may omit writer-computed (identity)
+            else defaults.getOrElse(f, lit(null))
+              .cast(schema(f).dataType)
+          // an explicit list may omit writer-computed/defaulted
           // columns — validate() guaranteed every other column
           case Some(values) => values.get(f)
             .map(_.cast(schema(f).dataType))
-            .getOrElse(lit(null).cast(schema(f).dataType))
+            .getOrElse(defaults.getOrElse(f, lit(null))
+              .cast(schema(f).dataType))
         }
         acc match {
           case None => Some(when(condOf(a.cond), v))

@@ -89,6 +89,23 @@ class ColumnDefaultSpec extends AnyFunSuite with SparkFixture {
         "s STRING DEFAULT 'x') USING `graft-iceberg`")
     }
     assert(e2.getMessage.contains("graft-deltalake"), e2.getMessage)
+    // MERGE INSERT and UPDATE SET resolve DEFAULT too (the analyzer
+    // aligns assignments from CURRENT_DEFAULT before the lowering)
+    import spark.implicits._
+    Seq((5L, "src5"), (1L, "src1")).toDF("id", "s")
+      .createOrReplaceTempView("cdef_src")
+    spark.sql(
+      """MERGE INTO cdalter.db.t t USING cdef_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET status = DEFAULT
+        |WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)
+        |""".stripMargin)
+    val afterMerge = spark.sql(
+      "SELECT id, status FROM cdalter.db.t WHERE id IN (1, 5)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(afterMerge(5L) == "revived",
+      "merge INSERT must fill the current default")
+    assert(afterMerge(1L) == "revived",
+      "UPDATE SET DEFAULT must resolve the current default")
     // SET DEFAULT on a generated column refuses (writer-computed)
     spark.sql("CREATE TABLE cdalter.db.g (v DOUBLE, " +
       "v2 DOUBLE GENERATED ALWAYS AS (v * 2)) USING `graft-deltalake`")
