@@ -106,6 +106,10 @@ class ColumnDefaultSpec extends AnyFunSuite with SparkFixture {
       "merge INSERT must fill the current default")
     assert(afterMerge(1L) == "revived",
       "UPDATE SET DEFAULT must resolve the current default")
+    // plain UPDATE resolves the DEFAULT keyword too
+    spark.sql("UPDATE cdalter.db.t SET status = DEFAULT WHERE id = 3")
+    assert(spark.sql("SELECT status FROM cdalter.db.t WHERE id = 3")
+      .head().getString(0) == "revived")
     // SET DEFAULT on a generated column refuses (writer-computed)
     spark.sql("CREATE TABLE cdalter.db.g (v DOUBLE, " +
       "v2 DOUBLE GENERATED ALWAYS AS (v * 2)) USING `graft-deltalake`")
