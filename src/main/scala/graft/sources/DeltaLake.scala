@@ -2690,9 +2690,14 @@ object DeltaLake {
   def write(spark: SparkSession, path: String, df: DataFrame,
       mode: String = "append", partitionBy: Seq[String] = Seq.empty,
       maxRetries: Int = 3,
-      properties: Map[String, String] = Map.empty): Long = {
+      properties: Map[String, String] = Map.empty,
+      replaceLayout: Boolean = false): Long = {
     require(mode == "append" || mode == "overwrite",
       s"DeltaLake.write: mode must be 'append' or 'overwrite', got '$mode'")
+    require(!replaceLayout || mode == "overwrite",
+      "DeltaLake.write: replaceLayout is an overwrite (REPLACE) " +
+        "surface — an empty partition list means UNPARTITIONED there, " +
+        "not 'inherit the table layout'")
     val unmappable = properties.keys.filter(k =>
       UnmappableCreationProps.contains(k))
     require(unmappable.isEmpty,
@@ -2738,8 +2743,13 @@ object DeltaLake {
           requireNoRowContracts(s, path, "write",
             allowIdentity = true)
           val parts =
-            if (partitionBy.isEmpty) s.partitionColumns else partitionBy
-          require(s.partitionColumns == parts,
+            if (partitionBy.isEmpty && !replaceLayout)
+              s.partitionColumns
+            else partitionBy
+          // an OVERWRITE removes every old file, so a NEW layout is
+          // sound (the REPLACE TABLE shape); appends must match — a
+          // mixed layout breaks partition pruning
+          require(mode == "overwrite" || s.partitionColumns == parts,
             s"DeltaLake.write: table is partitioned by " +
               s"(${s.partitionColumns.mkString(",")}) but the batch " +
               s"writes (${parts.mkString(",")}) — mixed layouts break " +
@@ -2880,7 +2890,8 @@ object DeltaLake {
           if (schemaHasVariant(schemaFinal) &&
               !s.protocol.readerFeatures.contains("variantType-preview"))
             protocolUnion(s.protocol, "variantType").foreach(actions += _)
-          if (s.schema.json != schemaFinal.json)
+          if (s.schema.json != schemaFinal.json ||
+              s.partitionColumns != parts)
             actions += metaAction(path, schemaFinal, parts,
               s.configuration, s.tableId)
           if (mode == "overwrite")

@@ -47,7 +47,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ([[graft.GraftDml]]).
   */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -159,9 +160,22 @@ class GraftCatalog extends TableCatalog
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: java.util.Map[String, String]): Table = {
     val key = GraftCatalog.keyOf(ident)
+    createTable(ident,
+      StructType(translateColumns(key, columns, properties)),
+      partitions, properties)
+  }
+
+  /** V2 column list → StructType with the writer-contract metadata
+    * (generated/identity/default) — shared by [[createTable]] and the
+    * staged CREATE/REPLACE paths.
+    */
+  private def translateColumns(key: String,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      properties: java.util.Map[String, String])
+      : Array[org.apache.spark.sql.types.StructField] = {
     val isDelta =
       Option(properties.get("provider")).contains("graft-deltalake")
-    val fields = columns.map { c =>
+    columns.map { c =>
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
       Option(c.defaultValue()).foreach { dv =>
         require(isDelta, s"graft catalog: CREATE TABLE $key: " +
@@ -194,7 +208,83 @@ class GraftCatalog extends TableCatalog
       org.apache.spark.sql.types.StructField(c.name, c.dataType,
         c.nullable, mb.build())
     }
-    createTable(ident, StructType(fields), partitions, properties)
+  }
+
+  /** ATOMIC-enough CTAS / RTAS ([[org.apache.spark.sql.connector
+    * .catalog.StagingTableCatalog]]). WHY: Spark's non-staging
+    * fallback for `CREATE OR REPLACE TABLE t AS SELECT … FROM t`
+    * is drop-then-create — on a MANAGED table the drop PURGES the
+    * data directory while the SELECT still needs the old files, so a
+    * self-referencing replace destroyed the table AND failed. Staged:
+    *  - CREATE stages eagerly (today's semantics) and gains abort
+    *    cleanup — a failed CTAS no longer leaves a half-created table.
+    *  - REPLACE of an existing table NEVER drops: the query writes
+    *    through the native OVERWRITE commit (one exclusive commit,
+    *    new schema adopted, partition layout may change — overwrite
+    *    removes every old file so a new layout is sound), HISTORY is
+    *    RETAINED (time travel to pre-replace versions keeps working),
+    *    and a failed query leaves the old table untouched. `REPLACE
+    *    TABLE` without AS commits an empty overwrite at
+    *    commitStagedChanges. Iceberg replaces with a schema change
+    *    refuse loudly (the fixture writer does not model it); Delta
+    *    adopts the new schema.
+    */
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val t = createTable(ident,
+      StructType(translateColumns(GraftCatalog.keyOf(ident),
+        info.columns(), info.properties())),
+      info.partitions(), info.properties())
+      .asInstanceOf[GraftCatalogTable]
+    StagedGraftTable(t, onCommit = () => (),
+      onAbort = () => { dropTable(ident); () })
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedReplace(ident, info, orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedReplace(ident, info, orCreate = true)
+
+  private def stagedReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo,
+      orCreate: Boolean)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val key = GraftCatalog.keyOf(ident)
+    GraftCatalog.entries(warehouse).get(key) match {
+      case None =>
+        if (!orCreate)
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchTableException(ident)
+        stageCreate(ident, info)
+      case Some(entry) =>
+        val format = Option(info.properties().get("provider"))
+          .getOrElse(entry.format)
+        require(format == entry.format,
+          s"graft catalog: REPLACE TABLE $key USING $format — the " +
+            s"table is ${entry.format}; replacing across formats is " +
+            "a different table (DROP + CREATE explicitly)")
+        // only Spark's reserved keys may ride a REPLACE — property
+        // changes are a separate, explicit operation
+        val extraProps = info.properties().asScala.keySet
+          .diff(Set("provider", "location", "owner",
+            "option.provider"))
+        require(extraProps.isEmpty,
+          s"graft catalog: REPLACE TABLE $key carries " +
+            s"TBLPROPERTIES ${extraProps.mkString(", ")} — alter " +
+            "properties explicitly, not through REPLACE")
+        val newSchema = StructType(translateColumns(key,
+          info.columns(), info.properties()))
+        val partitionBy = info.partitions().toSeq
+          .map(GraftCatalog.transformSpec(_, entry.format, key))
+        StagedGraftReplace(s"$catalogName.$key", entry, warehouse,
+          key, newSchema, partitionBy)
+    }
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -598,6 +688,113 @@ final case class GraftCatalogTable(fullName: String, entry: CatalogEntry,
   override def properties(): java.util.Map[String, String] =
     Map("format" -> entry.format, "path" -> entry.path,
       "pinned-version" -> entry.version.toString).asJava
+}
+
+/** A staged CREATE ([[GraftCatalog.stageCreate]]): the table is
+  * created eagerly (the established CTAS semantics), commit is a
+  * no-op, and ABORT drops what was created — a failed CTAS no longer
+  * leaves a half-created table behind.
+  */
+final case class StagedGraftTable(inner: GraftCatalogTable,
+    onCommit: () => Unit, onAbort: () => Unit)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def capabilities(): java.util.Set[TableCapability] =
+    inner.capabilities()
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    inner.newWriteBuilder(info)
+  override def properties(): java.util.Map[String, String] =
+    inner.properties()
+  override def commitStagedChanges(): Unit = onCommit()
+  override def abortStagedChanges(): Unit = onAbort()
+}
+
+/** A staged REPLACE of an EXISTING table
+  * ([[GraftCatalog.stageReplace]]): NO drop — the query writes
+  * through the native OVERWRITE commit (new schema adopted, layout
+  * may change, history retained), the pin advances with it, and a
+  * failed query leaves the old table untouched. `REPLACE TABLE`
+  * without AS commits an empty overwrite at commitStagedChanges.
+  */
+final case class StagedGraftReplace(fullName: String,
+    entry: CatalogEntry, warehouse: String, key: String,
+    newSchema: StructType, partitionBy: Seq[String])
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  @volatile private var wrote = false
+
+  override def name(): String = fullName
+  override def schema(): StructType = newSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def properties(): java.util.Map[String, String] =
+    Map("format" -> entry.format, "path" -> entry.path).asJava
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = this
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: DataFrame, _: Boolean) => {
+              doReplace(data.sparkSession, data); ()
+            }
+        }
+    }
+
+  private def doReplace(spark: SparkSession, data: DataFrame): Unit = {
+    // carry the REPLACE column contracts (generated/identity/default
+    // metadata) onto the written frame — the overwrite commit adopts
+    // its schema, metadata included
+    val aligned = data.select(newSchema.toIndexedSeq.map(f =>
+      org.apache.spark.sql.functions.col(f.name)
+        .as(f.name, f.metadata)): _*)
+    val abs = GraftCatalog.absPath(warehouse, entry.path)
+    val v = entry.format match {
+      case "graft-deltalake" =>
+        // replaceLayout: the DECLARED partitioning is the layout —
+        // an empty list means UNPARTITIONED, never "inherit"
+        DeltaLake.write(spark, abs, aligned, "overwrite",
+          partitionBy, replaceLayout = true)
+      case "graft-iceberg" =>
+        // the iceberg fixture writer does not model layout/schema
+        // replacement — same-layout replaces only, checked here so
+        // an empty declared list cannot silently inherit
+        val cur = Iceberg.resolve(spark, abs, None)
+        require(partitionBy == cur.specStrings,
+          s"graft catalog: REPLACE TABLE $key changes the Iceberg " +
+            s"partition layout (${cur.specStrings.mkString(",")} → " +
+            s"${partitionBy.mkString(",")}) — not modeled; " +
+            "re-create the table explicitly")
+        Iceberg.write(spark, abs, aligned, "overwrite", partitionBy)
+      case other => throw new IllegalArgumentException(
+        s"graft catalog: unknown format '$other' for $fullName")
+    }
+    GraftCatalog.advancePin(warehouse, key, v)
+    wrote = true
+  }
+
+  override def commitStagedChanges(): Unit =
+    if (!wrote) {
+      // REPLACE TABLE without AS: empty content, new definition
+      val spark = SparkSession.active
+      doReplace(spark, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        newSchema))
+    }
+
+  override def abortStagedChanges(): Unit = ()
 }
 
 object GraftCatalog {
