@@ -4177,7 +4177,57 @@ object Queries {
              |    o_orderkey % 5 AS qty
              |  FROM orders WHERE o_custkey % 29 = 11)
              |GROUP BY pri, channel
-             |ORDER BY pri, channel""".stripMargin))
+             |ORDER BY pri, channel""".stripMargin)),
+
+    // CREATE OR REPLACE TABLE AS SELECT (r16): the SELF-REFERENCING
+    // replace — the exact shape a drop-then-create fallback destroys
+    // (the managed purge deletes files the SELECT still needs). The
+    // staged catalog routes it through one native OVERWRITE commit:
+    // new schema adopted, new partition layout, history retained
+    // (the final read aggregates the REPLACED content; the replace
+    // also proves pre-replace content stayed readable mid-query).
+    // Idempotent via DROP.
+    QueryDef("catalog_replace_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.rpl")
+        s.sql("CREATE TABLE gdml.ddl.rpl (o_orderkey BIGINT, " +
+          "o_orderpriority STRING, o_totalprice DOUBLE) " +
+          "USING `graft-deltalake`")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.rpl
+             |SELECT o_orderkey, o_orderpriority, o_totalprice
+             |FROM graft_delta.`$src` WHERE o_custkey % 31 = 4
+             |""".stripMargin)
+        // self-referencing replace: re-shape the table FROM itself
+        s.sql(
+          """CREATE OR REPLACE TABLE gdml.ddl.rpl
+            |USING `graft-deltalake` PARTITIONED BY (pri) AS
+            |SELECT o_orderkey, o_orderpriority AS pri,
+            |  o_totalprice * 2 AS dbl
+            |FROM gdml.ddl.rpl WHERE o_orderkey % 3 != 0
+            |""".stripMargin)
+        s.sql(
+          """SELECT pri, COUNT(*) AS cnt,
+            |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+            |  CAST(SUM(CAST(dbl AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS total
+            |FROM gdml.ddl.rpl
+            |GROUP BY pri
+            |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             |  CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS total
+             |FROM orders
+             |WHERE o_custkey % 31 = 4 AND o_orderkey % 3 != 0
+             |GROUP BY pri
+             |ORDER BY pri""".stripMargin))
   )
 
   /** The staged two-commit Delta table the `deltalake_*` queries read:

@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 202 declared operator queries are all present (SURVEY §2)") {
+  test("the 203 declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -101,8 +101,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "catalog_constraint_sql", "catalog_identity_sql",
       // round-16 surface
       "catalog_merge_identity_sql", "catalog_widen_sql",
-      "catalog_nested_sql", "catalog_default_sql")
-    assert(declared.size == 202)
+      "catalog_nested_sql", "catalog_default_sql",
+      "catalog_replace_sql")
+    assert(declared.size == 203)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared
