@@ -78,6 +78,12 @@ object Bench {
     }
     calibrate() // one discard pass compiles/warms the probe itself
     val calibStart = Seq.fill(3)(calibrate()).min
+    // periodic samples too: a contention wave confined to the MIDDLE
+    // of the run is invisible to start/end readings alone (observed:
+    // endpoints at 0.06-0.07 while a mid-run wave pushed the stream
+    // block 40% up) — one reading every 25 queries bounds where any
+    // wave sat
+    val calibSamples = scala.collection.mutable.Buffer.empty[Double]
     var failed = List.empty[String]
     // first line of each failure's message, keyed by query — so a broken
     // query is diagnosable from the committed bench artifact alone (the
@@ -92,7 +98,8 @@ object Bench {
     // r5: 175.9s vs 107.8s) while warm times stay stable — so the warm
     // total is the cross-round comparison number, and the cold total keeps
     // continuity with BENCH_r01..r05.
-    val results = names.map { name =>
+    val results = names.zipWithIndex.map { case (name, qi) =>
+      if (qi > 0 && qi % 25 == 0) calibSamples += calibrate()
       val fn = SparkEntry.queries(name)
       def run(): Double = {
         val t0 = System.nanoTime()
@@ -141,7 +148,8 @@ object Bench {
     val errorsJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val calibJson =
-      s"""{"start":$calibStart,"end":$calibEnd}"""
+      s"""{"start":$calibStart,"end":$calibEnd,""" +
+        calibSamples.map(v => f"$v%.4f").mkString("\"samples\":[", ",", "]}")
     val line =
       s"""{"metric":"total","value":$total,"value_cold":$total,"value_warm":$totalWarm,"unit":"sec","queries":${qjson(_._1)},"queries_warm":${qjson(_._2)},"queries_warm_min":${qjson(_._3)},"calibration":$calibJson,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
     println(line)
