@@ -366,10 +366,8 @@ class GraftCatalog extends TableCatalog
     // widen writers validate legality and refuse everything else
     val widens = changes.collect {
       case w: TableChange.UpdateColumnType => w }
-    widens.foreach(w => require(w.fieldNames.length == 1,
-      s"graft catalog: ALTER TABLE $key ALTER COLUMN " +
-        s"${w.fieldNames.mkString(".")} TYPE — nested fields are " +
-        "not supported"))
+    // nested widen paths are format-gated below (sound on Iceberg
+    // under field-id resolution; Delta refuses)
     // SET / DROP DEFAULT — future-insert metadata only (Delta)
     val defChanges = changes.collect {
       case u: TableChange.UpdateColumnDefaultValue => u }
@@ -486,10 +484,14 @@ class GraftCatalog extends TableCatalog
         case "graft-deltalake" =>
           require(widens.size == 1, s"graft catalog: ALTER TABLE " +
             s"$key widens one column per statement on Delta tables")
+          require(widens.head.fieldNames.length == 1,
+            s"graft catalog: ALTER TABLE $key ALTER COLUMN " +
+              s"${widens.head.fieldNames.mkString(".")} TYPE — " +
+              "nested widens are not supported on Delta tables")
           DeltaLake.widenColumn(spark, abs,
             widens.head.fieldNames.head, widens.head.newDataType)
-        case "graft-iceberg" => Iceberg.widenColumns(spark, abs,
-          widens.map(w => w.fieldNames.head -> w.newDataType).toMap)
+        case "graft-iceberg" => Iceberg.widenFields(spark, abs,
+          widens.map(w => w.fieldNames.toSeq -> w.newDataType).toMap)
         case o => throw new IllegalArgumentException(
           s"graft catalog: unknown format '$o' for $key")
       }

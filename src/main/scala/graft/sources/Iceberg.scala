@@ -3629,34 +3629,58 @@ object Iceberg {
     * Returns the new snapshot id.
     */
   def widenColumns(spark: SparkSession, tableDir: String,
-      widths: Map[String, DataType]): Long = {
+      widths: Map[String, DataType]): Long =
+    widenFields(spark, tableDir,
+      widths.map { case (c, t) => Seq(c) -> t })
+
+  /** [[widenColumns]] at arbitrary struct paths (`ALTER TABLE t
+    * ALTER COLUMN s.member TYPE bigint`) — nested members promote
+    * exactly like top-level ones under field-id resolution (the read
+    * schema's nested types drive the parquet upcast). Nested bounds
+    * are not decoded from manifests in the first place, so skipping
+    * stays conservative there.
+    */
+  def widenFields(spark: SparkSession, tableDir: String,
+      widths: Map[Seq[String], DataType]): Long = {
     require(widths.nonEmpty, "Iceberg.widenColumns: nothing to widen")
     val cur = resolve(spark, tableDir, None)
     val specSources = cur.transforms.map(_.sourceName).toSet
-    widths.foreach { case (c, to) =>
-      require(cur.schema.fieldNames.contains(c),
-        s"Iceberg.widenColumns: '$c' is not a current column")
-      require(!specSources.contains(c),
-        s"Iceberg.widenColumns: '$c' is a partition-spec source " +
-          "column — prior manifests' typed partition records key on " +
-          "the old type")
-      val from = cur.schema(c).dataType
-      require(LakeScan.legalTypeWidening(from, to),
-        s"Iceberg.widenColumns: ${from.simpleString} → " +
+    def fieldAt(path: Seq[String]): Option[StructField] =
+      path.init.foldLeft(Option(cur.schema)) { (s, seg) =>
+        s.flatMap(_.find(_.name == seg)).map(_.dataType).collect {
+          case st: StructType => st
+        }
+      }.flatMap(_.find(_.name == path.last))
+    widths.foreach { case (path, to) =>
+      require(path.nonEmpty, "Iceberg.widenColumns: empty path")
+      val dotted = path.mkString(".")
+      val f = fieldAt(path).getOrElse(
+        throw new IllegalArgumentException(
+          s"Iceberg.widenColumns: '$dotted' is not a current column"))
+      require(!specSources.contains(dotted),
+        s"Iceberg.widenColumns: '$dotted' is a partition-spec " +
+          "source column — prior manifests' typed partition records " +
+          "key on the old type")
+      require(LakeScan.legalTypeWidening(f.dataType, to),
+        s"Iceberg.widenColumns: ${f.dataType.simpleString} → " +
           s"${to.simpleString} is not a spec-legal promotion for " +
-          s"'$c' — int→long, float→double, and decimal precision " +
-          "growth keep existing files readable; anything else is a " +
-          "data rewrite in disguise")
+          s"'$dotted' — int→long, float→double, and decimal " +
+          "precision growth keep existing files readable; anything " +
+          "else is a data rewrite in disguise")
     }
     evolveSchema(spark, tableDir, "widenColumns") { (schemaNode, _) =>
-      schemaNode.get("fields").elements().asScala.foreach { f =>
-        val o = f.asInstanceOf[
-          com.fasterxml.jackson.databind.node.ObjectNode]
-        widths.get(o.get("name").asText).foreach { to =>
-          o.put("type", icebergPrimitiveName(to,
-            s"Iceberg.widenColumns: '${o.get("name").asText}'"))
-          ()
-        }
+      widths.groupBy(_._1.init).foreach { case (parent, group) =>
+        val byName = group.map { case (p, t) => p.last -> t }
+        structNodeAt(schemaNode, parent, "widenColumns")
+          .get("fields").elements().asScala.foreach { f =>
+            val o = f.asInstanceOf[
+              com.fasterxml.jackson.databind.node.ObjectNode]
+            byName.get(o.get("name").asText).foreach { to =>
+              o.put("type", icebergPrimitiveName(to,
+                s"Iceberg.widenColumns: '${o.get("name").asText}'"))
+              ()
+            }
+          }
       }
     }
   }

@@ -241,6 +241,18 @@ class AlterTableSpec extends AnyFunSuite with SparkFixture {
     val sid0 = Iceberg.snapshotIds(dir).head
     val tt = Iceberg.snapshot(spark, dir, Some(sid0))
     assert(tt.select("s.x").as[Long].collect().length == 6)
+    // nested WIDEN: a struct member promotes like a top-level one
+    Iceberg.addFields(spark, dir, Seq(Seq("s") ->
+      StructField("cnt", org.apache.spark.sql.types.IntegerType)))
+    assert(Iceberg.widenFields(spark, dir,
+      Map(Seq("s", "cnt") -> LongType)) >= 0)
+    assert(Iceberg.snapshot(spark, dir)
+      .select("s.cnt").schema.head.dataType == LongType)
+    assert(Iceberg.snapshot(spark, dir).count() == 7)
+    intercept[IllegalArgumentException] {
+      // long -> double is not a legal promotion: refused
+      Iceberg.widenFields(spark, dir, Map(Seq("s", "sx") -> DoubleType))
+    }
     // refusals: non-struct path, duplicate member, sibling collision
     intercept[IllegalArgumentException] {
       Iceberg.addFields(spark, dir, Seq(Seq("id") ->
