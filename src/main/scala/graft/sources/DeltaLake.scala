@@ -2326,6 +2326,17 @@ object DeltaLake {
     conf.collect { case (k, v) if k.startsWith("delta.constraints.") =>
       k.stripPrefix("delta.constraints.") -> v }
 
+  /** The live table's CHECK constraints (name -> SQL expression) —
+    * the catalog's REPLACE staging gate reads them to refuse a
+    * replace whose new schema drops a constrained column (the
+    * configuration survives an overwrite verbatim, so the orphaned
+    * constraint would fail every subsequent write with an unresolved
+    * column instead of a actionable message).
+    */
+  def checkConstraints(spark: SparkSession,
+      path: String): Map[String, String] =
+    constraintsOf(replay(spark, path, None).configuration)
+
   /** A generation expression re-bound over the POST-IMAGE of a
     * rewrite: every single-part column reference in the SQL goes
     * through `ref` (which supplies the post-image value of that
@@ -2887,9 +2898,13 @@ object DeltaLake {
         case Some(s) =>
           actions ++= ictAction(s.configuration,
             if (mode == "append") "WRITE" else "OVERWRITE", path)
-          if (schemaHasVariant(schemaFinal) &&
-              !s.protocol.readerFeatures.contains("variantType-preview"))
-            protocolUnion(s.protocol, "variantType").foreach(actions += _)
+          // a staged REPLACE can introduce identity/generated/DEFAULT
+          // columns onto a table whose protocol predates them —
+          // committing their schema metadata without the matching
+          // feature would be spec-noncompliant (a compliant external
+          // writer would append without allocating/validating)
+          protocolUnionForSchema(s.protocol, schemaFinal)
+            .foreach(actions += _)
           if (s.schema.json != schemaFinal.json ||
               s.partitionColumns != parts)
             actions += metaAction(path, schemaFinal, parts,
@@ -3157,6 +3172,7 @@ object DeltaLake {
         "across partitions")
     val src = source.select(st.schema.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*).cache()
+    var pinned: Option[DataFrame] = None
     try {
       // cardinality check over MATCHABLE keys only: a NULL key matches
       // nothing (SQL ON semantics), so duplicate null-key source rows
@@ -3220,7 +3236,7 @@ object DeltaLake {
       def rewritten = replaced(joined)
       if (ids.nonEmpty && !inserts.isEmpty)
         requireNoExplicitAlways(inserts, ids, "DeltaLake.merge")
-      val insertRows =
+      val insertRows0 =
         inserts.select(st.schema.toIndexedSeq.map { f =>
           ids.get(f.name) match {
             case Some(spec) =>
@@ -3229,6 +3245,19 @@ object DeltaLake {
             case None => col(f.name)
           }
         }: _*)
+      // identity allocation rides monotonically_increasing_id —
+      // NONDETERMINISTIC across executions — and insertRows feeds the
+      // row checks, the data-file landing, AND the CDF change files:
+      // unpinned, the change feed's insert rows could carry different
+      // surrogates than the landed data (the sink path persists for
+      // exactly this hazard). MEMORY_AND_DISK: one materialization,
+      // every consumer reads the same values.
+      val pinInserts = ids.nonEmpty && !inserts.isEmpty &&
+        (cdfEnabled(st) || rowChecksOf(st).nonEmpty)
+      val insertRows =
+        if (pinInserts) { pinned = Some(insertRows0.persist())
+          insertRows0 }
+        else insertRows0
       // row checks: matched replacements + inserts must satisfy
       locally {
         val cs = rowChecksOf(st)
@@ -3281,7 +3310,9 @@ object DeltaLake {
       }
       commitRewrite(spark, path, st, hits, rewritten, "MERGE",
         insertAdds ++ cdc ++ idMeta)
-    } finally { src.unpersist(); () }
+    } finally {
+      pinned.foreach(_.unpersist()); src.unpersist(); ()
+    }
   }
 
   /** GENERAL-FORM MERGE — the full SQL clause set over the
@@ -3375,6 +3406,7 @@ object DeltaLake {
       st.schema.find(_.name == c)
         .map(f => col(c).cast(f.dataType).as(c)).getOrElse(col(c))
     }: _*).cache()
+    var pinned: Option[DataFrame] = None
     try {
       if (matched.nonEmpty && keys.nonEmpty) {
         val keyPred = keys.map(k => col(k).isNotNull).reduce(_ && _)
@@ -3439,7 +3471,7 @@ object DeltaLake {
             .select(srcCols.map(c =>
               col(s"$SrcPrefix$c").as(c)): _*), notMatched,
           defaults = colDefaults)
-      val insertRows =
+      val insertRows1 =
         if (ids.isEmpty || notMatched.isEmpty) insertRows0
         else {
           requireNoExplicitAlways(insertRows0, ids,
@@ -3453,6 +3485,14 @@ object DeltaLake {
             }
           }: _*)
         }
+      // pin nondeterministic identity allocation across its consumers
+      // (row checks, data files, CDF change files) — see [[merge]]
+      val pinInserts = ids.nonEmpty && notMatched.nonEmpty &&
+        (cdfEnabled(st) || rowChecksOf(st).nonEmpty)
+      val insertRows =
+        if (pinInserts) { pinned = Some(insertRows1.persist())
+          insertRows1 }
+        else insertRows1
       if (hits.isEmpty && insertRows.isEmpty) return -1L
       val sRen = src.select(keys.map(col) ++
         srcCols.map(c => col(c).as(s"$SrcPrefix$c")) :+
@@ -3564,7 +3604,9 @@ object DeltaLake {
       }
       commitRewrite(spark, path, st, hits, rewritten, "MERGE",
         insertAdds ++ cdc ++ idMeta)
-    } finally { src.unpersist(); () }
+    } finally {
+      pinned.foreach(_.unpersist()); src.unpersist(); ()
+    }
   }
 
   /** ADD COLUMNS — append nullable columns to the table schema as ONE
@@ -3713,6 +3755,46 @@ object DeltaLake {
           st.configuration, st.tableId)
     writeCommitExclusive(path, next, actions)
     next
+  }
+
+  /** The protocol action that UNIONs every feature `schema`'s column
+    * contracts require (variant columns → `variantType`, generated →
+    * `generatedColumns`, identity → `identityColumns`, DEFAULTs →
+    * `allowColumnDefaults`) into `p`, or None when all are already
+    * live — legacy version-implied features count as live. The write
+    * path's existing-table commits go through here so a staged
+    * REPLACE introducing these columns onto an old-protocol table
+    * never lands spec-noncompliant schema metadata.
+    */
+  private def protocolUnionForSchema(p: DeltaProtocol,
+      schema: StructType): Option[String] = {
+    def writerHas(f: String): Boolean =
+      if (p.minWriter >= 7) p.writerFeatures.contains(f)
+      else impliedWriterFeatures(p.minWriter).contains(f)
+    val needReader =
+      if (schemaHasVariant(schema) &&
+          !p.readerFeatures.contains("variantType") &&
+          !p.readerFeatures.contains("variantType-preview"))
+        Seq("variantType")
+      else Seq.empty
+    val needWriter = Seq(
+      schema.fields.exists(
+        _.metadata.contains("delta.generationExpression")) ->
+        "generatedColumns",
+      schema.fields.exists(f =>
+        f.metadata.contains("delta.identity.start") ||
+          f.metadata.contains("delta.identity.step")) ->
+        "identityColumns",
+      schema.fields.exists(_.metadata.contains("CURRENT_DEFAULT")) ->
+        "allowColumnDefaults")
+      .collect { case (true, f) if !writerHas(f) => f }
+    if (needReader.isEmpty && needWriter.isEmpty) None
+    else {
+      val (rf, wf) = promotedFeatures(p, needReader)
+      Some(DeltaProtocol(
+        if (rf.nonEmpty) 3 else math.max(p.minReader, 1), 7, rf,
+        (wf ++ needWriter).distinct).json)
+    }
   }
 
   /** The protocol action that UNIONs a WRITER-side feature, or None

@@ -161,20 +161,25 @@ class GraftCatalog extends TableCatalog
       properties: java.util.Map[String, String]): Table = {
     val key = GraftCatalog.keyOf(ident)
     createTable(ident,
-      StructType(translateColumns(key, columns, properties)),
+      StructType(translateColumns(key, columns,
+        Option(properties.get("provider")))),
       partitions, properties)
   }
 
   /** V2 column list → StructType with the writer-contract metadata
     * (generated/identity/default) — shared by [[createTable]] and the
-    * staged CREATE/REPLACE paths.
+    * staged CREATE/REPLACE paths. `format` is the RESOLVED provider
+    * (REPLACE without a USING clause carries no 'provider' property —
+    * the caller falls back to the existing entry's format, and
+    * re-deriving it from the raw properties here would refuse a
+    * provider-less Delta REPLACE declaring DEFAULT/generated/identity
+    * columns with a misleading error).
     */
   private def translateColumns(key: String,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
-      properties: java.util.Map[String, String])
+      format: Option[String])
       : Array[org.apache.spark.sql.types.StructField] = {
-    val isDelta =
-      Option(properties.get("provider")).contains("graft-deltalake")
+    val isDelta = format.contains("graft-deltalake")
     columns.map { c =>
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
       Option(c.defaultValue()).foreach { dv =>
@@ -234,7 +239,8 @@ class GraftCatalog extends TableCatalog
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val t = createTable(ident,
       StructType(translateColumns(GraftCatalog.keyOf(ident),
-        info.columns(), info.properties())),
+        info.columns(),
+        Option(info.properties().get("provider")))),
       info.partitions(), info.properties())
       .asInstanceOf[GraftCatalogTable]
     StagedGraftTable(t, onCommit = () => (),
@@ -279,7 +285,37 @@ class GraftCatalog extends TableCatalog
             s"TBLPROPERTIES ${extraProps.mkString(", ")} — alter " +
             "properties explicitly, not through REPLACE")
         val newSchema = StructType(translateColumns(key,
-          info.columns(), info.properties()))
+          info.columns(), Some(format)))
+        // the table's configuration (CHECK constraints included)
+        // survives the overwrite commit verbatim — a constraint
+        // naming a column the REPLACE drops would fail every
+        // subsequent write with an unresolved-column error, so refuse
+        // HERE with the actionable message (real REPLACE TABLE resets
+        // properties; ours keeps them, so the user must drop the
+        // constraint first)
+        if (entry.format == "graft-deltalake") {
+          val spark = SparkSession.active
+          val abs = GraftCatalog.absPath(warehouse, entry.path)
+          val newCols = newSchema.fieldNames.map(_.toLowerCase).toSet
+          DeltaLake.checkConstraints(spark, abs).foreach {
+            case (cname, expr) =>
+              val refs = spark.sessionState.sqlParser
+                .parseExpression(expr).collect {
+                  case ua: org.apache.spark.sql.catalyst.analysis
+                      .UnresolvedAttribute => ua.nameParts.head
+                }
+              val missing =
+                refs.filterNot(r => newCols.contains(r.toLowerCase))
+              require(missing.isEmpty,
+                s"graft catalog: REPLACE TABLE $key drops column(s) " +
+                  s"${missing.distinct.mkString(", ")} referenced by " +
+                  s"CHECK constraint '$cname' ($expr) — the " +
+                  "constraint survives the replace and would break " +
+                  "every subsequent write; drop it first (ALTER " +
+                  s"TABLE $key UNSET TBLPROPERTIES " +
+                  s"('delta.constraints.$cname'))")
+          }
+        }
         val partitionBy = info.partitions().toSeq
           .map(GraftCatalog.transformSpec(_, entry.format, key))
         StagedGraftReplace(s"$catalogName.$key", entry, warehouse,

@@ -99,11 +99,14 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "catalog_merge_delete_sql", "catalog_alter_sql",
       "stream_catalog", "catalog_maintenance_sql",
       "catalog_constraint_sql", "catalog_identity_sql",
-      // round-16 surface
+      // round-15 surface (previously mislabeled round-16 — the
+      // section labels drifted one ahead of the driver's counter)
       "catalog_merge_identity_sql", "catalog_widen_sql",
       "catalog_nested_sql", "catalog_default_sql",
-      "catalog_replace_sql")
-    assert(declared.size == 203)
+      "catalog_replace_sql",
+      // round-16 surface
+      "catalog_subquery_dml", "catalog_merge_evolve_sql")
+    assert(declared.size == 205)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

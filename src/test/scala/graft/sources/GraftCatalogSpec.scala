@@ -359,6 +359,126 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
         (10L, "g0")))
   }
 
+  test("DML subqueries lower by materialization: IN (SELECT …), " +
+      "NOT IN, single-equality EXISTS, scalar; unsupported " +
+      "correlation refuses") {
+    val dd = freshDir("dml_sq")
+    DeltaLake.write(spark, dd, frame(1 to 20))
+    GraftCatalog.register(spark, wh, "dml.sq", "graft-deltalake", dd)
+    val ii = freshDir("dml_sqi")
+    Iceberg.write(spark, ii, frame(1 to 20))
+    GraftCatalog.register(spark, wh, "dml.sqi", "graft-iceberg", ii)
+    Seq(2L, 4L, 6L, 8L).toDF("k").createOrReplaceTempView("sq_aux")
+    // uncorrelated IN — the lowered InSet predicate still stats-prunes
+    spark.sql("DELETE FROM tcat.dml.sq WHERE id IN " +
+      "(SELECT k FROM sq_aux WHERE k <= 6)")
+    assert(ids(spark.sql("SELECT * FROM tcat.dml.sq").toDF()) ==
+      (1L to 20L).toSet -- Set(2L, 4L, 6L))
+    // NOT IN (SQL three-valued semantics ride the same InSet)
+    spark.sql("DELETE FROM tcat.dml.sq WHERE id >= 15 AND id NOT IN " +
+      "(SELECT k FROM sq_aux)")
+    assert(ids(spark.sql("SELECT * FROM tcat.dml.sq").toDF()) ==
+      ((1L to 14L).toSet -- Set(2L, 4L, 6L)),
+      "NOT IN must delete 15..20 (none are in the aux set)")
+    // correlated EXISTS (single equality + uncorrelated residual),
+    // on the ICEBERG table, referencing the DELTA table
+    spark.sql("DELETE FROM tcat.dml.sqi t WHERE EXISTS " +
+      "(SELECT 1 FROM tcat.dml.sq s WHERE s.id = t.id AND s.id > 9)")
+    assert(ids(spark.sql("SELECT * FROM tcat.dml.sqi").toDF()) ==
+      (1L to 20L).toSet -- (10L to 14L).toSet)
+    // NOT EXISTS rides the same decorrelation under its Not
+    spark.sql("UPDATE tcat.dml.sqi SET g = 'none' WHERE id <= 3 AND " +
+      "NOT EXISTS (SELECT 1 FROM sq_aux a WHERE a.k = id)")
+    assert(spark.sql("SELECT g FROM tcat.dml.sqi WHERE id = 1")
+      .head().getString(0) == "none")
+    assert(spark.sql("SELECT g FROM tcat.dml.sqi WHERE id = 2")
+      .head().getString(0) == "g0", "id=2 is in aux — NOT EXISTS false")
+    // uncorrelated scalar subquery → literal
+    spark.sql("UPDATE tcat.dml.sq SET g = 'top' " +
+      "WHERE id = (SELECT MAX(id) FROM tcat.dml.sq)")
+    assert(spark.sql("SELECT g FROM tcat.dml.sq WHERE id = 14")
+      .head().getString(0) == "top")
+    // refusals: non-equality correlation, correlated scalar
+    val e1 = intercept[Exception] {
+      spark.sql("DELETE FROM tcat.dml.sq t WHERE EXISTS " +
+        "(SELECT 1 FROM sq_aux a WHERE a.k > t.id)")
+    }
+    assert(e1.getMessage.contains("single"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("DELETE FROM tcat.dml.sq t WHERE id > " +
+        "(SELECT MIN(a.k) FROM sq_aux a WHERE a.k = t.id)")
+    }
+    assert(e2.getMessage.contains("correlated scalar"), e2.getMessage)
+    // the cap refuses loudly, and a conf raise lifts it
+    spark.conf.set("spark.graft.dml.subqueryLimit", "2")
+    val e3 = intercept[Exception] {
+      spark.sql("DELETE FROM tcat.dml.sq WHERE id IN " +
+        "(SELECT k FROM sq_aux)")
+    }
+    assert(e3.getMessage.contains("subqueryLimit"), e3.getMessage)
+    spark.conf.unset("spark.graft.dml.subqueryLimit")
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns ADD before " +
+      "the merge on both formats; type conflicts and explicit " +
+      "assignment lists refuse") {
+    val dd = freshDir("mev_d")
+    DeltaLake.write(spark, dd, frame(1 to 4))
+    GraftCatalog.register(spark, wh, "mev.d", "graft-deltalake", dd)
+    val ii = freshDir("mev_i")
+    Iceberg.write(spark, ii, frame(1 to 4))
+    GraftCatalog.register(spark, wh, "mev.i", "graft-iceberg", ii)
+    Seq((3L, "x3", 30L), (5L, "x5", 50L))
+      .toDF("id", "g", "extra").createOrReplaceTempView("mev_src")
+    for (tbl <- Seq("tcat.mev.d", "tcat.mev.i")) {
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t
+           |USING mev_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |""".stripMargin)
+      val rows = spark.sql(
+        s"SELECT id, g, extra FROM $tbl ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      assert(rows == Seq((1L, "g1", -1L), (2L, "g0", -1L),
+        (3L, "x3", 30L), (4L, "g0", -1L), (5L, "x5", 50L)),
+        s"$tbl: $rows — matched rows take the new column from the " +
+          "source, pre-evolution rows surface null, inserts land full")
+    }
+    // type conflict on a same-name column (g: string vs double) →
+    // refuse with the named column, even though the analyzer would
+    // happily insert a store-assignment cast
+    Seq((3L, 9.5, 30L)).toDF("id", "g", "extra")
+      .createOrReplaceTempView("mev_bad")
+    val e1 = intercept[Exception] {
+      spark.sql("MERGE WITH SCHEMA EVOLUTION INTO tcat.mev.d t " +
+        "USING mev_bad s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(e1.getMessage.contains("never evolve through a merge"),
+      e1.getMessage)
+    // explicit assignment lists with a live evolution refuse (they
+    // were resolved pre-evolution and cannot name the new column)
+    Seq((3L, "y", 7L, "n")).toDF("id", "g", "extra", "extra2")
+      .createOrReplaceTempView("mev_src2")
+    val e2 = intercept[Exception] {
+      spark.sql("MERGE WITH SCHEMA EVOLUTION INTO tcat.mev.d t " +
+        "USING mev_src2 s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET g = s.g")
+    }
+    assert(e2.getMessage.contains("explicit assignment lists"),
+      e2.getMessage)
+    // WITHOUT the keyword nothing evolves: the same wider source
+    // merges fine, extra source-only columns are simply not adopted
+    spark.sql("MERGE INTO tcat.mev.d t USING mev_src2 s " +
+      "ON t.id = s.id WHEN MATCHED THEN UPDATE SET *")
+    assert(spark.sql("SELECT * FROM tcat.mev.d").columns.toSeq ==
+      Seq("id", "g", "extra"), "no silent evolution without the keyword")
+    assert(spark.sql("SELECT g FROM tcat.mev.d WHERE id = 3")
+      .head().getString(0) == "y")
+  }
+
   test("SQL MERGE through the catalog: canonical upsert shape routes " +
       "to the native merge; off-shape statements refuse loudly") {
     val dd = freshDir("dml_m")

@@ -247,4 +247,55 @@ class IdentityColumnSpec extends AnyFunSuite with SparkFixture {
         s"unique: ${ids.sorted.toSeq}")
     assert(ids.count(_ > hw0) == 3)
   }
+
+  test("merge on a CDF+identity table pins allocation: the change " +
+      "feed's insert rows carry the SAME surrogates as the landed " +
+      "data files") {
+    import org.apache.spark.sql.functions.lit
+    val dir = freshDir("cdfpin")
+    DeltaLake.write(spark, dir,
+      DeltaLake.withIdentityColumn(
+        Seq(("k1", 1.0)).toDF("v", "x").coalesce(1),
+        "id", start = 100L, step = 7L),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    // upsert: k1 matched (keeps its surrogate), k2/k3 insert
+    // (allocate) — the allocation expression is nondeterministic
+    // across executions, so the insert rows must be PINNED before the
+    // data files and the CDF change files both consume them
+    val src = Seq(("k1", 5.0), ("k2", 6.0), ("k3", 7.0))
+      .toDF("v", "x").repartition(3)
+      .withColumn("id", lit(null).cast("long"))
+    assert(DeltaLake.merge(spark, dir, src, Seq("v")) == 1L)
+    val table = DeltaLake.snapshot(spark, dir)
+      .select("v", "id").as[(String, Long)].collect().toMap
+    assert(table.keySet == Set("k1", "k2", "k3"))
+    assert(table("k1") == 100L, "matched row keeps its surrogate")
+    val cdcIns = spark.read
+      .parquet(new java.io.File(dir, "_change_data").getAbsolutePath)
+      .filter(col("_change_type") === "insert")
+      .select("v", "id").as[(String, Long)].collect().toMap
+    assert(cdcIns.keySet == Set("k2", "k3"))
+    assert(cdcIns == table.filterNot(_._1 == "k1"),
+      s"CDF insert surrogates ($cdcIns) must equal the landed data " +
+        s"files' (${table.filterNot(_._1 == "k1")})")
+    // same pin through the general-form writer
+    val dir2 = freshDir("cdfpin2")
+    DeltaLake.write(spark, dir2,
+      DeltaLake.withIdentityColumn(
+        Seq(("k1", 1.0)).toDF("v", "x").coalesce(1),
+        "id", start = 100L, step = 7L),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    assert(DeltaLake.mergeGeneral(spark, dir2, src, Seq("v"),
+      matched = Seq(MergeActions.MatchedUpdate(None, None)),
+      notMatched = Seq(MergeActions.NotMatchedInsert(None, None))) == 1L)
+    val table2 = DeltaLake.snapshot(spark, dir2)
+      .select("v", "id").as[(String, Long)].collect().toMap
+    val cdcIns2 = spark.read
+      .parquet(new java.io.File(dir2, "_change_data").getAbsolutePath)
+      .filter(col("_change_type") === "insert")
+      .select("v", "id").as[(String, Long)].collect().toMap
+    assert(cdcIns2 == table2.filterNot(_._1 == "k1"),
+      s"general-form CDF insert surrogates ($cdcIns2) must equal " +
+        s"the landed data files' (${table2.filterNot(_._1 == "k1")})")
+  }
 }

@@ -61,6 +61,73 @@ class ReplaceTableSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql("SELECT n FROM rts.db.i").head().getLong(0) == 8L)
   }
 
+  test("replace introducing DEFAULT/identity columns onto a plain " +
+      "table commits the protocol upgrade with the overwrite") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_rtp").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.rtp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rtp.warehouse", wh)
+    // a plain minWriter-2 table: no features
+    spark.sql("CREATE TABLE rtp.db.t (id BIGINT, v STRING) " +
+      "USING `graft-deltalake`")
+    spark.sql("INSERT INTO rtp.db.t VALUES (1, 'a')")
+    // REPLACE re-declares the table with a DEFAULT column and an
+    // identity surrogate — the overwrite commit must union
+    // allowColumnDefaults + identityColumns into the protocol, or a
+    // compliant external writer would append without filling/
+    // allocating (spec-noncompliant table)
+    spark.sql("REPLACE TABLE rtp.db.t (rid BIGINT GENERATED ALWAYS " +
+      "AS IDENTITY (START WITH 10 INCREMENT BY 2), id BIGINT, " +
+      "tag STRING DEFAULT 'x') USING `graft-deltalake`")
+    val dir = new java.io.File(wh, "db/t/_delta_log")
+    val last = dir.listFiles().filter(_.getName.endsWith(".json"))
+      .maxBy(_.getName)
+    val text = java.nio.file.Files.readString(last.toPath)
+    assert(text.contains("allowColumnDefaults"),
+      s"replace commit must carry allowColumnDefaults: $text")
+    assert(text.contains("identityColumns"),
+      s"replace commit must carry identityColumns: $text")
+    // and the contracts are live: omitted columns fill/allocate
+    spark.sql("INSERT INTO rtp.db.t (id) VALUES (5)")
+    val r = spark.sql("SELECT rid, id, tag FROM rtp.db.t").head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 5L &&
+      r.getString(2) == "x")
+  }
+
+  test("replace dropping a CHECK-constrained column refuses with the " +
+      "actionable message; UNSET first, then the replace lands") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_rtc").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.rtc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rtc.warehouse", wh)
+    spark.sql("CREATE TABLE rtc.db.t (id BIGINT, v STRING) " +
+      "USING `graft-deltalake`")
+    spark.sql("INSERT INTO rtc.db.t VALUES (1, 'a')")
+    spark.sql("ALTER TABLE rtc.db.t SET TBLPROPERTIES " +
+      "('delta.constraints.pos' = 'id > 0')")
+    // the configuration survives an overwrite verbatim: replacing
+    // away the constrained column would orphan the constraint and
+    // break every later write — refuse at stage time
+    val e = intercept[Exception] {
+      spark.sql("CREATE OR REPLACE TABLE rtc.db.t " +
+        "USING `graft-deltalake` AS SELECT v FROM rtc.db.t")
+    }
+    assert(e.getMessage.contains("constraint 'pos'"), e.getMessage)
+    assert(spark.sql("SELECT id FROM rtc.db.t").head().getLong(0) == 1L,
+      "refused replace must leave the table untouched")
+    // a replace KEEPING the column is fine (and the surviving
+    // constraint validates the replaced content)
+    spark.sql("CREATE OR REPLACE TABLE rtc.db.t " +
+      "USING `graft-deltalake` AS SELECT id + 1 AS id FROM rtc.db.t")
+    assert(spark.sql("SELECT id FROM rtc.db.t").head().getLong(0) == 2L)
+    // drop the constraint, then the narrowing replace lands
+    spark.sql("ALTER TABLE rtc.db.t UNSET TBLPROPERTIES " +
+      "('delta.constraints.pos')")
+    spark.sql("CREATE OR REPLACE TABLE rtc.db.t " +
+      "USING `graft-deltalake` AS SELECT 'z' AS v")
+    assert(spark.sql("SELECT v FROM rtc.db.t").head().getString(0) == "z")
+  }
+
   test("replace guards: cross-format refuses, TBLPROPERTIES refuse, " +
       "a failed query leaves the old table untouched") {
     val wh = java.nio.file.Files
