@@ -4128,6 +4128,135 @@ object Queries {
              |GROUP BY pri
              |ORDER BY pri""".stripMargin)),
 
+    // NESTED EVOLUTION ON DELTA (r16): ADD of a struct member and a
+    // NESTED TYPE WIDEN (info.rank int→bigint) — both metadata-only,
+    // NAME-resolved (no column mapping needed: Spark's parquet reader
+    // surfaces a missing nested member as null and upcasts nested
+    // types natively, verified on both reader code paths). The
+    // iceberg twin is catalog_nested_sql. Pre-evolution files serve
+    // null flags and narrow ranks; a post-evolution INSERT lands the
+    // full wide shape. Idempotent: the staging dir is wiped per run.
+    QueryDef("catalog_nested_delta_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        val tdir = new java.io.File(wh, "nstd")
+        def wipe(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).foreach(_.foreach(wipe))
+          f.delete(); ()
+        }
+        wipe(tdir)
+        import org.apache.spark.sql.functions.struct
+        graft.sources.DeltaLake.write(s, tdir.getAbsolutePath,
+          graft.sources.DeltaLake.snapshot(s, src)
+            .filter(col("o_custkey") % 43 === 2)
+            .select(col("o_orderkey"),
+              struct((col("o_orderkey") % 100).cast("int").as("rank"),
+                col("o_orderpriority").as("pri"),
+                col("o_totalprice").as("price")).as("info")))
+        graft.sources.GraftCatalog.register(s, wh, "ddl.nstd",
+          "graft-deltalake", "nstd")
+        s.sql("ALTER TABLE gdml.ddl.nstd ADD COLUMNS " +
+          "(info.flag BIGINT)")
+        s.sql("ALTER TABLE gdml.ddl.nstd ALTER COLUMN info.rank " +
+          "TYPE BIGINT")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.nstd
+             |SELECT o_orderkey,
+             |  named_struct('rank', o_orderkey + 4000000000,
+             |    'pri', o_orderpriority, 'price', o_totalprice,
+             |    'flag', o_custkey)
+             |FROM graft_delta.`$src` WHERE o_custkey % 43 = 9
+             |""".stripMargin)
+        s.sql(
+          """SELECT info.pri AS pri, COUNT(*) AS cnt,
+            |  CAST(SUM(info.rank) AS BIGINT) AS rank_sum,
+            |  CAST(SUM(CAST(FLOOR(info.price * 100) AS BIGINT))
+            |    AS BIGINT) AS cents,
+            |  CAST(COUNT(info.flag) AS BIGINT) AS flagged
+            |FROM gdml.ddl.nstd
+            |GROUP BY pri
+            |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(rnk) AS BIGINT) AS rank_sum,
+             |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+             |    AS BIGINT) AS cents,
+             |  CAST(COUNT(flag) AS BIGINT) AS flagged
+             |FROM (
+             |  SELECT o_orderpriority, o_orderkey % 100 AS rnk,
+             |    o_totalprice, NULL AS flag
+             |  FROM orders WHERE o_custkey % 43 = 2
+             |  UNION ALL
+             |  SELECT o_orderpriority, o_orderkey + 4000000000 AS rnk,
+             |    o_totalprice, o_custkey AS flag
+             |  FROM orders WHERE o_custkey % 43 = 9)
+             |GROUP BY pri
+             |ORDER BY pri""".stripMargin)),
+
+    // ADD COLUMN … DEFAULT WITH READ-TIME BACKFILL (r16): the stored
+    // EXISTS_DEFAULT serves rows PREDATING the column (Spark's
+    // parquet reader fills file-missing columns from it — no data
+    // rewrite), while CURRENT_DEFAULT fills future inserts and moves
+    // under SET DEFAULT. Three insert waves under three defaults
+    // prove backfill ≠ current default. Idempotent via DROP.
+    QueryDef("catalog_backfill_default_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.dfb")
+        s.sql("CREATE TABLE gdml.ddl.dfb (o_orderkey BIGINT, " +
+          "o_orderpriority STRING) USING `graft-deltalake`")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.dfb
+             |SELECT o_orderkey, o_orderpriority
+             |FROM graft_delta.`$src` WHERE o_custkey % 47 = 6
+             |""".stripMargin)
+        // pre-add rows will read 'legacy' (EXISTS_DEFAULT backfill)
+        s.sql("ALTER TABLE gdml.ddl.dfb ADD COLUMNS " +
+          "(channel STRING DEFAULT 'legacy')")
+        s.sql("ALTER TABLE gdml.ddl.dfb ALTER COLUMN channel " +
+          "SET DEFAULT 'web'")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.dfb (o_orderkey, o_orderpriority)
+             |SELECT o_orderkey, o_orderpriority
+             |FROM graft_delta.`$src` WHERE o_custkey % 47 = 13
+             |""".stripMargin)
+        s.sql("ALTER TABLE gdml.ddl.dfb ALTER COLUMN channel " +
+          "SET DEFAULT 'store'")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.dfb (o_orderkey, o_orderpriority)
+             |SELECT o_orderkey, o_orderpriority
+             |FROM graft_delta.`$src` WHERE o_custkey % 47 = 21
+             |""".stripMargin)
+        s.sql(
+          """SELECT o_orderpriority AS pri, channel, COUNT(*) AS cnt,
+            |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+            |FROM gdml.ddl.dfb
+            |GROUP BY pri, channel
+            |ORDER BY pri, channel""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, channel, COUNT(*) AS cnt,
+             |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+             |FROM (
+             |  SELECT o_orderpriority, 'legacy' AS channel, o_orderkey
+             |  FROM orders WHERE o_custkey % 47 = 6
+             |  UNION ALL
+             |  SELECT o_orderpriority, 'web' AS channel, o_orderkey
+             |  FROM orders WHERE o_custkey % 47 = 13
+             |  UNION ALL
+             |  SELECT o_orderpriority, 'store' AS channel, o_orderkey
+             |  FROM orders WHERE o_custkey % 47 = 21)
+             |GROUP BY pri, channel
+             |ORDER BY pri, channel""".stripMargin)),
+
     // COLUMN DEFAULT VALUES (r16): `CREATE TABLE … (channel STRING
     // DEFAULT 'web', qty BIGINT DEFAULT 1)` — the analyzer fills
     // omitted columns from the stored CURRENT_DEFAULT metadata, and

@@ -444,6 +444,40 @@ object PipelineQueries {
         .orderBy("lang"),
       None),
 
+    // The DETERMINISTIC companion to approx_stats (r16): the same
+    // grouping with EXACT distinct-count and EXACT median,
+    // hash-checked against DuckDB — the oracle row the sketch query
+    // legitimately cannot have (HLL/t-digest states are
+    // engine-internal; approx_stats stays rows-only, tolerance-pinned
+    // in PipelineSpec). Median rides as 2×median cast to BIGINT: on
+    // integer lengths the 0.5-interpolation is exactly a half-integer
+    // in both engines, so the doubling is engine-independent where a
+    // raw fp compare would not be. Scale note: this is the SMALL-DATA
+    // shape — exact COUNT(DISTINCT) shuffles every distinct value and
+    // exact percentile materializes each group, which is precisely
+    // why the 100 TB path is the mergeable fixed-size sketch twin.
+    QueryDef("approx_stats_exact",
+      (s, d) => t(s, d, "documents")
+        .groupBy("lang")
+        .agg(
+          countDistinct(col("text")).as("exact_texts"),
+          expr("CAST(percentile(length(text), 0.5) * 2 AS BIGINT)")
+            .as("median2_chars"),
+          min(length(col("text"))).cast("long").as("min_chars"),
+          max(length(col("text"))).cast("long").as("max_chars"),
+          sum(length(col("text"))).cast("long").as("sum_chars"))
+        .orderBy("lang"),
+      Some("""SELECT lang,
+             |  CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_texts,
+             |  CAST(quantile_cont(length(text), 0.5) * 2 AS BIGINT)
+             |    AS median2_chars,
+             |  CAST(MIN(length(text)) AS BIGINT) AS min_chars,
+             |  CAST(MAX(length(text)) AS BIGINT) AS max_chars,
+             |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+             |FROM documents
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
     // Time-window range join (interval self-join): pairs of events from
     // the same user within 6 hours of each other — the co-occurrence /
     // session-neighborhood primitive, via graft.engine.RangeJoin's

@@ -2770,10 +2770,14 @@ object DeltaLake {
           else {
             val table = s.schema.fields.map(f => f.name -> f.dataType).toMap
             df.schema.fields.foreach { f =>
-              // NULLABILITY-insensitive (nested too): a frame aligned
-              // to the all-nullable READ schema is not a type change
+              // NULLABILITY- and METADATA-insensitive (nested too): a
+              // frame aligned to the all-nullable READ schema is not
+              // a type change, and a nested field's evolution
+              // metadata (delta.typeChanges after a nested widen)
+              // rides inside the StructType — comparing it would
+              // refuse every append after the evolution
               table.get(f.name).foreach(dt => require(
-                LakeScan.asNullable(dt) == LakeScan.asNullable(f.dataType),
+                comparableType(dt) == comparableType(f.dataType),
                 s"DeltaLake.write: column '${f.name}' is " +
                   s"${dt.simpleString} in the table but " +
                   s"${f.dataType.simpleString} in the batch — a type " +
@@ -3638,13 +3642,77 @@ object DeltaLake {
     }
     require(cols.map(_.name.toLowerCase).distinct.size == cols.size,
       s"DeltaLake.addColumns: duplicate names in ${cols.map(_.name)}")
+    val extended = StructType(st.schema.fields ++ cols)
     val next = st.version + 1
-    val actions = ictAction(st.configuration, "ADD COLUMNS", path).toSeq :+
-      metaAction(path, StructType(st.schema.fields ++ cols),
+    // an added column may carry a DEFAULT (CURRENT_DEFAULT fills
+    // future inserts; EXISTS_DEFAULT serves rows predating the column
+    // — Spark's parquet reader fills file-missing columns from it on
+    // both code paths, so the backfill is read-time and free) — the
+    // commit must union allowColumnDefaults when it introduces one
+    val actions = ictAction(st.configuration, "ADD COLUMNS", path).toSeq ++
+      protocolUnionForSchema(st.protocol, extended) :+
+      metaAction(path, extended,
         st.partitionColumns, st.configuration, st.tableId)
     writeCommitExclusive(path, next, actions)
     next
   }
+
+  /** ADD NESTED FIELDS — append members to STRUCT columns by NAME
+    * path (`ALTER TABLE t ADD COLUMNS (info.flag BIGINT)`) as ONE
+    * metadata-only commit; an empty parent path appends a top-level
+    * column (the [[addColumns]] semantics). Spec-legal WITHOUT column
+    * mapping: this reader resolves struct members by name, so
+    * pre-evolution files surface the added member as null — the same
+    * additive contract as a top-level add (nested null-fill verified
+    * on both parquet reader code paths). Parents must be structs
+    * (array/map element evolution is a rewrite in disguise),
+    * additions nullable, duplicate member names refuse. Returns the
+    * committed version.
+    */
+  def addFields(spark: SparkSession, path: String,
+      adds: Seq[(Seq[String], StructField)]): Long = {
+    val st = replay(spark, path, None)
+    requireWritable(st, path, "addFields")
+    require(adds.nonEmpty, "DeltaLake.addFields: no fields to add")
+    val extended = adds.foldLeft(st.schema) { case (sch, (parent, f)) =>
+      require(f.nullable,
+        s"DeltaLake.addFields: field '${f.name}' is NOT NULL — " +
+          "existing rows have no value for it; add it nullable")
+      insertNested(sch, parent, f)
+    }
+    val next = st.version + 1
+    val actions =
+      ictAction(st.configuration, "ADD COLUMNS", path).toSeq ++
+        protocolUnionForSchema(st.protocol, extended) :+
+        metaAction(path, extended, st.partitionColumns,
+          st.configuration, st.tableId)
+    writeCommitExclusive(path, next, actions)
+    next
+  }
+
+  private def insertNested(schema: StructType, parent: Seq[String],
+      f: StructField): StructType =
+    if (parent.isEmpty) {
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"DeltaLake.addFields: field '${f.name}' already exists")
+      StructType(schema.fields :+ f)
+    } else {
+      val idx = schema.fieldNames
+        .indexWhere(_.equalsIgnoreCase(parent.head))
+      require(idx >= 0,
+        s"DeltaLake.addFields: no column '${parent.head}' " +
+          s"(${schema.fieldNames.mkString(", ")})")
+      val sf = schema.fields(idx)
+      sf.dataType match {
+        case inner: StructType => StructType(schema.fields.updated(idx,
+          sf.copy(dataType = insertNested(inner, parent.tail, f))))
+        case other => throw new IllegalArgumentException(
+          s"DeltaLake.addFields: '${parent.head}' is " +
+            s"${other.simpleString}, not a struct — only struct " +
+            "members evolve by name (array/map elements are a " +
+            "rewrite in disguise)")
+      }
+    }
 
   /** WIDEN COLUMN TYPE — the typeWidening feature's spec-legal
     * promotions as ONE metadata-only commit (`ALTER TABLE t ALTER
@@ -3705,6 +3773,94 @@ object DeltaLake {
           st.configuration, st.tableId)
     writeCommitExclusive(path, next, actions)
     next
+  }
+
+  /** WIDEN a NESTED struct member's type by NAME path (`ALTER TABLE t
+    * ALTER COLUMN info.pri TYPE bigint`) — the [[widenColumn]]
+    * promotions applied inside structs: Spark's parquet reader
+    * performs the same native upcasts at nested levels (verified on
+    * both code paths), so pre-widen files read under the END schema
+    * unchanged. The leaf field records its `delta.typeChanges`
+    * history entry and the commit unions `typeWidening`, exactly like
+    * a top-level widen; a single-segment path delegates to
+    * [[widenColumn]] (which also guards partition columns).
+    */
+  def widenField(spark: SparkSession, path: String,
+      names: Seq[String], to: DataType): Long = {
+    require(names.nonEmpty, "DeltaLake.widenField: empty path")
+    if (names.length == 1) return widenColumn(spark, path, names.head, to)
+    val st = replay(spark, path, None)
+    val unsupported = st.protocol.writerFeatures
+      .filterNot(SupportedWriterFeatures + "columnMapping")
+    require(unsupported.isEmpty,
+      s"DeltaLake.widenField: $path requires writer features " +
+        s"$unsupported this writer does not implement")
+    val next = st.version + 1
+    val widened = updateNested(st.schema, names, "widenField") { sf =>
+      require(LakeScan.legalTypeWidening(sf.dataType, to),
+        s"DeltaLake.widenField: ${sf.dataType.simpleString} → " +
+          s"${to.simpleString} is not a legal promotion for " +
+          s"'${names.mkString(".")}' — int→bigint, float→double, and " +
+          "decimal precision growth keep existing files readable; " +
+          "anything else is a data rewrite in disguise")
+      val hist = (if (sf.metadata.contains("delta.typeChanges"))
+        sf.metadata.getMetadataArray("delta.typeChanges").toSeq
+      else Seq.empty) :+ new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("fromType", sf.dataType.typeName)
+        .putString("toType", to.typeName)
+        .putLong("tableVersion", next).build()
+      sf.copy(dataType = to,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(sf.metadata)
+          .putMetadataArray("delta.typeChanges", hist.toArray)
+          .build())
+    }
+    val actions =
+      ictAction(st.configuration, "CHANGE COLUMN", path).toSeq ++
+        protocolUnion(st.protocol, "typeWidening") :+
+        metaAction(path, widened, st.partitionColumns,
+          st.configuration, st.tableId)
+    writeCommitExclusive(path, next, actions)
+    next
+  }
+
+  /** A type normalized for WRITE-compatibility comparison: all
+    * nullability forced true and all nested field METADATA cleared —
+    * evolution bookkeeping (delta.typeChanges on a widened struct
+    * member, DEFAULT keys) rides inside StructType equality and must
+    * not refuse legitimate appends.
+    */
+  private def comparableType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, comparableType(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      org.apache.spark.sql.types.ArrayType(
+        comparableType(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      org.apache.spark.sql.types.MapType(comparableType(m.keyType),
+        comparableType(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  /** Apply `fn` to the field at a NAME path (case-insensitive per
+    * SQL resolution), rebuilding the enclosing structs — shared by
+    * the nested evolution commits.
+    */
+  private def updateNested(schema: StructType, path: Seq[String],
+      op: String)(fn: StructField => StructField): StructType = {
+    val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(path.head))
+    require(idx >= 0,
+      s"DeltaLake.$op: no column '${path.head}' " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    val sf = schema.fields(idx)
+    if (path.length == 1) StructType(schema.fields.updated(idx, fn(sf)))
+    else sf.dataType match {
+      case inner: StructType => StructType(schema.fields.updated(idx,
+        sf.copy(dataType = updateNested(inner, path.tail, op)(fn))))
+      case other => throw new IllegalArgumentException(
+        s"DeltaLake.$op: '${path.head}' is ${other.simpleString}, " +
+          "not a struct")
+    }
   }
 
   /** SET / DROP a column DEFAULT (`ALTER TABLE t ALTER COLUMN c SET

@@ -402,8 +402,8 @@ class GraftCatalog extends TableCatalog
     // widen writers validate legality and refuse everything else
     val widens = changes.collect {
       case w: TableChange.UpdateColumnType => w }
-    // nested widen paths are format-gated below (sound on Iceberg
-    // under field-id resolution; Delta refuses)
+    // nested widen paths are legal on BOTH formats (field-id
+    // resolution on Iceberg, name resolution on Delta)
     // SET / DROP DEFAULT — future-insert metadata only (Delta)
     val defChanges = changes.collect {
       case u: TableChange.UpdateColumnDefaultValue => u }
@@ -448,19 +448,23 @@ class GraftCatalog extends TableCatalog
         "constraint change is its own commit; issue one statement " +
         "per constraint so a failure cannot leave the list " +
         "half-applied")
-    // nested ADD/RENAME paths are format-gated below: field-id
-    // resolution makes them sound on Iceberg; Delta refuses honestly
+    // nested ADD paths are legal on both formats (field ids on
+    // Iceberg, name resolution on Delta); nested RENAME stays
+    // Iceberg-only (an unmapped Delta rename orphans physical names)
     adds.foreach { a =>
       require(a.position == null,
         s"graft catalog: ALTER TABLE $key ADD COLUMN " +
           s"${a.fieldNames.mkString(".")} FIRST/AFTER — positioned " +
           "adds reorder the schema; columns append at the end")
-      require(a.defaultValue() == null,
+      // ADD COLUMN … DEFAULT is a Delta top-level surface: the stored
+      // EXISTS_DEFAULT serves rows predating the column at READ time
+      // (Spark's parquet reader fills file-missing columns from it),
+      // CURRENT_DEFAULT fills future inserts. Nested members and
+      // Iceberg tables refuse below (no existence-default contract).
+      require(a.defaultValue() == null || a.fieldNames.length == 1,
         s"graft catalog: ALTER TABLE $key ADD COLUMN " +
-          s"${a.fieldNames.mkString(".")} DEFAULT — existing rows " +
-          "cannot serve the default (this reader surfaces missing " +
-          "columns as null); add the column, then SET DEFAULT for " +
-          "future inserts")
+          s"${a.fieldNames.mkString(".")} DEFAULT — existence " +
+          "defaults apply to top-level columns only")
     }
     // each operation retries INDEPENDENTLY: one shared retry would
     // re-run an already-committed ADD after the rename lost a race,
@@ -472,17 +476,34 @@ class GraftCatalog extends TableCatalog
       val abs = GraftCatalog.absPath(warehouse, entry.path)
       val v = entry.format match {
         case "graft-deltalake" =>
-          adds.foreach(a => require(a.fieldNames.length == 1,
+          // nested adds are NAME-resolved on Delta (struct members,
+          // pre-evolution files surface null — [[DeltaLake.addFields]]);
+          // a DEFAULT lands as CURRENT_DEFAULT (future inserts) +
+          // EXISTS_DEFAULT (read-time backfill for pre-add files)
+          DeltaLake.addFields(spark, abs, adds.map { a =>
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            Option(a.defaultValue()).foreach { dv =>
+              require(dv.getValue != null,
+                s"graft catalog: ALTER TABLE $key ADD COLUMN " +
+                  s"${a.fieldNames.head} DEFAULT ${dv.getSql} — the " +
+                  "default must be a constant (the existence default " +
+                  "is served verbatim to pre-existing rows)")
+              mb.putString("CURRENT_DEFAULT", dv.getSql)
+              mb.putString("EXISTS_DEFAULT", dv.getSql)
+            }
+            a.fieldNames.init.toSeq ->
+              org.apache.spark.sql.types.StructField(
+                a.fieldNames.last, a.dataType, a.isNullable, mb.build())
+          })
+        case "graft-iceberg" =>
+          adds.foreach(a => require(a.defaultValue() == null,
             s"graft catalog: ALTER TABLE $key ADD COLUMN " +
-              s"${a.fieldNames.mkString(".")} — nested adds are not " +
-              "supported on Delta tables (no field-id resolution)"))
-          DeltaLake.addColumns(spark, abs,
-            adds.map(a => org.apache.spark.sql.types.StructField(
-              a.fieldNames.head, a.dataType, a.isNullable)))
-        case "graft-iceberg" => Iceberg.addFields(spark, abs,
-          adds.map(a => a.fieldNames.init.toSeq ->
-            org.apache.spark.sql.types.StructField(
-              a.fieldNames.last, a.dataType, a.isNullable)))
+              s"${a.fieldNames.mkString(".")} DEFAULT — column " +
+              "defaults are a graft-deltalake surface"))
+          Iceberg.addFields(spark, abs,
+            adds.map(a => a.fieldNames.init.toSeq ->
+              org.apache.spark.sql.types.StructField(
+                a.fieldNames.last, a.dataType, a.isNullable)))
         case o => throw new IllegalArgumentException(
           s"graft catalog: unknown format '$o' for $key")
       }
@@ -520,12 +541,10 @@ class GraftCatalog extends TableCatalog
         case "graft-deltalake" =>
           require(widens.size == 1, s"graft catalog: ALTER TABLE " +
             s"$key widens one column per statement on Delta tables")
-          require(widens.head.fieldNames.length == 1,
-            s"graft catalog: ALTER TABLE $key ALTER COLUMN " +
-              s"${widens.head.fieldNames.mkString(".")} TYPE — " +
-              "nested widens are not supported on Delta tables")
-          DeltaLake.widenColumn(spark, abs,
-            widens.head.fieldNames.head, widens.head.newDataType)
+          // nested paths widen by name ([[DeltaLake.widenField]]) —
+          // the parquet reader upcasts at nested levels natively
+          DeltaLake.widenField(spark, abs,
+            widens.head.fieldNames.toSeq, widens.head.newDataType)
         case "graft-iceberg" => Iceberg.widenFields(spark, abs,
           widens.map(w => w.fieldNames.toSeq -> w.newDataType).toMap)
         case o => throw new IllegalArgumentException(

@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(unknown.isEmpty, s"oracle SQL for undeclared queries: $unknown")
   }
 
-  test("the 203 declared operator queries are all present (SURVEY §2)") {
+  test("the declared operator queries are all present (SURVEY §2)") {
     val declared = Set(
       // original 20-query contract
       "scan", "projection", "filter", "join_inner", "cross_join",
@@ -99,14 +99,17 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "catalog_merge_delete_sql", "catalog_alter_sql",
       "stream_catalog", "catalog_maintenance_sql",
       "catalog_constraint_sql", "catalog_identity_sql",
-      // round-15 surface (previously mislabeled round-16 — the
-      // section labels drifted one ahead of the driver's counter)
+      // round-15 surface, second wave (previously mislabeled
+      // round-16 — the section labels had drifted one ahead of the
+      // driver's counter)
       "catalog_merge_identity_sql", "catalog_widen_sql",
       "catalog_nested_sql", "catalog_default_sql",
       "catalog_replace_sql",
       // round-16 surface
-      "catalog_subquery_dml", "catalog_merge_evolve_sql")
-    assert(declared.size == 205)
+      "catalog_subquery_dml", "catalog_merge_evolve_sql",
+      "catalog_nested_delta_sql", "catalog_backfill_default_sql",
+      "approx_stats_exact")
+    assert(declared.size == 208)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

@@ -267,8 +267,8 @@ class AlterTableSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("SQL nested ALTER through the catalog: iceberg evolves, " +
-      "delta refuses honestly") {
+  test("SQL nested ALTER through the catalog: both formats evolve " +
+      "struct members; delta nested rename refuses honestly") {
     import org.apache.spark.sql.functions.struct
     val wh = freshDir("sqlnest")
     Iceberg.write(spark, new java.io.File(wh, "t").getAbsolutePath,
@@ -292,16 +292,109 @@ class AlterTableSpec extends AnyFunSuite with SparkFixture {
     spark.sql("ALTER TABLE ncat.db.t RENAME COLUMN s.a TO aa")
     assert(spark.sql("SELECT SUM(s.aa) FROM ncat.db.t").head()
       .getDouble(0) == 15.0)
-    val e = intercept[Exception] {
-      spark.sql("ALTER TABLE ncat.db.d ADD COLUMNS (s.c BIGINT)")
-    }
-    assert(e.getMessage.contains("nested adds are not supported on " +
-      "Delta"), e.getMessage)
+    // delta nested ADD is name-resolved (pre-evolution files surface
+    // the member as null; post-evolution appends land it)
+    spark.sql("ALTER TABLE ncat.db.d ADD COLUMNS (s.c BIGINT)")
+    assert(spark.sql("SELECT s.c FROM ncat.db.d").collect()
+      .forall(_.isNullAt(0)))
+    spark.sql("INSERT INTO ncat.db.d " +
+      "SELECT 9L, named_struct('a', 9.0, 'b', 'v9', 'c', 90L)")
+    assert(spark.sql(
+      "SELECT s.c FROM ncat.db.d WHERE id = 9").head().getLong(0) ==
+      90L)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM ncat.db.d WHERE s.c IS NULL").head()
+      .getLong(0) == 3L)
+    // nested rename on unmapped delta still refuses (physical names)
     val e2 = intercept[Exception] {
       spark.sql("ALTER TABLE ncat.db.d RENAME COLUMN s.a TO aa")
     }
     assert(e2.getMessage.contains("nested renames are not supported"),
       e2.getMessage)
+  }
+
+  test("delta nested widen: struct member int→bigint / float→double " +
+      "metadata-only; pre-widen files read under the end schema; " +
+      "illegal nested changes refuse") {
+    import org.apache.spark.sql.functions.struct
+    val dir = freshDir("dnwiden")
+    DeltaLake.write(spark, dir,
+      (1 to 4).map(i => (i.toLong, i, i * 1.5f))
+        .toDF("id", "n", "x")
+        .select(col("id"),
+          struct(col("n"), col("x")).as("s")).coalesce(1))
+    assert(DeltaLake.widenField(spark, dir, Seq("s", "n"),
+      LongType) == 1L)
+    assert(DeltaLake.widenField(spark, dir, Seq("s", "x"),
+      org.apache.spark.sql.types.DoubleType) == 2L)
+    // pre-widen files read under the END schema (native upcasts)
+    val snap = DeltaLake.snapshot(spark, dir)
+    assert(snap.schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("n")
+      .dataType == LongType)
+    assert(snap.selectExpr("SUM(s.n)").head().getLong(0) == 10L)
+    // post-widen appends need the wide type
+    DeltaLake.write(spark, dir,
+      Seq((5L, (6000000000L, 9.25))).toDF("id", "s")
+        .selectExpr("id",
+          "named_struct('n', s._1, 'x', s._2) AS s"))
+    assert(DeltaLake.snapshot(spark, dir)
+      .selectExpr("SUM(s.n)").head().getLong(0) == 6000000010L)
+    // the leaf records its widening history + protocol carries it
+    val log = new java.io.File(dir, "_delta_log")
+      .listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    val v1 = java.nio.file.Files.readString(log(1).toPath)
+    assert(v1.contains("typeWidening") && v1.contains("typeChanges"),
+      v1)
+    // illegal nested change refuses; non-struct path refuses
+    intercept[Exception] {
+      DeltaLake.widenField(spark, dir, Seq("s", "x"),
+        org.apache.spark.sql.types.IntegerType)
+    }
+    intercept[Exception] {
+      DeltaLake.widenField(spark, dir, Seq("id", "n"), LongType)
+    }
+  }
+
+  test("delta ADD COLUMN DEFAULT: EXISTS_DEFAULT serves rows " +
+      "predating the column at read time; future inserts fill " +
+      "CURRENT_DEFAULT; protocol carries allowColumnDefaults") {
+    val wh = freshDir("addldft")
+    DeltaLake.write(spark,
+      new java.io.File(wh, "t").getAbsolutePath, frame(1 to 4))
+    GraftCatalog.register(spark, wh, "db.t", "graft-deltalake", "t")
+    spark.conf.set("spark.sql.catalog.adft",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.adft.warehouse", wh)
+    spark.sql("ALTER TABLE adft.db.t ADD COLUMNS " +
+      "(channel STRING DEFAULT 'web')")
+    // pre-add files: the stored EXISTS_DEFAULT is served, not null
+    assert(spark.sql("SELECT channel FROM adft.db.t").collect()
+      .forall(_.getString(0) == "web"))
+    // future inserts: omitted column fills from CURRENT_DEFAULT;
+    // explicit values win
+    spark.sql("INSERT INTO adft.db.t (id, v) VALUES (10, 'v10')")
+    spark.sql("INSERT INTO adft.db.t VALUES (11, 'v11', 'store')")
+    val got = spark.sql(
+      "SELECT id, channel FROM adft.db.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "web"), (2L, "web"), (3L, "web"),
+      (4L, "web"), (10L, "web"), (11L, "store")), got.toString)
+    // the evolution commit carries the protocol feature
+    val log = new java.io.File(wh, "t/_delta_log")
+      .listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    assert(java.nio.file.Files.readString(log(1).toPath)
+      .contains("allowColumnDefaults"))
+    // SET DEFAULT later changes FUTURE inserts only — the existence
+    // default (pre-add files) stays what it was at ADD time
+    spark.sql("ALTER TABLE adft.db.t ALTER COLUMN channel " +
+      "SET DEFAULT 'kiosk'")
+    spark.sql("INSERT INTO adft.db.t (id, v) VALUES (12, 'v12')")
+    assert(spark.sql("SELECT channel FROM adft.db.t WHERE id = 12")
+      .head().getString(0) == "kiosk")
+    assert(spark.sql("SELECT channel FROM adft.db.t WHERE id = 1")
+      .head().getString(0) == "web",
+      "pre-add rows keep the ADD-time existence default")
   }
 
   test("delta widenColumn: int→bigint metadata-only, pre-widen files " +

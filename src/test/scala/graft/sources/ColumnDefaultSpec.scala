@@ -77,12 +77,14 @@ class ColumnDefaultSpec extends AnyFunSuite with SparkFixture {
     spark.sql("INSERT INTO cdalter.db.t (id) VALUES (4)")
     assert(spark.sql("SELECT status FROM cdalter.db.t WHERE id = 4")
       .head().getString(0) == "revived")
-    // ADD COLUMN with DEFAULT refuses (existing rows cannot serve it)
-    val e = intercept[Exception] {
-      spark.sql("ALTER TABLE cdalter.db.t ADD COLUMNS " +
-        "(tag STRING DEFAULT 'x')")
-    }
-    assert(e.getMessage.contains("existing rows"), e.getMessage)
+    // ADD COLUMN with DEFAULT backfills at READ time (r16): existing
+    // rows are served the stored EXISTS_DEFAULT (their files miss the
+    // column physically), future inserts fill CURRENT_DEFAULT
+    spark.sql("ALTER TABLE cdalter.db.t ADD COLUMNS " +
+      "(tag STRING DEFAULT 'x')")
+    assert(spark.sql("SELECT tag FROM cdalter.db.t WHERE id = 1")
+      .head().getString(0) == "x",
+      "pre-add rows must read the existence default")
     // defaults are a Delta surface: iceberg CREATE refuses
     val e2 = intercept[Exception] {
       spark.sql("CREATE TABLE cdalter.db.i (id BIGINT, " +

@@ -529,12 +529,16 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
     }
     assert(eOn.getMessage.contains("equalit"), eOn.getMessage)
-    // subqueries in a DML predicate are refused (materialize instead)
-    val eSub = intercept[UnsupportedOperationException] {
-      spark.sql("DELETE FROM tcat.dml.m WHERE id IN " +
-        "(SELECT id FROM tcat.dml.a)")
-    }
-    assert(eSub.getMessage.contains("subquer"), eSub.getMessage)
+    // subqueries in a DML predicate lower by materialization (r16 —
+    // the dedicated coverage is the 'DML subqueries' test; here just
+    // pin that the statement shape is ACCEPTED, not refused)
+    val before = spark.sql("SELECT count(*) AS n FROM tcat.dml.m")
+      .head().getLong(0)
+    spark.sql("DELETE FROM tcat.dml.m WHERE id IN " +
+      "(SELECT CAST(-999 AS BIGINT) AS id)")
+    assert(spark.sql("SELECT count(*) AS n FROM tcat.dml.m")
+      .head().getLong(0) == before,
+      "no-match IN-subquery DELETE must be a no-op")
   }
 
   test("SQL DDL lifecycle: CREATE TABLE / CTAS / INSERT / DML / DROP " +
