@@ -3648,7 +3648,14 @@ object DeltaLake {
     // future inserts; EXISTS_DEFAULT serves rows predating the column
     // — Spark's parquet reader fills file-missing columns from it on
     // both code paths, so the backfill is read-time and free) — the
-    // commit must union allowColumnDefaults when it introduces one
+    // commit must union allowColumnDefaults when it introduces one.
+    // HONEST INTEROP NOTE: the Delta protocol's allowColumnDefaults
+    // defines WRITE-time filling only — a plain external reader
+    // (delta-rs, kernel-based engines) surfaces pre-add rows as NULL
+    // where this engine serves the stored existence default (the
+    // Iceberg-v3 initial-default semantics Delta lacks a spec home
+    // for). This is an engine-defined READ semantic, documented in
+    // SURVEY §2W W5; refusing the ADD was the alternative.
     val actions = ictAction(st.configuration, "ADD COLUMNS", path).toSeq ++
       protocolUnionForSchema(st.protocol, extended) :+
       metaAction(path, extended,
@@ -3691,28 +3698,26 @@ object DeltaLake {
   }
 
   private def insertNested(schema: StructType, parent: Seq[String],
-      f: StructField): StructType =
-    if (parent.isEmpty) {
-      require(!schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
-        s"DeltaLake.addFields: field '${f.name}' already exists")
-      StructType(schema.fields :+ f)
-    } else {
-      val idx = schema.fieldNames
-        .indexWhere(_.equalsIgnoreCase(parent.head))
-      require(idx >= 0,
-        s"DeltaLake.addFields: no column '${parent.head}' " +
-          s"(${schema.fieldNames.mkString(", ")})")
-      val sf = schema.fields(idx)
+      f: StructField): StructType = {
+    def append(s: StructType): StructType = {
+      require(!s.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"DeltaLake.addFields: field '${f.name}' already exists" +
+          (if (parent.nonEmpty) s" under ${parent.mkString(".")}"
+           else ""))
+      StructType(s.fields :+ f)
+    }
+    if (parent.isEmpty) append(schema)
+    else updateNested(schema, parent, "addFields") { sf =>
       sf.dataType match {
-        case inner: StructType => StructType(schema.fields.updated(idx,
-          sf.copy(dataType = insertNested(inner, parent.tail, f))))
+        case inner: StructType => sf.copy(dataType = append(inner))
         case other => throw new IllegalArgumentException(
-          s"DeltaLake.addFields: '${parent.head}' is " +
+          s"DeltaLake.addFields: '${parent.last}' is " +
             s"${other.simpleString}, not a struct — only struct " +
             "members evolve by name (array/map elements are a " +
             "rewrite in disguise)")
       }
     }
+  }
 
   /** WIDEN COLUMN TYPE — the typeWidening feature's spec-legal
     * promotions as ONE metadata-only commit (`ALTER TABLE t ALTER
@@ -3731,7 +3736,7 @@ object DeltaLake {
     * Returns the committed version.
     */
   def widenColumn(spark: SparkSession, path: String,
-      name: String, to: DataType): Long = {
+      rawName: String, to: DataType): Long = {
     val st = replay(spark, path, None)
     // mapped tables widen fine (the field keeps its physicalName/id
     // metadata), so gate features directly rather than requireWritable
@@ -3740,9 +3745,13 @@ object DeltaLake {
     require(unsupported.isEmpty,
       s"DeltaLake.widenColumn: $path requires writer features " +
         s"$unsupported this writer does not implement")
-    require(st.schema.fieldNames.contains(name),
-      s"DeltaLake.widenColumn: no column '$name' in $path " +
-        s"(${st.schema.fieldNames.mkString(", ")})")
+    // CASE-INSENSITIVE like SQL resolution (and like the nested path
+    // walk in updateNested — one API, one name-matching rule)
+    val name = st.schema.fieldNames
+      .find(_.equalsIgnoreCase(rawName)).getOrElse(
+        throw new IllegalArgumentException(
+          s"DeltaLake.widenColumn: no column '$rawName' in $path " +
+            s"(${st.schema.fieldNames.mkString(", ")})"))
     val f = st.schema(name)
     require(LakeScan.legalTypeWidening(f.dataType, to),
       s"DeltaLake.widenColumn: ${f.dataType.simpleString} → " +
@@ -3867,11 +3876,13 @@ object DeltaLake {
     * DEFAULT expr` / `DROP DEFAULT`) — ONE metadata-only commit
     * rewriting the field's `CURRENT_DEFAULT` (future INSERTs; the
     * analyzer substitutes omitted columns and the DEFAULT keyword
-    * from it). `EXISTS_DEFAULT` is untouched — existing rows carry
-    * physical values, and this reader surfaces genuinely-missing
-    * columns as null, which is why ADD COLUMN with a default refuses
-    * at the catalog. Setting a first default upgrades the protocol
-    * with the `allowColumnDefaults` table feature.
+    * from it). `EXISTS_DEFAULT` is untouched — it is pinned at the
+    * moment the column was ADDED (see [[addFields]]: an ADD COLUMN
+    * with a DEFAULT stores it so pre-add files are served the
+    * ADD-time default at read, never the moving current one), so
+    * rewriting it here would silently change what history reads.
+    * Setting a first default upgrades the protocol with the
+    * `allowColumnDefaults` table feature.
     */
   def setColumnDefault(spark: SparkSession, path: String,
       name: String, default: Option[String]): Long = {
@@ -4820,11 +4831,16 @@ object DeltaLake {
       enforceConstraints(out, rowChecksOf(st), tableDir, "sink")
       // metadata-preserving schema compare: same-named same-typed
       // fields adopt the TABLE's field (with its metadata), so only
-      // genuine evolution emits a metaData action
+      // genuine evolution emits a metaData action. comparableType,
+      // not asNullable: NESTED field metadata (delta.typeChanges
+      // after a nested widen) rides inside StructType equality, and
+      // a metadata-sensitive compare would adopt the batch's
+      // metadata-free field — silently stripping the widening
+      // history the typeWidening feature requires
       metaSchema = StructType(out.schema.map { f =>
         st.schema.find(_.name == f.name) match {
-          case Some(tf) if LakeScan.asNullable(tf.dataType) ==
-            LakeScan.asNullable(f.dataType) => tf
+          case Some(tf) if comparableType(tf.dataType) ==
+            comparableType(f.dataType) => tf
           case _ => f
         }
       })

@@ -186,13 +186,8 @@ class GraftCatalog extends TableCatalog
         require(isDelta, s"graft catalog: CREATE TABLE $key: " +
           s"DEFAULT on column '${c.name}' is a graft-deltalake " +
           "surface (the allowColumnDefaults feature)")
-        // Spark's ResolveDefaultColumns reads these two keys off the
-        // table schema: CURRENT_DEFAULT fills future INSERTs (the
-        // analyzer substitutes omitted columns and the DEFAULT
-        // keyword), EXISTS_DEFAULT covers rows predating the column
-        // (same value at creation). Delta stores the same keys.
-        mb.putString("CURRENT_DEFAULT", dv.getSql)
-        mb.putString("EXISTS_DEFAULT", dv.getSql)
+        GraftCatalog.putDefaultMetadata(mb, dv,
+          s"CREATE TABLE $key: column '${c.name}'")
       }
       Option(c.metadataInJSON()).foreach(j => mb.withMetadata(
         org.apache.spark.sql.types.Metadata.fromJson(j)))
@@ -482,15 +477,9 @@ class GraftCatalog extends TableCatalog
           // EXISTS_DEFAULT (read-time backfill for pre-add files)
           DeltaLake.addFields(spark, abs, adds.map { a =>
             val mb = new org.apache.spark.sql.types.MetadataBuilder()
-            Option(a.defaultValue()).foreach { dv =>
-              require(dv.getValue != null,
-                s"graft catalog: ALTER TABLE $key ADD COLUMN " +
-                  s"${a.fieldNames.head} DEFAULT ${dv.getSql} — the " +
-                  "default must be a constant (the existence default " +
-                  "is served verbatim to pre-existing rows)")
-              mb.putString("CURRENT_DEFAULT", dv.getSql)
-              mb.putString("EXISTS_DEFAULT", dv.getSql)
-            }
+            Option(a.defaultValue()).foreach(dv =>
+              GraftCatalog.putDefaultMetadata(mb, dv,
+                s"ALTER TABLE $key ADD COLUMN ${a.fieldNames.head}"))
             a.fieldNames.init.toSeq ->
               org.apache.spark.sql.types.StructField(
                 a.fieldNames.last, a.dataType, a.isNullable, mb.build())
@@ -857,6 +846,29 @@ final case class StagedGraftReplace(fullName: String,
 object GraftCatalog {
 
   private val M = new ObjectMapper()
+
+  /** The ONE place a SQL column DEFAULT translates to the writer
+    * contract — shared by CREATE TABLE and ALTER ADD COLUMN so the
+    * two surfaces cannot drift. Spark's ResolveDefaultColumns reads
+    * both keys off the table schema: CURRENT_DEFAULT fills future
+    * INSERTs (the analyzer substitutes omitted columns and the
+    * DEFAULT keyword), EXISTS_DEFAULT serves rows predating the
+    * column at read time. The default must be a CONSTANT: the
+    * existence default is served verbatim to pre-existing rows, so a
+    * non-foldable expression would mean a different value per read.
+    */
+  private[sources] def putDefaultMetadata(
+      mb: org.apache.spark.sql.types.MetadataBuilder,
+      dv: org.apache.spark.sql.connector.catalog.ColumnDefaultValue,
+      what: String): Unit = {
+    require(dv.getValue != null,
+      s"graft catalog: $what DEFAULT ${dv.getSql} — the default " +
+        "must be a constant (the existence default is served " +
+        "verbatim to pre-existing rows)")
+    mb.putString("CURRENT_DEFAULT", dv.getSql)
+    mb.putString("EXISTS_DEFAULT", dv.getSql)
+    ()
+  }
 
   private def catDir(warehouse: String): java.io.File =
     new java.io.File(warehouse, "_graft_catalog")

@@ -43,6 +43,32 @@ class DeltaLogSinkSpec extends AnyFunSuite with SparkFixture {
     q.awaitTermination()
   }
 
+  test("a sink batch after a NESTED type widen keeps the member's " +
+      "typeChanges history (metadata-insensitive schema adoption)") {
+    import org.apache.spark.sql.functions.struct
+    val dest = freshDir("nw_dest")
+    DeltaLake.write(spark, dest,
+      (1 to 3).map(i => (i.toLong, i))
+        .toDF("id", "n")
+        .select(org.apache.spark.sql.functions.col("id"),
+          struct(org.apache.spark.sql.functions.col("n")).as("s"))
+        .coalesce(1))
+    DeltaLake.widenField(spark, dest, Seq("s", "n"),
+      org.apache.spark.sql.types.LongType)
+    def nMeta = DeltaLake.snapshot(spark, dest).schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("n").metadata
+    assert(nMeta.contains("delta.typeChanges"))
+    // a batch frame never carries delta.* metadata — the sink's
+    // schema adoption must keep the TABLE's field anyway
+    DeltaLake.commitStreamBatch(spark, dest,
+      Seq((4L, 40L)).toDF("id", "s")
+        .selectExpr("id", "named_struct('n', s) AS s"),
+      Seq.empty, "app_nw", 0L, overwrite = false)
+    assert(nMeta.contains("delta.typeChanges"),
+      "the sink batch stripped the nested widening history")
+    assert(ids(DeltaLake.snapshot(spark, dest)) == Set(1L, 2L, 3L, 4L))
+  }
+
   test("append mode: one commit per batch, txn recorded, round-trips " +
       "through snapshot AND the streaming source") {
     val src = freshDir("ap_src")
