@@ -145,28 +145,24 @@ object GraftDml {
         val stmt = s"UPDATE ${t.fullName}"
         checkWritable(t, stmt)
         val tAttrIds = stripAliases(target).outputSet.map(_.exprId).toSet
+        def canon(raw: String): String = stripAliases(target).output
+          .find(_.name.equalsIgnoreCase(raw)).map(_.name).getOrElse(raw)
         // identity assignments (a column set to itself — alignment
-        // fill-ins) are no-ops, dropped rather than rewritten
-        val set: Seq[(String, Column)] = assignments.flatMap { a =>
-          val name = a.key match {
-            // canonicalize to the TABLE's case: SQL resolves
-            // case-insensitively (`SET G = ...`), the writers do not
-            case ar: AttributeReference =>
-              stripAliases(target).output
-                .find(_.name.equalsIgnoreCase(ar.name))
-                .map(_.name).getOrElse(ar.name)
-            case other => refuse(s"$stmt: SET target must be a " +
-              s"top-level column, got '${other.sql}' — nested-field " +
-              "updates go through the library API")
+        // fill-ins) are no-ops, dropped rather than rewritten;
+        // NESTED struct-member targets (`SET s.a = …`) lower to a
+        // whole-column rebuild via [[foldNestedSets]]
+        val set: Seq[(String, Seq[String], Column)] =
+          assignments.flatMap { a =>
+            val (name, path) = keyPathOf(a.key, canon, stmt)
+            (path, stripCasts(a.value)) match {
+              case (Seq(), ar: AttributeReference)
+                  if tAttrIds.contains(ar.exprId) &&
+                    ar.name.equalsIgnoreCase(name) =>
+                None
+              case _ =>
+                Some((name, path, nameBased(session, a.value, stmt)))
+            }
           }
-          stripCasts(a.value) match {
-            case ar: AttributeReference
-                if tAttrIds.contains(ar.exprId) &&
-                  ar.name.equalsIgnoreCase(name) =>
-              None
-            case _ => Some(name -> nameBased(session, a.value, stmt))
-          }
-        }
         val pred = condOpt.map(nameBased(session, _, stmt)).getOrElse(lit(true))
         // an ALL-IDENTITY statement (`SET a = a`) still REWRITES the
         // matched rows in Spark/Delta semantics — history and CDF
@@ -175,44 +171,43 @@ object GraftDml {
         // (r13 advice). The identity drop above only exists to peel
         // the analyzer's alignment fill-ins off real SET lists.
         val effective: Map[String, Column] =
-          if (set.nonEmpty) set.toMap
-          else identitySetOf(assignments, stmt, raw =>
-            stripAliases(target).output
-              .find(_.name.equalsIgnoreCase(raw))
-              .map(_.name).getOrElse(raw))
+          if (set.nonEmpty) foldNestedSets(set, stmt)
+          else identitySetOf(assignments, stmt, canon)
         GraftDmlCommand(stmt, spark => commitVia(t,
           DeltaLake.update(spark, t.entry.path, pred, effective),
           Iceberg.update(spark, t.entry.path, pred, effective)))
       }.orElse(pathTargetOf(target).map { pt =>
         val stmt = s"UPDATE ${pt.format} `${pt.path}`"
-        val set: Seq[(String, Column)] = assignments.flatMap { a =>
-          val name = a.key match {
-            case ua: UnresolvedAttribute =>
-              dealias(ua, pt.alias).nameParts match {
-                case Seq(one) => one
-                case parts => refuse(s"$stmt: SET target must be a " +
-                  s"top-level column, got '${parts.mkString(".")}'")
-              }
-            case other => refuse(s"$stmt: SET target must be a " +
-              s"top-level column, got '${other.sql}'")
+        val set: Seq[(String, Seq[String], Column)] =
+          assignments.flatMap { a =>
+            val parts = a.key match {
+              case ua: UnresolvedAttribute =>
+                dealias(ua, pt.alias).nameParts
+              case other => refuse(s"$stmt: SET target must be a " +
+                s"column or struct member, got '${other.sql}'")
+            }
+            val (name, path) = (parts.head, parts.tail)
+            a.value match {
+              // identity `SET a = a` — CASE-INSENSITIVE like the
+              // resolved catalog arm (Spark SQL resolution is);
+              // top-level only (a nested member set to itself still
+              // rebuilds the struct — a legal no-op rewrite)
+              case ua: UnresolvedAttribute
+                  if path.isEmpty &&
+                    (dealias(ua, pt.alias).nameParts match {
+                      case Seq(one) => one.equalsIgnoreCase(name)
+                      case _ => false
+                    }) =>
+                None
+              case v => Some((name, path,
+                unresolvedColumn(session, v, pt.alias, stmt)))
+            }
           }
-          a.value match {
-            // identity `SET a = a` — CASE-INSENSITIVE like the
-            // resolved catalog arm (Spark SQL resolution is)
-            case ua: UnresolvedAttribute
-                if (dealias(ua, pt.alias).nameParts match {
-                  case Seq(one) => one.equalsIgnoreCase(name)
-                  case _ => false
-                }) =>
-              None
-            case v => Some(name -> unresolvedColumn(session, v, pt.alias, stmt))
-          }
-        }
         val pred = condOpt.map(unresolvedColumn(session, _, pt.alias, stmt))
           .getOrElse(lit(true))
         // all-identity: same rewrite semantics as the catalog arm
         val effective: Map[String, Column] =
-          if (set.nonEmpty) set.toMap
+          if (set.nonEmpty) foldNestedSets(set, stmt)
           else identitySetOf(assignments, stmt)
         GraftDmlCommand(stmt, spark => pathVia(pt,
           DeltaLake.update(spark, pt.path, pred, effective),
@@ -378,21 +373,17 @@ object GraftDml {
               case a if tOut.contains(a) =>
                 UnresolvedAttribute(Seq(a.name))
             }
+          // nested struct-member targets fold into whole-column
+          // rebuilds exactly like UPDATE ([[foldNestedSets]]); the
+          // withField base resolves against the clause's TARGET row
           def setOf(assigns: Seq[Assignment],
               lower: Expression => Column): Map[String, Column] =
-            assigns.map { a =>
-              val name = a.key match {
-                // canonicalize to the table's case (SQL resolution is
-                // case-insensitive, the writers are not)
-                case ar: AttributeReference =>
-                  targetCols.find(_.equalsIgnoreCase(ar.name))
-                    .getOrElse(ar.name)
-                case other => refuse(s"$stmt: SET/INSERT target must " +
-                  s"be a top-level column, got '${other.sql}' — " +
-                  "nested-field updates go through the library API")
-              }
-              name -> lower(a.value)
-            }.toMap
+            foldNestedSets(assigns.map { a =>
+              val (name, path) = keyPathOf(a.key,
+                raw => targetCols.find(_.equalsIgnoreCase(raw))
+                  .getOrElse(raw), stmt)
+              (name, path, lower(a.value))
+            }, stmt)
           import graft.sources.MergeActions._
           val matchedActs: Seq[Matched] = m.matchedActions.map {
             case ua: UpdateAction =>
@@ -711,6 +702,48 @@ object GraftDml {
             "target)"))
     })
   }
+
+  /** A resolved SET target as (top-level column, nested member path):
+    * `s` → ("s", Nil); `s.a.b` → ("s", ["a","b"]). `canon` maps the
+    * top name to the TABLE's case (SQL resolves case-insensitively,
+    * the writers do not).
+    */
+  private def keyPathOf(e: Expression, canon: String => String,
+      stmt: String): (String, Seq[String]) = e match {
+    case ar: AttributeReference => (canon(ar.name), Seq.empty)
+    case gsf: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      val (top, p) = keyPathOf(gsf.child, canon, stmt)
+      (top, p :+ gsf.name.getOrElse(gsf.extractFieldName))
+    case other => refuse(s"$stmt: SET target must be a column or " +
+      s"struct member, got '${other.sql}' — array/map element " +
+      "updates are not expressible as a column rewrite")
+  }
+
+  /** Fold a SET list that may contain NESTED struct-member targets
+    * into the writers' top-level (column -> value) form: each nested
+    * member lowers to `Column.withField` over the target's CURRENT
+    * struct (one rebuild per top-level column, members chained), so
+    * `SET s.a = x, s.b = y` rewrites `s` with both members replaced
+    * and every other member untouched. A whole-column assignment and
+    * a nested one on the same column conflict (the order would be
+    * ambiguous) and refuse; so do duplicate whole-column targets.
+    */
+  private def foldNestedSets(set: Seq[(String, Seq[String], Column)],
+      stmt: String): Map[String, Column] =
+    set.groupBy(_._1).map { case (top, group) =>
+      val (whole, nested) = group.partition(_._2.isEmpty)
+      refuseIf(whole.nonEmpty && nested.nonEmpty,
+        s"$stmt: conflicting assignments to '$top' — both the whole " +
+          "column and a nested member are SET targets")
+      refuseIf(whole.size > 1,
+        s"$stmt: duplicate SET target '$top'")
+      if (whole.nonEmpty) top -> whole.head._3
+      else top -> nested.foldLeft(
+        org.apache.spark.sql.functions.col(top)) {
+        case (acc, (_, path, v)) =>
+          acc.withField(path.map(p => s"`$p`").mkString("."), v)
+      }
+    }
 
   /** One identity assignment (`a -> col(a)`) from the statement's own
     * SET list — the native-writer payload for an ALL-IDENTITY UPDATE

@@ -4453,6 +4453,77 @@ object Queries {
              |GROUP BY tbl, pri
              |ORDER BY tbl, pri""".stripMargin)),
 
+    // NESTED-FIELD SET (r16): `UPDATE … SET info.price = …` — the
+    // bridge lowers a struct-member target to ONE whole-column
+    // rebuild (Column.withField: the assigned member replaced, every
+    // other member carried), so the native copy-on-write writers need
+    // no nested-assignment surface at all. Both formats; the delta
+    // arm assigns a numeric member, the iceberg arm a string member.
+    // Idempotent via DROP.
+    QueryDef("catalog_nested_set_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.nsd")
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.nsi")
+        s.sql("CREATE TABLE gdml.ddl.nsd (o_orderkey BIGINT, " +
+          "info STRUCT<pri: STRING, price: DOUBLE>) " +
+          "USING `graft-deltalake`")
+        s.sql("CREATE TABLE gdml.ddl.nsi (o_orderkey BIGINT, " +
+          "info STRUCT<pri: STRING, price: DOUBLE>) " +
+          "USING `graft-iceberg`")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.nsd
+             |SELECT o_orderkey, named_struct('pri', o_orderpriority,
+             |  'price', o_totalprice)
+             |FROM graft_delta.`$src` WHERE o_custkey % 53 = 7
+             |""".stripMargin)
+        s.sql(
+          s"""INSERT INTO gdml.ddl.nsi
+             |SELECT o_orderkey, named_struct('pri', o_orderpriority,
+             |  'price', o_totalprice)
+             |FROM graft_delta.`$src` WHERE o_custkey % 53 = 11
+             |""".stripMargin)
+        s.sql(
+          """UPDATE gdml.ddl.nsd SET info.price = info.price + 5.0
+            |WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql(
+          """UPDATE gdml.ddl.nsi
+            |SET info.pri = concat(info.pri, '*')
+            |WHERE o_orderkey % 3 = 0""".stripMargin)
+        s.sql(
+          """SELECT tbl, info.pri AS pri, COUNT(*) AS cnt,
+            |  CAST(SUM(CAST(FLOOR(info.price * 100) AS BIGINT))
+            |    AS BIGINT) AS cents
+            |FROM (
+            |  SELECT 'delta' AS tbl, info FROM gdml.ddl.nsd
+            |  UNION ALL
+            |  SELECT 'iceberg' AS tbl, info FROM gdml.ddl.nsi)
+            |GROUP BY tbl, pri
+            |ORDER BY tbl, pri""".stripMargin)
+      },
+      Some("""SELECT tbl, pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(FLOOR(price * 100) AS BIGINT))
+             |    AS BIGINT) AS cents
+             |FROM (
+             |  SELECT 'delta' AS tbl, o_orderpriority AS pri,
+             |    CASE WHEN o_orderkey % 2 = 0
+             |      THEN o_totalprice + 5.0 ELSE o_totalprice
+             |    END AS price
+             |  FROM orders WHERE o_custkey % 53 = 7
+             |  UNION ALL
+             |  SELECT 'iceberg' AS tbl,
+             |    CASE WHEN o_orderkey % 3 = 0
+             |      THEN o_orderpriority || '*' ELSE o_orderpriority
+             |    END AS pri,
+             |    o_totalprice AS price
+             |  FROM orders WHERE o_custkey % 53 = 11)
+             |GROUP BY tbl, pri
+             |ORDER BY tbl, pri""".stripMargin)),
+
     // SUBQUERIES IN DML PREDICATES (r16): the bridge lowers them by
     // MATERIALIZATION — an uncorrelated `IN (SELECT …)` becomes an
     // InSet over the collected distinct keys (still stats-prunable at

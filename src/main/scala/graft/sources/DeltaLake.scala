@@ -3097,7 +3097,12 @@ object DeltaLake {
       def postRef(c: String): org.apache.spark.sql.Column =
         set1.get(c) match {
           case Some(e) =>
-            when(predicate, e.cast(st.schema(c).dataType))
+            // NULLABLE cast target: a nested withField rebuild
+            // yields nullable members, and casting to the stored
+            // non-nullable struct shape is illegal — the reader
+            // forces nullability anyway (LakeScan.asNullable)
+            when(predicate,
+              e.cast(LakeScan.asNullable(st.schema(c).dataType)))
               .otherwise(col(c))
           case None => col(c)
         }

@@ -3030,7 +3030,8 @@ object Iceberg {
       .select(cur.schema.fieldNames.toIndexedSeq.map { c =>
         set1.get(c) match {
           case Some(e) =>
-            when(predicate, e.cast(cur.schema(c).dataType))
+            when(predicate,
+              e.cast(LakeScan.asNullable(cur.schema(c).dataType)))
               .otherwise(col(c)).as(c)
           case None => col(c)
         }

@@ -159,12 +159,16 @@ object MergeActions {
       case MatchedUpdate(_, None) =>
         if (keys.contains(f) || pinned.contains(f)) col(f) else src(f)
       case MatchedUpdate(_, Some(set)) =>
-        set.get(f).map(_.cast(schema(f).dataType)).getOrElse(col(f))
+        // nullable cast target: nested withField rebuilds yield
+        // nullable members (the reader forces nullability anyway)
+        set.get(f).map(_.cast(LakeScan.asNullable(schema(f).dataType)))
+          .getOrElse(col(f))
       case MatchedDelete(_) => col(f) // dropped by __outcome anyway
     }
     def bsValueOf(action: BySource, f: String): Column = action match {
       case BySourceUpdate(_, set) =>
-        set.get(f).map(_.cast(schema(f).dataType)).getOrElse(col(f))
+        set.get(f).map(_.cast(LakeScan.asNullable(schema(f).dataType)))
+          .getOrElse(col(f))
       case BySourceDelete(_) => col(f)
     }
     def outcomeOf(isDelete: Boolean): Column =

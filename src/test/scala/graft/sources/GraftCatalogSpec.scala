@@ -419,6 +419,56 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     spark.conf.unset("spark.graft.dml.subqueryLimit")
   }
 
+  test("NESTED-FIELD SET: UPDATE and MERGE assign struct members " +
+      "(whole-column rebuild via withField); conflicts refuse") {
+    import org.apache.spark.sql.functions.struct
+    def structFrame = (1 to 4).map(i =>
+      (i.toLong, i * 1.0, s"v$i", i.toLong * 10))
+      .toDF("id", "a", "b", "c")
+      .select(col("id"),
+        struct(col("a"), col("b"),
+          struct(col("c")).as("inner")).as("s")).coalesce(1)
+    val dd = freshDir("nset_d")
+    DeltaLake.write(spark, dd, structFrame)
+    GraftCatalog.register(spark, wh, "nset.d", "graft-deltalake", dd)
+    val ii = freshDir("nset_i")
+    Iceberg.write(spark, ii, structFrame)
+    GraftCatalog.register(spark, wh, "nset.i", "graft-iceberg", ii)
+    for (tbl <- Seq("tcat.nset.d", "tcat.nset.i")) {
+      // two members of one struct + a DEEP member, one statement:
+      // every other member must survive the rebuild
+      spark.sql(s"UPDATE $tbl SET s.a = s.a + 100.0, " +
+        "s.inner.c = 999 WHERE id = 2")
+      val r = spark.sql(
+        s"SELECT s.a, s.b, s.inner.c FROM $tbl WHERE id = 2").head()
+      assert((r.getDouble(0), r.getString(1), r.getLong(2)) ==
+        (102.0, "v2", 999L), s"$tbl: $r")
+      assert(spark.sql(
+        s"SELECT s.a FROM $tbl WHERE id = 3").head().getDouble(0)
+        == 3.0, "untouched rows must keep their values")
+    }
+    // MERGE matched-update with a nested SET target
+    Seq((1L, 7.5)).toDF("id", "na").createOrReplaceTempView("nset_src")
+    spark.sql(
+      """MERGE INTO tcat.nset.d t USING nset_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.s.a = s.na
+        |""".stripMargin)
+    val m = spark.sql(
+      "SELECT s.a, s.b FROM tcat.nset.d WHERE id = 1").head()
+    assert((m.getDouble(0), m.getString(1)) == (7.5, "v1"))
+    // conflicting whole-column + nested assignment refuses
+    val e = intercept[Exception] {
+      spark.sql("UPDATE tcat.nset.d SET s = named_struct('a', 1.0, " +
+        "'b', 'x', 'inner', named_struct('c', 1L)), s.a = 2.0")
+    }
+    assert(e.getMessage.contains("conflicting") ||
+      e.getMessage.toLowerCase.contains("duplicate"), e.getMessage)
+    // path-identifier arm takes nested SET too
+    spark.sql(s"UPDATE graft_delta.`$dd` SET s.b = 'zz' WHERE id = 4")
+    assert(spark.sql(s"SELECT s.b FROM graft_delta.`$dd` " +
+      "WHERE id = 4").head().getString(0) == "zz")
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION: source-only columns ADD before " +
       "the merge on both formats; type conflicts and explicit " +
       "assignment lists refuse") {
