@@ -302,6 +302,7 @@ object DeltaLake {
       case PredAnd(l, r) => PredAnd(mapPredNames(l, f), mapPredNames(r, f))
       case PredOr(l, r) => PredOr(mapPredNames(l, f), mapPredNames(r, f))
       case PredCmp(name, v, op) => PredCmp(f(name), v, op)
+      case PredInSet(name, vs) => PredInSet(f(name), vs)
       case other => other
     }
   }

@@ -61,7 +61,7 @@ object StatsSkip {
         // Java String.compareTo is UTF-16 code-UNIT order, which diverges
         // for supplementary characters (surrogates sort above U+E000)
         case _: StringType =>
-          Some(compareCodePoints(a.toString, b.toString))
+          Some(StatsSkip.compareCodePoints(a.toString, b.toString))
         // DATE partition values and stats serialize as ISO yyyy-MM-dd,
         // and the literal (java.sql.Date / LocalDate) renders the same
         // — fixed-width ISO compares correctly as code points. Guarded
@@ -70,7 +70,7 @@ object StatsSkip {
         // None (keep the file) instead of a wrong proof.
         case _: DateType
             if a.toString.length == 10 && b.toString.length == 10 =>
-          Some(compareCodePoints(a.toString, b.toString))
+          Some(StatsSkip.compareCodePoints(a.toString, b.toString))
         case _ => None
       } catch { case _: NumberFormatException => None }
 
@@ -128,6 +128,83 @@ object StatsSkip {
       }
     }
 
+    // `column IN (non-null members)`: the file may match only if some
+    // member can equal a row — for a partition column, a member EQUAL
+    // to the exact partition value; for stats, a member inside
+    // [min,max]. The sorted vector (when the value class has an
+    // order) binary-searches for the first member >= min and checks
+    // it against max — O(log |set|) per file; unsortable value
+    // classes fall back to a linear scan with early exit. Any
+    // incomparable pair (cmp → None) keeps the file (the contract:
+    // prune only on proof).
+    def checkIn(node: org.apache.spark.sql.graft.GraftSql.PredInSet)
+        : Boolean = {
+      val name = node.name
+      val dt = schema.find(_.name == name).map(_.dataType)
+        .getOrElse(return true)
+      // nulls were dropped at lowering: an empty set proves no match
+      if (node.values.isEmpty) return false
+      if (partitionColumns.contains(name))
+        return partitionValues.get(name) match {
+          case Some(pv) if pv != null =>
+            node.sorted match {
+              case Some(arr) =>
+                // binary search for equality under cmp; None → keep
+                var lo = 0; var hi = arr.length - 1
+                while (lo <= hi) {
+                  val mid = (lo + hi) >>> 1
+                  cmp(pv, arr(mid), dt) match {
+                    case None => return true
+                    case Some(0) => return true
+                    case Some(c) if c < 0 => hi = mid - 1
+                    case Some(_) => lo = mid + 1
+                  }
+                }
+                false
+              case None =>
+                node.values.exists(v => cmp(pv, v, dt).forall(_ == 0))
+            }
+          case _ => true
+        }
+      val stats = fileStats.getOrElse(return true)
+      def stat(kind: String): Option[JsonNode] =
+        Option(stats.get(kind)).flatMap(m => Option(m.get(name)))
+          .filterNot(_.isNull)
+      def statText(j: JsonNode, isMax: Boolean): String = dt match {
+        case _: DoubleType | _: FloatType =>
+          try {
+            val raw = j.asText
+            val d = raw.toDouble
+            val f = raw.toFloat.toDouble
+            (if (isMax) math.max(d, f) else math.min(d, f)).toString
+          } catch { case _: NumberFormatException => j.asText }
+        case _ => j.asText
+      }
+      val mn = stat("minValues").map(statText(_, isMax = false))
+      val mx = stat("maxValues").map(statText(_, isMax = true))
+      // member-vs-bound check, incomparable (None) keeps the file
+      def okMin(v: Any): Boolean = mn.forall(m =>
+        cmp(v, m, dt).forall(_ >= 0))
+      def okMax(v: Any): Boolean = mx.forall(m =>
+        cmp(v, m, dt).forall(_ <= 0))
+      node.sorted match {
+        case Some(arr) if mn.isDefined =>
+          // first member >= min (cmp-None keeps the file)
+          var lo = 0; var hi = arr.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            cmp(arr(mid), mn.get, dt) match {
+              case None => return true
+              case Some(c) if c < 0 => lo = mid + 1
+              case Some(_) => hi = mid
+            }
+          }
+          lo < arr.length && okMax(arr(lo))
+        case _ =>
+          node.values.exists(v => okMin(v) && okMax(v))
+      }
+    }
+
     n match {
       case PredAnd(l, r) =>
         mayMatchParsed(l, schema, partitionColumns, partitionValues,
@@ -140,25 +217,20 @@ object StatsSkip {
           mayMatchParsed(r, schema, partitionColumns, partitionValues,
             fileStats)
       case PredCmp(name, v, op) => check(name, v, op)
+      case in: org.apache.spark.sql.graft.GraftSql.PredInSet =>
+        checkIn(in)
       case PredUnknown => true
     }
   }
 
   /** Code-point string comparison — matches Spark's binary (UTF-8 byte)
     * string ordering, which UTF-16 `String.compareTo` does not for
-    * supplementary characters.
+    * supplementary characters. ONE implementation, shared with the
+    * PredInSet sort (the sort and this check must agree or the binary
+    * search lies).
     */
-  def compareCodePoints(x: String, y: String): Int = {
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val cx = x.codePointAt(i)
-      val cy = y.codePointAt(i)
-      if (cx != cy) return Integer.compare(cx, cy)
-      i += Character.charCount(cx)
-    }
-    Integer.compare(x.length, y.length)
-  }
+  def compareCodePoints(x: String, y: String): Int =
+    org.apache.spark.sql.graft.GraftSql.compareCodePoints(x, y)
 
   /** The per-scan `keep` function both lake readers hand to
     * [[LakeScan.scan]]: evaluates every pushed filter against a file's

@@ -116,7 +116,58 @@ object GraftSql {
       extends PredNode // op ∈ {EQ,GT,GE,LT,LE}, column on the LEFT
   final case class PredAnd(l: PredNode, r: PredNode) extends PredNode
   final case class PredOr(l: PredNode, r: PredNode) extends PredNode
+
+  /** `column IN (values)` with the NULL members dropped (a null never
+    * equals anything, so it can never make a row match — and with the
+    * nulls gone, an EMPTY set proves no row matches). `sorted` is the
+    * value vector under the external value class's natural order
+    * (None when the class has no defined order here): the stats check
+    * binary-searches it for a member inside a file's [min,max]
+    * instead of scanning — a 100k-key DELETE … IN (SELECT …) over a
+    * 10k-file estate is O(files · log keys) driver work, not
+    * O(files · keys).
+    */
+  final case class PredInSet(name: String, values: Vector[Any])
+      extends PredNode {
+    lazy val sorted: Option[Vector[Any]] = values.headOption.flatMap {
+      case _: Long | _: Int | _: Short | _: Byte | _: java.lang.Long |
+          _: java.lang.Integer | _: java.lang.Short | _: java.lang.Byte =>
+        Some(values.sortBy(_.toString.toLong))
+      case _: Double | _: Float | _: java.lang.Double |
+          _: java.lang.Float =>
+        Some(values.sortBy(_.toString.toDouble))
+      case _: String =>
+        Some(values.sortWith((a, b) =>
+          compareCodePoints(a.toString, b.toString) < 0))
+      case _: java.math.BigDecimal | _: BigDecimal =>
+        Some(values.sortWith((a, b) =>
+          new java.math.BigDecimal(a.toString)
+            .compareTo(new java.math.BigDecimal(b.toString)) < 0))
+      case _: java.sql.Date | _: java.time.LocalDate =>
+        // ISO renderings compare as code points at fixed width; the
+        // stats check guards the 10-char shape itself
+        Some(values.sortWith((a, b) =>
+          compareCodePoints(a.toString, b.toString) < 0))
+      case _ => None
+    }
+  }
   case object PredUnknown extends PredNode
+
+  /** Code-point (UTF-8 byte order) comparison — Spark's string order.
+    * Shared with `graft.sources.StatsSkip` (the sort above must agree
+    * with the check's comparator or the binary search lies).
+    */
+  def compareCodePoints(x: String, y: String): Int = {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(i)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+    }
+    Integer.compare(x.length, y.length)
+  }
 
   /** The same lowering for a RESOLVED Catalyst expression — the shape a
     * `FileIndex.listFiles` receives as pushed data filters. Literal
@@ -164,6 +215,29 @@ object GraftSql {
         PredCmp(a.name, lit(l), "LE")
       case LessThanOrEqual(l: Literal, a: Attribute) =>
         PredCmp(a.name, lit(l), "GE")
+      // the materialized-subquery DML shape (`k IN (SELECT …)` baked
+      // into an InSet) and plain literal IN lists — stats-prunable:
+      // a file may match only if a member lies inside its [min,max].
+      // The DML bridge's trees carry UNRESOLVED attributes (no
+      // dataType to convert by), so internal values convert by their
+      // own class — UTF8String/Decimal externalize, primitives pass;
+      // anything ambiguous (date days-ints, timestamp micros) stays
+      // internal and the stats comparator degrades to keep-the-file
+      // (None), never a wrong proof.
+      case InSet(a: Attribute, hset) =>
+        val vals =
+          if (a.resolved) hset.iterator
+            .map(CatalystTypeConverters.convertToScala(_, a.dataType))
+          else hset.iterator.map {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+            case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+            case other => other
+          }
+        PredInSet(a.name, vals.filter(_ != null).toVector)
+      case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
+        PredInSet(a.name, list.iterator
+          .map(x => lit(x.asInstanceOf[Literal]))
+          .filter(_ != null).toVector)
       case _ => PredUnknown
     }
   }
