@@ -4453,6 +4453,60 @@ object Queries {
              |GROUP BY tbl, pri
              |ORDER BY tbl, pri""".stripMargin)),
 
+    // ICEBERG v3 FIELD DEFAULTS (r16): `ALTER TABLE … ADD COLUMNS
+    // (channel STRING DEFAULT 'legacy')` — the SPEC home for
+    // read-time backfill (initial-default serves rows predating the
+    // column; write-default fills future inserts; format-version
+    // promotes to 3 with the commit). Pre-add rows read the ADD-time
+    // default, a second wave fills it as the write default, a third
+    // wave provides explicit values. Idempotent via DROP.
+    QueryDef("catalog_iceberg_default_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.idf")
+        s.sql("CREATE TABLE gdml.ddl.idf (o_orderkey BIGINT, " +
+          "o_orderpriority STRING) USING `graft-iceberg`")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.idf
+             |SELECT o_orderkey, o_orderpriority
+             |FROM graft_delta.`$src` WHERE o_custkey % 59 = 4
+             |""".stripMargin)
+        s.sql("ALTER TABLE gdml.ddl.idf ADD COLUMNS " +
+          "(channel STRING DEFAULT 'legacy', qty BIGINT DEFAULT 3)")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.idf (o_orderkey, o_orderpriority)
+             |SELECT o_orderkey, o_orderpriority
+             |FROM graft_delta.`$src` WHERE o_custkey % 59 = 17
+             |""".stripMargin)
+        s.sql(
+          s"""INSERT INTO gdml.ddl.idf
+             |SELECT o_orderkey, o_orderpriority, 'store',
+             |  o_orderkey % 5
+             |FROM graft_delta.`$src` WHERE o_custkey % 59 = 31
+             |""".stripMargin)
+        s.sql(
+          """SELECT o_orderpriority AS pri, channel,
+            |  COUNT(*) AS cnt, CAST(SUM(qty) AS BIGINT) AS qty_sum
+            |FROM gdml.ddl.idf
+            |GROUP BY pri, channel
+            |ORDER BY pri, channel""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, channel, COUNT(*) AS cnt,
+             |  CAST(SUM(qty) AS BIGINT) AS qty_sum
+             |FROM (
+             |  SELECT o_orderpriority, 'legacy' AS channel, 3 AS qty
+             |  FROM orders WHERE o_custkey % 59 IN (4, 17)
+             |  UNION ALL
+             |  SELECT o_orderpriority, 'store' AS channel,
+             |    o_orderkey % 5 AS qty
+             |  FROM orders WHERE o_custkey % 59 = 31)
+             |GROUP BY pri, channel
+             |ORDER BY pri, channel""".stripMargin)),
+
     // NESTED-FIELD SET (r16): `UPDATE … SET info.price = …` — the
     // bridge lowers a struct-member target to ONE whole-column
     // rebuild (Column.withField: the assigned member replaced, every

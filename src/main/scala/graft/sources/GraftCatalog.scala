@@ -485,14 +485,19 @@ class GraftCatalog extends TableCatalog
                 a.fieldNames.last, a.dataType, a.isNullable, mb.build())
           })
         case "graft-iceberg" =>
-          adds.foreach(a => require(a.defaultValue() == null,
-            s"graft catalog: ALTER TABLE $key ADD COLUMN " +
-              s"${a.fieldNames.mkString(".")} DEFAULT — column " +
-              "defaults are a graft-deltalake surface"))
-          Iceberg.addFields(spark, abs,
-            adds.map(a => a.fieldNames.init.toSeq ->
+          // a DEFAULT lands as the v3 spec's field defaults
+          // (initial-default / write-default — the spec home for
+          // read-time backfill Delta lacks); format-version promotes
+          // to 3 with the commit
+          Iceberg.addFields(spark, abs, adds.map { a =>
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            Option(a.defaultValue()).foreach(dv =>
+              GraftCatalog.putDefaultMetadata(mb, dv,
+                s"ALTER TABLE $key ADD COLUMN ${a.fieldNames.head}"))
+            a.fieldNames.init.toSeq ->
               org.apache.spark.sql.types.StructField(
-                a.fieldNames.last, a.dataType, a.isNullable)))
+                a.fieldNames.last, a.dataType, a.isNullable, mb.build())
+          })
         case o => throw new IllegalArgumentException(
           s"graft catalog: unknown format '$o' for $key")
       }

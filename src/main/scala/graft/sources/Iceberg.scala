@@ -1585,13 +1585,46 @@ object Iceberg {
       // names differ; the ids never do). Files lacking ids entirely
       // fail loudly (fieldId.read.ignoreMissing stays false) — never a
       // silent all-null column.
-      val meta = Option(f.get("id")).map(id =>
-        new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong("parquet.field.id", id.asLong).build())
-        .getOrElse(org.apache.spark.sql.types.Metadata.empty)
-      StructField(f.get("name").asText, typeFromIceberg(f.get("type")),
-        nullable = !f.get("required").asBoolean(false), metadata = meta)
+      val dt = typeFromIceberg(f.get("type"))
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(f.get("id")).foreach(id =>
+        mb.putLong("parquet.field.id", id.asLong))
+      // v3 FIELD DEFAULTS: `initial-default` serves rows predating
+      // the column (surfaced as EXISTS_DEFAULT — Spark's parquet
+      // reader fills file-missing columns from it), `write-default`
+      // fills future writes omitting the column (CURRENT_DEFAULT —
+      // the analyzer substitutes omitted INSERT columns and the
+      // DEFAULT keyword). Unsupported value types refuse LOUDLY:
+      // silently serving null where the table's contract says
+      // default would be a wrong result.
+      Option(f.get("initial-default")).filterNot(_.isNull).foreach(j =>
+        mb.putString("EXISTS_DEFAULT", defaultSqlOf(j, dt,
+          f.get("name").asText)))
+      Option(f.get("write-default")).filterNot(_.isNull).foreach(j =>
+        mb.putString("CURRENT_DEFAULT", defaultSqlOf(j, dt,
+          f.get("name").asText)))
+      StructField(f.get("name").asText, dt,
+        nullable = !f.get("required").asBoolean(false),
+        metadata = mb.build())
     }.toSeq)
+  }
+
+  /** A v3 single-value JSON default rendered back to the SQL literal
+    * text Spark's default-column machinery evaluates.
+    */
+  private def defaultSqlOf(j: JsonNode, dt: DataType,
+      col: String): String = dt match {
+    case _: StringType => "'" + j.asText.replace("'", "''") + "'"
+    case _: BooleanType | _: IntegerType | _: LongType |
+        _: ShortType | _: ByteType | _: FloatType | _: DoubleType =>
+      j.asText
+    case _: DecimalType => s"CAST('${j.asText}' AS ${dt.sql})"
+    case _: DateType => s"DATE '${j.asText}'"
+    case other => throw new UnsupportedOperationException(
+      s"Iceberg: column '$col' carries a ${other.simpleString} " +
+        "field default this reader does not support — reading " +
+        "anyway would silently serve null where the table's " +
+        "contract says default")
   }
 
   private def typeFromIceberg(t: JsonNode): DataType =
@@ -3433,6 +3466,7 @@ object Iceberg {
         Option(md.get("schemas")).toSeq
           .flatMap(_.elements().asScala).map(maxIdOf)
           .maxOption.getOrElse(maxIdOf(schemaNode)))
+      var anyDefault = false
       adds.foreach { case (path, f) =>
         val fields = structNodeAt(schemaNode, path, "addColumns")
           .get("fields")
@@ -3444,10 +3478,74 @@ object Iceberg {
         n.put("required", false)
         n.put("type", icebergPrimitiveName(f.dataType,
           s"Iceberg.addColumns: '${f.name}'"))
+        // ADD COLUMN … DEFAULT: the v3 spec's field defaults —
+        // `initial-default` serves rows PREDATING the column at read
+        // time (the spec home Delta lacks; our reader surfaces it as
+        // EXISTS_DEFAULT so Spark's parquet reader fills pre-add
+        // files), `write-default` fills future writes omitting the
+        // column (surfaced as CURRENT_DEFAULT for the analyzer).
+        // Top-level only (the catalog gates), constants only.
+        if (f.metadata.contains("EXISTS_DEFAULT")) {
+          require(path.isEmpty,
+            s"Iceberg.addColumns: '${f.name}': defaults apply to " +
+              "top-level columns only")
+          val v = defaultJsonValue(spark,
+            f.metadata.getString("EXISTS_DEFAULT"), f.dataType,
+            s"Iceberg.addColumns: '${f.name}'")
+          n.set[JsonNode]("initial-default", v)
+          n.set[JsonNode]("write-default",
+            if (f.metadata.contains("CURRENT_DEFAULT"))
+              defaultJsonValue(spark,
+                f.metadata.getString("CURRENT_DEFAULT"), f.dataType,
+                s"Iceberg.addColumns: '${f.name}'")
+            else v)
+          anyDefault = true
+        }
         ()
       }
       md.asInstanceOf[ObjectNode].put("last-column-id", lastId)
-      ()
+      // field defaults are a FORMAT-VERSION-3 feature: a v1/v2 reader
+      // would silently ignore initial-default and serve null where a
+      // v3 reader serves the default — stamping v3 makes the
+      // divergence a loud version gate instead (monotonic, like the
+      // DV promotion)
+      if (anyDefault) {
+        val cur = Option(md.get("format-version")).map(_.asInt)
+          .getOrElse(1)
+        md.asInstanceOf[ObjectNode]
+          .put("format-version", math.max(cur, 3))
+        ()
+      }
+    }
+  }
+
+  /** A column DEFAULT's SQL text evaluated to the v3 single-value
+    * JSON form — int/long/boolean/float/double as JSON scalars,
+    * string/decimal/date as JSON strings (the spec's serialization).
+    * Non-constant or unsupported-type defaults refuse.
+    */
+  private def defaultJsonValue(spark: SparkSession, sql: String,
+      dt: DataType, what: String): JsonNode = {
+    val v = try spark.sql(s"SELECT CAST(($sql) AS ${dt.sql})")
+      .head().get(0)
+    catch { case e: Exception => throw new IllegalArgumentException(
+      s"$what: DEFAULT $sql does not evaluate as a ${dt.sql} " +
+        s"constant: ${e.getMessage}") }
+    require(v != null,
+      s"$what: DEFAULT $sql evaluates to NULL — omit the default")
+    dt match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType =>
+        M.getNodeFactory.numberNode(v.toString.toLong)
+      case _: BooleanType =>
+        M.getNodeFactory.booleanNode(v.asInstanceOf[Boolean])
+      case _: FloatType | _: DoubleType =>
+        M.getNodeFactory.numberNode(v.toString.toDouble)
+      case _: StringType | _: DecimalType | _: DateType =>
+        M.getNodeFactory.textNode(v.toString)
+      case other => throw new IllegalArgumentException(
+        s"$what: DEFAULT on a ${other.simpleString} column is not " +
+          "supported (int/long/boolean/float/double/string/decimal/" +
+          "date defaults serialize per the v3 spec)")
     }
   }
 

@@ -108,8 +108,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       // round-16 surface
       "catalog_subquery_dml", "catalog_merge_evolve_sql",
       "catalog_nested_delta_sql", "catalog_backfill_default_sql",
-      "approx_stats_exact", "catalog_nested_set_sql")
-    assert(declared.size == 209)
+      "approx_stats_exact", "catalog_nested_set_sql",
+      "catalog_iceberg_default_sql")
+    assert(declared.size == 210)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

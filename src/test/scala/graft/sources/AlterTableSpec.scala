@@ -397,6 +397,49 @@ class AlterTableSpec extends AnyFunSuite with SparkFixture {
       "pre-add rows keep the ADD-time existence default")
   }
 
+  test("iceberg ADD COLUMN DEFAULT: the v3 initial-default serves " +
+      "pre-add rows at read, write-default fills future inserts, " +
+      "format-version promotes to 3") {
+    val wh = freshDir("ibdft")
+    Iceberg.write(spark,
+      new java.io.File(wh, "t").getAbsolutePath, frame(1 to 4))
+    GraftCatalog.register(spark, wh, "db.t", "graft-iceberg", "t")
+    spark.conf.set("spark.sql.catalog.ibd",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ibd.warehouse", wh)
+    spark.sql("ALTER TABLE ibd.db.t ADD COLUMNS " +
+      "(channel STRING DEFAULT 'web', qty BIGINT DEFAULT 7)")
+    // pre-add files: the stored initial-default is served, not null
+    val pre = spark.sql(
+      "SELECT channel, qty FROM ibd.db.t WHERE id = 1").head()
+    assert((pre.getString(0), pre.getLong(1)) == ("web", 7L))
+    // future inserts: omitted columns fill from write-default;
+    // explicit values win
+    spark.sql("INSERT INTO ibd.db.t (id, v) VALUES (10, 'gx')")
+    spark.sql("INSERT INTO ibd.db.t VALUES (11, 'gy', 'store', 9)")
+    val got = spark.sql(
+      "SELECT id, channel, qty FROM ibd.db.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "web", 7L), (2L, "web", 7L),
+      (3L, "web", 7L), (4L, "web", 7L), (10L, "web", 7L),
+      (11L, "store", 9L)), got.toString)
+    // the evolution commit stamped format-version 3 (field defaults
+    // are a v3 feature — a v2 stamp would let an external v2 reader
+    // silently serve null where the contract says default)
+    val mdDir = new java.io.File(wh, "t/metadata")
+    val latest = mdDir.listFiles()
+      .filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
+    val text = java.nio.file.Files.readString(latest.toPath)
+    assert(text.contains("\"format-version\":3"), text.take(200))
+    assert(text.contains("initial-default") &&
+      text.contains("write-default"))
+    // non-constant and nested defaults refuse
+    intercept[Exception] {
+      spark.sql("ALTER TABLE ibd.db.t ADD COLUMNS " +
+        "(bad STRING DEFAULT rand())")
+    }
+  }
+
   test("delta widenColumn: int→bigint metadata-only, pre-widen files " +
       "read under the widened type, typeWidening protocol + history " +
       "recorded; illegal changes refuse") {
