@@ -730,13 +730,30 @@ object GraftDml {
     */
   private def foldNestedSets(set: Seq[(String, Seq[String], Column)],
       stmt: String): Map[String, Column] =
-    set.groupBy(_._1).map { case (top, group) =>
+    // CASE-INSENSITIVE grouping (SQL resolution is): `SET S.a, s.b`
+    // is one column's rebuild, not two conflicting top-level targets
+    set.groupBy(_._1.toLowerCase).map { case (_, group) =>
+      val top = group.head._1
       val (whole, nested) = group.partition(_._2.isEmpty)
       refuseIf(whole.nonEmpty && nested.nonEmpty,
         s"$stmt: conflicting assignments to '$top' — both the whole " +
           "column and a nested member are SET targets")
       refuseIf(whole.size > 1,
         s"$stmt: duplicate SET target '$top'")
+      // duplicate or OVERLAPPING nested targets (one path a prefix of
+      // another) would make the chained rebuild order-dependent —
+      // exactly the ambiguity SQL refuses for repeated assignments
+      val paths = nested.map(_._2.map(_.toLowerCase))
+      paths.indices.foreach { i =>
+        ((i + 1) until paths.size).foreach { jj =>
+          val (a, b) = (paths(i), paths(jj))
+          refuseIf(a.startsWith(b) || b.startsWith(a),
+            s"$stmt: conflicting SET targets '$top." +
+              s"${nested(i)._2.mkString(".")}' and '$top." +
+              s"${nested(jj)._2.mkString(".")}' — one contains the " +
+              "other, so the result would depend on assignment order")
+        }
+      }
       if (whole.nonEmpty) top -> whole.head._3
       else top -> nested.foldLeft(
         org.apache.spark.sql.functions.col(top)) {

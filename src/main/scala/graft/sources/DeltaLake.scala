@@ -3030,10 +3030,18 @@ object DeltaLake {
     */
   def update(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
-      set: Map[String, org.apache.spark.sql.Column]): Long = {
+      rawSet: Map[String, org.apache.spark.sql.Column]): Long = {
     import org.apache.spark.sql.functions.when
     val st = replay(spark, path, None)
     requireWritable(st, path, "update")
+    // SET keys resolve CASE-INSENSITIVELY like SQL (the path-identifier
+    // bridge cannot canonicalize pre-resolution — no schema yet);
+    // unknown names pass through so the existing data-column check
+    // refuses them with its own message
+    val set: Map[String, org.apache.spark.sql.Column] = rawSet.map {
+      case (k, v) => st.schema.fieldNames
+        .find(_.equalsIgnoreCase(k)).getOrElse(k) -> v
+    }
     // identity tables UPDATE fine as long as the SET leaves the
     // identity columns alone (their values are already allocated;
     // an update rewrites rows, it never creates them)

@@ -469,35 +469,27 @@ class GraftCatalog extends TableCatalog
         throw new IllegalArgumentException(
           s"graft catalog: no table '$key' in $warehouse"))
       val abs = GraftCatalog.absPath(warehouse, entry.path)
+      // ONE translation for both formats: nested adds are
+      // NAME-resolved on Delta and FIELD-ID-resolved on Iceberg
+      // (pre-evolution files surface the member as null either way);
+      // a DEFAULT lands as CURRENT_DEFAULT/EXISTS_DEFAULT metadata —
+      // Delta stores the keys verbatim, Iceberg renders them into
+      // the v3 spec's write-default/initial-default fields (its spec
+      // home for read-time backfill) and promotes format-version 3
+      val translated = adds.map { a =>
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        Option(a.defaultValue()).foreach(dv =>
+          GraftCatalog.putDefaultMetadata(mb, dv,
+            s"ALTER TABLE $key ADD COLUMN ${a.fieldNames.head}"))
+        a.fieldNames.init.toSeq ->
+          org.apache.spark.sql.types.StructField(
+            a.fieldNames.last, a.dataType, a.isNullable, mb.build())
+      }
       val v = entry.format match {
         case "graft-deltalake" =>
-          // nested adds are NAME-resolved on Delta (struct members,
-          // pre-evolution files surface null — [[DeltaLake.addFields]]);
-          // a DEFAULT lands as CURRENT_DEFAULT (future inserts) +
-          // EXISTS_DEFAULT (read-time backfill for pre-add files)
-          DeltaLake.addFields(spark, abs, adds.map { a =>
-            val mb = new org.apache.spark.sql.types.MetadataBuilder()
-            Option(a.defaultValue()).foreach(dv =>
-              GraftCatalog.putDefaultMetadata(mb, dv,
-                s"ALTER TABLE $key ADD COLUMN ${a.fieldNames.head}"))
-            a.fieldNames.init.toSeq ->
-              org.apache.spark.sql.types.StructField(
-                a.fieldNames.last, a.dataType, a.isNullable, mb.build())
-          })
+          DeltaLake.addFields(spark, abs, translated)
         case "graft-iceberg" =>
-          // a DEFAULT lands as the v3 spec's field defaults
-          // (initial-default / write-default — the spec home for
-          // read-time backfill Delta lacks); format-version promotes
-          // to 3 with the commit
-          Iceberg.addFields(spark, abs, adds.map { a =>
-            val mb = new org.apache.spark.sql.types.MetadataBuilder()
-            Option(a.defaultValue()).foreach(dv =>
-              GraftCatalog.putDefaultMetadata(mb, dv,
-                s"ALTER TABLE $key ADD COLUMN ${a.fieldNames.head}"))
-            a.fieldNames.init.toSeq ->
-              org.apache.spark.sql.types.StructField(
-                a.fieldNames.last, a.dataType, a.isNullable, mb.build())
-          })
+          Iceberg.addFields(spark, abs, translated)
         case o => throw new IllegalArgumentException(
           s"graft catalog: unknown format '$o' for $key")
       }

@@ -1614,7 +1614,21 @@ object Iceberg {
     */
   private def defaultSqlOf(j: JsonNode, dt: DataType,
       col: String): String = dt match {
-    case _: StringType => "'" + j.asText.replace("'", "''") + "'"
+    case _: StringType =>
+      val s = j.asText
+      // quote only PROVABLY inert strings; anything carrying quotes,
+      // backslashes, or control characters renders hex-safe instead —
+      // Spark's string-literal escaping is parser-FLAG-dependent
+      // (escapedStringLiterals), so '\t' in a quoted literal can mean
+      // TAB in one session and backslash-t in another; unhex() means
+      // the same bytes everywhere
+      if (s.forall(c => c >= ' ' && c != '\\' && c != '\''))
+        "'" + s + "'"
+      else {
+        val hex = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => String.format("%02X", Byte.box(b))).mkString
+        s"CAST(unhex('$hex') AS STRING)"
+      }
     case _: BooleanType | _: IntegerType | _: LongType |
         _: ShortType | _: ByteType | _: FloatType | _: DoubleType =>
       j.asText
@@ -3018,11 +3032,17 @@ object Iceberg {
     */
   def update(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column,
-      set: Map[String, org.apache.spark.sql.Column]): Long = {
+      rawSet: Map[String, org.apache.spark.sql.Column]): Long = {
     import org.apache.spark.sql.functions.{col, when}
     import spark.implicits._
     val cur = resolve(spark, tableDir, None)
     requireParquetData(cur, tableDir, "update")
+    // SET keys resolve CASE-INSENSITIVELY like SQL (see the Delta
+    // twin); unknown names pass through to the data-column refusal
+    val set: Map[String, org.apache.spark.sql.Column] = rawSet.map {
+      case (k, v) => cur.schema.fieldNames
+        .find(_.equalsIgnoreCase(k)).getOrElse(k) -> v
+    }
     require(cur.transforms
         .forall(_.transform == IcebergTransforms.Identity),
       "Iceberg.update: copy-on-write rewrites of transform-partitioned " +

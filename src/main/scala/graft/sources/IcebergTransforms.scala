@@ -314,6 +314,21 @@ object IcebergTransforms {
           pv.get(f.fieldName).filter(_ != null)
             .forall(value => check(f, value, v, op))
         }
+      // `column IN (members)`: the file may match only if SOME member
+      // transforms to this file's partition value (per-member EQ
+      // through the same transform check). An emptied (post-null-
+      // drop) set proves no row matches; sets past the cap keep the
+      // file — the per-file member sweep is O(|set|) transform evals
+      // here, and StatsSkip's column-bounds binary search still
+      // prunes on the untransformed values.
+      case in: PredInSet =>
+        if (in.values.isEmpty) false
+        else if (in.values.size > 1000) true
+        else fields.filter(f => f.sourceName == in.name &&
+            f.transform != Identity).forall { f =>
+          pv.get(f.fieldName).filter(_ != null).forall(value =>
+            in.values.exists(v => check(f, value, v, "EQ")))
+        }
       case PredUnknown => true
     }
   }

@@ -74,6 +74,29 @@ object StatsSkip {
         case _ => None
       } catch { case _: NumberFormatException => None }
 
+    // per-column stat access + TYPE-WIDENING-SOUND fp bound text —
+    // ONE implementation for the comparison and the IN-set checks: a
+    // file written before a float→double widening carries FLOAT stats
+    // ("0.1" parses as double 0.1, but the reader widens the stored
+    // float to 0.10000000149…), so trusting the parsed double as a
+    // bound could PROVE a matching file away (silent row loss); the
+    // stat is enveloped with its float-widened rendering — exact when
+    // it really was a double, conservative when it was a float.
+    def statOf(name: String, kind: String): Option[JsonNode] =
+      fileStats.flatMap(stats => Option(stats.get(kind)))
+        .flatMap(m => Option(m.get(name))).filterNot(_.isNull)
+    def statText(j: JsonNode, dt: DataType, isMax: Boolean): String =
+      dt match {
+        case _: DoubleType | _: FloatType =>
+          try {
+            val raw = j.asText
+            val d = raw.toDouble
+            val f = raw.toFloat.toDouble
+            (if (isMax) math.max(d, f) else math.min(d, f)).toString
+          } catch { case _: NumberFormatException => j.asText }
+        case _ => j.asText
+      }
+
     // op with the column on the LEFT
     def check(name: String, v: Any, op: String): Boolean = {
       val dt = schema.find(_.name == name).map(_.dataType)
@@ -91,33 +114,11 @@ object StatsSkip {
             })
           case _ => true
         }
-      val stats = fileStats.getOrElse(return true)
-      def stat(kind: String): Option[JsonNode] =
-        Option(stats.get(kind)).flatMap(m => Option(m.get(name)))
-          .filterNot(_.isNull)
-      // TYPE-WIDENING-SOUND fp bounds: a file written before a
-      // float→double widening carries FLOAT stats — "0.1" parses as
-      // double 0.1, but the reader widens the stored float to
-      // 0.10000000149…, so trusting the parsed double as the max could
-      // PROVE `x > 0.1` false for a file that matches (silent row
-      // loss). Envelope the stat with its float-widened rendering:
-      // max bound = max(d, f), min bound = min(d, f) — exact when the
-      // stat really was a double, conservative when it was a float.
-      def statText(j: JsonNode, isMax: Boolean): String = dt match {
-        case _: DoubleType | _: FloatType =>
-          try {
-            val raw = j.asText
-            val d = raw.toDouble
-            val f = raw.toFloat.toDouble
-            (if (isMax) math.max(d, f) else math.min(d, f)).toString
-          } catch { case _: NumberFormatException => j.asText }
-        case _ => j.asText
-      }
       def cMin(j: JsonNode): Option[Int] =
-        cmp(statText(j, isMax = false), v, dt)
+        cmp(statText(j, dt, isMax = false), v, dt)
       def cMax(j: JsonNode): Option[Int] =
-        cmp(statText(j, isMax = true), v, dt)
-      val (mn, mx) = (stat("minValues"), stat("maxValues"))
+        cmp(statText(j, dt, isMax = true), v, dt)
+      val (mn, mx) = (statOf(name, "minValues"), statOf(name, "maxValues"))
       op match {
         case "EQ" =>
           mn.flatMap(cMin).forall(_ <= 0) && mx.flatMap(cMax).forall(_ >= 0)
@@ -166,22 +167,11 @@ object StatsSkip {
             }
           case _ => true
         }
-      val stats = fileStats.getOrElse(return true)
-      def stat(kind: String): Option[JsonNode] =
-        Option(stats.get(kind)).flatMap(m => Option(m.get(name)))
-          .filterNot(_.isNull)
-      def statText(j: JsonNode, isMax: Boolean): String = dt match {
-        case _: DoubleType | _: FloatType =>
-          try {
-            val raw = j.asText
-            val d = raw.toDouble
-            val f = raw.toFloat.toDouble
-            (if (isMax) math.max(d, f) else math.min(d, f)).toString
-          } catch { case _: NumberFormatException => j.asText }
-        case _ => j.asText
-      }
-      val mn = stat("minValues").map(statText(_, isMax = false))
-      val mx = stat("maxValues").map(statText(_, isMax = true))
+      if (fileStats.isEmpty) return true
+      val mn = statOf(name, "minValues")
+        .map(statText(_, dt, isMax = false))
+      val mx = statOf(name, "maxValues")
+        .map(statText(_, dt, isMax = true))
       // member-vs-bound check, incomparable (None) keeps the file
       def okMin(v: Any): Boolean = mn.forall(m =>
         cmp(v, m, dt).forall(_ >= 0))

@@ -129,7 +129,14 @@ object GraftSql {
     */
   final case class PredInSet(name: String, values: Vector[Any])
       extends PredNode {
-    lazy val sorted: Option[Vector[Any]] = values.headOption.flatMap {
+    // a MIXED-TYPE member list (the path-arm DML trees are uncoerced:
+    // `IN (6, 3.0)` carries Integer and BigDecimal) must degrade to
+    // None (linear check with per-pair keep-on-incomparable), never
+    // throw out of the head-class parse
+    lazy val sorted: Option[Vector[Any]] = try sortedByClass
+    catch { case _: NumberFormatException => None }
+    private def sortedByClass: Option[Vector[Any]] =
+      values.headOption.flatMap {
       case _: Long | _: Int | _: Short | _: Byte | _: java.lang.Long |
           _: java.lang.Integer | _: java.lang.Short | _: java.lang.Byte =>
         Some(values.sortBy(_.toString.toLong))

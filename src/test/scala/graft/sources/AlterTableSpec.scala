@@ -438,6 +438,13 @@ class AlterTableSpec extends AnyFunSuite with SparkFixture {
       spark.sql("ALTER TABLE ibd.db.t ADD COLUMNS " +
         "(bad STRING DEFAULT rand())")
     }
+    // a default carrying backslashes/quotes round-trips EXACTLY
+    // (rendered hex-safe — quoted literals are parser-flag-dependent)
+    spark.sql("ALTER TABLE ibd.db.t ADD COLUMNS " +
+      raw"(path STRING DEFAULT 'C:\\temp''s')")
+    assert(spark.sql("SELECT path FROM ibd.db.t WHERE id = 1")
+      .head().getString(0) == raw"C:\temp's",
+      "backslash default must round-trip verbatim")
   }
 
   test("delta widenColumn: int→bigint metadata-only, pre-widen files " +

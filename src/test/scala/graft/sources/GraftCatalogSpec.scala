@@ -463,8 +463,17 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("conflicting") ||
       e.getMessage.toLowerCase.contains("duplicate"), e.getMessage)
-    // path-identifier arm takes nested SET too
-    spark.sql(s"UPDATE graft_delta.`$dd` SET s.b = 'zz' WHERE id = 4")
+    // OVERLAPPING nested targets (one path contains the other) refuse
+    // — the chained rebuild would be assignment-order-dependent
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE tcat.nset.d SET s.inner = named_struct(" +
+        "'c', 1L), s.inner.c = 2")
+    }
+    assert(e2.getMessage.contains("conflicting SET targets"),
+      e2.getMessage)
+    // path-identifier arm takes nested SET too — MIXED CASE included
+    // (SQL resolution is case-insensitive; the writers canonicalize)
+    spark.sql(s"UPDATE graft_delta.`$dd` SET S.b = 'zz' WHERE id = 4")
     assert(spark.sql(s"SELECT s.b FROM graft_delta.`$dd` " +
       "WHERE id = 4").head().getString(0) == "zz")
   }

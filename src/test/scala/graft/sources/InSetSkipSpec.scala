@@ -116,4 +116,53 @@ class InSetSkipSpec extends AnyFunSuite with SparkFixture {
     assert(planned2 == 2,
       s"InSet read must plan 2 of 8 files, planned $planned2")
   }
+
+  test("transform-partitioned iceberg: IN predicates read and DELETE " +
+      "without crashing the transform pruner; bucket-equality still " +
+      "prunes per member") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_inskip_ib").toFile.getAbsolutePath
+    Iceberg.write(spark,
+      dir, (0L until 64L).map(i => (i, s"v$i")).toDF("k", "s"),
+      partitionBy = Seq("bucket(4, k)"))
+    // the read path: pushed In/InSet filters reach the transform
+    // pruner (a missing PredInSet arm was a MatchError here)
+    assert(Iceberg.snapshot(spark, dir)
+      .filter(col("k").isin(3L, 17L)).count() == 2L)
+    assert(Iceberg.snapshot(spark, dir)
+      .filter(col("k").isin((100L until 220L): _*)).count() == 0L)
+    // the DML path: an IN-subquery DELETE on the transform table
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_inskip_ibwh").toFile.getAbsolutePath
+    GraftCatalog.register(spark, wh, "db.t", "graft-iceberg", dir)
+    spark.conf.set("spark.sql.catalog.iskib",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.iskib.warehouse", wh)
+    Seq(5L, 6L).toDF("k").createOrReplaceTempView("iskib_keys")
+    spark.sql(
+      "DELETE FROM iskib.db.t WHERE k IN (SELECT k FROM iskib_keys)")
+    assert(spark.sql("SELECT COUNT(*) FROM iskib.db.t").head()
+      .getLong(0) == 62L)
+  }
+
+  test("mixed-type IN members (uncoerced path-arm trees) degrade to " +
+      "the linear keep-on-incomparable check, never throw") {
+    import org.apache.spark.sql.graft.GraftSql.PredInSet
+    val mixed = PredInSet("k",
+      Vector(6, new java.math.BigDecimal("3.0")))
+    assert(mixed.sorted.isEmpty, "mixed classes must not sort")
+    // and the full check runs without throwing (keeps conservatively
+    // where incomparable, prunes where provable)
+    assert(StatsSkip.mayMatch(mixed, schema, Seq.empty, Map.empty,
+      stats(1L, 10L)))
+    // end-to-end: a path-identifier DELETE with an uncoerced IN list
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_inskip_mx").toFile.getAbsolutePath
+    DeltaLake.write(spark, dir,
+      Seq((3L, 1.0), (6L, 2.0), (9L, 3.0)).toDF("k", "x").coalesce(1))
+    spark.sql(s"DELETE FROM graft_delta.`$dir` WHERE x IN (2, 3.0)")
+    assert(DeltaLake.snapshot(spark, dir).count() == 1L)
+  }
 }
