@@ -215,7 +215,33 @@ object GraftDml {
       })
 
     case m: MergeIntoTable =>
-      targetOf(m.targetTable).collect { case t if m.resolved =>
+      // WITH SCHEMA EVOLUTION and a source struct WIDER than the
+      // target's: Spark's own star alignment inserts a NARROWING
+      // struct cast (source struct → pre-evolution target struct)
+      // that can never type-check, so `m.resolved` stays false and
+      // validation would fail the statement before this bridge runs.
+      // Accept the node when everything EXCEPT those casts is
+      // resolved — the lowering reads assignment values through
+      // [[stripCasts]] anyway (the star detection and the full-row
+      // forms never execute the narrowing cast).
+      def evolutionReady: Boolean = m.withSchemaEvolution &&
+        m.targetTable.resolved && m.sourceTable.resolved &&
+        m.mergeCondition.resolved &&
+        (m.matchedActions ++ m.notMatchedActions ++
+          m.notMatchedBySourceActions).forall {
+          case ua: UpdateAction =>
+            ua.condition.forall(_.resolved) && ua.assignments.forall(
+              a => a.key.resolved && stripCasts(a.value).resolved)
+          case ia: InsertAction =>
+            ia.condition.forall(_.resolved) && ia.assignments.forall(
+              a => a.key.resolved && stripCasts(a.value).resolved)
+          case da: DeleteAction => da.condition.forall(_.resolved)
+          case ua: UpdateStarAction => ua.condition.forall(_.resolved)
+          case ia: InsertStarAction => ia.condition.forall(_.resolved)
+          case _ => false
+        }
+      targetOf(m.targetTable).collect {
+        case t if m.resolved || evolutionReady =>
         val stmt = s"MERGE INTO ${t.fullName}"
         checkWritable(t, stmt)
         // WITH SCHEMA EVOLUTION: source-only columns ADD to the table
@@ -227,24 +253,70 @@ object GraftDml {
         // clause set must be STAR-SHAPED — an explicit assignment
         // list was resolved against the pre-evolution schema and
         // would silently drop the new columns it cannot name.
-        val evolveCols: Seq[org.apache.spark.sql.types.StructField] =
+        // evolution units are (parent path, field): an empty path is a
+        // new TOP-LEVEL column; a non-empty one a new STRUCT MEMBER
+        // (the source struct gained a field — sound only when the
+        // source carries the target's members as a positional PREFIX,
+        // because the writers align structs positionally; diverging
+        // layouts refuse with the reorder hint)
+        def nestedAdds(path: Seq[String],
+            ti: org.apache.spark.sql.types.StructType,
+            si: org.apache.spark.sql.types.StructType)
+            : Seq[(Seq[String], org.apache.spark.sql.types.StructField)] = {
+          refuseIf(si.length < ti.length ||
+              !ti.fields.zip(si.fields).forall { case (a, b) =>
+                a.name.equalsIgnoreCase(b.name) },
+            s"$stmt: WITH SCHEMA EVOLUTION: struct " +
+              s"'${path.mkString(".")}' — the source's member layout " +
+              s"(${si.fieldNames.mkString(", ")}) does not start with " +
+              s"the target's (${ti.fieldNames.mkString(", ")}); the " +
+              "writers align structs positionally, so new members " +
+              "must APPEND — reorder the source struct")
+          val deeper = ti.fields.zip(si.fields).flatMap {
+            case (a, b) => (a.dataType, b.dataType) match {
+              case (x: org.apache.spark.sql.types.StructType,
+                  y: org.apache.spark.sql.types.StructType) =>
+                nestedAdds(path :+ a.name, x, y)
+              case (x, y) =>
+                refuseIf(x.catalogString != y.catalogString,
+                  s"$stmt: WITH SCHEMA EVOLUTION: member " +
+                    s"'${(path :+ a.name).mkString(".")}' is " +
+                    s"${x.simpleString} in the target but " +
+                    s"${y.simpleString} in the source — types never " +
+                    "evolve through a merge; widen explicitly, then " +
+                    "merge")
+                Seq.empty
+            }
+          }.toSeq
+          deeper ++ si.fields.drop(ti.length).map(nf =>
+            (path, org.apache.spark.sql.types.StructField(
+              nf.name, nf.dataType, nullable = true)))
+        }
+        val evolveCols
+            : Seq[(Seq[String], org.apache.spark.sql.types.StructField)] =
           if (!m.withSchemaEvolution) Seq.empty
           else {
             val tFields = stripAliases(m.targetTable).output
             m.sourceTable.output.flatMap { sa =>
               tFields.find(_.name.equalsIgnoreCase(sa.name)) match {
                 case Some(ta) =>
-                  refuseIf(ta.dataType.catalogString !=
-                      sa.dataType.catalogString,
-                    s"$stmt: WITH SCHEMA EVOLUTION: column " +
-                      s"'${sa.name}' is ${ta.dataType.simpleString} " +
-                      s"in the target but ${sa.dataType.simpleString} " +
-                      "in the source — types never evolve through a " +
-                      "merge; widen explicitly (ALTER TABLE … ALTER " +
-                      "COLUMN … TYPE), then merge")
-                  None
-                case None => Some(org.apache.spark.sql.types
-                  .StructField(sa.name, sa.dataType, nullable = true))
+                  (ta.dataType, sa.dataType) match {
+                    case (ti: org.apache.spark.sql.types.StructType,
+                        si: org.apache.spark.sql.types.StructType) =>
+                      nestedAdds(Seq(ta.name), ti, si)
+                    case (x, y) =>
+                      refuseIf(x.catalogString != y.catalogString,
+                        s"$stmt: WITH SCHEMA EVOLUTION: column " +
+                          s"'${sa.name}' is ${x.simpleString} " +
+                          s"in the target but ${y.simpleString} " +
+                          "in the source — types never evolve " +
+                          "through a merge; widen explicitly (ALTER " +
+                          "TABLE … ALTER COLUMN … TYPE), then merge")
+                      None
+                  }
+                case None => Some((Seq.empty[String],
+                  org.apache.spark.sql.types.StructField(
+                    sa.name, sa.dataType, nullable = true)))
               }
             }.toSeq
           }
@@ -316,7 +388,8 @@ object GraftDml {
           }
         refuseIf(evolveCols.nonEmpty && !starOnly,
           s"$stmt: WITH SCHEMA EVOLUTION adds column(s) " +
-            s"${evolveCols.map(_.name).mkString(", ")} but the " +
+            s"${evolveCols.map { case (p, f) =>
+              (p :+ f.name).mkString(".") }.mkString(", ")} but the " +
             "statement carries explicit assignment lists — those " +
             "were resolved against the pre-evolution schema; use " +
             "UPDATE SET * / INSERT *, or ALTER the table first")
@@ -328,10 +401,9 @@ object GraftDml {
           if (evolveCols.nonEmpty) GraftCatalog.retryOnCatalogRace {
             val v = t.entry.format match {
               case "graft-deltalake" =>
-                DeltaLake.addColumns(spark, t.entry.path, evolveCols)
+                DeltaLake.addFields(spark, t.entry.path, evolveCols)
               case "graft-iceberg" =>
-                Iceberg.addFields(spark, t.entry.path,
-                  evolveCols.map(f => Seq.empty[String] -> f))
+                Iceberg.addFields(spark, t.entry.path, evolveCols)
               case other => unknownFormat(other, t)
             }
             if (v >= 0L) {

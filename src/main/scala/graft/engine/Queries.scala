@@ -4578,6 +4578,77 @@ object Queries {
              |GROUP BY tbl, pri
              |ORDER BY tbl, pri""".stripMargin)),
 
+    // NESTED MERGE SCHEMA EVOLUTION (r16): the CDC feed's STRUCT
+    // gains a member — `MERGE WITH SCHEMA EVOLUTION` detects the
+    // source struct carrying the target's members as a positional
+    // prefix plus extras, ADDs the new member (nested evolution
+    // commit), and the merge lands the full evolved shape; matched
+    // rows take the member from the source, pre-evolution rows
+    // surface null. Delta arm (the iceberg twin is covered by the
+    // spec; one format keeps the oracle lean). Idempotent: staging
+    // dir wiped per run.
+    QueryDef("catalog_merge_evolve_nested_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        val tdir = new java.io.File(wh, "mevn")
+        def wipe(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).foreach(_.foreach(wipe))
+          f.delete(); ()
+        }
+        wipe(tdir)
+        import org.apache.spark.sql.functions.struct
+        graft.sources.DeltaLake.write(s, tdir.getAbsolutePath,
+          graft.sources.DeltaLake.snapshot(s, src)
+            .filter(col("o_custkey") % 61 === 3)
+            .select(col("o_orderkey"),
+              struct(col("o_orderpriority").as("pri"),
+                col("o_totalprice").as("price")).as("info")))
+        graft.sources.GraftCatalog.register(s, wh, "ddl.mevn",
+          "graft-deltalake", "mevn")
+        s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO gdml.ddl.mevn t
+             |USING (SELECT o_orderkey,
+             |         named_struct('pri', o_orderpriority,
+             |           'price', o_totalprice,
+             |           'seg', o_custkey % 100) AS info
+             |       FROM graft_delta.`$src`
+             |       WHERE o_custkey % 61 = 9
+             |          OR (o_custkey % 61 = 3 AND o_orderkey % 2 = 0)
+             |      ) s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *
+             |""".stripMargin)
+        s.sql(
+          """SELECT info.pri AS pri, COUNT(*) AS cnt,
+            |  CAST(SUM(CAST(FLOOR(info.price * 100) AS BIGINT))
+            |    AS BIGINT) AS cents,
+            |  CAST(COUNT(info.seg) AS BIGINT) AS seg_cnt,
+            |  CAST(SUM(info.seg) AS BIGINT) AS seg_sum
+            |FROM gdml.ddl.mevn
+            |GROUP BY pri
+            |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+             |    AS BIGINT) AS cents,
+             |  CAST(COUNT(seg) AS BIGINT) AS seg_cnt,
+             |  CAST(SUM(seg) AS BIGINT) AS seg_sum
+             |FROM (
+             |  SELECT o_orderpriority, o_totalprice,
+             |    CASE WHEN o_custkey % 61 = 9
+             |           OR (o_custkey % 61 = 3 AND o_orderkey % 2 = 0)
+             |      THEN o_custkey % 100 END AS seg
+             |  FROM orders
+             |  WHERE o_custkey % 61 IN (3, 9))
+             |GROUP BY pri
+             |ORDER BY pri""".stripMargin)),
+
     // SUBQUERIES IN DML PREDICATES (r16): the bridge lowers them by
     // MATERIALIZATION — an uncorrelated `IN (SELECT …)` becomes an
     // InSet over the collected distinct keys (still stats-prunable at

@@ -3188,8 +3188,12 @@ object DeltaLake {
         s"(${st.partitionColumns.mkString(",")}) must be merge keys — " +
         "a non-key partition column would let a match move rows " +
         "across partitions")
+    // NULLABLE cast targets (see the SET-value casts): the stored
+    // schema's non-nullable struct members make a nullable source
+    // struct un-castable, and the reader forces nullability anyway
     val src = source.select(st.schema.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*).cache()
+      col(f.name).cast(LakeScan.asNullable(f.dataType))
+        .as(f.name)): _*).cache()
     var pinned: Option[DataFrame] = None
     try {
       // cardinality check over MATCHABLE keys only: a NULL key matches
@@ -3422,7 +3426,8 @@ object DeltaLake {
     // source-only columns (condition inputs) pass through untouched
     val src = source.select(srcCols.map { c =>
       st.schema.find(_.name == c)
-        .map(f => col(c).cast(f.dataType).as(c)).getOrElse(col(c))
+        .map(f => col(c).cast(LakeScan.asNullable(f.dataType)).as(c))
+        .getOrElse(col(c))
     }: _*).cache()
     var pinned: Option[DataFrame] = None
     try {

@@ -3129,7 +3129,8 @@ object Iceberg {
         "a non-key partition column would let a match move rows " +
         "across partitions")
     val src = source.select(cur.schema.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*).cache()
+      col(f.name).cast(LakeScan.asNullable(f.dataType))
+        .as(f.name)): _*).cache()
     try {
       val keyPred = keys.map(k => col(k).isNotNull).reduce(_ && _)
       require(src.filter(keyPred).groupBy(keys.map(col): _*).count()
@@ -3225,7 +3226,8 @@ object Iceberg {
         s"${cur.schema.fieldNames.toSeq}, source: $srcCols")
     val src = source.select(srcCols.map { c =>
       cur.schema.find(_.name == c)
-        .map(f => col(c).cast(f.dataType).as(c)).getOrElse(col(c))
+        .map(f => col(c).cast(LakeScan.asNullable(f.dataType)).as(c))
+        .getOrElse(col(c))
     }: _*).cache()
     try {
       if (matched.nonEmpty && keys.nonEmpty) {

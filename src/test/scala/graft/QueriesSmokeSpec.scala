@@ -109,8 +109,8 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "catalog_subquery_dml", "catalog_merge_evolve_sql",
       "catalog_nested_delta_sql", "catalog_backfill_default_sql",
       "approx_stats_exact", "catalog_nested_set_sql",
-      "catalog_iceberg_default_sql")
-    assert(declared.size == 210)
+      "catalog_iceberg_default_sql", "catalog_merge_evolve_nested_sql")
+    assert(declared.size == 211)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

@@ -538,6 +538,54 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       .head().getString(0) == "y")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION, NESTED: a source struct gaining " +
+      "a trailing member ADDs it; diverging member layouts refuse") {
+    import org.apache.spark.sql.functions.struct
+    def base = (1 to 3).map(i => (i.toLong, i * 1.0, s"v$i"))
+      .toDF("id", "a", "b")
+      .select(col("id"), struct(col("a"), col("b")).as("s")).coalesce(1)
+    val dd = freshDir("mevn_d")
+    DeltaLake.write(spark, dd, base)
+    GraftCatalog.register(spark, wh, "mevn.d", "graft-deltalake", dd)
+    val ii = freshDir("mevn_i")
+    Iceberg.write(spark, ii, base)
+    GraftCatalog.register(spark, wh, "mevn.i", "graft-iceberg", ii)
+    // source struct = target members (in order) ++ a new member
+    Seq((2L, (20.0, "x2", 200L)), (9L, (90.0, "x9", 900L)))
+      .toDF("id", "raw")
+      .selectExpr("id", "named_struct('a', raw._1, 'b', raw._2, " +
+        "'c', raw._3) AS s")
+      .createOrReplaceTempView("mevn_src")
+    for (tbl <- Seq("tcat.mevn.d", "tcat.mevn.i")) {
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t
+           |USING mevn_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |""".stripMargin)
+      val rows = spark.sql(
+        s"SELECT id, s.a, s.b, s.c FROM $tbl ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+      assert(rows == Seq((1L, 1.0, "v1", -1L), (2L, 20.0, "x2", 200L),
+        (3L, 3.0, "v3", -1L), (9L, 90.0, "x9", 900L)),
+        s"$tbl: $rows — matched rows take the new member, " +
+          "pre-evolution rows surface null, inserts land full")
+    }
+    // a source struct whose member layout DIVERGES (not a prefix)
+    // refuses — the writers align structs positionally
+    Seq((2L, (201L, 21.0, "y2"))).toDF("id", "raw")
+      .selectExpr("id", "named_struct('c', raw._1, 'a', raw._2, " +
+        "'b', raw._3) AS s")
+      .createOrReplaceTempView("mevn_bad")
+    val e = intercept[Exception] {
+      spark.sql("MERGE WITH SCHEMA EVOLUTION INTO tcat.mevn.d t " +
+        "USING mevn_bad s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(e.getMessage.contains("positionally"), e.getMessage)
+  }
+
   test("SQL MERGE through the catalog: canonical upsert shape routes " +
       "to the native merge; off-shape statements refuse loudly") {
     val dd = freshDir("dml_m")
