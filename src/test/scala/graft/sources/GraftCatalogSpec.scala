@@ -398,6 +398,12 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       "WHERE id = (SELECT MAX(id) FROM tcat.dml.sq)")
     assert(spark.sql("SELECT g FROM tcat.dml.sq WHERE id = 14")
       .head().getString(0) == "top")
+    // scalar subqueries lower on the VALUE side of SET too
+    spark.sql("UPDATE tcat.dml.sq SET g = " +
+      "concat('v', (SELECT MAX(k) FROM sq_aux)) WHERE id = 1")
+    assert(spark.sql("SELECT g FROM tcat.dml.sq WHERE id = 1")
+      .head().getString(0) == "v8",
+      "SET value must take the materialized scalar")
     // refusals: non-equality correlation, correlated scalar
     val e1 = intercept[Exception] {
       spark.sql("DELETE FROM tcat.dml.sq t WHERE EXISTS " +
