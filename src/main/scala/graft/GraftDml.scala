@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Exists, Expression, InSet, InSubquery, ListQuery, OuterReference, ScalarSubquery, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, EvalMode, Exists, Expression, InSet, InSubquery, ListQuery, Literal, OuterReference, ScalarSubquery, SubqueryExpression}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -134,7 +135,8 @@ object GraftDml {
         // predicate is already name-based (UnresolvedAttributes), so
         // the native writer resolves it against its own scan directly
         val stmt = s"DELETE FROM ${pt.format} `${pt.path}`"
-        val pred = unresolvedColumn(session, cond, pt.alias, stmt)
+        val pred = unresolvedColumn(session, cond, pt.alias, stmt,
+          pathSchemaOf(session, pt))
         GraftDmlCommand(stmt, spark => pathVia(pt,
           DeltaLake.delete(spark, pt.path, pred),
           Iceberg.delete(spark, pt.path, pred)))
@@ -170,14 +172,18 @@ object GraftDml {
         // through the native writer instead of silently no-opping
         // (r13 advice). The identity drop above only exists to peel
         // the analyzer's alignment fill-ins off real SET lists.
+        val tTypeOf: String => Option[org.apache.spark.sql.types
+          .DataType] = n => stripAliases(target).output
+          .find(_.name.equalsIgnoreCase(n)).map(_.dataType)
         val effective: Map[String, Column] =
-          if (set.nonEmpty) foldNestedSets(set, stmt)
+          if (set.nonEmpty) foldNestedSets(set, stmt, tTypeOf)
           else identitySetOf(assignments, stmt, canon)
         GraftDmlCommand(stmt, spark => commitVia(t,
           DeltaLake.update(spark, t.entry.path, pred, effective),
           Iceberg.update(spark, t.entry.path, pred, effective)))
       }.orElse(pathTargetOf(target).map { pt =>
         val stmt = s"UPDATE ${pt.format} `${pt.path}`"
+        val ptSchema = pathSchemaOf(session, pt)
         val set: Seq[(String, Seq[String], Column)] =
           assignments.flatMap { a =>
             val parts = a.key match {
@@ -200,14 +206,18 @@ object GraftDml {
                     }) =>
                 None
               case v => Some((name, path,
-                unresolvedColumn(session, v, pt.alias, stmt)))
+                unresolvedColumn(session, v, pt.alias, stmt, ptSchema)))
             }
           }
-        val pred = condOpt.map(unresolvedColumn(session, _, pt.alias, stmt))
+        val pred = condOpt.map(
+          unresolvedColumn(session, _, pt.alias, stmt, ptSchema))
           .getOrElse(lit(true))
         // all-identity: same rewrite semantics as the catalog arm
+        val ptTypeOf: String => Option[org.apache.spark.sql.types
+          .DataType] = n => ptSchema().fields
+          .find(_.name.equalsIgnoreCase(n)).map(_.dataType)
         val effective: Map[String, Column] =
-          if (set.nonEmpty) foldNestedSets(set, stmt)
+          if (set.nonEmpty) foldNestedSets(set, stmt, ptTypeOf)
           else identitySetOf(assignments, stmt)
         GraftDmlCommand(stmt, spark => pathVia(pt,
           DeltaLake.update(spark, pt.path, pred, effective),
@@ -224,6 +234,12 @@ object GraftDml {
       // resolved — the lowering reads assignment values through
       // [[stripCasts]] anyway (the star detection and the full-row
       // forms never execute the narrowing cast).
+      // (an explicit list cannot NAME a not-yet-added column: Spark's
+      // ResolveReferences.checkResolvedMergeExpr throws
+      // UNRESOLVED_COLUMN during its own fixpoint, before any
+      // extension rule can see the node — so the supported explicit
+      // shape references existing columns and lets the evolved ones
+      // land NULL)
       def evolutionReady: Boolean = m.withSchemaEvolution &&
         m.targetTable.resolved && m.sourceTable.resolved &&
         m.mergeCondition.resolved &&
@@ -369,10 +385,17 @@ object GraftDml {
             case Seq(ia: InsertStarAction) => ia.condition.isEmpty
             case _ => false
           })
-        // with columns actually evolving, every value-carrying action
-        // must be star-shaped: an explicit list was resolved against
-        // the pre-evolution schema and cannot name the new columns —
-        // running it anyway would silently drop them from updates
+        // explicit assignment lists resolve against the
+        // POST-EVOLUTION schema (r16 verdict #3): a list may name the
+        // new top-level columns (unresolved keys, resolved here by
+        // name), and new columns it does NOT name land NULL on
+        // inserts / keep their (NULL) value on updates — the CDC user
+        // who writes explicit assignments. NESTED evolution (a struct
+        // gaining a member) still requires star-shaped clauses: an
+        // explicit struct assignment carries the pre-evolution layout
+        // and would have to be rebuilt member-wise to be sound.
+        val topEvolve = evolveCols.filter(_._1.isEmpty)
+        val nestedEvolve = evolveCols.filterNot(_._1.isEmpty)
         val starOnly =
           m.matchedActions.forall {
             case _: UpdateStarAction => true
@@ -386,12 +409,12 @@ object GraftDml {
               isAllColumnCopy(ia.assignments, targetCols, sOut)
             case _ => false
           }
-        refuseIf(evolveCols.nonEmpty && !starOnly,
-          s"$stmt: WITH SCHEMA EVOLUTION adds column(s) " +
-            s"${evolveCols.map { case (p, f) =>
+        refuseIf(nestedEvolve.nonEmpty && !starOnly,
+          s"$stmt: WITH SCHEMA EVOLUTION adds nested member(s) " +
+            s"${nestedEvolve.map { case (p, f) =>
               (p :+ f.name).mkString(".") }.mkString(", ")} but the " +
-            "statement carries explicit assignment lists — those " +
-            "were resolved against the pre-evolution schema; use " +
+            "statement carries explicit assignment lists — a struct " +
+            "assignment carries the pre-evolution layout; use " +
             "UPDATE SET * / INSERT *, or ALTER the table first")
         // the evolution commit itself, run ahead of the merge in the
         // same statement (its own retry — a lost race replays against
@@ -448,6 +471,9 @@ object GraftDml {
           // nested struct-member targets fold into whole-column
           // rebuilds exactly like UPDATE ([[foldNestedSets]]); the
           // withField base resolves against the clause's TARGET row
+          val mTypeOf: String => Option[org.apache.spark.sql.types
+            .DataType] = n => stripAliases(m.targetTable).output
+            .find(_.name.equalsIgnoreCase(n)).map(_.dataType)
           def setOf(assigns: Seq[Assignment],
               lower: Expression => Column): Map[String, Column] =
             foldNestedSets(assigns.map { a =>
@@ -455,15 +481,28 @@ object GraftDml {
                 raw => targetCols.find(_.equalsIgnoreCase(raw))
                   .getOrElse(raw), stmt)
               (name, path, lower(a.value))
-            }, stmt)
+            }, stmt, mTypeOf)
+          // an explicit INSERT list under evolution: new columns it
+          // does not name land a typed NULL (the writers commit full
+          // rows; pre-evolution alignment cannot have filled them)
+          def fillEvolved(set: Map[String, Column]): Map[String, Column] =
+            set ++ topEvolve.collect {
+              case (_, f) if !set.keys.exists(
+                  _.equalsIgnoreCase(f.name)) =>
+                f.name -> lit(null).cast(f.dataType)
+            }
           import graft.sources.MergeActions._
           val matchedActs: Seq[Matched] = m.matchedActions.map {
             case ua: UpdateAction =>
-              // under live evolution the (star-verified) explicit
-              // list cannot name the new columns — lower to the
-              // full-row form so they update from the source too
+              // a star-verified explicit list under evolution cannot
+              // name the new columns — lower to the full-row form so
+              // they update from the source too; a genuinely explicit
+              // list resolves against the post-evolution schema and
+              // updates exactly what it names
               MatchedUpdate(ua.condition.map(lowerMixed),
-                if (evolveCols.nonEmpty) None
+                if (evolveCols.nonEmpty &&
+                    isAllColumnCopy(ua.assignments, targetCols, sOut))
+                  None
                 else Some(setOf(ua.assignments, lowerMixed)))
             case ua: UpdateStarAction =>
               MatchedUpdate(ua.condition.map(lowerMixed), None)
@@ -476,8 +515,11 @@ object GraftDml {
             m.notMatchedActions.map {
               case ia: InsertAction =>
                 NotMatchedInsert(ia.condition.map(lowerSource),
-                  if (evolveCols.nonEmpty) None
-                  else Some(setOf(ia.assignments, lowerSource)))
+                  if (evolveCols.nonEmpty &&
+                      isAllColumnCopy(ia.assignments, targetCols, sOut))
+                    None
+                  else Some(fillEvolved(
+                    setOf(ia.assignments, lowerSource))))
               case ia: InsertStarAction =>
                 NotMatchedInsert(ia.condition.map(lowerSource), None)
               case other => refuse(s"$stmt: unsupported WHEN NOT " +
@@ -635,6 +677,17 @@ object GraftDml {
     *    collected distinct values (internal representation — the set
     *    rides the task closure as a hash set, never a literal tree);
     *    `NOT IN` keeps SQL null semantics (InSet three-valued logic).
+    *    Members are COERCED to the outer side's type the way SQL
+    *    coerces both sides of IN (see `memberCoercer`); on fully
+    *    analyzer-coerced trees the sides already agree and the
+    *    mismatch arms are a safety net (they matter for the
+    *    decorrelated EXISTS/IN pairs, whose sides the analyzer never
+    *    coerced against each other).
+    *  - correlated `x IN (SELECT y FROM s WHERE s.k = t.k [AND
+    *    uncorrelated…])` → the distinct (k, y) pairs materialize and
+    *    the predicate becomes a [[graft.functions.PairInSet]] keyed
+    *    membership (per-row hash lookup, three-valued IN within the
+    *    key's group, empty-group → false so NOT IN keeps its rows).
     *  - `EXISTS (SELECT … WHERE inner = outer [AND residual])` with
     *    single-equality correlation decorrelates to the IN form
     *    (`outer IN (SELECT inner FROM … WHERE residual)`); residual
@@ -651,30 +704,126 @@ object GraftDml {
     */
   private def lowerSubqueries(session: SparkSession, e: Expression,
       stmt: String): Expression = {
+    // every tree reaching this point is RESOLVED (the catalog arm by
+    // the statement's own analysis, the path arm via
+    // [[resolveAgainstTarget]]), so the outer side's type is always
+    // available for member coercion
+    val outerTypeOf: Expression => Option[DataType] =
+      x => if (x.resolved) Some(x.dataType) else None
     def isCorrelated(p: LogicalPlan): Boolean =
       p.exists(_.expressions.exists(
         _.exists(_.isInstanceOf[OuterReference])))
-    def materialize(p: LogicalPlan,
-        what: String): (Seq[Any], org.apache.spark.sql.types.DataType) = {
+    def subqueryCap: Int = session.conf
+      .get("spark.graft.dml.subqueryLimit", "100000").toInt
+    def materializeRows(p: LogicalPlan, what: String, cols: Int)
+        : (Seq[Row], Seq[DataType]) = {
       val df = GraftSql.ofRows(session, p)
-      refuseIf(df.schema.length != 1,
-        s"$stmt: $what subquery must produce exactly one column, " +
+      refuseIf(df.schema.length != cols,
+        s"$stmt: $what subquery must produce exactly $cols column(s), " +
           s"got ${df.schema.fieldNames.mkString(", ")}")
-      val cap = session.conf
-        .get("spark.graft.dml.subqueryLimit", "100000").toInt
+      val cap = subqueryCap
       val rows = df.distinct().limit(cap + 1).collect()
       refuseIf(rows.length > cap,
         s"$stmt: $what subquery produced more than $cap distinct " +
           "values (spark.graft.dml.subqueryLimit) — a key set this " +
           "large is a join-shaped rewrite; use the library API")
-      (rows.toSeq.map(_.get(0)), df.schema.head.dataType)
+      (rows.toSeq, df.schema.map(_.dataType))
     }
+    def materialize(p: LogicalPlan,
+        what: String): (Seq[Any], DataType) = {
+      val (rows, dts) = materializeRows(p, what, 1)
+      (rows.map(_.get(0)), dts.head)
+    }
+    // member value `v : dt` → catalyst value in `target`, evaluated
+    // through the analyzer's own Cast (session eval mode: ANSI errors
+    // on an uncastable member exactly where SQL would; legacy yields
+    // the null SQL would, which InSet's three-valued logic honors)
+    def castMember(v: Any, dt: DataType, target: DataType,
+        tryMode: Boolean): Any = {
+      val l = Literal.create(v, dt)
+      if (tryMode) Cast(l, target, None, EvalMode.TRY).eval(null)
+      else Cast(l, target).eval(null)
+    }
+    // is `Cast(column : from, to)` injective (every column value has a
+    // distinct image)? Then `cast(col) IN S  ⟺  col IN narrow(S)`
+    // where narrow keeps exactly the members that round-trip.
+    def injectiveWidening(from: DataType, to: DataType): Boolean = {
+      def intDigits(d: DataType): Int = d match {
+        case ByteType => 3; case ShortType => 5
+        case IntegerType => 10; case LongType => 19; case _ => 0
+      }
+      (from, to) match {
+        case (ByteType | ShortType | IntegerType | LongType,
+              ByteType | ShortType | IntegerType | LongType) => true
+        case (FloatType, DoubleType) => true
+        case (ByteType | ShortType | IntegerType, DoubleType) => true
+        case (ByteType | ShortType, FloatType) => true
+        case (f: DecimalType, t: DecimalType) =>
+          t.scale >= f.scale &&
+            t.precision - t.scale >= f.precision - f.scale
+        case (i @ (ByteType | ShortType | IntegerType | LongType),
+              t: DecimalType) =>
+          t.precision - t.scale >= intDigits(i)
+        case _ => false
+      }
+    }
+    // the member set for `outer IN members(dt)`, COERCED the way SQL
+    // coerces both sides of IN to a common wider type (r16 advice: a
+    // type-mismatched pair — bigint column IN (SELECT int_col …) —
+    // compares different runtime classes inside the hash set and is
+    // silently false). Members land in the OUTER side's type so the
+    // InSet keeps its bare-attribute shape (stats-skip file pruning
+    // lowers `InSet(attr, …)` only): outer already the wider type →
+    // members cast up (SQL's own coercion, evaluated here); outer
+    // widens injectively into the common type → members narrow with a
+    // round-trip proof or provably match no row and drop — sound for
+    // IN and, with InSet's null handling, NOT IN; anything else (a
+    // non-injective column coercion: bigint vs double, string vs
+    // numeric) refuses rather than silently change semantics.
+    def memberCoercer(outerType: Option[DataType], dt: DataType,
+        what: String): Any => Option[Any] = outerType match {
+      case Some(ot) if !GraftSql.sameType(ot, dt) =>
+        val wider = GraftSql.widerTypeForTwo(ot, dt).getOrElse(refuse(
+          s"$stmt: $what subquery column type ${dt.sql} is not " +
+            s"comparable with the ${ot.sql} target column — cast " +
+            "explicitly in the subquery"))
+        if (GraftSql.sameType(wider, ot))
+          v => Some(castMember(v, dt, ot, tryMode = false))
+        else if (injectiveWidening(ot, wider)) {
+          val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(dt)
+          v =>
+            // a NULL member keeps its three-valued weight (x NOT IN
+            // (…, null) is never true); only non-null unrepresentable
+            // members drop (they provably equal no column value)
+            if (v == null) Some(null)
+            else {
+              val narrowed = castMember(v, dt, ot, tryMode = true)
+              if (narrowed == null) None
+              else {
+                val back = Cast(Literal(narrowed, ot), dt, None,
+                  EvalMode.TRY).eval(null)
+                if (java.util.Objects.equals(back, conv(v)))
+                  Some(narrowed)
+                else None
+              }
+            }
+        } else refuse(
+          s"$stmt: $what subquery type ${dt.sql} vs target column " +
+            s"type ${ot.sql} would coerce the COLUMN to ${wider.sql} " +
+            "(not provably row-exact here) — cast inside the subquery")
+      case _ =>
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(dt)
+        v => Some(conv(v))
+    }
+    def coercedSet(outerType: Option[DataType], vals: Seq[Any],
+        dt: DataType, what: String): Set[Any] =
+      vals.flatMap(memberCoercer(outerType, dt, what)).toSet
     def inSet(value: Expression, plan: LogicalPlan,
         what: String): Expression = {
       val (vals, dt) = materialize(plan, what)
-      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
-        .createToCatalystConverter(dt)
-      InSet(value, vals.map(conv).toSet)
+      InSet(value, coercedSet(outerTypeOf(value), vals, dt, what))
     }
     def splitAnd(x: Expression): Seq[Expression] = x match {
       case And(l, r) => splitAnd(l) ++ splitAnd(r)
@@ -710,16 +859,70 @@ object GraftDml {
         }
       case _ => None
     }
+    // correlated `x IN (SELECT y FROM s WHERE s.k = t.k [AND
+    // uncorrelated…])` — the same single-equality envelope as the
+    // EXISTS arm, but the subquery's own select item rides ALONGSIDE
+    // the correlation key: materialize the distinct (k, y) pairs and
+    // test (t.k, x) against the per-key sets ([[PairInSet]], hash
+    // lookup per row, SQL's three-valued IN per key group). Returns
+    // (outer key, plan projecting [key, value]).
+    def decorrelateIn(p: LogicalPlan)
+        : Option[(Expression, LogicalPlan)] = p match {
+      case Project(sel, Filter(cond, child))
+          if sel.length == 1 && !hasOuter(sel.head) =>
+        val (corr, residual) = splitAnd(cond).partition(hasOuter)
+        if (residual.exists(hasOuter)) None
+        else {
+          val eq = corr match {
+            case Seq(EqualTo(inner, OuterReference(outer)))
+                if !hasOuter(inner) => Some((outer, inner))
+            case Seq(EqualTo(OuterReference(outer), inner))
+                if !hasOuter(inner) => Some((outer, inner))
+            case _ => None
+          }
+          eq.map { case (outer, inner) =>
+            val base = residual.reduceOption(And)
+              .map(Filter(_, child)).getOrElse(child)
+            (outer, Project(Seq(
+              org.apache.spark.sql.catalyst.expressions
+                .Alias(inner, "__gd_in_k")(),
+              org.apache.spark.sql.catalyst.expressions
+                .Alias(sel.head, "__gd_in_v")()), base))
+          }
+        }
+      case _ => None
+    }
     e.transformUp {
       case in @ InSubquery(values, lq: ListQuery) =>
         refuseIf(values.length != 1,
           s"$stmt: multi-column IN subqueries are not supported — " +
             "pair the columns explicitly or use the library API")
-        refuseIf(isCorrelated(lq.plan),
-          s"$stmt: correlated IN subqueries are not supported — " +
-            "rewrite as EXISTS with a single equality, or use the " +
-            s"library API (${in.sql})")
-        inSet(values.head, lq.plan, "IN")
+        if (!isCorrelated(lq.plan)) inSet(values.head, lq.plan, "IN")
+        else decorrelateIn(lq.plan) match {
+          case Some((outerKey, pairPlan)) =>
+            val (rows, dts) = materializeRows(pairPlan, "IN", 2)
+            val ck = memberCoercer(outerTypeOf(outerKey), dts.head,
+              "IN-correlation-key")
+            val cv = memberCoercer(outerTypeOf(values.head), dts(1),
+              "IN")
+            // an inner NULL key never satisfies the equality (its
+            // rows join no outer row); a dropped unrepresentable key
+            // provably equals no outer key — both rows vanish
+            val grouped: Map[Any, Seq[Any]] = rows
+              .filter(_.get(0) != null)
+              .flatMap(r => ck(r.get(0)).map(k => (k, r.get(1))))
+              .groupBy(_._1)
+              .map { case (k, ps) => k -> ps.flatMap(p => cv(p._2)) }
+            val sets: Map[Any, (Set[Any], Boolean)] =
+              grouped.map { case (k, xs) =>
+                k -> ((xs.filter(_ != null).toSet, xs.contains(null)))
+              }
+            graft.functions.PairInSet(outerKey, values.head, sets)
+          case None => refuse(
+            s"$stmt: IN-subquery correlation beyond one equality is " +
+              "not supported — rewrite with a single `inner = outer` " +
+              s"conjunct or use the library API (${in.sql})")
+        }
       case ex: Exists if !isCorrelated(ex.plan) =>
         // uncorrelated EXISTS: a constant — true iff any row exists
         val df = GraftSql.ofRows(session, ex.plan)
@@ -786,9 +989,21 @@ object GraftDml {
     case gsf: org.apache.spark.sql.catalyst.expressions.GetStructField =>
       val (top, p) = keyPathOf(gsf.child, canon, stmt)
       (top, p :+ gsf.name.getOrElse(gsf.extractFieldName))
-    case other => refuse(s"$stmt: SET target must be a column or " +
-      s"struct member, got '${other.sql}' — array/map element " +
-      "updates are not expressible as a column rewrite")
+    // `SET m.k = v` on a MAP column resolves to GetMapValue — the key
+    // becomes a path segment and [[rebuildStep]] turns it into a
+    // whole-map key upsert (the segment re-casts to the key type)
+    case gmv: org.apache.spark.sql.catalyst.expressions.GetMapValue
+        if gmv.key.foldable =>
+      val (top, p) = keyPathOf(gmv.child, canon, stmt)
+      val k = gmv.key.eval(null) match {
+        case null => refuse(s"$stmt: NULL map key in SET target")
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case other => String.valueOf(other)
+      }
+      (top, p :+ k)
+    case other => refuse(s"$stmt: SET target must be a column, " +
+      s"struct member, or map key, got '${other.sql}' — array " +
+      "elements have no SQL-nameable ordinal in UPDATE")
   }
 
   /** Fold a SET list that may contain NESTED struct-member targets
@@ -801,7 +1016,9 @@ object GraftDml {
     * ambiguous) and refuse; so do duplicate whole-column targets.
     */
   private def foldNestedSets(set: Seq[(String, Seq[String], Column)],
-      stmt: String): Map[String, Column] =
+      stmt: String,
+      typeOf: String => Option[DataType] = _ => None)
+      : Map[String, Column] =
     // CASE-INSENSITIVE grouping (SQL resolution is): `SET S.a, s.b`
     // is one column's rebuild, not two conflicting top-level targets
     set.groupBy(_._1.toLowerCase).map { case (_, group) =>
@@ -826,13 +1043,86 @@ object GraftDml {
               "other, so the result would depend on assignment order")
         }
       }
+      def pathHitsMap(dt: DataType, path: Seq[String]): Boolean =
+        (dt, path) match {
+          case (_, Seq()) => false
+          case (s: StructType, h +: t) =>
+            s.fields.find(_.name.equalsIgnoreCase(h))
+              .exists(f => pathHitsMap(f.dataType, t))
+          case (_: org.apache.spark.sql.types.MapType, _) => true
+          case _ => false
+        }
       if (whole.nonEmpty) top -> whole.head._3
-      else top -> nested.foldLeft(
-        org.apache.spark.sql.functions.col(top)) {
-        case (acc, (_, path, v)) =>
-          acc.withField(path.map(p => s"`$p`").mkString("."), v)
+      else typeOf(top) match {
+        // a MAP on some path: the schema-aware rebuild (struct steps
+        // via withField, a FINAL map-key step as a key upsert)
+        case Some(dt) if nested.exists(n => pathHitsMap(dt, n._2)) =>
+          top -> nested.foldLeft(
+            org.apache.spark.sql.functions.col(top)) {
+            case (acc, (_, path, v)) =>
+              rebuildStep(acc, dt, path, v, stmt, top)
+          }
+        // pure struct paths: the original dotted withField (Spark
+        // resolves nested names case-insensitively at writer analysis)
+        case _ => top -> nested.foldLeft(
+          org.apache.spark.sql.functions.col(top)) {
+          case (acc, (_, path, v)) =>
+            acc.withField(path.map(p => s"`$p`").mkString("."), v)
+        }
       }
     }
+
+  /** One step of the schema-aware nested-SET rebuild: struct members
+    * rebuild via `withField`; a MAP column consumes the next path
+    * segment as a KEY and rebuilds the whole map with that key upserted
+    * (`SET m.k = v` — SQL names a map entry through the same dotted
+    * syntax as a struct member; the segment casts to the map's key
+    * type, and a segment that cannot represent a key refuses). Deeper
+    * paths under a map value refuse (which ENTRY's struct to rebuild is
+    * only knowable per row — expressible, but a different operation);
+    * so do paths through arrays (Spark's UPDATE grammar cannot name an
+    * ordinal — `SET arr[1]` does not parse — so there is nothing
+    * positional to support).
+    */
+  private def rebuildStep(base: Column, dt: DataType,
+      path: Seq[String], v: Column, stmt: String,
+      where: String): Column = {
+    import org.apache.spark.sql.functions.{lit, map_concat, map_filter}
+    (path, dt) match {
+      case (Seq(), _) => v
+      case (head +: tail, s: StructType) =>
+        val f = s.fields.find(_.name.equalsIgnoreCase(head)).getOrElse(
+          refuse(s"$stmt: no member '$head' in struct '$where' " +
+            s"(${s.fieldNames.mkString(", ")})"))
+        base.withField(s"`${f.name}`",
+          rebuildStep(base.getField(f.name), f.dataType, tail, v,
+            stmt, s"$where.$head"))
+      case (head +: tail, m: org.apache.spark.sql.types.MapType) =>
+        refuseIf(tail.nonEmpty,
+          s"$stmt: SET target '$where.$head.${tail.mkString(".")}' " +
+            "reaches THROUGH a map value — which entry's member to " +
+            "rebuild is per-row; assign the entry as a whole " +
+            s"('$where.$head = named_struct(…)') instead")
+        val keyVal = Cast(Literal(head), m.keyType, None,
+          EvalMode.TRY).eval(null)
+        refuseIf(keyVal == null,
+          s"$stmt: map key '$head' does not parse as the key type " +
+            s"${m.keyType.sql} of '$where'")
+        val k = lit(head).cast(m.keyType)
+        // key upsert: drop the key if present, then concat the new
+        // entry — absent keys INSERT (map entries have no existence
+        // contract a strict-update could check per row cheaply)
+        map_concat(
+          map_filter(base, (mk, _) => mk =!= k),
+          org.apache.spark.sql.functions.map(
+            k, v.cast(m.valueType)))
+      case (head +: _, other) =>
+        refuse(s"$stmt: cannot SET member '$head' of '$where' " +
+          s"(${other.simpleString}) — only struct members and map " +
+          "keys are assignable; array elements have no SQL-nameable " +
+          "ordinal in UPDATE")
+    }
+  }
 
   /** One identity assignment (`a -> col(a)`) from the statement's own
     * SET list — the native-writer payload for an ALL-IDENTITY UPDATE
@@ -881,6 +1171,18 @@ object GraftDml {
     case other => other
   }
 
+  /** The path target's STORED schema, lazily (forced only when a
+    * subquery-bearing expression actually needs resolution).
+    */
+  private def pathSchemaOf(session: SparkSession,
+      pt: PathTarget): () => StructType = {
+    lazy val s = pt.format match {
+      case "graft-deltalake" => DeltaLake.snapshot(session, pt.path).schema
+      case _ => Iceberg.snapshot(session, pt.path).schema
+    }
+    () => s
+  }
+
   /** Strip the statement's table alias off a qualified column
     * reference (`t.id` → `id`) so it resolves against the native scan.
     */
@@ -894,25 +1196,65 @@ object GraftDml {
 
   /** A PRE-resolution DML expression as a Column — the parser's shape
     * is already name-based; only alias qualifiers need stripping.
-    * Uncorrelated IN/scalar subqueries materialize (their raw plans
-    * analyze independently); a correlated one fails that analysis
-    * loudly (the inner plan cannot resolve the outer column), and
-    * EXISTS is unresolvable pre-resolution (no outer-reference
-    * marking to decorrelate by) — refused with the route named.
+    *
+    * Expressions CONTAINING a subquery first resolve against a
+    * LocalRelation of the target's STORED schema (wrapped in the
+    * statement's alias), so correlation gets its OuterReference
+    * marking exactly like a catalog-resolved statement — correlated
+    * EXISTS / IN and typed member coercion then ride the SAME
+    * [[lowerSubqueries]] the catalog arm uses (r16 verdict #5: the
+    * EXISTS refusal here was an inconsistent surface). Subquery-free
+    * expressions keep the direct pre-resolution path (no behavior
+    * change; the writers resolve names against their own scan).
     */
   private def unresolvedColumn(session: SparkSession, e: Expression,
-      alias: Option[String], stmt: String): Column = {
-    refuseIf(e.exists(_.isInstanceOf[Exists]),
-      s"$stmt: EXISTS on a path-identifier target is not supported " +
-        "(no outer-reference marking pre-resolution) — register the " +
-        "table in a graft catalog or use the library API")
-    val e2 = lowerSubqueries(session, e, stmt)
+      alias: Option[String], stmt: String,
+      targetSchema: () => StructType): Column = {
+    // (Exists, ListQuery-under-InSubquery, and ScalarSubquery are all
+    // SubqueryExpressions — one walk covers every parsed shape)
+    if (!e.exists(_.isInstanceOf[SubqueryExpression]))
+      return GraftSql.column(e.transform {
+        case ua: UnresolvedAttribute => dealias(ua, alias)
+      })
+    val resolved = resolveAgainstTarget(session, e, alias,
+      targetSchema(), stmt)
+    val e2 = lowerSubqueries(session, resolved, stmt)
     refuseIf(e2.exists(_.isInstanceOf[SubqueryExpression]),
       s"$stmt: unsupported subquery shape in a DML " +
         "predicate/value — materialize it and use the library API")
     GraftSql.column(e2.transform {
-      case ua: UnresolvedAttribute => dealias(ua, alias)
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
     })
+  }
+
+  /** Resolve a parsed DML expression against the TARGET's stored
+    * schema via a throwaway `Filter`/`Project` over a LocalRelation
+    * (aliased like the statement), using the session's own analyzer —
+    * types, coercions, and subquery OuterReference marking all land
+    * exactly as they would on a catalog-resolved statement. Boolean
+    * shapes ride Filter; value shapes (SET right-hand sides) ride a
+    * Project alias.
+    */
+  private def resolveAgainstTarget(session: SparkSession,
+      e: Expression, alias: Option[String], schema: StructType,
+      stmt: String): Expression = {
+    val rel: LogicalPlan =
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+        schema.map(f => org.apache.spark.sql.catalyst.expressions
+          .AttributeReference(f.name, f.dataType, nullable = true)()))
+    val base = alias.map(a => SubqueryAlias(a, rel)).getOrElse(rel)
+    val probe = Project(Seq(org.apache.spark.sql.catalyst.expressions
+      .Alias(e, "__gd_cond")()), base)
+    val analyzed = try GraftSql.analyze(session, probe)
+    catch { case ex: org.apache.spark.sql.AnalysisException =>
+      refuse(s"$stmt: ${ex.getMessage}")
+    }
+    analyzed match {
+      case Project(Seq(a: org.apache.spark.sql.catalyst.expressions
+          .Alias), _) => a.child
+      case other => refuse(s"$stmt: unexpected analyzed shape " +
+        s"${other.getClass.getSimpleName} for '${e.sql}'")
+    }
   }
 
   /** Path-identifier dispatch: the native commit (statement-retried

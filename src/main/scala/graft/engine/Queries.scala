@@ -3604,6 +3604,16 @@ object Queries {
              |WHERE o_custkey % 4 = 1
              |  AND o_totalprice <> CAST(o_custkey % 700 AS DOUBLE) + 0.5
              |""".stripMargin)
+        // EXISTS on a PATH target (r17): correlation resolves against
+        // the target's stored schema, no catalog registration needed —
+        // drop every custkey group still holding a high-price row
+        // (idempotent: the second run finds no such group)
+        s.sql(
+          s"""DELETE FROM graft_delta.`$p` t WHERE EXISTS (
+             |  SELECT 1 FROM graft_delta.`$p` s
+             |  WHERE s.o_custkey = t.o_custkey
+             |    AND s.o_totalprice > 400000.0)
+             |""".stripMargin)
         s.sql(
           s"""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -3612,15 +3622,19 @@ object Queries {
              |GROUP BY o_orderpriority
              |ORDER BY pri""".stripMargin)
       },
-      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
-             |  CAST(SUM(CAST(px AS DECIMAL(18,2))) AS DOUBLE) AS total
-             |FROM (
-             |  SELECT o_orderpriority,
+      Some("""WITH base AS (
+             |  SELECT o_orderpriority, o_custkey,
              |    CASE WHEN o_custkey % 4 = 1
              |      THEN CAST(o_custkey % 700 AS DOUBLE) + 0.5
              |      ELSE o_totalprice END AS px
              |  FROM orders
              |  WHERE o_custkey % 11 <> 0)
+             |SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(px AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM base t
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM base s
+             |  WHERE s.o_custkey = t.o_custkey AND s.px > 400000.0)
              |GROUP BY o_orderpriority
              |ORDER BY pri""".stripMargin)),
 
@@ -4414,19 +4428,44 @@ object Queries {
              |WHEN MATCHED THEN UPDATE SET *
              |WHEN NOT MATCHED THEN INSERT *
              |""".stripMargin)
+        // EXPLICIT-list evolution (r17): a second source-only column
+        // (tag) ADDs while the clause carries an explicit assignment
+        // list — the list updates exactly what it names, the new
+        // column lands NULL everywhere (naming a not-yet-added column
+        // is Spark's own UNRESOLVED_COLUMN — documented boundary)
+        s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO gdml.ddl.mev t
+             |USING (SELECT o_orderkey,
+             |         concat('t', o_orderkey % 7) AS tag
+             |       FROM graft_delta.`$src`
+             |       WHERE o_custkey % 37 = 3 AND o_orderkey % 4 = 0
+             |      ) s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE
+             |  SET o_totalprice = t.o_totalprice + 1.0
+             |""".stripMargin)
+        // the evolved column then fills through a plain UPDATE — its
+        // content proves the ADD landed writable, not just readable
+        s.sql(
+          """UPDATE gdml.ddl.mev
+            |SET tag = concat('t', o_orderkey % 7)
+            |WHERE o_orderkey % 4 = 0 AND seg IS NOT NULL
+            |""".stripMargin)
         s.sql(
           """SELECT tbl, o_orderpriority AS pri, COUNT(*) AS cnt,
             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
             |    AS DOUBLE) AS total,
             |  CAST(COUNT(seg) AS BIGINT) AS seg_cnt,
-            |  CAST(SUM(seg) AS BIGINT) AS seg_sum
+            |  CAST(SUM(seg) AS BIGINT) AS seg_sum,
+            |  CAST(COUNT(tag) AS BIGINT) AS tag_cnt,
+            |  MIN(tag) AS tag_min
             |FROM (
             |  SELECT 'delta' AS tbl, o_orderpriority, o_totalprice,
-            |    seg
+            |    seg, tag
             |  FROM gdml.ddl.mev
             |  UNION ALL
             |  SELECT 'iceberg' AS tbl, o_orderpriority, o_totalprice,
-            |    seg
+            |    seg, CAST(NULL AS STRING) AS tag
             |  FROM gdml.ddl.mevi)
             |GROUP BY tbl, pri
             |ORDER BY tbl, pri""".stripMargin)
@@ -4435,23 +4474,87 @@ object Queries {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
              |    AS DOUBLE) AS total,
              |  CAST(COUNT(seg) AS BIGINT) AS seg_cnt,
-             |  CAST(SUM(seg) AS BIGINT) AS seg_sum
+             |  CAST(SUM(seg) AS BIGINT) AS seg_sum,
+             |  CAST(COUNT(tag) AS BIGINT) AS tag_cnt,
+             |  MIN(tag) AS tag_min
              |FROM (
-             |  SELECT 'delta' AS tbl, o_orderpriority, o_totalprice,
+             |  SELECT 'delta' AS tbl, o_orderpriority,
+             |    o_totalprice +
+             |      CASE WHEN o_custkey % 37 = 3 AND o_orderkey % 4 = 0
+             |        THEN 1.0 ELSE 0.0 END AS o_totalprice,
              |    CASE WHEN o_custkey % 37 = 11
              |           OR (o_custkey % 37 = 3 AND o_orderkey % 2 = 0)
-             |      THEN o_custkey % 100 END AS seg
+             |      THEN o_custkey % 100 END AS seg,
+             |    CASE WHEN o_orderkey % 4 = 0 AND
+             |        (o_custkey % 37 = 11
+             |          OR (o_custkey % 37 = 3 AND o_orderkey % 2 = 0))
+             |      THEN 't' || CAST(o_orderkey % 7 AS VARCHAR)
+             |      END AS tag
              |  FROM orders
              |  WHERE o_custkey % 37 IN (3, 11)
              |  UNION ALL
              |  SELECT 'iceberg' AS tbl, o_orderpriority, o_totalprice,
              |    CASE WHEN o_custkey % 41 = 13
              |           OR (o_custkey % 41 = 5 AND o_orderkey % 3 = 0)
-             |      THEN o_custkey % 100 END AS seg
+             |      THEN o_custkey % 100 END AS seg,
+             |    CAST(NULL AS VARCHAR) AS tag
              |  FROM orders
              |  WHERE o_custkey % 41 IN (5, 13))
              |GROUP BY tbl, pri
              |ORDER BY tbl, pri""".stripMargin)),
+
+    // DELTA COLUMN-MAPPING UPGRADE + RENAME (r17): `ALTER TABLE … SET
+    // TBLPROPERTIES('delta.columnMapping.mode'='name')` stamps every
+    // field with an id + a physicalName FROZEN at its current logical
+    // name (existing files were written under logical names) and
+    // UNIONs the columnMapping reader-writer feature into the
+    // protocol; RENAME COLUMN is then one metadata-only commit — both
+    // pre-upgrade insert waves keep reading under the NEW logical
+    // name. Idempotent via DROP.
+    QueryDef("catalog_rename_delta_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.ren")
+        s.sql("CREATE TABLE gdml.ddl.ren (o_orderkey BIGINT, " +
+          "o_orderpriority STRING, o_totalprice DOUBLE) " +
+          "USING `graft-deltalake`")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.ren
+             |SELECT o_orderkey, o_orderpriority, o_totalprice
+             |FROM graft_delta.`$src` WHERE o_custkey % 43 = 7
+             |""".stripMargin)
+        s.sql(
+          s"""INSERT INTO gdml.ddl.ren
+             |SELECT o_orderkey, o_orderpriority, o_totalprice
+             |FROM graft_delta.`$src` WHERE o_custkey % 43 = 9
+             |""".stripMargin)
+        s.sql("ALTER TABLE gdml.ddl.ren SET TBLPROPERTIES(" +
+          "'delta.columnMapping.mode' = 'name')")
+        s.sql(
+          "ALTER TABLE gdml.ddl.ren RENAME COLUMN o_totalprice TO price")
+        s.sql("ALTER TABLE gdml.ddl.ren RENAME COLUMN " +
+          "o_orderpriority TO pri")
+        s.sql(
+          """SELECT pri, COUNT(*) AS cnt,
+            |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+            |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS total
+            |FROM gdml.ddl.ren
+            |GROUP BY pri
+            |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS total
+             |FROM orders
+             |WHERE o_custkey % 43 IN (7, 9)
+             |GROUP BY pri
+             |ORDER BY pri""".stripMargin)),
 
     // ICEBERG v3 FIELD DEFAULTS (r16): `ALTER TABLE … ADD COLUMNS
     // (channel STRING DEFAULT 'legacy')` — the SPEC home for
@@ -4699,6 +4802,15 @@ object Queries {
             |   WHERE s.o_custkey = t.o_custkey
             |     AND s.o_totalprice > 150000.0)
             |""".stripMargin)
+        // correlated IN (r17): the subquery's select item rides
+        // alongside the single-equality correlation key — lowered to
+        // a keyed PAIR membership (PairInSet), not a refusal
+        s.sql(
+          """DELETE FROM gdml.ddl.sqd t WHERE t.o_orderpriority IN
+            |  (SELECT s.o_orderpriority FROM gdml.ddl.sqi s
+            |   WHERE s.o_custkey = t.o_custkey
+            |     AND s.o_totalprice < 50000.0)
+            |""".stripMargin)
         // uncorrelated scalar → literal
         s.sql(
           s"""UPDATE gdml.ddl.sqd SET o_totalprice = o_totalprice + 10.0
@@ -4726,13 +4838,19 @@ object Queries {
              |  WHERE o_custkey % 13 = 5 AND o_custkey NOT IN
              |    (SELECT o_custkey FROM d0
              |     WHERE o_totalprice > 150000.0)),
+             |d0b AS (
+             |  SELECT * FROM d0 t WHERE NOT EXISTS
+             |    (SELECT 1 FROM i1 s
+             |     WHERE s.o_custkey = t.o_custkey
+             |       AND s.o_totalprice < 50000.0
+             |       AND s.o_orderpriority = t.o_orderpriority)),
              |d1 AS (
              |  SELECT o_orderpriority,
              |    CASE WHEN o_custkey <=
              |        (SELECT MAX(o_custkey) FROM orders) - 500
              |      THEN o_totalprice + 10.0 ELSE o_totalprice
              |    END AS o_totalprice
-             |  FROM d0)
+             |  FROM d0b)
              |SELECT tbl, o_orderpriority AS pri, COUNT(*) AS cnt,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
              |    AS DOUBLE) AS total

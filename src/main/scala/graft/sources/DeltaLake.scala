@@ -3038,9 +3038,19 @@ object DeltaLake {
     // bridge cannot canonicalize pre-resolution — no schema yet);
     // unknown names pass through so the existing data-column check
     // refuses them with its own message
-    val set: Map[String, org.apache.spark.sql.Column] = rawSet.map {
-      case (k, v) => st.schema.fieldNames
-        .find(_.equalsIgnoreCase(k)).getOrElse(k) -> v
+    val set: Map[String, org.apache.spark.sql.Column] = {
+      val canonical = rawSet.toSeq.map { case (k, v) =>
+        (st.schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(k),
+          k, v)
+      }
+      // two raw keys differing only in case canonicalize to the SAME
+      // column — a library-API caller's duplicate assignment; refuse
+      // instead of silently last-wins (the SQL bridge dedups earlier)
+      canonical.groupBy(_._1).foreach { case (c, ks) =>
+        require(ks.length == 1, s"update $path: duplicate SET target " +
+          s"'$c' (raw keys ${ks.map(_._2).mkString(", ")})")
+      }
+      canonical.map { case (c, _, v) => c -> v }.toMap
     }
     // identity tables UPDATE fine as long as the SET leaves the
     // identity columns alone (their values are already allocated;
@@ -3994,6 +4004,63 @@ object DeltaLake {
       Some(DeltaProtocol(math.max(p.minReader, 1), 7, rf,
         (wf :+ feature).distinct).json)
     }
+
+  /** ENABLE COLUMN MAPPING (mode `name`) on an existing unmapped
+    * table — the upgrade commit production Delta performs for
+    * `ALTER TABLE t SET TBLPROPERTIES('delta.columnMapping.mode' =
+    * 'name')`: every field (nested struct members included) is
+    * stamped with a `delta.columnMapping.id` and a
+    * `delta.columnMapping.physicalName` EQUAL to its current logical
+    * name — existing data files were written under the logical names,
+    * so the physical contract must freeze them or every existing read
+    * breaks — configuration gains the mode + `maxColumnId`, and the
+    * protocol UNIONs the `columnMapping` reader-writer feature.
+    * After this commit RENAME / DROP COLUMN are metadata-only
+    * ([[renameColumn]]/[[dropColumn]]); this writer's row-level DML
+    * and appends keep refusing mapped tables (they emit logical
+    * names — the documented trade: reads, renames, and drops are what
+    * the upgrade buys). Idempotent: already-`name`-mapped returns -1
+    * (no commit); mode `id` refuses (ids this writer did not assign).
+    */
+  def enableColumnMapping(spark: SparkSession, path: String): Long = {
+    val st = replay(spark, path, None)
+    if (st.mappingMode == "name") return -1L
+    require(st.mappingMode == "none",
+      s"DeltaLake.enableColumnMapping: $path uses mode " +
+        s"'${st.mappingMode}' — only none→name upgrades are supported")
+    val unsupported = st.protocol.writerFeatures
+      .filterNot(SupportedWriterFeatures + "columnMapping")
+    require(unsupported.isEmpty,
+      s"DeltaLake.enableColumnMapping: $path requires writer " +
+        s"features $unsupported this writer does not implement")
+    var nextId = 0L
+    def stamp(s: StructType): StructType = StructType(s.map { f =>
+      nextId += 1
+      val id = nextId
+      val dt = f.dataType match {
+        case inner: StructType => stamp(inner)
+        case other => other
+      }
+      f.copy(dataType = dt,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName", f.name)
+          .build())
+    })
+    val stamped = stamp(st.schema)
+    val conf = st.configuration +
+      ("delta.columnMapping.mode" -> "name") +
+      ("delta.columnMapping.maxColumnId" -> nextId.toString)
+    val next = st.version + 1
+    val actions = scala.collection.mutable.Buffer.empty[String]
+    protocolUnion(st.protocol, "columnMapping").foreach(actions += _)
+    actions ++= ictAction(st.configuration, "SET TBLPROPERTIES", path)
+    actions += metaAction(path, stamped, st.partitionColumns, conf,
+      st.tableId)
+    writeCommitExclusive(path, next, actions.toSeq)
+    next
+  }
 
   /** RENAME COLUMN — COLUMN-MAPPED tables only (`ALTER TABLE t RENAME
     * COLUMN a TO b`): one metadata-only commit whose metaData carries

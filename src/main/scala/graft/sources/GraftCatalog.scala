@@ -386,12 +386,18 @@ class GraftCatalog extends TableCatalog
       case sp: TableChange.SetProperty => sp }
     val unsetProps = changes.collect {
       case up: TableChange.RemoveProperty => up }
+    // besides constraints, ONE more property legally alters through
+    // the catalog: the column-mapping upgrade (mode none→name), the
+    // commit that makes RENAME / DROP COLUMN metadata-only on Delta
     (setProps.map(_.property) ++ unsetProps.map(_.property))
       .foreach(prop => require(
-        prop.startsWith("delta.constraints."),
+        prop.startsWith("delta.constraints.") ||
+          prop == "delta.columnMapping.mode",
         s"graft catalog: ALTER TABLE $key SET/UNSET TBLPROPERTIES " +
           s"('$prop') — only CHECK constraints " +
-          "(delta.constraints.<name>) alter through the catalog"))
+          "(delta.constraints.<name>) and the column-mapping upgrade " +
+          "(delta.columnMapping.mode = 'name') alter through the " +
+          "catalog"))
     // spec-legal type WIDENING (int→bigint, float→double, decimal
     // precision growth) is metadata-only in both formats — the native
     // widen writers validate legality and refuse everything else
@@ -584,17 +590,30 @@ class GraftCatalog extends TableCatalog
           throw new IllegalArgumentException(
             s"graft catalog: no table '$key' in $warehouse"))
         require(entry.format == "graft-deltalake",
-          s"graft catalog: ALTER TABLE $key ('$prop') — CHECK " +
-            s"constraints are a Delta surface; '$key' is " +
-            s"${entry.format}")
+          s"graft catalog: ALTER TABLE $key ('$prop') — '$prop' is " +
+            s"a Delta surface; '$key' is ${entry.format}")
         val abs = GraftCatalog.absPath(warehouse, entry.path)
-        val cname = prop.stripPrefix("delta.constraints.")
-        val v = valueOpt match {
-          case Some(sqlExpr) =>
-            DeltaLake.addCheckConstraint(spark, abs, cname, sqlExpr)
-          case None =>
-            DeltaLake.dropCheckConstraint(spark, abs, cname)
-        }
+        val v =
+          if (prop == "delta.columnMapping.mode") valueOpt match {
+            case Some("name") =>
+              DeltaLake.enableColumnMapping(spark, abs)
+            case Some(other) => throw new IllegalArgumentException(
+              s"graft catalog: ALTER TABLE $key SET " +
+                s"delta.columnMapping.mode = '$other' — only the " +
+                "none→name upgrade is supported")
+            case None => throw new IllegalArgumentException(
+              s"graft catalog: ALTER TABLE $key UNSET " +
+                "delta.columnMapping.mode — a mapped table cannot " +
+                "revert (its renamed columns exist only logically)")
+          } else {
+            val cname = prop.stripPrefix("delta.constraints.")
+            valueOpt match {
+              case Some(sqlExpr) =>
+                DeltaLake.addCheckConstraint(spark, abs, cname, sqlExpr)
+              case None =>
+                DeltaLake.dropCheckConstraint(spark, abs, cname)
+            }
+          }
         if (v >= 0L) { GraftCatalog.advancePin(warehouse, key, v); () }
       }
     }

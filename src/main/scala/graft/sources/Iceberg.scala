@@ -3039,9 +3039,18 @@ object Iceberg {
     requireParquetData(cur, tableDir, "update")
     // SET keys resolve CASE-INSENSITIVELY like SQL (see the Delta
     // twin); unknown names pass through to the data-column refusal
-    val set: Map[String, org.apache.spark.sql.Column] = rawSet.map {
-      case (k, v) => cur.schema.fieldNames
-        .find(_.equalsIgnoreCase(k)).getOrElse(k) -> v
+    val set: Map[String, org.apache.spark.sql.Column] = {
+      val canonical = rawSet.toSeq.map { case (k, v) =>
+        (cur.schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(k),
+          k, v)
+      }
+      // case-colliding raw keys are a duplicate assignment — refuse,
+      // never silently last-wins (same policy as the Delta twin)
+      canonical.groupBy(_._1).foreach { case (c, ks) =>
+        require(ks.length == 1, s"Iceberg.update: duplicate SET " +
+          s"target '$c' (raw keys ${ks.map(_._2).mkString(", ")})")
+      }
+      canonical.map { case (c, _, v) => c -> v }.toMap
     }
     require(cur.transforms
         .forall(_.transform == IcebergTransforms.Identity),
@@ -3561,7 +3570,15 @@ object Iceberg {
       case _: BooleanType =>
         M.getNodeFactory.booleanNode(v.asInstanceOf[Boolean])
       case _: FloatType | _: DoubleType =>
-        M.getNodeFactory.numberNode(v.toString.toDouble)
+        val d = v.toString.toDouble
+        // NaN/Infinity have no JSON number rendering — Jackson would
+        // emit a non-standard token the spec's single-value
+        // serialization (and strict readers) reject
+        require(java.lang.Double.isFinite(d),
+          s"$what: DEFAULT $sql is non-finite ($d) — the Iceberg v3 " +
+            "single-value JSON serialization has no representation " +
+            "for NaN/Infinity defaults")
+        M.getNodeFactory.numberNode(d)
       case _: StringType | _: DecimalType | _: DateType =>
         M.getNodeFactory.textNode(v.toString)
       case other => throw new IllegalArgumentException(

@@ -138,6 +138,17 @@ object StatsSkip {
     // classes fall back to a linear scan with early exit. Any
     // incomparable pair (cmp → None) keeps the file (the contract:
     // prune only on proof).
+    //
+    // SOUNDNESS GUARD: `node.sorted` orders members by THEIR runtime
+    // class, but the search probes with the dt-driven `cmp` — the two
+    // comparators must agree or the binary search runs over a vector
+    // it considers misordered and can wrongly PRUNE a matching file
+    // (e.g. a bigint column with uncoerced string members '9','10':
+    // code-point order ["10","9"], numeric probes). The fast path is
+    // therefore taken only when the member class family matches the
+    // column's DataType family (then class-order ≡ dt-order by
+    // construction of both comparators); any other pairing degrades
+    // to the linear scan, which is sound per-pair.
     def checkIn(node: org.apache.spark.sql.graft.GraftSql.PredInSet)
         : Boolean = {
       val name = node.name
@@ -145,10 +156,29 @@ object StatsSkip {
         .getOrElse(return true)
       // nulls were dropped at lowering: an empty set proves no match
       if (node.values.isEmpty) return false
+      def classAgrees(h: Any): Boolean = dt match {
+        case _: LongType | _: IntegerType | _: ShortType | _: ByteType =>
+          h.isInstanceOf[java.lang.Long] || h.isInstanceOf[
+            java.lang.Integer] || h.isInstanceOf[java.lang.Short] ||
+            h.isInstanceOf[java.lang.Byte]
+        case _: DoubleType | _: FloatType =>
+          h.isInstanceOf[java.lang.Double] || h.isInstanceOf[
+            java.lang.Float]
+        case _: DecimalType =>
+          h.isInstanceOf[java.math.BigDecimal] ||
+            h.isInstanceOf[BigDecimal]
+        case _: StringType => h.isInstanceOf[String]
+        case _: DateType =>
+          h.isInstanceOf[java.sql.Date] ||
+            h.isInstanceOf[java.time.LocalDate]
+        case _ => false
+      }
+      val sortedForDt: Option[Vector[Any]] =
+        node.sorted.filter(_.headOption.forall(classAgrees))
       if (partitionColumns.contains(name))
         return partitionValues.get(name) match {
           case Some(pv) if pv != null =>
-            node.sorted match {
+            sortedForDt match {
               case Some(arr) =>
                 // binary search for equality under cmp; None → keep
                 var lo = 0; var hi = arr.length - 1
@@ -177,7 +207,7 @@ object StatsSkip {
         cmp(v, m, dt).forall(_ >= 0))
       def okMax(v: Any): Boolean = mx.forall(m =>
         cmp(v, m, dt).forall(_ <= 0))
-      node.sorted match {
+      sortedForDt match {
         case Some(arr) if mn.isDefined =>
           // first member >= min (cmp-None keeps the file)
           var lo = 0; var hi = arr.length

@@ -26,6 +26,37 @@ object GraftSql {
   def optimized(df: Dataset[_]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.optimizedPlan
 
+  /** The SQL common comparison type for two sides of an (IN-)equality,
+    * per the session's coercion mode — what the analyzer itself would
+    * widen both sides to. None = not comparable without an explicit
+    * cast. (Bridged here because the coercion objects are
+    * `private[sql]`-adjacent internals.)
+    */
+  def widerTypeForTwo(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] =
+    if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+      org.apache.spark.sql.catalyst.analysis.AnsiTypeCoercion
+        .findWiderTypeForTwo(a, b)
+    else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+      .findWiderTypeForTwo(a, b)
+
+  /** Nullability-ignoring type equality (`DataType.sameType` is
+    * `private[spark]`).
+    */
+  def sameType(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
+
+  /** Run the session's analyzer on a hand-built plan WITHOUT executing
+    * it — the path-identifier DML bridge resolves a parsed condition
+    * against a LocalRelation of the target's stored schema this way,
+    * so subquery correlation gets its OuterReference marking exactly
+    * like a catalog-resolved statement. (`sessionState` is
+    * `private[sql]`.)
+    */
+  def analyze(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    spark.sessionState.analyzer.execute(plan)
+
   /** Re-home a checkpoint-produced [[LogicalRDD]]'s constraints onto its
     * own output attributes.
     *

@@ -109,8 +109,10 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "catalog_subquery_dml", "catalog_merge_evolve_sql",
       "catalog_nested_delta_sql", "catalog_backfill_default_sql",
       "approx_stats_exact", "catalog_nested_set_sql",
-      "catalog_iceberg_default_sql", "catalog_merge_evolve_nested_sql")
-    assert(declared.size == 211)
+      "catalog_iceberg_default_sql", "catalog_merge_evolve_nested_sql",
+      // round-17 surface
+      "catalog_rename_delta_sql")
+    assert(declared.size == 212)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

@@ -445,6 +445,76 @@ class AlterTableSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql("SELECT path FROM ibd.db.t WHERE id = 1")
       .head().getString(0) == raw"C:\temp's",
       "backslash default must round-trip verbatim")
+    // a NON-FINITE floating default has no JSON-number rendering in
+    // the v3 single-value serialization — refuse, never emit a
+    // non-standard token into table metadata (r16 advice)
+    val eNan = intercept[Exception] {
+      spark.sql("ALTER TABLE ibd.db.t ADD COLUMNS " +
+        "(badf DOUBLE DEFAULT double('nan'))")
+    }
+    assert(eNan.getMessage.contains("non-finite"), eNan.getMessage)
+    val eInf = intercept[Exception] {
+      spark.sql("ALTER TABLE ibd.db.t ADD COLUMNS " +
+        "(badi DOUBLE DEFAULT double('infinity'))")
+    }
+    assert(eInf.getMessage.contains("non-finite"), eInf.getMessage)
+  }
+
+  test("delta column-mapping upgrade (SET TBLPROPERTIES mode=name): " +
+      "physical names freeze at the logical names, RENAME becomes " +
+      "metadata-only, pre-rename files read under the new name") {
+    val wh = freshDir("dcmwh")
+    val dir = new java.io.File(wh, "t").getAbsolutePath
+    DeltaLake.write(spark, dir, frame(1 to 4))
+    DeltaLake.write(spark, dir, frame(5 to 6)) // second file pre-upgrade
+    GraftCatalog.register(spark, wh, "db.t", "graft-deltalake", "t")
+    spark.conf.set("spark.sql.catalog.dcm",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dcm.warehouse", wh)
+    // rename WITHOUT mapping refuses with the migration hint
+    val e0 = intercept[Exception] {
+      spark.sql("ALTER TABLE dcm.db.t RENAME COLUMN v TO label")
+    }
+    assert(e0.getMessage.contains("column mapping"), e0.getMessage)
+    // the upgrade commit: protocol union + per-field physicalName/id
+    spark.sql("ALTER TABLE dcm.db.t SET TBLPROPERTIES(" +
+      "'delta.columnMapping.mode' = 'name')")
+    val last = new java.io.File(dir, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).maxBy(_.getName)
+    val text = java.nio.file.Files.readString(last.toPath)
+    assert(text.contains("\"delta.columnMapping.mode\":\"name\"") &&
+      text.contains("columnMapping") &&
+      text.contains("physicalName"), text.take(400))
+    // now the rename is one metadata commit; both pre-upgrade files
+    // keep reading (physicalName froze at the old logical name)
+    spark.sql("ALTER TABLE dcm.db.t RENAME COLUMN v TO label")
+    val rows = spark.sql(
+      "SELECT id, label FROM dcm.db.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == (1 to 6).map(i => (i.toLong, s"v$i")).toSeq, rows)
+    // library API reads too (not just the catalog splice)
+    assert(DeltaLake.snapshot(spark, dir).columns.toSeq ==
+      Seq("id", "label"))
+    // the upgrade is idempotent; mode=id refuses; UNSET refuses
+    spark.sql("ALTER TABLE dcm.db.t SET TBLPROPERTIES(" +
+      "'delta.columnMapping.mode' = 'name')")
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE dcm.db.t SET TBLPROPERTIES(" +
+        "'delta.columnMapping.mode' = 'id')")
+    }
+    assert(e1.getMessage.contains("none→name") ||
+      e1.getMessage.contains("only the"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE dcm.db.t UNSET TBLPROPERTIES(" +
+        "'delta.columnMapping.mode')")
+    }
+    assert(e2.getMessage.contains("cannot revert"), e2.getMessage)
+    // DML on the now-mapped table keeps refusing loudly (this
+    // writer's DML emits logical names — the documented trade)
+    val e3 = intercept[Exception] {
+      spark.sql("DELETE FROM dcm.db.t WHERE id = 1")
+    }
+    assert(e3.getMessage.contains("column mapping"), e3.getMessage)
   }
 
   test("delta widenColumn: int→bigint metadata-only, pre-widen files " +

@@ -115,6 +115,16 @@ class DeltaDmlSpec extends AnyFunSuite with SparkFixture {
       DeltaLake.update(spark, d3, col("id") === 1L, Map("p" -> lit(9)))
     }
     assert(e.getMessage.contains("partition"))
+    // case-colliding SET keys canonicalize to the SAME column — a
+    // duplicate assignment must refuse, never silently last-win
+    // (r16 advice; the SQL bridge dedups earlier, this is the
+    // library-API seam)
+    val eDup = intercept[IllegalArgumentException] {
+      DeltaLake.update(spark, d3, col("id") === 1L,
+        Map("v" -> lit("a"), "V" -> lit("b")))
+    }
+    assert(eDup.getMessage.contains("duplicate SET target"),
+      eDup.getMessage)
   }
 
   test("merge upserts: matched rows replaced, unmatched inserted, " +

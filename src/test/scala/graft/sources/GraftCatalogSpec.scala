@@ -425,6 +425,101 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     spark.conf.unset("spark.graft.dml.subqueryLimit")
   }
 
+  test("correlated IN decorrelates to a keyed PAIR membership " +
+      "(single-equality envelope, NOT IN keeps empty-group rows); " +
+      "IN members coerce to the outer column's type") {
+    val dd = freshDir("dml_cin")
+    DeltaLake.write(spark, dd,
+      (1 to 12).map(i => (i.toLong, (i % 3).toLong, s"g$i"))
+        .toDF("id", "grp", "g").coalesce(1))
+    GraftCatalog.register(spark, wh, "dml.cin", "graft-deltalake", dd)
+    Seq((0L, "g3"), (0L, "g6"), (1L, "g4"), (2L, "nope"))
+      .toDF("ak", "av").createOrReplaceTempView("cin_aux")
+    // delete rows whose g appears among the aux values FOR THE SAME
+    // group — the correlated-IN shape the r16 bridge refused
+    spark.sql("DELETE FROM tcat.dml.cin t WHERE t.g IN " +
+      "(SELECT a.av FROM cin_aux a WHERE a.ak = t.grp)")
+    assert(ids(spark.sql("SELECT * FROM tcat.dml.cin").toDF()) ==
+      (1L to 12L).toSet -- Set(3L, 4L, 6L),
+      "(grp,g) pairs (0,g3) (0,g6) (1,g4) must delete; (2,nope) " +
+        "matches no row")
+    // NOT IN against an EMPTY correlated group is TRUE (x IN ∅ =
+    // false) — the rows must be kept/updated, not null-filtered
+    spark.sql("UPDATE tcat.dml.cin t SET g = 'kept' WHERE id <= 2 " +
+      "AND t.g NOT IN (SELECT a.av FROM cin_aux a " +
+      "WHERE a.ak = t.grp AND a.ak = 999)")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM tcat.dml.cin WHERE g = 'kept'")
+      .head().getLong(0) == 2L,
+      "empty correlated groups must satisfy NOT IN")
+    // correlation beyond one equality still refuses loudly
+    val e1 = intercept[Exception] {
+      spark.sql("DELETE FROM tcat.dml.cin t WHERE t.g IN " +
+        "(SELECT a.av FROM cin_aux a WHERE a.ak > t.grp)")
+    }
+    assert(e1.getMessage.contains("one equality"), e1.getMessage)
+    // UNCORRELATED IN with a narrower subquery type, CATALOG arm:
+    // the analyzer's own coercion has already cast one side — pin
+    // that the lowered InSet honors it (a silent no-op here was the
+    // r16-advice failure shape)
+    Seq(1, 2).toDF("ki").createOrReplaceTempView("cin_int")
+    spark.sql(
+      "DELETE FROM tcat.dml.cin WHERE id IN (SELECT ki FROM cin_int)")
+    assert(ids(spark.sql("SELECT * FROM tcat.dml.cin").toDF()) ==
+      (5L to 12L).toSet -- Set(6L),
+      "int members must coerce to the bigint id column")
+    // PATH arm (pre-resolution): subquery-bearing predicates resolve
+    // against a LocalRelation of the target's STORED schema, so the
+    // analyzer's own IN coercion applies exactly like the catalog arm
+    // (r16 advice: an uncoerced Integer-vs-Long InSet compared
+    // different runtime classes and the DELETE silently no-opped)
+    val dp = freshDir("dml_cin_p")
+    DeltaLake.write(spark, dp,
+      (1 to 8).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+    spark.sql(
+      s"DELETE FROM graft_delta.`$dp` WHERE id IN (SELECT ki FROM cin_int)")
+    assert(DeltaLake.snapshot(spark, dp).select("id").collect()
+      .map(_.getLong(0)).toSet == (3L to 8L).toSet,
+      "path-arm int members must coerce to the bigint column")
+    // the reverse: INT column, BIGINT members — SQL compares at the
+    // wider type; the out-of-range key matches no row
+    val di = freshDir("dml_cin_i")
+    DeltaLake.write(spark, di,
+      (1 to 6).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    Seq(3L, 5000000000L).toDF("kb").createOrReplaceTempView("cin_big")
+    spark.sql(
+      s"DELETE FROM graft_delta.`$di` WHERE k IN (SELECT kb FROM cin_big)")
+    assert(DeltaLake.snapshot(spark, di).select("k").collect()
+      .map(_.getInt(0)).toSet == Set(1, 2, 4, 5, 6),
+      "3 deletes; 5000000000 matches no int row")
+    // fractional members against a bigint column — both arms compare
+    // as double per SQL coercion: 5.0 deletes id=5, 1.5 nothing
+    Seq(1.5, 5.0).toDF("kd").createOrReplaceTempView("cin_dbl")
+    spark.sql(
+      s"DELETE FROM graft_delta.`$dp` WHERE id IN (SELECT kd FROM cin_dbl)")
+    assert(DeltaLake.snapshot(spark, dp).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(3L, 4L, 6L, 7L, 8L),
+      "path arm compares as double")
+    spark.sql(
+      "DELETE FROM tcat.dml.cin WHERE id IN (SELECT kd FROM cin_dbl)")
+    assert(ids(spark.sql("SELECT * FROM tcat.dml.cin").toDF()) ==
+      (7L to 12L).toSet,
+      "catalog arm compares as double: 5.0 deletes id=5, 1.5 nothing")
+    // EXISTS on a PATH target (r16 verdict #5 — the refusal was an
+    // inconsistent surface): correlation marks against the resolved
+    // LocalRelation, correlated EXISTS and correlated IN both work
+    spark.sql(s"DELETE FROM graft_delta.`$dp` t WHERE EXISTS " +
+      "(SELECT 1 FROM cin_int a WHERE a.ki + 2 = t.id)")
+    assert(DeltaLake.snapshot(spark, dp).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(6L, 7L, 8L),
+      "path-arm correlated EXISTS must delete ids 3 and 4")
+    spark.sql(s"UPDATE graft_delta.`$dp` t SET v = 'none' WHERE " +
+      "NOT EXISTS (SELECT 1 FROM cin_int a WHERE a.ki * 4 = t.id)")
+    assert(DeltaLake.snapshot(spark, dp)
+      .filter(org.apache.spark.sql.functions.col("v") === "none")
+      .count() == 2L, "NOT EXISTS keeps 4*ki hits (id 8) unscrubbed")
+  }
+
   test("NESTED-FIELD SET: UPDATE and MERGE assign struct members " +
       "(whole-column rebuild via withField); conflicts refuse") {
     import org.apache.spark.sql.functions.struct
@@ -484,6 +579,64 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       "WHERE id = 4").head().getString(0) == "zz")
   }
 
+  test("MAP-KEY SET: UPDATE assigns map entries (whole-map key " +
+      "upsert — existing keys replace, absent keys insert); through-" +
+      "map paths and non-parsing keys refuse") {
+    import org.apache.spark.sql.functions.{expr => sqlExpr}
+    def mapFrame = (1 to 4).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v")
+      .withColumn("m", sqlExpr("map('a', id * 10, 'b', id * 100)"))
+      .withColumn("mi", sqlExpr("map(id, v)"))
+      .coalesce(1)
+    // Delta only: the Iceberg WRITER refuses MAP columns wholesale
+    // (icebergSchemaJson has no map arm — a pre-existing, honest
+    // write-side boundary this feature does not change)
+    val dd = freshDir("mset_d")
+    DeltaLake.write(spark, dd, mapFrame)
+    GraftCatalog.register(spark, wh, "mset.d", "graft-deltalake", dd)
+    for (tbl <- Seq("tcat.mset.d")) {
+      // replace an existing key, insert an absent one, key the value
+      // off ANOTHER column's old value
+      spark.sql(s"UPDATE $tbl SET m.a = id * 1000, m.c = 7 " +
+        "WHERE id <= 2")
+      val rows = spark.sql(
+        s"SELECT id, m['a'] AS a, m['b'] AS b, m['c'] AS c FROM $tbl " +
+          "ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+      assert(rows == Seq((1L, 1000L, 100L, 7L), (2L, 2000L, 200L, 7L),
+        (3L, 30L, 300L, -1L), (4L, 40L, 400L, -1L)),
+        s"$tbl: $rows — a replaced, b kept, c inserted, others " +
+          "untouched")
+      // a NON-STRING key type: the segment re-casts to the key type
+      spark.sql(s"UPDATE $tbl SET mi.`3` = 'three!' WHERE id = 3")
+      assert(spark.sql(s"SELECT mi[3] FROM $tbl WHERE id = 3")
+        .head().getString(0) == "three!")
+    }
+    // PATH arm rides the stored schema for the same lowering
+    spark.sql(s"UPDATE graft_delta.`$dd` SET m.b = 0 WHERE id = 4")
+    assert(spark.sql(s"SELECT m['b'] FROM graft_delta.`$dd` " +
+      "WHERE id = 4").head().getLong(0) == 0L)
+    // refusals: a path THROUGH a map value; a key that cannot parse
+    // as the key type
+    val e1 = intercept[Exception] {
+      spark.sql("UPDATE tcat.mset.d SET m.a.deep = 1")
+    }
+    // (a scalar map value makes Spark's own extraction refuse first;
+    // rebuildStep's THROUGH-a-map refusal covers struct-valued maps)
+    assert(e1.getMessage.contains("THROUGH a map value") ||
+      e1.getMessage.contains("INVALID_EXTRACT_BASE_FIELD_TYPE"),
+      e1.getMessage)
+    // (ANSI mode: the analyzer's own Cast of the key literal throws
+    // first; rebuildStep's parse refusal covers the legacy-mode and
+    // path-arm shapes)
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE tcat.mset.d SET mi.notanum = 'x' WHERE id = 1")
+    }
+    assert(e2.getMessage.contains("does not parse as the key type") ||
+      e2.getMessage.contains("CAST_INVALID_INPUT"), e2.getMessage)
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION: source-only columns ADD before " +
       "the merge on both formats; type conflicts and explicit " +
       "assignment lists refuse") {
@@ -523,25 +676,64 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e1.getMessage.contains("never evolve through a merge"),
       e1.getMessage)
-    // explicit assignment lists with a live evolution refuse (they
-    // were resolved pre-evolution and cannot name the new column)
     Seq((3L, "y", 7L, "n")).toDF("id", "g", "extra", "extra2")
       .createOrReplaceTempView("mev_src2")
-    val e2 = intercept[Exception] {
-      spark.sql("MERGE WITH SCHEMA EVOLUTION INTO tcat.mev.d t " +
-        "USING mev_src2 s ON t.id = s.id " +
-        "WHEN MATCHED THEN UPDATE SET g = s.g")
-    }
-    assert(e2.getMessage.contains("explicit assignment lists"),
-      e2.getMessage)
     // WITHOUT the keyword nothing evolves: the same wider source
     // merges fine, extra source-only columns are simply not adopted
+    // (checked FIRST — the evolving statements below add extra2)
     spark.sql("MERGE INTO tcat.mev.d t USING mev_src2 s " +
       "ON t.id = s.id WHEN MATCHED THEN UPDATE SET *")
     assert(spark.sql("SELECT * FROM tcat.mev.d").columns.toSeq ==
       Seq("id", "g", "extra"), "no silent evolution without the keyword")
     assert(spark.sql("SELECT g FROM tcat.mev.d WHERE id = 3")
       .head().getString(0) == "y")
+    // EXPLICIT assignment lists now resolve against the
+    // POST-evolution schema (r16 verdict #3): named columns update,
+    // untouched columns keep their values, and the new column lands
+    // NULL where the list does not name it
+    spark.sql("MERGE WITH SCHEMA EVOLUTION INTO tcat.mev.d t " +
+      "USING mev_src2 s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET g = concat(s.g, '!')")
+    val row3 = spark.sql(
+      "SELECT g, extra, extra2 FROM tcat.mev.d WHERE id = 3").head()
+    // extra was last set to 7 by the no-keyword SET * above — the
+    // explicit list must LEAVE it there (only g is named)
+    assert(row3.getString(0) == "y!" && row3.getLong(1) == 7L &&
+      row3.isNullAt(2),
+      s"explicit-list evolution: $row3 — g updates, extra keeps its " +
+        "prior value, extra2 (new) lands NULL")
+    // explicit UPDATE + explicit INSERT lists on the ICEBERG table:
+    // evolution adds extra2; both lists name only existing columns,
+    // so the new column lands NULL on updates AND inserts
+    Seq((5L, "z5", 55L, "n5"), (7L, "z7", 77L, "n7"))
+      .toDF("id", "g", "extra", "extra2")
+      .createOrReplaceTempView("mev_src3")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO tcat.mev.i t
+        |USING mev_src3 s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET g = s.g
+        |WHEN NOT MATCHED THEN INSERT (id, g, extra)
+        |  VALUES (s.id, s.g, NULL)
+        |""".stripMargin)
+    val r5 = spark.sql(
+      "SELECT g, extra, extra2 FROM tcat.mev.i WHERE id = 5").head()
+    assert(r5.getString(0) == "z5" && r5.getLong(1) == 50L &&
+      r5.isNullAt(2),
+      s"explicit UPDATE: named column updates, evolved lands NULL: $r5")
+    val r7 = spark.sql(
+      "SELECT g, extra, extra2 FROM tcat.mev.i WHERE id = 7").head()
+    assert(r7.getString(0) == "z7" && r7.isNullAt(1) && r7.isNullAt(2),
+      s"explicit INSERT: unnamed columns (old and new) land NULL: $r7")
+    // NAMING the not-yet-added column in an explicit list surfaces
+    // Spark's own UNRESOLVED_COLUMN during resolution (the analyzer
+    // checks merge assignments before any extension rule runs) — a
+    // documented boundary, never a silent drop
+    val e2 = intercept[Exception] {
+      spark.sql("MERGE WITH SCHEMA EVOLUTION INTO tcat.mev.i t " +
+        "USING mev_src3 s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET extra9 = s.extra2")
+    }
+    assert(e2.getMessage.contains("extra9"), e2.getMessage)
   }
 
   test("MERGE WITH SCHEMA EVOLUTION, NESTED: a source struct gaining " +

@@ -224,5 +224,13 @@ class IcebergWriteSpec extends AnyFunSuite with SparkFixture {
       Iceberg.update(spark, d3, col("id") === 1L, Map("p" -> lit(9)))
     }
     assert(e.getMessage.contains("partition"))
+    // case-colliding SET keys are a duplicate assignment — refuse,
+    // same policy as the Delta twin (r16 advice)
+    val eDup = intercept[IllegalArgumentException] {
+      Iceberg.update(spark, d3, col("id") === 1L,
+        Map("v" -> lit("a"), "V" -> lit("b")))
+    }
+    assert(eDup.getMessage.contains("duplicate SET target"),
+      eDup.getMessage)
   }
 }

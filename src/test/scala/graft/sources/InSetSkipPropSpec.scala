@@ -128,6 +128,34 @@ class InSetSkipPropSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-class members (string renderings on a LONG column) are " +
+      "EXACT vs the numeric reference — the sorted fast path must " +
+      "disable itself, never search a misordered vector (r16 advice)") {
+    val rnd = new scala.util.Random(20260817L)
+    (1 to Cases).foreach { i =>
+      // numeric values rendered as STRINGS: they sort code-point
+      // (["10","9"]) but compare numerically under LongType — the
+      // exact class/dt disagreement the soundness guard exists for
+      val nums = Vector.fill(rnd.nextInt(30))(
+        (rnd.nextInt(2000) - 1000).toLong)
+      val values: Vector[Any] = nums.map(_.toString)
+      val a = rnd.nextInt(2000) - 1000
+      val b = rnd.nextInt(2000) - 1000
+      val (mn, mx) = (math.min(a, b).toLong, math.max(a, b).toLong)
+      val expected = nums.exists(v => v >= mn && v <= mx)
+      val got = StatsSkip.mayMatch(PredInSet("k", values), longSchema,
+        Seq.empty, Map.empty, stats(mn.toString, mx.toString))
+      assert(got == expected,
+        s"case $i: values=$values bounds=[$mn,$mx] got=$got")
+      // partition-value equality under the same mismatch
+      val pv = (rnd.nextInt(2000) - 1000).toLong
+      val pGot = StatsSkip.mayMatch(PredInSet("k", values), longSchema,
+        Seq("k"), Map("k" -> pv.toString), None)
+      assert(pGot == nums.contains(pv),
+        s"case $i: values=$values pv=$pv got=$pGot")
+    }
+  }
+
   private def json(s: String): String =
     new com.fasterxml.jackson.databind.ObjectMapper()
       .writeValueAsString(s)

@@ -146,6 +146,30 @@ class InSetSkipSpec extends AnyFunSuite with SparkFixture {
       .getLong(0) == 62L)
   }
 
+  test("member class vs column type mismatch: the sorted fast path " +
+      "is DISABLED (its class-order disagrees with the dt-order) — " +
+      "a matching file must survive") {
+    // string members on a LONG column sort by code point: ["10","9"].
+    // A numeric binary search over that vector is over a misordered
+    // array and (pre-fix) wrongly proved [9,9] memberless → silent
+    // DELETE row loss. The guard degrades to the linear scan.
+    val in = PredInSet("k", Vector("9", "10"))
+    assert(in.sorted.isDefined, "strings sort (by their own class)")
+    assert(may(in, 9L, 9L), "'9' parses to 9 ∈ [9,9] — must keep")
+    assert(may(in, 10L, 12L), "'10' ∈ [10,12] — must keep")
+    assert(!may(in, 11L, 50L), "no member in [11,50] — prunable")
+    // same flaw existed in the partition-value equality search
+    val sch = StructType(Seq(StructField("p", LongType)))
+    assert(StatsSkip.mayMatch(PredInSet("p", Vector("9", "10")), sch,
+      Seq("p"), Map("p" -> "9"), None),
+      "partition value 9 equals member '9' — must keep")
+    assert(!StatsSkip.mayMatch(PredInSet("p", Vector("9", "10")), sch,
+      Seq("p"), Map("p" -> "11"), None))
+    // agreeing classes still ride the O(log n) path (sorted defined,
+    // pruning proof unchanged)
+    assert(!may(PredInSet("k", Vector(9L, 10L)), 11L, 50L))
+  }
+
   test("mixed-type IN members (uncoerced path-arm trees) degrade to " +
       "the linear keep-on-incomparable check, never throw") {
     import org.apache.spark.sql.graft.GraftSql.PredInSet
