@@ -83,12 +83,47 @@ object Bench {
         .selectExpr("sum(id * 2654435761 % 1000003) as s").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // IO-side probe (r17): the CPU probe is blind to DISK contention by
+    // construction, and the r16 driver-run bisect showed exactly that
+    // blind spot — the two weak rows (dedup_survivors 11.3 s-vs-2.1 s,
+    // delta_deltalake_optimize 3.0-vs-0.9) are the most IO/barrier-
+    // sensitive queries in the suite, while the same-tree full-order
+    // rerun read both in-band inside a CPU-quiet window with zero state
+    // accumulation (block-boundary telemetry: ≤3 cached RDDs, ≤3 MB
+    // storage, GC ≤9 s cumulative). A 32 MiB write+fsync round-trip
+    // inflates under exactly the load the CPU probe misses, so blocks
+    // bracketed by inflated IO readings now self-heal the same way.
+    def ioProbe(): Double = {
+      val f = java.io.File.createTempFile("graft_bench_io", ".bin")
+      try {
+        val buf = new Array[Byte](1 << 20)
+        java.util.Arrays.fill(buf, 0x5a.toByte)
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(f.toPath,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        try {
+          var i = 0
+          while (i < 32) {
+            ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1
+          }
+          ch.force(true)
+        } finally ch.close()
+        (System.nanoTime() - t0) / 1e9
+      } finally { f.delete(); () }
+    }
     calibrate() // one discard pass compiles/warms the probe itself
+    ioProbe()
     val calibStart = Seq.fill(3)(calibrate()).min
+    val ioStart = Seq.fill(3)(ioProbe()).min
     // the contamination threshold: 2x the quiet nominal, floored at
     // 0.15 s so an unusually fast initial reading cannot make normal
     // jitter read as contamination
     val threshold = math.max(2.0 * calibStart, 0.15)
+    // the IO floor is higher (0.3 s): fsync latency is inherently
+    // burstier than a CPU loop (journal commits, write-back timing),
+    // and a false contamination reading burns a bounded retry
+    val ioThreshold = math.max(2.5 * ioStart, 0.3)
     val calibSamples = scala.collection.mutable.Buffer.empty[Double]
     var failed = List.empty[String]
     // first line of each failure's message, keyed by query — so a broken
@@ -110,7 +145,10 @@ object Bench {
       // top-level sort under the count aggregate, excluding real cost the
       // Verify/oracle path pays
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9 }
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1"))
+          System.err.println(f"[bench-debug] pass $name%-36s $secs%8.3f s")
+        secs }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         if (!failed.contains(name)) failed ::= name
@@ -135,9 +173,35 @@ object Bench {
     // (observed: 0.17 s one-off right after a DML-heavy block on an
     // otherwise quiet box) and would trigger a wasted retry — real
     // contention inflates consecutive probes, a tail only the first
-    def blockProbe(): Double = math.min(calibrate(), calibrate())
+    val ioSamples = scala.collection.mutable.Buffer.empty[Double]
+    def blockProbe(): (Double, Double) =
+      (math.min(calibrate(), calibrate()),
+        math.min(ioProbe(), ioProbe()))
+    // OBSERVATION-ONLY bisect instrumentation (r17, SPARK_GRAFT_BENCH_DEBUG=1):
+    // the r16 driver run read dedup_survivors at 11.3 s warm median where
+    // every same-tree quiet run reads ~2 s — hypothesis is in-JVM state
+    // accumulation (checkpoint blocks + shuffle state freed only via
+    // GC → ContextCleaner under the forked JVM's 8 g heap). This prints,
+    // per block boundary, the evidence that confirms or kills it: cached
+    // RDD count and storage bytes (dead-until-GC'd localCheckpoint
+    // blocks), cumulative GC time, and heap occupancy.
+    val debug = sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")
+    def debugLine(tag: String): Unit = if (debug) {
+      import scala.jdk.CollectionConverters._
+      val infos = spark.sparkContext.getRDDStorageInfo
+      val mem = infos.map(_.memSize).sum
+      val disk = infos.map(_.diskSize).sum
+      val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => b.getCollectionTime).sum
+      val rt = Runtime.getRuntime
+      val used = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      System.err.println(f"[bench-debug] $tag rdds=${infos.length} " +
+        f"storageMemMB=${mem / 1024 / 1024} storageDiskMB=${disk / 1024 / 1024} " +
+        f"gcMs=$gc heapUsedMB=$used")
+    }
     var calibPrev = blockProbe()
-    calibSamples += calibPrev
+    calibSamples += calibPrev._1
+    ioSamples += calibPrev._2
     names.grouped(25).foreach { block =>
       var attempt = 0
       var done = false
@@ -160,10 +224,14 @@ object Bench {
             passes(name) = ws.toList
           }
         }
+        debugLine(s"after-block=${block.headOption.getOrElse("?")}.." +
+          s"${block.lastOption.getOrElse("?")} attempt=$attempt")
         val after = blockProbe()
-        calibSamples += after
+        calibSamples += after._1
+        ioSamples += after._2
         calibPrev = after
-        val quiet = before <= threshold && after <= threshold
+        val quiet = before._1 <= threshold && after._1 <= threshold &&
+          before._2 <= ioThreshold && after._2 <= ioThreshold
         passes.foreach { case (n, ws) =>
           allWarm(n) = allWarm.getOrElse(n, Nil) ++ ws
           if (quiet) quietWarm(n) = quietWarm.getOrElse(n, Nil) ++ ws
@@ -209,9 +277,13 @@ object Bench {
     val calibJson =
       s"""{"start":$calibStart,"end":$calibEnd,""" +
         s""""threshold":${math.round(threshold * 10000) / 10000.0},""" +
+        s""""io_start":${math.round(ioStart * 10000) / 10000.0},""" +
+        s""""io_threshold":${math.round(ioThreshold * 10000) / 10000.0},""" +
         s""""block_retries":$blockRetries,""" +
         calibSamples.map(v => s"${math.round(v * 10000) / 10000.0}")
-          .mkString("\"samples\":[", ",", "]}")
+          .mkString("\"samples\":[", ",", "],") +
+        ioSamples.map(v => s"${math.round(v * 10000) / 10000.0}")
+          .mkString("\"io_samples\":[", ",", "]}")
     val line =
       s"""{"metric":"total","value":$total,"value_cold":$total,"value_warm":$totalWarm,"unit":"sec","queries":${qjson(_._1)},"queries_warm":${qjson(_._2)},"queries_warm_min":${qjson(_._3)},"queries_quiet":$quietJson,"calibration":$calibJson,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
     println(line)

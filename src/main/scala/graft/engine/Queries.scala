@@ -4556,6 +4556,162 @@ object Queries {
              |GROUP BY pri
              |ORDER BY pri""".stripMargin)),
 
+    // DELTA CHECKPOINT + LOG CLEANUP through SQL (r17): CTAS (create +
+    // data commits) + insert + DELETE leave the head at version 3,
+    // `CALL gdml.system.checkpoint(parts =>
+    // 2, clean_logs => true)` writes the MULTI-PART parquet checkpoint
+    // at the head and deletes the subsumed JSON commits (cleaned_any
+    // pins that something was reclaimed), a post-checkpoint INSERT
+    // proves the log still advances, and the final aggregate reads
+    // through checkpoint-resume + one JSON commit — the estate-scale
+    // metadata shape (a million-commit log folds from one parquet
+    // read). Idempotent via the leading DROP.
+    QueryDef("catalog_checkpoint_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.ckpt")
+        s.sql(s"CREATE TABLE gdml.ddl.ckpt USING `graft-deltalake` " +
+          s"AS SELECT o_orderkey, o_custkey, o_totalprice, " +
+          s"o_orderpriority FROM graft_delta.`$src` " +
+          s"WHERE o_custkey % 11 = 1")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.ckpt
+             |SELECT o_orderkey, o_custkey, o_totalprice,
+             |  o_orderpriority
+             |FROM graft_delta.`$src` WHERE o_custkey % 11 = 2
+             |""".stripMargin)
+        s.sql("DELETE FROM gdml.ddl.ckpt WHERE o_orderkey % 10 = 3")
+        val row = s.sql("CALL gdml.system.checkpoint(" +
+          "table => 'ddl.ckpt', parts => 2, clean_logs => true)").head()
+        val (ver, cleaned) = (row.getLong(0), row.getInt(1))
+        s.sql(
+          s"""INSERT INTO gdml.ddl.ckpt
+             |SELECT o_orderkey, o_custkey, o_totalprice,
+             |  o_orderpriority
+             |FROM graft_delta.`$src` WHERE o_custkey % 11 = 3
+             |""".stripMargin)
+        s.sql(
+          s"""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS total,
+             |  CAST($ver AS BIGINT) AS ckpt_version,
+             |  CAST(${cleaned > 0} AS BOOLEAN) AS cleaned_any
+             |FROM gdml.ddl.ckpt
+             |GROUP BY o_orderpriority
+             |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS total,
+             |  CAST(3 AS BIGINT) AS ckpt_version,
+             |  CAST(TRUE AS BOOLEAN) AS cleaned_any
+             |FROM orders
+             |WHERE (o_custkey % 11 IN (1, 2) AND o_orderkey % 10 <> 3)
+             |   OR o_custkey % 11 = 3
+             |GROUP BY o_orderpriority
+             |ORDER BY pri""".stripMargin)),
+
+    // ICEBERG REWRITE MANIFESTS through SQL (r17): three inserts leave
+    // three single-entry data manifests; `CALL gdml.system.
+    // rewrite_manifests` folds them into ONE (metadata-only replace
+    // snapshot — compacted pins it committed), an immediate second
+    // call has nothing to compact and returns -1 (second_noop pins the
+    // no-op contract), a post-rewrite INSERT proves appends continue,
+    // and the aggregate proves content is untouched. At estate scale
+    // this is what keeps planning O(manifests) from degrading to
+    // O(commits). Idempotent via the leading DROP.
+    QueryDef("catalog_manifest_rewrite_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.mrw")
+        s.sql("CREATE TABLE gdml.ddl.mrw (o_orderkey BIGINT, " +
+          "o_totalprice DOUBLE, o_orderpriority STRING) " +
+          "USING `graft-iceberg`")
+        Seq(5, 6, 7).foreach { m =>
+          s.sql(
+            s"""INSERT INTO gdml.ddl.mrw
+               |SELECT o_orderkey, o_totalprice, o_orderpriority
+               |FROM graft_delta.`$src` WHERE o_custkey % 13 = $m
+               |""".stripMargin)
+        }
+        val v = s.sql("CALL gdml.system.rewrite_manifests(" +
+          "table => 'ddl.mrw')").head().getLong(0)
+        val v2 = s.sql("CALL gdml.system.rewrite_manifests(" +
+          "table => 'ddl.mrw')").head().getLong(0)
+        s.sql(
+          s"""INSERT INTO gdml.ddl.mrw
+             |SELECT o_orderkey, o_totalprice, o_orderpriority
+             |FROM graft_delta.`$src` WHERE o_custkey % 13 = 8
+             |""".stripMargin)
+        s.sql(
+          s"""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS total,
+             |  CAST(${v > 0} AS BOOLEAN) AS compacted,
+             |  CAST(${v2 == -1L} AS BOOLEAN) AS second_noop
+             |FROM gdml.ddl.mrw
+             |GROUP BY o_orderpriority
+             |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS total,
+             |  CAST(TRUE AS BOOLEAN) AS compacted,
+             |  CAST(TRUE AS BOOLEAN) AS second_noop
+             |FROM orders
+             |WHERE o_custkey % 13 IN (5, 6, 7, 8)
+             |GROUP BY o_orderpriority
+             |ORDER BY pri""".stripMargin)),
+
+    // DESCRIBE-HISTORY through SQL (r17): every PUBLIC writer commit now
+    // leads with a `commitInfo` action carrying `operation` (production
+    // Delta's shape — previously only ICT tables got one and a COW
+    // DELETE derived as WRITE), and `CALL gdml.system.history` reads the
+    // log back: the full CTAS → INSERT → DELETE → UPDATE → OPTIMIZE
+    // lifecycle surfaces as its own operation names, pinned row-by-row
+    // against a VALUES oracle. Idempotent via the leading DROP.
+    QueryDef("catalog_history_sql",
+      (s, d) => {
+        val wh = catalogDmlWarehouse(s, d)
+        s.conf.set("spark.sql.catalog.gdml",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        val src = deltaLakeOrders(s, d)
+        s.sql("DROP TABLE IF EXISTS gdml.ddl.hist")
+        s.sql(s"CREATE TABLE gdml.ddl.hist USING `graft-deltalake` " +
+          s"AS SELECT /*+ REPARTITION(4) */ o_orderkey, o_custkey, " +
+          s"o_totalprice FROM graft_delta.`$src` " +
+          s"WHERE o_custkey % 17 = 4")
+        s.sql(
+          s"""INSERT INTO gdml.ddl.hist
+             |SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM graft_delta.`$src` WHERE o_custkey % 17 = 5
+             |""".stripMargin)
+        s.sql("DELETE FROM gdml.ddl.hist WHERE o_orderkey % 10 = 7")
+        s.sql("UPDATE gdml.ddl.hist SET o_totalprice = " +
+          "o_totalprice + 1.0 WHERE o_orderkey % 10 = 4")
+        s.sql("CALL gdml.system.optimize(table => 'ddl.hist')")
+        s.sql("CALL gdml.system.history(table => 'ddl.hist')")
+          .orderBy("version")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), 'CREATE TABLE'),
+             |  (CAST(1 AS BIGINT), 'WRITE'),
+             |  (CAST(2 AS BIGINT), 'WRITE'),
+             |  (CAST(3 AS BIGINT), 'DELETE'),
+             |  (CAST(4 AS BIGINT), 'UPDATE'),
+             |  (CAST(5 AS BIGINT), 'OPTIMIZE')
+             |) AS t(version, operation)
+             |ORDER BY version""".stripMargin)),
+
     // ICEBERG v3 FIELD DEFAULTS (r16): `ALTER TABLE … ADD COLUMNS
     // (channel STRING DEFAULT 'legacy')` — the SPEC home for
     // read-time backfill (initial-default serves rows predating the

@@ -246,6 +246,92 @@ object Similarity {
       .select("q_id", "n_id", "sdot", "rk")
   }
 
+  /** PRODUCT-QUANTIZATION ANN (r17): encode each corpus vector as `nSub`
+    * small codes (nearest sub-centroid per 16-dim subspace), score queries
+    * against the DECODED reconstruction — asymmetric distance computation
+    * (ADC), the memory-bounded ANN representation at 100 TB: the corpus
+    * index stores `nSub` bytes per vector (here 4) instead of `dim`
+    * floats (256 bytes), a 64× compression that is what lets a
+    * billion-vector index live in RAM. Codebooks are the SAME strided
+    * deterministic sample as [[ivfTopKSampled]]'s quantizer, sliced into
+    * subspaces (sub-centroid `m,c` = sample row `⌊c·n/nCells⌋`'s m-th
+    * subvector, integer-quantized) — bounded collect, never O(corpus);
+    * production trains offline and passes the codebooks in.
+    *
+    * Everything stays exact int64 so the oracle replays it bit-for-bit:
+    * encoding = argmin of Σ(qᵢ−cᵢ)² over scaled longs (lowest cell wins
+    * ties — [[org.apache.spark.sql.graft.VecNearCellsScaled]]'s order),
+    * decoding = codebook lookup (scaled values ≤ 1e6 < 2²⁴ are
+    * float-exact), ADC = Σ floor(qᵢ·1e6)·decᵢ. Encode and decode fuse
+    * into ONE codegen'd projection over the corpus scan (no shuffle
+    * before the top-k window); the query side broadcasts.
+    */
+  def pqTopK(emb: DataFrame, k: Int, nSub: Int = 4, nCells: Int = 16)
+      : DataFrame = {
+    val cents = QuantCentroids.forFrame(emb, nCells)
+    val base = emb.filter(col("embedding").isNotNull)
+    pqTopKWith(base.filter(col("vec_id") < 10), base, k, cents, nSub)
+  }
+
+  /** [[pqTopK]] against EXPLICIT codebook centroids — the production
+    * shape (codebooks trained offline and passed in) and what the
+    * maintained twin needs: `delta_pq_topk` FREEZES its codebooks on
+    * the base snapshot (PQ codes are append-stable only under frozen
+    * codebooks — retraining on the grown corpus would re-encode
+    * everything, which is a view rebuild, not maintenance). Uncached
+    * explicit sampling matters here because a filtered frame shares
+    * its parquet files with the full table, so the file-keyed
+    * [[QuantCentroids]] cache cannot tell base from base∪δ.
+    */
+  def pqTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+      cents: Array[Array[Long]], nSub: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graft.VecColumns
+    val dim = cents.head.length
+    require(dim % nSub == 0,
+      s"pqTopK: dim $dim must divide into $nSub subspaces")
+    val subLen = dim / nSub
+    val codebooks: Seq[Array[Array[Long]]] = (0 until nSub)
+      .map(m => cents.map(_.slice(m * subLen, (m + 1) * subLen)))
+    val decCols = (0 until nSub).map { m =>
+      val code = element_at(VecColumns.nearCellsScaled(
+        slice(col("embedding"), m * subLen + 1, subLen),
+        codebooks(m), 1, Scale), 1)
+      val lut = typedLit(codebooks(m).map(_.toSeq.map(_.toFloat)).toSeq)
+      element_at(lut, code + 1)
+    }
+    val decoded = corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("n_id"),
+        flatten(array(decCols: _*)).as("dec"))
+    val q = queries.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adc").desc, col("n_id").asc)
+    decoded.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("adc",
+        VecFunctions.vecDotScaled(col("q_emb"), col("dec"), Scale, 1L))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "n_id", "adc", "rk")
+  }
+
+  /** Strided-sample centroids from an EXPLICIT frame, uncached — the
+    * same derivation as [[QuantCentroids.forFrame]] (vec_id-ordered
+    * ≤[[QuantCentroids.SampleN]]-row sample, stride `⌊c·n/nCells⌋`,
+    * integer-quantized), for callers whose sampling frame is NOT the
+    * whole table (frozen-codebook maintenance). Bounded collect.
+    */
+  def sampleCentroids(frame: DataFrame, nCells: Int): Array[Array[Long]] = {
+    val pts = frame.filter(col("embedding").isNotNull)
+      .orderBy("vec_id").limit(QuantCentroids.SampleN)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(pts.nonEmpty, "cannot seed PQ/IVF cells on an empty corpus")
+    Array.tabulate(nCells) { c =>
+      pts((c.toLong * pts.length / nCells).toInt)
+        .map(x => math.floor(x.toDouble * Scale).toLong)
+    }
+  }
+
   /** Sampled-quantizer centroids for [[ivfTopKSampled]]: the strided
     * `nCells` rows of the vec_id-ordered (≤512-row) sample, quantized to
     * scaled longs. Same bounded-collect + per-corpus cache discipline as
@@ -259,19 +345,12 @@ object Similarity {
 
     def forFrame(emb: DataFrame, nCells: Int): Array[Array[Long]] = {
       val files = emb.inputFiles.sorted.mkString(",")
-      def fitNow(): Array[Array[Long]] = {
-        val pts = emb.filter(col("embedding").isNotNull)
-          .orderBy("vec_id").limit(SampleN)         // TakeOrderedAndProject
-          .select("embedding").collect()
-          .map(_.getSeq[Float](0).toArray)
-        require(pts.nonEmpty, "cannot seed IVF cells on an empty corpus")
-        Array.tabulate(nCells) { c =>
-          pts((c.toLong * pts.length / nCells).toInt)
-            .map(x => math.floor(x.toDouble * Scale).toLong)
-        }
-      }
-      if (files.isEmpty) fitNow()
-      else cache.getOrElseUpdate((files, nCells), fitNow())
+      // the derivation lives in [[sampleCentroids]] (shared with the
+      // frozen-codebook callers, who must NOT hit this file-keyed
+      // cache — a filtered frame lists the same files)
+      if (files.isEmpty) sampleCentroids(emb, nCells)
+      else cache.getOrElseUpdate((files, nCells),
+        sampleCentroids(emb, nCells))
     }
   }
 
@@ -457,6 +536,50 @@ object Similarity {
              |    ON p.cell = a.cell AND p.vec_id <> a.vec_id),
              |${SqlOracle.rerank(5)}""".stripMargin)),
 
+    // PRODUCT-QUANTIZED ANN (r17): 4-byte PQ codes + asymmetric distance
+    // against the decoded reconstruction — the RAM-bounded index shape
+    // (64× smaller than the raw vectors). The oracle replays the whole
+    // pipeline from first principles: strided codebooks, per-subspace
+    // argmin encoding (ties → lowest cell), decode, integer ADC, top-k.
+    QueryDef("ann_pq",
+      (s, d) => pqTopK(Tables(s, d, "embeddings"), 5)
+        .orderBy("q_id", "rk"),
+      Some(s"""WITH ${SqlOracle.quantCte},
+             |samp AS (SELECT vec_id,
+             |    row_number() OVER (ORDER BY vec_id) - 1 AS rn
+             |  FROM embeddings WHERE embedding IS NOT NULL
+             |  ORDER BY vec_id LIMIT ${QuantCentroids.SampleN}),
+             |cidx AS (SELECT CAST(g.c AS INT) AS cell,
+             |    CAST(FLOOR(g.c * (SELECT COUNT(*) FROM samp) / 16.0)
+             |         AS BIGINT) AS rn
+             |  FROM (SELECT unnest(generate_series(0, 15)) AS c) g),
+             |cents AS (SELECT cidx.cell, e.pos, e.q AS cq
+             |  FROM cidx JOIN samp ON samp.rn = cidx.rn
+             |  JOIN e ON e.vec_id = samp.vec_id),
+             |d2 AS (SELECT n.vec_id,
+             |    CAST(FLOOR((n.pos - 1) / 16.0) AS INT) AS sub, c.cell,
+             |    SUM((n.q - c.cq) * (n.q - c.cq)) AS d2
+             |  FROM e n JOIN cents c ON n.pos = c.pos
+             |  GROUP BY 1, 2, 3),
+             |enc AS (SELECT vec_id, sub, cell FROM (
+             |    SELECT vec_id, sub, cell, row_number() OVER (
+             |      PARTITION BY vec_id, sub ORDER BY d2, cell) AS cr
+             |    FROM d2) WHERE cr = 1),
+             |dec AS (SELECT enc.vec_id, c.pos, c.cq
+             |  FROM enc JOIN cents c ON c.cell = enc.cell
+             |   AND CAST(FLOOR((c.pos - 1) / 16.0) AS INT) = enc.sub),
+             |adc AS (SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+             |    CAST(SUM(q.q * d.cq) AS BIGINT) AS adc
+             |  FROM e q JOIN dec d ON q.pos = d.pos
+             |  WHERE q.vec_id < 10 AND q.vec_id <> d.vec_id
+             |  GROUP BY 1, 2),
+             |r AS (SELECT q_id, n_id, adc,
+             |    CAST(row_number() OVER (PARTITION BY q_id
+             |      ORDER BY adc DESC, n_id) AS BIGINT) AS rk
+             |  FROM adc)
+             |SELECT q_id, n_id, adc, rk FROM r WHERE rk <= 5
+             |ORDER BY q_id, rk""".stripMargin)),
+
     // MAINTAINED ANN VIEW (round 6): per-query top-k under corpus appends
     // via the top-k monoid — topk(corpus ∪ δ) = topk(topk(corpus) ∪
     // topk(δ)) per query, exact because the integer-quantized score order
@@ -495,6 +618,72 @@ object Similarity {
              |  CROSS JOIN (SELECT DISTINCT vec_id AS n_id FROM e) b
              |  WHERE a.q_id <> b.n_id),
              |${SqlOracle.rerank(5)}""".stripMargin)),
+
+    // MAINTAINED PQ VIEW (r17): the ann_pq index maintained under corpus
+    // appends — codebooks FROZEN on the base snapshot (PQ codes are
+    // append-stable only under frozen codebooks; retraining is a view
+    // rebuild by definition), a cycle encodes + scores ONLY the delta
+    // embeddings against the broadcast query set, and the per-query
+    // top-k monoid merges ≤2k rows per query — the base corpus is never
+    // re-encoded or re-scored. The oracle recomputes from first
+    // principles over the FULL corpus with base-sample codebooks, so
+    // hash equality pins merge(stored view, δ top-k) == recompute.
+    QueryDef("delta_pq_topk",
+      (s, d) => {
+        import graft.ivm.DeltaSources
+        val emb = Tables(s, d, "embeddings")
+        val basePred = DeltaSources.predicateFor("embeddings").get.sql
+        val base = emb.filter(expr(s"NOT ($basePred)"))
+        val deltaE = emb.filter(expr(basePred))
+        val cents = sampleCentroids(base, 16) // frozen on the base cut
+        val queries = base.filter(col("vec_id") < 10)
+        val prev = pqTopKWith(queries, base, 5, cents)   // stored view
+        val dTop = pqTopKWith(queries, deltaE, 5, cents) // δ's own top-k
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("adc").desc, col("n_id").asc)
+        prev.select("q_id", "n_id", "adc")
+          .unionByName(dTop.select("q_id", "n_id", "adc"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""WITH ${SqlOracle.quantCte},
+             |samp AS (SELECT vec_id,
+             |    row_number() OVER (ORDER BY vec_id) - 1 AS rn
+             |  FROM embeddings WHERE embedding IS NOT NULL
+             |    AND NOT (vec_id % 10 = 0)
+             |  ORDER BY vec_id LIMIT ${QuantCentroids.SampleN}),
+             |cidx AS (SELECT CAST(g.c AS INT) AS cell,
+             |    CAST(FLOOR(g.c * (SELECT COUNT(*) FROM samp) / 16.0)
+             |         AS BIGINT) AS rn
+             |  FROM (SELECT unnest(generate_series(0, 15)) AS c) g),
+             |cents AS (SELECT cidx.cell, e.pos, e.q AS cq
+             |  FROM cidx JOIN samp ON samp.rn = cidx.rn
+             |  JOIN e ON e.vec_id = samp.vec_id),
+             |d2 AS (SELECT n.vec_id,
+             |    CAST(FLOOR((n.pos - 1) / 16.0) AS INT) AS sub, c.cell,
+             |    SUM((n.q - c.cq) * (n.q - c.cq)) AS d2
+             |  FROM e n JOIN cents c ON n.pos = c.pos
+             |  GROUP BY 1, 2, 3),
+             |enc AS (SELECT vec_id, sub, cell FROM (
+             |    SELECT vec_id, sub, cell, row_number() OVER (
+             |      PARTITION BY vec_id, sub ORDER BY d2, cell) AS cr
+             |    FROM d2) WHERE cr = 1),
+             |dec AS (SELECT enc.vec_id, c.pos, c.cq
+             |  FROM enc JOIN cents c ON c.cell = enc.cell
+             |   AND CAST(FLOOR((c.pos - 1) / 16.0) AS INT) = enc.sub),
+             |adc AS (SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+             |    CAST(SUM(q.q * d.cq) AS BIGINT) AS adc
+             |  FROM e q JOIN dec d ON q.pos = d.pos
+             |  WHERE q.vec_id < 10 AND NOT (q.vec_id % 10 = 0)
+             |    AND q.vec_id <> d.vec_id
+             |  GROUP BY 1, 2),
+             |r AS (SELECT q_id, n_id, adc,
+             |    CAST(row_number() OVER (PARTITION BY q_id
+             |      ORDER BY adc DESC, n_id) AS BIGINT) AS rk
+             |  FROM adc)
+             |SELECT q_id, n_id, adc, rk FROM r WHERE rk <= 5
+             |ORDER BY q_id, rk""".stripMargin)),
 
     // Per-label centroid (mean embedding) — the distributed primitive
     // behind IVF training, cluster summarization, and class prototypes.

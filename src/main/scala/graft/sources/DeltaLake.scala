@@ -1921,6 +1921,42 @@ object DeltaLake {
     ()
   }
 
+  /** CLEAN the metadata log behind the newest complete checkpoint:
+    * JSON commits and older (classic and multi-part) checkpoint files
+    * STRICTLY below it are deleted — they are subsumed, the fold
+    * resumes from the checkpoint. This is the explicit half of the
+    * protocol's log-compaction contract ([[stageCheckpoint]] writes
+    * the checkpoint; this reclaims what it subsumed): at estate scale
+    * the commit-JSON count grows without bound, and listing/replaying
+    * a million tiny JSON files — not the data — becomes the planning
+    * cost. The DOCUMENTED LOSS is history below the checkpoint:
+    * time travel, CDF windows, and [[history]] reach back only to the
+    * checkpoint version afterwards (their readers already fail loudly
+    * on a missing commit, never silently). V2 checkpoints and their
+    * sidecars are left in place (uuid-named, reference-tracked by
+    * manifest — enumeration-based deletion would have to read every
+    * manifest to prove a sidecar dead; not worth it for a hint-only
+    * artifact). Returns the deleted paths.
+    */
+  def cleanLog(path: String): Seq[String] = {
+    val cpv = checkpointVersions(path).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"cleanLog: no complete checkpoint in $path — write one first " +
+          "(stageCheckpoint); cleaning without a checkpoint would " +
+          "destroy the table"))
+    val ld = logDir(path)
+    val doomed = Option(ld.listFiles()).toSeq.flatten.filter { f =>
+      val n = f.getName
+      val isCommit = n.matches("\\d{20}\\.json")
+      val isClassicCp = n.matches("\\d{20}\\.checkpoint\\.parquet") ||
+        n.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet")
+      (isCommit || isClassicCp) && n.take(20).toLong < cpv
+    }
+    val out = doomed.map(_.getAbsolutePath).sorted
+    doomed.foreach(_.delete())
+    out
+  }
+
   /** The protocol row a checkpoint writes: the TABLE's CURRENT
     * protocol VERBATIM (a checkpoint is a fold of the log — fabricating
     * a reduced protocol falsifies the state replay resumes from:
@@ -2264,21 +2300,25 @@ object DeltaLake {
         s"""{"cdc":${M.writeValueAsString(cdc)}}"""
       }
 
-  /** The leading `commitInfo` action an IN-COMMIT-TIMESTAMPS table
-    * requires on EVERY commit after enablement (the authoritative
-    * timestamp lives in the commit, first action) — None when the
-    * table doesn't enable ICT. Every commit-producing writer path
-    * (write, DML, compact, the streaming sink) prepends this. The
-    * timestamp is CLAMPED to strictly after the previous commit's ICT
-    * (the spec's monotonicity rule — raw clock reads tie within a
-    * millisecond or step backwards under NTP, and readers time-travel
-    * on these values).
+  /** The leading `commitInfo` action of every PUBLIC writer path's
+    * commit (write, DML, ALTER, compact, the streaming sink): always
+    * carries `operation` — production Delta writers stamp every commit
+    * and DESCRIBE HISTORY reads it back, so deriving operations from
+    * the action mix (r17 before this) reported a COW DELETE as WRITE —
+    * plus, on an IN-COMMIT-TIMESTAMPS table, the authoritative
+    * `inCommitTimestamp` the ICT feature requires first-in-commit,
+    * CLAMPED to strictly after the previous commit's ICT (the spec's
+    * monotonicity rule — raw clock reads tie within a millisecond or
+    * step backwards under NTP, and readers time-travel on these
+    * values). Non-ICT commits stay byte-deterministic: operation only,
+    * no wall-clock field. The fixture stage* writers deliberately omit
+    * commitInfo — [[history]]'s action-mix derivation covers foreign
+    * logs without it, and the introspection spec pins that fallback.
     */
   private def ictAction(conf: Map[String, String],
-      operation: String, path: String): Option[String] =
-    if (!conf.get("delta.enableInCommitTimestamps")
-        .contains("true")) None
-    else {
+      operation: String, path: String): Option[String] = {
+    val ci = M.createObjectNode()
+    if (conf.get("delta.enableInCommitTimestamps").contains("true")) {
       val prev = commitVersions(path).maxOption.flatMap { v =>
         firstLine(new java.io.File(logDir(path), f"$v%020d.json"))
           .map(M.readTree)
@@ -2286,12 +2326,12 @@ object DeltaLake {
           .flatMap(ci => Option(ci.get("inCommitTimestamp")))
           .filterNot(_.isNull).map(_.asLong)
       }
-      val ci = M.createObjectNode()
       ci.put("inCommitTimestamp", math.max(System.currentTimeMillis(),
         prev.map(_ + 1).getOrElse(Long.MinValue)))
-      ci.put("operation", operation)
-      Some(s"""{"commitInfo":${M.writeValueAsString(ci)}}""")
     }
+    ci.put("operation", operation)
+    Some(s"""{"commitInfo":${M.writeValueAsString(ci)}}""")
+  }
 
   /** Ops that WRITE rows must refuse tables declaring row-level
     * contracts this writer does not evaluate: column invariants,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL MAINTENANCE through the catalog — Spark 4's `CALL` statement
@@ -42,7 +42,8 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] = Seq("vacuum", "expire_snapshots",
     "optimize", "convert_to_parquet", "vacuum_orphans",
-    "evolve_partition_spec", "drop_partition_field")
+    "evolve_partition_spec", "drop_partition_field",
+    "checkpoint", "rewrite_manifests", "history")
 
   def load(ident: Identifier, warehouse: String): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -163,6 +164,68 @@ private[sources] object GraftProcedures {
         val v = Iceberg.dropPartitionField(spark, abs, field)
         if (v >= 0L) { GraftCatalog.advancePin(warehouse, name, v); () }
         Seq(InternalRow(v))
+      }
+      case "checkpoint" => proc("checkpoint",
+        "write a parquet checkpoint of the Delta table head " +
+          "(parts => N for the multi-part shape); clean_logs => true " +
+          "also deletes the subsumed JSON commits and older " +
+          "checkpoints — history below the checkpoint becomes " +
+          "unavailable",
+        Seq(in("table", StringType), in("parts", IntegerType, Some("1")),
+          in("clean_logs", BooleanType, Some("false"))),
+        StructType(Seq(StructField("version", LongType),
+          StructField("cleaned", IntegerType)))) { input =>
+        val name = input.getUTF8String(0).toString
+        val parts = input.getInt(1)
+        val clean = input.getBoolean(2)
+        val (e, abs) = entryOf(name)
+        require(e.format == "graft-deltalake",
+          s"graft catalog: checkpoint targets Delta tables; '$name' " +
+            s"is ${e.format} — Iceberg state is already snapshot-" +
+            "resident (see rewrite_manifests for its metadata " +
+            "maintenance)")
+        val head = DeltaLake.latestVersion(spark, abs)
+        DeltaLake.stageCheckpoint(spark, abs, head, parts)
+        val cleaned = if (clean) DeltaLake.cleanLog(abs).size else 0
+        Seq(InternalRow(head, cleaned))
+      }
+      case "rewrite_manifests" => proc("rewrite_manifests",
+        "compact the Iceberg table's data manifests into one per " +
+          "partition spec (metadata only, data files untouched); pin " +
+          "advances to the replace snapshot",
+        Seq(in("table", StringType)), versionOut) { input =>
+        val name = input.getUTF8String(0).toString
+        val (e, abs) = entryOf(name)
+        require(e.format == "graft-iceberg",
+          s"graft catalog: rewrite_manifests targets Iceberg tables; " +
+            s"'$name' is ${e.format} — see checkpoint for Delta's " +
+            "metadata maintenance")
+        val v = Iceberg.rewriteManifests(spark, abs)
+        if (v >= 0L) { GraftCatalog.advancePin(warehouse, name, v); () }
+        Seq(InternalRow(v))
+      }
+      case "history" => proc("history",
+        "the table's commit/snapshot history, newest first: " +
+          "(version, operation) — Delta reads each commit's " +
+          "commitInfo (action-mix derivation for commits without " +
+          "one), Iceberg reads the snapshot summaries",
+        Seq(in("table", StringType)),
+        StructType(Seq(StructField("version", LongType),
+          StructField("operation", StringType)))) { input =>
+        val name = input.getUTF8String(0).toString
+        val (e, abs) = entryOf(name)
+        val rows: Seq[(Long, String)] = e.format match {
+          case "graft-deltalake" =>
+            DeltaLake.history(spark, abs)
+              .select("version", "operation").collect()
+              .map(r => (r.getLong(0), r.getString(1))).toSeq
+          case "graft-iceberg" => Iceberg.snapshotLog(abs)
+          case o => throw new IllegalArgumentException(
+            s"graft catalog: unknown format '$o' for $name")
+        }
+        rows.map { case (v, op) =>
+          InternalRow(v, UTF8String.fromString(op))
+        }
       }
       case "vacuum_orphans" => proc("vacuum_orphans",
         "reclaim unpinned staging versions across the warehouse",

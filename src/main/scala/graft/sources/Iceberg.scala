@@ -4211,6 +4211,222 @@ object Iceberg {
     * a tight manifest-bounds box on ALL Z columns so bounds skipping
     * prunes on any of them. Numeric/date/timestamp, ≤ 4 columns.
     */
+  /** REWRITE MANIFESTS — metadata-only manifest compaction (the
+    * `rewrite_manifests` maintenance action): every live DATA manifest
+    * of the current snapshot folds into ONE manifest per (spec-id,
+    * entry-schema) group, and a new snapshot (operation `replace`,
+    * parent = current) points at the compacted manifest list. Data
+    * files are NOT touched — this is the metadata half of small-commit
+    * churn cleanup: N appends leave N one-entry manifests, and every
+    * subsequent planning pass reads N Avro files; after the rewrite it
+    * reads one. At an estate scale where the manifest COUNT (not the
+    * entry count) dominates plan time, this is the operation that
+    * keeps O(files) planning from degrading to O(commits).
+    *
+    * Correctness invariants, each load-bearing:
+    *  - the fold replicates the reader's own semantics (list order,
+    *    `status == 2` removes by file path, later entries win), so the
+    *    compacted live set IS what the reader resolves today;
+    *  - surviving entries materialize their RESOLVED sequence number
+    *    (explicit → list default → snapshot id — the reader's
+    *    inheritance chain) before the rewrite, because entries in the
+    *    NEW manifest no longer sit under their original list entry and
+    *    would otherwise inherit the new snapshot's sequence number,
+    *    silently re-scoping merge-on-read delete applicability;
+    *  - entries re-land with status EXISTING (0) keeping their original
+    *    `snapshot_id` — the rewrite adds no files;
+    *  - DELETE manifests (content 1) pass through verbatim: their
+    *    relative order against data manifests is irrelevant to the fold
+    *    (the delete/data join happens at scan, keyed on sequence
+    *    numbers), but a list-level `sequence_number` on a FOREIGN
+    *    delete-manifest entry refuses — this writer's lists never carry
+    *    one, and dropping it would change what the delete applies to.
+    *
+    * Returns the new snapshot id, or -1 when there is nothing to
+    * compact (0 or 1 data manifests).
+    */
+  def rewriteManifests(spark: SparkSession, tableDir: String): Long = {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val mdDir = metadataDir(tableDir)
+    val (priorMdOpt, version) = priorState(mdDir)
+    val md = priorMdOpt.getOrElse(throw new IllegalArgumentException(
+      s"not an Iceberg table (no metadata): $tableDir"))
+    val curId = Option(md.get("current-snapshot-id")).map(_.asLong)
+      .filter(_ >= 0).getOrElse(return -1L)
+    val snaps = md.get("snapshots").asInstanceOf[ArrayNode]
+    val parent = snaps.elements().asScala
+      .find(_.get("snapshot-id").asLong == curId)
+      .getOrElse(throw new IllegalStateException(
+        s"Iceberg.rewriteManifests: current snapshot $curId not in " +
+          "history"))
+    val mlPath = resolveRef(tableDir, parent.get("manifest-list").asText)
+    val mlRecs = avroRecords(mlPath)
+    def optF(r: GenericRecord, n: String): AnyRef =
+      if (r.getSchema.getField(n) != null) r.get(n) else null
+    def contentOf(r: GenericRecord): Int =
+      Option(optF(r, "content")).map(_.toString.toInt).getOrElse(0)
+    val (deleteMls, dataMls) = mlRecs.partition(contentOf(_) == 1)
+    if (dataMls.size <= 1) return -1L
+    deleteMls.foreach { mf =>
+      require(Option(optF(mf, "sequence_number")).isEmpty,
+        "Iceberg.rewriteManifests: delete-manifest list entry " +
+          s"${mf.get("manifest_path")} carries a list-level " +
+          "sequence_number (foreign-written list) — rewriting the " +
+          "list would re-scope its deletes; refusing")
+    }
+    // fold data entries exactly as the reader does: list order,
+    // status 2 removes by file path, later entries win
+    val live = mutable.LinkedHashMap.empty[String, (GenericRecord, Int)]
+    dataMls.foreach { mf =>
+      val specId = Option(optF(mf, "partition_spec_id"))
+        .map(_.toString.toInt).getOrElse(0)
+      val manifestSeq = Option(optF(mf, "sequence_number"))
+        .map(_.toString.toLong)
+      val mPath = resolveRef(tableDir, mf.get("manifest_path").toString)
+      avroRecords(mPath).foreach { entry =>
+        val fp = entry.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString
+        if (entry.get("status").toString.toInt == 2) live.remove(fp)
+        else {
+          val seq = Option(optF(entry, "sequence_number"))
+            .map(_.toString.toLong)
+            .orElse(manifestSeq)
+            .orElse(Option(optF(entry, "snapshot_id"))
+              .map(_.toString.toLong))
+            .getOrElse(0L)
+          if (entry.getSchema.getField("sequence_number") != null)
+            entry.put("sequence_number", java.lang.Long.valueOf(seq))
+          entry.put("status", Integer.valueOf(0))
+          live.put(fp, (entry, specId))
+        }
+      }
+    }
+    // one new manifest per (spec-id, entry-schema) group: a manifest
+    // decodes under ONE spec, and records only append under their own
+    // writer schema — distinct foreign schemas stay separate (still a
+    // compaction whenever the group held more than one manifest)
+    val groups = live.values.toSeq
+      .groupBy { case (e, sid) => (sid, e.getSchema.toString) }
+      .toSeq.sortBy(_._1)
+    val newManifests: Seq[(java.io.File, Int)] =
+      groups.zipWithIndex.map { case (((sid, _), entries), i) =>
+        val schema = entries.head._1.getSchema
+        val f = new java.io.File(mdDir, f"m-$version%05d-rw$i%d-c0.avro")
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](schema))
+        w.create(schema, f)
+        entries.foreach { case (e, _) => w.append(e) }
+        w.close()
+        (f, sid)
+      }
+    // the new manifest list: compacted data manifests + delete
+    // manifests verbatim, under this writer's own list schema
+    val mlSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin)
+    val mlFile = new java.io.File(mdDir, f"snap-$version%d-rw.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](mlSchema))
+    lw.create(mlSchema, mlFile)
+    newManifests.foreach { case (f, sid) =>
+      val r = new GenericData.Record(mlSchema)
+      r.put("manifest_path", s"metadata/${f.getName}")
+      r.put("manifest_length", f.length())
+      r.put("partition_spec_id", sid)
+      r.put("content", 0)
+      r.put("added_snapshot_id", java.lang.Long.valueOf(version))
+      lw.append(r)
+    }
+    deleteMls.foreach { mf =>
+      val r = new GenericData.Record(mlSchema)
+      r.put("manifest_path", mf.get("manifest_path").toString)
+      r.put("manifest_length",
+        java.lang.Long.valueOf(mf.get("manifest_length").toString.toLong))
+      r.put("partition_spec_id", Integer.valueOf(
+        Option(optF(mf, "partition_spec_id")).map(_.toString.toInt)
+          .getOrElse(0)))
+      r.put("content", 1)
+      r.put("added_snapshot_id", Option(optF(mf, "added_snapshot_id"))
+        .map(v => java.lang.Long.valueOf(v.toString.toLong)).orNull)
+      lw.append(r)
+    }
+    lw.close()
+    // the replace snapshot (same JSON-mutation shape as the spec/schema
+    // evolution commits): content unchanged, manifest-list swapped
+    val snap = snaps.addObject()
+    snap.put("snapshot-id", version)
+    snap.put("sequence-number", version)
+    snap.put("parent-snapshot-id", curId)
+    snap.put("timestamp-ms", 1700000000000L + version)
+    snap.put("manifest-list", s"metadata/${mlFile.getName}")
+    val sum = snap.putObject("summary")
+    sum.put("operation", "replace")
+    sum.put("manifests-replaced", dataMls.size.toString)
+    sum.put("manifests-created", newManifests.size.toString)
+    sum.put("manifests-kept", deleteMls.size.toString)
+    Option(parent.get("schema-id"))
+      .foreach(sid => { snap.put("schema-id", sid.asInt); () })
+    md.asInstanceOf[ObjectNode].put("current-snapshot-id", version)
+    md.asInstanceOf[ObjectNode].put("last-sequence-number", version)
+    md.asInstanceOf[ObjectNode].put("last-updated-ms",
+      1700000000000L + version)
+    Option(md.get("refs")).collect { case o: ObjectNode => o }
+      .flatMap(refs => Option(refs.get("main"))
+        .collect { case m: ObjectNode => m })
+      .foreach { m => m.put("snapshot-id", version); () }
+    writeMetadataExclusive(
+      new java.io.File(mdDir, s"v$version.metadata.json").toPath,
+      M.writeValueAsString(md))
+    java.nio.file.Files.writeString(
+      new java.io.File(mdDir, "version-hint.text").toPath,
+      version.toString)
+    version
+  }
+
+  /** (data-manifest count, delete-manifest count) of the CURRENT
+    * snapshot's manifest list — introspection for the manifest-rewrite
+    * spec (compaction is invisible to content reads by design, so the
+    * test needs the metadata view).
+    */
+  private[graft] def manifestCounts(tableDir: String): (Int, Int) = {
+    val md = readMetadata(tableDir)
+    val curId = Option(md.get("current-snapshot-id")).map(_.asLong)
+      .filter(_ >= 0).getOrElse(return (0, 0))
+    val snap = md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == curId)
+      .getOrElse(throw new IllegalStateException(
+        s"current snapshot $curId not in history of $tableDir"))
+    val recs = avroRecords(
+      resolveRef(tableDir, snap.get("manifest-list").asText))
+    def contentOf(r: GenericRecord): Int =
+      if (r.getSchema.getField("content") == null) 0
+      else r.get("content").toString.toInt
+    (recs.count(contentOf(_) == 0), recs.count(contentOf(_) == 1))
+  }
+
+  /** Snapshot history, newest first: (snapshot-id, summary operation).
+    * The Iceberg half of the `system.history` procedure — snapshots are
+    * already metadata-resident (the summary's `operation` is the spec's
+    * own field), so this is one metadata read, no manifest I/O.
+    */
+  def snapshotLog(tableDir: String): Seq[(Long, String)] = {
+    val md = readMetadata(tableDir)
+    Option(md.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala.toSeq)
+      .map { s =>
+        val op = Option(s.get("summary"))
+          .flatMap(x => Option(x.get("operation"))).map(_.asText)
+          .getOrElse("unknown")
+        (s.get("snapshot-id").asLong, op)
+      }
+      .sortBy(-_._1)
+  }
+
   def rewriteDataFiles(spark: SparkSession, tableDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       zorderBy: Seq[String] = Seq.empty): Long = {

@@ -200,6 +200,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       "cross_join", "delta_cross_join",     // declared cross joins
       "similarity_topk",                    // broadcast query side × corpus, by design
       "delta_ann_topk",                     // broadcast query side × pruned δ corpus
+      "ann_pq",                             // broadcast query side × decoded corpus (ADC)
+      "delta_pq_topk",                      // broadcast query side × base/δ decoded corpus
       "scalar_subquery")                    // broadcast 1-row aggregate
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !expectedProducts.contains(name)) {

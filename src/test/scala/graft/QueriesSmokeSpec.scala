@@ -111,8 +111,10 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       "approx_stats_exact", "catalog_nested_set_sql",
       "catalog_iceberg_default_sql", "catalog_merge_evolve_nested_sql",
       // round-17 surface
-      "catalog_rename_delta_sql")
-    assert(declared.size == 212)
+      "catalog_rename_delta_sql", "catalog_checkpoint_sql",
+      "catalog_manifest_rewrite_sql", "ann_pq", "delta_pq_topk",
+      "catalog_history_sql")
+    assert(declared.size == 217)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

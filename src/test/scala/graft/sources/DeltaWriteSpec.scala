@@ -67,7 +67,9 @@ class DeltaWriteSpec extends AnyFunSuite with SparkFixture {
     val ops = DeltaLake.history(spark, dir)
       .orderBy("version").select("operation")
       .collect().map(_.getString(0)).toSeq
-    assert(ops == Seq("WRITE", "WRITE", "WRITE"))
+    // r17: public commits stamp commitInfo.operation — creation and
+    // overwrite report their own names instead of the derived WRITE
+    assert(ops == Seq("CREATE TABLE", "WRITE", "OVERWRITE"))
   }
 
   test("partitioned create; later appends inherit the layout; a " +

@@ -91,4 +91,33 @@ class IntrospectionSpec extends AnyFunSuite with SparkFixture {
     val ts = h.map(_.getLong(1)).reverse
     assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
   }
+
+  test("public-writer commits carry commitInfo operations: history " +
+      "reports DELETE/UPDATE/OPTIMIZE by name (r17)") {
+    val dir = freshDir("ops")
+    DeltaLake.write(spark, dir, frame(1 to 30))
+    DeltaLake.delete(spark, dir, col("id") % 5 === 0)
+    DeltaLake.update(spark, dir, col("id") % 7 === 1,
+      Map("v" -> org.apache.spark.sql.functions.lit("upd")))
+    DeltaLake.write(spark, dir, frame(31 to 40))
+    val ops = DeltaLake.history(spark, dir)
+      .orderBy("version").collect().map(_.getString(2)).toSeq
+    // pre-r17 the COW delete/update derived as WRITE from the action
+    // mix; the commitInfo stamp now names them (the table-creating
+    // write stamps CREATE TABLE — it is the creation commit)
+    assert(ops == Seq("CREATE TABLE", "DELETE", "UPDATE", "WRITE"), ops)
+  }
+
+  test("iceberg snapshotLog: newest-first (snapshot-id, operation) " +
+      "from the summaries") {
+    val dir = freshDir("slog")
+    Iceberg.write(spark, dir, frame(1 to 10))
+    Iceberg.write(spark, dir, frame(11 to 20))
+    Iceberg.delete(spark, dir, col("id") % 4 === 0)
+    val log = Iceberg.snapshotLog(dir)
+    assert(log.length == 3)
+    assert(log.map(_._1) == log.map(_._1).sorted.reverse,
+      "newest first")
+    assert(log.map(_._2).forall(_.nonEmpty))
+  }
 }
