@@ -4284,18 +4284,24 @@ object DeltaLake {
       }
       actions ++= cdcActions(spark, path, st, changeRows, next)
     }
-    // ICT enabled on EITHER side: a restore that re-enables it is
-    // itself the enablement commit and must carry the timestamp
-    if (Seq(st.configuration, target.configuration).exists(
-        _.get("delta.enableInCommitTimestamps").contains("true")))
-      actions ++= ictAction(
-        Map("delta.enableInCommitTimestamps" -> "true"), "RESTORE", path)
     if (metaDiffers)
       actions += metaAction(path, target.schema, target.partitionColumns,
         target.configuration, target.tableId.orElse(st.tableId))
     removes.foreach(a => actions += removeAction(a, dataChange = true))
     readds.foreach(a => actions += addActionOf(a, a.dv))
-    writeCommitExclusive(path, next, actions.toSeq)
+    // commitInfo PREPENDED — the ICT reader takes the timestamp from
+    // the commit's FIRST line, and a CDF restore's cdc actions land in
+    // the buffer before this point (the previous append-after-cdc
+    // ordering silently dropped the ICT timestamp on ICT+CDF tables).
+    // ICT enabled on EITHER side: a restore that re-enables it is
+    // itself the enablement commit and must carry the timestamp.
+    val ictConf =
+      if (Seq(st.configuration, target.configuration).exists(
+          _.get("delta.enableInCommitTimestamps").contains("true")))
+        Map("delta.enableInCommitTimestamps" -> "true")
+      else Map.empty[String, String]
+    writeCommitExclusive(path, next,
+      ictAction(ictConf, "RESTORE", path).toSeq ++ actions.toSeq)
     next
   }
 

@@ -43,7 +43,7 @@ private[sources] object GraftProcedures {
   val Names: Seq[String] = Seq("vacuum", "expire_snapshots",
     "optimize", "convert_to_parquet", "vacuum_orphans",
     "evolve_partition_spec", "drop_partition_field",
-    "checkpoint", "rewrite_manifests", "history")
+    "checkpoint", "rewrite_manifests", "history", "expire_metadata")
 
   def load(ident: Identifier, warehouse: String): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -167,27 +167,48 @@ private[sources] object GraftProcedures {
       }
       case "checkpoint" => proc("checkpoint",
         "write a parquet checkpoint of the Delta table head " +
-          "(parts => N for the multi-part shape); clean_logs => true " +
-          "also deletes the subsumed JSON commits and older " +
+          "(parts => N for the multi-part shape, v2 => true for the " +
+          "uuid-manifest + sidecars shape); clean_logs => true also " +
+          "deletes the subsumed JSON commits and older classic " +
           "checkpoints — history below the checkpoint becomes " +
           "unavailable",
         Seq(in("table", StringType), in("parts", IntegerType, Some("1")),
-          in("clean_logs", BooleanType, Some("false"))),
+          in("clean_logs", BooleanType, Some("false")),
+          in("v2", BooleanType, Some("false"))),
         StructType(Seq(StructField("version", LongType),
           StructField("cleaned", IntegerType)))) { input =>
         val name = input.getUTF8String(0).toString
         val parts = input.getInt(1)
         val clean = input.getBoolean(2)
+        val v2 = input.getBoolean(3)
         val (e, abs) = entryOf(name)
         require(e.format == "graft-deltalake",
           s"graft catalog: checkpoint targets Delta tables; '$name' " +
             s"is ${e.format} — Iceberg state is already snapshot-" +
-            "resident (see rewrite_manifests for its metadata " +
-            "maintenance)")
+            "resident (see rewrite_manifests / expire_metadata for " +
+            "its metadata maintenance)")
         val head = DeltaLake.latestVersion(spark, abs)
-        DeltaLake.stageCheckpoint(spark, abs, head, parts)
+        if (v2) DeltaLake.stageCheckpointV2(spark, abs, head,
+          sidecars = math.max(parts, 1))
+        else DeltaLake.stageCheckpoint(spark, abs, head, parts)
         val cleaned = if (clean) DeltaLake.cleanLog(abs).size else 0
         Seq(InternalRow(head, cleaned))
+      }
+      case "expire_metadata" => proc("expire_metadata",
+        "delete all but the newest N Iceberg table-metadata JSON " +
+          "files (each commit writes a full copy; old ones serve no " +
+          "read path)",
+        Seq(in("table", StringType),
+          in("keep_last", IntegerType, Some("3"))), pathsOut) { input =>
+        val name = input.getUTF8String(0).toString
+        val keep = input.getInt(1)
+        val (e, abs) = entryOf(name)
+        require(e.format == "graft-iceberg",
+          s"graft catalog: expire_metadata targets Iceberg tables; " +
+            s"'$name' is ${e.format} — see checkpoint(clean_logs) " +
+            "for Delta's log retention")
+        Iceberg.expireMetadata(abs, keep)
+          .map(p => InternalRow(UTF8String.fromString(p)))
       }
       case "rewrite_manifests" => proc("rewrite_manifests",
         "compact the Iceberg table's data manifests into one per " +

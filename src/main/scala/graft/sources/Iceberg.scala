@@ -4296,6 +4296,22 @@ object Iceberg {
             .getOrElse(0L)
           if (entry.getSchema.getField("sequence_number") != null)
             entry.put("sequence_number", java.lang.Long.valueOf(seq))
+          else {
+            // a FOREIGN entry schema without the field cannot carry its
+            // resolved number into the new manifest — after the rewrite
+            // the reader would fall back to snapshot_id (or 0). Sound
+            // only when that fallback IS the resolved number and no
+            // delete scoping rides on it; anything else must refuse,
+            // not silently re-scope merge-on-read applicability.
+            val postRewrite = Option(optF(entry, "snapshot_id"))
+              .map(_.toString.toLong).getOrElse(0L)
+            require(deleteMls.isEmpty && postRewrite == seq,
+              s"Iceberg.rewriteManifests: entry for $fp cannot " +
+                "materialize its resolved sequence number (schema has " +
+                "no sequence_number field) and the post-rewrite " +
+                "fallback would differ or delete files are present — " +
+                "refusing")
+          }
           entry.put("status", Integer.valueOf(0))
           live.put(fp, (entry, specId))
         }
@@ -4407,6 +4423,34 @@ object Iceberg {
       if (r.getSchema.getField("content") == null) 0
       else r.get("content").toString.toInt
     (recs.count(contentOf(_) == 0), recs.count(contentOf(_) == 1))
+  }
+
+  /** METADATA-FILE RETENTION (the spec's
+    * `write.metadata.previous-versions-max` behavior as an explicit
+    * maintenance call): delete all but the newest `keepLast` table
+    * metadata JSON files. Each commit writes a complete
+    * `vN.metadata.json`, so a long-lived table accumulates one file
+    * per commit forever — and since every metadata file is a FULL
+    * copy of the snapshot history, the estate cost is
+    * O(commits × snapshots). Old files serve NO read path (snapshots,
+    * time travel, and refs all live inside the CURRENT file; the
+    * version counter is the max over surviving names, so numbering
+    * continues correctly) — they exist for operator forensics only,
+    * which is exactly what a retention knob is for. Returns deleted
+    * paths.
+    */
+  def expireMetadata(tableDir: String, keepLast: Int = 3): Seq[String] = {
+    require(keepLast >= 1, "expireMetadata: keepLast must be >= 1")
+    val mdDir = metadataDir(tableDir)
+    val versioned = Option(mdDir.listFiles()).toSeq.flatten
+      .flatMap(f => metadataVersionOf(f.getName).map(v => (v, f)))
+      .sortBy(_._1)
+    require(versioned.nonEmpty,
+      s"expireMetadata: no Iceberg table at $tableDir")
+    val doomed = versioned.dropRight(keepLast).map(_._2)
+    val out = doomed.map(_.getAbsolutePath).sorted
+    doomed.foreach(_.delete())
+    out
   }
 
   /** Snapshot history, newest first: (snapshot-id, summary operation).

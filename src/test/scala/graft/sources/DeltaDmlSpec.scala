@@ -416,6 +416,21 @@ class DeltaDmlSpec extends AnyFunSuite with SparkFixture {
       ((2L to 5L).map(i => (i, "delete", 2L)) ++
         (1L to 5L).map(i => (i, "insert", 2L))).toSet,
       s"restore change rows: ${feed.toSeq}")
+    // ICT + CDF restore: commitInfo (with the authoritative timestamp)
+    // must be the commit's FIRST line — the cdc actions land in the
+    // buffer earlier, and an append-after-cdc ordering silently drops
+    // the ICT timestamp (the reader takes it from the first line only)
+    val d5 = freshDir("restict")
+    DeltaLake.write(spark, d5, frame(1 to 5),
+      properties = Map("delta.enableChangeDataFeed" -> "true",
+        "delta.enableInCommitTimestamps" -> "true"))
+    DeltaLake.delete(spark, d5, col("id") === 2L)
+    assert(DeltaLake.restore(spark, d5, 0L) == 2L)
+    val first5 = java.nio.file.Files.readAllLines(new java.io.File(d5,
+      "_delta_log/" + f"${2L}%020d.json").toPath).get(0)
+    assert(first5.contains("commitInfo") &&
+      first5.contains("inCommitTimestamp") &&
+      first5.contains("RESTORE"), first5)
   }
 
   test("a checkpoint carries the table's protocol VERBATIM: features " +

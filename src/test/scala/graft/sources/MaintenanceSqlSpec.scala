@@ -163,4 +163,71 @@ class MaintenanceSqlSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("Iceberg"), e.getMessage)
   }
+
+  test("CALL system.checkpoint(v2 => true) writes the uuid-manifest " +
+      "shape and clean_logs reclaims behind it; iceberg refuses") {
+    val wh = freshWh("ckv2")
+    val t = new java.io.File(wh, "t").getAbsolutePath
+    DeltaLake.write(spark, t, frame(1 to 30))
+    GraftCatalog.register(spark, wh, "db.t", "graft-deltalake", "t")
+    DeltaLake.write(spark, t, frame(31 to 50))
+    GraftCatalog.advancePin(wh, "db.t", 1L)
+    val out = spark.sql("CALL mckv2.system.checkpoint(" +
+      "table => 'db.t', v2 => true, clean_logs => true)").head()
+    assert(out.getLong(0) == 1L && out.getInt(1) == 1,
+      s"head version 1, one subsumed commit cleaned: $out")
+    val names = Option(new java.io.File(t, "_delta_log").listFiles())
+      .toSeq.flatten.map(_.getName)
+    assert(names.exists(_.matches(
+      "\\d{20}\\.checkpoint\\.[0-9a-fA-F-]{36}\\.parquet")),
+      s"v2 manifest expected: $names")
+    assert(spark.sql("SELECT COUNT(*) FROM mckv2.db.t")
+      .head().getLong(0) == 50L)
+    // iceberg target refuses with the cross-format pointer
+    val i = new java.io.File(wh, "i").getAbsolutePath
+    Iceberg.write(spark, i, frame(1 to 5))
+    GraftCatalog.register(spark, wh, "db.i", "graft-iceberg", "i")
+    val e = intercept[Exception] {
+      spark.sql("CALL mckv2.system.checkpoint(table => 'db.i')")
+        .collect()
+    }
+    assert(e.getMessage.contains("Delta"), e.getMessage)
+  }
+
+  test("CALL system.expire_metadata trims iceberg metadata copies; " +
+      "history reads both formats") {
+    val wh = freshWh("expmd")
+    val t = new java.io.File(wh, "t").getAbsolutePath
+    Iceberg.write(spark, t, frame(1 to 10))
+    Iceberg.write(spark, t, frame(11 to 20))
+    Iceberg.write(spark, t, frame(21 to 30))
+    GraftCatalog.register(spark, wh, "db.t", "graft-iceberg", "t")
+    GraftCatalog.advancePin(wh, "db.t", Iceberg.currentSnapshotId(t))
+    val gone = spark.sql("CALL mexpmd.system.expire_metadata(" +
+      "table => 'db.t', keep_last => 1)").collect()
+    assert(gone.length == 2, gone.mkString(","))
+    assert(spark.sql("SELECT COUNT(*) FROM mexpmd.db.t")
+      .head().getLong(0) == 30L)
+    // history on the iceberg arm: three append snapshots newest-first
+    val ih = spark.sql("CALL mexpmd.system.history(table => 'db.t')")
+      .collect()
+    assert(ih.length == 3)
+    assert(ih.map(_.getLong(0)).toSeq ==
+      ih.map(_.getLong(0)).toSeq.sorted.reverse)
+    // and the delta arm reports commitInfo operations
+    val d = new java.io.File(wh, "d").getAbsolutePath
+    DeltaLake.write(spark, d, frame(1 to 10))
+    DeltaLake.delete(spark, d, col("id") % 2 === 0)
+    GraftCatalog.register(spark, wh, "db.d", "graft-deltalake", "d")
+    GraftCatalog.advancePin(wh, "db.d", 1L)
+    val dh = spark.sql("CALL mexpmd.system.history(table => 'db.d')")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(dh == Seq((1L, "DELETE"), (0L, "CREATE TABLE")), dh)
+    // expire_metadata refuses delta with the pointer
+    val e = intercept[Exception] {
+      spark.sql("CALL mexpmd.system.expire_metadata(table => 'db.d')")
+        .collect()
+    }
+    assert(e.getMessage.contains("Iceberg"), e.getMessage)
+  }
 }

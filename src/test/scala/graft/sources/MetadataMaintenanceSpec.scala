@@ -132,6 +132,47 @@ class MetadataMaintenanceSpec extends AnyFunSuite with SparkFixture {
       expected ++ (21L to 28L))
   }
 
+  test("delta cleanLog behind a V2 checkpoint: the uuid manifest and " +
+      "its sidecars survive and the read resumes through them") {
+    val dir = freshDir("cleanv2")
+    DeltaLake.stageCommit(spark, dir, frame(1 to 10), Seq.empty, 0L)
+    DeltaLake.stageCommit(spark, dir, frame(11 to 20), Seq.empty, 1L)
+    DeltaLake.stageCheckpointV2(spark, dir, 1L)
+    val cleaned = DeltaLake.cleanLog(dir)
+    assert(cleaned.size == 1 &&
+      cleaned.head.endsWith("00000000000000000000.json"))
+    assert(ids(DeltaLake.snapshot(spark, dir)) == (1L to 20L).toSet)
+    DeltaLake.stageCommit(spark, dir, frame(21 to 25), Seq.empty, 2L)
+    assert(ids(DeltaLake.snapshot(spark, dir)) == (1L to 25L).toSet)
+  }
+
+  test("iceberg expireMetadata: old metadata JSON copies go, the " +
+      "table keeps reading and the version counter continues") {
+    val dir = freshDir("expmd")
+    Iceberg.write(spark, dir, frame(1 to 10))
+    Iceberg.write(spark, dir, frame(11 to 20))
+    Iceberg.write(spark, dir, frame(21 to 30))
+    def mdFiles(): Set[String] =
+      Option(new java.io.File(dir, "metadata").listFiles()).toSeq
+        .flatten.map(_.getName)
+        .filter(_.endsWith(".metadata.json")).toSet
+    assert(mdFiles().size == 3)
+    val gone = Iceberg.expireMetadata(dir, keepLast = 1)
+    assert(gone.size == 2)
+    assert(mdFiles() == Set("v3.metadata.json"))
+    // reads (current AND time travel — snapshots live in the current
+    // file) still work, and the next commit numbers PAST the expired
+    // window
+    assert(ids(Iceberg.snapshot(spark, dir)) == (1L to 30L).toSet)
+    Iceberg.write(spark, dir, frame(31 to 35))
+    assert(mdFiles().contains("v4.metadata.json"))
+    assert(ids(Iceberg.snapshot(spark, dir)) == (1L to 35L).toSet)
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.expireMetadata(dir, keepLast = 0)
+    }
+    assert(e.getMessage.contains("keepLast"))
+  }
+
   test("iceberg rewriteManifests no-ops on a fresh or single-manifest " +
       "table") {
     val dir = freshDir("rwnoop")
