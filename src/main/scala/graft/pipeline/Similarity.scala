@@ -314,6 +314,60 @@ object Similarity {
       .select("q_id", "n_id", "adc", "rk")
   }
 
+  /** IVF+PQ ANN (r17) — the production composition (FAISS's IVFPQ):
+    * coarse IVF cells bound WHO meets whom (each query scores only its
+    * `nProbe` nearest cells' members — the candidate set is
+    * Σ|probed cells|, never corpus²), and PQ codes bound the BYTES per
+    * candidate (ADC against the 4-byte decoded reconstruction instead
+    * of the raw vector). At 100 TB the two compose into the only shape
+    * that fits: cell-bucketed equality join for locality, RAM-resident
+    * byte codes for the scan. One codebook source serves both roles —
+    * the strided sample rows are the coarse centroids AND, sliced, the
+    * PQ sub-centroids — exactly how IVFPQ shares its training set.
+    * Everything stays exact int64 (coarse assignment, encoding, ADC),
+    * so the oracle replays cells→probes→codes→ADC→top-k bit-for-bit.
+    */
+  def ivfpqTopK(emb: DataFrame, k: Int, nCells: Int = 16,
+      nProbe: Int = 4, nSub: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graft.VecColumns
+    val cents = QuantCentroids.forFrame(emb, nCells)
+    val dim = cents.head.length
+    require(dim % nSub == 0,
+      s"ivfpqTopK: dim $dim must divide into $nSub subspaces")
+    val subLen = dim / nSub
+    val codebooks: Seq[Array[Array[Long]]] = (0 until nSub)
+      .map(m => cents.map(_.slice(m * subLen, (m + 1) * subLen)))
+    val decCols = (0 until nSub).map { m =>
+      val code = element_at(VecColumns.nearCellsScaled(
+        slice(col("embedding"), m * subLen + 1, subLen),
+        codebooks(m), 1, Scale), 1)
+      val lut = typedLit(codebooks(m).map(_.toSeq.map(_.toFloat)).toSeq)
+      element_at(lut, code + 1)
+    }
+    val base = emb.filter(col("embedding").isNotNull)
+    // index side: coarse cell + PQ-decoded reconstruction, ONE
+    // codegen'd projection over the corpus scan
+    val assigned = base.select(
+      col("vec_id").as("n_id"),
+      flatten(array(decCols: _*)).as("dec"),
+      element_at(VecColumns.nearCellsScaled(col("embedding"), cents, 1,
+        Scale), 1).as("cell"))
+    val probes = base.select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      explode(VecColumns.nearCellsScaled(col("embedding"), cents,
+        nProbe, Scale)).as("cell"))
+    val cand = probes.join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        VecFunctions.vecDotScaled(col("q_emb"), col("dec"), Scale, 1L)
+          .as("adc"))
+    val wk = Window.partitionBy("q_id")
+      .orderBy(col("adc").desc, col("n_id").asc)
+    cand.withColumn("rk", row_number().over(wk).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "n_id", "adc", "rk")
+  }
+
   /** Strided-sample centroids from an EXPLICIT frame, uncached — the
     * same derivation as [[QuantCentroids.forFrame]] (vec_id-ordered
     * ≤[[QuantCentroids.SampleN]]-row sample, stride `⌊c·n/nCells⌋`,
@@ -572,6 +626,63 @@ object Similarity {
              |    CAST(SUM(q.q * d.cq) AS BIGINT) AS adc
              |  FROM e q JOIN dec d ON q.pos = d.pos
              |  WHERE q.vec_id < 10 AND q.vec_id <> d.vec_id
+             |  GROUP BY 1, 2),
+             |r AS (SELECT q_id, n_id, adc,
+             |    CAST(row_number() OVER (PARTITION BY q_id
+             |      ORDER BY adc DESC, n_id) AS BIGINT) AS rk
+             |  FROM adc)
+             |SELECT q_id, n_id, adc, rk FROM r WHERE rk <= 5
+             |ORDER BY q_id, rk""".stripMargin)),
+
+    // IVF+PQ ANN (r17): cells bound WHO meets whom, PQ codes bound the
+    // bytes per candidate — the composed production index shape (FAISS
+    // IVFPQ). Cell-equality join (no product), codegen'd encode/decode
+    // in one corpus projection, integer ADC; the oracle replays the
+    // full composition.
+    QueryDef("ann_ivfpq",
+      (s, d) => ivfpqTopK(Tables(s, d, "embeddings"), 5)
+        .orderBy("q_id", "rk"),
+      Some(s"""WITH ${SqlOracle.quantCte},
+             |samp AS (SELECT vec_id,
+             |    row_number() OVER (ORDER BY vec_id) - 1 AS rn
+             |  FROM embeddings WHERE embedding IS NOT NULL
+             |  ORDER BY vec_id LIMIT ${QuantCentroids.SampleN}),
+             |cidx AS (SELECT CAST(g.c AS INT) AS cell,
+             |    CAST(FLOOR(g.c * (SELECT COUNT(*) FROM samp) / 16.0)
+             |         AS BIGINT) AS rn
+             |  FROM (SELECT unnest(generate_series(0, 15)) AS c) g),
+             |cents AS (SELECT cidx.cell, e.pos, e.q AS cq
+             |  FROM cidx JOIN samp ON samp.rn = cidx.rn
+             |  JOIN e ON e.vec_id = samp.vec_id),
+             |dist AS (SELECT e.vec_id, c.cell,
+             |    SUM((e.q - c.cq) * (e.q - c.cq)) AS d2
+             |  FROM e JOIN cents c ON e.pos = c.pos
+             |  GROUP BY e.vec_id, c.cell),
+             |ranked AS (SELECT vec_id, cell,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell)
+             |      AS cr
+             |  FROM dist),
+             |cand AS (SELECT p.vec_id AS q_id, a.vec_id AS n_id
+             |  FROM (SELECT vec_id, cell FROM ranked WHERE cr <= 4) p
+             |  JOIN (SELECT vec_id, cell FROM ranked WHERE cr = 1) a
+             |    ON p.cell = a.cell AND p.vec_id <> a.vec_id),
+             |subd AS (SELECT n.vec_id,
+             |    CAST(FLOOR((n.pos - 1) / 16.0) AS INT) AS sub, c.cell,
+             |    SUM((n.q - c.cq) * (n.q - c.cq)) AS d2
+             |  FROM e n JOIN cents c ON n.pos = c.pos
+             |  GROUP BY 1, 2, 3),
+             |enc AS (SELECT vec_id, sub, cell FROM (
+             |    SELECT vec_id, sub, cell, row_number() OVER (
+             |      PARTITION BY vec_id, sub ORDER BY d2, cell) AS cr
+             |    FROM subd) WHERE cr = 1),
+             |dec AS (SELECT enc.vec_id, c.pos, c.cq
+             |  FROM enc JOIN cents c ON c.cell = enc.cell
+             |   AND CAST(FLOOR((c.pos - 1) / 16.0) AS INT) = enc.sub),
+             |adc AS (SELECT cd.q_id, cd.n_id,
+             |    CAST(SUM(q.q * d.cq) AS BIGINT) AS adc
+             |  FROM cand cd
+             |  JOIN e q ON q.vec_id = cd.q_id
+             |  JOIN dec d ON d.vec_id = cd.n_id AND d.pos = q.pos
              |  GROUP BY 1, 2),
              |r AS (SELECT q_id, n_id, adc,
              |    CAST(row_number() OVER (PARTITION BY q_id

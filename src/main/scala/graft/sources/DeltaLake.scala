@@ -4373,7 +4373,8 @@ object DeltaLake {
     */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      zorderBy: Seq[String] = Seq.empty): Long = {
+      zorderBy: Seq[String] = Seq.empty,
+      where: Option[String] = None): Long = {
     val st = replay(spark, path, None)
     require(st.mappingMode == "none",
       "compact: column-mapped tables are not supported by this writer")
@@ -4387,13 +4388,50 @@ object DeltaLake {
     // point is that each output file gets a tight min/max box on ALL
     // Z columns, so stats skipping prunes on any of them); plain
     // compaction keeps the bin-packing shape (≥2 sub-target files)
-    val groups = st.adds.groupBy(_.partitionValues).toSeq
+    val allGroups = st.adds.groupBy(_.partitionValues).toSeq
       .map { case (pv, fs) =>
         pv -> (if (zorder) fs
                else fs.filter(_.size.exists(_ < targetFileBytes)))
       }
       .filter(_._2.size >= (if (zorder) 1 else 2))
       .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+    // PARTITION-SCOPED OPTIMIZE (r17): `where` restricts the rewrite to
+    // the partitions whose values satisfy the predicate — the 100 TB
+    // shape, where maintenance runs on the hot ingest partitions and
+    // never touches the cold estate. Scope is PARTITION-granular by
+    // construction (the predicate evaluates against partition VALUES,
+    // typed per the schema, one tiny local frame — never a data scan);
+    // a predicate naming a non-partition column fails analysis loudly.
+    val groups = where match {
+      case None => allGroups
+      case Some(pred) =>
+        require(st.partitionColumns.nonEmpty,
+          "compact: WHERE requires a partitioned table (the scope is " +
+            "partition-level; on an unpartitioned table it could only " +
+            "mean a row filter, which a compaction must never apply)")
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StringType,
+          StructField, StructType}
+        val raw = spark.createDataFrame(
+          new java.util.ArrayList[Row](allGroups.zipWithIndex.map {
+            case ((pv, _), i) => Row.fromSeq(
+              st.partitionColumns.map(c => pv.get(c).orNull) :+
+                i.toLong)
+          }.asJava),
+          StructType(st.partitionColumns.map(c =>
+            StructField(c, StringType)) :+
+            StructField("__gidx", LongType)))
+        val typed = raw.select(st.partitionColumns.map { c =>
+          val dt = st.schema(c).dataType
+          org.apache.spark.sql.functions.col(c).cast(dt).as(c)
+        } :+ org.apache.spark.sql.functions.col("__gidx"): _*)
+        val keep = typed
+          .filter(org.apache.spark.sql.functions.expr(pred))
+          .select("__gidx").collect().map(_.getLong(0)).toSet
+        allGroups.zipWithIndex.collect {
+          case (g, i) if keep(i.toLong) => g
+        }
+    }
     if (groups.isEmpty) return -1L
     val root = new java.io.File(path)
     // the Z expression's bucket bounds come from ONE global min/max agg

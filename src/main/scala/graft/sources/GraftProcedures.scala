@@ -102,17 +102,28 @@ private[sources] object GraftProcedures {
       }
       case "optimize" => proc("optimize",
         "bin-packing compaction, or Z-ORDER clustering with " +
-          "zorder_by => 'a,b'; pin advances to the new version",
-        Seq(in("table", StringType), in("zorder_by",
-          StringType, Some("''"))), versionOut) { input =>
+          "zorder_by => 'a,b'; where => 'p = 5' scopes the rewrite " +
+          "to matching partitions (Delta); pin advances to the new " +
+          "version",
+        Seq(in("table", StringType),
+          in("zorder_by", StringType, Some("''")),
+          in("where", StringType, Some("''"))), versionOut) { input =>
         val name = input.getUTF8String(0).toString
         val z = Option(input.getUTF8String(1)).map(_.toString)
           .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val w = Option(input.getUTF8String(2)).map(_.toString.trim)
+          .filter(_.nonEmpty)
         val (e, abs) = entryOf(name)
         val v = e.format match {
           case "graft-deltalake" =>
-            DeltaLake.compact(spark, abs, zorderBy = z)
+            DeltaLake.compact(spark, abs, zorderBy = z, where = w)
           case "graft-iceberg" =>
+            require(w.isEmpty,
+              "graft catalog: optimize(where) is partition-scoped " +
+                "Delta maintenance; Iceberg partition values are " +
+                "transform-valued (days(ts), bucket(16, k)) and a raw " +
+                "predicate over them would silently mean something " +
+                "else — not supported")
             Iceberg.rewriteDataFiles(spark, abs, zorderBy = z)
           case o => throw new IllegalArgumentException(
             s"graft catalog: unknown format '$o' for $name")

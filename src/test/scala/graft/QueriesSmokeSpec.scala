@@ -113,8 +113,8 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       // round-17 surface
       "catalog_rename_delta_sql", "catalog_checkpoint_sql",
       "catalog_manifest_rewrite_sql", "ann_pq", "delta_pq_topk",
-      "catalog_history_sql")
-    assert(declared.size == 217)
+      "catalog_history_sql", "ann_ivfpq")
+    assert(declared.size == 218)
     val missing = declared -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"missing declared queries: $missing")
     val undeclared = SparkEntry.queries.keySet -- declared

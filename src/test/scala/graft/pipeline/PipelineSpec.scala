@@ -239,6 +239,70 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       s"PQ recall@5 = $recall (chance = $chance)")
   }
 
+  test("IVFPQ: candidates are cell-bounded, ADC scores equal the PQ " +
+      "decode reference, and recall beats chance") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val got = Similarity.ivfpqTopK(emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // driver-side PQ decode reference (same contract as the ann_pq
+    // differential): every returned ADC must equal Σ q·dec exactly
+    val rows = emb.filter(col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val dim = rows.head._2.length
+    val (nSub, nCells) = (4, 16)
+    val subLen = dim / nSub
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * Similarity.Scale).toLong)
+    val sample = rows.take(512).map(r => quant(r._2))
+    val cents = Array.tabulate(nCells)(c =>
+      sample((c.toLong * sample.length / nCells).toInt))
+    def decode(v: Array[Float]): Array[Long] = {
+      val q = quant(v)
+      val out = new Array[Long](dim)
+      for (m <- 0 until nSub) {
+        var best = 0; var bestD = Long.MaxValue
+        for (c <- 0 until nCells) {
+          var d = 0L
+          for (i <- m * subLen until (m + 1) * subLen) {
+            val t = q(i) - cents(c)(i); d += t * t
+          }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        for (i <- m * subLen until (m + 1) * subLen)
+          out(i) = cents(best)(i)
+      }
+      out
+    }
+    val byId = rows.toMap
+    val decoded = rows.map { case (id, v) => id -> decode(v) }.toMap
+    got.foreach { case (qid, nid, adc, rk) =>
+      assert(rk >= 1 && rk <= 5)
+      val q = quant(byId(qid))
+      val d = decoded(nid)
+      val expect = (0 until dim).map(i => q(i) * d(i)).sum
+      assert(adc == expect, s"ADC mismatch for ($qid,$nid)")
+    }
+    // per-query at most k rows, ranks contiguous from 1
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_._4).sorted.toSeq == (1L to rs.length).toSeq,
+        s"ranks for $q")
+    }
+    // recall floor vs exact (chance ≈ k/(n-1); cells + PQ both lose
+    // signal on the incompressible random fixture, so the floor is a
+    // beats-chance guard, not a quality bar — the oracle pins exactness)
+    val brute = Similarity
+      .bruteTopKScaled(emb.filter(col("vec_id") < 10), emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mine = got.filter(_._1 < 10).map(t => (t._1, t._2)).toSet
+    val recall = brute.intersect(mine).size.toDouble / brute.size
+    assert(recall >= math.max(0.04, 4.0 * 5 / (rows.length - 1)),
+      s"IVFPQ recall@5 = $recall")
+  }
+
   test("connectedComponents: empty pair graph converges to an empty result") {
     // sum(chg) over an empty frame is NULL — must read as converged, not NPE
     import spark.implicits._

@@ -164,6 +164,57 @@ class MaintenanceSqlSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("Iceberg"), e.getMessage)
   }
 
+  test("CALL system.optimize(where) compacts ONLY the matching " +
+      "partitions; iceberg refuses the scope") {
+    val wh = freshWh("optw")
+    val t = new java.io.File(wh, "t").getAbsolutePath
+    val df = (1 to 90).map(i => (i.toLong, i % 3, i * 2.0))
+      .toDF("id", "p", "v").repartition(6)
+    DeltaLake.write(spark, t, df, partitionBy = Seq("p"))
+    GraftCatalog.register(spark, wh, "db.t", "graft-deltalake", "t")
+    def filesByPartition(): Map[String, Int] =
+      DeltaLake.snapshot(spark, t).inputFiles.toSeq
+        .groupBy(f => f.split("/").find(_.startsWith("p=")).getOrElse("?"))
+        .map { case (k, v) => k -> v.size }
+    val before = filesByPartition()
+    assert(before.getOrElse("p=1", 0) >= 2, before.toString)
+    val v = spark.sql("CALL moptw.system.optimize(" +
+      "table => 'db.t', where => 'p = 1')").head().getLong(0)
+    assert(v == 1L)
+    val after = filesByPartition()
+    assert(after("p=1") == 1, s"p=1 must be compacted: $after")
+    assert(after("p=0") == before("p=0") &&
+      after("p=2") == before("p=2"),
+      s"unmatched partitions must be untouched: $before -> $after")
+    assert(spark.sql("SELECT COUNT(*) FROM moptw.db.t")
+      .head().getLong(0) == 90L)
+    // a predicate naming a non-partition column fails analysis loudly
+    val e1 = intercept[Exception] {
+      spark.sql("CALL moptw.system.optimize(" +
+        "table => 'db.t', where => 'v > 10')").collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("v") ||
+      e1.getMessage.contains("UNRESOLVED"), e1.getMessage)
+    // unpartitioned table refuses the scope
+    val u = new java.io.File(wh, "u").getAbsolutePath
+    DeltaLake.write(spark, u, frame(1 to 10))
+    GraftCatalog.register(spark, wh, "db.u", "graft-deltalake", "u")
+    val e2 = intercept[Exception] {
+      spark.sql("CALL moptw.system.optimize(" +
+        "table => 'db.u', where => 'id = 1')").collect()
+    }
+    assert(e2.getMessage.contains("partition"), e2.getMessage)
+    // iceberg refuses where (transform-valued partition values)
+    val i = new java.io.File(wh, "i").getAbsolutePath
+    Iceberg.write(spark, i, frame(1 to 10))
+    GraftCatalog.register(spark, wh, "db.i", "graft-iceberg", "i")
+    val e3 = intercept[Exception] {
+      spark.sql("CALL moptw.system.optimize(" +
+        "table => 'db.i', where => 'id = 1')").collect()
+    }
+    assert(e3.getMessage.contains("transform"), e3.getMessage)
+  }
+
   test("CALL system.checkpoint(v2 => true) writes the uuid-manifest " +
       "shape and clean_logs reclaims behind it; iceberg refuses") {
     val wh = freshWh("ckv2")
