@@ -211,16 +211,29 @@ object DeltaLake {
   def versionAt(spark: SparkSession, path: String,
       timestampMs: Long): Long = {
     require(logDir(path).exists(), s"not a Delta table (no _delta_log): $path")
-    val commits = commitVersions(path)
-    require(commits.nonEmpty,
+    val adjusted = commitTimestamps(path)
+    require(adjusted.nonEmpty,
       s"cannot resolve TIMESTAMP AS OF on $path: the log holds no JSON " +
         "commits (cleaned to checkpoint-only?) — commit timestamps are " +
         "gone; time-travel by VERSION instead")
+    val at = adjusted.filter(_._2 <= timestampMs)
+    require(at.nonEmpty,
+      s"no commit of $path at or before timestamp $timestampMs (the " +
+        s"earliest commit is newer) — nothing to time-travel to")
+    at.map(_._1).max
+  }
+
+  /** Monotonically-adjusted commit timestamps, oldest first — the
+    * shared resolution [[versionAt]] time-travels by and the vacuum
+    * time horizon retains by: per commit, `commitInfo.inCommitTimestamp`
+    * when recorded (first line — the ICT protocol requires it lead),
+    * else file mtime, with Delta's monotonic adjustment (a commit not
+    * after its predecessor reads as predecessor + 1 ms).
+    */
+  private def commitTimestamps(path: String): Seq[(Long, Long)] = {
     var prev = Long.MinValue
-    val adjusted = commits.map { v =>
+    commitVersions(path).map { v =>
       val f = new java.io.File(logDir(path), f"$v%020d.json")
-      // commitInfo is the commit's FIRST action when ICT is enabled
-      // (the protocol requires it lead the file), so one line suffices
       val ict = firstLine(f).map(M.readTree)
         .flatMap(n => Option(n.get("commitInfo")))
         .flatMap(ci => Option(ci.get("inCommitTimestamp")))
@@ -229,11 +242,6 @@ object DeltaLake {
       prev = if (raw > prev) raw else prev + 1
       v -> prev
     }
-    val at = adjusted.filter(_._2 <= timestampMs)
-    require(at.nonEmpty,
-      s"no commit of $path at or before timestamp $timestampMs (the " +
-        s"earliest commit is newer) — nothing to time-travel to")
-    at.map(_._1).max
   }
 
   /** `TIMESTAMP AS OF` snapshot — [[versionAt]] then [[snapshot]]. */
@@ -4625,12 +4633,28 @@ object DeltaLake {
     */
   def vacuum(spark: SparkSession, path: String,
       retainVersions: Int = 1, dryRun: Boolean = false,
-      minFileAgeMs: Long = 0L): Seq[String] = {
+      minFileAgeMs: Long = 0L, retainMs: Option[Long] = None): Seq[String] = {
     require(retainVersions >= 1,
       "vacuum: retainVersions must keep at least the current version")
     val versions = commitVersions(path) ++ checkpointVersions(path)
     require(versions.nonEmpty, s"not a Delta table: $path")
-    val retained = versions.distinct.sorted.takeRight(retainVersions)
+    // retention horizon: count-based by default; `retainMs` is the
+    // TIME-based form (production's `VACUUM … RETAIN N HOURS` mapped
+    // onto version retention) — every version whose monotonic commit
+    // timestamp is inside the horizon survives, the head always
+    // survives, and versions WITHOUT a timestamp (checkpoint-only —
+    // their commit JSON is cleaned) are conservatively kept: guessing
+    // an age for them could only delete more
+    val retained = retainMs match {
+      case None => versions.distinct.sorted.takeRight(retainVersions)
+      case Some(ms) =>
+        require(ms >= 0, s"vacuum: retainMs must be >= 0, got $ms")
+        val cutoff = System.currentTimeMillis() - ms
+        val ts = commitTimestamps(path).toMap
+        val all = versions.distinct.sorted
+        (all.filter(v => ts.get(v).forall(_ >= cutoff)) :+ all.max)
+          .distinct.sorted
+    }
     val keep = scala.collection.mutable.Set.empty[String]
     retained.foreach { v =>
       val st = replay(spark, path, Some(v))

@@ -62,19 +62,27 @@ private[sources] object GraftProcedures {
     }
     ident.name().toLowerCase match {
       case "vacuum" => proc("vacuum",
-        "reclaim table history keeping the last N versions " +
-          "(pin advances to head first)",
+        "reclaim table history keeping the last N versions, or — " +
+          "with retain_hours => H — every version younger than the " +
+          "horizon (pin advances to head first)",
         Seq(in("table", StringType), in("retain_versions",
-          IntegerType, Some("1"))), pathsOut) { input =>
+          IntegerType, Some("1")),
+          in("retain_hours", IntegerType, Some("0"))),
+        pathsOut) { input =>
         val name = input.getUTF8String(0).toString
         val keep = input.getInt(1)
+        val hours = input.getInt(2)
         val (e, abs) = entryOf(name)
         val reclaimed = e.format match {
           case "graft-deltalake" =>
             GraftCatalog.advancePin(warehouse, name,
               DeltaLake.latestVersion(spark, abs))
-            DeltaLake.vacuum(spark, abs, retainVersions = keep)
+            DeltaLake.vacuum(spark, abs, retainVersions = keep,
+              retainMs = if (hours > 0) Some(hours * 3600000L) else None)
           case "graft-iceberg" =>
+            require(hours == 0,
+              "graft catalog: vacuum(retain_hours) is the Delta " +
+                "time-horizon form; use expire_snapshots for Iceberg")
             GraftCatalog.advancePin(warehouse, name,
               Iceberg.currentSnapshotId(abs))
             Iceberg.expireSnapshots(spark, abs, keepLast = keep)

@@ -80,6 +80,42 @@ class MaintenanceSpec extends AnyFunSuite with SparkFixture {
       (2L to 30L).filterNot(_ % 5 == 0).toSet)
   }
 
+  test("delta vacuum: time horizon (retainMs) keeps young versions " +
+      "and the head; aged-out history goes; retainMs = 0 keeps head " +
+      "only") {
+    val dir = freshDir("vact")
+    DeltaLake.stageCommit(spark, dir, frame(1 to 20), Seq.empty, 0L)
+    DeltaLake.stageDeleteCommit(spark, dir, col("id") % 4 === 0, 1L)
+    DeltaLake.stageDeleteCommit(spark, dir, col("id") === 1L, 2L)
+    // age commits 0 and 1 two hours into the past (mtime is the
+    // timestamp source for non-ICT commits — versionAt's resolution)
+    val old = System.currentTimeMillis() - 2 * 3600 * 1000L
+    Seq(0L, 1L).foreach { v =>
+      assert(new java.io.File(dir,
+        "_delta_log/" + f"$v%020d.json").setLastModified(old))
+    }
+    // a one-hour horizon: only v2 (fresh) survives — v0/v1 history
+    // reclaims even though retainVersions was not given
+    val deleted = DeltaLake.vacuum(spark, dir,
+      retainMs = Some(3600 * 1000L))
+    assert(deleted.nonEmpty)
+    assert(ids(DeltaLake.snapshot(spark, dir)) ==
+      (2L to 20L).filterNot(_ % 4 == 0).toSet)
+    val e = intercept[Exception] {
+      DeltaLake.snapshot(spark, dir, Some(0L)).collect()
+    }
+    assert(e.toString.toLowerCase.contains("exist") ||
+      e.toString.contains("missing"), e.toString)
+    // a large horizon on a fresh table deletes nothing
+    val d2 = freshDir("vact2")
+    DeltaLake.stageCommit(spark, d2, frame(1 to 10), Seq.empty, 0L)
+    DeltaLake.stageDeleteCommit(spark, d2, col("id") === 2L, 1L)
+    assert(DeltaLake.vacuum(spark, d2,
+      retainMs = Some(24 * 3600 * 1000L)).isEmpty)
+    assert(ids(DeltaLake.snapshot(spark, d2, Some(0L))) ==
+      (1L to 10L).toSet)
+  }
+
   test("delta vacuum: CHANGE DATA files of retained commits survive " +
       "(a CDF window inside the horizon must stay readable)") {
     val dir = freshDir("vac3")
