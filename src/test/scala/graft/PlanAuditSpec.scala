@@ -152,6 +152,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("PQ family: native encode kernel + no interpreted HOFs or UDFs " +
+      "(r17)") {
+    for (q <- Seq("ann_pq", "ann_ivfpq", "delta_pq_topk")) {
+      val p = planOf(q)
+      // encoding = per-subspace vec_near_cells_scaled; scoring = the
+      // scaled native dot — both codegen'd Catalyst expressions
+      assert(p.contains("vec_near_cells_scaled"),
+        s"$q lost the native PQ encode kernel:\n$p")
+      assert(p.contains("vec_dot_scaled"),
+        s"$q lost the native ADC kernel:\n$p")
+      assert(!p.contains("zip_with") && !p.contains("aggregate(lambda"),
+        s"$q fell back to interpreted HOFs:\n$p")
+      assert(!p.toLowerCase.contains("batchevalpython") &&
+        !p.contains("UDF("), s"$q contains a UDF:\n$p")
+    }
+  }
+
   test("ann_ivf: codegen'd quantizer kernel, no MLlib prediction UDF") {
     val p = planOf("ann_ivf")
     assert(p.contains("vec_near_cells_scaled"),
