@@ -5048,15 +5048,13 @@ object Iceberg {
     requireParquetData(cur, tableDir, "stageMorDelete")
     val dataSchema = StructType(
       cur.schema.filterNot(f => cur.partitionColumns.contains(f.name)))
-    // existing delete positions, keyed by the manifest's file_path
-    val posFiles = cur.deleteFiles.filter(_.content == 1)
-    val existing: Map[String, Set[Long]] =
-      if (posFiles.isEmpty) Map.empty
-      else spark.read.parquet(posFiles
-          .map(f => resolveRef(tableDir, f.path)): _*)
-        .select("file_path", "pos").collect()
-        .groupBy(_.getString(0))
-        .map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+    // existing dead positions via the SHARED resolution
+    // ([[currentDeadSets]] — DV-aware): the previous inline read
+    // filtered only on content == 1, which also matches v3 PUFFIN
+    // deletion vectors, and fed them to a PARQUET read — a DV delete
+    // followed by a positional MoR delete crashed on the Puffin magic
+    // (found by RewriteManifestsPropSpec's randomized histories)
+    val (deadOf, _) = currentDeadSets(spark, tableDir, cur)
     val delRows = mutable.Buffer.empty[(String, Long)]
     cur.files.foreach { f =>
       val abs = resolveRef(tableDir, f.path)
@@ -5069,7 +5067,7 @@ object Iceberg {
       }
       val matching = fileRows.filter(predicate).select("__ri")
         .collect().map(_.getLong(0))
-      val already = existing.getOrElse(f.path, Set.empty)
+      val already = deadOf(abs)
       matching.filterNot(already).sorted
         .foreach(i => delRows += f.path -> i)
     }
