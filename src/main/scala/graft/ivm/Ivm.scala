@@ -141,8 +141,10 @@ object Ivm {
       // joins emit key-first order, which need not match the view's)
       val cols = view.columns.toSeq
         .map(org.apache.spark.sql.functions.col)
-      view.unionByName(inserts.localCheckpoint().select(cols: _*))
-        .exceptAll(retracts.localCheckpoint().select(cols: _*))
+      graft.engine.Labeled.job(view.sparkSession, "ivm:applyTo-pin") {
+        view.unionByName(inserts.localCheckpoint().select(cols: _*))
+          .exceptAll(retracts.localCheckpoint().select(cols: _*))
+      }
     }
   }
 
@@ -196,7 +198,9 @@ object Ivm {
       // constraint normalization: a raw checkpoint leaf re-minted by
       // [[reMint]] can carry STALE constraint ExprIds into a Union and
       // blow up its constraint rewrite (see GraftSql.normalizeRddConstraints)
-      GraftSql.normalizeRddConstraints(df.localCheckpoint())
+      graft.engine.Labeled.job(df.sparkSession, "ivm:pin") {
+        GraftSql.normalizeRddConstraints(df.localCheckpoint())
+      }
     else df
 
   /** Signed delta of a LEFT OUTER join under insert-only source deltas —

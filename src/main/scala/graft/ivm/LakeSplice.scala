@@ -40,9 +40,12 @@ private[ivm] object LakeSplice {
     import org.apache.spark.sql.functions.lit
     val kc = keys.map(col)
     // pin: δ-sized by construction, probed twice (anti + semi)
-    val touched = inserts.select(kc: _*)
-      .unionByName(retracts.select(kc: _*))
-      .distinct().localCheckpoint()
+    val touched = graft.engine.Labeled.job(view.sparkSession,
+      "splice:touched-pin") {
+      inserts.select(kc: _*)
+        .unionByName(retracts.select(kc: _*))
+        .distinct().localCheckpoint()
+    }
     // null-safe key equality: a NULL group value is a real group (SQL
     // GROUP BY semantics — and partition values can be null)
     val tRen = touched.select(
@@ -67,7 +70,10 @@ private[ivm] object LakeSplice {
       })
     val restricted =
       if (inlinableKeyType) {
-        val vals = touched.limit(InlineCap + 1).collect().map(_.get(0))
+        val vals = graft.engine.Labeled.job(view.sparkSession,
+          "splice:touched-collect") {
+          touched.limit(InlineCap + 1).collect().map(_.get(0))
+        }
         if (vals.length <= InlineCap) {
           val k = col(keys.head)
           val nonNull = vals.filter(_ != null)
@@ -82,6 +88,8 @@ private[ivm] object LakeSplice {
     val repaired = agg(restricted.getOrElse(
       snapshot.join(broadcast(tRen), cond, "left_semi")))
     val kept = view.join(broadcast(tRen), cond, "left_anti")
-    kept.unionByName(repaired).localCheckpoint()
+    graft.engine.Labeled.job(view.sparkSession, "splice:view-pin") {
+      kept.unionByName(repaired).localCheckpoint()
+    }
   }
 }

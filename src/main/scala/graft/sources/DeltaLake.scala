@@ -1320,8 +1320,10 @@ object DeltaLake {
     val tmp = new java.io.File(root, "_land_tmp_" +
       java.util.UUID.randomUUID().toString.take(8))
     val w = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(tmp.getAbsolutePath)
+    graft.engine.Labeled.job(df.sparkSession, "lake:land-files") {
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(tmp.getAbsolutePath)
+    }
     val moved =
       mutable.Buffer.empty[(String, Map[String, String], java.io.File)]
     def walk(dir: java.io.File, pv: Map[String, String]): Unit =
@@ -1477,39 +1479,33 @@ object DeltaLake {
   private def fileStats(spark: SparkSession, dataSchema: StructType,
       paths: Seq[String]): Map[String, String] = {
     import org.apache.spark.sql.types._
-    val statCols = dataSchema.fields.filter(_.dataType match {
-      case _: LongType | _: IntegerType | _: DoubleType | _: FloatType |
-           _: StringType => true
-      case _ => false
-    }).toSeq
-    if (paths.isEmpty) Map.empty
-    else {
-      val aggs = count(lit(1)).as("__n") +: statCols.flatMap(f => Seq(
-        min(col(f.name)).as(s"__mn_${f.name}"),
-        max(col(f.name)).as(s"__mx_${f.name}")))
-      spark.read.schema(dataSchema).parquet(paths: _*)
-        .groupBy(col("_metadata.file_name").as("__f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect().map { r =>
-          val o = M.createObjectNode()
-          o.put("numRecords", r.getLong(r.fieldIndex("__n")))
-          val mn = o.putObject("minValues")
-          val mx = o.putObject("maxValues")
-          statCols.foreach { f =>
-            for ((node, pfx) <- Seq((mn, "__mn_"), (mx, "__mx_"))) {
-              val i = r.fieldIndex(s"$pfx${f.name}")
-              if (!r.isNullAt(i)) f.dataType match {
-                case _: LongType => node.put(f.name, r.getLong(i))
-                case _: IntegerType => node.put(f.name, r.getInt(i))
-                case _: DoubleType => node.put(f.name, r.getDouble(i))
-                case _: FloatType => node.put(f.name, r.getFloat(i))
-                case _: StringType => node.put(f.name, r.getString(i))
-                case _ => ()
-              }
+    // bounds from the just-written files' parquet FOOTERS — the commit
+    // path previously re-read every landed file (a second full pass over
+    // the committed bytes, per commit) purely to recompute stats the
+    // writer already persisted (guide §1.2/§6; see [[FooterStats]])
+    val statCols = dataSchema.fields
+      .filter(f => FooterStats.statable(f.dataType)).toSeq
+    FooterStats.parquetStats(spark, dataSchema, paths).map {
+      case (p, (n, perCol)) =>
+        val o = M.createObjectNode()
+        o.put("numRecords", n)
+        val mn = o.putObject("minValues")
+        val mx = o.putObject("maxValues")
+        statCols.foreach { f =>
+          perCol.get(f.name).foreach { case (lo, hi) =>
+            for ((node, v) <- Seq((mn, lo), (mx, hi))) f.dataType match {
+              case _: LongType => node.put(f.name, v.asInstanceOf[Long]); ()
+              case _: IntegerType => node.put(f.name, v.asInstanceOf[Int]); ()
+              case _: DoubleType =>
+                node.put(f.name, v.asInstanceOf[Double]); ()
+              case _: FloatType => node.put(f.name, v.asInstanceOf[Float]); ()
+              case _: StringType =>
+                node.put(f.name, v.asInstanceOf[String]); ()
+              case _ => ()
             }
           }
-          r.getString(0) -> M.writeValueAsString(o)
-        }.toMap
+        }
+        new java.io.File(p).getName -> M.writeValueAsString(o)
     }
   }
 
@@ -2611,7 +2607,8 @@ object DeltaLake {
     val checks = constraints.toSeq.sortBy(_._1)
     val aggs = checks.map { case (n, sql) =>
       sum(when(expr(sql), 0L).otherwise(1L)).as(n) }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row = graft.engine.Labeled.job(df.sparkSession,
+      "lake:check-constraints") { df.agg(aggs.head, aggs.tail: _*).head() }
     checks.zipWithIndex.foreach { case ((n, sql), i) =>
       val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
       require(bad == 0L,

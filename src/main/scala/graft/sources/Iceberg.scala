@@ -1786,19 +1786,23 @@ object Iceberg {
       paths: Seq[String], format: String = "parquet")
       : Map[String, (Long, Map[String, (Any, Any)])] = {
     if (paths.isEmpty) return Map.empty
+    // parquet: bounds come from the files' own FOOTERS — no second scan
+    // of the just-written data (guide §1.2/§6; see [[FooterStats]]).
+    // ORC keeps the aggregate read (its footer stats API differs and the
+    // ORC arm serves two fixture paths, not the hot commit path).
+    if (format == "parquet")
+      return FooterStats.parquetStats(spark, dataSchema, paths)
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val statCols = statColsOf(dataSchema)
     val aggs = count(lit(1)).as("__n") +: statCols.flatMap(f => Seq(
       min(col(f.name)).as(s"__mn_${f.name}"),
       max(col(f.name)).as(s"__mx_${f.name}")))
     val rows =
-      if (format == "orc")
         // ORC: plain by-name read (no field ids); `_metadata.file_name`
         // is a base metadata field, available for every file source
         spark.read.schema(StructType(dataSchema.fields.map(f =>
           f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))))
           .orc(paths: _*)
-      else idRead(spark, dataSchema, paths)
     import org.apache.spark.sql.functions.regexp_replace
     rows
       // keyed by the file's ABSOLUTE PATH: two write tasks emit the
