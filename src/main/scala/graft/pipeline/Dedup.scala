@@ -29,6 +29,31 @@ import graft.engine.{Par, QueryDef, Tables}
   */
 object Dedup {
 
+  /** Pin the SIGNATURE table once per maintenance cycle (optimization
+    * guide §1.2/§2.1): the delta rewrite's 3-arm band-join expansion
+    * references the signature view up to six times (two sides × three
+    * arms), and since the δ/base predicates push below the signature
+    * aggregate, no two occurrences share a subplan — each re-runs the
+    * shingle scan + 6-hash aggregate, ~2.2 corpus-equivalents of
+    * redundant work per cycle. Pinning evaluates the pipeline ONCE; the
+    * arms filter the materialized rows. This is also the scale-true
+    * shape: a production pipeline STORES the signature table
+    * (delta_minhash maintains it) rather than re-deriving it per arm,
+    * and the pinned frame is |docs| × 6 digests — far smaller than the
+    * corpus text it replaces re-scans of. Gated on the same conf as the
+    * signed-rung pins so tests/Explain can audit the lazy algebra
+    * (constraint normalization per [[graft.ivm.Ivm]]'s pin: the
+    * checkpointed leaf is cloned into a Union by the rewrite).
+    */
+  private def pinSigView(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf
+        .get("spark.graft.ivm.pinSignedNet", "true").toBoolean)
+      graft.engine.Labeled.job(df.sparkSession, "pipeline:sig-pin") {
+        org.apache.spark.sql.graft.GraftSql
+          .normalizeRddConstraints(df.localCheckpoint())
+      }
+    else df
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
@@ -654,7 +679,7 @@ object Dedup {
     QueryDef("delta_lsh_candidates",
       (s, d) => {
         import graft.ivm.{DeltaSources, Ivm}
-        signatures(t(s, d, "documents"), 6)
+        pinSigView(signatures(t(s, d, "documents"), 6))
           .createOrReplaceTempView("sig_delta_src")
         DeltaSources.register("sig_delta_src", "doc_id % 10 = 0")
         Ivm.delta(candidatePairsRaw(s.table("sig_delta_src"), 3, 2))
@@ -719,7 +744,8 @@ object Dedup {
             .write.parquet(p)
         }
         val baseLabels = s.read.parquet(baseDir)
-        signatures(docs, 6).createOrReplaceTempView("surv_sig_src")
+        pinSigView(signatures(docs, 6))
+          .createOrReplaceTempView("surv_sig_src")
         DeltaSources.register("surv_sig_src", "doc_id % 10 = 0")
         // pinned once: the δ-candidate plan (3-arm band join over the
         // full-corpus signature build) feeds `ends` (→ 3 shingle-scan

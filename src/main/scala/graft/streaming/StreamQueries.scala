@@ -33,8 +33,9 @@ import graft.engine.{QueryDef, Tables}
   * Scale shape: the staged replay is the harness, not the deployment — a
   * production caller hands [[EventStreams.hourlyCounts]] a live source and
   * an append/update sink. Nothing here collects data on the driver: the
-  * sink is a parquet overwrite per generation (aggregate-sized — hours ×
-  * event types — bounded by the time span, not the corpus).
+  * sink pins each generation to block storage (aggregate-sized — hours ×
+  * event types — bounded by the time span, not the corpus), keeping only
+  * the final one.
   */
 object StreamQueries {
 
@@ -53,20 +54,29 @@ object StreamQueries {
     graft.sources.Staging.stageOnce(sfDir, s"stream_$name",
       Seq(s"$sfDir/events.parquet"))(write)
 
-  /** Run one replay to a per-run sink and hand back the sink contents,
-    * PINNED (eager localCheckpoint — the frame is aggregate-sized) so the
-    * per-run sink + checkpoint dirs can be deleted immediately instead of
-    * accumulating under /tmp. `complete` mode overwrites the sink per
-    * generation (last generation = the maintained view); `append` mode
-    * accumulates emissions across batches (the appended multiset is the
-    * result — stream-stream joins emit matches exactly once).
+  /** Run one replay and hand back the final sink generation, PINNED
+    * (eager localCheckpoint — the frame is aggregate-sized) so the per-run
+    * checkpoint dir can be deleted immediately instead of accumulating
+    * under /tmp. `complete` mode keeps the LAST generation (= the
+    * maintained view); `append` mode accumulates emissions across batches
+    * (the appended multiset is the result — stream-stream joins emit
+    * matches exactly once).
+    *
+    * The sink is the pin itself, not a parquet table (optimization guide
+    * §1.4/§6): the previous shape wrote a parquet generation per
+    * micro-batch and re-read the directory at the end, so a 4-batch
+    * complete-mode replay paid 4 write commits + a listing + a read for
+    * generations 1–3 that the overwrite immediately discarded. Pinning
+    * each batch keeps the same per-batch incremental execution (state
+    * store writes, cross-batch merge) while the dead intermediate
+    * materializations go away — a production deployment hands the stream
+    * a real sink; this harness only ever needed the final generation.
     */
   private def replayTo(s: SparkSession, mode: String)
       (build: => DataFrame): DataFrame = {
     val work = Files.createTempDirectory("graft_stream_run").toFile
-    val sink = new java.io.File(work, "sink").getAbsolutePath
     val ckpt = new java.io.File(work, "ckpt").getAbsolutePath
-    val sinkMode = if (mode == "complete") "overwrite" else "append"
+    val gens = scala.collection.mutable.Buffer.empty[DataFrame]
     // stateful operators keep one state store per shuffle partition (a
     // stream-stream join keeps FOUR), each check-pointed every micro-batch
     // — with the batch default of 32 partitions the replay cost is pure
@@ -81,15 +91,27 @@ object StreamQueries {
       .outputMode(mode)
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: Dataset[Row], _: Long) =>
-        b.write.mode(sinkMode).parquet(sink); ()
+        // batches arrive sequentially (one micro-batch at a time), but
+        // synchronize anyway; complete mode drops the superseded
+        // generation reference (blocks reclaimed by the ContextCleaner)
+        val pinned = b.localCheckpoint(true)
+        gens.synchronized {
+          if (mode == "complete") gens.clear()
+          gens += pinned
+        }
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
-    val out = s.read.parquet(sink).localCheckpoint(true)
     deleteRec(work)
-    out
+    gens.synchronized { gens.toList } match {
+      case Nil => throw new IllegalStateException(
+        "streaming replay produced no micro-batches (empty staged source?)")
+      case one :: Nil => one
+      case many => many.reduce(_.unionByName(_))
+    }
   }
 
   /** One-source complete-mode replay (the common shape). */
