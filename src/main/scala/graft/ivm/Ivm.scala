@@ -141,9 +141,14 @@ object Ivm {
       // joins emit key-first order, which need not match the view's)
       val cols = view.columns.toSeq
         .map(org.apache.spark.sql.functions.col)
+      // LAZY checkpoint (guide §2.4/§5 — fewer driver barriers): the plan
+      // is cut to a LogicalRDD leaf at construction exactly as before
+      // (which is what defuses the exchange-reuse hazard documented
+      // above), but materialization happens inside the first consuming
+      // job instead of one standalone barrier job per pin
       graft.engine.Labeled.job(view.sparkSession, "ivm:applyTo-pin") {
-        view.unionByName(inserts.localCheckpoint().select(cols: _*))
-          .exceptAll(retracts.localCheckpoint().select(cols: _*))
+        view.unionByName(inserts.localCheckpoint(false).select(cols: _*))
+          .exceptAll(retracts.localCheckpoint(false).select(cols: _*))
       }
     }
   }
@@ -197,9 +202,15 @@ object Ivm {
         .get("spark.graft.ivm.pinSignedNet", "true").toBoolean)
       // constraint normalization: a raw checkpoint leaf re-minted by
       // [[reMint]] can carry STALE constraint ExprIds into a Union and
-      // blow up its constraint rewrite (see GraftSql.normalizeRddConstraints)
+      // blow up its constraint rewrite (see GraftSql.normalizeRddConstraints).
+      // LAZY checkpoint (guide §2.4/§5): same LogicalRDD leaf (the
+      // guaranteed-once execution and plan-cut are unchanged — the RDD is
+      // computed once and cached at first use), but without one standalone
+      // barrier job per pin: the group-scoped/two-level rungs ran 20–30
+      // sequential eager-pin micro-jobs per cycle, ~2.5 s of delta_minmax's
+      // 4.0 s warm pass in the r18 profile, pure job-launch fixed cost
       graft.engine.Labeled.job(df.sparkSession, "ivm:pin") {
-        GraftSql.normalizeRddConstraints(df.localCheckpoint())
+        GraftSql.normalizeRddConstraints(df.localCheckpoint(false))
       }
     else df
 
@@ -570,27 +581,49 @@ object Ivm {
       "__graft_ column names are reserved")
     def tag(df: DataFrame, s: Long): DataFrame =
       df.select(cols.map(F.col) :+ F.lit(s).as("__graft_sign"): _*)
-    // each direction gets its OWN net aggregation with its own sign
-    // orientation and an identical `> 0` consumer — so the inserts and
-    // retracts plans are NOT canonicalization-equal. With one shared
-    // orientation and `> 0` / `< 0` filters, Spark's exchange reuse
-    // (spark.sql.exchange.reuse, default on) collided the two arms'
-    // canonically identical aggregate subtrees when a caller composed both
-    // frames into one query, and the retract side returned the wrong rows
-    // (observed: a windowed key-scoped delta's `inserts ∪ retracts` emitted
-    // base rows that net to zero; disabling exchange reuse fixed it).
-    def net(pos: DataFrame, neg: DataFrame): DataFrame =
-      tag(pos, 1L).unionByName(tag(neg, -1L))
-        .groupBy(cols.map(F.col): _*)
-        .agg(F.sum(F.col("__graft_sign")).as("__graft_net"))
-        .filter(F.col("__graft_net") > 0)
-    def replicate(df: DataFrame): DataFrame =
-      df.withColumn("__graft_i",
-          F.explode(F.sequence(F.lit(1L), F.col("__graft_net"))))
+    def replicate(df: DataFrame, n: Column): DataFrame =
+      df.withColumn("__graft_i", F.explode(F.sequence(F.lit(1L), n)))
         .select(cols.map(F.col): _*)
-    // both inputs appear under BOTH net orientations — pin each once
-    val (p, m) = (pinSmall(plus), pinSmall(minus))
-    signed(replicate(net(p, m)), replicate(net(m, p)))
+    val pinOn = plus.sparkSession.conf
+      .get("spark.graft.ivm.pinSignedNet", "true").toBoolean
+    if (pinOn) {
+      // ONE net aggregation for both directions (guide §2.4): the net
+      // frame is pinned to a LogicalRDD leaf, so inserts (`net > 0`) and
+      // retracts (`net < 0`, replicated −net times) are two filters over
+      // the SAME materialized RDD — the exchange-reuse hazard documented
+      // in the else-branch cannot arise (one leaf, not two canonically
+      // identical aggregate subtrees), and the netting runs one
+      // aggregation over |plus|+|minus| rows instead of two. The inputs
+      // are each referenced once, so they no longer need their own pins
+      // (previously: two input pins + two aggregations per signedNet).
+      val net0 = pinSmall(tag(plus, 1L).unionByName(tag(minus, -1L))
+        .groupBy(cols.map(F.col): _*)
+        .agg(F.sum(F.col("__graft_sign")).as("__graft_net")))
+      signed(
+        replicate(net0.filter(F.col("__graft_net") > 0),
+          F.col("__graft_net")),
+        replicate(net0.filter(F.col("__graft_net") < 0),
+          -F.col("__graft_net")))
+    } else {
+      // pinning disabled (tests/Explain auditing the lazy algebra): each
+      // direction gets its OWN net aggregation with its own sign
+      // orientation and an identical `> 0` consumer — so the inserts and
+      // retracts plans are NOT canonicalization-equal. With one shared
+      // orientation and `> 0` / `< 0` filters, Spark's exchange reuse
+      // (spark.sql.exchange.reuse, default on) collided the two arms'
+      // canonically identical aggregate subtrees when a caller composed
+      // both frames into one query, and the retract side returned the
+      // wrong rows (observed: a windowed key-scoped delta's
+      // `inserts ∪ retracts` emitted base rows that net to zero;
+      // disabling exchange reuse fixed it).
+      def net(pos: DataFrame, neg: DataFrame): DataFrame =
+        tag(pos, 1L).unionByName(tag(neg, -1L))
+          .groupBy(cols.map(F.col): _*)
+          .agg(F.sum(F.col("__graft_sign")).as("__graft_net"))
+          .filter(F.col("__graft_net") > 0)
+      signed(replicate(net(plus, minus), F.col("__graft_net")),
+        replicate(net(minus, plus), F.col("__graft_net")))
+    }
   }
 
   private def requireKeyDecomposable(
@@ -924,23 +957,19 @@ object Ivm {
         val affected =
           pinSmall(view.join(broadcast(pKeys), affCond, "left_semi"))
 
-        val av = affected.select(affected.columns.map(c =>
-          col(c).as(s"__m_$c")).toIndexedSeq: _*)
-        val pv = reMint(partial).select(partial.columns.map(c =>
-          col(c).as(s"__p_$c")).toIndexedSeq: _*)
-        val mCond = keyNames.map(k => col(s"__m_$k") <=> col(s"__p_$k"))
-          .reduce(_ && _)
+        // view ⊕ P groupwise through the one-exchange key-aligned combine
+        // (IvmAgg.alignByKeys) — both sides are ≤ 1 row per key, so the
+        // previous full-outer join (2 exchanges + SMJ sorts) computes the
+        // same rows as a union + single hash aggregate
         val outCols = df.toDF().schema.map { f =>
-          if (keyNames.contains(f.name))
-            coalesce(col(s"__m_${f.name}"), col(s"__p_${f.name}"))
-              .as(f.name)
+          if (keyNames.contains(f.name)) col(f.name)
           else
-            (coalesce(col(s"__m_${f.name}"), lit(0)) +
-              coalesce(col(s"__p_${f.name}"), lit(0)))
+            (coalesce(col(s"__graft_l_${f.name}"), lit(0)) +
+              coalesce(col(s"__graft_r_${f.name}"), lit(0)))
               .cast(f.dataType).as(f.name)
         }
-        val merged = av.join(pv, mCond, "full_outer")
-          .select(outCols: _*)
+        val merged = IvmAgg.alignByKeys(affected, reMint(partial),
+            keyNames).select(outCols: _*)
         Some(signedNet(
           merged.filter(col(tracker.get) > 0),
           reMint(affected)))

@@ -195,21 +195,54 @@ object IvmAgg {
     }
   }
 
+  /** Key-aligned two-sided composition in ONE hash aggregate (optimization
+    * guide §2.4 — "two operations keyed the same way can share one
+    * exchange"): both inputs are aggregates grouped by `keys`, i.e. AT MOST
+    * ONE row per key per side, so a full-outer join + columnwise coalesce
+    * is equivalently a union + single groupBy(keys) where
+    * `first(ignoreNulls)` recovers each side's value (≤ 1 non-null
+    * contribution per group and side; a side's NULL value and an absent
+    * side row both surface as NULL — exactly the join's behavior). The
+    * join form cost TWO shuffles + sort-merge sorts per composition and
+    * showed up as 2 extra sequential AQE stage jobs per merge in the
+    * delta-rung profiles; this form is one exchange. Null-safe grouping ==
+    * the join's `<=>` key equality (SQL GROUP BY treats NULL as a value).
+    * Output: keys, then left's value columns as `__graft_l_<c>`, right's
+    * as `__graft_r_<c>` — callers select their own combine expressions.
+    */
+  private[ivm] def alignByKeys(l: DataFrame, r: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val lv = l.columns.filterNot(keys.contains).toSeq
+    val rv = r.columns.filterNot(keys.contains).toSeq
+    require(lv.nonEmpty || rv.nonEmpty, "alignByKeys: no value columns")
+    def side(df: DataFrame, own: Seq[String], ownP: String,
+        other: Seq[String], otherDf: DataFrame, otherP: String) =
+      df.select(keys.map(col) ++
+        own.map(c => col(c).as(ownP + c)) ++
+        other.map(c =>
+          lit(null).cast(otherDf.schema(c).dataType).as(otherP + c)): _*)
+    val u = side(l, lv, "__graft_l_", rv, r, "__graft_r_")
+      .unionByName(side(r, rv, "__graft_r_", lv, l, "__graft_l_"))
+    val aggCols = (lv.map("__graft_l_" + _) ++ rv.map("__graft_r_" + _))
+      .map(c => first(col(c), ignoreNulls = true).as(c))
+    if (keys.isEmpty) u.agg(aggCols.head, aggCols.tail: _*)
+    else u.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
   /** Key-equality full-outer composition of partial frames (null-safe keys,
-    * key columns coalesced). Ungrouped (global) aggregates compose as a
-    * cross join of their single rows.
+    * key columns coalesced) — via [[alignByKeys]]'s one-exchange form.
+    * Ungrouped (global) aggregates compose as single-row frames (each
+    * global aggregate yields exactly one row even on empty input, so the
+    * single-row global combine equals the previous cross join).
     */
   private def outerJoinOnKeys(l: DataFrame, r: DataFrame,
-      keys: Seq[String]): DataFrame = {
-    if (keys.isEmpty) return l.crossJoin(r)
-    val lr = l.select(l.columns.map(c => col(c).as(s"__jl_$c")).toSeq: _*)
-    val rr = r.select(r.columns.map(c => col(c).as(s"__jr_$c")).toSeq: _*)
-    val cond = keys.map(k => col(s"__jl_$k") <=> col(s"__jr_$k")).reduce(_ && _)
-    lr.join(rr, cond, "full_outer").select(
-      keys.map(k => coalesce(col(s"__jl_$k"), col(s"__jr_$k")).as(k)) ++
-        l.columns.filterNot(keys.contains).map(c => col(s"__jl_$c").as(c)) ++
-        r.columns.filterNot(keys.contains).map(c => col(s"__jr_$c").as(c)): _*)
-  }
+      keys: Seq[String]): DataFrame =
+    alignByKeys(l, r, keys).select(
+      keys.map(col) ++
+        l.columns.filterNot(keys.contains).map(c =>
+          col(s"__graft_l_$c").as(c)) ++
+        r.columns.filterNot(keys.contains).map(c =>
+          col(s"__graft_r_$c").as(c)): _*)
 
   private def mergeSpecOf(ne: NamedExpression, keys: Set[String]): Option[MergeSpec] = {
     def combineOf(e: Expression): (Column, Column) => Column = e match {
@@ -258,20 +291,20 @@ object IvmAgg {
     }
   }
 
-  /** Fold a delta partial into the materialized aggregate: full-outer join
-    * on the group keys, column-wise combine. Null-safe key equality keeps
-    * NULL group values as one group (SQL GROUP BY semantics).
+  /** Fold a delta partial into the materialized aggregate: key-aligned
+    * column-wise combine. Null-safe key equality keeps NULL group values as
+    * one group (SQL GROUP BY semantics). Computed through
+    * [[alignByKeys]]'s union + single hash aggregate instead of a
+    * full-outer join — same rows, one exchange instead of two.
     */
   def merge(view: DataFrame, delta: AggDelta): DataFrame = {
     val keys = delta.keys
-    val m = view.select(view.columns.map(c => col(c).as(s"m_$c")).toSeq: _*)
-    val d = delta.partial.select(
-      delta.partial.columns.map(c => col(c).as(s"d_$c")).toSeq: _*)
-    val cond = keys.map(k => col(s"m_$k") <=> col(s"d_$k")).reduce(_ && _)
-    m.join(d, cond, "full_outer").select(
-      keys.map(k => coalesce(col(s"m_$k"), col(s"d_$k")).as(k)) ++
-        delta.specs.map(sp =>
-          sp.combine(col(s"m_${sp.name}"), col(s"d_${sp.name}")).as(sp.name)): _*)
+    val vals = delta.specs.map(_.name)
+    alignByKeys(view.select((keys ++ vals).map(col): _*),
+        delta.partial.select((keys ++ vals).map(col): _*), keys)
+      .select(keys.map(col) ++
+        delta.specs.map(sp => sp.combine(col(s"__graft_l_${sp.name}"),
+          col(s"__graft_r_${sp.name}")).as(sp.name)): _*)
   }
 
   /** One-shot convenience: the maintained result of an aggregate query

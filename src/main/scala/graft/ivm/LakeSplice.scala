@@ -40,11 +40,15 @@ private[ivm] object LakeSplice {
     import org.apache.spark.sql.functions.lit
     val kc = keys.map(col)
     // pin: δ-sized by construction, probed twice (anti + semi)
+    // lazy: materialized by its first consumer (the inline-collect or the
+    // broadcast build) instead of a standalone barrier job. The VIEW pin
+    // below stays EAGER — cut-advance safety rides on it materializing
+    // before the caller moves its cut.
     val touched = graft.engine.Labeled.job(view.sparkSession,
       "splice:touched-pin") {
       inserts.select(kc: _*)
         .unionByName(retracts.select(kc: _*))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(false)
     }
     // null-safe key equality: a NULL group value is a real group (SQL
     // GROUP BY semantics — and partition values can be null)

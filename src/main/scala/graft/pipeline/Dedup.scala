@@ -48,9 +48,11 @@ object Dedup {
   private def pinSigView(df: DataFrame): DataFrame =
     if (df.sparkSession.conf
         .get("spark.graft.ivm.pinSignedNet", "true").toBoolean)
+      // lazy checkpoint: same LogicalRDD plan-cut, no standalone pin job
+      // (see Ivm.pinSmall's rationale)
       graft.engine.Labeled.job(df.sparkSession, "pipeline:sig-pin") {
         org.apache.spark.sql.graft.GraftSql
-          .normalizeRddConstraints(df.localCheckpoint())
+          .normalizeRddConstraints(df.localCheckpoint(false))
       }
     else df
 
@@ -358,10 +360,13 @@ object Dedup {
     // rounds' blocks are freed by the ContextCleaner once unreferenced;
     // the returned frame is re-persisted explicitly so the caller's
     // unpersist has its usual effect.
+    // lazy checkpoints throughout the loop: each round's convergence
+    // check (a full-frame aggregate) is the materializing action, so the
+    // eager pin's standalone job per round was a pure extra barrier
     var labels = edges.groupBy(col("a"))
       .agg(least(col("a"), min(col("b"))).as("label"))
       .select(col("a").as("id"), col("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -398,13 +403,19 @@ object Dedup {
         .join(gm, nm("label") === gm("gl"), "left")
         .select(nm("id"), merged.as("label"),
           (merged < nm("label")).cast("long").as("chg"))
-        .localCheckpoint()
-      // the convergence check reads the already-materialized checkpoint —
-      // a 1-row aggregate over local blocks, not a recompute. sum over an
-      // EMPTY frame is NULL, not 0 — an empty pair graph must converge,
-      // not NPE
+        .localCheckpoint(false)
+      // the convergence check MATERIALIZES the lazy checkpoint (it reads
+      // every partition, so the round's one aggregate job is also the pin
+      // job). sum over an EMPTY frame is NULL, not 0 — an empty pair
+      // graph must converge, not NPE
       val row = next.agg(sum(col("chg"))).head()
       val changed = if (row.isNullAt(0)) 0L else row.getLong(0)
+      // the superseded round's checkpoint blocks are dead the moment
+      // `next` is materialized (its lineage is truncated past `labels`) —
+      // drop them NOW instead of waiting for GC + ContextCleaner, which
+      // let dead round frames pile up across a multi-round run (the
+      // recurring dedup_survivors warm-pass variance)
+      org.apache.spark.sql.graft.GraftSql.unpinNow(labels)
       labels = next
       converged = changed == 0
       iter += 1
@@ -512,13 +523,15 @@ object Dedup {
     // δ-candidate + Jaccard pipeline in `delta_survivors` — would
     // otherwise re-execute at EVERY reuse, including once per micro-CC
     // round (measured 67s warm vs ~3s pinned at sf0.1).
-    val np = newPairs.localCheckpoint()
+    val np = newPairs.localCheckpoint(false)
     val ends = np.select(col("d1").as("id"))
       .union(np.select(col("d2").as("id"))).distinct()
     // stored rows for touched endpoints only — |δ|-sized by construction;
     // pinned for the same reason (read by l1, l2, and the entrant anti).
+    // Both pins lazy: computed once inside their first consumer's job
+    // instead of two standalone barrier jobs (see Ivm.pinSmall)
     val rel = baseLabels.join(broadcast(ends), Seq("id"), "left_semi")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val l1 = rel.select(col("id").as("d1"), col("label").as("l1"))
     val l2 = rel.select(col("id").as("d2"), col("label").as("l2"))
     val contracted = np
@@ -754,7 +767,7 @@ object Dedup {
         // signature rebuilds
         val newCand = Ivm.delta(
           candidatePairsRaw(s.table("surv_sig_src"), 3, 2)).distinct()
-          .localCheckpoint()
+          .localCheckpoint(false)
         val ends = newCand.select(col("d1").as("doc_id"))
           .union(newCand.select(col("d2").as("doc_id"))).distinct()
         val ws = shingleRows(
@@ -801,7 +814,7 @@ object Dedup {
         import graft.ivm.{DeltaSources, IvmAgg}
         val docs = t(s, d, "documents")
         val benchSet = shingleRows(docs.filter(col("doc_id") % 10 === 3))
-          .select("s").distinct().localCheckpoint()
+          .select("s").distinct().localCheckpoint(false)
         val train = docs.filter(col("doc_id") % 10 =!= 3)
         val q = (tr: DataFrame) => shingleRows(tr).join(benchSet, "s")
           .groupBy("doc_id").agg(count(lit(1)).as("overlap"))

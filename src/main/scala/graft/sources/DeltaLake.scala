@@ -1319,7 +1319,9 @@ object DeltaLake {
     // already UUID-unique part names)
     val tmp = new java.io.File(root, "_land_tmp_" +
       java.util.UUID.randomUUID().toString.take(8))
-    val w = df.write.mode("overwrite")
+    // size-targeted file count (guide §6): land ~128 MiB files instead of
+    // one tiny file per upstream partition; explicit layouts pass through
+    val w = WriteSizing.coalesceForWrite(df).write.mode("overwrite")
     graft.engine.Labeled.job(df.sparkSession, "lake:land-files") {
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(tmp.getAbsolutePath)
@@ -1374,7 +1376,7 @@ object DeltaLake {
       add.put("size", f.length())
       add.put("modificationTime", f.lastModified())
       add.put("dataChange", true)
-      statsByFile.get(f.getName).foreach(s => add.put("stats", s))
+      statsByFile.get(f.getAbsolutePath).foreach(s => add.put("stats", s))
       s"""{"add":${M.writeValueAsString(add)}}"""
     }
   }
@@ -1505,7 +1507,9 @@ object DeltaLake {
             }
           }
         }
-        new java.io.File(p).getName -> M.writeValueAsString(o)
+        // keyed by absolute path: basenames can collide across partition
+        // directories, and .toMap would silently last-win
+        new java.io.File(p).getAbsolutePath -> M.writeValueAsString(o)
     }
   }
 
@@ -1677,7 +1681,7 @@ object DeltaLake {
           add.put("modificationTime", dest.lastModified())
           add.put("dataChange", true)
           fileStats(spark, dataSchema, Seq(dest.getAbsolutePath))
-            .get(dest.getName).foreach(st => add.put("stats", st))
+            .get(dest.getAbsolutePath).foreach(st => add.put("stats", st))
           actions += s"""{"add":${M.writeValueAsString(add)}}"""
         }
         changeRows.foreach { cr =>
@@ -4510,7 +4514,7 @@ object DeltaLake {
         add.put("size", dest.length())
         add.put("modificationTime", dest.lastModified())
         add.put("dataChange", false)
-        statsByFile.get(dest.getName).foreach(s => add.put("stats", s))
+        statsByFile.get(dest.getAbsolutePath).foreach(s => add.put("stats", s))
         actions += s"""{"add":${M.writeValueAsString(add)}}"""
       }
     }

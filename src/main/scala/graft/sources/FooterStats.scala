@@ -76,7 +76,17 @@ object FooterStats {
                     val (mn, mx) = (st.genericGetMin, st.genericGetMax)
                     if (lo == null || less(f.dataType, mn, lo)) lo = mn
                     if (hi == null || less(f.dataType, hi, mx)) hi = mx
-                  } // else: row group all-null for this column — no bounds
+                  } else if (!(st.isNumNullsSet && st.getNumNulls == b.getRowCount)) {
+                    // hasNonNullValue=false does NOT prove the row group is
+                    // all-null: parquet-mr drops NaN-poisoned float/double
+                    // min/max and oversized (>4KB) binary bounds while
+                    // keeping null_count, leaving hasNonNullValue=false with
+                    // non-null values present. Only a null_count equal to
+                    // the row count proves all-null; anything else makes the
+                    // column's bounds unknowable from footers — omit them
+                    // (prune-only-on-proof keeps the file).
+                    known = false
+                  } // else: proven all-null for this column — no bounds
                 case None => known = false
               }
             }

@@ -1927,7 +1927,9 @@ object Iceberg {
       format: String = "parquet")
       : Seq[(java.io.File, Map[String, String])] = {
     val tmp = new java.io.File(root, s"_ice_tmp_$tag")
-    val w0 = df.write.mode("overwrite")
+    // size-targeted file count (guide §6): land ~128 MiB files instead of
+    // one tiny file per upstream partition; explicit layouts pass through
+    val w0 = WriteSizing.coalesceForWrite(df).write.mode("overwrite")
     val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*)
       else w0
     if (format == "orc") w.orc(tmp.getAbsolutePath)

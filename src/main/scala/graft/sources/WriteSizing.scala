@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, RepartitionOperation}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, RepartitionOperation, Sort}
 
 /** Size-targeted output partitioning for landed writes (optimization
   * guide §6, "output file sizing"): a landing write otherwise produces
@@ -37,13 +37,19 @@ object WriteSizing {
     // unknown/absurd estimates (default join stats multiply) stay put
     if (!est.isValidLong || est <= 0) return df
     val want = math.max(1L, (est.toLong + target - 1) / target)
-    val current = df.rdd.getNumPartitions
-    if (want < current) df.coalesce(want.toInt) else df
+    // coalesce never raises the partition count, so a `want` at or above
+    // the current count is a no-op — which lets us skip asking the plan
+    // for its partition count (on an AQE plan that would EXECUTE its
+    // shuffle stages, a full extra run of the query before the write)
+    df.coalesce(math.min(want, Int.MaxValue.toLong).toInt)
   }
 
   private def explicitLayout(p: LogicalPlan): Boolean = p match {
     case _: RepartitionOperation => true
     case pr: Project => explicitLayout(pr.child)
+    // z-order/clustering writers put a partition-local Sort above their
+    // repartitionByRange — that layout is load-bearing too
+    case s: Sort => explicitLayout(s.child)
     case _ => false
   }
 }

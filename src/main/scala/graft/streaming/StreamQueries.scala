@@ -96,7 +96,12 @@ object StreamQueries {
         // generation reference (blocks reclaimed by the ContextCleaner)
         val pinned = b.localCheckpoint(true)
         gens.synchronized {
-          if (mode == "complete") gens.clear()
+          if (mode == "complete") {
+            // superseded generations are never read again — drop their
+            // checkpoint blocks now instead of waiting for the cleaner
+            gens.foreach(org.apache.spark.sql.graft.GraftSql.unpinNow)
+            gens.clear()
+          }
           gens += pinned
         }
         ()

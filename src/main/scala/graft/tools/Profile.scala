@@ -35,6 +35,7 @@ object Profile {
     final case class JobRec(id: Int, var desc: String, var ms: Long = -1,
         var stages: Int = 0, var tasks: Int = 0, var start: Long = 0)
     val jobs = mutable.LinkedHashMap.empty[Int, JobRec]
+    val stageToJob = mutable.HashMap.empty[Int, Int]
     var recording = false
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
@@ -45,6 +46,10 @@ object Profile {
               .flatMap(p => Option(p.getProperty("callSite.short"))))
             .getOrElse("?")
           jobs(e.jobId) = JobRec(e.jobId, desc, start = e.time)
+          // stage→job map from the job's own stage list: concurrent jobs
+          // (AQE broadcast exchanges overlap even in local mode) would be
+          // misattributed by a last-started-job heuristic
+          e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
         }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         if (recording) synchronized {
@@ -52,12 +57,11 @@ object Profile {
         }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         if (recording) synchronized {
-          // attribute to the most recent unfinished job (approximation:
-          // local-mode jobs are sequential within one query pass)
-          jobs.values.lastOption.foreach { r =>
-            r.stages += 1; r.tasks += e.stageInfo.numTasks
-            if (r.desc == "?") r.desc = e.stageInfo.name.take(140)
-          }
+          stageToJob.get(e.stageInfo.stageId)
+            .flatMap(jobs.get).foreach { r =>
+              r.stages += 1; r.tasks += e.stageInfo.numTasks
+              if (r.desc == "?") r.desc = e.stageInfo.name.take(140)
+            }
         }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -71,7 +75,7 @@ object Profile {
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       def pass(label: String): Double = {
-        jobs.clear(); recording = true
+        jobs.clear(); stageToJob.clear(); recording = true
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val secs = (System.nanoTime() - t0) / 1e9
