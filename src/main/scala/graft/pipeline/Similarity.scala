@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.{QueryDef, Tables}
+import graft.engine.{Par, QueryDef, Tables}
 import graft.functions.VecFunctions
 
 /** Similarity search over `embeddings.embedding: array<float>` — cosine
@@ -133,7 +133,9 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, k: Int, nBands: Int = 4, bandBits: Int = 8,
       dim: Int = 64): DataFrame = {
-    val keyed = withBands(emb, nBands, bandBits, dim)
+    // spread the signature build + bucket self-join off the (often
+    // 1-split) scan parallelism; no-op at real scan sizes
+    val keyed = withBands(Par.spread(emb), nBands, bandBits, dim)
       .select(col("vec_id"),
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"), col(s"band_$b").as("sig"))): _*)).as("bs"))
@@ -226,7 +228,14 @@ object Similarity {
       : DataFrame = {
     import org.apache.spark.sql.graft.VecColumns
     val cents = QuantCentroids.forFrame(emb, nCells)
-    val base = emb.filter(col("embedding").isNotNull)
+    // spread the corpus before the candidate expansion (guide §2.5/§2.6):
+    // at bench scale the embeddings table packs into ONE scan split, so
+    // the whole probes×cell-members expansion + integer re-rank ran as a
+    // single task on one core (measured: one 2.5 s single-task stage in
+    // ann_ivfpq's 3.0 s warm pass). Par.spread is scale-adaptive — a
+    // corpus whose scan already splits ≥ defaultParallelism ways is
+    // untouched, so this only fixes the small-input under-parallelism.
+    val base = Par.spread(emb.filter(col("embedding").isNotNull))
     val assigned = base.select(
       col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       element_at(VecColumns.nearCellsScaled(col("embedding"), cents, 1, Scale), 1)
@@ -270,7 +279,11 @@ object Similarity {
       : DataFrame = {
     val cents = QuantCentroids.forFrame(emb, nCells)
     val base = emb.filter(col("embedding").isNotNull)
-    pqTopKWith(base.filter(col("vec_id") < 10), base, k, cents, nSub)
+    // spread the FULL corpus here, not inside pqTopKWith: the maintained
+    // twin calls pqTopKWith with δ-sized corpora where a repartition
+    // costs more than the single-task decode it spreads
+    pqTopKWith(base.filter(col("vec_id") < 10), Par.spread(base), k,
+      cents, nSub)
   }
 
   /** [[pqTopK]] against EXPLICIT codebook centroids — the production
@@ -344,7 +357,9 @@ object Similarity {
       val lut = typedLit(codebooks(m).map(_.toSeq.map(_.toFloat)).toSeq)
       element_at(lut, code + 1)
     }
-    val base = emb.filter(col("embedding").isNotNull)
+    // spread before the expansion — same rationale (and measurement) as
+    // [[ivfTopKSampled]]; no-op when the scan already splits enough
+    val base = Par.spread(emb.filter(col("embedding").isNotNull))
     // index side: coarse cell + PQ-decoded reconstruction, ONE
     // codegen'd projection over the corpus scan
     val assigned = base.select(
