@@ -23,8 +23,13 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // show the LAZY maintenance plans (signed-rung pinning would execute
-    // the interesting subtrees at construction and print RDD scans)
-    spark.conf.set("spark.graft.ivm.pinSignedNet", "false")
+    // the interesting subtrees at construction and print RDD scans) —
+    // unless SPARK_GRAFT_EXPLAIN_PINNED=1 asks for the PINNED execution
+    // path (what the bench actually runs: pinned frames appear as
+    // ExistingRDD leaves, showing how many subplan repetitions a pin
+    // collapses)
+    if (!sys.env.get("SPARK_GRAFT_EXPLAIN_PINNED").contains("1"))
+      spark.conf.set("spark.graft.ivm.pinSignedNet", "false")
     graft.engine.Tables.init(spark)
     names.foreach { n =>
       println(s"\n========== $n ==========")
